@@ -1,0 +1,32 @@
+"""SparkSession factory tuned for the test harness (local[N]) while keeping
+settings that matter on a real cluster (AQE, adaptive skew handling,
+Arrow batching for pandas UDFs)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "fusionspark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime coalescing, skew-join splitting, dynamic partition pruning.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas UDF / toPandas transfer (the only Python hot paths).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Timestamps in testdata are ns; keep micros semantics deterministic.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
