@@ -1,0 +1,135 @@
+"""Learning-layer operators (SURVEY §2.6 A1/A6-A9/A15, §2.9 X12).
+
+Reference: /root/reference/src/retrieval/HybridRetriever.js:263-303
+(adaptive weights) and /root/reference/src/learning/RecursiveLearningEngine.js
+(skills, reflection, EMA).
+
+Everything is expressed as grouped aggregates + windows: partial aggregation
+happens map-side, the shuffle carries one row per (pattern, strategy) /
+(skill) — cardinality of the model, not of the feedback log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fusionspark.functions.text import query_pattern
+
+#: Default strategy weights (HybridRetriever.js:72-77).
+DEFAULT_WEIGHTS = {"vector": 0.4, "tree": 0.4, "keyword": 0.2}
+#: Feedback ring buffer size per (pattern, strategy) (HybridRetriever.js:271-272).
+FEEDBACK_RING = 100
+#: Skill-outcome EMA step (RecursiveLearningEngine.js:479).
+EMA_ALPHA = 0.3
+
+
+def adaptive_weights(feedback: DataFrame) -> DataFrame:
+    """A1: per-(pattern, strategy) mean quality over the last FEEDBACK_RING
+    scores, normalized to sum 1 within the pattern
+    (HybridRetriever.js:263-303).
+
+    Ring buffer = keep newest 100 per key (W2), stable order (ts, fb_id).
+    """
+    ring = Window.partitionBy("pattern", "strategy").orderBy(
+        F.col("ts").desc(), F.col("fb_id").desc()
+    )
+    norm = Window.partitionBy("pattern")
+    return (
+        feedback.withColumn("pattern", query_pattern("query"))
+        .withColumn("rn", F.row_number().over(ring))
+        .filter(F.col("rn") <= FEEDBACK_RING)
+        .groupBy("pattern", "strategy")
+        .agg(F.avg("quality").alias("avg_quality"))
+        .withColumn("weight", F.col("avg_quality") / F.sum("avg_quality").over(norm))
+    )
+
+
+def skill_outcome_ema(
+    feedback: DataFrame,
+    initial_rate: float = 1.0,
+    last_n: int = 20,
+    success_threshold: float = 0.5,
+) -> DataFrame:
+    """A9/W5: successRate after folding the last N outcomes per strategy with
+    rate ← α·outcome + (1-α)·rate (RecursiveLearningEngine.js:472-482).
+
+    Closed form over the ordered tail (o_1 oldest … o_n newest):
+        rate_n = (1-α)^n · rate_0 + Σ_i α·(1-α)^(n-i)·o_i
+    A window + pow expression — no iterative loop, no UDF.
+    """
+    tail = Window.partitionBy("strategy").orderBy(F.col("ts").desc(), F.col("fb_id").desc())
+    ordered = (
+        feedback.withColumn("rn_desc", F.row_number().over(tail))
+        .filter(F.col("rn_desc") <= last_n)
+        .withColumn("outcome", (F.col("quality") > success_threshold).cast("double"))
+    )
+    n = Window.partitionBy("strategy")
+    contrib = (
+        F.lit(EMA_ALPHA)
+        * F.pow(F.lit(1 - EMA_ALPHA), F.col("rn_desc") - 1)
+        * F.col("outcome")
+    )
+    return (
+        ordered.withColumn("n_outcomes", F.count("*").over(n))
+        .groupBy("strategy")
+        .agg(
+            F.count("*").alias("n_outcomes"),
+            (
+                F.sum(contrib)
+                + F.pow(F.lit(1 - EMA_ALPHA), F.max("rn_desc")) * F.lit(initial_rate)
+            ).alias("success_rate"),
+        )
+    )
+
+
+def find_applicable_skills(skills: DataFrame, context: str) -> DataFrame:
+    """A15: matchScore = |trigger keywords contained in context| / |keywords|,
+    keep matchCount > 0, rank by successRate·matchScore desc
+    (RecursiveLearningEngine.js:442-464)."""
+    ctx = F.lit(context.lower())
+    hits = F.aggregate(
+        F.col("trigger_keywords"),
+        F.lit(0),
+        lambda acc, kw: acc + F.when(ctx.contains(F.lower(kw)), 1).otherwise(0),
+    )
+    return (
+        skills.withColumn("match_count", hits)
+        .filter(F.col("match_count") > 0)
+        .withColumn(
+            "match_score", F.col("match_count").cast("double") / F.size("trigger_keywords")
+        )
+        .withColumn("rank_key", F.col("success_rate") * F.col("match_score"))
+        .orderBy(F.col("rank_key").desc(), F.col("skill_id").asc())
+    )
+
+
+def reflection_context(feedback: DataFrame, last_n: int = 20, fail_threshold: float = 0.3) -> DataFrame:
+    """A7: per-agent avg quality over the last N feedback rows + failed-query
+    list (RecursiveLearningEngine.js:596-613)."""
+    w = Window.partitionBy("agent_id").orderBy(F.col("ts").desc(), F.col("fb_id").desc())
+    return (
+        feedback.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= last_n)
+        .groupBy("agent_id")
+        .agg(
+            F.count("*").alias("n_feedback"),
+            F.avg("quality").alias("avg_quality"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("quality") < fail_threshold, F.col("query")))
+            ).alias("failed_queries"),
+        )
+    )
+
+
+def graph_summary(triples: DataFrame) -> DataFrame:
+    """A8: distinct entities (subjects ∪ objects) + triple count
+    (RecursiveLearningEngine.js:574-584)."""
+    entities = (
+        triples.select(F.col("subject").alias("e"))
+        .union(triples.select(F.col("object").alias("e")))
+        .distinct()
+    )
+    return triples.agg(F.count("*").alias("n_triples")).crossJoin(
+        entities.agg(F.count("*").alias("n_entities"))
+    )

@@ -28,5 +28,7 @@ def query(name: str, sql: str | None = None):
 def load_all() -> None:
     """Import every query module (side effect: fills REGISTRY)."""
     from fusionspark.queries import (  # noqa: F401
+        relational_queries,
+        text_queries,
         vector_queries,
     )

@@ -1,0 +1,424 @@
+"""Relational / aggregate operator family (SURVEY §2.6 A1-A15, §2.2 P3/P4/
+P6/P7, §2.7 W2, §2.8 E3/E5, §2.9 X12) over the derived agent-state fixtures.
+
+Every query pairs a DataFrame-API plan (fusionspark.operators.*) with a
+DuckDB oracle that rebuilds the identical fixture from the driver parquet
+(fusionspark.fixtures.*_SQL CTEs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fusionspark import fixtures as FX
+from fusionspark.functions.text import query_pattern
+from fusionspark.operators import learning, memory as mem_ops, orchestration as orch
+from fusionspark.queries import query
+
+_NOW = FX.REF_NOW
+
+
+@query(
+    "memory_stats",
+    f"WITH {FX.MEMORY_SQL.strip()}\n"
+    "SELECT agent_id, type, COUNT(*)::BIGINT AS n FROM memory GROUP BY agent_id, type",
+)
+def memory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (AgentMemory.js:572-590)."""
+    return mem_ops.memory_stats(FX.memory_df(spark, sf_dir))
+
+
+@query(
+    "memory_ttl_filter",
+    f"WITH {FX.MEMORY_SQL.strip()}\n"
+    f"""
+    SELECT mem_id, agent_id, ttl_ms FROM memory
+    WHERE ttl_ms = 0
+       OR (epoch(TIMESTAMP '{_NOW}') - epoch(ts)) * 1000 < ttl_ms
+    """,
+)
+def memory_ttl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: lazy TTL expiry as a read-time predicate (HNSWIndex.js:295-301)."""
+    df = mem_ops.ttl_filter(FX.memory_df(spark, sf_dir), F.to_timestamp(F.lit(_NOW)))
+    return df.select("mem_id", "agent_id", "ttl_ms")
+
+
+@query(
+    "memory_acl",
+    f"WITH {FX.MEMORY_SQL.strip()}\n"
+    """
+    SELECT mem_id, agent_id FROM memory
+    WHERE type = 'shared'
+      AND (len(allowed_agents) = 0 OR list_contains(allowed_agents, 'agent-1'))
+    """,
+)
+def memory_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: allowed-agents ACL, enforced (AgentMemory.js:497-504 stores it but
+    never checks; we do)."""
+    df = FX.memory_df(spark, sf_dir).filter(F.col("type") == "shared")
+    return mem_ops.acl_filter(df, "agent-1").select("mem_id", "agent_id")
+
+
+@query(
+    "tenant_filter",
+    f"WITH {FX.MEMORY_SQL.strip()}\n"
+    "SELECT mem_id, content FROM memory WHERE agent_id = 'agent-2' AND type = 'episodic'",
+)
+def tenant_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: tenant isolation — memory recall scopes tenant=agentId
+    (AgentMemory.js:398-401, HNSWIndex.js:276-281); partition-prunes at scale."""
+    return (
+        FX.memory_df(spark, sf_dir)
+        .filter((F.col("agent_id") == "agent-2") & (F.col("type") == "episodic"))
+        .select("mem_id", "content")
+    )
+
+
+@query(
+    "conversation_threads",
+    f"WITH {FX.CONVERSATIONS_SQL.strip()}\n"
+    """
+    SELECT agent_id, thread_id, COUNT(*)::BIGINT AS message_count,
+           floor(epoch(MAX(ts)))::BIGINT AS last_ts_s
+    FROM conversations GROUP BY agent_id, thread_id
+    """,
+)
+def conversation_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: listConversations (AgentMemory.js:343-357)."""
+    df = mem_ops.list_conversations(FX.conversations_df(spark, sf_dir))
+    return df.select(
+        "agent_id",
+        "thread_id",
+        "message_count",
+        F.unix_timestamp("last_ts").alias("last_ts_s"),
+    )
+
+
+@query(
+    "conversation_tail",
+    f"WITH {FX.CONVERSATIONS_SQL.strip()}\n"
+    """
+    SELECT agent_id, thread_id, msg_seq, role, content,
+           ROW_NUMBER() OVER (PARTITION BY agent_id, thread_id
+                              ORDER BY ts DESC, msg_seq DESC) AS rn
+    FROM conversations
+    QUALIFY rn <= 3
+    """,
+)
+def conversation_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/W2/M4: last-N per thread ring buffer (AgentMemory.js:285-311)."""
+    df = mem_ops.conversation_tail(FX.conversations_df(spark, sf_dir), n=3)
+    return df.select("agent_id", "thread_id", "msg_seq", "role", "content", "rn")
+
+
+@query(
+    "consolidation_decay",
+    f"WITH {FX.MEMORY_SQL.strip()},\n"
+    f"""
+    aug AS (
+        SELECT *,
+            greatest(0, (epoch(TIMESTAMP '{_NOW}') - epoch(ts)) / 3600.0) AS age_h
+        FROM memory
+    ),
+    rec AS (
+        SELECT *,
+            CASE WHEN last_accessed IS NOT NULL
+                 THEN greatest(0, (epoch(TIMESTAMP '{_NOW}') - epoch(last_accessed)) / 3600.0)
+                 ELSE age_h END AS rec_h
+        FROM aug
+    ),
+    dec AS (
+        SELECT *,
+            greatest(0, importance - greatest(0, 0.02 * (rec_h / 24.0)
+                - least(access_count * 0.02, 0.3))) AS decayed
+        FROM rec
+    )
+    SELECT mem_id,
+           ROUND(CASE WHEN type IN ('episodic','semantic','procedural')
+                      THEN CASE WHEN access_count > 3
+                                THEN least(1.0, decayed + 0.01) ELSE decayed END
+                      ELSE importance END, 6) AS new_importance
+    FROM dec
+    """,
+)
+def consolidation_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: importance decay + strengthen (RecursiveLearningEngine.js:146-165)."""
+    df = mem_ops.consolidate_importance(
+        FX.memory_df(spark, sf_dir), F.to_timestamp(F.lit(_NOW))
+    )
+    return df.select("mem_id", F.round("new_importance", 6).alias("new_importance"))
+
+
+@query(
+    "memory_prune",
+    f"WITH {FX.MEMORY_SQL.strip()}\n"
+    """
+    SELECT agent_id, COUNT(*)::BIGINT AS kept FROM memory
+    WHERE importance >= 0.05 GROUP BY agent_id
+    """,
+)
+def memory_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: prune below threshold (RecursiveLearningEngine.js:173-178)."""
+    return (
+        mem_ops.prune(FX.memory_df(spark, sf_dir))
+        .groupBy("agent_id")
+        .agg(F.count("*").alias("kept"))
+    )
+
+
+@query(
+    "merge_candidates",
+    f"WITH {FX.MEMORY_SQL.strip()},\n"
+    f"""
+    bounded AS (
+        SELECT agent_id, type, mem_id, importance,
+               list_distinct(list_filter(string_split(lower(content), ' '), x -> x <> '')) AS words,
+               ROW_NUMBER() OVER (PARTITION BY agent_id, type ORDER BY mem_id) AS scan_rn
+        FROM memory
+        WHERE type IN ('episodic','semantic','procedural')
+        QUALIFY scan_rn <= {mem_ops.MAX_MERGE_SCAN}
+    ),
+    pairs AS (
+        SELECT a.agent_id, a.type, a.mem_id AS mem_a, b.mem_id AS mem_b,
+               CASE WHEN len(list_distinct(list_concat(a.words, b.words))) > 0
+                    THEN len(list_intersect(a.words, b.words))::DOUBLE
+                         / len(list_distinct(list_concat(a.words, b.words)))
+                    ELSE 0.0 END AS sim,
+               CASE WHEN a.importance >= b.importance THEN a.mem_id ELSE b.mem_id END AS keeper
+        FROM bounded a JOIN bounded b
+          ON a.agent_id = b.agent_id AND a.type = b.type AND a.mem_id < b.mem_id
+    )
+    SELECT agent_id, type, mem_a, mem_b, ROUND(sim, 6) AS sim, keeper
+    FROM pairs WHERE sim > {mem_ops.MERGE_THRESHOLD}
+    """,
+)
+def merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/K4: similar-memory merge pairs via bounded pairwise Jaccard
+    (RecursiveLearningEngine.js:190-243)."""
+    df = mem_ops.merge_candidates(FX.memory_df(spark, sf_dir))
+    return df.select(
+        "agent_id", "type", "mem_a", "mem_b", F.round("sim", 6).alias("sim"), "keeper"
+    )
+
+
+@query(
+    "orchestrator_stats",
+    f"WITH {FX.AGENTS_SQL.strip()},\n{FX.MESSAGES_SQL.strip()}\n"
+    """
+    SELECT a.agent_id, a.name,
+           COALESCE(s.sent, 0)::BIGINT AS sent,
+           COALESCE(r.received, 0)::BIGINT AS received
+    FROM agents a
+    LEFT JOIN (SELECT from_agent, COUNT(*) AS sent FROM messages GROUP BY from_agent) s
+           ON s.from_agent = a.agent_id
+    LEFT JOIN (SELECT to_agent, COUNT(*) AS received FROM messages
+               WHERE to_agent <> '*' GROUP BY to_agent) r
+           ON r.to_agent = a.agent_id
+    """,
+)
+def orchestrator_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (AgentOrchestrator.js:274-286)."""
+    return orch.orchestrator_stats(
+        FX.agents_df(spark), FX.messages_df(spark, sf_dir)
+    )
+
+
+@query(
+    "capability_rank",
+    f"WITH {FX.AGENTS_SQL.strip()}\n"
+    """
+    SELECT agent_id, name,
+           len(list_intersect(capabilities, ['search','analysis','safety']))::INT AS score
+    FROM agents
+    WHERE len(list_intersect(capabilities, ['search','analysis','safety'])) > 0
+    """,
+)
+def capability_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14/E3/M6: capability argmax for delegation
+    (AgentOrchestrator.js:305-323)."""
+    return orch.capability_rank(
+        FX.agents_df(spark), ["search", "analysis", "safety"]
+    ).select("agent_id", "name", F.col("score").cast("int").alias("score"))
+
+
+@query(
+    "broadcast_targets",
+    f"WITH {FX.AGENTS_SQL.strip()}\n"
+    "SELECT agent_id, name FROM agents WHERE agent_id <> 'agent-3'",
+)
+def broadcast_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: broadcast fan-out = all agents except sender
+    (AgentOrchestrator.js:152-158)."""
+    return orch.broadcast_targets(FX.agents_df(spark), "agent-3")
+
+
+@query(
+    "adaptive_weights",
+    f"WITH {FX.FEEDBACK_SQL.strip()},\n"
+    f"""
+    pat AS (
+        SELECT *,
+            array_to_string(list_sort(list_filter(string_split(lower(query), ' '),
+                                                  x -> x <> ''))[1:5], '_') AS pattern,
+            ROW_NUMBER() OVER (PARTITION BY
+                array_to_string(list_sort(list_filter(string_split(lower(query), ' '),
+                                                      x -> x <> ''))[1:5], '_'),
+                strategy ORDER BY ts DESC, fb_id DESC) AS rn
+        FROM feedback
+        QUALIFY rn <= {learning.FEEDBACK_RING}
+    ),
+    avgs AS (
+        SELECT pattern, strategy, AVG(quality) AS avg_quality
+        FROM pat GROUP BY pattern, strategy
+    )
+    SELECT pattern, strategy, ROUND(avg_quality, 6) AS avg_quality,
+           ROUND(avg_quality / SUM(avg_quality) OVER (PARTITION BY pattern), 6) AS weight
+    FROM avgs
+    """,
+)
+def adaptive_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W2/X12: adaptive strategy weights from the feedback ring
+    (HybridRetriever.js:263-303)."""
+    df = learning.adaptive_weights(FX.feedback_df(spark, sf_dir))
+    return df.select(
+        "pattern",
+        "strategy",
+        F.round("avg_quality", 6).alias("avg_quality"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+@query(
+    "query_patterns",
+    f"WITH {FX.FEEDBACK_SQL.strip()}\n"
+    """
+    SELECT DISTINCT query,
+        array_to_string(list_sort(list_filter(string_split(lower(query), ' '),
+                                              x -> x <> ''))[1:5], '_') AS pattern
+    FROM feedback
+    """,
+)
+def query_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: generalized query-pattern key (HybridRetriever.js:402-406)."""
+    return (
+        FX.feedback_df(spark, sf_dir)
+        .select("query", query_pattern("query").alias("pattern"))
+        .distinct()
+    )
+
+
+@query(
+    "skill_ema",
+    f"WITH {FX.FEEDBACK_SQL.strip()},\n"
+    """
+    tail AS (
+        SELECT strategy, quality,
+               ROW_NUMBER() OVER (PARTITION BY strategy ORDER BY ts DESC, fb_id DESC) AS rn
+        FROM feedback QUALIFY rn <= 20
+    )
+    SELECT strategy, COUNT(*)::BIGINT AS n_outcomes,
+           ROUND(SUM(0.3 * POWER(0.7, rn - 1)
+                     * CASE WHEN quality > 0.5 THEN 1.0 ELSE 0.0 END)
+                 + POWER(0.7, MAX(rn)) * 1.0, 6) AS success_rate
+    FROM tail GROUP BY strategy
+    """,
+)
+def skill_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W5: successRate EMA, closed form over the ordered outcome tail
+    (RecursiveLearningEngine.js:472-482)."""
+    df = learning.skill_outcome_ema(FX.feedback_df(spark, sf_dir))
+    return df.select(
+        "strategy", "n_outcomes", F.round("success_rate", 6).alias("success_rate")
+    )
+
+
+@query(
+    "skill_match",
+    f"WITH {FX.SKILLS_SQL.strip()},\n"
+    """
+    scored AS (
+        SELECT skill_id, name, success_rate,
+               len(list_filter(trigger_keywords,
+                               kw -> contains('optimize the slow query with a fast hash join and sort the big table', kw)))::INT AS match_count,
+               len(trigger_keywords) AS n_kw
+        FROM skills
+    )
+    SELECT skill_id, name, match_count,
+           ROUND(match_count::DOUBLE / n_kw, 6) AS match_score,
+           ROUND(success_rate * match_count / n_kw, 6) AS rank_key
+    FROM scored WHERE match_count > 0
+    """,
+)
+def skill_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: findApplicableSkills (RecursiveLearningEngine.js:442-464)."""
+    ctx = "optimize the slow query with a fast hash join and sort the big table"
+    df = learning.find_applicable_skills(FX.skills_df(spark), ctx)
+    return df.select(
+        "skill_id",
+        "name",
+        F.col("match_count").cast("int").alias("match_count"),
+        F.round("match_score", 6).alias("match_score"),
+        F.round("rank_key", 6).alias("rank_key"),
+    )
+
+
+@query(
+    "reflection_context",
+    f"WITH {FX.FEEDBACK_SQL.strip()},\n"
+    """
+    tail AS (
+        SELECT agent_id, query, quality,
+               ROW_NUMBER() OVER (PARTITION BY agent_id ORDER BY ts DESC, fb_id DESC) AS rn
+        FROM feedback QUALIFY rn <= 20
+    )
+    SELECT agent_id, COUNT(*)::BIGINT AS n_feedback,
+           ROUND(AVG(quality), 6) AS avg_quality,
+           array_to_string(list_sort(list(query) FILTER (WHERE quality < 0.3)), '|') AS failed
+    FROM tail GROUP BY agent_id
+    """,
+)
+def reflection_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: reflection inputs — recent avg quality + failed queries
+    (RecursiveLearningEngine.js:596-613)."""
+    df = learning.reflection_context(FX.feedback_df(spark, sf_dir))
+    return df.select(
+        "agent_id",
+        "n_feedback",
+        F.round("avg_quality", 6).alias("avg_quality"),
+        F.array_join("failed_queries", "|").alias("failed"),
+    )
+
+
+@query(
+    "triple_edges",
+    f"WITH {FX.TRIPLES_SQL.strip()}\n"
+    """
+    SELECT subject, object, COUNT(*)::BIGINT AS n,
+           ROUND(AVG(confidence), 6) AS avg_conf
+    FROM triples GROUP BY subject, object
+    """,
+)
+def triple_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (edge list) over X13-extracted triples
+    (RecursiveLearningEngine.js:574-584)."""
+    return (
+        FX.triples_df(spark, sf_dir)
+        .groupBy("subject", "object")
+        .agg(F.count("*").alias("n"), F.round(F.avg("confidence"), 6).alias("avg_conf"))
+    )
+
+
+@query(
+    "graph_summary",
+    f"WITH {FX.TRIPLES_SQL.strip()}\n"
+    """
+    SELECT (SELECT COUNT(*) FROM triples)::BIGINT AS n_triples,
+           (SELECT COUNT(*) FROM (
+               SELECT subject AS e FROM triples UNION SELECT object FROM triples
+           ))::BIGINT AS n_entities
+    """,
+)
+def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: knowledge-graph summary (RecursiveLearningEngine.js:574-584)."""
+    return learning.graph_summary(FX.triples_df(spark, sf_dir))

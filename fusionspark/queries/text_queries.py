@@ -1,0 +1,260 @@
+"""Text retrieval + fusion family (SURVEY §2.4 K1-K3, §2.5 F1-F7/W1,
+§2.7 W3, §2.6 A6) over the driver's `documents` table.
+
+Fixed test query: "fast table scan merge join" (all terms appear in the
+synthetic vocabulary, so scores are non-trivial at every scale factor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fusionspark.functions.text import STOPWORDS, search_terms
+from fusionspark.io import load_table
+from fusionspark.operators import fusion
+from fusionspark.operators.context import pack_context
+from fusionspark.operators.keyword import (
+    extract_terms,
+    keyword_overlap_search,
+    keyword_search,
+    tf_score,
+)
+from fusionspark.operators.knn import self_probes
+from fusionspark.functions import vector as V
+from fusionspark.queries import query
+
+QUERY = "fast table scan merge join"
+_TERMS = extract_terms(QUERY)  # == all 5 (none are stopwords, all len>2)
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+# K2 TF-saturation score as a DuckDB expression over `text`.
+_TF_SQL = (
+    "("
+    + " + ".join(
+        f"(len(regexp_extract_all(lower(text), '{t}')) * 2.2"
+        f" / (len(regexp_extract_all(lower(text), '{t}')) + 1.2))"
+        for t in _TERMS
+    )
+    + f") / {len(_TERMS)}"
+)
+
+# K3 overlap score as a DuckDB expression.
+_OVERLAP_SQL = (
+    "("
+    + " + ".join(f"CASE WHEN contains(lower(text), '{t}') THEN 1 ELSE 0 END" for t in _TERMS)
+    + f")::DOUBLE / {len(_TERMS)}"
+)
+
+
+@query(
+    "tokenize_stats",
+    f"""
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '), t -> t <> ''))::INT AS n_tokens,
+           len(list_filter(string_split(lower(text), ' '),
+                           t -> len(t) > 2 AND NOT list_contains({_STOP_SQL}, t)))::INT AS n_terms
+    FROM documents
+    """,
+)
+def tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: tokenize + stopword + min-length filter
+    (HybridRetriever.js:366-368,409-418)."""
+    d = load_table(spark, sf_dir, "documents")
+    from fusionspark.functions.text import tokenize
+
+    return d.select(
+        "doc_id",
+        F.size(tokenize("text")).cast("int").alias("n_tokens"),
+        F.size(search_terms("text")).cast("int").alias("n_terms"),
+    )
+
+
+@query(
+    "keyword_search",
+    f"""
+    SELECT doc_id, ROUND(score, 6) AS score FROM (
+        SELECT doc_id, {_TF_SQL} AS score FROM documents
+    ) WHERE score > 0
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def keyword_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/F5: TF-saturation keyword ranking (HybridRetriever.js:365-399)."""
+    d = load_table(spark, sf_dir, "documents")
+    return keyword_search(d, QUERY, top_k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+@query(
+    "keyword_overlap",
+    f"""
+    SELECT doc_id, ROUND(score, 6) AS score FROM (
+        SELECT doc_id, {_OVERLAP_SQL} AS score FROM documents
+    ) WHERE score > 0.3
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def keyword_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: keyword-overlap relevance, threshold 0.3 like the tree fallback
+    (TreeIndex.js:685-696)."""
+    d = load_table(spark, sf_dir, "documents")
+    return keyword_overlap_search(d, QUERY, top_k=10, threshold=0.3).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+_RRF_SQL = f"""
+    WITH kw AS (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM (SELECT doc_id, {_TF_SQL} AS score FROM documents)
+        WHERE score > 0
+        ORDER BY score DESC, doc_id ASC LIMIT 20
+    ),
+    vec AS (
+        SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) AS score,
+               ROW_NUMBER() OVER (ORDER BY
+                   list_cosine_similarity(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) DESC,
+                   e.vec_id ASC) AS rank
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+        ORDER BY score DESC, doc_id ASC LIMIT 20
+    ),
+    tre AS (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM (SELECT doc_id, {_OVERLAP_SQL} AS score FROM documents)
+        WHERE score > 0.3
+        ORDER BY score DESC, doc_id ASC LIMIT 20
+    ),
+    unioned AS (
+        SELECT doc_id, rank, 0.2 AS w FROM kw
+        UNION ALL
+        SELECT doc_id, rank, 0.4 AS w FROM vec
+        UNION ALL
+        SELECT doc_id, rank, 0.4 AS w FROM tre
+    )
+    SELECT doc_id, ROUND(SUM(w / (60 + rank)), 6) AS fused_score,
+           COUNT(*)::BIGINT AS n_strategies, MIN(rank)::INT AS best_rank
+    FROM unioned GROUP BY doc_id
+    ORDER BY SUM(w / (60 + rank)) DESC, doc_id ASC LIMIT 10
+"""
+
+
+@query("rrf_fusion", _RRF_SQL)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4/W1/E1: full hybrid pipeline — keyword (K2) + vector (V1 cosine,
+    probe = vec_id 0, ids aligned doc_id=vec_id) + tree-fallback (K3)
+    branches, each over-fetched 2×k (F2), weighted RRF w/(60+rank) (F4)
+    (HybridRetriever.js:115-219,308-362)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = self_probes(e, 1)
+
+    kw = keyword_search(d, QUERY, top_k=20)
+    vec = (
+        e.crossJoin(F.broadcast(probe))
+        .withColumn("score", V.cosine_similarity(F.col("embedding"), F.col("probe_embedding")))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .select(F.col("vec_id").alias("doc_id"), "score")
+    )
+    tre = keyword_overlap_search(d, QUERY, top_k=20, threshold=0.3)
+
+    fused = fusion.rrf_fuse(
+        {"keyword": kw, "vector": vec, "tree": tre},
+        top_k=10,
+        weights={"keyword": 0.2, "vector": 0.4, "tree": 0.4},
+    )
+    return fused.select(
+        "doc_id",
+        F.round("fused_score", 6).alias("fused_score"),
+        "n_strategies",
+        F.col("best_rank").cast("int").alias("best_rank"),
+    )
+
+
+@query(
+    "context_pack",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, text, score FROM (
+            SELECT doc_id, text, {_TF_SQL} AS score FROM documents
+        ) WHERE score > 0
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    )
+    SELECT doc_id, tokens, running_tokens FROM (
+        SELECT doc_id, ceil(length(text) / 4.0)::BIGINT AS tokens,
+               SUM(ceil(length(text) / 4.0)::BIGINT) OVER (
+                   ORDER BY score DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_tokens
+        FROM ranked
+    ) WHERE running_tokens <= 300
+    """,
+)
+def context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: greedy token-budget packing over the keyword ranking
+    (RAGPipeline.js:219-233)."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = keyword_search(d, QUERY, top_k=10).join(
+        d.select("doc_id", "text"), "doc_id"
+    )
+    packed = pack_context(ranked, max_tokens=300)
+    return packed.select("doc_id", "tokens", F.col("running_tokens").cast("long").alias("running_tokens"))
+
+
+@query(
+    "quality_estimate",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, text, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM (SELECT doc_id, text, {_TF_SQL} AS score FROM documents)
+        WHERE score > 0
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    ),
+    overlap AS (
+        SELECT SUM({'(' + " + ".join(f"CASE WHEN contains(lower(text), '{t}') THEN 1 ELSE 0 END" for t in _TERMS) + ')'}) AS ov
+        FROM ranked WHERE rank <= 3
+    )
+    SELECT ROUND(least(1.0, greatest(0.0,
+           (SELECT score FROM ranked WHERE rank = 1) * 0.4
+           + least(1.0, (SELECT ov FROM overlap)::DOUBLE / ({len(_TERMS)} * 2)) * 0.4
+           + least((SELECT COUNT(*) FROM ranked) / 5.0, 1.0) * 0.2)), 6) AS quality
+    """,
+)
+def quality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: result-quality heuristic 0.4·topScore + 0.4·overlapScore +
+    0.2·min(n/5,1), clamped (RecursiveLearningEngine.js:779-790)."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = keyword_search(d, QUERY, top_k=10).join(d.select("doc_id", "text"), "doc_id")
+    lowered = F.lower(F.col("text"))
+    ov_expr = sum(
+        (F.when(lowered.contains(t), 1).otherwise(0) for t in _TERMS), F.lit(0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ranked = ranked.withColumn("rank", F.row_number().over(w))
+    agg = ranked.agg(
+        F.max(F.when(F.col("rank") == 1, F.col("score"))).alias("top_score"),
+        F.sum(F.when(F.col("rank") <= 3, ov_expr)).alias("ov"),
+        F.count("*").alias("n"),
+    )
+    quality = F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.col("top_score") * 0.4
+                + F.least(F.lit(1.0), F.col("ov").cast("double") / (len(_TERMS) * 2)) * 0.4
+                + F.least(F.col("n") / 5.0, F.lit(1.0)) * 0.2,
+            ),
+        ),
+        6,
+    )
+    return agg.select(quality.alias("quality"))

@@ -24,6 +24,9 @@ def get_spark(app_name: str = "fusionspark", shuffle_partitions: int | None = No
         # Arrow for pandas UDF / toPandas transfer (the only Python hot paths).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as epoch-nanos long and convert in io.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Timestamps in testdata are ns; keep micros semantics deterministic.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
