@@ -20,11 +20,13 @@ load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: hybrid-style exact cosine top-k per probe over sf0.001
-    embeddings (SURVEY §3.1 lifecycle, reference HNSWIndex.js:245-320)."""
-    from fusionspark.queries.vector_queries import knn_cosine
+    """Flagship: the reference's hallmark hybrid retrieval — keyword (TF
+    saturation) + vector (exact cosine) + tree-fallback branches fused with
+    weighted Reciprocal Rank Fusion (SURVEY §3.2; HybridRetriever.js:115-362)
+    over sf0.001."""
+    from fusionspark.queries.text_queries import rrf_fusion
 
-    return knn_cosine(spark, "/root/testdata/sf0.001")
+    return rrf_fusion(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,314 @@
+"""FusionSparkEngine — the user-facing API surface, mirroring the
+reference's entry points (SURVEY §3):
+
+  reference (/root/reference/src)                 here
+  ─────────────────────────────────────────────   ─────────────────────────
+  FusionEngine.createCollection/insert/search     create_collection / insert / search
+  FusionEngine.get/delete/listCollections         get / delete / list_collections
+  HybridRetriever.retrieve                        retrieve (RRF fusion)
+  AgentMemory.remember/recall/forget              remember / recall / forget
+  RAGPipeline.ingest/buildContext                 ingest / build_context
+
+Storage is a directory of Parquet tables (one per collection) plus a JSON
+catalog — the table format IS the serialization (SURVEY S7); swap the
+writer for Delta for ACID delete/merge at scale.  Every operation compiles
+to the DataFrame plans in fusionspark.operators.*.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fusionspark.functions import vector as V
+from fusionspark.operators import fusion as fusion_ops
+from fusionspark.operators.chunking import chunk_documents
+from fusionspark.operators.context import pack_context
+from fusionspark.operators.embedder import embed_texts, mock_embed
+from fusionspark.operators.keyword import keyword_search
+from fusionspark.operators.knn import knn
+
+
+@dataclass
+class CollectionConfig:
+    dimensions: int = 64
+    metric: str = "cosine"
+    # HNSW params (M / efConstruction / efSearch) intentionally absent:
+    # exact top-k has no index hyperparameters (BASELINE.md notes).
+    metadata: dict = field(default_factory=dict)
+
+
+class FusionSparkEngine:
+    def __init__(self, spark: SparkSession, root: str, embedder=mock_embed):
+        self.spark = spark
+        self.root = root
+        self.embedder = embedder
+        os.makedirs(root, exist_ok=True)
+        self._catalog_path = os.path.join(root, "_catalog.json")
+        self._catalog: dict[str, dict] = {}
+        if os.path.exists(self._catalog_path):
+            with open(self._catalog_path) as f:
+                self._catalog = json.load(f)
+
+    # ── collections (S1-S6) ───────────────────────────────────────────────
+
+    def _save_catalog(self) -> None:
+        with open(self._catalog_path, "w") as f:
+            json.dump(self._catalog, f, indent=2)
+
+    def _path(self, collection: str) -> str:
+        return os.path.join(self.root, f"collection={collection}")
+
+    def create_collection(self, name: str, config: CollectionConfig | None = None) -> dict:
+        """S1 (FusionEngine.js:91-112)."""
+        if name in self._catalog:
+            raise ValueError(f"collection {name!r} exists")
+        cfg = config or CollectionConfig()
+        self._catalog[name] = {
+            "dimensions": cfg.dimensions,
+            "metric": cfg.metric,
+            "created_at": int(time.time() * 1000),
+            "metadata": cfg.metadata,
+        }
+        self._save_catalog()
+        return {"name": name, "config": self._catalog[name]}
+
+    def list_collections(self) -> list[dict]:
+        """S6 (FusionEngine.js:118-144)."""
+        out = []
+        for name, cfg in self._catalog.items():
+            try:
+                n = self._load(name).count()
+            except Exception:  # noqa: BLE001 — not yet written
+                n = 0
+            out.append({"name": name, "size": n, **cfg})
+        return out
+
+    def drop_collection(self, name: str) -> bool:
+        self._catalog.pop(name, None)
+        self._save_catalog()
+        shutil.rmtree(self._path(name), ignore_errors=True)
+        return True
+
+    def _load(self, collection: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(collection))
+
+    # ── mutation (S2, S4) ─────────────────────────────────────────────────
+
+    def insert(
+        self,
+        collection: str,
+        entries: list[dict],
+        tenant_id: str | None = None,
+        ttl_ms: int = 0,
+    ) -> int:
+        """S2 (FusionEngine.js:175-193): append entries, tag tenant/ttl/ts;
+        dimension-checked like HNSWIndex.js:129-133."""
+        cfg = self._catalog[collection]
+        dim = cfg["dimensions"]
+        now = int(time.time() * 1000)
+        rows = []
+        for e in entries:
+            vec = e.get("vector")
+            if vec is None and "content" in e:
+                vec = self.embedder(e["content"], dim)
+            if vec is None or len(vec) != dim:
+                raise ValueError(
+                    f"vector dimension {0 if vec is None else len(vec)} != {dim}"
+                )
+            rows.append(
+                (
+                    str(e["id"]),
+                    [float(x) for x in vec],
+                    e.get("content"),
+                    {str(k): str(v) for k, v in (e.get("metadata") or {}).items()},
+                    tenant_id,
+                    now,
+                    ttl_ms,
+                )
+            )
+        df = self.spark.createDataFrame(
+            rows,
+            "id: string, vector: array<float>, content: string, "
+            "metadata: map<string,string>, tenant_id: string, ts: long, ttl_ms: long",
+        )
+        df.write.mode("append").parquet(self._path(collection))
+        return len(rows)
+
+    def delete(self, collection: str, ids: list[str]) -> None:
+        """S4: anti-join rewrite (Delta DELETE at scale;
+        FusionEngine.js:236-241)."""
+        df = self._load(collection)
+        keep = df.filter(~F.col("id").isin([str(i) for i in ids]))
+        tmp = self._path(collection) + ".tmp"
+        keep.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self._path(collection))
+        os.rename(tmp, self._path(collection))
+
+    # ── search (V1-V7, §3.1) ──────────────────────────────────────────────
+
+    def get(self, collection: str, id: str) -> dict | None:
+        """S3."""
+        rows = self._load(collection).filter(F.col("id") == str(id)).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
+    def search(
+        self,
+        collection: str,
+        query_vector: list[float] | None = None,
+        query_text: str | None = None,
+        top_k: int = 10,
+        tenant_id: str | None = None,
+        metadata_filter: dict | None = None,
+    ) -> list[dict]:
+        """§3.1: exact top-k with PRE-filtering (better recall than the
+        reference's post-filter, SURVEY V7)."""
+        cfg = self._catalog[collection]
+        if query_vector is None:
+            query_vector = self.embedder(query_text or "", cfg["dimensions"])
+        df = self._load(collection)
+        if tenant_id is not None:
+            df = df.filter(F.col("tenant_id") == tenant_id)
+        if metadata_filter:
+            for k, v in metadata_filter.items():
+                if isinstance(v, (list, tuple)):
+                    df = df.filter(F.col("metadata").getItem(k).isin([str(x) for x in v]))
+                else:
+                    df = df.filter(F.col("metadata").getItem(k) == str(v))
+        # TTL lazy expiry (P4)
+        now = int(time.time() * 1000)
+        df = df.filter((F.col("ttl_ms") == 0) | (F.lit(now) - F.col("ts") < F.col("ttl_ms")))
+        probes = self.spark.createDataFrame(
+            [("q0", [float(x) for x in query_vector])],
+            "probe_id: string, probe_embedding: array<float>",
+        )
+        out = knn(
+            df, probes, k=top_k, metric=cfg["metric"],
+            vector_col="vector", id_col="id",
+        )
+        return [
+            {"id": r["id"], "score": r["score"], "distance": r["distance"], "rank": r["rank"]}
+            for r in out.collect()
+        ]
+
+    # ── hybrid retrieve (§3.2) ────────────────────────────────────────────
+
+    def retrieve(
+        self,
+        collection: str,
+        query: str,
+        top_k: int = 10,
+        weights: dict[str, float] | None = None,
+    ) -> list[dict]:
+        """HybridRetriever.retrieve: vector + keyword branches (over-fetched
+        2×k) fused with weighted RRF (HybridRetriever.js:115-219,336-362)."""
+        cfg = self._catalog[collection]
+        df = self._load(collection)
+        qvec = self.embedder(query, cfg["dimensions"])
+        probes = self.spark.createDataFrame(
+            [("q0", [float(x) for x in qvec])],
+            "probe_id: string, probe_embedding: array<float>",
+        )
+        vec = (
+            knn(df, probes, k=top_k * fusion_ops.OVERFETCH, metric=cfg["metric"],
+                vector_col="vector", id_col="id")
+            .select(F.col("id").alias("doc_id"), "score")
+        )
+        kw = keyword_search(
+            df.withColumn("text", F.coalesce("content", F.lit(""))),
+            query, top_k=top_k * fusion_ops.OVERFETCH, id_col="id",
+        ).withColumnRenamed("id", "doc_id")
+        fused = fusion_ops.rrf_fuse(
+            {"vector": vec, "keyword": kw},
+            top_k=top_k,
+            weights=weights or {"vector": 0.5, "keyword": 0.5},
+        )
+        return [r.asDict() for r in fused.collect()]
+
+    # ── agent memory (M1-M3) ──────────────────────────────────────────────
+
+    def remember(
+        self, agent_id: str, content: str, mem_type: str = "episodic",
+        importance: float = 0.5,
+    ) -> int:
+        """M1 (AgentMemory.js:144-167): typed insert, tenant = agent."""
+        coll = f"_memory_{mem_type}"
+        if coll not in self._catalog:
+            self.create_collection(coll, CollectionConfig())
+        return self.insert(
+            coll,
+            [{
+                "id": f"mem_{mem_type}_{int(time.time() * 1e6)}",
+                "content": content,
+                "metadata": {"importance": importance},
+            }],
+            tenant_id=agent_id,
+        )
+
+    def recall(self, agent_id: str, query: str, mem_type: str = "episodic", top_k: int = 5):
+        """M2 (AgentMemory.js:379-444): per-type k-NN with tenant filter."""
+        return self.search(
+            f"_memory_{mem_type}", query_text=query, top_k=top_k, tenant_id=agent_id
+        )
+
+    def forget(self, agent_id: str, mem_type: str = "episodic") -> None:
+        """M3 GDPR delete (AgentMemory.js:530-565)."""
+        coll = f"_memory_{mem_type}"
+        df = self._load(coll)
+        ids = [r["id"] for r in df.filter(F.col("tenant_id") == agent_id).select("id").collect()]
+        if ids:
+            self.delete(coll, ids)
+
+    # ── RAG (§3.3) ────────────────────────────────────────────────────────
+
+    def ingest(
+        self, collection: str, doc_id: str, text: str, strategy: str = "recursive"
+    ) -> int:
+        """RAGPipeline.ingest: chunk → embed → insert; the reference's
+        sequential embed loop becomes a distributed batch
+        (RAGPipeline.js:91-137)."""
+        if collection not in self._catalog:
+            self.create_collection(collection, CollectionConfig())
+        docs = self.spark.createDataFrame([(doc_id, text)], "doc_id: string, text: string")
+        chunks = chunk_documents(docs, strategy).collect()
+        entries = [
+            {
+                "id": f"{doc_id}_chunk_{c['chunk_index']}",
+                "content": c["chunk_text"],
+                "metadata": {
+                    "_chunk_index": c["chunk_index"],
+                    "_total_chunks": c["total_chunks"],
+                    "_source": doc_id,
+                },
+            }
+            for c in chunks
+        ]
+        return self.insert(collection, entries)
+
+    def build_context(
+        self, collection: str, query: str, max_tokens: int = 2000, top_k: int = 10
+    ) -> dict:
+        """RAGPipeline.buildContext: top-k → greedy token-budget pack (W3) →
+        prompt assembly (RAGPipeline.js:174-241)."""
+        hits = self.search(collection, query_text=query, top_k=top_k)
+        if not hits:
+            return {"prompt": query, "sources": [], "chunks": []}
+        ids = [h["id"] for h in hits]
+        df = self._load(collection).filter(F.col("id").isin(ids)).select("id", "content")
+        scores = {h["id"]: h["score"] for h in hits}
+        rows = [(r["id"], scores[r["id"]], r["content"] or "") for r in df.collect()]
+        ranked = self.spark.createDataFrame(rows, "doc_id: string, score: double, text: string")
+        packed = pack_context(ranked, max_tokens=max_tokens).collect()
+        chunks = [r["text"] for r in packed]
+        context = "\n\n".join(chunks)
+        return {
+            "prompt": f"Context:\n{context}\n\nQuestion: {query}",
+            "sources": [r["doc_id"] for r in packed],
+            "chunks": chunks,
+        }

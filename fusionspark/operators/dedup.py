@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (its nearest analogue is the Jaccard memory merge,
+/root/reference/src/learning/RecursiveLearningEngine.js:190-243); mandated
+by the north-star (BASELINE.json): exact, MinHash+LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup — each designed so the pair space
+never materializes globally:
+
+- exact:      hash-groupBy on content — one shuffle on a 128-bit key.
+- MinHash:    shingle → k minhashes → band keys → candidate pairs only
+              within a bucket (the classic LSH bound), verify with true
+              Jaccard.  Signatures are built with higher-order functions
+              (no UDF); hashes are md5-derived so any engine reproduces
+              them.
+- SimHash:    32-bit sign-aggregated token hashes; near-dups = hamming ≤ r
+              on a bit_count(xor) self-join (blocked at scale by simhash
+              prefix bands).
+- n-gram:     word-3-gram Jaccard within cheap blocks (lang, source).
+- embedding:  cosine ≥ θ within blocks (label / IVF centroid at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fusionspark.functions import vector as V
+from fusionspark.functions.text import jaccard, tokenize
+
+# ── portable hashing (identical in Spark / DuckDB / Python) ───────────────
+
+
+def md5_hash32(s: Column) -> Column:
+    """First 8 hex chars of md5 as a bigint in [0, 2^32) — engine-portable
+    (DuckDB: ('0x' || substr(md5(s),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings."""
+    toks = tokenize(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """k independent minhashes: h_i = min over shingles of
+    md5_hash32(i || ':' || shingle).  Pure expression, codegen'd."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, i=i: md5_hash32(F.concat(F.lit(f"{i}:"), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+# ── exact dedup ───────────────────────────────────────────────────────────
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content, keeper =
+    min id.  At 100 TB, group on md5(text) (fixed 16 bytes shuffled, not the
+    document bodies)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+# ── MinHash + LSH ─────────────────────────────────────────────────────────
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, band_key) — documents sharing a band_key are LSH candidate
+    pairs.  rows-per-band = num_hashes/bands; P(candidate) = 1-(1-j^r)^b."""
+    rows = num_hashes // bands
+    sig = minhash_signature(word_shingles(F.col(text_col)), num_hashes)
+    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    band_entries = []
+    for b in range(bands):
+        key = F.concat_ws(",", *[
+            F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)
+        ])
+        band_entries.append(
+            with_sig.select(
+                F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    out = band_entries[0]
+    for e in band_entries[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from shared LSH buckets.
+    The self-join is per-bucket — the shuffle key is band_key, so skew only
+    arises from genuinely repeated content."""
+    be = minhash_bands(df, id_col, text_col, num_hashes, bands)
+    a, b = be.alias("a"), be.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_neardup(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidates verified with true word-set Jaccard ≥ threshold."""
+    cands = minhash_candidates(df, id_col, text_col, num_hashes, bands)
+    words = df.select(
+        F.col(id_col), F.array_distinct(tokenize(F.col(text_col))).alias("words")
+    )
+    return (
+        cands.join(words.withColumnRenamed(id_col, "id_a").withColumnRenamed("words", "wa"), "id_a")
+        .join(words.withColumnRenamed(id_col, "id_b").withColumnRenamed("words", "wb"), "id_b")
+        .withColumn("sim", jaccard(F.col("wa"), F.col("wb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+# ── SimHash ───────────────────────────────────────────────────────────────
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash: per token a portable 32-bit hash votes ±1 on each bit
+    position; the sign of each position's sum forms the fingerprint.
+
+    Expressed distributively: explode tokens → one row per (doc, bit) vote →
+    groupBy doc — all map-side combinable, no per-doc Python.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    hashed = toks.withColumn("h", md5_hash32(F.col("tok")))
+    bits = hashed.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                # shiftright() needs a literal count; (h div 2^b) % 2 is exact
+                # here (h < 2^32 ≤ double precision) and works per-element.
+                lambda b: F.struct(
+                    b.alias("bit"),
+                    F.when(
+                        F.floor(F.col("h") / F.pow(F.lit(2.0), b.cast("double"))).cast("bigint") % 2 == 1,
+                        1,
+                    )
+                    .otherwise(-1)
+                    .alias("vote"),
+                ),
+            )
+        ).alias("bv"),
+    ).select(id_col, F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
+    return (
+        bits.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                (F.col("bitval").cast("double") * F.pow(F.lit(2.0), F.col("bit").cast("double"))).cast("bigint")
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_neardup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ r.  Blocked at scale by
+    16-bit prefix bands (two-band pigeonhole covers r ≤ 16); exact xor
+    verify after."""
+    sh = simhash32(df, id_col, text_col)
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
+# ── n-gram Jaccard (blocked) ──────────────────────────────────────────────
+
+
+def ngram_jaccard_neardup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Word-n-gram-shingle Jaccard within blocks.  Blocking keys bound the
+    pair space; at scale replace with MinHash bucketing (same verify)."""
+    sh = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("sim", jaccard(F.col("a.sh"), F.col("b.sh")))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "sim",
+        )
+    )
+
+
+# ── embedding cosine near-dup ─────────────────────────────────────────────
+
+
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Near-identical vectors: cosine ≥ θ within blocks (here `label`; at
+    scale an IVF centroid id from operators/ann.py so each block fits an
+    executor)."""
+    a, b = df.alias("a"), df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "sim", V.cosine_similarity(F.col(f"a.{vector_col}"), F.col(f"b.{vector_col}"))
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "sim",
+        )
+    )

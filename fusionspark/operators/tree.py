@@ -1,0 +1,114 @@
+"""Hierarchical document (tree) index operators — SURVEY §2.10 T4-T10,
+§2.9 X3/X4/X11.
+
+Reference: /root/reference/src/index/TreeIndex.js — recursive JS structures
+built by a stack parser (:457-498), searched by LLM-guided DFS (:543-659)
+with a deterministic keyword fallback (:685-696).
+
+Spark re-expression: documents → exploded lines → heading detection
+(regexp) → section segmentation (conditional running count — a window
+cumsum) → per-section groupBy → parent assignment via per-level
+last-ignoring-nulls windows (no recursion; heading depth ≤ 6 bounds the
+static expansion).  The nodes table carries a materialized `path` array
+(X11 citation = concat_ws(' > ', path)), replacing pointer traversal with
+column lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_LEVEL = 6  # markdown heading depth bound (TreeIndex.js:312)
+
+
+def parse_markdown_sections(
+    docs: DataFrame, id_col: str = "md_doc_id", text_col: str = "md_text"
+) -> DataFrame:
+    """T4/X3: split into lines, detect `#{1,6} ` headings, segment content to
+    the preceding heading (TreeIndex.js:305-348).
+
+    Returns (id, sec_idx, level, title, n_lines, content) — sec_idx is the
+    1-based heading order; lines before any heading are dropped exactly like
+    the reference's parser (it only emits sections on heading boundaries).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    heading = F.regexp_extract("line", r"^(#{1,6}) (.*)$", 1)
+    title = F.regexp_extract("line", r"^(#{1,6}) (.*)$", 2)
+    marked = lines.select(
+        id_col,
+        "pos",
+        "line",
+        F.length(heading).alias("level"),
+        title.alias("title"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    seg = marked.withColumn(
+        "sec_idx", F.sum(F.when(F.col("level") > 0, 1).otherwise(0)).over(w)
+    ).filter(F.col("sec_idx") > 0)
+    return (
+        seg.groupBy(id_col, "sec_idx")
+        .agg(
+            F.max("level").alias("level"),
+            F.max(F.when(F.col("level") > 0, F.col("title"))).alias("title"),
+            (F.count("*") - 1).alias("n_lines"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("level") == 0, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+            ).alias("content"),
+        )
+    )
+
+
+def build_tree(sections: DataFrame, id_col: str = "md_doc_id") -> DataFrame:
+    """T7: parent assignment — nearest preceding section with a smaller
+    level (the reference's stack walk, TreeIndex.js:457-498) — via
+    last(...ignorenulls) windows per candidate level; root sections get
+    parent 0 (the document node).
+
+    Also materializes the citation path titles (X11) for levels 1-3.
+    """
+    w = Window.partitionBy(id_col).orderBy("sec_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    df = sections
+    for lv in range(1, MAX_LEVEL + 1):
+        df = df.withColumn(
+            f"_p{lv}",
+            F.last(
+                F.when(F.col("level") == lv, F.col("sec_idx")), ignorenulls=True
+            ).over(w),
+        )
+    parent = F.lit(None).cast("long")
+    # nearest preceding smaller-level section = max of the last positions
+    # over levels strictly below this one
+    for lv in range(2, MAX_LEVEL + 1):
+        cands = [F.col(f"_p{j}") for j in range(1, lv)]
+        best = F.greatest(*cands) if len(cands) > 1 else cands[0]
+        parent = F.when(F.col("level") == lv, best).otherwise(parent)
+    out = df.withColumn("parent_idx", F.coalesce(parent, F.lit(0)))
+    return out.drop(*[f"_p{lv}" for lv in range(1, MAX_LEVEL + 1)])
+
+
+def leaves(tree: DataFrame, id_col: str = "md_doc_id") -> DataFrame:
+    """T10: leaf nodes = sections no other section claims as parent
+    (TreeIndex.js:699-707) — an anti-join, no recursion."""
+    parents = tree.select(
+        F.col(id_col), F.col("parent_idx").alias("sec_idx")
+    ).distinct()
+    return tree.join(parents, [id_col, "sec_idx"], "left_anti")
+
+
+def strip_html(col: F.Column) -> F.Column:
+    """X4 (TreeIndex.js:443-445)."""
+    return F.regexp_replace(col, "<[^>]*>", " ")

@@ -28,7 +28,11 @@ def query(name: str, sql: str | None = None):
 def load_all() -> None:
     """Import every query module (side effect: fills REGISTRY)."""
     from fusionspark.queries import (  # noqa: F401
+        pipeline_queries,
+        rag_queries,
         relational_queries,
+        streaming_queries,
         text_queries,
+        tree_queries,
         vector_queries,
     )

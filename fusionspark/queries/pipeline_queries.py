@@ -1,0 +1,325 @@
+"""Training-data-pipeline operator family (north-star additions,
+BASELINE.json): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), ANN (IVF), language ID, quality scoring, token counting,
+document fingerprinting.
+
+Hashes are md5-derived (identical in Spark, DuckDB, Python), so even the
+LSH signatures are oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fusionspark.functions.text import STOPWORDS
+from fusionspark.io import load_table
+from fusionspark.operators import dedup, textstats
+from fusionspark.operators.ann import ivf_knn
+from fusionspark.operators.knn import self_probes
+from fusionspark.queries import query
+
+# ── shared DuckDB fragments ───────────────────────────────────────────────
+
+_WORDS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(words) - 2, 1)),"
+    " i -> array_to_string(words[i:i+2], ' '))"
+)
+_H32 = "('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+NUM_HASHES, BANDS = 16, 4
+_ROWS = NUM_HASHES // BANDS
+
+def _sig_col(i: int) -> str:
+    h = _H32.format(expr=f"'{i}:' || s")
+    return f"list_min(list_transform(sh, s -> {h})) AS h{i}"
+
+
+_SIG_COLS = ",\n        ".join(_sig_col(i) for i in range(NUM_HASHES))
+_BAND_KEYS = ",\n        ".join(
+    "concat_ws(',', "
+    + ", ".join(f"h{b * _ROWS + r}::VARCHAR" for r in range(_ROWS))
+    + f") AS bk{b}"
+    for b in range(BANDS)
+)
+_BAND_UNION = "\n        UNION ALL\n        ".join(
+    f"SELECT doc_id, {b} AS band, bk{b} AS band_key FROM keyed" for b in range(BANDS)
+)
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+           COUNT(*)::BIGINT AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (shuffle key = 16-byte digest)."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash",
+    f"""
+    WITH words_t AS (
+        SELECT doc_id, {_WORDS} AS words FROM documents
+    ),
+    sh_t AS (
+        SELECT doc_id, words, {_SHINGLES} AS sh FROM words_t
+    ),
+    sigs AS (
+        SELECT doc_id,
+        {_SIG_COLS},
+        words
+        FROM sh_t
+    ),
+    keyed AS (
+        SELECT doc_id,
+        {_BAND_KEYS}
+        FROM sigs
+    ),
+    banded AS (
+        {_BAND_UNION}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    ws AS (SELECT doc_id, list_distinct(words) AS w FROM words_t)
+    SELECT id_a, id_b,
+           ROUND(CASE WHEN len(list_distinct(list_concat(wa.w, wb.w))) > 0
+                 THEN len(list_intersect(wa.w, wb.w))::DOUBLE
+                      / len(list_distinct(list_concat(wa.w, wb.w)))
+                 ELSE 0.0 END, 6) AS sim
+    FROM cands
+    JOIN ws wa ON wa.doc_id = id_a
+    JOIN ws wb ON wb.doc_id = id_b
+    WHERE CASE WHEN len(list_distinct(list_concat(wa.w, wb.w))) > 0
+          THEN len(list_intersect(wa.w, wb.w))::DOUBLE
+               / len(list_distinct(list_concat(wa.w, wb.w)))
+          ELSE 0.0 END >= 0.7
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) near-dup: bucket-join candidates, true-Jaccard
+    verify ≥ 0.7.  Pair space never materializes beyond shared buckets."""
+    df = dedup.minhash_neardup(
+        load_table(spark, sf_dir, "documents"), threshold=0.7,
+        num_hashes=NUM_HASHES, bands=BANDS,
+    )
+    return df.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+@query(
+    "simhash_values",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {_H32.format(expr='tok')} AS h FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, b.b AS bit,
+               CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+    ),
+    agg AS (SELECT doc_id, bit, SUM(vote) AS s FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+    FROM agg GROUP BY doc_id
+    """,
+)
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (distributive explode/groupBy form)."""
+    return dedup.simhash32(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "neardup_ngram",
+    f"""
+    WITH sh_t AS (
+        SELECT doc_id, lang, source, list_distinct({_SHINGLES}) AS sh
+        FROM (SELECT doc_id, lang, source, {_WORDS} AS words FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS sim
+    FROM sh_t a JOIN sh_t b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+    """,
+)
+def neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup within (lang, source) blocks."""
+    df = dedup.ngram_jaccard_neardup(
+        load_table(spark, sf_dir, "documents"), threshold=0.0
+    )
+    return df.filter(F.col("sim") > 0).select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
+    )
+
+
+@query(
+    "neardup_embedding",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    """,
+)
+def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup within label blocks (IVF centroid blocks at
+    scale)."""
+    df = dedup.embedding_neardup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+    return df.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang in textstats.LANG_ORDER:
+        markers = "[" + ", ".join(f"'{m}'" for m in textstats.LANG_MARKERS[lang]) + "]"
+        parts.append(
+            f"len(list_filter(words, t -> list_contains({markers}, t))) AS s_{lang}"
+        )
+    return ",\n           ".join(parts)
+
+
+def _lang_case_sql() -> str:
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in textstats.LANG_ORDER) + ")"
+    whens = " ".join(
+        f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in textstats.LANG_ORDER
+    )
+    return f"CASE WHEN {m} = 0 THEN 'unknown' {whens} END"
+
+
+@query(
+    "lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           {_lang_scores_sql()}
+        FROM (SELECT doc_id, lang, {_WORDS} AS words FROM documents)
+    )
+    SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred FROM scored
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic (argmax, fixed tie order)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", textstats.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           ROUND(least(1.0, n_tokens / 50.0) * 0.5
+                 + least(1.0, CASE WHEN n_tokens > 0
+                              THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 2) * 0.3
+                 + CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                             / length(text) ELSE 0 END * 0.2, 6) AS quality
+    FROM (
+        SELECT doc_id, text, len(words) AS n_tokens,
+               len(list_filter(words, t -> list_contains({_STOP_SQL}, t))) AS n_stop
+        FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents)
+    )
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic: length + stopword ratio + alpha ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(textstats.quality_score("text"), 6).alias("quality")
+    )
+
+
+@query(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::INT AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::INT AS bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    d = load_table(spark, sf_dir, "documents")
+    ws, bpe = textstats.token_counts("text")
+    return d.select(
+        "doc_id", ws.cast("int").alias("ws_tokens"), bpe.cast("int").alias("bpe_tokens")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                                   i -> md5(substr(text, i, 8)))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprint: min md5 over char 8-grams."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.fingerprint("text").alias("fp"))
+
+
+@query(
+    "ann_ivf",
+    """
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, embedding AS probe_embedding
+        FROM embeddings ORDER BY vec_id ASC LIMIT 5
+    ),
+    probe_lists AS (
+        SELECT probe_id, probe_embedding, centroid_id FROM (
+            SELECT p.probe_id, p.probe_embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                       list_cosine_similarity(p.probe_embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       c.centroid_id ASC) AS rn
+            FROM probes p CROSS JOIN cent c
+        ) WHERE rn <= 2
+    )
+    SELECT probe_id, vec_id, ROUND(sim, 6) AS sim, rnk FROM (
+        SELECT pl.probe_id, a.vec_id,
+               list_cosine_similarity(a.embedding::DOUBLE[], pl.probe_embedding::DOUBLE[]) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY pl.probe_id ORDER BY
+                   list_cosine_similarity(a.embedding::DOUBLE[], pl.probe_embedding::DOUBLE[]) DESC,
+                   a.vec_id ASC) AS rnk
+        FROM assigned a JOIN probe_lists pl ON a.centroid_id = pl.centroid_id
+    ) WHERE rnk <= 10
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate k-NN: deterministic centroids, nProbe=2 list pruning,
+    exact re-rank inside selected lists (operators/ann.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = self_probes(e, 5)
+    df = ivf_knn(e, probes, k=10, n_centroids=8, n_probe=2)
+    return df.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"), "rnk")

@@ -1,0 +1,95 @@
+"""RAG family (SURVEY §2.10 T1-T3, §2.3 V8/V9) — chunkers and the mock
+embedder are bit-exact Python ports running as Arrow-batched UDFs, so they
+get rows-only driver checks (pytest asserts the boundary/overlap/norm
+invariants and node-parity against the reference implementation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fusionspark.functions import vector as V
+from fusionspark.io import load_table
+from fusionspark.operators import dedup
+from fusionspark.operators.chunking import chunk_documents
+from fusionspark.operators.embedder import embed_texts
+from fusionspark.queries import query
+
+
+@query("chunks_recursive")
+def chunks_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: recursive separator-cascade chunking (RAGPipeline.js:260-303);
+    chunk_size=128 forces the word-separator path on the ~300-char docs."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "recursive", chunk_size=128, chunk_overlap=20)
+    return ch.select(
+        "doc_id", "chunk_index", "total_chunks", F.length("chunk_text").alias("chunk_len")
+    )
+
+
+@query("chunks_sentence")
+def chunks_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: sentence-packing chunker (RAGPipeline.js:306-321) over a
+    sentence-ized corpus (periods inserted every 8 words in the flat text)."""
+    d = load_table(spark, sf_dir, "documents")
+    sent = d.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"((?:\S+\s+){7}\S+)\s+", "$1. ")
+    )
+    ch = chunk_documents(sent, "sentence", chunk_size=128, chunk_overlap=20)
+    return ch.select(
+        "doc_id", "chunk_index", "total_chunks", F.length("chunk_text").alias("chunk_len")
+    )
+
+
+@query("mock_embeddings")
+def mock_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9: deterministic mock embedder (providers.js:87-105) — unit-norm
+    64-d vectors from the int32-wrapping hash; joined back per doc (V8
+    distinct-text batching)."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = embed_texts(d, "text")
+    return (
+        d.join(F.broadcast(emb), "text")
+        .select(
+            "doc_id",
+            F.size("embedding").alias("dim"),
+            F.round(V.l2_norm("embedding"), 6).alias("norm"),
+            F.round(F.element_at(F.col("embedding").cast("array<double>"), 1), 6).alias("e0"),
+        )
+    )
+
+
+@query(
+    "simhash_neardup",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, b.b AS bit,
+               CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+    ),
+    agg AS (SELECT doc_id, bit, SUM(vote) AS s FROM bits GROUP BY doc_id, bit),
+    sh AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+        FROM agg GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    """,
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming ≤ 4 on the 32-bit fingerprints
+    (prefix-banded at scale; exact xor verify here)."""
+    df = dedup.simhash_neardup(
+        load_table(spark, sf_dir, "documents"), max_hamming=4
+    )
+    return df.select("id_a", "id_b", "hamming")

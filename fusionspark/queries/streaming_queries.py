@@ -1,0 +1,100 @@
+"""Streaming operator family (SURVEY §2.12), checked via their batch
+analogues (the DataFrame plans are identical stream-static transforms;
+tests/test_streaming.py runs the same operators through readStream +
+availableNow and asserts parity with these batch results)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fusionspark.io import load_table
+from fusionspark.queries import query
+from fusionspark.streaming import windows as W
+
+
+@query(
+    "stream_tumbling",
+    """
+    SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_start_s,
+           event_type, COUNT(*)::BIGINT AS n, ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1: tumbling 1h event-time window per event_type."""
+    df = W.tumbling_counts(load_table(spark, sf_dir, "events"))
+    return df.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+@query(
+    "stream_session",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, floor(epoch(MIN(ts)))::BIGINT AS session_start_s,
+           COUNT(*)::BIGINT AS n, ROUND(SUM(value), 6) AS sum_value
+    FROM islands GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: 30-minute-gap session windows per user (gaps-and-islands is the
+    batch-SQL equivalent of session_window)."""
+    df = W.session_counts(load_table(spark, sf_dir, "events"))
+    return df.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start_s"),
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id FROM (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5: stateful dedup on (user_id, event_type) — first arrival wins."""
+    df = W.dedup_events(load_table(spark, sf_dir, "events"))
+    return df.select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT event_type, ROUND(AVG(json_extract(props, '$.k')::INT), 6) AS avg_k,
+           COUNT(*)::BIGINT AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: JSON metadata access (get_json_object) + aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 6).alias("avg_k"),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,303 @@
+"""Tree-index family (SURVEY §2.10 T4/T7/T10, §2.9 X3/X4/X11/X13) over a
+deterministically constructed markdown corpus (the driver's documents are
+flat word-salad, so structure is synthesized identically on both engines:
+groups of 10 docs become one markdown doc with #/##/### headings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fusionspark.io import load_table
+from fusionspark.operators import tree
+from fusionspark.queries import query
+
+# ── markdown corpus construction (both dialects) ──────────────────────────
+
+MD_CORPUS_SQL = """
+md_corpus AS (
+    SELECT doc_id // 10 AS md_doc_id,
+           string_agg(
+               repeat('#', CASE WHEN doc_id % 10 = 0 THEN 1
+                                ELSE 1 + (doc_id % 10) % 3 END)
+               || ' Section ' || doc_id::VARCHAR || chr(10) || text,
+               chr(10) ORDER BY doc_id) AS md_text
+    FROM documents GROUP BY doc_id // 10
+)
+"""
+
+
+def md_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    j = F.col("doc_id") % 10
+    level = F.when(j == 0, F.lit(1)).otherwise((F.lit(1) + (j % 3)).cast("int"))
+    d2 = d.withColumn("lvl", level).withColumn(
+        "sec_text",
+        F.concat(
+            F.expr("repeat('#', lvl)"),
+            F.lit(" Section "),
+            F.col("doc_id").cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+        ),
+    )
+    return (
+        d2.groupBy(F.expr("doc_id div 10").alias("md_doc_id"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "sec_text"))),
+                    lambda s: s.getField("sec_text"),
+                ),
+            ).alias("md_text")
+        )
+    )
+
+
+# DuckDB rebuild of parse_markdown_sections (tree.py): lines → headings →
+# running section count → per-section aggregate.
+MD_SECTIONS_SQL = f"""
+WITH {MD_CORPUS_SQL.strip()},
+split_t AS (
+    SELECT md_doc_id, string_split(md_text, chr(10)) AS ls FROM md_corpus
+),
+idx_t AS (
+    SELECT md_doc_id, ls, unnest(generate_series(1, len(ls))) AS pos FROM split_t
+),
+lines AS (
+    SELECT md_doc_id, pos, ls[pos] AS line FROM idx_t
+),
+marked AS (
+    SELECT md_doc_id, pos, line,
+           length(regexp_extract(line, '^(#{{1,6}}) (.*)$', 1)) AS level,
+           regexp_extract(line, '^(#{{1,6}}) (.*)$', 2) AS title
+    FROM lines
+),
+seg AS (
+    SELECT *, SUM(CASE WHEN level > 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY md_doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS sec_idx
+    FROM marked
+),
+sections AS (
+    SELECT md_doc_id, sec_idx,
+           MAX(level) AS level,
+           MAX(CASE WHEN level > 0 THEN title END) AS title,
+           (COUNT(*) - 1)::BIGINT AS n_lines
+    FROM seg WHERE sec_idx > 0
+    GROUP BY md_doc_id, sec_idx
+)
+"""
+
+_PLVL = ",\n           ".join(
+    f"last_value(CASE WHEN level = {lv} THEN sec_idx END IGNORE NULLS)"
+    f" OVER (PARTITION BY md_doc_id ORDER BY sec_idx"
+    f" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p{lv}"
+    for lv in range(1, 7)
+)
+
+_PARENT_CASE = "CASE " + " ".join(
+    f"WHEN level = {lv} THEN greatest("
+    + ", ".join(f"p{j}" for j in range(1, lv))
+    + ")"
+    for lv in range(2, 7)
+) + " END"
+
+TREE_SQL = f"""
+{MD_SECTIONS_SQL},
+withp AS (
+    SELECT md_doc_id, sec_idx, level, title, n_lines,
+           {_PLVL}
+    FROM sections
+),
+tree_t AS (
+    SELECT md_doc_id, sec_idx, level, title, n_lines,
+           COALESCE({_PARENT_CASE}, 0)::BIGINT AS parent_idx
+    FROM withp
+)
+"""
+
+
+@query(
+    "md_sections",
+    f"{MD_SECTIONS_SQL}\n"
+    "SELECT md_doc_id, sec_idx, level, title, n_lines FROM sections",
+)
+def md_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/X3: markdown heading parse → flat sections
+    (TreeIndex.js:305-348)."""
+    df = tree.parse_markdown_sections(md_corpus_df(spark, sf_dir))
+    return df.select("md_doc_id", "sec_idx", "level", "title", F.col("n_lines").cast("long").alias("n_lines"))
+
+
+@query(
+    "tree_parents",
+    f"{TREE_SQL}\n"
+    "SELECT md_doc_id, sec_idx, level, parent_idx FROM tree_t",
+)
+def tree_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: stack-free parent assignment (nearest preceding smaller level;
+    TreeIndex.js:457-498)."""
+    df = tree.build_tree(tree.parse_markdown_sections(md_corpus_df(spark, sf_dir)))
+    return df.select("md_doc_id", "sec_idx", "level", F.col("parent_idx").cast("long").alias("parent_idx"))
+
+
+@query(
+    "tree_leaves",
+    f"{TREE_SQL}\n"
+    """
+    SELECT t.md_doc_id, t.sec_idx, t.level FROM tree_t t
+    ANTI JOIN (SELECT DISTINCT md_doc_id, parent_idx FROM tree_t) p
+      ON t.md_doc_id = p.md_doc_id AND t.sec_idx = p.parent_idx
+    """,
+)
+def tree_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: leaves = nodes never referenced as parent (anti-join;
+    TreeIndex.js:699-707)."""
+    t = tree.build_tree(tree.parse_markdown_sections(md_corpus_df(spark, sf_dir)))
+    return tree.leaves(t).select("md_doc_id", "sec_idx", "level")
+
+
+@query(
+    "citation_paths",
+    f"{TREE_SQL}\n"
+    """
+    SELECT c.md_doc_id, c.sec_idx,
+           concat_ws(' > ', 'Doc ' || c.md_doc_id::VARCHAR,
+                     gp.title, p.title, c.title) AS citation
+    FROM tree_t c
+    LEFT JOIN tree_t p  ON c.md_doc_id = p.md_doc_id AND c.parent_idx = p.sec_idx
+    LEFT JOIN tree_t gp ON p.md_doc_id = gp.md_doc_id AND p.parent_idx = gp.sec_idx
+    """,
+)
+def citation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: citation path join root > ... > node (TreeIndex.js:710-715);
+    concat_ws skips the missing ancestors for shallow nodes."""
+    t = tree.build_tree(tree.parse_markdown_sections(md_corpus_df(spark, sf_dir)))
+    c, p, gp = t.alias("c"), t.alias("p"), t.alias("gp")
+    joined = c.join(
+        p,
+        (F.col("c.md_doc_id") == F.col("p.md_doc_id"))
+        & (F.col("c.parent_idx") == F.col("p.sec_idx")),
+        "left",
+    ).join(
+        gp,
+        (F.col("p.md_doc_id") == F.col("gp.md_doc_id"))
+        & (F.col("p.parent_idx") == F.col("gp.sec_idx")),
+        "left",
+    )
+    return joined.select(
+        F.col("c.md_doc_id").alias("md_doc_id"),
+        F.col("c.sec_idx").alias("sec_idx"),
+        F.concat_ws(
+            " > ",
+            F.concat(F.lit("Doc "), F.col("c.md_doc_id").cast("string")),
+            F.col("gp.title"),
+            F.col("p.title"),
+            F.col("c.title"),
+        ).alias("citation"),
+    )
+
+
+@query(
+    "html_strip",
+    """
+    SELECT doc_id,
+           length(regexp_replace('<h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || text || '</p>',
+                                 '<[^>]*>', ' ', 'g'))::BIGINT AS strip_len
+    FROM documents
+    """,
+)
+def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/T5: HTML tag strip (TreeIndex.js:443-445) over constructed HTML."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1><p>"),
+        F.col("text"), F.lit("</p>"),
+    )
+    return d.select(
+        "doc_id", F.length(tree.strip_html(html)).cast("long").alias("strip_len")
+    )
+
+
+_SENT_SQL = """
+sent_corpus AS (
+    SELECT doc_id,
+           'the ' || w[1] || ' ' || w[2] || ' is ' || w[3] || ' ' || w[4]
+           || '. the ' || w[5] || ' ' || w[6] || ' covers ' || w[7] || ' ' || w[8] || '.'
+           AS stext
+    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+          FROM documents)
+    WHERE len(w) >= 8
+)
+"""
+
+_M1 = r"(.{3,30})\s+(?:is|are|was|were)\s+(.{3,50})"
+_M2 = r"(.{3,30})\s+(covers|requires|includes|contains|provides|manages)\s+(.{3,50})"
+
+
+@query(
+    "triples_extract",
+    f"""
+    WITH {_SENT_SQL.strip()},
+    sentences AS (
+        SELECT doc_id, trim(s) AS s FROM (
+            SELECT doc_id, unnest(string_split_regex(stext, '[.!?]+')) AS s
+            FROM sent_corpus
+        ) WHERE length(trim(s)) > 10
+    ),
+    m1 AS (
+        SELECT doc_id,
+               trim(regexp_extract(s, '{_M1}', 1)) AS subject,
+               'is' AS predicate,
+               substr(trim(regexp_extract(s, '{_M1}', 2)), 1, 50) AS object
+        FROM sentences WHERE regexp_matches(s, '{_M1}')
+    ),
+    m2 AS (
+        SELECT doc_id,
+               trim(regexp_extract(s, '{_M2}', 1)) AS subject,
+               trim(regexp_extract(s, '{_M2}', 2)) AS predicate,
+               substr(trim(regexp_extract(s, '{_M2}', 3)), 1, 50) AS object
+        FROM sentences WHERE regexp_matches(s, '{_M2}')
+    )
+    SELECT * FROM m1 UNION ALL SELECT * FROM m2
+    """,
+)
+def triples_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: regex triple extraction over sentences
+    (RecursiveLearningEngine.js:803-813) on a constructed sentence corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    stext = F.concat(
+        F.lit("the "), F.element_at(w, 1), F.lit(" "), F.element_at(w, 2),
+        F.lit(" is "), F.element_at(w, 3), F.lit(" "), F.element_at(w, 4),
+        F.lit(". the "), F.element_at(w, 5), F.lit(" "), F.element_at(w, 6),
+        F.lit(" covers "), F.element_at(w, 7), F.lit(" "), F.element_at(w, 8),
+        F.lit("."),
+    )
+    corpus = d.withColumn("w", w).filter(F.size("w") >= 8).select("doc_id", stext.alias("stext"))
+    sentences = (
+        corpus.select("doc_id", F.explode(F.split("stext", r"[.!?]+")).alias("s"))
+        .withColumn("s", F.trim("s"))
+        .filter(F.length("s") > 10)
+    )
+    m1 = (
+        sentences.filter(F.col("s").rlike(_M1))
+        .select(
+            "doc_id",
+            F.trim(F.regexp_extract("s", _M1, 1)).alias("subject"),
+            F.lit("is").alias("predicate"),
+            F.substring(F.trim(F.regexp_extract("s", _M1, 2)), 1, 50).alias("object"),
+        )
+    )
+    m2 = (
+        sentences.filter(F.col("s").rlike(_M2))
+        .select(
+            "doc_id",
+            F.trim(F.regexp_extract("s", _M2, 1)).alias("subject"),
+            F.trim(F.regexp_extract("s", _M2, 2)).alias("predicate"),
+            F.substring(F.trim(F.regexp_extract("s", _M2, 3)), 1, 50).alias("object"),
+        )
+    )
+    return m1.unionByName(m2)

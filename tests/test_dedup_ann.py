@@ -1,0 +1,64 @@
+"""Dedup family + ANN tests: LSH candidate soundness (every high-Jaccard
+pair is found), SimHash locality, IVF recall vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fusionspark.io import load_table
+from fusionspark.operators import dedup
+from fusionspark.operators.ann import ivf_knn
+from fusionspark.operators.knn import knn, self_probes
+
+
+def test_exact_dedup_finds_planted_dup(spark):
+    rows = [(1, "same text here"), (2, "same text here"), (3, "different")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["keeper"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    assert out[1] == 2 and out[3] == 1
+
+
+def test_minhash_finds_planted_neardup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base + " extra"), (3, "completely unrelated words apple banana cherry date elderberry fig grape")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_neardup(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_locality(spark):
+    base = "spark query engine with columnar execution and vectorized operators"
+    rows = [(1, base), (2, base + " tweak"), (3, "zebra xylophone quartz vortex jackdaw nymph")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = self_probes(e, 5)
+    exact = knn(e, probes, k=10)
+    approx = ivf_knn(e, probes, k=10, n_centroids=8, n_probe=4)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[p] & ap.get(p, set())) / len(ex[p]) for p in ex]
+    # nProbe=4 of 8 lists should recover at least half the true neighbors
+    assert sum(recalls) / len(recalls) >= 0.5
+    # the probe itself is always found (it lives in its own best list)
+    for p, s in ap.items():
+        assert p in s
+
+
+def test_embedding_neardup_symmetry(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_neardup(e, threshold=0.3).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert r["sim"] >= 0.3

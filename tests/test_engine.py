@@ -1,0 +1,94 @@
+"""End-to-end engine facade tests mirroring the reference's factory and
+pipeline tests (/root/reference/test/fusionpact.test.js:85-136,318-336,
+664-704): create → insert → search → retrieve → memory → RAG round trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from fusionspark.engine import CollectionConfig, FusionSparkEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return FusionSparkEngine(spark, str(tmp_path / "store"))
+
+
+def test_collection_crud_and_dimension_check(engine):
+    engine.create_collection("docs", CollectionConfig(dimensions=4))
+    with pytest.raises(ValueError):
+        engine.create_collection("docs")
+    with pytest.raises(ValueError):
+        engine.insert("docs", [{"id": "a", "vector": [1.0, 2.0]}])  # wrong dim
+    engine.insert("docs", [
+        {"id": "a", "vector": [1.0, 0.0, 0.0, 0.0]},
+        {"id": "b", "vector": [0.9, 0.1, 0.0, 0.0]},
+        {"id": "c", "vector": [0.0, 0.0, 1.0, 0.0]},
+    ])
+    cols = {c["name"]: c for c in engine.list_collections()}
+    assert cols["docs"]["size"] == 3
+
+
+def test_search_orders_by_similarity_and_tenant(engine):
+    engine.create_collection("v", CollectionConfig(dimensions=4))
+    engine.insert("v", [{"id": "a", "vector": [1, 0, 0, 0]},
+                        {"id": "b", "vector": [0.9, 0.1, 0, 0]}], tenant_id="t1")
+    engine.insert("v", [{"id": "c", "vector": [1, 0, 0, 0]}], tenant_id="t2")
+    hits = engine.search("v", query_vector=[1, 0, 0, 0], top_k=5, tenant_id="t1")
+    assert [h["id"] for h in hits] == ["a", "b"]
+    assert hits[0]["score"] > hits[1]["score"]
+    # tenant isolation: c never leaks into t1
+    assert all(h["id"] != "c" for h in hits)
+
+
+def test_delete_and_get(engine):
+    engine.create_collection("d", CollectionConfig(dimensions=4))
+    engine.insert("d", [{"id": "x", "vector": [1, 0, 0, 0]},
+                        {"id": "y", "vector": [0, 1, 0, 0]}])
+    assert engine.get("d", "x") is not None
+    engine.delete("d", ["x"])
+    assert engine.get("d", "x") is None
+    assert engine.get("d", "y") is not None
+
+
+def test_metadata_filter(engine):
+    engine.create_collection("m", CollectionConfig(dimensions=4))
+    engine.insert("m", [
+        {"id": "a", "vector": [1, 0, 0, 0], "metadata": {"cat": "x"}},
+        {"id": "b", "vector": [1, 0, 0, 0], "metadata": {"cat": "y"}},
+    ])
+    hits = engine.search("m", query_vector=[1, 0, 0, 0], metadata_filter={"cat": "x"})
+    assert [h["id"] for h in hits] == ["a"]
+
+
+def test_rag_ingest_and_context(engine):
+    text = ("Spark is a distributed engine. It runs jobs on executors. "
+            "Catalyst optimizes query plans. Tungsten generates code. " * 20)
+    n = engine.ingest("rag", "doc1", text)
+    assert n > 1  # chunked
+    ctx = engine.build_context("rag", "catalyst optimizer", max_tokens=400)
+    assert ctx["chunks"]
+    assert "Context:" in ctx["prompt"]
+    assert all(len(c) // 4 + 1 <= 400 for c in ctx["chunks"])
+
+
+def test_memory_remember_recall_forget(engine):
+    engine.remember("agent-1", "prefers columnar formats", "semantic")
+    engine.remember("agent-1", "ran tpch benchmark yesterday", "semantic")
+    engine.remember("agent-2", "unrelated other agent fact", "semantic")
+    hits = engine.recall("agent-1", "columnar formats", "semantic", top_k=2)
+    assert hits
+    engine.forget("agent-1", "semantic")
+    assert engine.recall("agent-1", "columnar", "semantic") == []
+
+
+def test_hybrid_retrieve(engine):
+    engine.create_collection("h", CollectionConfig(dimensions=64))
+    engine.insert("h", [
+        {"id": "a", "content": "spark catalyst optimizer rewrites plans"},
+        {"id": "b", "content": "tungsten codegen compiles expressions"},
+        {"id": "c", "content": "catalyst pushes filters into scans"},
+    ])
+    out = engine.retrieve("h", "catalyst optimizer", top_k=2)
+    assert len(out) == 2
+    assert out[0]["fused_score"] >= out[1]["fused_score"]

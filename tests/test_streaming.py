@@ -1,0 +1,72 @@
+"""Structured Streaming smoke tests: the stream-static operators must
+produce the same results through readStream (availableNow trigger, memory
+sink) as through the batch path — ST1/ST3/ST5 parity, plus watermark
+attachment (ST4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fusionspark.io import load_table
+from fusionspark.streaming import windows as W
+
+
+def _run_stream(spark, df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark, sf_dir):
+    return W.stream_events_from_parquet(spark, sf_dir)
+
+
+def test_stream_is_streaming(stream_events):
+    assert stream_events.isStreaming
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, stream_events):
+    batch = W.tumbling_counts(load_table(spark, sf_dir, "events"))
+    stream = _run_stream(spark, W.tumbling_counts(stream_events), "t_tumbling")
+    b = sorted(map(tuple, batch.select("window_start", "event_type", "n").collect()))
+    s = sorted(map(tuple, stream.select("window_start", "event_type", "n").collect()))
+    assert b == s
+
+
+def test_session_stream_matches_batch(spark, sf_dir, stream_events):
+    batch = W.session_counts(load_table(spark, sf_dir, "events"))
+    stream = _run_stream(spark, W.session_counts(stream_events), "t_session")
+    b = sorted(map(tuple, batch.select("user_id", "session_start", "n").collect()))
+    s = sorted(map(tuple, stream.select("user_id", "session_start", "n").collect()))
+    assert b == s
+
+
+def test_dedup_stream(spark, sf_dir, stream_events):
+    dedup = W.dedup_events(stream_events)
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("t_dedup")
+    # one row per (user_id, event_type) at most
+    dups = out.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count()
+    assert dups == 0
+    batch_keys = (
+        W.dedup_events(load_table(spark, sf_dir, "events"))
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert out.count() == batch_keys

@@ -1,0 +1,77 @@
+"""Keyword search, RRF fusion, context packing, memory/learning operator
+tests (mirroring /root/reference/test/fusionpact.test.js:140-223,340-554)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fusionspark import fixtures as FX
+from fusionspark.io import load_table
+from fusionspark.operators import fusion, memory as mem_ops
+from fusionspark.operators.keyword import extract_terms, keyword_search
+from fusionspark.operators.context import pack_context
+
+
+def test_extract_terms_stopwords_and_length():
+    assert extract_terms("What is the fast table scan?") == ["fast", "table", "scan?"]
+    assert extract_terms("a an the is") == []
+
+
+def test_keyword_search_ranked_desc(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    rows = keyword_search(d, "fast table scan", top_k=5).collect()
+    assert 0 < len(rows) <= 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_rrf_fusion_prefers_multi_strategy(spark):
+    a = spark.createDataFrame([(1, 0.9), (2, 0.8)], "doc_id: long, score: double")
+    b = spark.createDataFrame([(2, 0.7), (3, 0.6)], "doc_id: long, score: double")
+    out = fusion.rrf_fuse({"vector": a, "keyword": b}, top_k=3,
+                          weights={"vector": 0.5, "keyword": 0.5}).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 2 appears in both strategies → highest fused score
+    assert out[0]["doc_id"] == 2
+    assert by_id[2]["n_strategies"] == 2
+    # RRF formula check: doc2 = 0.5/(60+2) + 0.5/(60+1)
+    expected = 0.5 / 62 + 0.5 / 61
+    assert abs(by_id[2]["fused_score"] - expected) < 1e-12
+
+
+def test_pack_context_budget(spark):
+    rows = [(i, 1.0 - i * 0.1, "x" * 400) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id: long, score: double, text: string")
+    packed = pack_context(df, max_tokens=250).collect()
+    # each row is ceil(400/4)=100 tokens → only 2 rows fit in 250
+    assert [r["doc_id"] for r in packed] == [0, 1]
+    assert packed[-1]["running_tokens"] == 200
+
+
+def test_tenant_isolation_and_forget(spark, sf_dir):
+    mem = FX.memory_df(spark, sf_dir)
+    only2 = mem.filter(F.col("agent_id") == "agent-2")
+    assert only2.count() > 0
+    after = mem_ops.forget(mem, "agent-2")
+    assert after.filter(F.col("agent_id") == "agent-2").count() == 0
+    assert after.count() == mem.count() - only2.count()
+
+
+def test_conversation_cap(spark, sf_dir):
+    conv = FX.conversations_df(spark, sf_dir)
+    capped = mem_ops.conversation_tail(conv, n=5)
+    worst = (
+        capped.groupBy("agent_id", "thread_id").count().agg(F.max("count")).first()[0]
+    )
+    assert worst <= 5
+
+
+def test_ttl_filter_keeps_unexpired(spark, sf_dir):
+    mem = FX.memory_df(spark, sf_dir)
+    now = F.to_timestamp(F.lit(FX.REF_NOW))
+    kept = mem_ops.ttl_filter(mem, now)
+    # everything with ttl_ms=0 survives
+    assert kept.filter(F.col("ttl_ms") == 0).count() == mem.filter(F.col("ttl_ms") == 0).count()
+    assert kept.count() <= mem.count()
