@@ -37,7 +37,8 @@ def bench_queries(spark):
     emb.count()  # warm the cache before timing
 
     def knn_batch():
-        return knn(emb, self_probes(emb, N_PROBES_BENCH), k=10)
+        # numpy strategy: Arrow-batched float64 GEMM + partition-local top-k
+        return knn(emb, self_probes(emb, N_PROBES_BENCH), k=10, strategy="numpy")
 
     picks = [
         "knn_cosine",

