@@ -63,6 +63,11 @@ def bench_queries(spark):
         "triples_extract",
         "chunks_recursive",
         "mock_embeddings",
+        "tpch_pricing_summary",
+        "tpch_top_customers",
+        "rollup_orders",
+        "stream_sliding",
+        "searchall_quota",
     ]
     out = {"knn_batch64": knn_batch}
     for name in picks:

@@ -133,3 +133,59 @@ def graph_summary(triples: DataFrame) -> DataFrame:
     return triples.agg(F.count("*").alias("n_triples")).crossJoin(
         entities.agg(F.count("*").alias("n_entities"))
     )
+
+
+def adjust_strategy_weights(feedback: DataFrame) -> DataFrame:
+    """A13: per-pattern incremental weight adjustment
+    (RecursiveLearningEngine.js:747-770) — an order-dependent fold
+    (clamp + renormalize after EVERY feedback), so it runs as
+    applyInPandas over (pattern)-grouped, ts-ordered feedback.
+
+    Returns one row per pattern with the final (vector, tree, keyword)
+    weights.  Grouping keys shard the fold across executors; each group's
+    history is small (ring-buffered upstream), so state stays bounded.
+    """
+    import pandas as pd
+
+    from fusionspark.functions.text import query_pattern
+
+    fb = feedback.withColumn("pattern", query_pattern("query")).select(
+        "pattern", "strategy", "quality", "ts", "fb_id"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "fb_id"])
+        w = {"vector": 0.4, "tree": 0.4, "keyword": 0.2}
+        alpha = 0.1
+        for strategy, q in zip(pdf["strategy"], pdf["quality"]):
+            if q > 0.7:
+                if strategy in ("vector", "hybrid"):
+                    w["vector"] = min(0.8, w["vector"] + alpha * q)
+                if strategy in ("tree", "hybrid"):
+                    w["tree"] = min(0.8, w["tree"] + alpha * q)
+                if strategy in ("keyword", "hybrid"):
+                    w["keyword"] = min(0.5, w["keyword"] + alpha * q * 0.5)
+            elif q < 0.3:
+                if strategy == "vector":
+                    w["vector"] = max(0.1, w["vector"] - alpha)
+                elif strategy == "tree":
+                    w["tree"] = max(0.1, w["tree"] - alpha)
+                elif strategy == "keyword":
+                    w["keyword"] = max(0.05, w["keyword"] - alpha)
+            total = w["vector"] + w["tree"] + w["keyword"]
+            if total > 0:
+                w = {k: v / total for k, v in w.items()}
+        return pd.DataFrame(
+            {
+                "pattern": [pdf["pattern"].iloc[0]],
+                "w_vector": [w["vector"]],
+                "w_tree": [w["tree"]],
+                "w_keyword": [w["keyword"]],
+                "n_feedback": [len(pdf)],
+            }
+        )
+
+    return fb.groupBy("pattern").applyInPandas(
+        fold,
+        schema="pattern string, w_vector double, w_tree double, w_keyword double, n_feedback long",
+    )
