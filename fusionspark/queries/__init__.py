@@ -29,6 +29,7 @@ def load_all() -> None:
     """Import every query module (side effect: fills REGISTRY)."""
     from fusionspark.queries import (  # noqa: F401
         extended_queries,
+        multimodal_queries,
         pipeline_queries,
         rag_queries,
         relational_queries,

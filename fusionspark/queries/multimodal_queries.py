@@ -1,0 +1,87 @@
+"""Multimodal column family: the metadata-plane queries are oracle-checked
+(the synthetic media table's typed columns are pure functions of doc_id, so
+DuckDB rebuilds them arithmetically — and metadata queries never touch the
+BINARY payload, which is the scale point); the decode kernels are
+rows-only (stubbed codecs, invariants in tests/test_multimodal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fusionspark.operators import multimodal as MM
+from fusionspark.queries import query
+
+# doc_id-derived metadata, mirrored from multimodal.synth_media
+_MEDIA_META_SQL = """
+media_meta AS (
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CASE WHEN doc_id % 3 <> 1 THEN 16 * (1 + doc_id % 64) ELSE 0 END AS width,
+           CASE WHEN doc_id % 3 <> 1 THEN 16 * (1 + doc_id % 48) ELSE 0 END AS height,
+           CASE WHEN doc_id % 3 <> 0 THEN 250 * (1 + doc_id % 240) ELSE 0 END AS duration_ms
+    FROM documents
+)
+"""
+
+
+@query(
+    "media_metadata_stats",
+    f"WITH {_MEDIA_META_SQL.strip()}\n"
+    """
+    SELECT kind, COUNT(*)::BIGINT AS n,
+           ROUND(AVG(width), 6) AS avg_width,
+           ROUND(AVG(height), 6) AS avg_height,
+           MAX(duration_ms)::BIGINT AS max_duration_ms
+    FROM media_meta GROUP BY kind
+    """,
+)
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-plane aggregate over the media table — never reads the
+    BINARY payload column (Parquet column pruning keeps the blobs on disk)."""
+    m = MM.synth_media(spark, sf_dir)
+    return m.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+        F.round(F.avg("height"), 6).alias("avg_height"),
+        F.max("duration_ms").cast("long").alias("max_duration_ms"),
+    )
+
+
+@query(
+    "media_frame_counts",
+    f"WITH {_MEDIA_META_SQL.strip()}\n"
+    """
+    SELECT media_id, ceil(duration_ms / 1000.0)::BIGINT AS n_frames
+    FROM media_meta WHERE kind = 'video'
+    """,
+)
+def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling grid: the Spark side actually runs the sampling kernel
+    and counts emitted frames; the oracle predicts the grid arithmetically."""
+    m = MM.synth_media(spark, sf_dir)
+    frames = MM.sample_frames(m, every_ms=1000)
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+@query("image_features")
+def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode(stub) → features; rows-only (codec output isn't SQL)."""
+    m = MM.synth_media(spark, sf_dir)
+    feats = MM.image_features(m)
+    return feats.select(
+        "media_id",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"),
+        "ahash",
+    )
+
+
+@query("image_resize")
+def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize kernel shape contract; rows-only."""
+    m = MM.synth_media(spark, sf_dir)
+    res = MM.resize_images(m, target=(8, 8))
+    return res.select(
+        "media_id", F.length("resized").alias("n_bytes"), "out_width", "out_height"
+    )
