@@ -112,3 +112,63 @@ def leaves(tree: DataFrame, id_col: str = "md_doc_id") -> DataFrame:
 def strip_html(col: F.Column) -> F.Column:
     """X4 (TreeIndex.js:443-445)."""
     return F.regexp_replace(col, "<[^>]*>", " ")
+
+
+def reasoning_search(
+    tree_df: DataFrame,
+    terms: list[str],
+    max_results: int = 10,
+    min_relevance: float = 0.3,
+    max_depth: int = 5,
+    id_col: str = "md_doc_id",
+) -> DataFrame:
+    """T9: reasoning tree search (TreeIndex.js:543-659), deterministic
+    fallback path.
+
+    The reference does an LLM-guided DFS: evaluate children, descend into
+    those scoring ≥ minRelevance, collect qualifying leaves, stop at
+    maxResults.  Its no-LLM fallback scores nodes by keyword overlap
+    (TreeIndex.js:685-696) — that scorer is the tested path here.
+
+    Distributed re-expression: an iterative FRONTIER JOIN per level (depth
+    is bounded by maxDepth=5, so ≤5 jobs, no recursion): a node is explored
+    iff every ancestor scored ≥ minRelevance; qualifying leaves are
+    results, globally top-k'd.  Unlike the reference's sequential DFS
+    early-exit (which can miss high-scoring leaves behind later siblings),
+    this explores all qualifying branches — strictly better recall,
+    deterministic (documented semantic delta, same spirit as SURVEY V7).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from fusionspark.functions.text import keyword_overlap
+
+    terms_col = F.array(*[F.lit(t) for t in terms])
+    scored = tree_df.withColumn(
+        "score",
+        keyword_overlap(F.concat_ws(" ", F.col("title"), F.col("content")), terms_col),
+    )
+    # leaves = nodes never referenced as parent
+    parents = scored.select(F.col(id_col), F.col("parent_idx").alias("sec_idx")).distinct()
+    is_leaf = scored.join(parents, [id_col, "sec_idx"], "left_anti").select(
+        id_col, "sec_idx"
+    ).withColumn("is_leaf", F.lit(True))
+    scored = scored.join(is_leaf, [id_col, "sec_idx"], "left").na.fill({"is_leaf": False})
+
+    qualifying = scored.filter(F.col("score") >= min_relevance)
+    frontier = qualifying.filter(F.col("parent_idx") == 0)
+    results = frontier.filter(F.col("is_leaf"))
+    for _ in range(max_depth - 1):
+        children = qualifying.join(
+            frontier.select(F.col(id_col), F.col("sec_idx").alias("parent_idx")).distinct(),
+            [id_col, "parent_idx"],
+        )
+        new_results = children.filter(F.col("is_leaf"))
+        results = results.unionByName(new_results)
+        frontier = children.filter(~F.col("is_leaf"))
+        # depth bound makes this a fixed, small number of joins; an empty
+        # frontier simply yields empty joins for the remaining iterations
+    return (
+        results.orderBy(F.col("score").desc(), F.col(id_col).asc(), F.col("sec_idx").asc())
+        .limit(max_results)
+        .select(id_col, "sec_idx", "level", "score")
+    )

@@ -84,7 +84,8 @@ sections AS (
     SELECT md_doc_id, sec_idx,
            MAX(level) AS level,
            MAX(CASE WHEN level > 0 THEN title END) AS title,
-           (COUNT(*) - 1)::BIGINT AS n_lines
+           (COUNT(*) - 1)::BIGINT AS n_lines,
+           MAX(CASE WHEN level = 0 THEN line END) AS content
     FROM seg WHERE sec_idx > 0
     GROUP BY md_doc_id, sec_idx
 )
@@ -107,12 +108,12 @@ _PARENT_CASE = "CASE " + " ".join(
 TREE_SQL = f"""
 {MD_SECTIONS_SQL},
 withp AS (
-    SELECT md_doc_id, sec_idx, level, title, n_lines,
+    SELECT md_doc_id, sec_idx, level, title, n_lines, content,
            {_PLVL}
     FROM sections
 ),
 tree_t AS (
-    SELECT md_doc_id, sec_idx, level, title, n_lines,
+    SELECT md_doc_id, sec_idx, level, title, n_lines, content,
            COALESCE({_PARENT_CASE}, 0)::BIGINT AS parent_idx
     FROM withp
 )
@@ -301,3 +302,53 @@ def triples_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return m1.unionByName(m2)
+
+
+# ── T9: reasoning tree search (deterministic fallback scorer) ─────────────
+
+from fusionspark.queries.text_queries import QUERY as _RQUERY, _TERMS as _RTERMS  # noqa: E402
+
+_SCORE_SQL = (
+    "("
+    + " + ".join(
+        f"CASE WHEN contains(lower(concat_ws(' ', title, content)), '{t}') THEN 1 ELSE 0 END"
+        for t in _RTERMS
+    )
+    + f")::DOUBLE / {len(_RTERMS)}"
+)
+
+
+@query(
+    "tree_reasoning_search",
+    f"{TREE_SQL},\n"
+    f"""
+    scored AS (
+        SELECT md_doc_id, sec_idx, level, parent_idx, {_SCORE_SQL} AS score
+        FROM tree_t
+    ),
+    lv AS (
+        SELECT s.* FROM scored s
+        ANTI JOIN (SELECT DISTINCT md_doc_id, parent_idx FROM scored) p
+          ON s.md_doc_id = p.md_doc_id AND s.sec_idx = p.parent_idx
+    )
+    SELECT md_doc_id, sec_idx, level, ROUND(score, 6) AS score FROM (
+        SELECT l.md_doc_id, l.sec_idx, l.level, l.score
+        FROM lv l
+        LEFT JOIN scored p  ON l.md_doc_id = p.md_doc_id AND l.parent_idx = p.sec_idx
+        LEFT JOIN scored gp ON p.md_doc_id = gp.md_doc_id AND p.parent_idx = gp.sec_idx
+        WHERE l.score >= 0.3
+          AND (l.parent_idx = 0 OR (p.score >= 0.3
+               AND (p.parent_idx = 0 OR gp.score >= 0.3)))
+        ORDER BY l.score DESC, l.md_doc_id ASC, l.sec_idx ASC LIMIT 10
+    )
+    """,
+)
+def tree_reasoning_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: LLM-guided DFS with deterministic keyword fallback
+    (TreeIndex.js:543-659,685-696) as a bounded frontier-join loop: a leaf
+    is retrieved iff it and every ancestor score ≥ minRelevance=0.3."""
+    t = tree.build_tree(tree.parse_markdown_sections(md_corpus_df(spark, sf_dir)))
+    out = tree.reasoning_search(t, _RTERMS, max_results=10, min_relevance=0.3)
+    return out.select(
+        "md_doc_id", "sec_idx", "level", F.round("score", 6).alias("score")
+    )
