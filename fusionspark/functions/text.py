@@ -42,9 +42,13 @@ def word_set(text: Column | str) -> Column:
 
 def jaccard(a: Column, b: Column) -> Column:
     """K4: |A∩B| / |A∪B| over word sets (RecursiveLearningEngine.js:795-799);
-    0 when the union is empty."""
+    0 when the union is empty.
+
+    Inputs MUST be distinct arrays (every caller builds them via
+    array_distinct) — that lets the union size be computed as
+    |A|+|B|-|A∩B|, halving the per-pair array work in self-joins."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 

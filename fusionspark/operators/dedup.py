@@ -206,35 +206,26 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """
     toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
     hashed = toks.withColumn("h", md5_hash32(F.col("tok")))
-    # broadcast a 32-row bit table instead of a per-row HOF transform —
-    # the join + arithmetic are ordinary codegen'd expressions.
-    bit_table = df.sparkSession.range(32).select(F.col("id").cast("int").alias("bit"))
-    bits = (
-        hashed.crossJoin(F.broadcast(bit_table))
-        .select(
-            id_col,
-            "bit",
-            # shiftright() needs a literal count; (h div 2^b) % 2 is exact
-            # here (h < 2^32 ≤ double precision).
-            F.when(
-                F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit").cast("double"))).cast("bigint") % 2 == 1,
-                1,
-            )
-            .otherwise(-1)
-            .alias("vote"),
-        )
-    )
-    return (
-        bits.groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy(id_col)
-        .agg(
+    # 32 conditional-sum aggregates in ONE groupBy — no row explosion, all
+    # codegen'd, map-side combinable (the shuffle carries one 32-wide row
+    # per document).  Bit b of h extracted as (h div 2^b) % 2 — shiftright()
+    # needs a literal count but the div is exact (h < 2^32).
+    votes = hashed.groupBy(id_col).agg(
+        *[
             F.sum(
-                (F.col("bitval").cast("double") * F.pow(F.lit(2.0), F.col("bit").cast("double"))).cast("bigint")
-            ).alias("simhash")
-        )
+                F.when((F.col("h").bitwiseAND(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
     )
+    simhash = sum(
+        (
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0).cast("bigint")
+            for b in range(1, 32)
+        ),
+        F.when(F.col("s0") > 0, F.lit(1)).otherwise(0).cast("bigint"),
+    )
+    return votes.select(F.col(id_col), simhash.alias("simhash"))
 
 
 def simhash_neardup(
