@@ -312,3 +312,79 @@ class FusionSparkEngine:
             "sources": [r["doc_id"] for r in packed],
             "chunks": chunks,
         }
+
+
+class _EngineExtras:
+    """Mixin-style additions kept separate for readability; bound below."""
+
+
+def collaborative_recall(
+    self, agent_ids: list[str], query: str, mem_type: str = "episodic", top_k: int = 5
+) -> dict[str, list[dict]]:
+    """M7 (AgentOrchestrator.js:243-268): recall per agent + shared pool."""
+    out = {a: self.recall(a, query, mem_type, top_k) for a in agent_ids}
+    try:
+        out["shared"] = self.search(
+            "_memory_shared", query_text=query, top_k=top_k
+        )
+    except Exception:  # noqa: BLE001 — no shared pool yet
+        out["shared"] = []
+    return out
+
+
+def export_json(self, collection: str) -> dict:
+    """S7: whole-collection JSON export in the reference's shape
+    (FusionEngine.js:278-312 / HNSWIndex.js:390-439) — entries with id/
+    vector/metadata.  For interchange with the reference; Parquet remains
+    the native format."""
+    rows = self._load(collection).collect()
+    return {
+        "name": collection,
+        "config": self._catalog[collection],
+        "entries": [
+            {
+                "id": r["id"],
+                "vector": [float(x) for x in r["vector"]],
+                "metadata": {
+                    **(dict(r["metadata"]) if r["metadata"] else {}),
+                    "_content": r["content"],
+                    "_tenant_id": r["tenant_id"],
+                    "_timestamp": r["ts"],
+                    "_ttl": r["ttl_ms"],
+                },
+            }
+            for r in rows
+        ],
+    }
+
+
+def import_json(self, payload: dict) -> int:
+    """S7 inverse: load a reference-format export into a new collection."""
+    name = payload["name"]
+    cfg = payload.get("config", {})
+    if name not in self._catalog:
+        self.create_collection(
+            name,
+            CollectionConfig(
+                dimensions=cfg.get("dimensions", 64),
+                metric=cfg.get("metric", "cosine"),
+            ),
+        )
+    entries = [
+        {
+            "id": e["id"],
+            "vector": e["vector"],
+            "content": (e.get("metadata") or {}).get("_content"),
+            "metadata": {
+                k: v for k, v in (e.get("metadata") or {}).items()
+                if not k.startswith("_")
+            },
+        }
+        for e in payload.get("entries", [])
+    ]
+    return self.insert(name, entries) if entries else 0
+
+
+FusionSparkEngine.collaborative_recall = collaborative_recall
+FusionSparkEngine.export_json = export_json
+FusionSparkEngine.import_json = import_json

@@ -92,3 +92,30 @@ def test_hybrid_retrieve(engine):
     out = engine.retrieve("h", "catalyst optimizer", top_k=2)
     assert len(out) == 2
     assert out[0]["fused_score"] >= out[1]["fused_score"]
+
+
+def test_export_import_round_trip(engine, spark, tmp_path):
+    engine.create_collection("exp", CollectionConfig(dimensions=4))
+    engine.insert("exp", [
+        {"id": "a", "vector": [1, 0, 0, 0], "metadata": {"k": "v"}},
+        {"id": "b", "vector": [0, 1, 0, 0]},
+    ], tenant_id="t9")
+    dump = engine.export_json("exp")
+    assert dump["name"] == "exp" and len(dump["entries"]) == 2
+    meta = {e["id"]: e["metadata"] for e in dump["entries"]}
+    assert meta["a"]["k"] == "v" and meta["a"]["_tenant_id"] == "t9"
+
+    other = FusionSparkEngine(spark, str(tmp_path / "store2"))
+    dump["name"] = "imported"
+    n = other.import_json(dump)
+    assert n == 2
+    hits = other.search("imported", query_vector=[1, 0, 0, 0], top_k=1)
+    assert hits[0]["id"] == "a"
+
+
+def test_collaborative_recall(engine):
+    engine.remember("agent-7", "shared plan for spark jobs", "episodic")
+    engine.remember("agent-8", "different memory entirely", "episodic")
+    out = engine.collaborative_recall(["agent-7", "agent-8"], "spark jobs plan")
+    assert set(out) == {"agent-7", "agent-8", "shared"}
+    assert out["agent-7"]
