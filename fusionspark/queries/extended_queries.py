@@ -133,9 +133,9 @@ marked AS (
     FROM lines
 ),
 seg AS (
-    SELECT *, SUM(CASE WHEN level > 0 THEN 1 ELSE 0 END)
+    SELECT *, (SUM(CASE WHEN level > 0 THEN 1 ELSE 0 END)
                   OVER (PARTITION BY md_doc_id ORDER BY pos
-                        ROWS UNBOUNDED PRECEDING) AS sec_idx
+                        ROWS UNBOUNDED PRECEDING))::BIGINT AS sec_idx
     FROM marked
 ),
 sections AS (
@@ -175,7 +175,7 @@ def searchall_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_rn") <= 1)
         .orderBy(F.col("score").desc(), F.col("md_doc_id").asc(), F.col("sec_idx").asc())
         .limit(10)
-        .select("md_doc_id", "sec_idx", F.round("score", 6).alias("score"))
+        .select("md_doc_id", F.col("sec_idx").cast("long").alias("sec_idx"), F.round("score", 6).alias("score"))
     )
 
 
@@ -208,7 +208,7 @@ def messages_significant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT window_start_s, event_type, COUNT(*)::BIGINT AS n FROM (
         SELECT e.event_type,
-               (floor(epoch(e.ts) / 900) - o.i) * 900 AS window_start_s
+               ((floor(epoch(e.ts) / 900) - o.i) * 900)::BIGINT AS window_start_s
         FROM events e
         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) o
         WHERE (floor(epoch(e.ts) / 900) - o.i) * 900 + 3600 > epoch(e.ts)
@@ -300,7 +300,7 @@ def plaintext_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("numbering") != "")
         .select(
             "pt_doc_id",
-            "pos",
+            F.col("pos").cast("long").alias("pos"),
             "title",
             F.size(F.split("numbering", r"\.")).cast("int").alias("level"),
         )

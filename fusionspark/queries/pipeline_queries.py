@@ -327,4 +327,4 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     probes = self_probes(e, 5)
     df = ivf_knn(e, probes, k=10, n_centroids=8, n_probe=2)
-    return df.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"), "rnk")
+    return df.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"), F.col("rnk").cast("long").alias("rnk"))

@@ -109,7 +109,7 @@ def conversation_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
 def conversation_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/W2/M4: last-N per thread ring buffer (AgentMemory.js:285-311)."""
     df = mem_ops.conversation_tail(FX.conversations_df(spark, sf_dir), n=3)
-    return df.select("agent_id", "thread_id", "msg_seq", "role", "content", "rn")
+    return df.select("agent_id", "thread_id", "msg_seq", "role", "content", F.col("rn").cast("long").alias("rn"))
 
 
 @query(

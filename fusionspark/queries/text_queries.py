@@ -191,9 +191,9 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, tokens, running_tokens FROM (
         SELECT doc_id, ceil(length(text) / 4.0)::BIGINT AS tokens,
-               SUM(ceil(length(text) / 4.0)::BIGINT) OVER (
+               (SUM(ceil(length(text) / 4.0)::BIGINT) OVER (
                    ORDER BY score DESC, doc_id ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_tokens
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS running_tokens
         FROM ranked
     ) WHERE running_tokens <= 300
     """,

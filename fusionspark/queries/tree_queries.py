@@ -75,9 +75,9 @@ marked AS (
     FROM lines
 ),
 seg AS (
-    SELECT *, SUM(CASE WHEN level > 0 THEN 1 ELSE 0 END)
+    SELECT *, (SUM(CASE WHEN level > 0 THEN 1 ELSE 0 END)
                   OVER (PARTITION BY md_doc_id ORDER BY pos
-                        ROWS UNBOUNDED PRECEDING) AS sec_idx
+                        ROWS UNBOUNDED PRECEDING))::BIGINT AS sec_idx
     FROM marked
 ),
 sections AS (
@@ -129,7 +129,7 @@ def md_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4/X3: markdown heading parse → flat sections
     (TreeIndex.js:305-348)."""
     df = tree.parse_markdown_sections(md_corpus_df(spark, sf_dir))
-    return df.select("md_doc_id", "sec_idx", "level", "title", F.col("n_lines").cast("long").alias("n_lines"))
+    return df.select("md_doc_id", F.col("sec_idx").cast("long").alias("sec_idx"), F.col("level").cast("long").alias("level"), "title", F.col("n_lines").cast("long").alias("n_lines"))
 
 
 @query(
@@ -141,7 +141,7 @@ def tree_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7: stack-free parent assignment (nearest preceding smaller level;
     TreeIndex.js:457-498)."""
     df = tree.build_tree(tree.parse_markdown_sections(md_corpus_df(spark, sf_dir)))
-    return df.select("md_doc_id", "sec_idx", "level", F.col("parent_idx").cast("long").alias("parent_idx"))
+    return df.select("md_doc_id", F.col("sec_idx").cast("long").alias("sec_idx"), F.col("level").cast("long").alias("level"), F.col("parent_idx").cast("long").alias("parent_idx"))
 
 
 @query(
@@ -157,7 +157,7 @@ def tree_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T10: leaves = nodes never referenced as parent (anti-join;
     TreeIndex.js:699-707)."""
     t = tree.build_tree(tree.parse_markdown_sections(md_corpus_df(spark, sf_dir)))
-    return tree.leaves(t).select("md_doc_id", "sec_idx", "level")
+    return tree.leaves(t).select("md_doc_id", F.col("sec_idx").cast("long").alias("sec_idx"), F.col("level").cast("long").alias("level"))
 
 
 @query(
@@ -190,7 +190,7 @@ def citation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         F.col("c.md_doc_id").alias("md_doc_id"),
-        F.col("c.sec_idx").alias("sec_idx"),
+        F.col("c.sec_idx").cast("long").alias("sec_idx"),
         F.concat_ws(
             " > ",
             F.concat(F.lit("Doc "), F.col("c.md_doc_id").cast("string")),
@@ -350,5 +350,8 @@ def tree_reasoning_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tree.build_tree(tree.parse_markdown_sections(md_corpus_df(spark, sf_dir)))
     out = tree.reasoning_search(t, _RTERMS, max_results=10, min_relevance=0.3)
     return out.select(
-        "md_doc_id", "sec_idx", "level", F.round("score", 6).alias("score")
+        "md_doc_id",
+        F.col("sec_idx").cast("long").alias("sec_idx"),
+        F.col("level").cast("long").alias("level"),
+        F.round("score", 6).alias("score"),
     )

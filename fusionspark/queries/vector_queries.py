@@ -43,7 +43,7 @@ def _knn_query(spark: SparkSession, sf_dir: str, sim_col, asc: bool) -> DataFram
             "probe_id",
             "vec_id",
             F.round(F.col("sim"), 6).alias("sim"),
-            "rnk",
+            F.col("rnk").cast("long").alias("rnk"),
         )
     )
 
@@ -183,7 +183,7 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("probe_id", "vec_id", "label", F.round("sim", 6).alias("sim"), "rnk")
+        .select("probe_id", "vec_id", "label", F.round("sim", 6).alias("sim"), F.col("rnk").cast("long").alias("rnk"))
     )
 
 

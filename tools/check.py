@@ -58,6 +58,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if sc != dc:
         problems.append(f"columns {sc} vs {dc}")
         return problems
+    for c in sc:
+        a, b = spark_pdf[c].dtype, duck_pdf[c].dtype
+        if str(a) != str(b):
+            problems.append(f"dtype {c}: {a} vs {b}")
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if len(a) == len(b):
         for c in a.columns:
