@@ -40,6 +40,33 @@ def bench_queries(spark):
         # numpy strategy: Arrow-batched float64 GEMM + partition-local top-k
         return knn(emb, self_probes(emb, N_PROBES_BENCH), k=10, strategy="numpy")
 
+    def knn_batch_1k():
+        # BASELINE-comparable batch throughput: 1000 probes, exact top-10
+        # (reference bench: 1000 random queries over the corpus, cli.js:81-90)
+        return knn(emb, self_probes(emb, 1000), k=10, strategy="numpy")
+
+    def ingest_100k():
+        # BASELINE-comparable ingest: 100k 64-d vectors → parquet
+        # (reference: 100k HNSW inserts in 2.8s, README.md:435).  Vectors are
+        # synthesized distributively; the write is the measured work.
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as FF
+
+        out = tempfile.mkdtemp(prefix="fusionspark-ingest-")
+        df = spark.range(100_000).select(
+            FF.col("id").alias("vec_id"),
+            FF.transform(
+                FF.sequence(FF.lit(1), FF.lit(64)),
+                lambda i: FF.sin(FF.col("id") * i).cast("float"),
+            ).alias("embedding"),
+        )
+        df.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        shutil.rmtree(out, ignore_errors=True)
+        return spark.range(n).limit(1)
+
     picks = [
         "knn_cosine",
         "knn_filtered",
@@ -69,7 +96,11 @@ def bench_queries(spark):
         "stream_sliding",
         "searchall_quota",
     ]
-    out = {"knn_batch64": knn_batch}
+    out = {
+        "knn_batch64": knn_batch,
+        "knn_batch1000": knn_batch_1k,
+        "ingest_100k": ingest_100k,
+    }
     for name in picks:
         fn, _sql = REGISTRY[name]
         out[name] = (lambda f=fn: f(spark, SF_DIR))

@@ -198,20 +198,22 @@ def _numpy_score_topk(
                 p2 = (P * P).sum(axis=1)[None, :]
                 dist = np.sqrt(np.maximum(e2 + p2 - 2.0 * (E @ P.T), 0.0))
             ids = pdf[id_col].to_numpy()
-            for j, pid in enumerate(probe_ids):
-                col = dist[:, j]
-                kk = min(k, len(col))
-                idx = np.argpartition(col, kk - 1)[:kk]
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            probe_id_col: pid,
-                            id_col: ids[idx],
-                            "distance": col[idx],
-                            "score": 1.0 - col[idx],
-                        }
-                    )
+            kk = min(k, dist.shape[0])
+            # vectorized per-probe top-k: one argpartition over the whole
+            # (batch × probes) distance matrix, no Python loop per probe
+            idx = np.argpartition(dist, kk - 1, axis=0)[:kk]  # (kk, Q)
+            flat = idx.ravel(order="F")
+            d = np.take_along_axis(dist, idx, axis=0).ravel(order="F")
+            parts.append(
+                pd.DataFrame(
+                    {
+                        probe_id_col: np.repeat(np.asarray(probe_ids), kk),
+                        id_col: ids[flat],
+                        "distance": d,
+                        "score": 1.0 - d,
+                    }
                 )
+            )
         if parts:
             merged = pd.concat(parts, ignore_index=True)
             yield (

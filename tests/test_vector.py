@@ -80,3 +80,14 @@ def test_prefilter_better_than_postfilter(spark, sf_dir):
 def test_unknown_metric_raises(spark, sf_dir):
     with pytest.raises(ValueError):
         V.distance("manhattan", F.col("a"), F.col("b"))
+
+
+def test_numpy_strategy_matches_window(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").repartition(4)
+    probes = self_probes(e, 6)
+    for metric in ("cosine", "euclidean", "dot"):
+        a = knn(e, probes, k=5, metric=metric).select("probe_id", "vec_id", "rank")
+        b = knn(e, probes, k=5, metric=metric, strategy="numpy").select(
+            "probe_id", "vec_id", "rank"
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), metric
