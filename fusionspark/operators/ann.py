@@ -105,3 +105,77 @@ def ivf_knn(
         .filter(F.col("rnk") <= k)
         .select(probe_id_col, id_col, "sim", "rnk")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """MLlib-trained centroids for IVF (better cluster geometry than the
+    deterministic first-k choice; the north-star's 'MLlib for embeddings'
+    scale path).  Seeded, so reproducible within a Spark version — but NOT
+    oracle-replicable, so query-gate code keeps deterministic_centroids.
+
+    Returns the same (centroid_id, centroid) shape, so it drops into
+    ivf_assign / ivf_knn unchanged.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vector_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(feats)
+    spark = corpus.sparkSession
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(
+        centers, "centroid_id: bigint, centroid: array<float>"
+    )
+
+
+def ivf_knn_kmeans(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    **kwargs,
+) -> DataFrame:
+    """IVF search over KMeans-trained lists (same plan as ivf_knn with a
+    learned codebook)."""
+    id_col = kwargs.get("id_col", "vec_id")
+    vector_col = kwargs.get("vector_col", "embedding")
+    probe_id_col = kwargs.get("probe_id_col", "probe_id")
+    probe_vector_col = kwargs.get("probe_vector_col", "probe_embedding")
+    from fusionspark.operators.knn import vector_dim
+
+    dim = vector_dim(corpus, vector_col)
+    centroids = kmeans_centroids(corpus, n_centroids, seed, id_col, vector_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vector_col, dim)
+    pc = probes.crossJoin(F.broadcast(centroids)).withColumn(
+        "p_sim", V.cosine_similarity(F.col(probe_vector_col), F.col("centroid"), dim)
+    )
+    wp = Window.partitionBy(probe_id_col).orderBy(
+        F.col("p_sim").desc(), F.col("centroid_id").asc()
+    )
+    probe_lists = (
+        pc.withColumn("p_rn", F.row_number().over(wp))
+        .filter(F.col("p_rn") <= n_probe)
+        .select(probe_id_col, probe_vector_col, "centroid_id")
+    )
+    cand = assigned.join(F.broadcast(probe_lists), "centroid_id")
+    scored = cand.withColumn(
+        "sim", V.cosine_similarity(F.col(vector_col), F.col(probe_vector_col), dim)
+    )
+    wk = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(probe_id_col, id_col, "sim", "rnk")
+    )

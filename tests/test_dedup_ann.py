@@ -62,3 +62,20 @@ def test_embedding_neardup_symmetry(spark, sf_dir):
     for r in out:
         assert r["id_a"] < r["id_b"]
         assert r["sim"] >= 0.3
+
+
+def test_ivf_kmeans_recall(spark, sf_dir):
+    from fusionspark.operators.ann import ivf_knn_kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = self_probes(e, 5)
+    exact = knn(e, probes, k=10)
+    approx = ivf_knn_kmeans(e, probes, k=10, n_centroids=8, n_probe=4)
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    for r in approx.collect():
+        ap.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[p] & ap.get(p, set())) / len(ex[p]) for p in ex]
+    # learned centroids at nProbe=4/8 should beat or match the naive split
+    assert sum(recalls) / len(recalls) >= 0.5
