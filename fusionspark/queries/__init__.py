@@ -28,6 +28,7 @@ def query(name: str, sql: str | None = None):
 def load_all() -> None:
     """Import every query module (side effect: fills REGISTRY)."""
     from fusionspark.queries import (  # noqa: F401
+        composition_queries,
         extended_queries,
         multimodal_queries,
         pipeline_queries,

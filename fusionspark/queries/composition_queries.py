@@ -1,0 +1,162 @@
+"""Composition + residual coverage: T8 (deterministic summary fallback),
+X14 (title detection), A1→F4 (adaptive weights driving the RRF fusion),
+and one more multi-join relational query for breadth."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fusionspark.io import load_table
+from fusionspark.operators import tree
+from fusionspark.queries import query
+from fusionspark.queries.text_queries import _OVERLAP_SQL, _TF_SQL, QUERY
+from fusionspark.queries.tree_queries import TREE_SQL, md_corpus_df
+
+
+@query(
+    "node_summaries",
+    f"{TREE_SQL}\n"
+    """
+    SELECT md_doc_id, sec_idx,
+           substr(coalesce(content, title), 1, 200) AS summary,
+           length(substr(coalesce(content, title), 1, 200))::BIGINT AS summary_len
+    FROM tree_t
+    """,
+)
+def node_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: bottom-up summaries, deterministic fallback path = first 200
+    chars of node content (TreeIndex.js:517-538 falls back to exactly this
+    when no LLM is configured; the LLM path is a pluggable mapInPandas UDF)."""
+    t = tree.build_tree(tree.parse_markdown_sections(md_corpus_df(spark, sf_dir)))
+    summary = F.substring(F.coalesce("content", "title"), 1, 200)
+    return t.select(
+        "md_doc_id",
+        F.col("sec_idx").cast("long").alias("sec_idx"),
+        summary.alias("summary"),
+        F.length(summary).cast("long").alias("summary_len"),
+    )
+
+
+@query(
+    "title_detect",
+    """
+    SELECT doc_id,
+           CASE WHEN length(string_split(text, ' ')[1] || ' ' || string_split(text, ' ')[2]) < 200
+                THEN string_split(text, ' ')[1] || ' ' || string_split(text, ' ')[2]
+                ELSE 'Document' END AS detected_title
+    FROM documents
+    """,
+)
+def title_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14: title detection — first line if < 200 chars else 'Document'
+    (TreeIndex.js:448-451); the flat corpus has no newlines, so the
+    'first line' here is the first two tokens (same CASE shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    first = F.concat_ws(" ", toks.getItem(0), toks.getItem(1))
+    return d.select(
+        "doc_id",
+        F.when(F.length(first) < 200, first).otherwise("Document").alias("detected_title"),
+    )
+
+
+@query(
+    "hybrid_adaptive",
+    f"""
+    WITH kw AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM (SELECT doc_id, {_TF_SQL} AS score FROM documents)
+        WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20
+    ),
+    tre AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM (SELECT doc_id, {_OVERLAP_SQL} AS score FROM documents)
+        WHERE score > 0.3 ORDER BY score DESC, doc_id ASC LIMIT 20
+    ),
+    perf AS (
+        -- A1 weights learned from the global feedback pool for the two
+        -- strategies in play, normalized to sum 1
+        SELECT strategy, AVG((event_id % 101) / 100.0) AS avg_q
+        FROM (
+            SELECT CASE event_id % 2 WHEN 0 THEN 'keyword' ELSE 'tree' END AS strategy,
+                   event_id
+            FROM events
+        ) GROUP BY strategy
+    ),
+    w AS (
+        SELECT strategy, avg_q / SUM(avg_q) OVER () AS weight FROM perf
+    ),
+    unioned AS (
+        SELECT doc_id, rank, (SELECT weight FROM w WHERE strategy = 'keyword') AS wt FROM kw
+        UNION ALL
+        SELECT doc_id, rank, (SELECT weight FROM w WHERE strategy = 'tree') AS wt FROM tre
+    )
+    SELECT doc_id, ROUND(SUM(wt / (60 + rank)), 6) AS fused_score,
+           COUNT(*)::BIGINT AS n_strategies
+    FROM unioned GROUP BY doc_id
+    ORDER BY SUM(wt / (60 + rank)) DESC, doc_id ASC LIMIT 10
+    """,
+)
+def hybrid_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1→F4 composition: adaptive weights learned from feedback drive the
+    RRF fusion (the reference's retrieveWithCritique loop,
+    RecursiveLearningEngine.js:323-371, in one declarative plan)."""
+    from fusionspark.operators import fusion
+    from fusionspark.operators.keyword import keyword_overlap_search, keyword_search
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "events")
+    # learn weights from the feedback pool (deterministic fixture rule)
+    perf = (
+        e.select(
+            F.when(F.col("event_id") % 2 == 0, "keyword").otherwise("tree").alias("strategy"),
+            ((F.col("event_id") % 101) / 100.0).alias("q"),
+        )
+        .groupBy("strategy")
+        .agg(F.avg("q").alias("avg_q"))
+        .collect()
+    )
+    total = sum(r["avg_q"] for r in perf)
+    weights = {r["strategy"]: r["avg_q"] / total for r in perf}
+
+    kw = keyword_search(d, QUERY, top_k=20)
+    tre = keyword_overlap_search(d, QUERY, top_k=20, threshold=0.3)
+    fused = fusion.rrf_fuse({"keyword": kw, "tree": tre}, top_k=10, weights=weights)
+    return fused.select(
+        "doc_id", F.round("fused_score", 6).alias("fused_score"), "n_strategies"
+    )
+
+
+@query(
+    "tpch_region_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           COUNT(DISTINCT c.c_custkey)::BIGINT AS n_customers
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def tpch_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table snowflake join (Q5 shape): revenue per region/nation with
+    distinct-customer counts — broadcast everything but lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    )
