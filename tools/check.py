@@ -42,7 +42,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 else v
             )
         elif np.issubdtype(col.dtype, np.floating):
-            col = col.round(6)
+            # +0.0 collapses IEEE -0.0 (Spark round() emits +0.0 where
+            # DuckDB keeps -0.0; bitwise-different, numerically equal)
+            col = col.round(6) + 0.0
         elif np.issubdtype(col.dtype, np.datetime64):
             col = col.astype("datetime64[us]")
         out[c] = col
