@@ -14,11 +14,25 @@ Recall < 1 exactly like HNSW; brute-force knn (operators/knn.py) remains the
 ground truth.  Centroid choice here is deterministic (first k by id —
 reproducible across engines for the oracle); swap in MLlib KMeans at scale
 for better cluster geometry, same plan shape.
+
+Scale design (100 TB corpus, 1000 executors):
+- the centroid set is TINY (k ≤ a few thousand); it is collected to the
+  driver once and folded into a single projection — assignment is a pure
+  map, the corpus NEVER shuffles and no window/exchange appears in the plan
+  (the round-1 crossJoin+row_number version exchanged corpus×k rows
+  *including embedding payloads*);
+- `persist_ivf` writes the assignment `partitionBy("centroid_id")` so a
+  search reads only the nProbe chosen lists via Catalyst partition pruning
+  (PartitionFilters on the parquet scan — the 10-100× IO win);
+- the candidate top-k projects vector payloads away BEFORE the per-probe
+  window, so the only shuffle carries (probe_id, id, sim) rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fusionspark.functions import vector as V
@@ -38,6 +52,89 @@ def deterministic_centroids(
     )
 
 
+def _py_l2_norm(vec: list[float]) -> float:
+    """Left-to-right float64 sum-of-squares — matches the unrolled
+    l2_norm expression fold order exactly (float32 elements are exact in
+    float64, so this is bit-identical to Spark's / DuckDB's value)."""
+    acc = 0.0
+    for x in vec:
+        xx = float(x)
+        acc += xx * xx
+    return math.sqrt(acc)
+
+
+def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float], float]]:
+    """(centroid_id, vector, l2norm) sorted by id — the driver-side codebook
+    (k rows; tiny by construction)."""
+    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    out = []
+    for r in rows:
+        vec = [float(x) for x in r["centroid"]]
+        out.append((int(r["centroid_id"]), vec, _py_l2_norm(vec)))
+    return out
+
+
+def _assign_from_rows(
+    corpus: DataFrame,
+    crows: list[tuple[int, list[float], float]],
+    vector_col: str,
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (ties → lower
+    centroid_id) as a pure Arrow-batched map — the codebook ships in the
+    task closure, so the corpus never shuffles and the plan contains no
+    join/window/Exchange.  (The round-1 crossJoin+row_number form exchanged
+    corpus×k rows including embedding payloads; an expression-tree argmax
+    blows Janino's 64 KB method limit at k×dim terms and de-codegens the
+    whole stage.)
+
+    Bit-identical to the oracle's ROW_NUMBER form: the numpy fold below is
+    elementwise `acc = acc + E[:,i]·c_i` over i — the SAME left-to-right
+    float64 operation sequence per row as the unrolled Spark expression and
+    the DuckDB oracle, with no BLAS reassociation — and argmax ties resolve
+    to the first (lowest) centroid_id."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cids = np.asarray([c[0] for c in crows], dtype=np.int64)
+    C = [c[1] for c in crows]
+    cnorms = [c[2] for c in crows]
+    k = len(C)
+    d = len(C[0])
+
+    out_schema = StructType(
+        list(corpus.schema.fields)
+        + [StructField("c_sim", DoubleType()), StructField("centroid_id", LongType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            E = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
+            acc = np.zeros(n)
+            for i in range(d):
+                acc = acc + E[:, i] * E[:, i]
+            vnorm = np.sqrt(acc)
+            sims = np.empty((n, k))
+            for j in range(k):
+                accj = np.zeros(n)
+                cj = C[j]
+                for i in range(d):
+                    accj = accj + E[:, i] * cj[i]
+                denom = vnorm * cnorms[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims[:, j] = np.where(denom > 0, accj / denom, 0.0)
+            best = np.argmax(sims, axis=1)  # ties → first = lowest centroid_id
+            out = pdf.copy()
+            out["c_sim"] = sims[np.arange(n), best]
+            out["centroid_id"] = cids[best]
+            yield out
+
+    return corpus.mapInPandas(assign, schema=out_schema)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -45,16 +142,72 @@ def ivf_assign(
     vector_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (ties → lower
-    centroid_id).  Broadcast the centroids; the corpus never shuffles."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "c_sim", V.cosine_similarity(F.col(vector_col), F.col("centroid"), dim)
+    """Public shuffle-free assignment over a centroid DataFrame (collected
+    to the driver once — see _assign_from_rows for the scale story)."""
+    return _assign_from_rows(corpus, _collect_centroids(centroids), vector_col)
+
+
+def _probe_lists_local(
+    probes: DataFrame,
+    crows: list[tuple[int, list[float], float]],
+    n_probe: int,
+    probe_id_col: str,
+    probe_vector_col: str,
+):
+    """Driver-side probe→list routing: probes × codebook are both tiny, so
+    the n_probe closest lists per probe are computed in plain Python (same
+    left-to-right float64 fold as the oracle) — no crossJoin, no window.
+    Returns (probe_lists DataFrame, wanted centroid_id list)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = probes.sparkSession
+    prows = probes.collect()
+    recs = []
+    wanted: set[int] = set()
+    for pr in prows:
+        pv = [float(x) for x in pr[probe_vector_col]]
+        pn = _py_l2_norm(pv)
+        scored = []
+        for cid, cvec, cnorm in crows:
+            acc = 0.0
+            for i in range(len(pv)):
+                acc += pv[i] * cvec[i]
+            denom = pn * cnorm
+            scored.append(((acc / denom) if denom > 0 else 0.0, cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for _sim, cid in scored[:n_probe]:
+            recs.append((pr[probe_id_col], pr[probe_vector_col], cid))
+            wanted.add(cid)
+    schema = StructType(
+        [
+            probes.schema[probe_id_col],
+            probes.schema[probe_vector_col],
+            StructField("centroid_id", LongType()),
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("centroid_id").asc())
+    return spark.createDataFrame(recs, schema), sorted(wanted)
+
+
+def _rerank_candidates(
+    cand: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str,
+    vector_col: str,
+    probe_id_col: str,
+    probe_vector_col: str,
+) -> DataFrame:
+    """Exact cosine top-k inside the selected lists.  Payloads are projected
+    away before the per-probe window so the shuffle carries only
+    (probe_id, id, sim)."""
+    scored = cand.withColumn(
+        "sim", V.cosine_similarity(F.col(vector_col), F.col(probe_vector_col), dim)
+    ).select(probe_id_col, id_col, "sim")
+    wk = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("c_rn", F.row_number().over(w))
-        .filter(F.col("c_rn") == 1)
-        .drop("c_rn", "centroid")
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(probe_id_col, id_col, "sim", "rnk")
     )
 
 
@@ -68,42 +221,87 @@ def ivf_knn(
     vector_col: str = "embedding",
     probe_id_col: str = "probe_id",
     probe_vector_col: str = "probe_embedding",
+    assigned: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k: per probe, search only the n_probe closest inverted lists.
 
-    Returns (probe_id, vec_id, sim, rnk).  With the corpus persisted
-    partitioned-by-centroid this becomes a pruned scan; here the pruning is
-    the `probe_lists` semi-join.
+    Returns (probe_id, vec_id, sim, rnk).  Pass a prebuilt `assigned`
+    (+ matching `centroids`) to reuse the index across queries — e.g. from
+    `persist_ivf`/`ivf_search_persisted`; building per query is the cold
+    path.  Job count is minimal: one collect for the codebook, one for the
+    probes, then a single job (scan → assign map → broadcast join → top-k).
     """
-    from fusionspark.operators.knn import vector_dim
+    if centroids is None:
+        centroids = deterministic_centroids(corpus, n_centroids, id_col, vector_col)
+    crows = _collect_centroids(centroids)
+    dim = len(crows[0][1])
+    if assigned is None:
+        assigned = _assign_from_rows(corpus, crows, vector_col)
 
-    dim = vector_dim(corpus, vector_col)
-    centroids = deterministic_centroids(corpus, n_centroids, id_col, vector_col)
-    assigned = ivf_assign(corpus, centroids, id_col, vector_col, dim)
-
-    # which lists each probe searches
-    pc = probes.crossJoin(F.broadcast(centroids)).withColumn(
-        "p_sim", V.cosine_similarity(F.col(probe_vector_col), F.col("centroid"), dim)
+    probe_lists, wanted = _probe_lists_local(
+        probes, crows, n_probe, probe_id_col, probe_vector_col
     )
-    wp = Window.partitionBy(probe_id_col).orderBy(
-        F.col("p_sim").desc(), F.col("centroid_id").asc()
+    cand = assigned.filter(F.col("centroid_id").isin(wanted)).join(
+        F.broadcast(probe_lists), "centroid_id"
     )
-    probe_lists = (
-        pc.withColumn("p_rn", F.row_number().over(wp))
-        .filter(F.col("p_rn") <= n_probe)
-        .select(probe_id_col, probe_vector_col, "centroid_id")
+    return _rerank_candidates(
+        cand, k, dim, id_col, vector_col, probe_id_col, probe_vector_col
     )
 
-    # exact re-rank inside the selected lists only
-    cand = assigned.join(F.broadcast(probe_lists), "centroid_id")
-    scored = cand.withColumn(
-        "sim", V.cosine_similarity(F.col(vector_col), F.col(probe_vector_col), dim)
+
+# ── persisted index layout (the actual 100-TB path) ───────────────────────
+
+
+def persist_ivf(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Build the IVF index ONCE and write it `partitionBy(centroid_id)`:
+    `<path>/data/centroid_id=<c>/…` + `<path>/centroids/`.  Searches then
+    read only the chosen lists via Catalyst partition pruning — this is the
+    IO win the in-flight semi-join can't give (contract analogue:
+    /root/reference/src/core/HNSWIndex.js:245-320 build-once semantics)."""
+    if centroids is None:
+        centroids = deterministic_centroids(corpus, n_centroids, id_col, vector_col)
+    crows = _collect_centroids(centroids)
+    assigned = _assign_from_rows(corpus, crows, vector_col)
+    (
+        assigned.drop("c_sim")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/data")
     )
-    wk = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(wk))
-        .filter(F.col("rnk") <= k)
-        .select(probe_id_col, id_col, "sim", "rnk")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_search_persisted(
+    spark: SparkSession,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vector_col: str = "probe_embedding",
+) -> DataFrame:
+    """Search a `persist_ivf` index.  The union of each probe's n_probe lists
+    becomes a literal IN-filter on the partition column, so the parquet scan
+    shows PartitionFilters and touches only those directories."""
+    crows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    dim = len(crows[0][1])
+    probe_lists, wanted = _probe_lists_local(
+        probes, crows, n_probe, probe_id_col, probe_vector_col
+    )
+    data = spark.read.parquet(f"{path}/data").filter(F.col("centroid_id").isin(wanted))
+    cand = data.join(F.broadcast(probe_lists), "centroid_id")
+    return _rerank_candidates(
+        cand, k, dim, id_col, vector_col, probe_id_col, probe_vector_col
     )
 
 
@@ -123,7 +321,7 @@ def kmeans_centroids(
     ivf_assign / ivf_knn unchanged.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(
         F.col(id_col), array_to_vector(F.col(vector_col).cast("array<double>")).alias("features")
@@ -149,33 +347,14 @@ def ivf_knn_kmeans(
 ) -> DataFrame:
     """IVF search over KMeans-trained lists (same plan as ivf_knn with a
     learned codebook)."""
-    id_col = kwargs.get("id_col", "vec_id")
-    vector_col = kwargs.get("vector_col", "embedding")
-    probe_id_col = kwargs.get("probe_id_col", "probe_id")
-    probe_vector_col = kwargs.get("probe_vector_col", "probe_embedding")
-    from fusionspark.operators.knn import vector_dim
-
-    dim = vector_dim(corpus, vector_col)
-    centroids = kmeans_centroids(corpus, n_centroids, seed, id_col, vector_col)
-    assigned = ivf_assign(corpus, centroids, id_col, vector_col, dim)
-    pc = probes.crossJoin(F.broadcast(centroids)).withColumn(
-        "p_sim", V.cosine_similarity(F.col(probe_vector_col), F.col("centroid"), dim)
+    centroids = kmeans_centroids(
+        corpus,
+        n_centroids,
+        seed,
+        kwargs.get("id_col", "vec_id"),
+        kwargs.get("vector_col", "embedding"),
     )
-    wp = Window.partitionBy(probe_id_col).orderBy(
-        F.col("p_sim").desc(), F.col("centroid_id").asc()
-    )
-    probe_lists = (
-        pc.withColumn("p_rn", F.row_number().over(wp))
-        .filter(F.col("p_rn") <= n_probe)
-        .select(probe_id_col, probe_vector_col, "centroid_id")
-    )
-    cand = assigned.join(F.broadcast(probe_lists), "centroid_id")
-    scored = cand.withColumn(
-        "sim", V.cosine_similarity(F.col(vector_col), F.col(probe_vector_col), dim)
-    )
-    wk = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(wk))
-        .filter(F.col("rnk") <= k)
-        .select(probe_id_col, id_col, "sim", "rnk")
+    return ivf_knn(
+        corpus, probes, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        centroids=centroids, **kwargs,
     )

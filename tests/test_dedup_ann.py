@@ -79,3 +79,55 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     recalls = [len(ex[p] & ap.get(p, set())) / len(ex[p]) for p in ex]
     # learned centroids at nProbe=4/8 should beat or match the naive split
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ivf_persisted_matches_inflight(spark, sf_dir, tmp_path):
+    """persist_ivf → ivf_search_persisted returns the same rows as the
+    in-flight ivf_knn, and the data scan prunes to the wanted partitions
+    (PartitionFilters on centroid_id — the 100-TB IO win)."""
+    import io as _io
+    import contextlib
+
+    from fusionspark.operators.ann import ivf_search_persisted, persist_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = self_probes(e, 5)
+    path = str(tmp_path / "ivf_index")
+    persist_ivf(e, path, n_centroids=8)
+
+    inflight = ivf_knn(e, probes, k=10, n_centroids=8, n_probe=2)
+    persisted = ivf_search_persisted(spark, path, probes, k=10, n_probe=2)
+    a = sorted(map(tuple, inflight.collect()))
+    b = sorted(map(tuple, persisted.collect()))
+    assert a == b
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        persisted.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the partition filter must actually reference the partition column
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "centroid_id" in pf.group(1)
+
+
+def test_ivf_assign_no_shuffle(spark, sf_dir):
+    """The assignment plan must be a pure map over the scan: no Exchange,
+    no join, no window (the round-1 version shuffled corpus×k rows)."""
+    import io as _io
+    import contextlib
+
+    from fusionspark.operators.ann import deterministic_centroids, ivf_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(e, 8)
+    assigned = ivf_assign(e, cents)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assigned.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
