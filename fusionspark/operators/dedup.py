@@ -13,8 +13,8 @@ never materializes globally:
               (no UDF); hashes are md5-derived so any engine reproduces
               them.
 - SimHash:    32-bit sign-aggregated token hashes; near-dups = hamming ≤ r
-              on a bit_count(xor) self-join (blocked at scale by simhash
-              prefix bands).
+              via prefix-band blocking (r+1 bands; pigeonhole-complete)
+              with an exact bit_count(xor) verify inside each bucket.
 - n-gram:     word-3-gram Jaccard within cheap blocks (lang, source).
 - embedding:  cosine ≥ θ within blocks (label / IVF centroid at scale).
 """
@@ -228,22 +228,65 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return votes.select(F.col(id_col), simhash.alias("simhash"))
 
 
+def simhash_bands(
+    sh: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """(id, simhash, band, band_val) — the 32 bits split into max_hamming+1
+    contiguous bands.  Pigeonhole: a pair with ≤ r differing bits cannot
+    differ in all r+1 bands, so every true near-dup pair shares at least
+    one (band, band_val) key — the equi-join on that key is the blocking
+    that replaces the O(N²) all-pairs join."""
+    n_bands = max_hamming + 1
+    base, rem = divmod(32, n_bands)
+    entries, lo = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < rem else 0)
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                # bits [lo, lo+width): literal shift counts per band
+                F.shiftright(F.col(hash_col), lo)
+                .bitwiseAND((1 << width) - 1)
+                .alias("band_val"),
+            )
+        )
+        lo += width
+    return sh.select(
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*entries)).alias("bv")
+    ).select(
+        id_col, hash_col, F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
+    )
+
+
 def simhash_neardup(
     df: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Pairs with hamming(simhash_a, simhash_b) ≤ r.  Blocked at scale by
-    16-bit prefix bands (two-band pigeonhole covers r ≤ 16); exact xor
-    verify after."""
+    """Pairs with hamming(simhash_a, simhash_b) ≤ r, found via prefix-band
+    blocking: candidates meet only inside a shared (band, band_val) bucket
+    (complete by pigeonhole — see simhash_bands), then the exact
+    bit_count(xor) verify keeps true pairs.  A pair sharing several bands
+    appears once (distinct on the pair).  The shuffle key is the band
+    bucket, so the pair space never materializes globally — the round-1
+    all-pairs `a.id < b.id` theta-join was O(N²) at any scale."""
     sh = simhash32(df, id_col, text_col)
-    a, b = sh.alias("a"), sh.alias("b")
+    be = simhash_bands(sh, max_hamming, id_col)
+    a, b = be.alias("a"), be.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select(
@@ -251,6 +294,7 @@ def simhash_neardup(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("hamming").cast("int").alias("hamming"),
         )
+        .distinct()
     )
 
 

@@ -131,3 +131,28 @@ def test_ivf_assign_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_simhash_banding_matches_allpairs(spark):
+    """The banded join must return exactly the all-pairs result (pigeonhole
+    completeness), and its plan must not contain a cartesian product."""
+    import io as _io
+    import contextlib
+
+    rows = [(i, f"shared common tokens alpha beta gamma delta {'x' * (i % 3)} {i % 5}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(df).collect()}
+    brute = set()
+    for a in sh:
+        for b in sh:
+            if a < b and bin(sh[a] ^ sh[b]).count("1") <= 4:
+                brute.add((a, b))
+    banded = {(r["id_a"], r["id_b"]) for r in dedup.simhash_neardup(df, max_hamming=4).collect()}
+    assert banded == brute
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup.simhash_neardup(df, max_hamming=4).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
