@@ -66,36 +66,115 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
 MINHASH_MOD = 2147483647  # 2^31 - 1
 
 
+def _py_shingles(text: str | None, n: int = 3) -> list[str]:
+    """Python replay of word_shingles(tokenize(text)): lowercase, split on
+    Java-\\s runs, drop empties, word n-grams with slice semantics
+    (sequence(1, greatest(len-n+1, 1)) → at least one, possibly short,
+    shingle).  Kept bit-compatible with the SQL oracle."""
+    import re
+
+    toks = [t for t in re.split("[ \t\n\x0b\f\r]+", (text or "").lower()) if t]
+    m = max(len(toks) - (n - 1), 1)
+    return [" ".join(toks[i : i + n]) for i in range(m)]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
+    drop_shingles: frozenset[str] | None = None,
 ) -> DataFrame:
-    """(id, h0..h{k-1}) via explode → 2 md5 bases → k Carter-Wegman derived
-    hashes h_i = (b1 + i·b2) mod (2^31-1) → groupBy min.
+    """(id, h0..h{k-1}): 2 md5 bases per shingle → k Carter-Wegman derived
+    hashes h_i = (b1 + i·b2) mod (2^31-1) → min per document.
 
-    Ordinary expressions + a map-side-combinable aggregate: the shuffle
-    carries one k-wide row per document, and only TWO md5 evaluations per
-    shingle regardless of k — this is the form that survives 100 TB (and is
-    ~40× faster than a per-hash HOF signature locally).  Pure integer
-    arithmetic (b1 + 15·b2 < 2^36 ≪ 2^63) so any engine replays it."""
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("s"))
-    based = sh.select(
-        id_col,
-        md5_hash32(F.col("s")).alias("b1"),
-        md5_hash32(F.concat(F.lit("x:"), F.col("s"))).alias("b2"),
+    Signatures are strictly per-document, so this is ONE Arrow-batched map
+    over the corpus — no explode, no groupBy, zero shuffle (the round-1
+    explode/groupBy form shuffled |shingles| rows; the HOF shingle
+    expression was also CodegenFallback-interpreted and dominated the
+    dedup bench).  Pure integer arithmetic (b1 + 15·b2 < 2^36 ≪ 2^63) and
+    md5 make any engine replay it exactly.
+
+    drop_shingles: optional boilerplate set (see top_df_shingles) removed
+    before hashing — the SCALE.md document-frequency knob, off by default
+    (changes signatures, so the oracle query keeps it off)."""
+    import hashlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[id_col]]
+        + [StructField(f"h{i}", LongType()) for i in range(num_hashes)]
     )
-    hashed = based.select(
-        id_col,
-        *[
-            ((F.col("b1") + F.lit(i) * F.col("b2")) % MINHASH_MOD).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
+    ks = list(range(num_hashes))
+
+    def sign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_ids = []
+            mins_rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                mins = [None] * num_hashes
+                for s in _py_shingles(text):
+                    if drop_shingles and s in drop_shingles:
+                        continue
+                    hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+                    b1 = int(hx[:8], 16)
+                    b2 = int(
+                        hashlib.md5(("x:" + s).encode("utf-8")).hexdigest()[:8], 16
+                    )
+                    for j in ks:
+                        h = (b1 + j * b2) % MINHASH_MOD
+                        mj = mins[j]
+                        if mj is None or h < mj:
+                            mins[j] = h
+                out_ids.append(did)
+                mins_rows.append(mins)
+            data = {id_col: out_ids}
+            for j in ks:
+                data[f"h{j}"] = [m[j] for m in mins_rows]
+            yield pd.DataFrame(data)
+
+    return df.select(id_col, text_col).mapInPandas(sign, schema=out_schema)
+
+
+def top_df_shingles(
+    df: DataFrame,
+    max_df: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[str]:
+    """Shingles appearing in more than max_df of documents — boilerplate to
+    drop before MinHash at scale (headers/footers/license blocks otherwise
+    glue unrelated documents into one degenerate LSH bucket).  One explode
+    + one map-side-combinable count."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([df.schema[id_col], StructField("s", StringType())])
+
+    def emit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sh = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for s in set(_py_shingles(text)):
+                    ids.append(did)
+                    sh.append(s)
+            yield pd.DataFrame({id_col: ids, "s": sh})
+
+    n_docs = df.count()
+    counts = (
+        df.select(id_col, text_col)
+        .mapInPandas(emit, schema=schema)
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df * n_docs)
     )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
-    )
+    return [r["s"] for r in counts.collect()]
 
 
 # ── exact dedup ───────────────────────────────────────────────────────────
@@ -151,17 +230,49 @@ def minhash_candidates(
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
+    salt_threshold: int = 256,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from shared LSH buckets.
     The self-join is per-bucket — the shuffle key is band_key, so skew only
-    arises from genuinely repeated content."""
+    arises from genuinely repeated content.
+
+    Degenerate buckets (> salt_threshold members — e.g. a boilerplate-heavy
+    corpus collapsing into one band key) are salt-split: the left side gets
+    a deterministic salt in [0, n_salts), the right side replicates one row
+    per salt, and the join key gains the salt — every pair still meets
+    EXACTLY once (the result set is unchanged) but the quadratic bucket's
+    work spreads over n_salts reducers instead of hot-spotting one.  Small
+    buckets pay nothing (salt 0, no replication)."""
+    from pyspark.sql import Window
+
     be = minhash_bands(df, id_col, text_col, num_hashes, bands)
-    a, b = be.alias("a"), be.alias("b")
+    # bucket size via one window pass (same shuffle key the join needs
+    # anyway), then cache: the table feeds BOTH join sides — without the
+    # cache the whole signature map would be recomputed per side
+    be = be.withColumn(
+        "_bn", F.count("*").over(Window.partitionBy("band", "band_key"))
+    ).cache()
+    big = F.col("_bn") > salt_threshold
+    a = be.withColumn(
+        "_salt",
+        F.when(big, F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int"))
+        .otherwise(F.lit(0)),
+    ).select(id_col, "band", "band_key", "_salt")
+    b = be.withColumn(
+        "_salt",
+        F.explode(
+            F.when(big, F.sequence(F.lit(0), F.lit(n_salts - 1)))
+            .otherwise(F.array(F.lit(0)))
+        ),
+    ).select(id_col, "band", "band_key", "_salt")
+    a, b = a.alias("a"), b.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

@@ -156,3 +156,35 @@ def test_simhash_banding_matches_allpairs(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_adversarial_identical_corpus(spark):
+    """1k identical docs collapse into one LSH bucket per band; the
+    salt-split must spread the quadratic bucket and still return every
+    pair exactly once."""
+    rows = [(i, "exact same boilerplate text repeated in every document") for i in range(1000)]
+    rows += [(1000 + i, f"unique document number {i} entropy {i * 7} {i * 13}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    n = dedup.minhash_candidates(df).count()
+    assert n == 1000 * 999 // 2  # all identical pairs, each exactly once
+
+
+def test_minhash_salt_preserves_pairs(spark):
+    """With the threshold forced to 0 (everything salted), the candidate
+    set must equal the unsalted one."""
+    rows = [(i, f"shared prefix words alpha beta gamma {i % 4}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    salted = {(r["id_a"], r["id_b"]) for r in dedup.minhash_candidates(df, salt_threshold=0, n_salts=8).collect()}
+    plain = {(r["id_a"], r["id_b"]) for r in dedup.minhash_candidates(df, salt_threshold=10**9).collect()}
+    assert salted == plain and len(plain) > 0
+
+
+def test_top_df_shingles_drops_boilerplate(spark):
+    rows = [(i, f"common legal header for all docs :: payload {i} {i * 3}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    boiler = set(dedup.top_df_shingles(df, max_df=0.9))
+    assert "common legal header" in boiler
+    # signatures with boilerplate dropped differ from the plain ones
+    plain = dedup.minhash_signatures(df).collect()
+    dropped = dedup.minhash_signatures(df, drop_shingles=frozenset(boiler)).collect()
+    assert {tuple(r) for r in plain} != {tuple(r) for r in dropped}
