@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass, field
@@ -67,6 +68,11 @@ class FusionSparkEngine:
 
     def create_collection(self, name: str, config: CollectionConfig | None = None) -> dict:
         """S1 (FusionEngine.js:91-112)."""
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise ValueError(
+                f"invalid collection name {name!r}: names become filesystem "
+                "path components, allowed chars are [A-Za-z0-9_.-]"
+            )
         if name in self._catalog:
             raise ValueError(f"collection {name!r} exists")
         cfg = config or CollectionConfig()
@@ -109,7 +115,9 @@ class FusionSparkEngine:
         ttl_ms: int = 0,
     ) -> int:
         """S2 (FusionEngine.js:175-193): append entries, tag tenant/ttl/ts;
-        dimension-checked like HNSWIndex.js:129-133."""
+        dimension-checked like HNSWIndex.js:129-133.  Per-entry
+        tenant_id/ts/ttl_ms keys override the batch defaults (used by the
+        S7 import path to preserve provenance)."""
         cfg = self._catalog[collection]
         dim = cfg["dimensions"]
         now = int(time.time() * 1000)
@@ -128,9 +136,9 @@ class FusionSparkEngine:
                     [float(x) for x in vec],
                     e.get("content"),
                     {str(k): str(v) for k, v in (e.get("metadata") or {}).items()},
-                    tenant_id,
-                    now,
-                    ttl_ms,
+                    e.get("tenant_id", tenant_id),
+                    int(e.get("ts", now)),
+                    int(e.get("ttl_ms", ttl_ms)),
                 )
             )
         df = self.spark.createDataFrame(
@@ -141,15 +149,30 @@ class FusionSparkEngine:
         df.write.mode("append").parquet(self._path(collection))
         return len(rows)
 
+    def _rewrite(self, collection: str, keep: DataFrame) -> None:
+        """Rewrite a collection to `keep` with a crash-safe swap: write tmp,
+        live → .old, tmp → live, drop .old (restoring .old if the second
+        rename fails) — at no point is the live directory missing while the
+        catalog still lists it.  Delta `DELETE WHERE` is the ACID form of
+        this at scale."""
+        live = self._path(collection)
+        tmp, old = live + ".tmp", live + ".old"
+        keep.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(live, old)
+        try:
+            os.rename(tmp, live)
+        except OSError:
+            os.rename(old, live)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+
     def delete(self, collection: str, ids: list[str]) -> None:
         """S4: anti-join rewrite (Delta DELETE at scale;
         FusionEngine.js:236-241)."""
         df = self._load(collection)
         keep = df.filter(~F.col("id").isin([str(i) for i in ids]))
-        tmp = self._path(collection) + ".tmp"
-        keep.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self._path(collection))
-        os.rename(tmp, self._path(collection))
+        self._rewrite(collection, keep)
 
     # ── search (V1-V7, §3.1) ──────────────────────────────────────────────
 
@@ -258,38 +281,52 @@ class FusionSparkEngine:
         )
 
     def forget(self, agent_id: str, mem_type: str = "episodic") -> None:
-        """M3 GDPR delete (AgentMemory.js:530-565)."""
+        """M3 GDPR delete (AgentMemory.js:530-565): a pure anti-filter
+        rewrite — no ids ever reach the driver, so a tenant of any size
+        deletes in one distributed pass (Delta `DELETE WHERE tenant_id = ?`
+        at scale).  eqNullSafe keeps untenanted rows."""
         coll = f"_memory_{mem_type}"
-        df = self._load(coll)
-        ids = [r["id"] for r in df.filter(F.col("tenant_id") == agent_id).select("id").collect()]
-        if ids:
-            self.delete(coll, ids)
+        keep = self._load(coll).filter(~F.col("tenant_id").eqNullSafe(agent_id))
+        self._rewrite(coll, keep)
 
     # ── RAG (§3.3) ────────────────────────────────────────────────────────
 
     def ingest(
         self, collection: str, doc_id: str, text: str, strategy: str = "recursive"
     ) -> int:
-        """RAGPipeline.ingest: chunk → embed → insert; the reference's
-        sequential embed loop becomes a distributed batch
-        (RAGPipeline.js:91-137)."""
+        """RAGPipeline.ingest: chunk → embed → append, distributed END TO
+        END — chunks never come back to the driver (the reference's
+        sequential embed loop, RAGPipeline.js:91-137, and round-1's
+        collect-and-reinsert both funnel the corpus through one process).
+        Embeddings come from the engine's embed_fn via the distinct-text
+        Arrow batch; the append write is the only action."""
+        from fusionspark.operators.embedder import embed_texts
+
         if collection not in self._catalog:
             self.create_collection(collection, CollectionConfig())
+        dim = self._catalog[collection]["dimensions"]
+        now = int(time.time() * 1000)
         docs = self.spark.createDataFrame([(doc_id, text)], "doc_id: string, text: string")
-        chunks = chunk_documents(docs, strategy).collect()
-        entries = [
-            {
-                "id": f"{doc_id}_chunk_{c['chunk_index']}",
-                "content": c["chunk_text"],
-                "metadata": {
-                    "_chunk_index": c["chunk_index"],
-                    "_total_chunks": c["total_chunks"],
-                    "_source": doc_id,
-                },
-            }
-            for c in chunks
-        ]
-        return self.insert(collection, entries)
+        chunks = chunk_documents(docs, strategy)
+        emb = embed_texts(chunks, "chunk_text", dim, self.embedder)
+        entries = (
+            chunks.join(F.broadcast(emb), chunks["chunk_text"] == emb["text"], "left")
+            .select(
+                F.concat(F.lit(f"{doc_id}_chunk_"), F.col("chunk_index").cast("string")).alias("id"),
+                F.col("embedding").cast("array<float>").alias("vector"),
+                F.col("chunk_text").alias("content"),
+                F.create_map(
+                    F.lit("_chunk_index"), F.col("chunk_index").cast("string"),
+                    F.lit("_total_chunks"), F.col("total_chunks").cast("string"),
+                    F.lit("_source"), F.lit(doc_id),
+                ).alias("metadata"),
+                F.lit(None).cast("string").alias("tenant_id"),
+                F.lit(now).cast("long").alias("ts"),
+                F.lit(0).cast("long").alias("ttl_ms"),
+            )
+        )
+        entries.write.mode("append").parquet(self._path(collection))
+        return chunks.count()
 
     def build_context(
         self, collection: str, query: str, max_tokens: int = 2000, top_k: int = 10
@@ -370,18 +407,28 @@ def import_json(self, payload: dict) -> int:
                 metric=cfg.get("metric", "cosine"),
             ),
         )
-    entries = [
-        {
+    entries = []
+    for e in payload.get("entries", []):
+        meta = e.get("metadata") or {}
+        entry = {
             "id": e["id"],
             "vector": e["vector"],
-            "content": (e.get("metadata") or {}).get("_content"),
+            "content": meta.get("_content"),
             "metadata": {
-                k: v for k, v in (e.get("metadata") or {}).items()
-                if not k.startswith("_")
+                k: v for k, v in meta.items() if not k.startswith("_")
             },
         }
-        for e in payload.get("entries", [])
-    ]
+        # restore the system fields export_json tucked into metadata —
+        # dropping them silently loses tenant isolation and TTL expiry
+        # (an imported row with tenant NULL is invisible to tenant-scoped
+        # recall but visible to untenanted queries; ttl 0 never expires)
+        if meta.get("_tenant_id") is not None:
+            entry["tenant_id"] = meta["_tenant_id"]
+        if meta.get("_timestamp") is not None:
+            entry["ts"] = meta["_timestamp"]
+        if meta.get("_ttl") is not None:
+            entry["ttl_ms"] = meta["_ttl"]
+        entries.append(entry)
     return self.insert(name, entries) if entries else 0
 
 

@@ -119,3 +119,48 @@ def test_collaborative_recall(engine):
     out = engine.collaborative_recall(["agent-7", "agent-8"], "spark jobs plan")
     assert set(out) == {"agent-7", "agent-8", "shared"}
     assert out["agent-7"]
+
+
+def test_import_restores_tenant_ttl_ts(engine, spark, tmp_path):
+    """S7 round trip must preserve tenant isolation and TTL (ADVICE r1):
+    imported rows stay visible to tenant-scoped search and keep expiring."""
+    engine.create_collection("rt", CollectionConfig(dimensions=4))
+    engine.insert(
+        "rt",
+        [{"id": "x", "vector": [1, 0, 0, 0]}],
+        tenant_id="tenantA",
+        ttl_ms=10**12,
+    )
+    dump = engine.export_json("rt")
+    other = FusionSparkEngine(spark, str(tmp_path / "store3"))
+    dump["name"] = "rt2"
+    other.import_json(dump)
+    row = other.get("rt2", "x")
+    assert row["tenant_id"] == "tenantA"
+    assert row["ttl_ms"] == 10**12
+    src = engine.get("rt", "x")
+    assert row["ts"] == src["ts"]  # original timestamp, not import time
+    # tenant-scoped search still sees it
+    hits = other.search("rt2", query_vector=[1, 0, 0, 0], tenant_id="tenantA", top_k=1)
+    assert hits and hits[0]["id"] == "x"
+
+
+def test_forget_is_tenant_scoped_without_collect(engine):
+    """forget removes exactly one tenant's rows, keeping other tenants AND
+    untenanted rows (null-safe anti-filter)."""
+    engine.remember("agentA", "alpha memory")
+    engine.remember("agentB", "beta memory")
+    engine.insert("_memory_episodic", [{"id": "untenanted", "content": "shared note"}])
+    engine.forget("agentA")
+    df = engine._load("_memory_episodic")
+    tenants = {r["tenant_id"] for r in df.select("tenant_id").collect()}
+    assert "agentA" not in tenants
+    assert "agentB" in tenants and None in tenants
+
+
+def test_collection_name_validation(engine):
+    import pytest as _pytest
+
+    for bad in ("../escape", "a/b", "", "a b"):
+        with _pytest.raises(ValueError):
+            engine.create_collection(bad)
