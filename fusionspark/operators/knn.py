@@ -176,10 +176,21 @@ def _numpy_score_topk(
         pn[pn == 0] = 1.0
 
     src = corpus.select(F.col(id_col), F.col(vector_col).alias("_v"))
-    out_schema = f"{probe_id_col} long, {id_col} long, distance double, score double"
-    id_is_str = dict(corpus.dtypes)[id_col] == "string"
-    if id_is_str:
-        out_schema = f"{probe_id_col} string, {id_col} string, distance double, score double"
+
+    def _arrow_type(df: DataFrame, col: str) -> str:
+        """Declared Arrow type for an id column — derived per side (a string
+        probe_id with a bigint corpus id must not inherit the corpus type)."""
+        dt = dict(df.dtypes)[col]
+        if dt == "string":
+            return "string"
+        if dt in ("bigint", "int", "smallint", "tinyint"):
+            return "long"
+        raise TypeError(f"unsupported id column type {dt!r} for {col!r}")
+
+    out_schema = (
+        f"{probe_id_col} {_arrow_type(probes, probe_id_col)}, "
+        f"{id_col} {_arrow_type(corpus, id_col)}, distance double, score double"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts: list[pd.DataFrame] = []
@@ -199,16 +210,32 @@ def _numpy_score_topk(
                 dist = np.sqrt(np.maximum(e2 + p2 - 2.0 * (E @ P.T), 0.0))
             ids = pdf[id_col].to_numpy()
             kk = min(k, dist.shape[0])
-            # vectorized per-probe top-k: one argpartition over the whole
-            # (batch × probes) distance matrix, no Python loop per probe
-            idx = np.argpartition(dist, kk - 1, axis=0)[:kk]  # (kk, Q)
-            flat = idx.ravel(order="F")
-            d = np.take_along_axis(dist, idx, axis=0).ravel(order="F")
+            # per-probe top-k with the documented (distance, id ASC)
+            # tie-break: argpartition finds the kk-smallest, then every row
+            # tied with the boundary distance joins the candidate pool so
+            # the final cut can resolve ties by id — a bare argpartition
+            # cut may keep a larger id and drop a smaller one the global
+            # window can never recover (duplicate vectors made bench
+            # results differ run to run)
+            sel_p, sel_i, sel_d = [], [], []
+            for qi in range(dist.shape[1]):
+                dq = dist[:, qi]
+                if kk < dq.shape[0]:
+                    part = np.argpartition(dq, kk - 1)[:kk]
+                    boundary = dq[part].max()
+                    cand = np.flatnonzero(dq <= boundary)
+                else:
+                    cand = np.arange(dq.shape[0])
+                best = sorted(zip(dq[cand], ids[cand]))[:kk]
+                sel_p.extend([probe_ids[qi]] * len(best))
+                sel_d.extend(b[0] for b in best)
+                sel_i.extend(b[1] for b in best)
+            d = np.asarray(sel_d)
             parts.append(
                 pd.DataFrame(
                     {
-                        probe_id_col: np.repeat(np.asarray(probe_ids), kk),
-                        id_col: ids[flat],
+                        probe_id_col: sel_p,
+                        id_col: sel_i,
                         "distance": d,
                         "score": 1.0 - d,
                     }
