@@ -114,6 +114,67 @@ def strip_html(col: F.Column) -> F.Column:
     return F.regexp_replace(col, "<[^>]*>", " ")
 
 
+#: the reference's heading matcher (TreeIndex.js:353): case-insensitive,
+#: non-greedy inner, closing tag level NOT required to match the opener.
+HTML_HEADING_RE = "(?i)<h([1-6])[^>]*>(.*?)</h[1-6]>"
+
+
+def _html_clean(col: F.Column) -> F.Column:
+    """_stripHTML (TreeIndex.js:443-445): tags → space, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(strip_html(col), r"\s+", " "))
+
+
+def parse_html_sections(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "html"
+) -> DataFrame:
+    """T5: HTML `<h1-6>` section extraction (TreeIndex.js:351-393).
+
+    Each heading starts a section; its content is the stripped HTML between
+    the end of its tag and the next heading (or end of document); the title
+    is the heading's inner HTML with tags removed, trimmed.  A document
+    with no headings becomes one level-1 'Document' section.  All column
+    expressions: regexp_extract_all for (level, title), a regex split for
+    the between-heading segments (limit -1 keeps trailing empties), one
+    posexplode.  Output (id, sec_idx, level, title, content) drops straight
+    into build_tree / leaves like the markdown parser."""
+    src = docs.select(F.col(id_col), F.col(text_col).alias("_html"))
+    lvls = F.regexp_extract_all(F.col("_html"), F.lit(HTML_HEADING_RE), 1)
+    tts = F.regexp_extract_all(F.col("_html"), F.lit(HTML_HEADING_RE), 2)
+    segs = F.split(F.col("_html"), HTML_HEADING_RE, -1)
+    n = F.size(lvls)
+    entries = F.when(
+        n == 0,
+        F.array(
+            F.struct(
+                F.lit(1).alias("level"),
+                F.lit("Document").alias("title"),
+                _html_clean(F.col("_html")).alias("content"),
+            )
+        ),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                F.element_at(lvls, i).cast("int").alias("level"),
+                F.trim(
+                    F.regexp_replace(F.element_at(tts, i), "<[^>]*>", "")
+                ).alias("title"),
+                _html_clean(F.element_at(segs, i + 1)).alias("content"),
+            ),
+        )
+    )
+    return src.select(
+        F.col(id_col), F.posexplode(entries).alias("pos", "s")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).cast("long").alias("sec_idx"),
+        F.col("s.level").cast("int").alias("level"),
+        F.col("s.title").alias("title"),
+        F.col("s.content").alias("content"),
+    )
+
+
 def reasoning_search(
     tree_df: DataFrame,
     terms: list[str],

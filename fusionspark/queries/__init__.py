@@ -43,6 +43,8 @@ PRIORITY: list[str] = [
     "capability_rank", "broadcast_targets", "adaptive_weights",
     "query_patterns", "skill_ema", "skill_match", "reflection_context",
     "triple_edges", "graph_summary",
+    # new in round 2 — no CORRECTNESS row yet
+    "html_sections", "chunks_paragraph",
 ]
 
 

@@ -41,6 +41,21 @@ def chunks_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("chunks_paragraph")
+def chunks_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: paragraph-packing chunker (RAGPipeline.js:324-339) over a
+    paragraph-ized corpus (a blank line inserted every 12 words of the
+    flat text; chunk_size=160 forces multi-chunk packing)."""
+    d = load_table(spark, sf_dir, "documents")
+    para = d.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"((?:\S+\s+){11}\S+)\s+", "$1\n\n")
+    )
+    ch = chunk_documents(para, "paragraph", chunk_size=160)
+    return ch.select(
+        "doc_id", "chunk_index", "total_chunks", F.length("chunk_text").alias("chunk_len")
+    )
+
+
 @query("mock_embeddings")
 def mock_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V9: deterministic mock embedder (providers.js:87-105) — unit-norm

@@ -355,3 +355,84 @@ def tree_reasoning_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("level").cast("long").alias("level"),
         F.round("score", 6).alias("score"),
     )
+
+
+# ── HTML section parsing (T5) ─────────────────────────────────────────────
+# HTML corpus constructed identically on both engines: every doc gets an
+# <h1>; doc_id%3<>0 adds an <h2> with inner tags in the title; doc_id%4=0
+# adds an <h3>; doc_id%7=0 has NO headings at all (exercises the
+# 'Document' fallback).  The oracle is the closed form of the reference
+# parser (TreeIndex.js:351-393) over this corpus; the Spark side runs the
+# generic regex parser + build_tree, so equality validates the parser.
+
+_HTML_STRIP = "trim(regexp_replace(regexp_replace({x}, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+HTML_SECTIONS_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, text, lang, source,
+           doc_id % 7 = 0 AS plain,
+           doc_id % 3 <> 0 AS has2,
+           doc_id % 4 = 0 AS has3
+    FROM documents
+),
+secs AS (
+    -- no-heading fallback: single 'Document' section
+    SELECT doc_id, 1::BIGINT AS sec_idx, 1 AS level, 'Document' AS title,
+           {_HTML_STRIP.format(x="'<span>' || text || '</span>'")} AS content,
+           0::BIGINT AS parent_idx
+    FROM base WHERE plain
+    UNION ALL
+    SELECT doc_id, 1::BIGINT, 1, 'Doc ' || doc_id::VARCHAR,
+           {_HTML_STRIP.format(x="'<p>' || text || '</p>'")},
+           0::BIGINT
+    FROM base WHERE NOT plain
+    UNION ALL
+    SELECT doc_id, 2::BIGINT, 2,
+           trim(regexp_replace('Part <b>' || lang || '</b>', '<[^>]*>', '', 'g')),
+           {_HTML_STRIP.format(x="'<div>' || source || ' details</div>'")},
+           1::BIGINT
+    FROM base WHERE NOT plain AND has2
+    UNION ALL
+    SELECT doc_id, (CASE WHEN has2 THEN 3 ELSE 2 END)::BIGINT, 3, 'Notes',
+           'final notes',
+           (CASE WHEN has2 THEN 2 ELSE 1 END)::BIGINT
+    FROM base WHERE NOT plain AND has3
+)
+SELECT doc_id, sec_idx, level::BIGINT AS level, title, content, parent_idx
+FROM secs
+"""
+
+
+@query("html_sections", HTML_SECTIONS_ORACLE)
+def html_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: <h1-6> section extraction (TreeIndex.js:351-393) through the
+    generic regex parser, then T7 parent assignment via the SAME build_tree
+    the markdown path uses."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("<span>"), F.col("text"), F.lit("</span>")),
+    ).otherwise(
+        F.concat(
+            F.lit('<h1 id="d">Doc '), F.col("doc_id").cast("string"), F.lit("</h1><p>"),
+            F.col("text"), F.lit("</p>"),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(
+                    F.lit("<h2>Part <b>"), F.col("lang"), F.lit("</b></h2><div>"),
+                    F.col("source"), F.lit(" details</div>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("<h3>Notes</h3>final notes")).otherwise(F.lit("")),
+        )
+    )
+    secs = tree.parse_html_sections(d.select("doc_id", html.alias("html")), id_col="doc_id")
+    t = tree.build_tree(secs, id_col="doc_id")
+    return t.select(
+        "doc_id",
+        F.col("sec_idx").cast("long").alias("sec_idx"),
+        F.col("level").cast("long").alias("level"),
+        "title",
+        "content",
+        F.col("parent_idx").cast("long").alias("parent_idx"),
+    )
