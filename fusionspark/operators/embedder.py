@@ -98,7 +98,143 @@ def embed_documents(
     ).select(documents[id_col], emb["embedding"])
 
 
+def _js_hash(text: str) -> int:
+    """BaseEmbedder._hash (providers.js:45-51): JS 31-bit rolling hash over
+    the first 500 chars with `| 0` overflow — the reference's cache key."""
+    h = 0
+    for ch in text[:500]:
+        h = _int32(_int32(h << 5) - h + ord(ch))
+    return h
+
+
+def _urllib_transport(url: str, payload: dict, headers: dict) -> dict:
+    """Default HTTP transport (stdlib only).  Injectable for tests."""
+    import json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json", **headers},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+class HTTPEmbedder:
+    """Real embedding providers behind the same batch wrapper as the mock
+    (providers.js:54-85: OllamaEmbedder / OpenAIEmbedder).
+
+    - per-text memo cache with the reference's key shape
+      `model:len:jsHash` (providers.js:23-28);
+    - embed_batch groups client-side by batch_size (providers.js:32-38);
+    - `transport(url, payload, headers) -> parsed json` is injectable so
+      tests run against a fake; the default is a stdlib urllib POST;
+    - instances are picklable closures, so `embed_texts(...,
+      embed_fn=provider)` ships them to executors for the distributed
+      distinct-text batch.
+
+    The mock remains the tested/deterministic path; this class is the
+    config-gated network path (no network in this environment)."""
+
+    DEFAULTS = {
+        "ollama": ("nomic-embed-text", 768, "http://localhost:11434"),
+        "openai": ("text-embedding-3-small", 1536, "https://api.openai.com/v1"),
+    }
+
+    def __init__(
+        self,
+        provider: str = "ollama",
+        model: str | None = None,
+        dimensions: int | None = None,
+        base_url: str | None = None,
+        api_key: str | None = None,
+        batch_size: int = 32,
+        transport: Callable[[str, dict, dict], dict] = _urllib_transport,
+    ):
+        if provider not in self.DEFAULTS:
+            raise ValueError(f"unknown provider {provider!r}; one of {sorted(self.DEFAULTS)}")
+        d_model, d_dim, d_url = self.DEFAULTS[provider]
+        self.provider = provider
+        self.model = model or d_model
+        self.dimensions = dimensions or d_dim
+        self.base_url = (base_url or d_url).rstrip("/")
+        self.api_key = api_key
+        self.batch_size = batch_size
+        self.transport = transport
+        self._cache: dict[str, list[float]] = {}
+        self.stats = {"calls": 0, "cached": 0}
+
+    def _embed(self, text: str) -> list[float]:
+        if self.provider == "ollama":
+            out = self.transport(
+                f"{self.base_url}/api/embeddings",
+                {"model": self.model, "prompt": text},
+                {},
+            )
+            return [float(x) for x in out["embedding"]]
+        if self.api_key is None:
+            raise ValueError("OpenAI API key required (api_key=...)")
+        out = self.transport(
+            f"{self.base_url}/embeddings",
+            {"model": self.model, "input": text},
+            {"Authorization": f"Bearer {self.api_key}"},
+        )
+        return [float(x) for x in out["data"][0]["embedding"]]
+
+    def embed(self, text: str) -> list[float]:
+        key = f"{self.model}:{len(text)}:{_js_hash(text)}"
+        if key in self._cache:
+            self.stats["cached"] += 1
+            return self._cache[key]
+        vec = self._embed(text)
+        self._cache[key] = vec
+        self.stats["calls"] += 1
+        return vec
+
+    def embed_batch(self, texts: list[str]) -> list[list[float]]:
+        out: list[list[float]] = []
+        for i in range(0, len(texts), self.batch_size):
+            out.extend(self.embed(t) for t in texts[i : i + self.batch_size])
+        return out
+
+    def __call__(self, text: str, dimensions: int | None = None) -> list[float]:
+        """engine.embedder protocol (dimensions is fixed by the provider)."""
+        return self.embed(text)
+
+
 def ollama_embed(text: str, dimensions: int = DIMENSIONS) -> list[float]:
-    """Real-provider stub (providers.js:54-66): HTTP embedding service.
-    No network in this environment."""
-    raise NotImplementedError("network embedding provider not available here")
+    """Convenience one-shot Ollama call (providers.js:54-66); requires a
+    running local Ollama — use HTTPEmbedder for batch/cached embedding."""
+    return HTTPEmbedder("ollama", dimensions=dimensions).embed(text)
+
+
+def embed_with_cache(
+    texts: DataFrame,
+    cache_path: str,
+    text_col: str = "text",
+    dimensions: int = DIMENSIONS,
+    embed_fn: Callable[[str, int], list[float]] = mock_embed,
+) -> DataFrame:
+    """V8 cache-table semantics at Spark altitude: a persistent parquet
+    cache of (text, embedding) replaces the reference's in-process Map —
+    only texts NOT in the cache are embedded (distinct-text Arrow batch),
+    new rows are appended, and the result covers every input text.  The
+    anti-join is the cache lookup; at 100 TB the cache is just another
+    table, so the lookup shuffles keys, never payloads."""
+    spark = texts.sparkSession
+    distinct = texts.select(F.col(text_col).alias("text")).distinct()
+    try:
+        cached = spark.read.parquet(cache_path).select("text", "embedding")
+        misses = distinct.join(cached.select("text"), "text", "left_anti")
+    except Exception:  # noqa: BLE001 — cache not created yet
+        cached = None
+        misses = distinct
+    new = embed_texts(misses, "text", dimensions, embed_fn)
+    new.write.mode("append").parquet(cache_path)
+    return (
+        spark.read.parquet(cache_path)
+        .select("text", "embedding")
+        .join(distinct, "text")
+    )

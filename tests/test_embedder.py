@@ -77,3 +77,75 @@ const texts = JSON.parse(require('fs').readFileSync(process.argv[2], 'utf8'));
         assert len(act) == len(exp)
         for a, b in zip(act, exp):
             assert abs(a - b) < 1e-6, f"mismatch for {t!r}"
+
+
+def test_http_embedder_fake_transport_batch_and_cache():
+    """HTTPEmbedder against a faked transport: payload shapes match the
+    reference providers, the memo cache suppresses repeat calls, and
+    embed_batch groups by batch_size."""
+    from fusionspark.operators.embedder import HTTPEmbedder
+
+    calls = []
+
+    def fake(url, payload, headers):
+        calls.append((url, payload))
+        return {"embedding": [0.1, 0.2, float(len(payload["prompt"]))]}
+
+    emb = HTTPEmbedder("ollama", model="m1", dimensions=3, batch_size=2, transport=fake)
+    texts = ["alpha", "beta", "alpha", "gamma"]
+    vecs = emb.embed_batch(texts)
+    assert len(vecs) == 4 and vecs[0] == vecs[2]
+    assert emb.stats["calls"] == 3 and emb.stats["cached"] == 1
+    assert all(u.endswith("/api/embeddings") for u, _ in calls)
+    assert calls[0][1] == {"model": "m1", "prompt": "alpha"}
+
+    def fake_openai(url, payload, headers):
+        assert headers["Authorization"] == "Bearer k"
+        assert payload["input"] and payload["model"] == "text-embedding-3-small"
+        return {"data": [{"embedding": [1.0, 2.0]}]}
+
+    emb2 = HTTPEmbedder("openai", api_key="k", transport=fake_openai)
+    assert emb2.embed("x") == [1.0, 2.0]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        HTTPEmbedder("openai").embed("x")  # no api key
+    with _pytest.raises(ValueError):
+        HTTPEmbedder("nope")
+
+
+def test_http_embedder_distributed_via_embed_texts(spark):
+    """The provider instance ships to executors through the same
+    mapInPandas wrapper the mock uses."""
+    from fusionspark.operators.embedder import HTTPEmbedder, embed_texts
+
+    def fake(url, payload, headers):
+        return {"embedding": [float(len(payload["prompt"])), 1.0]}
+
+    emb = HTTPEmbedder("ollama", dimensions=2, transport=fake)
+    df = spark.createDataFrame([("aa",), ("bbb",), ("aa",)], "text: string")
+    out = {r["text"]: r["embedding"] for r in embed_texts(df, "text", 2, emb).collect()}
+    assert out["aa"] == [2.0, 1.0] and out["bbb"] == [3.0, 1.0]
+    assert len(out) == 2  # distinct texts only
+
+
+def test_embed_with_cache_appends_only_misses(spark, tmp_path):
+    from fusionspark.operators.embedder import embed_with_cache
+
+    calls = []
+
+    def counting_embed(text, dim):
+        calls.append(text)
+        return [float(len(text))] * dim
+
+    path = str(tmp_path / "emb_cache")
+    df1 = spark.createDataFrame([("a",), ("b",)], "text: string")
+    out1 = embed_with_cache(df1, path, dimensions=2, embed_fn=counting_embed)
+    assert out1.count() == 2
+
+    df2 = spark.createDataFrame([("a",), ("c",)], "text: string")
+    out2 = {r["text"] for r in embed_with_cache(df2, path, dimensions=2, embed_fn=counting_embed).collect()}
+    assert out2 == {"a", "c"}
+    # cache now holds a,b,c
+    cached = {r["text"] for r in spark.read.parquet(path).collect()}
+    assert cached == {"a", "b", "c"}
