@@ -57,6 +57,85 @@ def keyword_search(
     )
 
 
+def build_keyword_index(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted-index posting lists: (token, doc_id, freq) via explode +
+    one map-side-combinable groupBy.  Built ONCE; searches then touch the
+    index, never the corpus text — the 100-TB keyword path SCALE.md
+    sketches (the reference re-scans every entry per query,
+    HybridRetriever.js:365-399)."""
+    from fusionspark.functions.text import tokenize
+
+    toks = documents.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    return toks.groupBy("token", id_col).agg(F.count("*").alias("freq"))
+
+
+def persist_keyword_index(
+    documents: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Write the posting lists clustered by token so a term lookup reads a
+    narrow, sorted slice (hash-repartition + within-partition sort ≈
+    bucketing without a metastore)."""
+    (
+        build_keyword_index(documents, id_col, text_col)
+        .repartition("token")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def keyword_search_indexed(
+    index: DataFrame,
+    query: str,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """K2 over the inverted index, bit-identical to keyword_search's scan:
+
+    - substring semantics survive exactly: tokens are whitespace-split, so
+      a (space-free) term's global non-overlapping count equals
+      Σ_token occ(term, token) × freq — matches can't cross whitespace;
+    - the tiny vocabulary × terms product finds matching tokens
+      distributed (no corpus scan, no driver collect), then a broadcast
+      semi-join prunes the postings;
+    - per-term counts pivot into columns so the score folds tf_sat in the
+      SAME left-to-right order as the scan expression (float-exact)."""
+    terms = extract_terms(query)
+    if not terms:
+        return index.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    spark = index.sparkSession
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term: string")
+    vocab = index.select("token").distinct()
+    matches = (
+        vocab.crossJoin(F.broadcast(terms_df))
+        .withColumn(
+            "occ", F.size(F.regexp_extract_all(F.col("token"), F.col("term"), F.lit(0)))
+        )
+        .filter(F.col("occ") > 0)
+    )
+    counts = (
+        index.join(F.broadcast(matches), "token")
+        .groupBy(id_col)
+        .pivot("term", terms)
+        .agg(F.sum(F.col("occ") * F.col("freq")))
+    )
+    total: Column = F.lit(0.0)
+    for t in terms:
+        total = total + tf_saturation(F.coalesce(F.col(f"`{t}`"), F.lit(0)))
+    score = total / F.lit(float(len(terms)))
+    return (
+        counts.withColumn("score", score)
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+        .select(id_col, "score")
+    )
+
+
 def keyword_overlap_search(
     documents: DataFrame,
     query: str,

@@ -44,7 +44,7 @@ PRIORITY: list[str] = [
     "query_patterns", "skill_ema", "skill_match", "reflection_context",
     "triple_edges", "graph_summary",
     # new in round 2 — no CORRECTNESS row yet
-    "html_sections", "chunks_paragraph",
+    "html_sections", "chunks_paragraph", "keyword_index_search",
 ]
 
 

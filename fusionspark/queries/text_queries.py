@@ -15,9 +15,11 @@ from fusionspark.io import load_table
 from fusionspark.operators import fusion
 from fusionspark.operators.context import pack_context
 from fusionspark.operators.keyword import (
+    build_keyword_index,
     extract_terms,
     keyword_overlap_search,
     keyword_search,
+    keyword_search_indexed,
     tf_score,
 )
 from fusionspark.operators.knn import self_probes
@@ -84,6 +86,26 @@ def keyword_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2/F5: TF-saturation keyword ranking (HybridRetriever.js:365-399)."""
     d = load_table(spark, sf_dir, "documents")
     return keyword_search(d, QUERY, top_k=10).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+@query(
+    "keyword_index_search",
+    f"""
+    SELECT doc_id, ROUND(score, 6) AS score FROM (
+        SELECT doc_id, {_TF_SQL} AS score FROM documents
+    ) WHERE score > 0
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def keyword_index_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 via the inverted-index posting lists (build + vocabulary match +
+    broadcast semi-join + pivoted score) — same oracle as the scan form,
+    so equality validates the index path end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    idx = build_keyword_index(d)
+    return keyword_search_indexed(idx, QUERY, top_k=10).select(
         "doc_id", F.round("score", 6).alias("score")
     )
 

@@ -75,3 +75,34 @@ def test_ttl_filter_keeps_unexpired(spark, sf_dir):
     # everything with ttl_ms=0 survives
     assert kept.filter(F.col("ttl_ms") == 0).count() == mem.filter(F.col("ttl_ms") == 0).count()
     assert kept.count() <= mem.count()
+
+
+def test_keyword_index_matches_scan(spark, sf_dir, tmp_path):
+    """Indexed K2 equals the scan form exactly, and a search over the
+    persisted index never touches the documents table."""
+    import contextlib
+    import io as _io
+
+    from fusionspark.io import load_table
+    from fusionspark.operators.keyword import (
+        keyword_search,
+        keyword_search_indexed,
+        persist_keyword_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    q = "fast table scan merge join"
+    path = str(tmp_path / "kw_index")
+    persist_keyword_index(d, path)
+    idx = spark.read.parquet(path)
+
+    scan = sorted(map(tuple, keyword_search(d, q, top_k=10).collect()))
+    indexed = sorted(map(tuple, keyword_search_indexed(idx, q, top_k=10).collect()))
+    assert scan == indexed and len(scan) == 10
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        keyword_search_indexed(idx, q, top_k=10).explain("formatted")
+    plan = buf.getvalue()
+    assert "documents" not in plan  # no corpus scan
+    assert "BroadcastHashJoin" in plan  # postings pruned via broadcast semi-join
