@@ -45,6 +45,51 @@ def bench_queries(spark):
         # (reference bench: 1000 random queries over the corpus, cli.js:81-90)
         return knn(emb, self_probes(emb, 1000), k=10, strategy="numpy")
 
+    # 100k-vector corpus for the BASELINE-comparable search numbers
+    # (reference: 100k vectors, ~0.5 ms/query HNSW search, README.md:433-435).
+    # Synthesized + written once in setup; the timed entries measure search
+    # (knn_100k, ivf_100k) and index build (ivf_build_100k) separately,
+    # like the reference reports insert and search separately.
+    import atexit
+    import shutil
+    import tempfile
+
+    from fusionspark.operators.ann import ivf_search_persisted, persist_ivf
+
+    root100k = tempfile.mkdtemp(prefix="fusionspark-bench100k-")
+    atexit.register(shutil.rmtree, root100k, ignore_errors=True)
+    corpus_path = f"{root100k}/corpus"
+    ivf_path = f"{root100k}/ivf"
+    spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.sin(F.col("id") * i).cast("float"),
+        ).alias("embedding"),
+    ).write.mode("overwrite").parquet(corpus_path)
+    corpus100k = spark.read.parquet(corpus_path).cache()
+    corpus100k.count()  # warm (the timed entries measure search, not IO)
+    probes1k = self_probes(corpus100k, 1000).cache()
+    probes1k.count()
+
+    def knn_100k():
+        # exact top-10 for 1000 probes over 100k vectors (float64 GEMM)
+        return knn(corpus100k, probes1k, k=10, strategy="numpy")
+
+    def ivf_build_100k():
+        # build + persist the IVF index: shuffle-free assignment map,
+        # partitionBy(centroid_id) write
+        persist_ivf(corpus100k, ivf_path, n_centroids=64)
+        return spark.range(1)
+
+    def ivf_100k():
+        # pruned search: 1000 probes, nProbe=8 of 64 lists — each corpus
+        # row scored only against the probes routed to its list (per-list
+        # GEMM), ~1/8 of the exact pair count
+        return ivf_search_persisted(
+            spark, ivf_path, probes1k, k=10, n_probe=8, strategy="numpy"
+        )
+
     def ingest_100k():
         # BASELINE-comparable ingest: 100k 64-d vectors → parquet
         # (reference: 100k HNSW inserts in 2.8s, README.md:435).  Vectors are
@@ -100,6 +145,9 @@ def bench_queries(spark):
         "knn_batch64": knn_batch,
         "knn_batch1000": knn_batch_1k,
         "ingest_100k": ingest_100k,
+        "knn_100k": knn_100k,
+        "ivf_build_100k": ivf_build_100k,
+        "ivf_100k": ivf_100k,
     }
     for name in picks:
         fn, _sql = REGISTRY[name]

@@ -147,24 +147,19 @@ def ivf_assign(
     return _assign_from_rows(corpus, _collect_centroids(centroids), vector_col)
 
 
-def _probe_lists_local(
+def _route_probes(
     probes: DataFrame,
     crows: list[tuple[int, list[float], float]],
     n_probe: int,
     probe_id_col: str,
     probe_vector_col: str,
-):
+) -> list[tuple]:
     """Driver-side probe→list routing: probes × codebook are both tiny, so
     the n_probe closest lists per probe are computed in plain Python (same
     left-to-right float64 fold as the oracle) — no crossJoin, no window.
-    Returns (probe_lists DataFrame, wanted centroid_id list)."""
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    spark = probes.sparkSession
-    prows = probes.collect()
+    Returns [(probe_id, probe_vector, centroid_id), ...]."""
     recs = []
-    wanted: set[int] = set()
-    for pr in prows:
+    for pr in probes.collect():
         pv = [float(x) for x in pr[probe_vector_col]]
         pn = _py_l2_norm(pv)
         scored = []
@@ -175,9 +170,21 @@ def _probe_lists_local(
             denom = pn * cnorm
             scored.append(((acc / denom) if denom > 0 else 0.0, cid))
         scored.sort(key=lambda t: (-t[0], t[1]))
-        for _sim, cid in scored[:n_probe]:
-            recs.append((pr[probe_id_col], pr[probe_vector_col], cid))
-            wanted.add(cid)
+        recs.extend((pr[probe_id_col], pr[probe_vector_col], cid) for _s, cid in scored[:n_probe])
+    return recs
+
+
+def _probe_lists_local(
+    probes: DataFrame,
+    crows: list[tuple[int, list[float], float]],
+    n_probe: int,
+    probe_id_col: str,
+    probe_vector_col: str,
+):
+    """(probe_lists DataFrame, wanted centroid_id list) from _route_probes."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    recs = _route_probes(probes, crows, n_probe, probe_id_col, probe_vector_col)
     schema = StructType(
         [
             probes.schema[probe_id_col],
@@ -185,7 +192,7 @@ def _probe_lists_local(
             StructField("centroid_id", LongType()),
         ]
     )
-    return spark.createDataFrame(recs, schema), sorted(wanted)
+    return probes.sparkSession.createDataFrame(recs, schema), sorted({r[2] for r in recs})
 
 
 def _rerank_candidates(
@@ -203,6 +210,97 @@ def _rerank_candidates(
     scored = cand.withColumn(
         "sim", V.cosine_similarity(F.col(vector_col), F.col(probe_vector_col), dim)
     ).select(probe_id_col, id_col, "sim")
+    wk = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(probe_id_col, id_col, "sim", "rnk")
+    )
+
+
+def _numpy_rerank(
+    data: DataFrame,
+    probes: DataFrame,
+    recs: list[tuple],
+    k: int,
+    id_col: str,
+    vector_col: str,
+    probe_id_col: str,
+) -> DataFrame:
+    """Per-list GEMM rerank for LARGE probe batches: each corpus row is
+    scored only against the probes routed to its list (one float64 GEMM per
+    (batch, list) group), with a partition-local top-k before the global
+    per-probe window — the high-throughput sibling of the expression
+    rerank, ulp-level float drift like knn's numpy strategy."""
+    import numpy as np
+    import pandas as pd
+
+    from fusionspark.operators.knn import id_sql_type
+
+    routing: dict[int, tuple[list, "np.ndarray"]] = {}
+    for pid, pvec, cid in recs:
+        routing.setdefault(cid, ([], []))
+        routing[cid][0].append(pid)
+        routing[cid][1].append(np.asarray(pvec, dtype=np.float64))
+    routing = {
+        cid: (pids, np.vstack(mats)) for cid, (pids, mats) in routing.items()
+    }
+    for cid, (pids, P) in routing.items():
+        pn = np.linalg.norm(P, axis=1)
+        pn[pn == 0] = 1.0
+        routing[cid] = (pids, P, pn)
+
+    out_schema = (
+        f"{probe_id_col} {id_sql_type(probes, probe_id_col)}, "
+        f"{id_col} {id_sql_type(data, id_col)}, sim double"
+    )
+    src = data.select(id_col, vector_col, "centroid_id")
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            parts = []
+            for cid, grp in pdf.groupby("centroid_id", sort=False):
+                route = routing.get(cid)
+                if route is None:
+                    continue
+                pids, P, pn = route
+                E = np.asarray([np.asarray(v, dtype=np.float64) for v in grp[vector_col]])
+                en = np.linalg.norm(E, axis=1)
+                en[en == 0] = 1.0
+                sims = (E @ P.T) / en[:, None] / pn[None, :]
+                ids = grp[id_col].to_numpy()
+                kk = min(k, sims.shape[0])
+                # top-k LARGEST per probe; boundary ties widened like knn
+                dist = -sims
+                idx = np.argpartition(dist, kk - 1, axis=0)[:kk]
+                dsel = np.take_along_axis(dist, idx, axis=0)
+                sel_p = list(np.repeat(np.asarray(pids), kk))
+                sel_i = list(ids[idx.ravel(order="F")])
+                sel_s = list(-dsel.ravel(order="F"))
+                if kk < dist.shape[0]:
+                    boundary = dsel.max(axis=0)
+                    n_total = (dist == boundary[None, :]).sum(axis=0)
+                    n_inside = (dsel == boundary[None, :]).sum(axis=0)
+                    for qi in np.flatnonzero(n_total > n_inside):
+                        extra = np.setdiff1d(
+                            np.flatnonzero(dist[:, qi] == boundary[qi]), idx[:, qi]
+                        )
+                        sel_p.extend([pids[qi]] * len(extra))
+                        sel_i.extend(ids[extra])
+                        sel_s.extend(sims[extra, qi])
+                parts.append(
+                    pd.DataFrame({probe_id_col: sel_p, id_col: sel_i, "sim": sel_s})
+                )
+            if parts:
+                merged = pd.concat(parts, ignore_index=True)
+                merged = merged.sort_values(
+                    ["sim", id_col], ascending=[False, True]
+                ).groupby(probe_id_col, sort=False).head(k)
+                yield merged
+
+    scored = src.mapInPandas(run, schema=out_schema)
     wk = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rnk", F.row_number().over(wk))
@@ -271,7 +369,11 @@ def persist_ivf(
     crows = _collect_centroids(centroids)
     assigned = _assign_from_rows(corpus, crows, vector_col)
     (
+        # cluster rows by list before the partitioned write: each task then
+        # writes whole lists (≈1 file per list) instead of every task
+        # writing a sliver of every list (tasks × lists small files)
         assigned.drop("c_sim")
+        .repartition(F.col("centroid_id"))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/data")
@@ -289,16 +391,32 @@ def ivf_search_persisted(
     vector_col: str = "embedding",
     probe_id_col: str = "probe_id",
     probe_vector_col: str = "probe_embedding",
+    strategy: str = "expression",
 ) -> DataFrame:
     """Search a `persist_ivf` index.  The union of each probe's n_probe lists
     becomes a literal IN-filter on the partition column, so the parquet scan
-    shows PartitionFilters and touches only those directories."""
+    shows PartitionFilters and touches only those directories.
+
+    strategy: "expression" (codegen'd cosine + window — bit-exact, right
+    for few probes) or "numpy" (per-list GEMM — the throughput path for
+    large probe batches, where per-row probe joins would explode)."""
     crows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
     dim = len(crows[0][1])
-    probe_lists, wanted = _probe_lists_local(
-        probes, crows, n_probe, probe_id_col, probe_vector_col
-    )
+    recs = _route_probes(probes, crows, n_probe, probe_id_col, probe_vector_col)
+    wanted = sorted({r[2] for r in recs})
     data = spark.read.parquet(f"{path}/data").filter(F.col("centroid_id").isin(wanted))
+    if strategy == "numpy":
+        return _numpy_rerank(data, probes, recs, k, id_col, vector_col, probe_id_col)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            probes.schema[probe_id_col],
+            probes.schema[probe_vector_col],
+            StructField("centroid_id", LongType()),
+        ]
+    )
+    probe_lists = spark.createDataFrame(recs, schema)
     cand = data.join(F.broadcast(probe_lists), "centroid_id")
     return _rerank_candidates(
         cand, k, dim, id_col, vector_col, probe_id_col, probe_vector_col

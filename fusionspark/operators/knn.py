@@ -47,6 +47,17 @@ def vector_dim(df: DataFrame, vector_col: str) -> int | None:
     return None if row is None else row["d"]
 
 
+def id_sql_type(df: DataFrame, col: str) -> str:
+    """Declared Arrow/SQL type for an id column — derived per side (a string
+    probe_id with a bigint corpus id must not inherit the corpus type)."""
+    dt = dict(df.dtypes)[col]
+    if dt == "string":
+        return "string"
+    if dt in ("bigint", "int", "smallint", "tinyint"):
+        return "long"
+    raise TypeError(f"unsupported id column type {dt!r} for {col!r}")
+
+
 def score_probes(
     corpus: DataFrame,
     probes: DataFrame,
@@ -176,20 +187,9 @@ def _numpy_score_topk(
         pn[pn == 0] = 1.0
 
     src = corpus.select(F.col(id_col), F.col(vector_col).alias("_v"))
-
-    def _arrow_type(df: DataFrame, col: str) -> str:
-        """Declared Arrow type for an id column — derived per side (a string
-        probe_id with a bigint corpus id must not inherit the corpus type)."""
-        dt = dict(df.dtypes)[col]
-        if dt == "string":
-            return "string"
-        if dt in ("bigint", "int", "smallint", "tinyint"):
-            return "long"
-        raise TypeError(f"unsupported id column type {dt!r} for {col!r}")
-
     out_schema = (
-        f"{probe_id_col} {_arrow_type(probes, probe_id_col)}, "
-        f"{id_col} {_arrow_type(corpus, id_col)}, distance double, score double"
+        f"{probe_id_col} {id_sql_type(probes, probe_id_col)}, "
+        f"{id_col} {id_sql_type(corpus, id_col)}, distance double, score double"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -210,26 +210,31 @@ def _numpy_score_topk(
                 dist = np.sqrt(np.maximum(e2 + p2 - 2.0 * (E @ P.T), 0.0))
             ids = pdf[id_col].to_numpy()
             kk = min(k, dist.shape[0])
-            # per-probe top-k with the documented (distance, id ASC)
-            # tie-break: argpartition finds the kk-smallest, then every row
-            # tied with the boundary distance joins the candidate pool so
-            # the final cut can resolve ties by id — a bare argpartition
-            # cut may keep a larger id and drop a smaller one the global
-            # window can never recover (duplicate vectors made bench
-            # results differ run to run)
-            sel_p, sel_i, sel_d = [], [], []
-            for qi in range(dist.shape[1]):
-                dq = dist[:, qi]
-                if kk < dq.shape[0]:
-                    part = np.argpartition(dq, kk - 1)[:kk]
-                    boundary = dq[part].max()
-                    cand = np.flatnonzero(dq <= boundary)
-                else:
-                    cand = np.arange(dq.shape[0])
-                best = sorted(zip(dq[cand], ids[cand]))[:kk]
-                sel_p.extend([probe_ids[qi]] * len(best))
-                sel_d.extend(b[0] for b in best)
-                sel_i.extend(b[1] for b in best)
+            # vectorized per-probe top-k: one argpartition over the whole
+            # (batch × probes) distance matrix.  Boundary ties then get the
+            # documented (distance, id ASC) treatment: for the (rare)
+            # probes where rows tied with the kth distance fall OUTSIDE
+            # the cut, every tied row joins the candidate pool — the
+            # sorted head(k) below resolves by id, so a larger id can
+            # never displace a smaller one (a bare argpartition cut made
+            # bench results differ run to run with duplicate vectors)
+            idx = np.argpartition(dist, kk - 1, axis=0)[:kk]  # (kk, Q)
+            dsel = np.take_along_axis(dist, idx, axis=0)
+            flat = idx.ravel(order="F")
+            d = dsel.ravel(order="F")
+            sel_p = list(np.repeat(np.asarray(probe_ids), kk))
+            sel_i = list(ids[flat])
+            sel_d = list(d)
+            if kk < dist.shape[0]:
+                boundary = dsel.max(axis=0)
+                n_tied_total = (dist == boundary[None, :]).sum(axis=0)
+                n_tied_inside = (dsel == boundary[None, :]).sum(axis=0)
+                for qi in np.flatnonzero(n_tied_total > n_tied_inside):
+                    tied = np.flatnonzero(dist[:, qi] == boundary[qi])
+                    extra = np.setdiff1d(tied, idx[:, qi])  # not already kept
+                    sel_p.extend([probe_ids[qi]] * len(extra))
+                    sel_i.extend(ids[extra])
+                    sel_d.extend(dist[extra, qi])
             d = np.asarray(sel_d)
             parts.append(
                 pd.DataFrame(

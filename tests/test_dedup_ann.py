@@ -188,3 +188,25 @@ def test_top_df_shingles_drops_boilerplate(spark):
     plain = dedup.minhash_signatures(df).collect()
     dropped = dedup.minhash_signatures(df, drop_shingles=frozenset(boiler)).collect()
     assert {tuple(r) for r in plain} != {tuple(r) for r in dropped}
+
+
+def test_ivf_numpy_rerank_matches_expression(spark, sf_dir, tmp_path):
+    """The per-list GEMM rerank returns the same ids and ranks as the
+    bit-exact expression rerank (sims may drift by ulps)."""
+    from fusionspark.operators.ann import ivf_search_persisted, persist_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = self_probes(e, 8)
+    path = str(tmp_path / "ivf_np")
+    persist_ivf(e, path, n_centroids=8)
+    expr = sorted(
+        (r["probe_id"], r["vec_id"], r["rnk"])
+        for r in ivf_search_persisted(spark, path, probes, k=10, n_probe=3).collect()
+    )
+    np_ = sorted(
+        (r["probe_id"], r["vec_id"], r["rnk"])
+        for r in ivf_search_persisted(
+            spark, path, probes, k=10, n_probe=3, strategy="numpy"
+        ).collect()
+    )
+    assert expr == np_ and len(expr) > 0
