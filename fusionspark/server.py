@@ -1,0 +1,232 @@
+"""S9: the serving surface — HTTP API + MCP-style tool registry over
+FusionSparkEngine, mirroring the reference's front door:
+
+  /root/reference/src/core/HTTPServer.js:88-177   (REST routes)
+  /root/reference/src/mcp/MCPServer.js:50-107     (tool manifest + call)
+  /root/reference/bin/cli.js:70-90                (serve wiring)
+
+Framework-free by design: `Router.route(method, path, body)` is a pure
+function of the engine (unit-testable without sockets), and `serve()` wraps
+it in a stdlib ThreadingHTTPServer.  The engine executes every request as
+the DataFrame plans in fusionspark.operators.* — the server is a thin
+protocol adapter, exactly like the reference's (its engine is in-process,
+ours is a SparkSession).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+VERSION = "2.0.0"
+
+
+class Router:
+    """Dispatch (method, path, body) → (status, payload)."""
+
+    def __init__(self, engine):
+        self.engine = engine
+
+    # ── REST (HTTPServer.js:88-177) ───────────────────────────────────────
+
+    def route(self, method: str, path: str, body: dict | None = None) -> tuple[int, Any]:
+        body = body or {}
+        path = path.split("?")[0]
+        try:
+            if path == "/api/health":
+                return 200, {"status": "ok", "engine": "fusionspark", "version": VERSION}
+            if path == "/api/collections" and method == "GET":
+                return 200, self.engine.list_collections()
+            if path == "/api/collections" and method == "POST":
+                from fusionspark.engine import CollectionConfig
+
+                cfg = CollectionConfig(
+                    dimensions=int(body.get("dimensions", 64)),
+                    metric=body.get("metric", body.get("distanceMetric", "cosine")),
+                )
+                return 201, self.engine.create_collection(body["name"], cfg)
+            if path == "/api/insert" and method == "POST":
+                entry = {
+                    "id": body.get("id") or f"doc_{abs(hash(body.get('text', '')))}",
+                    "metadata": body.get("metadata") or {},
+                }
+                if body.get("vector") is not None:
+                    entry["vector"] = body["vector"]
+                if body.get("text") is not None:
+                    entry["content"] = body["text"]
+                n = self.engine.insert(
+                    body["collection"], [entry], tenant_id=body.get("tenantId")
+                )
+                return 201, {"inserted": n, "id": entry["id"]}
+            if path == "/api/search" and method == "POST":
+                hits = self.engine.search(
+                    body["collection"],
+                    query_vector=body.get("vector"),
+                    query_text=body.get("query"),
+                    top_k=int(body.get("topK", 10)),
+                    tenant_id=body.get("tenantId"),
+                    metadata_filter=body.get("filter"),
+                )
+                return 200, hits
+            if path == "/api/hybrid-search" and method == "POST":
+                return 200, self.engine.retrieve(
+                    body["collection"], body["query"], top_k=int(body.get("topK", 10))
+                )
+            if path == "/api/rag/ingest" and method == "POST":
+                n = self.engine.ingest(
+                    body.get("collection", "rag"),
+                    body.get("docId") or f"doc_{abs(hash(body['text']))}",
+                    body["text"],
+                    strategy=body.get("strategy", "recursive"),
+                )
+                return 201, {"chunks": n}
+            if path == "/api/rag/query" and method == "POST":
+                return 200, self.engine.build_context(
+                    body.get("collection", "rag"),
+                    body["query"],
+                    max_tokens=int(body.get("maxTokens", 2000)),
+                    top_k=int(body.get("topK", 10)),
+                )
+            if path == "/api/memory/remember" and method == "POST":
+                n = self.engine.remember(
+                    body.get("agentId", "default"),
+                    body["content"],
+                    mem_type=body.get("type", "episodic"),
+                    importance=float(body.get("importance", 0.5)),
+                )
+                return 201, {"stored": n}
+            if path == "/api/memory/recall" and method == "POST":
+                return 200, self.engine.recall(
+                    body.get("agentId", "default"),
+                    body["query"],
+                    mem_type=body.get("type", "episodic"),
+                    top_k=int(body.get("topK", 5)),
+                )
+            if path == "/api/memory/forget" and method == "POST":
+                self.engine.forget(
+                    body.get("agentId", "default"), body.get("type", "episodic")
+                )
+                return 200, {"forgotten": True}
+            if path == "/mcp/tools" and method == "GET":
+                return 200, self.tool_manifest()
+            if path == "/mcp/call" and method == "POST":
+                return 200, self.call_tool(body.get("tool", ""), body.get("args") or {})
+            return 404, {"error": f"Not found: {method} {path}"}
+        except KeyError as e:
+            return 400, {"error": f"missing field {e}"}
+        except Exception as e:  # noqa: BLE001 — protocol boundary
+            return 400, {"error": str(e)}
+
+    # ── MCP-style tools (MCPServer.js:50-107) ─────────────────────────────
+
+    def _tools(self) -> dict[str, tuple[str, Any]]:
+        e = self.engine
+        return {
+            "fusionspark_create_collection": (
+                "Create a new vector collection.",
+                lambda a: self.route("POST", "/api/collections", a)[1],
+            ),
+            "fusionspark_list_collections": (
+                "List all vector collections.",
+                lambda a: e.list_collections(),
+            ),
+            "fusionspark_search": (
+                "Semantic search within a collection.",
+                lambda a: e.search(
+                    a["collection"], query_text=a.get("query"),
+                    query_vector=a.get("vector"), top_k=int(a.get("topK", 5)),
+                    tenant_id=a.get("tenantId"), metadata_filter=a.get("filter"),
+                ),
+            ),
+            "fusionspark_hybrid_search": (
+                "Hybrid retrieval (vector + keyword RRF fusion).",
+                lambda a: e.retrieve(a["collection"], a["query"], top_k=int(a.get("topK", 10))),
+            ),
+            "fusionspark_rag_ingest": (
+                "One-click RAG: chunk, embed, and index text.",
+                lambda a: {"chunks": e.ingest(
+                    a.get("collection", "rag"),
+                    a.get("docId") or f"doc_{abs(hash(a['text']))}", a["text"],
+                )},
+            ),
+            "fusionspark_rag_query": (
+                "Build LLM-ready context from ingested documents.",
+                lambda a: e.build_context(
+                    a.get("collection", "rag"), a["query"],
+                    max_tokens=int(a.get("maxTokens", 2000)),
+                ),
+            ),
+            "fusionspark_memory_remember": (
+                "Store an episodic memory for an AI agent.",
+                lambda a: {"stored": e.remember(
+                    a.get("agentId", "default"), a["content"],
+                    importance=float(a.get("importance", 0.5)),
+                )},
+            ),
+            "fusionspark_memory_recall": (
+                "Recall relevant memories.",
+                lambda a: e.recall(
+                    a.get("agentId", "default"), a["query"],
+                    top_k=int(a.get("topK", 5)),
+                ),
+            ),
+            "fusionspark_memory_forget": (
+                "Delete agent memories (GDPR-style erasure).",
+                lambda a: {"forgotten": e.forget(a.get("agentId", "default"),
+                                                 a.get("type", "episodic")) or True},
+            ),
+        }
+
+    def tool_manifest(self) -> dict:
+        return {
+            "tools": [
+                {"name": name, "description": desc}
+                for name, (desc, _fn) in self._tools().items()
+            ]
+        }
+
+    def call_tool(self, tool: str, args: dict) -> dict:
+        tools = self._tools()
+        if tool not in tools:
+            return {"error": f"Unknown tool: {tool}"}
+        try:
+            return {"result": tools[tool][1](args)}
+        except Exception as e:  # noqa: BLE001 — protocol boundary
+            return {"error": str(e)}
+
+
+def serve(engine, port: int = 8080, host: str = "127.0.0.1"):
+    """Start a threaded stdlib HTTP server over the router.  Returns the
+    server object (call .shutdown() to stop); blocks only if you call
+    .serve_forever() yourself — tests run it on a background thread."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    router = Router(engine)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _respond(self, status: int, payload: Any) -> None:
+            data = json.dumps(payload).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):  # noqa: N802 — stdlib naming
+            self._respond(*router.route("GET", self.path))
+
+        def do_POST(self):  # noqa: N802
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            raw = self.rfile.read(length) if length else b"{}"
+            try:
+                body = json.loads(raw.decode("utf-8") or "{}")
+            except json.JSONDecodeError:
+                return self._respond(400, {"error": "invalid JSON body"})
+            self._respond(*router.route("POST", self.path, body))
+
+        def log_message(self, fmt, *args):  # silence request logging
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server

@@ -1,0 +1,93 @@
+"""S9 serving surface: router dispatch, MCP-style tools, loopback HTTP."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from fusionspark.engine import FusionSparkEngine
+from fusionspark.server import Router, serve
+
+
+@pytest.fixture()
+def srv_engine(spark, tmp_path):
+    return FusionSparkEngine(spark, str(tmp_path / "srv_store"))
+
+
+def test_router_rest_surface(srv_engine):
+    r = Router(srv_engine)
+    status, health = r.route("GET", "/api/health")
+    assert status == 200 and health["status"] == "ok"
+
+    status, out = r.route("POST", "/api/collections", {"name": "c1", "dimensions": 8})
+    assert status == 201 and out["name"] == "c1"
+
+    status, out = r.route("POST", "/api/insert", {
+        "collection": "c1", "id": "x", "text": "hello spark engine",
+    })
+    assert status == 201 and out["inserted"] == 1
+
+    status, hits = r.route("POST", "/api/search", {
+        "collection": "c1", "query": "hello spark", "topK": 3,
+    })
+    assert status == 200 and hits and hits[0]["id"] == "x"
+
+    status, out = r.route("POST", "/api/rag/ingest", {"text": "word " * 300, "docId": "d1"})
+    assert status == 201 and out["chunks"] >= 1
+    status, ctx = r.route("POST", "/api/rag/query", {"query": "word"})
+    assert status == 200 and ctx["chunks"]
+
+    status, out = r.route("POST", "/api/memory/remember", {"agentId": "a1", "content": "likes brevity"})
+    assert status == 201
+    status, hits = r.route("POST", "/api/memory/recall", {"agentId": "a1", "query": "brevity"})
+    assert status == 200 and hits
+    status, out = r.route("POST", "/api/memory/forget", {"agentId": "a1"})
+    assert status == 200 and out["forgotten"]
+
+    status, out = r.route("POST", "/api/search", {})  # missing fields
+    assert status == 400 and "error" in out
+    status, out = r.route("GET", "/nope")
+    assert status == 404
+
+
+def test_router_tools(srv_engine):
+    r = Router(srv_engine)
+    names = {t["name"] for t in r.tool_manifest()["tools"]}
+    assert {"fusionspark_search", "fusionspark_rag_ingest", "fusionspark_memory_recall"} <= names
+
+    out = r.call_tool("fusionspark_create_collection", {"name": "t1", "dimensions": 8})
+    assert "result" in out
+    out = r.call_tool("fusionspark_rag_ingest", {"text": "alpha beta gamma " * 50})
+    assert out["result"]["chunks"] >= 1
+    out = r.call_tool("fusionspark_rag_query", {"query": "alpha"})
+    assert out["result"]["chunks"]
+    assert "error" in r.call_tool("nope_tool", {})
+
+
+def test_http_loopback(srv_engine):
+    """End-to-end over a real socket (stdlib threaded server)."""
+    try:
+        server = serve(srv_engine, port=0)  # ephemeral port
+    except OSError:
+        pytest.skip("sockets unavailable in sandbox")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/api/health", timeout=10) as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/collections",
+            data=json.dumps({"name": "h1", "dimensions": 8}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert resp.status == 201
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/mcp/tools", timeout=10) as resp:
+            assert json.loads(resp.read())["tools"]
+    finally:
+        server.shutdown()
