@@ -1,0 +1,192 @@
+"""LLM completion providers + LLM-backed tree summarization.
+
+Reference: /root/reference/src/embedders/providers.js:110-146 (LLMProvider —
+Ollama/OpenAI/Anthropic payload shapes) and
+/root/reference/src/index/TreeIndex.js:515-537 (_generateSummaries —
+bottom-up: children first, parents summarize from child `title: summary`
+lines; >50-char gate, 3000-char prompt clip, 150-token budget, and the
+`content[:200] + '...'` deterministic fallback when no LLM is reachable).
+
+The provider is a plain picklable callable (injectable transport, stdlib
+urllib default) so it ships into Arrow-batched executors exactly like
+HTTPEmbedder; no network in this environment, so the fallback path is the
+tested one and the HTTP shapes are covered by faked transports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from fusionspark.operators.embedder import _urllib_transport
+
+SUMMARY_GATE = 50      # min chars before a summary is generated (TreeIndex.js:527)
+PROMPT_CLIP = 3000     # prompt text clip (TreeIndex.js:530)
+FALLBACK_CLIP = 200    # deterministic fallback length (TreeIndex.js:534)
+
+
+class LLMProvider:
+    """Completion client with the reference's provider matrix
+    (providers.js:110-146)."""
+
+    DEFAULTS = {
+        "ollama": ("llama3.2", "http://localhost:11434"),
+        "openai": ("gpt-4o-mini", "https://api.openai.com/v1"),
+        "anthropic": ("claude-sonnet-4-20250514", "https://api.anthropic.com"),
+    }
+
+    def __init__(
+        self,
+        provider: str = "ollama",
+        model: str | None = None,
+        base_url: str | None = None,
+        api_key: str | None = None,
+        transport=_urllib_transport,
+    ):
+        if provider not in self.DEFAULTS:
+            raise ValueError(f"unknown provider {provider!r}; one of {sorted(self.DEFAULTS)}")
+        d_model, d_url = self.DEFAULTS[provider]
+        self.provider = provider
+        self.model = model or d_model
+        self.base_url = (base_url or d_url).rstrip("/")
+        self.api_key = api_key
+        self.transport = transport
+
+    def complete(self, prompt: str, max_tokens: int = 500, temperature: float = 0.1) -> str:
+        if self.provider == "ollama":
+            out = self.transport(
+                f"{self.base_url}/api/generate",
+                {
+                    "model": self.model, "prompt": prompt, "stream": False,
+                    "options": {"num_predict": max_tokens, "temperature": temperature},
+                },
+                {},
+            )
+            return out["response"]
+        if self.provider == "openai":
+            out = self.transport(
+                f"{self.base_url}/chat/completions",
+                {
+                    "model": self.model,
+                    "messages": [{"role": "user", "content": prompt}],
+                    "max_tokens": max_tokens, "temperature": temperature,
+                },
+                {"Authorization": f"Bearer {self.api_key}"},
+            )
+            return out["choices"][0]["message"]["content"]
+        out = self.transport(
+            f"{self.base_url}/v1/messages",
+            {
+                "model": self.model,
+                "messages": [{"role": "user", "content": prompt}],
+                "max_tokens": max_tokens, "temperature": temperature,
+            },
+            {"x-api-key": self.api_key or "", "anthropic-version": "2023-06-01"},
+        )
+        return out["content"][0]["text"]
+
+
+def _summary_batch(provider: LLMProvider | None):
+    """mapInPandas kernel: title+text → summary with the reference's gate,
+    clip, and fallback semantics."""
+
+    def summarize(title: str, text: str) -> str:
+        text = text or ""
+        if len(text) <= SUMMARY_GATE:
+            return ""
+        if provider is not None:
+            try:
+                return provider.complete(
+                    f'Summarize the following section in 1-2 sentences. '
+                    f'Section title: "{title}"\n\n{text[:PROMPT_CLIP]}',
+                    max_tokens=150,
+                )
+            except Exception:  # noqa: BLE001 — provider down → deterministic path
+                pass
+        return text[:FALLBACK_CLIP] + "..."
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["summary"] = [
+                summarize(t, x) for t, x in zip(pdf["title"], pdf["_text"])
+            ]
+            yield out.drop(columns=["_text"])
+
+    return run
+
+
+def bottom_up_summaries(
+    tree: DataFrame,
+    provider: LLMProvider | None = None,
+    id_col: str = "doc_id",
+    max_level: int = 6,
+) -> DataFrame:
+    """T8 with the LLM path wired: level-by-level bottom-up — deepest
+    sections summarize from their own content; a parent with no content
+    summarizes from its children's `title: summary` lines (exactly
+    TreeIndex.js:518-525, but as ≤ max_level bounded join+groupBy rounds
+    instead of recursion — each round is keyed by (doc, parent), no
+    driver-side iteration).
+
+    `tree` needs (id_col, sec_idx, level, title, content, parent_idx) —
+    the build_tree output shape.  Returns those columns + `summary`.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    base_cols = [id_col, "sec_idx", "level", "title", "content", "parent_idx"]
+    src = tree.select(*base_cols)
+    out_schema = StructType(
+        [src.schema[c] for c in base_cols] + [StructField("summary", StringType())]
+    )
+    kernel = _summary_batch(provider)
+
+    done: DataFrame | None = None
+    levels = sorted(
+        {r["level"] for r in src.select("level").distinct().collect()}, reverse=True
+    )
+    for lv in levels[: max_level]:
+        nodes = src.filter(F.col("level") == lv)
+        if done is None:
+            staged = nodes.withColumn("_text", F.col("content"))
+        else:
+            child_lines = (
+                done.filter(F.col("parent_idx").isNotNull())
+                .groupBy(id_col, F.col("parent_idx").alias("_p"))
+                .agg(
+                    F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("sec_idx", "title", "summary"))
+                            ),
+                            lambda s: F.concat(
+                                s.getField("title"), F.lit(": "), s.getField("summary")
+                            ),
+                        ),
+                    ).alias("_child_text")
+                )
+            )
+            staged = (
+                nodes.join(
+                    child_lines,
+                    (nodes[id_col] == child_lines[id_col])
+                    & (nodes["sec_idx"] == child_lines["_p"]),
+                    "left",
+                )
+                .drop(child_lines[id_col])
+                .withColumn(
+                    "_text",
+                    F.when(
+                        F.length(F.coalesce(F.col("content"), F.lit(""))) > 0,
+                        F.col("content"),
+                    ).otherwise(F.coalesce(F.col("_child_text"), F.lit(""))),
+                )
+                .drop("_p", "_child_text")
+            )
+        summarized = staged.select(*base_cols, "_text").mapInPandas(
+            kernel, schema=out_schema
+        )
+        done = summarized if done is None else done.unionByName(summarized)
+    return done if done is not None else src.withColumn("summary", F.lit(""))
