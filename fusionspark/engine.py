@@ -254,6 +254,54 @@ class FusionSparkEngine:
         )
         return [r.asDict() for r in fused.collect()]
 
+    # ── multi-tenancy facade (FusionEngine.js:246-271) ────────────────────
+
+    def tenant(self, collection: str, tenant_id: str) -> "TenantProxy":
+        """Tenant-scoped proxy: every operation through it is automatically
+        tagged/filtered by tenant_id."""
+        return TenantProxy(self, collection, tenant_id)
+
+    # ── autosave (S8; FusionEngine.js persistence timer) ──────────────────
+
+    def autosave(self, backup_root: str, interval_s: float = 60.0):
+        """S8: periodic snapshot timer.  Parquet writes are already durable
+        (unlike the reference's in-memory index), so the Spark-era analogue
+        is a catalog + data snapshot for point-in-time restore.  Returns a
+        handle with .stop(); snapshots land in
+        `<backup_root>/snapshot=<millis>/`."""
+        import threading
+
+        stop = threading.Event()
+
+        def snap_once() -> str:
+            dest = os.path.join(backup_root, f"snapshot={int(time.time() * 1000)}")
+            os.makedirs(dest, exist_ok=True)
+            shutil.copy(self._catalog_path, os.path.join(dest, "_catalog.json"))
+            for name in list(self._catalog):
+                src = self._path(name)
+                if os.path.isdir(src):
+                    shutil.copytree(
+                        src, os.path.join(dest, os.path.basename(src)),
+                        dirs_exist_ok=True,
+                    )
+            return dest
+
+        def loop() -> None:
+            while not stop.wait(interval_s):
+                snap_once()
+
+        thread = threading.Thread(target=loop, daemon=True)
+        thread.start()
+
+        class _Handle:
+            def stop(self) -> None:
+                stop.set()
+                thread.join(timeout=5)
+
+            snapshot = staticmethod(snap_once)
+
+        return _Handle()
+
     # ── agent memory (M1-M3) ──────────────────────────────────────────────
 
     def remember(
@@ -349,6 +397,36 @@ class FusionSparkEngine:
             "sources": [r["doc_id"] for r in packed],
             "chunks": chunks,
         }
+
+
+class TenantProxy:
+    """Tenant-scoped view of one collection (FusionEngine.js:246-271): the
+    tenant tag rides every insert and the tenant filter every search — the
+    filter is a pushed-down predicate, so isolation costs a parquet filter,
+    not a copy."""
+
+    def __init__(self, engine: FusionSparkEngine, collection: str, tenant_id: str):
+        self.engine = engine
+        self.collection = collection
+        self.tenant_id = tenant_id
+
+    def insert(self, entries: list[dict], ttl_ms: int = 0) -> int:
+        return self.engine.insert(
+            self.collection, entries, tenant_id=self.tenant_id, ttl_ms=ttl_ms
+        )
+
+    def search(self, query_vector=None, query_text=None, top_k: int = 10, **kw) -> list[dict]:
+        return self.engine.search(
+            self.collection, query_vector=query_vector, query_text=query_text,
+            top_k=top_k, tenant_id=self.tenant_id, **kw,
+        )
+
+    def get(self, id: str):
+        row = self.engine.get(self.collection, id)
+        return row if row and row.get("tenant_id") == self.tenant_id else None
+
+    def delete(self, ids: list[str]) -> None:
+        self.engine.delete(self.collection, ids)
 
 
 class _EngineExtras:
