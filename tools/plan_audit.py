@@ -49,3 +49,43 @@ audit("media_meta", m.groupBy("kind").count())
 d = load_table(spark, sf, "documents")
 from fusionspark.operators.keyword import keyword_search
 audit("keyword", keyword_search(d, "fast table scan", 10))
+
+# 6. persisted IVF: partition pruning + no corpus-side exchange
+import tempfile, shutil
+from fusionspark.operators.ann import persist_ivf, ivf_search_persisted
+from fusionspark.operators.knn import self_probes
+root = tempfile.mkdtemp(prefix="plan-audit-ivf-")
+emb = load_table(spark, sf, "embeddings")
+persist_ivf(emb, f"{root}/ivf", n_centroids=8)
+probes = self_probes(emb, 4)
+pers = ivf_search_persisted(spark, f"{root}/ivf", probes, k=5, n_probe=2)
+audit("ivf_persisted", pers)
+import io as _io, contextlib as _ctx
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    pers.explain("formatted")
+pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+print("   partition_filters:", [p[:90] for p in pf if p.strip()])
+shutil.rmtree(root, ignore_errors=True)
+
+# 7. inverted keyword index: search must not scan the corpus
+from fusionspark.operators.keyword import persist_keyword_index, keyword_search_indexed
+root2 = tempfile.mkdtemp(prefix="plan-audit-kw-")
+persist_keyword_index(d, f"{root2}/kw")
+idx = spark.read.parquet(f"{root2}/kw")
+ks = keyword_search_indexed(idx, "fast table scan merge join", 10)
+audit("keyword_indexed", ks)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    ks.explain("formatted")
+print("   corpus_scan_in_plan:", "documents" in buf.getvalue())
+shutil.rmtree(root2, ignore_errors=True)
+
+# 8. IVF assignment: pure map (no Exchange/Join/Window)
+from fusionspark.operators.ann import deterministic_centroids, ivf_assign
+assigned = ivf_assign(emb, deterministic_centroids(emb, 8))
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    assigned.explain("formatted")
+plan = buf.getvalue()
+print(f"== ivf_assign: exchanges={plan.count('Exchange')} joins={plan.count('Join')} windows={plan.count('Window')} (all must be 0)")
