@@ -1,0 +1,82 @@
+"""Property-based invariants (hypothesis) for the pair-generation and
+chunking operators — the blocking optimizations must be invisible in the
+result sets on arbitrary corpora."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from fusionspark.operators import dedup
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=14,
+)
+
+_SETTINGS = dict(
+    max_examples=8,  # each example runs Spark jobs; keep the corpus count low
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(texts=doc_strategy)
+@settings(**_SETTINGS)
+def test_simhash_banding_complete_on_random_corpora(spark, texts):
+    """Banded pair generation == all-pairs brute force for ANY corpus."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id: long, text: string")
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(df).collect()}
+    brute = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 4
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_neardup(df, max_hamming=4).collect()
+    }
+    assert banded == brute
+
+
+@given(texts=doc_strategy)
+@settings(**_SETTINGS)
+def test_minhash_salting_invariant_on_random_corpora(spark, texts):
+    """Forcing every bucket through the salt-split must not change the
+    candidate set."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id: long, text: string")
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidates(df, salt_threshold=10**9).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidates(df, salt_threshold=0, n_salts=4).collect()
+    }
+    assert plain == salted
+
+
+@given(
+    text=st.text(
+        alphabet=st.sampled_from(list("ab cd.\n")), min_size=0, max_size=400
+    ),
+    chunk_size=st.integers(min_value=16, max_value=120),
+)
+@settings(max_examples=30, deadline=None)
+def test_recursive_chunks_invariants(text, chunk_size):
+    """Pure-Python chunker invariants: short text passes through verbatim
+    (reference parity, incl. empty input), split outputs are non-empty,
+    and the first chunk is an exact prefix of the input (no overlap is
+    prepended to chunk 0)."""
+    from fusionspark.operators.chunking import split_recursive
+
+    chunks = split_recursive(text, chunk_size=chunk_size, chunk_overlap=4)
+    if len(text) <= chunk_size:
+        assert chunks == [text]
+        return
+    assert chunks
+    for c in chunks:
+        assert c
+    assert text.startswith(chunks[0])
