@@ -9,14 +9,16 @@ never materializes globally:
 - exact:      hash-groupBy on content — one shuffle on a 128-bit key.
 - MinHash:    shingle → k minhashes → band keys → candidate pairs only
               within a bucket (the classic LSH bound), verify with true
-              Jaccard.  Signatures are built with higher-order functions
-              (no UDF); hashes are md5-derived so any engine reproduces
-              them.
+              Jaccard.  Signatures are one zero-shuffle Arrow map;
+              hashes are md5-derived so any engine reproduces them;
+              degenerate buckets are salt-split.
 - SimHash:    32-bit sign-aggregated token hashes; near-dups = hamming ≤ r
               via prefix-band blocking (r+1 bands; pigeonhole-complete)
               with an exact bit_count(xor) verify inside each bucket.
-- n-gram:     word-3-gram Jaccard within cheap blocks (lang, source).
-- embedding:  cosine ≥ θ within blocks (label / IVF centroid at scale).
+- n-gram:     word-3-gram Jaccard within cheap blocks (lang, source);
+              ngram_minhash_neardup swaps in LSH candidates at scale.
+- embedding:  cosine ≥ θ within blocks (label; embedding_neardup_ivf
+              blocks by IVF centroid at scale).
 """
 
 from __future__ import annotations
@@ -443,6 +445,33 @@ def ngram_jaccard_neardup(
     )
 
 
+def ngram_minhash_neardup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """n-gram Jaccard near-dup with MinHash+LSH as the pair generator —
+    the scale form of ngram_jaccard_neardup: instead of low-cardinality
+    (lang, source) blocks (quadratic within block), candidates come from
+    shared LSH buckets (recall governed by the banding curve), then the
+    same exact shingle-Jaccard verify runs on candidates only."""
+    cands = minhash_candidates(df, id_col, text_col, num_hashes, bands)
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    return (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sha"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "shb"), "id_b")
+        .withColumn("sim", jaccard(F.col("sha"), F.col("shb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 # ── embedding cosine near-dup ─────────────────────────────────────────────
 
 
@@ -454,8 +483,8 @@ def embedding_neardup(
     vector_col: str = "embedding",
 ) -> DataFrame:
     """Near-identical vectors: cosine ≥ θ within blocks (here `label`; at
-    scale an IVF centroid id from operators/ann.py so each block fits an
-    executor)."""
+    scale an IVF centroid id — see embedding_neardup_ivf — so each block
+    fits an executor)."""
     from fusionspark.operators.knn import vector_dim
 
     dim = vector_dim(df, vector_col)
@@ -475,4 +504,28 @@ def embedding_neardup(
             F.col(f"b.{id_col}").alias("id_b"),
             "sim",
         )
+    )
+
+
+def embedding_neardup_ivf(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup blocked by IVF centroid id — the documented scale
+    path wired: assignment is the zero-shuffle Arrow map from
+    operators/ann.py, so the only join is the within-list self-join and
+    block sizes follow the codebook instead of a low-cardinality label.
+    Near-identical vectors share a centroid except exactly on a Voronoi
+    boundary (cosine ≥ 0.95 pairs split across lists are missed — the
+    standard IVF recall trade, tune n_centroids)."""
+    from fusionspark.operators.ann import deterministic_centroids, ivf_assign
+
+    cents = deterministic_centroids(df, n_centroids, id_col, vector_col)
+    assigned = ivf_assign(df, cents, id_col, vector_col).drop("c_sim")
+    return embedding_neardup(
+        assigned, threshold, block_col="centroid_id",
+        id_col=id_col, vector_col=vector_col,
     )

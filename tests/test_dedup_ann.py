@@ -210,3 +210,37 @@ def test_ivf_numpy_rerank_matches_expression(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert expr == np_ and len(expr) > 0
+
+
+def test_ngram_minhash_neardup_finds_planted(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, "completely unrelated words apple banana cherry date elderberry fig"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.ngram_minhash_neardup(df, threshold=0.4).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_embedding_neardup_ivf_blocks(spark, sf_dir):
+    """IVF-blocked near-dup finds a strict subset of the label-blocked
+    result space but every returned pair really is above threshold, and
+    planted duplicate vectors in the same list are found."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_neardup_ivf(e, threshold=0.9).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"] and r["sim"] >= 0.9
+    # planted: duplicate an existing vector under a new id -> must pair up
+    first = e.limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(999_999, first["label"], first["embedding"])],
+        "vec_id: long, label: int, embedding: array<float>",
+    )
+    e2 = e.select("vec_id", "label", "embedding").unionByName(dup)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_neardup_ivf(e2, threshold=0.999).collect()
+    }
+    assert (first["vec_id"], 999_999) in pairs
