@@ -103,3 +103,70 @@ def stream_events_from_parquet(spark, sf_dir: str) -> DataFrame:
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream.select(*[f.name for f in batch.schema.fields])
+
+
+USER_STATS_SCHEMA = (
+    "user_id long, n_events long, total_value double, max_value double"
+)
+_STATE_SCHEMA = "n long, total double, mx double"
+
+
+def user_running_stats(
+    events: DataFrame, timeout_minutes: int = 30
+) -> DataFrame:
+    """ST-custom: arbitrary stateful aggregation via applyInPandasWithState
+    — a per-user running (count, sum, max) that survives across
+    micro-batches and emits its final state when the user goes idle past
+    the processing-time timeout.  This is the escape hatch for operators
+    the built-in window aggregates can't express (the reference's closest
+    analogue is the in-memory per-agent counters it keeps in Maps).
+
+    Batch input: falls back to an equivalent groupBy (state = whole input),
+    so tests can compare the two paths.
+    """
+    if not events.isStreaming:
+        return (
+            events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").cast("double").alias("total_value"),
+                F.max("value").cast("double").alias("max_value"),
+            )
+            .select("user_id", "n_events", "total_value", "max_value")
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n],
+                 "total_value": [total], "max_value": [mx]}
+            )
+            return
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n],
+             "total_value": [total], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -70,3 +70,45 @@ def test_dedup_stream(spark, sf_dir, stream_events):
         .count()
     )
     assert out.count() == batch_keys
+
+
+def test_user_running_stats_stateful(spark, sf_dir, stream_events):
+    """applyInPandasWithState running per-user stats: the streaming path
+    (update mode, availableNow) must end at the same per-user totals as
+    the batch groupBy fallback."""
+    batch = W.user_running_stats(load_table(spark, sf_dir, "events"))
+    q = (
+        W.user_running_stats(stream_events)
+        .writeStream.format("memory")
+        .queryName("t_user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode emits one row per user per micro-batch; the LAST row per
+    # user is the final running state
+    from pyspark.sql import Window as Wnd
+
+    emitted = spark.table("t_user_stats")
+    assert emitted.count() > 0
+    latest = (
+        emitted.withColumn("_ord", F.monotonically_increasing_id())
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Wnd.partitionBy("user_id").orderBy(F.col("_ord").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value", "max_value")
+    )
+    b = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), round(r["max_value"], 6))
+        for r in batch.collect()
+    }
+    s = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), round(r["max_value"], 6))
+        for r in latest.collect()
+    }
+    assert b == s
