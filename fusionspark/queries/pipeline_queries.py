@@ -328,3 +328,54 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = self_probes(e, 5)
     df = ivf_knn(e, probes, k=10, n_centroids=8, n_probe=2)
     return df.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"), F.col("rnk").cast("long").alias("rnk"))
+
+
+@query(
+    "corpus_clean",
+    f"""
+    WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    stats AS (
+        SELECT doc_id, len(words)::BIGINT AS ws_tokens,
+               least(1.0, len(words) / 50.0) * 0.5
+               + least(1.0, CASE WHEN len(words) > 0
+                            THEN len(list_filter(words, t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+                                 / len(words) ELSE 0 END * 2) * 0.3
+               + CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                           / length(text) ELSE 0 END * 0.2 AS quality,
+               {_lang_scores_sql()}
+        FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents)
+    )
+    SELECT s.doc_id, {_lang_case_sql()} AS lang_pred,
+           ROUND(quality, 6) AS quality, ws_tokens
+    FROM stats s SEMI JOIN keepers k ON s.doc_id = k.doc_id
+    WHERE quality >= 0.5
+    """,
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pass in ONE declarative plan:
+    exact-dedup keepers (min id per content hash) ∩ quality ≥ 0.5, tagged
+    with predicted language and token counts — the composition a 100 TB
+    pretraining pipeline runs nightly (each stage is the already-checked
+    operator; zero extra scans: one groupBy for keepers, the rest are
+    row-local expressions)."""
+    d = load_table(spark, sf_dir, "documents")
+    keepers = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ws, _bpe = textstats.token_counts("text")
+    return (
+        d.join(keepers, "doc_id", "left_semi")
+        .withColumn("quality", textstats.quality_score("text"))
+        .filter(F.col("quality") >= 0.5)
+        .select(
+            "doc_id",
+            textstats.lang_id("text").alias("lang_pred"),
+            F.round("quality", 6).alias("quality"),
+            ws.cast("long").alias("ws_tokens"),
+        )
+    )
