@@ -1,0 +1,95 @@
+"""Temporal operators Spark lacks as built-ins: as-of join and
+time-bucketed (hypertable-style) rollups.
+
+Not in the reference (its event handling is in-memory arrays); these are
+the standard time-series companions a 100 TB event store needs.  The as-of
+join uses the union + per-key ordered window `last(..., ignorenulls)`
+technique instead of an inequality join: one shuffle on the join key, no
+range-join explosion, and the window sort is exactly the sort a bucketed
+events table already has.  DuckDB's native ASOF JOIN is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    right.ts <= left.ts and equal `on` keys (backward as-of, inclusive —
+    DuckDB `ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts`).
+
+    Mechanics: tag both sides, union, window per key ordered by
+    (ts, side) with right rows sorting before left rows at equal ts, then
+    `last(right value, ignorenulls)` carries the latest right attributes
+    onto each left row.  Rows with no prior right row keep NULLs.
+
+    The right side should be unique per (on, ts) — pre-dedupe if not
+    (ties at identical timestamps are otherwise engine-defined).
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in on and c != ts_col
+    ]
+    l_tagged = left.select(
+        *[F.col(c) for c in on],
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{prefix}{c}") for c in right_cols],
+        F.lit(None).cast(dict(right.dtypes)[ts_col]).alias(f"{prefix}{ts_col}"),
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in on],
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.col(ts_col).alias(f"{prefix}{ts_col}"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in [*right_cols, ts_col]
+        ],
+    )
+    out_right = [F.col(f"_c_{c}").alias(f"{prefix}{c}") for c in [*right_cols, ts_col]]
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(F.col("_l").alias("_l"), *out_right)
+        .select("_l.*", *[f"{prefix}{c}" for c in [*right_cols, ts_col]])
+    )
+
+
+def time_bucket_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    agg_cols: dict | None = None,
+) -> DataFrame:
+    """Hypertable-style hierarchical time aggregate: ROLLUP over
+    (day, hour) — per-hour rows, per-day subtotals, and a grand total in
+    one pass (Spark expands the grouping sets; partial aggregation keeps
+    it map-side combinable)."""
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    hour = F.hour(F.col(ts_col)).alias("hour")
+    aggs = agg_cols or {
+        "n": F.count("*"),
+        "sum_value": F.round(F.sum("value"), 6),
+    }
+    return events.rollup(day, hour).agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )

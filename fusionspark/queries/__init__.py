@@ -45,7 +45,7 @@ PRIORITY: list[str] = [
     "triple_edges", "graph_summary",
     # new in round 2 — no CORRECTNESS row yet
     "html_sections", "chunks_paragraph", "keyword_index_search",
-    "corpus_clean",
+    "corpus_clean", "asof_click_view", "events_time_rollup",
 ]
 
 

@@ -98,3 +98,79 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 6).alias("avg_k"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "asof_click_view",
+    """
+    WITH views AS (
+        SELECT user_id, ts, event_id AS v_id
+        FROM events WHERE event_type = 'view'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, v.v_id AS view_id,
+           ROUND(epoch(c.ts) - epoch(v.ts), 6) AS lag_sec
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click gets the most recent prior-or-equal view by
+    the same user (operators/temporal.py::asof_join — union + ordered
+    window, one shuffle on user_id; the oracle is DuckDB's native ASOF
+    LEFT JOIN).  The view side is deduped per (user, ts) so ties are not
+    engine-defined."""
+    from pyspark.sql import Window as Wnd
+
+    from fusionspark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Wnd.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("v_id"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    j = asof_join(clicks, views, on=["user_id"], ts_col="ts", right_cols=["v_id"])
+    lag = (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))) / F.lit(1e6)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("r_v_id").alias("view_id"),
+        F.round(lag, 6).alias("lag_sec"),
+    )
+
+
+@query(
+    "events_time_rollup",
+    """
+    SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS day_s,
+           hour(ts)::BIGINT AS hour,
+           COUNT(*)::BIGINT AS n, ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(date_trunc('day', ts), hour(ts))
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time aggregate: per-hour rows, per-day
+    subtotals, and the grand total in one grouping-sets pass
+    (operators/temporal.py::time_bucket_rollup)."""
+    from fusionspark.operators.temporal import time_bucket_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    df = time_bucket_rollup(e)
+    return df.select(
+        F.unix_timestamp("day").alias("day_s"),
+        F.col("hour").cast("long").alias("hour"),
+        "n",
+        "sum_value",
+    )

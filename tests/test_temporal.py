@@ -1,0 +1,52 @@
+"""As-of join + time-bucket rollup invariants."""
+
+from __future__ import annotations
+
+import random
+
+from fusionspark.operators.temporal import asof_join, time_bucket_rollup
+
+
+def test_asof_join_matches_bruteforce(spark):
+    rng = random.Random(7)
+    left = [(i, rng.randrange(3), rng.randrange(1000)) for i in range(60)]
+    right = [(100 + i, rng.randrange(3), rng.randrange(1000), float(i)) for i in range(40)]
+    # dedupe right per (key, ts): keep max id (the documented contract)
+    best = {}
+    for rid, k, ts, v in right:
+        cur = best.get((k, ts))
+        if cur is None or rid > cur[0]:
+            best[(k, ts)] = (rid, v)
+    right_d = [(rid, k, ts, v) for (k, ts), (rid, v) in best.items()]
+
+    ldf = spark.createDataFrame(left, "lid: long, key: long, ts: long")
+    rdf = spark.createDataFrame(right_d, "rid: long, key: long, ts: long, v: double")
+    out = {
+        r["lid"]: (r["r_rid"], r["r_v"], r["r_ts"])
+        for r in asof_join(ldf, rdf, on=["key"], ts_col="ts", right_cols=["rid", "v"]).collect()
+    }
+
+    for lid, k, lts in left:
+        cands = [(ts, rid, v) for rid, kk, ts, v in right_d if kk == k and ts <= lts]
+        expected = max(cands) if cands else None
+        got = out[lid]
+        if expected is None:
+            assert got == (None, None, None)
+        else:
+            ets, erid, ev = expected
+            assert got == (erid, ev, ets)
+
+
+def test_time_bucket_rollup_grand_total(spark):
+    rows = [(i, f"2024-01-0{1 + i % 2} 0{i % 3}:10:00", float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "event_id: long, ts_s: string, value: double")
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("ts", F.to_timestamp("ts_s"))
+    out = time_bucket_rollup(df).collect()
+    grand = [r for r in out if r["day"] is None and r["hour"] is None]
+    assert len(grand) == 1 and grand[0]["n"] == 12
+    day_rows = [r for r in out if r["day"] is not None and r["hour"] is None]
+    assert sum(r["n"] for r in day_rows) == 12
+    hour_rows = [r for r in out if r["hour"] is not None]
+    assert sum(r["n"] for r in hour_rows) == 12
