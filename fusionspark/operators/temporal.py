@@ -93,3 +93,57 @@ def time_bucket_rollup(
     return events.rollup(day, hour).agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    lower_s: float = 0.0,
+    upper_s: float = 3600.0,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Interval join: pair each left row with every right row whose
+    timestamp lies in [left.ts + lower_s, left.ts + upper_s] with equal
+    `on` keys.
+
+    Spark plans a raw inequality join as a broadcast-nested-loop (O(N·M));
+    here the time axis is bucketed at the interval width, each left row
+    explodes to the (≤ 2) buckets its window can touch, and the join is an
+    EQUI-join on (keys, bucket) with the exact range predicate verified
+    after — the standard banded range-join: a hash join whose cost follows
+    per-bucket cardinality, not the cross product.
+    """
+    # bucket width = interval width → each left window touches ≤ 2 buckets
+    width = max(upper_s - lower_s, 1e-6)
+    r_cols = [c for c in right.columns if c not in on]
+    r = right.select(
+        *[F.col(c) for c in on],
+        *[F.col(c).alias(f"{prefix}{c}") for c in r_cols],
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(width * 1e6)).alias("_bkt"),
+    )
+    l = left.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    (F.unix_micros(F.col(ts_col)) + F.lit(lower_s * 1e6))
+                    / F.lit(width * 1e6)
+                ),
+                F.floor(
+                    (F.unix_micros(F.col(ts_col)) + F.lit(upper_s * 1e6))
+                    / F.lit(width * 1e6)
+                ),
+            )
+        ).alias("_bkt"),
+    )
+    rts = F.unix_micros(F.col(f"{prefix}{ts_col}"))
+    lts = F.unix_micros(F.col(ts_col))
+    return (
+        l.join(r, [*on, "_bkt"])
+        .filter(
+            (rts >= lts + F.lit(lower_s * 1e6)) & (rts <= lts + F.lit(upper_s * 1e6))
+        )
+        .drop("_bkt")
+    )

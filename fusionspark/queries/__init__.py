@@ -46,6 +46,7 @@ PRIORITY: list[str] = [
     # new in round 2 — no CORRECTNESS row yet
     "html_sections", "chunks_paragraph", "keyword_index_search",
     "corpus_clean", "asof_click_view", "events_time_rollup",
+    "range_error_context",
 ]
 
 

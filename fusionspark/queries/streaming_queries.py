@@ -174,3 +174,38 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+@query(
+    "range_error_context",
+    """
+    SELECT e.event_id AS error_id, e.user_id, p.event_id AS prior_id,
+           ROUND(epoch(e.ts) - epoch(p.ts), 6) AS gap_sec
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    JOIN (SELECT event_id, user_id, ts FROM events) p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts - INTERVAL 60 SECOND
+     AND p.ts <= e.ts
+     AND p.event_id <> e.event_id
+    """,
+)
+def range_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: every event within the 60s window preceding each error
+    by the same user (operators/temporal.py::range_join — banded equi-join,
+    no nested loop; the oracle is DuckDB's inequality join)."""
+    from fusionspark.operators.temporal import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    allev = e.select("event_id", "user_id", "ts")
+    j = range_join(errors, allev, on=["user_id"], ts_col="ts", lower_s=-60.0, upper_s=0.0)
+    gap = (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))) / F.lit(1e6)
+    return (
+        j.filter(F.col("r_event_id") != F.col("event_id"))
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("r_event_id").alias("prior_id"),
+            F.round(gap, 6).alias("gap_sec"),
+        )
+    )

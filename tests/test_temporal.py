@@ -50,3 +50,58 @@ def test_time_bucket_rollup_grand_total(spark):
     assert sum(r["n"] for r in day_rows) == 12
     hour_rows = [r for r in out if r["hour"] is not None]
     assert sum(r["n"] for r in hour_rows) == 12
+
+
+def test_range_join_matches_bruteforce(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    base = 1_700_000_000_000_000  # epoch micros
+    left = [(i, rng.randrange(2), base + rng.randrange(0, 10**7)) for i in range(40)]
+    right = [(100 + i, rng.randrange(2), base + rng.randrange(0, 10**7)) for i in range(40)]
+    ldf = spark.createDataFrame(left, "lid: long, key: long, us: long").withColumn(
+        "ts", F.timestamp_micros("us")
+    )
+    rdf = spark.createDataFrame(right, "rid: long, key: long, us: long").withColumn(
+        "ts", F.timestamp_micros("us")
+    )
+    from fusionspark.operators.temporal import range_join
+
+    lo, hi = -2.0, 3.0
+    out = {
+        (r["lid"], r["r_rid"])
+        for r in range_join(ldf, rdf, on=["key"], ts_col="ts", lower_s=lo, upper_s=hi).collect()
+    }
+    brute = {
+        (lid, rid)
+        for lid, lk, lus in left
+        for rid, rk, rus in right
+        if lk == rk and lus + lo * 1e6 <= rus <= lus + hi * 1e6
+    }
+    assert out == brute and brute  # non-empty by construction
+
+
+def test_range_join_no_nested_loop_plan(spark):
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from fusionspark.operators.temporal import range_join
+
+    ldf = spark.range(10).select(
+        F.col("id").alias("lid"), (F.col("id") % 2).alias("key"),
+        F.timestamp_micros(F.col("id") * 1000000).alias("ts"),
+    )
+    rdf = spark.range(10).select(
+        F.col("id").alias("rid"), (F.col("id") % 2).alias("key"),
+        F.timestamp_micros(F.col("id") * 1500000).alias("ts"),
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(ldf, rdf, on=["key"], lower_s=-5, upper_s=5).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
