@@ -323,10 +323,74 @@ class FusionSparkEngine:
         )
 
     def recall(self, agent_id: str, query: str, mem_type: str = "episodic", top_k: int = 5):
-        """M2 (AgentMemory.js:379-444): per-type k-NN with tenant filter."""
-        return self.search(
-            f"_memory_{mem_type}", query_text=query, top_k=top_k, tenant_id=agent_id
+        """M2 (AgentMemory.js:379-444): per-type k-NN with tenant filter;
+        a memory type never written to recalls as empty, not as an error."""
+        coll = f"_memory_{mem_type}"
+        if coll not in self._catalog:
+            return []
+        return self.search(coll, query_text=query, top_k=top_k, tenant_id=agent_id)
+
+    def learn(self, agent_id: str, content: str, confidence: float = 0.7) -> int:
+        """M1 learn → semantic memory (AgentMemory.js:185-205): knowledge
+        entries land in _memory_semantic with confidence as importance."""
+        return self.remember(agent_id, content, mem_type="semantic", importance=confidence)
+
+    def share(self, agent_id: str, content: str, importance: float = 0.5) -> int:
+        """M5 share → the cross-agent pool (AgentMemory.js:484-505):
+        entries land in _memory_shared, visible to collaborative_recall."""
+        return self.remember(agent_id, content, mem_type="shared", importance=importance)
+
+    # ── conversations (M4; AgentMemory.js:285-335) ────────────────────────
+
+    def add_message(
+        self, agent_id: str, thread_id: str, role: str, content: str
+    ) -> int:
+        """M4: append a message to an (agent, thread) conversation.  Stored
+        as an append-only collection — the last-N trim happens at READ time
+        (a window, not an in-place mutation), the only model that works on
+        immutable storage."""
+        coll = "_conversations"
+        if coll not in self._catalog:
+            self.create_collection(coll, CollectionConfig())
+        return self.insert(
+            coll,
+            [{
+                "id": f"msg_{int(time.time() * 1e6)}",
+                "content": content,
+                "metadata": {"thread_id": thread_id, "role": role},
+            }],
+            tenant_id=agent_id,
         )
+
+    def get_conversation(
+        self, agent_id: str, thread_id: str, limit: int = 0, since: int = 0
+    ) -> list[dict]:
+        """M4: messages for (agent, thread) in ts order; `since` (epoch ms)
+        and last-`limit` slice like the reference (AgentMemory.js:323-335)."""
+        coll = "_conversations"
+        if coll not in self._catalog:
+            return []
+        df = self._load(coll).filter(
+            (F.col("tenant_id") == agent_id)
+            & (F.col("metadata").getItem("thread_id") == thread_id)
+        )
+        if since:
+            df = df.filter(F.col("ts") > since)
+        rows = sorted(
+            df.select("id", "content", "metadata", "ts").collect(),
+            key=lambda r: (r["ts"], r["id"]),
+        )
+        if limit:
+            rows = rows[-limit:]
+        return [
+            {
+                "id": r["id"],
+                "role": (r["metadata"] or {}).get("role"),
+                "content": r["content"],
+                "timestamp": r["ts"],
+            }
+            for r in rows
+        ]
 
     def forget(self, agent_id: str, mem_type: str = "episodic") -> None:
         """M3 GDPR delete (AgentMemory.js:530-565): a pure anti-filter

@@ -102,6 +102,34 @@ class Router:
                     mem_type=body.get("type", "episodic"),
                     top_k=int(body.get("topK", 5)),
                 )
+            if path == "/api/memory/learn" and method == "POST":
+                n = self.engine.learn(
+                    body.get("agentId", "default"),
+                    body["content"],
+                    confidence=float(body.get("confidence", 0.7)),
+                )
+                return 201, {"stored": n}
+            if path == "/api/memory/share" and method == "POST":
+                n = self.engine.share(
+                    body.get("agentId", "default"), body["content"],
+                    importance=float(body.get("importance", 0.5)),
+                )
+                return 201, {"stored": n}
+            if path == "/api/conversation/add" and method == "POST":
+                n = self.engine.add_message(
+                    body.get("agentId", "default"),
+                    body["threadId"],
+                    body.get("role", "user"),
+                    body["content"],
+                )
+                return 201, {"stored": n}
+            if path == "/api/conversation/get" and method == "POST":
+                return 200, self.engine.get_conversation(
+                    body.get("agentId", "default"),
+                    body["threadId"],
+                    limit=int(body.get("limit", 0)),
+                    since=int(body.get("since", 0)),
+                )
             if path == "/api/memory/forget" and method == "POST":
                 self.engine.forget(
                     body.get("agentId", "default"), body.get("type", "episodic")
@@ -169,6 +197,17 @@ class Router:
                     a.get("agentId", "default"), a["query"],
                     top_k=int(a.get("topK", 5)),
                 ),
+            ),
+            "fusionspark_memory_learn": (
+                "Add knowledge to semantic memory.",
+                lambda a: {"stored": e.learn(
+                    a.get("agentId", "default"), a["content"],
+                    confidence=float(a.get("confidence", 0.7)),
+                )},
+            ),
+            "fusionspark_memory_share": (
+                "Share knowledge with other agents.",
+                lambda a: {"stored": e.share(a.get("agentId", "default"), a["content"])},
             ),
             "fusionspark_memory_forget": (
                 "Delete agent memories (GDPR-style erasure).",

@@ -91,3 +91,28 @@ def test_http_loopback(srv_engine):
             assert json.loads(resp.read())["tools"]
     finally:
         server.shutdown()
+
+
+def test_memory_learn_share_and_conversation(srv_engine):
+    r = Router(srv_engine)
+    status, _ = r.route("POST", "/api/memory/learn", {"agentId": "a2", "content": "OSHA 1910.106 covers flammable liquids"})
+    assert status == 201
+    status, _ = r.route("POST", "/api/memory/share", {"agentId": "a2", "content": "shared finding about storage"})
+    assert status == 201
+    # learn lands in semantic memory, share in the shared pool
+    assert srv_engine.recall("a2", "OSHA flammable", mem_type="semantic")
+    pools = srv_engine.collaborative_recall(["a2"], "shared finding about storage")
+    assert pools["shared"]
+
+    for i, (role, text) in enumerate([("user", "hi"), ("assistant", "hello"), ("user", "bye")]):
+        status, _ = r.route("POST", "/api/conversation/add", {
+            "agentId": "a2", "threadId": "t1", "role": role, "content": text,
+        })
+        assert status == 201
+    status, msgs = r.route("POST", "/api/conversation/get", {"agentId": "a2", "threadId": "t1", "limit": 2})
+    assert status == 200
+    assert [m["content"] for m in msgs] == ["hello", "bye"]
+    assert msgs[0]["role"] == "assistant"
+    # unknown thread → empty
+    status, msgs = r.route("POST", "/api/conversation/get", {"agentId": "a2", "threadId": "nope"})
+    assert msgs == []
