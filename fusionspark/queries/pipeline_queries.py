@@ -323,10 +323,20 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate k-NN: deterministic centroids, nProbe=2 list pruning,
-    exact re-rank inside selected lists (operators/ann.py)."""
+    exact re-rank inside selected lists (operators/ann.py).  Centroids AND
+    probes are both prefixes of the id-ordered corpus, so ONE collect
+    serves both — the corpus is sorted once, not twice."""
     e = load_table(spark, sf_dir, "embeddings")
-    probes = self_probes(e, 5)
-    df = ivf_knn(e, probes, k=10, n_centroids=8, n_probe=2)
+    head = e.orderBy(F.col("vec_id").asc()).limit(8).select("vec_id", "embedding").collect()
+    cent = spark.createDataFrame(
+        [(int(r["vec_id"]), r["embedding"]) for r in head],
+        "centroid_id: bigint, centroid: array<float>",
+    )
+    probes = spark.createDataFrame(
+        [(int(r["vec_id"]), r["embedding"]) for r in head[:5]],
+        "probe_id: bigint, probe_embedding: array<float>",
+    )
+    df = ivf_knn(e, probes, k=10, n_centroids=8, n_probe=2, centroids=cent)
     return df.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"), F.col("rnk").cast("long").alias("rnk"))
 
 
