@@ -167,8 +167,13 @@ def main() -> None:
     total = 0.0
     for name, make in qs.items():
         t0 = time.time()
-        df = make()
-        n = len(df.collect())
+        try:
+            df = make()
+            n = len(df.collect())
+        except Exception as e:  # noqa: BLE001 — one failure must not kill the run
+            print(f"# {name}: ERROR {e}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt

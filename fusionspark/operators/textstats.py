@@ -86,10 +86,43 @@ def token_counts(text: Column | str) -> tuple[Column, Column]:
 def fingerprint(text: Column | str, gram: int = 8) -> Column:
     """Winnowing-style document fingerprint: min md5 over all char n-grams.
     Portable (md5 everywhere), robust to single-char edits outside the
-    minimizing window."""
+    minimizing window.  Column-expression form; prefer fingerprint_docs in
+    plans (the nested transform here is CodegenFallback-interpreted)."""
     text = F.col(text) if isinstance(text, str) else text
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(text) - (gram - 1), F.lit(1))),
         lambda i: F.substring(text, i, gram),
     )
     return F.array_min(F.transform(grams, F.md5))
+
+
+def fingerprint_docs(
+    df, id_col: str = "doc_id", text_col: str = "text", gram: int = 8
+):
+    """(id, fp) via one Arrow-batched map — identical md5-hex min values as
+    the expression form (lowercase hex compares bytewise the same in
+    Python, Spark, and DuckDB), without the interpreted nested-transform.
+    Per-document and shuffle-free like the MinHash signatures."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType([df.schema[id_col], StructField("fp", StringType())])
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            fps = []
+            for text in pdf[text_col]:
+                t = text or ""
+                m = max(len(t) - (gram - 1), 1)
+                fps.append(
+                    min(
+                        hashlib.md5(t[i : i + gram].encode("utf-8")).hexdigest()
+                        for i in range(m)
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "fp": fps})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

@@ -277,9 +277,11 @@ def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling fingerprint: min md5 over char 8-grams."""
+    """Winnowing-style rolling fingerprint: min md5 over char 8-grams
+    (Arrow-batched map — the expression form's nested transform is
+    CodegenFallback-interpreted)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", textstats.fingerprint("text").alias("fp"))
+    return textstats.fingerprint_docs(d)
 
 
 @query(
