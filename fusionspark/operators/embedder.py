@@ -57,6 +57,43 @@ def mock_embed(text: str, dimensions: int = DIMENSIONS) -> list[float]:
     return [float(v) for v in vec]
 
 
+def mock_embed_batch(texts: list[str], dimensions: int = DIMENSIONS) -> list[list[float]]:
+    """Vectorized mock_embed over a batch: one (texts × dims, 20) int32
+    fold instead of a per-char Python loop.  Bit-exact to mock_embed —
+    int32 two's-complement adds/shifts are modular, so wrapping at every
+    step equals JS's single `| 0` at the end; the signed remainder and the
+    float64 normalize replay the scalar ops elementwise."""
+    n_texts = len(texts)
+    if n_texts == 0:
+        return []
+    dim = dimensions
+    rows = []
+    masks = []
+    for t in texts:
+        t = t or ""
+        n = len(t)
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        starts = (np.arange(dim, dtype=np.float64) / dim * n).astype(np.int64)
+        idx = starts[:, None] + np.arange(20, dtype=np.int64)[None, :]
+        mask = idx < n
+        safe = np.clip(idx, 0, max(n - 1, 0))
+        rows.append(np.where(mask, codes[safe] if n else 0, 0))
+        masks.append(mask)
+    C = np.concatenate(rows).astype(np.int32).reshape(n_texts * dim, 20)
+    M = np.concatenate(masks).reshape(n_texts * dim, 20)
+    h = np.tile(np.arange(dim, dtype=np.int32) + np.int32(5381), n_texts)
+    with np.errstate(over="ignore"):
+        for j in range(20):
+            h = np.where(M[:, j], (h << np.int32(5)) + h + C[:, j], h)
+    h64 = h.astype(np.int64)
+    rem = np.where(h64 >= 0, h64 % 2000, -((-h64) % 2000))
+    V = ((rem - 1000) / 1000).astype(np.float32).reshape(n_texts, dim)
+    V64 = V.astype(np.float64)
+    norms = np.sqrt(np.sum(V64 ** 2, axis=1))
+    out = np.where(norms[:, None] > 0, V64 / np.where(norms[:, None] == 0, 1.0, norms[:, None]), V64)
+    return [[float(x) for x in row.astype(np.float32)] for row in out]
+
+
 EMBED_SCHEMA = StructType(
     [
         StructField("text", StringType()),
@@ -77,12 +114,11 @@ def embed_texts(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "text": pdf["text"],
-                    "embedding": [embed_fn(t, dimensions) for t in pdf["text"]],
-                }
-            )
+            if embed_fn is mock_embed:  # vectorized fast path, bit-exact
+                vecs = mock_embed_batch(list(pdf["text"]), dimensions)
+            else:
+                vecs = [embed_fn(t, dimensions) for t in pdf["text"]]
+            yield pd.DataFrame({"text": pdf["text"], "embedding": vecs})
 
     return distinct.mapInPandas(run, schema=EMBED_SCHEMA)
 

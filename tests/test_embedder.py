@@ -149,3 +149,22 @@ def test_embed_with_cache_appends_only_misses(spark, tmp_path):
     # cache now holds a,b,c
     cached = {r["text"] for r in spark.read.parquet(path).collect()}
     assert cached == {"a", "b", "c"}
+
+
+def test_mock_embed_batch_bit_exact():
+    """The vectorized batch fold must be bit-identical to the scalar
+    reference port for every input shape: empty, short, long, unicode."""
+    from fusionspark.operators.embedder import mock_embed, mock_embed_batch
+
+    texts = [
+        "", "a", "hello world", "x" * 500,
+        "the quick brown fox jumps over the lazy dog " * 8,
+        "ünïcödé — テキスト ✓", " leading and trailing  ",
+    ] + [f"document number {i} with words {i * 7} {i * 13}" for i in range(40)]
+    batch = mock_embed_batch(texts, 64)
+    for t, got in zip(texts, batch):
+        assert got == mock_embed(t, 64), f"mismatch for {t!r}"
+    # other dimension counts too
+    batch16 = mock_embed_batch(texts[:5], 16)
+    for t, got in zip(texts[:5], batch16):
+        assert got == mock_embed(t, 16)
