@@ -160,8 +160,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = bench_queries(spark)
 
-    # JVM/codegen warmup on a tiny query (not timed)
+    # JVM/codegen warmup + Python worker pool warmup (not timed) — the
+    # first Arrow entry would otherwise absorb worker fork cost
     load_table(spark, SF_DIR, "region").count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -19,5 +19,32 @@ as idiomatic Spark DataFrame/SQL plans designed for 100 TB scale:
 from fusionspark.session import get_spark
 from fusionspark.io import load_tables, TABLES
 
-__all__ = ["get_spark", "load_tables", "TABLES"]
-__version__ = "0.1.0"
+
+def create(
+    root: str | None = None,
+    embedder: str = "mock",
+    spark=None,
+    **provider_kw,
+):
+    """One-call factory mirroring the reference's `create()` entry point
+    (src/index.js:83-118): a ready engine with the chosen embedding
+    provider ('mock' | 'ollama' | 'openai').  Returns the engine; the
+    HTTP/tool surface wraps it via fusionspark.server.serve(engine)."""
+    import tempfile
+
+    from fusionspark.engine import FusionSparkEngine
+    from fusionspark.operators.embedder import HTTPEmbedder, mock_embed
+
+    if spark is None:
+        spark = get_spark()
+    if embedder == "mock":
+        embed_fn = mock_embed
+    else:
+        embed_fn = HTTPEmbedder(embedder, **provider_kw)
+    return FusionSparkEngine(
+        spark, root or tempfile.mkdtemp(prefix="fusionspark-"), embedder=embed_fn
+    )
+
+
+__all__ = ["get_spark", "load_tables", "TABLES", "create"]
+__version__ = "0.2.0"
