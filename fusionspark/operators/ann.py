@@ -476,3 +476,105 @@ def ivf_knn_kmeans(
         corpus, probes, k=k, n_centroids=n_centroids, n_probe=n_probe,
         centroids=centroids, **kwargs,
     )
+
+
+# ── SRP-LSH (signed-random-projection) bucketed ANN ───────────────────────
+
+
+def srp_signatures(
+    corpus: DataFrame,
+    n_bits: int = 16,
+    seed: int = 42,
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Append a signed-random-projection signature column `srp_sig`:
+    bit b = sign(v · plane_b), planes drawn once from a seeded generator
+    and shipped in the task closure — a pure Arrow map, zero shuffle,
+    exactly like the IVF assignment.  Nearby (cosine) vectors agree on
+    most bits, so sharing a band of the signature is an LSH bucket."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    dim = len(corpus.select(vector_col).first()[vector_col])
+    planes = np.random.RandomState(seed).normal(size=(n_bits, dim))
+
+    out_schema = StructType(
+        list(corpus.schema.fields) + [StructField("srp_sig", LongType())]
+    )
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def sign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
+            bits = (E @ planes.T) > 0  # (n, n_bits)
+            out = pdf.copy()
+            out["srp_sig"] = (bits * weights[None, :]).sum(axis=1)
+            yield out
+
+    return corpus.mapInPandas(sign, schema=out_schema)
+
+
+def _sig_bands(sig_col, n_bits: int, bands: int):
+    """Split an n_bits signature into `bands` contiguous band values."""
+    base, rem = divmod(n_bits, bands)
+    entries, lo = [], 0
+    for b in range(bands):
+        width = base + (1 if b < rem else 0)
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(sig_col, lo).bitwiseAND((1 << width) - 1).alias("band_val"),
+            )
+        )
+        lo += width
+    return entries
+
+
+def srp_knn(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vector_col: str = "probe_embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate k-NN: candidates are corpus rows sharing at
+    least one signature band with the probe (banding amplifies recall like
+    MinHash-LSH), then an exact cosine re-rank keeps top-k.  The corpus
+    side is signature map → explode(bands) → broadcast-join with the tiny
+    probe band table; no all-pairs, no corpus shuffle before the final
+    (probe_id, id, sim) top-k exchange.  Complements IVF: no codebook to
+    build/maintain, recall governed by (n_bits, bands)."""
+    signed = srp_signatures(corpus, n_bits, seed, vector_col)
+    dim = len(corpus.select(vector_col).first()[vector_col])
+    c_bands = signed.select(
+        "*", F.explode(F.array(*_sig_bands(F.col("srp_sig"), n_bits, bands))).alias("_bv")
+    ).select(
+        id_col, vector_col,
+        F.col("_bv.band").alias("band"), F.col("_bv.band_val").alias("band_val"),
+    )
+    p_signed = srp_signatures(
+        probes.withColumnRenamed(probe_vector_col, vector_col), n_bits, seed, vector_col
+    ).withColumnRenamed(vector_col, probe_vector_col)
+    p_bands = p_signed.select(
+        probe_id_col, probe_vector_col,
+        F.explode(F.array(*_sig_bands(F.col("srp_sig"), n_bits, bands))).alias("_bv"),
+    ).select(
+        probe_id_col, probe_vector_col,
+        F.col("_bv.band").alias("band"), F.col("_bv.band_val").alias("band_val"),
+    )
+    cand = (
+        c_bands.join(F.broadcast(p_bands), ["band", "band_val"])
+        .select(id_col, vector_col, probe_id_col, probe_vector_col)
+        .distinct()
+    )
+    return _rerank_candidates(
+        cand, k, dim, id_col, vector_col, probe_id_col, probe_vector_col
+    )

@@ -4,9 +4,10 @@ The MockEmbedder is a bit-exact port of
 /root/reference/src/embedders/providers.js:87-105 (djb2-style hash with JS
 `| 0` int32 overflow, window substring, L2 normalize) — it is what makes
 vector tests deterministic without a model.  Real providers (Ollama/OpenAI)
-are HTTP clients in the reference (:54-85); here they are pluggable
-batch functions behind the same mapInPandas wrapper, stubbed with
-NotImplementedError since this environment has no network/model.
+are HTTP clients in the reference (:54-85); HTTPEmbedder implements both
+payload shapes behind the same mapInPandas wrapper with an injectable
+transport (faked in tests — this environment has no network/model; the
+mock remains the deterministic tested path).
 
 Scale design (V8, RAGPipeline's sequential embed loop → batch):
 distinct-text first (dedup compute), Arrow-batched pandas transform on

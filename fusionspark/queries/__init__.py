@@ -46,7 +46,7 @@ PRIORITY: list[str] = [
     # new in round 2 — no CORRECTNESS row yet
     "html_sections", "chunks_paragraph", "keyword_index_search",
     "corpus_clean", "asof_click_view", "events_time_rollup",
-    "range_error_context",
+    "range_error_context", "ann_srp",
     # implementations changed in round 2 — need driver re-attestation
     # (r1 attested the old code; the rest of r1's rows stay valid)
     "ann_ivf", "dedup_exact", "dedup_minhash", "simhash_values",

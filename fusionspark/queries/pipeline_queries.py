@@ -391,3 +391,20 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ws.cast("long").alias("ws_tokens"),
         )
     )
+
+
+@query("ann_srp")
+def ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate k-NN (signed random projections, banded
+    like MinHash; operators/ann.py::srp_knn).  Rows-only check: the seeded
+    projection planes are not SQL-replicable; recall vs brute force is
+    pytest-asserted (test_dedup_ann.py::test_srp_lsh_recall)."""
+    from fusionspark.operators.ann import srp_knn
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = self_probes(e, 5)
+    df = srp_knn(e, probes, k=10, n_bits=16, bands=8)
+    return df.select(
+        "probe_id", "vec_id", F.round("sim", 6).alias("sim"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )

@@ -244,3 +244,24 @@ def test_embedding_neardup_ivf_blocks(spark, sf_dir):
         for r in dedup.embedding_neardup_ivf(e2, threshold=0.999).collect()
     }
     assert (first["vec_id"], 999_999) in pairs
+
+
+def test_srp_lsh_recall(spark, sf_dir):
+    """SRP-LSH bucketed search recovers most true neighbors (banding
+    amplification) and always finds the probe itself (identical vectors
+    share every band)."""
+    from fusionspark.operators.ann import srp_knn
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = self_probes(e, 5)
+    exact = knn(e, probes, k=10)
+    approx = srp_knn(e, probes, k=10, n_bits=16, bands=8)
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    for r in approx.collect():
+        ap.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[p] & ap.get(p, set())) / len(ex[p]) for p in ex]
+    assert sum(recalls) / len(recalls) >= 0.5
+    for p, s in ap.items():
+        assert p in s
