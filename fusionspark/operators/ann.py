@@ -552,29 +552,52 @@ def srp_knn(
     probe band table; no all-pairs, no corpus shuffle before the final
     (probe_id, id, sim) top-k exchange.  Complements IVF: no codebook to
     build/maintain, recall governed by (n_bits, bands)."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     signed = srp_signatures(corpus, n_bits, seed, vector_col)
-    dim = len(corpus.select(vector_col).first()[vector_col])
     c_bands = signed.select(
         "*", F.explode(F.array(*_sig_bands(F.col("srp_sig"), n_bits, bands))).alias("_bv")
     ).select(
         id_col, vector_col,
         F.col("_bv.band").alias("band"), F.col("_bv.band_val").alias("band_val"),
     )
-    p_signed = srp_signatures(
-        probes.withColumnRenamed(probe_vector_col, vector_col), n_bits, seed, vector_col
-    ).withColumnRenamed(vector_col, probe_vector_col)
-    p_bands = p_signed.select(
-        probe_id_col, probe_vector_col,
-        F.explode(F.array(*_sig_bands(F.col("srp_sig"), n_bits, bands))).alias("_bv"),
-    ).select(
-        probe_id_col, probe_vector_col,
-        F.col("_bv.band").alias("band"), F.col("_bv.band_val").alias("band_val"),
+    # probe signatures on the driver (probes are tiny; same seeded planes)
+    prows = probes.collect()
+    dim = len(prows[0][probe_vector_col])
+    planes = np.random.RandomState(seed).normal(size=(n_bits, dim))
+    base, rem = divmod(n_bits, bands)
+    recs = []
+    for pr in prows:
+        pv = np.asarray([float(x) for x in pr[probe_vector_col]])
+        sig = int(((pv @ planes.T > 0) * (1 << np.arange(n_bits, dtype=np.int64))).sum())
+        lo = 0
+        for b in range(bands):
+            width = base + (1 if b < rem else 0)
+            recs.append(
+                (pr[probe_id_col], pr[probe_vector_col], b, (sig >> lo) & ((1 << width) - 1))
+            )
+            lo += width
+    p_schema = StructType(
+        [
+            probes.schema[probe_id_col],
+            probes.schema[probe_vector_col],
+            StructField("band", IntegerType()),
+            StructField("band_val", LongType()),
+        ]
     )
-    cand = (
-        c_bands.join(F.broadcast(p_bands), ["band", "band_val"])
-        .select(id_col, vector_col, probe_id_col, probe_vector_col)
-        .distinct()
-    )
-    return _rerank_candidates(
-        cand, k, dim, id_col, vector_col, probe_id_col, probe_vector_col
+    p_bands = probes.sparkSession.createDataFrame(recs, p_schema)
+    cand = c_bands.join(F.broadcast(p_bands), ["band", "band_val"])
+    # score BEFORE deduping band-collisions: the dedup groupBy then carries
+    # only (probe_id, id, sim) — never the embedding payloads a distinct on
+    # candidate rows would shuffle
+    scored = cand.withColumn(
+        "sim", V.cosine_similarity(F.col(vector_col), F.col(probe_vector_col), dim)
+    ).groupBy(probe_id_col, id_col).agg(F.first("sim").alias("sim"))
+    wk = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(probe_id_col, id_col, "sim", "rnk")
     )
