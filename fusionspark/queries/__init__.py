@@ -47,6 +47,7 @@ PRIORITY: list[str] = [
     "html_sections", "chunks_paragraph", "keyword_index_search",
     "corpus_clean", "asof_click_view", "events_time_rollup",
     "range_error_context", "ann_srp",
+    "tpch_shipping_priority", "tpch_late_ship_priority",
     # implementations changed in round 2 — need driver re-attestation
     # (r1 attested the old code; the rest of r1's rows stay valid)
     "ann_ivf", "dedup_exact", "dedup_minhash", "simhash_values",

@@ -322,3 +322,72 @@ def weight_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w_keyword", 6).alias("w_keyword"),
         "n_feedback",
     )
+
+
+@query(
+    "tpch_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, o.o_orderpriority
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)
+def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: date-filtered join (both filters push to the scans),
+    revenue aggregate, 10-row top-k — the orders side broadcasts."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_late_ship_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join): orders with at least one
+    lineitem shipped more than 30 days after the order date, counted per
+    priority.  The semi-join never duplicates orders and carries only the
+    join keys."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))

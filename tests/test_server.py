@@ -116,3 +116,17 @@ def test_memory_learn_share_and_conversation(srv_engine):
     # unknown thread → empty
     status, msgs = r.route("POST", "/api/conversation/get", {"agentId": "a2", "threadId": "nope"})
     assert msgs == []
+
+
+def test_cli_demo_end_to_end(spark, monkeypatch):
+    """The CLI demo path must run end to end (reuses the session fixture so
+    no second JVM spins up)."""
+    import fusionspark.cli as cli
+
+    monkeypatch.setattr(
+        cli, "_engine",
+        lambda root=None: __import__("fusionspark.engine", fromlist=["FusionSparkEngine"]).FusionSparkEngine(
+            spark, root or __import__("tempfile").mkdtemp(prefix="cli-demo-test-")
+        ),
+    )
+    cli.demo()  # raises on any failure
