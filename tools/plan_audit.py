@@ -89,3 +89,28 @@ with _ctx.redirect_stdout(buf):
     assigned.explain("formatted")
 plan = buf.getvalue()
 print(f"== ivf_assign: exchanges={plan.count('Exchange')} joins={plan.count('Join')} windows={plan.count('Window')} (all must be 0)")
+
+# 9. TPC-H Q4-shape: EXISTS compiles to a left-semi join (no duplication)
+o = load_table(spark, sf, "orders")
+li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+late = o.join(
+    li,
+    (o["o_orderkey"] == li["l_orderkey"])
+    & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+    "left_semi",
+).groupBy("o_orderpriority").count()
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    late.explain("formatted")
+print("== q4_semi_join: LeftSemi in plan:", "LeftSemi" in buf.getvalue())
+
+# 10. banded range join: hash join, not nested loop
+from fusionspark.operators.temporal import range_join
+ev = load_table(spark, sf, "events")
+errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+rj = range_join(errors, ev.select("event_id", "user_id", "ts"), on=["user_id"], lower_s=-60, upper_s=0)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    rj.explain("formatted")
+p = buf.getvalue()
+print("== range_join: nested_loop:", "BroadcastNestedLoopJoin" in p, "cartesian:", "CartesianProduct" in p)
