@@ -167,12 +167,19 @@ class FusionSparkEngine:
             raise
         shutil.rmtree(old, ignore_errors=True)
 
-    def delete(self, collection: str, ids: list[str]) -> None:
+    def delete(
+        self, collection: str, ids: list[str], tenant_id: str | None = None
+    ) -> None:
         """S4: anti-join rewrite (Delta DELETE at scale;
-        FusionEngine.js:236-241)."""
+        FusionEngine.js:236-241).  With `tenant_id`, only that tenant's
+        rows are deletable — another tenant's row with a listed id
+        survives (the ownership check TenantProxy promises; the reference
+        proxy lacks it, FusionEngine.js:246-271)."""
         df = self._load(collection)
-        keep = df.filter(~F.col("id").isin([str(i) for i in ids]))
-        self._rewrite(collection, keep)
+        hit = F.col("id").isin([str(i) for i in ids])
+        if tenant_id is not None:
+            hit = hit & F.col("tenant_id").eqNullSafe(tenant_id)
+        self._rewrite(collection, df.filter(~hit))
 
     # ── search (V1-V7, §3.1) ──────────────────────────────────────────────
 
@@ -421,11 +428,27 @@ class FusionSparkEngine:
         docs = self.spark.createDataFrame([(doc_id, text)], "doc_id: string, text: string")
         chunks = chunk_documents(docs, strategy)
         emb = embed_texts(chunks, "chunk_text", dim, self.embedder)
+        # distributed width check (insert()'s per-row check, kept on the
+        # executors): a provider whose dimensions differ from the collection
+        # config fails the write job instead of silently storing wrong-width
+        # vectors — size(NULL embedding) is NULL, so a missing embedding
+        # (unjoined chunk) also lands in the error branch
+        checked_vec = F.when(
+            F.size(F.col("embedding")) == F.lit(dim), F.col("embedding")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("embedding width "),
+                    F.coalesce(F.size(F.col("embedding")).cast("string"), F.lit("NULL")),
+                    F.lit(f" != collection dimensions {dim}"),
+                )
+            )
+        )
         entries = (
             chunks.join(F.broadcast(emb), chunks["chunk_text"] == emb["text"], "left")
             .select(
                 F.concat(F.lit(f"{doc_id}_chunk_"), F.col("chunk_index").cast("string")).alias("id"),
-                F.col("embedding").cast("array<float>").alias("vector"),
+                checked_vec.cast("array<float>").alias("vector"),
                 F.col("chunk_text").alias("content"),
                 F.create_map(
                     F.lit("_chunk_index"), F.col("chunk_index").cast("string"),
@@ -490,7 +513,8 @@ class TenantProxy:
         return row if row and row.get("tenant_id") == self.tenant_id else None
 
     def delete(self, ids: list[str]) -> None:
-        self.engine.delete(self.collection, ids)
+        # tenant-filtered: ids owned by other tenants are untouched
+        self.engine.delete(self.collection, ids, tenant_id=self.tenant_id)
 
 
 class _EngineExtras:

@@ -250,11 +250,17 @@ def minhash_candidates(
 
     be = minhash_bands(df, id_col, text_col, num_hashes, bands)
     # bucket size via one window pass (same shuffle key the join needs
-    # anyway), then cache: the table feeds BOTH join sides — without the
-    # cache the whole signature map would be recomputed per side
+    # anyway), then materialize ONCE via eager localCheckpoint: the table
+    # feeds BOTH join sides — without it the whole signature map would be
+    # recomputed per side.  localCheckpoint (not .cache()) because cached
+    # plans pin blocks in the CacheManager until an explicit unpersist;
+    # long-lived sessions (server, bench loops) calling this repeatedly
+    # would accumulate them until executor storage fills.  Checkpoint
+    # blocks are released by the ContextCleaner when the DataFrame goes
+    # out of scope.  (At 100 TB: persist bands to a table — SCALE.md.)
     be = be.withColumn(
         "_bn", F.count("*").over(Window.partitionBy("band", "band_key"))
-    ).cache()
+    ).localCheckpoint(eager=True)
     big = F.col("_bn") > salt_threshold
     a = be.withColumn(
         "_salt",

@@ -21,9 +21,29 @@ from fusionspark.functions.text import STOPWORDS, term_count, tf_saturation
 
 def extract_terms(query: str) -> list[str]:
     """K1 semantics in plain Python for a literal query string
-    (HybridRetriever.js:366-368): lowercase, split \\s+, len>2, non-stopword."""
+    (HybridRetriever.js:366-368): lowercase, split \\s+, len>2, non-stopword.
+
+    Deduped preserving first-seen order: the reference double-weights a
+    repeated query term (score = Σ/len with duplicates), but duplicate
+    terms break the indexed path's pivot — counting each term once keeps
+    the scan and indexed paths bit-identical on every query."""
     stop = set(STOPWORDS)
-    return [t for t in query.lower().split() if len(t) > 2 and t not in stop]
+    out: list[str] = []
+    for t in query.lower().split():
+        if len(t) > 2 and t not in stop and t not in out:
+            out.append(t)
+    return out
+
+
+def term_pattern(term: str) -> str:
+    """Regex-escape a query term so both search paths treat it as a literal
+    substring.  The reference feeds terms straight to `new RegExp(term, 'g')`
+    (HybridRetriever.js:383) and throws on e.g. `c++`; escaping makes both
+    paths total on arbitrary user queries.  `re.escape` output is valid in
+    Java regex too (backslash before non-alphanumerics only)."""
+    import re
+
+    return re.escape(term)
 
 
 def tf_score(text_col: Column | str, terms: list[str]) -> Column:
@@ -32,7 +52,7 @@ def tf_score(text_col: Column | str, terms: list[str]) -> Column:
         return F.lit(0.0)
     total: Column = F.lit(0.0)
     for t in terms:
-        total = total + tf_saturation(term_count(text_col, F.lit(t)))
+        total = total + tf_saturation(term_count(text_col, F.lit(term_pattern(t))))
     return total / F.lit(float(len(terms)))
 
 
@@ -108,14 +128,17 @@ def keyword_search_indexed(
     if not terms:
         return index.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     spark = index.sparkSession
-    terms_df = spark.createDataFrame([(t,) for t in terms], "term: string")
+    terms_df = spark.createDataFrame(
+        [(t, term_pattern(t)) for t in terms], "term: string, pat: string"
+    )
     vocab = index.select("token").distinct()
     matches = (
         vocab.crossJoin(F.broadcast(terms_df))
         .withColumn(
-            "occ", F.size(F.regexp_extract_all(F.col("token"), F.col("term"), F.lit(0)))
+            "occ", F.size(F.regexp_extract_all(F.col("token"), F.col("pat"), F.lit(0)))
         )
         .filter(F.col("occ") > 0)
+        .drop("pat")
     )
     counts = (
         index.join(F.broadcast(matches), "token")

@@ -29,30 +29,37 @@ def asof_join(
 
     Mechanics: tag both sides, union, window per key ordered by
     (ts, side) with right rows sorting before left rows at equal ts, then
-    `last(right value, ignorenulls)` carries the latest right attributes
-    onto each left row.  Rows with no prior right row keep NULLs.
+    ONE `last(struct-of-right-columns, ignorenulls)` carries the latest
+    right row onto each left row.  Carrying a single struct (not one
+    `last` per column) is what keeps a matched row's genuinely-NULL
+    attributes NULL — per-column carries would backfill them from older
+    right rows, diverging from ASOF JOIN semantics.  Rows with no prior
+    right row keep NULLs throughout.
 
     The right side should be unique per (on, ts) — pre-dedupe if not
     (ties at identical timestamps are otherwise engine-defined).
     """
+    from pyspark.sql.types import StructType
+
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != ts_col
     ]
+    carry = [*right_cols] + ([ts_col] if ts_col not in right_cols else [])
+    l_type = StructType([left.schema[c] for c in left.columns])
+    r_type = StructType([right.schema[c] for c in carry])
     l_tagged = left.select(
         *[F.col(c) for c in on],
         F.col(ts_col).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{prefix}{c}") for c in right_cols],
-        F.lit(None).cast(dict(right.dtypes)[ts_col]).alias(f"{prefix}{ts_col}"),
+        F.lit(None).cast(r_type).alias("_r"),
     )
     r_tagged = right.select(
         *[F.col(c) for c in on],
         F.col(ts_col).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
-        F.col(ts_col).alias(f"{prefix}{ts_col}"),
+        F.lit(None).cast(l_type).alias("_l"),
+        F.struct(*[F.col(c) for c in carry]).alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -60,18 +67,13 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in [*right_cols, ts_col]
-        ],
-    )
-    out_right = [F.col(f"_c_{c}").alias(f"{prefix}{c}") for c in [*right_cols, ts_col]]
+    carried = unioned.withColumn("_c", F.last(F.col("_r"), ignorenulls=True).over(w))
     return (
         carried.filter(F.col("_side") == 1)
-        .select(F.col("_l").alias("_l"), *out_right)
-        .select("_l.*", *[f"{prefix}{c}" for c in [*right_cols, ts_col]])
+        .select(
+            "_l.*",
+            *[F.col("_c").getField(c).alias(f"{prefix}{c}") for c in carry],
+        )
     )
 
 

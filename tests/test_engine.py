@@ -164,3 +164,34 @@ def test_collection_name_validation(engine):
     for bad in ("../escape", "a/b", "", "a b"):
         with _pytest.raises(ValueError):
             engine.create_collection(bad)
+
+
+def test_tenant_proxy_delete_is_tenant_scoped(engine):
+    """ADVICE r2: proxy.delete must not reach another tenant's rows — a
+    tenant-scoped handle deleting an id it does not own is a no-op for
+    that row (untenanted rows are likewise out of reach)."""
+    engine.create_collection("v", CollectionConfig(dimensions=4))
+    engine.insert("v", [{"id": "a", "vector": [1.0, 0, 0, 0]}], tenant_id="t1")
+    engine.insert("v", [{"id": "b", "vector": [0, 1.0, 0, 0]}], tenant_id="t2")
+    engine.insert("v", [{"id": "u", "vector": [0, 0, 1.0, 0]}])  # untenanted
+    proxy = engine.tenant("v", "t1")
+    proxy.delete(["a", "b", "u"])  # only "a" is t1's
+    remaining = {r["id"] for r in engine._load("v").select("id").collect()}
+    assert remaining == {"b", "u"}
+
+
+def test_ingest_rejects_wrong_width_embeddings(spark, tmp_path):
+    """ADVICE r2: ingest appends distributed, bypassing insert()'s per-row
+    check — a provider whose dimensions differ from the collection config
+    must fail the write job, not silently store wrong-width vectors."""
+    from py4j.protocol import Py4JJavaError
+
+    bad = FusionSparkEngine(
+        spark, str(tmp_path / "bad"), embedder=lambda t, d: [0.0] * 7
+    )
+    bad.create_collection("docs", CollectionConfig(dimensions=4))
+    with pytest.raises((Py4JJavaError, Exception)):
+        bad.ingest("docs", "d1", "some text to chunk and embed")
+    good = FusionSparkEngine(spark, str(tmp_path / "good"))
+    good.create_collection("docs", CollectionConfig(dimensions=4))
+    assert good.ingest("docs", "d1", "some text to chunk and embed") >= 1

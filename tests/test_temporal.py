@@ -105,3 +105,18 @@ def test_range_join_no_nested_loop_plan(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_null_right_attribute_stays_null(spark):
+    """ADVICE r2: the matched right row's genuinely-NULL attribute must come
+    through NULL — per-column ignorenulls carries would backfill it from an
+    older right row (the struct carry prevents exactly that)."""
+    ldf = spark.createDataFrame([(1, 0, 100)], "lid: long, key: long, ts: long")
+    rdf = spark.createDataFrame(
+        [(10, 0, 50, 5.0), (11, 0, 90, None)],
+        "rid: long, key: long, ts: long, v: double",
+    )
+    row = asof_join(ldf, rdf, on=["key"], ts_col="ts", right_cols=["rid", "v"]).collect()[0]
+    # matched row is rid=11 (ts=90): its NULL v must NOT be filled from rid=10
+    assert row["r_rid"] == 11 and row["r_ts"] == 90
+    assert row["r_v"] is None

@@ -106,3 +106,33 @@ def test_keyword_index_matches_scan(spark, sf_dir, tmp_path):
     plan = buf.getvalue()
     assert "documents" not in plan  # no corpus scan
     assert "BroadcastHashJoin" in plan  # postings pruned via broadcast semi-join
+
+
+def test_keyword_terms_with_regex_metachars_both_paths(spark):
+    """VERDICT r2 #7 / ADVICE r2: terms like `c++` / `3.14` must not throw
+    (the reference's `new RegExp(term)` does), duplicates must not break the
+    indexed pivot, and scan + indexed paths must agree exactly."""
+    from fusionspark.operators.keyword import (
+        build_keyword_index,
+        extract_terms,
+        keyword_search,
+        keyword_search_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "we ship c++ and rust here"),
+            (2, "pi is 3.14 and tau is 6.28"),
+            (3, "c++ c++ templates beat 3x14 macros"),
+            (4, "nothing relevant at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    q = "c++ 3.14 c++"  # metachars + a duplicate term
+    assert extract_terms(q) == ["c++", "3.14"]  # deduped, order kept
+    scan = sorted(map(tuple, keyword_search(docs, q, top_k=10).collect()))
+    idx = build_keyword_index(docs)
+    indexed = sorted(map(tuple, keyword_search_indexed(idx, q, top_k=10).collect()))
+    assert scan == indexed
+    ids = {r[0] for r in scan}
+    assert ids == {1, 2, 3}  # doc 3 matches only via literal "c++"; "3x14" not "3.14"
