@@ -189,6 +189,101 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+@query(
+    "neardup_ngram_lsh",
+    f"""
+    WITH words_t AS (
+        SELECT doc_id, {_WORDS} AS words FROM documents
+    ),
+    sh_t AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS s
+        FROM words_t
+    ),
+    based AS (
+        SELECT doc_id,
+               {_H32.format(expr='s')} AS b1,
+               {_H32.format(expr="'x:' || s")} AS b2
+        FROM sh_t
+    ),
+    sigs AS (
+        SELECT doc_id,
+        {_SIG_COLS}
+        FROM based GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT doc_id,
+        {_BAND_KEYS}
+        FROM sigs
+    ),
+    banded AS (
+        {_BAND_UNION}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM words_t)
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS sim
+    FROM cands
+    JOIN sh a ON a.doc_id = id_a
+    JOIN sh b ON b.doc_id = id_b
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+    """,
+)
+def neardup_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of neardup_ngram: candidate pairs come from shared
+    MinHash LSH buckets (band-bucket equi-join — pair space bounded by the
+    banding curve, no (lang, source) quadratic blocks), then the SAME exact
+    shingle-Jaccard verify runs on candidates only.  This is the plan you'd
+    run at 100 TB; the oracle replays the md5 Carter-Wegman bands, the
+    bucket join, and the verify bit-for-bit."""
+    df = dedup.ngram_minhash_neardup(
+        load_table(spark, sf_dir, "documents"), threshold=0.0,
+        num_hashes=NUM_HASHES, bands=BANDS,
+    )
+    return df.filter(F.col("sim") > 0).select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
+    )
+
+
+@query(
+    "neardup_embedding_ivf",
+    """
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    """,
+)
+def neardup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of neardup_embedding: blocks are IVF centroid lists
+    (zero-shuffle Arrow assignment from operators/ann.py) instead of the
+    low-cardinality label column, so block sizes follow the codebook and
+    the within-list self-join is the only pair-producing join.  The oracle
+    replays the deterministic centroids and the argmax assignment."""
+    df = dedup.embedding_neardup_ivf(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, n_centroids=8
+    )
+    return df.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
 def _lang_scores_sql() -> str:
     parts = []
     for lang in textstats.LANG_ORDER:
