@@ -175,6 +175,144 @@ def parse_html_sections(
     )
 
 
+def _llm_json(resp: str):
+    """Parse an LLM JSON response the way the reference does
+    (TreeIndex.js:615): strip markdown fences, then json.loads."""
+    import json
+    import re
+
+    return json.loads(re.sub(r"```json?|```", "", resp).strip())
+
+
+def _keyword_rel(title, summary, content, terms: list[str]) -> float:
+    """_keywordRelevance (TreeIndex.js:685-696): fraction of query terms
+    contained in lower(title + summary + content)."""
+    if not terms:
+        return 0.0
+    text = f"{title or ''} {summary or ''} {content or ''}".lower()
+    return sum(1 for t in terms if t in text) / len(terms)
+
+
+def llm_child_scores(
+    tree_df: DataFrame,
+    query: str,
+    provider,
+    id_col: str = "md_doc_id",
+) -> DataFrame:
+    """_evaluateChildren (TreeIndex.js:622-659), distributed: ONE prompt per
+    parent listing its children as `[i] "title" - summary`, parsed into
+    per-child explore scores.  Grouping by (doc, parent) via applyInPandas
+    keeps every sibling set in one Arrow batch — the same prompt unit as
+    the reference, but parents are evaluated in parallel across executors.
+
+    Children the LLM omits from its response get -1 (never explored —
+    `filter(item => item.nodeId)` in the reference); a failed call falls
+    back to the reference's keyword relevance for that sibling set.
+    Expects a `_summary` column (may be all-null → '(no summary)').
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    terms = [t for t in (query or "").lower().split() if len(t) > 2]
+    ptitles = tree_df.select(
+        F.col(id_col), F.col("sec_idx").alias("parent_idx"),
+        F.col("title").alias("_ptitle"),
+    )
+    kids = tree_df.join(ptitles, [id_col, "parent_idx"], "left")
+    out_schema = StructType(
+        [tree_df.schema[id_col], tree_df.schema["sec_idx"],
+         StructField("explore_score", DoubleType())]
+    )
+
+    def eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sec_idx").reset_index(drop=True)
+        ptitle = pdf["_ptitle"].iloc[0]
+        ptitle = ptitle if isinstance(ptitle, str) and ptitle else "Document"
+        descs = "\n".join(
+            f'[{i}] "{t}" - {s if isinstance(s, str) and s else "(no summary)"}'
+            for i, (t, s) in enumerate(zip(pdf["title"], pdf["_summary"]))
+        )
+        scores: dict[int, float] | None = None
+        try:
+            resp = provider.complete(
+                f'Given the query: "{query}"\n\n'
+                f'This document section "{ptitle}" has the following subsections:\n'
+                f"{descs}\n\n"
+                "Which subsections are most likely to contain the answer? \n"
+                "Respond with ONLY a JSON array (no markdown):\n"
+                '[{"index": <number>, "score": <0.0-1.0>, "reasoning": "<brief>"}]',
+                max_tokens=300,
+            )
+            scores = {}
+            for item in _llm_json(resp):
+                i = item.get("index")
+                if isinstance(i, int) and 0 <= i < len(pdf):
+                    scores[int(pdf["sec_idx"].iloc[i])] = float(item["score"])
+        except Exception:  # noqa: BLE001 — provider down → keyword fallback
+            scores = None
+        if scores is None:
+            scores = {
+                int(r["sec_idx"]): _keyword_rel(r["title"], r["_summary"], r["content"], terms)
+                for _, r in pdf.iterrows()
+            }
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "sec_idx": pdf["sec_idx"],
+                # omitted children get -1, never ≥ minRelevance (NaN would
+                # compare as +inf in Spark predicates — explicit sentinel)
+                "explore_score": [scores.get(int(s), -1.0) for s in pdf["sec_idx"]],
+            }
+        )
+
+    return kids.groupBy(id_col, "parent_idx").applyInPandas(eval_group, schema=out_schema)
+
+
+def llm_leaf_relevance(
+    leaf_df: DataFrame,
+    query: str,
+    provider,
+    id_col: str = "md_doc_id",
+) -> DataFrame:
+    """_evaluateRelevance (TreeIndex.js:601-620), Arrow-batched: per leaf a
+    title + 1500-char content-preview prompt, parsed `{"score": ...}`;
+    errors fall back to keyword relevance.  Expects `_summary` (for the
+    fallback text, like the reference)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    terms = [t for t in (query or "").lower().split() if len(t) > 2]
+    out_schema = StructType(
+        [leaf_df.schema[id_col], leaf_df.schema["sec_idx"],
+         StructField("rel_score", DoubleType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            scores = []
+            for t, c, s in zip(pdf["title"], pdf["content"], pdf["_summary"]):
+                try:
+                    resp = provider.complete(
+                        f'Given the query: "{query}"\n\n'
+                        "Evaluate the relevance of this document section:\n"
+                        f"Title: {t}\n"
+                        f"Content preview: {(c or '')[:1500]}\n\n"
+                        "Respond with ONLY a JSON object (no markdown):\n"
+                        '{"score": <0.0-1.0>, "reasoning": "<brief explanation>"}',
+                        max_tokens=100,
+                    )
+                    scores.append(float(_llm_json(resp)["score"]))
+                except Exception:  # noqa: BLE001
+                    scores.append(_keyword_rel(t, s, c, terms))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sec_idx": pdf["sec_idx"], "rel_score": scores}
+            )
+
+    return leaf_df.select(id_col, "sec_idx", "title", "content", "_summary").mapInPandas(
+        run, schema=out_schema
+    )
+
+
 def reasoning_search(
     tree_df: DataFrame,
     terms: list[str],
@@ -182,14 +320,27 @@ def reasoning_search(
     min_relevance: float = 0.3,
     max_depth: int = 5,
     id_col: str = "md_doc_id",
+    provider=None,
+    query: str | None = None,
+    summary_col: str | None = None,
 ) -> DataFrame:
-    """T9: reasoning tree search (TreeIndex.js:543-659), deterministic
-    fallback path.
+    """T9: reasoning tree search (TreeIndex.js:543-659).
 
-    The reference does an LLM-guided DFS: evaluate children, descend into
-    those scoring ≥ minRelevance, collect qualifying leaves, stop at
-    maxResults.  Its no-LLM fallback scores nodes by keyword overlap
-    (TreeIndex.js:685-696) — that scorer is the tested path here.
+    The reference does an LLM-guided DFS: `_evaluateChildren` scores each
+    branch's children and descent follows scores ≥ minRelevance; leaves are
+    then `_evaluateRelevance`-scored to decide retrieval.  Its no-LLM
+    fallback scores nodes by keyword overlap (TreeIndex.js:685-696).
+
+    With `provider=None` (default, the oracle-attested path) the
+    deterministic keyword scorer gates descent AND retrieval — exactly the
+    reference's fallback mode.  With an `LLMProvider` (operators/llm.py),
+    descent scores come from per-parent `_evaluateChildren` prompts
+    (llm_child_scores) and retrieval scores from per-leaf
+    `_evaluateRelevance` prompts (llm_leaf_relevance) — both Arrow-batched
+    on the executors, with the reference's keyword fallback on any
+    provider error.  `query` defaults to ' '.join(terms); `summary_col`
+    names an optional node-summary column (bottom_up_summaries output)
+    used in child descriptions and fallbacks.
 
     Distributed re-expression: an iterative FRONTIER JOIN per level (depth
     is bounded by maxDepth=5, so ≤5 jobs, no recursion): a node is explored
@@ -203,11 +354,21 @@ def reasoning_search(
 
     from fusionspark.functions.text import keyword_overlap
 
-    terms_col = F.array(*[F.lit(t) for t in terms])
-    scored = tree_df.withColumn(
-        "score",
-        keyword_overlap(F.concat_ws(" ", F.col("title"), F.col("content")), terms_col),
+    tree_df = tree_df.withColumn(
+        "_summary",
+        F.col(summary_col) if summary_col else F.lit(None).cast("string"),
     )
+    if provider is not None:
+        explore = llm_child_scores(tree_df, query or " ".join(terms), provider, id_col)
+        scored = tree_df.join(explore, [id_col, "sec_idx"], "left").withColumn(
+            "score", F.coalesce(F.col("explore_score"), F.lit(-1.0))
+        )
+    else:
+        terms_col = F.array(*[F.lit(t) for t in terms])
+        scored = tree_df.withColumn(
+            "score",
+            keyword_overlap(F.concat_ws(" ", F.col("title"), F.col("content")), terms_col),
+        )
     # leaves = nodes never referenced as parent
     parents = scored.select(F.col(id_col), F.col("parent_idx").alias("sec_idx")).distinct()
     is_leaf = scored.join(parents, [id_col, "sec_idx"], "left_anti").select(
@@ -228,6 +389,15 @@ def reasoning_search(
         frontier = children.filter(~F.col("is_leaf"))
         # depth bound makes this a fixed, small number of joins; an empty
         # frontier simply yields empty joins for the remaining iterations
+    if provider is not None:
+        # reachable leaves get the reference's second gate: their OWN
+        # _evaluateRelevance score decides retrieval and final ranking
+        rel = llm_leaf_relevance(results, query or " ".join(terms), provider, id_col)
+        results = (
+            results.join(rel, [id_col, "sec_idx"])
+            .filter(F.col("rel_score") >= min_relevance)
+            .withColumn("score", F.col("rel_score"))
+        )
     return (
         results.orderBy(F.col("score").desc(), F.col(id_col).asc(), F.col("sec_idx").asc())
         .limit(max_results)

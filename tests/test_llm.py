@@ -78,3 +78,66 @@ def test_bottom_up_summaries_provider_error_falls_back(spark):
     prov = LLMProvider("ollama", transport=broken)
     out = {r["sec_idx"]: r["summary"] for r in bottom_up_summaries(_toy_tree(spark), prov).collect()}
     assert out[2].startswith("alpha content") and out[2].endswith("...")
+
+
+def _search_tree(spark):
+    rows = [
+        # (doc, sec, level, title, content, parent)
+        (1, 1, 1, "Root", "beta overview", 0),
+        (1, 2, 2, "Alpha", "nothing matching the keywords here", 1),
+        (1, 3, 2, "Beta", "beta beta beta keyword rich content", 1),
+        (1, 4, 3, "AlphaLeaf", "the actual answer hides here", 2),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id: long, sec_idx: long, level: int, title: string, content: string, parent_idx: long",
+    )
+
+
+def test_reasoning_search_llm_scored_descent(spark):
+    """VERDICT r2 #2: the LLMProvider gates descent (_evaluateChildren) and
+    retrieval (_evaluateRelevance); the deterministic keyword path is
+    unchanged and picks a different leaf by construction."""
+    from fusionspark.operators.tree import reasoning_search
+
+    def fake_tree_llm(url, payload, headers):
+        # faked ollama transport: routes Alpha over Beta, the opposite of
+        # what keyword overlap would do (nested so cloudpickle ships it
+        # by value — the test module is not importable on executors)
+        p = payload["prompt"]
+        if "Evaluate the relevance" in p:  # _evaluateRelevance on a leaf
+            return {"response": '```json\n{"score": 0.7, "reasoning": "it answers"}\n```'}
+        if '"Root"' in p and "[1]" in p:  # the Alpha/Beta sibling set
+            return {
+                "response": '[{"index": 0, "score": 0.9, "reasoning": "likely"},'
+                ' {"index": 1, "score": 0.1, "reasoning": "unlikely"}]'
+            }
+        return {"response": '[{"index": 0, "score": 0.8, "reasoning": "descend"}]'}
+
+    tree = _search_tree(spark)
+    provider = LLMProvider("ollama", transport=fake_tree_llm)
+
+    llm_hits = reasoning_search(
+        tree, ["beta"], id_col="doc_id", provider=provider, query="beta"
+    ).collect()
+    assert [r["sec_idx"] for r in llm_hits] == [4]  # LLM routed to AlphaLeaf
+    assert llm_hits[0]["score"] == pytest.approx(0.7)  # leaf relevance score
+
+    kw_hits = reasoning_search(tree, ["beta"], id_col="doc_id").collect()
+    assert [r["sec_idx"] for r in kw_hits] == [3]  # keyword path picks Beta
+
+
+def test_reasoning_search_llm_error_falls_back_to_keywords(spark):
+    """A dead provider must degrade to the reference's keyword fallback
+    inside the SAME call (per sibling set / per leaf), not throw."""
+    from fusionspark.operators.tree import reasoning_search
+
+    def broken(url, payload, headers):  # nested: shipped by value
+        raise ConnectionError("llm down")
+
+    tree = _search_tree(spark)
+    provider = LLMProvider("ollama", transport=broken)
+    hits = reasoning_search(
+        tree, ["beta"], id_col="doc_id", provider=provider, query="beta"
+    ).collect()
+    assert [r["sec_idx"] for r in hits] == [3]  # same as the keyword path
