@@ -75,6 +75,15 @@ def serve_cmd(port: int) -> None:
         server.shutdown()
 
 
+def mcp_cmd() -> None:
+    """bin/cli.js `mcp`: speak MCP (JSON-RPC over stdio) for Claude-Desktop
+    -style clients.  All diagnostics go to stderr — stdout is the wire."""
+    from fusionspark.server import mcp_stdio
+
+    print(BANNER, file=sys.stderr)
+    mcp_stdio(_engine())
+
+
 def bench_cmd(count: int) -> None:
     """bin/cli.js:92-100: insert + 1000-query search timing."""
     from pyspark.sql import functions as F
@@ -113,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("demo", help="run the end-to-end demo")
     sp = sub.add_parser("serve", help="start the HTTP + tool server")
     sp.add_argument("--port", type=int, default=8080)
+    sub.add_parser("mcp", help="MCP server over stdio (for MCP clients)")
     bp = sub.add_parser("bench", help="quick insert/search benchmark")
     bp.add_argument("--count", type=int, default=5000)
     args = p.parse_args(argv)
@@ -120,6 +130,8 @@ def main(argv: list[str] | None = None) -> int:
         demo()
     elif args.cmd == "serve":
         serve_cmd(args.port)
+    elif args.cmd == "mcp":
+        mcp_cmd()
     elif args.cmd == "bench":
         bench_cmd(args.count)
     else:

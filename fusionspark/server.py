@@ -216,10 +216,113 @@ class Router:
             ),
         }
 
+    #: JSON-Schema input shapes per tool (MCPServer.js:50-107 publishes
+    #: inputSchema in its manifest; Claude-Desktop-style clients use these
+    #: to construct calls).
+    TOOL_SCHEMAS: dict[str, dict] = {
+        "fusionspark_create_collection": {
+            "type": "object",
+            "properties": {
+                "name": {"type": "string"},
+                "dimensions": {"type": "number"},
+                "metric": {"type": "string", "enum": ["cosine", "euclidean", "dot"]},
+            },
+            "required": ["name"],
+        },
+        "fusionspark_list_collections": {"type": "object", "properties": {}},
+        "fusionspark_search": {
+            "type": "object",
+            "properties": {
+                "collection": {"type": "string"},
+                "query": {"type": "string"},
+                "topK": {"type": "number"},
+                "filter": {"type": "object"},
+                "tenantId": {"type": "string"},
+            },
+            "required": ["collection", "query"],
+        },
+        "fusionspark_hybrid_search": {
+            "type": "object",
+            "properties": {
+                "collection": {"type": "string"},
+                "query": {"type": "string"},
+                "topK": {"type": "number"},
+            },
+            "required": ["collection", "query"],
+        },
+        "fusionspark_rag_ingest": {
+            "type": "object",
+            "properties": {
+                "collection": {"type": "string"},
+                "docId": {"type": "string"},
+                "text": {"type": "string"},
+            },
+            "required": ["text"],
+        },
+        "fusionspark_rag_query": {
+            "type": "object",
+            "properties": {
+                "collection": {"type": "string"},
+                "query": {"type": "string"},
+                "maxTokens": {"type": "number"},
+            },
+            "required": ["query"],
+        },
+        "fusionspark_memory_remember": {
+            "type": "object",
+            "properties": {
+                "agentId": {"type": "string"},
+                "content": {"type": "string"},
+                "importance": {"type": "number"},
+            },
+            "required": ["agentId", "content"],
+        },
+        "fusionspark_memory_recall": {
+            "type": "object",
+            "properties": {
+                "agentId": {"type": "string"},
+                "query": {"type": "string"},
+                "topK": {"type": "number"},
+            },
+            "required": ["agentId", "query"],
+        },
+        "fusionspark_memory_learn": {
+            "type": "object",
+            "properties": {
+                "agentId": {"type": "string"},
+                "content": {"type": "string"},
+                "confidence": {"type": "number"},
+            },
+            "required": ["agentId", "content"],
+        },
+        "fusionspark_memory_share": {
+            "type": "object",
+            "properties": {
+                "agentId": {"type": "string"},
+                "content": {"type": "string"},
+            },
+            "required": ["agentId", "content"],
+        },
+        "fusionspark_memory_forget": {
+            "type": "object",
+            "properties": {
+                "agentId": {"type": "string"},
+                "type": {"type": "string", "enum": ["episodic", "semantic", "procedural"]},
+            },
+            "required": ["agentId"],
+        },
+    }
+
     def tool_manifest(self) -> dict:
         return {
             "tools": [
-                {"name": name, "description": desc}
+                {
+                    "name": name,
+                    "description": desc,
+                    "inputSchema": self.TOOL_SCHEMAS.get(
+                        name, {"type": "object", "properties": {}}
+                    ),
+                }
                 for name, (desc, _fn) in self._tools().items()
             ]
         }
@@ -232,6 +335,88 @@ class Router:
             return {"result": tools[tool][1](args)}
         except Exception as e:  # noqa: BLE001 — protocol boundary
             return {"error": str(e)}
+
+
+# ── MCP stdio transport (MCPServer.js:107-127) ────────────────────────────
+
+MCP_PROTOCOL_VERSION = "2024-11-05"
+
+
+def handle_mcp_message(router: Router, msg: dict) -> dict | None:
+    """One JSON-RPC 2.0 message → response dict (None for notifications).
+
+    Methods: `initialize` (MCP handshake), `notifications/initialized`
+    (no-op), `tools/list`, `tools/call` — the same dispatch as the
+    reference's stdio loop (MCPServer.js:114-121) plus the initialize
+    handshake an actual MCP client sends first."""
+    method = msg.get("method")
+    mid = msg.get("id")
+    if method == "initialize":
+        return {
+            "jsonrpc": "2.0",
+            "id": mid,
+            "result": {
+                "protocolVersion": MCP_PROTOCOL_VERSION,
+                "serverInfo": {"name": "fusionspark", "version": VERSION},
+                "capabilities": {"tools": {}},
+            },
+        }
+    if method == "notifications/initialized":
+        return None  # notification: no response on the wire
+    if method == "tools/list":
+        return {"jsonrpc": "2.0", "id": mid, "result": router.tool_manifest()}
+    if method == "tools/call":
+        params = msg.get("params") or {}
+        out = router.call_tool(params.get("name", ""), params.get("arguments") or {})
+        if "error" in out:
+            return {
+                "jsonrpc": "2.0",
+                "id": mid,
+                "error": {"code": -32000, "message": out["error"]},
+            }
+        return {
+            "jsonrpc": "2.0",
+            "id": mid,
+            "result": {
+                "content": [
+                    {"type": "text", "text": json.dumps(out["result"], default=str)}
+                ],
+                "isError": False,
+            },
+        }
+    return {
+        "jsonrpc": "2.0",
+        "id": mid,
+        "error": {"code": -32601, "message": f"Unknown method: {method}"},
+    }
+
+
+def mcp_stdio(engine, stdin=None, stdout=None) -> None:
+    """Newline-delimited JSON-RPC loop over stdio — the transport Claude
+    Desktop/MCP clients speak when they spawn the server as a subprocess
+    (`python -m fusionspark.cli mcp`; reference: bin/cli.js `mcp` +
+    MCPServer.js:107-127).  `stdin`/`stdout` injectable for tests (any
+    line-iterable / writer)."""
+    import sys
+
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+    router = Router(engine)
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            resp = handle_mcp_message(router, json.loads(line))
+        except Exception as e:  # noqa: BLE001 — protocol boundary (parse errors)
+            resp = {
+                "jsonrpc": "2.0",
+                "id": None,
+                "error": {"code": -32700, "message": str(e)},
+            }
+        if resp is not None:
+            stdout.write(json.dumps(resp) + "\n")
+            stdout.flush()
 
 
 def serve(engine, port: int = 8080, host: str = "127.0.0.1"):

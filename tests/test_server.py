@@ -130,3 +130,49 @@ def test_cli_demo_end_to_end(spark, monkeypatch):
         ),
     )
     cli.demo()  # raises on any failure
+
+
+def test_mcp_stdio_initialize_list_call(srv_engine):
+    """VERDICT r2 #3: the MCP wire protocol — newline-delimited JSON-RPC
+    over stdio pipes: initialize → initialized → tools/list → tools/call,
+    plus unknown-method and parse-error replies."""
+    import io
+
+    from fusionspark.server import mcp_stdio
+
+    requests = "\n".join(
+        json.dumps(m)
+        for m in [
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+             "params": {"protocolVersion": "2024-11-05", "clientInfo": {"name": "t"}}},
+            {"jsonrpc": "2.0", "method": "notifications/initialized"},
+            {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+            {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+             "params": {"name": "fusionspark_create_collection",
+                        "arguments": {"name": "mcp_c", "dimensions": 8}}},
+            {"jsonrpc": "2.0", "id": 4, "method": "tools/call",
+             "params": {"name": "fusionspark_list_collections", "arguments": {}}},
+            {"jsonrpc": "2.0", "id": 5, "method": "tools/call",
+             "params": {"name": "no_such_tool", "arguments": {}}},
+            {"jsonrpc": "2.0", "id": 6, "method": "bogus/method"},
+        ]
+    ) + "\nnot json at all\n"
+    out = io.StringIO()
+    mcp_stdio(srv_engine, stdin=io.StringIO(requests), stdout=out)
+    replies = [json.loads(line) for line in out.getvalue().splitlines()]
+
+    by_id = {r.get("id"): r for r in replies}
+    # notification got no reply: 7 requests+1 garbage in, 7 replies out
+    assert len(replies) == 7
+    init = by_id[1]["result"]
+    assert init["serverInfo"]["name"] == "fusionspark"
+    assert init["protocolVersion"] and "tools" in init["capabilities"]
+    tools = {t["name"]: t for t in by_id[2]["result"]["tools"]}
+    assert "fusionspark_search" in tools
+    assert tools["fusionspark_search"]["inputSchema"]["required"] == ["collection", "query"]
+    assert by_id[3]["result"]["isError"] is False
+    listed = json.loads(by_id[4]["result"]["content"][0]["text"])
+    assert any(c["name"] == "mcp_c" for c in listed)
+    assert by_id[5]["error"]["code"] == -32000  # unknown tool
+    assert by_id[6]["error"]["code"] == -32601  # unknown method
+    assert by_id[None]["error"]["code"] == -32700  # parse error
