@@ -32,8 +32,9 @@ def query(name: str, sql: str | None = None):
 # touched this round keep their valid r1/r2 attestations (the r1∪r2 union
 # covered all 86 registered queries with zero failures).
 PRIORITY: list[str] = [
-    # new in round 3 — the scale-path near-dups (VERDICT r2 #1)
-    "neardup_ngram_lsh", "neardup_embedding_ivf",
+    # new in round 3 — the scale-path near-dups (VERDICT r2 #1) and the
+    # real-codec PNG pipeline (VERDICT r2 #4)
+    "neardup_ngram_lsh", "neardup_embedding_ivf", "png_features",
     # changed in round 3: minhash_candidates materialization (dedup.py)
     "dedup_minhash", "neardup_ngram", "merge_candidates",
     # changed in round 3: keyword term dedupe + regex escaping (keyword.py)

@@ -64,6 +64,38 @@ def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
 
 
+@query(
+    "png_features",
+    f"""
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean_intensity,
+           SUM(v * k)::BIGINT AS pix_checksum
+    FROM (
+        SELECT doc_id, k.k AS k,
+               ((doc_id * 7 + 3 * k.k) % 251)::DOUBLE AS v
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, {MM.PNG_W * MM.PNG_H - 1})) AS k) k
+    )
+    GROUP BY doc_id
+    """,
+)
+def png_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path, oracle-attested: Spark encodes deterministic PNGs
+    (filters 0-4), zlib-inflates and filter-reconstructs them back
+    (multimodal.png_decode — stdlib only), and aggregates the decoded
+    pixels; the oracle replays the closed-form pixel law arithmetically.
+    A hash match here certifies the whole PNG decode pipeline — mean pins
+    the totals, the position-weighted checksum pins every pixel to its
+    position."""
+    m = MM.synth_png_media(spark, sf_dir)
+    feats = MM.png_feature_stats(m)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "pix_checksum",
+    )
+
+
 @query("image_features")
 def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode(stub) → features; rows-only (codec output isn't SQL)."""
