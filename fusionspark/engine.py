@@ -535,11 +535,26 @@ def collaborative_recall(
     return out
 
 
-def export_json(self, collection: str) -> dict:
+#: export_json refuses above this many rows — the one-dict interchange
+#: format is inherently driver-resident; export_jsonl is the scale path.
+EXPORT_JSON_ROW_CAP = 100_000
+
+
+def export_json(self, collection: str, max_rows: int = EXPORT_JSON_ROW_CAP) -> dict:
     """S7: whole-collection JSON export in the reference's shape
     (FusionEngine.js:278-312 / HNSWIndex.js:390-439) — entries with id/
     vector/metadata.  For interchange with the reference; Parquet remains
-    the native format."""
+    the native format.
+
+    Driver-resident by nature (one Python dict), so it REFUSES collections
+    beyond `max_rows` with an explicit error instead of OOMing the driver —
+    use export_jsonl() for arbitrarily large collections."""
+    n = self._load(collection).count()
+    if n > max_rows:
+        raise ValueError(
+            f"collection {collection!r} has {n} rows > export_json cap "
+            f"{max_rows}; use export_jsonl() — the distributed interchange path"
+        )
     rows = self._load(collection).collect()
     return {
         "name": collection,
@@ -598,6 +613,44 @@ def import_json(self, payload: dict) -> int:
     return self.insert(name, entries) if entries else 0
 
 
+#: native row schema, shared by the JSONL interchange paths
+_ROW_SCHEMA = (
+    "id string, vector array<float>, content string, "
+    "metadata map<string,string>, tenant_id string, ts long, ttl_ms long"
+)
+
+
+def export_jsonl(self, collection: str, path: str) -> int:
+    """S7 at scale: per-partition JSONL export — every executor serializes
+    its own partition with to_json and writes directly (one line per entry,
+    native typed row shape), so NOTHING funnels through the driver and a
+    100 TB collection exports as fast as a parquet rewrite.  Returns the
+    row count (a metadata-only parquet count)."""
+    df = self._load(collection)
+    df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+    return df.count()
+
+
+def import_jsonl(self, name: str, path: str, dimensions: int = 64, metric: str = "cosine") -> int:
+    """S7 inverse at scale: distributed JSONL load — from_json on the
+    executors, appended straight to the collection, no driver round trip."""
+    if name not in self._catalog:
+        self.create_collection(
+            name, CollectionConfig(dimensions=dimensions, metric=metric)
+        )
+    rows = (
+        self.spark.read.text(path)
+        .select(F.from_json(F.col("value"), _ROW_SCHEMA).alias("r"))
+        .select("r.*")
+    )
+    rows.write.mode("append").parquet(self._path(name))
+    return rows.count()
+
+
 FusionSparkEngine.collaborative_recall = collaborative_recall
 FusionSparkEngine.export_json = export_json
+FusionSparkEngine.export_jsonl = export_jsonl
 FusionSparkEngine.import_json = import_json
+FusionSparkEngine.import_jsonl = import_jsonl
