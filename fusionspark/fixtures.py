@@ -162,7 +162,12 @@ agents AS (
 # ── messages ──────────────────────────────────────────────────────────────
 
 def messages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    return messages_select(load_table(spark, sf_dir, "events"))
+
+
+def messages_select(e: DataFrame) -> DataFrame:
+    """events → messages projection; works on batch AND streaming frames
+    (the streaming delivery job applies it to readStream events)."""
     return e.select(
         F.col("event_id").alias("msg_id"),
         F.concat(F.lit("agent-"), (F.col("user_id") % 5).cast("string")).alias("from_agent"),

@@ -201,6 +201,35 @@ def messages_significant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── M5: message routing (broadcast fan-out) ───────────────────────────────
+
+@query(
+    "message_deliveries",
+    f"WITH {FX.MESSAGES_SQL.strip()},\n"
+    """
+    agents AS (SELECT DISTINCT from_agent AS agent_id FROM messages)
+    SELECT msg_id, from_agent, recipient, type FROM (
+        SELECT m.msg_id, m.from_agent, m.to_agent AS recipient, m.type
+        FROM messages m WHERE m.to_agent <> '*'
+        UNION ALL
+        SELECT m.msg_id, m.from_agent, a.agent_id AS recipient, m.type
+        FROM messages m JOIN agents a ON a.agent_id <> m.from_agent
+        WHERE m.to_agent = '*'
+    )
+    """,
+)
+def message_deliveries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 routing (AgentOrchestrator.js:152-160): '*' fans out to every
+    registered agent except the sender via a broadcast join against the
+    agent registry; direct messages pass through.  Same plan serves the
+    Structured Streaming delivery job (streaming/routing.py)."""
+    from fusionspark.streaming.routing import route_messages
+
+    m = FX.messages_df(spark, sf_dir)
+    agents = m.select(F.col("from_agent").alias("agent_id")).distinct()
+    return route_messages(m, agents).select("msg_id", "from_agent", "recipient", "type")
+
+
 # ── ST2: sliding window ───────────────────────────────────────────────────
 
 @query(

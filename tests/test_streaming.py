@@ -112,3 +112,54 @@ def test_user_running_stats_stateful(spark, sf_dir, stream_events):
         for r in latest.collect()
     }
     assert b == s
+
+
+def test_message_delivery_stream_matches_batch(spark, sf_dir, stream_events, tmp_path):
+    """VERDICT r2 #8 (M5): the Structured Streaming delivery job
+    (foreachBatch: broadcast fan-out + partitioned queue writes + embedded
+    auto-remember) lands exactly the batch-routing result."""
+    from fusionspark.fixtures import messages_df, messages_select
+    from fusionspark.streaming.routing import (
+        deliver_messages_stream,
+        route_messages,
+        significant_messages,
+    )
+
+    batch_msgs = messages_df(spark, sf_dir)
+    agents = batch_msgs.select(F.col("from_agent").alias("agent_id")).distinct()
+
+    q = deliver_messages_stream(
+        messages_select(stream_events),
+        agents,
+        deliveries_path=str(tmp_path / "deliveries"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        memory_path=str(tmp_path / "memory"),
+        dimensions=8,
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(str(tmp_path / "deliveries"))
+    got = {
+        (r["msg_id"], r["recipient"]) for r in streamed.select("msg_id", "recipient").collect()
+    }
+    want = {
+        (r["msg_id"], r["recipient"])
+        for r in route_messages(batch_msgs, agents).select("msg_id", "recipient").collect()
+    }
+    assert got == want and want
+
+    # each agent's queue is one partition directory — a reader never scans
+    # the whole log
+    import os
+
+    parts = {d for d in os.listdir(tmp_path / "deliveries") if d.startswith("recipient=")}
+    assert len(parts) == agents.count()
+
+    # auto-remember: engine-schema rows, embedded, sender-owned
+    mem = spark.read.parquet(str(tmp_path / "memory"))
+    n_sig = significant_messages(batch_msgs).count()
+    assert mem.count() == n_sig and n_sig > 0
+    row = mem.first()
+    assert row["vector"] is not None and len(row["vector"]) == 8
+    assert row["content"].startswith("Sent ")
+    assert row["metadata"]["messageType"] in ("task", "result", "knowledge")
