@@ -218,6 +218,35 @@ def _rerank_candidates(
     )
 
 
+def _partial_topk(sims, ids, pids, k, probe_id_col, id_col):
+    """Map-side per-probe top-k over a scored (corpus × probes) sim matrix,
+    boundary ties widened like knn so the global window's (sim DESC, id ASC)
+    order can't lose a tied row to the partial cut."""
+    import numpy as np
+    import pandas as pd
+
+    kk = min(k, sims.shape[0])
+    # top-k LARGEST per probe; boundary ties widened like knn
+    dist = -sims
+    idx = np.argpartition(dist, kk - 1, axis=0)[:kk]
+    dsel = np.take_along_axis(dist, idx, axis=0)
+    sel_p = list(np.repeat(np.asarray(pids), kk))
+    sel_i = list(ids[idx.ravel(order="F")])
+    sel_s = list(-dsel.ravel(order="F"))
+    if kk < dist.shape[0]:
+        boundary = dsel.max(axis=0)
+        n_total = (dist == boundary[None, :]).sum(axis=0)
+        n_inside = (dsel == boundary[None, :]).sum(axis=0)
+        for qi in np.flatnonzero(n_total > n_inside):
+            extra = np.setdiff1d(
+                np.flatnonzero(dist[:, qi] == boundary[qi]), idx[:, qi]
+            )
+            sel_p.extend([pids[qi]] * len(extra))
+            sel_i.extend(ids[extra])
+            sel_s.extend(sims[extra, qi])
+    return pd.DataFrame({probe_id_col: sel_p, id_col: sel_i, "sim": sel_s})
+
+
 def _numpy_rerank(
     data: DataFrame,
     probes: DataFrame,
@@ -271,27 +300,8 @@ def _numpy_rerank(
                 en[en == 0] = 1.0
                 sims = (E @ P.T) / en[:, None] / pn[None, :]
                 ids = grp[id_col].to_numpy()
-                kk = min(k, sims.shape[0])
-                # top-k LARGEST per probe; boundary ties widened like knn
-                dist = -sims
-                idx = np.argpartition(dist, kk - 1, axis=0)[:kk]
-                dsel = np.take_along_axis(dist, idx, axis=0)
-                sel_p = list(np.repeat(np.asarray(pids), kk))
-                sel_i = list(ids[idx.ravel(order="F")])
-                sel_s = list(-dsel.ravel(order="F"))
-                if kk < dist.shape[0]:
-                    boundary = dsel.max(axis=0)
-                    n_total = (dist == boundary[None, :]).sum(axis=0)
-                    n_inside = (dsel == boundary[None, :]).sum(axis=0)
-                    for qi in np.flatnonzero(n_total > n_inside):
-                        extra = np.setdiff1d(
-                            np.flatnonzero(dist[:, qi] == boundary[qi]), idx[:, qi]
-                        )
-                        sel_p.extend([pids[qi]] * len(extra))
-                        sel_i.extend(ids[extra])
-                        sel_s.extend(sims[extra, qi])
                 parts.append(
-                    pd.DataFrame({probe_id_col: sel_p, id_col: sel_i, "sim": sel_s})
+                    _partial_topk(sims, ids, pids, k, probe_id_col, id_col)
                 )
             if parts:
                 merged = pd.concat(parts, ignore_index=True)
@@ -420,6 +430,187 @@ def ivf_search_persisted(
     cand = data.join(F.broadcast(probe_lists), "centroid_id")
     return _rerank_candidates(
         cand, k, dim, id_col, vector_col, probe_id_col, probe_vector_col
+    )
+
+
+def route_probes_mapped(
+    probes: DataFrame,
+    crows: list[tuple[int, list[float], float]],
+    n_probe: int,
+    probe_id_col: str = "probe_id",
+    probe_vector_col: str = "probe_embedding",
+) -> DataFrame:
+    """Distributed probe→list routing: the codebook ships in the task
+    closure (exactly like the corpus assignment in _assign_from_rows) and
+    each Arrow batch computes its probes' n_probe best lists — the probe
+    frame NEVER collects to the driver.  _route_probes is the low-latency
+    driver-side form for interactive probe counts; this is the
+    millions-of-probes form.  Same left-to-right float64 fold and
+    (sim DESC, centroid_id ASC) tie order, so both paths route every probe
+    to the same lists.  Output: one (probe, centroid_id) row per routed
+    list, no shuffle."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cids = np.asarray([c[0] for c in crows], dtype=np.int64)
+    C = [c[1] for c in crows]
+    cnorms = [c[2] for c in crows]
+    kc = len(C)
+    d = len(C[0])
+    n_probe = min(n_probe, kc)
+
+    src = probes.select(probe_id_col, probe_vector_col)
+    out_schema = StructType(
+        list(src.schema.fields) + [StructField("centroid_id", LongType())]
+    )
+
+    def route(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            P = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[probe_vector_col]]
+            )
+            acc = np.zeros(n)
+            for i in range(d):
+                acc = acc + P[:, i] * P[:, i]
+            pnorm = np.sqrt(acc)
+            sims = np.empty((n, kc))
+            for j in range(kc):
+                accj = np.zeros(n)
+                cj = C[j]
+                for i in range(d):
+                    accj = accj + P[:, i] * cj[i]
+                denom = pnorm * cnorms[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims[:, j] = np.where(denom > 0, accj / denom, 0.0)
+            # stable argsort on -sims: ties keep codebook order = cid ASC,
+            # matching _route_probes' sort(key=(-sim, cid))
+            best = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
+            out["centroid_id"] = cids[best].ravel()
+            yield out
+
+    return src.mapInPandas(route, schema=out_schema)
+
+
+def ivf_search_distributed(
+    spark: SparkSession,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vector_col: str = "probe_embedding",
+    max_group_probes: int = 4096,
+    max_group_rows: int = 65536,
+) -> DataFrame:
+    """`ivf_search_persisted` for LARGE probe sets (millions+): probes stay
+    distributed end to end.
+
+    Plan: Arrow-map routing (route_probes_mapped, zero shuffle) → one tiny
+    count-agg fixes the wanted lists (still a literal partition filter on
+    the parquet scan — pruning survives) and the per-list block factors →
+    cogroup the pruned corpus with its routed probes on
+    (centroid_id, probe_block, corpus_block), one float64 GEMM per group,
+    partial top-k (ties widened) before the only all-to-all exchange, which
+    carries (probe_id, id, sim) — never a vector payload.
+
+    The 2-D blocking bounds both group axes: a hot list's probes split into
+    ⌈probes/max_group_probes⌉ blocks (corpus rows replicated across probe
+    blocks), an oversized list's rows into ⌈rows/max_group_rows⌉ blocks
+    (probe rows replicated across corpus blocks) — the block-matrix schedule
+    of a distributed GEMM, so no single task ever materializes more than
+    max_group_rows × max_group_probes pairs regardless of skew.
+
+    Results are identical to ivf_search_persisted(strategy='numpy'): same
+    routing fold, same GEMM, same tie rules."""
+    import numpy as np
+
+    crows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    routed = route_probes_mapped(probes, crows, n_probe, probe_id_col, probe_vector_col)
+
+    # tiny aggs (≤ n_centroids rows each): wanted lists + block factors
+    pc = {
+        int(r["centroid_id"]): int(r["count"])
+        for r in routed.groupBy("centroid_id").count().collect()
+    }
+    wanted = sorted(pc)
+    data = spark.read.parquet(f"{path}/data").filter(
+        F.col("centroid_id").isin(wanted)
+    )
+    rc = {
+        int(r["centroid_id"]): int(r["count"])
+        for r in data.groupBy("centroid_id").count().collect()
+    }
+    pblocks = {c: -(-n // max_group_probes) for c, n in pc.items()}
+    cblocks = {c: -(-rc.get(c, 1) // max_group_rows) for c in pc}
+
+    def lit_map(d: dict) -> F.Column:
+        pairs = []
+        for cid, v in d.items():
+            pairs.extend([F.lit(cid), F.lit(v)])
+        return F.create_map(*pairs)
+
+    pb_of = F.element_at(lit_map(pblocks), F.col("centroid_id"))
+    cb_of = F.element_at(lit_map(cblocks), F.col("centroid_id"))
+
+    probe_side = (
+        routed.withColumn(
+            "pb", F.pmod(F.xxhash64(F.col(probe_id_col)), pb_of).cast("int")
+        )
+        .withColumn("cb", F.explode(F.sequence(F.lit(0), cb_of - 1)))
+    )
+    corpus_side = (
+        data.select(id_col, vector_col, "centroid_id")
+        .withColumn("cb", F.pmod(F.xxhash64(F.col(id_col)), cb_of).cast("int"))
+        .withColumn("pb", F.explode(F.sequence(F.lit(0), pb_of - 1)))
+    )
+
+    from fusionspark.operators.knn import id_sql_type
+
+    out_schema = (
+        f"{probe_id_col} {id_sql_type(probes, probe_id_col)}, "
+        f"{id_col} {id_sql_type(data, id_col)}, sim double"
+    )
+
+    def gemm(left, right):
+        import pandas as pd
+
+        if not len(left) or not len(right):
+            return pd.DataFrame({probe_id_col: [], id_col: [], "sim": []})
+        E = np.asarray([np.asarray(v, dtype=np.float64) for v in left[vector_col]])
+        en = np.linalg.norm(E, axis=1)
+        en[en == 0] = 1.0
+        P = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in right[probe_vector_col]]
+        )
+        pn = np.linalg.norm(P, axis=1)
+        pn[pn == 0] = 1.0
+        sims = (E @ P.T) / en[:, None] / pn[None, :]
+        return _partial_topk(
+            sims, left[id_col].to_numpy(), list(right[probe_id_col]), k,
+            probe_id_col, id_col,
+        )
+
+    scored = (
+        corpus_side.groupBy("centroid_id", "pb", "cb")
+        .cogroup(probe_side.groupBy("centroid_id", "pb", "cb"))
+        .applyInPandas(gemm, schema=out_schema)
+    )
+    # a probe routed to n_probe lists (and cb corpus blocks) has that many
+    # partials — the global window merges them; it carries no payloads
+    wk = Window.partitionBy(probe_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(probe_id_col, id_col, "sim", "rnk")
     )
 
 

@@ -35,8 +35,9 @@ PRIORITY: list[str] = [
     # new in round 3 — the scale-path near-dups (VERDICT r2 #1) and the
     # real-codec PNG pipeline (VERDICT r2 #4)
     "neardup_ngram_lsh", "neardup_embedding_ivf", "png_features",
-    # new in round 3 — M5 broadcast routing (VERDICT r2 #8)
-    "message_deliveries",
+    # new in round 3 — M5 broadcast routing (VERDICT r2 #8) and the
+    # distributed-probe IVF form (VERDICT r2 'what's wrong' #4)
+    "message_deliveries", "ann_ivf_distributed",
     # changed in round 3: minhash_candidates materialization (dedup.py)
     "dedup_minhash", "neardup_ngram", "merge_candidates",
     # changed in round 3: keyword term dedupe + regex escaping (keyword.py)

@@ -379,9 +379,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint_docs(d)
 
 
-@query(
-    "ann_ivf",
-    """
+# shared by ann_ivf and ann_ivf_distributed — both compute the same IVF
+# semantics (deterministic first-8 centroids, first-5 probes, nProbe=2,
+# exact re-rank inside the chosen lists), differing only in the Spark
+# physical plan (driver-routed broadcast vs distributed routing + cogroup)
+ANN_IVF_ORACLE = """
     WITH cent AS (
         SELECT vec_id AS centroid_id, embedding AS centroid
         FROM embeddings ORDER BY vec_id ASC LIMIT 8
@@ -416,8 +418,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                    a.vec_id ASC) AS rnk
         FROM assigned a JOIN probe_lists pl ON a.centroid_id = pl.centroid_id
     ) WHERE rnk <= 10
-    """,
-)
+    """
+
+
+@query("ann_ivf", ANN_IVF_ORACLE)
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate k-NN: deterministic centroids, nProbe=2 list pruning,
     exact re-rank inside selected lists (operators/ann.py).  Centroids AND
@@ -435,6 +439,35 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = ivf_knn(e, probes, k=10, n_centroids=8, n_probe=2, centroids=cent)
     return df.select("probe_id", "vec_id", F.round("sim", 6).alias("sim"), F.col("rnk").cast("long").alias("rnk"))
+
+
+@query("ann_ivf_distributed", ANN_IVF_ORACLE)
+def ann_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The millions-of-probes IVF form (operators/ann.py:
+    ivf_search_distributed): probes never collect to the driver — Arrow-map
+    routing against the closure-shipped codebook, then a cogroup GEMM over
+    (centroid_id, probe_block, corpus_block) with 2-D skew blocking.  Same
+    oracle as ann_ivf: the two physical plans must agree row for row."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from fusionspark.operators.ann import ivf_search_distributed, persist_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="fusionspark-ivf-dist-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    persist_ivf(e, f"{root}/ivf", n_centroids=8)
+    head = e.orderBy(F.col("vec_id").asc()).limit(5).select("vec_id", "embedding").collect()
+    probes = spark.createDataFrame(
+        [(int(r["vec_id"]), r["embedding"]) for r in head],
+        "probe_id: bigint, probe_embedding: array<float>",
+    )
+    df = ivf_search_distributed(spark, f"{root}/ivf", probes, k=10, n_probe=2)
+    return df.select(
+        "probe_id", "vec_id", F.round("sim", 6).alias("sim"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
 
 
 @query(

@@ -212,6 +212,64 @@ def test_ivf_numpy_rerank_matches_expression(spark, sf_dir, tmp_path):
     assert expr == np_ and len(expr) > 0
 
 
+def test_ivf_distributed_matches_driver_routed(spark, sf_dir, tmp_path):
+    """ivf_search_distributed (probes never collected: Arrow-map routing +
+    cogroup GEMM) returns exactly the driver-routed result, with the
+    partition filter still on the scan; forcing 1-row/1-probe block caps
+    exercises the 2-D skew blocking without changing the answer."""
+    import contextlib
+    import io as _io
+    import re
+
+    from fusionspark.operators.ann import (
+        _collect_centroids,
+        _route_probes,
+        ivf_search_distributed,
+        ivf_search_persisted,
+        persist_ivf,
+        route_probes_mapped,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = self_probes(e, 8)
+    path = str(tmp_path / "ivf_dist")
+    persist_ivf(e, path, n_centroids=8)
+
+    # routing parity: the Arrow map picks the same lists as the driver loop
+    crows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    mapped = {
+        (r["probe_id"], r["centroid_id"])
+        for r in route_probes_mapped(probes, crows, 3).collect()
+    }
+    driver = {(pid, cid) for pid, _v, cid in _route_probes(probes, crows, 3, "probe_id", "probe_embedding")}
+    assert mapped == driver
+
+    want = sorted(
+        (r["probe_id"], r["vec_id"], r["rnk"])
+        for r in ivf_search_persisted(
+            spark, path, probes, k=10, n_probe=3, strategy="numpy"
+        ).collect()
+    )
+    dist = ivf_search_distributed(spark, path, probes, k=10, n_probe=3)
+    got = sorted((r["probe_id"], r["vec_id"], r["rnk"]) for r in dist.collect())
+    assert got == want and len(got) > 0
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dist.explain("formatted")
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    assert pf and "centroid_id" in pf.group(1)
+
+    blocked = ivf_search_distributed(
+        spark, path, probes, k=10, n_probe=3,
+        max_group_probes=2, max_group_rows=50,
+    )
+    got_blocked = sorted(
+        (r["probe_id"], r["vec_id"], r["rnk"]) for r in blocked.collect()
+    )
+    assert got_blocked == want
+
+
 def test_ngram_minhash_neardup_finds_planted(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     rows = [
