@@ -24,12 +24,15 @@ def create(
     root: str | None = None,
     embedder: str = "mock",
     spark=None,
+    storage: str = "parquet",
     **provider_kw,
 ):
     """One-call factory mirroring the reference's `create()` entry point
     (src/index.js:83-118): a ready engine with the chosen embedding
-    provider ('mock' | 'ollama' | 'openai').  Returns the engine; the
-    HTTP/tool surface wraps it via fusionspark.server.serve(engine)."""
+    provider ('mock' | 'ollama' | 'openai').  storage='manifest' turns on
+    the concurrent-writer commit protocol (storage/manifest.py).  Returns
+    the engine; the HTTP/tool surface wraps it via
+    fusionspark.server.serve(engine)."""
     import tempfile
 
     from fusionspark.engine import FusionSparkEngine
@@ -42,7 +45,10 @@ def create(
     else:
         embed_fn = HTTPEmbedder(embedder, **provider_kw)
     return FusionSparkEngine(
-        spark, root or tempfile.mkdtemp(prefix="fusionspark-"), embedder=embed_fn
+        spark,
+        root or tempfile.mkdtemp(prefix="fusionspark-"),
+        embedder=embed_fn,
+        storage=storage,
     )
 
 

@@ -10,9 +10,12 @@ reference's entry points (SURVEY §3):
   RAGPipeline.ingest/buildContext                 ingest / build_context
 
 Storage is a directory of Parquet tables (one per collection) plus a JSON
-catalog — the table format IS the serialization (SURVEY S7); swap the
-writer for Delta for ACID delete/merge at scale.  Every operation compiles
-to the DataFrame plans in fusionspark.operators.*.
+catalog — the table format IS the serialization (SURVEY S7).  Pass
+storage='manifest' for the concurrent-writer ACID layer
+(storage/manifest.py: immutable files, atomic versioned manifests,
+file-level copy-on-write deletes, time travel — Delta's commit protocol
+without the dependency).  Every operation compiles to the DataFrame plans
+in fusionspark.operators.*.
 """
 
 from __future__ import annotations
@@ -45,11 +48,32 @@ class CollectionConfig:
     metadata: dict = field(default_factory=dict)
 
 
+#: native row schema, shared by collections and the JSONL interchange paths
+_ROW_SCHEMA = (
+    "id string, vector array<float>, content string, "
+    "metadata map<string,string>, tenant_id string, ts long, ttl_ms long"
+)
+
+
 class FusionSparkEngine:
-    def __init__(self, spark: SparkSession, root: str, embedder=mock_embed):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        embedder=mock_embed,
+        storage: str = "parquet",
+    ):
+        """storage: 'parquet' (default — one live directory per collection,
+        single-writer rename-swap mutations) or 'manifest' (storage/
+        manifest.py — immutable files + atomic versioned manifests, safe
+        for CONCURRENT writers, file-level copy-on-write deletes, time
+        travel).  Same API and results either way."""
+        if storage not in ("parquet", "manifest"):
+            raise ValueError(f"unknown storage {storage!r}")
         self.spark = spark
         self.root = root
         self.embedder = embedder
+        self.storage = storage
         os.makedirs(root, exist_ok=True)
         self._catalog_path = os.path.join(root, "_catalog.json")
         self._catalog: dict[str, dict] = {}
@@ -102,8 +126,26 @@ class FusionSparkEngine:
         shutil.rmtree(self._path(name), ignore_errors=True)
         return True
 
+    def _table(self, collection: str):
+        from fusionspark.storage import ManifestTable
+
+        return ManifestTable(self.spark, self._path(collection))
+
     def _load(self, collection: str) -> DataFrame:
+        if self.storage == "manifest":
+            return self._table(collection).read()
         return self.spark.read.parquet(self._path(collection))
+
+    def _append(self, collection: str, df: DataFrame) -> None:
+        if self.storage == "manifest":
+            from fusionspark.storage import ManifestTable
+
+            t = self._table(collection)
+            if not t.exists():
+                ManifestTable.create(self.spark, self._path(collection), df.schema)
+            t.append(df)
+        else:
+            df.write.mode("append").parquet(self._path(collection))
 
     # ── mutation (S2, S4) ─────────────────────────────────────────────────
 
@@ -146,15 +188,19 @@ class FusionSparkEngine:
             "id: string, vector: array<float>, content: string, "
             "metadata: map<string,string>, tenant_id: string, ts: long, ttl_ms: long",
         )
-        df.write.mode("append").parquet(self._path(collection))
+        self._append(collection, df)
         return len(rows)
 
     def _rewrite(self, collection: str, keep: DataFrame) -> None:
         """Rewrite a collection to `keep` with a crash-safe swap: write tmp,
         live → .old, tmp → live, drop .old (restoring .old if the second
         rename fails) — at no point is the live directory missing while the
-        catalog still lists it.  Delta `DELETE WHERE` is the ACID form of
-        this at scale."""
+        catalog still lists it.  In manifest mode the swap is the commit
+        protocol itself: staged files + atomic versioned manifest, safe for
+        concurrent writers (storage/manifest.py)."""
+        if self.storage == "manifest":
+            self._table(collection).overwrite(keep)
+            return
         live = self._path(collection)
         tmp, old = live + ".tmp", live + ".old"
         keep.write.mode("overwrite").parquet(tmp)
@@ -175,11 +221,14 @@ class FusionSparkEngine:
         rows are deletable — another tenant's row with a listed id
         survives (the ownership check TenantProxy promises; the reference
         proxy lacks it, FusionEngine.js:246-271)."""
-        df = self._load(collection)
         hit = F.col("id").isin([str(i) for i in ids])
         if tenant_id is not None:
             hit = hit & F.col("tenant_id").eqNullSafe(tenant_id)
-        self._rewrite(collection, df.filter(~hit))
+        if self.storage == "manifest":
+            # file-level copy-on-write: only files containing hits rewrite
+            self._table(collection).delete_where(hit)
+            return
+        self._rewrite(collection, self._load(collection).filter(~hit))
 
     # ── search (V1-V7, §3.1) ──────────────────────────────────────────────
 
@@ -405,6 +454,9 @@ class FusionSparkEngine:
         deletes in one distributed pass (Delta `DELETE WHERE tenant_id = ?`
         at scale).  eqNullSafe keeps untenanted rows."""
         coll = f"_memory_{mem_type}"
+        if self.storage == "manifest":
+            self._table(coll).delete_where(F.col("tenant_id").eqNullSafe(agent_id))
+            return
         keep = self._load(coll).filter(~F.col("tenant_id").eqNullSafe(agent_id))
         self._rewrite(coll, keep)
 
@@ -460,7 +512,7 @@ class FusionSparkEngine:
                 F.lit(0).cast("long").alias("ttl_ms"),
             )
         )
-        entries.write.mode("append").parquet(self._path(collection))
+        self._append(collection, entries)
         return chunks.count()
 
     def build_context(
@@ -613,11 +665,8 @@ def import_json(self, payload: dict) -> int:
     return self.insert(name, entries) if entries else 0
 
 
-#: native row schema, shared by the JSONL interchange paths
-_ROW_SCHEMA = (
-    "id string, vector array<float>, content string, "
-    "metadata map<string,string>, tenant_id string, ts long, ttl_ms long"
-)
+# _ROW_SCHEMA is defined above FusionSparkEngine (shared by collections and
+# the JSONL interchange paths below)
 
 
 def export_jsonl(self, collection: str, path: str) -> int:
@@ -645,7 +694,7 @@ def import_jsonl(self, name: str, path: str, dimensions: int = 64, metric: str =
         .select(F.from_json(F.col("value"), _ROW_SCHEMA).alias("r"))
         .select("r.*")
     )
-    rows.write.mode("append").parquet(self._path(name))
+    self._append(name, rows)
     return rows.count()
 
 

@@ -1,0 +1,136 @@
+"""Manifest-commit table (storage/manifest.py): snapshot isolation,
+concurrent writers, copy-on-write deletes, time travel, vacuum — the
+VERDICT r2 'ACID table semantics' item."""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import functions as F
+
+from fusionspark.storage import ManifestTable
+
+SCHEMA = "id string, v long"
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("string").alias("id"), F.col("id").alias("v")
+    )
+
+
+def test_append_read_history_timetravel(spark, tmp_path):
+    t = ManifestTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    assert t.version() == 0 and t.read().count() == 0
+
+    v1 = t.append(_rows(spark, 0, 10))
+    v2 = t.append(_rows(spark, 10, 30))
+    assert (v1, v2) == (1, 2)
+    assert t.read().count() == 30
+    # time travel: each snapshot stays readable as committed
+    assert t.read(version=1).count() == 10
+    assert t.read(version=0).count() == 0
+
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["create", "append", "append"]
+
+
+def test_concurrent_appends_no_lost_updates(spark, tmp_path):
+    """Racing writers: every append must land exactly once (losers of the
+    atomic manifest-create retry on top of the winner's snapshot)."""
+    t = ManifestTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    n_writers, per = 6, 5
+    errs = []
+
+    def write(i):
+        try:
+            ManifestTable(spark, str(tmp_path / "t")).append(
+                _rows(spark, i * per, (i + 1) * per)
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=write, args=(i,)) for i in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errs
+    assert t.version() == n_writers
+    got = sorted(int(r["id"]) for r in t.read().collect())
+    assert got == list(range(n_writers * per))
+
+
+def test_delete_where_is_file_level_cow(spark, tmp_path):
+    """A selective delete rewrites ONLY the files containing hits; the
+    other appends' files carry over by reference (same relative paths)."""
+    t = ManifestTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    for i in range(4):
+        t.append(_rows(spark, i * 100, (i + 1) * 100))
+    before = set(t._manifest(t.version())["files"])
+
+    t.delete_where(F.col("v") < 100)  # hits only the first append's files
+    after = set(t._manifest(t.version())["files"])
+
+    assert t.read().count() == 300
+    assert sorted(int(r["v"]) for r in t.read().collect()) == list(range(100, 400))
+    carried = before & after
+    # 3 of 4 appends untouched: their files survive by reference
+    assert len(carried) >= len(before) * 3 // 4
+    # no-hit delete commits a no-op version without touching files
+    v = t.delete_where(F.col("v") > 10_000)
+    assert set(t._manifest(v)["files"]) == after
+
+
+def test_overwrite_and_vacuum(spark, tmp_path):
+    t = ManifestTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(_rows(spark, 0, 50))
+    t.overwrite(_rows(spark, 1000, 1010))
+    assert sorted(int(r["v"]) for r in t.read().collect()) == list(range(1000, 1010))
+
+    removed = t.vacuum(keep_versions=1)
+    assert removed > 0  # the overwritten append's files are unreferenced
+    assert t.read().count() == 10  # latest snapshot intact
+
+
+def test_engine_manifest_storage_end_to_end(spark, tmp_path):
+    """FusionSparkEngine(storage='manifest'): insert / search / delete /
+    forget work unchanged, deletes commit new versions instead of renaming
+    directories."""
+    from fusionspark.engine import CollectionConfig, FusionSparkEngine
+
+    eng = FusionSparkEngine(
+        spark, str(tmp_path / "eng"), storage="manifest"
+    )
+    eng.create_collection("docs", CollectionConfig(dimensions=8))
+    eng.insert(
+        "docs",
+        [
+            {"id": f"d{i}", "vector": [float(i)] * 8, "content": f"doc {i}",
+             "tenant_id": "a" if i % 2 else "b"}
+            for i in range(10)
+        ],
+    )
+    assert eng._load("docs").count() == 10
+
+    hits = eng.search("docs", query_vector=[1.0] * 8, top_k=3)
+    assert len(hits) == 3
+
+    eng.delete("docs", ["d0", "d1"])
+    assert eng._load("docs").count() == 8
+    # tenant-scoped delete keeps the other tenant's row with a listed id
+    eng.delete("docs", ["d2", "d3"], tenant_id="a")
+    ids = {r["id"] for r in eng._load("docs").collect()}
+    assert "d3" not in ids and "d2" in ids
+
+    eng.remember("agent-1", "likes spark", importance=0.9)
+    eng.remember("agent-2", "likes duckdb", importance=0.9)
+    eng.forget("agent-1")
+    mem = eng._load("_memory_episodic")
+    assert mem.filter(F.col("tenant_id") == "agent-1").count() == 0
+    assert mem.filter(F.col("tenant_id") == "agent-2").count() == 1
+
+    t = eng._table("docs")
+    assert [h["op"] for h in t.history()][0] == "create"
+    assert t.version() >= 3
