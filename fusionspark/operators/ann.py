@@ -782,10 +782,49 @@ def srp_knn(
     cand = c_bands.join(F.broadcast(p_bands), ["band", "band_val"])
     # score BEFORE deduping band-collisions: the dedup groupBy then carries
     # only (probe_id, id, sim) — never the embedding payloads a distinct on
-    # candidate rows would shuffle
-    scored = cand.withColumn(
-        "sim", V.cosine_similarity(F.col(vector_col), F.col(probe_vector_col), dim)
-    ).groupBy(probe_id_col, id_col).agg(F.first("sim").alias("sim"))
+    # candidate rows would shuffle.  Scoring is an Arrow-batched fold, not
+    # the unrolled cosine expression: inside the joined stage the 64-term
+    # expression overflowed Janino's method limit and de-codegened the
+    # whole stage (measured 10×+ slowdown at 100k corpus).
+    from fusionspark.operators.knn import id_sql_type
+
+    cand_cols = cand.select(probe_id_col, id_col, vector_col, probe_vector_col)
+    sim_schema = (
+        f"{probe_id_col} {id_sql_type(probes, probe_id_col)}, "
+        f"{id_col} {id_sql_type(corpus, id_col)}, sim double"
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            A = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
+            B = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[probe_vector_col]]
+            )
+            # same left-to-right float64 fold as the unrolled expression
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(dim):
+                dot = dot + A[:, i] * B[:, i]
+                na = na + A[:, i] * A[:, i]
+                nb = nb + B[:, i] * B[:, i]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom > 0, dot / denom, 0.0)
+            yield pd.DataFrame(
+                {probe_id_col: pdf[probe_id_col], id_col: pdf[id_col], "sim": sim}
+            )
+
+    scored = (
+        cand_cols.mapInPandas(score, schema=sim_schema)
+        .groupBy(probe_id_col, id_col)
+        .agg(F.first("sim").alias("sim"))
+    )
     wk = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rnk", F.row_number().over(wk))

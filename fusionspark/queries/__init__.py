@@ -38,8 +38,10 @@ PRIORITY: list[str] = [
     # new in round 3 — M5 broadcast routing (VERDICT r2 #8) and the
     # distributed-probe IVF form (VERDICT r2 'what's wrong' #4)
     "message_deliveries", "ann_ivf_distributed",
-    # changed in round 3: minhash_candidates materialization (dedup.py)
+    # changed in round 3: minhash_candidates materialization, Arrow-fold
+    # pairwise scoring (dedup.py), Arrow-fold SRP candidate scoring (ann.py)
     "dedup_minhash", "neardup_ngram", "merge_candidates",
+    "neardup_embedding", "ann_srp",
     # changed in round 3: keyword term dedupe + regex escaping (keyword.py)
     "keyword_search", "keyword_index_search", "rrf_fusion",
     "context_pack", "quality_estimate", "hybrid_adaptive",
