@@ -465,9 +465,27 @@ def ngram_minhash_neardup(
     (lang, source) blocks (quadratic within block), candidates come from
     shared LSH buckets (recall governed by the banding curve), then the
     same exact shingle-Jaccard verify runs on candidates only."""
-    cands = minhash_candidates(df, id_col, text_col, num_hashes, bands)
-    sh = df.select(
-        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh")
+    # candidates feed three consumers (the id semi-join and both verify
+    # joins) — materialize once; the pair table is tiny by LSH design
+    cands = minhash_candidates(df, id_col, text_col, num_hashes, bands).localCheckpoint(
+        eager=True
+    )
+    # verify shingles are computed ONLY for docs appearing in a candidate
+    # pair (LSH keeps that a sliver of the corpus) and only ONCE — without
+    # the semi-join + checkpoint the interpreted shingle HOF would run
+    # over the full corpus twice, once per join side
+    wanted = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(wanted, id_col, "leftsemi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
     )
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sha"), "id_a")
