@@ -146,6 +146,7 @@ class FusionSparkEngine:
             t.append(df)
         else:
             df.write.mode("append").parquet(self._path(collection))
+        self._bump(collection)
 
     # ── mutation (S2, S4) ─────────────────────────────────────────────────
 
@@ -155,11 +156,32 @@ class FusionSparkEngine:
         entries: list[dict],
         tenant_id: str | None = None,
         ttl_ms: int = 0,
+        replace: bool = True,
     ) -> int:
-        """S2 (FusionEngine.js:175-193): append entries, tag tenant/ttl/ts;
+        """S2 (FusionEngine.js:175-193): UPSERT entries, tag tenant/ttl/ts;
         dimension-checked like HNSWIndex.js:129-133.  Per-entry
         tenant_id/ts/ttl_ms keys override the batch defaults (used by the
-        S7 import path to preserve provenance)."""
+        S7 import path to preserve provenance).
+
+        replace=True matches the reference: `_nodes.set(id, node)`
+        (HNSWIndex.js:196) overwrites an existing id, so re-inserting is an
+        update, not a duplicate.  Existing ids are checked with one small
+        IN-filter probe; the common no-collision batch pays only that probe
+        and appends.  replace=False is the raw append (bulk loads where ids
+        are known fresh)."""
+        if replace and collection in self._catalog:
+            batch_ids = [str(e["id"]) for e in entries]
+            try:
+                collides = (
+                    self._load(collection)
+                    .filter(F.col("id").isin(batch_ids))
+                    .limit(1)
+                    .count()
+                ) > 0
+            except Exception:  # noqa: BLE001 — collection not yet written
+                collides = False
+            if collides:
+                self.delete(collection, batch_ids)
         cfg = self._catalog[collection]
         dim = cfg["dimensions"]
         now = int(time.time() * 1000)
@@ -198,6 +220,7 @@ class FusionSparkEngine:
         catalog still lists it.  In manifest mode the swap is the commit
         protocol itself: staged files + atomic versioned manifest, safe for
         concurrent writers (storage/manifest.py)."""
+        self._bump(collection)
         if self.storage == "manifest":
             self._table(collection).overwrite(keep)
             return
@@ -227,8 +250,63 @@ class FusionSparkEngine:
         if self.storage == "manifest":
             # file-level copy-on-write: only files containing hits rewrite
             self._table(collection).delete_where(hit)
+            self._bump(collection)
             return
         self._rewrite(collection, self._load(collection).filter(~hit))
+
+    def _bump(self, collection: str) -> None:
+        """Mutation counter: an IVF index built at an older count is stale
+        and approximate search falls back to exact (the reference never
+        goes stale — its collection IS the index — so correctness-first
+        fallback is the honest port)."""
+        if collection in self._catalog:
+            cfg = self._catalog[collection]
+            cfg["mutations"] = cfg.get("mutations", 0) + 1
+            self._save_catalog()
+
+    # ── index lifecycle (V6 analogue) ─────────────────────────────────────
+
+    def build_index(self, collection: str, n_centroids: int | None = None) -> dict:
+        """Persist an IVF partition-pruned layout for the collection — the
+        Spark analogue of the reference's build-once HNSW graph
+        (HNSWIndex.js:245-320).  Defaults to ~√N centroids (executor-sized
+        lists).  Cosine only (the reference's default metric).  The index
+        carries the full row payload, so approximate search filters and
+        hydrates from the pruned lists without touching the base table."""
+        import math
+
+        from fusionspark.operators.ann import persist_ivf
+
+        cfg = self._catalog[collection]
+        if cfg["metric"] != "cosine":
+            raise ValueError("build_index supports the cosine metric only")
+        df = self._load(collection)
+        n = df.count()
+        k = n_centroids or max(2, int(math.sqrt(max(n, 4))))
+        # ordinal centroid ids (collection ids are strings; the partition
+        # column must stay a long) from the first k rows by id —
+        # deterministic like operators/ann.py::deterministic_centroids
+        head = df.orderBy(F.col("id").asc()).limit(k).select("vector").collect()
+        cents = self.spark.createDataFrame(
+            [(i, [float(x) for x in r["vector"]]) for i, r in enumerate(head)],
+            "centroid_id: bigint, centroid: array<float>",
+        )
+        persist_ivf(
+            df, os.path.join(self.root, f"index={collection}"),
+            n_centroids=k, id_col="id", vector_col="vector", centroids=cents,
+        )
+        cfg["index"] = {
+            "n_centroids": k,
+            "rows": n,
+            "at_mutation": cfg.get("mutations", 0),
+            "built_at": int(time.time() * 1000),
+        }
+        self._save_catalog()
+        return cfg["index"]
+
+    def _index_fresh(self, cfg: dict) -> bool:
+        idx = cfg.get("index")
+        return bool(idx) and idx["at_mutation"] == cfg.get("mutations", 0)
 
     # ── search (V1-V7, §3.1) ──────────────────────────────────────────────
 
@@ -245,28 +323,60 @@ class FusionSparkEngine:
         top_k: int = 10,
         tenant_id: str | None = None,
         metadata_filter: dict | None = None,
+        approximate: bool = False,
+        n_probe: int = 8,
     ) -> list[dict]:
         """§3.1: exact top-k with PRE-filtering (better recall than the
-        reference's post-filter, SURVEY V7)."""
+        reference's post-filter, SURVEY V7).  approximate=True searches a
+        fresh build_index() IVF layout instead (partition-pruned scan, same
+        pre-filter semantics); a stale or missing index falls back to
+        exact — never a silent wrong answer."""
         cfg = self._catalog[collection]
         if query_vector is None:
             query_vector = self.embedder(query_text or "", cfg["dimensions"])
-        df = self._load(collection)
-        if tenant_id is not None:
-            df = df.filter(F.col("tenant_id") == tenant_id)
-        if metadata_filter:
-            for k, v in metadata_filter.items():
-                if isinstance(v, (list, tuple)):
-                    df = df.filter(F.col("metadata").getItem(k).isin([str(x) for x in v]))
-                else:
-                    df = df.filter(F.col("metadata").getItem(k) == str(v))
-        # TTL lazy expiry (P4)
-        now = int(time.time() * 1000)
-        df = df.filter((F.col("ttl_ms") == 0) | (F.lit(now) - F.col("ts") < F.col("ttl_ms")))
+
+        def _pred(df_or_none=None):
+            conds = []
+            if tenant_id is not None:
+                conds.append(F.col("tenant_id") == tenant_id)
+            if metadata_filter:
+                for k, v in metadata_filter.items():
+                    if isinstance(v, (list, tuple)):
+                        conds.append(
+                            F.col("metadata").getItem(k).isin([str(x) for x in v])
+                        )
+                    else:
+                        conds.append(F.col("metadata").getItem(k) == str(v))
+            # TTL lazy expiry (P4)
+            now = int(time.time() * 1000)
+            conds.append(
+                (F.col("ttl_ms") == 0) | (F.lit(now) - F.col("ts") < F.col("ttl_ms"))
+            )
+            pred = conds[0]
+            for c in conds[1:]:
+                pred = pred & c
+            return pred
+
         probes = self.spark.createDataFrame(
             [("q0", [float(x) for x in query_vector])],
             "probe_id: string, probe_embedding: array<float>",
         )
+        if approximate and cfg["metric"] == "cosine" and self._index_fresh(cfg):
+            from fusionspark.operators.ann import ivf_search_persisted
+
+            out = ivf_search_persisted(
+                self.spark,
+                os.path.join(self.root, f"index={collection}"),
+                probes, k=top_k,
+                n_probe=min(n_probe, cfg["index"]["n_centroids"]),
+                id_col="id", vector_col="vector", pre_filter=_pred(),
+            )
+            return [
+                {"id": r["id"], "score": r["sim"], "distance": 1.0 - r["sim"],
+                 "rank": r["rnk"]}
+                for r in out.collect()
+            ]
+        df = self._load(collection).filter(_pred())
         out = knn(
             df, probes, k=top_k, metric=cfg["metric"],
             vector_col="vector", id_col="id",
@@ -456,6 +566,7 @@ class FusionSparkEngine:
         coll = f"_memory_{mem_type}"
         if self.storage == "manifest":
             self._table(coll).delete_where(F.col("tenant_id").eqNullSafe(agent_id))
+            self._bump(coll)
             return
         keep = self._load(coll).filter(~F.col("tenant_id").eqNullSafe(agent_id))
         self._rewrite(coll, keep)

@@ -402,6 +402,7 @@ def ivf_search_persisted(
     probe_id_col: str = "probe_id",
     probe_vector_col: str = "probe_embedding",
     strategy: str = "expression",
+    pre_filter: F.Column | None = None,
 ) -> DataFrame:
     """Search a `persist_ivf` index.  The union of each probe's n_probe lists
     becomes a literal IN-filter on the partition column, so the parquet scan
@@ -409,12 +410,18 @@ def ivf_search_persisted(
 
     strategy: "expression" (codegen'd cosine + window — bit-exact, right
     for few probes) or "numpy" (per-list GEMM — the throughput path for
-    large probe batches, where per-row probe joins would explode)."""
+    large probe batches, where per-row probe joins would explode).
+
+    pre_filter: optional predicate applied to the pruned lists BEFORE
+    scoring (V7 pre-filter semantics — candidates that fail the filter
+    never occupy a top-k slot; pushes into the pruned scan)."""
     crows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
     dim = len(crows[0][1])
     recs = _route_probes(probes, crows, n_probe, probe_id_col, probe_vector_col)
     wanted = sorted({r[2] for r in recs})
     data = spark.read.parquet(f"{path}/data").filter(F.col("centroid_id").isin(wanted))
+    if pre_filter is not None:
+        data = data.filter(pre_filter)
     if strategy == "numpy":
         return _numpy_rerank(data, probes, recs, k, id_col, vector_col, probe_id_col)
     from pyspark.sql.types import LongType, StructField, StructType

@@ -230,3 +230,62 @@ def test_export_jsonl_distributed_and_json_cap(engine, spark, tmp_path):
     assert [float(x) for x in row["vector"]] == [
         float(123456 % 97 + i) for i in range(4)
     ]
+
+
+def test_insert_upserts_existing_ids(engine):
+    """Reference parity: HNSWIndex.js:196 `_nodes.set(id, node)` replaces
+    an existing id — re-insert is an update, not a duplicate row."""
+    from pyspark.sql import functions as F
+
+    engine.create_collection("u", CollectionConfig(dimensions=4))
+    engine.insert("u", [{"id": "x", "vector": [1, 0, 0, 0], "content": "v1"},
+                        {"id": "y", "vector": [0, 1, 0, 0], "content": "w1"}])
+    engine.insert("u", [{"id": "x", "vector": [0, 0, 1, 0], "content": "v2"}])
+    rows = {r["id"]: r for r in engine._load("u").collect()}
+    assert len(rows) == 2
+    assert rows["x"]["content"] == "v2" and list(rows["x"]["vector"]) == [0, 0, 1, 0]
+    assert rows["y"]["content"] == "w1"  # untouched id survives
+    # raw append opt-out keeps both versions
+    engine.insert("u", [{"id": "x", "vector": [1, 1, 0, 0], "content": "v3"}],
+                  replace=False)
+    assert engine._load("u").filter(F.col("id") == "x").count() == 2
+
+
+def test_build_index_and_approximate_search(engine):
+    """V6 analogue: build_index persists an IVF layout; approximate search
+    prunes to nProbe lists with the same pre-filter semantics, and a stale
+    index falls back to exact search instead of answering from old data."""
+    engine.create_collection("iv", CollectionConfig(dimensions=4))
+    base = {0: [1, 0, 0, 0], 1: [0, 1, 0, 0], 2: [0, 0, 1, 0], 3: [0, 0, 0, 1]}
+    entries = []
+    for c, v in base.items():
+        for j in range(8):
+            vec = [x + 0.01 * j for x in v]
+            # ids sort j-first so build_index's first-k centroids take one
+            # row from EACH cluster (j=0 of every c)
+            entries.append({"id": f"{j}_{c}", "vector": vec,
+                            "tenant_id": "t1" if j % 2 else "t2"})
+    engine.insert("iv", entries)
+    info = engine.build_index("iv", n_centroids=4)
+    assert info["n_centroids"] == 4 and info["rows"] == 32
+
+    q = [1.0, 0.05, 0.0, 0.0]
+    exact = engine.search("iv", query_vector=q, top_k=3)
+    approx = engine.search("iv", query_vector=q, top_k=3, approximate=True, n_probe=1)
+    assert [h["id"] for h in approx] == [h["id"] for h in exact]
+    assert abs(approx[0]["score"] - exact[0]["score"]) < 1e-9
+
+    # pre-filter semantics survive the index path
+    only_t1 = engine.search("iv", query_vector=q, top_k=5, tenant_id="t1",
+                            approximate=True, n_probe=1)
+    assert only_t1 and all(int(h["id"].split("_")[0]) % 2 == 1 for h in only_t1)
+
+    # mutation staleness: the new best match only appears via exact fallback
+    engine.insert("iv", [{"id": "fresh", "vector": q, "tenant_id": "t1"}])
+    post = engine.search("iv", query_vector=q, top_k=1, approximate=True)
+    assert post[0]["id"] == "fresh"
+
+    # rebuilding re-freshens the index and it serves again
+    engine.build_index("iv", n_centroids=4)
+    again = engine.search("iv", query_vector=q, top_k=1, approximate=True, n_probe=1)
+    assert again[0]["id"] == "fresh"
