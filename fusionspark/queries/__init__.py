@@ -37,7 +37,7 @@ PRIORITY: list[str] = [
     "neardup_ngram_lsh", "neardup_embedding_ivf", "png_features",
     # new in round 3 — M5 broadcast routing (VERDICT r2 #8) and the
     # distributed-probe IVF form (VERDICT r2 'what's wrong' #4)
-    "message_deliveries", "ann_ivf_distributed",
+    "message_deliveries", "ann_ivf_distributed", "ann_ivf_filtered",
     # changed in round 3: minhash_candidates materialization, Arrow-fold
     # pairwise scoring (dedup.py), Arrow-fold SRP candidate scoring (ann.py)
     "dedup_minhash", "neardup_ngram", "merge_candidates",

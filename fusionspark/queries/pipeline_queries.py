@@ -470,6 +470,49 @@ def ann_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# V7 at scale: the pre-filter runs INSIDE the pruned lists, before any row
+# can take a top-k slot — same semantics as knn_filtered, same IVF pruning
+# as ann_ivf.  The oracle adds the predicate to the scoring CTE only (the
+# assignment is unfiltered, matching the persisted index).
+ANN_IVF_FILTERED_ORACLE = ANN_IVF_ORACLE.replace(
+    "FROM assigned a JOIN probe_lists pl ON a.centroid_id = pl.centroid_id",
+    "FROM assigned a JOIN probe_lists pl ON a.centroid_id = pl.centroid_id\n"
+    "        WHERE a.vec_id % 2 = 0",
+)
+
+
+@query("ann_ivf_filtered", ANN_IVF_FILTERED_ORACLE)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered approximate search (V7 + V6 composed): IVF partition
+    pruning with the metadata predicate applied to the pruned lists BEFORE
+    scoring (`ivf_search_persisted(pre_filter=...)`) — excluded rows never
+    occupy a rank slot, unlike the reference's post-filter
+    (HNSWIndex.js search + filter in FusionEngine.js)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from fusionspark.operators.ann import ivf_search_persisted, persist_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="fusionspark-ivf-filt-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    persist_ivf(e, f"{root}/ivf", n_centroids=8)
+    head = e.orderBy(F.col("vec_id").asc()).limit(5).select("vec_id", "embedding").collect()
+    probes = spark.createDataFrame(
+        [(int(r["vec_id"]), r["embedding"]) for r in head],
+        "probe_id: bigint, probe_embedding: array<float>",
+    )
+    df = ivf_search_persisted(
+        spark, f"{root}/ivf", probes, k=10, n_probe=2,
+        pre_filter=(F.col("vec_id") % 2 == 0),
+    )
+    return df.select(
+        "probe_id", "vec_id", F.round("sim", 6).alias("sim"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
 @query(
     "corpus_clean",
     f"""

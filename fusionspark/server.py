@@ -66,8 +66,18 @@ class Router:
                     top_k=int(body.get("topK", 10)),
                     tenant_id=body.get("tenantId"),
                     metadata_filter=body.get("filter"),
+                    approximate=bool(body.get("approximate", False)),
+                    n_probe=int(body.get("nProbe", 8)),
                 )
                 return 200, hits
+            if path == "/api/index/build" and method == "POST":
+                info = self.engine.build_index(
+                    body["collection"],
+                    n_centroids=(
+                        int(body["nCentroids"]) if body.get("nCentroids") else None
+                    ),
+                )
+                return 201, info
             if path == "/api/hybrid-search" and method == "POST":
                 return 200, self.engine.retrieve(
                     body["collection"], body["query"], top_k=int(body.get("topK", 10))
@@ -164,6 +174,17 @@ class Router:
                     a["collection"], query_text=a.get("query"),
                     query_vector=a.get("vector"), top_k=int(a.get("topK", 5)),
                     tenant_id=a.get("tenantId"), metadata_filter=a.get("filter"),
+                    approximate=bool(a.get("approximate", False)),
+                    n_probe=int(a.get("nProbe", 8)),
+                ),
+            ),
+            "fusionspark_build_index": (
+                "Build/refresh the IVF index for approximate search.",
+                lambda a: e.build_index(
+                    a["collection"],
+                    n_centroids=(
+                        int(a["nCentroids"]) if a.get("nCentroids") else None
+                    ),
                 ),
             ),
             "fusionspark_hybrid_search": (
@@ -238,8 +259,18 @@ class Router:
                 "topK": {"type": "number"},
                 "filter": {"type": "object"},
                 "tenantId": {"type": "string"},
+                "approximate": {"type": "boolean"},
+                "nProbe": {"type": "number"},
             },
             "required": ["collection", "query"],
+        },
+        "fusionspark_build_index": {
+            "type": "object",
+            "properties": {
+                "collection": {"type": "string"},
+                "nCentroids": {"type": "number"},
+            },
+            "required": ["collection"],
         },
         "fusionspark_hybrid_search": {
             "type": "object",

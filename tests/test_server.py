@@ -176,3 +176,28 @@ def test_mcp_stdio_initialize_list_call(srv_engine):
     assert by_id[5]["error"]["code"] == -32000  # unknown tool
     assert by_id[6]["error"]["code"] == -32601  # unknown method
     assert by_id[None]["error"]["code"] == -32700  # parse error
+
+
+def test_index_build_and_approximate_search_routes(srv_engine):
+    """Round 3: /api/index/build + approximate search over REST and the
+    fusionspark_build_index tool."""
+    r = Router(srv_engine)
+    r.route("POST", "/api/collections", {"name": "ix", "dimensions": 8})
+    for i in range(12):
+        r.route("POST", "/api/insert", {
+            "collection": "ix", "id": f"d{i}", "text": f"topic {i % 3} doc {i}",
+        })
+    status, info = r.route("POST", "/api/index/build", {"collection": "ix", "nCentroids": 3})
+    assert status == 201 and info["n_centroids"] == 3 and info["rows"] == 12
+
+    status, hits = r.route("POST", "/api/search", {
+        "collection": "ix", "query": "topic 1 doc 4", "topK": 3,
+        "approximate": True, "nProbe": 2,
+    })
+    assert status == 200 and len(hits) == 3
+
+    out = r.call_tool("fusionspark_build_index", {"collection": "ix"})
+    assert out["result"]["rows"] == 12
+    # every tool still publishes an input schema in the manifest
+    for t in r.tool_manifest()["tools"]:
+        assert t["inputSchema"]["type"] == "object"
