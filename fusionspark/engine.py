@@ -582,14 +582,21 @@ class FusionSparkEngine:
         collect-and-reinsert both funnel the corpus through one process).
         Embeddings come from the engine's embed_fn via the distinct-text
         Arrow batch; the append write is the only action."""
-        from fusionspark.operators.embedder import embed_texts
-
         if collection not in self._catalog:
             self.create_collection(collection, CollectionConfig())
-        dim = self._catalog[collection]["dimensions"]
-        now = int(time.time() * 1000)
         docs = self.spark.createDataFrame([(doc_id, text)], "doc_id: string, text: string")
         chunks = chunk_documents(docs, strategy)
+        self._append(collection, self._ingest_entries(chunks, collection))
+        return chunks.count()
+
+    def _ingest_entries(self, chunks: DataFrame, collection: str) -> DataFrame:
+        """chunk rows → engine rows: distinct-text embed + width check +
+        metadata shape.  Shared by batch ingest and the streaming sink —
+        identical plan either way."""
+        from fusionspark.operators.embedder import embed_texts
+
+        dim = self._catalog[collection]["dimensions"]
+        now = int(time.time() * 1000)
         emb = embed_texts(chunks, "chunk_text", dim, self.embedder)
         # distributed width check (insert()'s per-row check, kept on the
         # executors): a provider whose dimensions differ from the collection
@@ -607,24 +614,53 @@ class FusionSparkEngine:
                 )
             )
         )
-        entries = (
+        return (
             chunks.join(F.broadcast(emb), chunks["chunk_text"] == emb["text"], "left")
             .select(
-                F.concat(F.lit(f"{doc_id}_chunk_"), F.col("chunk_index").cast("string")).alias("id"),
+                F.concat(
+                    F.col("doc_id"), F.lit("_chunk_"),
+                    F.col("chunk_index").cast("string"),
+                ).alias("id"),
                 checked_vec.cast("array<float>").alias("vector"),
                 F.col("chunk_text").alias("content"),
                 F.create_map(
                     F.lit("_chunk_index"), F.col("chunk_index").cast("string"),
                     F.lit("_total_chunks"), F.col("total_chunks").cast("string"),
-                    F.lit("_source"), F.lit(doc_id),
+                    F.lit("_source"), F.col("doc_id"),
                 ).alias("metadata"),
                 F.lit(None).cast("string").alias("tenant_id"),
                 F.lit(now).cast("long").alias("ts"),
                 F.lit(0).cast("long").alias("ttl_ms"),
             )
         )
-        self._append(collection, entries)
-        return chunks.count()
+
+    def ingest_stream(
+        self,
+        collection: str,
+        docs_stream: DataFrame,
+        checkpoint_path: str,
+        strategy: str = "recursive",
+        trigger_available_now: bool = True,
+    ):
+        """Continuous RAG ingestion (S8 × streaming): a readStream of
+        (doc_id, text) rows flows through the SAME chunk→embed→append plan
+        as batch ingest, one micro-batch at a time, exactly-once via the
+        checkpoint.  Returns the StreamingQuery.  The reference has no
+        streaming ingest at all — its autosave timer
+        (FusionEngine.js autoSaveIntervalMs) is the closest analogue."""
+        if collection not in self._catalog:
+            self.create_collection(collection, CollectionConfig())
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            chunks = chunk_documents(batch_df, strategy)
+            self._append(collection, self._ingest_entries(chunks, collection))
+
+        writer = docs_stream.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", checkpoint_path
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     def build_context(
         self, collection: str, query: str, max_tokens: int = 2000, top_k: int = 10

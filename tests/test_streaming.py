@@ -163,3 +163,34 @@ def test_message_delivery_stream_matches_batch(spark, sf_dir, stream_events, tmp
     assert row["vector"] is not None and len(row["vector"]) == 8
     assert row["content"].startswith("Sent ")
     assert row["metadata"]["messageType"] in ("task", "result", "knowledge")
+
+
+def test_engine_ingest_stream_matches_batch(spark, tmp_path):
+    """Continuous RAG ingestion: the streaming sink lands exactly the rows
+    batch ingest produces (same chunk→embed plan per micro-batch)."""
+    from fusionspark.engine import FusionSparkEngine
+
+    docs = [(f"d{i}", "alpha beta gamma delta. " * (20 + 7 * i)) for i in range(4)]
+    src = tmp_path / "docs_src"
+    spark.createDataFrame(docs, "doc_id string, text string").coalesce(1).write.parquet(
+        str(src)
+    )
+
+    batch_eng = FusionSparkEngine(spark, str(tmp_path / "eb"))
+    for d, t in docs:
+        batch_eng.ingest("rag", d, t)
+
+    stream_eng = FusionSparkEngine(spark, str(tmp_path / "es"))
+    stream = spark.readStream.schema("doc_id string, text string").parquet(str(src))
+    q = stream_eng.ingest_stream("rag", stream, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    want = {
+        (r["id"], r["content"], tuple(r["vector"]))
+        for r in batch_eng._load("rag").collect()
+    }
+    got = {
+        (r["id"], r["content"], tuple(r["vector"]))
+        for r in stream_eng._load("rag").collect()
+    }
+    assert got == want and want
