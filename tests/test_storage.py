@@ -134,3 +134,52 @@ def test_engine_manifest_storage_end_to_end(spark, tmp_path):
     t = eng._table("docs")
     assert [h["op"] for h in t.history()][0] == "create"
     assert t.version() >= 3
+
+
+def test_manifest_random_op_sequences_match_model(spark, tmp_path):
+    """Model check: any sequence of append/overwrite/delete_where/vacuum
+    leaves the table equal to a plain in-memory model of the same ops."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 3)),
+            st.tuples(st.just("overwrite"), st.integers(0, 3)),
+            st.tuples(st.just("delete_lt"), st.integers(0, 400)),
+            st.tuples(st.just("vacuum"), st.just(0)),
+        ),
+        min_size=1, max_size=5,
+    )
+    counter = {"n": 0}
+
+    @given(seq=ops)
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(seq):
+        counter["n"] += 1
+        path = str(tmp_path / f"t{counter['n']}")
+        t = ManifestTable.create(spark, path, SCHEMA)
+        model: set[int] = set()
+        block = 0
+        for op, arg in seq:
+            if op == "append":
+                lo = 1000 * block + 100 * arg
+                t.append(_rows(spark, lo, lo + 20))
+                model |= set(range(lo, lo + 20))
+                block += 1
+            elif op == "overwrite":
+                lo = 1000 * block + 100 * arg
+                t.overwrite(_rows(spark, lo, lo + 20))
+                model = set(range(lo, lo + 20))
+                block += 1
+            elif op == "delete_lt":
+                t.delete_where(F.col("v") < arg)
+                model = {v for v in model if not v < arg}
+            else:
+                t.vacuum(keep_versions=1)
+        assert {int(r["v"]) for r in t.read().collect()} == model
+
+    run()
