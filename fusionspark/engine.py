@@ -308,6 +308,23 @@ class FusionSparkEngine:
         idx = cfg.get("index")
         return bool(idx) and idx["at_mutation"] == cfg.get("mutations", 0)
 
+    # ── manifest-mode maintenance ─────────────────────────────────────────
+
+    def vacuum(self, collection: str, keep_versions: int = 1) -> int:
+        """Manifest mode: drop old snapshots and unreferenced data files;
+        returns files removed.  No-op (0) in parquet mode, whose rewrite
+        already reclaims space."""
+        if self.storage != "manifest":
+            return 0
+        return self._table(collection).vacuum(keep_versions)
+
+    def history(self, collection: str) -> list[dict]:
+        """Manifest mode: the collection's commit log (version/op/rows/ts).
+        Empty in parquet mode."""
+        if self.storage != "manifest":
+            return []
+        return self._table(collection).history()
+
     # ── search (V1-V7, §3.1) ──────────────────────────────────────────────
 
     def get(self, collection: str, id: str) -> dict | None:

@@ -134,6 +134,10 @@ def test_engine_manifest_storage_end_to_end(spark, tmp_path):
     t = eng._table("docs")
     assert [h["op"] for h in t.history()][0] == "create"
     assert t.version() >= 3
+    # engine-level maintenance passthroughs
+    assert eng.history("docs") == t.history()
+    assert eng.vacuum("docs", keep_versions=1) >= 0
+    assert eng._load("docs").count() == 7  # latest snapshot intact post-vacuum
 
 
 def test_manifest_random_op_sequences_match_model(spark, tmp_path):
