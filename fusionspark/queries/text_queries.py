@@ -32,11 +32,16 @@ _TERMS = extract_terms(QUERY)  # == all 5 (none are stopwords, all len>2)
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 # K2 TF-saturation score as a DuckDB expression over `text`.
+# NB: the saturation constants are cast ::DOUBLE — DuckDB parses bare
+# float literals as DECIMAL and does exact decimal arithmetic before the
+# final cast, which drifts an ulp from Spark's float64 fold and can flip
+# a rank tie (observed at sf0.001: docs tied in decimal, 1 ulp apart in
+# float64).  With the casts both engines run the identical IEEE fold.
 _TF_SQL = (
     "("
     + " + ".join(
-        f"(len(regexp_extract_all(lower(text), '{t}')) * 2.2"
-        f" / (len(regexp_extract_all(lower(text), '{t}')) + 1.2))"
+        f"(len(regexp_extract_all(lower(text), '{t}')) * 2.2::DOUBLE"
+        f" / (len(regexp_extract_all(lower(text), '{t}')) + 1.2::DOUBLE))"
         for t in _TERMS
     )
     + f") / {len(_TERMS)}"
