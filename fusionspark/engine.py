@@ -352,7 +352,7 @@ class FusionSparkEngine:
         if query_vector is None:
             query_vector = self.embedder(query_text or "", cfg["dimensions"])
 
-        def _pred(df_or_none=None):
+        def _pred():
             conds = []
             if tenant_id is not None:
                 conds.append(F.col("tenant_id") == tenant_id)

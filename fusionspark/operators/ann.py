@@ -786,7 +786,14 @@ def srp_knn(
         ]
     )
     p_bands = probes.sparkSession.createDataFrame(recs, p_schema)
-    cand = c_bands.join(F.broadcast(p_bands), ["band", "band_val"])
+    # drop probe_embedding from the band table BEFORE the join: probe
+    # vectors are tiny and already on the driver, so they ship in the
+    # scoring closure — the candidate rows then carry ONE vector payload,
+    # not two (at 1M+ candidates that halves the Arrow transfer).
+    cand = c_bands.join(
+        F.broadcast(p_bands.select(probe_id_col, "band", "band_val")),
+        ["band", "band_val"],
+    )
     # score BEFORE deduping band-collisions: the dedup groupBy then carries
     # only (probe_id, id, sim) — never the embedding payloads a distinct on
     # candidate rows would shuffle.  Scoring is an Arrow-batched fold, not
@@ -795,7 +802,20 @@ def srp_knn(
     # whole stage (measured 10×+ slowdown at 100k corpus).
     from fusionspark.operators.knn import id_sql_type
 
-    cand_cols = cand.select(probe_id_col, id_col, vector_col, probe_vector_col)
+    pvecs = {
+        pr[probe_id_col]: np.asarray(
+            [float(x) for x in pr[probe_vector_col]], dtype=np.float64
+        )
+        for pr in prows
+    }
+    pnorms = {}
+    for pid, pv in pvecs.items():
+        acc = 0.0
+        for i in range(dim):
+            acc += pv[i] * pv[i]
+        pnorms[pid] = float(np.sqrt(acc))
+
+    cand_cols = cand.select(probe_id_col, id_col, vector_col)
     sim_schema = (
         f"{probe_id_col} {id_sql_type(probes, probe_id_col)}, "
         f"{id_col} {id_sql_type(corpus, id_col)}, sim double"
@@ -809,18 +829,15 @@ def srp_knn(
             if not n:
                 continue
             A = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
-            B = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[probe_vector_col]]
-            )
+            B = np.vstack([pvecs[p] for p in pdf[probe_id_col]])
+            nb = np.asarray([pnorms[p] for p in pdf[probe_id_col]])
             # same left-to-right float64 fold as the unrolled expression
             dot = np.zeros(n)
             na = np.zeros(n)
-            nb = np.zeros(n)
             for i in range(dim):
                 dot = dot + A[:, i] * B[:, i]
                 na = na + A[:, i] * A[:, i]
-                nb = nb + B[:, i] * B[:, i]
-            denom = np.sqrt(na) * np.sqrt(nb)
+            denom = np.sqrt(na) * nb
             with np.errstate(divide="ignore", invalid="ignore"):
                 sim = np.where(denom > 0, dot / denom, 0.0)
             yield pd.DataFrame(
