@@ -24,23 +24,34 @@ FEEDBACK_RING = 100
 EMA_ALPHA = 0.3
 
 
-def adaptive_weights(feedback: DataFrame) -> DataFrame:
+def adaptive_weights(feedback: DataFrame, quality_scale: int | None = None) -> DataFrame:
     """A1: per-(pattern, strategy) mean quality over the last FEEDBACK_RING
     scores, normalized to sum 1 within the pattern
     (HybridRetriever.js:263-303).
 
     Ring buffer = keep newest 100 per key (W2), stable order (ts, fb_id).
-    """
+
+    quality_scale: when quality values are k/scale rationals (the fixture's
+    centi-scores), pass the scale to average EXACTLY — sum the recovered
+    integers and divide once.  A float AVG's partial-aggregation fold order
+    is partitioning-dependent, and a mean like 9/128 sits precisely on a
+    ROUND half-way boundary where one ulp of fold drift flips the 6th
+    decimal against an exact-arithmetic oracle (observed at sf0.1)."""
     ring = Window.partitionBy("pattern", "strategy").orderBy(
         F.col("ts").desc(), F.col("fb_id").desc()
     )
     norm = Window.partitionBy("pattern")
+    if quality_scale:
+        qk = F.round(F.col("quality") * quality_scale).cast("long")
+        avg = (F.sum(qk).cast("double") / F.count(F.lit(1))) / float(quality_scale)
+    else:
+        avg = F.avg("quality")
     return (
         feedback.withColumn("pattern", query_pattern("query"))
         .withColumn("rn", F.row_number().over(ring))
         .filter(F.col("rn") <= FEEDBACK_RING)
         .groupBy("pattern", "strategy")
-        .agg(F.avg("quality").alias("avg_quality"))
+        .agg(avg.alias("avg_quality"))
         .withColumn("weight", F.col("avg_quality") / F.sum("avg_quality").over(norm))
     )
 

@@ -42,6 +42,8 @@ PRIORITY: list[str] = [
     # pairwise scoring (dedup.py), Arrow-fold SRP candidate scoring (ann.py)
     "dedup_minhash", "neardup_ngram", "merge_candidates",
     "neardup_embedding", "ann_srp",
+    # changed in round 3: exact centi-quality averages (ROUND boundary fix)
+    "adaptive_weights",
     # changed in round 3: keyword term dedupe + regex escaping (keyword.py)
     "keyword_search", "keyword_index_search", "rrf_fusion",
     "context_pack", "quality_estimate", "hybrid_adaptive",

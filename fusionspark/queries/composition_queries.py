@@ -77,7 +77,8 @@ def title_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     perf AS (
         -- A1 weights learned from the global feedback pool for the two
         -- strategies in play, normalized to sum 1
-        SELECT strategy, AVG((event_id % 101) / 100.0) AS avg_q
+        SELECT strategy,
+               (SUM(event_id % 101)::DOUBLE / COUNT(*)) / 100.0::DOUBLE AS avg_q
         FROM (
             SELECT CASE event_id % 2 WHEN 0 THEN 'keyword' ELSE 'tree' END AS strategy,
                    event_id
@@ -108,13 +109,18 @@ def hybrid_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "events")
     # learn weights from the feedback pool (deterministic fixture rule)
+    # exact centi-quality average (sum ints, divide once) — a float AVG's
+    # fold order is partitioning-dependent and can flip a ROUND half-way
+    # boundary against the exact oracle (see adaptive_weights)
     perf = (
         e.select(
             F.when(F.col("event_id") % 2 == 0, "keyword").otherwise("tree").alias("strategy"),
-            ((F.col("event_id") % 101) / 100.0).alias("q"),
+            (F.col("event_id") % 101).cast("long").alias("qk"),
         )
         .groupBy("strategy")
-        .agg(F.avg("q").alias("avg_q"))
+        .agg(
+            ((F.sum("qk").cast("double") / F.count(F.lit(1))) / 100.0).alias("avg_q")
+        )
         .collect()
     )
     total = sum(r["avg_q"] for r in perf)

@@ -269,7 +269,13 @@ def broadcast_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY rn <= {learning.FEEDBACK_RING}
     ),
     avgs AS (
-        SELECT pattern, strategy, AVG(quality) AS avg_quality
+        -- exact centi-quality average: quality is k/100 by construction,
+        -- so sum the integers and divide ONCE — a float AVG's fold order
+        -- differs between engines and a mean like 9/128 lands exactly on
+        -- the ROUND(…,6) half-way boundary (observed flip at sf0.1)
+        SELECT pattern, strategy,
+               (SUM((quality * 100)::BIGINT)::DOUBLE / COUNT(*)) / 100.0::DOUBLE
+                   AS avg_quality
         FROM pat GROUP BY pattern, strategy
     )
     SELECT pattern, strategy, ROUND(avg_quality, 6) AS avg_quality,
@@ -280,7 +286,7 @@ def broadcast_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def adaptive_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/W2/X12: adaptive strategy weights from the feedback ring
     (HybridRetriever.js:263-303)."""
-    df = learning.adaptive_weights(FX.feedback_df(spark, sf_dir))
+    df = learning.adaptive_weights(FX.feedback_df(spark, sf_dir), quality_scale=100)
     return df.select(
         "pattern",
         "strategy",
