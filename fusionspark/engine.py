@@ -403,6 +403,50 @@ class FusionSparkEngine:
             for r in out.collect()
         ]
 
+    def search_many(
+        self,
+        collection: str,
+        probes: DataFrame,
+        top_k: int = 10,
+        approximate: bool = False,
+        n_probe: int = 8,
+        probe_id_col: str = "probe_id",
+        probe_vector_col: str = "probe_embedding",
+    ) -> DataFrame:
+        """Batch search: a DataFrame of probes in, a DataFrame of
+        (probe_id, id, sim/score, rank) out — nothing collects to the
+        driver, so a million-probe batch is one distributed job (the
+        reference answers probes one loop iteration at a time).  Exact path
+        = GEMM k-NN; approximate path = the distributed IVF search over a
+        fresh build_index() layout (stale index raises — a silent exact
+        fallback would surprise at this scale; rebuild or pass
+        approximate=False)."""
+        cfg = self._catalog[collection]
+        if approximate:
+            if cfg["metric"] != "cosine":
+                raise ValueError("approximate batch search is cosine-only")
+            if not self._index_fresh(cfg):
+                raise ValueError(
+                    f"index for {collection!r} is stale or missing; call "
+                    "build_index() first (batch search will not silently "
+                    "fall back to an exact scan)"
+                )
+            from fusionspark.operators.ann import ivf_search_distributed
+
+            return ivf_search_distributed(
+                self.spark,
+                os.path.join(self.root, f"index={collection}"),
+                probes, k=top_k,
+                n_probe=min(n_probe, cfg["index"]["n_centroids"]),
+                id_col="id", vector_col="vector",
+                probe_id_col=probe_id_col, probe_vector_col=probe_vector_col,
+            )
+        return knn(
+            self._load(collection), probes, k=top_k, metric=cfg["metric"],
+            vector_col="vector", id_col="id", strategy="numpy",
+            probe_id_col=probe_id_col, probe_vector_col=probe_vector_col,
+        )
+
     # ── hybrid retrieve (§3.2) ────────────────────────────────────────────
 
     def retrieve(

@@ -230,6 +230,31 @@ class ManifestTable:
 
     # ── maintenance ───────────────────────────────────────────────────────
 
+    def compact(self, target_file_rows: int = 1_000_000) -> int:
+        """OPTIMIZE: rewrite the current snapshot into
+        ⌈rows / target_file_rows⌉ right-sized files and commit the new file
+        set as one version (op='compact').  Append-heavy tables accumulate
+        one small file per transaction — the classic small-files problem —
+        and scans pay per-file open cost; compaction is the Delta OPTIMIZE
+        answer, here just another optimistic commit (a racing append either
+        lands before the compact's manifest, forcing a retry over the new
+        snapshot, or after, on top of the compacted set — rows are never
+        lost either way).  Returns the committed version."""
+
+        def apply(m: dict) -> tuple[list[str], int]:
+            files = list(m["files"])
+            if len(files) <= 1:
+                return files, m.get("rows", 0)
+            df = self.spark.read.schema(StructType.fromJson(m["schema"])).parquet(
+                *(os.path.join(self.path, p) for p in files)
+            )
+            n = df.count()
+            k = max(1, -(-n // target_file_rows))
+            new_files, rows = self._stage(df.repartition(k))
+            return new_files, rows
+
+        return self._commit_loop(apply, op="compact")
+
     def vacuum(self, keep_versions: int = 1) -> int:
         """Drop manifests older than the newest `keep_versions` and any data
         file no surviving snapshot references.  Returns files removed."""

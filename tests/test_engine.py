@@ -289,3 +289,38 @@ def test_build_index_and_approximate_search(engine):
     engine.build_index("iv", n_centroids=4)
     again = engine.search("iv", query_vector=q, top_k=1, approximate=True, n_probe=1)
     assert again[0]["id"] == "fresh"
+
+
+def test_search_many_batch_parity(engine, spark):
+    """Batch search returns per-probe top-k matching single-probe search,
+    exact and (index-fresh) approximate; a stale index raises instead of
+    silently degrading."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    engine.create_collection("bm", CollectionConfig(dimensions=4))
+    base = {0: [1, 0, 0, 0], 1: [0, 1, 0, 0], 2: [0, 0, 1, 0], 3: [0, 0, 0, 1]}
+    engine.insert("bm", [
+        {"id": f"{j}_{c}", "vector": [x + 0.01 * j for x in v]}
+        for c, v in base.items() for j in range(6)
+    ])
+    probes = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in base.items()],
+        "probe_id: bigint, probe_embedding: array<float>",
+    )
+    batch = engine.search_many("bm", probes, top_k=3)
+    got = {r["probe_id"]: [] for r in batch.collect()}
+    for r in sorted(batch.collect(), key=lambda r: (r["probe_id"], r["rank"])):
+        got[r["probe_id"]].append(r["id"])
+    for c, v in base.items():
+        single = engine.search("bm", query_vector=v, top_k=3)
+        assert got[c] == [h["id"] for h in single]
+
+    with _pytest.raises(ValueError, match="stale or missing"):
+        engine.search_many("bm", probes, top_k=3, approximate=True)
+    engine.build_index("bm", n_centroids=4)
+    approx = engine.search_many("bm", probes, top_k=3, approximate=True, n_probe=1)
+    ga = {}
+    for r in sorted(approx.collect(), key=lambda r: (r["probe_id"], r["rnk"])):
+        ga.setdefault(r["probe_id"], []).append(r["id"])
+    assert ga == got

@@ -187,3 +187,20 @@ def test_manifest_random_op_sequences_match_model(spark, tmp_path):
         assert {int(r["v"]) for r in t.read().collect()} == model
 
     run()
+
+
+def test_compact_collapses_small_files(spark, tmp_path):
+    """OPTIMIZE: many per-transaction small files → one right-sized file,
+    same rows, committed as a version; vacuum then reclaims the olds."""
+    t = ManifestTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    for i in range(5):
+        t.append(_rows(spark, i * 10, (i + 1) * 10))
+    n_before = len(t._manifest(t.version())["files"])
+    assert n_before >= 5
+
+    v = t.compact(target_file_rows=1000)
+    m = t._manifest(v)
+    assert m["op"] == "compact" and m["rows"] == 50
+    assert len(m["files"]) == 1
+    assert sorted(int(r["v"]) for r in t.read().collect()) == list(range(50))
+    assert t.vacuum(keep_versions=1) >= n_before
