@@ -230,7 +230,11 @@ class ManifestTable:
 
     # ── maintenance ───────────────────────────────────────────────────────
 
-    def compact(self, target_file_rows: int = 1_000_000) -> int:
+    def compact(
+        self,
+        target_file_rows: int = 1_000_000,
+        cluster_by: list[str] | None = None,
+    ) -> int:
         """OPTIMIZE: rewrite the current snapshot into
         ⌈rows / target_file_rows⌉ right-sized files and commit the new file
         set as one version (op='compact').  Append-heavy tables accumulate
@@ -239,18 +243,30 @@ class ManifestTable:
         answer, here just another optimistic commit (a racing append either
         lands before the compact's manifest, forcing a retry over the new
         snapshot, or after, on top of the compacted set — rows are never
-        lost either way).  Returns the committed version."""
+        lost either way).  Returns the committed version.
+
+        cluster_by: range-cluster the rewrite on these columns
+        (repartitionByRange + sortWithinPartitions) so each output file
+        covers a narrow value range — parquet row-group min/max stats then
+        let a point/range filter skip whole files (Z-ORDER-lite; one
+        dimension fully ordered, the rest sorted within)."""
 
         def apply(m: dict) -> tuple[list[str], int]:
             files = list(m["files"])
-            if len(files) <= 1:
+            if len(files) <= 1 and not cluster_by:
                 return files, m.get("rows", 0)
             df = self.spark.read.schema(StructType.fromJson(m["schema"])).parquet(
                 *(os.path.join(self.path, p) for p in files)
             )
             n = df.count()
             k = max(1, -(-n // target_file_rows))
-            new_files, rows = self._stage(df.repartition(k))
+            if cluster_by:
+                df = df.repartitionByRange(k, *cluster_by).sortWithinPartitions(
+                    *cluster_by
+                )
+            else:
+                df = df.repartition(k)
+            new_files, rows = self._stage(df)
             return new_files, rows
 
         return self._commit_loop(apply, op="compact")

@@ -204,3 +204,32 @@ def test_compact_collapses_small_files(spark, tmp_path):
     assert len(m["files"]) == 1
     assert sorted(int(r["v"]) for r in t.read().collect()) == list(range(50))
     assert t.vacuum(keep_versions=1) >= n_before
+
+
+def test_compact_cluster_by_gives_file_skipping_ranges(spark, tmp_path):
+    """Range-clustered compaction: each output file covers a disjoint value
+    range (parquet min/max stats skip files on point/range filters)."""
+    import pyarrow.parquet as pq
+
+    t = ManifestTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    # interleaved appends so pre-compact files all span the full range
+    for i in range(4):
+        t.append(_rows(spark, i, 400 + i).filter((F.col("v") % 4) == i))
+    v = t.compact(target_file_rows=100, cluster_by=["v"])
+    m = t._manifest(v)
+    assert m["op"] == "compact" and len(m["files"]) >= 3
+
+    ranges = []
+    for rel in m["files"]:
+        md = pq.read_metadata(f"{t.path}/{rel}")
+        vi = [c for c in range(md.num_columns)
+              if md.schema.column(c).name == "v"][0]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(vi).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # disjoint, ordered coverage: every file's max < next file's min
+    assert all(a_max < b_min for (_, a_max), (b_min, _) in zip(ranges, ranges[1:]))
+    assert t.read().count() == 400
