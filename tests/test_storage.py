@@ -233,3 +233,41 @@ def test_compact_cluster_by_gives_file_skipping_ranges(spark, tmp_path):
     # disjoint, ordered coverage: every file's max < next file's min
     assert all(a_max < b_min for (_, a_max), (b_min, _) in zip(ranges, ranges[1:]))
     assert t.read().count() == 400
+
+
+def test_compact_racing_appends_lose_no_rows(spark, tmp_path):
+    """The compact docstring's race claim, exercised: appends running
+    concurrently with a compaction all survive — whichever commit wins a
+    version, the loser retries onto the winner's snapshot."""
+    import threading
+
+    t = ManifestTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    for i in range(4):
+        t.append(_rows(spark, i * 10, (i + 1) * 10))
+    errs = []
+
+    def appender(i):
+        try:
+            ManifestTable(spark, str(tmp_path / "t")).append(
+                _rows(spark, 1000 + i * 10, 1000 + (i + 1) * 10)
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def compactor():
+        try:
+            ManifestTable(spark, str(tmp_path / "t")).compact(target_file_rows=1000)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(3)]
+    threads.append(threading.Thread(target=compactor))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errs
+    got = sorted(int(r["v"]) for r in t.read().collect())
+    assert got == list(range(40)) + list(range(1000, 1030))
+    assert "compact" in [h["op"] for h in t.history()]
