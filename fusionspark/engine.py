@@ -165,23 +165,16 @@ class FusionSparkEngine:
 
         replace=True matches the reference: `_nodes.set(id, node)`
         (HNSWIndex.js:196) overwrites an existing id, so re-inserting is an
-        update, not a duplicate.  Existing ids are checked with one small
-        IN-filter probe; the common no-collision batch pays only that probe
-        and appends.  replace=False is the raw append (bulk loads where ids
-        are known fresh)."""
-        if replace and collection in self._catalog:
-            batch_ids = [str(e["id"]) for e in entries]
-            try:
-                collides = (
-                    self._load(collection)
-                    .filter(F.col("id").isin(batch_ids))
-                    .limit(1)
-                    .count()
-                ) > 0
-            except Exception:  # noqa: BLE001 — collection not yet written
-                collides = False
-            if collides:
-                self.delete(collection, batch_ids)
+        update, not a duplicate.  Ids are namespaced PER TENANT: the
+        collision scope is each entry's effective tenant (entry override,
+        else the batch default), matched null-safely — so tenant A
+        re-inserting id "x" never deletes tenant B's (or the global NULL
+        tenant's) row "x".  In manifest storage the upsert is ONE atomic
+        commit (ManifestTable.upsert: copy-on-write removal + append in the
+        same manifest version); in plain-parquet storage it is a probe,
+        an optional rewrite, and an append — single-writer semantics, as
+        documented for that storage mode.  replace=False is the raw append
+        (bulk loads where ids are known fresh)."""
         cfg = self._catalog[collection]
         dim = cfg["dimensions"]
         now = int(time.time() * 1000)
@@ -210,6 +203,34 @@ class FusionSparkEngine:
             "id: string, vector: array<float>, content: string, "
             "metadata: map<string,string>, tenant_id: string, ts: long, ttl_ms: long",
         )
+        hit = None
+        if replace:
+            groups: dict[str | None, list[str]] = {}
+            for e in entries:
+                groups.setdefault(e.get("tenant_id", tenant_id), []).append(
+                    str(e["id"])
+                )
+            for t, ids in groups.items():
+                p = F.col("id").isin(ids) & F.col("tenant_id").eqNullSafe(F.lit(t))
+                hit = p if hit is None else hit | p
+        if hit is not None and self.storage == "manifest":
+            table = self._table(collection)
+            if table.exists():
+                table.upsert(df, hit)
+                self._bump(collection)
+                return len(rows)
+        elif hit is not None:
+            try:
+                collides = (
+                    self._load(collection).filter(hit).limit(1).count()
+                ) > 0
+            except Exception:  # noqa: BLE001 — collection not yet written
+                collides = False
+            if collides:
+                keep = self._load(collection).filter(
+                    ~F.coalesce(hit, F.lit(False))
+                )
+                self._rewrite(collection, keep)
         self._append(collection, df)
         return len(rows)
 

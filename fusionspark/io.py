@@ -35,12 +35,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # ANY caller-provided session (e.g. the grading driver's), not just ones
     # built by fusionspark.session.get_spark.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the NTZ→TIMESTAMP cast below is zone-sensitive; pin UTC so epoch
+    # extraction matches DuckDB's naive-as-UTC reading in any session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS); with nanosAsLong it arrives as epoch-ns
-    # BIGINT — floor-divide to micros (same truncation DuckDB applies).
+    # ts normalization — the driver has shipped this column three ways:
+    #  * TIMESTAMP(NANOS): with nanosAsLong it arrives as epoch-ns BIGINT —
+    #    floor-divide to micros (same truncation DuckDB applies);
+    #  * timestamp[us] without a zone: Spark 4 infers TIMESTAMP_NTZ, which
+    #    time functions like unix_micros reject — cast to TIMESTAMP (the
+    #    session zone is UTC, so naive-as-UTC matches DuckDB's reading);
+    #  * plain TIMESTAMP: pass through.
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

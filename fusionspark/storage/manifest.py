@@ -194,6 +194,37 @@ class ManifestTable:
         new_files, n = self._stage(df)
         return self._commit_loop(lambda m: (new_files, n), op="overwrite")
 
+    def _cow_rewrite(
+        self, m: dict, predicate: Column
+    ) -> tuple[list[str], list[str], int]:
+        """Copy-on-write core shared by delete_where/upsert: find the files
+        that contain predicate-TRUE rows and restage them WITHOUT those
+        rows.  DELETE semantics keep every row the predicate is not true
+        for — rows where it evaluates to NULL survive (three-valued logic:
+        `~predicate` alone would drop them), hence the coalesce.  Returns
+        (untouched files, restaged survivor files, survivor row count)."""
+        files = list(m["files"])
+        if not files:
+            return files, [], 0
+        is_hit = F.coalesce(predicate, F.lit(False))
+        full = {os.path.join(self.path, p): p for p in files}
+        df = self.spark.read.schema(StructType.fromJson(m["schema"])).parquet(*full)
+        hit_files = [
+            _strip_scheme(r["f"])
+            for r in df.filter(is_hit)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        hit_rel = {full[h] for h in hit_files if h in full}
+        if not hit_rel:
+            return files, [], 0
+        survivors = self.spark.read.schema(
+            StructType.fromJson(m["schema"])
+        ).parquet(*(os.path.join(self.path, p) for p in sorted(hit_rel)))
+        kept_files, kept_rows = self._stage(survivors.filter(~is_hit))
+        return [p for p in files if p not in hit_rel], kept_files, kept_rows
+
     def delete_where(self, predicate: Column) -> int:
         """File-level copy-on-write DELETE: rewrite ONLY the files that
         contain matching rows; untouched files carry over by reference.
@@ -202,31 +233,28 @@ class ManifestTable:
         loop."""
 
         def apply(m: dict) -> tuple[list[str], int]:
-            files = list(m["files"])
-            if not files:
-                return files, 0
-            full = {os.path.join(self.path, p): p for p in files}
-            df = self.spark.read.schema(StructType.fromJson(m["schema"])).parquet(
-                *full
-            )
-            hit_files = [
-                _strip_scheme(r["f"])
-                for r in df.filter(predicate)
-                .select(F.input_file_name().alias("f"))
-                .distinct()
-                .collect()
-            ]
-            hit_rel = {full[h] for h in hit_files if h in full}
-            if not hit_rel:
-                return files, 0
-            survivors = self.spark.read.schema(
-                StructType.fromJson(m["schema"])
-            ).parquet(*(os.path.join(self.path, p) for p in sorted(hit_rel)))
-            kept_files, kept_rows = self._stage(survivors.filter(~predicate))
-            out = [p for p in files if p not in hit_rel] + kept_files
-            return out, kept_rows
+            untouched, kept_files, kept_rows = self._cow_rewrite(m, predicate)
+            if not kept_files and untouched == list(m["files"]):
+                return untouched, 0
+            return untouched + kept_files, kept_rows
 
         return self._commit_loop(apply, op="delete")
+
+    def upsert(self, df: DataFrame, predicate: Column) -> int:
+        """MERGE-lite in ONE atomic commit: remove the rows matching
+        `predicate` (file-level copy-on-write, like delete_where) and add
+        `df`'s rows.  Readers never observe the intermediate state a
+        delete-then-append exposes (id briefly missing), a crash cannot
+        lose the old row without the new one landing, and two racing
+        upserts of the same id serialize through the commit loop instead
+        of interleaving into duplicates."""
+        new_files, n_new = self._stage(df)
+
+        def apply(m: dict) -> tuple[list[str], int]:
+            untouched, kept_files, _kept = self._cow_rewrite(m, predicate)
+            return untouched + kept_files + new_files, n_new
+
+        return self._commit_loop(apply, op="upsert")
 
     # ── maintenance ───────────────────────────────────────────────────────
 
@@ -271,22 +299,36 @@ class ManifestTable:
 
         return self._commit_loop(apply, op="compact")
 
-    def vacuum(self, keep_versions: int = 1) -> int:
+    def vacuum(self, keep_versions: int = 1, retain_seconds: float = 600.0) -> int:
         """Drop manifests older than the newest `keep_versions` and any data
-        file no surviving snapshot references.  Returns files removed."""
+        file no surviving snapshot references.  Returns files removed.
+
+        `retain_seconds` guards in-flight writers: a concurrent append /
+        compact / upsert stages its files BEFORE its manifest commit makes
+        them referenced, so an unreferenced-but-young file may belong to a
+        transaction about to commit.  Deleting it would let that writer
+        commit a manifest pointing at missing files — the same hazard
+        Delta's VACUUM retention check exists for — so files whose mtime is
+        within the retention window are skipped.  Pass 0 only when no other
+        writer can be active."""
         vs = self._versions()
         keep = vs[-max(1, keep_versions):]
         referenced: set[str] = set()
         for v in keep:
             referenced.update(self._manifest(v)["files"])
         removed = 0
+        cutoff = time.time() - max(0.0, retain_seconds)
         for v in vs[: len(vs) - len(keep)]:
             os.remove(os.path.join(self._manifest_dir, _MANIFEST_FMT.format(v)))
         for dirpath, _dirs, names in os.walk(self._data_dir):
             for name in names:
                 fp = os.path.join(dirpath, name)
                 rel = os.path.relpath(fp, self.path)
-                if name.endswith(".parquet") and rel not in referenced:
+                if (
+                    name.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(fp) < cutoff
+                ):
                     os.remove(fp)
                     removed += 1
         return removed

@@ -25,19 +25,26 @@ from pyspark.sql import functions as F
 #: message types worth remembering (AgentOrchestrator.js:163)
 SIGNIFICANT_TYPES = ("task", "result", "knowledge")
 
+#: recipient for malformed (NULL-addressee) messages — they must surface in
+#: the delivery log, not vanish through three-valued logic (a bare
+#: `to_agent != '*'` filter silently drops NULL rows from BOTH branches)
+DEAD_LETTER = "__dead_letter__"
+
 
 def route_messages(messages: DataFrame, agents: DataFrame) -> DataFrame:
     """One delivery row per recipient: `to_agent='*'` broadcasts to every
     registered agent except the sender; anything else delivers directly.
-    The registry side is broadcast (it is small by construction — it's the
-    set of registered agents), so fan-out never shuffles the message
-    stream."""
+    A NULL `to_agent` routes to the DEAD_LETTER recipient so malformed
+    events stay observable in the log.  The registry side is broadcast (it
+    is small by construction — it's the set of registered agents), so
+    fan-out never shuffles the message stream."""
+    is_broadcast = F.col("to_agent").eqNullSafe("*")
     recipients = F.broadcast(agents.select(F.col("agent_id").alias("recipient")))
-    fanned = messages.filter(F.col("to_agent") == "*").join(
+    fanned = messages.filter(is_broadcast).join(
         recipients, F.col("recipient") != F.col("from_agent")
     )
-    direct = messages.filter(F.col("to_agent") != "*").withColumn(
-        "recipient", F.col("to_agent")
+    direct = messages.filter(~is_broadcast).withColumn(
+        "recipient", F.coalesce(F.col("to_agent"), F.lit(DEAD_LETTER))
     )
     return direct.unionByName(fanned)
 

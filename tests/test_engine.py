@@ -324,3 +324,51 @@ def test_search_many_batch_parity(engine, spark):
     for r in sorted(approx.collect(), key=lambda r: (r["probe_id"], r["rnk"])):
         ga.setdefault(r["probe_id"], []).append(r["id"])
     assert ga == got
+
+
+def test_insert_replace_is_tenant_scoped(spark, tmp_path):
+    """ADVICE r3 (high): an upsert's collision delete must be scoped to the
+    inserting tenant — tenant A re-inserting id 'x' must NOT delete tenant
+    B's (or the NULL-tenant's) row 'x'.  Checked in both storage modes."""
+    for storage in ("parquet", "manifest"):
+        eng = FusionSparkEngine(
+            spark, str(tmp_path / f"ts-{storage}"), storage=storage
+        )
+        eng.create_collection("c", CollectionConfig(dimensions=2))
+        eng.insert("c", [{"id": "x", "vector": [1, 0], "content": "A1"}],
+                   tenant_id="A")
+        eng.insert("c", [{"id": "x", "vector": [0, 1], "content": "B1"}],
+                   tenant_id="B")
+        eng.insert("c", [{"id": "x", "vector": [1, 1], "content": "none1"}])
+
+        # tenant A upserts its own x: B's and the global row survive
+        eng.insert("c", [{"id": "x", "vector": [1, 0], "content": "A2"}],
+                   tenant_id="A")
+        rows = {(r["tenant_id"], r["id"]): r["content"]
+                for r in eng._load("c").collect()}
+        assert rows == {("A", "x"): "A2", ("B", "x"): "B1",
+                        (None, "x"): "none1"}, storage
+
+        # per-entry tenant override groups the delete per tenant
+        eng.insert("c", [
+            {"id": "x", "vector": [0, 0], "content": "A3", "tenant_id": "A"},
+            {"id": "x", "vector": [0, 0], "content": "B2", "tenant_id": "B"},
+        ])
+        rows = {(r["tenant_id"], r["id"]): r["content"]
+                for r in eng._load("c").collect()}
+        assert rows == {("A", "x"): "A3", ("B", "x"): "B2",
+                        (None, "x"): "none1"}, storage
+
+
+def test_manifest_upsert_history_is_single_commit(spark, tmp_path):
+    """In manifest storage a replacing insert lands as ONE 'upsert' version,
+    not a delete commit followed by an append commit (ADVICE r3 low)."""
+    eng = FusionSparkEngine(spark, str(tmp_path / "atom"), storage="manifest")
+    eng.create_collection("c", CollectionConfig(dimensions=2))
+    eng.insert("c", [{"id": "x", "vector": [1, 0]}])
+    before = eng._table("c").version()
+    eng.insert("c", [{"id": "x", "vector": [0, 1]}])
+    t = eng._table("c")
+    assert t.version() == before + 1
+    assert t.history()[-1]["op"] == "upsert"
+    assert eng._load("c").count() == 1

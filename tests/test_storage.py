@@ -89,9 +89,47 @@ def test_overwrite_and_vacuum(spark, tmp_path):
     t.overwrite(_rows(spark, 1000, 1010))
     assert sorted(int(r["v"]) for r in t.read().collect()) == list(range(1000, 1010))
 
-    removed = t.vacuum(keep_versions=1)
+    # default retention spares the just-written (unreferenced but YOUNG)
+    # files — they could belong to an in-flight writer about to commit
+    assert t.vacuum(keep_versions=1) == 0
+    removed = t.vacuum(keep_versions=1, retain_seconds=0)
     assert removed > 0  # the overwritten append's files are unreferenced
     assert t.read().count() == 10  # latest snapshot intact
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE keeps every row the predicate is NOT TRUE for: a row where
+    the predicate evaluates to NULL must survive even when it lives in a
+    file that is rewritten for co-located true-matching rows (ADVICE r3:
+    filter(~predicate) alone drops NULL rows from the survivors)."""
+    t = ManifestTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None), ("c", 200)], "id string, v long"
+    ).coalesce(1)  # one file → the NULL row is co-located with the hit
+    t.append(df)
+
+    t.delete_where(F.col("v") < 100)  # NULL < 100 is NULL, not a hit
+
+    kept = sorted(r["id"] for r in t.read().collect())
+    assert kept == ["b", "c"]
+
+
+def test_upsert_is_one_atomic_commit(spark, tmp_path):
+    """upsert = copy-on-write removal + append in ONE manifest version: no
+    window where the id is missing, and the history shows a single 'upsert'
+    op rather than delete+append."""
+    t = ManifestTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(_rows(spark, 0, 10))
+    v_before = t.version()
+
+    new = spark.createDataFrame([("5", 500), ("99", 99)], SCHEMA)
+    v = t.upsert(new, F.col("id").isin(["5", "99"]))
+
+    assert v == v_before + 1  # exactly one commit
+    assert t.history()[-1]["op"] == "upsert"
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got["5"] == 500 and got["99"] == 99
+    assert len(got) == 11  # 10 originals − 1 replaced + 1 new
 
 
 def test_engine_manifest_storage_end_to_end(spark, tmp_path):
@@ -203,7 +241,7 @@ def test_compact_collapses_small_files(spark, tmp_path):
     assert m["op"] == "compact" and m["rows"] == 50
     assert len(m["files"]) == 1
     assert sorted(int(r["v"]) for r in t.read().collect()) == list(range(50))
-    assert t.vacuum(keep_versions=1) >= n_before
+    assert t.vacuum(keep_versions=1, retain_seconds=0) >= n_before
 
 
 def test_compact_cluster_by_gives_file_skipping_ranges(spark, tmp_path):

@@ -194,3 +194,23 @@ def test_engine_ingest_stream_matches_batch(spark, tmp_path):
         for r in stream_eng._load("rag").collect()
     }
     assert got == want and want
+
+
+def test_route_messages_null_recipient_dead_letters(spark):
+    """ADVICE r3: a NULL to_agent must not vanish through three-valued
+    logic — it routes to the DEAD_LETTER recipient so malformed events
+    stay observable in the delivery log."""
+    from fusionspark.streaming.routing import DEAD_LETTER, route_messages
+
+    msgs = spark.createDataFrame(
+        [("m1", "a1", "a2", "task", "p", 0),
+         ("m2", "a1", None, "task", "p", 0),
+         ("m3", "a2", "*", "task", "p", 0)],
+        "msg_id string, from_agent string, to_agent string, "
+        "type string, payload string, ts long",
+    )
+    agents = spark.createDataFrame([("a1",), ("a2",), ("a3",)], "agent_id string")
+    got = {(r["msg_id"], r["recipient"])
+           for r in route_messages(msgs, agents).collect()}
+    assert got == {("m1", "a2"), ("m2", DEAD_LETTER),
+                   ("m3", "a1"), ("m3", "a3")}
