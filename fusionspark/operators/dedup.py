@@ -590,3 +590,59 @@ def embedding_neardup_ivf(
         assigned, threshold, block_col="centroid_id",
         id_col=id_col, vector_col=vector_col,
     )
+
+
+# ── connected components (cluster the near-dup graph) ─────────────────────
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node with the MINIMUM id reachable through `edges`
+    (undirected pairs id_a/id_b) — the step after any near-dup pass: pairs
+    say "these two match", components say "this whole group is one
+    document", and the canonical keeper is the component label itself.
+    Reference contract: the reference deduplicates by replacing matched
+    ids one pair at a time (in-memory Map); at 100 TB the pair list is a
+    graph and dedup IS connected components.
+
+    Plan: min-label propagation — per round, every node offers its label
+    to its neighbors (one shuffle join edges⋈labels) and keeps the minimum
+    (one groupBy).  Rounds needed = graph diameter, and near-dup clusters
+    are shallow (a dup cluster's diameter is small by construction —
+    everything is similar to everything).  Lineage is cut per round with
+    an eager localCheckpoint, and convergence is detected by the monotone
+    label sum going flat (labels only ever decrease, so equal sum ⇒ fixed
+    point).  For adversarially chained graphs at scale, swap the loop body
+    for alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce") — same per-round shape, O(log²) rounds."""
+    sym = (
+        edges.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .union(edges.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("lbl")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["s"] == labels["node"]).select(
+            F.col("d").alias("node"), F.col("lbl")
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("component")
+    )

@@ -1,0 +1,80 @@
+"""Sequence packing for training-data pipelines: group documents into
+fixed token-budget packs (the pre-tokenization batching step — short docs
+are concatenated up to a context-length budget so training sees full
+sequences, not padding).
+
+Not in the reference (north-star addition).  The packing here is the
+STREAMING form: documents are ordered deterministically within a shard and
+cut into packs by cumulative token count — one window pass, no Python, and
+(unlike first-fit bin packing) a pure SQL expression, so the DuckDB oracle
+replays it exactly.  First-fit packs ~equally well only when doc length
+varies wildly; for web-scale corpora the streaming form's waste is small
+and its plan is one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fusionspark.functions.text import tokenize
+from fusionspark.operators.dedup import md5_hash32
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Assign each document a (shard, pack_id): documents are hash-sharded
+    (md5 of id — deterministic and engine-portable), ordered by id within
+    (group, shard), and packed greedily by running token count — pack_id =
+    floor(tokens_before / budget).  Docs longer than the budget get their
+    own pack (the window cut advances past them).
+
+    Scale: the window partitions on (group, shard) — n_shards bounds the
+    largest partition at corpus/n_shards regardless of group skew, so one
+    giant language never serializes into one reducer; raise n_shards with
+    corpus size (it only relabels packs, never changes pack contents
+    within a shard)."""
+    n_tokens = F.size(tokenize(F.col(text_col)))
+    shard = F.pmod(md5_hash32(F.col(id_col).cast("string")), F.lit(n_shards))
+    w = (
+        Window.partitionBy(group_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            n_tokens.alias("n_tokens"),
+            shard.alias("shard"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)),
+        )
+        .drop("cum_tokens")
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    pct: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus sampling: keep a row iff md5(id) mod 100 < pct.
+    Unlike rand()-based sampling this is reproducible across runs, engines,
+    and partitionings (the sample is a pure function of the id), composes
+    with incremental ingestion (a doc's in/out never flips), and supports
+    stratified variants by keying the hash on (stratum, id).  Zero shuffle —
+    a filter the scan absorbs."""
+    bucket = F.pmod(md5_hash32(F.col(id_col).cast("string")), F.lit(100))
+    return df.withColumn("sample_bucket", bucket).filter(
+        F.col("sample_bucket") < pct
+    )

@@ -126,3 +126,102 @@ def fingerprint_docs(
             yield pd.DataFrame({id_col: pdf[id_col], "fp": fps})
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+# ── Gopher / C4 corpus-quality filters ────────────────────────────────────
+
+#: Gopher's canonical stop-word probe (Rae et al. 2021, appendix A1.1):
+#: a document must contain ≥ 2 distinct words from this set.
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_metrics(text: Column | str) -> dict[str, Column]:
+    """Per-document Gopher quality-rule inputs (Rae et al. 2021 §A1.1),
+    as pure column expressions (codegen'd, zero shuffle, 100 TB-safe):
+
+    * n_words, mean_word_len — bounds 50 ≤ n ≤ 100 000, 3 ≤ mean ≤ 10
+    * symbol_ratio — ('#' + '...') occurrences per word, ≤ 0.1
+    * alpha_word_ratio — fraction of words with ≥ 1 alphabetic char, ≥ 0.8
+    * n_stop_hits — distinct GOPHER_STOPS present, ≥ 2
+
+    The line-based rules (bullet-start / ellipsis-end fractions) are
+    omitted: the driver corpus is single-line, so they are identically
+    zero; add them as `split(text, '\\n')` aggregates when real documents
+    carry line structure."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(text)
+    n_words = F.size(toks)
+    char_sum = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = F.when(
+        n_words > 0, char_sum.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_word_ratio = F.when(
+        n_words > 0, n_alpha_words.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    n_stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stops))
+    passes = (
+        n_words.between(50, 100_000)
+        & mean_word_len.between(3.0, 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_word_ratio >= 0.8)
+        & (n_stop_hits >= 2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_ratio": alpha_word_ratio,
+        "n_stop_hits": n_stop_hits,
+        "passes": passes.cast("int"),
+    }
+
+
+def c4_metrics(text: Column | str) -> dict[str, Column]:
+    """Per-document C4 cleaning-rule inputs (Raffel et al. 2020 §2.2):
+    sentence count (terminal-punctuation splits) ≥ 3, no '{' (code), no
+    'lorem ipsum'.  Expression-only like gopher_metrics; the per-LINE
+    terminal-punctuation rule needs line structure the driver corpus
+    lacks (single-line docs) and lands with it."""
+    text = F.col(text) if isinstance(text, str) else text
+    n_sentences = F.size(F.regexp_extract_all(text, F.lit("[.!?]"), F.lit(0)))
+    has_brace = F.contains(text, F.lit("{")).cast("int")
+    has_lorem = F.contains(F.lower(text), F.lit("lorem ipsum")).cast("int")
+    passes = (n_sentences >= 3) & (has_brace == 0) & (has_lorem == 0)
+    return {
+        "n_sentences": n_sentences,
+        "has_brace": has_brace,
+        "has_lorem": has_lorem,
+        "passes": passes.cast("int"),
+    }
+
+
+# ── PII redaction ─────────────────────────────────────────────────────────
+
+#: portable between Java regex (Spark) and RE2 (DuckDB): no lookarounds,
+#: no backrefs — \b, \d, {m,n} mean the same in both
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+def pii_redact(text: Column | str) -> dict[str, Column]:
+    """Mask emails and IPv4 addresses, counting what was masked — the
+    standard pre-training scrub pass.  One regexp_replace chain per row:
+    codegen'd, shuffle-free, linear in corpus size."""
+    text = F.col(text) if isinstance(text, str) else text
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return {"n_emails": n_emails, "n_ips": n_ips, "redacted": redacted}

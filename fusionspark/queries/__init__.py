@@ -32,24 +32,25 @@ def query(name: str, sql: str | None = None):
 # touched this round keep their valid r1/r2 attestations (the r1∪r2 union
 # covered all 86 registered queries with zero failures).
 PRIORITY: list[str] = [
-    # new in round 3 — the scale-path near-dups (VERDICT r2 #1) and the
-    # real-codec PNG pipeline (VERDICT r2 #4)
+    # new in round 5 — training-pipeline additions: near-dup clustering
+    # (connected components), Gopher/C4 quality rules, deterministic
+    # sampling, sequence packing, PII redaction
+    "dedup_clusters", "gopher_quality", "c4_filter",
+    "hash_sample", "pack_sequences", "pii_redact",
+    # changed in round 5: ts-column normalization (io.py NTZ handling) —
+    # every time-axis query re-attests on the regenerated testdata
+    "asof_click_view", "range_error_context", "events_time_rollup",
+    "events_json_props", "stream_tumbling", "stream_sliding",
+    "stream_session", "stream_dedup", "conversation_tail",
+    # changed in round 5: NULL-addressee dead-letter routing (routing.py)
+    "message_deliveries", "messages_significant",
+    # still-valuable r3 attestations kept warm: the scale-path near-dups,
+    # PNG codec pipeline, and distributed IVF forms
     "neardup_ngram_lsh", "neardup_embedding_ivf", "png_features",
-    # new in round 3 — M5 broadcast routing (VERDICT r2 #8) and the
-    # distributed-probe IVF form (VERDICT r2 'what's wrong' #4)
-    "message_deliveries", "ann_ivf_distributed", "ann_ivf_filtered",
-    # changed in round 3: minhash_candidates materialization, Arrow-fold
-    # pairwise scoring (dedup.py), Arrow-fold SRP candidate scoring (ann.py)
+    "ann_ivf_distributed", "ann_ivf_filtered",
     "dedup_minhash", "neardup_ngram", "merge_candidates",
     "neardup_embedding", "ann_srp",
-    # changed in round 3: exact centi-quality averages (ROUND boundary fix)
-    "adaptive_weights",
-    # changed in round 3: keyword term dedupe + regex escaping (keyword.py)
     "keyword_search", "keyword_index_search", "rrf_fusion",
-    "context_pack", "quality_estimate", "hybrid_adaptive",
-    # changed in round 3: asof struct carry (temporal.py)
-    "asof_click_view",
-    # changed in round 3: reasoning-search scorer plumbing (tree.py)
     "tree_reasoning_search",
 ]
 

@@ -579,3 +579,282 @@ def ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "vec_id", F.round("sim", 6).alias("sim"),
         F.col("rnk").cast("long").alias("rnk"),
     )
+
+
+# ── round 5: clustering, corpus-quality filters, sampling, packing, PII ───
+
+_PAIRS_07 = f"""
+    words_t AS (
+        SELECT doc_id, {_WORDS} AS words FROM documents
+    ),
+    sh_t AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS s
+        FROM words_t
+    ),
+    based AS (
+        SELECT doc_id,
+               {_H32.format(expr='s')} AS b1,
+               {_H32.format(expr="'x:' || s")} AS b2
+        FROM sh_t
+    ),
+    sigs AS (
+        SELECT doc_id,
+        {_SIG_COLS}
+        FROM based GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT doc_id,
+        {_BAND_KEYS}
+        FROM sigs
+    ),
+    banded AS (
+        {_BAND_UNION}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    ws AS (SELECT doc_id, list_distinct(words) AS w FROM words_t),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cands
+        JOIN ws wa ON wa.doc_id = id_a
+        JOIN ws wb ON wb.doc_id = id_b
+        WHERE CASE WHEN len(list_distinct(list_concat(wa.w, wb.w))) > 0
+              THEN len(list_intersect(wa.w, wb.w))::DOUBLE
+                   / len(list_distinct(list_concat(wa.w, wb.w)))
+              ELSE 0.0 END >= 0.7
+    )
+"""
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_PAIRS_07.strip()},
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT sym.d, walk.lbl FROM walk JOIN sym ON walk.node = sym.s
+    ),
+    labels AS (
+        SELECT node AS doc_id, MIN(lbl)::BIGINT AS component
+        FROM walk GROUP BY node
+    )
+    SELECT doc_id, component,
+           (COUNT(*) OVER (PARTITION BY component))::BIGINT AS cluster_size
+    FROM labels
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH verified pairs (≥ 0.7 Jaccard, the
+    dedup_minhash edge set) closed into connected components by min-label
+    propagation — per doc its component (= canonical keeper id) and the
+    cluster size.  The oracle replays the closure as a recursive CTE."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.minhash_neardup(
+        docs, threshold=0.7, num_hashes=NUM_HASHES, bands=BANDS
+    ).select("id_a", "id_b")
+    labels = dedup.connected_components(edges, docs.select("doc_id"))
+    return labels.withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("component")).cast("long"),
+    )
+
+
+_GOPHER_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in textstats.GOPHER_STOPS) + "]"
+
+
+@query(
+    "gopher_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {_WORDS} AS words FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               CASE WHEN len(words) > 0
+                    THEN list_sum(list_transform(words, w -> len(w)))::DOUBLE
+                         / len(words)
+                    ELSE 0.0 END AS mwl,
+               CASE WHEN len(words) > 0
+                    THEN ((length(text) - length(replace(text, '#', '')))
+                          + (length(text) - length(replace(text, '...', ''))) / 3
+                         )::DOUBLE / len(words)
+                    ELSE 0.0 END AS sym_ratio,
+               CASE WHEN len(words) > 0
+                    THEN len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+                         / len(words)
+                    ELSE 0.0 END AS alpha_ratio,
+               len(list_intersect(list_distinct(words), {_GOPHER_STOPS_SQL})) AS stop_hits
+        FROM t
+    )
+    SELECT doc_id,
+           n_words::BIGINT AS n_words,
+           ROUND(mwl, 6) AS mean_word_len,
+           ROUND(sym_ratio, 6) AS symbol_ratio,
+           ROUND(alpha_ratio, 6) AS alpha_word_ratio,
+           stop_hits::BIGINT AS n_stop_hits,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mwl BETWEEN 3.0 AND 10.0
+                 AND sym_ratio <= 0.1
+                 AND alpha_ratio >= 0.8
+                 AND stop_hits >= 2
+                THEN 1 ELSE 0 END AS passes
+    FROM m
+    """,
+)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher corpus-quality rules (Rae et al. 2021 §A1.1) per document:
+    word-count / mean-word-length bounds, symbol ratio, alphabetic-word
+    ratio, stop-word probe — expression-only (operators/textstats.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = textstats.gopher_metrics("text")
+    return d.select(
+        "doc_id",
+        g["n_words"].cast("long").alias("n_words"),
+        F.round(g["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(g["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(g["alpha_word_ratio"], 6).alias("alpha_word_ratio"),
+        g["n_stop_hits"].cast("long").alias("n_stop_hits"),
+        g["passes"].alias("passes"),
+    )
+
+
+@query(
+    "c4_filter",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[.!?]'))::BIGINT AS n_sentences,
+           CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
+           CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
+           CASE WHEN len(regexp_extract_all(text, '[.!?]')) >= 3
+                 AND NOT contains(text, '{')
+                 AND NOT contains(lower(text), 'lorem ipsum')
+                THEN 1 ELSE 0 END AS passes
+    FROM documents
+    """,
+)
+def c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) per document: sentence
+    count, code-brace and boilerplate probes (operators/textstats.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = textstats.c4_metrics("text")
+    return d.select(
+        "doc_id",
+        c["n_sentences"].cast("long").alias("n_sentences"),
+        c["has_brace"].alias("has_brace"),
+        c["has_lorem"].alias("has_lorem"),
+        c["passes"].alias("passes"),
+    )
+
+
+@query(
+    "hash_sample",
+    """
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS sample_bucket
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 20
+    """,
+)
+def hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% corpus sample: keep iff md5(id) mod 100 < 20 —
+    reproducible across runs/engines/partitionings, composes with
+    incremental ingestion (operators/packing.py::hash_sample)."""
+    from fusionspark.operators.packing import hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample(d, pct=20).select("doc_id", "lang", "sample_bucket")
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len({_WORDS}) AS n_tokens,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens, shard,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens, shard::BIGINT AS shard,
+           FLOOR((cum - n_tokens)::DOUBLE / 512)::BIGINT AS pack_id
+    FROM c
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents hash-sharded, ordered by id, cut into
+    512-token packs by running token count — one window pass, the
+    pre-tokenization batching step (operators/packing.py)."""
+    from fusionspark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(d, budget=512, n_shards=8)
+    return out.select(
+        "doc_id", "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+    )
+
+
+_PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 5 = 0 "
+    "THEN ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.' "
+    "|| (doc_id % 256)::VARCHAR || '.7' ELSE '' END"
+)
+
+
+@query(
+    "pii_redact",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{textstats.EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t, '{textstats.IPV4_RE}'))::BIGINT AS n_ips,
+           md5(regexp_replace(regexp_replace(t, '{textstats.EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{textstats.IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: mask emails/IPv4 and count what was masked.  The corpus
+    carries no PII, so a deterministic augmentation plants one email + one
+    IP on every 5th doc IN THE QUERY on both engines — the redaction is
+    exercised on real matches, not vacuous zeros."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    p = textstats.pii_redact(aug)
+    return d.select(
+        "doc_id",
+        p["n_emails"].cast("long").alias("n_emails"),
+        p["n_ips"].cast("long").alias("n_ips"),
+        F.md5(p["redacted"]).alias("redacted_md5"),
+    )
