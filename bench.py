@@ -157,6 +157,13 @@ def bench_queries(spark):
         "neardup_embedding_ivf",
         "png_features",
         "message_deliveries",
+        # round 5: training-pipeline additions (clustering, quality rules,
+        # sampling, packing, PII)
+        "dedup_clusters",
+        "gopher_quality",
+        "c4_filter",
+        "pack_sequences",
+        "pii_redact",
     ]
     out = {
         "knn_batch64": knn_batch,
@@ -192,7 +199,13 @@ def recall_curves(spark, ctx) -> dict:
         rows = make().select("probe_id", "vec_id").collect()
         dt = time.time() - t0
         hits = sum(1 for r in rows if r["vec_id"] in exact.get(r["probe_id"], ()))
-        out[name] = {"recall_at_10": round(hits / n_pairs, 4), "sec": round(dt, 3)}
+        # denominator over the probes this call actually searched (the SRP
+        # entries run a subset to bound bench wall time)
+        denom = sum(len(exact.get(p, ())) for p in {r["probe_id"] for r in rows})
+        out[name] = {
+            "recall_at_10": round(hits / (denom or n_pairs), 4),
+            "sec": round(dt, 3),
+        }
         print(f"# recall {name}: {out[name]}", file=sys.stderr)
 
     out: dict = {}
@@ -209,10 +222,15 @@ def recall_curves(spark, ctx) -> dict:
         # ~4× more candidates for the recall bump.  4-bit bands (16/4)
         # admit ~¼ of the corpus per probe — measured 186s at 100k, a
         # non-config for this corpus size.
+        # SRP runs a 200-probe subset: per-probe cost is flat (candidates
+        # are per-probe band matches), so recall@10 is unbiased and the
+        # entry stays ~5× cheaper than the full 1000-probe sweep
+        probes200 = probes.limit(200).cache()
+        probes200.count()
         for bands in (3, 4):
             score(
                 f"srp_100k_24bit_bands{bands}",
-                lambda b=bands: srp_knn(corpus, probes, k=10, n_bits=24, bands=b),
+                lambda b=bands: srp_knn(corpus, probes200, k=10, n_bits=24, bands=b),
             )
     except Exception as e:  # noqa: BLE001 — recall is reporting, not the gate
         print(f"# recall: ERROR {e}", file=sys.stderr)

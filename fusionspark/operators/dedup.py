@@ -625,8 +625,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("lbl")
+    # the loop runs over edge-INCIDENT nodes only — singletons (the vast
+    # majority of a deduped corpus) never enter the propagation table and
+    # rejoin as their own component at the end.  At 100 TB this is the
+    # difference between iterating over the match graph (small) and the
+    # corpus (not).
+    labels = sym.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").cast("long").alias("lbl")
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -643,6 +648,13 @@ def connected_components(
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(
-        F.col("node").alias(id_col), F.col("lbl").alias("component")
+    return (
+        nodes.select(F.col(id_col))
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("lbl"), F.col(id_col).cast("long")).alias(
+                "component"
+            ),
+        )
     )
