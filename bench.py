@@ -164,6 +164,8 @@ def bench_queries(spark):
         "c4_filter",
         "pack_sequences",
         "pii_redact",
+        "repetition_stats",
+        "vocab_coverage",
     ]
     out = {
         "knn_batch64": knn_batch,

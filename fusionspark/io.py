@@ -39,13 +39,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # extraction matches DuckDB's naive-as-UTC reading in any session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # ts normalization — the driver has shipped this column three ways:
-    #  * TIMESTAMP(NANOS): with nanosAsLong it arrives as epoch-ns BIGINT —
-    #    floor-divide to micros (same truncation DuckDB applies);
-    #  * timestamp[us] without a zone: Spark 4 infers TIMESTAMP_NTZ, which
-    #    time functions like unix_micros reject — cast to TIMESTAMP (the
-    #    session zone is UTC, so naive-as-UTC matches DuckDB's reading);
-    #  * plain TIMESTAMP: pass through.
+    return normalize_ts(df)
+
+
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """ts normalization — the driver has shipped this column three ways:
+
+    * TIMESTAMP(NANOS): with nanosAsLong it arrives as epoch-ns BIGINT —
+      floor-divide to micros (same truncation DuckDB applies);
+    * timestamp[us] without a zone: Spark 4 infers TIMESTAMP_NTZ, which
+      time functions like unix_micros reject — cast to TIMESTAMP (the
+      session zone is UTC, so naive-as-UTC matches DuckDB's reading);
+    * plain TIMESTAMP: pass through.
+
+    Works on batch AND streaming frames (pure projection)."""
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fusionspark.functions.text import STOPWORDS
+from fusionspark.functions.text import STOPWORDS, tokenize
 from fusionspark.io import load_table
 from fusionspark.operators import dedup, textstats
 from fusionspark.operators.ann import ivf_knn
@@ -857,4 +857,94 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         p["n_emails"].cast("long").alias("n_emails"),
         p["n_ips"].cast("long").alias("n_ips"),
         F.md5(p["redacted"]).alias("redacted_md5"),
+    )
+
+
+@query(
+    "repetition_stats",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(words) - 1, 1)),
+                   i -> array_to_string(words[i:i+1], ' '))) AS gram
+        FROM w
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           SUM(cnt)::BIGINT AS n_grams,
+           COUNT(*)::BIGINT AS n_unique,
+           MAX(cnt)::BIGINT AS top_count,
+           ROUND(MAX(cnt)::DOUBLE / SUM(cnt), 6) AS top_frac,
+           ROUND(1.0::DOUBLE - COUNT(*)::DOUBLE / SUM(cnt), 6) AS dup_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, 'repetitious
+    content'): per-document word-2-gram totals, the most-frequent-2-gram
+    fraction, and the duplicate-2-gram fraction.  Two groupBys keyed by
+    (doc, gram) then doc — scales as a pair of hash aggregations."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(dedup.word_shingles("text", 2)).alias("gram")
+    )
+    c = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_unique"),
+        F.max("cnt").cast("long").alias("top_count"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top_frac"),
+        F.round(
+            F.lit(1.0) - F.count("*").cast("double") / F.sum("cnt"), 6
+        ).alias("dup_frac"),
+    )
+
+
+@query(
+    "vocab_coverage",
+    f"""
+    WITH w AS (SELECT unnest({_WORDS}) AS tok FROM documents),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM w GROUP BY tok),
+    t AS (SELECT SUM(cnt)::DOUBLE AS total FROM c),
+    r AS (
+        SELECT tok, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk,
+               SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM c
+    )
+    SELECT rnk::BIGINT AS rnk, tok, cnt::BIGINT AS cnt,
+           ROUND(cum::DOUBLE / total, 6) AS coverage
+    FROM r, t WHERE rnk <= 100
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab induction view: the 100 most frequent words with
+    cumulative corpus coverage.  Scale-shaped: the corpus-wide count is a
+    hash agg, the global ordering happens AFTER a top-100 TakeOrdered —
+    the single-partition window only ever sees 100 rows, never the
+    vocabulary."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    c = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = c.agg(F.sum("cnt").cast("double").alias("total"))
+    top = c.orderBy(F.desc("cnt"), "tok").limit(100)
+    w = (
+        Window.orderBy(F.desc("cnt"), "tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rnk", "tok", F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
     )

@@ -91,7 +91,7 @@ def stream_events_from_parquet(spark, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from fusionspark.io import load_table
+    from fusionspark.io import load_table, normalize_ts
 
     batch = load_table(spark, sf_dir, "events")
     src = os.path.join(sf_dir, "events.parquet")
@@ -99,9 +99,7 @@ def stream_events_from_parquet(spark, sf_dir: str) -> DataFrame:
     # the file source wants a directory; expose the single file through one
     stream_dir = tempfile.mkdtemp(prefix="fusionspark-stream-")
     os.symlink(src, os.path.join(stream_dir, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_ts(spark.readStream.schema(raw_schema).parquet(stream_dir))
     return stream.select(*[f.name for f in batch.schema.fields])
 
 
