@@ -166,6 +166,8 @@ def bench_queries(spark):
         "pii_redact",
         "repetition_stats",
         "vocab_coverage",
+        "domain_mix",
+        "contamination_check",
     ]
     out = {
         "knn_batch64": knn_batch,

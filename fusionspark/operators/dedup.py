@@ -658,3 +658,37 @@ def connected_components(
             ),
         )
     )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    holdout_pct: int = 5,
+    gram: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval DECONTAMINATION: flag training documents that share at
+    least one word n-gram with a held-out benchmark set (the GPT-3-style
+    13-gram overlap check, n scaled to this corpus's short docs).  The
+    holdout here is the deterministic md5 sample (in production: the
+    benchmark suite itself).  Plan: distinct shingles per doc → the small
+    holdout side broadcasts into an equi-join keyed on the shingle →
+    per-doc distinct-hit count.  No all-pairs anything; cost is one
+    broadcast hash join over the training shingles."""
+    from fusionspark.operators.packing import hash_sample  # cycle-free
+
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), gram))).alias(
+            "s"
+        ),
+    )
+    is_holdout = F.pmod(md5_hash32(F.col(id_col).cast("string")), F.lit(100))
+    sh = sh.withColumn("_b", is_holdout)
+    holdout_sh = sh.filter(F.col("_b") < holdout_pct).select("s").distinct()
+    train_sh = sh.filter(F.col("_b") >= holdout_pct).select(id_col, "s")
+    return (
+        train_sh.join(F.broadcast(holdout_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count_distinct("s").alias("n_hits"))
+    )

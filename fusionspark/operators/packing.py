@@ -78,3 +78,31 @@ def hash_sample(
     return df.withColumn("sample_bucket", bucket).filter(
         F.col("sample_bucket") < pct
     )
+
+
+def domain_mix(
+    df: DataFrame,
+    rates: dict[str, int],
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Weighted corpus mixing: keep each group's rows at its percentage
+    rate (unlisted groups drop).  The keep decision is md5(group:id) mod
+    100 < rate — deterministic per row like hash_sample, so re-mixing with
+    a raised rate only ADDS documents (never churns the kept set), and the
+    same mix reproduces on any engine or partitioning.  This is the domain
+    re-weighting step of corpus assembly (web/code/books at different
+    rates).  Zero shuffle."""
+    bucket = F.pmod(
+        md5_hash32(
+            F.concat(F.col(group_col), F.lit(":"), F.col(id_col).cast("string"))
+        ),
+        F.lit(100),
+    )
+    pairs = []
+    for g, r in rates.items():
+        pairs.extend([F.lit(g), F.lit(int(r))])
+    rate = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(group_col)), F.lit(0)
+    )
+    return df.withColumn("mix_bucket", bucket).filter(F.col("mix_bucket") < rate)

@@ -948,3 +948,66 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MIX_RATES = {"en": 100, "de": 60, "fr": 40, "es": 40, "zh": 20}
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{g}' THEN {r}" for g, r in _MIX_RATES.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "domain_mix",
+    f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(lang || ':' || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 100 AS mix_bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, mix_bucket
+    FROM b WHERE mix_bucket < {_MIX_CASE}
+    """,
+)
+def domain_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing (corpus assembly): keep each language at its
+    configured rate via a deterministic md5(group:id) bucket — raising a
+    rate only ever ADDS documents (operators/packing.py::domain_mix)."""
+    from fusionspark.operators.packing import domain_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return domain_mix(d, _MIX_RATES, group_col="lang").select(
+        "doc_id", "lang", "mix_bucket"
+    )
+
+
+_SHINGLES5 = (
+    "list_transform(generate_series(1, greatest(len(words) - 4, 1)),"
+    " i -> array_to_string(words[i:i+4], ' '))"
+)
+
+
+@query(
+    "contamination_check",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b,
+               unnest(list_distinct({_SHINGLES5})) AS s
+        FROM w
+    ),
+    holdout AS (SELECT DISTINCT s FROM sh WHERE b < 5),
+    train AS (SELECT doc_id, s FROM sh WHERE b >= 5)
+    SELECT doc_id, COUNT(DISTINCT s)::BIGINT AS n_hits
+    FROM train JOIN holdout USING (s)
+    GROUP BY doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: training docs sharing ≥ 1 word-5-gram
+    with the held-out benchmark sample (GPT-3-style overlap check; the
+    holdout side broadcasts — operators/dedup.py::ngram_contamination)."""
+    return dedup.ngram_contamination(
+        load_table(spark, sf_dir, "documents"), holdout_pct=5, gram=5
+    )

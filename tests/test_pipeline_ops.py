@@ -123,3 +123,53 @@ def test_dedup_clusters_keeper_is_min_id(spark, sf_dir):
     for label, members in comp.items():
         assert label == min(members)
     assert len(rows) == len({r["doc_id"] for r in rows})  # one row per doc
+
+
+def test_domain_mix_rates_and_monotonicity(spark):
+    from fusionspark.operators.packing import domain_mix
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    kept = domain_mix(docs, {"en": 80, "zh": 20}).collect()
+    by_lang: dict = {"en": 0, "zh": 0}
+    for r in kept:
+        by_lang[r["lang"]] += 1
+    assert 650 < by_lang["en"] < 950  # ~80% of 1000
+    assert 120 < by_lang["zh"] < 280  # ~20% of 1000
+    # unlisted groups drop entirely
+    assert not domain_mix(docs, {"en": 50}).filter("lang = 'zh'").count()
+    # raising a rate only ADDS rows (the kept set never churns)
+    low = {r["doc_id"] for r in domain_mix(docs, {"en": 30, "zh": 10}).collect()}
+    high = {r["doc_id"] for r in kept}
+    assert low <= high
+
+
+def test_contamination_flags_planted_overlap(spark):
+    """Every doc gets doc-unique words, then ONE holdout doc and ONE train
+    doc share a planted 5-gram — only that train doc may be flagged."""
+    import hashlib
+
+    from fusionspark.operators.dedup import ngram_contamination
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    hold = next(i for i in range(100) if bucket(i) < 5)
+    leak = next(i for i in range(100) if bucket(i) >= 5)
+    phrase = "alpha beta gamma delta epsilon"
+    rows = []
+    for i in range(100):
+        text = f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f"
+        if i in (hold, leak):
+            text += " " + phrase
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    flagged = {
+        r["doc_id"]: r["n_hits"]
+        for r in ngram_contamination(df, holdout_pct=5, gram=5).collect()
+    }
+    assert leak in flagged and flagged[leak] >= 1
+    assert set(flagged) == {leak}  # no false positives from unique grams
