@@ -173,3 +173,50 @@ def test_contamination_flags_planted_overlap(spark):
     }
     assert leak in flagged and flagged[leak] >= 1
     assert set(flagged) == {leak}  # no false positives from unique grams
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_sampling_and_mixing_plans_are_shuffle_free(spark, sf_dir):
+    """hash_sample / domain_mix must compile to a pure filtered scan —
+    zero Exchange of any kind (the 100 TB contract: the sample is a map)."""
+    from fusionspark.io import load_table
+    from fusionspark.operators.packing import domain_mix, hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    for df in (hash_sample(d, 20), domain_mix(d, {"en": 50}, group_col="lang")):
+        assert "Exchange" not in _plan(df)
+
+
+def test_pack_sequences_single_window_exchange(spark, sf_dir):
+    """One hash-partitioned exchange for the (group, shard) window and
+    nothing else — no extra repartition, no broadcast."""
+    from fusionspark.io import load_table
+    from fusionspark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(pack_sequences(d, budget=512, n_shards=8))
+    # formatted output names each node twice (tree + detail section):
+    # one Exchange node ⇒ exactly two mentions, and no broadcast
+    assert plan.count("Exchange") == 2
+    assert "BroadcastExchange" not in plan
+    assert "Window" in plan
+
+
+def test_contamination_holdout_broadcasts(spark, sf_dir):
+    """The holdout shingle side must broadcast — the training corpus never
+    shuffles on the shingle key."""
+    from fusionspark.io import load_table
+    from fusionspark.operators.dedup import ngram_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(ngram_contamination(d, holdout_pct=5, gram=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
