@@ -168,6 +168,7 @@ def bench_queries(spark):
         "vocab_coverage",
         "domain_mix",
         "contamination_check",
+        "dedup_incremental",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -692,3 +692,110 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count_distinct("s").alias("n_hits"))
     )
+
+
+# ── incremental dedup (persisted LSH index) ───────────────────────────────
+
+
+def persist_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """Persist the corpus's banded MinHash index: one row per (id, band)
+    carrying the band_key AND the full signature (denormalized — ~4×16
+    longs per doc — so a lookup needs ONE join, no second trip for the
+    signature).  Partitioned by band: a probe for band b scans 1/bands of
+    the index.  This is the corpus side of continuous-ingestion dedup —
+    built once, appended per ingest batch, never recomputed."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    (
+        sig.select(F.col(id_col), F.array(*hcols).alias("sig"), F.explode(band_structs).alias("bv"))
+        .select(
+            id_col, "sig",
+            F.col("bv.band").alias("band"), F.col("bv.band_key").alias("band_key"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def minhash_lookup(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup: match a NEW batch against the persisted corpus
+    index without touching corpus text.  The new batch's banded signatures
+    (one zero-shuffle Arrow map) BROADCAST into a join with the index on
+    (band, band_key) — the corpus side never shuffles — and similarity is
+    the MinHash estimate itself: the fraction of agreeing signature
+    components (E[agreement] = Jaccard), so no text verify pass is needed
+    at lookup time.  Returns (new_id, corpus_id, est_sim ≥ threshold)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(new_df, id_col, text_col, num_hashes)
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    probe = (
+        sig.select(
+            F.col(id_col).alias("new_id"),
+            F.array(*hcols).alias("new_sig"),
+            F.explode(band_structs).alias("bv"),
+        )
+        .select(
+            "new_id", "new_sig",
+            F.col("bv.band").alias("band"), F.col("bv.band_key").alias("band_key"),
+        )
+    )
+    index = spark.read.parquet(index_path)
+    agree = F.size(
+        F.filter(
+            F.zip_with("new_sig", "sig", lambda a, b: a.eqNullSafe(b)),
+            lambda x: x,
+        )
+    )
+    return (
+        index.join(F.broadcast(probe), ["band", "band_key"])
+        .select(
+            "new_id",
+            F.col(id_col).alias("corpus_id"),
+            (agree.cast("double") / F.lit(num_hashes)).alias("est_sim"),
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.max("est_sim").alias("est_sim"))
+        .filter(F.col("est_sim") >= threshold)
+    )

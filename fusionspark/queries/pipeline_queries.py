@@ -1011,3 +1011,81 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_contamination(
         load_table(spark, sf_dir, "documents"), holdout_pct=5, gram=5
     )
+
+
+_AGREE16 = " + ".join(
+    f"(CASE WHEN p.h{i} = c.h{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+)
+
+
+@query(
+    "dedup_incremental",
+    f"""
+    WITH words_t AS (
+        SELECT doc_id, {_WORDS} AS words FROM documents
+    ),
+    sh_t AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS s
+        FROM words_t
+    ),
+    based AS (
+        SELECT doc_id,
+               {_H32.format(expr='s')} AS b1,
+               {_H32.format(expr="'x:' || s")} AS b2
+        FROM sh_t
+    ),
+    sigs AS (
+        SELECT doc_id,
+        {_SIG_COLS}
+        FROM based GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT *,
+        {_BAND_KEYS},
+        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bkt
+        FROM sigs
+    ),
+    banded AS (
+        {_BAND_UNION.replace('FROM keyed', 'FROM keyed WHERE TRUE')}
+    ),
+    bandmix AS (
+        SELECT k.doc_id, b.band, b.band_key, k.bkt,
+               {', '.join(f'k.h{i}' for i in range(NUM_HASHES))}
+        FROM keyed k JOIN banded b ON b.doc_id = k.doc_id
+    )
+    SELECT p.doc_id AS new_id, c.doc_id AS corpus_id,
+           ROUND(MAX(({_AGREE16})::DOUBLE / {NUM_HASHES}), 6) AS est_sim
+    FROM bandmix p JOIN bandmix c
+      ON p.band = c.band AND p.band_key = c.band_key
+     AND p.bkt >= 95 AND c.bkt < 95
+    GROUP BY p.doc_id, c.doc_id
+    HAVING MAX(({_AGREE16})::DOUBLE / {NUM_HASHES}) >= 0.5
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion near-dup: the md5-bucket ≥ 95 slice plays the
+    NEW batch, the rest is the indexed corpus.  Exercises the REAL
+    persisted path — `persist_minhash_index` (band-partitioned, signatures
+    denormalized) then `minhash_lookup` (new side broadcasts; similarity =
+    signature agreement, no corpus text touched)."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    bkt = F.pmod(dedup.md5_hash32(F.col("doc_id").cast("string")), F.lit(100))
+    corpus = d.filter(bkt < 95)
+    new = d.filter(bkt >= 95)
+    idx = tempfile.mkdtemp(prefix="fusionspark-mhidx-")
+    try:
+        dedup.persist_minhash_index(
+            corpus, idx, num_hashes=NUM_HASHES, bands=BANDS
+        )
+        out = dedup.minhash_lookup(
+            spark, new, idx, threshold=0.5,
+            num_hashes=NUM_HASHES, bands=BANDS,
+        )
+        return out.select(
+            "new_id", "corpus_id", F.round("est_sim", 6).alias("est_sim")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

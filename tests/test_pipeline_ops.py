@@ -220,3 +220,29 @@ def test_contamination_holdout_broadcasts(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     plan = _plan(ngram_contamination(d, holdout_pct=5, gram=5))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_incremental_minhash_index_roundtrip(spark, tmp_path):
+    """persist_minhash_index + minhash_lookup: a new doc near-identical to
+    an indexed one is found with high estimated similarity; an unrelated
+    new doc is not; corpus text is never read at lookup time."""
+    from fusionspark.operators.dedup import minhash_lookup, persist_minhash_index
+
+    base = "spark shuffle partition broadcast join window aggregate scan " * 5
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different words about cooking pasta dinner")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mhidx")
+    persist_minhash_index(corpus, idx)
+
+    new = spark.createDataFrame(
+        [(100, base + "extra token"), (101, "unrelated astronomy telescope")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"]): r["est_sim"]
+        for r in minhash_lookup(spark, new, idx, threshold=0.5).collect()
+    }
+    assert (100, 1) in got and got[(100, 1)] >= 0.8
+    assert all(nid != 101 for nid, _ in got)
