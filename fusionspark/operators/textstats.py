@@ -225,3 +225,61 @@ def pii_redact(text: Column | str) -> dict[str, Column]:
         F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
     )
     return {"n_emails": n_emails, "n_ips": n_ips, "redacted": redacted}
+
+
+def repetition_stats_docs(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document word-2-gram repetition inputs (Gopher 'repetitious
+    content'): total/unique 2-gram counts, the most-frequent-2-gram count,
+    and the top/duplicate fractions.
+
+    The statistic is strictly per-document, so it is ONE Arrow-batched map
+    — zero shuffle.  (The equivalent explode → groupBy(doc, gram) →
+    groupBy(doc) plan shuffles every 2-gram occurrence in the corpus twice
+    to compute a per-row number: ~2× corpus word count rows of exchange at
+    100 TB for nothing.)  Counting replays tokenize + word_shingles(n=2)
+    bit-exactly (_py_shingles), so the DuckDB oracle is unchanged."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from fusionspark.operators.dedup import _py_shingles
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("n_grams", LongType()),
+            StructField("n_unique", LongType()),
+            StructField("top_count", LongType()),
+            StructField("top_frac", DoubleType()),
+            StructField("dup_frac", DoubleType()),
+        ]
+    )
+
+    def stats(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    (id_col, "n_grams", "n_unique", "top_count",
+                     "top_frac", "dup_frac")}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                c = Counter(_py_shingles(text, 2))
+                total = sum(c.values())
+                uniq = len(c)
+                top = max(c.values())
+                rows[id_col].append(did)
+                rows["n_grams"].append(total)
+                rows["n_unique"].append(uniq)
+                rows["top_count"].append(top)
+                rows["top_frac"].append(round(top / total, 6))
+                rows["dup_frac"].append(round(1.0 - uniq / total, 6))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(stats, schema=out_schema)

@@ -884,21 +884,11 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition rules (Rae et al. 2021 §A1.1, 'repetitious
     content'): per-document word-2-gram totals, the most-frequent-2-gram
-    fraction, and the duplicate-2-gram fraction.  Two groupBys keyed by
-    (doc, gram) then doc — scales as a pair of hash aggregations."""
-    d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(dedup.word_shingles("text", 2)).alias("gram")
-    )
-    c = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
-    return c.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_grams"),
-        F.count("*").cast("long").alias("n_unique"),
-        F.max("cnt").cast("long").alias("top_count"),
-        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top_frac"),
-        F.round(
-            F.lit(1.0) - F.count("*").cast("double") / F.sum("cnt"), 6
-        ).alias("dup_frac"),
+    fraction, and the duplicate-2-gram fraction — one zero-shuffle Arrow
+    map (operators/textstats.py::repetition_stats_docs; the statistic is
+    per-document, so shuffling gram occurrences would be pure waste)."""
+    return textstats.repetition_stats_docs(
+        load_table(spark, sf_dir, "documents")
     )
 
 

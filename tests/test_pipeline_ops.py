@@ -246,3 +246,21 @@ def test_incremental_minhash_index_roundtrip(spark, tmp_path):
     }
     assert (100, 1) in got and got[(100, 1)] >= 0.8
     assert all(nid != 101 for nid, _ in got)
+
+
+def test_repetition_stats_is_shuffle_free_and_correct(spark, sf_dir):
+    from fusionspark.io import load_table
+    from fusionspark.operators.textstats import repetition_stats_docs
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_stats_docs(df).collect()}
+    # doc 1 2-grams: [a b, b a, a b, b a] → 4 total, 2 unique, top 2
+    assert (got[1]["n_grams"], got[1]["n_unique"], got[1]["top_count"]) == (4, 2, 2)
+    assert got[1]["top_frac"] == 0.5 and got[1]["dup_frac"] == 0.5
+    assert (got[2]["n_grams"], got[2]["n_unique"]) == (2, 2)
+    assert got[2]["dup_frac"] == 0.0
+
+    d = load_table(spark, sf_dir, "documents")
+    assert "Exchange" not in _plan(repetition_stats_docs(d))
