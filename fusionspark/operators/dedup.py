@@ -675,14 +675,24 @@ def ngram_contamination(
     holdout side broadcasts into an equi-join keyed on the shingle →
     per-doc distinct-hit count.  No all-pairs anything; cost is one
     broadcast hash join over the training shingles."""
-    from fusionspark.operators.packing import hash_sample  # cycle-free
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), gram))).alias(
-            "s"
-        ),
-    )
+    schema = StructType([df.schema[id_col], StructField("s", StringType())])
+
+    def emit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sh_out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for s in set(_py_shingles(text, gram)):
+                    ids.append(did)
+                    sh_out.append(s)
+            yield pd.DataFrame({id_col: ids, "s": sh_out})
+
+    # Arrow-batched shingle emitter (the HOF transform expression is
+    # CodegenFallback-interpreted; the Python replay is bit-identical)
+    sh = df.select(id_col, text_col).mapInPandas(emit, schema=schema)
     is_holdout = F.pmod(md5_hash32(F.col(id_col).cast("string")), F.lit(100))
     sh = sh.withColumn("_b", is_holdout)
     holdout_sh = sh.filter(F.col("_b") < holdout_pct).select("s").distinct()
