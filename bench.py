@@ -169,6 +169,7 @@ def bench_queries(spark):
         "domain_mix",
         "contamination_check",
         "dedup_incremental",
+        "corpus_funnel",
     ]
     out = {
         "knn_batch64": knn_batch,

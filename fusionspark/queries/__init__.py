@@ -39,6 +39,7 @@ PRIORITY: list[str] = [
     "hash_sample", "pack_sequences", "pii_redact",
     "repetition_stats", "vocab_coverage",
     "domain_mix", "contamination_check", "dedup_incremental",
+    "corpus_funnel",
     # changed in round 5: ts-column normalization (io.py NTZ handling) —
     # every time-axis query re-attests on the regenerated testdata
     "asof_click_view", "range_error_context", "events_time_rollup",

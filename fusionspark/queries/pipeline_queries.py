@@ -1079,3 +1079,94 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+_SHINGLES2 = (
+    "list_transform(generate_series(1, greatest(len(words) - 1, 1)),"
+    " i -> array_to_string(words[i:i+1], ' '))"
+)
+_GOPHER_PASS_SQL = f"""
+    n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+    AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2
+"""
+
+
+@query(
+    "corpus_funnel",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text, {_WORDS} AS words,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    m AS (
+        SELECT rn,
+            len(words) AS n_words,
+            CASE WHEN len(words) > 0
+                 THEN list_sum(list_transform(words, w -> len(w)))::DOUBLE / len(words)
+                 ELSE 0.0 END AS mwl,
+            CASE WHEN len(words) > 0
+                 THEN ((length(text) - length(replace(text, '#', '')))
+                       + (length(text) - length(replace(text, '...', ''))) / 3
+                      )::DOUBLE / len(words)
+                 ELSE 0.0 END AS sym_ratio,
+            CASE WHEN len(words) > 0
+                 THEN len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+                      / len(words)
+                 ELSE 0.0 END AS alpha_ratio,
+            len(list_intersect(list_distinct(words), {_GOPHER_STOPS_SQL})) AS stop_hits,
+            1.0::DOUBLE - len(list_distinct({_SHINGLES2}))::DOUBLE
+                / len({_SHINGLES2}) AS dup_frac,
+            least(1.0, len(words) / 50.0) * 0.5
+              + least(1.0, CASE WHEN len(words) > 0
+                           THEN len(list_filter(words, t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+                                / len(words) ELSE 0 END * 2) * 0.3
+              + CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                          / length(text) ELSE 0 END * 0.2 AS quality
+        FROM base
+    )
+    SELECT COUNT(*)::BIGINT AS total,
+        SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS after_exact,
+        SUM(CASE WHEN rn = 1 AND ({_GOPHER_PASS_SQL}) THEN 1 ELSE 0 END)::BIGINT AS after_gopher,
+        SUM(CASE WHEN rn = 1 AND ({_GOPHER_PASS_SQL}) AND dup_frac <= 0.9
+                 THEN 1 ELSE 0 END)::BIGINT AS after_repetition,
+        SUM(CASE WHEN rn = 1 AND ({_GOPHER_PASS_SQL}) AND dup_frac <= 0.9
+                  AND quality >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS after_quality
+    FROM m
+    """,
+)
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning-funnel report every corpus pipeline publishes: document
+    counts surviving each cumulative stage — exact dedup (content keeper),
+    Gopher rules, repetition cap, composite quality.  One window (the
+    keeper rank) + one aggregation; every rule is a column expression."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    g = textstats.gopher_metrics("text")
+    grams = dedup.word_shingles("text", 2)
+    dup_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+    )
+    quality = textstats.quality_score("text")
+    keeper = F.col("rn") == 1
+    gopher = g["passes"] == 1
+    low_rep = dup_frac <= 0.9
+    good_q = quality >= 0.5
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .agg(
+            F.count("*").cast("long").alias("total"),
+            cnt(keeper).alias("after_exact"),
+            cnt(keeper & gopher).alias("after_gopher"),
+            cnt(keeper & gopher & low_rep).alias("after_repetition"),
+            cnt(keeper & gopher & low_rep & good_q).alias("after_quality"),
+        )
+    )
