@@ -645,7 +645,9 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if prev_sum is not None and cur_sum == prev_sum:
+        # None = empty propagation table (no edges at all) — already done;
+        # equal sums = fixed point (labels only ever decrease)
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
             break
         prev_sum = cur_sum
     return (

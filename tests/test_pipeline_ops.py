@@ -264,3 +264,17 @@ def test_repetition_stats_is_shuffle_free_and_correct(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     assert "Exchange" not in _plan(repetition_stats_docs(d))
+
+
+def test_connected_components_no_edges_terminates_fast(spark):
+    """Zero edges → the propagation table is empty; the loop must exit on
+    the first round (NULL label sum), not burn max_iter empty jobs."""
+    import time
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    t0 = time.time()
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(edges, nodes).collect()}
+    assert got == {i: i for i in range(5)}  # all singletons
+    assert time.time() - t0 < 30  # 25 empty rounds would take far longer
