@@ -1095,12 +1095,11 @@ _GOPHER_PASS_SQL = f"""
     "corpus_funnel",
     f"""
     WITH base AS (
-        SELECT doc_id, text, {_WORDS} AS words,
-               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        SELECT doc_id, text, {_WORDS} AS words, md5(text) AS ch
         FROM documents
     ),
     m AS (
-        SELECT rn,
+        SELECT ch,
             len(words) AS n_words,
             CASE WHEN len(words) > 0
                  THEN list_sum(list_transform(words, w -> len(w)))::DOUBLE / len(words)
@@ -1125,26 +1124,37 @@ _GOPHER_PASS_SQL = f"""
                      THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
                           / length(text) ELSE 0 END * 0.2 AS quality
         FROM base
+    ),
+    flags AS (
+        SELECT ch,
+            CASE WHEN ({_GOPHER_PASS_SQL}) THEN 1 ELSE 0 END AS g,
+            CASE WHEN dup_frac <= 0.9 THEN 1 ELSE 0 END AS lr,
+            CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS q
+        FROM m
+    ),
+    per_content AS (
+        SELECT ch, COUNT(*) AS copies, MAX(g) AS g, MAX(lr) AS lr, MAX(q) AS q
+        FROM flags GROUP BY ch
     )
-    SELECT COUNT(*)::BIGINT AS total,
-        SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS after_exact,
-        SUM(CASE WHEN rn = 1 AND ({_GOPHER_PASS_SQL}) THEN 1 ELSE 0 END)::BIGINT AS after_gopher,
-        SUM(CASE WHEN rn = 1 AND ({_GOPHER_PASS_SQL}) AND dup_frac <= 0.9
-                 THEN 1 ELSE 0 END)::BIGINT AS after_repetition,
-        SUM(CASE WHEN rn = 1 AND ({_GOPHER_PASS_SQL}) AND dup_frac <= 0.9
-                  AND quality >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS after_quality
-    FROM m
+    SELECT SUM(copies)::BIGINT AS total,
+        COUNT(*)::BIGINT AS after_exact,
+        SUM(g)::BIGINT AS after_gopher,
+        SUM(CASE WHEN g = 1 AND lr = 1 THEN 1 ELSE 0 END)::BIGINT AS after_repetition,
+        SUM(CASE WHEN g = 1 AND lr = 1 AND q = 1 THEN 1 ELSE 0 END)::BIGINT AS after_quality
+    FROM per_content
     """,
 )
 def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cleaning-funnel report every corpus pipeline publishes: document
-    counts surviving each cumulative stage — exact dedup (content keeper),
-    Gopher rules, repetition cap, composite quality.  One window (the
-    keeper rank) + one aggregation; every rule is a column expression."""
-    from pyspark.sql import Window
-
+    counts surviving each cumulative stage — exact dedup, Gopher rules,
+    repetition cap, composite quality.  Exact copies share identical rule
+    outcomes (the rules are pure functions of the text), so the flags are
+    computed ONCE per row, rolled up per content hash (map-side
+    combinable; the shuffle carries 16-byte digests + three ints, never
+    document text), and summed — two hash aggregations, no keeper window,
+    no multi-distinct expand (which would re-evaluate the rule
+    expressions once per distinct column)."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     g = textstats.gopher_metrics("text")
     grams = dedup.word_shingles("text", 2)
     dup_frac = (
@@ -1152,21 +1162,31 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
     )
     quality = textstats.quality_score("text")
-    keeper = F.col("rn") == 1
-    gopher = g["passes"] == 1
-    low_rep = dup_frac <= 0.9
-    good_q = quality >= 0.5
-
-    def cnt(cond):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
-
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .agg(
-            F.count("*").cast("long").alias("total"),
-            cnt(keeper).alias("after_exact"),
-            cnt(keeper & gopher).alias("after_gopher"),
-            cnt(keeper & gopher & low_rep).alias("after_repetition"),
-            cnt(keeper & gopher & low_rep & good_q).alias("after_quality"),
+    flags = d.select(
+        F.md5("text").alias("ch"),
+        (g["passes"] == 1).cast("int").alias("g"),
+        (dup_frac <= 0.9).cast("int").alias("lr"),
+        (quality >= 0.5).cast("int").alias("q"),
+    )
+    per_content = flags.groupBy("ch").agg(
+        F.count("*").alias("copies"),
+        F.max("g").alias("g"),
+        F.max("lr").alias("lr"),
+        F.max("q").alias("q"),
+    )
+    one = F.lit(1)
+    return per_content.agg(
+        F.sum("copies").cast("long").alias("total"),
+        F.count("*").cast("long").alias("after_exact"),
+        F.sum("g").cast("long").alias("after_gopher"),
+        F.sum(F.when((F.col("g") == 1) & (F.col("lr") == 1), one).otherwise(0))
+        .cast("long")
+        .alias("after_repetition"),
+        F.sum(
+            F.when(
+                (F.col("g") == 1) & (F.col("lr") == 1) & (F.col("q") == 1), one
+            ).otherwise(0)
         )
+        .cast("long")
+        .alias("after_quality"),
     )
