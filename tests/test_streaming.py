@@ -214,3 +214,48 @@ def test_route_messages_null_recipient_dead_letters(spark):
            for r in route_messages(msgs, agents).collect()}
     assert got == {("m1", "a2"), ("m2", DEAD_LETTER),
                    ("m3", "a1"), ("m3", "a3")}
+
+
+def test_clean_documents_stream_matches_batch(spark, tmp_path):
+    """Streaming corpus cleaning (quality filter + cross-batch exact dedup)
+    lands exactly the batch result: same kept ids per content, one row per
+    distinct content hash."""
+    from pyspark.sql import Window
+
+    from fusionspark.streaming.pipeline import (
+        clean_documents,
+        clean_documents_stream,
+    )
+
+    rows = []
+    for i in range(40):
+        good = "the data and that have with be to of spark " * 8 + f"tail{i % 10}"
+        bad = "x"
+        rows.append((i, good if i % 3 else bad))
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(2).write.parquet(
+        str(src)
+    )
+    docs = spark.read.parquet(str(src))
+
+    # batch oracle: shared transform + keep one row per content hash
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    batch = (
+        clean_documents(docs)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    want_hashes = {r["content_hash"] for r in batch.collect()}
+    assert want_hashes  # the filter keeps something
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = clean_documents_stream(
+        stream, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert {r["content_hash"] for r in got} == want_hashes
+    assert len(got) == len(want_hashes)  # exactly one row per content
+    assert all(r["quality"] >= 0.5 for r in got)
