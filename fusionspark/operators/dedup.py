@@ -716,13 +716,16 @@ def persist_minhash_index(
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
+    mode: str = "overwrite",
 ) -> None:
     """Persist the corpus's banded MinHash index: one row per (id, band)
     carrying the band_key AND the full signature (denormalized — ~4×16
     longs per doc — so a lookup needs ONE join, no second trip for the
     signature).  Partitioned by band: a probe for band b scans 1/bands of
     the index.  This is the corpus side of continuous-ingestion dedup —
-    built once, appended per ingest batch, never recomputed."""
+    built once with mode='overwrite', then extended per accepted ingest
+    batch with mode='append' (only the batch is signed; the existing
+    index is never recomputed)."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes)
     hcols = [f"h{i}" for i in range(num_hashes)]
@@ -744,7 +747,7 @@ def persist_minhash_index(
             id_col, "sig",
             F.col("bv.band").alias("band"), F.col("bv.band_key").alias("band_key"),
         )
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("band")
         .parquet(path)
     )

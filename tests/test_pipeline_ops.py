@@ -278,3 +278,29 @@ def test_connected_components_no_edges_terminates_fast(spark):
            for r in connected_components(edges, nodes).collect()}
     assert got == {i: i for i in range(5)}  # all singletons
     assert time.time() - t0 < 30  # 25 empty rounds would take far longer
+
+
+def test_incremental_index_appends_new_batches(spark, tmp_path):
+    """mode='append' extends the index with only the new batch signed; a
+    doc matching the appended batch is then found too."""
+    from fusionspark.operators.dedup import minhash_lookup, persist_minhash_index
+
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    b = "one two three four five six seven eight nine ten " * 4
+    idx = str(tmp_path / "idx")
+    persist_minhash_index(
+        spark.createDataFrame([(1, a)], "doc_id long, text string"), idx
+    )
+    persist_minhash_index(
+        spark.createDataFrame([(2, b)], "doc_id long, text string"),
+        idx, mode="append",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lookup(
+            spark,
+            spark.createDataFrame([(10, a), (20, b)], "doc_id long, text string"),
+            idx, threshold=0.5,
+        ).collect()
+    }
+    assert got == {(10, 1), (20, 2)}
