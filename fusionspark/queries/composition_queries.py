@@ -166,3 +166,116 @@ def tpch_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
         F.countDistinct("c_custkey").alias("n_customers"),
     )
+
+
+@query(
+    "tpch_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape — lost-revenue ranking over returned items: the returnflag
+    filter pushes into the lineitem scan, everything but lineitem
+    broadcasts, one agg shuffle on the customer key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_small_qty_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey, 0.2 * AVG(l_quantity) AS lim
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 6) AS avg_yearly,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.lim
+    """,
+)
+def tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape — the correlated scalar subquery (per-part average
+    quantity) rewritten as an aggregate + equi-join, Spark's native form:
+    the per-part limit table is corpus-small and broadcasts.  Quantities
+    are integral doubles, so the AVG is exact and the boundary compare is
+    engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("lim")
+    )
+    return (
+        li.join(F.broadcast(pa), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           ROUND(o.o_totalprice, 6) AS o_totalprice,
+           ROUND(b.total_qty, 6) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape — large-volume orders: the HAVING aggregate shrinks the
+    order set before any join (aggregate-then-join, not join-then-filter);
+    the surviving keys broadcast into orders/customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(F.broadcast(o), big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            F.round("total_qty", 6).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
