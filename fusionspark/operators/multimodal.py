@@ -384,3 +384,117 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select("media_id", "payload", "duration_ms")
         .mapInPandas(run, schema="media_id bigint, frame_ts_ms int, frame_digest string")
     )
+
+
+# ── real WAV codec (stdlib struct — no soundfile needed) ──────────────────
+
+
+def wav_encode(samples: "np.ndarray", rate: int) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM 16-bit mono.  Counterpart test vector
+    generator for wav_decode (like png_encode for png_decode)."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_decode(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Real RIFF/WAVE reader: walks the chunk list, parses fmt (PCM 16-bit
+    mono only — the synth contract), returns (sample_rate, int16 samples).
+    Stdlib-only, mirroring the PNG path's no-dependency rule."""
+    import struct
+
+    data = bytes(payload)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (audio_fmt, n_ch, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"wav_decode supports PCM 16-bit mono, got fmt={audio_fmt} "
+                    f"channels={n_ch} bits={bits}"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+#: synth_wav_media laws (the oracle replays these arithmetically)
+WAV_BASE_SAMPLES = 300
+WAV_MOD_SAMPLES = 100
+
+
+def synth_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL WAV payloads, one per document: sample k of doc d
+    is ((d*13 + 5k) mod 4001) - 2000, n_samples = 300 + d mod 100, rate =
+    8000 + (d mod 3)*4000 — closed-form laws a SQL oracle can replay, so a
+    decode-and-aggregate query certifies the whole codec path."""
+    from fusionspark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = "media_id long, payload binary, mime string, sample_rate int"
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime": [], "sample_rate": []}
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = WAV_BASE_SAMPLES + d % WAV_MOD_SAMPLES
+                rate = 8000 + (d % 3) * 4000
+                k = np.arange(n, dtype=np.int64)
+                s = ((d * 13 + 5 * k) % 4001) - 2000
+                rows["media_id"].append(d)
+                rows["payload"].append(wav_encode(s.astype(np.int16), rate))
+                rows["mime"].append("audio/wav")
+                rows["sample_rate"].append(rate)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(make, schema=out_schema)
+
+
+def wav_feature_stats(media: DataFrame) -> DataFrame:
+    """Decode REAL WAV payloads (wav_decode) and emit audio features:
+    sample count, header rate, peak amplitude, and a position-weighted
+    amplitude checksum that pins every sample to its index."""
+    out_schema = (
+        "media_id long, n_samples long, sample_rate long, "
+        "peak long, amp_checksum long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "n_samples", "sample_rate", "peak",
+                     "amp_checksum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = wav_decode(payload)
+                s64 = s.astype(np.int64)
+                k = np.arange(len(s64), dtype=np.int64)
+                rows["media_id"].append(int(mid))
+                rows["n_samples"].append(len(s64))
+                rows["sample_rate"].append(int(rate))
+                rows["peak"].append(int(np.abs(s64).max()) if len(s64) else 0)
+                rows["amp_checksum"].append(int((s64 * k).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)

@@ -41,6 +41,7 @@ PRIORITY: list[str] = [
     "domain_mix", "contamination_check", "dedup_incremental",
     "corpus_funnel",
     "tpch_returned_items", "tpch_small_qty_revenue", "tpch_large_orders",
+    "wav_features",
     # changed in round 5: ts-column normalization (io.py NTZ handling) —
     # every time-axis query re-attests on the regenerated testdata
     "asof_click_view", "range_error_context", "events_time_rollup",

@@ -117,3 +117,34 @@ def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "media_id", F.length("resized").alias("n_bytes"), "out_width", "out_height"
     )
+
+
+@query(
+    "wav_features",
+    """
+    WITH ks AS (
+        SELECT doc_id,
+               unnest(generate_series(0, 300 + doc_id % 100 - 1)) AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_samples,
+           (8000 + (doc_id % 3) * 4000)::BIGINT AS sample_rate,
+           MAX(ABS(((doc_id * 13 + 5 * k) % 4001) - 2000))::BIGINT AS peak,
+           SUM((((doc_id * 13 + 5 * k) % 4001) - 2000) * k)::BIGINT AS amp_checksum
+    FROM ks GROUP BY doc_id
+    """,
+)
+def wav_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path, oracle-attested: Spark writes deterministic
+    RIFF/WAVE payloads, parses them back with the stdlib chunk walker
+    (multimodal.wav_decode), and aggregates the decoded samples; the
+    oracle replays the closed-form sample law arithmetically.  A hash
+    match certifies the full encode→decode→aggregate audio pipeline, the
+    WAV sibling of `png_features`."""
+    m = MM.synth_wav_media(spark, sf_dir)
+    feats = MM.wav_feature_stats(m)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_samples", "sample_rate", "peak", "amp_checksum",
+    )

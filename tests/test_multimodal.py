@@ -113,3 +113,27 @@ def test_png_features_checksum_detects_pixel_slips(spark):
         v = (mid * 7 + 3 * ks) % 251
         assert r["pix_checksum"] == int(np.dot(v, ks))
         assert r["mean_intensity"] == float(v.sum()) / len(ks)
+
+
+def test_wav_roundtrip_and_rejections(spark):
+    """Real RIFF/WAVE codec: encode→decode is exact; non-WAV bytes and
+    unsupported formats raise instead of mis-decoding."""
+    import numpy as np
+    import pytest
+
+    from fusionspark.operators.multimodal import wav_decode, wav_encode
+
+    s = np.array([0, 1, -1, 32767, -32768, 1234], dtype=np.int16)
+    rate, got = wav_decode(wav_encode(s, 16000))
+    assert rate == 16000 and (got == s).all()
+
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"not a wave file at all........")
+    # stereo stream: honest rejection, not silent garbage
+    import struct
+
+    fmt = struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+    bogus = (b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + fmt
+             + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="mono"):
+        wav_decode(bogus)
