@@ -679,23 +679,48 @@ def ivf_knn_kmeans(
 # ── SRP-LSH (signed-random-projection) bucketed ANN ───────────────────────
 
 
+def md5_planes(n_bits: int, dim: int, seed: int = 42):
+    """Deterministic md5-derived projection planes, bit-identical in Python
+    and DuckDB SQL: plane[b][i] = H32(f"srp:{seed}:{b}:{i}") / 2^31 - 1,
+    where H32 = first 8 hex chars of md5 (the same Carter-Wegman base the
+    MinHash oracle replays, pipeline_queries._H32).  Values are exact IEEE
+    doubles on both sides (a 32-bit int divided by a power of two), so the
+    oracle can replay signatures exactly.  Symmetric-uniform weights serve
+    SRP as well as Gaussians do for bucketing; recall is measured either
+    way (tests/test_dedup_ann.py)."""
+    import hashlib
+
+    import numpy as np
+
+    planes = np.empty((n_bits, dim), dtype=np.float64)
+    for b in range(n_bits):
+        for i in range(dim):
+            h = int(hashlib.md5(f"srp:{seed}:{b}:{i}".encode()).hexdigest()[:8], 16)
+            planes[b, i] = h / 2147483648.0 - 1.0
+    return planes
+
+
 def srp_signatures(
     corpus: DataFrame,
     n_bits: int = 16,
     seed: int = 42,
     vector_col: str = "embedding",
+    planes=None,
 ) -> DataFrame:
     """Append a signed-random-projection signature column `srp_sig`:
     bit b = sign(v · plane_b), planes drawn once from a seeded generator
     and shipped in the task closure — a pure Arrow map, zero shuffle,
     exactly like the IVF assignment.  Nearby (cosine) vectors agree on
-    most bits, so sharing a band of the signature is an LSH bucket."""
+    most bits, so sharing a band of the signature is an LSH bucket.
+    Pass `planes` (e.g. `md5_planes(...)`) for an oracle-replayable
+    derivation; default stays the seeded Gaussian generator."""
     import numpy as np
 
     from pyspark.sql.types import LongType, StructField, StructType
 
     dim = len(corpus.select(vector_col).first()[vector_col])
-    planes = np.random.RandomState(seed).normal(size=(n_bits, dim))
+    if planes is None:
+        planes = np.random.RandomState(seed).normal(size=(n_bits, dim))
 
     out_schema = StructType(
         list(corpus.schema.fields) + [StructField("srp_sig", LongType())]
@@ -742,6 +767,7 @@ def srp_knn(
     vector_col: str = "embedding",
     probe_id_col: str = "probe_id",
     probe_vector_col: str = "probe_embedding",
+    planes=None,
 ) -> DataFrame:
     """LSH-bucketed approximate k-NN: candidates are corpus rows sharing at
     least one signature band with the probe (banding amplifies recall like
@@ -749,12 +775,14 @@ def srp_knn(
     side is signature map → explode(bands) → broadcast-join with the tiny
     probe band table; no all-pairs, no corpus shuffle before the final
     (probe_id, id, sim) top-k exchange.  Complements IVF: no codebook to
-    build/maintain, recall governed by (n_bits, bands)."""
+    build/maintain, recall governed by (n_bits, bands).  `planes` as in
+    `srp_signatures` (md5-derived planes make the whole pipeline
+    DuckDB-replayable)."""
     import numpy as np
 
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-    signed = srp_signatures(corpus, n_bits, seed, vector_col)
+    signed = srp_signatures(corpus, n_bits, seed, vector_col, planes=planes)
     c_bands = signed.select(
         "*", F.explode(F.array(*_sig_bands(F.col("srp_sig"), n_bits, bands))).alias("_bv")
     ).select(
@@ -764,7 +792,8 @@ def srp_knn(
     # probe signatures on the driver (probes are tiny; same seeded planes)
     prows = probes.collect()
     dim = len(prows[0][probe_vector_col])
-    planes = np.random.RandomState(seed).normal(size=(n_bits, dim))
+    if planes is None:
+        planes = np.random.RandomState(seed).normal(size=(n_bits, dim))
     base, rem = divmod(n_bits, bands)
     recs = []
     for pr in prows:

@@ -564,17 +564,68 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_srp")
+# SRP oracle: the md5-derived planes (ann.md5_planes) are exact IEEE doubles
+# on both sides — a 32-bit H32 divided by 2^31 minus 1 — so DuckDB can replay
+# signature bits, band keys, and the exact cosine re-rank bit-for-bit.
+# n_bits=16, bands=8 → band b = bits [2b, 2b+1], band_val = bit0 + 2*bit1
+# (matches ann._sig_bands shiftright/mask layout).
+ANN_SRP_ORACLE = f"""
+    WITH planes AS (
+        SELECT b, i,
+               {_H32.format(expr="'srp:42:' || b::VARCHAR || ':' || i::VARCHAR")}
+                   / 2147483648.0 - 1.0 AS w
+        FROM range(16) tb(b) CROSS JOIN range(64) ti(i)
+    ),
+    sigbits AS (
+        SELECT e.vec_id, p.b,
+               CASE WHEN SUM(e.embedding[p.i + 1]::DOUBLE * p.w) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id, p.b
+    ),
+    bands AS (
+        SELECT vec_id, (b // 2)::INT AS band,
+               SUM(bit << (b % 2))::BIGINT AS band_val
+        FROM sigbits GROUP BY vec_id, b // 2
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, embedding AS probe_embedding
+        FROM embeddings ORDER BY vec_id ASC LIMIT 5
+    ),
+    probe_bands AS (
+        SELECT p.probe_id, bd.band, bd.band_val
+        FROM probes p JOIN bands bd ON bd.vec_id = p.probe_id
+    ),
+    cands AS (
+        SELECT DISTINCT pb.probe_id, bd.vec_id
+        FROM probe_bands pb
+        JOIN bands bd ON pb.band = bd.band AND pb.band_val = bd.band_val
+    )
+    SELECT probe_id, vec_id, ROUND(sim, 6) AS sim, rnk FROM (
+        SELECT c.probe_id, c.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], p.probe_embedding::DOUBLE[]) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY c.probe_id ORDER BY
+                   list_cosine_similarity(e.embedding::DOUBLE[], p.probe_embedding::DOUBLE[]) DESC,
+                   c.vec_id ASC) AS rnk
+        FROM cands c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN probes p ON p.probe_id = c.probe_id
+    ) WHERE rnk <= 10
+    """
+
+
+@query("ann_srp", ANN_SRP_ORACLE)
 def ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate k-NN (signed random projections, banded
-    like MinHash; operators/ann.py::srp_knn).  Rows-only check: the seeded
-    projection planes are not SQL-replicable; recall vs brute force is
-    pytest-asserted (test_dedup_ann.py::test_srp_lsh_recall)."""
-    from fusionspark.operators.ann import srp_knn
+    like MinHash; operators/ann.py::srp_knn).  Planes are md5-derived
+    (ann.md5_planes) so the full pipeline — signature bits, band buckets,
+    exact cosine re-rank — replays in DuckDB; recall vs brute force is
+    additionally pytest-asserted (test_dedup_ann.py::test_srp_lsh_recall)."""
+    from fusionspark.operators.ann import md5_planes, srp_knn
 
     e = load_table(spark, sf_dir, "embeddings")
     probes = self_probes(e, 5)
-    df = srp_knn(e, probes, k=10, n_bits=16, bands=8)
+    df = srp_knn(e, probes, k=10, n_bits=16, bands=8, planes=md5_planes(16, 64))
     return df.select(
         "probe_id", "vec_id", F.round("sim", 6).alias("sim"),
         F.col("rnk").cast("long").alias("rnk"),
