@@ -1205,20 +1205,50 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text), and summed — two hash aggregations, no keeper window,
     no multi-distinct expand (which would re-evaluate the rule
     expressions once per distinct column)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from fusionspark.operators.dedup import _py_shingles
+
     d = load_table(spark, sf_dir, "documents")
     g = textstats.gopher_metrics("text")
-    grams = dedup.word_shingles("text", 2)
-    dup_frac = (
-        F.lit(1.0)
-        - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
-    )
     quality = textstats.quality_score("text")
-    flags = d.select(
+    # Gopher + quality flags stay JVM-side column expressions; the 2-gram
+    # repetition flag is ONE Arrow-batched map (Counter over _py_shingles,
+    # the same kernel as textstats.repetition_stats_docs) — the nested
+    # transform(sequence(...)) shingle HOF is CodegenFallback-interpreted
+    # and was the whole cost of this query (4.1s → sub-second at sf0.1).
+    flags_in = d.select(
         F.md5("text").alias("ch"),
         (g["passes"] == 1).cast("int").alias("g"),
-        (dup_frac <= 0.9).cast("int").alias("lr"),
         (quality >= 0.5).cast("int").alias("q"),
+        "text",
     )
+    out_schema = StructType(
+        [
+            StructField("ch", StringType()),
+            StructField("g", IntegerType()),
+            StructField("lr", IntegerType()),
+            StructField("q", IntegerType()),
+        ]
+    )
+
+    def add_repetition_flag(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            lr = []
+            for text in pdf["text"]:
+                c = Counter(_py_shingles(text, 2))
+                total = sum(c.values())
+                dup = 1.0 - len(c) / total if total else 0.0
+                lr.append(1 if dup <= 0.9 else 0)
+            yield pd.DataFrame(
+                {"ch": pdf["ch"], "g": pdf["g"], "lr": lr, "q": pdf["q"]}
+            )
+
+    flags = flags_in.mapInPandas(add_repetition_flag, schema=out_schema)
     per_content = flags.groupBy("ch").agg(
         F.count("*").alias("copies"),
         F.max("g").alias("g"),
