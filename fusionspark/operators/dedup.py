@@ -352,14 +352,18 @@ def simhash_bands(
     max_hamming: int,
     id_col: str = "doc_id",
     hash_col: str = "simhash",
+    n_bits: int = 32,
 ) -> DataFrame:
-    """(id, simhash, band, band_val) — the 32 bits split into max_hamming+1
-    contiguous bands.  Pigeonhole: a pair with ≤ r differing bits cannot
-    differ in all r+1 bands, so every true near-dup pair shares at least
-    one (band, band_val) key — the equi-join on that key is the blocking
-    that replaces the O(N²) all-pairs join."""
+    """(id, simhash, band, band_val) — the n_bits bits split into
+    max_hamming+1 contiguous bands.  Pigeonhole: a pair with ≤ r differing
+    bits cannot differ in all r+1 bands, so every true near-dup pair shares
+    at least one (band, band_val) key — the equi-join on that key is the
+    blocking that replaces the O(N²) all-pairs join.  Works for any width
+    up to 64: shiftright is arithmetic on LongType, but the mask keeps
+    exactly bits [lo, lo+width) so sign-extension never leaks into a
+    band value (same convention as the DuckDB `>>`+mask replay)."""
     n_bands = max_hamming + 1
-    base, rem = divmod(32, n_bands)
+    base, rem = divmod(n_bits, n_bands)
     entries, lo = [], 0
     for b in range(n_bands):
         width = base + (1 if b < rem else 0)

@@ -298,6 +298,81 @@ def png_feature_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def phash_py(plane: np.ndarray) -> int:
+    """64-bit block-mean perceptual hash of a (h, w) uint8 plane: 8×8 grid
+    of block sums, bit (r*8+c) set iff its block mean exceeds the global
+    mean.  All-integer compare (block_sum · n_px > total_sum · block_px) so
+    the value is exact — bit-replayable in SQL from a closed-form pixel
+    law.  Block edges are i·h//8 (uniform when 8 | h, w — e.g. the 24×16
+    synth planes give 3×2 blocks).  Returned wrapped to signed int64 (bit
+    63 → negative) to match Spark LongType / DuckDB BIGINT semantics."""
+    p = np.asarray(plane, dtype=np.int64)
+    h, w = p.shape
+    total = int(p.sum())
+    n_px = h * w
+    val = 0
+    for r in range(8):
+        y0, y1 = r * h // 8, (r + 1) * h // 8
+        for c in range(8):
+            x0, x1 = c * w // 8, (c + 1) * w // 8
+            bs = int(p[y0:y1, x0:x1].sum())
+            bpx = (y1 - y0) * (x1 - x0)
+            if bs * n_px > total * bpx:
+                val |= 1 << (r * 8 + c)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def phash64(media: DataFrame) -> DataFrame:
+    """(media_id, phash): decode REAL payloads (decode_real) and compute the
+    64-bit block-mean perceptual hash — one Arrow-batched map, zero
+    shuffle, the image sibling of the text SimHash signature map."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "phash": []}
+            for mid, payload, mime in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
+                out["media_id"].append(mid)
+                out["phash"].append(phash_py(decode_real(payload, mime)))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload", "mime").mapInPandas(
+        run, schema="media_id bigint, phash bigint"
+    )
+
+
+def phash_neardup(media: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Image-level near-dup: pHash signatures → SimHash-style prefix-band
+    blocking (complete by pigeonhole for ≤ max_hamming differing bits) →
+    exact bit_count(xor) verify.  Candidates only ever meet inside a shared
+    (band, band_val) bucket — never an all-pairs join — so the plan is the
+    100 TB shape: decode+hash is a per-row map, the only shuffle keys are
+    the tiny band buckets and the final pair distinct."""
+    from fusionspark.operators.dedup import simhash_bands
+
+    ph = phash64(media)
+    be = simhash_bands(
+        ph, max_hamming, id_col="media_id", hash_col="phash", n_bits=64
+    )
+    a, b = be.alias("a"), be.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def image_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     """Decode (stub) → per-image features: mean/std intensity + an 8×8
     average-hash.  One Arrow batch per task; payloads never leave the JVM

@@ -96,6 +96,57 @@ def png_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pHash oracle: replay the closed-form pixel law (plane[k] = (doc_id·7+3k)
+# mod 251, 24×16), the 8×8 block-mean hash (all-integer compare bs·64 >
+# total), and an EXACT all-pairs xor verify — valid because the Spark side's
+# prefix-band blocking is pigeonhole-complete for ≤ max_hamming differing
+# bits, so banded candidates ∩ (hamming ≤ r) ≡ the all-pairs result.  Bit 63
+# accumulates in HUGEINT then wraps to signed BIGINT (DuckDB 1<<63 overflows;
+# Spark LongType wraps the same way in multimodal.phash_py).
+PHASH_NEARDUP_ORACLE = f"""
+    WITH pix AS (
+        SELECT doc_id AS media_id, k.k AS k, ((doc_id * 7 + 3 * k.k) % 251) AS v
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, {MM.PNG_W * MM.PNG_H - 1})) AS k) k
+    ),
+    blocks AS (
+        SELECT media_id, ((k // {MM.PNG_W}) // 2) * 8 + ((k % {MM.PNG_W}) // 3) AS bit,
+               SUM(v)::BIGINT AS bs
+        FROM pix GROUP BY media_id, ((k // {MM.PNG_W}) // 2) * 8 + ((k % {MM.PNG_W}) // 3)
+    ),
+    tot AS (SELECT media_id, SUM(bs)::BIGINT AS total FROM blocks GROUP BY media_id),
+    raw AS (
+        SELECT b.media_id,
+               SUM(CASE WHEN b.bs * 64 > t.total
+                        THEN (1::HUGEINT << b.bit) ELSE 0::HUGEINT END) AS s
+        FROM blocks b JOIN tot t ON b.media_id = t.media_id
+        GROUP BY b.media_id
+    ),
+    ph AS (
+        SELECT media_id,
+               (CASE WHEN s >= 9223372036854775808::HUGEINT
+                     THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT AS phash
+        FROM raw
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.phash, b.phash))::INT AS hamming
+    FROM ph a JOIN ph b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 4
+    """
+
+
+@query("phash_neardup", PHASH_NEARDUP_ORACLE)
+def phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level near-dup on the REAL PNG decode path: encode → inflate →
+    unfilter → 64-bit block-mean pHash → prefix-band blocking → exact
+    hamming verify (multimodal.phash_neardup).  The missing multimodal
+    member of the dedup family: same banded plan shape as text SimHash
+    (dedup.simhash_neardup), image payloads never shuffle — only (media_id,
+    phash, band, band_val) rows do."""
+    m = MM.synth_png_media(spark, sf_dir)
+    return MM.phash_neardup(m, max_hamming=4)
+
+
 @query("image_features")
 def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode(stub) → features; rows-only (codec output isn't SQL)."""

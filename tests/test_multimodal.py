@@ -137,3 +137,62 @@ def test_wav_roundtrip_and_rejections(spark):
              + b"data" + struct.pack("<I", 0))
     with pytest.raises(ValueError, match="mono"):
         wav_decode(bogus)
+
+
+def test_phash_py_known_values():
+    """Block-mean pHash on hand-built 8×8 planes (1-pixel blocks): uniform
+    plane → 0; a single bright pixel sets exactly its block's bit; bit 63
+    wraps to a negative int64 (the Spark LongType / DuckDB BIGINT value)."""
+    import numpy as np
+
+    from fusionspark.operators.multimodal import phash_py
+
+    assert phash_py(np.full((8, 8), 5, dtype=np.uint8)) == 0
+
+    p = np.zeros((8, 8), dtype=np.uint8)
+    p[0, 0] = 255
+    assert phash_py(p) == 1  # bit 0 = block (0,0)
+
+    p = np.zeros((8, 8), dtype=np.uint8)
+    p[7, 7] = 255
+    assert phash_py(p) == -(1 << 63)  # bit 63, wrapped to signed
+
+    # non-8-divisible plane still works (integer block edges)
+    p = np.zeros((10, 12), dtype=np.uint8)
+    p[0, 0] = 200
+    assert phash_py(p) == 1
+
+
+def test_phash_neardup_matches_bruteforce(spark):
+    """Band blocking is COMPLETE for hamming ≤ r (pigeonhole): the banded
+    result must equal the all-pairs brute force over the same signatures."""
+    m = MM.synth_png_media(spark, "/root/testdata/sf0.001")
+    sigs = {r["media_id"]: r["phash"] for r in MM.phash64(m).collect()}
+    r = 4
+    ids = sorted(sigs)
+    expect = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= r
+    }
+    got = {
+        (x["id_a"], x["id_b"], x["hamming"])
+        for x in MM.phash_neardup(m, max_hamming=r).collect()
+    }
+    assert got == expect and expect  # non-trivial: some pairs must exist
+
+
+def test_phash_neardup_plan_is_banded(spark):
+    """The candidate join must be the banded equi-join — never a cartesian
+    / broadcast-nested-loop pair explosion."""
+    import contextlib
+    import io as _io
+
+    m = MM.synth_png_media(spark, "/root/testdata/sf0.001")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        MM.phash_neardup(m, max_hamming=4).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
