@@ -143,11 +143,12 @@ def gopher_metrics(text: Column | str) -> dict[str, Column]:
     * symbol_ratio — ('#' + '...') occurrences per word, ≤ 0.1
     * alpha_word_ratio — fraction of words with ≥ 1 alphabetic char, ≥ 0.8
     * n_stop_hits — distinct GOPHER_STOPS present, ≥ 2
+    * bullet_line_frac — lines starting with a bullet ('-', '*', '•'), ≤ 0.9
+    * ellipsis_line_frac — lines ending with '...', ≤ 0.3
 
-    The line-based rules (bullet-start / ellipsis-end fractions) are
-    omitted: the driver corpus is single-line, so they are identically
-    zero; add them as `split(text, '\\n')` aggregates when real documents
-    carry line structure."""
+    The line rules are identically zero on single-line corpora (split
+    yields one line) and bite on real multi-line documents — attested on a
+    synthetic multi-line corpus by the `gopher_lines` query."""
     text = F.col(text) if isinstance(text, str) else text
     toks = tokenize(text)
     n_words = F.size(toks)
@@ -170,12 +171,24 @@ def gopher_metrics(text: Column | str) -> dict[str, Column]:
     ).otherwise(F.lit(0.0))
     stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
     n_stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stops))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike("^[-*•] ")))
+    n_ell_end = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    bullet_line_frac = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    ellipsis_line_frac = F.when(
+        n_lines > 0, n_ell_end.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
     passes = (
         n_words.between(50, 100_000)
         & mean_word_len.between(3.0, 10.0)
         & (symbol_ratio <= 0.1)
         & (alpha_word_ratio >= 0.8)
         & (n_stop_hits >= 2)
+        & (bullet_line_frac <= 0.9)
+        & (ellipsis_line_frac <= 0.3)
     )
     return {
         "n_words": n_words,
@@ -183,6 +196,8 @@ def gopher_metrics(text: Column | str) -> dict[str, Column]:
         "symbol_ratio": symbol_ratio,
         "alpha_word_ratio": alpha_word_ratio,
         "n_stop_hits": n_stop_hits,
+        "bullet_line_frac": bullet_line_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
         "passes": passes.cast("int"),
     }
 

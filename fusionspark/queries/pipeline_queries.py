@@ -723,6 +723,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in textstats.GOPHER_STOPS) + "]"
 
+# Gopher line rules (bullet-start / ellipsis-end fractions), DuckDB side —
+# mirrors textstats.gopher_metrics (split on \n; one line minimum).
+_LINE_FRACS_SQL = """
+               len(list_filter(string_split(text, chr(10)),
+                               l -> regexp_matches(l, '^[-*•] ')))::DOUBLE
+                   / len(string_split(text, chr(10))) AS bullet_frac,
+               len(list_filter(string_split(text, chr(10)),
+                               l -> ends_with(l, '...')))::DOUBLE
+                   / len(string_split(text, chr(10))) AS ell_frac
+"""
+
 
 @query(
     "gopher_quality",
@@ -746,7 +757,8 @@ _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in textstats.GOPHER_STOPS) + 
                     THEN len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
                          / len(words)
                     ELSE 0.0 END AS alpha_ratio,
-               len(list_intersect(list_distinct(words), {_GOPHER_STOPS_SQL})) AS stop_hits
+               len(list_intersect(list_distinct(words), {_GOPHER_STOPS_SQL})) AS stop_hits,
+               {_LINE_FRACS_SQL}
         FROM t
     )
     SELECT doc_id,
@@ -755,11 +767,15 @@ _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in textstats.GOPHER_STOPS) + 
            ROUND(sym_ratio, 6) AS symbol_ratio,
            ROUND(alpha_ratio, 6) AS alpha_word_ratio,
            stop_hits::BIGINT AS n_stop_hits,
+           ROUND(bullet_frac, 6) AS bullet_line_frac,
+           ROUND(ell_frac, 6) AS ellipsis_line_frac,
            CASE WHEN n_words BETWEEN 50 AND 100000
                  AND mwl BETWEEN 3.0 AND 10.0
                  AND sym_ratio <= 0.1
                  AND alpha_ratio >= 0.8
                  AND stop_hits >= 2
+                 AND bullet_frac <= 0.9
+                 AND ell_frac <= 0.3
                 THEN 1 ELSE 0 END AS passes
     FROM m
     """,
@@ -767,7 +783,8 @@ _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in textstats.GOPHER_STOPS) + 
 def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher corpus-quality rules (Rae et al. 2021 §A1.1) per document:
     word-count / mean-word-length bounds, symbol ratio, alphabetic-word
-    ratio, stop-word probe — expression-only (operators/textstats.py)."""
+    ratio, stop-word probe, bullet-start / ellipsis-end line fractions —
+    expression-only (operators/textstats.py)."""
     d = load_table(spark, sf_dir, "documents")
     g = textstats.gopher_metrics("text")
     return d.select(
@@ -777,7 +794,83 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(g["symbol_ratio"], 6).alias("symbol_ratio"),
         F.round(g["alpha_word_ratio"], 6).alias("alpha_word_ratio"),
         g["n_stop_hits"].cast("long").alias("n_stop_hits"),
+        F.round(g["bullet_line_frac"], 6).alias("bullet_line_frac"),
+        F.round(g["ellipsis_line_frac"], 6).alias("ellipsis_line_frac"),
         g["passes"].alias("passes"),
+    )
+
+
+# Multi-line synthetic corpus for the line rules: doc text re-lined into
+# 8-word chunks; line j bulleted when (doc_id+j) % 3 = 0, ellipsis-ended
+# when (doc_id+j) % 4 = 0 — deterministic on both engines, fractions land
+# around 1/3 and 1/4 so both thresholds (0.9 / 0.3) actually bite.
+_LINE_CORPUS_SQL = f"""
+    line_corpus AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(
+                       generate_series(0, cast(ceil(len(words) / 8.0) AS INT) - 1),
+                       j -> (CASE WHEN (doc_id + j) % 3 = 0 THEN '- ' ELSE '' END)
+                            || array_to_string(words[8*j+1:8*j+8], ' ')
+                            || (CASE WHEN (doc_id + j) % 4 = 0 THEN '...' ELSE '' END)),
+                   chr(10)) AS text
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+        WHERE len(words) > 0
+    )
+"""
+
+
+@query(
+    "gopher_lines",
+    f"""
+    WITH {_LINE_CORPUS_SQL.strip()},
+    m AS (
+        SELECT doc_id,
+               len(string_split(text, chr(10)))::BIGINT AS n_lines,
+               {_LINE_FRACS_SQL}
+        FROM line_corpus
+    )
+    SELECT doc_id, n_lines,
+           ROUND(bullet_frac, 6) AS bullet_line_frac,
+           ROUND(ell_frac, 6) AS ellipsis_line_frac,
+           CASE WHEN bullet_frac <= 0.9 AND ell_frac <= 0.3
+                THEN 1 ELSE 0 END AS line_pass
+    FROM m
+    """,
+)
+def gopher_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher LINE rules (Rae et al. 2021 §A1.1: ≤90% bullet-start lines,
+    ≤30% ellipsis-end lines) exercised on a deterministic multi-line
+    re-lining of the corpus (the driver documents are single-line, where
+    the fractions are identically zero).  The corpus synthesis is test
+    scaffolding; the metrics themselves are the same pure column
+    expressions gopher_quality ships (textstats.gopher_metrics)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    j_to_line = lambda j: F.concat(  # noqa: E731
+        F.when((F.col("doc_id") + j) % 3 == 0, F.lit("- ")).otherwise(F.lit("")),
+        F.array_join(F.slice(toks, j * 8 + 1, 8), " "),
+        F.when((F.col("doc_id") + j) % 4 == 0, F.lit("...")).otherwise(F.lit("")),
+    )
+    lined = (
+        d.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), n_chunks - 1), j_to_line), "\n"
+            ).alias("text"),
+        )
+    )
+    g = textstats.gopher_metrics("text")
+    return lined.select(
+        "doc_id",
+        F.size(F.split("text", "\n")).cast("long").alias("n_lines"),
+        F.round(g["bullet_line_frac"], 6).alias("bullet_line_frac"),
+        F.round(g["ellipsis_line_frac"], 6).alias("ellipsis_line_frac"),
+        (
+            (g["bullet_line_frac"] <= 0.9) & (g["ellipsis_line_frac"] <= 0.3)
+        ).cast("int").alias("line_pass"),
     )
 
 
@@ -1139,6 +1232,7 @@ _SHINGLES2 = (
 _GOPHER_PASS_SQL = f"""
     n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
     AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2
+    AND bullet_frac <= 0.9 AND ell_frac <= 0.3
 """
 
 
@@ -1165,6 +1259,7 @@ _GOPHER_PASS_SQL = f"""
                       / len(words)
                  ELSE 0.0 END AS alpha_ratio,
             len(list_intersect(list_distinct(words), {_GOPHER_STOPS_SQL})) AS stop_hits,
+            {_LINE_FRACS_SQL},
             1.0::DOUBLE - len(list_distinct({_SHINGLES2}))::DOUBLE
                 / len({_SHINGLES2}) AS dup_frac,
             least(1.0, len(words) / 50.0) * 0.5

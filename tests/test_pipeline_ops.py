@@ -304,3 +304,31 @@ def test_incremental_index_appends_new_batches(spark, tmp_path):
         ).collect()
     }
     assert got == {(10, 1), (20, 2)}
+
+
+def test_gopher_line_rules(spark):
+    """Bullet-start / ellipsis-end line fractions (Rae et al. §A1.1): known
+    multi-line docs produce exact fractions, and the pass flag rejects
+    bullet-walls (>90%) and ellipsis-heavy docs (>30%)."""
+    from fusionspark.operators.textstats import gopher_metrics
+
+    docs = [
+        (1, "- a\n- b\n- c\n- d"),              # 100% bullets -> fail
+        (2, "x...\ny...\nplain\nalso plain"),   # 50% ellipsis -> fail
+        (3, "- one\ntwo\nthree...\nfour"),      # 25% each -> line rules ok
+        (4, "single line no structure"),        # 0 / 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    g = gopher_metrics("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            g["bullet_line_frac"].alias("bf"),
+            g["ellipsis_line_frac"].alias("ef"),
+        ).collect()
+    }
+    assert rows[1]["bf"] == 1.0 and rows[1]["ef"] == 0.0
+    assert rows[2]["bf"] == 0.0 and rows[2]["ef"] == 0.5
+    assert rows[3]["bf"] == 0.25 and rows[3]["ef"] == 0.25
+    assert rows[4]["bf"] == 0.0 and rows[4]["ef"] == 0.0
