@@ -766,6 +766,8 @@ def minhash_lookup(
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
+    verify: str = "estimate",
+    corpus_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: match a NEW batch against the persisted corpus
     index without touching corpus text.  The new batch's banded signatures
@@ -773,7 +775,14 @@ def minhash_lookup(
     (band, band_key) — the corpus side never shuffles — and similarity is
     the MinHash estimate itself: the fraction of agreeing signature
     components (E[agreement] = Jaccard), so no text verify pass is needed
-    at lookup time.  Returns (new_id, corpus_id, est_sim ≥ threshold)."""
+    at lookup time.  Returns (new_id, corpus_id, est_sim ≥ threshold).
+
+    The estimate has σ ≈ sqrt(J(1-J)/k) (~0.125 at k=16 near J=0.5), so a
+    near-threshold pair can land on the wrong side.  `verify='jaccard'`
+    re-checks candidates against TRUE word-set Jaccard, fetching text for
+    the candidate ids only (tiny by LSH design — a broadcast semi-join
+    prunes the `corpus_df` scan; corpus text still never shuffles).
+    Returns (new_id, corpus_id, sim ≥ threshold) with exact sims."""
     rows = num_hashes // bands
     sig = minhash_signatures(new_df, id_col, text_col, num_hashes)
     hcols = [f"h{i}" for i in range(num_hashes)]
@@ -801,6 +810,38 @@ def minhash_lookup(
         )
     )
     index = spark.read.parquet(index_path)
+    if verify == "jaccard":
+        if corpus_df is None:
+            raise ValueError("verify='jaccard' needs corpus_df (the text source)")
+        cands = (
+            index.join(F.broadcast(probe), ["band", "band_key"])
+            .select("new_id", F.col(id_col).alias("corpus_id"))
+            .distinct()
+        )
+        new_words = new_df.select(
+            F.col(id_col).alias("new_id"),
+            F.array_distinct(tokenize(F.col(text_col))).alias("wa"),
+        )
+        corp_words = (
+            corpus_df.join(
+                F.broadcast(cands.select("corpus_id").distinct()),
+                corpus_df[id_col] == F.col("corpus_id"),
+                "left_semi",
+            )
+            .select(
+                F.col(id_col).alias("corpus_id"),
+                F.array_distinct(tokenize(F.col(text_col))).alias("wb"),
+            )
+        )
+        return (
+            cands.join(F.broadcast(new_words), "new_id")
+            .join(corp_words, "corpus_id")
+            .withColumn("sim", jaccard(F.col("wa"), F.col("wb")))
+            .filter(F.col("sim") >= threshold)
+            .select("new_id", "corpus_id", "sim")
+        )
+    if verify != "estimate":
+        raise ValueError(f"unknown verify mode {verify!r}")
     agree = F.size(
         F.filter(
             F.zip_with("new_sig", "sig", lambda a, b: a.eqNullSafe(b)),

@@ -5,6 +5,7 @@ tests pin the operator semantics directly."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from fusionspark.operators.dedup import connected_components
@@ -332,3 +333,45 @@ def test_gopher_line_rules(spark):
     assert rows[2]["bf"] == 0.0 and rows[2]["ef"] == 0.5
     assert rows[3]["bf"] == 0.25 and rows[3]["ef"] == 0.25
     assert rows[4]["bf"] == 0.0 and rows[4]["ef"] == 0.0
+
+
+def test_minhash_lookup_jaccard_verify_catches_estimate_divergence(spark, tmp_path):
+    """k=16 signature agreement has σ≈0.125 — a near-threshold pair can land
+    on the wrong side of the cut.  verify='jaccard' must return the TRUE
+    word-set Jaccard; with the threshold set between estimate and truth the
+    two modes must disagree on the pair, and the jaccard mode must be the
+    exact one."""
+    from fusionspark.operators.dedup import minhash_lookup, persist_minhash_index
+
+    words = [f"w{i:02d}" for i in range(40)]
+    text_a = " ".join(words)                 # corpus doc: all 40 words
+    text_b = " ".join(words[:38])            # new doc: 38 of them, J = 0.95
+    corpus = spark.createDataFrame([(1, text_a)], "doc_id long, text string")
+    idx = str(tmp_path / "jidx")
+    persist_minhash_index(corpus, idx)
+    new = spark.createDataFrame([(10, text_b)], "doc_id long, text string")
+
+    est_rows = minhash_lookup(spark, new, idx, threshold=0.0).collect()
+    assert est_rows, "pair must survive LSH banding to be a candidate"
+    est = est_rows[0]["est_sim"]
+    true_j = 38 / 40
+    assert est != true_j  # est is a multiple of 1/16; 0.8 is not
+
+    jac_rows = minhash_lookup(
+        spark, new, idx, threshold=0.0, verify="jaccard", corpus_df=corpus
+    ).collect()
+    assert len(jac_rows) == 1 and abs(jac_rows[0]["sim"] - true_j) < 1e-12
+
+    # a threshold between the two values: exactly one mode keeps the pair
+    cut = (est + true_j) / 2
+    kept_est = bool(minhash_lookup(spark, new, idx, threshold=cut).collect())
+    kept_jac = bool(
+        minhash_lookup(
+            spark, new, idx, threshold=cut, verify="jaccard", corpus_df=corpus
+        ).collect()
+    )
+    assert kept_est != kept_jac
+    assert kept_jac == (true_j >= cut)
+
+    with pytest.raises(ValueError, match="corpus_df"):
+        minhash_lookup(spark, new, idx, verify="jaccard")
