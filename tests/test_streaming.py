@@ -259,3 +259,76 @@ def test_clean_documents_stream_matches_batch(spark, tmp_path):
     assert {r["content_hash"] for r in got} == want_hashes
     assert len(got) == len(want_hashes)  # exactly one row per content
     assert all(r["quality"] >= 0.5 for r in got)
+
+
+def test_clean_stream_neardup_matches_batch_incremental(spark, tmp_path):
+    """Streaming near-dup cleaning == the batch incremental-dedup primitives
+    (persist_minhash_index + minhash_lookup + append) replayed over the same
+    splits: same accepted ids, and the index ends up holding exactly the
+    seed corpus + accepted docs."""
+    from fusionspark.operators.dedup import minhash_lookup, persist_minhash_index
+    from fusionspark.streaming.pipeline import (
+        clean_documents,
+        clean_documents_stream_neardup,
+    )
+
+    def doc(i: int, vocab: str) -> str:
+        # passes the 0.5 quality floor: 54 words, stopwords, alphabetic
+        return "the of and to " + " ".join(f"{vocab}w{j}" for j in range(50))
+
+    seeds = [(i, doc(i, f"seed{i}")) for i in range(3)]
+    # split A: near-dup of seed0 (reject), fresh (accept)
+    split_a = [(10, seeds[0][1] + " extratoken"), (11, doc(11, "freshA"))]
+    # split B: near-dup of seed1 (reject), fresh (accept), exact within-batch
+    # dup of that fresh doc (exact-dedup keeps min id 21)
+    split_b = [(20, seeds[1][1] + " othertail"), (21, doc(21, "freshB")),
+               (22, doc(21, "freshB"))]
+
+    corpus = spark.createDataFrame(seeds, "doc_id long, text string")
+    idx = str(tmp_path / "ndidx")
+    persist_minhash_index(corpus, idx)
+
+    src = tmp_path / "ndsrc"
+    for split in (split_a, split_b):
+        spark.createDataFrame(split, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    # batch replay with the same primitives over the same splits
+    idx2 = str(tmp_path / "ndidx2")
+    persist_minhash_index(corpus, idx2)
+    expect_accepted: set[int] = set()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    for split in (split_a, split_b):
+        batch = spark.createDataFrame(split, "doc_id long, text string")
+        uniq = (
+            clean_documents(batch)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        hits = {r["new_id"] for r in minhash_lookup(
+            spark, uniq, idx2, threshold=0.5).collect()}
+        accepted = uniq.filter(~F.col("doc_id").isin(list(hits) or [-1]))
+        accepted = accepted.localCheckpoint(eager=True)
+        persist_minhash_index(accepted, idx2, mode="append")
+        expect_accepted |= {r["doc_id"] for r in accepted.collect()}
+    assert expect_accepted == {11, 21}  # sanity of the scenario itself
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = clean_documents_stream_neardup(
+        stream, str(tmp_path / "ndout"), str(tmp_path / "ndck"), idx,
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "ndout")).collect()}
+    assert got == expect_accepted
+    # index contents: seeds + accepted, one signature row set per doc
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
+    assert idx_ids == {0, 1, 2} | expect_accepted
