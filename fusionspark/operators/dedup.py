@@ -599,11 +599,28 @@ def embedding_neardup_ivf(
 # ── connected components (cluster the near-dup graph) ─────────────────────
 
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint", "long")
+
+
+def _require_integral_ids(df: DataFrame, col: str, what: str) -> None:
+    """Component labels propagate as MIN over int64 ids; a silent
+    .cast('long') on string ids would turn every label NULL.  Fail loudly
+    instead (ADVICE r5)."""
+    dt = dict(df.dtypes).get(col)
+    if dt not in _INTEGRAL:
+        raise TypeError(
+            f"connected_components needs an integral {what} id column; "
+            f"{col!r} is {dt!r} — map string ids to int64 (e.g. xxhash64) "
+            "before clustering"
+        )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Label each node with the MINIMUM id reachable through `edges`
     (undirected pairs id_a/id_b) — the step after any near-dup pass: pairs
@@ -613,16 +630,27 @@ def connected_components(
     ids one pair at a time (in-memory Map); at 100 TB the pair list is a
     graph and dedup IS connected components.
 
-    Plan: min-label propagation — per round, every node offers its label
-    to its neighbors (one shuffle join edges⋈labels) and keeps the minimum
-    (one groupBy).  Rounds needed = graph diameter, and near-dup clusters
-    are shallow (a dup cluster's diameter is small by construction —
-    everything is similar to everything).  Lineage is cut per round with
-    an eager localCheckpoint, and convergence is detected by the monotone
-    label sum going flat (labels only ever decrease, so equal sum ⇒ fixed
-    point).  For adversarially chained graphs at scale, swap the loop body
-    for alternating large-star/small-star (Kiveris et al., "Connected
-    Components in MapReduce") — same per-round shape, O(log²) rounds."""
+    Plan (algorithm='minlabel'): min-label propagation — per round, every
+    node offers its label to its neighbors (one shuffle join edges⋈labels)
+    and keeps the minimum (one groupBy).  Rounds needed = graph diameter,
+    and near-dup clusters are shallow (a dup cluster's diameter is small
+    by construction — everything is similar to everything).  Lineage is
+    cut per round with an eager localCheckpoint, and convergence is
+    detected by the monotone label sum going flat (labels only ever
+    decrease, so equal sum ⇒ fixed point).
+
+    algorithm='star': alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — O(log² n) rounds on
+    ANY graph, the right choice when the match graph can chain (diameter
+    ≫ log n, where min-label's diameter-many rounds would not converge
+    within max_iter)."""
+    _require_integral_ids(edges, "id_a", "edge")
+    _require_integral_ids(edges, "id_b", "edge")
+    _require_integral_ids(nodes, id_col, "node")
+    if algorithm == "star":
+        return _cc_two_phase(edges, nodes, id_col, max_iter)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = (
         edges.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .union(edges.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
@@ -654,6 +682,86 @@ def connected_components(
         if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
             break
         prev_sum = cur_sum
+    return (
+        nodes.select(F.col(id_col))
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("lbl"), F.col(id_col).cast("long")).alias(
+                "component"
+            ),
+        )
+    )
+
+
+def _cc_two_phase(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al. 2014, Algorithm 5).  Per round:
+
+    * large-star — per node u with neighborhood N(u): m = min(N(u) ∪ {u});
+      emit (v, m) for every v ∈ N(u) with v > u.
+    * small-star — direct each edge toward its larger endpoint; per u with
+      smaller-neighbors N: m = min(N); emit (v, m) for v ∈ N, v ≠ m, plus
+      (u, m).
+
+    Both are one groupBy + one join per round — the same shuffle shape as
+    min-label propagation — but the round count is O(log² n) on ANY graph
+    (each round at least halves star heights), not the graph diameter.  At
+    the fixed point the edge set is exactly the star forest rooted at each
+    component's minimum; labels read straight off the edges.  Convergence
+    is detected by an order-insensitive edge-set fingerprint (count + sum
+    of per-edge xxhash64 — a collision needs two distinct edge SETS with
+    equal 64-bit sums within one run)."""
+    e = (
+        edges.select(
+            F.col("id_a").cast("long").alias("s"),
+            F.col("id_b").cast("long").alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        m_u = sym.groupBy("s").agg(F.min("d").alias("mind"))
+        m_u = m_u.select("s", F.least(F.col("mind"), F.col("s")).alias("m"))
+        large = (
+            sym.join(m_u, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+        dirg = large.select(
+            F.greatest("s", "d").alias("u"), F.least("s", "d").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        m_small = dirg.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            dirg.join(m_small, "u")
+            .select(F.col("v").alias("s"), F.col("m").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .union(m_small.select(F.col("u").alias("s"), F.col("m").alias("d")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64("s", "d").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        fp = (row["n"], row["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    labels = e.groupBy("s").agg(F.min("d").alias("lbl")).withColumnRenamed(
+        "s", "node"
+    )
     return (
         nodes.select(F.col(id_col))
         .join(labels.withColumnRenamed("node", id_col), id_col, "left")

@@ -375,3 +375,53 @@ def test_minhash_lookup_jaccard_verify_catches_estimate_divergence(spark, tmp_pa
 
     with pytest.raises(ValueError, match="corpus_df"):
         minhash_lookup(spark, new, idx, verify="jaccard")
+
+
+def test_cc_star_converges_on_long_path(spark):
+    """Adversarial chain: a 1000-node path has diameter 999, far beyond the
+    25-round budget min-label propagation gets — large-star/small-star must
+    still reach the fixed point (all nodes labeled 0) in O(log² n) rounds."""
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            edges, nodes, algorithm="star", max_iter=25
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_star_matches_minlabel_on_shallow_graphs(spark):
+    """On shallow graphs (the near-dup regime) both algorithms must agree:
+    chains within the diameter budget, multiple components, singletons,
+    direction-irrelevant edges."""
+    cases = [
+        ([(0, 1), (1, 2), (2, 3), (5, 6)], 8),
+        ([(9, 3), (3, 1), (7, 8)], 10),
+        ([], 5),
+        ([(4, 0), (4, 1), (4, 2), (4, 3)], 6),  # star already
+    ]
+    for pairs, n in cases:
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        a = {r["doc_id"]: r["component"]
+             for r in connected_components(edges, nodes).collect()}
+        b = {r["doc_id"]: r["component"]
+             for r in connected_components(edges, nodes, algorithm="star").collect()}
+        assert a == b, (pairs, n)
+
+
+def test_cc_rejects_non_integral_ids(spark):
+    """String ids would silently become NULL labels under .cast('long') —
+    the operator must refuse them instead (ADVICE r5)."""
+    edges = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    nodes = spark.createDataFrame([("a",)], "doc_id string")
+    with pytest.raises(TypeError, match="integral"):
+        connected_components(edges, nodes)
+    good_edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(TypeError, match="integral"):
+        connected_components(good_edges, nodes)
