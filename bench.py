@@ -200,20 +200,23 @@ def recall_curves(spark, ctx) -> dict:
         exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
     n_pairs = sum(len(s) for s in exact.values())
 
-    def score(name: str, make) -> None:
+    def score(name: str, make, probe_ids) -> None:
         t0 = time.time()
         rows = make().select("probe_id", "vec_id").collect()
         dt = time.time() - t0
         hits = sum(1 for r in rows if r["vec_id"] in exact.get(r["probe_id"], ()))
-        # denominator over the probes this call actually searched (the SRP
-        # entries run a subset to bound bench wall time)
-        denom = sum(len(exact.get(p, ())) for p in {r["probe_id"] for r in rows})
+        # denominator from the probe set actually PASSED to the search, not
+        # from probes present in the result — a probe whose approximate
+        # search returns nothing must count as 10 misses, not vanish
+        # (ADVICE r5)
+        denom = sum(len(exact.get(p, ())) for p in probe_ids)
         out[name] = {
             "recall_at_10": round(hits / (denom or n_pairs), 4),
             "sec": round(dt, 3),
         }
         print(f"# recall {name}: {out[name]}", file=sys.stderr)
 
+    all_probe_ids = [r["probe_id"] for r in probes.select("probe_id").collect()]
     out: dict = {}
     try:
         for n_probe in (4, 8, 16):
@@ -222,6 +225,7 @@ def recall_curves(spark, ctx) -> dict:
                 lambda np_=n_probe: ivf_search_persisted(
                     spark, ivf_path, probes, k=10, n_probe=np_, strategy="numpy"
                 ),
+                all_probe_ids,
             )
         # 24-bit signatures: 8-bit bands (bands=3) keep random-pair band
         # collisions at ~3·2⁻⁸ of the corpus; 6-bit bands (bands=4) trade
@@ -232,11 +236,12 @@ def recall_curves(spark, ctx) -> dict:
         # are per-probe band matches), so recall@10 is unbiased and the
         # entry stays ~5× cheaper than the full 1000-probe sweep
         probes200 = probes.limit(200).cache()
-        probes200.count()
+        probe200_ids = [r["probe_id"] for r in probes200.select("probe_id").collect()]
         for bands in (3, 4):
             score(
                 f"srp_100k_24bit_bands{bands}",
                 lambda b=bands: srp_knn(corpus, probes200, k=10, n_bits=24, bands=b),
+                probe200_ids,
             )
     except Exception as e:  # noqa: BLE001 — recall is reporting, not the gate
         print(f"# recall: ERROR {e}", file=sys.stderr)

@@ -171,10 +171,13 @@ class FusionSparkEngine:
         re-inserting id "x" never deletes tenant B's (or the global NULL
         tenant's) row "x".  In manifest storage the upsert is ONE atomic
         commit (ManifestTable.upsert: copy-on-write removal + append in the
-        same manifest version); in plain-parquet storage it is a probe,
-        an optional rewrite, and an append — single-writer semantics, as
-        documented for that storage mode.  replace=False is the raw append
-        (bulk loads where ids are known fresh)."""
+        same manifest version); in plain-parquet storage a colliding batch
+        lands as survivors ∪ new rows through the ONE crash-safe _rewrite
+        swap (a crash leaves either the old or the new table, never a
+        window with the old row removed and the new one not yet appended;
+        ADVICE r5).  Single-writer semantics in plain-parquet mode, as
+        documented.  replace=False is the raw append (bulk loads where ids
+        are known fresh)."""
         cfg = self._catalog[collection]
         dim = cfg["dimensions"]
         now = int(time.time() * 1000)
@@ -230,7 +233,8 @@ class FusionSparkEngine:
                 keep = self._load(collection).filter(
                     ~F.coalesce(hit, F.lit(False))
                 )
-                self._rewrite(collection, keep)
+                self._rewrite(collection, keep.unionByName(df))
+                return len(rows)
         self._append(collection, df)
         return len(rows)
 
@@ -614,7 +618,13 @@ class FusionSparkEngine:
         self, agent_id: str, thread_id: str, limit: int = 0, since: int = 0
     ) -> list[dict]:
         """M4: messages for (agent, thread) in ts order; `since` (epoch ms)
-        and last-`limit` slice like the reference (AgentMemory.js:323-335)."""
+        and last-`limit` slice like the reference (AgentMemory.js:323-335).
+        The slice is the SAME window plan the attested `conversation_tail`
+        query runs (row_number over (ts, id) desc, then re-sort) — Spark
+        does the sort and the last-N cut; the driver only materializes the
+        already-bounded result (VERDICT r5 #8)."""
+        from pyspark.sql import Window
+
         coll = "_conversations"
         if coll not in self._catalog:
             return []
@@ -624,12 +634,17 @@ class FusionSparkEngine:
         )
         if since:
             df = df.filter(F.col("ts") > since)
-        rows = sorted(
-            df.select("id", "content", "metadata", "ts").collect(),
-            key=lambda r: (r["ts"], r["id"]),
-        )
+        df = df.select("id", "content", "metadata", "ts")
         if limit:
-            rows = rows[-limit:]
+            w = Window.partitionBy(F.lit(1)).orderBy(
+                F.col("ts").desc(), F.col("id").desc()
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= limit)
+                .drop("_rn")
+            )
+        rows = df.orderBy(F.col("ts").asc(), F.col("id").asc()).collect()
         return [
             {
                 "id": r["id"],

@@ -33,13 +33,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.parquet is TIMESTAMP(NANOS); Spark's reader rejects it unless
     # nanos are read as long.  Set defensively at runtime so queries work in
     # ANY caller-provided session (e.g. the grading driver's), not just ones
-    # built by fusionspark.session.get_spark.
+    # built by fusionspark.session.get_spark.  (This flag only changes how
+    # THIS parquet type is read — unlike a session-timezone mutation it
+    # cannot change the behavior of unrelated queries, which is why it is
+    # the one conf a table loader is allowed to touch; ADVICE r5.)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the NTZ→TIMESTAMP cast below is zone-sensitive; pin UTC so epoch
-    # extraction matches DuckDB's naive-as-UTC reading in any session
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return normalize_ts(df)
+
+
+#: NTZ epoch origin for zone-free epoch extraction (timestampdiff between
+#: two NTZ values never consults the session zone)
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
 def normalize_ts(df: DataFrame) -> DataFrame:
@@ -48,16 +53,29 @@ def normalize_ts(df: DataFrame) -> DataFrame:
     * TIMESTAMP(NANOS): with nanosAsLong it arrives as epoch-ns BIGINT —
       floor-divide to micros (same truncation DuckDB applies);
     * timestamp[us] without a zone: Spark 4 infers TIMESTAMP_NTZ, which
-      time functions like unix_micros reject — cast to TIMESTAMP (the
-      session zone is UTC, so naive-as-UTC matches DuckDB's reading);
+      time functions like unix_micros reject — converted naive-as-UTC via
+      NTZ arithmetic (timestampdiff vs the NTZ epoch → timestamp_micros),
+      which is ZONE-FREE: a plain cast would consult
+      spark.sql.session.timeZone, and pinning that from a table loader
+      mutates every zone-sensitive expression in the caller's session
+      (ADVICE r5);
     * plain TIMESTAMP: pass through.
+
+    Zone-sensitive DISPLAY functions downstream (date_trunc, window) still
+    follow the session zone — fusionspark.session.get_spark pins UTC to
+    match the DuckDB oracle's naive-as-UTC reading.
 
     Works on batch AND streaming frames (pure projection)."""
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, ts)")
+                ),
+            )
     return df
 
 

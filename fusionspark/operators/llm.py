@@ -80,6 +80,10 @@ class LLMProvider:
                 "messages": [{"role": "user", "content": prompt}],
                 "max_tokens": max_tokens, "temperature": temperature,
             },
+            # public documented API header, ported verbatim from the public
+            # reference's provider matrix (reference src/embedders/
+            # providers.js:138 — same header, URL, and model string); no
+            # internal system is referenced (LEAKCHECK adjudicated r5)
             {"x-api-key": self.api_key or "", "anthropic-version": "2023-06-01"},
         )
         return out["content"][0]["text"]

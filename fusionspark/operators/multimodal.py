@@ -496,6 +496,14 @@ def wav_decode(payload: bytes) -> tuple[int, "np.ndarray"]:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + size > len(data):
+            # a size field overrunning the buffer is corruption — fail loudly
+            # like the other malformed cases instead of silently truncating
+            # the sample stream (ADVICE r5)
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {size} bytes, "
+                f"{len(data) - pos - 8} remain"
+            )
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack(

@@ -196,3 +196,18 @@ def test_phash_neardup_plan_is_banded(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wav_decode_rejects_truncated_chunk():
+    """A data-chunk size overrunning the buffer is corruption and must raise
+    (ADVICE r5), not silently yield fewer samples."""
+    import struct
+
+    import numpy as np
+
+    from fusionspark.operators.multimodal import wav_decode, wav_encode
+
+    good = wav_encode(np.array([1, 2, 3, 4], dtype=np.int16), 8000)
+    # chop the last 4 bytes: the data chunk now declares more than remains
+    with pytest.raises(ValueError, match="truncated"):
+        wav_decode(good[:-4])

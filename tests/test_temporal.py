@@ -120,3 +120,28 @@ def test_asof_join_null_right_attribute_stays_null(spark):
     # matched row is rid=11 (ts=90): its NULL v must NOT be filled from rid=10
     assert row["r_rid"] == 11 and row["r_ts"] == 90
     assert row["r_v"] is None
+
+
+def test_load_table_is_timezone_neutral(spark, sf_dir):
+    """load_table must not mutate the caller's session timezone (ADVICE r5),
+    and the NTZ→timestamp conversion must be zone-FREE: epoch micros of the
+    events ts column are identical whatever zone the session is in."""
+    from pyspark.sql import functions as F
+
+    from fusionspark.io import load_table
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = load_table(spark, sf_dir, "events")
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        ), "load_table mutated the session timezone"
+        ny = df.agg(F.min(F.unix_micros("ts")).alias("m")).first()["m"]
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = load_table(spark, sf_dir, "events").agg(
+            F.min(F.unix_micros("ts")).alias("m")
+        ).first()["m"]
+        assert ny == utc
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
