@@ -233,9 +233,17 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
         if arr.ndim == 3:
             arr = np.round(arr[:, :, :3].astype(np.float64).mean(axis=2)).astype(np.uint8)
         return arr
+    if mime == "image/jpeg" or data[:2] == b"\xff\xd8":
+        from fusionspark.operators.jpeg import jpeg_decode
+
+        arr = jpeg_decode(data)
+        if arr.ndim == 3:
+            arr = np.round(arr[:, :, :3].astype(np.float64).mean(axis=2)).astype(np.uint8)
+        return arr
     raise NotImplementedError(
-        f"no codec for {mime!r} in this environment; PNG is supported "
-        "stdlib-only — swap in PIL.Image.open / soundfile.read in production"
+        f"no codec for {mime!r} in this environment; PNG and baseline JPEG "
+        "are supported stdlib-only — swap in PIL.Image.open / "
+        "soundfile.read in production for exotic formats"
     )
 
 
@@ -458,6 +466,50 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         media.filter(F.col("kind") == "video")
         .select("media_id", "payload", "duration_ms")
         .mapInPandas(run, schema="media_id bigint, frame_ts_ms int, frame_digest string")
+    )
+
+
+# ── real JPEG media (baseline codec in operators/jpeg.py) ─────────────────
+
+#: synth_jpeg_media plane shape — 3×2 grid of 8×8 blocks (384 pixels)
+JPEG_W, JPEG_H = 24, 16
+JPEG_BLOCKS_X = JPEG_W // 8
+
+
+def synth_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG payloads, deterministically derived from doc_id.
+    Each image is 24×16 grayscale = 6 DCT blocks; block b carries only a DC
+    coefficient q(d, b) = ((d·11 + 17·b) mod 255) − 127 against a flat
+    qtable of 8s, so the decoded block is the constant pixel value
+    q + 128 ∈ [1, 255] (DC-only IDCT: S₀₀/8 = q; no clipping) — a
+    closed-form law a SQL oracle replays without touching JPEG bytes,
+    while the Spark side exercises the full marker-walk → DHT → entropy
+    decode → dequant → IDCT pipeline."""
+    from fusionspark.io import load_table
+    from fusionspark.operators.jpeg import jpeg_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w, h, n_blocks = JPEG_W, JPEG_H, (JPEG_W // 8) * (JPEG_H // 8)
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "payload": [], "mime": [], "width": [], "height": []
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                qb = np.zeros((n_blocks, 8, 8), dtype=np.int64)
+                for b in range(n_blocks):
+                    qb[b, 0, 0] = ((d * 11 + 17 * b) % 255) - 127
+                out["media_id"].append(d)
+                out["payload"].append(jpeg_encode(None, qblocks=qb, size=(w, h)))
+                out["mime"].append("image/jpeg")
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        make, schema="media_id bigint, payload binary, mime string, width int, height int"
     )
 
 

@@ -171,6 +171,41 @@ def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jpeg_features",
+    f"""
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean_intensity,
+           SUM(v * k)::BIGINT AS pix_checksum
+    FROM (
+        SELECT doc_id, k.k AS k,
+               (((doc_id * 11 + 17 * (((k.k // {MM.JPEG_W}) // 8) * {MM.JPEG_BLOCKS_X}
+                                      + ((k.k % {MM.JPEG_W}) // 8))) % 255)
+                - 127 + 128)::DOUBLE AS v
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, {MM.JPEG_W * MM.JPEG_H - 1})) AS k) k
+    )
+    GROUP BY doc_id
+    """,
+)
+def jpeg_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG codec path, oracle-attested (the JPEG sibling of
+    `png_features`): Spark writes deterministic DC-only JPEGs
+    (operators/jpeg.py — T.81 baseline, canonical DHT, byte-stuffed entropy
+    scan), decodes them back through the full marker-walk → Huffman →
+    dequant → IDCT pipeline, and aggregates the decoded pixels; the oracle
+    replays the closed-form block law arithmetically (pixel of block b =
+    ((doc_id·11 + 17b) mod 255) + 1).  A hash match certifies the whole
+    encode→decode chain including DC prediction across blocks."""
+    m = MM.synth_jpeg_media(spark, sf_dir)
+    feats = MM.png_feature_stats(m)  # decode_real dispatches on JPEG magic
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "pix_checksum",
+    )
+
+
+@query(
     "wav_features",
     """
     WITH ks AS (

@@ -51,7 +51,12 @@ def test_frame_grid_matches_duration(media):
 
 
 def test_real_codec_path_is_explicit_stub():
+    # video remains the honestly-stubbed boundary (no container codec);
+    # PNG/JPEG/WAV are real stdlib codecs
     with pytest.raises(NotImplementedError):
+        MM.decode_real(b"abc", "video/mp4")
+    # corrupt JPEG bytes fail loudly in the real decoder, not as a stub
+    with pytest.raises(ValueError):
         MM.decode_real(b"abc", "image/jpeg")
 
 
@@ -90,8 +95,10 @@ def test_decode_real_png_and_stub_boundary():
     lum = decode_real(png_encode(rgb, [2] * 8), "image/png")
     assert lum.shape == (8, 8) and int(lum[0, 0]) == 1  # round(mean(0,1,2))
 
-    with pytest.raises(NotImplementedError):
-        decode_real(b"\xff\xd8\xff\xe0 not a png", "image/jpeg")
+    with pytest.raises(ValueError):  # real JPEG decoder, corrupt stream
+        decode_real(b"\xff\xd8\xff\xe0 not a jpeg", "image/jpeg")
+    with pytest.raises(NotImplementedError):  # video stays stubbed
+        decode_real(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
 def test_png_features_checksum_detects_pixel_slips(spark):
