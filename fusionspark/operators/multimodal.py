@@ -513,6 +513,95 @@ def synth_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── real MP4 box-level metadata (ISO-BMFF parser in operators/mp4.py) ─────
+
+#: synth_mp4_media laws (the oracle replays these arithmetically)
+MP4_VIDEO_TS = 30000
+MP4_AUDIO_TS = 48000
+
+
+def synth_mp4_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF payloads, deterministically derived from doc_id:
+    movie duration_ms = 250·(1 + d mod 240); a video track (w = 16·(1 +
+    d mod 64), h = 16·(1 + d mod 48), n = 8 + d mod 24 samples of size
+    500 + (d·7 + 11k) mod 1000) and, for even d, an audio track (n = 16 +
+    d mod 32 samples of size 64 + (d·5 + 3k) mod 128).  Closed-form laws a
+    SQL oracle replays, while the Spark side walks the real box tree."""
+    from fusionspark.io import load_table
+    from fusionspark.operators.mp4 import mp4_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "payload": [], "mime": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                dur_ms = 250 * (1 + d % 240)
+                nv = 8 + d % 24
+                tracks = [{
+                    "kind": "vide", "timescale": MP4_VIDEO_TS,
+                    "duration": dur_ms * (MP4_VIDEO_TS // 1000),
+                    "width": 16 * (1 + d % 64), "height": 16 * (1 + d % 48),
+                    "sample_sizes": [500 + (d * 7 + 11 * k) % 1000 for k in range(nv)],
+                }]
+                if d % 2 == 0:
+                    na = 16 + d % 32
+                    tracks.append({
+                        "kind": "soun", "timescale": MP4_AUDIO_TS,
+                        "duration": dur_ms * (MP4_AUDIO_TS // 1000),
+                        "sample_sizes": [64 + (d * 5 + 3 * k) % 128 for k in range(na)],
+                    })
+                out["media_id"].append(d)
+                # odd ids exercise the 64-bit largesize mdat branch
+                out["payload"].append(
+                    mp4_encode(tracks, movie_duration=dur_ms, use_largesize=bool(d % 2))
+                )
+                out["mime"].append("video/mp4")
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        make, schema="media_id bigint, payload binary, mime string"
+    )
+
+
+def mp4_metadata_stats(media: DataFrame) -> DataFrame:
+    """Walk REAL ISO-BMFF box trees (mp4.mp4_parse) and emit the metadata a
+    video pipeline shards on: movie duration, track count, video geometry
+    and sample totals, audio sample totals (0 when no audio track)."""
+    from fusionspark.operators.mp4 import mp4_parse
+
+    out_schema = (
+        "media_id bigint, brand string, duration_ms bigint, n_tracks int, "
+        "video_width int, video_height int, video_samples bigint, "
+        "video_bytes bigint, audio_samples bigint, audio_bytes bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "media_id", "brand", "duration_ms", "n_tracks", "video_width",
+                "video_height", "video_samples", "video_bytes",
+                "audio_samples", "audio_bytes")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = mp4_parse(payload)
+                vid = next((t for t in meta["tracks"] if t["kind"] == "vide"), None)
+                aud = next((t for t in meta["tracks"] if t["kind"] == "soun"), None)
+                rows["media_id"].append(int(mid))
+                rows["brand"].append(meta["brand"])
+                rows["duration_ms"].append(int(meta["duration_ms"]))
+                rows["n_tracks"].append(len(meta["tracks"]))
+                rows["video_width"].append(vid["width"] if vid else 0)
+                rows["video_height"].append(vid["height"] if vid else 0)
+                rows["video_samples"].append(vid["n_samples"] if vid else 0)
+                rows["video_bytes"].append(vid["sample_bytes"] if vid else 0)
+                rows["audio_samples"].append(aud["n_samples"] if aud else 0)
+                rows["audio_bytes"].append(aud["sample_bytes"] if aud else 0)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+
+
 # ── real WAV codec (stdlib struct — no soundfile needed) ──────────────────
 
 

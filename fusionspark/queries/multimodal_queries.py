@@ -206,6 +206,53 @@ def jpeg_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mp4_metadata",
+    """
+    WITH vs AS (
+        SELECT doc_id,
+               SUM(500 + (doc_id * 7 + 11 * k.k) % 1000)::BIGINT AS video_bytes
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS k) k
+        WHERE k.k < 8 + doc_id % 24
+        GROUP BY doc_id
+    ),
+    aus AS (
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS audio_samples,
+               SUM(64 + (doc_id * 5 + 3 * k.k) % 128)::BIGINT AS audio_bytes
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, 46)) AS k) k
+        WHERE doc_id % 2 = 0 AND k.k < 16 + doc_id % 32
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           'isom' AS brand,
+           (250 * (1 + d.doc_id % 240))::BIGINT AS duration_ms,
+           (CASE WHEN d.doc_id % 2 = 0 THEN 2 ELSE 1 END)::INT AS n_tracks,
+           (16 * (1 + d.doc_id % 64))::INT AS video_width,
+           (16 * (1 + d.doc_id % 48))::INT AS video_height,
+           (8 + d.doc_id % 24)::BIGINT AS video_samples,
+           vs.video_bytes,
+           COALESCE(aus.audio_samples, 0)::BIGINT AS audio_samples,
+           COALESCE(aus.audio_bytes, 0)::BIGINT AS audio_bytes
+    FROM documents d
+    JOIN vs ON vs.doc_id = d.doc_id
+    LEFT JOIN aus ON aus.doc_id = d.doc_id
+    """,
+)
+def mp4_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF metadata path, oracle-attested: Spark writes
+    deterministic MP4 box trees (operators/mp4.py — ftyp/moov/mvhd/trak/
+    mdhd/hdlr/stsz, odd ids via the 64-bit largesize branch), walks them
+    back with the box parser, and emits the metadata a video pipeline
+    shards on; the oracle replays the closed-form laws arithmetically.
+    Frame/pixel decode remains the one honestly-stubbed codec boundary
+    (no AVC/HEVC in this container)."""
+    m = MM.synth_mp4_media(spark, sf_dir)
+    return MM.mp4_metadata_stats(m)
+
+
+@query(
     "wav_features",
     """
     WITH ks AS (
