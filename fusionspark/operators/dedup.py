@@ -774,6 +774,65 @@ def _cc_two_phase(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    max_df: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Sub-document (paragraph-level) dedup, the RefinedWeb/CCNet
+    boilerplate-removal pass: split each document on `sep`, count how many
+    DISTINCT documents each paragraph appears in across the corpus, drop
+    paragraphs appearing in more than `max_df` documents (navigation bars,
+    license headers, share buttons — the text exact whole-doc dedup never
+    catches), and reassemble the surviving paragraphs in original order.
+
+    Returns (id, text, n_kept, n_dropped); documents whose every paragraph
+    was boilerplate survive with empty text (the caller's funnel decides
+    their fate), so row count is preserved.
+
+    Scale shape at 100 TB: the frequency aggregation groups on md5(para) —
+    a 16-byte shuffle key, never paragraph bodies; the verdict rejoins on
+    the same digest (paragraph text rides along only within its original
+    row); reassembly is one groupBy(id) with an array_sort — no window, no
+    driver collect.  Paragraphs shorter than `min_chars` (e.g. empty splits
+    from ragged separators) are dropped up front."""
+    parts = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "para"),
+        )
+        .filter(F.length("para") >= min_chars)
+        .withColumn("ph", F.md5("para"))
+    )
+    freq = parts.groupBy("ph").agg(F.count_distinct(id_col).alias("para_df"))
+    kept = parts.join(freq.filter(F.col("para_df") <= max_df), "ph", "left_semi")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias(text_col),
+        F.count("*").alias("n_kept"),
+    )
+    totals = parts.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 def ngram_contamination(
     df: DataFrame,
     holdout_pct: int = 5,

@@ -1366,3 +1366,78 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("after_quality"),
     )
+
+
+# ── paragraph-level dedup (sub-document boilerplate removal) ──────────────
+
+# Multi-paragraph synthetic corpus: the driver docs are single-line, so the
+# query composes each document from a 50-paragraph pool (para p = first 80
+# chars of doc p) under a closed-form law — doc d has 2 + d%3 paragraphs,
+# paragraph i = pool[(d² + 11i) mod 50].  The quadratic law makes pool usage
+# heavily skewed (quadratic residues mod 50), so a 5%-of-corpus document-
+# frequency threshold genuinely splits boilerplate from content at every SF.
+PARAGRAPH_DEDUP_ORACLE = """
+    WITH pool AS (
+        SELECT doc_id AS pool_id, substr(text, 1, 80) AS para
+        FROM documents WHERE doc_id < 50
+    ),
+    parts AS (
+        SELECT d.doc_id, i.i AS pos, p.para
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+        JOIN pool p ON p.pool_id = (d.doc_id * d.doc_id + 11 * i.i) % 50
+        WHERE i.i < 2 + d.doc_id % 3
+    ),
+    freq AS (SELECT para, COUNT(DISTINCT doc_id) AS pdf FROM parts GROUP BY para),
+    thr AS (SELECT COUNT(*) // 20 + 1 AS t FROM documents),
+    kept AS (
+        SELECT pr.doc_id, pr.pos, pr.para
+        FROM parts pr JOIN freq f ON f.para = pr.para, thr
+        WHERE f.pdf <= thr.t
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM parts GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(string_agg(k.para, chr(10) || chr(10) ORDER BY k.pos), '') AS text,
+           COUNT(k.para)::BIGINT AS n_kept,
+           (t.n_paras - COUNT(k.para))::BIGINT AS n_dropped
+    FROM tot t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.n_paras
+    """
+
+
+@query("paragraph_dedup", PARAGRAPH_DEDUP_ORACLE)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (dedup.paragraph_dedup), the RefinedWeb/CCNet
+    boilerplate-removal pass whole-doc dedup can't do: paragraphs appearing
+    in more than 5% of documents are dropped, survivors reassemble in
+    order.  Plan shape: paragraph frequency groups on md5(para) (16-byte
+    shuffle key), the verdict is a semi-join on the same digest, reassembly
+    is one groupBy(id) + array_sort — no window over the corpus, no
+    driver-side text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pool = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("pool_id"), F.substring("text", 1, 80).alias("para")
+    )
+    synth = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(1) + F.col("doc_id") % 3)).alias("pos"),
+        )
+        .withColumn("pool_id", (F.col("doc_id") * F.col("doc_id") + 11 * F.col("pos")) % 50)
+        .join(F.broadcast(pool), "pool_id")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+            ).alias("text")
+        )
+    )
+    # 5%-of-corpus threshold: at 100 TB this is a config constant, not a
+    # count() — the scalar job here is metadata-scale and keeps the query
+    # sf-agnostic for the oracle.
+    max_df = docs.count() // 20 + 1
+    return dedup.paragraph_dedup(synth, max_df=max_df)

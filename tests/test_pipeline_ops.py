@@ -425,3 +425,44 @@ def test_cc_rejects_non_integral_ids(spark):
     good_edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(TypeError, match="integral"):
         connected_components(good_edges, nodes)
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Boilerplate paragraphs (df > max_df) drop; survivors keep original
+    order; a doc whose every paragraph is boilerplate survives with empty
+    text (row count preserved); short splits drop via min_chars."""
+    from fusionspark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "unique alpha\n\nBOILER\n\nunique beta"),
+        (2, "BOILER\n\nunique gamma"),
+        (3, "BOILER\n\nOTHER"),
+        (4, "OTHER\n\nBOILER"),
+        (5, "BOILER\n\nOTHER"),   # all paragraphs boilerplate at max_df=2
+        (6, "solo paragraph"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, max_df=2).collect()}
+    assert len(out) == 6
+    # BOILER appears in 5 docs, OTHER in 3 -> both drop at max_df=2
+    assert out[1]["text"] == "unique alpha\n\nunique beta"
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 1
+    assert out[2]["text"] == "unique gamma"
+    assert out[5]["text"] == "" and out[5]["n_kept"] == 0 and out[5]["n_dropped"] == 2
+    assert out[6]["text"] == "solo paragraph" and out[6]["n_dropped"] == 0
+
+    # min_chars drops ragged empty splits
+    df2 = spark.createDataFrame([(1, "a b c\n\n\n\nkeep me")], "doc_id long, text string")
+    r2 = paragraph_dedup(df2, max_df=5, min_chars=1).collect()[0]
+    assert r2["text"] == "a b c\n\nkeep me" and r2["n_kept"] == 2
+
+
+def test_paragraph_dedup_plan_has_no_window_or_cartesian(spark):
+    """The 100 TB shape: digest-keyed aggregations + semi join; no window
+    over the corpus, no cartesian product, no sort-based reassembly."""
+    from fusionspark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame([(1, "x\n\ny")], "doc_id long, text string")
+    plan = paragraph_dedup(df, max_df=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
