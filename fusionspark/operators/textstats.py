@@ -298,3 +298,90 @@ def repetition_stats_docs(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, text_col).mapInPandas(stats, schema=out_schema)
+
+
+# ── trainable quality classifier (Naive Bayes, CCNet-style) ───────────────
+
+
+def nb_quality_scores(
+    df,
+    pos,
+    neg,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Trainable quality classifier, the CCNet / LLaMA-pipeline step the
+    rule-based `quality_score` can't do: train multinomial Naive Bayes on
+    in-corpus labels (`pos` / `neg` boolean Columns select the "curated"
+    and "crawl" strata — Wikipedia-vs-CommonCrawl in production), then
+    score EVERY document by the add-one-smoothed log-likelihood ratio
+
+        score(d) = ln(N_pos/N_neg)
+                 + Σ_w [ ln(n_pos(w)+1) − ln(T_pos+V)
+                       − ln(n_neg(w)+1) + ln(T_neg+V) ]
+
+    (unseen words get the smoothed default ln((T_neg+V)/(T_pos+V))).
+    Training is two hash aggregations (token counts per class, then the
+    scalar totals); scoring is one equi-join of the token stream against
+    the vocabulary-sized weight table, which BROADCASTS — at 100 TB the
+    weight table is O(vocab), not O(corpus), so the corpus never
+    reshuffles.  Everything is log-space column arithmetic — no UDFs.
+
+    Returns (id, n_tokens, nb_score, quality_pred)."""
+    from pyspark.sql import DataFrame
+
+    words = df.select(
+        F.col(id_col),
+        pos.cast("int").alias("is_pos"),
+        neg.cast("int").alias("is_neg"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+
+    train = words.filter((F.col("is_pos") == 1) | (F.col("is_neg") == 1))
+    counts = train.groupBy("w").agg(
+        F.sum("is_pos").alias("n_pos"), F.sum("is_neg").alias("n_neg")
+    )
+    totals = counts.agg(
+        F.sum("n_pos").alias("t_pos"),
+        F.sum("n_neg").alias("t_neg"),
+        F.count("*").alias("v"),
+    )
+    doc_prior = df.agg(
+        F.log(
+            F.sum(pos.cast("int")).cast("double")
+            / F.sum(neg.cast("int")).cast("double")
+        ).alias("prior")
+    )
+
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "w",
+        (
+            F.log(F.col("n_pos") + 1)
+            - F.log(F.col("t_pos") + F.col("v"))
+            - F.log(F.col("n_neg") + 1)
+            + F.log(F.col("t_neg") + F.col("v"))
+        ).alias("weight"),
+    )
+    default_w = (
+        F.log(F.col("t_neg") + F.col("v")) - F.log(F.col("t_pos") + F.col("v"))
+    ).alias("default_weight")
+
+    scored = (
+        words.join(F.broadcast(weights), "w", "left")
+        .crossJoin(F.broadcast(totals.select(default_w)))
+        .crossJoin(F.broadcast(doc_prior))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (
+                F.first("prior")
+                + F.sum(F.coalesce(F.col("weight"), F.col("default_weight")))
+            ).alias("raw_score"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        F.round("raw_score", 6).alias("nb_score"),
+        (F.col("raw_score") > 0).cast("int").alias("quality_pred"),
+    )

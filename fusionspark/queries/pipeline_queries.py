@@ -1441,3 +1441,60 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf-agnostic for the oracle.
     max_df = docs.count() // 20 + 1
     return dedup.paragraph_dedup(synth, max_df=max_df)
+
+
+# ── trainable quality classifier (Naive Bayes, CCNet-style) ───────────────
+
+_NB_POS = "('src0', 'src1', 'src2', 'src3', 'src4')"
+_NB_NEG = "('src15', 'src16', 'src17', 'src18', 'src19')"
+
+NB_QUALITY_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id,
+               CASE WHEN source IN {_NB_POS} THEN 1 ELSE 0 END AS is_pos,
+               CASE WHEN source IN {_NB_NEG} THEN 1 ELSE 0 END AS is_neg,
+               w.w AS w
+        FROM documents,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w(w)
+    ),
+    counts AS (
+        SELECT w, SUM(is_pos)::BIGINT AS n_pos, SUM(is_neg)::BIGINT AS n_neg
+        FROM words WHERE is_pos = 1 OR is_neg = 1 GROUP BY w
+    ),
+    totals AS (SELECT SUM(n_pos) AS t_pos, SUM(n_neg) AS t_neg, COUNT(*) AS v FROM counts),
+    prior AS (
+        SELECT ln(SUM(CASE WHEN source IN {_NB_POS} THEN 1 ELSE 0 END)::DOUBLE
+                  / SUM(CASE WHEN source IN {_NB_NEG} THEN 1 ELSE 0 END)) AS p
+        FROM documents
+    ),
+    weights AS (
+        SELECT w, ln(n_pos + 1) - ln(t_pos + v) - ln(n_neg + 1) + ln(t_neg + v) AS weight
+        FROM counts, totals
+    ),
+    raw AS (
+        SELECT wo.doc_id, COUNT(*)::BIGINT AS n_tokens,
+               MAX(p.p) + SUM(COALESCE(wt.weight,
+                                       ln(t.t_neg + t.v) - ln(t.t_pos + t.v))) AS s
+        FROM words wo
+        LEFT JOIN weights wt ON wt.w = wo.w, totals t, prior p
+        GROUP BY wo.doc_id
+    )
+    SELECT doc_id, n_tokens, ROUND(s, 6) AS nb_score,
+           (CASE WHEN s > 0 THEN 1 ELSE 0 END)::INT AS quality_pred
+    FROM raw
+    """
+
+
+@query("nb_quality", NB_QUALITY_ORACLE)
+def nb_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality classifier (textstats.nb_quality_scores), the
+    CCNet/LLaMA-pipeline step: multinomial Naive Bayes trained on in-corpus
+    strata (sources src0-4 as the curated class, src15-19 as the crawl
+    class — Wikipedia-vs-CommonCrawl in production), scoring every document
+    by smoothed log-likelihood ratio.  Training is two hash aggregations;
+    scoring joins the token stream against the vocabulary-sized weight
+    table, which broadcasts — the corpus never reshuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    neg = F.col("source").isin("src15", "src16", "src17", "src18", "src19")
+    return textstats.nb_quality_scores(d, pos, neg)

@@ -466,3 +466,46 @@ def test_paragraph_dedup_plan_has_no_window_or_cartesian(spark):
     plan = paragraph_dedup(df, max_df=2)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Cartesian" not in plan
+
+
+def test_nb_classifier_separates_crafted_classes(spark):
+    """NB trained on two token distributions separates them; unlabeled docs
+    score by whichever vocabulary they borrow; unseen-word default applies."""
+    from fusionspark.operators.textstats import nb_quality_scores
+
+    rows = [
+        (1, "good", "clean prose clean prose clean"),
+        (2, "good", "prose clean prose prose clean"),
+        (3, "bad", "spam junk spam junk spam"),
+        (4, "bad", "junk spam junk junk spam"),
+        (5, "?", "clean prose clean"),          # borrows the good vocab
+        (6, "?", "spam junk junk"),             # borrows the bad vocab
+        (7, "?", "wholly novel tokens here"),   # all unseen -> default weight
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, label string, text string")
+    out = {r["doc_id"]: r for r in nb_quality_scores(
+        df, F.col("label") == "good", F.col("label") == "bad"
+    ).collect()}
+    assert len(out) == 7
+    assert out[1]["quality_pred"] == 1 and out[2]["quality_pred"] == 1
+    assert out[3]["quality_pred"] == 0 and out[4]["quality_pred"] == 0
+    assert out[5]["quality_pred"] == 1 and out[5]["nb_score"] > 0
+    assert out[6]["quality_pred"] == 0 and out[6]["nb_score"] < 0
+    # balanced classes + equal totals -> unseen default weight is 0, prior 0
+    assert abs(out[7]["nb_score"]) < 1e-6
+
+
+def test_nb_scoring_join_broadcasts(spark):
+    """The weight table is O(vocab) and must broadcast — the token stream
+    (O(corpus)) never reshuffles for the join."""
+    from fusionspark.operators.textstats import nb_quality_scores
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "b", "y z"), (3, "c", "x z")],
+        "doc_id long, label string, text string",
+    )
+    plan = nb_quality_scores(
+        df, F.col("label") == "a", F.col("label") == "b"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
