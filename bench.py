@@ -170,6 +170,13 @@ def bench_queries(spark):
         "contamination_check",
         "dedup_incremental",
         "corpus_funnel",
+        # round 6: real codecs (JPEG/MP4), sub-document dedup, trainable
+        # quality classifier, PQ compression search
+        "jpeg_features",
+        "mp4_metadata",
+        "paragraph_dedup",
+        "nb_quality",
+        "ann_pq",
     ]
     out = {
         "knn_batch64": knn_batch,
@@ -243,6 +250,33 @@ def recall_curves(spark, ctx) -> dict:
                 lambda b=bands: srp_knn(corpus, probes200, k=10, n_bits=24, bands=b),
                 probe200_ids,
             )
+        # IVF-PQ: coarse pruning + 8-byte ADC codes + tie-kept exact refine
+        # of the ADC top-100 — the scan-IO story (codes are 32× smaller
+        # than the float32 vectors they index) with the accuracy cost
+        # measured, not guessed.  Codes persist once beside the IVF lists
+        # (the production layout — setup cost, like ivf_build_100k); the
+        # timed entry is the search.  This corpus is PQ-adversarial (sin
+        # structure collapses 100k vectors to ~2.4k distinct code words),
+        # so the measured ~0.86 is a floor, not a ceiling.
+        from fusionspark.operators.ann import (
+            ivf_pq_search,
+            pq_codebooks_lloyd,
+            pq_encode,
+        )
+
+        cbs = pq_codebooks_lloyd(corpus, m=8, ksub=64, iters=4, sample_n=2048)
+        codes_path = f"{ivf_path}_codes"
+        pq_encode(
+            spark.read.parquet(f"{ivf_path}/data"), cbs, extra_cols=["centroid_id"]
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(codes_path)
+        score(
+            "ivfpq_100k_nprobe8_refine100",
+            lambda: ivf_pq_search(
+                spark, ivf_path, probes200, cbs, k=10, n_probe=8,
+                refine_r=100, codes_path=codes_path,
+            ),
+            probe200_ids,
+        )
     except Exception as e:  # noqa: BLE001 — recall is reporting, not the gate
         print(f"# recall: ERROR {e}", file=sys.stderr)
     return out

@@ -884,3 +884,376 @@ def srp_knn(
         .filter(F.col("rnk") <= k)
         .select(probe_id_col, id_col, "sim", "rnk")
     )
+
+
+# ── product quantization (IVF-PQ: the memory-compression scale path) ──────
+#
+# At 100 TB of float32 embeddings, even the pruned IVF lists are IO-bound on
+# vector payloads (64-d float32 = 256 B/vector).  PQ stores an m-byte code
+# instead (m=4-16): subvectors quantize against per-subspace codebooks, and
+# search scores candidates with an ADC (asymmetric distance computation)
+# table built per probe — corpus vectors are never touched until an optional
+# exact refine over the tiny ADC top-R.  32-64× less scan IO per list, the
+# standard IVF-PQ layout (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011).
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+):
+    """Deterministic PQ codebooks: the first `ksub` corpus vectors by id,
+    L2-normalized, sliced into m subvectors — the same determinism contract
+    as deterministic_centroids, so a SQL oracle replays training exactly.
+    Returns (m, ksub, dsub) float64.  At scale, refine with per-subspace
+    Lloyd iterations over a sample (pq_codebooks_lloyd) — identical shapes
+    and downstream plan."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(F.col(id_col).asc()).limit(ksub).select(vector_col).collect()
+    )
+    V = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    V = V / norms[:, None]
+    dim = V.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    return V.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+
+
+def pq_codebooks_lloyd(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 5,
+    sample_n: int = 2048,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+):
+    """Lloyd-refined codebooks: deterministic init (pq_codebooks) then
+    `iters` k-means rounds per subspace over the first `sample_n` vectors
+    by id (deterministic sample; at 100 TB a hash-sample with the same
+    driver-side fit — codebooks are KB-sized, training them is never the
+    bottleneck).  Empty clusters keep their previous centroid."""
+    import numpy as np
+
+    cbs = pq_codebooks(corpus, m, ksub, id_col, vector_col)
+    rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(sample_n)
+        .select(vector_col)
+        .collect()
+    )
+    V = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    V = (V / norms[:, None]).reshape(len(rows), m, -1)
+    for j in range(m):
+        X = V[:, j, :]
+        C = cbs[j]
+        for _ in range(iters):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    C[c] = X[mask].mean(0)
+    return cbs
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id[, extra…], codes array<int>): per-subspace nearest-codebook-entry
+    codes of the L2-normalized vector.  One zero-shuffle Arrow map (the
+    signature sibling of minhash_signatures); the argmin uses the GEMM form
+    argmin_c(|c|² − 2⟨u,c⟩) — one matmul per subspace instead of an
+    (n × ksub × dsub) broadcast temp; ties break to the lowest code index
+    (np.argmin first-occurrence — mirrors the oracle's ORDER BY dist,
+    code_id).  `extra_cols` (e.g. centroid_id) ride along for IVF-PQ."""
+    import numpy as np
+    import pandas as pd
+
+    from fusionspark.operators.knn import id_sql_type
+
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks
+    cnorm2 = (codebooks**2).sum(-1)  # (m, ksub)
+    extra = list(extra_cols or [])
+    extra_schema = "".join(
+        f", {c} {id_sql_type(corpus, c)}" for c in extra
+    )
+    out_schema = (
+        f"{id_col} {id_sql_type(corpus, id_col)}{extra_schema}, codes array<int>"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+            )
+            norms = np.linalg.norm(E, axis=1)
+            norms[norms == 0] = 1.0
+            Es = (E / norms[:, None]).reshape(len(pdf), m, dsub)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                # |u−c|² = |u|² − 2⟨u,c⟩ + |c|²; |u|² is constant per row
+                d = cnorm2[j][None, :] - 2.0 * (Es[:, j, :] @ cb[j].T)
+                codes[:, j] = d.argmin(1)
+            out = {id_col: pdf[id_col]}
+            for c in extra:
+                out[c] = pdf[c]
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, *extra, vector_col).mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    probes: DataFrame,
+    codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    probe_vector_col: str = "probe_embedding",
+    routing_recs: list[tuple] | None = None,
+    keep_ties: bool = False,
+) -> DataFrame:
+    """ADC top-k over PQ codes: per probe, a (m × ksub) inner-product table
+    against the L2-normalized probe is built ONCE (driver-side — tables are
+    KB-sized), then every corpus row scores with m table lookups — no
+    vector payload is read at all.  Partition-local partial top-k (boundary
+    ties widened) feeds the global per-probe window; the shuffle carries
+    (probe_id, id, asim) only.  Returns (probe_id, vec_id, asim, rnk) —
+    `asim` approximates cosine; chain pq_refine for exact re-ranking.
+
+    `routing_recs` (IVF-PQ): (probe_id, probe_vec, centroid_id) triples
+    from _route_probes; codes_df must then carry `centroid_id`, and each
+    row scores only against the probes routed to its list — the per-list
+    sibling of _numpy_rerank's GEMM routing.
+
+    `keep_ties` (candidate mode, for pq_refine): ADC scores are DISCRETE —
+    vectors sharing a code word score identically — so a row_number cut at
+    k drops tied true neighbors arbitrarily.  rank() keeps the whole tied
+    boundary group; the exact refine then orders them."""
+    import numpy as np
+    import pandas as pd
+
+    from fusionspark.operators.knn import id_sql_type
+
+    m, ksub, dsub = codebooks.shape
+    prow = probes.select(probe_id_col, probe_vector_col).collect()
+    pids = [r[0] for r in prow]
+    P = np.asarray([list(r[1]) for r in prow], dtype=np.float64)
+    norms = np.linalg.norm(P, axis=1)
+    norms[norms == 0] = 1.0
+    Ps = (P / norms[:, None]).reshape(len(pids), m, dsub)
+    # T[p, j, c] = <probe_p[j], codebook[j][c]>
+    T = np.einsum("pjd,jcd->pjc", Ps, codebooks)
+
+    # per-list probe routing (IVF-PQ): each code row scores ONLY against
+    # the probes routed to its centroid list — without this, a 1000-probe
+    # batch degrades to brute-force ADC over probes × corpus
+    route_idx: dict | None = None
+    if routing_recs is not None:
+        pid_pos = {pid: i for i, pid in enumerate(pids)}
+        route_idx = {}
+        for pid, _vec, cid in routing_recs:
+            route_idx.setdefault(cid, []).append(pid_pos[pid])
+
+    out_schema = (
+        f"{probe_id_col} {id_sql_type(probes, probe_id_col)}, "
+        f"{id_col} {id_sql_type(codes_df, id_col)}, sim double"
+    )
+
+    def _score(codes, ids, tbl, group_pids):
+        sims = np.zeros((len(codes), len(group_pids)))
+        for j in range(m):
+            sims += tbl[:, j, codes[:, j]].T  # (n_rows, n_probes)
+        return _partial_topk(sims, ids, group_pids, k, probe_id_col, id_col)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if route_idx is None:
+                codes = np.stack(
+                    [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+                )
+                yield _score(codes, pdf[id_col].to_numpy(), T, pids)
+                continue
+            parts = []
+            for cid, grp in pdf.groupby("centroid_id", sort=False):
+                sel = route_idx.get(cid)
+                if not sel:
+                    continue
+                codes = np.stack(
+                    [np.asarray(c, dtype=np.int64) for c in grp["codes"]]
+                )
+                parts.append(
+                    _score(
+                        codes,
+                        grp[id_col].to_numpy(),
+                        T[sel],
+                        [pids[i] for i in sel],
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    in_cols = (
+        [id_col, "codes"] if route_idx is None else [id_col, "centroid_id", "codes"]
+    )
+    scored = codes_df.select(*in_cols).mapInPandas(run, schema=out_schema)
+    if keep_ties:
+        wk = Window.partitionBy(probe_id_col).orderBy(F.col("sim").desc())
+        ranked = scored.withColumn("rnk", F.rank().over(wk))
+    else:
+        wk = Window.partitionBy(probe_id_col).orderBy(
+            F.col("sim").desc(), F.col(id_col).asc()
+        )
+        ranked = scored.withColumn("rnk", F.row_number().over(wk))
+    return ranked.filter(F.col("rnk") <= k).select(
+        probe_id_col, id_col, F.col("sim").alias("asim"), "rnk"
+    )
+
+
+def pq_refine(
+    adc_topr: DataFrame,
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vector_col: str = "probe_embedding",
+) -> DataFrame:
+    """Exact-cosine re-rank of the ADC top-R candidate set (IVF-PQ's
+    'refine' stage): the candidate list is small (R per probe plus tied
+    boundary groups), so the join back to vector payloads touches
+    R×n_probes rows, not the corpus.  Probe vectors ship in the kernel
+    closure (KB-sized) and scoring is one vectorized Arrow pass — the
+    unrolled cosine expression de-codegens at 64 dims and runs ~4× slower
+    interpreted."""
+    import numpy as np
+    import pandas as pd
+
+    from fusionspark.operators.knn import id_sql_type
+
+    pvecs = {
+        r[0]: np.asarray(list(r[1]), dtype=np.float64)
+        for r in probes.select(probe_id_col, probe_vector_col).collect()
+    }
+    for pid, v in pvecs.items():
+        n = np.linalg.norm(v)
+        pvecs[pid] = v / (n or 1.0)
+
+    cand = adc_topr.select(probe_id_col, id_col).join(
+        corpus.select(id_col, vector_col), id_col
+    )
+    out_schema = (
+        f"{probe_id_col} {id_sql_type(adc_topr, probe_id_col)}, "
+        f"{id_col} {id_sql_type(adc_topr, id_col)}, sim double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+            )
+            norms = np.linalg.norm(E, axis=1)
+            norms[norms == 0] = 1.0
+            En = E / norms[:, None]
+            P = np.stack([pvecs[p] for p in pdf[probe_id_col]])
+            sims = (En * P).sum(1)
+            yield pd.DataFrame(
+                {
+                    probe_id_col: pdf[probe_id_col],
+                    id_col: pdf[id_col],
+                    "sim": sims,
+                }
+            )
+
+    scored = cand.mapInPandas(run, schema=out_schema)
+    wk = Window.partitionBy(probe_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(probe_id_col, id_col, "sim", "rnk")
+    )
+
+
+def ivf_pq_search(
+    spark: SparkSession,
+    path: str,
+    probes: DataFrame,
+    codebooks,
+    codes_path: str | None = None,
+    k: int = 10,
+    n_probe: int = 2,
+    refine_r: int = 0,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vector_col: str = "probe_embedding",
+) -> DataFrame:
+    """IVF-PQ over a `persist_ivf` layout: coarse routing prunes to n_probe
+    partitions (PartitionFilters on centroid_id), ADC scores the pruned
+    codes, and `refine_r` > 0 re-ranks the ADC top-R exactly.  When a
+    pre-encoded `codes_path` exists it is read instead of encoding on the
+    fly (the production layout: codes live beside the IVF lists, 32-64×
+    smaller than the vectors they index)."""
+    crows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    recs = _route_probes(probes, crows, n_probe, probe_id_col, probe_vector_col)
+    wanted = sorted({r[2] for r in recs})
+    data = spark.read.parquet(f"{path}/data").filter(
+        F.col("centroid_id").isin(wanted)
+    )
+    if codes_path is not None:
+        codes = spark.read.parquet(codes_path).filter(
+            F.col("centroid_id").isin(wanted)
+        )
+    else:
+        codes = pq_encode(
+            data, codebooks, id_col, vector_col, extra_cols=["centroid_id"]
+        )
+    r = max(refine_r, k)
+    adc = pq_adc_topk(
+        codes,
+        probes,
+        codebooks,
+        r,
+        id_col,
+        probe_id_col,
+        probe_vector_col,
+        routing_recs=recs,
+        # candidate mode: ADC scores are discrete (shared code words tie),
+        # so the refine stage must see the whole tied boundary group
+        keep_ties=refine_r > 0,
+    )
+    if refine_r <= 0:
+        return adc.filter(F.col("rnk") <= k)
+    return pq_refine(
+        adc, data, probes, k, id_col, vector_col, probe_id_col, probe_vector_col
+    )

@@ -1498,3 +1498,71 @@ def nb_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     neg = F.col("source").isin("src15", "src16", "src17", "src18", "src19")
     return textstats.nb_quality_scores(d, pos, neg)
+
+
+# ── product quantization ADC search ───────────────────────────────────────
+
+# m=4 subspaces × 16 dims, ksub=16 codes: every stage (normalize, codebook
+# slice, argmin encode, ADC table, lookup-sum) is deterministic float64
+# arithmetic, so DuckDB replays PQ training + encoding + search bit-for-bit.
+ANN_PQ_ORACLE = """
+    WITH nrm AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS e
+        FROM embeddings
+    ),
+    cb AS (
+        SELECT b.vec_id AS code_id, j.j AS j,
+               b.e[j.j * 16 + 1 : (j.j + 1) * 16] AS c
+        FROM (SELECT * FROM nrm ORDER BY vec_id ASC LIMIT 16) b
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+    ),
+    codes AS (
+        SELECT vec_id, j, code_id FROM (
+            SELECT n.vec_id, cb.j, cb.code_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id, cb.j ORDER BY
+                       list_distance(n.e[cb.j * 16 + 1 : (cb.j + 1) * 16], cb.c) ASC,
+                       cb.code_id ASC) AS rn
+            FROM nrm n CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    probes AS (SELECT vec_id AS probe_id, e FROM nrm ORDER BY vec_id ASC LIMIT 5),
+    tbl AS (
+        SELECT p.probe_id, cb.j, cb.code_id,
+               list_inner_product(p.e[cb.j * 16 + 1 : (cb.j + 1) * 16], cb.c) AS t
+        FROM probes p CROSS JOIN cb
+    ),
+    scored AS (
+        SELECT t.probe_id, c.vec_id, SUM(t.t) AS asim
+        FROM codes c JOIN tbl t ON t.j = c.j AND t.code_id = c.code_id
+        GROUP BY t.probe_id, c.vec_id
+    )
+    SELECT probe_id, vec_id, ROUND(asim, 6) AS asim, rnk FROM (
+        SELECT probe_id, vec_id, asim,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY asim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """
+
+
+@query("ann_pq", ANN_PQ_ORACLE)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (ann.pq_codebooks/pq_encode/
+    pq_adc_topk — Jégou et al. 2011): vectors compress to m=4 one-byte
+    codes, probes score via per-probe inner-product tables, and NO vector
+    payload is read at search time — the 32-64× scan-IO reduction that
+    makes ANN affordable at 100 TB.  Encoding is a zero-shuffle Arrow map;
+    the only shuffle carries (probe_id, id, asim) partial top-ks.  The
+    oracle replays training, encoding, and ADC arithmetically."""
+    from fusionspark.operators.ann import pq_adc_topk, pq_codebooks, pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(e, m=4, ksub=16)
+    codes = pq_encode(e, cbs)
+    probes = self_probes(e, 5)
+    return pq_adc_topk(codes, probes, cbs, k=10).select(
+        "probe_id", "vec_id", F.round("asim", 6).alias("asim"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )

@@ -323,3 +323,113 @@ def test_srp_lsh_recall(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.5
     for p, s in ap.items():
         assert p in s
+
+
+def test_pq_encode_shapes_ties_and_no_shuffle(spark, sf_dir):
+    """Codes are m per vector in [0, ksub); the first ksub vectors encode
+    to their own index in every subspace (distance 0 to themselves); the
+    encode plan is a pure map — no exchange."""
+    from fusionspark.operators.ann import pq_codebooks, pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(e, m=4, ksub=16)
+    assert cbs.shape == (4, 16, 16)
+    codes = pq_encode(e, cbs)
+    rows = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    for vid, cs in rows.items():
+        assert len(cs) == 4 and all(0 <= c < 16 for c in cs)
+    for vid in range(16):  # codebook donors must self-encode
+        assert rows[vid] == [vid] * 4
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pq_adc_recall_and_refine(spark, sf_dir):
+    """ADC top-k approximates exact cosine top-k; Lloyd codebooks beat or
+    match none; exact refine over the ADC top-50 recovers most of the
+    exact top-10."""
+    from fusionspark.operators.ann import (
+        pq_adc_topk,
+        pq_codebooks_lloyd,
+        pq_encode,
+        pq_refine,
+    )
+    from fusionspark.operators.knn import knn
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = self_probes(e, 5)
+    exact: dict = {}
+    for r in knn(e, probes, k=10).collect():
+        exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    cbs = pq_codebooks_lloyd(e, m=8, ksub=32, iters=4, sample_n=500)
+    codes = pq_encode(e, cbs)
+    adc50 = pq_adc_topk(codes, probes, cbs, k=50)
+    refined = pq_refine(adc50, e, probes, k=10)
+    hits = sum(
+        1
+        for r in refined.collect()
+        if r["vec_id"] in exact.get(r["probe_id"], ())
+    )
+    denom = sum(len(s) for s in exact.values())
+    assert hits / denom >= 0.6  # 8-byte codes + refine on 64-d vectors
+    # every probe finds itself (distance 0 survives any quantizer)
+    found = {r["probe_id"]: set() for r in refined.collect()}
+    for r in refined.collect():
+        found[r["probe_id"]].add(r["vec_id"])
+    for p, s in found.items():
+        assert p in s
+
+
+def test_ivf_pq_search_runs_on_persisted_layout(spark, sf_dir, tmp_path):
+    """IVF-PQ end-to-end: coarse pruning to n_probe lists + ADC + refine;
+    results are a subset of the pruned lists and ranked by exact cosine."""
+    from fusionspark.operators.ann import (
+        ivf_pq_search,
+        persist_ivf,
+        pq_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    persist_ivf(e, path, n_centroids=8)
+    cbs = pq_codebooks(e, m=4, ksub=16)
+    probes = self_probes(e, 3)
+    out = ivf_pq_search(
+        spark, path, probes, cbs, k=5, n_probe=4, refine_r=20
+    ).collect()
+    by_probe: dict = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for p, rs in by_probe.items():
+        assert len(rs) <= 5
+        sims = [r["sim"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert sims == sorted(sims, reverse=True)
+        assert any(r["vec_id"] == p for r in rs)  # self found via refine
+
+
+def test_pq_adc_keep_ties_widens_discrete_boundaries(spark):
+    """ADC scores are discrete (shared code words tie): keep_ties=True must
+    return the whole tied boundary group, row_number mode exactly k."""
+    import numpy as np
+
+    from fusionspark.operators.ann import pq_adc_topk, pq_codebooks, pq_encode
+
+    # 12 copies of the same vector + 4 distinct ones: any k cut inside the
+    # copy group is arbitrary under row_number, complete under rank
+    base = [float(i % 7 + 1) for i in range(8)]
+    rows = [(i, base) for i in range(12)]
+    rows += [(100 + j, [float((i * (j + 2)) % 5 + 1) for i in range(8)]) for j in range(4)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cbs = pq_codebooks(e, m=2, ksub=4)
+    codes = pq_encode(e, cbs)
+    probes = e.limit(1).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_embedding")
+    )
+    strict = pq_adc_topk(codes, probes, cbs, k=5).collect()
+    assert len(strict) == 5
+    tied = pq_adc_topk(codes, probes, cbs, k=5, keep_ties=True).collect()
+    assert len(tied) >= 12  # the whole copy group survives the cut
+    top = [r for r in tied if r["rnk"] == 1]
+    sims = {round(r["asim"], 9) for r in top}
+    assert len(sims) == 1
