@@ -177,6 +177,7 @@ def bench_queries(spark):
         "paragraph_dedup",
         "nb_quality",
         "ann_pq",
+        "warc_ingest",
     ]
     out = {
         "knn_batch64": knn_batch,

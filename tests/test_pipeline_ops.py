@@ -509,3 +509,65 @@ def test_nb_scoring_join_broadcasts(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_warc_round_trip_and_malformed(spark):
+    """WARC writer/parser round trip (plain + gzip, HTTP split, non-response
+    records skipped by the source) and loud failures on corrupt streams."""
+    import pytest
+
+    from fusionspark.operators.warc import (
+        split_http_response,
+        warc_parse,
+        warc_write,
+    )
+
+    recs = [
+        {"type": "warcinfo", "record_id": "<urn:uuid:info>",
+         "payload": b"software: test"},
+        {"type": "response", "record_id": "<urn:uuid:r1>",
+         "uri": "https://x.example/a", "date": "2026-01-01T00:00:00Z",
+         "http": True, "payload": b"hello body\r\nwith lines"},
+        {"type": "request", "record_id": "<urn:uuid:q1>",
+         "uri": "https://x.example/a", "payload": b"GET /a HTTP/1.1"},
+    ]
+    for compress in (False, True):
+        parsed = warc_parse(warc_write(recs, compress=compress))
+        assert [r["type"] for r in parsed] == ["warcinfo", "response", "request"]
+        http, body = split_http_response(parsed[1]["payload"])
+        assert http["status"].startswith("HTTP/1.1 200")
+        assert body == b"hello body\r\nwith lines"
+        assert parsed[1]["uri"] == "https://x.example/a"
+
+    with pytest.raises(ValueError):
+        warc_parse(b"NOT A WARC\r\n\r\n")
+    good = warc_write(recs)
+    with pytest.raises(ValueError):
+        warc_parse(good[:-30])  # truncated payload
+
+
+def test_warc_documents_source(spark, tmp_path):
+    """The binaryFile-backed source yields one row per response record,
+    split across files, with the parse running shuffle-free."""
+    from fusionspark.operators.warc import warc_documents, warc_write
+
+    for seg in range(3):
+        recs = [{"type": "warcinfo", "record_id": f"<i{seg}>", "payload": b"x"}]
+        for i in range(4):
+            recs.append({
+                "type": "response", "record_id": f"<r{seg}-{i}>",
+                "uri": f"https://t.example/{seg}/{i}", "http": True,
+                "mime": "text/plain", "payload": f"doc {seg}-{i}".encode(),
+            })
+        (tmp_path / f"s{seg}.warc.gz").write_bytes(warc_write(recs, compress=True))
+
+    docs = warc_documents(spark, str(tmp_path))
+    rows = docs.collect()
+    assert len(rows) == 12
+    assert {r["warc_file"] for r in rows} == {"s0.warc.gz", "s1.warc.gz", "s2.warc.gz"}
+    assert all(r["http_status"] == 200 for r in rows)
+    assert {r["body"] for r in rows if r["warc_file"] == "s1.warc.gz"} == {
+        f"doc 1-{i}" for i in range(4)
+    }
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
