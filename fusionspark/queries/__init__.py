@@ -32,29 +32,31 @@ def query(name: str, sql: str | None = None):
 # touched this round keep their valid r1/r2 attestations (the r1∪r2 union
 # covered all 86 registered queries with zero failures).
 PRIORITY: list[str] = [
-    # new in round 5 — training-pipeline additions: near-dup clustering
-    # (connected components), Gopher/C4 quality rules, deterministic
-    # sampling, sequence packing, PII redaction
-    "dedup_clusters", "gopher_quality", "c4_filter",
-    "hash_sample", "pack_sequences", "pii_redact",
-    "repetition_stats", "vocab_coverage",
-    "domain_mix", "contamination_check", "dedup_incremental",
-    "corpus_funnel",
-    "tpch_returned_items", "tpch_small_qty_revenue", "tpch_large_orders",
-    "wav_features",
-    # changed in round 5: ts-column normalization (io.py NTZ handling) —
-    # every time-axis query re-attests on the regenerated testdata
+    # new in round 6 — real codecs (JPEG baseline decode, ISO-BMFF box
+    # parse, WARC source), sub-document dedup, trainable NB quality
+    # classifier, product-quantization ADC search
+    "jpeg_features", "mp4_metadata", "warc_ingest",
+    "paragraph_dedup", "nb_quality", "ann_pq",
+    # round 6 (earlier session): SRP got its DuckDB oracle, pHash image
+    # near-dup landed, gopher line rules + de-interpreted funnel changed
+    # those queries' bodies — all need fresh attestation rows
+    "ann_srp", "phash_neardup", "gopher_quality", "corpus_funnel",
+    # changed in round 6: load_table NTZ conversion is now zone-free —
+    # every time-axis query re-attests
     "asof_click_view", "range_error_context", "events_time_rollup",
     "events_json_props", "stream_tumbling", "stream_sliding",
     "stream_session", "stream_dedup", "conversation_tail",
-    # changed in round 5: NULL-addressee dead-letter routing (routing.py)
-    "message_deliveries", "messages_significant",
-    # still-valuable r3 attestations kept warm: the scale-path near-dups,
-    # PNG codec pipeline, and distributed IVF forms
+    # round-5 additions kept warm (all green in CORRECTNESS_r05)
+    "dedup_clusters", "c4_filter", "hash_sample", "pack_sequences",
+    "pii_redact", "repetition_stats", "vocab_coverage",
+    "domain_mix", "contamination_check", "dedup_incremental",
+    "tpch_returned_items", "tpch_small_qty_revenue", "tpch_large_orders",
+    "wav_features", "message_deliveries", "messages_significant",
+    # scale-path attestations kept warm
     "neardup_ngram_lsh", "neardup_embedding_ivf", "png_features",
     "ann_ivf_distributed", "ann_ivf_filtered",
     "dedup_minhash", "neardup_ngram", "merge_candidates",
-    "neardup_embedding", "ann_srp",
+    "neardup_embedding",
     "keyword_search", "keyword_index_search", "rrf_fusion",
     "tree_reasoning_search",
 ]
