@@ -177,6 +177,7 @@ def bench_queries(spark):
         "paragraph_dedup",
         "nb_quality",
         "ann_pq",
+        "ann_ivf_pq",
         "warc_ingest",
     ]
     out = {

@@ -36,7 +36,7 @@ PRIORITY: list[str] = [
     # parse, WARC source), sub-document dedup, trainable NB quality
     # classifier, product-quantization ADC search
     "jpeg_features", "mp4_metadata", "warc_ingest",
-    "paragraph_dedup", "nb_quality", "ann_pq",
+    "paragraph_dedup", "nb_quality", "ann_pq", "ann_ivf_pq",
     # round 6 (earlier session): SRP got its DuckDB oracle, pHash image
     # near-dup landed, gopher line rules + de-interpreted funnel changed
     # those queries' bodies — all need fresh attestation rows

@@ -1642,3 +1642,108 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.md5("body").alias("body_md5"),
     )
+
+
+# ── IVF-PQ combined (coarse routing + ADC inside routed lists) ────────────
+
+ANN_IVF_PQ_ORACLE = """
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    nrm AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS e
+        FROM embeddings
+    ),
+    cb AS (
+        SELECT b.vec_id AS code_id, j.j AS j,
+               b.e[j.j * 16 + 1 : (j.j + 1) * 16] AS c
+        FROM (SELECT * FROM nrm ORDER BY vec_id ASC LIMIT 16) b
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+    ),
+    codes AS (
+        SELECT vec_id, j, code_id FROM (
+            SELECT n.vec_id, cb.j, cb.code_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id, cb.j ORDER BY
+                       list_distance(n.e[cb.j * 16 + 1 : (cb.j + 1) * 16], cb.c) ASC,
+                       cb.code_id ASC) AS rn
+            FROM nrm n CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT p.vec_id AS probe_id, p.embedding AS probe_embedding, n.e
+        FROM (SELECT * FROM embeddings ORDER BY vec_id ASC LIMIT 5) p
+        JOIN nrm n ON n.vec_id = p.vec_id
+    ),
+    probe_lists AS (
+        SELECT probe_id, centroid_id FROM (
+            SELECT p.probe_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                       list_cosine_similarity(p.probe_embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       c.centroid_id ASC) AS rn
+            FROM probes p CROSS JOIN cent c
+        ) WHERE rn <= 2
+    ),
+    tbl AS (
+        SELECT p.probe_id, cb.j, cb.code_id,
+               list_inner_product(p.e[cb.j * 16 + 1 : (cb.j + 1) * 16], cb.c) AS t
+        FROM probes p CROSS JOIN cb
+    ),
+    scored AS (
+        SELECT pl.probe_id, a.vec_id, SUM(t.t) AS asim
+        FROM assigned a
+        JOIN probe_lists pl ON a.centroid_id = pl.centroid_id
+        JOIN codes c ON c.vec_id = a.vec_id
+        JOIN tbl t ON t.probe_id = pl.probe_id AND t.j = c.j AND t.code_id = c.code_id
+        GROUP BY pl.probe_id, a.vec_id
+    )
+    SELECT probe_id, vec_id, ROUND(asim, 6) AS asim, rnk FROM (
+        SELECT probe_id, vec_id, asim,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY asim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """
+
+
+@query("ann_ivf_pq", ANN_IVF_PQ_ORACLE)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined, oracle-attested: the coarse quantizer routes each
+    probe to its nProbe=2 lists (same deterministic 8-centroid contract as
+    ann_ivf) and ADC scores ONLY the codes in those lists via the per-list
+    routing in pq_adc_topk — the full production search minus the refine
+    stage (attested separately via ann_pq + the refine tests).  No vector
+    payload is read during scoring; the corpus never reshuffles."""
+    from fusionspark.operators.ann import (
+        _assign_from_rows,
+        _collect_centroids,
+        _route_probes,
+        deterministic_centroids,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    crows = _collect_centroids(deterministic_centroids(e, 8))
+    assigned = _assign_from_rows(e, crows, "embedding")
+    cbs = pq_codebooks(e, m=4, ksub=16)
+    codes = pq_encode(assigned, cbs, extra_cols=["centroid_id"])
+    probes = self_probes(e, 5)
+    recs = _route_probes(probes, crows, 2, "probe_id", "probe_embedding")
+    adc = pq_adc_topk(codes, probes, cbs, k=10, routing_recs=recs)
+    return adc.select(
+        "probe_id", "vec_id", F.round("asim", 6).alias("asim"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
