@@ -179,6 +179,7 @@ def bench_queries(spark):
         "ann_pq",
         "ann_ivf_pq",
         "warc_ingest",
+        "bpe_tokenize",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -41,6 +41,7 @@ PRIORITY: list[str] = [
     # near-dup landed, gopher line rules + de-interpreted funnel changed
     # those queries' bodies — all need fresh attestation rows
     "ann_srp", "phash_neardup", "gopher_quality", "corpus_funnel",
+    "bpe_merges", "bpe_tokenize",
     # changed in round 6: load_table NTZ conversion is now zone-free —
     # every time-axis query re-attests
     "asof_click_view", "range_error_context", "events_time_rollup",

@@ -1747,3 +1747,40 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "vec_id", F.round("asim", 6).alias("asim"),
         F.col("rnk").cast("long").alias("rnk"),
     )
+
+
+# ── BPE tokenizer induction (rows-only: iterated argmax is not SQL) ──
+
+
+@query("bpe_merges")
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (operators/bpe.py — Sennrich
+    et al. 2016): ONE corpus-sized word-frequency aggregation, then every
+    merge round runs on the vocabulary-sized table (weighted pair explode +
+    hash agg + one argmax scalar to the driver — the merge list is
+    inherently sequential).  Rows-only: each round's input depends on the
+    previous round's merge, an iteration SQL can't replay; the oracle is
+    the bit-exact pure-Python reference parity test in tests/test_bpe.py."""
+    from fusionspark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=16)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank long, left string, right string, pair_count long",
+    )
+
+
+@query("bpe_tokenize")
+def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus under the learned merges (zero-shuffle Arrow map,
+    merge ranks broadcast in the closure) — per-doc subword token counts,
+    the statistic sequence-packing and curriculum stages consume."""
+    from fusionspark.operators.bpe import bpe_encode, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=16)
+    enc = bpe_encode(d, merges)
+    return enc.select(
+        "doc_id", "n_tokens", F.md5(F.concat_ws("", "tokens")).alias("tokens_md5")
+    )
