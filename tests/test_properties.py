@@ -80,3 +80,55 @@ def test_recursive_chunks_invariants(text, chunk_size):
     for c in chunks:
         assert c
     assert text.startswith(chunks[0])
+
+
+# ── binary-parser hardening: malformed inputs raise, never hang ───────────
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=120, deadline=2000)
+def test_jpeg_decode_never_hangs_on_garbage(data):
+    import pytest
+
+    from fusionspark.operators.jpeg import jpeg_decode
+
+    with pytest.raises(Exception):
+        jpeg_decode(data)  # garbage can't be a valid image
+
+
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 200))
+@settings(max_examples=80, deadline=2000)
+def test_jpeg_decode_survives_truncation_and_bitflips(tail, cut):
+    import numpy as np
+
+    from fusionspark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    qb = np.zeros((6, 8, 8), dtype=np.int64)
+    for b in range(6):
+        qb[b, 0, 0] = b * 13 - 30
+    good = jpeg_encode(None, qblocks=qb, size=(24, 16))
+    mutated = good[: max(2, len(good) - cut)] + tail
+    try:
+        out = jpeg_decode(mutated)
+        assert out.dtype == np.uint8  # decoded despite mutation: fine
+    except Exception:
+        pass  # raising is the other acceptable outcome — never hang/corrupt
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=120, deadline=2000)
+def test_mp4_and_warc_and_wav_parsers_never_hang(data):
+    import pytest
+
+    from fusionspark.operators.mp4 import mp4_parse
+    from fusionspark.operators.multimodal import png_decode, wav_decode
+    from fusionspark.operators.warc import warc_parse
+
+    for fn in (mp4_parse, wav_decode, png_decode):
+        with pytest.raises(Exception):
+            fn(data)
+    try:
+        recs = warc_parse(data)  # empty/blank-line streams parse to []
+        assert recs == [] or isinstance(recs, list)
+    except Exception:
+        pass
