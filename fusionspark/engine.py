@@ -291,13 +291,25 @@ class FusionSparkEngine:
 
     # ── index lifecycle (V6 analogue) ─────────────────────────────────────
 
-    def build_index(self, collection: str, n_centroids: int | None = None) -> dict:
+    def build_index(
+        self,
+        collection: str,
+        n_centroids: int | None = None,
+        pq: bool = False,
+        pq_m: int = 4,
+        pq_ksub: int = 16,
+    ) -> dict:
         """Persist an IVF partition-pruned layout for the collection — the
         Spark analogue of the reference's build-once HNSW graph
         (HNSWIndex.js:245-320).  Defaults to ~√N centroids (executor-sized
         lists).  Cosine only (the reference's default metric).  The index
         carries the full row payload, so approximate search filters and
-        hydrates from the pruned lists without touching the base table."""
+        hydrates from the pruned lists without touching the base table.
+
+        pq=True additionally trains Lloyd-refined PQ codebooks and persists
+        m-byte codes partitioned beside the lists (`codes/`), enabling the
+        ADC search path in search_many(method="ivf_pq") — 32-64× less list
+        IO than the float payloads at scale."""
         import math
 
         from fusionspark.operators.ann import persist_ivf
@@ -316,8 +328,9 @@ class FusionSparkEngine:
             [(i, [float(x) for x in r["vector"]]) for i, r in enumerate(head)],
             "centroid_id: bigint, centroid: array<float>",
         )
+        path = os.path.join(self.root, f"index={collection}")
         persist_ivf(
-            df, os.path.join(self.root, f"index={collection}"),
+            df, path,
             n_centroids=k, id_col="id", vector_col="vector", centroids=cents,
         )
         cfg["index"] = {
@@ -326,6 +339,23 @@ class FusionSparkEngine:
             "at_mutation": cfg.get("mutations", 0),
             "built_at": int(time.time() * 1000),
         }
+        if pq:
+            import numpy as np
+
+            from fusionspark.operators.ann import pq_codebooks_lloyd, pq_encode
+
+            cbs = pq_codebooks_lloyd(
+                df, m=pq_m, ksub=pq_ksub, id_col="id", vector_col="vector"
+            )
+            np.save(os.path.join(self.root, f"index={collection}.pq.npy"), cbs)
+            pq_encode(
+                self.spark.read.parquet(f"{path}/data"),
+                cbs, id_col="id", vector_col="vector",
+                extra_cols=["centroid_id"],
+            ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+                f"{path}/codes"
+            )
+            cfg["index"]["pq"] = {"m": pq_m, "ksub": pq_ksub}
         self._save_catalog()
         return cfg["index"]
 
@@ -437,15 +467,20 @@ class FusionSparkEngine:
         n_probe: int = 8,
         probe_id_col: str = "probe_id",
         probe_vector_col: str = "probe_embedding",
+        method: str = "ivf",
+        refine_r: int = 50,
     ) -> DataFrame:
         """Batch search: a DataFrame of probes in, a DataFrame of
         (probe_id, id, sim/score, rank) out — nothing collects to the
         driver, so a million-probe batch is one distributed job (the
         reference answers probes one loop iteration at a time).  Exact path
-        = GEMM k-NN; approximate path = the distributed IVF search over a
-        fresh build_index() layout (stale index raises — a silent exact
-        fallback would surprise at this scale; rebuild or pass
-        approximate=False)."""
+        = GEMM k-NN; approximate paths over a fresh build_index() layout
+        (stale index raises — a silent exact fallback would surprise at
+        this scale; rebuild or pass approximate=False):
+        method="ivf" = distributed pruned-list exact rerank;
+        method="ivf_pq" = ADC over the persisted m-byte codes with
+        tie-kept exact refine of the top `refine_r` (needs
+        build_index(pq=True))."""
         cfg = self._catalog[collection]
         if approximate:
             if cfg["metric"] != "cosine":
@@ -456,11 +491,32 @@ class FusionSparkEngine:
                     "build_index() first (batch search will not silently "
                     "fall back to an exact scan)"
                 )
+            path = os.path.join(self.root, f"index={collection}")
+            if method == "ivf_pq":
+                import numpy as np
+
+                from fusionspark.operators.ann import ivf_pq_search
+
+                if "pq" not in cfg["index"]:
+                    raise ValueError(
+                        f"no PQ codes for {collection!r}; call "
+                        "build_index(pq=True) first"
+                    )
+                cbs = np.load(f"{path}.pq.npy")
+                return ivf_pq_search(
+                    self.spark, path, probes, cbs,
+                    codes_path=f"{path}/codes", k=top_k,
+                    n_probe=min(n_probe, cfg["index"]["n_centroids"]),
+                    refine_r=refine_r,
+                    id_col="id", vector_col="vector",
+                    probe_id_col=probe_id_col,
+                    probe_vector_col=probe_vector_col,
+                )
             from fusionspark.operators.ann import ivf_search_distributed
 
             return ivf_search_distributed(
                 self.spark,
-                os.path.join(self.root, f"index={collection}"),
+                path,
                 probes, k=top_k,
                 n_probe=min(n_probe, cfg["index"]["n_centroids"]),
                 id_col="id", vector_col="vector",

@@ -372,3 +372,37 @@ def test_manifest_upsert_history_is_single_commit(spark, tmp_path):
     assert t.version() == before + 1
     assert t.history()[-1]["op"] == "upsert"
     assert eng._load("c").count() == 1
+
+
+def test_build_index_pq_and_adc_search(engine, spark):
+    """build_index(pq=True) persists codes beside the lists; the ivf_pq
+    batch path answers through ADC + exact refine and matches the exact
+    top-k on a well-separated corpus; missing codes raise."""
+    import pytest as _pytest
+
+    engine.create_collection("pq", CollectionConfig(dimensions=4))
+    base = {0: [1, 0, 0, 0], 1: [0, 1, 0, 0], 2: [0, 0, 1, 0], 3: [0, 0, 0, 1]}
+    engine.insert("pq", [
+        {"id": f"{j}_{c}", "vector": [x + 0.01 * j for x in v]}
+        for c, v in base.items() for j in range(6)
+    ])
+    probes = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in base.items()],
+        "probe_id: bigint, probe_embedding: array<float>",
+    )
+    engine.build_index("pq", n_centroids=4)  # no PQ codes yet
+    with _pytest.raises(ValueError, match="no PQ codes"):
+        engine.search_many("pq", probes, top_k=3, approximate=True,
+                           method="ivf_pq")
+    info = engine.build_index("pq", n_centroids=4, pq=True, pq_m=2, pq_ksub=4)
+    assert info["pq"] == {"m": 2, "ksub": 4}
+
+    exact = engine.search_many("pq", probes, top_k=3)
+    out = engine.search_many("pq", probes, top_k=3, approximate=True,
+                             method="ivf_pq", n_probe=2, refine_r=12)
+    ge, ga = {}, {}
+    for r in sorted(exact.collect(), key=lambda r: (r["probe_id"], r["rank"])):
+        ge.setdefault(r["probe_id"], []).append(r["id"])
+    for r in sorted(out.collect(), key=lambda r: (r["probe_id"], r["rnk"])):
+        ga.setdefault(r["probe_id"], []).append(r["id"])
+    assert ga == ge  # refine is exact; candidates cover the separated clusters
