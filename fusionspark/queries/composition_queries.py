@@ -279,3 +279,58 @@ def tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape — the classic 6-way join with the local-supplier twist
+    (customer and supplier must share a nation): every dimension
+    broadcasts, the date range pushes into the orders scan, and the
+    nation-equality is part of the supplier join condition so mismatched
+    pairs never reach the aggregate.  One shuffle: the final n_name agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )

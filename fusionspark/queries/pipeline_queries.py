@@ -1797,3 +1797,60 @@ def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "doc_id", "n_tokens", F.md5(F.concat_ws("", "tokens")).alias("tokens_md5")
     )
+
+
+# ── curriculum sharding (quality-ordered data ordering) ──────────────────
+
+_QUALITY_EXPR_SQL = f"""
+        least(1.0, n_tokens / 50.0) * 0.5
+        + least(1.0, CASE WHEN n_tokens > 0
+                     THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 2) * 0.3
+        + CASE WHEN length(text) > 0
+               THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                    / length(text) ELSE 0 END * 0.2
+"""
+
+
+@query(
+    "curriculum_shards",
+    f"""
+    WITH q AS (
+        SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality
+        FROM (
+            SELECT doc_id, text, len(words) AS n_tokens,
+                   len(list_filter(words, t -> list_contains({{stops}}, t))) AS n_stop
+            FROM (SELECT doc_id, text, {{words}} AS words FROM documents)
+        )
+    ),
+    sh AS (
+        SELECT doc_id, quality,
+               NTILE(8) OVER (ORDER BY quality ASC, doc_id ASC) AS shard
+        FROM q
+    )
+    SELECT shard::INT AS shard, COUNT(*)::BIGINT AS n_docs,
+           ROUND(AVG(quality), 6) AS avg_quality,
+           ROUND(MIN(quality), 6) AS min_quality,
+           ROUND(MAX(quality), 6) AS max_quality
+    FROM sh GROUP BY shard
+    """.replace("{stops}", _STOP_SQL).replace("{words}", _WORDS),
+)
+def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: documents ranked by the composite quality
+    score into 8 equal shards (train easy→hard or hard→easy).  The ntile
+    here is the oracle-exact form; at 100 TB swap the global sort for
+    approx_percentile boundaries + a broadcast range join — same shard
+    semantics within quantile-sketch error, no total order."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", textstats.quality_score("text").alias("quality")
+    )
+    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    sh = q.withColumn("shard", F.ntile(8).over(w))
+    return sh.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+        F.round(F.max("quality"), 6).alias("max_quality"),
+    )
