@@ -89,3 +89,26 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Bucketed (and bucket-sorted) table write — the standing layout for
+    fact-to-fact joins too big to broadcast: two tables bucketed by the
+    same key into the same bucket count join with a SortMergeJoin and NO
+    Exchange on either side (Catalyst proves co-partitioning from the
+    bucket spec), and repeated aggregations on the key skip their shuffle
+    the same way.  At 100 TB this converts every recurring join on the key
+    from a full-network shuffle into a local merge — the single biggest
+    standing-layout win Spark offers.  Pair with
+    `spark.sql.sources.bucketing.enabled` (on by default) and equal bucket
+    counts on both sides."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(name)
