@@ -1257,3 +1257,39 @@ def ivf_pq_search(
     return pq_refine(
         adc, data, probes, k, id_col, vector_col, probe_id_col, probe_vector_col
     )
+
+
+def ivf_append(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    codebooks=None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> None:
+    """Append a new batch to a persisted IVF layout (and its PQ codes)
+    WITHOUT touching existing lists — the FAISS add-with-frozen-quantizer
+    contract: assignment runs the same zero-shuffle map against the FROZEN
+    centroids, so existing rows' list membership never changes and the
+    write appends whole-list files into the partition directories.  The
+    incremental sibling of dedup's persist_minhash_index/minhash_lookup:
+    per-ingest cost is O(batch), the corpus is never re-read.  Index
+    quality drifts as the data distribution leaves the frozen centroids —
+    monitor per-list growth and rebuild on skew, exactly as production
+    IVF deployments do."""
+    crows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    assigned = _assign_from_rows(new_df, crows, vector_col).drop("c_sim")
+    (
+        assigned.repartition(F.col("centroid_id"))
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/data")
+    )
+    if codebooks is not None:
+        (
+            pq_encode(assigned, codebooks, id_col, vector_col,
+                      extra_cols=["centroid_id"])
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/codes")
+        )

@@ -446,6 +446,54 @@ def resize_images(media: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFra
     )
 
 
+def resize_media_real(media: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame:
+    """REAL-codec resize: decode (PNG/JPEG via decode_real), block-mean
+    downsample to `target`, return the resized plane bytes + exact-
+    arithmetic attest columns (mean of resized plane, position-weighted
+    checksum).  Downsampled pixels use uint8 truncation of the block mean
+    (floor for non-negative values) — replayable as floor(sum/block_px)
+    in SQL when the source pixel law is closed-form."""
+    th, tw = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "resized": [], "out_width": [], "out_height": [],
+                "mean_resized": [], "res_checksum": [],
+            }
+            for mid, payload, mime in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
+                plane = decode_real(payload, mime).astype(np.float64)
+                ph, pw = plane.shape
+                ys = np.linspace(0, ph, th + 1).astype(int)
+                xs = np.linspace(0, pw, tw + 1).astype(int)
+                res = np.zeros((th, tw), dtype=np.uint8)
+                for i in range(th):
+                    for j in range(tw):
+                        block = plane[
+                            ys[i]: max(ys[i + 1], ys[i] + 1),
+                            xs[j]: max(xs[j + 1], xs[j] + 1),
+                        ]
+                        res[i, j] = np.uint8(block.mean())
+                flat = res.astype(np.int64).reshape(-1)
+                out["media_id"].append(int(mid))
+                out["resized"].append(res.tobytes())
+                out["out_width"].append(tw)
+                out["out_height"].append(th)
+                out["mean_resized"].append(float(flat.sum()) / flat.size)
+                out["res_checksum"].append(
+                    int(np.dot(flat, np.arange(flat.size, dtype=np.int64)))
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload", "mime").mapInPandas(
+        run,
+        schema=(
+            "media_id bigint, resized binary, out_width int, out_height int, "
+            "mean_resized double, res_checksum bigint"
+        ),
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per sampled
     timestamp (the real kernel would seek+decode; the stub emits the

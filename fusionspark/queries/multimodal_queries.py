@@ -253,6 +253,45 @@ def mp4_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "png_resize",
+    f"""
+    WITH pix AS (
+        SELECT doc_id, k.k AS k, ((doc_id * 7 + 3 * k.k) % 251) AS v
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, {MM.PNG_W * MM.PNG_H - 1})) AS k) k
+    ),
+    blocks AS (
+        SELECT doc_id,
+               ((k // {MM.PNG_W}) // 2) * 8 + ((k % {MM.PNG_W}) // 3) AS b,
+               SUM(v)::BIGINT AS s
+        FROM pix
+        GROUP BY doc_id, ((k // {MM.PNG_W}) // 2) * 8 + ((k % {MM.PNG_W}) // 3)
+    ),
+    res AS (SELECT doc_id, b, (s // 6) AS r FROM blocks)
+    SELECT doc_id,
+           ROUND(SUM(r)::DOUBLE / 64, 6) AS mean_resized,
+           SUM(r * b)::BIGINT AS res_checksum
+    FROM res GROUP BY doc_id
+    """,
+)
+def png_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec resize, oracle-attested: decode the synthetic PNGs
+    (stdlib inflate + unfilter), block-mean downsample 24×16 → 8×8
+    (uniform 2×3 blocks), and attest every resized pixel via the
+    position-weighted checksum; the oracle replays the closed-form pixel
+    law through the same floor(sum/6) arithmetic.  Upgrades the resize
+    kernel from the fake-decode [R] demo to a certified real-decode
+    pipeline (the shape-contract `image_resize` demo remains)."""
+    m = MM.synth_png_media(spark, sf_dir)
+    res = MM.resize_media_real(m, target=(8, 8))
+    return res.select(
+        F.col("media_id").alias("doc_id"),
+        F.round("mean_resized", 6).alias("mean_resized"),
+        "res_checksum",
+    )
+
+
+@query(
     "wav_features",
     """
     WITH ks AS (

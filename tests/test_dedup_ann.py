@@ -433,3 +433,62 @@ def test_pq_adc_keep_ties_widens_discrete_boundaries(spark):
     top = [r for r in tied if r["rnk"] == 1]
     sims = {round(r["asim"], 9) for r in top}
     assert len(sims) == 1
+
+
+def test_ivf_append_frozen_quantizer_parity(spark, sf_dir, tmp_path):
+    """Appending a batch against frozen centroids yields exactly the same
+    search results as a one-shot assignment of the full corpus against the
+    SAME centroids; appended vectors are findable; PQ codes append too."""
+    import numpy as np
+
+    from fusionspark.operators.ann import (
+        _assign_from_rows,
+        _collect_centroids,
+        ivf_append,
+        ivf_knn,
+        ivf_pq_search,
+        ivf_search_persisted,
+        persist_ivf,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    half1 = e.filter(F.col("vec_id") % 2 == 0)
+    half2 = e.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_inc")
+    persist_ivf(half1, path, n_centroids=8)
+    cbs = pq_codebooks(half1, m=4, ksub=16)
+    pq_encode(
+        spark.read.parquet(f"{path}/data"), cbs, extra_cols=["centroid_id"]
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/codes")
+
+    ivf_append(spark, path, half2, codebooks=cbs)
+
+    probes = self_probes(e, 4)
+    crows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    cents = spark.createDataFrame(
+        [(c, v) for c, v, _ in crows], "centroid_id long, centroid array<float>"
+    )
+    expected = ivf_knn(
+        e, probes, k=5, n_probe=3,
+        centroids=cents, assigned=_assign_from_rows(e, crows, "embedding"),
+    )
+    got = ivf_search_persisted(spark, path, probes, k=5, n_probe=3)
+    exp = sorted((r["probe_id"], r["vec_id"], r["rnk"]) for r in expected.collect())
+    act = sorted((r["probe_id"], r["vec_id"], r["rnk"]) for r in got.collect())
+    assert act == exp
+
+    # an odd (appended) probe finds itself through the appended lists
+    odd_probe = self_probes(half2, 1)
+    top = ivf_search_persisted(spark, path, odd_probe, k=1, n_probe=1).collect()
+    assert top and top[0]["vec_id"] == top[0]["probe_id"]
+
+    # PQ codes cover the whole corpus after the append
+    n_codes = spark.read.parquet(f"{path}/codes").count()
+    assert n_codes == e.count()
+    pq_top = ivf_pq_search(
+        spark, path, odd_probe, cbs, codes_path=f"{path}/codes",
+        k=1, n_probe=1, refine_r=8,
+    ).collect()
+    assert pq_top and pq_top[0]["vec_id"] == pq_top[0]["probe_id"]
