@@ -332,3 +332,45 @@ def test_clean_stream_neardup_matches_batch_incremental(spark, tmp_path):
     # index contents: seeds + accepted, one signature row set per doc
     idx_ids = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
     assert idx_ids == {0, 1, 2} | expect_accepted
+
+
+def test_nb_stream_scoring_matches_batch(spark, tmp_path):
+    """The closure-broadcast NB scorer is stateless, so the same plan runs
+    a document stream: availableNow scores equal batch-form scores."""
+    from fusionspark.io import load_table
+    from fusionspark.operators.textstats import (
+        nb_quality_scores,
+        nb_score_rows,
+        nb_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents").limit(120).cache()
+    pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    neg = F.col("source").isin("src15", "src16", "src17", "src18", "src19")
+
+    w, default, prior = nb_weights(d, pos, neg)
+    # closure form ≈ join form (same math, float sum order may differ)
+    join_form = {r["doc_id"]: r for r in nb_quality_scores(d, pos, neg).collect()}
+    row_form = {r["doc_id"]: r for r in nb_score_rows(d, w, default, prior).collect()}
+    assert set(join_form) == set(row_form)
+    for k in join_form:
+        assert abs(join_form[k]["nb_score"] - row_form[k]["nb_score"]) < 1e-6
+        assert join_form[k]["quality_pred"] == row_form[k]["quality_pred"]
+
+    # stream the same docs through the same scorer
+    src = str(tmp_path / "src")
+    d.select("doc_id", "text").write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    scored = nb_score_rows(stream, w, default, prior)
+    out = str(tmp_path / "out")
+    q = (
+        scored.writeStream.option(
+            "checkpointLocation", str(tmp_path / "ck")
+        ).trigger(availableNow=True).start(out, format="parquet")
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert {k: v["nb_score"] for k, v in got.items()} == {
+        k: v["nb_score"] for k, v in row_form.items()
+    }
