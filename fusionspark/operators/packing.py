@@ -106,3 +106,28 @@ def domain_mix(
         F.element_at(F.create_map(*pairs), F.col(group_col)), F.lit(0)
     )
     return df.withColumn("mix_bucket", bucket).filter(F.col("mix_bucket") < rate)
+
+
+def curriculum_assign_approx(
+    df,
+    score_col: str,
+    n_shards: int = 8,
+    accuracy: int = 10_000,
+):
+    """Scale-path curriculum sharding: ONE pass computes approx-percentile
+    boundaries (a mergeable quantile sketch — no global sort), then shard
+    assignment is a literal comparison chain folded into the scan — zero
+    shuffle, unlike the oracle-exact ntile form (curriculum_shards), whose
+    total order is unpayable at 100 TB.  Shard sizes are equal within
+    sketch error (1/accuracy relative rank error).  Returns df + `shard`
+    (1-based, easy→hard like ntile ASC)."""
+    from pyspark.sql import functions as F
+
+    qs = [i / n_shards for i in range(1, n_shards)]
+    bounds = df.agg(
+        F.percentile_approx(score_col, qs, accuracy).alias("b")
+    ).first()["b"]
+    shard = F.lit(1)
+    for i, b in enumerate(bounds):
+        shard = F.when(F.col(score_col) > float(b), i + 2).otherwise(shard)
+    return df.withColumn("shard", shard.cast("int"))
