@@ -459,3 +459,88 @@ def nb_score_rows(
         run,
         schema=f"{id_col} long, n_tokens long, nb_score double, quality_pred int",
     )
+
+
+def lm_perplexity_scores(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+):
+    """Bigram language-model quality signal — the CCNet-style perplexity
+    filter (Wenzek et al. 2020 train a 5-gram KenLM on Wikipedia and drop
+    high-perplexity crawl text; the bigram form keeps the same plan shape
+    at a fraction of the model size):
+
+        logprob(w_i | w_{i-1}) = ln( (c(w_{i-1} w_i) + k) / (c(w_{i-1}) + k·V) )
+        doc score = mean over the doc's bigrams;  perplexity = exp(−mean)
+
+    Train = two hash aggregations over the corpus (bigram counts, unigram
+    counts); V = distinct unigrams.  Score = the document's bigram stream
+    joined against the O(model) count tables, which BROADCAST — the corpus
+    never reshuffles, the same scale contract as nb_quality_scores.
+    Returns (id, n_bigrams, avg_logprob, perplexity); single-token docs
+    score NULL-free with n_bigrams = 0 and perplexity 1 (vacuous mean 0)."""
+    words = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("ws"),
+    ).select(
+        id_col,
+        F.filter("ws", lambda w: w != "").alias("ws"),
+    )
+    bigrams = words.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_counts = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    v = uni_counts.agg(F.count("*").alias("v"))
+
+    scored = (
+        bigrams.join(F.broadcast(bg_counts), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni_counts.withColumnRenamed("w", "w1")), "w1", "left"
+        )
+        .crossJoin(F.broadcast(v))
+        .select(
+            id_col,
+            (
+                F.log(F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k))
+                - F.log(
+                    F.coalesce(F.col("c1"), F.lit(0))
+                    + F.lit(add_k) * F.col("v")
+                )
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("lp").alias("sum_lp"),
+    )
+    # docs with < 2 tokens have no bigrams — rejoin so they keep a row
+    all_ids = words.select(id_col)
+    return (
+        all_ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.coalesce(F.col("sum_lp") / F.col("n_bigrams"), F.lit(0.0)), 6
+            ).alias("avg_logprob"),
+            F.round(
+                F.exp(-F.coalesce(F.col("sum_lp") / F.col("n_bigrams"), F.lit(0.0))),
+                6,
+            ).alias("perplexity"),
+        )
+    )

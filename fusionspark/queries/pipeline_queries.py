@@ -1854,3 +1854,54 @@ def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("quality"), 6).alias("min_quality"),
         F.round(F.max("quality"), 6).alias("max_quality"),
     )
+
+
+# ── bigram LM perplexity (CCNet-style quality signal) ────────────────────
+
+LM_PERPLEXITY_ORACLE = f"""
+    WITH ws AS (
+        SELECT doc_id, {_WORDS} AS ws FROM documents
+    ),
+    bgl AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(ws) - 1, 0)),
+                   i -> ws[i] || chr(1) || ws[i + 1])) AS b
+        FROM ws
+    ),
+    bgc AS (SELECT b, COUNT(*)::BIGINT AS c12 FROM bgl GROUP BY b),
+    uni AS (
+        SELECT w.w AS w, COUNT(*)::BIGINT AS c1
+        FROM ws, unnest(ws.ws) AS w(w) GROUP BY w.w
+    ),
+    vv AS (SELECT COUNT(*)::BIGINT AS v FROM uni),
+    scored AS (
+        SELECT l.doc_id,
+               ln(bgc.c12 + 1.0) - ln(uni.c1 + 1.0 * vv.v) AS lp
+        FROM bgl l
+        JOIN bgc ON bgc.b = l.b
+        JOIN uni ON uni.w = split_part(l.b, chr(1), 1), vv
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, SUM(lp) AS sum_lp
+        FROM scored GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+           ROUND(COALESCE(p.sum_lp / p.n_bigrams, 0.0), 6) AS avg_logprob,
+           ROUND(exp(-COALESCE(p.sum_lp / p.n_bigrams, 0.0)), 6) AS perplexity
+    FROM ws w LEFT JOIN per_doc p ON p.doc_id = w.doc_id
+    """
+
+
+@query("lm_perplexity", LM_PERPLEXITY_ORACLE)
+def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM perplexity (textstats.lm_perplexity_scores), the
+    CCNet-style quality signal (Wenzek et al. 2020): train add-1 bigram
+    counts on the corpus with two hash aggregations, score each document
+    by mean bigram log-probability joined against the BROADCAST count
+    tables — the corpus never reshuffles.  Complements the rule-based
+    (gopher/c4), heuristic (quality_score), and discriminative
+    (nb_quality) filters with the generative-model member of the family."""
+    d = load_table(spark, sf_dir, "documents")
+    return textstats.lm_perplexity_scores(d)

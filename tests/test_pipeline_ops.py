@@ -608,3 +608,24 @@ def test_curriculum_approx_matches_exact_within_sketch_error(spark, sf_dir):
     # plan: the assignment itself is expression-only (no Exchange)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_lm_perplexity_model_joins_broadcast(spark, sf_dir):
+    """Both count tables and V broadcast; repeated text scores lower
+    perplexity than novel text under a self-trained model."""
+    from fusionspark.operators.textstats import lm_perplexity_scores
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    rows.append((100, "zyx wvu tsr qpo nml kji hgf edc"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_perplexity_scores(df).collect()}
+    common = out[0]["perplexity"]
+    rare = out[100]["perplexity"]
+    assert common < rare
+    assert out[0]["n_bigrams"] == 8
+
+    plan = lm_perplexity_scores(df)._jdf.queryExecution().executedPlan().toString()
+    # both model joins (bigram counts, unigram counts) must broadcast; the
+    # one permitted non-broadcast join is the per-doc id rejoin that keeps
+    # bigram-less documents in the result
+    assert plan.count("BroadcastHashJoin") >= 2
