@@ -180,6 +180,10 @@ def bench_queries(spark):
         "ann_ivf_pq",
         "warc_ingest",
         "bpe_tokenize",
+        "png_resize",
+        "curriculum_shards",
+        "lm_perplexity",
+        "shuffle_shards",
     ]
     out = {
         "knn_batch64": knn_batch,

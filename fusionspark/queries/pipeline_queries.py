@@ -1905,3 +1905,43 @@ def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nb_quality) filters with the generative-model member of the family."""
     d = load_table(spark, sf_dir, "documents")
     return textstats.lm_perplexity_scores(d)
+
+
+# ── deterministic training shuffle (shard + in-shard order) ──────────────
+
+SHUFFLE_SHARDS_ORACLE = """
+    SELECT doc_id,
+           (('0x' || substr(md5('shuf:' || doc_id), 1, 8))::BIGINT % 16)::INT AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || substr(md5('shuf:' || doc_id), 1, 8))::BIGINT % 16
+               ORDER BY md5('shuf:' || doc_id), doc_id
+           )::BIGINT AS pos
+    FROM documents
+    """
+
+
+@query("shuffle_shards", SHUFFLE_SHARDS_ORACLE)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a shard
+    (md5 bucket — training shards are written shard-at-a-time) and a
+    reproducible in-shard position (ordered by the same md5).  Unlike
+    rand(), the permutation is stable under re-runs, retries, and
+    repartitioning — the property a resumable data loader needs.  The
+    only shuffle is the per-shard window, whose partition count equals
+    the shard count by construction."""
+    from pyspark.sql import Window
+
+    from fusionspark.operators.dedup import md5_hash32
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    sharded = d.select(
+        "doc_id",
+        h.alias("h"),
+        F.pmod(md5_hash32(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))), F.lit(16))
+        .cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )

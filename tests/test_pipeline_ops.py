@@ -629,3 +629,30 @@ def test_lm_perplexity_model_joins_broadcast(spark, sf_dir):
     # one permitted non-broadcast join is the per-doc id rejoin that keeps
     # bigram-less documents in the result
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_webdataset_export_round_trip(spark, tmp_path):
+    """Tar shards: deterministic bytes (two runs, same md5), members in
+    pos order, content round-trips, manifest accounting exact."""
+    import tarfile
+
+    from fusionspark.operators.packing import write_webdataset
+
+    rows = [(i, i % 3, i // 3 + 1, f"doc {i} text") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, shard int, pos long, text string")
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = {r["shard"]: r for r in write_webdataset(df, out1).collect()}
+    m2 = {r["shard"]: r for r in write_webdataset(df, out2).collect()}
+    assert {s: m["tar_md5"] for s, m in m1.items()} == {
+        s: m["tar_md5"] for s, m in m2.items()
+    }
+    assert sum(m["n_samples"] for m in m1.values()) == 12
+
+    with tarfile.open(f"{out1}/shard-00001.tar") as tar:
+        names = tar.getnames()
+        # shard 1 holds doc_ids ≡ 1 mod 3, ordered by pos = doc_id//3+1
+        assert names == ["1.txt", "4.txt", "7.txt", "10.txt"]
+        data = tar.extractfile("7.txt").read().decode()
+        assert data == "doc 7 text"
+        infos = tar.getmembers()
+        assert all(i.mtime == 0 and i.uid == 0 and i.mode == 0o644 for i in infos)
