@@ -184,6 +184,7 @@ def bench_queries(spark):
         "curriculum_shards",
         "lm_perplexity",
         "shuffle_shards",
+        "quality_consensus",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -43,7 +43,7 @@ PRIORITY: list[str] = [
     "ann_srp", "phash_neardup", "gopher_quality", "corpus_funnel",
     "bpe_merges", "bpe_tokenize",
     "curriculum_shards", "tpch_local_supplier_volume", "png_resize",
-    "lm_perplexity", "shuffle_shards",
+    "lm_perplexity", "shuffle_shards", "quality_consensus",
     # changed in round 6: load_table NTZ conversion is now zone-free —
     # every time-axis query re-attests
     "asof_click_view", "range_error_context", "events_time_rollup",

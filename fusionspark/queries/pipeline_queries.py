@@ -1945,3 +1945,96 @@ def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+# ── quality consensus (all four quality families in ONE plan) ────────────
+
+QUALITY_CONSENSUS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, text, {_WORDS} AS words FROM documents
+    ),
+    gm AS (
+        SELECT doc_id,
+            len(words) AS n_words,
+            CASE WHEN len(words) > 0
+                 THEN list_sum(list_transform(words, w -> len(w)))::DOUBLE / len(words)
+                 ELSE 0.0 END AS mwl,
+            CASE WHEN len(words) > 0
+                 THEN ((length(text) - length(replace(text, '#', '')))
+                       + (length(text) - length(replace(text, '...', ''))) / 3
+                      )::DOUBLE / len(words)
+                 ELSE 0.0 END AS sym_ratio,
+            CASE WHEN len(words) > 0
+                 THEN len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+                      / len(words)
+                 ELSE 0.0 END AS alpha_ratio,
+            len(list_intersect(list_distinct(words), {_GOPHER_STOPS_SQL})) AS stop_hits,
+            {_LINE_FRACS_SQL}
+        FROM t
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN ({_GOPHER_PASS_SQL}) THEN 1 ELSE 0 END AS gopher_pass
+        FROM gm
+    ),
+    c4 AS (
+        SELECT doc_id,
+               CASE WHEN len(regexp_extract_all(text, '[.!?]')) >= 3
+                     AND NOT contains(text, '{{')
+                     AND NOT contains(lower(text), 'lorem ipsum')
+                    THEN 1 ELSE 0 END AS c4_pass
+        FROM documents
+    ),
+    nb AS (
+        SELECT doc_id, quality_pred AS nb_pass FROM ({NB_QUALITY_ORACLE})
+    ),
+    lm AS (
+        SELECT doc_id,
+               CASE WHEN perplexity <= 30.1 THEN 1 ELSE 0 END AS lm_pass
+        FROM ({LM_PERPLEXITY_ORACLE})
+    )
+    SELECT g.doc_id, g.gopher_pass, c4.c4_pass, nb.nb_pass, lm.lm_pass,
+           (g.gopher_pass + c4.c4_pass + nb.nb_pass + lm.lm_pass)::INT AS consensus
+    FROM g
+    JOIN c4 ON c4.doc_id = g.doc_id
+    JOIN nb ON nb.doc_id = g.doc_id
+    JOIN lm ON lm.doc_id = g.doc_id
+    """
+
+
+@query("quality_consensus", QUALITY_CONSENSUS_ORACLE)
+def quality_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four quality families — rule-based (Gopher), heuristic-rule
+    (C4), discriminative (Naive Bayes), generative (bigram LM perplexity)
+    — voted in ONE composed plan: the ensemble filter real pipelines ship
+    (no single family survives contact with a crawl).  Each member keeps
+    its attested plan shape (expression-only rules; broadcast model
+    joins); the ensemble adds only doc_id equi-joins."""
+    d = load_table(spark, sf_dir, "documents")
+    g = textstats.gopher_metrics("text")
+    c = textstats.c4_metrics("text")
+    rules = d.select(
+        "doc_id",
+        (g["passes"] == 1).cast("int").alias("gopher_pass"),
+        c["passes"].cast("int").alias("c4_pass"),
+    )
+    pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    neg = F.col("source").isin("src15", "src16", "src17", "src18", "src19")
+    nb = textstats.nb_quality_scores(d, pos, neg).select(
+        "doc_id", F.col("quality_pred").alias("nb_pass")
+    )
+    lm = textstats.lm_perplexity_scores(d).select(
+        "doc_id",
+        (F.col("perplexity") <= 30.1).cast("int").alias("lm_pass"),
+    )
+    return (
+        rules.join(nb, "doc_id")
+        .join(lm, "doc_id")
+        .select(
+            "doc_id", "gopher_pass", "c4_pass", "nb_pass", "lm_pass",
+            (
+                F.col("gopher_pass") + F.col("c4_pass")
+                + F.col("nb_pass") + F.col("lm_pass")
+            ).cast("int").alias("consensus"),
+        )
+    )
