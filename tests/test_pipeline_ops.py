@@ -656,3 +656,41 @@ def test_webdataset_export_round_trip(spark, tmp_path):
         assert data == "doc 7 text"
         infos = tar.getmembers()
         assert all(i.mtime == 0 and i.uid == 0 and i.mode == 0o644 for i in infos)
+
+
+def test_export_training_corpus_end_to_end(spark, tmp_path):
+    """Capstone pipeline: paragraph dedup → quality ensemble → exact dedup
+    → deterministic shuffle → tar shards.  Funnel counts are monotone,
+    exported == sum of shard manifests, shards round-trip, and a re-run
+    produces byte-identical tars (the resume/caching contract)."""
+    import tarfile
+
+    from fusionspark.corpus_pipeline import export_training_corpus
+    from fusionspark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "source"
+    ).limit(300).cache()
+    out1 = str(tmp_path / "corpus1")
+    res = export_training_corpus(spark, docs, out1, min_consensus=2, n_shards=4)
+    f = res["funnel"]
+    assert f["raw"] == 300
+    assert f["raw"] >= f["after_quality"] >= f["after_exact_dedup"] == f["exported"]
+    assert f["exported"] > 0
+    assert sum(m["n_samples"] for m in res["manifest"]) == f["exported"]
+
+    # shards parse and hold one .txt member per sample
+    total = 0
+    for m in res["manifest"]:
+        with tarfile.open(f"{out1}/shard-{m['shard']:05d}.tar") as tar:
+            names = tar.getnames()
+            total += len(names)
+            assert all(n.endswith(".txt") for n in names)
+    assert total == f["exported"]
+
+    # determinism: full re-run → identical shard bytes
+    out2 = str(tmp_path / "corpus2")
+    res2 = export_training_corpus(spark, docs, out2, min_consensus=2, n_shards=4)
+    assert [m["tar_md5"] for m in res["manifest"]] == [
+        m["tar_md5"] for m in res2["manifest"]
+    ]
