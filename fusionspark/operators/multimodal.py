@@ -770,3 +770,91 @@ def wav_feature_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+
+
+# ── real MJPEG-in-AVI video (container in operators/avi.py, frames via
+#    the baseline JPEG codec in operators/jpeg.py) ─────────────────────────
+
+#: synth_avi_media laws (the oracle replays these arithmetically)
+AVI_FPS = 4                      # → 250 ms per frame
+AVI_MAX_FRAMES = 12              # n_frames = 4 + doc_id % 9 ∈ [4, 12]
+
+
+def synth_avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-in-AVI payloads, deterministically derived from doc_id:
+    n_frames = 4 + d mod 9 at 4 fps; frame f is a 24×16 DC-only baseline
+    JPEG whose block b carries DC q = ((d·11 + 29·f + 17·b) mod 255) − 127
+    against a flat qtable of 8s, so the decoded block is the constant pixel
+    q + 128 ∈ [1, 255] — the same closed-form law as synth_jpeg_media
+    extended along the time axis.  A SQL oracle replays it arithmetically
+    while the Spark side runs the full container walk → frame seek →
+    entropy decode → IDCT chain."""
+    from fusionspark.io import load_table
+    from fusionspark.operators.avi import avi_encode
+    from fusionspark.operators.jpeg import jpeg_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w, h, n_blocks = JPEG_W, JPEG_H, (JPEG_W // 8) * (JPEG_H // 8)
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "payload": [], "mime": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = []
+                for f in range(4 + d % 9):
+                    qb = np.zeros((n_blocks, 8, 8), dtype=np.int64)
+                    for b in range(n_blocks):
+                        qb[b, 0, 0] = ((d * 11 + 29 * f + 17 * b) % 255) - 127
+                    frames.append(jpeg_encode(None, qblocks=qb, size=(w, h)))
+                out["media_id"].append(d)
+                out["payload"].append(avi_encode(frames, fps=AVI_FPS, width=w, height=h))
+                out["mime"].append("video/x-msvideo")
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        make, schema="media_id bigint, payload binary, mime string"
+    )
+
+
+def video_frame_features(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL video frame-sampling: walk the AVI container index
+    (avi.avi_parse — no full-file scan), seek every `stride`-th frame,
+    decode it through the REAL baseline-JPEG codec, and emit per-frame
+    features (mean pixel + position-weighted checksum) with the container
+    timestamp ts_ms = frame_idx · us_per_frame / 1000.
+
+    Scale shape: one Arrow map over video rows — payloads never shuffle;
+    only (media_id, frame_idx, ts_ms, 2 doubles) rows leave the stage.
+    Sampled-frame decode cost is bounded by stride, the knob a 100 TB
+    video corpus tunes (decode 1-in-N frames, not all)."""
+    from fusionspark.operators.avi import avi_frame, avi_parse
+    from fusionspark.operators.jpeg import jpeg_decode
+
+    out_schema = (
+        "media_id bigint, frame_idx int, ts_ms bigint, n_frames int, "
+        "mean_pixel double, pix_checksum bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "media_id", "frame_idx", "ts_ms", "n_frames",
+                "mean_pixel", "pix_checksum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = avi_parse(payload)
+                n = meta["n_frames"]
+                for f in range(0, n, stride):
+                    plane = jpeg_decode(avi_frame(payload, meta, f))
+                    v = plane.astype(np.int64).reshape(-1)
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(f)
+                    rows["ts_ms"].append(f * meta["us_per_frame"] // 1000)
+                    rows["n_frames"].append(n)
+                    rows["mean_pixel"].append(float(v.sum()) / v.size)
+                    rows["pix_checksum"].append(
+                        int(np.dot(v, np.arange(v.size, dtype=np.int64)))
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)

@@ -320,3 +320,41 @@ def wav_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"),
         "n_samples", "sample_rate", "peak", "amp_checksum",
     )
+
+
+@query(
+    "video_frames",
+    f"""
+    SELECT media_id, frame_idx, ts_ms, n_frames,
+           ROUND(AVG(v), 6) AS mean_pixel,
+           SUM(v * k)::BIGINT AS pix_checksum
+    FROM (
+        SELECT d.doc_id AS media_id, f.f::INT AS frame_idx,
+               (f.f * 250)::BIGINT AS ts_ms,
+               (4 + d.doc_id % 9)::INT AS n_frames, k.k AS k,
+               (((d.doc_id * 11 + 29 * f.f
+                  + 17 * (((k.k // {MM.JPEG_W}) // 8) * {MM.JPEG_BLOCKS_X}
+                          + ((k.k % {MM.JPEG_W}) // 8))) % 255) + 1)::DOUBLE AS v
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, {MM.AVI_MAX_FRAMES - 1})) AS f) f
+        CROSS JOIN (SELECT unnest(generate_series(0, {MM.JPEG_W * MM.JPEG_H - 1})) AS k) k
+        WHERE f.f < 4 + d.doc_id % 9 AND f.f % 2 = 0
+    )
+    GROUP BY media_id, frame_idx, ts_ms, n_frames
+    """,
+)
+def video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-sample + decode, oracle-attested — the last codec
+    boundary closed for a real format: Spark writes MJPEG-in-AVI containers
+    (operators/avi.py — RIFF/hdrl/movi/idx1), walks the container index,
+    seeks every 2nd frame, decodes it through the full baseline-JPEG
+    pipeline, and emits per-frame features; the oracle replays the
+    closed-form frame/block law arithmetically.  A hash match certifies
+    container walk + frame seek + entropy decode + IDCT per sampled frame.
+    (MP4/AVC pixel decode remains the honest stub — no H.264 here.)"""
+    m = MM.synth_avi_media(spark, sf_dir)
+    feats = MM.video_frame_features(m, stride=2)
+    return feats.select(
+        "media_id", "frame_idx", "ts_ms", "n_frames",
+        F.round("mean_pixel", 6).alias("mean_pixel"), "pix_checksum",
+    )
