@@ -8,6 +8,8 @@ column expressions — no UDFs, fully codegen'd, trivially 100 TB-scalable
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -544,3 +546,98 @@ def lm_perplexity_scores(
             ).alias("perplexity"),
         )
     )
+
+
+# ── unicode normalization / text cleanup (ftfy-lite) ──────────────────────
+
+# Removal class: C0 controls (minus \t\n\r), DEL, zero-width chars.  The
+# Python pattern below and the RE2/Java pattern the oracle/expression side
+# uses ([\x01-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]) denote
+# the same set — Python re spells non-BMP-escape chars \uXXXX, RE2 \x{...}.
+_CTRL_ZW_RE = re.compile("[\x01-\x08\x0b\x0c\x0e-\x1f\x7f​‌‍﻿]")
+_MULTISPACE_RE = re.compile(" {2,}")
+
+
+def py_unicode_clean(s: str) -> str:
+    """The exact cleanup law `unicode_clean_docs` applies per document:
+    NFC-compose, drop control/zero-width chars, NBSP→space, collapse
+    space runs, trim spaces.  Kept standalone so tests and the DuckDB
+    oracle (nfc_normalize + regexp_replace chain) replay it step-for-step."""
+    import unicodedata
+
+    s = unicodedata.normalize("NFC", s)
+    s = _CTRL_ZW_RE.sub("", s)
+    s = s.replace(" ", " ")
+    s = _MULTISPACE_RE.sub(" ", s)
+    return s.strip(" ")
+
+
+def unicode_clean_docs(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Unicode hygiene pass a crawl corpus runs before anything else:
+    NFC normalization (REAL `unicodedata`, cross-validated against DuckDB's
+    independent `nfc_normalize` implementation), control/zero-width strip,
+    NBSP fix, whitespace collapse.  Strictly per-document → ONE Arrow map,
+    zero shuffle; at 100 TB this is a pure scan-transform stage."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, LongType, StringType, StructField, StructType
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("clean_text", StringType()),
+        StructField("n_before", LongType()),
+        StructField("n_after", LongType()),
+        StructField("changed", BooleanType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (id_col, "clean_text", "n_before", "n_after", "changed")}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                clean = py_unicode_clean(text)
+                rows[id_col].append(did)
+                rows["clean_text"].append(clean)
+                rows["n_before"].append(len(text))
+                rows["n_after"].append(len(clean))
+                rows["changed"].append(clean != text)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def char_entropy_docs(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Character-level Shannon entropy + distinct-char count per document —
+    the classic gibberish/binary-spill detector (low entropy = repeated
+    filler, high = random bytes).  Per-document statistic → ONE Arrow map,
+    zero shuffle (the explode→groupBy(doc, char) equivalent would shuffle
+    every character occurrence in the corpus)."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("n_chars", LongType()),
+        StructField("distinct_chars", LongType()),
+        StructField("char_entropy", DoubleType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (id_col, "n_chars", "distinct_chars", "char_entropy")}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                c = Counter(text)
+                n = len(text)
+                if n:
+                    p = np.asarray(sorted(c.values()), dtype=np.float64) / n
+                    ent = float(-(p * np.log2(p)).sum())
+                else:
+                    ent = 0.0
+                rows[id_col].append(did)
+                rows["n_chars"].append(n)
+                rows["distinct_chars"].append(len(c))
+                rows["char_entropy"].append(round(ent, 6))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

@@ -2038,3 +2038,86 @@ def quality_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("consensus"),
         )
     )
+
+
+# ── unicode hygiene + entropy quality signals ─────────────────────────────
+
+# Deterministic dirt injected per doc_id so the cleanup has real work at
+# every SF (driver text is plain ASCII): NFD sequence / control +
+# zero-width chars / NBSP + space runs + trailing space / untouched.
+_DIRTY_SQL = """
+dirty AS (
+    SELECT doc_id, text || CASE doc_id % 4
+        WHEN 0 THEN ' cafe' || chr(769)
+        WHEN 1 THEN ' x' || chr(1) || chr(8203) || 'y'
+        WHEN 2 THEN chr(160) || 'pad  end '
+        ELSE '' END AS text
+    FROM documents
+)
+"""
+
+
+@query(
+    "unicode_clean",
+    f"WITH {_DIRTY_SQL.strip()},\n"
+    r"""
+    cleaned AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(replace(regexp_replace(nfc_normalize(text),
+                    '[\x01-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+                    '', 'g'), chr(160), ' '), ' {2,}', ' ', 'g'), ' ') AS clean_text
+        FROM dirty
+    )
+    SELECT doc_id, clean_text,
+           length(text)::BIGINT AS n_before,
+           length(clean_text)::BIGINT AS n_after,
+           clean_text <> text AS changed
+    FROM cleaned
+    """,
+)
+def unicode_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene (ftfy-lite) on REAL `unicodedata` NFC,
+    cross-validated against DuckDB's independent `nfc_normalize`: the two
+    engines implement the Unicode composition tables separately, so a hash
+    match attests the whole cleanup law (NFC → control/zero-width strip →
+    NBSP → space-run collapse → trim), not a shared implementation.
+    Zero-shuffle Arrow map — the first stage of any crawl pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 4
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(m == 0, F.lit(" cafe\u0301"))
+            .when(m == 1, F.lit(" x\x01\u200by"))
+            .when(m == 2, F.lit("\u00a0pad  end "))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.unicode_clean_docs(dirty)
+
+
+@query(
+    "char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM chars GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, sum(n) AS t, count(*) AS dc FROM cnt GROUP BY doc_id)
+    SELECT t.doc_id,
+           t.t::BIGINT AS n_chars,
+           t.dc::BIGINT AS distinct_chars,
+           ROUND(-SUM((c.n / t.t) * log2(c.n / t.t)), 6) AS char_entropy
+    FROM tot t JOIN cnt c ON c.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.t, t.dc
+    """,
+)
+def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish detector: ONE zero-shuffle Arrow map on
+    the Spark side vs the explode→double-groupBy formulation in DuckDB —
+    a hash match proves the cheap plan computes the expensive plan's
+    answer.  (At 100 TB the oracle's shape would shuffle every character
+    occurrence twice; the kernel shuffles nothing.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.char_entropy_docs(docs)

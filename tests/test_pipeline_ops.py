@@ -694,3 +694,33 @@ def test_export_training_corpus_end_to_end(spark, tmp_path):
     assert [m["tar_md5"] for m in res["manifest"]] == [
         m["tar_md5"] for m in res2["manifest"]
     ]
+
+
+# ── unicode hygiene + entropy (round 6) ───────────────────────────────────
+
+
+def test_py_unicode_clean_laws():
+    from fusionspark.operators.textstats import py_unicode_clean
+
+    # NFC composes e + U+0301 into é
+    assert py_unicode_clean("café") == "café"
+    # control + zero-width removed, NBSP → space, runs collapse, trim
+    assert py_unicode_clean(" x\x01​y ") == "x​y".replace("​", "")
+    assert py_unicode_clean("a b") == "a b"
+    assert py_unicode_clean("  a    b  ") == "a b"
+    # newlines/tabs survive (only C0 minus \t\n\r are stripped)
+    assert py_unicode_clean("a\nb\tc") == "a\nb\tc"
+    assert py_unicode_clean("") == ""
+
+
+def test_char_entropy_docs(spark):
+    from fusionspark.operators.textstats import char_entropy_docs
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in char_entropy_docs(df).collect()}
+    assert out[1]["char_entropy"] == 0.0
+    assert out[2]["char_entropy"] == 1.0
+    assert out[3]["char_entropy"] == 2.0
+    assert out[3]["distinct_chars"] == 4 and out[3]["n_chars"] == 4
