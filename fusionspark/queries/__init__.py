@@ -32,6 +32,10 @@ def query(name: str, sql: str | None = None):
 # touched this round keep their valid r1/r2 attestations (the r1∪r2 union
 # covered all 86 registered queries with zero failures).
 PRIORITY: list[str] = [
+    # new in round 6 (session 3): real MJPEG-in-AVI frame decode, unicode
+    # hygiene, entropy signal, URL canonicalization family
+    "video_frames", "unicode_clean", "char_entropy",
+    "url_canonical", "url_host_stats",
     # new in round 6 — real codecs (JPEG baseline decode, ISO-BMFF box
     # parse, WARC source), sub-document dedup, trainable NB quality
     # classifier, product-quantization ADC search
@@ -78,6 +82,7 @@ def load_all() -> None:
         streaming_queries,
         text_queries,
         tree_queries,
+        url_queries,
         vector_queries,
     )
 

@@ -724,3 +724,30 @@ def test_char_entropy_docs(spark):
     assert out[2]["char_entropy"] == 1.0
     assert out[3]["char_entropy"] == 2.0
     assert out[3]["distinct_chars"] == 4 and out[3]["n_chars"] == 4
+
+
+def test_url_canonicalize_edges(spark):
+    from fusionspark.operators import urls
+
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/A/b?utm_x=1#f"),
+        (2, "https://user@sub.host.org:8443/p?id=2&utm_y=z"),
+        (3, "https://one.two.three.net/"),
+        (4, "https://h.io/p?utm_only=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        urls.canonicalize("url").alias("canon"),
+        urls.url_host("url").alias("host"),
+        urls.registered_domain(urls.url_host("url")).alias("dom"),
+    ).collect()}
+    assert out[1]["canon"] == "http://example.com/A/b"
+    assert out[1]["host"] == "example.com"
+    assert out[2]["canon"] == "https://user@sub.host.org:8443/p?id=2"
+    assert out[2]["host"] == "sub.host.org"
+    assert out[2]["dom"] == "host.org"
+    assert out[3]["canon"] == "https://one.two.three.net/"
+    assert out[3]["dom"] == "three.net"
+    # a query reduced to nothing drops its '?'
+    assert out[4]["canon"] == "https://h.io/p"
