@@ -36,6 +36,9 @@ PRIORITY: list[str] = [
     # hygiene, entropy signal, URL canonicalization family
     "video_frames", "unicode_clean", "char_entropy",
     "url_canonical", "url_host_stats",
+    "tpch_order_distribution", "tpch_promo_revenue",
+    "tpch_parts_supplier_count", "tpch_disjunctive_revenue",
+    "tpch_dormant_customers",
     # new in round 6 — real codecs (JPEG baseline decode, ISO-BMFF box
     # parse, WARC source), sub-document dedup, trainable NB quality
     # classifier, product-quantization ADC search

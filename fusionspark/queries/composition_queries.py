@@ -334,3 +334,180 @@ def tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+@query(
+    "tpch_order_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*)::BIGINT AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — customer order-count distribution: LEFT OUTER join with
+    a predicate INSIDE the join condition (so zero-order customers
+    survive), then a double aggregation.  Orders side shuffles on
+    o_custkey once; the second agg is tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_promo_revenue",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0.0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+)
+def tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — promotion revenue share: broadcast the part dimension,
+    conditional aggregation in one pass (no second scan for the
+    denominator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev), 6,
+            ).alias("promo_pct"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_parts_supplier_count",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 20
+    """,
+)
+def tpch_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (lineitem standing in for partsupp — the driver schema has
+    no partsupp table): distinct-supplier counts per part attribute with a
+    NOT-IN exclusion list.  The exclusion set and part dimension both
+    broadcast (anti-join, not a subquery re-scan); the only shuffle is the
+    distinct-count agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    excl = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(excl), li["l_suppkey"] == excl["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — OR-of-ANDs across both join sides: Catalyst splits the
+    disjunction, pushes the l_quantity envelope (1..30) into the lineitem
+    scan and the brand/size envelope into the part scan, then re-applies
+    the exact predicate post-join (verified via .explain PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    b, s, q = F.col("p_brand"), F.col("p_size"), F.col("l_quantity")
+    pred = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(pred).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_dormant_customers",
+    """
+    WITH cutoff AS (
+        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*)::BIGINT AS numcust,
+           ROUND(SUM(c.c_acctbal), 6) AS totacctbal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape — positive-balance customers with no orders: the global
+    scalar (avg positive balance) broadcasts as a 1-row cross join, the
+    NOT EXISTS (here: no urgent orders, so the result is non-empty at
+    every SF) is a LEFT ANTI join on the order keys.  No correlated
+    re-scan anywhere."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    cutoff = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(F.broadcast(o), c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+    )
