@@ -185,6 +185,13 @@ def bench_queries(spark):
         "lm_perplexity",
         "shuffle_shards",
         "quality_consensus",
+        # round 6 (session 3): real video frame decode, unicode hygiene,
+        # entropy signal, URL canonicalization, Q19 disjunctive pushdown
+        "video_frames",
+        "unicode_clean",
+        "char_entropy",
+        "url_canonical",
+        "tpch_disjunctive_revenue",
     ]
     out = {
         "knn_batch64": knn_batch,

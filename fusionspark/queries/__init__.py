@@ -39,6 +39,7 @@ PRIORITY: list[str] = [
     "tpch_order_distribution", "tpch_promo_revenue",
     "tpch_parts_supplier_count", "tpch_disjunctive_revenue",
     "tpch_dormant_customers",
+    "bm25_search", "pagerank_docs", "hll_distinct",
     # new in round 6 — real codecs (JPEG baseline decode, ISO-BMFF box
     # parse, WARC source), sub-document dedup, trainable NB quality
     # classifier, product-quantization ADC search

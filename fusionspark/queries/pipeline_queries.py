@@ -2121,3 +2121,58 @@ def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence twice; the kernel shuffles nothing.)"""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return textstats.char_entropy_docs(docs)
+
+
+@query(
+    "hll_distinct",
+    f"""
+    WITH vals AS (
+        SELECT w || '#' || (doc_id % 32)::VARCHAR AS v
+        FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents)
+    ),
+    rb AS (
+        SELECT (h // 16777216)::INT AS bucket,
+               (length(regexp_extract(lpad(bin(h % 16777216), 24, '0'),
+                                      '^0*', 0)) + 1)::INT AS rho
+        FROM (SELECT ('0x' || substr(md5(v), 1, 8))::BIGINT AS h FROM vals)
+    ),
+    regs AS (SELECT bucket, MAX(rho) AS register FROM rb GROUP BY bucket),
+    allb AS (SELECT unnest(generate_series(0, 255))::INT AS bucket),
+    filled AS (
+        SELECT a.bucket, COALESCE(r.register, 0) AS register
+        FROM allb a LEFT JOIN regs r ON r.bucket = a.bucket
+    ),
+    agg AS (
+        SELECT SUM(power(2.0, -register)) AS z,
+               SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END)::BIGINT AS v
+        FROM filled
+    ),
+    est AS (
+        SELECT CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / z
+                         <= 2.5 * 256.0 AND v > 0
+                    THEN 256.0 * ln(256.0 / v)
+                    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / z
+               END AS estimate
+        FROM agg
+    ),
+    exact AS (SELECT COUNT(DISTINCT v)::BIGINT AS n_exact FROM vals)
+    SELECT n_exact, ROUND(estimate, 6) AS hll_estimate,
+           ROUND(abs(estimate - n_exact) / n_exact, 6) AS rel_err
+    FROM exact, est
+    """,
+)
+def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (operators/sketches.py, p=8) counting
+    distinct (word, doc-bucket) pairs: the md5-defined registers are
+    replayed BIT-FOR-BIT by the oracle (bucket ids, leading-zero ranks,
+    max-registers, the Σ2^−M estimate — exact dyadic arithmetic — and the
+    linear-counting branch), so the sketch itself is attested, not just a
+    row count.  Registers are 256 ints regardless of corpus size and merge
+    by positional max — the 100 TB cardinality bookkeeping shape."""
+    from fusionspark.operators.sketches import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vals = docs.select(
+        F.explode(tokenize("text")).alias("w"), F.col("doc_id")
+    ).select(F.concat("w", F.lit("#"), (F.col("doc_id") % 32).cast("string")).alias("v"))
+    return hll_distinct(vals, F.col("v"), p=8)

@@ -287,3 +287,59 @@ def quality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return agg.select(quality.alias("quality"))
+
+
+def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    tf_defs = ",\n               ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(terms)
+    )
+    df_defs = ",\n               ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * {k1 + 1.0}) / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, len(w)::DOUBLE AS dl,
+               {tf_defs}
+        FROM words
+    ),
+    stats AS (
+        SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl,
+               {df_defs}
+        FROM per_doc
+    ),
+    scored AS (
+        SELECT doc_id,
+               ROUND({score}, 6) AS bm25,
+               ({matched})::INT AS n_terms,
+               dl::BIGINT AS dl
+        FROM per_doc, stats
+    )
+    SELECT doc_id, bm25, n_terms, dl FROM scored
+    WHERE n_terms > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """
+
+
+@query("bm25_search", _bm25_oracle(_TERMS))
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Okapi BM25 over the corpus (operators/keyword.py::bm25_search)
+    — IDF + length normalization beyond the reference's TF-saturation
+    scorer.  One scan + one 1-row stats broadcast + TakeOrdered top-k."""
+    from fusionspark.operators.keyword import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_search(d, QUERY, top_k=10)

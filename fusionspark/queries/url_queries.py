@@ -113,3 +113,61 @@ def url_host_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("canon_url").alias("n_urls"),
     ).withColumn("blocked", (md5_hash32(F.col("host")) % 10) == 0)
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    head = """
+    WITH docs AS (SELECT doc_id FROM documents),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM docs),
+    edges AS (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT COUNT(*) FROM docs) AS dst FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 3) % (SELECT COUNT(*) FROM docs) FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 29 + 7) % (SELECT COUNT(*) FROM docs) FROM docs
+    ),
+    outdeg AS (SELECT src, COUNT(*)::DOUBLE AS od FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS r FROM docs)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+    r{i} AS (
+        SELECT d.doc_id AS id,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(SUM(p.r / od.od), 0.0) AS r
+        FROM docs d
+        LEFT JOIN edges e ON e.dst = d.doc_id
+        LEFT JOIN r{i - 1} p ON p.id = e.src
+        LEFT JOIN outdeg od ON od.src = e.src
+        GROUP BY d.doc_id
+    )"""
+    return head + body + f"""
+    SELECT id AS doc_id, ROUND(r, 6) AS rank
+    FROM r{iters}
+    ORDER BY ROUND(r, 6) DESC, id LIMIT 20
+    """
+
+
+@query("pagerank_docs", _pagerank_oracle(3))
+def pagerank_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) over a deterministic 3-out link graph
+    on doc ids (d → d·7+1, d·13+3, d·29+7 mod N), 3 synchronous iterations
+    at damping 0.85; top-20 by rounded rank (rounded BEFORE the sort so the
+    top-k cut is float-order-stable across engines).  The oracle unrolls
+    the same three iterations as SQL CTEs."""
+    from fusionspark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = None
+    for a, b in ((7, 1), (13, 3), (29, 7)):
+        e = docs.select(d.alias("src"), ((d * a + b) % n).alias("dst"))
+        edges = e if edges is None else edges.unionAll(e)
+    ranks = pagerank(docs, edges, iters=3, damping=0.85, id_col="doc_id")
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(F.desc("rank"), "doc_id")
+        .limit(20)
+    )

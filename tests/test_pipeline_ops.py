@@ -751,3 +751,58 @@ def test_url_canonicalize_edges(spark):
     assert out[3]["dom"] == "three.net"
     # a query reduced to nothing drops its '?'
     assert out[4]["canon"] == "https://h.io/p"
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from fusionspark.operators.keyword import bm25_search
+
+    rows = [
+        (1, "spark merge join fast"),
+        (2, "merge merge merge merge merge"),
+        (3, "nothing relevant here whatsoever"),
+        (4, "fast table scan merge join fast table scan"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(df, "fast table scan merge join", top_k=10)
+    rs = out.collect()
+    ids = [r["doc_id"] for r in rs]
+    assert 3 not in ids                      # no matching term -> filtered
+    assert ids[0] == 4                       # matches all 5 terms
+    top = {r["doc_id"]: r for r in rs}
+    assert top[4]["n_terms"] == 5 and top[2]["n_terms"] == 1
+    # rarity: 'join' (2 docs) out-scores nothing; scores are positive
+    assert all(r["bm25"] > 0 for r in rs)
+
+
+def test_pagerank_mass_conservation(spark):
+    from fusionspark.operators.graph import pagerank
+
+    nodes = spark.range(10).select(F.col("id"))
+    # ring: i -> (i+1) % 10, regular graph -> uniform stationary ranks
+    edges = nodes.select(F.col("id").alias("src"), ((F.col("id") + 1) % 10).alias("dst"))
+    ranks = pagerank(nodes, edges, iters=5, damping=0.85)
+    vals = [r["rank"] for r in ranks.collect()]
+    assert len(vals) == 10
+    assert all(abs(v - 0.1) < 1e-12 for v in vals)   # uniform fixed point
+    assert abs(sum(vals) - 1.0) < 1e-9               # mass conserved (no dangling)
+
+
+def test_hll_registers_merge_by_max(spark):
+    from fusionspark.operators.sketches import hll_distinct, hll_registers
+
+    a = spark.range(0, 2000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(1000, 3000).select(F.col("id").cast("string").alias("v"))
+    both = a.union(b)
+    ra = hll_registers(a, F.col("v"))
+    rb = hll_registers(b, F.col("v"))
+    rboth = hll_registers(both, F.col("v"))
+    merged = (
+        ra.union(rb).groupBy("bucket").agg(F.max("register").alias("register"))
+    )
+    diff = merged.join(rboth.withColumnRenamed("register", "r2"), "bucket").filter(
+        F.col("register") != F.col("r2")
+    )
+    assert diff.count() == 0                 # sketch of union == max-merge
+    est = hll_distinct(both, F.col("v")).collect()[0]
+    assert est["n_exact"] == 3000
+    assert est["rel_err"] < 0.2              # within ~3 sigma of 1.04/sqrt(256)
