@@ -207,3 +207,29 @@ def write_webdataset(
             schema="shard int, n_samples long, content_bytes long, tar_md5 string",
         )
     )
+
+
+def assign_split(
+    df: DataFrame,
+    weights: tuple[int, int, int] = (80, 10, 10),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: split = md5('split:'‖id)
+    mod 100 against cumulative weight boundaries.  Like hash_sample, the
+    assignment is a pure function of the id — reproducible across engines
+    and partitionings, stable under incremental ingestion (a doc never
+    migrates between splits), and independent of hash_sample's buckets
+    (different hash salt).  Zero shuffle — a projection the scan absorbs."""
+    train, val, test = weights
+    if train + val + test != 100:
+        raise ValueError("weights must sum to 100")
+    bucket = F.pmod(
+        md5_hash32(F.concat(F.lit("split:"), F.col(id_col).cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < train, F.lit("train"))
+        .when(bucket < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

@@ -40,6 +40,7 @@ PRIORITY: list[str] = [
     "tpch_parts_supplier_count", "tpch_disjunctive_revenue",
     "tpch_dormant_customers",
     "bm25_search", "pagerank_docs", "hll_distinct",
+    "train_split", "label_centroids", "embedding_outliers",
     # new in round 6 — real codecs (JPEG baseline decode, ISO-BMFF box
     # parse, WARC source), sub-document dedup, trainable NB quality
     # classifier, product-quantization ADC search

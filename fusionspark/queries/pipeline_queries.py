@@ -2176,3 +2176,97 @@ def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokenize("text")).alias("w"), F.col("doc_id")
     ).select(F.concat("w", F.lit("#"), (F.col("doc_id") % 32).cast("string")).alias("v"))
     return hll_distinct(vals, F.col("v"), p=8)
+
+
+@query(
+    "train_split",
+    """
+    WITH assigned AS (
+        SELECT source,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT source,
+                   ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 100 AS b
+            FROM documents
+        )
+    )
+    SELECT source, split, COUNT(*)::BIGINT AS n_docs
+    FROM assigned GROUP BY source, split
+    """,
+)
+def train_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratifiable train/val/test split
+    (packing.assign_split, 80/10/10): per-(source, split) counts.  The
+    assignment is zero-shuffle; only the count rollup exchanges."""
+    from fusionspark.operators.packing import assign_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_split(docs).groupBy("source", "split").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@query(
+    "label_centroids",
+    """
+    SELECT label, k.k AS dim,
+           ROUND(AVG(embedding[k.k]::DOUBLE), 6) AS mean
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, 64))::INT AS k) k
+    GROUP BY label, k.k
+    """,
+)
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format
+    (embeddings.label_centroids): Arrow partial sums per partition, one
+    tiny groupBy(label, dim) finish — the oracle's explode→groupBy plan is
+    exactly the elementwise shuffle the kernel avoids."""
+    from fusionspark.operators.embeddings import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = label_centroids(emb)
+    return out.select("label", "dim", F.round("mean", 6).alias("mean"))
+
+
+@query(
+    "embedding_outliers",
+    """
+    WITH cent AS (
+        SELECT label, k.k AS dim, AVG(embedding[k.k]::DOUBLE) AS m
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, 64))::INT AS k) k
+        GROUP BY label, k.k
+    ),
+    sims AS (
+        SELECT e.vec_id, e.label,
+               SUM(e.embedding[c.dim]::DOUBLE * c.m) AS sim
+        FROM embeddings e JOIN cent c ON c.label = e.label
+        GROUP BY e.vec_id, e.label
+    ),
+    stats AS (
+        SELECT COUNT(*)::DOUBLE AS cnt, SUM(sim) AS s1, SUM(sim * sim) AS s2
+        FROM sims
+    )
+    SELECT vec_id, label, ROUND(sim, 6) AS sim,
+           ROUND((sim - s1 / cnt)
+                 / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1.0)), 6) AS z
+    FROM sims, stats
+    WHERE abs(ROUND((sim - s1 / cnt)
+                    / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1.0)), 6)) > 1.5
+    """,
+)
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-similarity outliers (embeddings.centroid_outliers,
+    |z| > 1.5 — the SemDedup prototypicality signal; the corpus is
+    unit-normalized so NORM outliers are degenerate here, and
+    norm_outliers is covered by pytest on a non-normalized frame): tiny
+    centroid table broadcasts, mean/std is ONE 1-row closed-form
+    aggregate broadcast back, membership filters on the ROUNDED z so the
+    cut is float-order-stable across engines."""
+    from fusionspark.operators.embeddings import centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, dim=64, z_threshold=1.5)

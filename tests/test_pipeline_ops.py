@@ -806,3 +806,47 @@ def test_hll_registers_merge_by_max(spark):
     est = hll_distinct(both, F.col("v")).collect()[0]
     assert est["n_exact"] == 3000
     assert est["rel_err"] < 0.2              # within ~3 sigma of 1.04/sqrt(256)
+
+
+def test_assign_split_partitions_and_stability(spark):
+    from fusionspark.operators.packing import assign_split
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = assign_split(df, weights=(80, 10, 10))
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    assert 700 < counts["train"] < 900          # ~80% within binomial noise
+    # stability: repartitioning never changes an assignment
+    again = {r["doc_id"]: r["split"] for r in
+             assign_split(df.repartition(7), weights=(80, 10, 10)).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        assign_split(df, weights=(80, 10, 5))
+
+
+def test_norm_outliers_flags_scaled_vector(spark):
+    from fusionspark.operators.embeddings import norm_outliers
+
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(50)] + [(99, [30.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = norm_outliers(df, dim=3, z_threshold=1.5).collect()
+    assert [r["vec_id"] for r in out] == [99]
+    assert out[0]["norm"] == 30.0 and out[0]["z"] > 5
+
+
+def test_centroid_similarity_prototypicality(spark):
+    from fusionspark.operators.embeddings import centroid_similarity
+
+    rows = [
+        (1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0]), (3, 0, [0.0, 1.0]),
+        (4, 1, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    sims = {r["vec_id"]: r["sim"] for r in centroid_similarity(df, dim=2).collect()}
+    # label 0 centroid = (2/3, 1/3): aligned rows beat the off-axis row
+    assert abs(sims[1] - 2 / 3) < 1e-12 and abs(sims[3] - 1 / 3) < 1e-12
+    assert abs(sims[4] - 1.0) < 1e-12       # singleton group: sim with itself
