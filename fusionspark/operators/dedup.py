@@ -1026,3 +1026,56 @@ def minhash_lookup(
         .agg(F.max("est_sim").alias("est_sim"))
         .filter(F.col("est_sim") >= threshold)
     )
+
+
+# ── window-level duplicate-span detection (substring-granular dedup) ──────
+
+
+def window_dup_stats(
+    df,
+    w: int = 8,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Duplicate TOKEN-WINDOW detection — the bucketed approximation of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): slide w-token windows at `stride`,
+    hash each window, count window hashes corpus-wide, and report per
+    document how much of it is covered by windows that occur elsewhere
+    (boilerplate spans, licence blocks, templated pages — the duplication
+    EXACT doc-level dedup can't see).
+
+    Scale shape: windows leave the scan as md5 DIGESTS only (never window
+    text); the frequency count groups on the digest (map-side combine) and
+    the verdict is a broadcast-friendly join of the (tiny) duplicated-hash
+    set back onto the digest stream.  stride trades recall for row count —
+    w/stride windows per token position bound the blowup at 100 TB."""
+    words = tokenize(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words) - (w - 1), F.lit(1)), F.lit(stride)
+    )
+    wins = df.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, w)))
+            )
+        ).alias("h"),
+    )
+    freq = wins.groupBy("h").agg(F.count("*").alias("n"))
+    dup_hashes = freq.filter(F.col("n") > 1).select("h")
+    flagged = wins.join(F.broadcast(dup_hashes).withColumn("dup", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            F.col("n_dup").cast("long").alias("n_dup"),
+            F.round(F.col("n_dup") / F.col("n_windows"), 6).alias("dup_frac"),
+        )
+    )

@@ -641,3 +641,38 @@ def char_entropy_docs(df, id_col: str = "doc_id", text_col: str = "text"):
             yield pd.DataFrame(rows)
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def compression_ratio_docs(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document zlib compression ratio — the classic redundancy signal
+    (RefinedWeb/MassiveText drop documents that compress too well: repeated
+    filler; or too poorly: random bytes).  DEFLATE level 6 on UTF-8 text.
+    One zero-shuffle Arrow map; no SQL engine exposes zlib, so the query is
+    rows-only with a pure-Python parity test instead of a DuckDB oracle."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("n_bytes", LongType()),
+        StructField("n_compressed", LongType()),
+        StructField("ratio", DoubleType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (id_col, "n_bytes", "n_compressed", "ratio")}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                rows[id_col].append(did)
+                rows["n_bytes"].append(len(raw))
+                rows["n_compressed"].append(len(comp))
+                rows["ratio"].append(
+                    round(len(comp) / len(raw), 6) if raw else 1.0
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

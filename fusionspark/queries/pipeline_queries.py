@@ -2270,3 +2270,67 @@ def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return centroid_outliers(emb, dim=64, z_threshold=1.5)
+
+
+# 8-token boilerplate appended to every 5th doc so window-level dedup has
+# real duplicated spans to find at every SF (driver text is word salad —
+# cross-document 8-gram collisions would otherwise be vanishingly rare)
+_BOILER = "subscribe to our newsletter for updates today now"
+
+
+@query(
+    "window_dedup",
+    f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 0
+                            THEN ' {_BOILER}' ELSE '' END AS text
+        FROM documents
+    ),
+    wd AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        FROM dirty
+    ),
+    wins AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(words) - 7, 1), 4),
+                   i -> md5(array_to_string(words[i:i+7], ' ')))) AS h
+        FROM wd
+    ),
+    freq AS (SELECT h, COUNT(*) AS n FROM wins GROUP BY h),
+    per_doc AS (
+        SELECT w.doc_id, COUNT(*)::BIGINT AS n_windows,
+               SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        FROM wins w JOIN freq f ON f.h = w.h
+        GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_windows, n_dup,
+           ROUND(n_dup::DOUBLE / n_windows, 6) AS dup_frac
+    FROM per_doc
+    """,
+)
+def window_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate token-window spans (dedup.window_dup_stats, w=8 stride=4)
+    — the substring-granular member of the dedup family (Lee et al. 2022
+    as bucketed hashing instead of suffix arrays).  Boilerplate is
+    injected deterministically on every 5th doc so the detector has real
+    work; windows shuffle as 16-byte digests only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" " + _BOILER))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.window_dup_stats(dirty, w=8, stride=4)
+
+
+@query("compression_ratio")
+def compression_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib redundancy signal (textstats.compression_ratio_docs) — rows-only
+    by nature (no SQL zlib); bit-level parity with direct Python zlib is
+    pytest-attested, and the driver checks row count + schema."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.compression_ratio_docs(docs)

@@ -850,3 +850,36 @@ def test_centroid_similarity_prototypicality(spark):
     # label 0 centroid = (2/3, 1/3): aligned rows beat the off-axis row
     assert abs(sims[1] - 2 / 3) < 1e-12 and abs(sims[3] - 1 / 3) < 1e-12
     assert abs(sims[4] - 1.0) < 1e-12       # singleton group: sim with itself
+
+
+def test_compression_ratio_parity_and_ordering(spark):
+    import zlib
+
+    from fusionspark.operators.textstats import compression_ratio_docs
+
+    rows = [(1, "a" * 400), (2, "the quick brown fox jumps over the lazy dog " * 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio_docs(df).collect()}
+    for did, text in rows:
+        raw = text.encode()
+        assert out[did]["n_bytes"] == len(raw)
+        assert out[did]["n_compressed"] == len(zlib.compress(raw, 6))
+        assert out[did]["ratio"] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    # pure repetition compresses (much) better than mixed prose
+    assert out[1]["ratio"] < out[2]["ratio"]
+
+
+def test_window_dup_stats_finds_shared_span(spark):
+    from fusionspark.operators.dedup import window_dup_stats
+
+    boiler = "one two three four five six seven eight"
+    rows = [
+        (1, "alpha beta gamma delta " + boiler),
+        (2, "epsilon zeta " + boiler + " eta theta"),
+        (3, "totally unrelated words with no repeats at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in window_dup_stats(df, w=8, stride=1).collect()}
+    assert out[1]["n_dup"] >= 1 and out[2]["n_dup"] >= 1   # shared 8-gram found
+    assert out[3]["n_dup"] == 0
+    assert 0 < out[1]["dup_frac"] <= 1.0
