@@ -88,3 +88,111 @@ def hll_distinct(df: DataFrame, value: Column, p: int = 8) -> DataFrame:
             F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact"), 6
         ).alias("rel_err"),
     )
+
+
+# ── Bloom filter (membership) ─────────────────────────────────────────────
+
+BLOOM_BITS = 1 << 16          # m: bit-array size
+BLOOM_WORD = 32               # bits per stored word (1<<bit stays positive)
+BLOOM_K = 4                   # hash count
+
+
+def _bloom_positions(value: Column) -> list[Column]:
+    """k Carter-Wegman bit positions from two md5 bases — the same
+    double-hashing scheme the MinHash signatures use, so any engine
+    replays the exact bit pattern."""
+    h1 = md5_hash32(value)
+    h2 = md5_hash32(F.concat(F.lit("b:"), value))
+    return [(h1 + i * h2) % BLOOM_BITS for i in range(BLOOM_K)]
+
+
+def bloom_build(df: DataFrame, value: Column) -> DataFrame:
+    """(word_idx, bits) rows — the Bloom filter over the DISTINCT values,
+    stored as 2048 32-bit words.  Built with one explode + groupBy(word)
+    BIT_OR (map-side combinable); mergeable across shards/days by
+    positional OR, like the HLL registers by positional max.  At 100 TB
+    this is THE cheap 'have we already ingested this URL/doc-hash?' probe:
+    8 KiB of state, no index lookup, no corpus re-read."""
+    pos = F.explode(F.array(*_bloom_positions(value))).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("pos") / BLOOM_WORD).cast("int").alias("word_idx"),
+            # python-side shiftleft requires a literal shift; the SQL form
+            # takes a column
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))").alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_probe(bloom: DataFrame, probes: DataFrame, value: Column, id_col: str) -> DataFrame:
+    """Membership test: present ⇔ every one of the K bits is set.  The
+    filter (≤ 2048 rows) BROADCASTS; the probe stream never shuffles
+    (groupBy on the probe id collapses the K position rows per probe,
+    map-side combinable)."""
+    pos = F.explode(F.array(*_bloom_positions(value))).alias("pos")
+    ppos = probes.select(F.col(id_col), pos).select(
+        id_col,
+        (F.col("pos") / BLOOM_WORD).cast("int").alias("word_idx"),
+        (F.col("pos") % BLOOM_WORD).cast("int").alias("bit"),
+    )
+    joined = ppos.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (
+        F.expr("shiftright(coalesce(bits, CAST(0 AS BIGINT)), bit)") % 2
+    ) == 1
+    return (
+        joined.groupBy(id_col)
+        .agg(F.min(hit.cast("int")).alias("all_set"))
+        .select(id_col, (F.col("all_set") == 1).alias("present"))
+    )
+
+
+# ── Count-Min sketch (frequency) ──────────────────────────────────────────
+
+CMS_WIDTH = 1 << 12           # columns per row
+CMS_DEPTH = 4                 # hash rows
+
+
+def cms_build(df: DataFrame, value: Column) -> DataFrame:
+    """(row, col, cnt) cells of a Count-Min sketch over the value STREAM
+    (duplicates counted).  One explode + groupBy((row, col)) SUM —
+    map-side combinable, mergeable across shards by cellwise addition.
+    depth×width cells (16k) regardless of stream size."""
+    h1 = md5_hash32(value)
+    h2 = md5_hash32(F.concat(F.lit("c:"), value))
+    cells = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("row"), ((h1 + i * h2) % CMS_WIDTH).alias("col"))
+            for i in range(CMS_DEPTH)
+        ])
+    ).alias("cell")
+    return (
+        df.select(cells)
+        .select(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, value: Column, id_col: str) -> DataFrame:
+    """Frequency estimate = MIN over the depth cells (classic CM upper
+    bound: est ≥ true, overshoot bounded by collisions).  The sketch
+    broadcasts; probes never shuffle except the K-row collapse."""
+    h1 = md5_hash32(value)
+    h2 = md5_hash32(F.concat(F.lit("c:"), value))
+    cells = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("row"), ((h1 + i * h2) % CMS_WIDTH).alias("col"))
+            for i in range(CMS_DEPTH)
+        ])
+    ).alias("cell")
+    ppos = probes.select(F.col(id_col), cells).select(
+        id_col, F.col("cell.row").alias("row"), F.col("cell.col").alias("col")
+    )
+    joined = ppos.join(F.broadcast(cms), ["row", "col"], "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -2334,3 +2334,139 @@ def compression_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-attested, and the driver checks row count + schema."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return textstats.compression_ratio_docs(docs)
+
+
+@query(
+    "bloom_probe",
+    """
+    WITH vals AS (SELECT md5(text) AS v FROM documents),
+    pos AS (
+        SELECT unnest([
+            (h1 + 0 * h2) % 65536, (h1 + 1 * h2) % 65536,
+            (h1 + 2 * h2) % 65536, (h1 + 3 * h2) % 65536]) AS pos
+        FROM (
+            SELECT ('0x' || substr(md5(v), 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(md5('b:' || v), 1, 8))::BIGINT AS h2
+            FROM vals
+        )
+    ),
+    words AS (
+        SELECT (pos // 32)::INT AS word_idx,
+               bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+        FROM pos GROUP BY (pos // 32)::INT
+    ),
+    probes AS (
+        SELECT doc_id AS probe_id, md5(text) AS v, TRUE AS actual
+        FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT 1000 + i.i, md5('novel:' || i.i::VARCHAR), FALSE
+        FROM (SELECT unnest(generate_series(0, 49)) AS i) i
+    ),
+    ppos AS (
+        SELECT probe_id, actual,
+               unnest([(h1 + 0 * h2) % 65536, (h1 + 1 * h2) % 65536,
+                       (h1 + 2 * h2) % 65536, (h1 + 3 * h2) % 65536]) AS pos
+        FROM (
+            SELECT probe_id, actual,
+                   ('0x' || substr(md5(v), 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(md5('b:' || v), 1, 8))::BIGINT AS h2
+            FROM probes
+        )
+    )
+    SELECT p.probe_id, p.actual,
+           (MIN(CASE WHEN ((COALESCE(w.bits, 0) >> (p.pos % 32)::INT) % 2) = 1
+                     THEN 1 ELSE 0 END) = 1) AS present
+    FROM ppos p
+    LEFT JOIN words w ON w.word_idx = (p.pos // 32)::INT
+    GROUP BY p.probe_id, p.actual
+    """,
+)
+def bloom_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/sketches.py): build an 8 KiB
+    filter over the corpus content hashes, probe 50 known hashes + 50
+    novel values.  The oracle replays every bit position, the word-packed
+    OR, and the K-way membership test — any false positive appears
+    IDENTICALLY on both engines (present ∧ ¬actual), so the sketch's
+    exact behavior is attested, not idealized."""
+    from fusionspark.operators.sketches import bloom_build, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bloom = bloom_build(docs.select(F.md5("text").alias("v")), F.col("v"))
+    known = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("probe_id"),
+        F.md5("text").alias("v"),
+        F.lit(True).alias("actual"),
+    )
+    novel = spark.range(50).select(
+        (F.col("id") + 1000).alias("probe_id"),
+        F.md5(F.concat(F.lit("novel:"), F.col("id").cast("string"))).alias("v"),
+        F.lit(False).alias("actual"),
+    )
+    probes = known.unionAll(novel)
+    res = bloom_probe(bloom, probes, F.col("v"), "probe_id")
+    return res.join(probes.select("probe_id", "actual"), "probe_id").select(
+        "probe_id", "actual", "present"
+    )
+
+
+@query(
+    "cms_topk",
+    f"""
+    WITH toks AS (
+        SELECT unnest({_WORDS}) AS w FROM documents
+    ),
+    cells AS (
+        SELECT row_i.i AS row, (h1 + row_i.i * h2) % 4096 AS col
+        FROM (
+            SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(md5('c:' || w), 1, 8))::BIGINT AS h2
+            FROM toks
+        )
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) row_i
+    ),
+    cms AS (SELECT row, col, COUNT(*)::BIGINT AS cnt FROM cells GROUP BY row, col),
+    top AS (
+        SELECT w, COUNT(*)::BIGINT AS true_count
+        FROM toks GROUP BY w
+        ORDER BY COUNT(*) DESC, w LIMIT 20
+    ),
+    pcells AS (
+        SELECT w, true_count, row_i.i AS row, (h1 + row_i.i * h2) % 4096 AS col
+        FROM (
+            SELECT w, true_count,
+                   ('0x' || substr(md5(w), 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(md5('c:' || w), 1, 8))::BIGINT AS h2
+            FROM top
+        )
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) row_i
+    )
+    SELECT p.w AS word, p.true_count,
+           MIN(COALESCE(c.cnt, 0)) AS est_count,
+           (MIN(COALESCE(c.cnt, 0)) - p.true_count)::BIGINT AS overshoot
+    FROM pcells p
+    LEFT JOIN cms c ON c.row = p.row AND c.col = p.col
+    GROUP BY p.w, p.true_count
+    """,
+)
+def cms_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimation (operators/sketches.py) for the
+    top-20 corpus words: the oracle replays every sketch cell and the
+    min-over-depth estimate, so collision overshoot (est ≥ true, the CM
+    guarantee) is attested exactly on both engines."""
+    from fusionspark.operators.sketches import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.explode(tokenize("text")).alias("w"))
+    cms = cms_build(toks, F.col("w"))
+    top = (
+        toks.groupBy("w").agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), "w").limit(20)
+    )
+    est = cms_estimate(cms, top, F.col("w"), "w")
+    return (
+        top.join(est, "w")
+        .select(
+            F.col("w").alias("word"), "true_count", "est_count",
+            (F.col("est_count") - F.col("true_count")).cast("long").alias("overshoot"),
+        )
+    )

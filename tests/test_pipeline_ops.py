@@ -883,3 +883,38 @@ def test_window_dup_stats_finds_shared_span(spark):
     assert out[1]["n_dup"] >= 1 and out[2]["n_dup"] >= 1   # shared 8-gram found
     assert out[3]["n_dup"] == 0
     assert 0 < out[1]["dup_frac"] <= 1.0
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from fusionspark.operators.sketches import bloom_build, bloom_probe
+
+    a = spark.range(500).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+    b = spark.range(500, 1000).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+    bloom_a, bloom_b = bloom_build(a, F.col("v")), bloom_build(b, F.col("v"))
+    # positional OR merge == filter of the union
+    merged = (
+        bloom_a.union(bloom_b).groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    both = bloom_build(a.union(b), F.col("v"))
+    diff = merged.join(both.withColumnRenamed("bits", "b2"), "word_idx").filter(
+        F.col("bits") != F.col("b2")
+    )
+    assert diff.count() == 0
+    # Bloom guarantee: NO false negatives
+    probes = a.union(b).select(F.col("v").alias("probe_id"), F.col("v"))
+    res = bloom_probe(both, probes, F.col("v"), "probe_id")
+    assert res.filter(~F.col("present")).count() == 0
+
+
+def test_cms_never_undercounts(spark):
+    from fusionspark.operators.sketches import cms_build, cms_estimate
+
+    rows = [("a",)] * 100 + [("b",)] * 10 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "w string")
+    cms = cms_build(df, F.col("w"))
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "w string")
+    est = {r["w"]: r["est_count"] for r in
+           cms_estimate(cms, probes, F.col("w"), "w").collect()}
+    assert est["a"] >= 100 and est["b"] >= 10 and est["c"] >= 1
+    assert est["zz"] >= 0       # absent key: only collision mass
