@@ -192,6 +192,10 @@ def bench_queries(spark):
         "char_entropy",
         "url_canonical",
         "tpch_disjunctive_revenue",
+        "bm25_search",
+        "window_dedup",
+        "hll_distinct",
+        "wav_windows",
     ]
     out = {
         "knn_batch64": knn_batch,

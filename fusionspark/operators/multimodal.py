@@ -858,3 +858,42 @@ def video_frame_features(media: DataFrame, stride: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+
+
+def wav_frame_features(media: DataFrame, frame_len: int = 100) -> DataFrame:
+    """Frame-level audio features over REAL WAV decode (the audio sibling
+    of video_frame_features): non-overlapping `frame_len`-sample frames,
+    per frame the sample count, peak |amplitude|, RMS, and zero-crossing
+    count — the front end of every audio-quality / VAD / silence-trim
+    pipeline.  One Arrow map; payloads never shuffle; frame_len bounds
+    the output rows per second of audio."""
+    out_schema = (
+        "media_id bigint, frame int, n int, peak bigint, "
+        "rms double, zero_crossings bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "media_id", "frame", "n", "peak", "rms", "zero_crossings")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, s = wav_decode(payload)
+                s64 = s.astype(np.int64)
+                nonneg = s64 >= 0
+                for f in range(0, (len(s64) + frame_len - 1) // frame_len):
+                    seg = s64[f * frame_len : (f + 1) * frame_len]
+                    segn = nonneg[f * frame_len : (f + 1) * frame_len]
+                    zc = int((segn[1:] != segn[:-1]).sum())
+                    if f > 0:  # crossing at the frame boundary counts here
+                        zc += int(nonneg[f * frame_len] != nonneg[f * frame_len - 1])
+                    rows["media_id"].append(int(mid))
+                    rows["frame"].append(f)
+                    rows["n"].append(len(seg))
+                    rows["peak"].append(int(np.abs(seg).max()))
+                    rows["rms"].append(
+                        round(float(np.sqrt((seg.astype(np.float64) ** 2).sum() / len(seg))), 6)
+                    )
+                    rows["zero_crossings"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)

@@ -42,7 +42,7 @@ PRIORITY: list[str] = [
     "bm25_search", "pagerank_docs", "hll_distinct",
     "train_split", "label_centroids", "embedding_outliers",
     "window_dedup", "compression_ratio",
-    "bloom_probe", "cms_topk",
+    "bloom_probe", "cms_topk", "wav_windows",
     # new in round 6 — real codecs (JPEG baseline decode, ISO-BMFF box
     # parse, WARC source), sub-document dedup, trainable NB quality
     # classifier, product-quantization ADC search

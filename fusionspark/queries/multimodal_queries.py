@@ -358,3 +358,39 @@ def video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_idx", "ts_ms", "n_frames",
         F.round("mean_pixel", 6).alias("mean_pixel"), "pix_checksum",
     )
+
+
+@query(
+    "wav_windows",
+    """
+    WITH par AS (
+        SELECT doc_id AS media_id, 300 + doc_id % 100 AS n FROM documents
+    ),
+    samp AS (
+        SELECT media_id, k.k AS k,
+               ((media_id * 13 + 5 * k.k) % 4001) - 2000 AS s
+        FROM par CROSS JOIN (SELECT unnest(generate_series(0, 399)) AS k) k
+        WHERE k.k < n
+    ),
+    x AS (
+        SELECT media_id, k, s, (k // 100)::INT AS frame,
+               CASE WHEN k >= 1 AND ((s >= 0) <>
+                        ((((media_id * 13 + 5 * (k - 1)) % 4001) - 2000) >= 0))
+                    THEN 1 ELSE 0 END AS zc
+        FROM samp
+    )
+    SELECT media_id, frame, COUNT(*)::INT AS n,
+           MAX(abs(s))::BIGINT AS peak,
+           ROUND(sqrt(SUM(s * s)::DOUBLE / COUNT(*)), 6) AS rms,
+           SUM(zc)::BIGINT AS zero_crossings
+    FROM x GROUP BY media_id, frame
+    """,
+)
+def wav_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features on the REAL WAV decode path
+    (multimodal.wav_frame_features — the audio sibling of video_frames):
+    100-sample frames with per-frame peak/RMS/zero-crossings; the oracle
+    replays the closed-form sample law arithmetically, so a hash match
+    certifies decode + framing + the three kernels."""
+    m = MM.synth_wav_media(spark, sf_dir)
+    return MM.wav_frame_features(m, frame_len=100)
