@@ -918,3 +918,33 @@ def test_cms_never_undercounts(spark):
            cms_estimate(cms, probes, F.col("w"), "w").collect()}
     assert est["a"] >= 100 and est["b"] >= 10 and est["c"] >= 1
     assert est["zz"] >= 0       # absent key: only collision mass
+
+
+def test_round6_session3_plan_shapes(spark, sf_dir):
+    """Plan contracts for the session-3 operators: per-document Arrow maps
+    and column-expression laws compile WITHOUT any Exchange; the sketch
+    probes broadcast their state instead of shuffling the probe stream."""
+    from fusionspark.io import load_table
+    from fusionspark.operators import urls
+    from fusionspark.operators.packing import assign_split
+    from fusionspark.operators.sketches import bloom_build, bloom_probe
+    from fusionspark.operators.textstats import (
+        char_entropy_docs,
+        compression_ratio_docs,
+        unicode_clean_docs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    for df in (
+        unicode_clean_docs(d),
+        char_entropy_docs(d),
+        compression_ratio_docs(d),
+        assign_split(d.select("doc_id")),
+        d.select(urls.canonicalize(F.concat(F.lit("https://x.com/"), "text"))),
+    ):
+        assert "Exchange" not in _plan(df)
+
+    bloom = bloom_build(d.select(F.md5("text").alias("v")), F.col("v"))
+    probes = d.limit(10).select(F.col("doc_id").alias("pid"), F.md5("text").alias("v"))
+    plan = _plan(bloom_probe(bloom, probes, F.col("v"), "pid"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
