@@ -35,20 +35,29 @@ def hll_rho(tail: Column, tail_bits: int) -> Column:
     return (lz + 1).cast("int")
 
 
+def hll_bucket_rho(value: Column, p: int = 8) -> tuple[Column, Column]:
+    """(bucket, rho) columns for one value — the per-row sketch
+    contribution.  Exposed so STREAMING aggregation can reuse the exact
+    same law (groupBy(bucket).max(rho) is an incrementally-maintainable
+    streaming aggregate; see tests/test_streaming.py)."""
+    tail_bits = 32 - p
+    h = md5_hash32(value)
+    return (
+        (h / (1 << tail_bits)).cast("int").alias("bucket"),
+        hll_rho(h % (1 << tail_bits), tail_bits).alias("rho"),
+    )
+
+
 def hll_registers(df: DataFrame, value: Column, p: int = 8) -> DataFrame:
     """(bucket, register) rows for the DISTINCT values of `value` — the
     mergeable sketch state.  One shuffle on the 2^p bucket ids with
     map-side partial max; empty buckets are materialized as register 0 so
     unions/merges are positional."""
     m = 1 << p
-    tail_bits = 32 - p
     spark = df.sparkSession
-    h = md5_hash32(value)
+    bucket, rho = hll_bucket_rho(value, p)
     regs = (
-        df.select(
-            (h / (1 << tail_bits)).cast("int").alias("bucket"),
-            hll_rho(h % (1 << tail_bits), tail_bits).alias("rho"),
-        )
+        df.select(bucket, rho)
         .groupBy("bucket")
         .agg(F.max("rho").alias("register"))
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from fusionspark.functions.text import STOPWORDS, tokenize
 from fusionspark.io import load_table
 from fusionspark.operators import dedup, textstats
+from fusionspark.operators.dedup import md5_hash32
 from fusionspark.operators.ann import ivf_knn
 from fusionspark.operators.knn import self_probes
 from fusionspark.queries import query
@@ -2469,4 +2470,82 @@ def cms_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").alias("word"), "true_count", "est_count",
             (F.col("est_count") - F.col("true_count")).cast("long").alias("overshoot"),
         )
+    )
+
+
+@query(
+    "salted_join_demo",
+    """
+    WITH ev AS (
+        SELECT event_id,
+               CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END AS k,
+               value
+        FROM events
+    ),
+    dim AS (
+        SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END AS k
+        FROM events
+    ),
+    tagged AS (
+        SELECT k, 'seg' || (('0x' || substr(md5(k::VARCHAR), 1, 8))::BIGINT % 4)::VARCHAR AS tag
+        FROM dim
+    )
+    SELECT t.tag,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(e.value), 6) AS total_value
+    FROM ev e JOIN tagged t ON t.k = e.k
+    GROUP BY t.tag
+    """,
+)
+def salted_join_demo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/joins.py): ~10% of events collapse
+    onto hot key 0, the dimension side replicates 8×, the join runs on
+    (key, salt) so the hot key spreads over 8 partitions.  The oracle is a
+    PLAIN join — a hash match attests salt-invariance of the result.
+    (AQE's runtime skew-join is on in this repo's sessions; this is the
+    plan-level form for known skew / non-AQE paths.)"""
+    from fusionspark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 10 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id")).alias("k"),
+        "value",
+    )
+    dim = ev.select("k").distinct().select(
+        "k",
+        F.concat(F.lit("seg"), (md5_hash32(F.col("k").cast("string")) % 4).cast("string")).alias("tag"),
+    )
+    joined = salted_join(ev, dim, "k", F.col("event_id"), n_salt=8)
+    return joined.groupBy("tag").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@query(
+    "length_quantiles",
+    """
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+           ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents GROUP BY lang
+    """,
+)
+def length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language length percentiles: Spark's `percentile`
+    aggregate vs DuckDB's `quantile_cont` — both the linear-interpolation
+    (type-7) definition, so the hash match is exact, not approximate.
+    (The zero-shuffle approx_percentile path for 100 TB is the
+    curriculum-sharding variant; this is the exact small-group form.)"""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("n_chars", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95"),
     )

@@ -374,3 +374,32 @@ def test_nb_stream_scoring_matches_batch(spark, tmp_path):
     assert {k: v["nb_score"] for k, v in got.items()} == {
         k: v["nb_score"] for k, v in row_form.items()
     }
+
+
+def test_hll_registers_stream_matches_batch(spark, sf_dir, stream_events):
+    """Streaming cardinality sketch: groupBy(bucket).max(rho) is an
+    incrementally-maintainable aggregate, so the HLL register state of the
+    stream equals the batch sketch exactly (ST parity for the sketch
+    family)."""
+    from fusionspark.operators.sketches import hll_bucket_rho, hll_registers
+
+    bucket, rho = hll_bucket_rho(F.col("user_id").cast("string"))
+    sregs = _run_stream(
+        spark,
+        stream_events.select(bucket, rho).groupBy("bucket").agg(
+            F.max("rho").alias("register")
+        ),
+        "hll_stream_regs",
+    )
+    batch = load_table(spark, sf_dir, "events")
+    bregs = hll_registers(batch, F.col("user_id").cast("string"))
+    # stream side omits empty buckets; compare on the populated ones and
+    # confirm the complement is exactly the zero registers
+    joined = bregs.join(
+        sregs.withColumnRenamed("register", "sreg"), "bucket", "left"
+    )
+    mism = joined.filter(
+        (F.col("register") != 0) & (F.col("register") != F.coalesce("sreg", F.lit(-1)))
+    )
+    assert mism.count() == 0
+    assert joined.filter((F.col("register") == 0) & F.col("sreg").isNotNull()).count() == 0
