@@ -43,7 +43,7 @@ PRIORITY: list[str] = [
     "train_split", "label_centroids", "embedding_outliers",
     "window_dedup", "compression_ratio",
     "bloom_probe", "cms_topk", "wav_windows",
-    "salted_join_demo", "length_quantiles",
+    "salted_join_demo", "length_quantiles", "stratified_sample",
     # new in round 6 — real codecs (JPEG baseline decode, ISO-BMFF box
     # parse, WARC source), sub-document dedup, trainable NB quality
     # classifier, product-quantization ADC search

@@ -2549,3 +2549,37 @@ def length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.75)), 6).alias("p75"),
         F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95"),
     )
+
+
+@query(
+    "stratified_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('strat:' || doc_id::VARCHAR), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, doc_id FROM ranked WHERE rn <= 20
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-per-stratum sample (20 docs per language): rank by a
+    salted md5 inside each stratum — a deterministic shuffle order, so the
+    sample is reproducible across engines/partitionings AND uniformly
+    random w.r.t. content (md5 is the coin).  This is how fixed-size eval
+    sets are cut per domain; one window shuffle on the stratum key.
+    Unlike hash_sample (rate-based), the output size is exact per group."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )
