@@ -44,6 +44,7 @@ PRIORITY: list[str] = [
     "window_dedup", "compression_ratio",
     "bloom_probe", "cms_topk", "wav_windows",
     "salted_join_demo", "length_quantiles", "stratified_sample",
+    "events_rolling_avg", "events_type_pivot",
     # new in round 6 — real codecs (JPEG baseline decode, ISO-BMFF box
     # parse, WARC source), sub-document dedup, trainable NB quality
     # classifier, product-quantization ADC search

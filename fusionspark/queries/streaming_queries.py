@@ -209,3 +209,75 @@ def range_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(gap, 6).alias("gap_sec"),
         )
     )
+
+
+@query(
+    "events_rolling_avg",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_s, value
+        FROM events
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_in_window,
+           ROUND(AVG(value) OVER w, 6) AS rolling_avg
+    FROM e
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts_s
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def events_rolling_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rolling aggregate: per user, the 1-hour trailing average
+    (RANGE frame on epoch seconds — value-defined, so tied timestamps are
+    in/out identically on both engines; a ROWS frame would be
+    order-ambiguous under ties).  One shuffle on user_id; the frame scan
+    is per-partition.  The time-series sibling of the tumbling windows."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("n_in_window"),
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+    )
+
+
+@query(
+    "events_type_pivot",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def events_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to a per-user event-type count matrix via groupBy().pivot()
+    with an EXPLICIT value list (open-ended pivot needs a distinct-scan
+    planning pass — never do that at 100 TB; pin the columns).  Compiles
+    to one hash aggregate with conditional counts, exactly the oracle's
+    CASE form."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .count()
+        .na.fill(0)
+        .select(
+            "user_id",
+            F.col("click").cast("long").alias("click"),
+            F.col("view").cast("long").alias("view"),
+            F.col("purchase").cast("long").alias("purchase"),
+            F.col("error").cast("long").alias("error"),
+        )
+    )
