@@ -45,6 +45,7 @@ PRIORITY: list[str] = [
     "bloom_probe", "cms_topk", "wav_windows",
     "salted_join_demo", "length_quantiles", "stratified_sample",
     "events_rolling_avg", "events_type_pivot",
+    "fuzzy_match", "image_text_pairs", "contrastive_negatives",
     # new in round 6 — real codecs (JPEG baseline decode, ISO-BMFF box
     # parse, WARC source), sub-document dedup, trainable NB quality
     # classifier, product-quantization ADC search

@@ -394,3 +394,48 @@ def wav_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies decode + framing + the three kernels."""
     m = MM.synth_wav_media(spark, sf_dir)
     return MM.wav_frame_features(m, frame_len=100)
+
+
+@query(
+    "image_text_pairs",
+    f"WITH {_MEDIA_META_SQL.strip()},\n"
+    """
+    words AS (
+        SELECT doc_id, len(list_filter(string_split(lower(text), ' '),
+                                       x -> x <> '')) AS n_words, n_chars
+        FROM documents
+    )
+    SELECT m.media_id AS doc_id, m.width::INT AS width, m.height::INT AS height,
+           w.n_words::BIGINT AS n_words, w.n_chars AS caption_chars
+    FROM media_meta m JOIN words w ON w.doc_id = m.media_id
+    WHERE m.kind = 'image' AND m.width * m.height >= 16384 AND w.n_words >= 20
+    """,
+)
+def image_text_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP/LAION-style pair curation: join the media metadata plane with
+    per-document text stats and keep (image, caption) pairs passing both
+    gates (≥ 128×128 pixels, ≥ 20 caption words).  Payload bytes are never
+    read — the metadata-plane join is the 100 TB point; the filtered
+    manifest drives a later decode stage."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from fusionspark.functions.text import tokenize
+    from fusionspark.io import load_table
+
+    media = MM.synth_media(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize("text")).alias("n_words"),
+        F.col("n_chars").alias("caption_chars"),
+    )
+    return (
+        media.filter(
+            (F.col("kind") == "image")
+            & (F.col("width") * F.col("height") >= 16384)
+        )
+        .join(docs, media["media_id"] == docs["doc_id"])
+        .filter(F.col("n_words") >= 20)
+        .select(
+            F.col("media_id").alias("doc_id"), "width", "height",
+            F.col("n_words").cast("long").alias("n_words"), "caption_chars",
+        )
+    )

@@ -2583,3 +2583,56 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
     )
+
+
+@query(
+    "contrastive_negatives",
+    """
+    WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+    anchors AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 50),
+    cand AS (
+        SELECT a.vec_id, a.label, j.j,
+               (a.vec_id * 7 + j.j * 131) % (SELECT n FROM n) AS neg_id
+        FROM anchors a
+        CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) j
+    ),
+    ok AS (
+        SELECT c.vec_id, c.j, c.neg_id, e.label AS neg_label,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY c.j) AS rn
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.neg_id
+        WHERE e.label <> c.label
+    )
+    SELECT vec_id, rn::INT AS rn, neg_id, neg_label
+    FROM ok WHERE rn <= 4
+    """,
+)
+def contrastive_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative mining for contrastive training: per anchor,
+    8 md5-free arithmetic candidates (a·7 + j·131 mod N — reproducible
+    across engines), label-mismatch filtered, first 4 kept in candidate
+    order.  The candidate table is anchors × 8 rows — tiny — and joins
+    the corpus on its id (broadcast); the corpus never self-joins."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = emb.count()
+    anchors = emb.filter(F.col("vec_id") < 50)
+    js = spark.range(1, 9).select(F.col("id").alias("j"))
+    cand = anchors.crossJoin(js).select(
+        "vec_id", "label", "j",
+        ((F.col("vec_id") * 7 + F.col("j") * 131) % n).alias("neg_id"),
+    )
+    neg = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    ok = (
+        cand.join(neg, "neg_id")
+        .filter(F.col("neg_label") != F.col("label"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("j")
+    return (
+        ok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select("vec_id", F.col("rn").cast("int").alias("rn"), "neg_id", "neg_label")
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fusionspark.functions.text import STOPWORDS, search_terms
+from fusionspark.functions.text import STOPWORDS, search_terms, tokenize
 from fusionspark.io import load_table
 from fusionspark.operators import fusion
 from fusionspark.operators.context import pack_context
@@ -343,3 +343,58 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bm25_search(d, QUERY, top_k=10)
+
+
+@query(
+    "fuzzy_match",
+    f"""
+    WITH vocab AS (
+        SELECT w, COUNT(*)::BIGINT AS freq
+        FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS w FROM documents)
+        GROUP BY w HAVING COUNT(*) >= 5
+    ),
+    probes AS (
+        SELECT unnest(['tabel', 'mrege', 'scann', 'qurey']) AS probe
+    ),
+    scored AS (
+        SELECT p.probe, v.w, v.freq,
+               levenshtein(p.probe, v.w) AS dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.probe
+                   ORDER BY levenshtein(p.probe, v.w), v.freq DESC, v.w
+               ) AS rn
+        FROM probes p CROSS JOIN vocab v
+    )
+    SELECT probe, w AS suggestion, dist::INT AS dist, freq, rn::INT AS rn
+    FROM scored WHERE rn <= 3
+    """,
+)
+def fuzzy_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-correction / fuzzy lookup: misspelled probes matched against
+    the corpus vocabulary by Levenshtein distance (JVM builtin — exact
+    integer metric, identical in DuckDB), tie-broken by frequency then
+    word.  The vocabulary aggregate is corpus-wide but tiny (freq ≥ 5);
+    it BROADCASTS against the probe list — the fuzzy-join shape where the
+    candidate side is the small one."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+    probes = docs.sparkSession.createDataFrame(
+        [("tabel",), ("mrege",), ("scann",), ("qurey",)], "probe string"
+    )
+    scored = probes.crossJoin(F.broadcast(vocab)).select(
+        "probe", "w", "freq",
+        F.levenshtein("probe", "w").alias("dist"),
+    )
+    w = Window.partitionBy("probe").orderBy("dist", F.desc("freq"), "w")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe", F.col("w").alias("suggestion"), "dist", "freq", "rn")
+    )
