@@ -47,7 +47,9 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived arithmetically — reproducible anywhere, no files, no codecs."""
     from fusionspark.io import load_table
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -259,7 +261,9 @@ def synth_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     still attests the whole encode→inflate→unfilter pipeline."""
     from fusionspark.io import load_table
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     w, h = PNG_W, PNG_H
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -536,7 +540,13 @@ def synth_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusionspark.io import load_table
     from fusionspark.operators.jpeg import jpeg_encode
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single local split -> spread ids across cores (ids only shuffle;
+    # see synth_avi_media)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     w, h, n_blocks = JPEG_W, JPEG_H, (JPEG_W // 8) * (JPEG_H // 8)
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -578,7 +588,13 @@ def synth_mp4_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusionspark.io import load_table
     from fusionspark.operators.mp4 import mp4_encode
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single local split -> spread ids across cores (ids only shuffle;
+    # see synth_avi_media)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -723,7 +739,13 @@ def synth_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode-and-aggregate query certifies the whole codec path."""
     from fusionspark.io import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single local split -> spread ids across cores (ids only shuffle;
+    # see synth_avi_media)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     out_schema = "media_id long, payload binary, mime string, sample_rate int"
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -793,7 +815,14 @@ def synth_avi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusionspark.operators.avi import avi_encode
     from fusionspark.operators.jpeg import jpeg_encode
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the source parquet is a single split locally — spread the doc ids so
+    # the encode+decode kernels use every core (at 100 TB the input arrives
+    # already multi-split; this shuffle moves only 8-byte ids)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     w, h, n_blocks = JPEG_W, JPEG_H, (JPEG_W // 8) * (JPEG_H // 8)
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
