@@ -46,6 +46,8 @@ PRIORITY: list[str] = [
     "salted_join_demo", "length_quantiles", "stratified_sample",
     "events_rolling_avg", "events_type_pivot",
     "fuzzy_match", "image_text_pairs", "contrastive_negatives",
+    "tpch_nation_volume", "tpch_product_profit", "tpch_top_supplier",
+    "tpch_blame_suppliers",
     # new in round 6 — real codecs (JPEG baseline decode, ISO-BMFF box
     # parse, WARC source), sub-document dedup, trainable NB quality
     # classifier, product-quantization ADC search

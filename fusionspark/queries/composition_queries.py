@@ -511,3 +511,168 @@ def tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate)::INT AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+def tpch_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — bilateral shipping volume: TWO aliases of the nation
+    dimension (supplier side and customer side) with a symmetric pair
+    predicate, yearly rollup.  All dimensions broadcast; lineitem is the
+    only shuffled relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("volume")
+    )
+
+
+@query(
+    "tpch_product_profit",
+    """
+    SELECT n.n_name AS nation, year(l.l_shipdate)::INT AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity), 6) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, year(l.l_shipdate)
+    """,
+)
+def tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — product-line profit by supplier nation and year (cost
+    term adapted: the driver schema has no partsupp, so supply cost is
+    0.5·retailprice — the JOIN/AGG shape is Q9's).  The p_name LIKE filter
+    prunes the part dimension BEFORE its broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")
+    ).agg(F.round(F.sum(profit), 6).alias("profit"))
+
+
+@query(
+    "tpch_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS total_rev
+        FROM lineitem
+        WHERE year(l_shipdate) = 1997
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape — top supplier by 1997 revenue: revenue view aggregated
+    once, its scalar max broadcast back as a 1-row join (the view is never
+    recomputed, unlike the naive correlated form).  Equality on the ROUNDED
+    revenue so the winner set is float-stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "tpch_blame_suppliers",
+    """
+    SELECT l1.l_suppkey AS s_suppkey, COUNT(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+    FROM lineitem l1
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY l1.l_suppkey
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def tpch_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — the sole-blame pattern (EXISTS + NOT EXISTS against the
+    same relation): suppliers whose line was returned in multi-supplier
+    orders where NO other supplier's line was returned.  Both subqueries
+    become semi/anti joins on the order key (aggregated per-order supplier
+    sets, broadcast) — no correlated re-scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    # per (order, supplier): does this supplier have a returned line?
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    # per order: supplier count and count of suppliers with returns
+    per_order = per.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("has_r").alias("n_supp_r")
+    )
+    blamed = (
+        per.join(F.broadcast(per_order), "l_orderkey")
+        .filter(
+            (F.col("has_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_supp_r") == 1)
+        )
+    )
+    return (
+        blamed.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
