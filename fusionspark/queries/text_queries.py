@@ -398,3 +398,119 @@ def fuzzy_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("probe", F.col("w").alias("suggestion"), "dist", "freq", "rn")
     )
+
+
+_SNIPPET_TERMS_SQL = "['fast', 'table', 'scan', 'merge', 'join']"
+
+
+@query(
+    "search_snippets",
+    f"""
+    WITH wd AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        FROM documents WHERE doc_id < 50
+    ),
+    wins AS (
+        SELECT doc_id, words, i.i AS start,
+               len(list_filter(words[i.i:i.i+9],
+                               t -> list_contains({_SNIPPET_TERMS_SQL}, t))) AS hits
+        FROM wd
+        CROSS JOIN (SELECT unnest(generate_series(1, 500)) AS i) i
+        WHERE i.i <= greatest(len(words) - 9, 1)
+    ),
+    best AS (
+        SELECT doc_id, start, hits, words,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, start) AS rn
+        FROM wins
+    )
+    SELECT doc_id, start::INT AS start, hits::INT AS hits,
+           array_to_string(words[start:start+9], ' ') AS snippet
+    FROM best WHERE rn = 1
+    """,
+)
+def search_snippets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippet extraction: the 10-token window with the most
+    query-term hits (ties → earliest), per document.  The Spark side is
+    pure array expressions over each row (argmax via max-hits +
+    min-qualifying-start — no explode, no shuffle); the oracle explodes
+    every window and ranks them — the hash match proves the in-row argmax
+    equals the exploded plan.  Run AFTER retrieval on the top-k only (here
+    a fixed 50-doc slice): snippet cost scales with results, not corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    terms = F.array(*[F.lit(t) for t in ["fast", "table", "scan", "merge", "join"]])
+    words = tokenize("text")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words) - 9, F.lit(1)))
+    hits_at = lambda i: F.size(  # noqa: E731
+        F.filter(F.slice(words, i, 10), lambda t: F.array_contains(terms, t))
+    )
+    wins = F.transform(starts, lambda i: F.struct(i.alias("start"), hits_at(i).alias("hits")))
+    max_hits = F.array_max(F.transform(wins, lambda w: w["hits"]))
+    best_start = F.array_min(
+        F.transform(F.filter(wins, lambda w: w["hits"] == max_hits), lambda w: w["start"])
+    )
+    return docs.select(
+        "doc_id",
+        best_start.cast("int").alias("start"),
+        max_hits.cast("int").alias("hits"),
+        F.concat_ws(" ", F.slice(words, best_start, 10)).alias("snippet"),
+    )
+
+
+@query(
+    "source_topics",
+    """
+    WITH tf AS (
+        SELECT source, w, COUNT(*)::DOUBLE AS tf
+        FROM (SELECT source,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY source, w
+    ),
+    df AS (SELECT w, COUNT(*)::DOUBLE AS df FROM tf GROUP BY w),
+    ns AS (SELECT COUNT(DISTINCT source)::DOUBLE AS n FROM documents),
+    scored AS (
+        SELECT t.source, t.w,
+               ROUND(t.tf * ln((SELECT n FROM ns) / d.df), 6) AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.source
+                   ORDER BY ROUND(t.tf * ln((SELECT n FROM ns) / d.df), 6) DESC, t.w
+               ) AS rn
+        FROM tf t JOIN df d ON d.w = t.w
+    )
+    SELECT source, rn::INT AS rn, w AS term, score
+    FROM scored WHERE rn <= 5
+    """,
+)
+def source_topics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source (corpus analytics): TF·IDF where IDF
+    counts SOURCES containing the term — the 'what is this domain about'
+    report every corpus card includes.  Two hash aggs (source×word, then
+    word) + a broadcast scalar; top-5 ranked on the ROUNDED score so the
+    cut is float-order-stable."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tf = (
+        docs.select("source", F.explode(tokenize("text")).alias("w"))
+        .groupBy("source", "w").agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
+    ns = docs.agg(F.countDistinct("source").cast("double").alias("n"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source", "w",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "w")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", F.col("rn").cast("int").alias("rn"),
+                F.col("w").alias("term"), "score")
+    )
