@@ -428,3 +428,45 @@ def triple_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: knowledge-graph summary (RecursiveLearningEngine.js:574-584)."""
     return learning.graph_summary(FX.triples_df(spark, sf_dir))
+
+
+@query(
+    "chat_render",
+    f"""
+    WITH {{conv}}
+    SELECT thread_id,
+           COUNT(*)::BIGINT AS n_msgs,
+           string_agg('<|' || role || '|>' || content, '' ORDER BY msg_seq) AS rendered,
+           CAST(ceil(length(string_agg('<|' || role || '|>' || content, ''
+                                       ORDER BY msg_seq)) / 4.0) AS BIGINT) AS est_tokens
+    FROM conversations
+    GROUP BY thread_id
+    """.replace("{conv}", FX.CONVERSATIONS_SQL.strip()),
+)
+def chat_render_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering — the SFT-data assembly step: each thread's
+    messages concatenated in msg_seq order with role tags
+    ('<|user|>…<|assistant|>…'), plus the ceil(len/4) token estimate the
+    packing stage consumes.  collect_list is UNORDERED in Spark (partition
+    race), so the sort happens inside the row via array_sort on (seq,
+    payload) structs — one shuffle on thread_id, deterministic output."""
+    conv = FX.conversations_df(spark, sf_dir)
+    rendered = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("msg_seq"),
+                        F.concat(F.lit("<|"), "role", F.lit("|>"), "content").alias("piece"),
+                    )
+                )
+            ),
+            lambda s: s["piece"],
+        ),
+    )
+    return conv.groupBy("thread_id").agg(
+        F.count("*").alias("n_msgs"),
+        rendered.alias("rendered"),
+        F.ceil(F.length(rendered) / 4.0).cast("long").alias("est_tokens"),
+    )
