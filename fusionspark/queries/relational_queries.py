@@ -470,3 +470,54 @@ def chat_render_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         rendered.alias("rendered"),
         F.ceil(F.length(rendered) / 4.0).cast("long").alias("est_tokens"),
     )
+
+
+@query(
+    "loss_mask_spans",
+    f"""
+    WITH {{conv}},
+    pieces AS (
+        SELECT thread_id, msg_seq, role,
+               '<|' || role || '|>' || content AS piece
+        FROM conversations
+    ),
+    offs AS (
+        SELECT thread_id, msg_seq, role,
+               COALESCE(SUM(length(piece)) OVER (
+                   PARTITION BY thread_id ORDER BY msg_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS span_start,
+               length(piece) AS piece_len,
+               length('<|' || role || '|>') AS tag_len
+        FROM pieces
+    )
+    SELECT thread_id, msg_seq,
+           (span_start + tag_len)::BIGINT AS span_start,
+           (span_start + piece_len)::BIGINT AS span_end
+    FROM offs WHERE role = 'assistant'
+    """.replace("{conv}", FX.CONVERSATIONS_SQL.strip()),
+)
+def loss_mask_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask spans for SFT — the companion of chat_render: character
+    [start, end) of every ASSISTANT message body inside the rendered
+    thread (role tags excluded from the trainable span).  One running-sum
+    window per thread; integer-exact, so the spans index the rendered
+    string byte-for-byte on any engine."""
+    from pyspark.sql.window import Window
+
+    conv = FX.conversations_df(spark, sf_dir)
+    piece = F.concat(F.lit("<|"), "role", F.lit("|>"), "content")
+    w = (
+        Window.partitionBy("thread_id").orderBy("msg_seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = conv.select(
+        "thread_id", "msg_seq", "role",
+        F.coalesce(F.sum(F.length(piece)).over(w), F.lit(0)).alias("off"),
+        F.length(piece).alias("piece_len"),
+        F.length(F.concat(F.lit("<|"), "role", F.lit("|>"))).alias("tag_len"),
+    )
+    return offs.filter(F.col("role") == "assistant").select(
+        "thread_id", "msg_seq",
+        (F.col("off") + F.col("tag_len")).cast("long").alias("span_start"),
+        (F.col("off") + F.col("piece_len")).cast("long").alias("span_end"),
+    )

@@ -948,3 +948,22 @@ def test_round6_session3_plan_shapes(spark, sf_dir):
     probes = d.limit(10).select(F.col("doc_id").alias("pid"), F.md5("text").alias("v"))
     plan = _plan(bloom_probe(bloom, probes, F.col("v"), "pid"))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_loss_mask_spans_index_rendered_string(spark, sf_dir):
+    """The [start, end) spans must slice exactly the assistant message
+    bodies out of chat_render's rendered strings."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    rendered = {r["thread_id"]: r["rendered"]
+                for r in qs["chat_render"](spark, sf_dir).collect()}
+    from fusionspark import fixtures as FX
+
+    conv = {(r["thread_id"], r["msg_seq"]): r["content"]
+            for r in FX.conversations_df(spark, sf_dir).collect()}
+    spans = qs["loss_mask_spans"](spark, sf_dir).collect()
+    assert spans
+    for r in spans[:200]:
+        body = rendered[r["thread_id"]][r["span_start"]:r["span_end"]]
+        assert body == conv[(r["thread_id"], r["msg_seq"])]
