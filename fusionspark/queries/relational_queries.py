@@ -521,3 +521,62 @@ def loss_mask_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("off") + F.col("tag_len")).cast("long").alias("span_start"),
         (F.col("off") + F.col("piece_len")).cast("long").alias("span_end"),
     )
+
+
+@query(
+    "dpo_pairs",
+    f"""
+    WITH {{fb}},
+    ranked AS (
+        SELECT query, strategy, quality, fb_id,
+               ROW_NUMBER() OVER (PARTITION BY query
+                                  ORDER BY quality DESC, fb_id) AS rn_best,
+               ROW_NUMBER() OVER (PARTITION BY query
+                                  ORDER BY quality ASC, fb_id) AS rn_worst,
+               COUNT(*) OVER (PARTITION BY query) AS n_fb
+        FROM feedback
+    ),
+    best AS (SELECT query, strategy AS chosen, quality AS q_c, n_fb
+             FROM ranked WHERE rn_best = 1),
+    worst AS (SELECT query, strategy AS rejected, quality AS q_r
+              FROM ranked WHERE rn_worst = 1)
+    SELECT b.query, b.chosen, w.rejected,
+           ROUND(b.q_c - w.q_r, 6) AS margin,
+           b.n_fb::BIGINT AS n_fb
+    FROM best b JOIN worst w ON w.query = b.query
+    WHERE b.n_fb >= 2 AND b.q_c > w.q_r
+    """.replace("{fb}", FX.FEEDBACK_SQL.strip()),
+)
+def dpo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (DPO/RLHF): per prompt, the best- and
+    worst-scored responses become (chosen, rejected) with their quality
+    margin; prompts with one response or a zero margin drop.  Two window
+    ranks over one shuffle on the prompt key — deterministic tie-breaks by
+    feedback id.  Quality is k/100 (exact dyadic), so the margin compare
+    is engine-stable."""
+    from pyspark.sql.window import Window
+
+    fb = FX.feedback_df(spark, sf_dir).select("query", "strategy", "quality", "fb_id")
+    wq = Window.partitionBy("query")
+    ranked = fb.select(
+        "query", "strategy", "quality", "fb_id",
+        F.row_number().over(wq.orderBy(F.desc("quality"), "fb_id")).alias("rn_best"),
+        F.row_number().over(wq.orderBy(F.asc("quality"), "fb_id")).alias("rn_worst"),
+        F.count("*").over(wq).alias("n_fb"),
+    )
+    best = ranked.filter(F.col("rn_best") == 1).select(
+        "query", F.col("strategy").alias("chosen"), F.col("quality").alias("q_c"), "n_fb"
+    )
+    worst = ranked.filter(F.col("rn_worst") == 1).select(
+        F.col("query").alias("query_w"), F.col("strategy").alias("rejected"),
+        F.col("quality").alias("q_r"),
+    )
+    return (
+        best.join(worst, best["query"] == worst["query_w"])
+        .filter((F.col("n_fb") >= 2) & (F.col("q_c") > F.col("q_r")))
+        .select(
+            "query", "chosen", "rejected",
+            F.round(F.col("q_c") - F.col("q_r"), 6).alias("margin"),
+            F.col("n_fb").cast("long").alias("n_fb"),
+        )
+    )
