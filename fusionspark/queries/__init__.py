@@ -48,7 +48,7 @@ PRIORITY: list[str] = [
     "fuzzy_match", "image_text_pairs", "contrastive_negatives",
     "tpch_nation_volume", "tpch_product_profit", "tpch_top_supplier",
     "tpch_blame_suppliers",
-    "search_snippets", "source_topics", "chat_render", "loss_mask_spans", "dpo_pairs",
+    "search_snippets", "source_topics", "chat_render", "loss_mask_spans", "dpo_pairs", "chat_lint",
     # new in round 6 — real codecs (JPEG baseline decode, ISO-BMFF box
     # parse, WARC source), sub-document dedup, trainable NB quality
     # classifier, product-quantization ADC search

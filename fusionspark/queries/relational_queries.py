@@ -580,3 +580,48 @@ def dpo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_fb").cast("long").alias("n_fb"),
         )
     )
+
+
+@query(
+    "chat_lint",
+    f"""
+    WITH {{conv}},
+    x AS (
+        SELECT thread_id, msg_seq, role, content,
+               LAG(role) OVER (PARTITION BY thread_id ORDER BY msg_seq) AS prev_role,
+               ROW_NUMBER() OVER (PARTITION BY thread_id ORDER BY msg_seq) AS rn
+        FROM conversations
+    )
+    SELECT thread_id,
+           COUNT(*)::BIGINT AS n_msgs,
+           (MAX(CASE WHEN rn = 1 THEN role END) = 'user') AS starts_user,
+           SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END)::BIGINT AS repeat_role_violations,
+           SUM(CASE WHEN role = 'system' AND rn > 1 THEN 1 ELSE 0 END)::BIGINT AS late_system_msgs,
+           SUM(CASE WHEN length(content) = 0 THEN 1 ELSE 0 END)::BIGINT AS empty_msgs
+    FROM x GROUP BY thread_id
+    """.replace("{conv}", FX.CONVERSATIONS_SQL.strip()),
+)
+def chat_lint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation linting — the validation gate before chat data enters
+    SFT: per thread, does it start with a user turn, how many same-role
+    repeats (broken alternation), system messages after the head, empty
+    bodies.  One window pass per thread; the flags are the standard drop
+    rules of chat-data curation."""
+    from pyspark.sql.window import Window
+
+    conv = FX.conversations_df(spark, sf_dir)
+    w = Window.partitionBy("thread_id").orderBy("msg_seq")
+    x = conv.select(
+        "thread_id", "role", "content",
+        F.lag("role").over(w).alias("prev_role"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return x.groupBy("thread_id").agg(
+        F.count("*").alias("n_msgs"),
+        (F.max(F.when(F.col("rn") == 1, F.col("role"))) == "user").alias("starts_user"),
+        F.sum((F.col("role") == F.col("prev_role")).cast("int")).cast("long")
+        .alias("repeat_role_violations"),
+        F.sum(((F.col("role") == "system") & (F.col("rn") > 1)).cast("int")).cast("long")
+        .alias("late_system_msgs"),
+        F.sum((F.length("content") == 0).cast("int")).cast("long").alias("empty_msgs"),
+    )
