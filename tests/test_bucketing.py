@@ -46,3 +46,34 @@ def test_bucketed_join_and_agg_have_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_date_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """The warehouse fact layout: events written partitionBy(event_date)
+    must serve a single-day filter through PartitionFilters — the scan
+    lists ONLY that day's directory (at 100 TB: touching 1/365th of the
+    table), with the predicate absent from post-scan Filters."""
+    from fusionspark.io import load_table
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    one_day = ev.select("event_date").first()["event_date"]
+    df = spark.read.parquet(out).filter(F.col("event_date") == F.lit(one_day))
+
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "event_date" in pf          # predicate reached the partition layer
+    n_day = df.count()
+    assert 0 < n_day < ev.count()
