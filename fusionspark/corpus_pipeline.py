@@ -38,6 +38,7 @@ def export_training_corpus(
     n_shards: int = 16,
     nb_pos=None,
     nb_neg=None,
+    token_shards_dir: str | None = None,
 ) -> dict:
     """Run the full cleaning + packaging pipeline over `docs`
     (doc_id, text, source).  Returns {"funnel": {...stage counts...},
@@ -116,7 +117,26 @@ def export_training_corpus(
     # 5. tar shards + manifest
     manifest = write_webdataset(sharded, out_dir).collect()
 
+    # 5b. optional mmap-able token shards (Megatron-style .bin/.idx):
+    #     hashing-trick token ids (md5(word) mod 2^16 — vocab-free and
+    #     engine-replayable; swap in bpe.bpe_encode for a trained vocab)
+    token_manifest = None
+    if token_shards_dir is not None:
+        from fusionspark.functions.text import tokenize
+        from fusionspark.operators.packing import write_token_shards
+
+        tokens = sharded.select(
+            "shard", "pos",
+            F.transform(
+                tokenize("text"),
+                lambda w: F.pmod(md5_hash32(w), F.lit(65536)).cast("int"),
+            ).alias("token_ids"),
+        )
+        token_manifest = write_token_shards(tokens, token_shards_dir).collect()
+
+    result_token_manifest = token_manifest
     return {
+        "token_manifest": result_token_manifest,
         "funnel": {
             "raw": n_raw,
             "after_quality": n_quality,

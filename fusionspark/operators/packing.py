@@ -233,3 +233,84 @@ def assign_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def write_token_shards(
+    df,
+    out_dir: str,
+    tokens_col: str = "token_ids",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+    dtype: str = "uint16",
+):
+    """Megatron-style binary token shards — the mmap-able pretraining
+    format: per shard a `shard-{s:05d}.bin` of contiguous token ids
+    (little-endian `dtype`) plus `shard-{s:05d}.idx` holding one u64
+    START OFFSET per sequence (in tokens) and a final u64 total, so the
+    loader random-accesses sequence i as tokens[idx[i]:idx[i+1]] without
+    parsing.  Sequences land in `pos` order; bytes are a pure function of
+    the input (no timestamps), so shard-level caching/resume is safe —
+    same contract as write_webdataset.
+
+    Scale shape: groupBy(shard) is the only shuffle; each task writes one
+    whole shard.  Returns a manifest (shard, n_seqs, n_tokens, bin_md5).
+    u16 covers vocabularies < 65 536 (the repo's BPE trainer default);
+    pass dtype='uint32' beyond that."""
+    import hashlib
+    import os
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    np_dtype = np.dtype(dtype).newbyteorder("<")
+
+    def write_shard(key, pdf):
+        (shard,) = key
+        pdf = pdf.sort_values(pos_col)
+        seqs = [np.asarray(t, dtype=np_dtype) for t in pdf[tokens_col]]
+        flat = (
+            np.concatenate(seqs) if seqs else np.empty(0, dtype=np_dtype)
+        )
+        offsets = np.zeros(len(seqs) + 1, dtype="<u8")
+        np.cumsum([len(s) for s in seqs], out=offsets[1:])
+        bin_payload = flat.tobytes()
+        base = os.path.join(out_dir, f"shard-{int(shard):05d}")
+        with open(base + ".bin", "wb") as f:
+            f.write(bin_payload)
+        with open(base + ".idx", "wb") as f:
+            f.write(struct.pack("<Q", len(seqs)))
+            f.write(offsets.tobytes())
+        return pd.DataFrame(
+            {
+                "shard": [int(shard)],
+                "n_seqs": [len(seqs)],
+                "n_tokens": [int(offsets[-1])],
+                "bin_md5": [hashlib.md5(bin_payload).hexdigest()],
+            }
+        )
+
+    return (
+        df.select(shard_col, pos_col, tokens_col)
+        .groupBy(shard_col)
+        .applyInPandas(
+            lambda key, pdf: write_shard(key, pdf),
+            schema="shard long, n_seqs long, n_tokens long, bin_md5 string",
+        )
+    )
+
+
+def read_token_shard(base_path: str, dtype: str = "uint16"):
+    """Loader-side counterpart (test/verification use): returns the list
+    of sequences from one shard."""
+    import struct
+
+    import numpy as np
+
+    np_dtype = np.dtype(dtype).newbyteorder("<")
+    with open(base_path + ".idx", "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        offsets = np.frombuffer(f.read(8 * (n + 1)), dtype="<u8")
+    flat = np.fromfile(base_path + ".bin", dtype=np_dtype)
+    return [flat[offsets[i] : offsets[i + 1]] for i in range(n)]

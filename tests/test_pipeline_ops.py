@@ -672,7 +672,16 @@ def test_export_training_corpus_end_to_end(spark, tmp_path):
         "doc_id", "text", "source"
     ).limit(300).cache()
     out1 = str(tmp_path / "corpus1")
-    res = export_training_corpus(spark, docs, out1, min_consensus=2, n_shards=4)
+    res = export_training_corpus(
+        spark, docs, out1, min_consensus=2, n_shards=4,
+        token_shards_dir=str(tmp_path / "tok1"),
+    )
+    # token shards exist, are non-empty, and read back
+    from fusionspark.operators.packing import read_token_shard
+    assert res["token_manifest"]
+    tm0 = sorted(res["token_manifest"], key=lambda r: r["shard"])[0]
+    seqs = read_token_shard(str(tmp_path / "tok1" / f"shard-{tm0['shard']:05d}"))
+    assert len(seqs) == tm0["n_seqs"] and sum(len(s) for s in seqs) == tm0["n_tokens"]
     f = res["funnel"]
     assert f["raw"] == 300
     assert f["raw"] >= f["after_quality"] >= f["after_exact_dedup"] == f["exported"]
@@ -967,3 +976,28 @@ def test_loss_mask_spans_index_rendered_string(spark, sf_dir):
     for r in spans[:200]:
         body = rendered[r["thread_id"]][r["span_start"]:r["span_end"]]
         assert body == conv[(r["thread_id"], r["msg_seq"])]
+
+
+def test_write_token_shards_roundtrip(spark, tmp_path):
+    from fusionspark.operators.packing import read_token_shard, write_token_shards
+
+    rows = [
+        (0, 0, [1, 2, 3]),
+        (0, 1, [4]),
+        (1, 0, [5, 6]),
+        (1, 1, []),
+        (1, 2, [7, 8, 9, 10]),
+    ]
+    df = spark.createDataFrame(rows, "shard long, pos long, token_ids array<int>")
+    out = str(tmp_path / "tok")
+    man = {r["shard"]: r for r in write_token_shards(df, out).collect()}
+    assert man[0]["n_seqs"] == 2 and man[0]["n_tokens"] == 4
+    assert man[1]["n_seqs"] == 3 and man[1]["n_tokens"] == 6
+    s0 = read_token_shard(f"{out}/shard-00000")
+    assert [list(s) for s in s0] == [[1, 2, 3], [4]]
+    s1 = read_token_shard(f"{out}/shard-00001")
+    assert [list(s) for s in s1] == [[5, 6], [], [7, 8, 9, 10]]
+    # reproducible bytes: second write produces identical md5s
+    man2 = {r["shard"]: r["bin_md5"]
+            for r in write_token_shards(df, str(tmp_path / "tok2")).collect()}
+    assert man2 == {k: v["bin_md5"] for k, v in man.items()}
