@@ -47,9 +47,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived arithmetically — reproducible anywhere, no files, no codecs."""
     from fusionspark.io import load_table
 
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table(spark, sf_dir, "documents")
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -261,9 +259,7 @@ def synth_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     still attests the whole encode→inflate→unfilter pipeline."""
     from fusionspark.io import load_table
 
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = load_table(spark, sf_dir, "documents")
     w, h = PNG_W, PNG_H
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -739,13 +735,7 @@ def synth_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode-and-aggregate query certifies the whole codec path."""
     from fusionspark.io import load_table
 
-    # single local split -> spread ids across cores (ids only shuffle;
-    # see synth_avi_media)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     out_schema = "media_id long, payload binary, mime string, sample_rate int"
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -32,8 +32,8 @@ def query(name: str, sql: str | None = None):
 # touched this round keep their valid r1/r2 attestations (the r1∪r2 union
 # covered all 86 registered queries with zero failures).
 PRIORITY: list[str] = [
-    # new in round 6 (session 3): real MJPEG-in-AVI frame decode, unicode
-    # hygiene, entropy signal, URL canonicalization family
+    # ── r06 driver budget (first 50) — ordered by attestation risk ──
+    # session-3 new operator families (no driver rows yet)
     "video_frames", "unicode_clean", "char_entropy",
     "url_canonical", "url_host_stats",
     "tpch_order_distribution", "tpch_promo_revenue",
@@ -43,37 +43,38 @@ PRIORITY: list[str] = [
     "train_split", "label_centroids", "embedding_outliers",
     "window_dedup", "compression_ratio",
     "bloom_probe", "cms_topk", "wav_windows",
-    "salted_join_demo", "length_quantiles", "stratified_sample",
-    "events_rolling_avg", "events_type_pivot",
-    "fuzzy_match", "image_text_pairs", "contrastive_negatives",
+    "salted_join_demo", "fuzzy_match", "image_text_pairs",
+    "contrastive_negatives",
     "tpch_nation_volume", "tpch_product_profit", "tpch_top_supplier",
     "tpch_blame_suppliers",
-    "search_snippets", "source_topics", "chat_render", "loss_mask_spans", "dpo_pairs", "chat_lint",
-    # new in round 6 — real codecs (JPEG baseline decode, ISO-BMFF box
-    # parse, WARC source), sub-document dedup, trainable NB quality
-    # classifier, product-quantization ADC search
-    "jpeg_features", "mp4_metadata", "warc_ingest",
-    "paragraph_dedup", "nb_quality", "ann_pq", "ann_ivf_pq",
-    # round 6 (earlier session): SRP got its DuckDB oracle, pHash image
-    # near-dup landed, gopher line rules + de-interpreted funnel changed
-    # those queries' bodies — all need fresh attestation rows
-    "ann_srp", "phash_neardup", "gopher_quality", "corpus_funnel",
-    "bpe_merges", "bpe_tokenize",
-    "curriculum_shards", "tpch_local_supplier_volume", "png_resize",
-    "lm_perplexity", "shuffle_shards", "quality_consensus",
-    # changed in round 6: load_table NTZ conversion is now zone-free —
-    # every time-axis query re-attests
+    "search_snippets", "source_topics", "chat_render", "loss_mask_spans",
+    "dpo_pairs",
+    # STALE prior attestations — code paths changed this round and the
+    # old rows no longer bind: zone-free load_table (time axis), JPEG
+    # dispatch in decode_real, hardened wav_decode, Gopher line columns,
+    # de-interpreted funnel, SRP's first oracle
     "asof_click_view", "range_error_context", "events_time_rollup",
     "events_json_props", "stream_tumbling", "stream_sliding",
     "stream_session", "stream_dedup", "conversation_tail",
-    # round-5 additions kept warm (all green in CORRECTNESS_r05)
+    "png_features", "wav_features",
+    "gopher_quality", "corpus_funnel", "ann_srp",
+    # session-1/2 flagship codecs (new, no rows)
+    "jpeg_features", "mp4_metadata", "warc_ingest",
+    # ── r07 rotation queue (below the 50-row cap; all green in the
+    # local gate at 3 SFs — rotate these to the front next round) ──
+    "paragraph_dedup", "nb_quality", "ann_pq", "ann_ivf_pq",
+    "phash_neardup", "png_resize", "curriculum_shards", "lm_perplexity",
+    "shuffle_shards", "quality_consensus", "tpch_local_supplier_volume",
+    "bpe_merges", "bpe_tokenize",
+    "length_quantiles", "events_type_pivot", "chat_lint",
+    "stratified_sample", "events_rolling_avg", "chat_lint",
+    # earlier-round attestations kept warm
     "dedup_clusters", "c4_filter", "hash_sample", "pack_sequences",
     "pii_redact", "repetition_stats", "vocab_coverage",
     "domain_mix", "contamination_check", "dedup_incremental",
     "tpch_returned_items", "tpch_small_qty_revenue", "tpch_large_orders",
-    "wav_features", "message_deliveries", "messages_significant",
-    # scale-path attestations kept warm
-    "neardup_ngram_lsh", "neardup_embedding_ivf", "png_features",
+    "message_deliveries", "messages_significant",
+    "neardup_ngram_lsh", "neardup_embedding_ivf",
     "ann_ivf_distributed", "ann_ivf_filtered",
     "dedup_minhash", "neardup_ngram", "merge_candidates",
     "neardup_embedding",
