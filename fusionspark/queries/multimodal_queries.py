@@ -282,7 +282,13 @@ def png_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     law through the same floor(sum/6) arithmetic.  Upgrades the resize
     kernel from the fake-decode [R] demo to a certified real-decode
     pipeline (the shape-contract `image_resize` demo remains)."""
-    m = MM.synth_png_media(spark, sf_dir)
+    # spread the single local split across cores before the decode kernel
+    # (repartition here, NOT in the shared synth — png_features keeps its
+    # attested plan); moves only the ~1 KB synthetic payloads, and at
+    # scale real input arrives multi-split so this node disappears
+    m = MM.synth_png_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     res = MM.resize_media_real(m, target=(8, 8))
     return res.select(
         F.col("media_id").alias("doc_id"),
@@ -392,7 +398,9 @@ def wav_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-sample frames with per-frame peak/RMS/zero-crossings; the oracle
     replays the closed-form sample law arithmetically, so a hash match
     certifies decode + framing + the three kernels."""
-    m = MM.synth_wav_media(spark, sf_dir)
+    m = MM.synth_wav_media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return MM.wav_frame_features(m, frame_len=100)
 
 
