@@ -67,7 +67,7 @@ PRIORITY: list[str] = [
     "shuffle_shards", "quality_consensus", "tpch_local_supplier_volume",
     "bpe_merges", "bpe_tokenize",
     "length_quantiles", "events_type_pivot", "chat_lint",
-    "stratified_sample", "events_rolling_avg", "chat_lint",
+    "stratified_sample", "events_rolling_avg", "retrieval_ndcg",
     # earlier-round attestations kept warm
     "dedup_clusters", "c4_filter", "hash_sample", "pack_sequences",
     "pii_redact", "repetition_stats", "vocab_coverage",

@@ -514,3 +514,82 @@ def source_topics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("rn").cast("int").alias("rn"),
                 F.col("w").alias("term"), "score")
     )
+
+
+@query(
+    "retrieval_ndcg",
+    f"""
+    WITH bm AS ({_bm25_oracle(_TERMS)}),
+    ranked AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bm
+    ),
+    rel AS (
+        SELECT doc_id,
+               len(list_filter(['fast', 'table', 'scan', 'merge', 'join'],
+                               t -> list_contains(w[1:20], t))) AS rel
+        FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+              FROM documents)
+    ),
+    dcg AS (
+        SELECT SUM((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg
+        FROM ranked r JOIN rel ON rel.doc_id = r.doc_id
+    ),
+    ideal AS (
+        SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rank
+        FROM rel QUALIFY rank <= 10
+    ),
+    idcg AS (
+        SELECT SUM((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS idcg FROM ideal
+    )
+    SELECT ROUND(dcg.dcg, 6) AS dcg,
+           ROUND(idcg.idcg, 6) AS idcg,
+           ROUND(dcg.dcg / idcg.idcg, 6) AS ndcg_at_10
+    FROM dcg, idcg
+    """,
+)
+def retrieval_ndcg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation: nDCG@10 of the BM25 ranking against a
+    deterministic term-overlap relevance label (distinct query terms
+    present, 0-5) — the eval-harness member of the retrieval family.  The
+    IDCG pool is the FULL corpus (best achievable ranking), so the metric
+    is honest, not self-normalized to the retrieved set.  Tie order
+    cannot move either sum (tied docs share a rel value)."""
+    from pyspark.sql.window import Window
+
+    from fusionspark.operators.keyword import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in _TERMS])
+    words = tokenize("text")
+    # positional relevance (terms among the FIRST 20 words): BM25 is
+    # position-blind, so ranking and label genuinely diverge and the
+    # metric attests the rank-weighted math, not a trivial 1.0
+    head = F.slice(words, 1, 20)
+    rel = docs.select(
+        "doc_id",
+        F.size(F.filter(terms, lambda t: F.array_contains(head, t))).alias("rel"),
+    )
+    bm = bm25_search(docs, QUERY, top_k=10)
+    ranked = bm.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("rank"),
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("rank") + 1.0)
+    dcg = ranked.join(rel, "doc_id").agg(F.sum(gain).alias("dcg"))
+    # TakeOrdered the top-10 BEFORE the global window (the single-
+    # partition sort only ever sees 10 rows — same rule as vocab_coverage)
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id").limit(10)
+        .select(
+            "rel",
+            F.row_number().over(Window.orderBy(F.desc("rel"), "doc_id")).alias("rank"),
+        )
+    )
+    idcg = ideal.agg(F.sum(gain).alias("idcg"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+    )
