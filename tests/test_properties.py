@@ -132,3 +132,40 @@ def test_mp4_and_warc_and_wav_parsers_never_hang(data):
         assert recs == [] or isinstance(recs, list)
     except Exception:
         pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=120))
+def test_unicode_clean_idempotent(s):
+    """Cleanup must be a projection: clean(clean(x)) == clean(x)."""
+    from fusionspark.operators.textstats import py_unicode_clean
+
+    once = py_unicode_clean(s)
+    assert py_unicode_clean(once) == once
+
+
+def test_url_canonicalize_idempotent_and_invariant(spark):
+    """canonicalize is a projection over the whole synthetic-URL lattice
+    (www × port × utm × fragment × case): one Spark job canonicalizes all
+    combinations, a second pass must be a fixpoint, and every output is
+    scheme-lowercased, fragment-free, and utm-free."""
+    from fusionspark.operators import urls as U
+
+    rows = []
+    i = 0
+    for www in ("", "WWW."):
+        for port in ("", ":443", ":8443"):
+            for q in ("", "?utm_source=x&id=1&utm_c=z", "?id=1", "?utm_only=1"):
+                for frag in ("", "#frag"):
+                    for scheme in ("HTTPS", "https", "HtTp"):
+                        rows.append((i, f"{scheme}://{www}Host{i}.Example.COM{port}/p/{i}{q}{frag}"))
+                        i += 1
+    df = spark.createDataFrame(rows, "i long, url string")
+    once = df.select("i", U.canonicalize("url").alias("c"))
+    twice = once.select("i", U.canonicalize("c").alias("c2"))
+    merged = once.join(twice, "i").collect()
+    assert merged
+    for r in merged:
+        assert r["c"] == r["c2"]
+        assert r["c"].split("://")[0] in ("https", "http")
+        assert "#" not in r["c"] and "utm_" not in r["c"] and ":443" not in r["c"]
