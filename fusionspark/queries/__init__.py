@@ -41,7 +41,7 @@ PRIORITY: list[str] = [
     "tpch_dormant_customers",
     "bm25_search", "pagerank_docs", "hll_distinct",
     "train_split", "label_centroids", "embedding_outliers",
-    "window_dedup", "compression_ratio",
+    "window_dedup", "warc_ingest",
     "bloom_probe", "cms_topk", "wav_windows",
     "salted_join_demo", "fuzzy_match", "image_text_pairs",
     "contrastive_negatives",
@@ -59,13 +59,14 @@ PRIORITY: list[str] = [
     "png_features", "wav_features",
     "gopher_quality", "corpus_funnel", "ann_srp",
     # session-1/2 flagship codecs (new, no rows)
-    "jpeg_features", "mp4_metadata", "warc_ingest",
+    "jpeg_features", "mp4_metadata",
     # ── r07 rotation queue (below the 50-row cap; all green in the
     # local gate at 3 SFs — rotate these to the front next round) ──
     "paragraph_dedup", "nb_quality", "ann_pq", "ann_ivf_pq",
     "phash_neardup", "png_resize", "curriculum_shards", "lm_perplexity",
     "shuffle_shards", "quality_consensus", "tpch_local_supplier_volume",
     "bpe_merges", "bpe_tokenize",
+    "compression_ratio",
     "length_quantiles", "events_type_pivot", "chat_lint",
     "stratified_sample", "events_rolling_avg", "retrieval_ndcg",
     # earlier-round attestations kept warm
