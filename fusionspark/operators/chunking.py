@@ -164,3 +164,38 @@ def chunk_documents(
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=CHUNK_SCHEMA)
+
+
+def chunk_udtf(
+    strategy: str = "recursive",
+    chunk_size: int = CHUNK_SIZE,
+    chunk_overlap: int = CHUNK_OVERLAP,
+):
+    """Spark 4 Python UDTF form of the chunkers (SURVEY §2.13): one input
+    row → N chunk rows, usable directly in SQL via LATERAL —
+
+        spark.udtf.register("chunks", chunk_udtf())
+        SELECT d.doc_id, c.* FROM documents d,
+               LATERAL chunks(d.doc_id, d.text) c
+
+    Same bit-exact boundary rules as chunk_documents (both call the same
+    split functions), parity-tested in tests/test_chunking.py.  Arrow-
+    optimized; per-row fan-out happens executor-side, so the plan is the
+    same scan → generate shape as the mapInPandas form."""
+    from pyspark.sql.functions import udtf
+
+    split = {
+        "recursive": lambda t: split_recursive(
+            t, chunk_size=chunk_size, chunk_overlap=chunk_overlap
+        ),
+        "sentence": lambda t: sentence_chunk(t, chunk_size, chunk_overlap),
+        "paragraph": lambda t: paragraph_chunk(t, chunk_size),
+    }[strategy]
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk string, n_chars int")
+    class ChunkUDTF:
+        def eval(self, doc_id: int, text: str):  # noqa: D102
+            for i, c in enumerate(split(text or "")):
+                yield doc_id, i, c, len(c)
+
+    return ChunkUDTF
