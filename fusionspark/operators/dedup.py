@@ -1079,3 +1079,56 @@ def window_dup_stats(
             F.round(F.col("n_dup") / F.col("n_windows"), 6).alias("dup_frac"),
         )
     )
+
+
+def window_dedup_rewrite(
+    df,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Duplicate-span REMOVAL (the transform behind window_dup_stats'
+    report): cut the text into NON-OVERLAPPING w-token windows, drop every
+    window whose hash occurs more than once corpus-wide, and reassemble
+    the survivors in order — Lee et al. 2022's substring dedup at window
+    granularity (the suffix-array exactness traded for hash-bucket
+    scale).
+
+    Scale shape: windows shuffle as (id, window_idx, digest) — the window
+    TEXT rides only the explode→reassemble path inside the same rows, and
+    reassembly is one groupBy(id) + in-order array join.  The duplicated-
+    hash set is corpus-frequency ≥ 2 — tiny — and lands as a broadcast
+    left join."""
+    words = tokenize(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(w))
+    wins = df.select(
+        id_col,
+        F.posexplode(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, w)))
+        ).alias("widx", "wtext"),
+    ).filter(F.col("wtext") != "")
+    wins = wins.withColumn("h", F.md5("wtext"))
+    dup = (
+        wins.groupBy("h").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1).select("h")
+    )
+    flagged = wins.join(F.broadcast(dup).withColumn("is_dup", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("is_dup").isNull(),
+                                   F.struct("widx", "wtext"))
+                        )
+                    ),
+                    lambda s: s["wtext"],
+                ),
+            ).alias("clean_text"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_removed"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+    )

@@ -2636,3 +2636,51 @@ def contrastive_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 4)
         .select("vec_id", F.col("rn").cast("int").alias("rn"), "neg_id", "neg_label")
     )
+
+
+@query(
+    "window_dedup_rewrite",
+    f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN '{_BOILER} ' || text ELSE text END AS text
+        FROM documents
+    ),
+    wd AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        FROM dirty
+    ),
+    wins AS (
+        SELECT doc_id, i.i AS widx,
+               array_to_string(words[i.i:i.i+7], ' ') AS wtext
+        FROM wd
+        CROSS JOIN (SELECT unnest(generate_series(1, 500, 8)) AS i) i
+        WHERE i.i <= greatest(len(words), 1)
+          AND array_to_string(words[i.i:i.i+7], ' ') <> ''
+    ),
+    freq AS (SELECT md5(wtext) AS h, COUNT(*) AS n FROM wins GROUP BY md5(wtext))
+    SELECT w.doc_id,
+           COALESCE(string_agg(CASE WHEN f.n = 1 THEN w.wtext END,
+                                ' ' ORDER BY w.widx), '') AS clean_text,
+           SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           COUNT(*)::BIGINT AS n_windows
+    FROM wins w JOIN freq f ON f.h = md5(w.wtext)
+    GROUP BY w.doc_id
+    """,
+)
+def window_dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL (dedup.window_dedup_rewrite, w=8
+    non-overlapping): boilerplate is PREPENDED to every 5th doc (aligned
+    to the window grid, so it is the same 8-token window corpus-wide),
+    detected by corpus frequency, cut, and the survivors reassembled in
+    order.  The report sibling is window_dedup; this is the transform."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit(_BOILER + " "), "text")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.window_dedup_rewrite(dirty, w=8)

@@ -1001,3 +1001,20 @@ def test_write_token_shards_roundtrip(spark, tmp_path):
     man2 = {r["shard"]: r["bin_md5"]
             for r in write_token_shards(df, str(tmp_path / "tok2")).collect()}
     assert man2 == {k: v["bin_md5"] for k, v in man.items()}
+
+
+def test_window_dedup_rewrite_removes_shared_prefix(spark):
+    from fusionspark.operators.dedup import window_dedup_rewrite
+
+    boiler = "one two three four five six seven eight"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, "completely different words in this lonely document here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in window_dedup_rewrite(df, w=8).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[2]["clean_text"] == "epsilon zeta eta theta"
+    assert out[1]["n_removed"] == 1 and out[3]["n_removed"] == 0
+    assert out[3]["clean_text"].startswith("completely different")
