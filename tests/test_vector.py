@@ -91,3 +91,40 @@ def test_numpy_strategy_matches_window(spark, sf_dir):
             "probe_id", "vec_id", "rank"
         )
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), metric
+
+
+def test_pandas_grouped_agg_udaf_matches_builtin(spark, sf_dir):
+    """SURVEY §2.13's UDAF row made concrete: a pandas_udf GROUPED_AGG
+    (Arrow-batched user-defined aggregate) computing the per-label median
+    embedding norm must equal the builtin exact `percentile(0.5)` — the
+    escape hatch exists and agrees with the JVM path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from fusionspark.functions.vector import l2_norm
+    from fusionspark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", l2_norm("embedding", dim=64).alias("nrm")
+    )
+
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit functionType: the file's `from __future__ import annotations`
+    # turns type hints into strings, which pandas_udf can't infer from
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        return float(v.median())
+
+    via_udaf = {
+        r["label"]: round(r["m"], 9)
+        for r in emb.groupBy("label").agg(median_udaf("nrm").alias("m")).collect()
+    }
+    via_builtin = {
+        r["label"]: round(r["m"], 9)
+        for r in emb.groupBy("label")
+        .agg(F.percentile("nrm", F.lit(0.5)).alias("m"))
+        .collect()
+    }
+    assert via_udaf == via_builtin and len(via_udaf) == 10
