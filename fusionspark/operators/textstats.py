@@ -676,3 +676,43 @@ def compression_ratio_docs(df, id_col: str = "doc_id", text_col: str = "text"):
             yield pd.DataFrame(rows)
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def py_accent_fold(s: str) -> str:
+    """Accent folding for search normalization: NFD-decompose, drop the
+    combining marks (category Mn), recompose.  Cross-validated against
+    DuckDB's independent `strip_accents` (ICU-derived) for the Latin
+    range the corpus uses — two implementations, one law."""
+    import unicodedata
+
+    return unicodedata.normalize(
+        "NFC",
+        "".join(
+            c for c in unicodedata.normalize("NFD", s)
+            if unicodedata.category(c) != "Mn"
+        ),
+    )
+
+
+def accent_fold_docs(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Zero-shuffle Arrow map applying py_accent_fold per document."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("folded", StringType()),
+        StructField("changed", BooleanType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (id_col, "folded", "changed")}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                folded = py_accent_fold(text or "")
+                rows[id_col].append(did)
+                rows["folded"].append(folded)
+                rows["changed"].append(folded != text)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

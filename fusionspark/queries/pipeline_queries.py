@@ -2684,3 +2684,41 @@ def window_dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return dedup.window_dedup_rewrite(dirty, w=8)
+
+
+@query(
+    "accent_fold",
+    """
+    WITH dirty AS (
+        SELECT doc_id, text || CASE doc_id % 4
+            WHEN 0 THEN ' caf' || chr(233) || ' na' || chr(239) || 've'
+            WHEN 1 THEN ' ' || chr(220) || 'rsula pi' || chr(241) || 'ata'
+            WHEN 2 THEN ' r' || chr(233) || 'sum' || chr(233)
+            ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id, strip_accents(text) AS folded,
+           strip_accents(text) <> text AS changed
+    FROM dirty
+    """,
+)
+def accent_fold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent folding for search/match normalization, cross-validated:
+    the Spark side strips combining marks via REAL `unicodedata`
+    (NFD → drop Mn → NFC), the oracle uses DuckDB's independent
+    `strip_accents` — a hash match certifies the folding law itself, not
+    a shared implementation.  Deterministic accented suffixes are
+    injected (é ï Ü ñ) so the fold has work at every SF."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 4
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(m == 0, F.lit(" café naïve"))
+            .when(m == 1, F.lit(" Ürsula piñata"))
+            .when(m == 2, F.lit(" résumé"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.accent_fold_docs(dirty)
