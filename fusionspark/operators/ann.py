@@ -1293,3 +1293,82 @@ def ivf_append(
             .partitionBy("centroid_id")
             .parquet(f"{path}/codes")
         )
+
+
+# ── scalar quantization (SQ8) ─────────────────────────────────────────────
+
+
+def sq8_train(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Per-dimension [min, max] ranges — the whole SQ8 "codebook" is
+    2·dim floats from ONE corpus aggregate (vs PQ's k-means): the scalar-
+    quantization trade (4× smaller embeddings, cheaper training, less
+    accurate than PQ at the same budget).  Returns a 1-row frame of
+    mins/maxs arrays that BROADCASTS everywhere downstream."""
+    aggs = []
+    for j in range(1, dim + 1):
+        e = F.element_at(F.col(vec_col), j).cast("double")
+        aggs += [F.min(e).alias(f"mn_{j}"), F.max(e).alias(f"mx_{j}")]
+    row = df.agg(*aggs)
+    return row.select(
+        F.array(*[F.col(f"mn_{j}") for j in range(1, dim + 1)]).alias("mins"),
+        F.array(*[F.col(f"mx_{j}") for j in range(1, dim + 1)]).alias("maxs"),
+    )
+
+
+def sq8_encode(
+    df: DataFrame, ranges: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """uint8 codes: code_j = round(255·(x_j − min_j)/(max_j − min_j))
+    (degenerate dims → 0).  Pure column arithmetic against the broadcast
+    ranges — zero shuffle, codegen'd; codes are exact integers, so the
+    DuckDB oracle replays them bit-for-bit."""
+    j_codes = []
+    for j in range(1, dim + 1):
+        x = F.element_at(F.col(vec_col), j).cast("double")
+        mn = F.element_at(F.col("mins"), j)
+        mx = F.element_at(F.col("maxs"), j)
+        span = mx - mn
+        j_codes.append(
+            F.when(span > 0, F.round(255.0 * (x - mn) / span, 0).cast("int"))
+            .otherwise(F.lit(0))
+        )
+    return df.crossJoin(F.broadcast(ranges)).select(
+        *[c for c in df.columns if c != vec_col],
+        F.array(*j_codes).alias("codes"),
+        "mins", "maxs",
+    )
+
+
+def sq8_knn(
+    corpus_codes: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    probe_vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over SQ8 codes: score = Σ q_j · dequant(code_j),
+    dequant = min_j + code_j/255·span_j.  The probe side stays float; the
+    corpus is read as 1-byte codes (the 4× scan-IO win).  Expressed as an
+    unrolled codegen dot product — same plan family as the exact kNN; ties
+    cut on (rounded score desc, id)."""
+    from pyspark.sql.window import Window
+
+    probes = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(probe_vec_col).alias("q")
+    )
+    score: F.Column = F.lit(0.0)
+    for j in range(1, dim + 1):
+        mn = F.element_at(F.col("mins"), j)
+        span = F.element_at(F.col("maxs"), j) - mn
+        deq = mn + F.element_at(F.col("codes"), j).cast("double") / 255.0 * span
+        score = score + F.element_at(F.col("q"), j).cast("double") * deq
+    scored = corpus_codes.crossJoin(F.broadcast(probes)).select(
+        "probe_id", id_col, F.round(score, 6).alias("score")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), id_col)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", id_col, "score", F.col("rnk").cast("int").alias("rnk"))
+    )

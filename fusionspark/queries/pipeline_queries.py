@@ -2722,3 +2722,55 @@ def accent_fold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return textstats.accent_fold_docs(dirty)
+
+
+@query(
+    "ann_sq8",
+    """
+    WITH rng AS (
+        SELECT k.k AS j,
+               MIN(embedding[k.k]::DOUBLE) AS mn,
+               MAX(embedding[k.k]::DOUBLE) AS mx
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS k) k
+        GROUP BY k.k
+    ),
+    codes AS (
+        SELECT e.vec_id, r.j, r.mn, r.mx,
+               CASE WHEN r.mx - r.mn > 0
+                    THEN ROUND(255.0 * (e.embedding[r.j]::DOUBLE - r.mn)
+                               / (r.mx - r.mn), 0)::INT
+                    ELSE 0 END AS code
+        FROM embeddings e CROSS JOIN rng r
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT p.probe_id, c.vec_id,
+               ROUND(SUM(p.embedding[c.j]::DOUBLE
+                         * (c.mn + c.code / 255.0 * (c.mx - c.mn))), 6) AS score
+        FROM probes p, codes c
+        GROUP BY p.probe_id, c.vec_id
+    )
+    SELECT probe_id, vec_id, score, rnk::INT AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY score DESC, vec_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+    """,
+)
+def ann_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) search — the 4×-compression sibling of PQ
+    (ann.sq8_train/encode/knn): per-dim [min,max] from ONE aggregate,
+    uint8 codes by pure column arithmetic, search on dequantized codes
+    with the probe side kept float.  Codes are exact integers, so the
+    oracle replays quantization bit-for-bit and the scores to float
+    equality; the top-k cut ranks the ROUNDED score."""
+    from fusionspark.operators.ann import sq8_encode, sq8_knn, sq8_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranges = sq8_train(emb, dim=64)
+    codes = sq8_encode(emb.select("vec_id", "embedding"), ranges, dim=64)
+    probes = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    return sq8_knn(codes, probes, k=10, dim=64)

@@ -492,3 +492,39 @@ def test_ivf_append_frozen_quantizer_parity(spark, sf_dir, tmp_path):
         k=1, n_probe=1, refine_r=8,
     ).collect()
     assert pq_top and pq_top[0]["vec_id"] == pq_top[0]["probe_id"]
+
+
+def test_sq8_recall_and_code_bounds(spark, sf_dir):
+    """SQ8 search must stay close to exact: recall@10 ≥ 0.9 on the
+    embeddings corpus (64-d uint8 grid is fine-grained), and every code
+    must be a valid uint8."""
+    from fusionspark.io import load_table
+    from fusionspark.operators.ann import sq8_encode, sq8_knn, sq8_train
+    from fusionspark.operators.knn import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranges = sq8_train(emb, dim=64)
+    codes = sq8_encode(emb.select("vec_id", "embedding"), ranges, dim=64)
+    bad = codes.select(
+        F.explode("codes").alias("c")
+    ).filter((F.col("c") < 0) | (F.col("c") > 255))
+    assert bad.count() == 0
+
+    probes = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    approx = sq8_knn(codes, probes, k=10, dim=64)
+    exact = knn(
+        emb,
+        probes.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_embedding"),
+        ),
+        k=10, strategy="numpy",
+    )
+    ex = {}
+    for r in exact.select("probe_id", "vec_id").collect():
+        ex.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    hits = sum(
+        1 for r in approx.select("probe_id", "vec_id").collect()
+        if r["vec_id"] in ex.get(r["probe_id"], ())
+    )
+    assert hits / sum(len(s) for s in ex.values()) >= 0.9
