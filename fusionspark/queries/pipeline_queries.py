@@ -2774,3 +2774,57 @@ def ann_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = sq8_encode(emb.select("vec_id", "embedding"), ranges, dim=64)
     probes = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
     return sq8_knn(codes, probes, k=10, dim=64)
+
+
+@query(
+    "corpus_datacard",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source, lang, n_chars,
+               len({_WORDS}) AS n_words, md5(text) AS ch
+        FROM documents
+    ),
+    langs AS (
+        SELECT lang, COUNT(*)::DOUBLE AS n FROM base GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n) AS t FROM langs)
+    SELECT (SELECT COUNT(*) FROM base)::BIGINT AS n_docs,
+           (SELECT COUNT(DISTINCT source) FROM base)::BIGINT AS n_sources,
+           (SELECT COUNT(*) FROM langs)::BIGINT AS n_langs,
+           ROUND(1.0 - (SELECT COUNT(DISTINCT ch) FROM base)::DOUBLE
+                       / (SELECT COUNT(*) FROM base), 6) AS dup_rate,
+           ROUND((SELECT AVG(n_words) FROM base), 6) AS mean_words,
+           ROUND((SELECT AVG(n_chars) FROM base), 6) AS mean_chars,
+           ROUND((SELECT -SUM((n / tt) * log2(n / tt))
+                  FROM langs, (SELECT t AS tt FROM tot)), 6) AS lang_entropy
+    FROM (SELECT 1)
+    """,
+)
+def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus data card — the headline numbers a dataset card
+    publishes (size, source/language diversity with entropy, exact-dup
+    rate, length profile).  Three cheap aggregates over one scan; the
+    detailed members (funnel, quality, dedup clusters) are the separately
+    attested queries this card links to."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        F.size(tokenize("text")).alias("n_words"),
+        F.md5("text").alias("ch"),
+    )
+    langs = base.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    tot = langs.agg(F.sum("n").alias("t"))
+    lang_ent = (
+        langs.crossJoin(F.broadcast(tot))
+        .agg(F.round(-F.sum((F.col("n") / F.col("t"))
+                            * F.log2(F.col("n") / F.col("t"))), 6).alias("lang_entropy"))
+    )
+    head = base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(1.0 - F.countDistinct("ch") / F.count("*"), 6).alias("dup_rate"),
+        F.round(F.avg("n_words"), 6).alias("mean_words"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+    )
+    return head.crossJoin(F.broadcast(lang_ent))
