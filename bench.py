@@ -196,6 +196,7 @@ def bench_queries(spark):
         "window_dedup",
         "hll_distinct",
         "wav_windows",
+        "ann_sq8",
     ]
     out = {
         "knn_batch64": knn_batch,
