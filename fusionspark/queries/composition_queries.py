@@ -676,3 +676,106 @@ def tpch_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem
+    WHERE year(l_shipdate) = 1998
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape — the canonical pushdown microbench: a scan-only
+    aggregate whose year/discount/quantity predicates ALL reach the
+    Parquet reader (no join, no shuffle beyond the 1-row agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1998)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_market_share",
+    """
+    WITH vol AS (
+        SELECT year(l.l_shipdate)::INT AS o_year,
+               n.n_name AS supp_nation,
+               l.l_extendedprice * (1 - l.l_discount) AS v
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_nationkey < 13
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0.0 END)
+                 / SUM(v), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — a nation's market share inside a customer segment:
+    conditional-sum ratio per year (one pass, no second scan for the
+    denominator), dimensions broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 13)
+    v = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return j.groupBy(F.year("l_shipdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("n_name") == "NATION_3", v).otherwise(0.0)) / F.sum(v), 6
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_priority_lines",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE year(l.l_shipdate) = 1997
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — order-priority distribution per line status (linestatus
+    standing in for shipmode): broadcast join + two conditional counts in
+    one aggregate pass; the year predicate pushes into the lineitem
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(hi.cast("int")).cast("long").alias("high_line_count"),
+            F.sum((~hi).cast("int")).cast("long").alias("low_line_count"),
+        )
+    )
