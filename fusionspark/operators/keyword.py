@@ -199,12 +199,14 @@ def bm25_search(
     scorer): per-term IDF ln(1 + (N − df + ½)/(df + ½)) and document-length
     normalization k1/b over whitespace tokens.
 
-    Plan shape: ONE scan computes per-document term frequencies as codegen
-    column expressions; the corpus statistics (N, avgdl, per-term df) are a
-    single tiny aggregate CROSS-JOIN-broadcast back — no second corpus
-    scan, no driver collect, no shuffle except the final top-k
-    (TakeOrderedAndProject).  At 100 TB the stats aggregate is map-side
-    partial + one 1-row exchange."""
+    Plan shape: per-document term frequencies are codegen column
+    expressions over the (id, text) projection; the corpus statistics
+    (N, avgdl, per-term df) reduce to ONE 1-row aggregate that
+    cross-join-broadcasts back; the top-k is TakeOrderedAndProject.  No
+    driver collect anywhere.  Catalyst does NOT share the stats subtree
+    with the scoring subtree, so the projection is scanned twice
+    (plan-audited); at 100 TB persist the TF projection (or reuse a
+    standing stats table — df/avgdl drift slowly) to make it one pass."""
     terms = extract_terms(query)
     if not terms:
         raise ValueError("query has no usable terms")

@@ -114,3 +114,23 @@ with _ctx.redirect_stdout(buf):
     rj.explain("formatted")
 p = buf.getvalue()
 print("== range_join: nested_loop:", "BroadcastNestedLoopJoin" in p, "cartesian:", "CartesianProduct" in p)
+
+# 8. round-6 session-3 plan claims
+from fusionspark.operators.keyword import bm25_search
+audit("bm25_single_scan", bm25_search(d, "fast table scan merge join", 10))
+
+from fusionspark.operators.joins import salted_join
+ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+dim = ev.select("user_id").distinct().withColumn("tag", F.lit("x"))
+audit("salted_join", salted_join(ev, dim, "user_id", F.col("event_id"), 8))
+
+from fusionspark.operators.sketches import bloom_build, hll_registers
+audit("hll_registers", hll_registers(d.select(F.md5("text").alias("v")), F.col("v")))
+audit("bloom_build", bloom_build(d.select(F.md5("text").alias("v")), F.col("v")))
+
+from fusionspark.operators.urls import canonicalize
+audit("url_canonicalize", d.select(canonicalize(F.concat(F.lit("https://h.io/"), "text"))))
+
+from fusionspark.queries import REGISTRY, load_all
+load_all()
+audit("tpch_q19_pushdown", REGISTRY["tpch_disjunctive_revenue"][0](spark, sf))
