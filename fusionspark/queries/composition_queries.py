@@ -779,3 +779,52 @@ def tpch_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~hi).cast("int")).cast("long").alias("low_line_count"),
         )
     )
+
+
+@query(
+    "tpch_excess_suppliers",
+    """
+    WITH red AS (
+        SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS q
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ),
+    tot AS (SELECT l_partkey, SUM(q) AS tq FROM red GROUP BY l_partkey),
+    heavy AS (
+        SELECT DISTINCT r.l_suppkey
+        FROM red r JOIN tot t ON t.l_partkey = r.l_partkey
+        WHERE r.q > 0.12 * t.tq
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — the nested semi-join chain: aggregate per
+    (supplier, part) over a LIKE-pruned part set, compare against the
+    per-part total (a second aggregate of the FIRST — never a re-scan),
+    and semi-join the qualifying supplier keys into the supplier
+    dimension.  All joins on pre-aggregated frames; lineitem is scanned
+    once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    red = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    tot = red.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    heavy = (
+        red.join(F.broadcast(tot), "l_partkey")
+        .filter(F.col("q") > 0.12 * F.col("tq"))
+        .select("l_suppkey").distinct()
+    )
+    return (
+        s.join(F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

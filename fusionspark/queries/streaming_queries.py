@@ -281,3 +281,61 @@ def events_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("error").cast("long").alias("error"),
         )
     )
+
+
+@query(
+    "user_retention",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               floor(epoch(date_trunc('day', ts)))::BIGINT AS day_s
+        FROM events
+    ),
+    pairs AS (
+        SELECT a.day_s,
+               COUNT(*)::BIGINT AS active_users,
+               SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS retained_next_day
+        FROM active a
+        LEFT JOIN active b
+          ON b.user_id = a.user_id AND b.day_s = a.day_s + 86400
+        GROUP BY a.day_s
+    )
+    SELECT day_s, active_users, retained_next_day,
+           ROUND(retained_next_day::DOUBLE / active_users, 6) AS retention
+    FROM pairs
+    """,
+)
+def user_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention — the classic product-analytics self-join:
+    distinct (user, day) activity joined to itself shifted one day.
+    The self-join is on (user_id, day) — co-partitioned by the first
+    aggregate, so no extra shuffle beyond the distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_s"),
+    ).distinct()
+    b = active.select(
+        F.col("user_id").alias("b_user"), F.col("day_s").alias("b_day")
+    )
+    joined = active.join(
+        b,
+        (F.col("b_user") == F.col("user_id"))
+        & (F.col("b_day") == F.col("day_s") + 86400),
+        "left",
+    )
+    return (
+        joined.groupBy("day_s")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum(F.col("b_user").isNotNull().cast("int")).cast("long")
+            .alias("retained_next_day"),
+        )
+        .select(
+            "day_s", "active_users", "retained_next_day",
+            F.round(
+                F.col("retained_next_day").cast("double") / F.col("active_users"), 6
+            ).alias("retention"),
+        )
+    )
