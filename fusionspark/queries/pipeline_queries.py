@@ -2828,3 +2828,55 @@ def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 6).alias("mean_chars"),
     )
     return head.crossJoin(F.broadcast(lang_ent))
+
+
+@query(
+    "readability",
+    f"""
+    SELECT doc_id,
+           n_words::BIGINT AS n_words,
+           n_sentences::BIGINT AS n_sentences,
+           ROUND(n_words / n_sentences, 6) AS words_per_sentence,
+           ROUND(n_letters / n_words, 6) AS chars_per_word,
+           ROUND(206.835 - 1.015 * (n_words / n_sentences)
+                 - 84.6 * (n_letters / n_words / 3.0), 6) AS flesch_proxy
+    FROM (
+        SELECT doc_id,
+               len({_WORDS})::DOUBLE AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE
+                   AS n_sentences,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                   AS n_letters
+        FROM documents
+    )
+    WHERE n_words > 0
+    """,
+)
+def readability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability proxy (Flesch reading-ease with chars/word/3 standing in
+    for syllables/word — the standard no-dictionary approximation):
+    words-per-sentence and chars-per-word from pure column expressions,
+    zero shuffle.  A curation signal complementing Gopher/C4 (filter
+    pathologically dense or fragmented prose)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_words = F.size(tokenize("text")).cast("double")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("double")
+    n_letters = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"), n_sent.alias("n_sentences"),
+        n_letters.alias("n_letters"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words") / F.col("n_sentences")
+    cpw = F.col("n_letters") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(cpw, 6).alias("chars_per_word"),
+        F.round(206.835 - 1.015 * wps - 84.6 * (cpw / 3.0), 6).alias("flesch_proxy"),
+    )

@@ -339,3 +339,52 @@ def user_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@query(
+    "event_funnel",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*)::BIGINT AS n_users,
+           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS viewed,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END)::BIGINT AS clicked_after_view,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click
+                    THEN 1 ELSE 0 END)::BIGINT AS purchased_after_click
+    FROM firsts
+    """,
+)
+def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase on FIRST
+    occurrences): one conditional-MIN aggregate per user, then one tiny
+    rollup — no self-joins, no window over the event stream.  NULL
+    comparisons drop non-converting users from each stage exactly like
+    the three-valued SQL the oracle runs."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("int")).cast("long").alias("viewed"),
+        F.sum(
+            (F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")))
+            .cast("int")
+        ).cast("long").alias("clicked_after_view"),
+        F.sum(
+            (
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click"))
+            ).cast("int")
+        ).cast("long").alias("purchased_after_click"),
+    )
