@@ -205,3 +205,35 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, value: Column, id_col: str) 
         joined.groupBy(id_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def bloom_prefilter(big: DataFrame, bloom: DataFrame, value: Column) -> DataFrame:
+    """Filter `big` down to rows whose `value` passes the Bloom membership
+    test — WITHOUT shuffling `big`: each of the K bit probes is one
+    BROADCAST hash join against the ≤ 2^p/32-row word table plus a bit
+    test, so the plan is scan → K broadcast joins → filter.  This is the
+    hand-rolled runtime-filter pattern (Spark's AQE bloom-filter join
+    does the same behind the scenes): put it BEFORE an expensive shuffle
+    join so only probable matches (+ the FP rate) pay the exchange.
+    False positives survive here and must be dropped by the real join."""
+    out = big
+    cond = None
+    for i, pos in enumerate(_bloom_positions(value)):
+        out = out.withColumn(f"_bp{i}", pos)
+        w = bloom.select(
+            F.col("word_idx").alias(f"_bw{i}"), F.col("bits").alias(f"_bb{i}")
+        )
+        out = out.join(
+            F.broadcast(w),
+            (F.col(f"_bp{i}") / BLOOM_WORD).cast("int") == F.col(f"_bw{i}"),
+            "left",
+        )
+        hit = (
+            F.expr(
+                f"shiftright(coalesce(_bb{i}, CAST(0 AS BIGINT)),"
+                f" CAST(pmod(_bp{i}, {BLOOM_WORD}) AS INT))"
+            ) % 2
+        ) == 1
+        cond = hit if cond is None else (cond & hit)
+    drop = [c for c in out.columns if c.startswith(("_bp", "_bw", "_bb"))]
+    return out.filter(cond).drop(*drop)

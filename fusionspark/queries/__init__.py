@@ -70,7 +70,7 @@ PRIORITY: list[str] = [
     "length_quantiles", "events_type_pivot", "chat_lint",
     "stratified_sample", "events_rolling_avg", "retrieval_ndcg", "window_dedup_rewrite", "accent_fold", "ann_sq8", "corpus_datacard",
     "tpch_forecast_revenue", "tpch_market_share", "tpch_priority_lines",
-    "tpch_excess_suppliers", "user_retention", "event_funnel", "readability",
+    "tpch_excess_suppliers", "user_retention", "event_funnel", "readability", "bloom_join_filter",
     # earlier-round attestations kept warm
     "dedup_clusters", "c4_filter", "hash_sample", "pack_sequences",
     "pii_redact", "repetition_stats", "vocab_coverage",

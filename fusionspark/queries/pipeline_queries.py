@@ -2880,3 +2880,41 @@ def readability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cpw, 6).alias("chars_per_word"),
         F.round(206.835 - 1.015 * wps - 84.6 * (cpw / 3.0), 6).alias("flesch_proxy"),
     )
+
+
+@query(
+    "bloom_join_filter",
+    """
+    WITH vip AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
+    )
+    SELECT e.user_id,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(e.value), 6) AS total_value
+    FROM events e JOIN vip v ON v.user_id = e.user_id
+    GROUP BY e.user_id
+    """,
+)
+def bloom_join_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual runtime-filter join (the hand-rolled sibling of Spark's AQE
+    bloom-filter join): the small side's keys build an 8 KiB Bloom filter
+    (sketches.bloom_build) whose membership test prefilters the BIG side
+    via K broadcast joins — no shuffle of the fact table until only
+    probable matches remain; the real join then drops the false
+    positives, so the result is EXACTLY the plain join (the oracle).  At
+    100 TB this turns a full-fact shuffle into a shuffle of matches + FP
+    rate."""
+    from fusionspark.operators.sketches import bloom_build, bloom_prefilter
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    vip = ev.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    bloom = bloom_build(vip, F.col("user_id").cast("string"))
+    pre = bloom_prefilter(ev, bloom, F.col("user_id").cast("string"))
+    return (
+        pre.join(F.broadcast(vip), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

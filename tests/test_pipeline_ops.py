@@ -1018,3 +1018,21 @@ def test_window_dedup_rewrite_removes_shared_prefix(spark):
     assert out[2]["clean_text"] == "epsilon zeta eta theta"
     assert out[1]["n_removed"] == 1 and out[3]["n_removed"] == 0
     assert out[3]["clean_text"].startswith("completely different")
+
+
+def test_bloom_prefilter_no_shuffle_and_superset(spark, sf_dir):
+    """The prefilter must (a) keep EVERY true match (no false negatives),
+    (b) compile without any non-broadcast Exchange of the big side."""
+    from fusionspark.io import load_table
+    from fusionspark.operators.sketches import bloom_build, bloom_prefilter
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    keys = ev.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    bloom = bloom_build(keys, F.col("user_id").cast("string"))
+    pre = bloom_prefilter(ev, bloom, F.col("user_id").cast("string"))
+    plan = _plan(pre)
+    assert plan.count("Exchange") == plan.count("BroadcastExchange") * 1 or \
+        "ShuffleExchange" not in plan  # broadcasts only
+    true_keys = {r["user_id"] for r in keys.collect()}
+    kept = {r["user_id"] for r in pre.select("user_id").distinct().collect()}
+    assert true_keys <= kept        # Bloom guarantee: no false negatives
