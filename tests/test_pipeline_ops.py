@@ -1031,8 +1031,9 @@ def test_bloom_prefilter_no_shuffle_and_superset(spark, sf_dir):
     bloom = bloom_build(keys, F.col("user_id").cast("string"))
     pre = bloom_prefilter(ev, bloom, F.col("user_id").cast("string"))
     plan = _plan(pre)
-    assert plan.count("Exchange") == plan.count("BroadcastExchange") * 1 or \
-        "ShuffleExchange" not in plan  # broadcasts only
+    # every Exchange mention must be a BroadcastExchange mention —
+    # i.e. the big side never shuffles
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
     true_keys = {r["user_id"] for r in keys.collect()}
     kept = {r["user_id"] for r in pre.select("user_id").distinct().collect()}
     assert true_keys <= kept        # Bloom guarantee: no false negatives
