@@ -215,7 +215,15 @@ def bloom_prefilter(big: DataFrame, bloom: DataFrame, value: Column) -> DataFram
     hand-rolled runtime-filter pattern (Spark's AQE bloom-filter join
     does the same behind the scenes): put it BEFORE an expensive shuffle
     join so only probable matches (+ the FP rate) pay the exchange.
-    False positives survive here and must be dropped by the real join."""
+    False positives survive here and must be dropped by the real join.
+
+    The sketch state is materialized to a LOCAL frame first (≤ 2^p/32
+    rows — being tiny is the point of a sketch), so the K probe joins
+    broadcast a literal table instead of recomputing the build subtree
+    K times."""
+    spark = big.sparkSession
+    rows = [(int(r["word_idx"]), int(r["bits"])) for r in bloom.collect()]
+    bloom = spark.createDataFrame(rows or [(0, 0)], "word_idx int, bits long")
     out = big
     cond = None
     for i, pos in enumerate(_bloom_positions(value)):
