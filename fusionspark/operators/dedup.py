@@ -1132,3 +1132,64 @@ def window_dedup_rewrite(
             F.count("*").cast("long").alias("n_windows"),
         )
     )
+
+
+# ── SemDedup: semantic dedup keeping the least-prototypical example ───────
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-blocked semantic dedup (Abbas et al., "SemDedup"): k-means
+    (here: deterministic IVF) clusters bound the pair space; inside a
+    cluster, any pair with cosine ≥ θ is a semantic duplicate and the
+    member with the HIGHER centroid similarity is dropped — keeping the
+    least prototypical example preserves diversity (the paper's keep rule).
+    Returns the surviving rows as (id, centroid_id, c_sim_r).
+
+    One deterministic pass, SQL-replayable: a row survives iff no OTHER
+    row in its cluster condemns it (non-cascading — a removed row still
+    condemns its own duplicates, so the survivor set is join-expressible
+    instead of order-dependent).  Ties on rounded centroid similarity drop
+    the higher id.
+
+    Scale shape: pair generation is the within-list Arrow GEMM fold from
+    embedding_neardup (no self-join, block size bounded by the codebook);
+    the pair and removed sets are near-dup-sized, so both joins back
+    broadcast.  Assignment is the zero-shuffle codebook-in-closure map from
+    operators/ann.py."""
+    from fusionspark.operators.ann import deterministic_centroids, ivf_assign
+
+    cents = deterministic_centroids(df, n_centroids, id_col, vector_col)
+    assigned = ivf_assign(df, cents, id_col, vector_col)
+    proto = assigned.select(
+        F.col(id_col),
+        F.round("c_sim", 6).alias("c_sim_r"),
+        "centroid_id",
+    )
+    pairs = embedding_neardup(
+        assigned.drop("c_sim"),
+        threshold,
+        block_col="centroid_id",
+        id_col=id_col,
+        vector_col=vector_col,
+    )
+    # the PAIR side broadcasts (near-dup-sized); proto is corpus-sized
+    e = proto.select(F.col(id_col).alias("id_a"), F.col("c_sim_r").alias("ca")).join(
+        F.broadcast(pairs.select("id_a", "id_b")), "id_a"
+    )
+    e = proto.select(F.col(id_col).alias("id_b"), F.col("c_sim_r").alias("cb")).join(
+        F.broadcast(e), "id_b"
+    )
+    # id_a < id_b by construction: drop b when its (rounded) centroid
+    # similarity is >= a's (tie -> higher id goes), else drop a
+    removed = e.select(
+        F.when(F.col("cb") >= F.col("ca"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias(id_col)
+    ).distinct()
+    return proto.join(F.broadcast(removed), id_col, "left_anti")

@@ -71,6 +71,7 @@ PRIORITY: list[str] = [
     "stratified_sample", "events_rolling_avg", "retrieval_ndcg", "window_dedup_rewrite", "accent_fold", "ann_sq8", "corpus_datacard",
     "tpch_forecast_revenue", "tpch_market_share", "tpch_priority_lines",
     "tpch_excess_suppliers", "user_retention", "event_funnel", "readability", "bloom_join_filter",
+    "ann_bq", "ann_matryoshka", "semdedup",
     # earlier-round attestations kept warm
     "dedup_clusters", "c4_filter", "hash_sample", "pack_sequences",
     "pii_redact", "repetition_stats", "vocab_coverage",
@@ -91,6 +92,7 @@ def load_all() -> None:
     PRIORITY names to the front of the registry (see PRIORITY docstring)."""
     from fusionspark.queries import (  # noqa: F401
         composition_queries,
+        embedding_queries,
         extended_queries,
         multimodal_queries,
         pipeline_queries,
