@@ -72,6 +72,7 @@ PRIORITY: list[str] = [
     "tpch_forecast_revenue", "tpch_market_share", "tpch_priority_lines",
     "tpch_excess_suppliers", "user_retention", "event_funnel", "readability", "bloom_join_filter",
     "ann_bq", "ann_matryoshka", "semdedup",
+    "cdc_apply", "scd2_history", "merge_upsert",
     # earlier-round attestations kept warm
     "dedup_clusters", "c4_filter", "hash_sample", "pack_sequences",
     "pii_redact", "repetition_stats", "vocab_coverage",
@@ -91,6 +92,7 @@ def load_all() -> None:
     """Import every query module (side effect: fills REGISTRY), then move
     PRIORITY names to the front of the registry (see PRIORITY docstring)."""
     from fusionspark.queries import (  # noqa: F401
+        cdc_queries,
         composition_queries,
         embedding_queries,
         extended_queries,

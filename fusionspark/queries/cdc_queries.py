@@ -1,0 +1,148 @@
+"""CDC / lakehouse-merge query family (operators/cdc.py).
+
+The changelog is derived deterministically from the events table
+(signup → I, error → D, everything else → U; sequence = event_id, which
+the generator assigns in timestamp order), so both engines replay the
+identical I/U/D stream.  The merge batch is derived from the customer
+table by a fixed modulus rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fusionspark.io import load_table
+from fusionspark.operators import cdc
+from fusionspark.queries import query
+
+_CHANGELOG_SQL = """
+ch AS (
+    SELECT user_id, event_id AS seq, ts,
+           CASE event_type WHEN 'signup' THEN 'I'
+                           WHEN 'error' THEN 'D'
+                           ELSE 'U' END AS op,
+           value
+    FROM events
+)
+"""
+
+
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    return e.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        "ts",
+        op.alias("op"),
+        "value",
+    )
+
+
+@query(
+    "cdc_apply",
+    f"""
+    WITH {_CHANGELOG_SQL},
+    latest AS (
+        SELECT user_id, seq, op, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM ch
+    )
+    SELECT user_id, seq AS last_seq, ROUND(value, 6) AS last_value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → current state: last-writer-wins per key, keys whose
+    latest op is a delete vanish (the Hudi/Delta snapshot-read
+    compaction).  One shuffle on the key."""
+    state = cdc.cdc_apply(_changelog(spark, sf_dir), ["user_id"], "seq")
+    return state.select(
+        "user_id",
+        F.col("seq").alias("last_seq"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+@query(
+    "scd2_history",
+    f"""
+    WITH {_CHANGELOG_SQL},
+    h AS (
+        SELECT user_id, seq, op, value,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY seq ASC) AS valid_to
+        FROM ch
+    )
+    SELECT user_id, seq, ROUND(value, 6) AS value,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(valid_to) AS valid_to_us,
+           (valid_to IS NULL) AS is_current,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq ASC) AS version
+    FROM h WHERE op <> 'D'
+    """,
+)
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 unfold of the same changelog: every surviving change is
+    a version row [valid_from, valid_to); deletes close the prior version
+    but emit nothing.  Both windows share one Exchange + sort."""
+    h = cdc.scd2_history(_changelog(spark, sf_dir), ["user_id"], "seq")
+    return h.select(
+        "user_id",
+        "seq",
+        F.round("value", 6).alias("value"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+        "version",
+    )
+
+
+@query(
+    "merge_upsert",
+    """
+    WITH upd AS (
+        SELECT c_custkey, ROUND(c_acctbal + 100.0, 6) AS c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 97 = 3
+    )
+    SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+           COALESCE(b.c_name, 'NEW') AS c_name,
+           ROUND(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                      ELSE b.c_acctbal END, 6) AS c_acctbal,
+           CASE WHEN u.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL THEN 'U'
+                WHEN b.c_custkey IS NULL THEN 'I'
+                ELSE 'K' END AS action
+    FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO customer USING a derived update batch: +100 to every
+    7th account, brand-new keys for every 97th — matched rows update,
+    new keys insert, the rest carry through.  FULL OUTER can't broadcast,
+    so at scale the base is bucketed and only the batch side shuffles
+    (plan-asserted in test_cdc)."""
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    upd = base.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.round(F.col("c_acctbal") + 100.0, 6).alias("c_acctbal")
+    )
+    ins = base.filter(F.col("c_custkey") % 97 == 3).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    merged = cdc.merge_upsert(base, upd.unionAll(ins), ["c_custkey"])
+    return merged.select(
+        "c_custkey",
+        F.coalesce("c_name", F.lit("NEW")).alias("c_name"),
+        F.round("c_acctbal", 6).alias("c_acctbal"),
+        "action",
+    )
