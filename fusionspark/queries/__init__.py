@@ -72,7 +72,7 @@ PRIORITY: list[str] = [
     "tpch_forecast_revenue", "tpch_market_share", "tpch_priority_lines",
     "tpch_excess_suppliers", "user_retention", "event_funnel", "readability", "bloom_join_filter",
     "ann_bq", "ann_matryoshka", "semdedup",
-    "cdc_apply", "scd2_history", "merge_upsert",
+    "cdc_apply", "scd2_history", "merge_upsert", "zorder_pruning",
     # earlier-round attestations kept warm
     "dedup_clusters", "c4_filter", "hash_sample", "pack_sequences",
     "pii_redact", "repetition_stats", "vocab_coverage",
@@ -95,6 +95,7 @@ def load_all() -> None:
         cdc_queries,
         composition_queries,
         embedding_queries,
+        layout_queries,
         extended_queries,
         multimodal_queries,
         pipeline_queries,
