@@ -314,3 +314,47 @@ def read_token_shard(base_path: str, dtype: str = "uint16"):
         offsets = np.frombuffer(f.read(8 * (n + 1)), dtype="<u8")
     flat = np.fromfile(base_path + ".bin", dtype=np_dtype)
     return [flat[offsets[i] : offsets[i + 1]] for i in range(n)]
+
+
+def fim_split(
+    df: DataFrame,
+    rate_pct: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pre_tok: str = "<PRE>",
+    suf_tok: str = "<SUF>",
+    mid_tok: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022): for a
+    deterministic `rate_pct`% of documents, cut the text at two
+    md5-derived points and emit PSM order — <PRE> prefix <SUF> suffix
+    <MID> middle — so the model learns infilling; the rest stay
+    autoregressive ('ar').  Everything is column expressions (substring
+    arithmetic + md5 coins), zero shuffle, and the coins are replayable
+    in any engine: cut_i = md5('fim{i}:' || id) % length.
+
+    The document-level coin (not a global sample) keeps the transform
+    embarrassingly parallel and stable under repartitioning — the same
+    doc always produces the same training sample, which is what makes
+    packed-corpus rebuilds reproducible."""
+    n = F.length(F.col(text_col))
+    safe_n = F.greatest(n, F.lit(1))  # empty text stays 'ar'; avoid mod-0
+    c1 = md5_hash32(F.concat(F.lit("fim1:"), F.col(id_col).cast("string"))) % safe_n
+    c2 = md5_hash32(F.concat(F.lit("fim2:"), F.col(id_col).cast("string"))) % safe_n
+    lo = F.least(c1, c2)
+    hi = F.greatest(c1, c2)
+    coin = (
+        md5_hash32(F.concat(F.lit("fimr:"), F.col(id_col).cast("string"))) % 100
+    )
+    prefix = F.substring(F.col(text_col), F.lit(1), lo)
+    middle = F.col(text_col).substr(lo + 1, hi - lo)
+    suffix = F.col(text_col).substr(hi + 1, n)
+    psm = F.concat(
+        F.lit(pre_tok), prefix, F.lit(suf_tok), suffix, F.lit(mid_tok), middle
+    )
+    is_fim = (coin < rate_pct) & (n > 0)
+    return df.select(
+        id_col,
+        F.when(is_fim, "psm").otherwise("ar").alias("fmt"),
+        F.when(is_fim, psm).otherwise(F.col(text_col)).alias("sample"),
+    )

@@ -73,6 +73,7 @@ PRIORITY: list[str] = [
     "tpch_excess_suppliers", "user_retention", "event_funnel", "readability", "bloom_join_filter",
     "ann_bq", "ann_matryoshka", "semdedup",
     "cdc_apply", "scd2_history", "merge_upsert", "zorder_pruning",
+    "fim_transform", "ccnet_buckets", "dedup_keep_best",
     # earlier-round attestations kept warm
     "dedup_clusters", "c4_filter", "hash_sample", "pack_sequences",
     "pii_redact", "repetition_stats", "vocab_coverage",

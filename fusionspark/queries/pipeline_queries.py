@@ -2918,3 +2918,124 @@ def bloom_join_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+# ── FIM transform, CCNet buckets, quality-aware dedup keeper ──────────────
+
+
+@query(
+    "fim_transform",
+    """
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS n,
+               ('0x' || substr(md5('fim1:' || doc_id), 1, 8))::BIGINT
+                   % greatest(length(text), 1) AS c1,
+               ('0x' || substr(md5('fim2:' || doc_id), 1, 8))::BIGINT
+                   % greatest(length(text), 1) AS c2,
+               ('0x' || substr(md5('fimr:' || doc_id), 1, 8))::BIGINT % 100 AS coin
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text, n, coin,
+               least(c1, c2) AS lo, greatest(c1, c2) AS hi
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN coin < 50 AND n > 0 THEN 'psm' ELSE 'ar' END AS fmt,
+           CASE WHEN coin < 50 AND n > 0 THEN
+               '<PRE>' || substr(text, 1, lo) || '<SUF>' || substr(text, hi + 1)
+               || '<MID>' || substr(text, lo + 1, hi - lo)
+           ELSE text END AS sample
+    FROM s
+    """,
+)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022): a
+    deterministic 50% of docs are re-ordered to <PRE>prefix<SUF>suffix
+    <MID>middle with md5-derived cut points (packing.fim_split) — pure
+    column expressions, zero shuffle, stable under repartitioning."""
+    from fusionspark.operators.packing import fim_split
+
+    return fim_split(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ccnet_buckets",
+    f"""
+    WITH scored AS ({LM_PERPLEXITY_ORACLE})
+    SELECT doc_id, perplexity,
+           CASE NTILE(3) OVER (ORDER BY perplexity ASC, doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM scored
+    """,
+)
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): tertile
+    buckets of bigram-LM perplexity — 'head' is the cleanest third.  The
+    exact NTILE (global ordered window) is the oracle-checkable form; at
+    100 TB swap the cutoffs to approx_percentile thresholds broadcast into
+    a zero-shuffle CASE (same pattern as curriculum_assign_approx)."""
+    from pyspark.sql import Window as Wnd
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = textstats.lm_perplexity_scores(d)
+    w = Wnd.orderBy(F.col("perplexity").asc(), F.col("doc_id").asc())
+    bucket = F.ntile(3).over(w)
+    label = (
+        F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail")
+    )
+    return scored.select("doc_id", "perplexity", label.alias("bucket"))
+
+
+@query(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_PAIRS_07.strip()},
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT sym.d, walk.lbl FROM walk JOIN sym ON walk.node = sym.s
+    ),
+    labels AS (
+        SELECT node AS doc_id, MIN(lbl)::BIGINT AS component
+        FROM walk GROUP BY node
+    )
+    SELECT l.doc_id, l.component,
+           FIRST_VALUE(l.doc_id) OVER (
+               PARTITION BY l.component
+               ORDER BY d.n_chars DESC, l.doc_id ASC) AS keeper,
+           (l.doc_id = FIRST_VALUE(l.doc_id) OVER (
+               PARTITION BY l.component
+               ORDER BY d.n_chars DESC, l.doc_id ASC)) AS is_keeper
+    FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper selection: same near-dup components as
+    dedup_clusters, but the canonical survivor is the LONGEST member
+    (n_chars argmax, ties → lowest id) instead of the minimum id — the
+    policy real pipelines use so dedup never discards the fullest copy.
+    One extra window over the component partitioning."""
+    from pyspark.sql import Window as Wnd
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.minhash_neardup(
+        docs, threshold=0.7, num_hashes=NUM_HASHES, bands=BANDS
+    ).select("id_a", "id_b")
+    labels = dedup.connected_components(edges, docs.select("doc_id"))
+    j = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Wnd.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    keeper = F.first("doc_id").over(w)
+    return j.select(
+        "doc_id",
+        "component",
+        keeper.alias("keeper"),
+        (F.col("doc_id") == keeper).alias("is_keeper"),
+    )

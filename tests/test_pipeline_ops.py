@@ -1037,3 +1037,52 @@ def test_bloom_prefilter_no_shuffle_and_superset(spark, sf_dir):
     true_keys = {r["user_id"] for r in keys.collect()}
     kept = {r["user_id"] for r in pre.select("user_id").distinct().collect()}
     assert true_keys <= kept        # Bloom guarantee: no false negatives
+
+
+def test_fim_split_reconstructs_original(spark):
+    """PSM samples must contain exactly the original characters: cutting
+    at <PRE>/<SUF>/<MID> and reassembling prefix+middle+suffix gives the
+    source text back; 'ar' rows pass through untouched."""
+    from fusionspark.operators.packing import fim_split
+
+    rows = [(i, f"document number {i} with some text to cut {'x' * i}")
+            for i in range(40)] + [(99, "")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in fim_split(df, rate_pct=50).collect()}
+    src = dict(rows)
+    fmts = {r["fmt"] for r in out.values()}
+    assert fmts == {"psm", "ar"}  # the 50% coin hits both classes
+    for did, r in out.items():
+        if r["fmt"] == "ar":
+            assert r["sample"] == src[did]
+            continue
+        s = r["sample"]
+        assert s.startswith("<PRE>")
+        pre, rest = s[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == src[did]
+    assert out[99]["fmt"] == "ar"  # empty text never flips to psm
+
+
+def test_dedup_keep_best_prefers_longest(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    rows = qs["dedup_keep_best"](spark, sf_dir).collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    n_chars = {r["doc_id"]: None for r in rows}
+    from fusionspark.io import load_table
+
+    nc = {r["doc_id"]: r["n_chars"]
+          for r in load_table(spark, sf_dir, "documents").collect()}
+    multi = [g for g in by_comp.values() if len(g) > 1]
+    assert multi  # the fixture corpus has real near-dup clusters
+    for grp in multi:
+        keepers = {r["keeper"] for r in grp}
+        assert len(keepers) == 1
+        k = keepers.pop()
+        best = max(grp, key=lambda r: (nc[r["doc_id"]], -r["doc_id"]))
+        assert k == best["doc_id"]
+        assert sum(r["is_keeper"] for r in grp) == 1
