@@ -245,3 +245,69 @@ def bloom_prefilter(big: DataFrame, bloom: DataFrame, value: Column) -> DataFram
         cond = hit if cond is None else (cond & hit)
     drop = [c for c in out.columns if c.startswith(("_bp", "_bw", "_bb"))]
     return out.filter(cond).drop(*drop)
+
+
+# ── KMV / theta sketch (distinct counting with set algebra) ───────────────
+
+
+def kmv_hashes(df: DataFrame, value: Column, k: int = 64) -> DataFrame:
+    """The k minimum distinct md5-hash32 values of `value` — a KMV/theta
+    sketch (Beyer et al. 2007).  Catalyst compiles distinct+orderBy+limit
+    to partial hash aggregation followed by TakeOrdered, so every
+    partition contributes at most k candidates and only k·P values reach
+    the driver-side merge — constant-size state at any corpus size,
+    and the sketch itself is k rows (broadcast-trivial downstream).
+
+    Unlike HLL (hll_registers above), KMV supports set ALGEBRA: union and
+    intersection estimates from the samples (theta_estimates below) —
+    HLL can only union."""
+    return (
+        df.select(md5_hash32(value).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+_H_SPACE = 4294967296.0  # 2^32, the md5_hash32 range
+
+
+def kmv_estimate(hashes: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: (k-1) / θ_frac with
+    θ = k-th minimum hash.  A non-full sketch (fewer than k distinct
+    values) IS the exact answer."""
+    agg = hashes.agg(
+        F.count("*").alias("n"), F.max("h").cast("double").alias("kth")
+    )
+    est = F.when(
+        F.col("n") < k, F.col("n").cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(_H_SPACE)) / F.col("kth"))
+    return agg.select(F.round(est, 6).alias("est_distinct"))
+
+
+def theta_estimates(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Union / intersection estimates from two FULL KMV sketches via the
+    theta-sketch rule: θ = min(θ_A, θ_B); both samples are cut to h < θ
+    and |S| / θ_frac estimates the corresponding set size.  Everything is
+    k-row frames, so every join below is a broadcast of constant size."""
+    ta = a.agg(F.max("h").alias("tha"))
+    tb = b.agg(F.max("h").alias("thb"))
+    th = ta.crossJoin(tb).select(
+        F.least("tha", "thb").cast("double").alias("theta")
+    )
+    au = a.crossJoin(F.broadcast(th)).filter(F.col("h") < F.col("theta"))
+    bu = b.crossJoin(F.broadcast(th)).filter(F.col("h") < F.col("theta"))
+    inter = au.select("h").join(bu.select("h"), "h")
+    uni = au.select("h").union(bu.select("h")).distinct()
+    counts = (
+        uni.agg(F.count("*").alias("n_union"))
+        .crossJoin(inter.agg(F.count("*").alias("n_inter")))
+        .crossJoin(th)
+    )
+    frac = F.col("theta") / F.lit(_H_SPACE)
+    return counts.select(
+        F.round(F.col("n_union").cast("double") / frac, 6).alias("est_union"),
+        F.round(F.col("n_inter").cast("double") / frac, 6).alias("est_intersect"),
+    )

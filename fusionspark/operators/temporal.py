@@ -149,3 +149,74 @@ def range_join(
         )
         .drop("_bkt")
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_sec: int = 3600,
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Resample an irregular series onto a regular `step_sec` grid per key
+    with forward fill — the time-series densification every monitoring /
+    feature-extraction pipeline needs (DuckDB/Timescale call it
+    gap-filling + LOCF).
+
+    Plan: (1) bucket each row and keep the LAST value per (key, bucket)
+    (max_by on the sequence column — one hash agg); (2) per key, explode
+    `sequence(min_bucket, max_bucket)` to the dense grid — rows created
+    executor-side, never on the driver; (3) left-join observations onto
+    the grid and forward-fill with last(value, ignorenulls) over the key
+    window.  Two shuffles on the key (agg + window), grid size bounded by
+    span/step per key.  The grid starts at each key's first observation,
+    so there are no leading NULLs."""
+    bucket = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(step_sec * 1_000_000))
+    obs = (
+        df.select(key_col, bucket.alias("bucket"), value_col, seq_col)
+        .groupBy(key_col, "bucket")
+        .agg(F.max_by(value_col, seq_col).alias("v"))
+    )
+    spans = obs.groupBy(key_col).agg(
+        F.min("bucket").alias("mnb"), F.max("bucket").alias("mxb")
+    )
+    grid = spans.select(
+        key_col, F.explode(F.sequence("mnb", "mxb")).alias("bucket")
+    )
+    j = grid.join(obs, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        key_col,
+        "bucket",
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v").isNotNull().alias("observed"),
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival gap statistics per group: order events by
+    (ts, seq), lag-diff in seconds, aggregate count/mean/min/max.  One
+    shuffle (window and agg share the group partitioning)."""
+    w = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc(), F.col(seq_col).asc())
+    gap = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    ) / F.lit(1e6)
+    gaps = df.select(group_col, gap.alias("gap_sec")).filter(
+        F.col("gap_sec").isNotNull()
+    )
+    return gaps.groupBy(group_col).agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.sum("gap_sec") / F.count("*"), 6).alias("avg_gap_sec"),
+        F.round(F.min("gap_sec"), 6).alias("min_gap_sec"),
+        F.round(F.max("gap_sec"), 6).alias("max_gap_sec"),
+    )

@@ -3039,3 +3039,67 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         keeper.alias("keeper"),
         (F.col("doc_id") == keeper).alias("is_keeper"),
     )
+
+
+# ── KMV / theta sketch: distinct estimates with set algebra ───────────────
+
+
+@query(
+    "kmv_theta",
+    f"""
+    WITH en_v AS (
+        SELECT DISTINCT ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+        FROM (SELECT unnest({_WORDS}) AS w FROM documents WHERE lang = 'en')
+    ),
+    xx_v AS (
+        SELECT DISTINCT ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+        FROM (SELECT unnest({_WORDS}) AS w FROM documents WHERE lang <> 'en')
+    ),
+    a AS (SELECT h FROM en_v ORDER BY h LIMIT 64),
+    b AS (SELECT h FROM xx_v ORDER BY h LIMIT 64),
+    ea AS (
+        SELECT CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+                    ELSE 63.0 * 4294967296.0 / MAX(h)::DOUBLE END AS est
+        FROM a
+    ),
+    eb AS (
+        SELECT CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+                    ELSE 63.0 * 4294967296.0 / MAX(h)::DOUBLE END AS est
+        FROM b
+    ),
+    th AS (
+        SELECT least((SELECT MAX(h) FROM a), (SELECT MAX(h) FROM b))::DOUBLE
+               AS theta
+    ),
+    au AS (SELECT h FROM a, th WHERE h < theta),
+    bu AS (SELECT h FROM b, th WHERE h < theta),
+    sets AS (
+        SELECT (SELECT COUNT(*) FROM (SELECT h FROM au UNION SELECT h FROM bu))
+                   AS n_union,
+               (SELECT COUNT(*) FROM au JOIN bu USING (h)) AS n_inter
+    )
+    SELECT ROUND(ea.est, 6) AS est_en,
+           ROUND(eb.est, 6) AS est_other,
+           ROUND(sets.n_union / (th.theta / 4294967296.0), 6) AS est_union,
+           ROUND(sets.n_inter / (th.theta / 4294967296.0), 6) AS est_intersect
+    FROM ea, eb, sets, th
+    """,
+)
+def kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketches over the en vs non-en vocabularies: two 64-value
+    minimum-hash samples give distinct estimates AND union/intersection
+    estimates (θ = min of the two k-th minima) — the set algebra HLL
+    cannot do, with constant-size mergeable state (the 100 TB shape:
+    every partition contributes ≤ k candidates via TakeOrdered).  The
+    oracle replays hashes, cuts, θ, and both estimators exactly."""
+    from fusionspark.operators.sketches import kmv_estimate, kmv_hashes, theta_estimates
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("lang", F.explode(tokenize("text")).alias("w"))
+    a = kmv_hashes(words.filter(F.col("lang") == "en").select("w"), F.col("w"), 64)
+    b = kmv_hashes(words.filter(F.col("lang") != "en").select("w"), F.col("w"), 64)
+    a = a.localCheckpoint(eager=True)
+    b = b.localCheckpoint(eager=True)
+    ea = kmv_estimate(a, 64).select(F.col("est_distinct").alias("est_en"))
+    eb = kmv_estimate(b, 64).select(F.col("est_distinct").alias("est_other"))
+    return ea.crossJoin(eb).crossJoin(theta_estimates(a, b, 64))

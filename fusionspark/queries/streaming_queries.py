@@ -388,3 +388,72 @@ def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int")
         ).cast("long").alias("purchased_after_click"),
     )
+
+
+@query(
+    "gap_fill",
+    """
+    WITH obs AS (
+        SELECT user_id,
+               (epoch_us(ts) // 3600000000) AS bucket,
+               arg_max(value, event_id) AS v
+        FROM events WHERE user_id < 10
+        GROUP BY user_id, (epoch_us(ts) // 3600000000)
+    ),
+    spans AS (
+        SELECT user_id, MIN(bucket) AS mnb, MAX(bucket) AS mxb
+        FROM obs GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(mnb, mxb)) AS bucket
+        FROM spans
+    )
+    SELECT g.user_id, g.bucket,
+           ROUND(last_value(o.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS value_filled,
+           (o.v IS NOT NULL) AS observed
+    FROM grid g LEFT JOIN obs o
+      ON o.user_id = g.user_id AND o.bucket = g.bucket
+    """,
+)
+def gap_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled + forward-filled (LOCF) series per user
+    (operators/temporal.py::gap_fill): the dense grid is exploded
+    executor-side from per-key spans, observations left-join on, and the
+    fill is one ordered window — the time-series densification shape."""
+    from fusionspark.operators.temporal import gap_fill
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    out = gap_fill(e, "user_id", "ts", "value", step_sec=3600)
+    return out.select(
+        "user_id", "bucket",
+        F.round("value_filled", 6).alias("value_filled"), "observed",
+    )
+
+
+@query(
+    "events_interarrival",
+    """
+    WITH g AS (
+        SELECT event_type,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts ASC, event_id ASC))
+                   / 1e6 AS gap_sec
+        FROM events
+    )
+    SELECT event_type, COUNT(*)::BIGINT AS n_gaps,
+           ROUND(SUM(gap_sec) / COUNT(*), 6) AS avg_gap_sec,
+           ROUND(MIN(gap_sec), 6) AS min_gap_sec,
+           ROUND(MAX(gap_sec), 6) AS max_gap_sec
+    FROM g WHERE gap_sec IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap stats per event type (lag-diff + one agg; the
+    window and the aggregation share one event_type partitioning)."""
+    from fusionspark.operators.temporal import interarrival_stats
+
+    return interarrival_stats(load_table(spark, sf_dir, "events"))

@@ -4,6 +4,8 @@ result sets on arbitrary corpora."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from fusionspark.operators import dedup
@@ -169,3 +171,36 @@ def test_url_canonicalize_idempotent_and_invariant(spark):
         assert r["c"] == r["c2"]
         assert r["c"].split("://")[0] in ("https", "http")
         assert "#" not in r["c"] and "utm_" not in r["c"] and ":443" not in r["c"]
+
+
+def test_kmv_estimate_accuracy_and_merge_law(spark):
+    """KMV distinct estimate lands within ~4/sqrt(k) of truth on a
+    crafted 10k-distinct set, and the sketch is MERGEABLE: the k-min of
+    the union equals the k-min over the union of the two sketches."""
+    from fusionspark.operators.sketches import kmv_estimate, kmv_hashes
+
+    a = spark.range(0, 10_000).select(F.concat(F.lit("v"), "id").alias("v"))
+    sk = kmv_hashes(a, F.col("v"), k=64)
+    est = kmv_estimate(sk, 64).first()["est_distinct"]
+    assert abs(est - 10_000) / 10_000 < 4 / (64 ** 0.5)
+
+    b = spark.range(5_000, 15_000).select(F.concat(F.lit("v"), "id").alias("v"))
+    direct = [r["h"] for r in kmv_hashes(a.union(b), F.col("v"), 64).collect()]
+    merged_df = kmv_hashes(a, F.col("v"), 64).union(kmv_hashes(b, F.col("v"), 64))
+    merged = [r["h"] for r in
+              merged_df.distinct().orderBy("h").limit(64).collect()]
+    assert direct == merged
+
+
+def test_theta_intersection_bounds(spark):
+    """est_intersect ≈ true overlap within sketch error and never exceeds
+    the union estimate."""
+    from fusionspark.operators.sketches import kmv_hashes, theta_estimates
+
+    a = spark.range(0, 8_000).select(F.concat(F.lit("t"), "id").alias("v"))
+    b = spark.range(4_000, 12_000).select(F.concat(F.lit("t"), "id").alias("v"))
+    sa, sb = kmv_hashes(a, F.col("v"), 64), kmv_hashes(b, F.col("v"), 64)
+    r = theta_estimates(sa, sb, 64).first()
+    assert r["est_intersect"] <= r["est_union"]
+    assert abs(r["est_union"] - 12_000) / 12_000 < 0.6
+    assert abs(r["est_intersect"] - 4_000) / 4_000 < 0.9  # θ-sketch variance

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import functions as F
+
 from fusionspark.operators.temporal import asof_join, time_bucket_rollup
 
 
@@ -145,3 +147,49 @@ def test_load_table_is_timezone_neutral(spark, sf_dir):
         assert ny == utc
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_gap_fill_locf(spark):
+    from fusionspark.operators.temporal import gap_fill
+
+    rows = [
+        # user 1: observations in hour-buckets 0, 3 (gap 1-2), value jumps
+        (1, 0, 10.0, 100),
+        (1, 3 * 3600, 40.0, 101),
+        # two obs in one bucket: the later event wins (seq 103)
+        (1, 3 * 3600 + 60, 41.0, 103),
+        # user 2: single observation -> single-row grid
+        (2, 7200, 5.0, 102),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double, event_id long")
+    df = df.select(
+        "user_id",
+        F.timestamp_micros((F.col("sec") * 1_000_000).cast("long")).alias("ts"),
+        "value", "event_id",
+    )
+    out = {(r["user_id"], r["bucket"]): r
+           for r in gap_fill(df, step_sec=3600).collect()}
+    assert len([k for k in out if k[0] == 1]) == 4          # dense grid 0..3
+    assert out[(1, 0)]["value_filled"] == 10.0 and out[(1, 0)]["observed"]
+    assert out[(1, 1)]["value_filled"] == 10.0 and not out[(1, 1)]["observed"]
+    assert out[(1, 2)]["value_filled"] == 10.0 and not out[(1, 2)]["observed"]
+    assert out[(1, 3)]["value_filled"] == 41.0              # max_by(seq) wins
+    assert out[(2, 2)]["value_filled"] == 5.0
+    assert len([k for k in out if k[0] == 2]) == 1
+
+
+def test_interarrival_stats(spark):
+    from fusionspark.operators.temporal import interarrival_stats
+
+    rows = [("a", 0, 1), ("a", 10, 2), ("a", 40, 3), ("b", 5, 4)]
+    df = spark.createDataFrame(rows, "event_type string, sec long, event_id long")
+    df = df.select(
+        "event_type",
+        F.timestamp_micros((F.col("sec") * 1_000_000).cast("long")).alias("ts"),
+        "event_id",
+    )
+    out = {r["event_type"]: r for r in interarrival_stats(df).collect()}
+    assert out["a"]["n_gaps"] == 2
+    assert out["a"]["avg_gap_sec"] == 20.0
+    assert out["a"]["min_gap_sec"] == 10.0 and out["a"]["max_gap_sec"] == 30.0
+    assert "b" not in out  # single event -> no gaps
