@@ -74,7 +74,7 @@ PRIORITY: list[str] = [
     "ann_bq", "ann_matryoshka", "semdedup",
     "cdc_apply", "scd2_history", "merge_upsert", "zorder_pruning",
     "fim_transform", "ccnet_buckets", "dedup_keep_best",
-    "kmv_theta", "gap_fill", "events_interarrival",
+    "kmv_theta", "gap_fill", "events_interarrival", "graph_triangles",
     # earlier-round attestations kept warm
     "dedup_clusters", "c4_filter", "hash_sample", "pack_sequences",
     "pii_redact", "repetition_stats", "vocab_coverage",

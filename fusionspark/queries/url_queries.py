@@ -171,3 +171,66 @@ def pagerank_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "graph_triangles",
+    """
+    WITH docs AS (SELECT doc_id FROM documents),
+    nn AS (SELECT COUNT(*) AS n FROM docs),
+    raw AS (
+        SELECT doc_id AS s, (doc_id + 1) % (SELECT n FROM nn) AS d FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 3 + 1) % (SELECT n FROM nn) FROM docs
+    ),
+    e AS (
+        SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM raw WHERE s <> d
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+        SELECT unnest([x, y, z]) AS doc_id FROM tri
+    ),
+    tcnt AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_triangles FROM corners GROUP BY doc_id
+    ),
+    deg AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS degree FROM (
+            SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(g.degree, 0)::BIGINT AS degree,
+           COALESCE(t.n_triangles, 0)::BIGINT AS n_triangles,
+           ROUND(CASE WHEN COALESCE(g.degree, 0) >= 2
+                      THEN 2.0 * COALESCE(t.n_triangles, 0)
+                           / (g.degree * (g.degree - 1))
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    FROM docs d
+    LEFT JOIN deg g ON g.doc_id = d.doc_id
+    LEFT JOIN tcnt t ON t.doc_id = d.doc_id
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per node
+    (operators/graph.py::triangle_counts) over the deterministic link
+    graph d → {d+1, d+2, 3d+1} mod N.  The id-ordered orientation emits
+    each triangle once through two equi-joins (degree-ordering is the
+    same plan for skewed graphs); the oracle replays the enumeration."""
+    from fusionspark.operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = None
+    for a, b in ((1, 1), (1, 2), (3, 1)):
+        e = docs.select(d.alias("src"), ((d * a + b) % n).alias("dst"))
+        edges = e if edges is None else edges.unionAll(e)
+    return triangle_counts(edges, docs, "doc_id")

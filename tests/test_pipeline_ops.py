@@ -1086,3 +1086,22 @@ def test_dedup_keep_best_prefers_longest(spark, sf_dir):
         best = max(grp, key=lambda r: (nc[r["doc_id"]], -r["doc_id"]))
         assert k == best["doc_id"]
         assert sum(r["is_keeper"] for r in grp) == 1
+
+
+def test_triangle_counts_on_known_graphs(spark):
+    from fusionspark.operators.graph import triangle_counts
+
+    # K4 on {0,1,2,3} plus a pendant path 3-4-5: K4 nodes sit in 3
+    # triangles each (coeff 1 for deg-3 nodes), path nodes in none.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(3, 4), (4, 5), (5, 4)],  # duplicate orientation collapses
+        "src: long, dst: long",
+    )
+    nodes = spark.range(6).select(F.col("id").alias("doc_id"))
+    out = {r["doc_id"]: r for r in triangle_counts(edges, nodes).collect()}
+    assert [out[i]["n_triangles"] for i in range(6)] == [3, 3, 3, 3, 0, 0]
+    assert out[0]["clustering_coeff"] == 1.0
+    assert out[3]["degree"] == 4  # 3 K4 edges + pendant
+    assert out[3]["clustering_coeff"] == round(2 * 3 / (4 * 3), 6)
+    assert out[5]["degree"] == 1 and out[5]["clustering_coeff"] == 0.0
