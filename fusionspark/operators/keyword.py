@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fusionspark.functions.text import STOPWORDS, term_count, tf_saturation, tokenize
+from fusionspark.functions.text import (
+    STOPWORDS,
+    search_terms,
+    term_count,
+    tf_saturation,
+    tokenize,
+)
 
 
 def extract_terms(query: str) -> list[str]:
@@ -251,4 +257,70 @@ def bm25_search(
         .filter(F.col("n_terms") > 0)
         .orderBy(F.desc("bm25"), id_col)
         .limit(top_k)
+    )
+
+
+def tfidf_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    min_df: int = 2,
+    max_df: int | None = None,
+    scale: int = 100_000,
+) -> DataFrame:
+    """All-pairs document similarity above `threshold` via a sparse
+    TF·IDF cosine JOIN on the inverted index — the third member of the
+    similarity family (MinHash estimates Jaccard, embeddings need a
+    model; this is the exact lexical cosine).
+
+    Plan: tokenize → (doc, term, tf) postings (one shuffle), per-term df
+    (vocab-sized agg), then postings⋈postings ON term with id-ordered
+    dedup and a (doc_a, doc_b) dot-product agg.  The df WINDOW is the
+    scale control: terms with df < `min_df` cannot produce a pair and
+    vanish; terms with df > `max_df` (ubiquitous boilerplate — and the
+    skew bombs: a term in every doc would fan out N²) are dropped, so
+    per-term pair fan-out is bounded by max_df² regardless of corpus
+    size.  At 100 TB max_df is an absolute constant (10⁴-ish), keeping
+    every posting list a single task's work; the default here scales
+    with the toy corpus (N/10).
+
+    Weights are INTEGER — w = tf·⌊scale/df⌋ (plain inverse-df idf) — so
+    dots and squared norms are exact BIGINTs whatever the aggregation
+    order; the only float ops are the final sqrt + divide.  (ln-idf
+    would put an order-dependent float SUM inside the pair agg, which
+    can drift a hash across engines; swap the weight table, not the
+    plan, if you want ln at production scale.)"""
+    n_docs = documents.count()
+    if max_df is None:
+        max_df = max(3, n_docs // 10)
+    toks = documents.select(
+        F.col(id_col).alias("doc"), F.explode(search_terms(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    kept = dfreq.filter(
+        (F.col("df") >= F.lit(min_df)) & (F.col("df") <= F.lit(max_df))
+    ).select("term", F.floor(F.lit(scale) / F.col("df")).cast("long").alias("idf_w"))
+    wp = tf.join(F.broadcast(kept), "term").select(
+        "doc", "term", (F.col("tf") * F.col("idf_w")).cast("long").alias("w")
+    )
+    norms = wp.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    b = wp.select(
+        F.col("term"), F.col("doc").alias("doc_b"), F.col("w").alias("w_b")
+    )
+    dots = (
+        wp.join(b, "term")
+        .filter(F.col("doc") < F.col("doc_b"))
+        .groupBy(F.col("doc").alias("doc_a"), "doc_b")
+        .agg(F.sum(F.col("w") * F.col("w_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("n2").alias("n2_b"))
+    cos = F.col("dot") / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )

@@ -220,3 +220,125 @@ def interarrival_stats(
         F.round(F.min("gap_sec"), 6).alias("min_gap_sec"),
         F.round(F.max("gap_sec"), 6).alias("max_gap_sec"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    gap_sec: int = 1800,
+) -> DataFrame:
+    """Batch sessionization: split each key's event stream into sessions at
+    inactivity gaps > `gap_sec`, assign consecutive per-key session numbers,
+    and roll each session up to (n_events, start/end, duration).
+
+    The classic web/product-analytics shape (what Spark's streaming
+    `session_window` computes incrementally) expressed as two stacked
+    windows over ONE key partitioning: lag-diff marks session starts,
+    a running sum of the marks numbers the sessions, then one hash agg
+    per (key, session).  Exactly one shuffle on the key; session length
+    is never materialized driver-side, so a key with millions of events
+    is just a partition-local scan."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(seq_col).asc())
+    ts_s = F.unix_micros(F.col(ts_col))
+    prev = F.lag(ts_col).over(w)
+    is_new = (prev.isNull() | (ts_s - F.unix_micros(prev) > gap_sec * 1_000_000)).cast(
+        "int"
+    )
+    numbered = df.select(
+        key_col,
+        ts_s.alias("_ts_us"),
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    return numbered.groupBy(key_col, "session_no").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.min("_ts_us") / F.lit(1_000_000)).cast("double").alias("start_s"),
+        (F.max("_ts_us") / F.lit(1_000_000)).cast("double").alias("end_s"),
+        ((F.max("_ts_us") - F.min("_ts_us")) / F.lit(1_000_000))
+        .cast("double")
+        .alias("duration_sec"),
+    )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most recent
+    STRICTLY EARLIER non-conversion event of the same key (id + type + age).
+
+    One window over one key shuffle: `last(..., ignorenulls=True)` over
+    ROWS UNBOUNDED PRECEDING..1 PRECEDING carries the latest touch forward
+    past any run of conversions — no self-join, no per-conversion re-scan
+    (an as-of self-join would shuffle the table twice and skew on hot
+    keys).  Conversions with no prior touch keep NULLs — attribution
+    reports need the "direct" bucket, not a dropped row."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(seq_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) != conversion
+    touch_id = F.last(F.when(is_touch, F.col(seq_col)), ignorenulls=True).over(w)
+    touch_type = F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True).over(w)
+    age = (F.unix_micros(F.col(ts_col)) - F.unix_micros(touch_ts)) / F.lit(1e6)
+    return (
+        df.select(
+            key_col,
+            F.col(seq_col).alias("conversion_id"),
+            F.col(type_col).alias("_type"),
+            F.col(ts_col).alias("_ts"),
+            touch_id.alias("touch_id"),
+            touch_type.alias("touch_type"),
+            F.round(age, 6).alias("touch_age_sec"),
+        )
+        .filter(F.col("_type") == conversion)
+        .drop("_type", "_ts")
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Robust per-group anomaly detection: modified z-score from the
+    median and the MAD (median absolute deviation) — the Iglewicz-Hoaglin
+    0.6745·(x−med)/MAD rule, which a single corrupted batch cannot drag
+    the way it drags a mean/stddev gate.
+
+    Two passes by construction (MAD needs the median first), each an
+    exact `percentile` aggregate on the group key; the tiny per-group
+    stats broadcast back onto the events, so the events table itself is
+    scanned twice and shuffled ZERO times.  Groups with MAD = 0 yield
+    NULL scores (flat series have no robust scale), never a division
+    error."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col)
+    mad = dev.groupBy(group_col).agg(
+        F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
+    )
+    stats = med.join(mad, group_col)
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
+    scored = df.join(F.broadcast(stats), group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        F.when(F.col("mad") > 0, F.round(z, 6)).alias("robust_z"),
+        F.when(F.col("mad") > 0, F.abs(z) > F.lit(z_cut))
+        .otherwise(F.lit(False))
+        .alias("is_outlier"),
+    )
+    return scored

@@ -457,3 +457,174 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusionspark.operators.temporal import interarrival_stats
 
     return interarrival_stats(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "sessionize",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_us
+        FROM events
+    ),
+    n AS (
+        SELECT user_id, ts_us,
+               SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS session_no
+        FROM e
+    )
+    SELECT user_id, session_no,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(MIN(ts_us) / 1e6, 6) AS start_s,
+           ROUND(MAX(ts_us) / 1e6, 6) AS end_s,
+           ROUND((MAX(ts_us) - MIN(ts_us)) / 1e6, 6) AS duration_sec
+    FROM n GROUP BY user_id, session_no
+    """,
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization at a 30-minute inactivity gap
+    (operators/temporal.py::sessionize): lag-diff marks session starts, a
+    running sum numbers them, one agg per (user, session) — all on a
+    single user_id shuffle.  The batch twin of ST3's session_window."""
+    from fusionspark.operators.temporal import sessionize
+
+    out = sessionize(load_table(spark, sf_dir, "events"), gap_sec=1800)
+    return out.select(
+        "user_id", "session_no", "n_events",
+        F.round("start_s", 6).alias("start_s"),
+        F.round("end_s", 6).alias("end_s"),
+        F.round("duration_sec", 6).alias("duration_sec"),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+                          IGNORE NULLS) OVER w AS touch_id,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS) OVER w AS touch_type,
+               last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+                          IGNORE NULLS) OVER w AS touch_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS conversion_id, touch_id, touch_type,
+           ROUND((ts_us - touch_us) / 1e6, 6) AS touch_age_sec
+    FROM o WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution
+    (operators/temporal.py::last_touch_attribution): for every purchase,
+    the latest strictly-earlier non-purchase event — one ignore-nulls
+    window carry on one user_id shuffle, no as-of self-join.  Direct
+    (touchless) conversions keep NULL touch columns."""
+    from fusionspark.operators.temporal import last_touch_attribution
+
+    return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "ts_anomalies",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN s.mad > 0
+                THEN ROUND((0.6745::DOUBLE * (e.value - m.med)) / s.mad, 6)
+           END AS robust_z,
+           CASE WHEN s.mad > 0
+                THEN abs((0.6745::DOUBLE * (e.value - m.med)) / s.mad)
+                     > 3.5::DOUBLE
+                ELSE FALSE END AS is_outlier
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad s USING (event_type)
+    """,
+)
+def ts_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly scores (operators/temporal.py::
+    robust_outliers): Iglewicz-Hoaglin modified z from exact median +
+    MAD.  Two percentile aggs over the tiny type key, stats broadcast
+    back — the events table shuffles zero times."""
+    from fusionspark.operators.temporal import robust_outliers
+
+    return robust_outliers(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "cooccurrence_types",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tc AS (SELECT event_type, COUNT(*)::BIGINT AS n_t FROM ut GROUP BY event_type),
+    nu AS (SELECT COUNT(*)::BIGINT AS n_users
+           FROM (SELECT DISTINCT user_id FROM events)),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*)::BIGINT AS n_ab
+        FROM ut a JOIN ut b
+          ON b.user_id = a.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           ROUND((SELECT n_users FROM nu)::DOUBLE * p.n_ab
+                 / (ta.n_t * tb.n_t), 6) AS lift
+    FROM pairs p
+    JOIN tc ta ON ta.event_type = p.type_a
+    JOIN tc tb ON tb.event_type = p.type_b
+    """,
+)
+def cooccurrence_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift over (user, event_type)
+    baskets: distinct pairs via a self-join CO-PARTITIONED on user_id by
+    the preceding distinct (no extra shuffle), per-user pair fan-out
+    bounded by the type vocabulary (4 here; at 100 TB the same bound is
+    whatever the item-vocab cap is — never the event count).  Type totals
+    and the user count broadcast onto the pair counts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = ev.distinct()
+    tc = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n_t"))
+    nu = ut.select("user_id").distinct().agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    b = ut.select(
+        F.col("user_id"), F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        ut.withColumnRenamed("event_type", "type_a")
+        .join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_t_a"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_t_b"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .join(F.broadcast(nu))
+        .select(
+            "type_a", "type_b", "n_ab",
+            F.round(
+                F.col("n_users").cast("double") * F.col("n_ab")
+                / (F.col("n_t_a") * F.col("n_t_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -593,3 +593,52 @@ def retrieval_ndcg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
     )
+
+
+@query(
+    "tfidf_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               unnest(list_filter(string_split(lower(text), ' '),
+                      t -> len(t) > 2 AND NOT list_contains({_STOP_SQL}, t)))
+                   AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc, term
+    ),
+    dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    kept AS (
+        SELECT term, floor(100000 / df)::BIGINT AS idf_w
+        FROM dfreq
+        WHERE df >= 2 AND df <= greatest(3, (SELECT n FROM nn) // 10)
+    ),
+    wp AS (
+        SELECT t.doc, t.term, (t.tf * k.idf_w)::BIGINT AS w
+        FROM tf t JOIN kept k USING (term)
+    ),
+    norms AS (SELECT doc, SUM(w * w)::BIGINT AS n2 FROM wp GROUP BY doc),
+    dots AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, SUM(a.w * b.w)::BIGINT AS dot
+        FROM wp a JOIN wp b ON b.term = a.term AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b,
+           ROUND(dot / sqrt(na.n2::DOUBLE * nb.n2), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc = doc_a
+    JOIN norms nb ON nb.doc = doc_b
+    WHERE dot / sqrt(na.n2::DOUBLE * nb.n2) >= 0.3::DOUBLE
+    """,
+)
+def tfidf_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF·IDF cosine similarity join
+    (operators/keyword.py::tfidf_pairs): inverted-index postings joined
+    on term with a df window [2, N/10] bounding per-term fan-out, then
+    one (doc_a, doc_b) dot-product agg.  Integer weights keep every
+    aggregate exact; the only floats are the final sqrt + divide."""
+    from fusionspark.operators.keyword import tfidf_pairs
+
+    return tfidf_pairs(load_table(spark, sf_dir, "documents"))
