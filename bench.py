@@ -197,6 +197,12 @@ def bench_queries(spark):
         "hll_distinct",
         "wav_windows",
         "ann_sq8",
+        # round 6 (session 4): sparse lexical similarity join, batch
+        # sessionization, robust anomaly gate, k-core peeling
+        "tfidf_pairs",
+        "sessionize",
+        "ts_anomalies",
+        "kcore_docs",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -126,3 +126,53 @@ def triangle_counts(
     return out.select(
         id_col, "degree", "n_triangles", F.round(coeff, 6).alias("clustering_coeff")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of degree
+    < k until the remaining subgraph is stable; return each surviving
+    node with its in-core degree — the standard dense-substructure /
+    spam-farm detector on link graphs.
+
+    Each round is one degree aggregate over the live edge list plus two
+    semi-joins (keep edges whose BOTH endpoints survive) — all keyed
+    shuffles, nothing driver-side except the one edge-count scalar that
+    tests convergence (same contract as connected_components).  Lineage
+    is cut per round with localCheckpoint so the plan doesn't deepen
+    with the peel depth.  Peeling depth is the graph's degeneracy
+    ordering length — shallow on real link graphs (cores erode from the
+    fringe in parallel); `max_rounds` bounds the worst case LOUDLY
+    (raise, never a silent wrong answer): adversarial path graphs peel
+    one layer per round and want the O(log n) contraction variant
+    instead."""
+    e = canonical_edges(edges).localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").cast("long").alias("deg"))
+        )
+        live = deg.filter(F.col("deg") >= k).select("v")
+        e2 = (
+            e.join(live.withColumnRenamed("v", "a"), "a", "leftsemi")
+            .join(live.withColumnRenamed("v", "b"), "b", "leftsemi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            return deg.filter(F.col("deg") >= k).select(
+                F.col("v").alias(id_col), F.col("deg").alias("core_degree")
+            )
+        e, n_edges = e2, n2
+    raise RuntimeError(
+        f"kcore did not converge in {max_rounds} rounds; "
+        "raise max_rounds or use a contraction-based variant"
+    )

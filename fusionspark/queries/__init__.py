@@ -62,6 +62,9 @@ PRIORITY: list[str] = [
     "jpeg_features", "mp4_metadata",
     # ── r07 rotation queue (below the 50-row cap; all green in the
     # local gate at 3 SFs — rotate these to the front next round) ──
+    # session-4 additions (newest → attest first next round)
+    "tfidf_pairs", "sessionize", "attribution_last_touch",
+    "ts_anomalies", "cooccurrence_types", "kcore_docs",
     "paragraph_dedup", "nb_quality", "ann_pq", "ann_ivf_pq",
     "phash_neardup", "png_resize", "curriculum_shards", "lm_perplexity",
     "shuffle_shards", "quality_consensus", "tpch_local_supplier_volume",

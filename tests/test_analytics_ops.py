@@ -1,0 +1,205 @@
+"""Unit + plan-shape tests for the round-6 session-4 analytics family:
+sessionization, last-touch attribution, robust outliers, TF-IDF pair
+join, co-occurrence lift, and k-core peeling."""
+
+from __future__ import annotations
+
+import contextlib
+import io as _io
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _ts(sec: int):
+    return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, sec, event_type, value)"""
+    return spark.createDataFrame(
+        [(i, u, _ts(s), t, float(v)) for i, u, s, t, v in rows],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+
+
+def test_sessionize_gap_split(spark):
+    from fusionspark.operators.temporal import sessionize
+
+    ev = _events(
+        spark,
+        [
+            (1, 7, 0, "view", 0),
+            (2, 7, 10, "click", 0),
+            (3, 7, 2000, "view", 0),   # 1990s gap > 1800 → new session
+            (4, 7, 2100, "click", 0),
+            (5, 8, 50, "view", 0),     # other user: own numbering
+        ],
+    )
+    out = {
+        (r.user_id, r.session_no): r
+        for r in sessionize(ev, gap_sec=1800).collect()
+    }
+    assert set(out) == {(7, 1), (7, 2), (8, 1)}
+    assert out[(7, 1)].n_events == 2 and out[(7, 1)].duration_sec == 10.0
+    assert out[(7, 2)].n_events == 2 and out[(7, 2)].start_s == 2000.0
+    assert out[(8, 1)].n_events == 1 and out[(8, 1)].duration_sec == 0.0
+
+
+def test_last_touch_carries_past_conversions(spark):
+    from fusionspark.operators.temporal import last_touch_attribution
+
+    ev = _events(
+        spark,
+        [
+            (1, 1, 0, "view", 0),
+            (2, 1, 10, "purchase", 0),   # touch = view@0
+            (3, 1, 20, "purchase", 0),   # still view@0 (carries past #2)
+            (4, 1, 30, "click", 0),
+            (5, 1, 40, "purchase", 0),   # touch = click@30
+            (6, 2, 5, "purchase", 0),    # direct: no prior touch → NULLs
+        ],
+    )
+    got = {
+        r.conversion_id: r for r in last_touch_attribution(ev).collect()
+    }
+    assert got[2].touch_id == 1 and got[2].touch_type == "view"
+    assert got[2].touch_age_sec == 10.0
+    assert got[3].touch_id == 1 and got[3].touch_age_sec == 20.0
+    assert got[5].touch_id == 4 and got[5].touch_type == "click"
+    assert got[6].touch_id is None and got[6].touch_type is None
+
+
+def test_robust_outliers_flags_spike_and_skips_flat_groups(spark):
+    from fusionspark.operators.temporal import robust_outliers
+
+    rows = [(i, 1, i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    rows += [(100 + i, 1, i, "flat", 5.0) for i in range(4)]
+    out = robust_outliers(_events(spark, rows)).collect()
+    by_id = {r.event_id: r for r in out}
+    spike = by_id[9]
+    assert spike.is_outlier and spike.robust_z > 100
+    assert all(not by_id[i].is_outlier for i in range(9))
+    # MAD = 0 → no robust scale: NULL score, never flagged, never a div error
+    for i in range(100, 104):
+        assert by_id[i].robust_z is None and by_id[i].is_outlier is False
+
+
+def test_tfidf_pairs_identical_docs_cosine_one(spark):
+    from fusionspark.operators.keyword import tfidf_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta"),
+            (2, "alpha bravo charlie delta"),
+            (3, "echo foxtrot golf hotel"),
+            (4, "echo echo foxtrot golf hotel"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.cosine for r in
+           tfidf_pairs(docs, threshold=0.1, min_df=2, max_df=10).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (3, 4) in got and 0.8 < got[(3, 4)] < 1.0
+    assert (1, 3) not in got and (2, 4) not in got
+
+
+def test_tfidf_max_df_drops_boilerplate_terms(spark):
+    from fusionspark.operators.keyword import tfidf_pairs
+
+    # "common" is in every doc; with max_df=2 it cannot generate pairs
+    docs = spark.createDataFrame(
+        [(i, f"common unique{i} filler{i}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    assert tfidf_pairs(docs, threshold=0.01, min_df=2, max_df=2).count() == 0
+
+
+def test_cooccurrence_lift_values(spark):
+    # users 1,2 do {a,b}; user 3 does {a}; lift(a,b) = 3 * 2 / (3*2) = 1.0
+    ev = _events(
+        spark,
+        [(1, 1, 0, "a", 0), (2, 1, 1, "b", 0),
+         (3, 2, 0, "a", 0), (4, 2, 1, "b", 0),
+         (5, 3, 0, "a", 0)],
+    )
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    # exercise the registered plan body on a local frame via the operator
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.withColumnRenamed("event_type", "type_a")
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .count()
+    )
+    got = {(r.type_a, r.type_b): r["count"] for r in pairs.collect()}
+    assert got == {("a", "b"): 2}
+
+
+def test_kcore_k5_plus_tail(spark):
+    from fusionspark.operators.graph import kcore
+
+    # K5 on 0..4 (degree 4 each) + pendant path 4-5-6: the tail peels,
+    # the clique survives as the whole 4-core.
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(4, 5), (5, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.doc_id: r.core_degree for r in kcore(e, k=4, max_rounds=8).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+
+def test_kcore_raises_loudly_on_deep_peel(spark):
+    from fusionspark.operators.graph import kcore
+
+    # a 12-node path peels from both ends, 2 nodes per round — with
+    # max_rounds=2 the 2-core (empty) is NOT reached: loud error, never a
+    # silently-wrong partial answer
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(e, k=2, max_rounds=2)
+    # and with enough rounds it converges to the empty core
+    assert kcore(e, k=2, max_rounds=10).count() == 0
+
+
+def test_session4_plan_shapes(spark, sf_dir):
+    """Plan contracts: sessionize/attribution run on ONE user_id exchange;
+    robust_outliers broadcasts its stats (no sort-merge join against the
+    events stream); tfidf_pairs never degenerates into a nested-loop or
+    cartesian join."""
+    from fusionspark.io import load_table
+    from fusionspark.operators.keyword import tfidf_pairs
+    from fusionspark.operators.temporal import (
+        last_touch_attribution,
+        robust_outliers,
+        sessionize,
+    )
+
+    import re
+
+    def _n_shuffles(p: str) -> int:
+        # formatted-plan node headers, e.g. "(4) Exchange" (the tree section
+        # prints "+- Exchange (4)", which this pattern deliberately skips)
+        return len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+
+    ev = load_table(spark, sf_dir, "events")
+    assert _n_shuffles(_plan(sessionize(ev))) == 1
+    assert _n_shuffles(_plan(last_touch_attribution(ev))) == 1
+    p = _plan(robust_outliers(ev))
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" in p
+    d = load_table(spark, sf_dir, "documents")
+    p = _plan(tfidf_pairs(d))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
