@@ -203,6 +203,7 @@ def bench_queries(spark):
         "sessionize",
         "ts_anomalies",
         "kcore_docs",
+        "ngram_novelty",
     ]
     out = {
         "knn_batch64": knn_batch,
@@ -371,17 +372,40 @@ def main() -> None:
         "w",
     ) as f:
         json.dump(detail, f, indent=1)
-    print(
-        json.dumps(
+    # compact separators + 2-decimal per-entry seconds: the 75-entry suite
+    # was 1894 bytes with default formatting — 106 bytes under the driver's
+    # 2000-char tail buffer, i.e. four entries from a repeat of the r3/r4
+    # "parsed": null truncation.  ~1400 bytes this way leaves real headroom
+    # (the full 3-decimal medians stay in BENCH_DETAIL.json).
+    line = json.dumps(
+        {
+            "metric": "fusionspark_suite_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": float(sf),
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1800:
+        # keep the contract line parseable no matter how the suite grows:
+        # spill the slowest half to BENCH_DETAIL.json (already written) and
+        # print the slowest entries only, flagged so a reader knows to look
+        keep = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+        )
+        line = json.dumps(
             {
                 "metric": "fusionspark_suite_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in keep.items()},
+                "queries_truncated_see_detail": len(timings) - len(keep),
                 "sf": float(sf),
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

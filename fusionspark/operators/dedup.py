@@ -1193,3 +1193,60 @@ def semdedup(
         .alias(id_col)
     ).distinct()
     return proto.join(F.broadcast(removed), id_col, "left_anti")
+
+
+def ngram_novelty(
+    df: DataFrame,
+    gram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct word
+    n-grams whose corpus-wide first occurrence (minimum id) is this doc —
+    "what does this document add that no earlier document already said".
+    Dedup's dual: near-dup finds pairs, novelty scores each doc's marginal
+    contribution (the descending-novelty order is a dedup-aware curriculum
+    and a boilerplate detector: novelty ≈ 0 docs are assembled from
+    already-seen phrases).
+
+    Plan: the Arrow shingle emitter (same kernel family as
+    ngram_contamination — the HOF expression would run interpreted) →
+    per-gram MIN(id) agg → join back on the gram key (co-partitioned with
+    the agg, so the join reuses the shuffle) → one per-doc agg.  No
+    all-pairs join anywhere; cost is two gram-keyed shuffles bounded by
+    corpus token count, same as the contamination check."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([df.schema[id_col], StructField("s", StringType())])
+
+    def emit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sh_out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for s in set(_py_shingles(text, gram)):
+                    ids.append(did)
+                    sh_out.append(s)
+            yield pd.DataFrame({id_col: ids, "s": sh_out})
+
+    sh = df.select(id_col, text_col).mapInPandas(emit, schema=schema)
+    firsts = sh.groupBy("s").agg(F.min(id_col).alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col(id_col)).cast("int"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6).alias(
+            "novelty"
+        ),
+    )

@@ -342,3 +342,34 @@ def robust_outliers(
         .alias("is_outlier"),
     )
     return scored
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clamp values to the exact [P_lo, P_hi]
+    band — the standard heavy-tail guard before a metric feeds a model or
+    a dashboard (clipping, unlike dropping, keeps row counts stable).
+
+    One exact-percentile aggregate on the tiny group key, broadcast back;
+    the data table itself never shuffles.  Exact `percentile` keeps the
+    clamp oracle-checkable; at 100 TB swap in approx_percentile for the
+    stats subtree — the clamp expression is unchanged."""
+    stats = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("p_hi"),
+    )
+    v = F.col(value_col)
+    clamped = F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi"))
+    return df.join(F.broadcast(stats), group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        v,
+        F.round(clamped, 6).alias("clamped"),
+        ((v < F.col("p_lo")) | (v > F.col("p_hi"))).alias("was_clipped"),
+    )

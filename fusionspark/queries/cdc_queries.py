@@ -146,3 +146,67 @@ def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 6).alias("c_acctbal"),
         "action",
     )
+
+
+@query(
+    "incremental_rollup",
+    """
+    SELECT user_id, COUNT(*)::BIGINT AS n_events,
+           SUM(floor(value * 1e6)::BIGINT)::BIGINT AS sum_value_micros,
+           MIN(epoch_us(ts))::BIGINT AS min_ts_us,
+           MAX(epoch_us(ts))::BIGINT AS max_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-user rollup is
+    kept as ALGEBRAIC partials (count / sum / min / max), so a delta
+    batch folds in with a merge of two small aggregate tables — the base
+    events are NEVER rescanned.  Here the events split 80/20 into
+    base + delta by a deterministic rule, each side aggregates
+    independently, and the full-outer coalescing merge must equal the
+    oracle's direct aggregate over everything — the maintenance
+    invariant itself is what's attested.
+
+    Values fold as floor(value·1e6) BIGINT micro-units: exact under ANY
+    aggregation order or batch split (a double SUM would drift ulps
+    between fold orders and engines — the same order-dependence that
+    makes floats unmergeable for exactly-once maintenance).  At 100 TB
+    the merge is a tiny agg⋈agg join keyed on the group key; only the
+    delta shuffles."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("val_u"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("val_u").alias("s"),
+            F.min("ts_us").alias("mn"),
+            F.max("ts_us").alias("mx"),
+        )
+
+    base = agg(ev.filter(F.col("event_id") % 10 < 8))
+    delta = agg(ev.filter(F.col("event_id") % 10 >= 8)).select(
+        "user_id",
+        F.col("n").alias("n_d"),
+        F.col("s").alias("s_d"),
+        F.col("mn").alias("mn_d"),
+        F.col("mx").alias("mx_d"),
+    )
+    merged = base.join(delta, "user_id", "full_outer")
+    zero = F.lit(0).cast("long")
+    return merged.select(
+        "user_id",
+        (F.coalesce(F.col("n"), zero) + F.coalesce(F.col("n_d"), zero)).alias(
+            "n_events"
+        ),
+        (F.coalesce(F.col("s"), zero) + F.coalesce(F.col("s_d"), zero)).alias(
+            "sum_value_micros"
+        ),
+        F.least(F.col("mn"), F.col("mn_d")).alias("min_ts_us"),
+        F.greatest(F.col("mx"), F.col("mx_d")).alias("max_ts_us"),
+    )

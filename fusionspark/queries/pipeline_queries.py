@@ -3103,3 +3103,32 @@ def kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = kmv_estimate(a, 64).select(F.col("est_distinct").alias("est_en"))
     eb = kmv_estimate(b, 64).select(F.col("est_distinct").alias("est_other"))
     return ea.crossJoin(eb).crossJoin(theta_estimates(a, b, 64))
+
+
+@query(
+    "ngram_novelty",
+    f"""
+    WITH sh_t AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+    ),
+    firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh_t GROUP BY s),
+    per_doc AS (
+        SELECT t.doc_id, COUNT(*)::BIGINT AS n_grams,
+               SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)::BIGINT
+                   AS n_novel
+        FROM sh_t t JOIN firsts f USING (s)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           ROUND(n_novel::DOUBLE / n_grams, 6) AS novelty
+    FROM per_doc
+    """,
+)
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty (operators/dedup.py::ngram_novelty): the
+    fraction of a doc's distinct shingles first seen in THIS doc — each
+    document's marginal contribution to the corpus (novelty ≈ 0 ⇒
+    assembled from already-seen phrases).  Arrow shingle emitter → gram
+    MIN(id) agg → co-partitioned join back → one per-doc agg."""
+    return dedup.ngram_novelty(load_table(spark, sf_dir, "documents"))

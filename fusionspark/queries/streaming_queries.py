@@ -628,3 +628,27 @@ def cooccurrence_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "winsorize_values",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p_lo,
+               quantile_cont(value, 0.99) AS p_hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(least(greatest(e.value, s.p_lo), s.p_hi), 6) AS clamped,
+           (e.value < s.p_lo OR e.value > s.p_hi) AS was_clipped
+    FROM events e JOIN stats s USING (event_type)
+    """,
+)
+def winsorize_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type [P1, P99] winsorization (operators/temporal.py::
+    winsorize): exact percentile band from one tiny group agg, broadcast
+    clamp — the events table shuffles zero times."""
+    from fusionspark.operators.temporal import winsorize
+
+    return winsorize(load_table(spark, sf_dir, "events"))

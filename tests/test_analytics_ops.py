@@ -203,3 +203,64 @@ def test_session4_plan_shapes(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     p = _plan(tfidf_pairs(d))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_novelty_dup_doc_scores_zero(spark):
+    from fusionspark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_novelty(docs, gram=3).collect()}
+    assert got[1].novelty == 1.0 and got[1].n_grams == 2
+    assert got[2].novelty == 0.0 and got[2].n_novel == 0
+    assert got[3].novelty == 1.0
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from fusionspark.operators.temporal import winsorize
+
+    rows = [(i, 1, i, "a", float(v)) for i, v in enumerate(range(1, 101))]
+    out = {r.event_id: r for r in
+           winsorize(_events(spark, rows), lo=0.05, hi=0.95).collect()}
+    # P5 of 1..100 (type-7) = 5.95, P95 = 95.05
+    assert out[0].was_clipped and out[0].clamped == 5.95
+    assert out[99].was_clipped and out[99].clamped == 95.05
+    assert not out[49].was_clipped and out[49].clamped == 50.0
+    assert sum(1 for r in out.values() if r.was_clipped) == 10
+
+
+def test_incremental_rollup_merge_equals_direct(spark, sf_dir):
+    """The maintenance invariant at the operator level: merged partials ==
+    direct aggregate, row for row (the registered oracle re-checks this
+    against DuckDB; here both sides are Spark so the test isolates the
+    merge logic itself)."""
+    from fusionspark.queries import REGISTRY, load_all
+    from fusionspark.io import load_table
+
+    load_all()
+    fn, _ = REGISTRY["incremental_rollup"]
+    merged = {r.user_id: r for r in fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("val_u"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    direct = {
+        r.user_id: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("val_u").alias("sum_value_micros"),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for u, d in direct.items():
+        m = merged[u]
+        assert (m.n_events, m.sum_value_micros, m.min_ts_us, m.max_ts_us) == (
+            d.n_events, d.sum_value_micros, d.min_ts_us, d.max_ts_us
+        )
