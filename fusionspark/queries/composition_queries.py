@@ -828,3 +828,154 @@ def tpch_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ── derived partsupp (Q2/Q11) ─────────────────────────────────────────────
+# The driver's testdata ships no partsupp table; both engines derive the
+# SAME one from part × a 4-supplier assignment rule (integer arithmetic
+# only, so the derivation is bit-identical — the pattern the CDC family
+# uses for its changelog).  Costs are integer CENTS: Q11's Σ(cost·qty)
+# stays an exact BIGINT under any fold order.
+_PARTSUPP_SQL = """
+    ps0 AS (
+        SELECT p_partkey,
+               (p_partkey * 4 + t.i) % (SELECT COUNT(*) FROM supplier) AS sk
+        FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+    ),
+    ps AS (
+        SELECT p_partkey AS ps_partkey, sk AS ps_suppkey,
+               (p_partkey * 31 + sk * 17) % 10000 AS ps_cost_cents,
+               (p_partkey * 7 + sk * 3) % 1000 + 1 AS ps_availqty
+        FROM ps0
+    )
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    ns = load_table(spark, sf_dir, "supplier").count()
+    ps0 = part.select(
+        "p_partkey", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    )
+    sk = (F.col("p_partkey") * 4 + F.col("i")) % F.lit(ns)
+    return ps0.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        sk.alias("ps_suppkey"),
+        ((F.col("p_partkey") * 31 + sk * 17) % 10000).alias("ps_cost_cents"),
+        ((F.col("p_partkey") * 7 + sk * 3) % 1000 + 1).alias("ps_availqty"),
+    )
+
+
+@query(
+    "tpch_min_cost_supplier",
+    f"""
+    WITH {_PARTSUPP_SQL.strip()},
+    eu AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    ),
+    costs AS (
+        SELECT ps.ps_partkey, ps.ps_cost_cents,
+               e.s_name, e.s_acctbal, e.n_name
+        FROM ps JOIN eu e ON e.s_suppkey = ps.ps_suppkey
+    ),
+    minc AS (
+        SELECT ps_partkey, MIN(ps_cost_cents) AS mc
+        FROM costs GROUP BY ps_partkey
+    )
+    SELECT p.p_partkey, p.p_type, c.s_name, c.n_name, c.s_acctbal,
+           c.ps_cost_cents AS cost_cents
+    FROM costs c
+    JOIN minc m ON m.ps_partkey = c.ps_partkey AND c.ps_cost_cents = m.mc
+    JOIN part p ON p.p_partkey = c.ps_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — minimum-cost supplier per part within a region: the
+    correlated MIN subquery decorrelated into an aggregate of the SAME
+    joined frame (one scan feeds both), equality-joined back to keep
+    every min-cost supplier (ties survive, as in Q2), part-attribute
+    filters applied to the broadcast part dimension, and a fully-keyed
+    ORDER BY (acctbal DESC then name chain) so the LIMIT cut is
+    deterministic on both engines.  Completes the 22/22 TPC-H shape set
+    together with tpch_important_stock."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        _derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(eu), F.col("ps_suppkey") == eu["s_suppkey"])
+        .select("ps_partkey", "ps_cost_cents", "s_name", "s_acctbal", "n_name")
+    )
+    minc = costs.groupBy("ps_partkey").agg(F.min("ps_cost_cents").alias("mc"))
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        costs.withColumnRenamed("ps_partkey", "k")
+        .join(minc, (F.col("k") == minc["ps_partkey"]) & (F.col("ps_cost_cents") == minc["mc"]))
+        .join(F.broadcast(p), F.col("k") == p["p_partkey"])
+        .select(
+            "p_partkey", "p_type", "s_name", "n_name", "s_acctbal",
+            F.col("ps_cost_cents").alias("cost_cents"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_important_stock",
+    f"""
+    WITH {_PARTSUPP_SQL.strip()},
+    nat AS (
+        SELECT s.s_suppkey FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_15'
+    ),
+    v AS (
+        SELECT ps.ps_partkey,
+               SUM(ps.ps_cost_cents * ps.ps_availqty)::BIGINT AS value_cents
+        FROM ps JOIN nat ON nat.s_suppkey = ps.ps_suppkey
+        GROUP BY ps.ps_partkey
+    ),
+    tot AS (SELECT SUM(value_cents)::BIGINT AS t FROM v)
+    SELECT v.ps_partkey, v.value_cents
+    FROM v, tot
+    WHERE v.value_cents * 10000 > tot.t
+    """,
+)
+def tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — per-part stock value within one nation vs a global
+    threshold: the scalar total is an aggregate OF the per-part aggregate
+    (one pass over partsupp), cross-join-broadcast back.  The value
+    fraction compare is cross-multiplied in BIGINTs (value·10⁴ > total) —
+    no float threshold, so the boundary rows can't flip between
+    engines."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_15")
+    nat = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    v = (
+        ps.join(F.broadcast(nat), ps["ps_suppkey"] == nat["s_suppkey"])
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_cost_cents") * F.col("ps_availqty")).alias("value_cents"))
+    )
+    tot = v.agg(F.sum("value_cents").alias("t"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 10000 > F.col("t"))
+        .select("ps_partkey", "value_cents")
+    )
