@@ -1250,3 +1250,56 @@ def ngram_novelty(
             "novelty"
         ),
     )
+
+
+def containment_neardup(
+    df: DataFrame,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Sub-document duplication via the OVERLAP COEFFICIENT
+    |A∩B| / min(|A|, |B|) over word-shingle sets — the asymmetric member
+    of the near-dup family: a short doc fully quoted inside a long one
+    scores ~1 here while its Jaccard (|A∩B|/|A∪B|) stays low, so a
+    Jaccard-thresholded dedup never sees it.
+
+    Candidates come from the same MinHash band buckets as
+    ngram_minhash_neardup; the verify divides by the SMALLER set instead
+    of the union.  Caveat (documented, by design): MinHash banding is
+    tuned to Jaccard, so extreme-containment/low-Jaccard pairs (tiny A
+    inside huge B) can miss the candidate stage — production systems use
+    containment-calibrated banding (LSH Ensemble, Zhu et al. VLDB'16),
+    which is a band-threshold swap on this same plan, not a new plan."""
+    cands = minhash_candidates(df, id_col, text_col, num_hashes, bands).localCheckpoint(
+        eager=True
+    )
+    wanted = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(wanted, id_col, "leftsemi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    denom = F.least(F.size("sha"), F.size("shb"))
+    return (
+        cands.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sha"), "id_a"
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "shb"), "id_b"
+        )
+        .withColumn("containment", inter.cast("double") / denom)
+        .filter((inter > 0) & (F.col("containment") >= F.lit(threshold)))
+        .select("id_a", "id_b", "containment")
+    )

@@ -916,3 +916,132 @@ def wav_frame_features(media: DataFrame, frame_len: int = 100) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+
+
+def synth_wav_media_grouped(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """REAL WAV payloads with PLANTED audio near-duplicates: docs in the
+    same group of 10 share one base signal s_k = ((g+1)(k+7)(k+13) mod
+    4001) − 2000 (g = doc_id // 10 — group-distinct energy contours, so
+    only planted pairs fingerprint-match) and differ only by an amplitude scale
+    (1 + doc_id mod 3) and their tail length — i.e. the same recording at
+    different volumes/durations, the case an audio fingerprint must
+    match.  Closed-form, so a SQL oracle replays every sample."""
+    from fusionspark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = "media_id long, payload binary, mime string, sample_rate int"
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime": [], "sample_rate": []}
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g = d // 10
+                sc = 1 + d % 3
+                n = WAV_BASE_SAMPLES + d % WAV_MOD_SAMPLES
+                k = np.arange(n, dtype=np.int64)
+                s = sc * ((((g + 1) * (k + 7) * (k + 13)) % 4001) - 2000)
+                rows["media_id"].append(d)
+                rows["payload"].append(wav_encode(s.astype(np.int16), 8000))
+                rows["mime"].append("audio/wav")
+                rows["sample_rate"].append(8000)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(make, schema=out_schema)
+
+
+def wav_fingerprint_bits(media: DataFrame, frame_len: int = 10) -> DataFrame:
+    """Energy-delta audio fingerprint over REAL WAV decode: frame the PCM
+    stream, bit f = [energy(frame f) > energy(frame f−1)] — the sign-of-
+    delta bit every Shazam/Chromaprint-family fingerprint is built from.
+    AMPLITUDE-INVARIANT by construction (a volume change scales every
+    energy by the same positive factor, preserving all deltas), which is
+    exactly why fingerprints compare recordings where raw sample hashes
+    cannot.  One Arrow map: decode → energies → bits per document, ZERO
+    shuffle — payloads never leave their partition and only the tiny bit
+    stream (one row per frame) flows on."""
+    out_schema = "media_id bigint, frame int, bit int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "frame": [], "bit": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, s = wav_decode(payload)
+                s64 = s.astype(np.int64)
+                n_frames = len(s64) // frame_len  # full frames only
+                if n_frames < 2:
+                    continue
+                e = (
+                    s64[: n_frames * frame_len]
+                    .reshape(n_frames, frame_len)
+                    .astype(np.int64)
+                )
+                e = (e * e).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(int)
+                for f, b in enumerate(bits, start=1):
+                    rows["media_id"].append(int(mid))
+                    rows["frame"].append(f)
+                    rows["bit"].append(int(b))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+
+
+def audio_fingerprint_neardup(
+    media: DataFrame,
+    frame_len: int = 10,
+    band_bits: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Audio near-dup search: fingerprint bits → `band_bits`-bit band keys
+    → bucket equi-join candidates → exact bit-agreement verify over the
+    frames BOTH recordings have (inner join on frame index aligns
+    different durations).  The same band-candidates/verify discipline as
+    the MinHash and SimHash text paths and the pHash image path — no
+    all-pairs join; per-band bucket fan-out is bounded by the 2^band_bits
+    key space (salt-split degenerate buckets exactly like dedup.py's LSH
+    join if a silence-heavy corpus collapses keys)."""
+    bits = wav_fingerprint_bits(media, frame_len).localCheckpoint(eager=True)
+    band = F.floor((F.col("frame") - 1) / band_bits).cast("int")
+    bands = bits.groupBy("media_id", band.alias("band")).agg(
+        F.expr(f"sum(shiftleft(bit, (frame - 1) % {band_bits}))").alias("key")
+    )
+    b1 = bands.select(
+        F.col("media_id").alias("id_a"), "band", "key"
+    )
+    b2 = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("key").alias("key_b"),
+    )
+    cands = (
+        b1.join(
+            b2,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("key") == F.col("key_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    xa = bits.select(
+        F.col("media_id").alias("id_a"), "frame", F.col("bit").alias("bit_a")
+    )
+    xb = bits.select(
+        F.col("media_id").alias("id_b"), "frame", F.col("bit").alias("bit_b")
+    )
+    verify = (
+        cands.join(xa, "id_a")
+        .join(xb, ["id_b", "frame"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum((F.col("bit_a") == F.col("bit_b")).cast("int"))
+            .cast("long")
+            .alias("matches"),
+        )
+    )
+    sim = F.col("matches").cast("double") / F.col("n_common")
+    return verify.filter(sim >= F.lit(threshold)).select(
+        "id_a", "id_b", "n_common", F.round(sim, 6).alias("sim")
+    )

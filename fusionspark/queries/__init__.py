@@ -67,6 +67,7 @@ PRIORITY: list[str] = [
     "ts_anomalies", "cooccurrence_types", "kcore_docs",
     "ngram_novelty", "winsorize_values", "incremental_rollup",
     "tpch_min_cost_supplier", "tpch_important_stock",
+    "neardup_containment", "audio_neardup",
     "paragraph_dedup", "nb_quality", "ann_pq", "ann_ivf_pq",
     "phash_neardup", "png_resize", "curriculum_shards", "lm_perplexity",
     "shuffle_shards", "quality_consensus", "tpch_local_supplier_volume",

@@ -447,3 +447,68 @@ def image_text_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_words").cast("long").alias("n_words"), "caption_chars",
         )
     )
+
+
+@query(
+    "audio_neardup",
+    """
+    WITH par AS (
+        SELECT doc_id AS media_id,
+               300 + doc_id % 100 AS n,
+               1 + doc_id % 3 AS sc,
+               doc_id // 10 AS g
+        FROM documents
+    ),
+    samp AS (
+        SELECT media_id, k.k AS k,
+               sc * ((((g + 1) * (k.k + 7) * (k.k + 13)) % 4001) - 2000) AS s
+        FROM par CROSS JOIN (SELECT unnest(generate_series(0, 399)) AS k) k
+        WHERE k.k < (n // 10) * 10
+    ),
+    fr AS (
+        SELECT media_id, (k // 10)::INT AS frame, SUM(s * s)::BIGINT AS e
+        FROM samp GROUP BY media_id, (k // 10)
+    ),
+    bits AS (
+        SELECT media_id, frame,
+               CASE WHEN e > lag(e) OVER w THEN 1 ELSE 0 END AS bit
+        FROM fr
+        WINDOW w AS (PARTITION BY media_id ORDER BY frame)
+        QUALIFY lag(e) OVER w IS NOT NULL
+    ),
+    bands AS (
+        SELECT media_id, ((frame - 1) // 8)::INT AS band,
+               SUM(bit << ((frame - 1) % 8))::BIGINT AS key
+        FROM bits GROUP BY media_id, ((frame - 1) // 8)
+    ),
+    cands AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+    ),
+    verify AS (
+        SELECT c.id_a, c.id_b, COUNT(*)::BIGINT AS n_common,
+               SUM(CASE WHEN x.bit = y.bit THEN 1 ELSE 0 END)::BIGINT AS m
+        FROM cands c
+        JOIN bits x ON x.media_id = c.id_a
+        JOIN bits y ON y.media_id = c.id_b AND y.frame = x.frame
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, n_common, ROUND(m::DOUBLE / n_common, 6) AS sim
+    FROM verify WHERE m::DOUBLE / n_common >= 0.9::DOUBLE
+    """,
+)
+def audio_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup on the REAL WAV decode path
+    (multimodal.audio_fingerprint_neardup): energy-delta fingerprint bits
+    (amplitude-invariant — the planted duplicates differ by volume and
+    duration), 8-bit band-bucket candidates, exact bit-agreement verify
+    over common frames.  Completes the cross-modality dedup family:
+    MinHash/SimHash (text), pHash bands (image), fingerprint bands
+    (audio).  The oracle replays synth → energies → bits → bands →
+    verify arithmetically, so a hash match certifies the codec AND the
+    fingerprint pipeline."""
+    m = MM.synth_wav_media_grouped(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return MM.audio_fingerprint_neardup(m, frame_len=10, band_bits=8, threshold=0.9)

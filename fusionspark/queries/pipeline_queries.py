@@ -3132,3 +3132,57 @@ def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled from already-seen phrases).  Arrow shingle emitter → gram
     MIN(id) agg → co-partitioned join back → one per-doc agg."""
     return dedup.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "neardup_containment",
+    f"""
+    WITH words_t AS (
+        SELECT doc_id, {_WORDS} AS words FROM documents
+    ),
+    sh_t AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS s
+        FROM words_t
+    ),
+    based AS (
+        SELECT doc_id,
+               {_H32.format(expr='s')} AS b1,
+               {_H32.format(expr="'x:' || s")} AS b2
+        FROM sh_t
+    ),
+    sigs AS (
+        SELECT doc_id,
+        {_SIG_COLS}
+        FROM based GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT doc_id,
+        {_BAND_KEYS}
+        FROM sigs
+    ),
+    banded AS (
+        {_BAND_UNION}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM words_t)
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / least(len(a.sh), len(b.sh)), 6) AS containment
+    FROM cands
+    JOIN sh a ON a.doc_id = id_a
+    JOIN sh b ON b.doc_id = id_b
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+    """,
+)
+def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication (operators/dedup.py::containment_neardup):
+    overlap coefficient |A∩B|/min(|A|,|B|) on the SAME MinHash-band
+    candidates as neardup_ngram_lsh — a short doc quoted inside a long
+    one scores ~1 where Jaccard stays low.  The oracle replays bands,
+    bucket join, and the min-denominator verify bit-for-bit."""
+    out = dedup.containment_neardup(load_table(spark, sf_dir, "documents"))
+    return out.select("id_a", "id_b", F.round("containment", 6).alias("containment"))

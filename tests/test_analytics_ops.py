@@ -264,3 +264,21 @@ def test_incremental_rollup_merge_equals_direct(spark, sf_dir):
         assert (m.n_events, m.sum_value_micros, m.min_ts_us, m.max_ts_us) == (
             d.n_events, d.sum_value_micros, d.min_ts_us, d.max_ts_us
         )
+
+
+def test_containment_scores_subdocument_one(spark):
+    """A doc fully contained in a longer doc: overlap coefficient 1.0
+    while its Jaccard stays below 1 — the pair Jaccard dedup underrates."""
+    from fusionspark.operators.dedup import containment_neardup, ngram_minhash_neardup
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " kilo lima mike november oscar")],
+        "doc_id long, text string",
+    )
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in containment_neardup(docs).collect()}
+    assert cont[(1, 2)] == 1.0
+    jac = {(r.id_a, r.id_b): r.sim
+           for r in ngram_minhash_neardup(docs, threshold=0.0).collect()}
+    assert jac[(1, 2)] < 1.0

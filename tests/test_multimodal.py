@@ -218,3 +218,33 @@ def test_wav_decode_rejects_truncated_chunk():
     # chop the last 4 bytes: the data chunk now declares more than remains
     with pytest.raises(ValueError, match="truncated"):
         wav_decode(good[:-4])
+
+
+def test_audio_fingerprint_amplitude_invariant(spark):
+    """The same recording at different volumes/durations must match ~1.0;
+    an unrelated recording must not reach the 0.9 gate."""
+    import numpy as np
+
+    from fusionspark.operators.multimodal import (
+        audio_fingerprint_neardup,
+        wav_encode,
+        wav_fingerprint_bits,
+    )
+
+    rng = np.arange(400, dtype=np.int64)
+    base = (((rng + 7) * (rng + 13)) % 4001) - 2000
+    other = (((rng * 17 + 5) * (rng + 3)) % 4001) - 2000
+    rows = [
+        (1, wav_encode(base.astype(np.int16), 8000)),
+        (2, wav_encode((2 * base[:350]).astype(np.int16), 8000)),  # louder, shorter
+        (3, wav_encode(other.astype(np.int16), 8000)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    bits = wav_fingerprint_bits(media, frame_len=10)
+    b = {(r.media_id, r.frame): r.bit for r in bits.collect()}
+    # amplitude scaling never flips an energy-delta bit
+    assert all(b[(1, f)] == b[(2, f)] for f in range(1, 35))
+    got = {(r.id_a, r.id_b): r.sim
+           for r in audio_fingerprint_neardup(media, threshold=0.9).collect()}
+    assert got.get((1, 2)) == 1.0
+    assert (1, 3) not in got and (2, 3) not in got
