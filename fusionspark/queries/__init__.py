@@ -68,6 +68,7 @@ PRIORITY: list[str] = [
     "ngram_novelty", "winsorize_values", "incremental_rollup",
     "tpch_min_cost_supplier", "tpch_important_stock",
     "neardup_containment", "audio_neardup",
+    "table_profile", "trend_daily_events", "ab_test_zscore", "cohort_weekly",
     "paragraph_dedup", "nb_quality", "ann_pq", "ann_ivf_pq",
     "phash_neardup", "png_resize", "curriculum_shards", "lm_perplexity",
     "shuffle_shards", "quality_consensus", "tpch_local_supplier_volume",
@@ -100,6 +101,7 @@ def load_all() -> None:
     """Import every query module (side effect: fills REGISTRY), then move
     PRIORITY names to the front of the registry (see PRIORITY docstring)."""
     from fusionspark.queries import (  # noqa: F401
+        analytics_queries,
         cdc_queries,
         composition_queries,
         embedding_queries,

@@ -1,0 +1,270 @@
+"""Product/ops-analytics query family over the events table (round 6,
+session 4): data profiling, trend fitting, experiment readouts, cohort
+retention matrices.
+
+Float-parity discipline (COVERAGE.md round-3 classes): every statistic
+here reduces to INTEGER sums first — OLS via (n·Σxy − ΣxΣy), the z-score
+via integer success/total counts — with doubles entering only in the
+final closed-form expression, written identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fusionspark.io import load_table
+from fusionspark.queries import query
+
+
+@query(
+    "table_profile",
+    """
+    WITH s AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               COUNT(event_id)::BIGINT AS nn_event_id,
+               COUNT(DISTINCT event_id)::BIGINT AS nd_event_id,
+               MIN(event_id)::DOUBLE AS mn_event_id,
+               MAX(event_id)::DOUBLE AS mx_event_id,
+               COUNT(user_id)::BIGINT AS nn_user_id,
+               COUNT(DISTINCT user_id)::BIGINT AS nd_user_id,
+               MIN(user_id)::DOUBLE AS mn_user_id,
+               MAX(user_id)::DOUBLE AS mx_user_id,
+               COUNT(value)::BIGINT AS nn_value,
+               COUNT(DISTINCT value)::BIGINT AS nd_value,
+               ROUND(MIN(value), 6) AS mn_value,
+               ROUND(MAX(value), 6) AS mx_value,
+               COUNT(event_type)::BIGINT AS nn_event_type,
+               COUNT(DISTINCT event_type)::BIGINT AS nd_event_type
+        FROM events
+    )
+    SELECT 'event_id' AS col, n, nn_event_id AS n_nonnull,
+           nd_event_id AS n_distinct, mn_event_id AS min_v, mx_event_id AS max_v
+    FROM s
+    UNION ALL
+    SELECT 'user_id', n, nn_user_id, nd_user_id, mn_user_id, mx_user_id FROM s
+    UNION ALL
+    SELECT 'value', n, nn_value, nd_value, mn_value, mx_value FROM s
+    UNION ALL
+    SELECT 'event_type', n, nn_event_type, nd_event_type, NULL, NULL FROM s
+    """,
+)
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — the ingest-gate report every pipeline runs first:
+    row count, non-nulls, exact distincts, numeric ranges, ONE scan, one
+    wide aggregate unpivoted to long form (explicit stack, not a
+    per-column loop of scans).  At 100 TB exact COUNT(DISTINCT) becomes
+    approx_count_distinct (HLL, mergeable) — the query shape is
+    unchanged; exact is kept here because the oracle can check it."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("event_id").cast("long").alias("nn_event_id"),
+        F.count_distinct("event_id").cast("long").alias("nd_event_id"),
+        F.min("event_id").cast("double").alias("mn_event_id"),
+        F.max("event_id").cast("double").alias("mx_event_id"),
+        F.count("user_id").cast("long").alias("nn_user_id"),
+        F.count_distinct("user_id").cast("long").alias("nd_user_id"),
+        F.min("user_id").cast("double").alias("mn_user_id"),
+        F.max("user_id").cast("double").alias("mx_user_id"),
+        F.count("value").cast("long").alias("nn_value"),
+        F.count_distinct("value").cast("long").alias("nd_value"),
+        F.round(F.min("value"), 6).alias("mn_value"),
+        F.round(F.max("value"), 6).alias("mx_value"),
+        F.count("event_type").cast("long").alias("nn_event_type"),
+        F.count_distinct("event_type").cast("long").alias("nd_event_type"),
+    )
+    return s.selectExpr(
+        """stack(4,
+            'event_id',   nn_event_id,   nd_event_id,   mn_event_id, mx_event_id,
+            'user_id',    nn_user_id,    nd_user_id,    mn_user_id,  mx_user_id,
+            'value',      nn_value,      nd_value,      mn_value,    mx_value,
+            'event_type', nn_event_type, nd_event_type, CAST(NULL AS DOUBLE),
+                                                        CAST(NULL AS DOUBLE)
+        ) AS (col, n_nonnull, n_distinct, min_v, max_v)""",
+        "n",
+    ).select("col", "n", "n_nonnull", "n_distinct", "min_v", "max_v")
+
+
+@query(
+    "trend_daily_events",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               (epoch_us(ts) // 86400000000) AS day,
+               COUNT(*)::BIGINT AS y
+        FROM events GROUP BY event_type, (epoch_us(ts) // 86400000000)
+    ),
+    x AS (
+        SELECT event_type,
+               (day - MIN(day) OVER (PARTITION BY event_type))::BIGINT AS xi, y
+        FROM daily
+    ),
+    sums AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n,
+               SUM(xi)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+               SUM(xi * y)::BIGINT AS sxy, SUM(xi * xi)::BIGINT AS sxx
+        FROM x GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                  / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+    FROM sums WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def trend_daily_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-volume OLS trend: slope/intercept from the
+    closed-form normal equations over INTEGER sums (n·Σxy − ΣxΣy etc.) —
+    the numerically-naive-but-exact form that makes the regression
+    bit-reproducible under any aggregation order (built-in regr_slope
+    folds doubles and drifts ulps between engines).  Day index is
+    per-type-rebased so the integers stay small.  Degenerate one-day
+    types are excluded (zero variance ⇒ undefined slope)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    w = Window.partitionBy("event_type")
+    x = daily.select(
+        "event_type",
+        (F.col("day") - F.min("day").over(w)).cast("long").alias("xi"),
+        "y",
+    )
+    sums = x.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("xi") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = slope_num.cast("double") / det
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx")
+    ) / F.col("n")
+    return sums.filter(det != 0).select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+@query(
+    "ab_test_zscore",
+    """
+    WITH assign AS (
+        SELECT user_id, user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT variant, COUNT(*)::BIGINT AS n,
+               SUM(converted)::BIGINT AS conv
+        FROM assign GROUP BY variant
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN variant = 0 THEN n END)::BIGINT AS n0,
+            MAX(CASE WHEN variant = 0 THEN conv END)::BIGINT AS c0,
+            MAX(CASE WHEN variant = 1 THEN n END)::BIGINT AS n1,
+            MAX(CASE WHEN variant = 1 THEN conv END)::BIGINT AS c1
+        FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND(c0::DOUBLE / n0, 6) AS p0,
+           ROUND(c1::DOUBLE / n1, 6) AS p1,
+           CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+           ROUND((c1::DOUBLE / n1 - c0::DOUBLE / n0)
+                 / sqrt(((c0 + c1)::DOUBLE / (n0 + n1))
+                        * (1.0::DOUBLE - (c0 + c1)::DOUBLE / (n0 + n1))
+                        * (1.0::DOUBLE / n0 + 1.0::DOUBLE / n1)), 6)
+           END AS z
+    FROM wide
+    """,
+)
+def ab_test_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout: users split into arms by a
+    deterministic rule (user_id parity standing in for the assignment
+    hash), per-user conversion collapsed FIRST (MAX per user — a user
+    converting twice is one success, the unit-of-analysis rule A/B
+    tooling gets wrong at its peril), then the pooled two-proportion
+    z-score from four integers in one closed-form expression.  Two hash
+    aggs total; the arms table is 2 rows."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    arms = assign.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).cast("long").alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).cast("long").alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).cast("long").alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    # zero pooled variance (nobody / everybody converted) ⇒ z undefined;
+    # gate on the INTEGER counts so both engines agree exactly
+    c = F.col("c0") + F.col("c1")
+    n = F.col("n0") + F.col("n1")
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.when((c > 0) & (c < n), F.round(z, 6)).alias("z"),
+    )
+
+
+@query(
+    "cohort_weekly",
+    """
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               (epoch_us(ts) // 604800000000) AS week
+        FROM events
+    ),
+    first_w AS (
+        SELECT user_id, MIN(week) AS cohort FROM act GROUP BY user_id
+    )
+    SELECT f.cohort, (a.week - f.cohort)::BIGINT AS week_offset,
+           COUNT(*)::BIGINT AS active_users
+    FROM act a JOIN first_w f USING (user_id)
+    GROUP BY f.cohort, (a.week - f.cohort)
+    """,
+)
+def cohort_weekly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: distinct (user, week) activity,
+    each user's first week as their cohort, counts per (cohort, offset).
+    The cohort join runs on the distinct frame's own user partitioning —
+    one extra shuffle only for the final (cohort, offset) rollup.  The
+    user_retention query is this matrix's day-over-day diagonal."""
+    e = load_table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(604_800_000_000)).alias("week"),
+    ).distinct()
+    first_w = act.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        act.join(first_w, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).cast("long").alias("week_offset"))
+        .agg(F.count("*").cast("long").alias("active_users"))
+    )
