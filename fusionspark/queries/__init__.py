@@ -69,6 +69,7 @@ PRIORITY: list[str] = [
     "tpch_min_cost_supplier", "tpch_important_stock",
     "neardup_containment", "audio_neardup",
     "table_profile", "trend_daily_events", "ab_test_zscore", "cohort_weekly",
+    "geo_neighbors", "event_transitions",
     "paragraph_dedup", "nb_quality", "ann_pq", "ann_ivf_pq",
     "phash_neardup", "png_resize", "curriculum_shards", "lm_perplexity",
     "shuffle_shards", "quality_consensus", "tpch_local_supplier_volume",

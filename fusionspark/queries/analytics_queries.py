@@ -268,3 +268,92 @@ def cohort_weekly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", (F.col("week") - F.col("cohort")).cast("long").alias("week_offset"))
         .agg(F.count("*").cast("long").alias("active_users"))
     )
+
+
+@query(
+    "geo_neighbors",
+    """
+    WITH pts AS (SELECT DISTINCT user_id FROM events),
+    p AS (
+        SELECT user_id AS id,
+               ('0x' || substr(md5('gx:' || user_id), 1, 8))::BIGINT % 10000 AS x,
+               ('0x' || substr(md5('gy:' || user_id), 1, 8))::BIGINT % 10000 AS y
+        FROM pts
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist_sq
+    FROM p a
+    CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dx
+    CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dy
+    JOIN p b ON (a.x // 100) + dx.dx = (b.x // 100)
+            AND (a.y // 100) + dy.dy = (b.y // 100)
+            AND a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000
+    """,
+)
+def geo_neighbors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join (operators/joins.py::
+    grid_proximity_join): users mapped to deterministic integer plane
+    coordinates, all pairs within Euclidean radius 100 via radius-sized
+    grid cells + 3×3 neighborhood replication — a bounded 9× fan-out
+    equi-join, never a cross join.  Each qualifying pair shares exactly
+    one of the nine keys, so no distinct pass is needed; distances stay
+    integer d² end-to-end."""
+    from fusionspark.operators.joins import grid_proximity_join
+
+    from fusionspark.operators.dedup import md5_hash32
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    uid = F.col("user_id").cast("string")
+    pts = users.select(
+        F.col("user_id").alias("id"),
+        (md5_hash32(F.concat(F.lit("gx:"), uid)) % 10000).alias("x"),
+        (md5_hash32(F.concat(F.lit("gy:"), uid)) % 10000).alias("y"),
+    )
+    return grid_proximity_join(pts, radius=100)
+
+
+@query(
+    "event_transitions",
+    """
+    WITH tr AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS from_t,
+               event_type AS to_t
+        FROM events
+    ),
+    cnt AS (
+        SELECT from_t, to_t, COUNT(*)::BIGINT AS n
+        FROM tr WHERE from_t IS NOT NULL GROUP BY from_t, to_t
+    ),
+    tot AS (SELECT from_t, SUM(n)::BIGINT AS t FROM cnt GROUP BY from_t)
+    SELECT c.from_t, c.to_t, c.n, ROUND(c.n::DOUBLE / t.t, 6) AS p
+    FROM cnt c JOIN tot t USING (from_t)
+    """,
+)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event stream:
+    lag pairs on one user_id shuffle, then a |types|² count + row-
+    normalized probabilities (integer counts, ONE final division).  The
+    behavioral-model / anomalous-sequence baseline every event pipeline
+    eventually wants; event_funnel is a fixed path through this
+    matrix."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    tr = e.select(
+        F.lag("event_type").over(w).alias("from_t"),
+        F.col("event_type").alias("to_t"),
+    ).filter(F.col("from_t").isNotNull())
+    cnt = tr.groupBy("from_t", "to_t").agg(F.count("*").cast("long").alias("n"))
+    tot = cnt.groupBy("from_t").agg(F.sum("n").cast("long").alias("t"))
+    return (
+        cnt.join(F.broadcast(tot), "from_t")
+        .select(
+            "from_t", "to_t", "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+        )
+    )

@@ -282,3 +282,23 @@ def test_containment_scores_subdocument_one(spark):
     jac = {(r.id_a, r.id_b): r.sim
            for r in ngram_minhash_neardup(docs, threshold=0.0).collect()}
     assert jac[(1, 2)] < 1.0
+
+
+def test_grid_proximity_join_boundaries(spark):
+    from fusionspark.operators.joins import grid_proximity_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 95, 50),    # cell (0,0)
+            (2, 105, 50),   # cell (1,0): 10 apart, crosses the cell edge
+            (3, 95, 150),   # exactly r=100 from point 1 → included (d² = r²)
+            (4, 300, 300),  # isolated
+        ],
+        "id long, x long, y long",
+    )
+    got = {(r.id_a, r.id_b): r.dist_sq
+           for r in grid_proximity_join(pts, radius=100).collect()}
+    assert got[(1, 2)] == 100            # found across the cell edge
+    assert got[(1, 3)] == 10000          # exactly r → boundary-inclusive
+    # (2,3): 10² + 100² = 10100 > r² → excluded even though cells adjoin
+    assert set(got) == {(1, 2), (1, 3)}
