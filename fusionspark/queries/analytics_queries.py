@@ -357,3 +357,175 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
         )
     )
+
+
+@query(
+    "session_paths",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_us
+        FROM events
+    ),
+    n AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS session_no
+        FROM e
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        FROM n GROUP BY user_id, session_no
+    )
+    SELECT path, COUNT(*)::BIGINT AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def session_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: the sessionize numbering (same single user_id
+    shuffle) rolled up to an ORDERED in-row type sequence — sort_array
+    over (ts, event_id, type) structs then join, because a bare
+    collect_list is partition-racy (the chat_render rule) — and counted.
+    Fully-keyed ORDER BY before the LIMIT keeps the top-20 cut
+    deterministic."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_us = F.unix_micros(F.col("ts"))
+    prev = F.lag("ts").over(w)
+    is_new = (prev.isNull() | (ts_us - F.unix_micros(prev) > 1_800_000_000)).cast("int")
+    n = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    paths = n.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "conversion_latency",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT (p - v)::BIGINT AS us FROM firsts
+        WHERE v IS NOT NULL AND p IS NOT NULL AND p > v
+    )
+    SELECT COUNT(*)::BIGINT AS n,
+           ROUND((SUM(us)::DOUBLE / COUNT(*)) / 1e6, 6) AS avg_sec,
+           ROUND(quantile_cont(us, 0.5) / 1e6, 6) AS p50_sec,
+           ROUND(quantile_cont(us, 0.9) / 1e6, 6) AS p90_sec
+    FROM lat
+    """,
+)
+def conversion_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view → first-purchase latency distribution: conditional MINs
+    per user (one agg, no self-join — the event_funnel shape), then
+    count / mean / exact P50 / P90 over the integer microsecond gaps in
+    one 1-row aggregate.  The mean divides ONE integer sum; the
+    percentiles are the attested type-7 `percentile` ≡ quantile_cont
+    pair."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p"),
+    )
+    lat = firsts.filter(
+        F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") > F.col("v"))
+    ).select((F.col("p") - F.col("v")).cast("long").alias("us"))
+    return lat.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round((F.sum("us").cast("double") / F.count("*")) / F.lit(1e6), 6).alias(
+            "avg_sec"
+        ),
+        F.round(F.expr("percentile(us, 0.5)") / F.lit(1e6), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(us, 0.9)") / F.lit(1e6), 6).alias("p90_sec"),
+    )
+
+
+@query(
+    "revenue_deciles",
+    """
+    WITH rev AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN floor(value * 1e6)::BIGINT ELSE 0 END)::BIGINT
+                   AS rev_micros
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT user_id, rev_micros,
+               ntile(10) OVER (ORDER BY rev_micros, user_id)::INT AS decile
+        FROM rev
+    )
+    SELECT decile, COUNT(*)::BIGINT AS n_users,
+           SUM(rev_micros)::BIGINT AS total_rev_micros,
+           ROUND(SUM(rev_micros)::DOUBLE / COUNT(*) / 1e6, 6) AS avg_rev
+    FROM ranked GROUP BY decile
+    """,
+)
+def revenue_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user revenue deciles (the LTV report): purchase revenue folds
+    as exact integer micro-units per user, ntile(10) over the FULLY-KEYED
+    (revenue, user_id) order — a bare revenue order leaves equal-revenue
+    users engine-ordered and the decile boundaries racy.  The global
+    ntile is a single-partition sort over one row per USER (already
+    aggregated), not per event; at 100 TB swap ntile for percent_rank
+    over pre-aggregated range boundaries."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    rev = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * F.lit(1e6)).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("rev_micros")
+    )
+    ranked = rev.select(
+        "rev_micros",
+        F.ntile(10).over(Window.orderBy("rev_micros", "user_id")).alias("decile"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("rev_micros").cast("long").alias("total_rev_micros"),
+        F.round(
+            F.sum("rev_micros").cast("double") / F.count("*") / F.lit(1e6), 6
+        ).alias("avg_rev"),
+    )
