@@ -3186,3 +3186,51 @@ def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join, and the min-denominator verify bit-for-bit."""
     out = dedup.containment_neardup(load_table(spark, sf_dir, "documents"))
     return out.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
+@query(
+    "quality_percentile",
+    f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               ROUND(least(1.0, n_tokens / 50.0) * 0.5
+                     + least(1.0, CASE WHEN n_tokens > 0
+                                  THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 2) * 0.3
+                     + CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                                 / length(text) ELSE 0 END * 0.2, 6) AS quality
+        FROM (
+            SELECT doc_id, source, text, len(words) AS n_tokens,
+                   len(list_filter(words, t -> list_contains({_STOP_SQL}, t))) AS n_stop
+            FROM (SELECT doc_id, source, text, {_WORDS} AS words FROM documents)
+        )
+    )
+    SELECT doc_id, source, quality,
+           ROUND(percent_rank() OVER (
+               PARTITION BY source ORDER BY quality, doc_id), 6) AS pct
+    FROM q
+    """,
+)
+def quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUANTILE NORMALIZATION of the quality score — the
+    batch-effect fix for mixed-source corpora: an absolute quality
+    threshold means different things for web crawl vs curated text, so
+    filters cut on each doc's percentile WITHIN its source instead.
+    percent_rank over the (quality, doc_id) FULLY-KEYED order (a bare
+    score order leaves tied docs engine-ordered); ranks run on the
+    ROUNDED score both engines already hash-agree on.  One shuffle on
+    source; at 100 TB pre-aggregate per-source score histograms instead
+    of ranking raw rows — the output contract is unchanged."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "source",
+        F.round(textstats.quality_score("text"), 6).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return q.select(
+        "doc_id", "source", "quality",
+        F.round(F.percent_rank().over(w), 6).alias("pct"),
+    )

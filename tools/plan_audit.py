@@ -134,3 +134,31 @@ audit("url_canonicalize", d.select(canonicalize(F.concat(F.lit("https://h.io/"),
 from fusionspark.queries import REGISTRY, load_all
 load_all()
 audit("tpch_q19_pushdown", REGISTRY["tpch_disjunctive_revenue"][0](spark, sf))
+
+# 11. round-6 session-4 plan claims
+from fusionspark.operators.temporal import (
+    last_touch_attribution,
+    robust_outliers,
+    sessionize,
+    winsorize,
+)
+ev_full = load_table(spark, sf, "events")
+audit("sessionize", sessionize(ev_full))
+audit("last_touch", last_touch_attribution(ev_full))
+audit("robust_outliers", robust_outliers(ev_full))
+audit("winsorize", winsorize(ev_full))
+
+from fusionspark.operators.keyword import tfidf_pairs
+audit("tfidf_pairs", tfidf_pairs(d))
+
+from fusionspark.operators.joins import grid_proximity_join
+pts = ev_full.select("user_id").distinct().select(
+    F.col("user_id").alias("id"),
+    (F.col("user_id") * 37 % 10000).alias("x"),
+    (F.col("user_id") * 61 % 10000).alias("y"),
+)
+audit("grid_proximity", grid_proximity_join(pts, 100))
+
+audit("incremental_rollup", REGISTRY["incremental_rollup"][0](spark, sf))
+audit("tpch_q2", REGISTRY["tpch_min_cost_supplier"][0](spark, sf))
+audit("cohort_weekly", REGISTRY["cohort_weekly"][0](spark, sf))
