@@ -1304,38 +1304,123 @@ def sq8_train(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataF
     quantization trade (4× smaller embeddings, cheaper training, less
     accurate than PQ at the same budget).  Returns a 1-row frame of
     mins/maxs arrays that BROADCASTS everywhere downstream."""
-    aggs = []
-    for j in range(1, dim + 1):
-        e = F.element_at(F.col(vec_col), j).cast("double")
-        aggs += [F.min(e).alias(f"mn_{j}"), F.max(e).alias(f"mx_{j}")]
-    row = df.agg(*aggs)
+    import numpy as np
+    import pandas as pd
+
+    # Arrow per-batch min/max, then a tiny (j, mn, mx) rollup: the naive
+    # form is ONE aggregate of 2·dim element_at expressions, whose
+    # generated code is big enough to dominate the whole SQ8 path in
+    # compile time (measured ~3s of the 5s ann_sq8 bench entry at sf0.1).
+    # min/max are exact whatever the batching, so this is bit-identical.
+    def pre(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {"j": np.arange(1, dim + 1), "mn": m.min(axis=0), "mx": m.max(axis=0)}
+            )
+
+    parts = df.select(vec_col).mapInPandas(pre, schema="j int, mn double, mx double")
+    per_dim = parts.groupBy("j").agg(
+        F.min("mn").alias("mn"), F.max("mx").alias("mx")
+    )
+    row = per_dim.agg(
+        F.collect_list(F.struct("j", "mn")).alias("a"),
+        F.collect_list(F.struct("j", "mx")).alias("b"),
+    )
     return row.select(
-        F.array(*[F.col(f"mn_{j}") for j in range(1, dim + 1)]).alias("mins"),
-        F.array(*[F.col(f"mx_{j}") for j in range(1, dim + 1)]).alias("maxs"),
+        F.transform(F.array_sort(F.col("a")), lambda s: s["mn"]).alias("mins"),
+        F.transform(F.array_sort(F.col("b")), lambda s: s["mx"]).alias("maxs"),
     )
 
 
 def sq8_encode(
-    df: DataFrame, ranges: DataFrame, vec_col: str = "embedding", dim: int = 64
+    df: DataFrame,
+    ranges: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    strategy: str = "numpy",
 ) -> DataFrame:
     """uint8 codes: code_j = round(255·(x_j − min_j)/(max_j − min_j))
-    (degenerate dims → 0).  Pure column arithmetic against the broadcast
-    ranges — zero shuffle, codegen'd; codes are exact integers, so the
-    DuckDB oracle replays them bit-for-bit."""
-    j_codes = []
-    for j in range(1, dim + 1):
-        x = F.element_at(F.col(vec_col), j).cast("double")
-        mn = F.element_at(F.col("mins"), j)
-        mx = F.element_at(F.col("maxs"), j)
-        span = mx - mn
-        j_codes.append(
-            F.when(span > 0, F.round(255.0 * (x - mn) / span, 0).cast("int"))
-            .otherwise(F.lit(0))
+    (degenerate dims → 0); codes are exact integers, so the DuckDB
+    oracle replays them bit-for-bit.
+
+    strategy='numpy' (default): zero-shuffle Arrow kernel.  The 64-way
+    when/round expression chain ('expr') de-codegens its stage at this
+    width (the ann_sq8 Janino failure class) and ran ~2s at sf0.1 for a
+    5000-row encode; the kernel vectorizes the identical arithmetic
+    (same op order: (255·(x−mn))/span in float64).  Rounding is Spark's
+    own HALF_UP-on-shortest-decimal: the vectorized floor(v+½) answer is
+    kept everywhere it is unambiguous and the few values within
+    float-add error of a half-integer re-round through Decimal(repr(v))
+    — bit-identical to the expression form by construction."""
+    if strategy == "expr":
+        j_codes = []
+        for j in range(1, dim + 1):
+            x = F.element_at(F.col(vec_col), j).cast("double")
+            mn = F.element_at(F.col("mins"), j)
+            mx = F.element_at(F.col("maxs"), j)
+            span = mx - mn
+            j_codes.append(
+                F.when(span > 0, F.round(255.0 * (x - mn) / span, 0).cast("int"))
+                .otherwise(F.lit(0))
+            )
+        return df.crossJoin(F.broadcast(ranges)).select(
+            *[c for c in df.columns if c != vec_col],
+            F.array(*j_codes).alias("codes"),
+            "mins", "maxs",
         )
-    return df.crossJoin(F.broadcast(ranges)).select(
-        *[c for c in df.columns if c != vec_col],
-        F.array(*j_codes).alias("codes"),
-        "mins", "maxs",
+
+    import numpy as np
+    import pandas as pd
+
+    rrow = ranges.collect()[0]
+    mins = np.asarray(rrow["mins"], dtype=np.float64)
+    maxs = np.asarray(rrow["maxs"], dtype=np.float64)
+    span = maxs - mins
+    ok = span > 0
+    keep = [c for c in df.columns if c != vec_col]
+
+    def _round_half_up(v: "np.ndarray") -> "np.ndarray":
+        out = np.floor(v + 0.5)
+        frac = v - np.floor(v)
+        risky = np.abs(frac - 0.5) < 1e-9
+        if risky.any():
+            import decimal
+
+            flat_v = v[risky]
+            fixed = np.array(
+                [
+                    float(
+                        decimal.Decimal(repr(float(x))).quantize(
+                            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+                        )
+                    )
+                    for x in flat_v
+                ]
+            )
+            out[risky] = fixed
+        return out
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            v = 255.0 * (m - mins) / np.where(ok, span, 1.0)
+            codes = np.where(ok, _round_half_up(v), 0.0).astype(np.int32)
+            out = pdf[keep].copy()
+            out["codes"] = list(codes)
+            out["mins"] = [mins.tolist()] * len(out)
+            out["maxs"] = [maxs.tolist()] * len(out)
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+                       if f.name != vec_col)
+    return df.mapInPandas(
+        enc,
+        schema=f"{fields}, codes array<int>, mins array<double>, maxs array<double>",
     )
 
 
@@ -1346,26 +1431,76 @@ def sq8_knn(
     dim: int = 64,
     id_col: str = "vec_id",
     probe_vec_col: str = "embedding",
+    strategy: str = "numpy",
 ) -> DataFrame:
     """Approximate top-k over SQ8 codes: score = Σ q_j · dequant(code_j),
     dequant = min_j + code_j/255·span_j.  The probe side stays float; the
-    corpus is read as 1-byte codes (the 4× scan-IO win).  Expressed as an
-    unrolled codegen dot product — same plan family as the exact kNN; ties
-    cut on (rounded score desc, id)."""
+    corpus is read as 1-byte codes (the 4× scan-IO win).  Ties cut on
+    (rounded score desc, id).
+
+    strategy='numpy' (default): Arrow-kernel scoring with an explicit
+    left-to-right per-dimension fold — BIT-IDENTICAL to the expression
+    form, but actually fast: the 64-term unrolled expression exceeds
+    Janino's method-size limit, silently de-codegens its whole stage
+    (ERROR CodeGenerator in the round-6 board log), and ran ~5s at sf0.1
+    where the kernel runs <1s.  Same failure class the cosine scorer hit
+    in round 3 (dedup.py embedding near-dup), same fix.  Probes collect
+    to the task closure — the small-probe-set contract shared with
+    knn(strategy='numpy'); use the distributed IVF form for probe sets
+    beyond broadcast size.  strategy='expr' keeps the expression plan
+    (parity-tested against the kernel)."""
     from pyspark.sql.window import Window
 
     probes = probes.select(
         F.col(id_col).alias("probe_id"), F.col(probe_vec_col).alias("q")
     )
-    score: F.Column = F.lit(0.0)
-    for j in range(1, dim + 1):
-        mn = F.element_at(F.col("mins"), j)
-        span = F.element_at(F.col("maxs"), j) - mn
-        deq = mn + F.element_at(F.col("codes"), j).cast("double") / 255.0 * span
-        score = score + F.element_at(F.col("q"), j).cast("double") * deq
-    scored = corpus_codes.crossJoin(F.broadcast(probes)).select(
-        "probe_id", id_col, F.round(score, 6).alias("score")
-    )
+    if strategy == "expr":
+        score: F.Column = F.lit(0.0)
+        for j in range(1, dim + 1):
+            mn = F.element_at(F.col("mins"), j)
+            span = F.element_at(F.col("maxs"), j) - mn
+            deq = mn + F.element_at(F.col("codes"), j).cast("double") / 255.0 * span
+            score = score + F.element_at(F.col("q"), j).cast("double") * deq
+        scored = corpus_codes.crossJoin(F.broadcast(probes)).select(
+            "probe_id", id_col, F.round(score, 6).alias("score")
+        )
+    else:
+        import numpy as np
+        import pandas as pd
+
+        rows = probes.collect()
+        pids = [r["probe_id"] for r in rows]
+        pvecs = np.array([list(r["q"]) for r in rows], dtype=np.float64)
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.array(pdf["codes"].tolist(), dtype=np.float64)
+                mins = np.asarray(pdf["mins"].iloc[0], dtype=np.float64)
+                span = np.asarray(pdf["maxs"].iloc[0], dtype=np.float64) - mins
+                # per-element mn + (c/255)*span, then a LEFT-TO-RIGHT fold
+                # over j — the exact IEEE sequence of the unrolled
+                # expression, so hashes cannot move
+                deq = mins + codes / 255.0 * span
+                ids = pdf[id_col].to_numpy()
+                n = len(ids)
+                out_p, out_i, out_s = [], [], []
+                for pi, pid in enumerate(pids):
+                    q = pvecs[pi]
+                    acc = np.zeros(n, dtype=np.float64)
+                    for j in range(dim):
+                        acc = acc + q[j] * deq[:, j]
+                    out_p.extend([pid] * n)
+                    out_i.extend(ids.tolist())
+                    out_s.extend(acc.tolist())
+                yield pd.DataFrame(
+                    {"probe_id": out_p, id_col: out_i, "score": out_s}
+                )
+
+        scored = corpus_codes.select(id_col, "codes", "mins", "maxs").mapInPandas(
+            run, schema=f"probe_id long, {id_col} long, score double"
+        ).select("probe_id", id_col, F.round("score", 6).alias("score"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), id_col)
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -60,8 +60,11 @@ PRIORITY: list[str] = [
     "gopher_quality", "corpus_funnel", "ann_srp",
     # session-1/2 flagship codecs (new, no rows)
     "jpeg_features", "mp4_metadata",
-    # ── r07 rotation queue (below the 50-row cap; all green in the
-    # local gate at 3 SFs — rotate these to the front next round) ──
+    # ── r07+r08 rotation queue (below the 50-row cap; all green in the
+    # local gate at 3 SFs).  ~75 entries now queue for a 50-row/round
+    # budget: round 7 should move the first ~50 of this block to the
+    # front; round 8 takes the remainder plus anything new.  Order is
+    # newest-first (attestation risk) ──
     # session-4 additions (newest → attest first next round)
     "tfidf_pairs", "sessionize", "attribution_last_touch",
     "ts_anomalies", "cooccurrence_types", "kcore_docs",

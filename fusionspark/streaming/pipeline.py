@@ -126,3 +126,92 @@ def clean_documents_stream_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_rollup_stream(
+    event_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+):
+    """Streaming MATERIALIZED-VIEW maintenance of the per-user rollup
+    (the incremental_rollup contract, run continuously): each micro-batch
+    aggregates to algebraic partials (count / sum-of-micro-units / min /
+    max) and full-outer-merges into the parquet state table — the base
+    data is never rescanned, and because every partial is algebraic and
+    the value sum is an exact BIGINT, ANY batch slicing of the stream
+    converges to the batch answer bit-for-bit (the parity test's claim).
+
+    foreachBatch + overwrite of the tiny state table; at 100 TB the
+    state is key-partitioned and only touched partitions rewrite (Delta
+    MERGE semantics — `storage/manifest.py` has the commit machinery).
+    Exactly-once: foreachBatch alone is only AT-LEAST-once for side
+    effects, so the applied batch_id rides INSIDE the state directory
+    (written before the atomic rename-swap, so state and marker move
+    together) and a replayed batch is recognized and skipped instead of
+    double-merged."""
+    spark = event_stream.sparkSession
+
+    def partials(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "user_id",
+                F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("val_u"),
+                F.unix_micros("ts").alias("ts_us"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("val_u").alias("s"),
+                F.min("ts_us").alias("mn"),
+                F.max("ts_us").alias("mx"),
+            )
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(state_path, "_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip() or -1) >= batch_id:
+                    return  # replay of an already-merged batch: skip
+        delta = partials(batch_df)
+        try:
+            state = spark.read.parquet(state_path)
+            d = delta.select(
+                "user_id",
+                F.col("n").alias("n_d"),
+                F.col("s").alias("s_d"),
+                F.col("mn").alias("mn_d"),
+                F.col("mx").alias("mx_d"),
+            )
+            zero = F.lit(0).cast("long")
+            merged = (
+                state.join(d, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (F.coalesce(F.col("n"), zero) + F.coalesce(F.col("n_d"), zero)).alias("n"),
+                    (F.coalesce(F.col("s"), zero) + F.coalesce(F.col("s_d"), zero)).alias("s"),
+                    F.least(F.col("mn"), F.col("mn_d")).alias("mn"),
+                    F.greatest(F.col("mx"), F.col("mx_d")).alias("mx"),
+                )
+            )
+        except Exception:  # first batch: no state yet
+            merged = delta
+        # land via rename-swap so a crash mid-write never truncates state
+        tmp = state_path + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        import shutil
+
+        old = state_path + ".old"
+        if os.path.exists(state_path):
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        event_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

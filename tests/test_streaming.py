@@ -458,3 +458,76 @@ def test_streaming_ivf_append_matches_batch(spark, sf_dir, tmp_path):
           for r in ivf_search_persisted(spark, p_batch, probes, k=5,
                                         n_probe=4, strategy="numpy").collect()}
     assert ra == rb
+
+
+def test_rollup_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming materialized-view maintenance: events sliced into
+    micro-batches and merged incrementally must equal the direct batch
+    aggregate BIT-FOR-BIT (algebraic partials + integer micro-unit sums),
+    and a replayed batch must be a no-op, not a double-merge."""
+    from fusionspark.io import load_table
+    from fusionspark.streaming.pipeline import maintain_rollup_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    src = tmp_path / "src"
+    # several files → several availableNow micro-batches
+    ev.repartition(4).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "state")
+    q = maintain_rollup_stream(stream, state, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = {
+        r.user_id: (r.n, r.s, r.mn, r.mx)
+        for r in spark.read.parquet(state).collect()
+    }
+    src_batch = spark.read.parquet(str(src))
+    direct = {
+        r.user_id: (r.n, r.s, r.mn, r.mx)
+        for r in src_batch.select(
+            "user_id",
+            F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("val_u"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("val_u").alias("s"),
+            F.min("ts_us").alias("mn"),
+            F.max("ts_us").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+    # replay protection: a FRESH checkpoint makes the engine re-deliver
+    # every file as batches 0..k again — the in-state marker must skip
+    # them all (double-merge would double every count)
+    import os
+
+    marker = os.path.join(state, "_applied_batch")
+    with open(marker) as fh:
+        last = int(fh.read().strip())
+    before = sorted(got.items())
+    q2 = maintain_rollup_stream(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        state,
+        str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    after = sorted(
+        (r.user_id, (r.n, r.s, r.mn, r.mx))
+        for r in spark.read.parquet(state).collect()
+    )
+    assert after == [(u, t) for u, t in before]
+    with open(marker) as fh:
+        assert int(fh.read().strip()) == last
