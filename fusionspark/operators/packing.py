@@ -358,3 +358,69 @@ def fim_split(
         F.when(is_fim, "psm").otherwise("ar").alias("fmt"),
         F.when(is_fim, psm).otherwise(F.col(text_col)).alias("sample"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    temperature: float = 0.5,
+    target_frac_denom: int = 2,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Temperature-based multinomial rebalance (the multilingual-mixing
+    rule of mBERT/mT5/PaLM): group share p_g is flattened to
+    q_g ∝ p_g^τ — τ<1 upsamples tail groups, τ=1 is proportional — and
+    each group keeps rows at rate min(1, q_g·N_target/n_g), decided by
+    the same md5(group:id) coin as domain_mix (deterministic,
+    monotone-in-rate, engine-independent).
+
+    Cross-engine float discipline: the q normalizer is a LEFT-TO-RIGHT
+    fold over the group-name-sorted weight list (collect_list →
+    sort_array → aggregate; DuckDB replays it with list(ORDER BY) →
+    list_reduce) — a plain SUM of doubles would fold in partition order
+    and can drift an ulp across engines, which is exactly the boundary
+    a rate-threshold compare then amplifies into a row diff.  Group
+    stats are |groups| rows; everything broadcasts; zero shuffle on the
+    data table."""
+    if temperature != 0.5:
+        raise NotImplementedError(
+            "temperature is fixed at 0.5 (sqrt) so both engines compute the "
+            "identical correctly-rounded power; generalize via repeated "
+            "sqrt/mul if other τ are needed"
+        )
+    g = df.groupBy(group_col).agg(F.count("*").cast("long").alias("n"))
+    tot = g.agg(F.sum("n").cast("long").alias("n_total"))
+    w = g.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n",
+        "n_total",
+        F.sqrt(F.col("n").cast("double") / F.col("n_total")).alias("wt"),
+    )
+    norm = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(group_col, "wt"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["wt"],
+        ).alias("z")
+    )
+    rates = w.crossJoin(F.broadcast(norm)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("wt") / F.col("z"))
+            * F.floor(F.col("n_total") / target_frac_denom).cast("long")
+            / F.col("n"),
+        ).alias("rate"),
+    )
+    bucket = F.pmod(
+        md5_hash32(
+            F.concat(F.col(group_col), F.lit(":"), F.col(id_col).cast("string"))
+        ),
+        F.lit(10000),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("mix_bucket", bucket)
+        .filter(F.col("mix_bucket") < F.col("rate") * 10000.0)
+        .select(id_col, group_col, F.round("rate", 6).alias("rate"))
+    )

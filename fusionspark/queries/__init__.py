@@ -74,7 +74,7 @@ PRIORITY: list[str] = [
     "table_profile", "trend_daily_events", "ab_test_zscore", "cohort_weekly",
     "geo_neighbors", "event_transitions",
     "session_paths", "conversion_latency", "revenue_deciles",
-    "quality_percentile",
+    "quality_percentile", "temperature_mix",
     "paragraph_dedup", "nb_quality", "ann_pq", "ann_ivf_pq",
     "phash_neardup", "png_resize", "curriculum_shards", "lm_perplexity",
     "shuffle_shards", "quality_consensus", "tpch_local_supplier_volume",

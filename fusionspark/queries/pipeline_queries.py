@@ -3234,3 +3234,41 @@ def quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "quality",
         F.round(F.percent_rank().over(w), 6).alias("pct"),
     )
+
+
+@query(
+    "temperature_mix",
+    f"""
+    WITH g AS (SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang),
+    nn AS (SELECT SUM(n)::BIGINT AS N FROM g),
+    w AS (
+        SELECT lang, n, sqrt(n::DOUBLE / (SELECT N FROM nn)) AS wt FROM g
+    ),
+    norm AS (
+        SELECT list_reduce(list(wt ORDER BY lang), (a, b) -> a + b)::DOUBLE AS z
+        FROM w
+    ),
+    r AS (
+        SELECT lang,
+               least(1.0::DOUBLE,
+                     (wt / (SELECT z FROM norm))
+                     * ((SELECT N FROM nn) // 2) / n) AS rate
+        FROM w
+    )
+    SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS rate
+    FROM documents d JOIN r USING (lang)
+    WHERE {_H32.format(expr="d.lang || ':' || d.doc_id")} % 10000
+          < r.rate * 10000.0
+    """,
+)
+def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=0.5 temperature rebalance of the language mix
+    (operators/packing.py::temperature_mix): tail languages upsample
+    toward √-share weights, head languages cap at rate 1; the md5 coin
+    keeps the pick deterministic and monotone.  The oracle replays the
+    left-to-right normalizer fold via list(ORDER BY) → list_reduce —
+    the plain-SUM form would be fold-order float drift at the rate
+    boundary."""
+    from fusionspark.operators.packing import temperature_mix
+
+    return temperature_mix(load_table(spark, sf_dir, "documents"))

@@ -100,3 +100,25 @@ def test_bq_and_matryoshka_plans_broadcast_only(spark, sf_dir):
         assert "BroadcastExchange" in plan
         # no shuffle join anywhere: candidate cut + rerank are broadcast
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_sq8_kernel_strategies_bit_identical(spark, sf_dir):
+    """The Arrow kernels must replicate the expression forms exactly —
+    codes integer-equal, scores float-equal, same top-k — since the
+    oracle hashes were attested against the expression arithmetic."""
+    from fusionspark.io import load_table
+    from fusionspark.operators.ann import sq8_encode, sq8_knn, sq8_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranges = sq8_train(emb, dim=64)
+    a = sq8_encode(emb.select("vec_id", "embedding"), ranges, dim=64,
+                   strategy="numpy")
+    b = sq8_encode(emb.select("vec_id", "embedding"), ranges, dim=64,
+                   strategy="expr")
+    ca = {r.vec_id: list(r.codes) for r in a.collect()}
+    cb = {r.vec_id: list(r.codes) for r in b.collect()}
+    assert ca == cb
+    probes = emb.filter("vec_id < 3").select("vec_id", "embedding")
+    ka = sq8_knn(a, probes, k=5, dim=64, strategy="numpy").collect()
+    kb = sq8_knn(b, probes, k=5, dim=64, strategy="expr").collect()
+    assert sorted(map(tuple, ka)) == sorted(map(tuple, kb))
