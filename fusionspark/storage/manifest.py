@@ -138,14 +138,29 @@ class ManifestTable:
             }
         )
         target = os.path.join(self._manifest_dir, _MANIFEST_FMT.format(version))
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitConflict(f"version {version} already committed") from e
+        # Two-phase visibility: the payload is fully written + fsynced into
+        # a hidden temp file (the "." prefix keeps it out of _versions()),
+        # then LINKED to the version name — os.link is atomic AND fails
+        # with FileExistsError if the version exists, so it is the same
+        # create-if-absent commit point as the previous O_EXCL open, but a
+        # concurrent reader can never observe a visible-yet-empty manifest
+        # (the race a threaded append test caught: O_EXCL created the file
+        # first and wrote the JSON after, so a reader between the two got
+        # JSONDecodeError on zero bytes).
+        tmp = os.path.join(
+            self._manifest_dir, f".tmp-{uuid.uuid4().hex}-v{version}.json"
+        )
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:
             f.write(payload)
             f.flush()
             os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} already committed") from e
+        finally:
+            os.unlink(tmp)
 
     def _stage(self, df: DataFrame) -> tuple[list[str], int]:
         """Write df's rows as immutable files under a fresh txn dir;

@@ -131,10 +131,7 @@ def test_cooccurrence_lift_values(spark):
          (3, 2, 0, "a", 0), (4, 2, 1, "b", 0),
          (5, 3, 0, "a", 0)],
     )
-    from fusionspark.queries import REGISTRY, load_all
-
-    load_all()
-    # exercise the registered plan body on a local frame via the operator
+    # exercise the registered plan body on a local frame
     ut = ev.select("user_id", "event_type").distinct()
     a = ut.withColumnRenamed("event_type", "type_a")
     b = ut.select("user_id", F.col("event_type").alias("type_b"))
