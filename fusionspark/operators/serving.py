@@ -1,0 +1,414 @@
+"""Resident distributed vector index — the serving-path peer of the
+reference's in-memory HNSW (reference src/core/HNSWIndex.js:126-320 keeps
+the whole graph in process memory; search never touches storage).
+
+The batch `knn(strategy="numpy")` path re-ships the corpus from the JVM to
+Python workers on EVERY search (~0.35 s of Arrow conversion per call for
+100k x 64-d locally — measured, see BENCH_DETAIL).  A serving engine builds
+once and searches many: here each partition's vectors are materialized ONCE
+into a numpy block (ids + row-major float64 matrix, pre-normalized for
+cosine) and persisted as Python objects, so a search stage is exactly one
+GEMM + one top-k per block with zero serialization of corpus data.
+
+Scale shape (1000 executors, 100 TB):
+  * blocks live WHERE the data lives — each executor holds its partitions'
+    blocks in memory; nothing reshuffles between searches;
+  * the probe batch ships once per stage in the task binary (chunk batches
+    beyond ~10k probes);
+  * per-partition candidates are fixed-width (n_probes x k) id/distance
+    matrices; the merge is associative, so it runs either as one driver
+    reduction (interactive batches) or as `treeReduce` partial merges on
+    executors (`merge="tree"`) — the same shape Spark's own TakeOrdered
+    uses.  At 1000 partitions x 1000 probes x k=10 the driver form moves
+    160 MB; the tree form cuts that by the fan-in per level.
+
+Exactness: float64 GEMM over the same vectors — identical semantics to
+`knn(strategy="numpy")` up to ulp-level reassociation (cosine is computed
+as 1 - normalized-rows GEMM instead of GEMM / |e| / |p|); ranks use the
+same documented (distance, id ASC) total order, with boundary ties resolved
+by an exact per-row re-selection.  Parity is pytest-attested against the
+attested knn kernel (tests/test_serving.py).
+
+Ids must be integral (they ride in an int64 candidate matrix); string-keyed
+collections should search through `knn` instead.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["ResidentIndex", "ResidentIVF"]
+
+_METRICS = ("cosine", "dot", "euclidean")
+
+
+def _check_id_type(df: DataFrame, id_col: str) -> None:
+    t = dict(df.dtypes)[id_col]
+    if t not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"resident index needs an integral id column; {id_col!r} is {t}"
+        )
+
+
+def _block_of(rows: list, id_name: str, vec_name: str, metric: str):
+    """(ids int64, M float64) where M is pre-normalized for cosine; for
+    euclidean the squared row norms ride along."""
+    ids = np.asarray([r[id_name] for r in rows], dtype=np.int64)
+    V = np.asarray([r[vec_name] for r in rows], dtype=np.float64)
+    if metric == "cosine":
+        n = np.linalg.norm(V, axis=1)
+        n[n == 0] = 1.0
+        return ids, V / n[:, None], None
+    if metric == "euclidean":
+        return ids, V, (V * V).sum(axis=1)
+    return ids, V, None
+
+
+def _row_topk(D: np.ndarray, ids: np.ndarray, k: int):
+    """Exact per-row top-k of (distance ASC, id ASC): argpartition cut, then
+    an exact re-selection for the (rare) rows whose kth distance ties with
+    rows outside the cut — so membership is the documented total order, not
+    argpartition's arbitrary boundary pick."""
+    n = D.shape[1]
+    kk = min(k, n)
+    idx = np.argpartition(D, kk - 1, axis=1)[:, :kk] if kk < n else (
+        np.broadcast_to(np.arange(n), D.shape).copy()
+    )
+    dsel = np.take_along_axis(D, idx, axis=1)
+    isel = ids[idx]
+    if kk < n:
+        boundary = dsel.max(axis=1)
+        n_tot = (D == boundary[:, None]).sum(axis=1)
+        n_in = (dsel == boundary[:, None]).sum(axis=1)
+        for qi in np.flatnonzero(n_tot > n_in):
+            cand = np.flatnonzero(D[qi] <= boundary[qi])
+            order = np.lexsort((ids[cand], D[qi, cand]))
+            pick = cand[order[:kk]]
+            dsel[qi] = D[qi, pick]
+            isel[qi] = ids[pick]
+    return dsel, isel
+
+
+def _merge_candidates(parts: Iterable[tuple], k: int):
+    """Associative merge of (D (Q,m), I (Q,m)) candidate sets: concatenate,
+    then one structured sort per row by (distance, id) — the exact total
+    order.  Works for the driver fold and for treeReduce partials alike."""
+    parts = list(parts)
+    D = np.concatenate([p[0] for p in parts], axis=1)
+    I = np.concatenate([p[1] for p in parts], axis=1)
+    m = D.shape[1]
+    kk = min(k, m)
+    if m > 2 * kk:
+        # argpartition prefilter by distance (cheap) before the exact
+        # structured sort; rows whose kth distance ties with dropped
+        # columns get an exact (d, id) re-selection so the cut stays exact
+        idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+        dsel = np.take_along_axis(D, idx, axis=1)
+        isel = np.take_along_axis(I, idx, axis=1)
+        boundary = dsel.max(axis=1)
+        n_tot = (D == boundary[:, None]).sum(axis=1)
+        n_in = (dsel == boundary[:, None]).sum(axis=1)
+        for qi in np.flatnonzero(n_tot > n_in):
+            cand = np.flatnonzero(D[qi] <= boundary[qi])
+            order = np.lexsort((I[qi, cand], D[qi, cand]))
+            pick = cand[order[:kk]]
+            dsel[qi] = D[qi, pick]
+            isel[qi] = I[qi, pick]
+        D, I = dsel, isel
+    arr = np.empty(D.shape, dtype=[("d", "f8"), ("i", "i8")])
+    arr["d"] = D
+    arr["i"] = I
+    arr.sort(axis=1, order=["d", "i"])
+    return arr["d"][:, :kk], arr["i"][:, :kk]
+
+
+def _result_df(
+    spark: SparkSession,
+    probe_ids: list,
+    Dk: np.ndarray,
+    Ik: np.ndarray,
+    probe_id_col: str,
+    id_col: str,
+    probe_sql_type: str,
+    id_sql_type: str,
+) -> DataFrame:
+    import pandas as pd
+
+    Q, kk = Dk.shape
+    keep = np.isfinite(Dk)  # IVF: probes not routed to a partition pad with +inf
+    reps = keep.sum(axis=1)
+    pdf = pd.DataFrame(
+        {
+            probe_id_col: np.repeat(np.asarray(probe_ids), reps),
+            id_col: Ik[keep],
+            "distance": Dk[keep],
+        }
+    )
+    pdf["score"] = 1.0 - pdf["distance"]
+    ranks = np.concatenate([np.arange(1, r + 1) for r in reps]) if Q else np.array([], dtype=np.int64)
+    pdf["rank"] = ranks.astype(np.int64)
+    schema = (
+        f"{probe_id_col} {probe_sql_type}, {id_col} {id_sql_type}, "
+        "distance double, score double, rank int"
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+class ResidentIndex:
+    """Exact-search resident block index.  Build once, search many."""
+
+    def __init__(self, spark, rdd, metric, id_col, vector_col, id_sql_type):
+        self.spark = spark
+        self.rdd = rdd
+        self.metric = metric
+        self.id_col = id_col
+        self.vector_col = vector_col
+        self.id_sql_type = id_sql_type
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vector_col: str = "embedding",
+        metric: str = "cosine",
+    ) -> "ResidentIndex":
+        if metric not in _METRICS:
+            raise ValueError(f"metric must be one of {_METRICS}")
+        _check_id_type(corpus, id_col)
+        from fusionspark.operators.knn import id_sql_type
+
+        id_t = id_sql_type(corpus, id_col)
+        src = corpus.select(id_col, vector_col)
+
+        def to_blocks(it: Iterator) -> Iterator[tuple]:
+            rows = list(it)
+            if rows:
+                yield _block_of(rows, id_col, vector_col, metric)
+
+        rdd = src.rdd.mapPartitions(to_blocks).persist(StorageLevel.MEMORY_ONLY)
+        rdd.count()  # materialize — build cost paid here, not on first search
+        return cls(corpus.sparkSession, rdd, metric, id_col, vector_col, id_t)
+
+    def search(
+        self,
+        probes: DataFrame,
+        k: int = 10,
+        probe_id_col: str = "probe_id",
+        probe_vector_col: str = "probe_embedding",
+        merge: str = "driver",
+        probe_batch: tuple | None = None,
+    ) -> DataFrame:
+        """(probe_id, id, distance, score, rank) — same shape and tie rule
+        as knn().  merge="tree" runs treeReduce partial merges (the
+        1000-executor form); "driver" collects per-partition candidates and
+        merges in one vectorized fold (interactive form).  probe_batch —
+        an optional pre-collected (probe_ids, P float64 matrix,
+        probe_sql_type) triple so a serving loop pays the probe collect
+        once, like the reference's in-process query arrays."""
+        from fusionspark.operators.knn import id_sql_type
+
+        if probe_batch is not None:
+            probe_ids, P, probe_t = probe_batch
+            P = np.asarray(P, dtype=np.float64)
+        else:
+            rows = probes.select(probe_id_col, probe_vector_col).collect()
+            probe_ids = [r[probe_id_col] for r in rows]
+            P = np.asarray([r[probe_vector_col] for r in rows], dtype=np.float64)
+            probe_t = id_sql_type(probes, probe_id_col)
+        metric = self.metric
+        if metric == "cosine":
+            pn = np.linalg.norm(P, axis=1)
+            pn[pn == 0] = 1.0
+            P = P / pn[:, None]
+        p2 = (P * P).sum(axis=1)[:, None] if metric == "euclidean" else None
+
+        def kernel(it: Iterator[tuple]) -> Iterator[tuple]:
+            for ids, M, v2 in it:
+                S = P @ M.T  # (Q, n)
+                if metric == "cosine":
+                    D = 1.0 - S
+                elif metric == "dot":
+                    D = -S
+                else:
+                    D = np.sqrt(np.maximum(p2 + v2[None, :] - 2.0 * S, 0.0))
+                yield _row_topk(D, ids, k)
+
+        cands = self.rdd.mapPartitions(kernel)
+        if merge == "tree":
+            Dk, Ik = cands.treeReduce(
+                lambda a, b: _merge_candidates([a, b], k), depth=2
+            )
+        else:
+            Dk, Ik = _merge_candidates(cands.collect(), k)
+        return _result_df(
+            self.spark, probe_ids, Dk, Ik, probe_id_col, self.id_col,
+            probe_t, self.id_sql_type,
+        )
+
+    def unpersist(self) -> None:
+        self.rdd.unpersist()
+
+
+class ResidentIVF:
+    """Resident IVF: blocks are grouped by centroid list (hash-partitioned
+    on centroid_id at build), and a search computes GEMMs only for the
+    lists its probes route to — the resident sibling of
+    ivf_search_persisted's partition-pruned parquet scan.  Routing and
+    assignment reuse the attested IVF rules (deterministic_centroids +
+    max-cosine / lowest-id ties), so results match ivf_knn for the same
+    (n_centroids, n_probe)."""
+
+    def __init__(self, spark, rdd, crows, id_col, vector_col, id_sql_type):
+        self.spark = spark
+        self.rdd = rdd
+        self.crows = crows
+        self.id_col = id_col
+        self.vector_col = vector_col
+        self.id_sql_type = id_sql_type
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        n_centroids: int = 64,
+        id_col: str = "vec_id",
+        vector_col: str = "embedding",
+        n_partitions: int | None = None,
+    ) -> "ResidentIVF":
+        _check_id_type(corpus, id_col)
+        from fusionspark.operators.ann import (
+            _assign_from_rows,
+            _collect_centroids,
+            deterministic_centroids,
+        )
+        from fusionspark.operators.knn import id_sql_type
+
+        id_t = id_sql_type(corpus, id_col)
+        crows = _collect_centroids(
+            deterministic_centroids(corpus, n_centroids, id_col, vector_col)
+        )
+        assigned = _assign_from_rows(
+            corpus.select(id_col, vector_col), crows, vector_col
+        )
+        n_parts = n_partitions or min(
+            n_centroids, corpus.sparkSession.sparkContext.defaultParallelism
+        )
+        # hash-partition whole lists together so a probe's n_probe lists
+        # touch at most n_probe partitions
+        placed = assigned.repartition(n_parts, "centroid_id")
+
+        def to_blocks(it: Iterator) -> Iterator[dict]:
+            by_cid: dict[int, list] = {}
+            for r in it:
+                by_cid.setdefault(r["centroid_id"], []).append(r)
+            if by_cid:
+                yield {
+                    cid: _block_of(rows, id_col, vector_col, "cosine")
+                    for cid, rows in by_cid.items()
+                }
+
+        rdd = placed.rdd.mapPartitions(to_blocks).persist(
+            StorageLevel.MEMORY_ONLY
+        )
+        rdd.count()
+        return cls(corpus.sparkSession, rdd, crows, id_col, vector_col, id_t)
+
+    def search(
+        self,
+        probes: DataFrame,
+        k: int = 10,
+        n_probe: int = 8,
+        probe_id_col: str = "probe_id",
+        probe_vector_col: str = "probe_embedding",
+    ) -> DataFrame:
+        """Probes route to their n_probe max-cosine lists (driver-side,
+        same fold as _route_probes); each partition scores only its routed
+        lists.  Unrouted (probe, partition) slots pad with +inf distance, so
+        the merge is the same rectangular fold as the exact index."""
+        from fusionspark.operators.knn import id_sql_type
+
+        rows = probes.select(probe_id_col, probe_vector_col).collect()
+        probe_ids = [r[probe_id_col] for r in rows]
+        probe_t = id_sql_type(probes, probe_id_col)
+        P = np.asarray([r[probe_vector_col] for r in rows], dtype=np.float64)
+        pn = np.linalg.norm(P, axis=1)
+        pn[pn == 0] = 1.0
+        Pn = P / pn[:, None]
+        Q = len(probe_ids)
+
+        # driver-side routing: same scoring rule as _route_probes (max
+        # cosine, ties to lower centroid_id), vectorized across probes with
+        # the SAME left-to-right float64 fold per element — `acc = acc +
+        # P[:,i]*c_i` is elementwise, so each probe sees the identical
+        # operation sequence as the per-probe Python fold
+        n_c = len(self.crows)
+        cids = np.asarray([c[0] for c in self.crows], dtype=np.int64)
+        cnorms = np.asarray([c[2] for c in self.crows])
+        d = P.shape[1]
+        acc = np.zeros(Q)
+        for i in range(d):
+            acc = acc + P[:, i] * P[:, i]
+        pnorm = np.sqrt(acc)
+        sims = np.empty((Q, n_c))
+        for j, (_cid, cvec, _cn) in enumerate(self.crows):
+            accj = np.zeros(Q)
+            for i in range(d):
+                accj = accj + P[:, i] * cvec[i]
+            denom = pnorm * cnorms[j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims[:, j] = np.where(denom > 0, accj / denom, 0.0)
+        arr = np.empty((Q, n_c), dtype=[("s", "f8"), ("c", "i8")])
+        arr["s"] = -sims
+        arr["c"] = cids
+        arr.sort(axis=1, order=["s", "c"])
+        best = arr["c"][:, : min(n_probe, n_c)]
+        routing: dict[int, list[int]] = {}
+        for qi in range(Q):
+            for cid in best[qi]:
+                routing.setdefault(int(cid), []).append(qi)
+        routing = {cid: np.asarray(qis) for cid, qis in routing.items()}
+
+        def kernel(it: Iterator[dict]) -> Iterator[tuple]:
+            for blocks in it:
+                Dk = np.full((Q, k), np.inf)
+                Ik = np.full((Q, k), -1, dtype=np.int64)
+                touched = False
+                for cid, (ids, Vn, _) in blocks.items():
+                    qis = routing.get(cid)
+                    if qis is None:
+                        continue
+                    touched = True
+                    D = 1.0 - Pn[qis] @ Vn.T
+                    dsel, isel = _row_topk(D, ids, k)
+                    kk = dsel.shape[1]
+                    sub_d = np.concatenate([Dk[qis], dsel], axis=1)
+                    sub_i = np.concatenate([Ik[qis], isel], axis=1)
+                    arr = np.empty(sub_d.shape, dtype=[("d", "f8"), ("i", "i8")])
+                    arr["d"] = sub_d
+                    arr["i"] = sub_i
+                    arr.sort(axis=1, order=["d", "i"])
+                    Dk[qis] = arr["d"][:, :k]
+                    Ik[qis] = arr["i"][:, :k]
+                if touched:
+                    yield Dk, Ik
+
+        parts = self.rdd.mapPartitions(kernel).collect()
+        if not parts:
+            Dk = np.full((Q, k), np.inf)
+            Ik = np.full((Q, k), -1, dtype=np.int64)
+        else:
+            Dk, Ik = _merge_candidates(parts, k)
+        return _result_df(
+            self.spark, probe_ids, Dk, Ik, probe_id_col, self.id_col,
+            probe_t, self.id_sql_type,
+        )
+
+    def unpersist(self) -> None:
+        self.rdd.unpersist()

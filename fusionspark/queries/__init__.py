@@ -65,7 +65,9 @@ PRIORITY: list[str] = [
     # budget: round 7 should move the first ~50 of this block to the
     # front; round 8 takes the remainder plus anything new.  Order is
     # newest-first (attestation risk) ──
-    # session-4 additions (newest → attest first next round)
+    # session-5 additions (newest → attest first next round)
+    "ann_resident", "ann_ivf_resident",
+    # session-4 additions
     "tfidf_pairs", "sessionize", "attribution_last_touch",
     "ts_anomalies", "cooccurrence_types", "kcore_docs",
     "ngram_novelty", "winsorize_values", "incremental_rollup",

@@ -170,3 +170,75 @@ def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=8,
     )
     return kept.select("vec_id", "c_sim_r", "centroid_id")
+
+
+# ── resident serving index (operators/serving.py) ──
+# Exact cosine top-k on the resident block cache: same result contract as
+# knn_cosine (two physical plans, one oracle), but the corpus is persisted
+# as per-partition numpy blocks and never re-ships JVM→Python per search —
+# the serving-path peer of the reference's in-memory HNSW
+# (src/core/HNSWIndex.js:126-320).
+_RESIDENT_ORACLE = f"""
+    WITH {_PROBES_CTE},
+    scored AS (
+        SELECT p.probe_id, e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], p.probe_embedding::DOUBLE[]) AS sim
+        FROM embeddings e CROSS JOIN probes p
+    )
+    SELECT probe_id, vec_id, ROUND(sim, 6) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """
+
+
+@query("ann_resident", _RESIDENT_ORACLE)
+def ann_resident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN on the resident distributed block index: build persists
+    (ids, pre-normalized float64 matrix) per partition once; a search is one
+    GEMM + associative (distance, id) top-k merge with zero corpus
+    serialization.  Result-identical to knn_cosine's expression plan at the
+    6-decimal contract."""
+    from fusionspark.operators.serving import ResidentIndex
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = ResidentIndex.build(e)
+    try:
+        out = idx.search(self_probes(e, 5), k=10)
+    finally:
+        idx.unpersist()
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round("score", 6).alias("sim"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+def _ann_ivf_oracle() -> str:
+    from fusionspark.queries.pipeline_queries import ANN_IVF_ORACLE
+
+    return ANN_IVF_ORACLE
+
+
+@query("ann_ivf_resident", _ann_ivf_oracle())
+def ann_ivf_resident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF on the resident list-grouped block cache: lists are
+    hash-partitioned at build, probes route driver-side (same max-cosine /
+    lowest-id rule as ivf_knn), and each partition GEMMs only its routed
+    lists.  Same oracle as ann_ivf — a third physical plan that must agree
+    row for row with the SQL routing/scoring replay."""
+    from fusionspark.operators.serving import ResidentIVF
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rivf = ResidentIVF.build(e, n_centroids=8)
+    try:
+        out = rivf.search(self_probes(e, 5), k=10, n_probe=2)
+    finally:
+        rivf.unpersist()
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round("score", 6).alias("sim"),
+        F.col("rank").cast("long").alias("rnk"),
+    )

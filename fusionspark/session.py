@@ -33,6 +33,14 @@ def get_spark(app_name: str = "fusionspark", shuffle_partitions: int | None = No
         # degraded cache-heavy queries 5-15× (GC behavior at large heap),
         # while 8g keeps the whole suite stable
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Python workers run 32-way task-parallel: a multi-threaded BLAS in
+        # each worker oversubscribes the box (32 x 32 threads) and thrashes
+        # the numpy GEMM kernels.  One BLAS thread per task slot is the
+        # cluster-correct setting (1 core per task); the driver's own numpy
+        # is unaffected (its BLAS is already loaded).
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -1,0 +1,162 @@
+"""Resident serving index: parity with the attested knn/ivf kernels, tie
+determinism, merge-strategy equivalence, and input validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fusionspark.operators.ann import ivf_knn
+from fusionspark.operators.knn import knn, self_probes
+from fusionspark.operators.serving import ResidentIndex, ResidentIVF
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: F.sin(F.col("id") * i).cast("float"),
+            ).alias("embedding"),
+        )
+        .repartition(8)
+        .cache()
+    )
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def probes(spark, corpus):
+    p = self_probes(corpus, 40).cache()
+    p.count()
+    yield p
+    p.unpersist()
+
+
+def _pairs(df):
+    return {
+        (r["probe_id"], r["vec_id"], r["rank"]): r["distance"]
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
+def test_resident_matches_knn_numpy(spark, corpus, probes, metric):
+    idx = ResidentIndex.build(corpus, metric=metric)
+    try:
+        got = _pairs(idx.search(probes, k=5))
+        ref = _pairs(knn(corpus, probes, k=5, metric=metric, strategy="numpy"))
+        assert got.keys() == ref.keys()
+        for key, d in ref.items():
+            assert got[key] == pytest.approx(d, abs=1e-9)
+    finally:
+        idx.unpersist()
+
+
+def test_tree_merge_equals_driver_merge(spark, corpus, probes):
+    idx = ResidentIndex.build(corpus)
+    try:
+        a = idx.search(probes, k=7, merge="driver").collect()
+        b = idx.search(probes, k=7, merge="tree").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    finally:
+        idx.unpersist()
+
+
+def test_probe_batch_equals_dataframe_probes(spark, corpus, probes):
+    idx = ResidentIndex.build(corpus)
+    try:
+        rows = probes.select("probe_id", "probe_embedding").collect()
+        batch = (
+            [r[0] for r in rows],
+            np.asarray([r[1] for r in rows], dtype=np.float64),
+            "bigint",
+        )
+        a = idx.search(probes, k=5).collect()
+        b = idx.search(None, k=5, probe_batch=batch).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    finally:
+        idx.unpersist()
+
+
+def test_duplicate_vector_ties_break_by_id(spark):
+    # ids 100..199 duplicate ids 0..99 exactly: every top-k boundary is a
+    # bitwise distance tie, so membership/rank must follow id ASC
+    base = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.sin(F.col("id") * i).cast("float"),
+        ).alias("embedding"),
+    )
+    dup = base.select(
+        (F.col("vec_id") + 100).alias("vec_id"), F.col("embedding")
+    )
+    corpus = base.union(dup).repartition(6).cache()
+    corpus.count()
+    p = self_probes(corpus, 10).cache()
+    p.count()
+    idx = ResidentIndex.build(corpus)
+    try:
+        got = _pairs(idx.search(p, k=4))
+        ref = _pairs(knn(corpus, p, k=4, strategy="numpy"))
+        assert got.keys() == ref.keys()
+    finally:
+        idx.unpersist()
+        corpus.unpersist()
+        p.unpersist()
+
+
+def test_resident_ivf_matches_ivf_knn(spark, corpus, probes):
+    rivf = ResidentIVF.build(corpus, n_centroids=16)
+    try:
+        got = rivf.search(probes, k=5, n_probe=4).toPandas()
+        ref = ivf_knn(
+            corpus, probes, k=5, n_centroids=16, n_probe=4
+        ).toPandas()
+        g = {
+            (r.probe_id, r.vec_id, r.rank): 1.0 - r.distance
+            for r in got.itertuples()
+        }
+        r = {(x.probe_id, x.vec_id, x.rnk): x.sim for x in ref.itertuples()}
+        assert g.keys() == r.keys()
+        for key, sim in r.items():
+            assert g[key] == pytest.approx(sim, abs=1e-9)
+    finally:
+        rivf.unpersist()
+
+
+def test_string_ids_rejected(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        ResidentIndex.build(df)
+
+
+def test_k_larger_than_corpus(spark):
+    df = (
+        spark.range(3)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(4)),
+                lambda i: F.sin(F.col("id") * i).cast("float"),
+            ).alias("embedding"),
+        )
+        .repartition(2)
+    )
+    p = self_probes(df, 2)
+    idx = ResidentIndex.build(df)
+    try:
+        out = idx.search(p, k=10).toPandas()
+        assert sorted(out.groupby("probe_id").size().tolist()) == [3, 3]
+        assert set(out["rank"]) == {1, 2, 3}
+    finally:
+        idx.unpersist()
