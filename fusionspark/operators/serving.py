@@ -161,15 +161,40 @@ def _result_df(
 
 
 class ResidentIndex:
-    """Exact-search resident block index.  Build once, search many."""
+    """Exact-search resident block index.  Build once, search many;
+    append() adds new blocks without touching existing ones (the
+    incremental-insert story — the reference inserts into its in-memory
+    graph one vector at a time, HNSWIndex.js:126-180).  Deletes rebuild,
+    like the IVF layouts."""
 
-    def __init__(self, spark, rdd, metric, id_col, vector_col, id_sql_type):
+    def __init__(self, spark, parts, metric, id_col, vector_col, id_sql_type):
         self.spark = spark
-        self.rdd = rdd
+        self._parts = parts if isinstance(parts, list) else [parts]
         self.metric = metric
         self.id_col = id_col
         self.vector_col = vector_col
         self.id_sql_type = id_sql_type
+
+    @property
+    def rdd(self):
+        if len(self._parts) == 1:
+            return self._parts[0]
+        return self.spark.sparkContext.union(self._parts)
+
+    def append(self, new_rows: DataFrame) -> "ResidentIndex":
+        """Blocks for the new rows only — existing blocks are shared, not
+        recomputed or re-persisted.  Ids must be disjoint from the resident
+        set (an upsert is delete+rebuild, as with the parquet IVF layouts).
+        Returns a NEW index; the old one stays valid (functional append,
+        the manifest-table model)."""
+        fresh = ResidentIndex.build(
+            new_rows, id_col=self.id_col, vector_col=self.vector_col,
+            metric=self.metric,
+        )
+        return ResidentIndex(
+            self.spark, self._parts + fresh._parts, self.metric,
+            self.id_col, self.vector_col, self.id_sql_type,
+        )
 
     @classmethod
     def build(
@@ -253,7 +278,8 @@ class ResidentIndex:
         )
 
     def unpersist(self) -> None:
-        self.rdd.unpersist()
+        for p in self._parts:
+            p.unpersist()
 
 
 class ResidentIVF:

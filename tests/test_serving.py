@@ -160,3 +160,57 @@ def test_k_larger_than_corpus(spark):
         assert set(out["rank"]) == {1, 2, 3}
     finally:
         idx.unpersist()
+
+
+def test_append_equals_full_build(spark, corpus, probes):
+    base = corpus.filter(F.col("vec_id") < 3000)
+    extra = corpus.filter(F.col("vec_id") >= 3000)
+    full = ResidentIndex.build(corpus)
+    idx0 = ResidentIndex.build(base)
+    idx1 = idx0.append(extra)
+    try:
+        a = sorted(map(tuple, full.search(probes, k=5).collect()))
+        b = sorted(map(tuple, idx1.search(probes, k=5).collect()))
+        assert a == b
+        # the pre-append index stays valid and only sees the base rows
+        pre = idx0.search(probes, k=5).toPandas()
+        assert pre["vec_id"].max() < 3000
+    finally:
+        full.unpersist()
+        idx1.unpersist()
+
+
+def test_streaming_append_matches_batch(spark, corpus, probes, tmp_path):
+    """foreachBatch ResidentIndex.append per micro-batch ends at the same
+    search results as one batch build (blocks are disjoint by id; the
+    merge is order-free)."""
+    base = corpus.filter(F.col("vec_id") < 3000)
+    extra = corpus.filter(F.col("vec_id") >= 3000)
+    src = str(tmp_path / "src")
+    extra.filter(F.col("vec_id") % 2 == 0).write.parquet(src + "/a")
+    extra.filter(F.col("vec_id") % 2 == 1).write.parquet(src + "/b")
+
+    holder = {"idx": ResidentIndex.build(base)}
+
+    def ingest(df, _eid):
+        holder["idx"] = holder["idx"].append(df)
+
+    q = (
+        spark.readStream.schema(extra.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = ResidentIndex.build(corpus)
+    try:
+        a = sorted(map(tuple, full.search(probes, k=5).collect()))
+        b = sorted(map(tuple, holder["idx"].search(probes, k=5).collect()))
+        assert a == b
+    finally:
+        full.unpersist()
+        holder["idx"].unpersist()
