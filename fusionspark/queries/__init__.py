@@ -66,7 +66,7 @@ PRIORITY: list[str] = [
     # front; round 8 takes the remainder plus anything new.  Order is
     # newest-first (attestation risk) ──
     # session-5 additions (newest → attest first next round)
-    "ann_resident", "ann_ivf_resident",
+    "ann_resident", "ann_ivf_resident", "mock_embeddings",
     # session-4 additions
     "tfidf_pairs", "sessionize", "attribution_last_touch",
     "ts_anomalies", "cooccurrence_types", "kcore_docs",

@@ -56,11 +56,59 @@ def chunks_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mock_embeddings")
+# V9 oracle: the mock embedder's int32-wrapping djb2 fold is replayed in
+# SQL — list_reduce over the 20-char window's code points with an explicit
+# two's-complement wrap, JS-style signed remainder (DuckDB % keeps the
+# dividend sign, matching the Python branch), float32 component rounding
+# via ::REAL, and the float64 normalize.  Bit-exact per component (checked
+# at 3 SFs); norm/e0 are computed from the normalized float32 vector like
+# the Spark side.
+_MOCK_EMBED_ORACLE = r"""
+    WITH dims AS (SELECT unnest(range(64)) AS i),
+    comp AS (
+        SELECT d.doc_id, dims.i,
+            CAST((
+                list_reduce(
+                    list_prepend(
+                        5381 + dims.i,
+                        list_filter(
+                            list_transform(range(1, 21), j ->
+                                CASE WHEN j <= length(substr(d.text,
+                                         CAST(trunc((dims.i::DOUBLE / 64) * length(d.text)) AS BIGINT) + 1, 20))
+                                     THEN unicode(substr(substr(d.text,
+                                         CAST(trunc((dims.i::DOUBLE / 64) * length(d.text)) AS BIGINT) + 1, 20), j, 1))
+                                END),
+                            x -> x IS NOT NULL)),
+                    (acc, c) -> ((acc * 33 + c + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648
+                ) % 2000 - 1000)::DOUBLE / 1000 AS REAL) AS c
+        FROM documents d CROSS JOIN dims
+    ),
+    raw_norms AS (
+        SELECT doc_id, SQRT(SUM(c::DOUBLE * c::DOUBLE)) AS rnorm
+        FROM comp GROUP BY doc_id
+    ),
+    normalized AS (
+        SELECT c.doc_id, c.i,
+               CASE WHEN n.rnorm > 0
+                    THEN CAST(c.c::DOUBLE / n.rnorm AS REAL)
+                    ELSE c.c END AS nc
+        FROM comp c JOIN raw_norms n USING (doc_id)
+    )
+    SELECT doc_id, CAST(64 AS INT) AS dim,
+           ROUND(SQRT(SUM(nc::DOUBLE * nc::DOUBLE)), 6) AS norm,
+           ROUND(MAX(CASE WHEN i = 0 THEN nc::DOUBLE END), 6) AS e0
+    FROM normalized
+    GROUP BY doc_id
+    """
+
+
+@query("mock_embeddings", _MOCK_EMBED_ORACLE)
 def mock_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V9: deterministic mock embedder (providers.js:87-105) — unit-norm
     64-d vectors from the int32-wrapping hash; joined back per doc (V8
-    distinct-text batching)."""
+    distinct-text batching).  The oracle replays the hash fold, float32
+    rounding, and normalize in SQL, so the embedder itself is
+    hash-attested, not just parity-tested."""
     d = load_table(spark, sf_dir, "documents")
     emb = embed_texts(d, "text")
     return (
