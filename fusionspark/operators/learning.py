@@ -146,7 +146,7 @@ def graph_summary(triples: DataFrame) -> DataFrame:
     )
 
 
-def adjust_strategy_weights(feedback: DataFrame) -> DataFrame:
+def adjust_strategy_weights(feedback: DataFrame, ring: int | None = None) -> DataFrame:
     """A13: per-pattern incremental weight adjustment
     (RecursiveLearningEngine.js:747-770) — an order-dependent fold
     (clamp + renormalize after EVERY feedback), so it runs as
@@ -155,14 +155,25 @@ def adjust_strategy_weights(feedback: DataFrame) -> DataFrame:
     Returns one row per pattern with the final (vector, tree, keyword)
     weights.  Grouping keys shard the fold across executors; each group's
     history is small (ring-buffered upstream), so state stays bounded.
+    ring=N applies that bound here too: only the LAST N feedback rows per
+    pattern (by ts, fb_id) enter the fold — the reference's bounded
+    history — which also keeps the recursive-CTE oracle's iteration count
+    SF-independent.
     """
     import pandas as pd
-
-    from fusionspark.functions.text import query_pattern
 
     fb = feedback.withColumn("pattern", query_pattern("query")).select(
         "pattern", "strategy", "quality", "ts", "fb_id"
     )
+    if ring is not None:
+        w = Window.partitionBy("pattern").orderBy(
+            F.col("ts").desc(), F.col("fb_id").desc()
+        )
+        fb = (
+            fb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= ring)
+            .drop("_rn")
+        )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "fb_id"])

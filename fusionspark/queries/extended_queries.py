@@ -338,12 +338,86 @@ def plaintext_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ── A13: incremental weight adjustment (rows-only; ordered fold) ──────────
 
-@query("weight_adjustment")
+# A13 oracle: the order-dependent fold is replayed with a RECURSIVE CTE —
+# one step per feedback row in (ts, fb_id) order, each step applying the
+# same clamp (LEAST/GREATEST) and renormalize arithmetic in the same
+# left-to-right operation order as the Python fold, so the float64 values
+# agree bit-for-bit.  The ring bound (last FEEDBACK_RING per pattern, the
+# reference's bounded history) caps the recursion depth SF-independently.
+@query(
+    "weight_adjustment",
+    f"""
+    WITH RECURSIVE {FX.FEEDBACK_SQL.strip()},
+    pat AS (
+        SELECT *,
+            array_to_string(list_sort(list_filter(string_split(lower(query), ' '),
+                                                  x -> x <> ''))[1:5], '_') AS pattern
+        FROM feedback
+    ),
+    recent AS (
+        SELECT * FROM (
+            SELECT pattern, strategy, quality, ts, fb_id,
+                   ROW_NUMBER() OVER (PARTITION BY pattern
+                                      ORDER BY ts DESC, fb_id DESC) AS rn
+            FROM pat
+        ) WHERE rn <= {learning.FEEDBACK_RING}
+    ),
+    seqd AS (
+        SELECT pattern, strategy, quality,
+               ROW_NUMBER() OVER (PARTITION BY pattern ORDER BY ts, fb_id) AS seq,
+               COUNT(*) OVER (PARTITION BY pattern) AS n
+        FROM recent
+    ),
+    fold AS (
+        SELECT pattern, 0::BIGINT AS seq, MAX(n) AS n,
+               0.4::DOUBLE AS w_vector, 0.4::DOUBLE AS w_tree,
+               0.2::DOUBLE AS w_keyword
+        FROM seqd GROUP BY pattern
+        UNION ALL
+        SELECT pattern, seq, n,
+               CASE WHEN tot > 0 THEN uv / tot ELSE uv END,
+               CASE WHEN tot > 0 THEN ut / tot ELSE ut END,
+               CASE WHEN tot > 0 THEN uk / tot ELSE uk END
+        FROM (
+            SELECT pattern, seq, n, uv, ut, uk, uv + ut + uk AS tot
+            FROM (
+                SELECT f.pattern, s.seq, f.n,
+                    CASE WHEN s.quality > 0.7 AND s.strategy IN ('vector', 'hybrid')
+                             THEN LEAST(0.8, f.w_vector + 0.1 * s.quality)
+                         WHEN s.quality < 0.3 AND s.strategy = 'vector'
+                             THEN GREATEST(0.1, f.w_vector - 0.1)
+                         ELSE f.w_vector END AS uv,
+                    CASE WHEN s.quality > 0.7 AND s.strategy IN ('tree', 'hybrid')
+                             THEN LEAST(0.8, f.w_tree + 0.1 * s.quality)
+                         WHEN s.quality < 0.3 AND s.strategy = 'tree'
+                             THEN GREATEST(0.1, f.w_tree - 0.1)
+                         ELSE f.w_tree END AS ut,
+                    CASE WHEN s.quality > 0.7 AND s.strategy IN ('keyword', 'hybrid')
+                             THEN LEAST(0.5, f.w_keyword + 0.1 * s.quality * 0.5)
+                         WHEN s.quality < 0.3 AND s.strategy = 'keyword'
+                             THEN GREATEST(0.05, f.w_keyword - 0.1)
+                         ELSE f.w_keyword END AS uk
+                FROM fold f JOIN seqd s
+                  ON s.pattern = f.pattern AND s.seq = f.seq + 1
+            ) f
+        )
+    )
+    SELECT pattern,
+           ROUND(w_vector, 6) AS w_vector,
+           ROUND(w_tree, 6) AS w_tree,
+           ROUND(w_keyword, 6) AS w_keyword,
+           n AS n_feedback
+    FROM fold WHERE seq = n
+    """,
+)
 def weight_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 (RecursiveLearningEngine.js:747-770): order-dependent clamp+
-    renormalize fold per pattern — applyInPandas, rows-only check (pytest
-    asserts the fold semantics on a hand-computed trace)."""
-    df = learning.adjust_strategy_weights(FX.feedback_df(spark, sf_dir))
+    renormalize fold per pattern over the last FEEDBACK_RING feedback rows
+    (the reference's bounded history) — applyInPandas fold, replayed
+    bit-exact by the oracle's recursive CTE."""
+    df = learning.adjust_strategy_weights(
+        FX.feedback_df(spark, sf_dir), ring=learning.FEEDBACK_RING
+    )
     return df.select(
         "pattern",
         F.round("w_vector", 6).alias("w_vector"),
