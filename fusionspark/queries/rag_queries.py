@@ -41,11 +41,70 @@ def chunks_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("chunks_paragraph")
+# T3 oracle: the greedy paragraph-packing fold is replayed with a
+# RECURSIVE CTE — one step per paragraph in order, carrying the current
+# chunk text as state and emitting a closed chunk exactly when the Python
+# fold does (len(current || blank || para) > size AND current <> ''); the
+# final flush appends trim(current) like the post-loop branch.  Depth is
+# bounded by paragraphs-per-doc, not SF.
+_CHUNKS_PARAGRAPH_ORACLE = r"""
+    WITH RECURSIVE prep AS (
+        SELECT doc_id::VARCHAR AS doc_id,
+               regexp_replace(text, '((?:\S+\s+){11}\S+)\s+',
+                              '\1' || chr(10) || chr(10), 'g') AS text
+        FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, arr[pos] AS para, pos::BIGINT AS pos, len(arr)::BIGINT AS n
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\n\n+') AS arr FROM prep),
+             LATERAL unnest(generate_series(1, len(arr))) AS g(pos)
+    ),
+    fold AS (
+        SELECT doc_id, 0::BIGINT AS pos, MAX(n) AS n,
+               '' AS current, NULL::VARCHAR AS emitted
+        FROM paras GROUP BY doc_id
+        UNION ALL
+        SELECT f.doc_id, p.pos, f.n,
+               CASE WHEN length(f.current || chr(10)||chr(10) || p.para) > 160
+                         AND f.current <> ''
+                    THEN p.para
+                    ELSE CASE WHEN f.current <> ''
+                              THEN f.current || chr(10)||chr(10) || p.para
+                              ELSE p.para END
+               END AS current,
+               CASE WHEN length(f.current || chr(10)||chr(10) || p.para) > 160
+                         AND f.current <> ''
+                    THEN trim(f.current, ' ' || chr(9) || chr(10) || chr(13))
+               END AS emitted
+        FROM fold f JOIN paras p ON p.doc_id = f.doc_id AND p.pos = f.pos + 1
+    ),
+    closed AS (
+        SELECT doc_id, pos, emitted AS chunk_text FROM fold WHERE emitted IS NOT NULL
+        UNION ALL
+        SELECT doc_id, pos + 1, trim(current, ' ' || chr(9) || chr(10) || chr(13))
+        FROM fold
+        WHERE pos = n AND trim(current, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+    ),
+    idx AS (
+        SELECT doc_id, chunk_text,
+               (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1)::INT
+                   AS chunk_index,
+               COUNT(*) OVER (PARTITION BY doc_id)::INT AS total_chunks
+        FROM closed
+    )
+    SELECT doc_id, chunk_index, total_chunks, length(chunk_text)::INT AS chunk_len
+    FROM idx
+    """
+
+
+@query("chunks_paragraph", _CHUNKS_PARAGRAPH_ORACLE)
 def chunks_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: paragraph-packing chunker (RAGPipeline.js:324-339) over a
     paragraph-ized corpus (a blank line inserted every 12 words of the
-    flat text; chunk_size=160 forces multi-chunk packing)."""
+    flat text; chunk_size=160 forces multi-chunk packing).  The oracle
+    replays the greedy fold with a recursive CTE, so the chunker is
+    hash-attested (chunks_recursive/sentence stay rows-only: tail-overlap
+    and the 1.5x re-split cascade carry non-SQL state)."""
     d = load_table(spark, sf_dir, "documents")
     para = d.withColumn(
         "text", F.regexp_replace(F.col("text"), r"((?:\S+\s+){11}\S+)\s+", "$1\n\n")
