@@ -27,10 +27,67 @@ def chunks_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("chunks_sentence")
+# T2 oracle: same recursive-CTE fold replay as chunks_paragraph, plus the
+# tail overlap — the state step keeps the last 20 characters of the closed
+# chunk (substr from the end == Python's current[-overlap:]) prepended to
+# the opening sentence.  regexp_extract_all replays re.findall; the
+# zero-match fallback keeps the whole text as one sentence like the
+# Python `or [text]`.
+_CHUNKS_SENTENCE_ORACLE = r"""
+    WITH RECURSIVE prep AS (
+        SELECT doc_id::VARCHAR AS doc_id,
+               regexp_replace(text, '((?:\S+\s+){7}\S+)\s+', '\1. ', 'g') AS text
+        FROM documents
+    ),
+    sents AS (
+        SELECT doc_id, arr[pos] AS sent, pos::BIGINT AS pos, len(arr)::BIGINT AS n
+        FROM (SELECT doc_id,
+                     CASE WHEN len(regexp_extract_all(text, '[^.!?]+[.!?]+')) = 0
+                          THEN [text]
+                          ELSE regexp_extract_all(text, '[^.!?]+[.!?]+') END AS arr
+              FROM prep),
+             LATERAL unnest(generate_series(1, len(arr))) AS g(pos)
+    ),
+    fold AS (
+        SELECT doc_id, 0::BIGINT AS pos, MAX(n) AS n,
+               '' AS current, NULL::VARCHAR AS emitted
+        FROM sents GROUP BY doc_id
+        UNION ALL
+        SELECT f.doc_id, s.pos, f.n,
+               CASE WHEN length(f.current || s.sent) > 128 AND f.current <> ''
+                    THEN substr(f.current, greatest(1, length(f.current) - 20 + 1)) || s.sent
+                    ELSE f.current || s.sent
+               END AS current,
+               CASE WHEN length(f.current || s.sent) > 128 AND f.current <> ''
+                    THEN trim(f.current, ' ' || chr(9) || chr(10) || chr(13))
+               END AS emitted
+        FROM fold f JOIN sents s ON s.doc_id = f.doc_id AND s.pos = f.pos + 1
+    ),
+    closed AS (
+        SELECT doc_id, pos, emitted AS chunk_text FROM fold WHERE emitted IS NOT NULL
+        UNION ALL
+        SELECT doc_id, pos + 1, trim(current, ' ' || chr(9) || chr(10) || chr(13))
+        FROM fold
+        WHERE pos = n AND trim(current, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+    ),
+    idx AS (
+        SELECT doc_id, chunk_text,
+               (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1)::INT
+                   AS chunk_index,
+               COUNT(*) OVER (PARTITION BY doc_id)::INT AS total_chunks
+        FROM closed
+    )
+    SELECT doc_id, chunk_index, total_chunks, length(chunk_text)::INT AS chunk_len
+    FROM idx
+    """
+
+
+@query("chunks_sentence", _CHUNKS_SENTENCE_ORACLE)
 def chunks_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: sentence-packing chunker (RAGPipeline.js:306-321) over a
-    sentence-ized corpus (periods inserted every 8 words in the flat text)."""
+    sentence-ized corpus (periods inserted every 8 words in the flat
+    text).  The oracle replays the greedy fold INCLUDING the 20-char tail
+    overlap with a recursive CTE."""
     d = load_table(spark, sf_dir, "documents")
     sent = d.withColumn(
         "text", F.regexp_replace(F.col("text"), r"((?:\S+\s+){7}\S+)\s+", "$1. ")
