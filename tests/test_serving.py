@@ -214,3 +214,74 @@ def test_streaming_append_matches_batch(spark, corpus, probes, tmp_path):
     finally:
         full.unpersist()
         holder["idx"].unpersist()
+
+
+# ── pure-numpy property tests for the exact-selection kernels ──
+from hypothesis import given, settings, strategies as st
+
+
+def _brute_topk(D, ids, k):
+    """Reference: full structured sort per row by (distance, id)."""
+    out_d, out_i = [], []
+    for row in D:
+        order = np.lexsort((ids, row))
+        pick = order[: min(k, len(ids))]
+        out_d.append(row[pick])
+        out_i.append(ids[pick])
+    return np.asarray(out_d), np.asarray(out_i)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(2, 30),   # corpus size
+    st.integers(1, 6),    # queries
+    st.integers(1, 8),    # k
+    st.integers(0, 10**6),
+    st.booleans(),        # force heavy ties
+)
+def test_row_topk_matches_brute_force(n, q, k, seed, ties):
+    from fusionspark.operators.serving import _row_topk
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 4 if ties else 1000, size=(q, n)).astype(np.float64)
+    ids = rng.permutation(n).astype(np.int64)
+    dsel, isel = _row_topk(vals.copy(), ids, k)
+    bd, bi = _brute_topk(vals, ids, k)
+    # membership + values must match the exact (d, id) order after sorting
+    for qi in range(q):
+        got = sorted(zip(dsel[qi], isel[qi]))
+        exp = sorted(zip(bd[qi], bi[qi]))
+        assert got == exp
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 4),    # parts
+    st.integers(1, 5),    # queries
+    st.integers(1, 6),    # k
+    st.integers(0, 10**6),
+)
+def test_merge_candidates_matches_brute_force(parts, q, k, seed):
+    from fusionspark.operators.serving import _merge_candidates
+
+    rng = np.random.default_rng(seed)
+    plist, alld, alli = [], [], []
+    next_id = 0
+    for _ in range(parts):
+        m = int(rng.integers(1, 9))
+        d = rng.integers(0, 5, size=(q, m)).astype(np.float64)  # heavy ties
+        i = np.arange(next_id, next_id + m, dtype=np.int64)
+        i = rng.permutation(i)
+        ii = np.broadcast_to(i, (q, m)).copy()
+        next_id += m
+        plist.append((d, ii))
+        alld.append(d)
+        alli.append(ii)
+    Dk, Ik = _merge_candidates(plist, k)
+    D = np.concatenate(alld, axis=1)
+    I = np.concatenate(alli, axis=1)
+    for qi in range(q):
+        order = np.lexsort((I[qi], D[qi]))[: min(k, D.shape[1])]
+        exp = list(zip(D[qi][order], I[qi][order]))
+        got = list(zip(Dk[qi], Ik[qi]))
+        assert got == exp
