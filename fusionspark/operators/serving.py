@@ -56,18 +56,22 @@ def _check_id_type(df: DataFrame, id_col: str) -> None:
         )
 
 
-def _block_of(rows: list, id_name: str, vec_name: str, metric: str):
-    """(ids int64, M float64) where M is pre-normalized for cosine; for
-    euclidean the squared row norms ride along."""
+def _block_of(rows: list, id_name: str, vec_name: str, metric: str,
+              attr_names: tuple = ()):
+    """(ids int64, M float64, extra) where M is pre-normalized for cosine;
+    for euclidean the squared row norms ride in extra[None]; attr columns
+    (for pre-filtered serving) ride as numpy arrays in extra."""
     ids = np.asarray([r[id_name] for r in rows], dtype=np.int64)
     V = np.asarray([r[vec_name] for r in rows], dtype=np.float64)
+    extra = {a: np.asarray([r[a] for r in rows]) for a in attr_names}
     if metric == "cosine":
         n = np.linalg.norm(V, axis=1)
         n[n == 0] = 1.0
-        return ids, V / n[:, None], None
+        return ids, V / n[:, None], extra or None
     if metric == "euclidean":
-        return ids, V, (V * V).sum(axis=1)
-    return ids, V, None
+        extra["__sqnorm__"] = (V * V).sum(axis=1)
+        return ids, V, extra
+    return ids, V, extra or None
 
 
 def _row_topk(D: np.ndarray, ids: np.ndarray, k: int):
@@ -167,13 +171,15 @@ class ResidentIndex:
     graph one vector at a time, HNSWIndex.js:126-180).  Deletes rebuild,
     like the IVF layouts."""
 
-    def __init__(self, spark, parts, metric, id_col, vector_col, id_sql_type):
+    def __init__(self, spark, parts, metric, id_col, vector_col, id_sql_type,
+                 attr_cols=()):
         self.spark = spark
         self._parts = parts if isinstance(parts, list) else [parts]
         self.metric = metric
         self.id_col = id_col
         self.vector_col = vector_col
         self.id_sql_type = id_sql_type
+        self.attr_cols = tuple(attr_cols)
 
     @property
     def rdd(self):
@@ -189,11 +195,11 @@ class ResidentIndex:
         the manifest-table model)."""
         fresh = ResidentIndex.build(
             new_rows, id_col=self.id_col, vector_col=self.vector_col,
-            metric=self.metric,
+            metric=self.metric, attr_cols=self.attr_cols,
         )
         return ResidentIndex(
             self.spark, self._parts + fresh._parts, self.metric,
-            self.id_col, self.vector_col, self.id_sql_type,
+            self.id_col, self.vector_col, self.id_sql_type, self.attr_cols,
         )
 
     @classmethod
@@ -203,23 +209,29 @@ class ResidentIndex:
         id_col: str = "vec_id",
         vector_col: str = "embedding",
         metric: str = "cosine",
+        attr_cols: tuple | list = (),
     ) -> "ResidentIndex":
+        """attr_cols — metadata columns materialized into the blocks so
+        searches can pre-filter server-side (see search(pre_filter=...))."""
         if metric not in _METRICS:
             raise ValueError(f"metric must be one of {_METRICS}")
         _check_id_type(corpus, id_col)
         from fusionspark.operators.knn import id_sql_type
 
         id_t = id_sql_type(corpus, id_col)
-        src = corpus.select(id_col, vector_col)
+        attrs = tuple(attr_cols)
+        src = corpus.select(id_col, vector_col, *attrs)
 
         def to_blocks(it: Iterator) -> Iterator[tuple]:
             rows = list(it)
             if rows:
-                yield _block_of(rows, id_col, vector_col, metric)
+                yield _block_of(rows, id_col, vector_col, metric, attrs)
 
         rdd = src.rdd.mapPartitions(to_blocks).persist(StorageLevel.MEMORY_ONLY)
         rdd.count()  # materialize — build cost paid here, not on first search
-        return cls(corpus.sparkSession, rdd, metric, id_col, vector_col, id_t)
+        return cls(
+            corpus.sparkSession, rdd, metric, id_col, vector_col, id_t, attrs
+        )
 
     def search(
         self,
@@ -229,6 +241,7 @@ class ResidentIndex:
         probe_vector_col: str = "probe_embedding",
         merge: str = "driver",
         probe_batch: tuple | None = None,
+        pre_filter=None,
     ) -> DataFrame:
         """(probe_id, id, distance, score, rank) — same shape and tie rule
         as knn().  merge="tree" runs treeReduce partial merges (the
@@ -236,7 +249,10 @@ class ResidentIndex:
         merges in one vectorized fold (interactive form).  probe_batch —
         an optional pre-collected (probe_ids, P float64 matrix,
         probe_sql_type) triple so a serving loop pays the probe collect
-        once, like the reference's in-process query arrays."""
+        once, like the reference's in-process query arrays.  pre_filter —
+        a callable (ids, attrs) -> bool mask applied INSIDE each block
+        before scoring (V7 pre-filter semantics: excluded rows never take
+        a rank slot); attrs is the dict of build(attr_cols=...) arrays."""
         from fusionspark.operators.knn import id_sql_type
 
         if probe_batch is not None:
@@ -255,23 +271,40 @@ class ResidentIndex:
         p2 = (P * P).sum(axis=1)[:, None] if metric == "euclidean" else None
 
         def kernel(it: Iterator[tuple]) -> Iterator[tuple]:
-            for ids, M, v2 in it:
+            for ids, M, extra in it:
+                if pre_filter is not None:
+                    mask = np.asarray(
+                        pre_filter(ids, extra or {}), dtype=bool
+                    )
+                    if not mask.any():
+                        continue
+                    ids, M = ids[mask], M[mask]
+                    if extra and "__sqnorm__" in extra:
+                        extra = dict(extra)
+                        extra["__sqnorm__"] = extra["__sqnorm__"][mask]
                 S = P @ M.T  # (Q, n)
                 if metric == "cosine":
                     D = 1.0 - S
                 elif metric == "dot":
                     D = -S
                 else:
+                    v2 = extra["__sqnorm__"]
                     D = np.sqrt(np.maximum(p2 + v2[None, :] - 2.0 * S, 0.0))
                 yield _row_topk(D, ids, k)
 
+        Q = len(probe_ids)
         cands = self.rdd.mapPartitions(kernel)
-        if merge == "tree":
+        if merge == "tree" and pre_filter is None:
             Dk, Ik = cands.treeReduce(
                 lambda a, b: _merge_candidates([a, b], k), depth=2
             )
         else:
-            Dk, Ik = _merge_candidates(cands.collect(), k)
+            parts = cands.collect()
+            if not parts:  # pre_filter can empty every block
+                Dk = np.full((Q, 0), np.inf)
+                Ik = np.full((Q, 0), -1, dtype=np.int64)
+            else:
+                Dk, Ik = _merge_candidates(parts, k)
         return _result_df(
             self.spark, probe_ids, Dk, Ik, probe_id_col, self.id_col,
             probe_t, self.id_sql_type,

@@ -66,7 +66,8 @@ PRIORITY: list[str] = [
     # front; round 8 takes the remainder plus anything new.  Order is
     # newest-first (attestation risk) ──
     # session-5 additions (newest → attest first next round)
-    "ann_resident", "ann_ivf_resident", "mock_embeddings",
+    "ann_resident", "ann_ivf_resident", "ann_resident_filtered",
+    "mock_embeddings",
     "weight_adjustment", "chunks_paragraph", "chunks_sentence",
     # session-4 additions
     "tfidf_pairs", "sessionize", "attribution_last_touch",

@@ -242,3 +242,53 @@ def ann_ivf_resident(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("sim"),
         F.col("rank").cast("long").alias("rnk"),
     )
+
+
+@query(
+    "ann_resident_filtered",
+    f"""
+    WITH {_PROBES_CTE},
+    scored AS (
+        SELECT p.probe_id, e.vec_id, e.label,
+               list_cosine_similarity(e.embedding::DOUBLE[], p.probe_embedding::DOUBLE[]) AS sim
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.label IN (0, 2, 4, 6, 8)
+    )
+    SELECT probe_id, vec_id, label, ROUND(sim, 6) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """,
+)
+def ann_resident_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 on the serving path: metadata pre-filter applied INSIDE each
+    resident block before scoring (excluded rows never take a rank slot —
+    same semantics as knn_filtered, same oracle shape), with the label
+    column materialized into the blocks at build."""
+    import numpy as np
+
+    from fusionspark.operators.serving import ResidentIndex
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    idx = ResidentIndex.build(e, attr_cols=("label",))
+    try:
+        out = idx.search(
+            self_probes(e, 5), k=10,
+            pre_filter=lambda ids, attrs: np.isin(
+                attrs["label"], [0, 2, 4, 6, 8]
+            ),
+        )
+    finally:
+        idx.unpersist()
+    return (
+        out.join(e.select("vec_id", "label"), "vec_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round("score", 6).alias("sim"),
+            F.col("rank").cast("long").alias("rnk"),
+        )
+    )

@@ -285,3 +285,33 @@ def test_merge_candidates_matches_brute_force(parts, q, k, seed):
         exp = list(zip(D[qi][order], I[qi][order]))
         got = list(zip(Dk[qi], Ik[qi]))
         assert got == exp
+
+
+def test_pre_filter_matches_filtered_knn(spark, corpus, probes):
+    labeled = corpus.withColumn("label", (F.col("vec_id") % 7).cast("int"))
+    idx = ResidentIndex.build(labeled, attr_cols=("label",))
+    try:
+        got = _pairs(
+            idx.search(
+                probes, k=5,
+                pre_filter=lambda ids, attrs: np.isin(attrs["label"], [0, 2, 4]),
+            )
+        )
+        ref = _pairs(
+            knn(labeled, probes, k=5, strategy="numpy",
+                pre_filter=F.col("label").isin(0, 2, 4))
+        )
+        assert got.keys() == ref.keys()
+    finally:
+        idx.unpersist()
+
+
+def test_pre_filter_excluding_everything_returns_empty(spark, corpus, probes):
+    idx = ResidentIndex.build(corpus)
+    try:
+        out = idx.search(
+            probes, k=5, pre_filter=lambda ids, attrs: ids < 0
+        )
+        assert out.count() == 0
+    finally:
+        idx.unpersist()
