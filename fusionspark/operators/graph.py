@@ -20,7 +20,7 @@ nodes (outdeg 0) simply contribute nothing — their mass is the standard
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -175,4 +175,63 @@ def kcore(
     raise RuntimeError(
         f"kcore did not converge in {max_rounds} rounds; "
         "raise max_rounds or use a contraction-based variant"
+    )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 4,
+    id_col: str = "doc_id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — community
+    detection, the fourth member of the graph family (CC finds components,
+    PageRank ranks, k-core finds density; LPA finds communities).
+
+    Labels start as node ids; each round EVERY node simultaneously adopts
+    the most frequent label among its undirected neighbors (ties → lowest
+    label; isolated nodes keep their label).  A FIXED round count makes
+    the result deterministic even where synchronous LPA oscillates — and
+    makes the oracle an exact unrolled-CTE replay (same contract as
+    pagerank's 3-iteration oracle).
+
+    Scale shape: per round one hash join (edges ⋈ labels on dst) + one
+    (node, label) count aggregate + one per-node argmax window + one left
+    join back — all keyed shuffles on node ids; labels are (id, id)
+    pairs, never payloads.  Returns (id_col, community).
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    for _ in range(rounds):
+        nbr = und.join(
+            labels.withColumnRenamed("node", "d"), "d"
+        ).select(F.col("s").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("community")
     )

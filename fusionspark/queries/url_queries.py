@@ -290,3 +290,78 @@ def kcore_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = docs.select(d.alias("src"), ((d * a + b) % n).alias("dst"))
         edges = e if edges is None else edges.unionAll(e)
     return kcore(edges, k=4, max_rounds=10)
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous-LPA oracle: per round, neighbor-label counts →
+    per-node (count DESC, label ASC) argmax → coalesce with the previous
+    labels (isolated nodes keep theirs).  Fixed rounds == exact replay of
+    the operator's fixed rounds, oscillation and all."""
+    sql = """
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    raw AS (
+        SELECT doc_id AS s,
+               (doc_id // 20) * 20 + ((doc_id % 20 + off) % 20) AS d
+        FROM documents, (SELECT unnest([1, 2, 3]) AS off)
+        UNION ALL
+        SELECT doc_id, (doc_id + 20) % (SELECT n FROM nn)
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    und AS MATERIALIZED (
+        SELECT DISTINCT s, d FROM (
+            SELECT s, d FROM raw UNION ALL SELECT d, s FROM raw
+        ) WHERE s <> d AND s < (SELECT n FROM nn) AND d < (SELECT n FROM nn)
+    ),
+    l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)"""
+    for i in range(rounds):
+        sql += f""",
+    c{i} AS MATERIALIZED (
+        SELECT e.s AS node, l.label, COUNT(*)::BIGINT AS c
+        FROM und e JOIN l{i} l ON l.node = e.d
+        GROUP BY e.s, l.label
+    ),
+    b{i} AS (
+        SELECT node, label AS new_label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    ),
+    l{i + 1} AS MATERIALIZED (
+        SELECT l.node, COALESCE(b.new_label, l.label) AS label
+        FROM l{i} l LEFT JOIN b{i} b ON b.node = l.node
+    )"""
+    sql += f"""
+    SELECT node AS doc_id, label AS community FROM l{rounds}
+    """
+    return sql
+
+
+@query("community_lpa", _lpa_oracle(rounds=4))
+def community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (operators/graph.py::label_propagation) on a deterministic caveman
+    graph: 20-node groups with 3 intra-group chords per node and one
+    bridge per group — LPA recovers the groups while CC would merge
+    everything through the bridges.  Fixed 4 rounds, (count DESC, label
+    ASC) tie-break; oracle = 4 unrolled CTE rounds."""
+    from fusionspark.operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    intra = None
+    for off in (1, 2, 3):
+        e = docs.select(
+            d.alias("src"),
+            ((d / 20).cast("long") * 20 + ((d % 20 + off) % 20)).alias("dst"),
+        )
+        intra = e if intra is None else intra.unionAll(e)
+    bridge = docs.filter(d % 20 == 0).select(
+        d.alias("src"), ((d + 20) % n).alias("dst")
+    )
+    edges = intra.unionAll(bridge).filter(
+        (F.col("dst") < n) & (F.col("src") < n)
+    )
+    return label_propagation(docs, edges, rounds=4)

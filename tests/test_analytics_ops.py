@@ -299,3 +299,26 @@ def test_grid_proximity_join_boundaries(spark):
     assert got[(1, 3)] == 10000          # exactly r → boundary-inclusive
     # (2,3): 10² + 100² = 10100 > r² → excluded even though cells adjoin
     assert set(got) == {(1, 2), (1, 3)}
+
+
+def test_lpa_two_triangles_with_bridge(spark):
+    """Two triangles joined by one bridge edge: LPA must keep them as two
+    communities labeled by each triangle's min node id; the isolated node
+    keeps its own label."""
+    from fusionspark.operators.graph import label_propagation
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0),      # triangle A
+         (3, 4), (4, 5), (5, 3),      # triangle B
+         (2, 3)],                     # bridge
+        "src long, dst long",
+    )
+    out = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(nodes, edges, rounds=4).collect()
+    }
+    assert out[0] == out[1] == out[2] == 0
+    assert out[3] == out[4] == out[5]
+    assert out[3] != 0
+    assert out[6] == 6  # isolated keeps its own label
