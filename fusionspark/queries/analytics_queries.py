@@ -529,3 +529,70 @@ def revenue_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_micros").cast("double") / F.count("*") / F.lit(1e6), 6
         ).alias("avg_rev"),
     )
+
+
+@query(
+    "seasonal_decompose",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1
+    ),
+    trended AS (
+        SELECT day, cnt,
+               SUM(cnt) OVER (ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   ::BIGINT AS win_sum,
+               COUNT(*) OVER (ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   ::BIGINT AS win_n
+        FROM daily
+    ),
+    interior AS (
+        SELECT day, cnt, 7 * cnt - win_sum AS detrend7,
+               (day - DATE '1970-01-01') % 7 AS dow
+        FROM trended WHERE win_n = 7
+    )
+    SELECT dow::INT AS dow, COUNT(*)::BIGINT AS n_days,
+           SUM(detrend7)::BIGINT AS detrend7_sum,
+           ROUND(SUM(detrend7)::DOUBLE / 7 / COUNT(*), 6) AS seasonal
+    FROM interior GROUP BY dow
+    """,
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal decomposition of the daily event series
+    (seasonal-naive / classical-decomposition shape): trend = 7-row
+    centered moving sum over observed days; detrended values stay exact
+    BIGINTs by scaling ×7 (7·cnt − window_sum) instead of dividing per
+    row, so the per-weekday seasonal means fold exactly on both engines
+    and divide ONCE at the end — the float-fold drift class designed
+    out, same as trend_daily_events' integer normal equations.  Edge
+    days with partial windows are excluded (win_n = 7); dow is epoch-day
+    mod 7 (0 = Thursday), engine-independent unlike dayofweek().
+    One scan → one day aggregate → one window → one 7-row aggregate;
+    the single-partition window runs over the PRE-AGGREGATED daily
+    series (one row per day — ~37k rows for a century), not the events."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("win_sum"),
+        F.count("*").over(w).cast("long").alias("win_n"),
+    )
+    interior = trended.filter(F.col("win_n") == 7).select(
+        (7 * F.col("cnt") - F.col("win_sum")).alias("detrend7"),
+        (F.datediff(F.col("day"), F.lit("1970-01-01")) % 7).alias("dow"),
+    )
+    return interior.groupBy(F.col("dow").cast("int").alias("dow")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("detrend7").cast("long").alias("detrend7_sum"),
+        F.round(
+            F.sum("detrend7").cast("double") / 7 / F.count("*"), 6
+        ).alias("seasonal"),
+    )
