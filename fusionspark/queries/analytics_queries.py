@@ -596,3 +596,64 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("detrend7").cast("double") / 7 / F.count("*"), 6
         ).alias("seasonal"),
     )
+
+
+@query(
+    "changepoint_cusum",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(cnt)::BIGINT AS total FROM daily
+    ),
+    cusum AS (
+        SELECT day,
+               SUM((SELECT n FROM stats) * cnt - (SELECT total FROM stats))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cusum_n
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, cusum_n,
+           abs(cusum_n)::BIGINT AS magnitude
+    FROM cusum
+    ORDER BY abs(cusum_n) DESC, day ASC
+    LIMIT 5
+    """,
+)
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint candidates on the daily event series: the running
+    sum of (count − mean) peaks in magnitude at a level shift.  Deviations
+    scale by N (N·cnt − total) so the cumulative sum is an exact BIGINT —
+    no float fold anywhere; top-5 by |cusum| with (magnitude DESC, day
+    ASC) determinism.  Complements ts_anomalies (point outliers) with
+    level-shift detection.  The running window orders the pre-aggregated
+    daily series; the one-row stats broadcast."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    stats = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "cusum_n",
+            F.sum(F.col("n") * F.col("cnt") - F.col("total")).over(w).cast("long"),
+        )
+    )
+    return (
+        cusum.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cusum_n",
+            F.abs("cusum_n").cast("long").alias("magnitude"),
+        )
+        .orderBy(F.col("magnitude").desc(), F.col("day").asc())
+        .limit(5)
+    )
