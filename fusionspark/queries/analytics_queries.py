@@ -657,3 +657,32 @@ def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("magnitude").desc(), F.col("day").asc())
         .limit(5)
     )
+
+
+@query(
+    "k_anonymity",
+    """
+    WITH quasi AS (
+        SELECT lang, source, (n_chars // 100) * 100 AS len_bucket,
+               COUNT(*)::BIGINT AS group_size
+        FROM documents
+        GROUP BY lang, source, (n_chars // 100) * 100
+    )
+    SELECT lang, source, len_bucket::BIGINT AS len_bucket, group_size
+    FROM quasi WHERE group_size < 5
+    """,
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length bucket): groups smaller than k=5 are re-identification risks a
+    release pipeline must suppress or generalize (Sweeney 2002) — the
+    governance sibling of pii_redact (which removes direct identifiers;
+    this finds INDIRECT ones).  One hash aggregate on the quasi key; the
+    under-k report is tiny by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    quasi = d.groupBy(
+        "lang",
+        "source",
+        ((F.col("n_chars") / 100).cast("long") * 100).alias("len_bucket"),
+    ).agg(F.count("*").cast("long").alias("group_size"))
+    return quasi.filter(F.col("group_size") < 5)
