@@ -686,3 +686,72 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_chars") / 100).cast("long") * 100).alias("len_bucket"),
     ).agg(F.count("*").cast("long").alias("group_size"))
     return quasi.filter(F.col("group_size") < 5)
+
+
+@query(
+    "autocorr_weekly",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, cnt,
+               LAG(cnt, 7) OVER (ORDER BY day) AS cnt7
+        FROM daily
+    ),
+    pairs AS (SELECT cnt, cnt7 FROM lagged WHERE cnt7 IS NOT NULL),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(cnt)::BIGINT AS sx, SUM(cnt7)::BIGINT AS sy,
+               SUM(cnt * cnt7)::BIGINT AS sxy,
+               SUM(cnt * cnt)::BIGINT AS sxx,
+               SUM(cnt7 * cnt7)::BIGINT AS syy
+        FROM pairs
+    )
+    SELECT n,
+           ROUND(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                      THEN (n * sxy - sx * sy)::DOUBLE
+                           / SQRT((n * sxx - sx * sx)::DOUBLE)
+                           / SQRT((n * syy - sy * sy)::DOUBLE)
+                      ELSE 0.0 END, 6) AS acf7
+    FROM s
+    """,
+)
+def autocorr_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation of the daily event series — the scalar
+    confirmation of the weekly cycle seasonal_decompose extracts.  All
+    moments are exact BIGINT sums over integer counts (N·Σxy − ΣxΣy
+    numerator, same for the variances), so both engines compute identical
+    integers and divide/sqrt once — the trend_daily_events integer
+    normal-equations pattern applied to correlation."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    lagged = daily.withColumn(
+        "cnt7", F.lag("cnt", 7).over(Window.orderBy("day"))
+    ).filter(F.col("cnt7").isNotNull())
+    s = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("sx"),
+        F.sum("cnt7").cast("long").alias("sy"),
+        F.sum(F.col("cnt") * F.col("cnt7")).cast("long").alias("sxy"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sxx"),
+        F.sum(F.col("cnt7") * F.col("cnt7")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "n",
+        F.round(
+            F.when(
+                (vx > 0) & (vy > 0),
+                num.cast("double") / F.sqrt(vx.cast("double")) / F.sqrt(vy.cast("double")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("acf7"),
+    )
