@@ -703,3 +703,82 @@ def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cands.filter(F.levenshtein("w1", "w2") == 1)
+
+
+@query(
+    "retrieval_eval",
+    f"""
+    WITH bm AS ({_bm25_oracle(_TERMS)}),
+    ranked AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bm QUALIFY rank <= 10
+    ),
+    rel AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   len(list_filter(['fast', 'table', 'scan', 'merge', 'join'],
+                                   t -> list_contains(w[1:20], t))) AS rel
+            FROM (SELECT doc_id,
+                         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+                  FROM documents)
+        ) WHERE rel >= 2
+    ),
+    hits AS (SELECT r.rank FROM ranked r JOIN rel USING (doc_id)),
+    agg AS (
+        SELECT (SELECT MIN(rank) FROM hits) AS first_rank,
+               (SELECT COUNT(*)::BIGINT FROM hits) AS hits10,
+               (SELECT COUNT(*)::BIGINT FROM rel) AS n_relevant
+    )
+    SELECT COALESCE(first_rank, 0)::BIGINT AS first_rel_rank,
+           ROUND(CASE WHEN first_rank IS NULL THEN 0.0 ELSE 1.0 / first_rank END, 6)
+               AS reciprocal_rank,
+           hits10, n_relevant,
+           ROUND(hits10::DOUBLE / n_relevant, 6) AS recall_at_10,
+           ROUND(hits10 / 10.0, 6) AS precision_at_10
+    FROM agg
+    """,
+)
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation beside retrieval_ndcg: reciprocal rank of the
+    first relevant hit, recall@10 against the FULL relevant pool (head-20
+    binary relevance, rel ≥ 2 — position-blind BM25 genuinely diverges
+    from it), and precision@10.  Counts are exact integers; each ratio
+    divides once."""
+    from pyspark.sql.window import Window
+
+    from fusionspark.operators.keyword import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in _TERMS])
+    head = F.slice(tokenize("text"), 1, 20)
+    rel = docs.select(
+        "doc_id",
+        F.size(F.filter(terms, lambda t: F.array_contains(head, t))).alias("rel"),
+    ).filter(F.col("rel") >= 2).select("doc_id")
+    ranked = bm25_search(docs, QUERY, top_k=10).select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("rank"),
+    )
+    hits = ranked.join(rel, "doc_id")
+    agg = (
+        hits.agg(
+            F.min("rank").alias("first_rank"),
+            F.count("*").cast("long").alias("hits10"),
+        )
+        .crossJoin(rel.agg(F.count("*").cast("long").alias("n_relevant")))
+    )
+    return agg.select(
+        F.coalesce(F.col("first_rank"), F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.round(
+            F.when(F.col("first_rank").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / F.col("first_rank")
+            ),
+            6,
+        ).alias("reciprocal_rank"),
+        "hits10",
+        "n_relevant",
+        F.round(F.col("hits10").cast("double") / F.col("n_relevant"), 6).alias(
+            "recall_at_10"
+        ),
+        F.round(F.col("hits10") / F.lit(10.0), 6).alias("precision_at_10"),
+    )
