@@ -3272,3 +3272,93 @@ def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusionspark.operators.packing import temperature_mix
 
     return temperature_mix(load_table(spark, sf_dir, "documents"))
+
+
+_PAIRS = [
+    ("gopher~c4", "gopher_pass", "c4_pass"),
+    ("gopher~nb", "gopher_pass", "nb_pass"),
+    ("gopher~lm", "gopher_pass", "lm_pass"),
+    ("c4~nb", "c4_pass", "nb_pass"),
+    ("c4~lm", "c4_pass", "lm_pass"),
+    ("nb~lm", "nb_pass", "lm_pass"),
+]
+
+_AGREE_ROWS = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS pair,
+           n11_{a}_{b} AS n11,
+           n - s_{a} - s_{b} + n11_{a}_{b} AS n00,
+           ROUND((2 * n11_{a}_{b} + n - s_{a} - s_{b})::DOUBLE / n, 6)
+               AS agreement,
+           ROUND(CASE WHEN n * n - (s_{a} * s_{b} + (n - s_{a}) * (n - s_{b})) = 0
+                      THEN 0.0
+                      ELSE ((2 * n11_{a}_{b} + n - s_{a} - s_{b}) * n
+                            - (s_{a} * s_{b} + (n - s_{a}) * (n - s_{b})))::DOUBLE
+                           / (n * n - (s_{a} * s_{b} + (n - s_{a}) * (n - s_{b})))
+                 END, 6) AS kappa
+    FROM sums"""
+    for name, a, b in _PAIRS
+)
+
+_SUM_COLS = ", ".join(
+    [f"SUM({a} * {b})::BIGINT AS n11_{a}_{b}" for _, a, b in _PAIRS]
+    + [
+        f"SUM({c})::BIGINT AS s_{c}"
+        for c in ("gopher_pass", "c4_pass", "nb_pass", "lm_pass")
+    ]
+    + ["COUNT(*)::BIGINT AS n"]
+)
+
+
+@query(
+    "filter_agreement",
+    f"""
+    WITH qc AS ({QUALITY_CONSENSUS_ORACLE}),
+    sums AS (SELECT {_SUM_COLS} FROM qc)
+    {_AGREE_ROWS}
+    """,
+)
+def filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement + Cohen's kappa between the four quality
+    families (ablation tooling: which filters are redundant, which
+    disagree enough to be complementary).  po and pe come from exact
+    BIGINT contingency counts — kappa = (po·n² − pe_num) / (n² − pe_num)
+    divides once per pair, so both engines compute identical values."""
+    import functools
+
+    per_doc = quality_consensus(spark, sf_dir).select(
+        "gopher_pass", "c4_pass", "nb_pass", "lm_pass"
+    )
+    aggs = (
+        [
+            F.sum(F.col(a) * F.col(b)).cast("long").alias(f"n11_{a}_{b}")
+            for _, a, b in _PAIRS
+        ]
+        + [
+            F.sum(c).cast("long").alias(f"s_{c}")
+            for c in ("gopher_pass", "c4_pass", "nb_pass", "lm_pass")
+        ]
+        + [F.count("*").cast("long").alias("n")]
+    )
+    sums = per_doc.agg(*aggs)
+    rows = []
+    for name, a, b in _PAIRS:
+        n11 = F.col(f"n11_{a}_{b}")
+        sa, sb, n = F.col(f"s_{a}"), F.col(f"s_{b}"), F.col("n")
+        po_num = 2 * n11 + n - sa - sb          # n11 + n00, exact BIGINT
+        pe_num = sa * sb + (n - sa) * (n - sb)  # pe · n², exact BIGINT
+        rows.append(
+            sums.select(
+                F.lit(name).alias("pair"),
+                n11.alias("n11"),
+                (n - sa - sb + n11).alias("n00"),
+                F.round(po_num.cast("double") / n, 6).alias("agreement"),
+                F.round(
+                    F.when(n * n - pe_num == 0, F.lit(0.0)).otherwise(
+                        (po_num * n - pe_num).cast("double") / (n * n - pe_num)
+                    ),
+                    6,
+                ).alias("kappa"),
+            )
+        )
+    return functools.reduce(lambda x, y: x.unionAll(y), rows)
