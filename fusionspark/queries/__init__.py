@@ -69,7 +69,8 @@ PRIORITY: list[str] = [
     "ann_resident", "ann_ivf_resident", "ann_resident_filtered",
     "community_lpa", "edit_distance_join", "seasonal_decompose",
     "changepoint_cusum", "k_anonymity", "autocorr_weekly",
-    "retrieval_eval", "filter_agreement", "mock_embeddings",
+    "retrieval_eval", "filter_agreement", "nb_calibration",
+    "mock_embeddings",
     "weight_adjustment", "chunks_paragraph", "chunks_sentence",
     # session-4 additions
     "tfidf_pairs", "sessionize", "attribution_last_touch",

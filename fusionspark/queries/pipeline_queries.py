@@ -3362,3 +3362,53 @@ def filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return functools.reduce(lambda x, y: x.unionAll(y), rows)
+
+
+@query(
+    "nb_calibration",
+    f"""
+    WITH nbq AS ({NB_QUALITY_ORACLE}),
+    lab AS (
+        SELECT n.doc_id, n.nb_score,
+               CASE WHEN d.source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+                    THEN 1 ELSE 0 END AS is_pos
+        FROM nbq n JOIN documents d USING (doc_id)
+    ),
+    b AS (
+        SELECT is_pos, nb_score,
+               NTILE(10) OVER (ORDER BY nb_score, doc_id) AS decile
+        FROM lab
+    )
+    SELECT decile::INT AS decile, COUNT(*)::BIGINT AS n,
+           SUM(is_pos)::BIGINT AS n_pos,
+           ROUND(SUM(is_pos)::DOUBLE / COUNT(*), 6) AS pos_rate,
+           ROUND(MIN(nb_score), 6) AS score_lo,
+           ROUND(MAX(nb_score), 6) AS score_hi
+    FROM b GROUP BY decile
+    """,
+)
+def nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the NB quality classifier: decile buckets of
+    the (ROUNDED, doc_id-keyed) score vs the curated-source positive rate
+    — a monotone pos_rate curve means the score ORDERING is usable for
+    curriculum/threshold choices beyond the sign cut.  The rounded score
+    keys the ntile so bucket boundaries are engine-stable; counts are
+    exact integers, one division per bucket."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    nb = textstats.nb_quality_scores(d, pos,
+        F.col("source").isin("src15", "src16", "src17", "src18", "src19"))
+    lab = nb.join(d.select("doc_id", pos.cast("int").alias("is_pos")), "doc_id")
+    b = lab.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy("nb_score", "doc_id")),
+    )
+    return b.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("is_pos").cast("long").alias("n_pos"),
+        F.round(F.sum("is_pos").cast("double") / F.count("*"), 6).alias("pos_rate"),
+        F.round(F.min("nb_score"), 6).alias("score_lo"),
+        F.round(F.max("nb_score"), 6).alias("score_hi"),
+    )
