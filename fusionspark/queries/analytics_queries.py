@@ -755,3 +755,108 @@ def autocorr_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf7"),
     )
+
+
+@query(
+    "revenue_gini",
+    """
+    WITH ltv AS (
+        SELECT o_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+        FROM ltv
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS total,
+               SUM(i * cents)::BIGINT AS weighted
+        FROM ranked
+    )
+    SELECT n, total,
+           ROUND((2 * weighted - (n + 1) * total)::DOUBLE / (n * total), 6)
+               AS gini
+    FROM s
+    """,
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime revenue — the concentration
+    scalar behind revenue_deciles' table (how top-heavy is the customer
+    base).  Prices become exact BIGINT cents (two-decimal TPC-H prices;
+    .5-boundary rounding cannot occur), the rank window orders the
+    PRE-AGGREGATED per-customer series with an id tie-break, and
+    G = (2·Σi·x − (N+1)·Σx) / (N·Σx) stays in exact integers until one
+    final division."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    ltv = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = ltv.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("weighted"),
+    )
+    return s.select(
+        "n",
+        "total",
+        F.round(
+            (2 * F.col("weighted") - (F.col("n") + 1) * F.col("total")).cast("double")
+            / (F.col("n") * F.col("total")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "event_burstiness",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n_days,
+               SUM(cnt)::BIGINT AS sx, SUM(cnt * cnt)::BIGINT AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, sx AS total_events,
+           ROUND((n_days * sxx - sx * sx)::DOUBLE / (n_days * sx), 6)
+               AS fano
+    FROM s
+    """,
+)
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean of daily counts) per event type —
+    burstiness beyond ts_anomalies' point outliers: ≈1 is Poisson-like
+    arrival, >1 is bursty/overdispersed traffic.  (N·Σx² − (Σx)²) and
+    N·Σx are exact BIGINTs over integer counts; one division per type.
+    Days with zero events for a type are absent from BOTH engines' daily
+    series identically (observed-day convention)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("cnt").cast("long").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        F.col("sx").alias("total_events"),
+        F.round(
+            (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / (F.col("n_days") * F.col("sx")),
+            6,
+        ).alias("fano"),
+    )
