@@ -70,7 +70,7 @@ PRIORITY: list[str] = [
     "community_lpa", "edit_distance_join", "seasonal_decompose",
     "changepoint_cusum", "k_anonymity", "autocorr_weekly",
     "retrieval_eval", "filter_agreement", "nb_calibration",
-    "revenue_gini", "event_burstiness",
+    "revenue_gini", "event_burstiness", "markov_stationary",
     "mock_embeddings",
     "weight_adjustment", "chunks_paragraph", "chunks_sentence",
     # session-4 additions

@@ -860,3 +860,78 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fano"),
     )
+
+
+def _stationary_oracle(iters: int) -> str:
+    """Unrolled power iteration over the event-type transition matrix —
+    the pagerank-oracle pattern: float products replayed in the same
+    structure on both engines, rounded once at the end."""
+    sql = """
+    WITH tr AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS from_t,
+               event_type AS to_t
+        FROM events
+    ),
+    cnt AS (
+        SELECT from_t, to_t, COUNT(*)::BIGINT AS n
+        FROM tr WHERE from_t IS NOT NULL GROUP BY from_t, to_t
+    ),
+    tot AS (SELECT from_t, SUM(n)::BIGINT AS t FROM cnt GROUP BY from_t),
+    types AS (SELECT DISTINCT event_type AS ty FROM events),
+    p0 AS (
+        SELECT ty, 1.0 / (SELECT COUNT(*) FROM types) AS p FROM types
+    )"""
+    for i in range(iters):
+        sql += f""",
+    p{i + 1} AS (
+        SELECT m.to_t AS ty, SUM(pk.p * (m.n::DOUBLE / tt.t)) AS p
+        FROM p{i} pk
+        JOIN cnt m ON m.from_t = pk.ty
+        JOIN tot tt ON tt.from_t = m.from_t
+        GROUP BY m.to_t
+    )"""
+    sql += f"""
+    SELECT ty AS event_type, ROUND(p, 6) AS stationary_p FROM p{iters}
+    """
+    return sql
+
+
+@query("markov_stationary", _stationary_oracle(iters=5))
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — 5 power
+    iterations from uniform over event_transitions' matrix (where does a
+    user's session settle in the long run).  Each iteration is one join
+    against the (types², tiny) transition matrix + one aggregate; the
+    oracle unrolls the same 5 iterations (pagerank's oracle pattern).
+    Types that never emit (appear only session-final) would absorb mass
+    identically on both engines; none exist in this corpus."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    tr = e.select(
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id")))
+        .alias("from_t"),
+        F.col("event_type").alias("to_t"),
+    ).filter(F.col("from_t").isNotNull())
+    cnt = tr.groupBy("from_t", "to_t").agg(F.count("*").cast("long").alias("n"))
+    tot = cnt.groupBy("from_t").agg(F.sum("n").cast("long").alias("t"))
+    m = cnt.join(tot, "from_t").select(
+        "from_t", "to_t", (F.col("n").cast("double") / F.col("t")).alias("pij")
+    )
+    n_types = e.select("event_type").distinct().count()
+    pi = e.select(F.col("event_type").alias("ty")).distinct().select(
+        "ty", (F.lit(1.0) / F.lit(n_types)).alias("p")
+    )
+    for _ in range(5):
+        pi = (
+            pi.join(m, pi["ty"] == m["from_t"])
+            .groupBy(F.col("to_t").alias("ty2"))
+            .agg(F.sum(F.col("p") * F.col("pij")).alias("p"))
+            .withColumnRenamed("ty2", "ty")
+        )
+    return pi.select(
+        F.col("ty").alias("event_type"), F.round("p", 6).alias("stationary_p")
+    )
