@@ -86,15 +86,20 @@ def bench_queries(spark):
 
     def knn_100k_scan():
         # exact top-10 for 1000 probes over 100k vectors (float64 GEMM),
-        # cold-path form: corpus re-ships JVM→Python every call
+        # cold-path form: corpus re-ships JVM→Python every call.
+        # NAMING (ADVICE r6): this workload was published as `knn_100k` in
+        # rounds 1-5; round 6 rebound `knn_100k` to the resident path.  From
+        # round 7 the names are workload-stable again: `knn_100k` = this
+        # scan form (comparable to r1-r5 history), `knn_100k_resident` =
+        # search on the prebuilt resident index (comparable to r6's 0.46s).
         return knn(corpus100k, probes1k, k=10, strategy="numpy")
 
     # Resident serving index (operators/serving.py): build once, search
     # many — the fair comparable to the reference's in-memory HNSW, which
     # also searches a prebuilt in-process structure (build is timed
     # separately there too: README.md:435 reports insert and search apart).
-    # knn_100k (the BASELINE-comparable headline) is EXACT search on the
-    # resident block cache; knn_100k_scan keeps the cold-path number.
+    # knn_100k_resident is EXACT search on the resident block cache;
+    # knn_100k keeps the r1-r5 cold-path semantics.
     import numpy as np
 
     from fusionspark.operators.knn import id_sql_type
@@ -114,12 +119,43 @@ def bench_queries(spark):
         resident["idx"] = ResidentIndex.build(corpus100k)
         return spark.range(1)
 
-    def knn_100k():
+    def knn_100k_resident():
         # exact top-10, 1000 probes, resident block cache (recall 1.0 by
         # construction vs the reference's approximate 0.5 ms/query)
         return resident["idx"].search(
             probes1k, k=10, probe_batch=probe_batch
         )
+
+    # 1M-vector scale point (VERDICT r6 #5): the build-once/search-many
+    # contract must BEAT the per-call scan by ≥5× where it matters — at 10×
+    # the corpus the per-call Arrow re-ship of the scan path is ~5 GB of
+    # serialization per search, while the resident search stays one GEMM +
+    # top-k per already-materialized block.
+    corpus1m_path = f"{root100k}/corpus1m"
+    spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.sin(F.col("id") * i).cast("float"),
+        ).alias("embedding"),
+    ).write.mode("overwrite").parquet(corpus1m_path)
+    corpus1m = spark.read.parquet(corpus1m_path).cache()
+    corpus1m.count()
+    resident1m = {"idx": None}
+
+    def resident_build_1m():
+        if resident1m["idx"] is not None:
+            resident1m["idx"].unpersist()
+        resident1m["idx"] = ResidentIndex.build(corpus1m)
+        return spark.range(1)
+
+    def knn_1m_resident():
+        if resident1m["idx"] is None:
+            resident1m["idx"] = ResidentIndex.build(corpus1m)
+        return resident1m["idx"].search(probes1k, k=10, probe_batch=probe_batch)
+
+    def knn_1m_scan():
+        return knn(corpus1m, probes1k, k=10, strategy="numpy")
 
     def ivf_100k_resident():
         # pruned resident search: nProbe=8 of 64 lists — each partition
@@ -248,11 +284,14 @@ def bench_queries(spark):
         "knn_batch1000": knn_batch_1k,
         "ingest_100k": ingest_100k,
         "resident_build_100k": resident_build_100k,
-        "knn_100k": knn_100k,
-        "knn_100k_scan": knn_100k_scan,
+        "knn_100k_resident": knn_100k_resident,
+        "knn_100k": knn_100k_scan,
         "ivf_build_100k": ivf_build_100k,
         "ivf_100k": ivf_100k,
         "ivf_100k_resident": ivf_100k_resident,
+        "resident_build_1m": resident_build_1m,
+        "knn_1m_resident": knn_1m_resident,
+        "knn_1m_scan": knn_1m_scan,
     }
     for name in picks:
         fn, _sql = REGISTRY[name]
@@ -407,6 +446,20 @@ def main() -> None:
         "queries_min": timings_min,
         "recall": recall,
         "sf": float(sf),
+        "notes": {
+            "knn_100k": (
+                "r1-r5: full-scan exact kNN; r6 ONLY: rebound to the resident "
+                "index (0.46s) with build split into resident_build_100k; r7+: "
+                "back to the r1-r5 scan workload — compare r6's knn_100k to "
+                "knn_100k_resident, not to this entry (ADVICE r6)"
+            ),
+            "mock_embeddings": (
+                "r6 step-change 0.88s→1.66s is an attestation upgrade, not a "
+                "plan regression: the entry now materializes per-component "
+                "float output for the bit-exact DuckDB oracle (VERDICT r6); "
+                "the Spark-side embedder plan is unchanged since r5"
+            ),
+        },
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),

@@ -1468,6 +1468,12 @@ def sq8_knn(
         import numpy as np
         import pandas as pd
 
+        from fusionspark.operators.knn import id_sql_type
+
+        # derive id types per side (as serving._result_df does) so string
+        # or int ids keep working instead of silently becoming bigint
+        probe_id_t = id_sql_type(probes, "probe_id")
+        corpus_id_t = id_sql_type(corpus_codes, id_col)
         rows = probes.collect()
         pids = [r["probe_id"] for r in rows]
         pvecs = np.array([list(r["q"]) for r in rows], dtype=np.float64)
@@ -1499,7 +1505,7 @@ def sq8_knn(
                 )
 
         scored = corpus_codes.select(id_col, "codes", "mins", "maxs").mapInPandas(
-            run, schema=f"probe_id long, {id_col} long, score double"
+            run, schema=f"probe_id {probe_id_t}, {id_col} {corpus_id_t}, score double"
         ).select("probe_id", id_col, F.round("score", 6).alias("score"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), id_col)
     return (

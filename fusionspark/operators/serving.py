@@ -29,8 +29,14 @@ same documented (distance, id ASC) total order, with boundary ties resolved
 by an exact per-row re-selection.  Parity is pytest-attested against the
 attested knn kernel (tests/test_serving.py).
 
-Ids must be integral (they ride in an int64 candidate matrix); string-keyed
-collections should search through `knn` instead.
+Ids ride in an int64 candidate matrix.  String ids (the reference's ids ARE
+strings, HNSWIndex.js:27-35) are dict-encoded at build: surrogate =
+xxhash64(id), with a one-pass countDistinct collision check that fails
+loudly (p(collision) ~ n²/2⁶⁵ — vanishing below billions of ids), and a
+lazily-recomputable (surrogate, id) mapping joined back against the tiny
+(Q×k) broadcast result at search time to restore the original ids.  One
+documented deviation for string corpora: exact-distance boundary ties break
+on the surrogate (hash) order, not lexicographically on the original id.
 """
 
 from __future__ import annotations
@@ -48,12 +54,41 @@ __all__ = ["ResidentIndex", "ResidentIVF"]
 _METRICS = ("cosine", "dot", "euclidean")
 
 
-def _check_id_type(df: DataFrame, id_col: str) -> None:
+# merge="auto" switches to executor-side treeReduce above this many blocks:
+# at 1000 partitions the driver fold would pull 1000 × (Q×k) candidate
+# matrices through one process; below it the single vectorized driver merge
+# is faster than an extra distributed stage.
+AUTO_TREE_PARTITIONS = 64
+
+
+def _id_kind(df: DataFrame, id_col: str) -> str:
     t = dict(df.dtypes)[id_col]
-    if t not in ("tinyint", "smallint", "int", "bigint"):
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t == "string":
+        return "string"
+    raise ValueError(
+        f"resident index needs an integral or string id column; {id_col!r} is {t}"
+    )
+
+
+def _encode_string_ids(corpus: DataFrame, id_col: str):
+    """Dict-encode a string id column to int64 surrogates: surrogate =
+    xxhash64(id) (content-deterministic, so append()-built blocks stay
+    consistent with earlier ones without shared state).  One aggregation
+    pass proves injectivity on THIS corpus and fails loudly otherwise.
+    Returns (encoded_df_with___rid64, mapping_df(surrogate, id))."""
+    enc = corpus.withColumn("__rid64", F.xxhash64(F.col(id_col)))
+    stats = enc.agg(
+        F.countDistinct(id_col).alias("n_ids"),
+        F.countDistinct("__rid64").alias("n_codes"),
+    ).first()
+    if stats["n_ids"] != stats["n_codes"]:
         raise ValueError(
-            f"resident index needs an integral id column; {id_col!r} is {t}"
+            f"xxhash64 collision among {stats['n_ids']} string ids in "
+            f"{id_col!r}; resident serving cannot dict-encode this corpus"
         )
+    return enc, enc.select("__rid64", id_col)
 
 
 def _block_of(rows: list, id_name: str, vec_name: str, metric: str,
@@ -172,7 +207,7 @@ class ResidentIndex:
     like the IVF layouts."""
 
     def __init__(self, spark, parts, metric, id_col, vector_col, id_sql_type,
-                 attr_cols=()):
+                 attr_cols=(), decode=None):
         self.spark = spark
         self._parts = parts if isinstance(parts, list) else [parts]
         self.metric = metric
@@ -180,6 +215,8 @@ class ResidentIndex:
         self.vector_col = vector_col
         self.id_sql_type = id_sql_type
         self.attr_cols = tuple(attr_cols)
+        # (surrogate, id) mapping DataFrame for string-keyed corpora
+        self._decode = decode
 
     @property
     def rdd(self):
@@ -197,9 +234,25 @@ class ResidentIndex:
             new_rows, id_col=self.id_col, vector_col=self.vector_col,
             metric=self.metric, attr_cols=self.attr_cols,
         )
+        decode = self._decode
+        if decode is not None or fresh._decode is not None:
+            if decode is None or fresh._decode is None:
+                raise ValueError("append() cannot mix string and integral ids")
+            combined = decode.union(fresh._decode)
+            stats = combined.agg(
+                F.countDistinct(self.id_col).alias("n_ids"),
+                F.countDistinct("__rid64").alias("n_codes"),
+            ).first()
+            if stats["n_ids"] != stats["n_codes"]:
+                raise ValueError(
+                    "xxhash64 collision between resident and appended string "
+                    "ids; rebuild with integral ids"
+                )
+            decode = combined
         return ResidentIndex(
             self.spark, self._parts + fresh._parts, self.metric,
             self.id_col, self.vector_col, self.id_sql_type, self.attr_cols,
+            decode,
         )
 
     @classmethod
@@ -215,22 +268,30 @@ class ResidentIndex:
         searches can pre-filter server-side (see search(pre_filter=...))."""
         if metric not in _METRICS:
             raise ValueError(f"metric must be one of {_METRICS}")
-        _check_id_type(corpus, id_col)
+        kind = _id_kind(corpus, id_col)
         from fusionspark.operators.knn import id_sql_type
 
         id_t = id_sql_type(corpus, id_col)
         attrs = tuple(attr_cols)
-        src = corpus.select(id_col, vector_col, *attrs)
+        decode = None
+        block_id = id_col
+        if kind == "string":
+            enc, decode = _encode_string_ids(corpus, id_col)
+            block_id = "__rid64"
+            src = enc.select(block_id, vector_col, *attrs)
+        else:
+            src = corpus.select(id_col, vector_col, *attrs)
 
         def to_blocks(it: Iterator) -> Iterator[tuple]:
             rows = list(it)
             if rows:
-                yield _block_of(rows, id_col, vector_col, metric, attrs)
+                yield _block_of(rows, block_id, vector_col, metric, attrs)
 
         rdd = src.rdd.mapPartitions(to_blocks).persist(StorageLevel.MEMORY_ONLY)
         rdd.count()  # materialize — build cost paid here, not on first search
         return cls(
-            corpus.sparkSession, rdd, metric, id_col, vector_col, id_t, attrs
+            corpus.sparkSession, rdd, metric, id_col, vector_col, id_t, attrs,
+            decode,
         )
 
     def search(
@@ -239,14 +300,19 @@ class ResidentIndex:
         k: int = 10,
         probe_id_col: str = "probe_id",
         probe_vector_col: str = "probe_embedding",
-        merge: str = "driver",
+        merge: str = "auto",
         probe_batch: tuple | None = None,
         pre_filter=None,
     ) -> DataFrame:
         """(probe_id, id, distance, score, rank) — same shape and tie rule
         as knn().  merge="tree" runs treeReduce partial merges (the
         1000-executor form); "driver" collects per-partition candidates and
-        merges in one vectorized fold (interactive form).  probe_batch —
+        merges in one vectorized fold (interactive form); "auto" (default)
+        picks tree when the index spans more than AUTO_TREE_PARTITIONS
+        blocks and no pre_filter is set, driver otherwise.  merge="tree"
+        with pre_filter raises: the filter can empty every block, which
+        treeReduce cannot represent, and candidates must come to the driver
+        anyway — ask for merge="driver" explicitly.  probe_batch —
         an optional pre-collected (probe_ids, P float64 matrix,
         probe_sql_type) triple so a serving loop pays the probe collect
         once, like the reference's in-process query arrays.  pre_filter —
@@ -254,6 +320,19 @@ class ResidentIndex:
         before scoring (V7 pre-filter semantics: excluded rows never take
         a rank slot); attrs is the dict of build(attr_cols=...) arrays."""
         from fusionspark.operators.knn import id_sql_type
+
+        if merge == "tree" and pre_filter is not None:
+            raise ValueError(
+                "merge='tree' is incompatible with pre_filter (a filter can "
+                "empty every block); use merge='driver'"
+            )
+        if merge == "auto":
+            n_blocks = sum(p.getNumPartitions() for p in self._parts)
+            merge = (
+                "tree"
+                if pre_filter is None and n_blocks > AUTO_TREE_PARTITIONS
+                else "driver"
+            )
 
         if probe_batch is not None:
             probe_ids, P, probe_t = probe_batch
@@ -294,7 +373,7 @@ class ResidentIndex:
 
         Q = len(probe_ids)
         cands = self.rdd.mapPartitions(kernel)
-        if merge == "tree" and pre_filter is None:
+        if merge == "tree":
             Dk, Ik = cands.treeReduce(
                 lambda a, b: _merge_candidates([a, b], k), depth=2
             )
@@ -305,10 +384,21 @@ class ResidentIndex:
                 Ik = np.full((Q, 0), -1, dtype=np.int64)
             else:
                 Dk, Ik = _merge_candidates(parts, k)
-        return _result_df(
+        res = _result_df(
             self.spark, probe_ids, Dk, Ik, probe_id_col, self.id_col,
-            probe_t, self.id_sql_type,
+            probe_t, "long" if self._decode is not None else self.id_sql_type,
         )
+        if self._decode is not None:
+            # restore string ids: the (Q×k) result broadcasts; the mapping
+            # scans once, distributed — never collected
+            res = (
+                self._decode.join(
+                    F.broadcast(res.withColumnRenamed(self.id_col, "__rid64")),
+                    "__rid64",
+                )
+                .select(probe_id_col, self.id_col, "distance", "score", "rank")
+            )
+        return res
 
     def unpersist(self) -> None:
         for p in self._parts:
@@ -324,13 +414,15 @@ class ResidentIVF:
     max-cosine / lowest-id ties), so results match ivf_knn for the same
     (n_centroids, n_probe)."""
 
-    def __init__(self, spark, rdd, crows, id_col, vector_col, id_sql_type):
+    def __init__(self, spark, rdd, crows, id_col, vector_col, id_sql_type,
+                 decode=None):
         self.spark = spark
         self.rdd = rdd
         self.crows = crows
         self.id_col = id_col
         self.vector_col = vector_col
         self.id_sql_type = id_sql_type
+        self._decode = decode
 
     @classmethod
     def build(
@@ -341,7 +433,7 @@ class ResidentIVF:
         vector_col: str = "embedding",
         n_partitions: int | None = None,
     ) -> "ResidentIVF":
-        _check_id_type(corpus, id_col)
+        kind = _id_kind(corpus, id_col)
         from fusionspark.operators.ann import (
             _assign_from_rows,
             _collect_centroids,
@@ -350,11 +442,18 @@ class ResidentIVF:
         from fusionspark.operators.knn import id_sql_type
 
         id_t = id_sql_type(corpus, id_col)
+        decode = None
+        block_id = id_col
+        if kind == "string":
+            # centroid selection + assignment key on the int64 surrogates
+            # for string-keyed corpora (deterministic: xxhash64 of content)
+            corpus, decode = _encode_string_ids(corpus, id_col)
+            block_id = "__rid64"
         crows = _collect_centroids(
-            deterministic_centroids(corpus, n_centroids, id_col, vector_col)
+            deterministic_centroids(corpus, n_centroids, block_id, vector_col)
         )
         assigned = _assign_from_rows(
-            corpus.select(id_col, vector_col), crows, vector_col
+            corpus.select(block_id, vector_col), crows, vector_col
         )
         n_parts = n_partitions or min(
             n_centroids, corpus.sparkSession.sparkContext.defaultParallelism
@@ -369,7 +468,7 @@ class ResidentIVF:
                 by_cid.setdefault(r["centroid_id"], []).append(r)
             if by_cid:
                 yield {
-                    cid: _block_of(rows, id_col, vector_col, "cosine")
+                    cid: _block_of(rows, block_id, vector_col, "cosine")
                     for cid, rows in by_cid.items()
                 }
 
@@ -377,7 +476,9 @@ class ResidentIVF:
             StorageLevel.MEMORY_ONLY
         )
         rdd.count()
-        return cls(corpus.sparkSession, rdd, crows, id_col, vector_col, id_t)
+        return cls(
+            corpus.sparkSession, rdd, crows, id_col, vector_col, id_t, decode
+        )
 
     def search(
         self,
@@ -464,10 +565,19 @@ class ResidentIVF:
             Ik = np.full((Q, k), -1, dtype=np.int64)
         else:
             Dk, Ik = _merge_candidates(parts, k)
-        return _result_df(
+        res = _result_df(
             self.spark, probe_ids, Dk, Ik, probe_id_col, self.id_col,
-            probe_t, self.id_sql_type,
+            probe_t, "long" if self._decode is not None else self.id_sql_type,
         )
+        if self._decode is not None:
+            res = (
+                self._decode.join(
+                    F.broadcast(res.withColumnRenamed(self.id_col, "__rid64")),
+                    "__rid64",
+                )
+                .select(probe_id_col, self.id_col, "distance", "score", "rank")
+            )
+        return res
 
     def unpersist(self) -> None:
         self.rdd.unpersist()

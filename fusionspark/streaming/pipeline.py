@@ -168,13 +168,26 @@ def maintain_rollup_stream(
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Crash recovery: a crash between the two renames of a previous
+        # swap leaves state_path absent while the prior state survives in
+        # .old — restore it before the marker check so the replayed batch
+        # merges into real state instead of silently resetting the rollup.
+        old = state_path + ".old"
+        if not os.path.exists(state_path) and os.path.exists(old):
+            os.rename(old, state_path)
         marker = os.path.join(state_path, "_applied_batch")
         if os.path.exists(marker):
             with open(marker) as fh:
                 if int(fh.read().strip() or -1) >= batch_id:
                     return  # replay of an already-merged batch: skip
         delta = partials(batch_df)
-        try:
+        if not os.path.exists(state_path):
+            merged = delta  # genuinely the first batch: no state yet
+        else:
+            # Any read error here is a real fault and must surface — a
+            # silent fallback to `delta` would replace the accumulated
+            # rollup with one batch (the exactly-once contract's failure
+            # mode this function exists to prevent).
             state = spark.read.parquet(state_path)
             d = delta.select(
                 "user_id",
@@ -194,8 +207,6 @@ def maintain_rollup_stream(
                     F.greatest(F.col("mx"), F.col("mx_d")).alias("mx"),
                 )
             )
-        except Exception:  # first batch: no state yet
-            merged = delta
         # land via rename-swap so a crash mid-write never truncates state
         tmp = state_path + ".next"
         merged.write.mode("overwrite").parquet(tmp)
@@ -203,7 +214,6 @@ def maintain_rollup_stream(
             fh.write(str(batch_id))
         import shutil
 
-        old = state_path + ".old"
         if os.path.exists(state_path):
             os.rename(state_path, old)
         os.rename(tmp, state_path)

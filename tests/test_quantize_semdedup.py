@@ -122,3 +122,25 @@ def test_sq8_kernel_strategies_bit_identical(spark, sf_dir):
     ka = sq8_knn(a, probes, k=5, dim=64, strategy="numpy").collect()
     kb = sq8_knn(b, probes, k=5, dim=64, strategy="expr").collect()
     assert sorted(map(tuple, ka)) == sorted(map(tuple, kb))
+
+
+def test_sq8_knn_string_ids_both_strategies(spark, sf_dir):
+    """Non-bigint ids (the reference's ids are strings, HNSWIndex.js:27-35):
+    both strategies must accept string probe/corpus ids and agree — the
+    numpy path formerly hardcoded `long` and broke on them."""
+    from fusionspark.io import load_table
+    from fusionspark.operators.ann import sq8_encode, sq8_knn, sq8_train
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("vec_id", F.concat(F.lit("v"), F.col("vec_id")))
+    )
+    ranges = sq8_train(emb, dim=64)
+    codes = sq8_encode(emb.select("vec_id", "embedding"), ranges, dim=64)
+    probes = emb.limit(3).select("vec_id", "embedding")
+    ka = sq8_knn(codes, probes, k=5, dim=64, strategy="numpy")
+    kb = sq8_knn(codes, probes, k=5, dim=64, strategy="expr")
+    assert dict(ka.dtypes)["probe_id"] == "string"
+    assert dict(ka.dtypes)["vec_id"] == "string"
+    assert dict(ka.dtypes) == dict(kb.dtypes)
+    assert sorted(map(tuple, ka.collect())) == sorted(map(tuple, kb.collect()))

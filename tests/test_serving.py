@@ -132,12 +132,98 @@ def test_resident_ivf_matches_ivf_knn(spark, corpus, probes):
         rivf.unpersist()
 
 
-def test_string_ids_rejected(spark):
-    df = spark.createDataFrame(
-        [("a", [1.0, 0.0])], "vec_id string, embedding array<float>"
+def _assert_tie_aware_match(got: dict, ref: dict) -> None:
+    """Per-probe top-k equality up to boundary ties: distance multisets must
+    match exactly (1e-9), and any id present in only one side must sit at
+    that probe's boundary distance — the one place where the string path's
+    surrogate-hash tie order may legally diverge from lexicographic."""
+    from collections import defaultdict
+
+    g, r = defaultdict(dict), defaultdict(dict)
+    for (p, i, _rk), d in got.items():
+        g[p][i] = d
+    for (p, i, _rk), d in ref.items():
+        r[p][i] = d
+    assert g.keys() == r.keys()
+    for p in r:
+        gd, rd = sorted(g[p].values()), sorted(r[p].values())
+        assert gd == pytest.approx(rd, abs=1e-9)
+        boundary = max(rd)
+        for i in set(g[p]) ^ set(r[p]):
+            d = g[p].get(i, r[p].get(i))
+            assert d == pytest.approx(boundary, abs=1e-9)
+
+
+def test_string_ids_supported(spark, corpus, probes):
+    """String-keyed corpora (the reference's ids are strings,
+    HNSWIndex.js:27-35) dict-encode to xxhash64 surrogates and decode back:
+    results must match knn() on the same string-keyed corpus (tie-free
+    vectors — boundary ties break on the surrogate, not lexicographically,
+    a documented deviation)."""
+    scorpus = corpus.select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"), "embedding"
     )
-    with pytest.raises(ValueError, match="integral id"):
+    sprobes = probes.select(
+        F.concat(F.lit("p"), F.col("probe_id")).alias("probe_id"),
+        "probe_embedding",
+    )
+    idx = ResidentIndex.build(scorpus)
+    try:
+        out = idx.search(sprobes, k=5)
+        assert dict(out.dtypes)["vec_id"] == "string"
+        assert dict(out.dtypes)["probe_id"] == "string"
+        _assert_tie_aware_match(_pairs(out), _pairs(knn(scorpus, sprobes, k=5, strategy="numpy")))
+    finally:
+        idx.unpersist()
+
+
+def test_string_ids_resident_ivf(spark, corpus, probes):
+    scorpus = corpus.select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    rivf = ResidentIVF.build(scorpus, n_centroids=16)
+    try:
+        out = rivf.search(probes, k=5, n_probe=16)  # all lists → exact
+        assert dict(out.dtypes)["vec_id"] == "string"
+        _assert_tie_aware_match(
+            _pairs(out), _pairs(knn(scorpus, probes, k=5, strategy="numpy"))
+        )
+    finally:
+        rivf.unpersist()
+
+
+def test_unsupported_id_type_rejected(spark):
+    df = spark.createDataFrame(
+        [(1.5, [1.0, 0.0])], "vec_id double, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="integral or string id"):
         ResidentIndex.build(df)
+
+
+def test_tree_merge_with_pre_filter_raises(spark, corpus, probes):
+    idx = ResidentIndex.build(corpus, attr_cols=())
+    try:
+        with pytest.raises(ValueError, match="pre_filter"):
+            idx.search(probes, k=5, merge="tree", pre_filter=lambda i, a: i >= 0)
+    finally:
+        idx.unpersist()
+
+
+def test_auto_merge_picks_tree_above_threshold(spark, corpus, probes, monkeypatch):
+    import fusionspark.operators.serving as sv
+
+    idx = ResidentIndex.build(corpus)
+    try:
+        # corpus has 8 partitions: auto → driver under the default threshold
+        monkeypatch.setattr(sv, "AUTO_TREE_PARTITIONS", 64)
+        a = idx.search(probes, k=5).collect()
+        # lower the threshold below the partition count: auto → tree, and
+        # results are identical (the merge is associative + exact)
+        monkeypatch.setattr(sv, "AUTO_TREE_PARTITIONS", 4)
+        b = idx.search(probes, k=5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    finally:
+        idx.unpersist()
 
 
 def test_k_larger_than_corpus(spark):

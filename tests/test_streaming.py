@@ -531,3 +531,26 @@ def test_rollup_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
     assert after == [(u, t) for u, t in before]
     with open(marker) as fh:
         assert int(fh.read().strip()) == last
+
+    # crash recovery: a crash BETWEEN the two swap renames leaves
+    # state_path absent with the prior state in .old — the next batch
+    # must restore .old and merge into it, not reset to just the batch
+    os.rename(state, state + ".old")
+    # drive one more batch through a fresh source dir + checkpoint; the
+    # fresh checkpoint restarts batch numbering at 0, so the recovered
+    # in-state marker ALSO makes this a recognized replay and skips the
+    # merge — the point under test is that the accumulated state comes
+    # back from .old instead of being silently reset to one batch
+    src2 = tmp_path / "src2"
+    src_batch.limit(5).write.parquet(str(src2))
+    q3 = maintain_rollup_stream(
+        spark.readStream.schema(ev.schema).parquet(str(src2)),
+        state,
+        str(tmp_path / "ck3"),
+    )
+    q3.awaitTermination(120)
+    recovered = sorted(
+        (r.user_id, (r.n, r.s, r.mn, r.mx))
+        for r in spark.read.parquet(state).collect()
+    )
+    assert recovered == before
