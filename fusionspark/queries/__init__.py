@@ -27,46 +27,19 @@ def query(name: str, sql: str | None = None):
 
 # The grading driver attests registry entries in insertion order and caps
 # how many it checks per round (the first 50).  Names listed here are moved
-# to the FRONT of the registry so round 3's NEW queries and every query whose
-# implementation CHANGED in round 3 get a fresh CORRECTNESS row; queries not
-# touched this round keep their valid r1/r2 attestations (the r1∪r2 union
-# covered all 86 registered queries with zero failures).
+# to the FRONT of the registry.  Round 7 is the attestation-DRAIN round
+# (VERDICT r6 #1): the union of CORRECTNESS_r1-r6 covers 137 of the 224
+# oracle-backed queries; the 87 never-driver-attested entries rotate through
+# in two rounds (r7 takes the 50 below, r8 the remaining 37 + any query whose
+# code changes).  All are green in the local full gate (tools/check.py) at
+# 3 SFs.  Queries not listed keep their valid r1-r6 attestations.
 PRIORITY: list[str] = [
-    # ── r06 driver budget (first 50) — ordered by attestation risk ──
-    # session-3 new operator families (no driver rows yet)
-    "video_frames", "unicode_clean", "char_entropy",
-    "url_canonical", "url_host_stats",
-    "tpch_order_distribution", "tpch_promo_revenue",
-    "tpch_parts_supplier_count", "tpch_disjunctive_revenue",
-    "tpch_dormant_customers",
-    "bm25_search", "pagerank_docs", "hll_distinct",
-    "train_split", "label_centroids", "embedding_outliers",
-    "window_dedup", "warc_ingest",
-    "bloom_probe", "cms_topk", "wav_windows",
-    "salted_join_demo", "fuzzy_match", "image_text_pairs",
-    "contrastive_negatives",
-    "tpch_nation_volume", "tpch_product_profit", "tpch_top_supplier",
-    "tpch_blame_suppliers",
-    "search_snippets", "source_topics", "chat_render", "loss_mask_spans",
-    "dpo_pairs",
-    # STALE prior attestations — code paths changed this round and the
-    # old rows no longer bind: zone-free load_table (time axis), JPEG
-    # dispatch in decode_real, hardened wav_decode, Gopher line columns,
-    # de-interpreted funnel, SRP's first oracle
-    "asof_click_view", "range_error_context", "events_time_rollup",
-    "events_json_props", "stream_tumbling", "stream_sliding",
-    "stream_session", "stream_dedup", "conversation_tail",
-    "png_features", "wav_features",
-    "gopher_quality", "corpus_funnel", "ann_srp",
-    # session-1/2 flagship codecs (new, no rows)
-    "jpeg_features", "mp4_metadata",
-    # ── r07+r08 rotation queue (below the 50-row cap; all green in the
-    # local gate at 3 SFs).  ~75 entries now queue for a 50-row/round
-    # budget: round 7 should move the first ~50 of this block to the
-    # front; round 8 takes the remainder plus anything new.  Order is
-    # newest-first (attestation risk) ──
-    # session-5 additions (newest → attest first next round)
+    # ── r07 driver budget (first 50): never-attested backlog, newest-first
+    # (attestation risk), plus the two entries whose code changed this
+    # round (ann_sq8 id-type fix, phash_neardup JPEG-plane extension) ──
+    # session-5 additions: resident serving family, graph/series analytics
     "ann_resident", "ann_ivf_resident", "ann_resident_filtered",
+    "ann_sq8",
     "community_lpa", "edit_distance_join", "seasonal_decompose",
     "changepoint_cusum", "k_anonymity", "autocorr_weekly",
     "retrieval_eval", "filter_agreement", "nb_calibration",
@@ -84,18 +57,28 @@ PRIORITY: list[str] = [
     "session_paths", "conversion_latency", "revenue_deciles",
     "quality_percentile", "temperature_mix",
     "paragraph_dedup", "nb_quality", "ann_pq", "ann_ivf_pq",
-    "phash_neardup", "png_resize", "curriculum_shards", "lm_perplexity",
+    "phash_neardup", "png_resize",
+    # ── r08 rotation queue (the remaining 37 never-attested entries, plus
+    # any oracle newly added in r7 appended at the end) ──
+    "curriculum_shards", "lm_perplexity",
     "shuffle_shards", "quality_consensus", "tpch_local_supplier_volume",
-    "bpe_merges", "bpe_tokenize",
-    "compression_ratio",
     "length_quantiles", "events_type_pivot", "chat_lint",
-    "stratified_sample", "events_rolling_avg", "retrieval_ndcg", "window_dedup_rewrite", "accent_fold", "ann_sq8", "corpus_datacard",
+    "stratified_sample", "events_rolling_avg", "retrieval_ndcg",
+    "window_dedup_rewrite", "accent_fold", "corpus_datacard",
     "tpch_forecast_revenue", "tpch_market_share", "tpch_priority_lines",
-    "tpch_excess_suppliers", "user_retention", "event_funnel", "readability", "bloom_join_filter",
+    "tpch_excess_suppliers", "user_retention", "event_funnel",
+    "readability", "bloom_join_filter",
     "ann_bq", "ann_matryoshka", "semdedup",
     "cdc_apply", "scd2_history", "merge_upsert", "zorder_pruning",
     "fim_transform", "ccnet_buckets", "dedup_keep_best",
     "kmv_theta", "gap_fill", "events_interarrival", "graph_triangles",
+    "gopher_lines",
+    # oracles ADDED in r7 (previously rows-only; local-gate green 3 SFs):
+    # chunks_recursive (collapsed-cascade CTE), bpe_merges/bpe_tokenize
+    # (unrolled merge rounds with replace()-replayed _merge_seq)
+    "chunks_recursive", "bpe_merges", "bpe_tokenize",
+    # rows-only by design: DuckDB has no zlib (parity-tested instead)
+    "compression_ratio",
     # earlier-round attestations kept warm
     "dedup_clusters", "c4_filter", "hash_sample", "pack_sequences",
     "pii_redact", "repetition_stats", "vocab_coverage",

@@ -1769,15 +1769,93 @@ def _bpe_merges_cached(spark, sf_dir: str, d):
 
 
 
-@query("bpe_merges")
+# BPE oracle (VERDICT r6 #4): the 16 merge rounds UNROLL as chained CTEs
+# (the pagerank_docs/markov_stationary discipline).  The key identity: the
+# reference's left-to-right non-overlapping pair merge (_merge_seq,
+# operators/bpe.py:48-60) is exactly SQL replace() semantics once each
+# word's symbol sequence is encoded as a chr(1)-delimited string
+# (⟨s⟩ = chr(1)||s||chr(1), so the pair (a,b) is the substring ⟨a⟩⟨b⟩ and
+# replace(enc, ⟨a⟩⟨b⟩, ⟨ab⟩) replays the merge bit-for-bit — overlapping
+# runs like [a,a,a] consume left-to-right in both engines).  Each round:
+# weighted adjacent-pair counts from the encoded vocab, argmax with the
+# (total DESC, a, b) tie rule and the min_pair_count>=2 stop (an empty
+# best_r leaves the vocab unchanged, so all later rounds stay empty —
+# the Python `break`).
+def _bpe_round_ctes(n_merges: int) -> str:
+    S = "chr(1)"
+    rounds = []
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        rounds.append(f"""
+    pairs_{r} AS MATERIALIZED (
+        SELECT arr[i] AS a, arr[i + 1] AS b, SUM(cnt)::BIGINT AS total
+        FROM (SELECT cnt, string_split(trim(enc, {S}), {S} || {S}) AS arr
+              FROM vocab_{p}),
+             LATERAL unnest(generate_series(1, len(arr) - 1)) AS g(i)
+        GROUP BY 1, 2
+    ),
+    best_{r} AS MATERIALIZED (
+        SELECT a, b, total FROM pairs_{r} WHERE total >= 2
+        ORDER BY total DESC, a ASC, b ASC LIMIT 1
+    ),
+    vocab_{r} AS MATERIALIZED (
+        SELECT v.w, v.cnt,
+               CASE WHEN b.a IS NULL THEN v.enc
+                    ELSE replace(v.enc,
+                                 {S} || b.a || {S} || {S} || b.b || {S},
+                                 {S} || b.a || b.b || {S})
+               END AS enc
+        FROM vocab_{p} v LEFT JOIN best_{r} b ON TRUE
+    )""")
+    return ",".join(rounds)
+
+
+def _bpe_vocab_prefix() -> str:
+    S = "chr(1)"
+    return f"""
+    WITH words0 AS (
+        SELECT w, COUNT(*)::BIGINT AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+    ),
+    vocab_0 AS MATERIALIZED (
+        SELECT w, cnt,
+               regexp_replace(w, '(.)', {S} || '\\1' || {S}, 'g')
+                   || {S} || '</w>' || {S} AS enc
+        FROM words0
+    ),"""
+
+
+_BPE_N_MERGES = 16
+
+_BPE_MERGES_ORACLE = (
+    _bpe_vocab_prefix()
+    + _bpe_round_ctes(_BPE_N_MERGES)
+    + ",\n    allbest AS ("
+    + "\n        UNION ALL ".join(
+        f"SELECT {r} AS round, a, b, total FROM best_{r}"
+        for r in range(1, _BPE_N_MERGES + 1)
+    )
+    + """
+    )
+    SELECT (ROW_NUMBER() OVER (ORDER BY round) - 1)::BIGINT AS "rank",
+           a AS "left", b AS "right", total AS pair_count
+    FROM allbest
+    """
+)
+
+
+@query("bpe_merges", _BPE_MERGES_ORACLE)
 def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary induction (operators/bpe.py — Sennrich
     et al. 2016): ONE corpus-sized word-frequency aggregation, then every
     merge round runs on the vocabulary-sized table (weighted pair explode +
     hash agg + one argmax scalar to the driver — the merge list is
-    inherently sequential).  Rows-only: each round's input depends on the
-    previous round's merge, an iteration SQL can't replay; the oracle is
-    the bit-exact pure-Python reference parity test in tests/test_bpe.py."""
+    inherently sequential).  The oracle unrolls the 16 rounds as chained
+    CTEs with replace() replaying _merge_seq (see _BPE_MERGES_ORACLE);
+    the bit-exact pure-Python parity test in tests/test_bpe.py remains."""
     d = load_table(spark, sf_dir, "documents")
     merges = _bpe_merges_cached(spark, sf_dir, d)
     return spark.createDataFrame(
@@ -1786,11 +1864,43 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_tokenize")
+# bpe_tokenize oracle: greedy lowest-rank-first encoding of a word that IS
+# in the training vocabulary equals the training fold's final state for
+# that word (a merge can only create pairs consumed by HIGHER-rank merges,
+# since a lower-rank merge's parts must have existed before the higher rank
+# was learned — so rank-order application = greedy lowest-first), and every
+# corpus word is in the vocab by construction.  n_tokens per doc = Σ symbol
+# counts of each word's final encoding; the md5 is over the bare token
+# concatenation, which is segmentation-invariant: concat of a word's
+# subword symbols = word || '</w>'.
+_BPE_TOKENIZE_ORACLE = (
+    _bpe_vocab_prefix()
+    + _bpe_round_ctes(_BPE_N_MERGES)
+    + f""",
+    docwords AS (
+        SELECT doc_id, i, arr[i] AS w
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS arr
+              FROM documents),
+             LATERAL unnest(generate_series(1, len(arr))) AS g(i)
+        WHERE arr[i] <> ''
+    )
+    SELECT d.doc_id,
+           SUM(len(string_split(trim(v.enc, chr(1)), chr(1) || chr(1))))::BIGINT
+               AS n_tokens,
+           md5(string_agg(d.w || '</w>', '' ORDER BY d.i)) AS tokens_md5
+    FROM docwords d JOIN vocab_{_BPE_N_MERGES} v ON v.w = d.w
+    GROUP BY d.doc_id
+    """
+)
+
+
+@query("bpe_tokenize", _BPE_TOKENIZE_ORACLE)
 def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode the corpus under the learned merges (zero-shuffle Arrow map,
     merge ranks broadcast in the closure) — per-doc subword token counts,
-    the statistic sequence-packing and curriculum stages consume."""
+    the statistic sequence-packing and curriculum stages consume.  Oracle:
+    the final unrolled-vocab state IS each in-vocab word's greedy encoding
+    (see _BPE_TOKENIZE_ORACLE)."""
     from fusionspark.operators.bpe import bpe_encode
 
     d = load_table(spark, sf_dir, "documents")

@@ -16,10 +16,80 @@ from fusionspark.operators.embedder import embed_texts
 from fusionspark.queries import query
 
 
-@query("chunks_recursive")
+# T1 oracle: the separator CASCADE collapses on this corpus — documents.text
+# contains no '\n\n', '\n', or '. ' at any SF (verified 3 SFs), so levels
+# 1-3 of _splitRecursive are identity pass-throughs and the whole cascade
+# reduces to exactly two cases the SQL replays:
+#   * len(text) <= 192: ONE whole chunk — either the <=128 entry case
+#     (RAGPipeline.js:261) or the single level-1 chunk that fails the
+#     1.5x re-split test (:292);
+#   * len(text) > 192: the level-4 word fold (separator ' ', close when
+#     len(current+' '+word) > 128 with current non-empty, new current =
+#     last-20-chars-of-current + ' ' + word), replayed step-for-step with
+#     a recursive CTE like the T2/T3 oracles.  Unlike T2/T3 the reference
+#     fold does NOT trim emitted chunks (:275 pushes `current` raw).
+_CHUNKS_RECURSIVE_ORACLE = r"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id::VARCHAR AS doc_id, COALESCE(text, '') AS text
+        FROM documents
+    ),
+    whole AS (
+        SELECT doc_id, text AS chunk_text, 0::BIGINT AS pos
+        FROM base WHERE length(text) <= 192
+    ),
+    words AS (
+        SELECT doc_id, arr[pos] AS w, pos::BIGINT AS pos, len(arr)::BIGINT AS n
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr
+              FROM base WHERE length(text) > 192),
+             LATERAL unnest(generate_series(1, len(arr))) AS g(pos)
+    ),
+    fold AS (
+        SELECT doc_id, 0::BIGINT AS pos, MAX(n) AS n, '' AS current,
+               NULL::VARCHAR AS emitted
+        FROM words GROUP BY doc_id
+        UNION ALL
+        SELECT f.doc_id, w.pos, f.n,
+               CASE WHEN f.current = '' THEN w.w
+                    WHEN length(f.current || ' ' || w.w) > 128
+                    THEN substr(f.current,
+                                greatest(1, length(f.current) - 20 + 1))
+                         || ' ' || w.w
+                    ELSE f.current || ' ' || w.w
+               END AS current,
+               CASE WHEN f.current <> ''
+                         AND length(f.current || ' ' || w.w) > 128
+                    THEN f.current
+               END AS emitted
+        FROM fold f JOIN words w ON w.doc_id = f.doc_id AND w.pos = f.pos + 1
+    ),
+    closed AS (
+        SELECT doc_id, pos, emitted AS chunk_text
+        FROM fold WHERE emitted IS NOT NULL
+        UNION ALL
+        SELECT doc_id, pos + 1, current FROM fold
+        WHERE pos = n AND current <> ''
+        UNION ALL
+        SELECT doc_id, pos, chunk_text FROM whole
+    ),
+    idx AS (
+        SELECT doc_id, chunk_text,
+               (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1)::INT
+                   AS chunk_index,
+               COUNT(*) OVER (PARTITION BY doc_id)::INT AS total_chunks
+        FROM closed
+    )
+    SELECT doc_id, chunk_index, total_chunks,
+           length(chunk_text)::INT AS chunk_len
+    FROM idx
+    """
+
+
+@query("chunks_recursive", _CHUNKS_RECURSIVE_ORACLE)
 def chunks_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: recursive separator-cascade chunking (RAGPipeline.js:260-303);
-    chunk_size=128 forces the word-separator path on the ~300-char docs."""
+    chunk_size=128 forces the word-separator path on the ~300-char docs.
+    The oracle replays the fold (see _CHUNKS_RECURSIVE_ORACLE: the cascade
+    provably collapses to whole-doc / word-fold on this corpus)."""
     d = load_table(spark, sf_dir, "documents")
     ch = chunk_documents(d, "recursive", chunk_size=128, chunk_overlap=20)
     return ch.select(
