@@ -367,13 +367,16 @@ def simhash_bands(
     entries, lo = [], 0
     for b in range(n_bands):
         width = base + (1 if b < rem else 0)
+        # width == 64 (max_hamming=0, exact-dup banding): the full hash IS
+        # the band value — (1<<64)-1 would overflow the Java long literal
+        shifted = F.shiftright(F.col(hash_col), lo)
+        if width < 64:
+            shifted = shifted.bitwiseAND((1 << width) - 1)
         entries.append(
             F.struct(
                 F.lit(b).alias("band"),
                 # bits [lo, lo+width): literal shift counts per band
-                F.shiftright(F.col(hash_col), lo)
-                .bitwiseAND((1 << width) - 1)
-                .alias("band_val"),
+                shifted.alias("band_val"),
             )
         )
         lo += width

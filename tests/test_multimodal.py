@@ -190,6 +190,44 @@ def test_phash_neardup_matches_bruteforce(spark):
     assert got == expect and expect  # non-trivial: some pairs must exist
 
 
+def test_phash_neardup_across_codecs(spark):
+    """Cross-codec dedup (VERDICT r6 #7): the SAME plane encoded as a real
+    PNG and as a real baseline JPEG must hash identically after decode and
+    pair at hamming 0 — phash keys on pixels, not container bytes."""
+    import numpy as np
+
+    from fusionspark.operators.jpeg import jpeg_encode
+    from fusionspark.operators.multimodal import png_encode
+
+    w, h = 24, 16
+    # DC-only blocks → JPEG decode is bit-exact: block b is the constant
+    # pixel (17·b mod 255) + 1
+    n_blocks = (w // 8) * (h // 8)
+    qb = np.zeros((n_blocks, 8, 8), dtype=np.int64)
+    for b in range(n_blocks):
+        qb[b, 0, 0] = (17 * b % 255) - 127
+    plane = np.zeros((h, w), dtype=np.uint8)
+    for b in range(n_blocks):
+        y, x = (b // (w // 8)) * 8, (b % (w // 8)) * 8
+        plane[y : y + 8, x : x + 8] = (17 * b % 255) + 1
+
+    rows = [
+        (1, bytearray(png_encode(plane)), "image/png", w, h),
+        (2, bytearray(jpeg_encode(None, qblocks=qb, size=(w, h))), "image/jpeg", w, h),
+        # a third, unrelated image so the pair is selective, not vacuous
+        # (vertical flip: bright half moves top → the opposite phash)
+        (3, bytearray(png_encode(plane[::-1].copy())), "image/png", w, h),
+    ]
+    m = spark.createDataFrame(
+        rows, "media_id bigint, payload binary, mime string, width int, height int"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in MM.phash_neardup(m, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2): 0}
+
+
 def test_phash_neardup_plan_is_banded(spark):
     """The candidate join must be the banded equi-join — never a cartesian
     / broadcast-nested-loop pair explosion."""
