@@ -6,6 +6,9 @@ attested pipeline stages into ONE job a user actually runs.
       → quality ensemble vote                 (gopher ∧ c4 ∧ NB ∧ LM — the
                                                quality_consensus members)
       → exact dedup (content-hash keeper)     (dedup.exact_dedup semantics)
+      → MinHash near-dup (optional)           (dedup.minhash_neardup pairs →
+                                               connected components → keep
+                                               the min-id per cluster)
       → deterministic global shuffle          (md5 shard + in-shard order)
       → WebDataset tar shards + manifest      (packing.write_webdataset)
 
@@ -39,6 +42,7 @@ def export_training_corpus(
     nb_pos=None,
     nb_neg=None,
     token_shards_dir: str | None = None,
+    neardup_threshold: float | None = None,
 ) -> dict:
     """Run the full cleaning + packaging pipeline over `docs`
     (doc_id, text, source).  Returns {"funnel": {...stage counts...},
@@ -100,6 +104,26 @@ def export_training_corpus(
     )
     n_dedup = deduped.count()
 
+    # 3b. MinHash near-dup (optional): banded LSH pairs → connected
+    #     components over EDGE-INCIDENT nodes only → keep the min-id per
+    #     cluster.  Pairs and labels shuffle as ids; text never re-shuffles.
+    n_neardup = n_dedup
+    if neardup_threshold is not None:
+        from fusionspark.operators.dedup import connected_components, minhash_neardup
+
+        pairs = minhash_neardup(deduped, threshold=neardup_threshold).select(
+            "id_a", "id_b"
+        )
+        touched = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .union(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        labels = connected_components(pairs, touched)
+        drop = labels.filter(F.col("component") != F.col("doc_id")).select("doc_id")
+        deduped = deduped.join(drop, "doc_id", "left_anti")
+        n_neardup = deduped.count()
+
     # 4. deterministic global shuffle (resumable-loader contract)
     h = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
     sharded = deduped.select(
@@ -141,6 +165,7 @@ def export_training_corpus(
             "raw": n_raw,
             "after_quality": n_quality,
             "after_exact_dedup": n_dedup,
+            "after_neardup": n_neardup,
             "exported": sum(m["n_samples"] for m in manifest),
         },
         "manifest": [m.asDict() for m in sorted(manifest, key=lambda m: m["shard"])],

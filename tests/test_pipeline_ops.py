@@ -704,6 +704,27 @@ def test_export_training_corpus_end_to_end(spark, tmp_path):
         m["tar_md5"] for m in res2["manifest"]
     ]
 
+    # near-dup stage on: funnel stays monotone through the new stage and a
+    # crafted near-duplicate of a surviving doc is dropped (min-id keeper)
+    survivor = None
+    with tarfile.open(f"{out1}/shard-{res['manifest'][0]['shard']:05d}.tar") as tar:
+        name = tar.getnames()[0]
+        survivor = int(name.split(".")[0])
+    srow = docs.filter(F.col("doc_id") == survivor).first()
+    clone = spark.createDataFrame(
+        [(1_000_000 + survivor, srow["text"] + " extra", srow["source"])],
+        "doc_id long, text string, source string",
+    )
+    res3 = export_training_corpus(
+        spark, docs.union(clone), str(tmp_path / "corpus3"),
+        min_consensus=2, n_shards=4, neardup_threshold=0.5,
+    )
+    f3 = res3["funnel"]
+    assert f3["after_exact_dedup"] >= f3["after_neardup"] == f3["exported"]
+    # the clone differs by one word so exact dedup keeps it; minhash
+    # near-dup must drop it (it is never the min id of its cluster)
+    assert f3["after_neardup"] < f3["after_exact_dedup"]
+
 
 # ── unicode hygiene + entropy (round 6) ───────────────────────────────────
 
