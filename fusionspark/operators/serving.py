@@ -278,14 +278,23 @@ class ResidentIndex:
         if kind == "string":
             enc, decode = _encode_string_ids(corpus, id_col)
             block_id = "__rid64"
-            src = enc.select(block_id, vector_col, *attrs)
+            # original string ids ride in each block under __orig_id__ so
+            # pre_filter callbacks see the REAL ids, never the int64
+            # xxhash64 surrogates (which would silently match nothing)
+            src = enc.select(
+                block_id, vector_col, F.col(id_col).alias("__orig_id__"),
+                *attrs,
+            )
+            block_attrs = attrs + ("__orig_id__",)
         else:
             src = corpus.select(id_col, vector_col, *attrs)
+            block_attrs = attrs
 
         def to_blocks(it: Iterator) -> Iterator[tuple]:
             rows = list(it)
             if rows:
-                yield _block_of(rows, block_id, vector_col, metric, attrs)
+                yield _block_of(rows, block_id, vector_col, metric,
+                                block_attrs)
 
         rdd = src.rdd.mapPartitions(to_blocks).persist(StorageLevel.MEMORY_ONLY)
         rdd.count()  # materialize — build cost paid here, not on first search
@@ -318,7 +327,10 @@ class ResidentIndex:
         once, like the reference's in-process query arrays.  pre_filter —
         a callable (ids, attrs) -> bool mask applied INSIDE each block
         before scoring (V7 pre-filter semantics: excluded rows never take
-        a rank slot); attrs is the dict of build(attr_cols=...) arrays."""
+        a rank slot); attrs is the dict of build(attr_cols=...) arrays.
+        For string-keyed corpora `ids` is the array of ORIGINAL string
+        ids (the blocks carry them under attrs["__orig_id__"]), never the
+        int64 surrogates used internally for ranking."""
         from fusionspark.operators.knn import id_sql_type
 
         if merge == "tree" and pre_filter is not None:
@@ -352,8 +364,10 @@ class ResidentIndex:
         def kernel(it: Iterator[tuple]) -> Iterator[tuple]:
             for ids, M, extra in it:
                 if pre_filter is not None:
+                    ex = extra or {}
                     mask = np.asarray(
-                        pre_filter(ids, extra or {}), dtype=bool
+                        pre_filter(ex.get("__orig_id__", ids), ex),
+                        dtype=bool,
                     )
                     if not mask.any():
                         continue

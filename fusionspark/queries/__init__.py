@@ -27,39 +27,21 @@ def query(name: str, sql: str | None = None):
 
 # The grading driver attests registry entries in insertion order and caps
 # how many it checks per round (the first 50).  Names listed here are moved
-# to the FRONT of the registry.  Round 7 is the attestation-DRAIN round
-# (VERDICT r6 #1): the union of CORRECTNESS_r1-r6 covers 137 of the 224
-# oracle-backed queries; the 87 never-driver-attested entries rotate through
-# in two rounds (r7 takes the 50 below, r8 the remaining 37 + any query whose
-# code changes).  All are green in the local full gate (tools/check.py) at
-# 3 SFs.  Queries not listed keep their valid r1-r6 attestations.
+# to the FRONT of the registry.  Round 8 FINISHES the attestation drain
+# (VERDICT r7 #1): the union of CORRECTNESS_r1-r7 covers 190 of the 230
+# registered queries; the 50 below are the final 43 never-driver-attested
+# entries (40 oracle-backed + 3 rows-only by nature: compression_ratio has
+# no DuckDB zlib, image_features/image_resize use env-stubbed image fakes)
+# plus the 5 entries whose code changed after their last attestation
+# (serving.py pre_filter original-id fix -> ann_resident family;
+# dedup.py width-64 band fix landed r7 after simhash's r5 attestation ->
+# simhash_values/simhash_neardup, VERDICT r7 #6) and 2 warm flagship
+# slots.  All oracle-backed entries are green in the local full gate
+# (tools/check.py) at 3 SFs.  Queries not listed keep their valid r1-r7
+# attestations.  After this round every oracle-backed query in the
+# registry has a driver row.
 PRIORITY: list[str] = [
-    # ── r07 driver budget (first 50): never-attested backlog, newest-first
-    # (attestation risk), plus the two entries whose code changed this
-    # round (ann_sq8 id-type fix, phash_neardup JPEG-plane extension) ──
-    # session-5 additions: resident serving family, graph/series analytics
-    "ann_resident", "ann_ivf_resident", "ann_resident_filtered",
-    "ann_sq8",
-    "community_lpa", "edit_distance_join", "seasonal_decompose",
-    "changepoint_cusum", "k_anonymity", "autocorr_weekly",
-    "retrieval_eval", "filter_agreement", "nb_calibration",
-    "revenue_gini", "event_burstiness", "markov_stationary",
-    "mock_embeddings",
-    "weight_adjustment", "chunks_paragraph", "chunks_sentence",
-    # session-4 additions
-    "tfidf_pairs", "sessionize", "attribution_last_touch",
-    "ts_anomalies", "cooccurrence_types", "kcore_docs",
-    "ngram_novelty", "winsorize_values", "incremental_rollup",
-    "tpch_min_cost_supplier", "tpch_important_stock",
-    "neardup_containment", "audio_neardup",
-    "table_profile", "trend_daily_events", "ab_test_zscore", "cohort_weekly",
-    "geo_neighbors", "event_transitions",
-    "session_paths", "conversion_latency", "revenue_deciles",
-    "quality_percentile", "temperature_mix",
-    "paragraph_dedup", "nb_quality", "ann_pq", "ann_ivf_pq",
-    "phash_neardup", "png_resize",
-    # ── r08 rotation queue (the remaining 37 never-attested entries, plus
-    # any oracle newly added in r7 appended at the end) ──
+    # ── the final 43 never-attested entries ──
     "curriculum_shards", "lm_perplexity",
     "shuffle_shards", "quality_consensus", "tpch_local_supplier_volume",
     "length_quantiles", "events_type_pivot", "chat_lint",
@@ -73,25 +55,18 @@ PRIORITY: list[str] = [
     "fim_transform", "ccnet_buckets", "dedup_keep_best",
     "kmv_theta", "gap_fill", "events_interarrival", "graph_triangles",
     "gopher_lines",
-    # oracles ADDED in r7 (previously rows-only; local-gate green 3 SFs):
-    # chunks_recursive (collapsed-cascade CTE), bpe_merges/bpe_tokenize
-    # (unrolled merge rounds with replace()-replayed _merge_seq)
+    # oracles added in r7; chunks_recursive upgraded to a CONTENT hash
+    # this round (VERDICT r7 #5)
     "chunks_recursive", "bpe_merges", "bpe_tokenize",
-    # rows-only by design: DuckDB has no zlib (parity-tested instead)
-    "compression_ratio",
-    # earlier-round attestations kept warm
-    "dedup_clusters", "c4_filter", "hash_sample", "pack_sequences",
-    "pii_redact", "repetition_stats", "vocab_coverage",
-    "domain_mix", "contamination_check", "dedup_incremental",
-    "tpch_returned_items", "tpch_small_qty_revenue", "tpch_large_orders",
-    "message_deliveries", "messages_significant",
-    "neardup_ngram_lsh", "neardup_embedding_ivf",
-    "ann_ivf_distributed", "ann_ivf_filtered",
-    "dedup_minhash", "neardup_ngram", "merge_candidates",
-    "neardup_embedding",
-    "keyword_search", "keyword_index_search", "rrf_fusion",
-    "tree_reasoning_search",
+    # rows-only by nature (driver records the weaker check, documented)
+    "compression_ratio", "image_features", "image_resize",
+    # ── code changed after last attestation (VERDICT r7 #6) ──
+    "ann_resident", "ann_ivf_resident", "ann_resident_filtered",
+    "simhash_values", "simhash_neardup",
+    # ── warm flagship slots ──
+    "rrf_fusion", "knn_cosine",
 ]
+
 
 
 def load_all() -> None:

@@ -79,7 +79,8 @@ _CHUNKS_RECURSIVE_ORACLE = r"""
         FROM closed
     )
     SELECT doc_id, chunk_index, total_chunks,
-           length(chunk_text)::INT AS chunk_len
+           length(chunk_text)::INT AS chunk_len,
+           md5(chunk_text) AS chunk_md5
     FROM idx
     """
 
@@ -89,11 +90,16 @@ def chunks_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: recursive separator-cascade chunking (RAGPipeline.js:260-303);
     chunk_size=128 forces the word-separator path on the ~300-char docs.
     The oracle replays the fold (see _CHUNKS_RECURSIVE_ORACLE: the cascade
-    provably collapses to whole-doc / word-fold on this corpus)."""
+    provably collapses to whole-doc / word-fold on this corpus).  The
+    attestation covers chunk CONTENT (md5), not just lengths (VERDICT
+    r7 #5); the collapsed-cascade premise itself is enforced by
+    tests/test_chunking.py::test_corpus_has_no_higher_separators."""
     d = load_table(spark, sf_dir, "documents")
     ch = chunk_documents(d, "recursive", chunk_size=128, chunk_overlap=20)
     return ch.select(
-        "doc_id", "chunk_index", "total_chunks", F.length("chunk_text").alias("chunk_len")
+        "doc_id", "chunk_index", "total_chunks",
+        F.length("chunk_text").alias("chunk_len"),
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
     )
 
 

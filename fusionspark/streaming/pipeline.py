@@ -215,6 +215,11 @@ def maintain_rollup_stream(
         import shutil
 
         if os.path.exists(state_path):
+            # A crash after the tmp→state rename of a prior swap but before
+            # its rmtree leaves a completed-swap .old behind; since
+            # state_path exists it is safe (and required) to clear it, or
+            # the rename below fails ENOTEMPTY and wedges the stream.
+            shutil.rmtree(old, ignore_errors=True)
             os.rename(state_path, old)
         os.rename(tmp, state_path)
         shutil.rmtree(old, ignore_errors=True)

@@ -128,3 +128,25 @@ def test_chunk_udtf_matches_mapinpandas(spark, sf_dir):
     a = {(r["doc_id"], r["chunk_idx"]): r["chunk"] for r in via_udtf.collect()}
     b = {(int(r["doc_id"]), r["chunk_idx"]): r["chunk"] for r in via_map.collect()}
     assert a and a == b
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_corpus_has_no_higher_separators(sf):
+    """Enforce (not assume) the collapsed-cascade premise of the T1 DuckDB
+    oracle (_CHUNKS_RECURSIVE_ORACLE): documents.text contains no '\\n\\n',
+    '\\n', or '. ' at any SF, so _splitRecursive levels 1-3 are identity
+    pass-throughs and the SQL's two-case replay (whole-doc / word-fold) is
+    exhaustive.  If the driver ever regenerates testdata with multi-line
+    or sentence-ized documents, this fails BEFORE the oracle silently
+    diverges (VERDICT r7 #5)."""
+    import duckdb
+
+    path = f"/root/testdata/sf{sf}/documents.parquet"
+    n = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{path}')
+            WHERE text LIKE '%' || chr(10) || '%' OR text LIKE '%. %'"""
+    ).fetchone()[0]
+    assert n == 0, (
+        f"sf{sf}: {n} documents contain level-1/2/3 separators; the "
+        "chunks_recursive oracle's collapsed-cascade replay no longer holds"
+    )

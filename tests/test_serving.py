@@ -392,6 +392,45 @@ def test_pre_filter_matches_filtered_knn(spark, corpus, probes):
         idx.unpersist()
 
 
+def test_pre_filter_sees_original_string_ids(spark, corpus, probes):
+    """On a string-keyed corpus the pre_filter callback receives the
+    ORIGINAL string ids, not the int64 xxhash64 surrogates — an id-based
+    filter must select exactly the same rows as the equivalent attr-based
+    filter on the integer corpus."""
+    scorpus = corpus.select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    sprobes = probes.select(
+        F.concat(F.lit("p"), F.col("probe_id")).alias("probe_id"),
+        "probe_embedding",
+    )
+    keep = {f"v{i}" for i in range(4000) if i % 7 in (0, 2, 4)}
+    seen = []
+
+    def flt(ids, attrs):
+        seen.append(np.asarray(ids))
+        return np.isin(ids, list(keep))
+
+    idx = ResidentIndex.build(scorpus)
+    try:
+        got = _pairs(idx.search(sprobes, k=5, pre_filter=flt))
+        assert all(a.dtype.kind in ("U", "O") for a in seen)  # strings, not int64
+        assert {v for _, v, _ in got} <= keep  # filter actually applied
+        ref = _pairs(
+            knn(
+                scorpus.withColumn(
+                    "m",
+                    F.regexp_replace("vec_id", "^v", "").cast("long") % 7,
+                ),
+                sprobes, k=5, strategy="numpy",
+                pre_filter=F.col("m").isin(0, 2, 4),
+            )
+        )
+        _assert_tie_aware_match(got, ref)
+    finally:
+        idx.unpersist()
+
+
 def test_pre_filter_excluding_everything_returns_empty(spark, corpus, probes):
     idx = ResidentIndex.build(corpus)
     try:

@@ -554,3 +554,46 @@ def test_rollup_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(state).collect()
     )
     assert recovered == before
+
+    # second crash window: a crash AFTER the tmp→state rename but BEFORE
+    # the .old cleanup leaves a stale non-empty .old while state_path
+    # exists — the next merging batch must clear it before swapping
+    # (pre-fix: os.rename(state_path, old) raised ENOTEMPTY and the
+    # stream failed permanently)
+    import shutil
+
+    shutil.copytree(state, state + ".old")
+    with open(marker, "w") as fh:
+        fh.write("-1")  # make batch 0 of a fresh checkpoint a real merge
+    src3 = tmp_path / "src3"
+    extra = src_batch.limit(5)
+    extra.write.parquet(str(src3))
+    q4 = maintain_rollup_stream(
+        spark.readStream.schema(ev.schema).parquet(str(src3)),
+        state,
+        str(tmp_path / "ck4"),
+    )
+    q4.awaitTermination(120)
+    assert not os.path.exists(state + ".old")
+    merged = {
+        r.user_id: (r.n, r.s, r.mn, r.mx)
+        for r in spark.read.parquet(state).collect()
+    }
+    expect = {
+        r.user_id: (r.n, r.s, r.mn, r.mx)
+        for r in src_batch.unionAll(extra)
+        .select(
+            "user_id",
+            F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("val_u"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("val_u").alias("s"),
+            F.min("ts_us").alias("mn"),
+            F.max("ts_us").alias("mx"),
+        )
+        .collect()
+    }
+    assert merged == expect
