@@ -63,3 +63,63 @@ def test_adaptive_weights_sum_to_one(spark, sf_dir):
     df = learning.adaptive_weights(FX.feedback_df(spark, sf_dir))
     sums = df.groupBy("pattern").agg(F.sum("weight").alias("s")).collect()
     assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+
+
+def test_unbounded_fold_replays_full_history(spark):
+    """ring=None is the parity escape hatch for the reference's UNBOUNDED
+    fold (RecursiveLearningEngine.js:747-770 iterates every stored
+    feedback): on a 150-row history it must equal a pure-Python replay of
+    all 150 rows and differ from the FEEDBACK_RING(100)-bounded fold,
+    which by construction replays only the last 100 (VERDICT r7 #7 /
+    COVERAGE.md A13)."""
+    import itertools
+
+    seq = [
+        ("vector", 0.8), ("keyword", 0.1), ("tree", 0.9), ("hybrid", 0.75),
+        ("vector", 0.2), ("keyword", 0.95),
+    ]
+    rows = list(itertools.islice(itertools.cycle(seq), 150))
+    fb = _fb_rows(spark, rows)
+
+    def replay(history):
+        w = {"vector": 0.4, "tree": 0.4, "keyword": 0.2}
+        alpha = 0.1
+        for strategy, q in history:
+            if q > 0.7:
+                if strategy in ("vector", "hybrid"):
+                    w["vector"] = min(0.8, w["vector"] + alpha * q)
+                if strategy in ("tree", "hybrid"):
+                    w["tree"] = min(0.8, w["tree"] + alpha * q)
+                if strategy in ("keyword", "hybrid"):
+                    w["keyword"] = min(0.5, w["keyword"] + alpha * q * 0.5)
+            elif q < 0.3:
+                if strategy == "vector":
+                    w["vector"] = max(0.1, w["vector"] - alpha)
+                elif strategy == "tree":
+                    w["tree"] = max(0.1, w["tree"] - alpha)
+                elif strategy == "keyword":
+                    w["keyword"] = max(0.05, w["keyword"] - alpha)
+            total = w["vector"] + w["tree"] + w["keyword"]
+            if total > 0:
+                w = {k: v / total for k, v in w.items()}
+        return w
+
+    unbounded = learning.adjust_strategy_weights(fb).collect()[0]
+    expect_all = replay(rows)
+    for key, col in (("vector", "w_vector"), ("tree", "w_tree"),
+                     ("keyword", "w_keyword")):
+        assert abs(unbounded[col] - expect_all[key]) < 1e-9
+    assert unbounded["n_feedback"] == 150
+
+    ringed = learning.adjust_strategy_weights(
+        fb, ring=learning.FEEDBACK_RING
+    ).collect()[0]
+    expect_ring = replay(rows[-learning.FEEDBACK_RING:])
+    for key, col in (("vector", "w_vector"), ("tree", "w_tree"),
+                     ("keyword", "w_keyword")):
+        assert abs(ringed[col] - expect_ring[key]) < 1e-9
+    assert ringed["n_feedback"] == learning.FEEDBACK_RING
+    assert any(
+        abs(unbounded[c] - ringed[c]) > 1e-12
+        for c in ("w_vector", "w_tree", "w_keyword")
+    )
