@@ -343,6 +343,12 @@ def bench_queries(spark):
         "ts_anomalies",
         "kcore_docs",
         "ngram_novelty",
+        # round 8: families newly driver-attested this round — measured so
+        # BENCH history starts the same round their correctness row does
+        "semdedup",
+        "cdc_apply",
+        "zorder_pruning",
+        "ann_matryoshka",
     ]
     out = {
         "knn_batch64": knn_batch,
