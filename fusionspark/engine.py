@@ -80,6 +80,9 @@ class FusionSparkEngine:
         if os.path.exists(self._catalog_path):
             with open(self._catalog_path) as f:
                 self._catalog = json.load(f)
+        # collection -> {"idx": ResidentIndex, "at_mutation": int};
+        # process-local by design (like the reference's in-memory graph)
+        self._resident: dict[str, dict] = {}
 
     # ── collections (S1-S6) ───────────────────────────────────────────────
 
@@ -363,6 +366,54 @@ class FusionSparkEngine:
         idx = cfg.get("index")
         return bool(idx) and idx["at_mutation"] == cfg.get("mutations", 0)
 
+    # ── resident serving (build once, search many) ────────────────────────
+
+    def load_resident(self, collection: str) -> dict:
+        """Build (or rebuild) the in-memory resident block index for the
+        collection — the serving analogue of the reference holding its HNSW
+        graph in process for the engine's lifetime (HNSWIndex.js:245-320):
+        build once, then search(resident=True) scores cached numpy blocks
+        instead of scanning the table per query.  tenant_id/ts/ttl_ms/
+        metadata are materialized into the blocks, so the resident path
+        applies the SAME pre-filter semantics as the exact path (V7),
+        inside each block.  Any mutation bumps cfg['mutations']; a stale
+        resident index falls back to exact at search time — never a silent
+        wrong answer.  Note: ids are namespaced per tenant, so one id may
+        legitimately appear on several rows; the resident path returns
+        each matching row, exactly like the exact scan."""
+        from fusionspark.operators.serving import ResidentIndex
+
+        cfg = self._catalog[collection]
+        idx = ResidentIndex.build(
+            self._load(collection), id_col="id", vector_col="vector",
+            metric=cfg["metric"],
+            attr_cols=("tenant_id", "ts", "ttl_ms", "metadata"),
+        )
+        old = self._resident.pop(collection, None)
+        if old is not None:
+            old["idx"].unpersist()
+        self._resident[collection] = {
+            "idx": idx,
+            "at_mutation": cfg.get("mutations", 0),
+        }
+        return {
+            "collection": collection,
+            "blocks": sum(p.getNumPartitions() for p in idx._parts),
+            "at_mutation": cfg.get("mutations", 0),
+        }
+
+    def unload_resident(self, collection: str) -> None:
+        """Release the collection's resident blocks (no-op if not loaded)."""
+        ent = self._resident.pop(collection, None)
+        if ent is not None:
+            ent["idx"].unpersist()
+
+    def _resident_fresh(self, collection: str, cfg: dict):
+        ent = self._resident.get(collection)
+        if ent is not None and ent["at_mutation"] == cfg.get("mutations", 0):
+            return ent["idx"]
+        return None
+
     # ── manifest-mode maintenance ─────────────────────────────────────────
 
     def vacuum(self, collection: str, keep_versions: int = 1) -> int:
@@ -397,12 +448,15 @@ class FusionSparkEngine:
         metadata_filter: dict | None = None,
         approximate: bool = False,
         n_probe: int = 8,
+        resident: bool = False,
     ) -> list[dict]:
         """§3.1: exact top-k with PRE-filtering (better recall than the
         reference's post-filter, SURVEY V7).  approximate=True searches a
         fresh build_index() IVF layout instead (partition-pruned scan, same
-        pre-filter semantics); a stale or missing index falls back to
-        exact — never a silent wrong answer."""
+        pre-filter semantics); resident=True searches a fresh
+        load_resident() block index (exact distances, no per-query table
+        scan — the serve-many path).  A stale or missing index either way
+        falls back to exact — never a silent wrong answer."""
         cfg = self._catalog[collection]
         if query_vector is None:
             query_vector = self.embedder(query_text or "", cfg["dimensions"])
@@ -433,6 +487,48 @@ class FusionSparkEngine:
             [("q0", [float(x) for x in query_vector])],
             "probe_id: string, probe_embedding: array<float>",
         )
+        if resident:
+            ridx = self._resident_fresh(collection, cfg)
+            if ridx is not None:
+                import numpy as np
+
+                now = int(time.time() * 1000)
+                mf = metadata_filter or {}
+
+                def pre(ids, attrs):
+                    ts = np.asarray(attrs["ts"], dtype=np.int64)
+                    ttl = np.asarray(attrs["ttl_ms"], dtype=np.int64)
+                    mask = (ttl == 0) | (now - ts < ttl)
+                    if tenant_id is not None:
+                        mask &= np.asarray(
+                            [t == tenant_id for t in attrs["tenant_id"]]
+                        )
+                    for mk, mv in mf.items():
+                        if isinstance(mv, (list, tuple)):
+                            allowed = {str(x) for x in mv}
+                            mask &= np.asarray(
+                                [(m or {}).get(mk) in allowed
+                                 for m in attrs["metadata"]]
+                            )
+                        else:
+                            mask &= np.asarray(
+                                [(m or {}).get(mk) == str(mv)
+                                 for m in attrs["metadata"]]
+                            )
+                    return mask
+
+                out = ridx.search(
+                    probes, k=top_k, pre_filter=pre, merge="driver"
+                )
+                # the string-id decode join loses row order; rank carries it
+                return sorted(
+                    (
+                        {"id": r["id"], "score": r["score"],
+                         "distance": r["distance"], "rank": r["rank"]}
+                        for r in out.collect()
+                    ),
+                    key=lambda h: h["rank"],
+                )
         if approximate and cfg["metric"] == "cosine" and self._index_fresh(cfg):
             from fusionspark.operators.ann import ivf_search_persisted
 

@@ -97,7 +97,9 @@ def _encode_string_ids(corpus: DataFrame, id_col: str):
             f"xxhash64 collision among {stats['n_ids']} string ids in "
             f"{id_col!r}; resident serving cannot dict-encode this corpus"
         )
-    return enc, enc.select("__rid64", id_col)
+    # distinct: duplicate ids are legal corpus rows (e.g. the engine's
+    # per-tenant id namespaces) and must not multiply decode-join results
+    return enc, enc.select("__rid64", id_col).distinct()
 
 
 def _block_of(rows: list, id_name: str, vec_name: str, metric: str,

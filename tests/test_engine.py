@@ -406,3 +406,60 @@ def test_build_index_pq_and_adc_search(engine, spark):
     for r in sorted(out.collect(), key=lambda r: (r["probe_id"], r["rnk"])):
         ga.setdefault(r["probe_id"], []).append(r["id"])
     assert ga == ge  # refine is exact; candidates cover the separated clusters
+
+
+def test_resident_search_matches_exact(engine):
+    """load_resident → search(resident=True): exact parity with the scan
+    path under tenant + metadata + TTL pre-filters, and the per-tenant id
+    namespace (duplicate ids across tenants) must not multiply results."""
+    import time as _time
+
+    engine.create_collection("r", CollectionConfig(dimensions=4))
+    engine.insert("r", [
+        {"id": "a", "vector": [1, 0, 0, 0], "metadata": {"cat": "x"}},
+        {"id": "b", "vector": [0.9, 0.1, 0, 0], "metadata": {"cat": "y"}},
+        {"id": "c", "vector": [0.8, 0.2, 0, 0], "metadata": {"cat": "x"}},
+    ], tenant_id="t1")
+    # same id "a" under ANOTHER tenant: legal namespace duplicate
+    engine.insert("r", [{"id": "a", "vector": [0, 1, 0, 0]}], tenant_id="t2")
+    # expired row: must be invisible on both paths
+    engine.insert("r", [{"id": "z", "vector": [1, 0, 0, 0],
+                         "ts": int(_time.time() * 1000) - 10_000,
+                         "ttl_ms": 1}], tenant_id="t1")
+
+    stats = engine.load_resident("r")
+    assert stats["blocks"] >= 1
+
+    for kw in (
+        {"tenant_id": "t1"},
+        {"tenant_id": "t1", "metadata_filter": {"cat": "x"}},
+        {},
+    ):
+        exact = engine.search("r", query_vector=[1, 0, 0, 0], top_k=10, **kw)
+        res = engine.search(
+            "r", query_vector=[1, 0, 0, 0], top_k=10, resident=True, **kw
+        )
+        assert [h["id"] for h in res] == [h["id"] for h in exact]
+        for e, g in zip(exact, res):
+            assert abs(e["score"] - g["score"]) < 1e-9
+    assert all(h["id"] != "z" for h in engine.search(
+        "r", query_vector=[1, 0, 0, 0], top_k=10, resident=True
+    ))
+
+
+def test_resident_stale_falls_back_to_exact(engine):
+    """A mutation after load_resident makes the resident index stale: the
+    search must transparently use the exact path (new row visible), never
+    the stale blocks."""
+    engine.create_collection("s", CollectionConfig(dimensions=4))
+    engine.insert("s", [{"id": "a", "vector": [1, 0, 0, 0]}])
+    engine.load_resident("s")
+    engine.insert("s", [{"id": "b", "vector": [1, 0, 0, 0]}])  # bumps mutations
+    hits = engine.search("s", query_vector=[1, 0, 0, 0], top_k=5, resident=True)
+    assert {h["id"] for h in hits} == {"a", "b"}
+    # rebuild picks the new row up on the resident path proper
+    engine.load_resident("s")
+    hits2 = engine.search("s", query_vector=[1, 0, 0, 0], top_k=5, resident=True)
+    assert {h["id"] for h in hits2} == {"a", "b"}
+    engine.unload_resident("s")
+    engine.unload_resident("s")  # idempotent
