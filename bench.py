@@ -553,6 +553,13 @@ def main() -> None:
                 "and unpersists before the recall curves"
             ),
             "single_run_entries": sorted(SINGLE_RUN),
+            "suite_total_r8": (
+                "the r8 suite total grew ~120s over r7 from NEW entries "
+                "(knn_1m_scan_x10 ~89s as the amortization control, "
+                "knn_1m_resident_x10 ~19s, corpus_pipeline_e2e ~13s, 4 "
+                "newly-attested picks) — compare per-entry medians across "
+                "rounds, not totals"
+            ),
             "knn_1m_resident_x10": (
                 "amortized build-once/search-many contract: 10 consecutive "
                 "1000-probe searches on the prebuilt 1M resident index vs "
