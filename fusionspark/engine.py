@@ -576,8 +576,27 @@ class FusionSparkEngine:
         method="ivf" = distributed pruned-list exact rerank;
         method="ivf_pq" = ADC over the persisted m-byte codes with
         tie-kept exact refine of the top `refine_r` (needs
-        build_index(pq=True))."""
+        build_index(pq=True)).
+        method="resident" (with approximate=False) = exact search over a
+        fresh load_resident() block index — the serve-many path that skips
+        the per-batch table scan; a stale or missing resident index raises
+        for the same no-silent-fallback reason."""
         cfg = self._catalog[collection]
+        if method == "resident":
+            if approximate:
+                raise ValueError("method='resident' is an exact path")
+            ridx = self._resident_fresh(collection, cfg)
+            if ridx is None:
+                raise ValueError(
+                    f"resident index for {collection!r} is stale or "
+                    "missing; call load_resident() first (batch search "
+                    "will not silently fall back to an exact scan)"
+                )
+            return ridx.search(
+                probes, k=top_k,
+                probe_id_col=probe_id_col,
+                probe_vector_col=probe_vector_col,
+            )
         if approximate:
             if cfg["metric"] != "cosine":
                 raise ValueError("approximate batch search is cosine-only")

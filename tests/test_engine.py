@@ -463,3 +463,43 @@ def test_resident_stale_falls_back_to_exact(engine):
     assert {h["id"] for h in hits2} == {"a", "b"}
     engine.unload_resident("s")
     engine.unload_resident("s")  # idempotent
+
+
+def test_search_many_resident_parity(engine, spark):
+    """search_many(method='resident') == the exact batch path row-for-row
+    (same ids and scores per rank), and raises on a stale/missing index."""
+    import pytest as _pytest
+
+    import math
+
+    engine.create_collection("bm", CollectionConfig(dimensions=4))
+    # tie-free vectors: boundary ties on a string-keyed resident corpus
+    # legally break on surrogate order (documented deviation), so parity
+    # is asserted on a corpus with distinct similarities
+    engine.insert("bm", [
+        {"id": f"v{i}",
+         "vector": [math.sin(i + 1), math.cos(2 * i + 1), 1.0, 0.0]}
+        for i in range(40)
+    ])
+    probes = spark.createDataFrame(
+        [("p0", [1.0, 0.0, 1.0, 0.0]), ("p1", [4.0, 2.0, 1.0, 0.0])],
+        "probe_id: string, probe_embedding: array<float>",
+    )
+    with _pytest.raises(ValueError, match="stale or missing"):
+        engine.search_many("bm", probes, method="resident")
+    engine.load_resident("bm")
+    res = {
+        (r["probe_id"], r["rank"]): (r["id"], r["score"])
+        for r in engine.search_many("bm", probes, top_k=5,
+                                    method="resident").collect()
+    }
+    exact = {
+        (r["probe_id"], r["rank"]): (r["id"], r["score"])
+        for r in engine.search_many("bm", probes, top_k=5).collect()
+    }
+    assert res.keys() == exact.keys()
+    for key, (i, s) in exact.items():
+        assert res[key][0] == i
+        assert abs(res[key][1] - s) < 1e-9
+    with _pytest.raises(ValueError, match="exact path"):
+        engine.search_many("bm", probes, method="resident", approximate=True)
