@@ -211,8 +211,13 @@ def bench_queries(spark):
         )
         out = tempfile.mkdtemp(prefix="fusionspark-corpus-e2e-")
         try:
+            # min_consensus=1: on this synthetic corpus the strict 3-of-4
+            # vote keeps ZERO docs (gopher/c4 length+punctuation rules all
+            # fail the flat ~300-char texts), which would make the
+            # downstream dedup/shard/export stages a hollow no-op; 1-of-4
+            # keeps ~54%, so every stage processes real volume
             res = export_training_corpus(
-                spark, docs, out, neardup_threshold=0.8
+                spark, docs, out, min_consensus=1, neardup_threshold=0.8
             )
         finally:
             shutil.rmtree(out, ignore_errors=True)
