@@ -440,3 +440,60 @@ def test_pre_filter_excluding_everything_returns_empty(spark, corpus, probes):
         assert out.count() == 0
     finally:
         idx.unpersist()
+
+
+def test_tiled_kernel_multi_strip_matches_single_shot(spark):
+    """Blocks larger than TILE_ROWS run the strip loop (the 1M serving
+    shape); a 1-partition 10k-row corpus (3 strips) must match knn()
+    exactly, including k > TILE_ROWS where every strip keeps ALL its rows
+    and the merge does the real work."""
+    corpus = (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: F.sin((F.col("id") + 1) * i).cast("float"),
+            ).alias("embedding"),
+        )
+        .coalesce(1)
+    )
+    probes = self_probes(corpus, 7)
+    idx = ResidentIndex.build(corpus)
+    try:
+        assert idx.rdd.getNumPartitions() == 1  # one 10k block → 3 strips
+        for k in (10, 5000):  # k < strip AND k spanning multiple strips
+            got = _pairs(idx.search(probes, k=k))
+            ref = _pairs(knn(corpus, probes, k=k, strategy="numpy"))
+            assert got.keys() == ref.keys()
+            for key, d in ref.items():
+                assert got[key] == pytest.approx(d, abs=1e-9)
+    finally:
+        idx.unpersist()
+
+
+def test_tiled_kernel_euclidean_strip_slicing(spark):
+    """The euclidean path slices __sqnorm__ per strip — a multi-strip
+    block must still produce exact distances (a mis-sliced norm vector
+    would corrupt every strip after the first)."""
+    corpus = (
+        spark.range(9_000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(6)),
+                lambda i: (F.col("id") % (i * 7 + 3)).cast("float"),
+            ).alias("embedding"),
+        )
+        .coalesce(1)
+    )
+    probes = self_probes(corpus, 5)
+    idx = ResidentIndex.build(corpus, metric="euclidean")
+    try:
+        got = _pairs(idx.search(probes, k=8))
+        ref = _pairs(knn(corpus, probes, k=8, metric="euclidean",
+                         strategy="numpy"))
+        # modular vectors duplicate heavily → compare tie-aware
+        _assert_tie_aware_match(got, ref)
+    finally:
+        idx.unpersist()
