@@ -68,6 +68,7 @@ class Router:
                     metadata_filter=body.get("filter"),
                     approximate=bool(body.get("approximate", False)),
                     n_probe=int(body.get("nProbe", 8)),
+                    resident=bool(body.get("resident", False)),
                 )
                 return 200, hits
             if path == "/api/index/build" and method == "POST":
@@ -78,6 +79,11 @@ class Router:
                     ),
                 )
                 return 201, info
+            if path == "/api/index/resident" and method == "POST":
+                return 201, self.engine.load_resident(body["collection"])
+            if path == "/api/index/resident" and method == "DELETE":
+                self.engine.unload_resident(body["collection"])
+                return 200, {"unloaded": body["collection"]}
             if path == "/api/hybrid-search" and method == "POST":
                 return 200, self.engine.retrieve(
                     body["collection"], body["query"], top_k=int(body.get("topK", 10))
@@ -176,7 +182,13 @@ class Router:
                     tenant_id=a.get("tenantId"), metadata_filter=a.get("filter"),
                     approximate=bool(a.get("approximate", False)),
                     n_probe=int(a.get("nProbe", 8)),
+                    resident=bool(a.get("resident", False)),
                 ),
+            ),
+            "fusionspark_load_resident": (
+                "Build the in-memory resident serving index for a "
+                "collection (search with resident=true afterwards).",
+                lambda a: e.load_resident(a["collection"]),
             ),
             "fusionspark_build_index": (
                 "Build/refresh the IVF index for approximate search.",
@@ -260,6 +272,7 @@ class Router:
                 "filter": {"type": "object"},
                 "tenantId": {"type": "string"},
                 "approximate": {"type": "boolean"},
+                "resident": {"type": "boolean"},
                 "nProbe": {"type": "number"},
             },
             "required": ["collection", "query"],
@@ -270,6 +283,11 @@ class Router:
                 "collection": {"type": "string"},
                 "nCentroids": {"type": "number"},
             },
+            "required": ["collection"],
+        },
+        "fusionspark_load_resident": {
+            "type": "object",
+            "properties": {"collection": {"type": "string"}},
             "required": ["collection"],
         },
         "fusionspark_hybrid_search": {

@@ -201,3 +201,33 @@ def test_index_build_and_approximate_search_routes(srv_engine):
     # every tool still publishes an input schema in the manifest
     for t in r.tool_manifest()["tools"]:
         assert t["inputSchema"]["type"] == "object"
+
+
+def test_resident_routes_and_tool(srv_engine):
+    """Round 8: /api/index/resident (load + unload) and resident search
+    over REST and the fusionspark_load_resident tool — results must match
+    the exact path on the same query."""
+    r = Router(srv_engine)
+    r.route("POST", "/api/collections", {"name": "rs", "dimensions": 8})
+    for i in range(10):
+        r.route("POST", "/api/insert", {
+            "collection": "rs", "id": f"d{i}", "text": f"topic {i % 3} doc {i}",
+        })
+    status, info = r.route("POST", "/api/index/resident", {"collection": "rs"})
+    assert status == 201 and info["blocks"] >= 1
+
+    q = {"collection": "rs", "query": "topic 1 doc 4", "topK": 3}
+    s1, exact = r.route("POST", "/api/search", dict(q))
+    s2, res = r.route("POST", "/api/search", dict(q, resident=True))
+    assert s1 == s2 == 200
+    assert [h["id"] for h in res] == [h["id"] for h in exact]
+
+    out = r.call_tool("fusionspark_load_resident", {"collection": "rs"})
+    assert out["result"]["blocks"] >= 1
+    status, gone = r.route("DELETE", "/api/index/resident", {"collection": "rs"})
+    assert status == 200 and gone["unloaded"] == "rs"
+    # after unload the resident flag quietly uses the exact path
+    s3, res2 = r.route("POST", "/api/search", dict(q, resident=True))
+    assert s3 == 200 and [h["id"] for h in res2] == [h["id"] for h in exact]
+    for t in r.tool_manifest()["tools"]:
+        assert t["inputSchema"]["type"] == "object"
