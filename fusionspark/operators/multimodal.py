@@ -24,6 +24,7 @@ Design rules at 100 TB:
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from typing import Iterator
 
@@ -397,12 +398,23 @@ def image_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame
                 else:
                     plane = _fake_decode(payload, w, h)
                 small = plane[: 8 * (plane.shape[0] // 8) or 8, : 8 * (plane.shape[1] // 8) or 8]
-                mean = float(plane.mean())
-                bits = (small.astype(np.float64).reshape(8, -1).mean(axis=1) > mean)
+                # stats from EXACT integer moments (one float division /
+                # sqrt at the end): engine-replayable bit-for-bit, where
+                # np.mean/np.std pairwise float sums are ulp-order-
+                # dependent and no SQL oracle could reproduce them
+                n = plane.size
+                s1 = int(plane.sum(dtype=np.int64))
+                s2 = int((plane.astype(np.int64) ** 2).sum())
+                mean = s1 / n
+                var = max(0.0, s2 / n - mean * mean)
+                gs = small.astype(np.int64).reshape(8, -1)
+                bits = [
+                    (int(g.sum()) / g.size) > mean for g in gs
+                ]
                 ahash = int(sum(int(b) << i for i, b in enumerate(bits)))
                 out["media_id"].append(mid)
                 out["mean_intensity"].append(mean)
-                out["std_intensity"].append(float(plane.std()))
+                out["std_intensity"].append(math.sqrt(var))
                 out["ahash"].append(ahash)
             yield pd.DataFrame(out)
 

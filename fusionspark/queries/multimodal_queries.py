@@ -172,9 +172,62 @@ def phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.phash_neardup(mixed, max_hamming=4)
 
 
-@query("image_features")
+# image_features oracle: the stub decode is md5-seeded arithmetic, so the
+# whole pixel law replays in SQL — payload byte j = digest[j mod 16]
+# (synth_media tiles the 16-byte md5('media:'||doc_id) digest to length
+# L = 64 + doc_id%129), and _fake_decode re-tiles the payload into a
+# (h, w) plane with w,h ∈ {16,32}: pix(i) = digest[(i mod L) mod 16].
+# Every divisor (w·h ∈ {256,512,1024}, group size w·h/8) is a POWER OF
+# TWO, so mean / group-mean divisions are exact in both engines and the
+# strict ahash comparisons are bit-identical; the kernel computes stats
+# from the same exact integer moments (one division + sqrt at the end).
+_IMAGE_FEATURES_ORACLE = """
+    WITH imgs AS (
+        SELECT doc_id AS media_id,
+               md5('media:' || doc_id::VARCHAR) AS hx,
+               64 + doc_id % 129 AS L,
+               CASE WHEN doc_id % 64 = 0 THEN 16 ELSE 32 END AS w,
+               CASE WHEN doc_id % 48 = 0 THEN 16 ELSE 32 END AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    pix AS (
+        SELECT media_id, w, h,
+               ((g.i // w) // (h // 8)) AS grp,
+               16 * (ascii(substr(hx, 2*((g.i % L) % 16) + 1, 1))
+                     - CASE WHEN substr(hx, 2*((g.i % L) % 16) + 1, 1) >= 'a'
+                            THEN 87 ELSE 48 END)
+               + (ascii(substr(hx, 2*((g.i % L) % 16) + 2, 1))
+                     - CASE WHEN substr(hx, 2*((g.i % L) % 16) + 2, 1) >= 'a'
+                            THEN 87 ELSE 48 END) AS v
+        FROM imgs, LATERAL unnest(generate_series(0, w*h - 1)) AS g(i)
+    ),
+    stats AS (
+        SELECT media_id, SUM(v)::BIGINT AS s1, SUM(v*v)::BIGINT AS s2,
+               COUNT(*)::BIGINT AS n
+        FROM pix GROUP BY media_id
+    ),
+    grps AS (
+        SELECT media_id, grp, SUM(v)::BIGINT AS gs, COUNT(*)::BIGINT AS gn
+        FROM pix GROUP BY media_id, grp
+    )
+    SELECT s.media_id,
+           ROUND(s.s1::DOUBLE / s.n, 6) AS mean_intensity,
+           ROUND(sqrt(greatest(0.0,
+               s.s2::DOUBLE / s.n
+               - (s.s1::DOUBLE / s.n) * (s.s1::DOUBLE / s.n))), 6)
+               AS std_intensity,
+           SUM(CASE WHEN g.gs::DOUBLE / g.gn > s.s1::DOUBLE / s.n
+                    THEN 1 << g.grp ELSE 0 END)::BIGINT AS ahash
+    FROM stats s JOIN grps g USING (media_id)
+    GROUP BY s.media_id, s.s1, s.s2, s.n
+    """
+
+
+@query("image_features", _IMAGE_FEATURES_ORACLE)
 def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode(stub) → features; rows-only (codec output isn't SQL)."""
+    """Decode(stub) → features.  [R]→[Q] in r8: the oracle replays the
+    md5-seeded pixel law and the exact-integer-moment stats (see
+    _IMAGE_FEATURES_ORACLE); the real-codec twin stays `jpeg_features`."""
     m = MM.synth_media(spark, sf_dir)
     feats = MM.image_features(m)
     return feats.select(
@@ -185,13 +238,68 @@ def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("image_resize")
+# image_resize oracle: block-mean 8×8 downsample of the same md5-seeded
+# plane.  Block row = (r·8)//h, block col = (c·8)//w (exact linspace cuts
+# since h,w ∈ {16,32}); block sizes are powers of two (4/8/16 px), so the
+# kernel's np.uint8(block.mean()) truncation == floor(exact SQL AVG) with
+# no float ambiguity.  The checksum position-weights every output pixel,
+# so any misplaced or miscomputed byte fails the hash.
+_IMAGE_RESIZE_ORACLE = """
+    WITH imgs AS (
+        SELECT doc_id AS media_id,
+               md5('media:' || doc_id::VARCHAR) AS hx,
+               64 + doc_id % 129 AS L,
+               CASE WHEN doc_id % 64 = 0 THEN 16 ELSE 32 END AS w,
+               CASE WHEN doc_id % 48 = 0 THEN 16 ELSE 32 END AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    pix AS (
+        SELECT media_id,
+               ((g.i // w) * 8 // h) * 8 + ((g.i % w) * 8 // w) AS p,
+               16 * (ascii(substr(hx, 2*((g.i % L) % 16) + 1, 1))
+                     - CASE WHEN substr(hx, 2*((g.i % L) % 16) + 1, 1) >= 'a'
+                            THEN 87 ELSE 48 END)
+               + (ascii(substr(hx, 2*((g.i % L) % 16) + 2, 1))
+                     - CASE WHEN substr(hx, 2*((g.i % L) % 16) + 2, 1) >= 'a'
+                            THEN 87 ELSE 48 END) AS v
+        FROM imgs, LATERAL unnest(generate_series(0, w*h - 1)) AS g(i)
+    ),
+    res AS (
+        SELECT media_id, p, floor(AVG(v))::BIGINT AS rv
+        FROM pix GROUP BY media_id, p
+    )
+    SELECT media_id,
+           64::INT AS n_bytes, 8::INT AS out_width, 8::INT AS out_height,
+           SUM(rv * (p + 1))::BIGINT AS pix_checksum,
+           ROUND(SUM(rv)::DOUBLE / 64, 6) AS mean_resized
+    FROM res GROUP BY media_id
+    """
+
+
+@query("image_resize", _IMAGE_RESIZE_ORACLE)
 def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize kernel shape contract; rows-only."""
+    """Resize kernel: shape contract + CONTENT attestation ([R]→[Q] in
+    r8).  The checksum/mean columns are derived from the resized BINARY
+    with SQL byte extraction (independent of the Python kernel that
+    produced it); the oracle recomputes both from the pixel law."""
     m = MM.synth_media(spark, sf_dir)
     res = MM.resize_images(m, target=(8, 8))
+    byte_p = "cast(conv(hex(substring(resized, p + 1, 1)), 16, 10) as long)"
     return res.select(
-        "media_id", F.length("resized").alias("n_bytes"), "out_width", "out_height"
+        "media_id",
+        F.length("resized").alias("n_bytes"),
+        "out_width",
+        "out_height",
+        F.expr(
+            f"aggregate(sequence(0, 63), 0L, (acc, p) -> acc + {byte_p} * (p + 1))"
+        ).alias("pix_checksum"),
+        F.round(
+            F.expr(
+                f"aggregate(sequence(0, 63), 0L, (acc, p) -> acc + {byte_p})"
+            )
+            / F.lit(64.0),
+            6,
+        ).alias("mean_resized"),
     )
 
 
