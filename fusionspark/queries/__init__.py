@@ -30,8 +30,9 @@ def query(name: str, sql: str | None = None):
 # to the FRONT of the registry.  Round 8 FINISHES the attestation drain
 # (VERDICT r7 #1): the union of CORRECTNESS_r1-r7 covers 190 of the 230
 # registered queries; the 50 below are the final 43 never-driver-attested
-# entries (40 oracle-backed + 3 rows-only by nature: compression_ratio has
-# no DuckDB zlib, image_features/image_resize use env-stubbed image fakes)
+# entries (40 oracle-backed + compression_ratio rows-only (no DuckDB
+# zlib) + image_features/image_resize, upgraded to md5-pixel-law oracles
+# mid-round)
 # plus the 5 entries whose code changed after their last attestation
 # (serving.py pre_filter original-id fix -> ann_resident family;
 # dedup.py width-64 band fix landed r7 after simhash's r5 attestation ->
@@ -58,7 +59,8 @@ PRIORITY: list[str] = [
     # oracles added in r7; chunks_recursive upgraded to a CONTENT hash
     # this round (VERDICT r7 #5)
     "chunks_recursive", "bpe_merges", "bpe_tokenize",
-    # rows-only by nature (driver records the weaker check, documented)
+    # image_features/image_resize gained md5-pixel-law oracles in r8
+    # ([R]->[Q]); compression_ratio stays rows-only (DuckDB has no zlib)
     "compression_ratio", "image_features", "image_resize",
     # ── code changed after last attestation (VERDICT r7 #6) ──
     "ann_resident", "ann_ivf_resident", "ann_resident_filtered",
