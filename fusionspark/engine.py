@@ -239,6 +239,19 @@ class FusionSparkEngine:
                 self._rewrite(collection, keep.unionByName(df))
                 return len(rows)
         self._append(collection, df)
+        # incremental resident maintenance: a raw append mirrors exactly
+        # into a loaded-and-fresh resident index (new blocks only — the
+        # reference's one-vector-at-a-time in-memory insert,
+        # HNSWIndex.js:126-180), keeping serve-many latency flat across
+        # ingest.  Any failure (e.g. a surrogate collision on string ids)
+        # just leaves the index stale → search falls back to exact.
+        ent = self._resident.get(collection)
+        if ent is not None and ent["at_mutation"] == cfg.get("mutations", 1) - 1:
+            try:
+                ent["idx"] = ent["idx"].append(df)
+                ent["at_mutation"] = cfg["mutations"]
+            except Exception:  # noqa: BLE001 — stale fallback is the contract
+                pass
         return len(rows)
 
     def _rewrite(self, collection: str, keep: DataFrame) -> None:

@@ -503,3 +503,25 @@ def test_search_many_resident_parity(engine, spark):
         assert abs(res[key][1] - s) < 1e-9
     with _pytest.raises(ValueError, match="exact path"):
         engine.search_many("bm", probes, method="resident", approximate=True)
+
+
+def test_resident_auto_append_on_insert(engine):
+    """A raw append into a collection with a fresh resident index extends
+    the index in place (new blocks only) — the serve-many path sees new
+    rows WITHOUT a rebuild and without falling back to the scan."""
+    engine.create_collection("ra", CollectionConfig(dimensions=4))
+    engine.insert("ra", [{"id": "a", "vector": [1, 0, 0, 0]}])
+    engine.load_resident("ra")
+    before = engine._resident["ra"]["at_mutation"]
+    engine.insert("ra", [{"id": "b", "vector": [0.9, 0.1, 0, 0]}])
+    # index caught up with the mutation counter — still fresh
+    assert engine._resident["ra"]["at_mutation"] == before + 1
+    cfg = engine._catalog["ra"]
+    assert engine._resident_fresh("ra", cfg) is not None
+    hits = engine.search("ra", query_vector=[1, 0, 0, 0], top_k=5, resident=True)
+    assert [h["id"] for h in hits] == ["a", "b"]
+    # a replace-collision rewrite invalidates (append cannot mirror it)
+    engine.insert("ra", [{"id": "a", "vector": [0, 1, 0, 0]}])
+    assert engine._resident_fresh("ra", cfg) is None
+    hits2 = engine.search("ra", query_vector=[0, 1, 0, 0], top_k=5, resident=True)
+    assert hits2[0]["id"] == "a"  # exact fallback sees the replacement
