@@ -126,6 +126,32 @@ def bench_queries(spark):
             probes1k, k=10, probe_batch=probe_batch
         )
 
+    # 128-d twin: the reference's published 0.5 ms/query at 100k is a
+    # 128-d workload (BASELINE.md) — this entry makes the comparison
+    # dimension-for-dimension instead of relying on the 64-d suite corpus.
+    # Index builds in setup (build cost is measured by the 64-d entries).
+    corpus128 = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(128)),
+            lambda i: F.sin(F.col("id") * i).cast("float"),
+        ).alias("embedding"),
+    ).cache()
+    corpus128.count()
+    resident128 = ResidentIndex.build(corpus128)
+    probes128 = self_probes(corpus128, 1000).cache()
+    _prows128 = probes128.select("probe_id", "probe_embedding").collect()
+    probe_batch128 = (
+        [r[0] for r in _prows128],
+        np.asarray([r[1] for r in _prows128], dtype=np.float64),
+        id_sql_type(probes128, "probe_id"),
+    )
+
+    def knn_100k_d128_resident():
+        return resident128.search(
+            probes128, k=10, probe_batch=probe_batch128
+        )
+
     # 1M-vector scale point.  The fixtures are built LAZILY on first use
     # and the 1m entries run LAST in the suite (see `out` below), so the
     # ~500 MB cached corpus + resident blocks never contend with the rest
@@ -361,6 +387,7 @@ def bench_queries(spark):
         "ingest_100k": ingest_100k,
         "resident_build_100k": resident_build_100k,
         "knn_100k_resident": knn_100k_resident,
+        "knn_100k_d128_resident": knn_100k_d128_resident,
         "knn_100k": knn_100k_scan,
         "ivf_build_100k": ivf_build_100k,
         "ivf_100k": ivf_100k,
