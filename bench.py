@@ -139,13 +139,16 @@ def bench_queries(spark):
     ).cache()
     corpus128.count()
     resident128 = ResidentIndex.build(corpus128)
-    probes128 = self_probes(corpus128, 1000).cache()
+    probes128 = self_probes(corpus128, 1000)
     _prows128 = probes128.select("probe_id", "probe_embedding").collect()
     probe_batch128 = (
         [r[0] for r in _prows128],
         np.asarray([r[1] for r in _prows128], dtype=np.float64),
         id_sql_type(probes128, "probe_id"),
     )
+    # blocks + collected probe batch are self-sufficient; drop the corpus
+    # cache so the d128 fixture adds no pressure to the rest of the suite
+    corpus128.unpersist()
 
     def knn_100k_d128_resident():
         return resident128.search(
