@@ -373,6 +373,34 @@ def test_merge_candidates_matches_brute_force(parts, q, k, seed):
         assert got == exp
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 40),    # corpus rows in the block
+    st.integers(1, 5),     # queries
+    st.integers(1, 8),     # k
+    st.integers(1, 7),     # strip size (forces many strips + ragged tail)
+    st.integers(0, 10**6),
+    st.booleans(),         # tie-heavy values
+)
+def test_strip_fold_matches_brute_force(n, q, k, strip, seed, ties):
+    """The kernel's strip loop (per-strip _row_topk folded through
+    _merge_candidates) must equal brute force over the whole block for
+    ANY strip size — including strips smaller than k, ragged tails, and
+    massive distance ties resolved by id ASC."""
+    from fusionspark.operators.serving import _merge_candidates, _row_topk
+
+    rng = np.random.default_rng(seed)
+    D = rng.integers(0, 4 if ties else 1000, size=(q, n)).astype(np.float64)
+    ids = rng.permutation(n).astype(np.int64)
+    acc = None
+    for s in range(0, n, strip):
+        part = _row_topk(D[:, s:s + strip].copy(), ids[s:s + strip], k)
+        acc = part if acc is None else _merge_candidates([acc, part], k)
+    bd, bi = _brute_topk(D, ids, k)
+    for qi in range(q):
+        assert sorted(zip(acc[0][qi], acc[1][qi])) == sorted(zip(bd[qi], bi[qi]))
+
+
 def test_pre_filter_matches_filtered_knn(spark, corpus, probes):
     labeled = corpus.withColumn("label", (F.col("vec_id") % 7).cast("int"))
     idx = ResidentIndex.build(labeled, attr_cols=("label",))
