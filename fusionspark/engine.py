@@ -83,6 +83,7 @@ class FusionSparkEngine:
         # collection -> {"idx": ResidentIndex, "at_mutation": int};
         # process-local by design (like the reference's in-memory graph)
         self._resident: dict[str, dict] = {}
+        self._resident_ivf: dict[str, dict] = {}
 
     # ── collections (S1-S6) ───────────────────────────────────────────────
 
@@ -420,6 +421,43 @@ class FusionSparkEngine:
         ent = self._resident.pop(collection, None)
         if ent is not None:
             ent["idx"].unpersist()
+        ivf = self._resident_ivf.pop(collection, None)
+        if ivf is not None:
+            ivf["idx"].unpersist()
+
+    def load_resident_ivf(
+        self, collection: str, n_centroids: int | None = None
+    ) -> dict:
+        """Approximate resident serving: lists grouped by centroid in
+        memory, searches GEMM only the routed lists (the resident sibling
+        of build_index's partition-pruned parquet layout; cosine only,
+        like the reference's default metric).  Same freshness contract as
+        load_resident; serve through search_many(method='resident_ivf')."""
+        import math
+
+        from fusionspark.operators.serving import ResidentIVF
+
+        cfg = self._catalog[collection]
+        if cfg["metric"] != "cosine":
+            raise ValueError("resident IVF supports the cosine metric only")
+        df = self._load(collection)
+        k = n_centroids or max(2, int(math.sqrt(max(df.count(), 4))))
+        idx = ResidentIVF.build(
+            df, n_centroids=k, id_col="id", vector_col="vector"
+        )
+        old = self._resident_ivf.pop(collection, None)
+        if old is not None:
+            old["idx"].unpersist()
+        self._resident_ivf[collection] = {
+            "idx": idx,
+            "n_centroids": k,
+            "at_mutation": cfg.get("mutations", 0),
+        }
+        return {
+            "collection": collection,
+            "n_centroids": k,
+            "at_mutation": cfg.get("mutations", 0),
+        }
 
     def _resident_fresh(self, collection: str, cfg: dict):
         ent = self._resident.get(collection)
@@ -593,7 +631,10 @@ class FusionSparkEngine:
         method="resident" (with approximate=False) = exact search over a
         fresh load_resident() block index — the serve-many path that skips
         the per-batch table scan; a stale or missing resident index raises
-        for the same no-silent-fallback reason."""
+        for the same no-silent-fallback reason.
+        method="resident_ivf" = pruned search over a fresh
+        load_resident_ivf() list cache (each partition GEMMs only its
+        routed lists; cosine only), same staleness contract."""
         cfg = self._catalog[collection]
         if method == "resident":
             if approximate:
@@ -607,6 +648,20 @@ class FusionSparkEngine:
                 )
             return ridx.search(
                 probes, k=top_k,
+                probe_id_col=probe_id_col,
+                probe_vector_col=probe_vector_col,
+            )
+        if method == "resident_ivf":
+            ent = self._resident_ivf.get(collection)
+            if ent is None or ent["at_mutation"] != cfg.get("mutations", 0):
+                raise ValueError(
+                    f"resident IVF index for {collection!r} is stale or "
+                    "missing; call load_resident_ivf() first (batch search "
+                    "will not silently fall back to an exact scan)"
+                )
+            return ent["idx"].search(
+                probes, k=top_k,
+                n_probe=min(n_probe, ent["n_centroids"]),
                 probe_id_col=probe_id_col,
                 probe_vector_col=probe_vector_col,
             )

@@ -525,3 +525,42 @@ def test_resident_auto_append_on_insert(engine):
     assert engine._resident_fresh("ra", cfg) is None
     hits2 = engine.search("ra", query_vector=[0, 1, 0, 0], top_k=5, resident=True)
     assert hits2[0]["id"] == "a"  # exact fallback sees the replacement
+
+
+def test_search_many_resident_ivf(engine, spark):
+    """method='resident_ivf': pruned resident search matches the exact
+    batch path at n_probe == n_centroids (all lists scanned), raises on a
+    stale/missing index, and staleness invalidates after mutation."""
+    import math
+
+    import pytest as _pytest
+
+    engine.create_collection("ri", CollectionConfig(dimensions=4))
+    engine.insert("ri", [
+        {"id": f"v{i}",
+         "vector": [math.sin(i + 1), math.cos(2 * i + 1), 1.0, 0.0]}
+        for i in range(30)
+    ])
+    probes = spark.createDataFrame(
+        [("p0", [1.0, 0.0, 1.0, 0.0]), ("p1", [0.0, 1.0, 1.0, 0.0])],
+        "probe_id: string, probe_embedding: array<float>",
+    )
+    with _pytest.raises(ValueError, match="stale or missing"):
+        engine.search_many("ri", probes, method="resident_ivf")
+    info = engine.load_resident_ivf("ri", n_centroids=4)
+    assert info["n_centroids"] == 4
+    got = {
+        (r["probe_id"], r["rank"]): r["id"]
+        for r in engine.search_many(
+            "ri", probes, top_k=5, method="resident_ivf", n_probe=4
+        ).collect()
+    }
+    exact = {
+        (r["probe_id"], r["rank"]): r["id"]
+        for r in engine.search_many("ri", probes, top_k=5).collect()
+    }
+    assert got == exact  # all lists scanned → exact
+    engine.insert("ri", [{"id": "new", "vector": [0, 0, 0, 1.0]}])
+    with _pytest.raises(ValueError, match="stale or missing"):
+        engine.search_many("ri", probes, method="resident_ivf")
+    engine.unload_resident("ri")  # releases both exact and IVF caches
