@@ -99,9 +99,13 @@ def export_training_corpus(
         "doc_id", "text", F.md5("text").alias("ch")
     )
     keepers = with_hash.groupBy("ch").agg(F.min("doc_id").alias("doc_id"))
+    # localCheckpoint: every downstream consumer (near-dup pair-gen, the
+    # left_anti drop, the shard shuffle, the funnel counts) would
+    # otherwise re-run the quality-join + md5-groupBy + semi-join chain
+    # per action
     deduped = with_hash.join(keepers, ["ch", "doc_id"], "left_semi").select(
         "doc_id", "text"
-    )
+    ).localCheckpoint()
     n_dedup = deduped.count()
 
     # 3b. MinHash near-dup (optional): banded LSH pairs → connected
@@ -121,7 +125,9 @@ def export_training_corpus(
         )
         labels = connected_components(pairs, touched)
         drop = labels.filter(F.col("component") != F.col("doc_id")).select("doc_id")
-        deduped = deduped.join(drop, "doc_id", "left_anti")
+        # second fan-out point: the shard shuffle and (optionally) the
+        # token-shard writer both consume the survivor set
+        deduped = deduped.join(drop, "doc_id", "left_anti").localCheckpoint()
         n_neardup = deduped.count()
 
     # 4. deterministic global shuffle (resumable-loader contract)
