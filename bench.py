@@ -391,6 +391,12 @@ def bench_queries(spark):
         "cdc_apply",
         "zorder_pruning",
         "ann_matryoshka",
+        # round 8 (session 3): spectral family — exact-integer covariance
+        # (one Arrow GEMM pass, 4096-row shuffle), 8-round power-method
+        # PCA, zero-shuffle per-doc PC1 projection
+        "covariance_topk",
+        "pca_embeddings",
+        "pca_doc_scores",
     ]
     out = {
         "knn_batch64": knn_batch,

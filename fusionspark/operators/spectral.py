@@ -1,0 +1,311 @@
+"""Embedding-matrix spectral analytics: exact integer Gram/covariance and
+a cross-engine bit-deterministic power-iteration PCA.
+
+Not in the reference (north-star additions): a 100 TB curation pipeline
+needs distribution-level views of its embedding space — which dimensions
+co-vary (encoder redundancy / collapsed dims), the principal axis of the
+corpus (domain drift summaries, whitening, PCA-guided sharding), and each
+document's coordinate along it (outlier triage, curriculum ordering).
+
+Determinism contract (the whole module is built around it):
+
+* Vectors are quantized once, ``x_int = floor(double(x) * SCALE)`` —
+  ``floor`` is exact in IEEE double on every engine, so the quantization
+  is bit-identical wherever it runs.
+* All second-moment sums (Gram, means, counts) are exact BIGINT
+  arithmetic — associative, overflow-checked by construction
+  (|x_int| <= SCALE, so a partition of P rows holds Σx·x <= P·SCALE² and
+  n·Σxy fits int64 up to n ≈ 9.2e18 / SCALE² / n ≈ 30k rows at
+  SCALE=1e5; shrink SCALE for bigger corpora — the quantization IS the
+  spec, both engines see the same grid).
+* Everything after the integer moments (the power iteration, the doc
+  projections) folds doubles LEFT-TO-RIGHT over explicitly ordered lists
+  (``F.aggregate`` over ``array_sort(collect_list(...))`` here,
+  ``list_reduce(list(... ORDER BY ...))`` in the DuckDB oracles).  With
+  identical inputs and identical fold order, IEEE +,*,/ and sqrt are
+  correctly rounded everywhere — the iterate stays BIT-identical across
+  engines, not merely close.
+
+Scale shape: one Arrow ``mapInPandas`` pass emits per-partition integer
+partial Gram blocks (d² + d + 1 rows per partition — vectors never
+shuffle); one tiny groupBy finishes the reduction; the 64×64 iteration is
+driver-scale math done as joins over a 4096-row frame; the per-doc
+projection broadcasts 2·d doubles and runs as whole-stage-codegen array
+expressions with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 100_000  # quantization grid; |x|<1 → |x_int| <= 1e5
+
+
+def _ordered_fold(key_col: str, term) -> F.Column:
+    """Left-to-right sum of ``term`` ordered by ``key_col`` — the
+    engine-independent fold (see module docstring)."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col(key_col).alias("k"), term.alias("t")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["t"],
+    )
+
+
+def quantize(vec_col: str = "embedding", scale: int = SCALE) -> F.Column:
+    """array<float> → array<long> on the shared integer grid."""
+    return F.transform(
+        F.col(vec_col),
+        lambda e: F.floor(e.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+
+
+def gram_int(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, scale: int = SCALE
+) -> DataFrame:
+    """Exact integer second moments of the (quantized) embedding matrix.
+
+    Returns a long frame with three row kinds:
+      * ``i >= 0, j >= 0`` — Σ x_int[i]·x_int[j] (full d×d, BIGINT)
+      * ``i == -1``        — Σ x_int[j] per dimension j
+      * ``i == -2``        — row count (j == -2)
+
+    One Arrow pass computes per-partition partials with an int64 GEMM
+    (d=64: 4096 + 64 + 1 partial rows per partition); vectors never leave
+    their partition — only the tiny partials shuffle into one groupBy.
+    """
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        G = np.zeros((dim, dim), dtype=np.int64)
+        sx = np.zeros(dim, dtype=np.int64)
+        cnt = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Xi = np.floor(X * float(scale)).astype(np.int64)
+            G += Xi.T @ Xi
+            sx += Xi.sum(axis=0)
+            cnt += len(pdf)
+        if cnt == 0:
+            return
+        ii, jj = np.indices((dim, dim))
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([ii.ravel(), np.full(dim, -1), [-2]]),
+                "j": np.concatenate([jj.ravel(), np.arange(dim), [-2]]),
+                "s": np.concatenate([G.ravel(), sx, [cnt]]),
+            }
+        )
+
+    part = df.select(vec_col).mapInPandas(partials, schema="i int, j int, s long")
+    return part.groupBy("i", "j").agg(F.sum("s").cast("long").alias("s"))
+
+
+def covariance_int(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, scale: int = SCALE
+) -> DataFrame:
+    """Full d×d scaled-covariance matrix as exact BIGINTs.
+
+    ``c_int[i,j] = n·Σxy − Σx·Σy`` (covariance × n² × scale², exact);
+    the true covariance is ``c_int / (n² · scale²)``.  Columns:
+    (i, j, c_int, n)."""
+    g = gram_int(df, vec_col=vec_col, dim=dim, scale=scale)
+    sxy = g.filter(F.col("i") >= 0)
+    sx = g.filter(F.col("i") == -1).select(F.col("j"), F.col("s").alias("sx"))
+    n = g.filter(F.col("i") == -2).select(F.col("s").alias("n"))
+    return (
+        sxy.crossJoin(F.broadcast(n))
+        .join(F.broadcast(sx.withColumnsRenamed({"j": "i", "sx": "sx_i"})), "i")
+        .join(F.broadcast(sx.withColumnsRenamed({"sx": "sx_j"})), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s") - F.col("sx_i") * F.col("sx_j")).alias("c_int"),
+            "n",
+        )
+    )
+
+
+def _cov_double(c: DataFrame) -> DataFrame:
+    """(i, j, c) with c = c_int / (double(n·n) · scale²) — one division,
+    identical expression tree in the oracles."""
+    return c.select(
+        "i",
+        "j",
+        (
+            F.col("c_int").cast("double")
+            / ((F.col("n") * F.col("n")).cast("double") * F.lit(float(SCALE) ** 2))
+        ).alias("c"),
+        "n",
+    )
+
+
+def covariance_topk(
+    df: DataFrame, k: int = 20, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Top-k most-covarying dimension pairs (i < j) by |c_int| — the
+    ordering compares exact BIGINTs, so the cut is engine-deterministic;
+    ties break on (i, j).  Returns 1-based (dim_i, dim_j, cov)."""
+    ci = covariance_int(df, vec_col=vec_col, dim=dim)
+    c = ci.withColumn(
+        "c",
+        F.col("c_int").cast("double")
+        / ((F.col("n") * F.col("n")).cast("double") * F.lit(float(SCALE) ** 2)),
+    )
+    return (
+        c.filter(F.col("i") < F.col("j"))
+        .orderBy(F.abs(F.col("c_int")).desc(), F.col("i").asc(), F.col("j").asc())
+        .limit(k)
+        .select(
+            (F.col("i") + 1).cast("long").alias("dim_i"),
+            (F.col("j") + 1).cast("long").alias("dim_j"),
+            F.round("c", 6).alias("cov"),
+        )
+    )
+
+
+def _power_vector(
+    df: DataFrame,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Unrounded signed top-eigenvector iterate: (j 0-based, v, nrm).
+    Shared by pca_top_component (display rounding) and pca_scores (folds
+    the raw doubles — rounding mid-chain would desync from the oracle).
+    Sign convention: the largest-|loading| dimension (lowest index on
+    ties) is non-negative."""
+    if dim != 64:
+        raise NotImplementedError("v0 = 1/sqrt(dim) must be exactly representable")
+    # materialize the 4096-row matrix once; each iteration reads w twice
+    # (normalizer + update), so without a lineage cut the plan tree would
+    # double per iteration (the dedup_clusters/k-core iteration rule)
+    cmat = (
+        _cov_double(covariance_int(df, vec_col=vec_col, dim=dim))
+        .select("i", "j", "c")
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    v = spark.range(dim).select(F.col("id").cast("int").alias("j"), F.lit(0.125).alias("v"))
+    nrm = None
+    for _ in range(iters):
+        w = (
+            cmat.join(v, "j")
+            .groupBy("i")
+            .agg(_ordered_fold("j", F.col("c") * F.col("v")).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        nrm = w.agg(
+            F.sqrt(_ordered_fold("i", F.col("w") * F.col("w"))).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), (F.col("w") / F.col("nrm")).alias("v")
+        )
+    sgn = (
+        v.orderBy(F.abs(F.col("v")).desc(), F.col("j").asc())
+        .limit(1)
+        .select(F.when(F.col("v") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("sgn"))
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(nrm))
+        .select(
+            "j",
+            (F.col("v") * F.col("sgn")).alias("v"),
+            F.col("nrm"),
+        )
+    )
+
+
+def pca_top_component(
+    df: DataFrame,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top principal axis of the quantized covariance by ``iters`` power
+    iterations from the exact uniform start v0 = 1/√d (d=64 → 0.125,
+    representable).  Every per-dimension sum is a left-to-right ordered
+    fold, so the iterate is bit-identical wherever it is replayed.
+    Returns (dim 1-based, loading, eigval) with eigval = ‖C·v‖ of the
+    final iteration; rounding happens HERE only (display), never inside
+    the chain."""
+    return _power_vector(df, iters=iters, vec_col=vec_col, dim=dim).select(
+        (F.col("j") + 1).cast("long").alias("dim"),
+        F.round("v", 6).alias("loading"),
+        F.round("nrm", 6).alias("eigval"),
+    )
+
+
+def spectrum_stats(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Closed-form spectral summary of the embedding covariance — no
+    iteration, so unlike the power method it is exact for any spectrum:
+
+      * ``total_variance``  = tr(C)   = Σ eigenvalues
+      * ``frobenius``       = tr(C²)  = Σ eigenvalues²   (‖C‖_F²)
+      * ``effective_rank``  = tr(C)²/tr(C²) — the participation ratio,
+        64 for an isotropic space, →1 as the corpus collapses onto one
+        axis (anisotropy / encoder-collapse diagnostic).
+
+    Both traces are left-to-right ordered folds over the exact-integer
+    covariance (bit-identical across engines); division happens once."""
+    c = _cov_double(covariance_int(df, vec_col=vec_col, dim=dim)).select("i", "j", "c")
+    tv = c.filter(F.col("i") == F.col("j")).agg(_ordered_fold("i", F.col("c")).alias("tv"))
+    fr = (
+        c.withColumn("k", (F.col("i").cast("long") * dim + F.col("j")))
+        .agg(_ordered_fold("k", F.col("c") * F.col("c")).alias("fr"))
+    )
+    return tv.crossJoin(fr).select(
+        F.round("tv", 6).alias("total_variance"),
+        F.round("fr", 6).alias("frobenius"),
+        F.round(F.col("tv") * F.col("tv") / F.col("fr"), 6).alias("effective_rank"),
+    )
+
+
+def pca_scores(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-row projection onto the top principal axis, mean-centered in
+    exact integer space: score = Σ_j double(n·x_int[j] − Σx[j]) · v[j]
+    / (double(n)·scale), folded j-ascending.  The 2·d-value (Σx, v)
+    state broadcasts; scoring is whole-stage-codegen array math — zero
+    shuffle on the corpus."""
+    comp = _power_vector(df, iters=iters, vec_col=vec_col, dim=dim)
+    varr = comp.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "v"))), lambda s: s["v"]
+        ).alias("varr")
+    )
+    g = gram_int(df, vec_col=vec_col, dim=dim)
+    sxarr = (
+        g.filter(F.col("i") == -1)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "s"))), lambda s: s["s"]
+            ).alias("sxarr")
+        )
+    )
+    n = g.filter(F.col("i") == -2).select(F.col("s").alias("n"))
+    state = varr.crossJoin(sxarr).crossJoin(n)
+    xi = quantize(vec_col).alias("xi")
+    scored = df.select(id_col, xi).crossJoin(F.broadcast(state))
+    terms = F.transform(
+        F.col("xi"),
+        lambda x, k: (F.col("n") * x - F.element_at(F.col("sxarr"), k + 1)).cast("double")
+        * F.element_at(F.col("varr"), k + 1),
+    )
+    score = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t) / (
+        F.col("n").cast("double") * F.lit(float(SCALE))
+    )
+    return scored.select(id_col, F.round(score, 6).alias("pc1_score"))

@@ -85,6 +85,7 @@ def load_all() -> None:
         pipeline_queries,
         rag_queries,
         relational_queries,
+        spectral_queries,
         streaming_queries,
         text_queries,
         tree_queries,
