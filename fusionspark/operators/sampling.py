@@ -1,0 +1,61 @@
+"""Weighted sampling without replacement (Efraimidis–Spirakis A-Res).
+
+Not in the reference (north-star addition): curation pipelines routinely
+need "sample K documents with probability proportional to weight" —
+token-budget-proportional subcorpora, quality-weighted eval sets,
+importance-sampled validation splits.  Uniform hash sampling
+(`packing.hash_sample`) can't express that.
+
+Algorithm (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+reservoir"): draw u_i ~ U(0,1] per row, rank by key_i = u_i^(1/w_i)
+descending, keep the top K.  The top-K set is then a weighted sample
+without replacement.  We rank by the monotone-equivalent ln(u_i)/w_i
+(avoids pow; one ln per row).
+
+Determinism: u_i is an md5 coin on the row id — ``(int(md5[:8],16)+1) /
+2^32`` — so the sample is reproducible across engines, partitionings and
+runs, and uniformly random w.r.t. content (the same coin contract as
+hash_sample / stratified_sample).
+
+Scale shape: one scan computing a key per row, then a global top-K via
+``orderBy().limit(K)`` — Spark plans TakeOrdered (per-partition partial
+top-K, only K rows per partition reach the driver-side merge; no full
+sort shuffle).  At 100 TB this is the same plan every top-k query here
+uses; K rows is the only cross-partition traffic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_COIN_DENOM = 4294967296.0  # 2^32
+
+
+def sample_coin(id_col: F.Column, salt: str) -> F.Column:
+    """Deterministic u ∈ (0, 1]: (md5-prefix integer + 1) / 2^32."""
+    x = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    return (x + F.lit(1)).cast("double") / F.lit(_COIN_DENOM)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws:",
+) -> DataFrame:
+    """Top-K rows by the A-Res key ln(u)/w (u = md5 coin on the id,
+    w = ``weight_col`` clamped to ≥1).  Adds ``sample_key`` (rounded for
+    display; the cut itself compares the unrounded doubles, with the id as
+    the deterministic tiebreak)."""
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key = F.log(sample_coin(F.col(id_col), salt)) / w
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("sample_key", F.round("sample_key", 6))
+    )

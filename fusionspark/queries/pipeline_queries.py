@@ -3522,3 +3522,32 @@ def nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nb_score"), 6).alias("score_lo"),
         F.round(F.max("nb_score"), 6).alias("score_hi"),
     )
+
+
+@query(
+    "weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars,
+           ROUND(ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                    / 4294967296.0)
+                 / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS sample_key
+    FROM documents
+    ORDER BY ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                / 4294967296.0)
+             / greatest(CAST(n_chars AS DOUBLE), 1.0) DESC,
+             doc_id ASC
+    LIMIT 200
+    """,
+)
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (operators/sampling.py,
+    Efraimidis–Spirakis A-Res): 200 docs with inclusion probability
+    proportional to n_chars — the token-budget-proportional subcorpus cut
+    that uniform hash_sample can't express.  The rank key ln(u)/w uses the
+    same md5-coin contract as hash_sample/stratified_sample, so the sample
+    is engine- and partitioning-reproducible.  Scale: per-row expression +
+    TakeOrdered partial top-K; only K rows cross partitions."""
+    from fusionspark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, weight_col="n_chars", k=200)

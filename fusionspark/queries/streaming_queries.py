@@ -652,3 +652,40 @@ def winsorize_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusionspark.operators.temporal import winsorize
 
     return winsorize(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_interval_join",
+    """
+    SELECT l.user_id,
+           l.event_id AS error_id, r.event_id AS click_id,
+           epoch_us(r.ts) - epoch_us(l.ts) AS lag_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'error' AND r.event_type = 'click'
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+    """,
+)
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7: stream-stream interval join (streaming/joins.py) — every click
+    by the same user within 6h after an error, the error-context /
+    attribution pairing shape.  Batch and streaming plans are identical;
+    on streams both sides carry watermarks and the interval bound is what
+    lets Spark evict join state (tests/test_streaming.py runs this same
+    transform through readStream and asserts parity).  Scale: equi-join
+    on the key (hash-partitioned state both sides), interval predicate
+    post-shuffle; no unbounded buffering."""
+    from fusionspark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = interval_join(
+        ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts"),
+        ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts"),
+        within="6 hours",
+    )
+    return pairs.select(
+        "user_id",
+        F.col("l_event_id").alias("error_id"),
+        F.col("r_event_id").alias("click_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+    )

@@ -1,0 +1,44 @@
+"""Weighted A-Res sampling tests (operators/sampling.py): weight bias,
+determinism across partitionings, and salt independence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fusionspark.operators.sampling import weighted_sample
+
+
+def _pop(spark, n=2000):
+    # ids 0..n-1; the first 10% carry 50× the weight of the rest
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n // 10, F.lit(500.0)).otherwise(F.lit(10.0)).alias("w"),
+    )
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    df = _pop(spark)
+    got = weighted_sample(df, weight_col="w", k=200, id_col="doc_id")
+    heavy = got.filter(F.col("doc_id") < 200).count()
+    # heavy rows are 10% of the population but 50× the weight: expected
+    # heavy share ≈ 120/200 (w/o-replacement depletion); uniform would give
+    # ~20.  Assert decisively between the two.
+    assert got.count() == 200
+    assert heavy > 80
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    df = _pop(spark)
+    a = weighted_sample(df.repartition(1), "w", 50).select("doc_id").collect()
+    b = weighted_sample(df.repartition(16), "w", 50).select("doc_id").collect()
+    assert sorted(r[0] for r in a) == sorted(r[0] for r in b)
+
+
+def test_weighted_sample_salt_changes_sample(spark):
+    df = _pop(spark)
+    a = {r[0] for r in weighted_sample(df, "w", 50, salt="ws:").select("doc_id").collect()}
+    b = {r[0] for r in weighted_sample(df, "w", 50, salt="eval:").select("doc_id").collect()}
+    assert a != b
+    # both still favor the heavy block
+    assert sum(1 for x in a if x < 200) > 20
+    assert sum(1 for x in b if x < 200) > 20

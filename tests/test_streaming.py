@@ -597,3 +597,38 @@ def test_rollup_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert merged == expect
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, stream_events):
+    """ST7: the stream-stream interval join emits exactly the batch pair
+    set once both watermarks pass (availableNow drains the source, so the
+    append-mode sink holds the complete join)."""
+    from fusionspark.streaming.joins import interval_join
+
+    def split(ev):
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "user_id", "event_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        return errors, clicks
+
+    joined = interval_join(*split(stream_events), within="6 hours")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("t_interval_join")
+    batch = interval_join(
+        *split(load_table(spark, sf_dir, "events")), within="6 hours"
+    )
+    b = sorted(map(tuple, batch.select("user_id", "l_event_id", "r_event_id").collect()))
+    s = sorted(map(tuple, out.select("user_id", "l_event_id", "r_event_id").collect()))
+    assert len(b) > 0
+    assert b == s
