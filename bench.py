@@ -397,6 +397,7 @@ def bench_queries(spark):
         "covariance_topk",
         "pca_embeddings",
         "pca_doc_scores",
+        "kmeans_assign",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -77,6 +77,7 @@ def load_all() -> None:
     from fusionspark.queries import (  # noqa: F401
         analytics_queries,
         cdc_queries,
+        clustering_queries,
         composition_queries,
         embedding_queries,
         layout_queries,
