@@ -83,7 +83,11 @@ def lloyd(
     """``iters`` Lloyd rounds from the deterministic seed (the k smallest
     ids' vectors), then one final assign against the final centroids.
     Returns (id, cluster, dist2) for every row."""
-    rows = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("xi"))
+    # one materialization feeds the iters+1 assign scans and iters update
+    # aggs (lineage also stays flat across rounds)
+    rows = df.select(
+        F.col(id_col).alias("id"), quantize(vec_col).alias("xi")
+    ).localCheckpoint(eager=True)
     seed = rows.orderBy("id").limit(k).collect()
     cents = [[int(v) * R for v in r["xi"]] for r in seed]
     for _ in range(iters):

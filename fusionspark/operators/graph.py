@@ -235,3 +235,37 @@ def label_propagation(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("community")
     )
+
+
+def bfs(
+    seeds: DataFrame,
+    edges: DataFrame,
+    hops: int,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-hop BFS: (id, dist) for every node reachable from ``seeds``
+    in at most ``hops`` directed edge traversals, dist = first round the
+    node was discovered (== its shortest hop count, all weights 1).
+
+    Scale shape: frontier-delta iteration — each round equi-joins only the
+    NEWLY discovered nodes against the edge table (not the whole visited
+    set), anti-joins out already-seen nodes, and cuts lineage with a
+    localCheckpoint; total work is O(edges incident to the reached set),
+    the same bounded-round contract as pagerank/k-core/LPA here.  No
+    per-round driver collect — the loop is bounded by ``hops``, not by a
+    convergence test (exactly how the oracle replays it)."""
+    dist = seeds.select(F.col(id_col).alias("id"), F.lit(0).alias("dist"))
+    frontier = dist
+    for h in range(1, hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges[src])
+            .select(F.col(dst).alias("id"), F.lit(h).alias("dist"))
+            .distinct()
+            .join(dist.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist.withColumnRenamed("id", id_col)

@@ -9,6 +9,7 @@ can never attest cross-engine."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fusionspark.io import load_table
 from fusionspark.operators import clustering
@@ -115,4 +116,40 @@ def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast-to-double division at display)."""
     return clustering.cluster_profile(
         clustering.lloyd(load_table(spark, sf_dir, "embeddings"), k=_K, iters=_ITERS)
+    )
+
+
+@query(
+    "cluster_balanced_sample",
+    f"""
+    WITH {_CHAIN},
+    ranked AS (
+        SELECT c, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c
+                   ORDER BY md5('cbs:' || vec_id::VARCHAR), vec_id
+               ) AS rn
+        FROM {_FINAL}
+    )
+    SELECT c::INT AS cluster, vec_id FROM ranked WHERE rn <= 30
+    """,
+)
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-balanced sampling: 30 vectors per exact-k-means cluster,
+    cut by the md5-coin rank inside each cluster (stratified_sample's
+    contract, with strata DISCOVERED by clustering instead of given by a
+    column) — the anti-mode-collapse subcorpus cut.  One window shuffle
+    on the cluster key after the Lloyd rounds."""
+    from pyspark.sql.window import Window
+
+    assigned = clustering.lloyd(
+        load_table(spark, sf_dir, "embeddings"), k=_K, iters=_ITERS
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.concat(F.lit("cbs:"), F.col("vec_id").cast("string"))), "vec_id"
+    )
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .select("cluster", "vec_id")
     )

@@ -365,3 +365,55 @@ def community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dst") < n) & (F.col("src") < n)
     )
     return label_propagation(docs, edges, rounds=4)
+
+
+def _bfs_oracle(hops: int = 4) -> str:
+    """Layered min-relaxation replay of the bounded BFS: with unit edge
+    weights, h rounds of dist = MIN(dist, neighbor+1) equal frontier BFS
+    exactly, so the (id, dist) set hash-matches the frontier-delta
+    implementation (operators/graph.py::bfs)."""
+    head = """
+    WITH docs AS (SELECT doc_id FROM documents),
+    edges AS (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT COUNT(*) FROM docs) AS dst FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 3) % (SELECT COUNT(*) FROM docs) FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 29 + 7) % (SELECT COUNT(*) FROM docs) FROM docs
+    ),
+    r0 AS (SELECT doc_id AS id, 0 AS dist FROM docs WHERE doc_id < 10)"""
+    body = ""
+    for h in range(1, hops + 1):
+        body += f""",
+    r{h} AS MATERIALIZED (
+        SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM r{h - 1}
+            UNION ALL
+            SELECT e.dst AS id, r.dist + 1 AS dist
+            FROM r{h - 1} r JOIN edges e ON e.src = r.id
+        ) GROUP BY id
+    )"""
+    return head + body + f"""
+    SELECT id AS doc_id, dist::INT AS dist FROM r{hops}
+    """
+
+
+@query("bfs_hops", _bfs_oracle(4))
+def bfs_hops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 4-hop BFS from the seed set doc_id < 10 over the same
+    deterministic 3-out link graph as pagerank_docs — the link-distance
+    primitive of crawl-frontier scheduling and seed-proximity filtering.
+    Frontier-delta rounds (only newly discovered nodes join the edge
+    table); the oracle replays it as layered min-relaxation, provably
+    identical with unit weights."""
+    from fusionspark.operators.graph import bfs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = None
+    for a, b in ((7, 1), (13, 3), (29, 7)):
+        e = docs.select(d.alias("src"), ((d * a + b) % n).alias("dst"))
+        edges = e if edges is None else edges.unionAll(e)
+    seeds = docs.filter(d < 10)
+    return bfs(seeds, edges, hops=4, id_col="doc_id")
