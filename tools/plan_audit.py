@@ -162,3 +162,53 @@ audit("grid_proximity", grid_proximity_join(pts, 100))
 audit("incremental_rollup", REGISTRY["incremental_rollup"][0](spark, sf))
 audit("tpch_q2", REGISTRY["tpch_min_cost_supplier"][0](spark, sf))
 audit("cohort_weekly", REGISTRY["cohort_weekly"][0](spark, sf))
+
+# 12. round-8 session-3 plan claims
+# interval join must plan as an equi-join (key equality extracted into the
+# join keys, time predicate post-join) — NOT BroadcastNestedLoop/Cartesian
+from fusionspark.streaming.joins import interval_join
+errs = ev_full.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+clicks = ev_full.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+ij = interval_join(errs, clicks, within="6 hours")
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    ij.explain("formatted")
+p = buf.getvalue()
+print("== interval_join: nested_loop:", "BroadcastNestedLoopJoin" in p,
+      "cartesian:", "CartesianProduct" in p)
+
+# weighted sample: global top-K must be TakeOrdered (partial per-partition
+# top-K), not a full sort exchange
+from fusionspark.operators.sampling import weighted_sample
+ws = weighted_sample(d.select("doc_id", "n_chars"), "n_chars", 200)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    ws.explain("formatted")
+p = buf.getvalue()
+print("== weighted_sample: take_ordered:", "TakeOrderedAndProject" in p,
+      "full_sort:", ("Sort " in p and "TakeOrderedAndProject" not in p))
+
+# gram_int: corpus must NOT shuffle — only the 4161-row partials exchange
+from fusionspark.operators.spectral import gram_int
+g = gram_int(load_table(spark, sf, "embeddings"))
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    g.explain("formatted")
+p = buf.getvalue()
+# formatted plans list each node in the tree AND the detail section, so a
+# single Exchange node counts twice here; 2 == exactly one exchange (the
+# 4161-row partials groupBy) — the corpus itself never shuffles
+print(f"== gram_int: exchange_mentions={p.count('Exchange')} (2 = one node, partials only)",
+      "mapInPandas:", "MapInPandas" in p)
+
+# kmeans assign pass: centroid literal in plan, zero shuffle, no join
+from fusionspark.operators.clustering import _assign
+from fusionspark.operators.spectral import quantize
+rows = load_table(spark, sf, "embeddings").select(
+    F.col("vec_id").alias("id"), quantize("embedding").alias("xi"))
+a = _assign(rows, [[0] * 64 for _ in range(8)])
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    a.explain("formatted")
+p = buf.getvalue()
+print(f"== kmeans_assign_pass: exchanges={p.count('Exchange')} joins={p.count('Join')} (all must be 0)")
