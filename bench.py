@@ -398,6 +398,9 @@ def bench_queries(spark):
         "pca_embeddings",
         "pca_doc_scores",
         "kmeans_assign",
+        "stream_interval_join",
+        "weighted_sample",
+        "bfs_hops",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -117,7 +117,26 @@ def covariance_int(
     g = gram_int(df, vec_col=vec_col, dim=dim, scale=scale)
     sxy = g.filter(F.col("i") >= 0)
     sx = g.filter(F.col("i") == -1).select(F.col("j"), F.col("s").alias("sx"))
-    n = g.filter(F.col("i") == -2).select(F.col("s").alias("n"))
+    # loud overflow guard on the documented bound |n·Σxy| ≤ n²·scale²:
+    # routed through the n VALUE (a bare assert_true column would be
+    # pruned by Catalyst) so exceeding the exact-int64 envelope fails the
+    # job instead of silently wrapping — shrink `scale` to go bigger
+    n_ok = (
+        F.col("s").cast("double") * F.col("s").cast("double") * F.lit(float(scale) ** 2)
+        < F.lit(9.2e18)
+    )
+    n = g.filter(F.col("i") == -2).select(
+        F.when(n_ok, F.col("s"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "covariance_int: n²·scale² exceeds int64 — reduce `scale` "
+                    "for this corpus size (the grid is the spec)"
+                )
+            )
+        )
+        .alias("n")
+    )
     return (
         sxy.crossJoin(F.broadcast(n))
         .join(F.broadcast(sx.withColumnsRenamed({"j": "i", "sx": "sx_i"})), "i")

@@ -151,3 +151,18 @@ def test_corpus_is_near_isotropic_premise(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     row = spectral.spectrum_stats(emb, dim=64).collect()[0]
     assert row["effective_rank"] > 40
+
+
+def test_covariance_overflow_guard_raises(spark, planted):
+    """The documented n²·scale² < 2⁶³ envelope is enforced loudly: an
+    oversized scale fails the job instead of silently wrapping int64."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    _, df = planted
+    big = spectral.covariance_int(df, dim=64, scale=10_000_000_000)
+    with _pytest.raises(Exception) as ei:
+        big.collect()
+    assert "reduce `scale`" in str(ei.value) or "raise_error" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )
