@@ -328,3 +328,65 @@ def pca_scores(
         F.col("n").cast("double") * F.lit(float(SCALE))
     )
     return scored.select(id_col, F.round(score, 6).alias("pc1_score"))
+
+
+def drift(
+    a: DataFrame, b: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Distribution shift between two corpus slices (snapshot vs snapshot,
+    domain vs domain): exact mean-vector displacement plus each slice's
+    spectral shape.
+
+    ``mean_shift`` = ‖mean_A − mean_B‖ with the difference formed in exact
+    integer space — per dim, num_j = n_B·Σx_A[j] − n_A·Σx_B[j] (BIGINT),
+    squared and summed in decimal(38,0) (num_j ≤ n²·scale ≈ 4e11 would
+    overflow int64 when squared), one sqrt + division at display.  The
+    spectral columns reuse spectrum_stats (participation-ratio effective
+    rank per slice): a drop in effective rank between snapshots is the
+    embedding-collapse / mode-collapse alarm, a large mean_shift is
+    domain drift.
+
+    Scale shape: two gram_int partial passes (corpus never shuffles) +
+    tiny broadcast joins — identical envelope to the rest of the family.
+    """
+    ga = gram_int(a, vec_col=vec_col, dim=dim)
+    gb = gram_int(b, vec_col=vec_col, dim=dim)
+    sxa = ga.filter(F.col("i") == -1).select("j", F.col("s").alias("sxa"))
+    sxb = gb.filter(F.col("i") == -1).select("j", F.col("s").alias("sxb"))
+    na = ga.filter(F.col("i") == -2).select(F.col("s").alias("na"))
+    nb = gb.filter(F.col("i") == -2).select(F.col("s").alias("nb"))
+    num = (
+        sxa.join(sxb, "j")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            (
+                (F.col("nb") * F.col("sxa") - F.col("na") * F.col("sxb"))
+            ).cast("decimal(19,0)").alias("num"),
+            "na",
+            "nb",
+        )
+    )
+    ssq = num.groupBy("na", "nb").agg(
+        F.sum(F.col("num") * F.col("num")).alias("ssq")
+    )
+    shift = ssq.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(
+            F.sqrt(F.col("ssq").cast("double"))
+            / (
+                F.col("na").cast("double")
+                * F.col("nb").cast("double")
+                * F.lit(float(SCALE))
+            ),
+            6,
+        ).alias("mean_shift"),
+    )
+    ea = spectrum_stats(a, vec_col=vec_col, dim=dim).select(
+        F.col("effective_rank").alias("er_a")
+    )
+    eb = spectrum_stats(b, vec_col=vec_col, dim=dim).select(
+        F.col("effective_rank").alias("er_b")
+    )
+    return shift.crossJoin(ea).crossJoin(eb)

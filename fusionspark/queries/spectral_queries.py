@@ -18,6 +18,7 @@ convergence where a dominant axis exists.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fusionspark.io import load_table
 from fusionspark.operators import spectral
@@ -185,3 +186,74 @@ def pca_doc_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     division at the end.  Scale shape: broadcasts 2·64 values; scoring
     is whole-stage-codegen array math, zero shuffle on the corpus."""
     return spectral.pca_scores(load_table(spark, sf_dir, "embeddings"), iters=_ITERS)
+
+
+def _slice_ctes(p: str, where: str) -> str:
+    """Per-slice exact-moment chain (x → nn → sx → sxy → cint → cmat →
+    tv/fr), prefixed so two slices coexist in one WITH."""
+    return f"""
+    x_{p} AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                              e -> FLOOR(CAST(e AS DOUBLE) * 100000.0)::BIGINT) AS xi
+        FROM embeddings WHERE {where}
+    ),
+    nn_{p} AS (SELECT COUNT(*)::BIGINT AS n FROM x_{p}),
+    sx_{p} AS MATERIALIZED (
+        SELECT d.d AS j, SUM(xi[d.d + 1])::BIGINT AS sx FROM x_{p}, dims d GROUP BY d.d
+    ),
+    sxy_{p} AS MATERIALIZED (
+        SELECT i.d AS i, j.d AS j, SUM(xi[i.d + 1] * xi[j.d + 1])::BIGINT AS sxy
+        FROM x_{p}, dims i, dims j
+        GROUP BY i.d, j.d
+    ),
+    cmat_{p} AS MATERIALIZED (
+        SELECT s.i, s.j,
+               CAST((SELECT n FROM nn_{p}) * s.sxy - a.sx * b.sx AS DOUBLE)
+               / (CAST((SELECT n FROM nn_{p}) * (SELECT n FROM nn_{p}) AS DOUBLE)
+                  * 1.0e10) AS c
+        FROM sxy_{p} s JOIN sx_{p} a ON a.j = s.i JOIN sx_{p} b ON b.j = s.j
+    ),
+    tv_{p} AS (SELECT list_reduce(list(c ORDER BY i), (x, y) -> x + y) AS tv
+               FROM cmat_{p} WHERE i = j),
+    fr_{p} AS (SELECT list_reduce(list(c * c ORDER BY i * 64 + j), (x, y) -> x + y) AS fr
+               FROM cmat_{p})"""
+
+
+@query(
+    "embedding_drift",
+    f"""
+    WITH dims AS (SELECT unnest(range(64))::INT AS d),
+    {_slice_ctes("a", "vec_id % 2 = 0")},
+    {_slice_ctes("b", "vec_id % 2 = 1")},
+    num AS (
+        SELECT a.j,
+               (SELECT n FROM nn_b) * a.sx - (SELECT n FROM nn_a) * b.sx AS num
+        FROM sx_a a JOIN sx_b b USING (j)
+    ),
+    ssq AS (SELECT SUM(num::HUGEINT * num::HUGEINT) AS ssq FROM num)
+    SELECT (SELECT n FROM nn_a) AS n_a,
+           (SELECT n FROM nn_b) AS n_b,
+           ROUND(sqrt(CAST((SELECT ssq FROM ssq) AS DOUBLE))
+                 / (CAST((SELECT n FROM nn_a) AS DOUBLE)
+                    * CAST((SELECT n FROM nn_b) AS DOUBLE) * 100000.0),
+                 6) AS mean_shift,
+           ROUND((SELECT tv FROM tv_a) * (SELECT tv FROM tv_a)
+                 / (SELECT fr FROM fr_a), 6) AS er_a,
+           ROUND((SELECT tv FROM tv_b) * (SELECT tv FROM tv_b)
+                 / (SELECT fr FROM fr_b), 6) AS er_b
+    """,
+)
+def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shift between two corpus slices (even vs odd vec_id —
+    the snapshot-vs-snapshot shape): exact-integer mean displacement
+    (num_j = n_B·Σx_A − n_A·Σx_B in BIGINT, squared/summed in
+    decimal(38)/HUGEINT) + per-slice participation-ratio effective rank.
+    A shrinking effective rank between snapshots is the embedding-collapse
+    alarm; a large mean_shift is domain drift.  Two gram_int partial
+    passes; the corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return spectral.drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )

@@ -166,3 +166,18 @@ def test_covariance_overflow_guard_raises(spark, planted):
     assert "reduce `scale`" in str(ei.value) or "raise_error" in str(ei.value) or isinstance(
         ei.value, Py4JJavaError
     )
+
+
+def test_drift_detects_planted_mean_shift(spark):
+    """Two slices offset by a known constant vector: mean_shift recovers
+    ~‖offset‖ and the effective ranks stay near the common shape."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(scale=0.05, size=(300, 64))
+    off = np.full(64, 0.2)
+    a = np.clip(base[:150], -0.9, 0.9)
+    b = np.clip(base[150:] + off, -0.9, 0.9)
+    dfa, dfb = _df(spark, a), _df(spark, np.asarray(b))
+    row = spectral.drift(dfa, dfb).collect()[0]
+    assert row["n_a"] == 150 and row["n_b"] == 150
+    expect = np.linalg.norm(a.mean(axis=0) - b.mean(axis=0))
+    assert row["mean_shift"] == pytest.approx(expect, rel=0.02)
