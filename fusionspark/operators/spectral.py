@@ -114,7 +114,16 @@ def covariance_int(
     ``c_int[i,j] = n·Σxy − Σx·Σy`` (covariance × n² × scale², exact);
     the true covariance is ``c_int / (n² · scale²)``.  Columns:
     (i, j, c_int, n)."""
-    g = gram_int(df, vec_col=vec_col, dim=dim, scale=scale)
+    return covariance_from_gram(
+        gram_int(df, vec_col=vec_col, dim=dim, scale=scale), scale=scale
+    )
+
+
+def covariance_from_gram(g: DataFrame, scale: int = SCALE) -> DataFrame:
+    """covariance_int from an already-computed Gram frame — the entry
+    point for the streaming-maintained state
+    (streaming/pipeline.py::maintain_gram_stream), where the corpus is
+    never rescanned."""
     sxy = g.filter(F.col("i") >= 0)
     sx = g.filter(F.col("i") == -1).select(F.col("j"), F.col("s").alias("sx"))
     # loud overflow guard on the documented bound |n·Σxy| ≤ n²·scale²:

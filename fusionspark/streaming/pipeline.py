@@ -230,3 +230,72 @@ def maintain_rollup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_gram_stream(
+    vector_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Streaming maintenance of the exact-integer Gram state
+    (operators/spectral.py::gram_int): each micro-batch maps to its
+    d²+d+1-row int64 partial and full-outer-merges into the parquet state
+    by plain BIGINT addition.  Every row kind of the Gram frame (Σx·x,
+    Σx, n) is an algebraic sum, so ANY batch slicing of the feed
+    converges to the batch Gram BIT-for-bit — covariance / spectrum /
+    PCA / drift all read off the maintained state without ever rescanning
+    the corpus (the continuously-fresh embedding-health dashboard).
+
+    Same crash contract as maintain_rollup_stream: applied-batch marker
+    inside the state dir, rename-swap with both crash windows covered."""
+    import shutil
+
+    from fusionspark.operators.spectral import gram_int
+
+    spark = vector_stream.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        old = state_path + ".old"
+        if not os.path.exists(state_path) and os.path.exists(old):
+            os.rename(old, state_path)
+        marker = os.path.join(state_path, "_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip() or -1) >= batch_id:
+                    return  # replayed batch: already merged
+        delta = gram_int(batch_df, vec_col=vec_col, dim=dim)
+        if not os.path.exists(state_path):
+            merged = delta
+        else:
+            state = spark.read.parquet(state_path)
+            zero = F.lit(0).cast("long")
+            merged = (
+                state.join(
+                    delta.withColumnRenamed("s", "s_d"), ["i", "j"], "full_outer"
+                )
+                .select(
+                    "i",
+                    "j",
+                    (
+                        F.coalesce(F.col("s"), zero) + F.coalesce(F.col("s_d"), zero)
+                    ).alias("s"),
+                )
+            )
+        tmp = state_path + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(state_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        vector_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

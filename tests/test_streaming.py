@@ -632,3 +632,41 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, stream_events):
     s = sorted(map(tuple, out.select("user_id", "l_event_id", "r_event_id").collect()))
     assert len(b) > 0
     assert b == s
+
+
+def test_gram_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """maintain_gram_stream: any micro-batch slicing of the vector feed
+    converges to the batch Gram bit-for-bit (every row kind is an exact
+    BIGINT sum), and the maintained state feeds covariance_from_gram."""
+    import os
+    import shutil
+
+    from fusionspark.operators.spectral import covariance_from_gram, gram_int
+    from fusionspark.streaming.pipeline import maintain_gram_stream
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # split the corpus into 3 files so maxFilesPerTrigger=1 forces three
+    # separate micro-batch merges into the state
+    src = tmp_path / "feed"
+    emb.repartition(3).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "gram_state")
+    q = maintain_gram_stream(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    got = {
+        (r["i"], r["j"]): r["s"] for r in spark.read.parquet(state).collect()
+    }
+    want = {(r["i"], r["j"]): r["s"] for r in gram_int(emb).collect()}
+    assert got == want
+    cov = covariance_from_gram(spark.read.parquet(state))
+    batch_cov = {
+        (r["i"], r["j"]): r["c_int"]
+        for r in covariance_from_gram(gram_int(emb)).collect()
+    }
+    for r in cov.collect():
+        assert batch_cov[(r["i"], r["j"])] == r["c_int"]
