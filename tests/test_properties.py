@@ -204,3 +204,58 @@ def test_theta_intersection_bounds(spark):
     assert r["est_intersect"] <= r["est_union"]
     assert abs(r["est_union"] - 12_000) / 12_000 < 0.6
     assert abs(r["est_intersect"] - 4_000) / 4_000 < 0.9  # θ-sketch variance
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40
+    ),
+    k=st.integers(min_value=1, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_invariants(spark, weights, k):
+    """A-Res weighted sampling on ANY weight vector: the sample is a
+    subset of the population, has exactly min(k, n) rows, contains no
+    duplicates, and is invariant to repartitioning."""
+    from fusionspark.operators.sampling import weighted_sample
+
+    rows = list(enumerate(weights))
+    df = spark.createDataFrame(rows, "doc_id: long, w: long")
+    got = weighted_sample(df, "w", k).select("doc_id").collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == min(k, len(rows))
+    assert len(set(ids)) == len(ids)
+    assert set(ids) <= {i for i, _ in rows}
+    again = weighted_sample(df.repartition(5), "w", k).select("doc_id").collect()
+    assert sorted(ids) == sorted(r["doc_id"] for r in again)
+
+
+@given(
+    n=st.integers(min_value=4, max_value=40),
+    k=st.integers(min_value=2, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@settings(**_SETTINGS)
+def test_kmeans_partition_invariant_and_total(spark, n, k, seed):
+    """Exact k-means on ANY corpus: every row is assigned exactly once,
+    clusters ∈ [0, k), and the assignment is partitioning-invariant
+    (the bit-reproducibility claim on random data, not just testdata)."""
+    import numpy as np
+
+    from fusionspark.operators import clustering
+
+    rng = np.random.default_rng(seed)
+    x = np.clip(rng.normal(scale=0.3, size=(n, 64)), -0.9, 0.9)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    schema = "vec_id long, embedding array<double>"
+    a = clustering.lloyd(
+        spark.createDataFrame(rows, schema).repartition(1), k=k, iters=2
+    ).collect()
+    b = clustering.lloyd(
+        spark.createDataFrame(rows, schema).repartition(7), k=k, iters=2
+    ).collect()
+    am = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in a}
+    bm = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in b}
+    assert am == bm
+    assert len(am) == n
+    assert all(0 <= c < k for c, _ in am.values())
