@@ -613,6 +613,14 @@ def main() -> None:
                 "newly-attested picks) — compare per-entry medians across "
                 "rounds, not totals"
             ),
+            "r8_session3_entries": (
+                "covariance_topk / pca_embeddings / pca_doc_scores / "
+                "kmeans_assign / stream_interval_join / weighted_sample / "
+                "bfs_hops first appear in r8 — BENCH history starts the same "
+                "round as their code; all are sub-3s medians (the spectral "
+                "family's corpus pass is one Arrow GEMM partial, the rest "
+                "are equi-join/TakeOrdered shapes)"
+            ),
             "knn_1m_resident_x10": (
                 "amortized build-once/search-many contract: 10 consecutive "
                 "1000-probe searches on the prebuilt 1M resident index vs "
