@@ -1020,6 +1020,50 @@ class FusionSparkEngine:
             "chunks": chunks,
         }
 
+    def analyze(self, collection: str, k: int = 0) -> dict:
+        """Corpus-health analytics over the collection's vectors (no
+        reference analogue — north-star surface over operators/spectral.py
+        and operators/clustering.py): exact-moment spectral summary
+        (total variance, participation-ratio effective rank — the
+        embedding-collapse alarm) and, with k > 0, the exact k-means
+        cluster profile (bit-reproducible assignments).  All computation
+        is the same partial-aggregate shape the query registry attests;
+        raises loudly (rather than silently wrapping) if the corpus
+        exceeds the exact-int64 envelope — see covariance_int."""
+        from fusionspark.operators import clustering, spectral
+
+        cfg = self._catalog[collection]
+        dim = cfg["dimensions"]
+        df = self._load(collection)
+        n = df.count()
+        out: dict = {"collection": collection, "n": n, "dimensions": dim}
+        if n == 0:
+            return out
+        s = spectral.spectrum_stats(df, vec_col="vector", dim=dim).collect()[0]
+        out.update(
+            totalVariance=s["total_variance"],
+            frobenius=s["frobenius"],
+            effectiveRank=s["effective_rank"],
+        )
+        if k > 0:
+            prof = clustering.cluster_profile(
+                clustering.lloyd(
+                    df, k=k, iters=3, id_col="id", vec_col="vector", dim=dim
+                )
+            ).collect()
+            out["clusters"] = sorted(
+                (
+                    {
+                        "cluster": r["cluster"],
+                        "nMembers": r["n_members"],
+                        "avgDist2": r["avg_dist2"],
+                    }
+                    for r in prof
+                ),
+                key=lambda c: c["cluster"],
+            )
+        return out
+
 
 class TenantProxy:
     """Tenant-scoped view of one collection (FusionEngine.js:246-271): the

@@ -89,7 +89,10 @@ def lloyd(
         F.col(id_col).alias("id"), quantize(vec_col).alias("xi")
     ).localCheckpoint(eager=True)
     seed = rows.orderBy("id").limit(k).collect()
+    if not seed:
+        raise ValueError("lloyd: empty input")
     cents = [[int(v) * R for v in r["xi"]] for r in seed]
+    k = len(cents)  # fewer rows than requested clusters: k clamps to n
     for _ in range(iters):
         a = _assign(rows, cents)
         sums = (

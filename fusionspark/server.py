@@ -84,6 +84,10 @@ class Router:
             if path == "/api/index/resident" and method == "DELETE":
                 self.engine.unload_resident(body["collection"])
                 return 200, {"unloaded": body["collection"]}
+            if path == "/api/analyze" and method == "POST":
+                return 200, self.engine.analyze(
+                    body["collection"], k=int(body.get("k", 0))
+                )
             if path == "/api/hybrid-search" and method == "POST":
                 return 200, self.engine.retrieve(
                     body["collection"], body["query"], top_k=int(body.get("topK", 10))
@@ -184,6 +188,12 @@ class Router:
                     n_probe=int(a.get("nProbe", 8)),
                     resident=bool(a.get("resident", False)),
                 ),
+            ),
+            "fusionspark_analyze": (
+                "Corpus-health analytics for a collection: spectral "
+                "summary (total variance, effective rank) and optional "
+                "exact k-means cluster profile (k > 0).",
+                lambda a: e.analyze(a["collection"], k=int(a.get("k", 0))),
             ),
             "fusionspark_load_resident": (
                 "Build the in-memory resident serving index for a "
@@ -334,6 +344,14 @@ class Router:
                 "topK": {"type": "number"},
             },
             "required": ["agentId", "query"],
+        },
+        "fusionspark_analyze": {
+            "type": "object",
+            "properties": {
+                "collection": {"type": "string"},
+                "k": {"type": "number"},
+            },
+            "required": ["collection"],
         },
         "fusionspark_memory_learn": {
             "type": "object",

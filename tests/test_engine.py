@@ -564,3 +564,28 @@ def test_search_many_resident_ivf(engine, spark):
     with _pytest.raises(ValueError, match="stale or missing"):
         engine.search_many("ri", probes, method="resident_ivf")
     engine.unload_resident("ri")  # releases both exact and IVF caches
+
+
+def test_analyze_spectrum_and_clusters(engine):
+    import numpy as np
+
+    engine.create_collection("an", CollectionConfig(dimensions=4))
+    rng = np.random.default_rng(9)
+    # two well-separated blobs in 4-d
+    rows = []
+    for i in range(20):
+        c = [0.5, 0.5, 0.0, 0.0] if i % 2 == 0 else [-0.5, -0.5, 0.0, 0.0]
+        v = (np.array(c) + rng.normal(scale=0.01, size=4)).clip(-0.9, 0.9)
+        rows.append({"id": f"v{i:02d}", "vector": [float(x) for x in v]})
+    engine.insert("an", rows)
+    out = engine.analyze("an", k=2)
+    assert out["n"] == 20 and out["dimensions"] == 4
+    # variance concentrates on the blob axis → effective rank ≈ 1
+    assert out["effectiveRank"] < 2
+    assert len(out["clusters"]) == 2
+    assert sorted(c["nMembers"] for c in out["clusters"]) == [10, 10]
+    assert all(c["avgDist2"] < 0.01 for c in out["clusters"])
+    # spectrum without clustering, and k clamped to n
+    out2 = engine.analyze("an")
+    assert "clusters" not in out2
+    assert len(engine.analyze("an", k=50)["clusters"]) <= 20

@@ -231,3 +231,27 @@ def test_resident_routes_and_tool(srv_engine):
     assert s3 == 200 and [h["id"] for h in res2] == [h["id"] for h in exact]
     for t in r.tool_manifest()["tools"]:
         assert t["inputSchema"]["type"] == "object"
+
+
+def test_analyze_route_and_tool(srv_engine):
+    from fusionspark.engine import CollectionConfig
+
+    r = Router(srv_engine)
+    srv_engine.create_collection("sp", CollectionConfig(dimensions=4))
+    srv_engine.insert(
+        "sp",
+        [
+            {"id": f"v{i}", "vector": [0.4 * (i % 2), 0.2, 0.1 * i % 0.7, 0.05]}
+            for i in range(12)
+        ],
+    )
+    status, out = r.route("POST", "/api/analyze", {"collection": "sp", "k": 2})
+    assert status == 200
+    assert out["n"] == 12 and out["dimensions"] == 4
+    assert "effectiveRank" in out and len(out["clusters"]) == 2
+    # same through the tool registry (MCP surface)
+    res = r.call_tool("fusionspark_analyze", {"collection": "sp"})
+    assert res["result"]["n"] == 12 and "clusters" not in res["result"]
+    assert any(
+        t["name"] == "fusionspark_analyze" for t in r.tool_manifest()["tools"]
+    )
