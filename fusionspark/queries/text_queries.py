@@ -782,3 +782,102 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("hits10") / F.lit(10.0), 6).alias("precision_at_10"),
     )
+
+
+@query(
+    "pmi_bigrams",
+    """
+    WITH toks AS MATERIALIZED (
+        SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    uni AS MATERIALIZED (
+        SELECT w, COUNT(*)::BIGINT AS cw
+        FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+    ),
+    nn AS (SELECT SUM(len(ts))::BIGINT AS n FROM toks),
+    pairs AS MATERIALIZED (
+        SELECT ts[r.i] AS w1, ts[r.i + 1] AS w2
+        FROM toks, unnest(range(1, len(ts))) AS r(i)
+    ),
+    bb AS (SELECT COUNT(*)::BIGINT AS b FROM pairs),
+    pc AS (
+        SELECT w1, w2, COUNT(*)::BIGINT AS cxy FROM pairs GROUP BY w1, w2
+    )
+    SELECT w1 || ' ' || w2 AS bigram, cxy AS n_pair,
+           ROUND(ln(CAST(cxy AS DOUBLE)
+                    * CAST((SELECT n FROM nn) AS DOUBLE)
+                    * CAST((SELECT n FROM nn) AS DOUBLE)
+                    / (CAST((SELECT b FROM bb) AS DOUBLE)
+                       * CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))),
+                 6) AS pmi
+    FROM pc JOIN uni u1 ON u1.w = pc.w1 JOIN uni u2 ON u2.w = pc.w2
+    WHERE cxy >= 5 AND len(w1) > 2 AND len(w2) > 2
+    ORDER BY pmi DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def pmi_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 adjacent bigrams by pointwise mutual
+    information, PMI = ln(c_xy·N²/(B·c_x·c_y)) — the corpus-analysis
+    screen for multi-word terms (and for template/boilerplate discovery:
+    impossibly high PMI at high count = repeated spans).  All counts are
+    exact BIGINTs; one ln at display, ordering on the rounded value with
+    a bigram tiebreak.  Scale: bigrams never materialize per doc beyond
+    the explode — two groupBy shuffles on (w1,w2)/w digests, the unigram
+    vocab broadcasts into the PMI join."""
+    d = load_table(spark, sf_dir, "documents")
+    from fusionspark.functions.text import tokenize
+
+    t = d.select(tokenize("text").alias("ts"))
+    pairs = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "filter(zip_with(ts, slice(ts, 2, size(ts)), "
+                    "(a, b) -> struct(a AS w1, b AS w2)), p -> p.w2 IS NOT NULL)"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    uni = t.select(F.explode("ts").alias("w")).groupBy("w").agg(
+        F.count("*").cast("long").alias("cw")
+    )
+    nn = t.agg(F.sum(F.size("ts")).cast("long").alias("n"))
+    bb = pairs.agg(F.count("*").cast("long").alias("b"))
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cxy"))
+        .filter((F.col("cxy") >= 5) & (F.length("w1") > 2) & (F.length("w2") > 2))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))
+    joined = (
+        pc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(bb))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("cxy").cast("double")
+            * F.col("n").cast("double")
+            * F.col("n").cast("double")
+            / (
+                F.col("b").cast("double")
+                * F.col("cw1").cast("double")
+                * F.col("cw2").cast("double")
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("cxy").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(20)
+    )
