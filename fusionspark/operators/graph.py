@@ -256,7 +256,9 @@ def bfs(
     the same bounded-round contract as pagerank/k-core/LPA here.  No
     per-round driver collect — the loop is bounded by ``hops``, not by a
     convergence test (exactly how the oracle replays it)."""
-    dist = seeds.select(F.col(id_col).alias("id"), F.lit(0).alias("dist"))
+    # distinct: a seed set derived from a non-unique source (e.g. an edge
+    # list's src column) must not emit duplicate dist-0 rows
+    dist = seeds.select(F.col(id_col).alias("id"), F.lit(0).alias("dist")).distinct()
     frontier = dist
     for h in range(1, hops + 1):
         nxt = (

@@ -33,10 +33,12 @@ _COIN_DENOM = 4294967296.0  # 2^32
 
 
 def sample_coin(id_col: F.Column, salt: str) -> F.Column:
-    """Deterministic u ∈ (0, 1]: (md5-prefix integer + 1) / 2^32."""
-    x = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8), 16, 10
-    ).cast("long")
+    """Deterministic u ∈ (0, 1]: (md5-prefix integer + 1) / 2^32 — the
+    repo-wide md5 coin (dedup.md5_hash32), shifted off zero so ln(u) is
+    finite."""
+    from fusionspark.operators.dedup import md5_hash32
+
+    x = md5_hash32(F.concat(F.lit(salt), id_col.cast("string")))
     return (x + F.lit(1)).cast("double") / F.lit(_COIN_DENOM)
 
 
@@ -47,14 +49,18 @@ def weighted_sample(
     id_col: str = "doc_id",
     salt: str = "ws:",
 ) -> DataFrame:
-    """Top-K rows by the A-Res key ln(u)/w (u = md5 coin on the id,
-    w = ``weight_col`` clamped to ≥1).  Adds ``sample_key`` (rounded for
-    display; the cut itself compares the unrounded doubles, with the id as
-    the deterministic tiebreak)."""
-    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    """Top-K rows by the A-Res key ln(u)/w (u = md5 coin on the id).
+    Rows with w ≤ 0 are excluded — their A-Res inclusion probability is
+    0, and clamping them to a positive weight would silently turn a
+    proportional sample uniform (quality weights live in (0, 1]; they
+    must stay proportional, not be rounded up to 1).  Adds ``sample_key``
+    (rounded for display; the cut itself compares the unrounded doubles,
+    with the id as the deterministic tiebreak)."""
+    w = F.col(weight_col).cast("double")
     key = F.log(sample_coin(F.col(id_col), salt)) / w
     return (
-        df.withColumn("sample_key", key)
+        df.filter(w > 0.0)
+        .withColumn("sample_key", key)
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(k)
         .withColumn("sample_key", F.round("sample_key", 6))

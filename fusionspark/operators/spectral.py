@@ -159,7 +159,7 @@ def covariance_from_gram(g: DataFrame, scale: int = SCALE) -> DataFrame:
     )
 
 
-def _cov_double(c: DataFrame) -> DataFrame:
+def _cov_double(c: DataFrame, scale: int = SCALE) -> DataFrame:
     """(i, j, c) with c = c_int / (double(n·n) · scale²) — one division,
     identical expression tree in the oracles."""
     return c.select(
@@ -167,7 +167,7 @@ def _cov_double(c: DataFrame) -> DataFrame:
         "j",
         (
             F.col("c_int").cast("double")
-            / ((F.col("n") * F.col("n")).cast("double") * F.lit(float(SCALE) ** 2))
+            / ((F.col("n") * F.col("n")).cast("double") * F.lit(float(scale) ** 2))
         ).alias("c"),
         "n",
     )
@@ -203,9 +203,23 @@ def _power_vector(
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
+    """Unrounded signed top-eigenvector iterate: (j 0-based, v, nrm) from
+    one fresh Gram pass — see _power_vector_from_gram."""
+    return _power_vector_from_gram(
+        gram_int(df, vec_col=vec_col, dim=dim), iters=iters, dim=dim
+    )
+
+
+def _power_vector_from_gram(
+    g: DataFrame,
+    iters: int = 8,
+    dim: int = 64,
+    scale: int = SCALE,
+) -> DataFrame:
     """Unrounded signed top-eigenvector iterate: (j 0-based, v, nrm).
     Shared by pca_top_component (display rounding) and pca_scores (folds
-    the raw doubles — rounding mid-chain would desync from the oracle).
+    the raw doubles — rounding mid-chain would desync from the oracle;
+    pca_scores passes a checkpointed Gram so the corpus scans ONCE).
     Sign convention: the largest-|loading| dimension (lowest index on
     ties) is non-negative."""
     if dim != 64:
@@ -214,11 +228,11 @@ def _power_vector(
     # (normalizer + update), so without a lineage cut the plan tree would
     # double per iteration (the dedup_clusters/k-core iteration rule)
     cmat = (
-        _cov_double(covariance_int(df, vec_col=vec_col, dim=dim))
+        _cov_double(covariance_from_gram(g, scale=scale), scale=scale)
         .select("i", "j", "c")
         .localCheckpoint(eager=True)
     )
-    spark = df.sparkSession
+    spark = g.sparkSession
     v = spark.range(dim).select(F.col("id").cast("int").alias("j"), F.lit(0.125).alias("v"))
     nrm = None
     for _ in range(iters):
@@ -271,7 +285,7 @@ def pca_top_component(
 
 
 def spectrum_stats(
-    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, scale: int = SCALE
 ) -> DataFrame:
     """Closed-form spectral summary of the embedding covariance — no
     iteration, so unlike the power method it is exact for any spectrum:
@@ -280,11 +294,25 @@ def spectrum_stats(
       * ``frobenius``       = tr(C²)  = Σ eigenvalues²   (‖C‖_F²)
       * ``effective_rank``  = tr(C)²/tr(C²) — the participation ratio,
         64 for an isotropic space, →1 as the corpus collapses onto one
-        axis (anisotropy / encoder-collapse diagnostic).
+        axis (anisotropy / encoder-collapse diagnostic); defined as 0
+        for a zero-variance corpus (n = 1 or all-identical vectors —
+        maximal collapse must alarm as a number, not a NULL).
 
     Both traces are left-to-right ordered folds over the exact-integer
     covariance (bit-identical across engines); division happens once."""
-    c = _cov_double(covariance_int(df, vec_col=vec_col, dim=dim)).select("i", "j", "c")
+    return spectrum_from_gram(
+        gram_int(df, vec_col=vec_col, dim=dim, scale=scale), dim=dim, scale=scale
+    )
+
+
+def spectrum_from_gram(
+    g: DataFrame, dim: int = 64, scale: int = SCALE
+) -> DataFrame:
+    """spectrum_stats from an existing Gram frame (streaming-maintained
+    state, or a slice Gram already computed by drift)."""
+    c = _cov_double(covariance_from_gram(g, scale=scale), scale=scale).select(
+        "i", "j", "c"
+    )
     tv = c.filter(F.col("i") == F.col("j")).agg(_ordered_fold("i", F.col("c")).alias("tv"))
     fr = (
         c.withColumn("k", (F.col("i").cast("long") * dim + F.col("j")))
@@ -293,7 +321,11 @@ def spectrum_stats(
     return tv.crossJoin(fr).select(
         F.round("tv", 6).alias("total_variance"),
         F.round("fr", 6).alias("frobenius"),
-        F.round(F.col("tv") * F.col("tv") / F.col("fr"), 6).alias("effective_rank"),
+        F.round(
+            F.when(F.col("fr") != 0.0, F.col("tv") * F.col("tv") / F.col("fr"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("effective_rank"),
     )
 
 
@@ -308,14 +340,16 @@ def pca_scores(
     exact integer space: score = Σ_j double(n·x_int[j] − Σx[j]) · v[j]
     / (double(n)·scale), folded j-ascending.  The 2·d-value (Σx, v)
     state broadcasts; scoring is whole-stage-codegen array math — zero
-    shuffle on the corpus."""
-    comp = _power_vector(df, iters=iters, vec_col=vec_col, dim=dim)
+    shuffle on the corpus.  The Gram frame is checkpointed and shared by
+    the power iteration AND the Σx/n extraction, so the corpus pays ONE
+    moments scan (plus the scoring pass), not two."""
+    g = gram_int(df, vec_col=vec_col, dim=dim).localCheckpoint(eager=True)
+    comp = _power_vector_from_gram(g, iters=iters, dim=dim)
     varr = comp.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("j", "v"))), lambda s: s["v"]
         ).alias("varr")
     )
-    g = gram_int(df, vec_col=vec_col, dim=dim)
     sxarr = (
         g.filter(F.col("i") == -1)
         .agg(
@@ -350,16 +384,17 @@ def drift(
     integer space — per dim, num_j = n_B·Σx_A[j] − n_A·Σx_B[j] (BIGINT),
     squared and summed in decimal(38,0) (num_j ≤ n²·scale ≈ 4e11 would
     overflow int64 when squared), one sqrt + division at display.  The
-    spectral columns reuse spectrum_stats (participation-ratio effective
-    rank per slice): a drop in effective rank between snapshots is the
-    embedding-collapse / mode-collapse alarm, a large mean_shift is
-    domain drift.
+    spectral columns come from the SAME two Gram frames (checkpointed —
+    4,161 rows each — and fed to spectrum_from_gram): a drop in
+    effective rank between snapshots is the embedding-collapse /
+    mode-collapse alarm, a large mean_shift is domain drift.
 
-    Scale shape: two gram_int partial passes (corpus never shuffles) +
-    tiny broadcast joins — identical envelope to the rest of the family.
+    Scale shape: exactly two gram_int partial passes, one per slice
+    (corpus never shuffles) + tiny broadcast joins — identical envelope
+    to the rest of the family.
     """
-    ga = gram_int(a, vec_col=vec_col, dim=dim)
-    gb = gram_int(b, vec_col=vec_col, dim=dim)
+    ga = gram_int(a, vec_col=vec_col, dim=dim).localCheckpoint(eager=True)
+    gb = gram_int(b, vec_col=vec_col, dim=dim).localCheckpoint(eager=True)
     sxa = ga.filter(F.col("i") == -1).select("j", F.col("s").alias("sxa"))
     sxb = gb.filter(F.col("i") == -1).select("j", F.col("s").alias("sxb"))
     na = ga.filter(F.col("i") == -2).select(F.col("s").alias("na"))
@@ -392,10 +427,10 @@ def drift(
             6,
         ).alias("mean_shift"),
     )
-    ea = spectrum_stats(a, vec_col=vec_col, dim=dim).select(
+    ea = spectrum_from_gram(ga, dim=dim).select(
         F.col("effective_rank").alias("er_a")
     )
-    eb = spectrum_stats(b, vec_col=vec_col, dim=dim).select(
+    eb = spectrum_from_gram(gb, dim=dim).select(
         F.col("effective_rank").alias("er_b")
     )
     return shift.crossJoin(ea).crossJoin(eb)

@@ -3530,11 +3530,12 @@ def nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, n_chars,
            ROUND(ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
                     / 4294967296.0)
-                 / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS sample_key
+                 / CAST(n_chars AS DOUBLE), 6) AS sample_key
     FROM documents
+    WHERE n_chars > 0
     ORDER BY ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
                 / 4294967296.0)
-             / greatest(CAST(n_chars AS DOUBLE), 1.0) DESC,
+             / CAST(n_chars AS DOUBLE) DESC,
              doc_id ASC
     LIMIT 200
     """,

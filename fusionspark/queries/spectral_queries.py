@@ -126,8 +126,10 @@ def covariance_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM cmat)
     SELECT ROUND((SELECT tv FROM tv), 6) AS total_variance,
            ROUND((SELECT fr FROM fr), 6) AS frobenius,
-           ROUND((SELECT tv FROM tv) * (SELECT tv FROM tv)
-                 / (SELECT fr FROM fr), 6) AS effective_rank
+           ROUND(CASE WHEN (SELECT fr FROM fr) <> 0
+                      THEN (SELECT tv FROM tv) * (SELECT tv FROM tv)
+                           / (SELECT fr FROM fr)
+                      ELSE 0.0 END, 6) AS effective_rank
     """,
 )
 def embedding_spectrum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,10 +240,14 @@ def _slice_ctes(p: str, where: str) -> str:
                  / (CAST((SELECT n FROM nn_a) AS DOUBLE)
                     * CAST((SELECT n FROM nn_b) AS DOUBLE) * 100000.0),
                  6) AS mean_shift,
-           ROUND((SELECT tv FROM tv_a) * (SELECT tv FROM tv_a)
-                 / (SELECT fr FROM fr_a), 6) AS er_a,
-           ROUND((SELECT tv FROM tv_b) * (SELECT tv FROM tv_b)
-                 / (SELECT fr FROM fr_b), 6) AS er_b
+           ROUND(CASE WHEN (SELECT fr FROM fr_a) <> 0
+                      THEN (SELECT tv FROM tv_a) * (SELECT tv FROM tv_a)
+                           / (SELECT fr FROM fr_a)
+                      ELSE 0.0 END, 6) AS er_a,
+           ROUND(CASE WHEN (SELECT fr FROM fr_b) <> 0
+                      THEN (SELECT tv FROM tv_b) * (SELECT tv FROM tv_b)
+                           / (SELECT fr FROM fr_b)
+                      ELSE 0.0 END, 6) AS er_b
     """,
 )
 def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:

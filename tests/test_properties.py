@@ -223,9 +223,10 @@ def test_weighted_sample_invariants(spark, weights, k):
     df = spark.createDataFrame(rows, "doc_id: long, w: long")
     got = weighted_sample(df, "w", k).select("doc_id").collect()
     ids = [r["doc_id"] for r in got]
-    assert len(ids) == min(k, len(rows))
+    eligible = [i for i, w in rows if w > 0]  # w <= 0: inclusion prob 0
+    assert len(ids) == min(k, len(eligible))
     assert len(set(ids)) == len(ids)
-    assert set(ids) <= {i for i, _ in rows}
+    assert set(ids) <= set(eligible)
     again = weighted_sample(df.repartition(5), "w", k).select("doc_id").collect()
     assert sorted(ids) == sorted(r["doc_id"] for r in again)
 
