@@ -401,6 +401,14 @@ def bench_queries(spark):
         "stream_interval_join",
         "weighted_sample",
         "bfs_hops",
+        # round 8 (session 5): corpus-distribution diagnostics — word-law
+        # fits (one groupBy(word) shuffle each) and the exact-integer
+        # centroid-distance screen (one moments partial pass, zero corpus
+        # shuffle)
+        "pmi_bigrams",
+        "zipf_fit",
+        "heaps_law",
+        "distance_outliers",
     ]
     out = {
         "knn_batch64": knn_batch,
@@ -612,6 +620,12 @@ def main() -> None:
                 "knn_1m_resident_x10 ~19s, corpus_pipeline_e2e ~13s, 4 "
                 "newly-attested picks) — compare per-entry medians across "
                 "rounds, not totals"
+            ),
+            "r8_session5_entries": (
+                "pmi_bigrams / zipf_fit / heaps_law / distance_outliers "
+                "first appear in r8 — corpus-distribution diagnostics; "
+                "word-law fits are groupBy(word)-shuffle shapes, the "
+                "outlier screen is one moments partial pass + TakeOrdered"
             ),
             "r8_session3_entries": (
                 "covariance_topk / pca_embeddings / pca_doc_scores / "

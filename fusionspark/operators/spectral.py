@@ -434,3 +434,92 @@ def drift(
         F.col("effective_rank").alias("er_b")
     )
     return shift.crossJoin(ea).crossJoin(eb)
+
+
+def moments_int(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, scale: int = SCALE
+) -> DataFrame:
+    """First moments only — (j, s) with Σ x_int[j] for j ≥ 0 and the row
+    count at j == -2.  The gram_int partial pass minus the d² GEMM: what
+    centroid-distance scoring needs, at 1/d the partial size (a 100 TB
+    outlier scan should not pay for a covariance it never reads)."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sx = np.zeros(dim, dtype=np.int64)
+        cnt = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            sx += np.floor(X * float(scale)).astype(np.int64).sum(axis=0)
+            cnt += len(pdf)
+        if cnt == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "j": np.concatenate([np.arange(dim), [-2]]),
+                "s": np.concatenate([sx, [cnt]]),
+            }
+        )
+
+    part = df.select(vec_col).mapInPandas(partials, schema="j int, s long")
+    return part.groupBy("j").agg(F.sum("s").cast("long").alias("s"))
+
+
+def centroid_outliers(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Top-k vectors by EXACT distance from the corpus centroid — the
+    corrupt-embedding screen (all-zero rows, saturated encoders, wrong
+    preprocessing land far from the mean).  Per vector,
+    d²_int = Σ_j (n·x_int[j] − Σx[j])² in the quantized integer space:
+    each term is BIGINT (|n·x − Σx| ≤ 2n·scale), the 64-term sum
+    accumulates in decimal(38,0) (HUGEINT in the oracle), so the RANKING
+    key is exact — cross-engine ties are impossible except on true
+    equality, broken by id.  sqrt + /(n·scale) once at display.
+
+    Scale shape: one moments_int partial pass (vectors never shuffle) +
+    a 2·d-value broadcast; scoring is whole-stage-codegen array math and
+    the cut is a TakeOrdered — zero shuffle on the corpus."""
+    # the 65-row moments frame feeds BOTH the Σx array and the n scalar —
+    # checkpoint it so the corpus pays ONE partial pass (the pca_scores
+    # shared-Gram rule)
+    m = moments_int(df, vec_col=vec_col, dim=dim, scale=scale).localCheckpoint(
+        eager=True
+    )
+    sxrow = m.filter(F.col("j") >= 0).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "s"))), lambda s: s["s"]
+        ).alias("sxarr")
+    )
+    nrow = m.filter(F.col("j") == -2).select(F.col("s").alias("n"))
+    d2 = F.aggregate(
+        F.zip_with(
+            quantize(vec_col, scale),
+            F.col("sxarr"),
+            lambda x, s: (F.col("n") * x - s).cast("decimal(19,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, r: acc + r * r,
+    )
+    return (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(sxrow))
+        .crossJoin(F.broadcast(nrow))
+        .select(id_col, F.col("n"), d2.alias("d2"))
+        .orderBy(F.col("d2").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.round(
+                F.sqrt(F.col("d2").cast("double"))
+                / (F.col("n").cast("double") * F.lit(float(scale))),
+                6,
+            ).alias("dist"),
+        )
+    )

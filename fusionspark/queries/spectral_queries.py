@@ -263,3 +263,42 @@ def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
     )
+
+
+@query(
+    "distance_outliers",
+    """
+    WITH x AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                              e -> FLOOR(CAST(e AS DOUBLE) * 100000.0)::BIGINT) AS xi
+        FROM embeddings
+    ),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM x),
+    dims AS (SELECT unnest(range(64))::INT AS d),
+    sx AS MATERIALIZED (
+        SELECT d.d AS j, SUM(xi[d.d + 1])::BIGINT AS sx FROM x, dims d GROUP BY d.d
+    ),
+    d2 AS (
+        SELECT x.vec_id,
+               SUM((((SELECT n FROM nn) * xi[s.j + 1] - s.sx)::HUGEINT)
+                   * (((SELECT n FROM nn) * xi[s.j + 1] - s.sx)::HUGEINT)) AS d2
+        FROM x, sx s
+        GROUP BY x.vec_id
+    )
+    SELECT vec_id,
+           ROUND(sqrt(CAST(d2 AS DOUBLE))
+                 / (CAST((SELECT n FROM nn) AS DOUBLE) * 100000.0), 6) AS dist
+    FROM d2
+    ORDER BY d2 DESC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def distance_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vectors by exact centroid distance
+    (operators/spectral.py::centroid_outliers) — the corrupt-embedding
+    screen: the ranking key Σ(n·x_int − Σx)² is exact integer arithmetic
+    (decimal(38)/HUGEINT), so the cut is bit-deterministic on both
+    engines; one sqrt + division at display.  One moments partial pass +
+    a broadcast of 65 longs; the corpus never shuffles."""
+    return spectral.centroid_outliers(load_table(spark, sf_dir, "embeddings"), k=20)

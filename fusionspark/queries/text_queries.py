@@ -881,3 +881,246 @@ def pmi_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(20)
     )
+
+
+# ── word-frequency law fits (corpus-distribution diagnostics) ─────────────
+#
+# Shared determinism contract with operators/spectral.py: every float sum
+# is a left-to-right fold over an explicitly ordered list on BOTH engines
+# (F.aggregate over a rank-ordered array here, list_reduce(list(... ORDER
+# BY ...)) in DuckDB), so the OLS inputs are bit-identical and the final
+# round(…, 6) cannot flake.  Counts stay BIGINT until the single ln().
+
+_ZIPF_RANKS = 200
+
+
+def _ols_cols(pts: F.Column) -> dict[str, F.Column]:
+    """Five ordered folds over an array<struct<x,y>> (already in fit
+    order) + the point count — the shared OLS accumulator set."""
+    fold = lambda term: F.aggregate(pts, F.lit(0.0), term)  # noqa: E731
+    return {
+        "np": F.size(pts).cast("double"),
+        "sx": fold(lambda a, s: a + s["x"]),
+        "sy": fold(lambda a, s: a + s["y"]),
+        "sxy": fold(lambda a, s: a + s["x"] * s["y"]),
+        "sxx": fold(lambda a, s: a + s["x"] * s["x"]),
+        "syy": fold(lambda a, s: a + s["y"] * s["y"]),
+    }
+
+
+def _ols_select(c: dict[str, F.Column]) -> list[F.Column]:
+    """slope / intercept / r2 from the accumulator set — one expression
+    tree, mirrored verbatim in the SQL oracles (zero-denominator → 0.0,
+    the effective_rank convention: degenerate fits alarm as numbers)."""
+    dx = c["np"] * c["sxx"] - c["sx"] * c["sx"]
+    dy = c["np"] * c["syy"] - c["sy"] * c["sy"]
+    num = c["np"] * c["sxy"] - c["sx"] * c["sy"]
+    slope = F.when(dx != 0.0, num / dx).otherwise(F.lit(0.0))
+    return [
+        c["np"].cast("long").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.when(c["np"] != 0.0, (c["sy"] - slope * c["sx"]) / c["np"]).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.when((dx != 0.0) & (dy != 0.0), num * num / (dx * dy)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("r2"),
+    ]
+
+
+# the mirrored SQL fragments: same fold order, same guard shape
+_SQL_OLS_S = """
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS np,
+                 list_reduce(list(x ORDER BY k), (a, b) -> a + b) AS sx,
+                 list_reduce(list(y ORDER BY k), (a, b) -> a + b) AS sy,
+                 list_reduce(list(x * y ORDER BY k), (a, b) -> a + b) AS sxy,
+                 list_reduce(list(x * x ORDER BY k), (a, b) -> a + b) AS sxx,
+                 list_reduce(list(y * y ORDER BY k), (a, b) -> a + b) AS syy
+          FROM pts),
+    fit AS (SELECT np, sx, sy, sxy, sxx, syy,
+                   np * sxx - sx * sx AS dx,
+                   np * syy - sy * sy AS dy,
+                   np * sxy - sx * sy AS num
+            FROM s),
+    ols AS (SELECT np::BIGINT AS n_points,
+                   ROUND(CASE WHEN dx <> 0 THEN num / dx ELSE 0.0 END, 6) AS slope,
+                   ROUND(CASE WHEN np <> 0
+                              THEN (sy - (CASE WHEN dx <> 0 THEN num / dx
+                                               ELSE 0.0 END) * sx) / np
+                              ELSE 0.0 END, 6) AS intercept,
+                   ROUND(CASE WHEN dx <> 0 AND dy <> 0
+                              THEN num * num / (dx * dy) ELSE 0.0 END, 6) AS r2
+            FROM fit)
+"""
+
+
+@query(
+    "zipf_fit",
+    f"""
+    WITH toks AS MATERIALIZED (
+        SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    cnt AS MATERIALIZED (
+        SELECT w, COUNT(*)::BIGINT AS c
+        FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS n_types, SUM(c)::BIGINT AS n_tokens
+            FROM cnt),
+    top AS MATERIALIZED (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r
+        FROM cnt ORDER BY c DESC, w ASC LIMIT {_ZIPF_RANKS}
+    ),
+    pts AS (SELECT r AS k, ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM top),
+    {_SQL_OLS_S}
+    SELECT (SELECT n_types FROM tot) AS n_types,
+           (SELECT n_tokens FROM tot) AS n_tokens,
+           n_points, slope, intercept, r2
+    FROM ols
+    """,
+)
+def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the word-frequency distribution: OLS of
+    ln(count) on ln(rank) for the top-200 words — slope ≈ −1 on natural
+    text; a flat slope (templated/synthetic corpora) or a broken one
+    (boilerplate head) is a corpus-generation red flag, and r² says how
+    law-like the distribution is at all.  Counts are exact BIGINTs; the
+    rank cut is a deterministic TakeOrdered (count DESC, word ASC); the
+    five OLS sums fold rank-ascending on both engines.
+
+    Scale shape: one groupBy(word) shuffle of word digests; the top-200
+    cut is a driver-side TakeOrdered over per-partition heads; everything
+    after is math on ≤200 values in one row."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(tokenize("text").alias("ts"))
+    cnt = (
+        t.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = cnt.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    top = cnt.orderBy(F.col("c").desc(), F.col("w").asc()).limit(_ZIPF_RANKS)
+    # array_sort on (−count, word) replays the rank order inside one row
+    arr = top.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("c")).alias("nc"), F.col("w").alias("w"),
+                             F.col("c").alias("c"))
+                )
+            ),
+            lambda s, i: F.struct(
+                F.log((i + F.lit(1)).cast("double")).alias("x"),
+                F.log(s["c"].cast("double")).alias("y"),
+            ),
+        ).alias("pts")
+    )
+    c = _ols_cols(F.col("pts"))
+    return (
+        arr.crossJoin(F.broadcast(tot))
+        .select("n_types", "n_tokens", *_ols_select(c))
+    )
+
+
+_HEAPS_BUCKETS = 64
+
+
+@query(
+    "heaps_law",
+    f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    nd AS (SELECT COUNT(*)::BIGINT AS nd FROM d),
+    b AS MATERIALIZED (
+        SELECT (doc_id * {_HEAPS_BUCKETS}) // (SELECT nd FROM nd) AS b, ts
+        FROM d
+    ),
+    tok AS (SELECT b, SUM(len(ts))::BIGINT AS tok FROM b GROUP BY b),
+    fst AS (SELECT w, MIN(b)::BIGINT AS fb
+            FROM (SELECT b.b, unnest(ts) AS w FROM b) GROUP BY w),
+    newt AS (SELECT fb AS b, COUNT(*)::BIGINT AS newt FROM fst GROUP BY fb),
+    curve AS (SELECT t.b, t.tok, COALESCE(n.newt, 0)::BIGINT AS newt
+              FROM tok t LEFT JOIN newt n ON n.b = t.b),
+    cum AS (SELECT b,
+                   SUM(tok) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                       AS ct,
+                   SUM(newt) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                       AS cv
+            FROM curve),
+    pts AS (SELECT b AS k, ln(ct::DOUBLE) AS x, ln(cv::DOUBLE) AS y
+            FROM cum WHERE ct > 0 AND cv > 0),
+    {_SQL_OLS_S}
+    SELECT n_points, slope AS beta, intercept AS ln_k, r2 FROM ols
+    """,
+)
+def heaps_law_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit — vocabulary growth V(N) ≈ K·N^β: OLS of
+    ln(cumulative distinct types) on ln(cumulative tokens), sampled at 64
+    doc-order checkpoints.  β ≈ 0.4–0.6 on natural text; β → 0 means the
+    vocabulary has saturated (templated corpus / exhausted dedup), β ≈ 1
+    means near-every-doc novelty (noise, OCR breakage) — the
+    vocabulary-side twin of ngram_novelty.
+
+    Scale shape: the curve is CHECKPOINTED, not per-doc — each word's
+    first occurrence is a groupBy(word) min(bucket) (digest-sized
+    shuffle), per-bucket token counts a second small groupBy, and the
+    cumulative/fit stage runs on 64 rows.  No corpus-length window, no
+    per-doc prefix sum — the 100 TB version shuffles words once."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("ts")
+    )
+    nd = d.agg(F.count("*").cast("long").alias("nd"))
+    b = d.crossJoin(F.broadcast(nd)).select(
+        F.expr(f"doc_id * {_HEAPS_BUCKETS} div nd").alias("b"), "ts"
+    )
+    tok = b.groupBy("b").agg(F.sum(F.size("ts")).cast("long").alias("tok"))
+    fst = (
+        b.select("b", F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.min("b").alias("fb"))
+    )
+    newt = fst.groupBy("fb").agg(F.count("*").cast("long").alias("newt"))
+    curve = tok.join(
+        newt.select(F.col("fb").alias("b"), "newt"), "b", "left"
+    ).select("b", "tok", F.coalesce("newt", F.lit(0)).cast("long").alias("newt"))
+    from pyspark.sql import Window
+
+    w64 = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = curve.select(
+        "b",
+        F.sum("tok").over(w64).cast("long").alias("ct"),
+        F.sum("newt").over(w64).cast("long").alias("cv"),
+    )
+    pts_arr = (
+        cum.filter((F.col("ct") > 0) & (F.col("cv") > 0))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("b").alias("k"), "ct", "cv"))
+                ),
+                lambda s: F.struct(
+                    F.log(s["ct"].cast("double")).alias("x"),
+                    F.log(s["cv"].cast("double")).alias("y"),
+                ),
+            ).alias("pts")
+        )
+    )
+    c = _ols_cols(F.col("pts"))
+    sel = _ols_select(c)
+    return pts_arr.select(
+        sel[0], sel[1].alias("beta"), sel[2].alias("ln_k"), sel[3]
+    )

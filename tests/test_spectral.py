@@ -181,3 +181,36 @@ def test_drift_detects_planted_mean_shift(spark):
     assert row["n_a"] == 150 and row["n_b"] == 150
     expect = np.linalg.norm(a.mean(axis=0) - b.mean(axis=0))
     assert row["mean_shift"] == pytest.approx(expect, rel=0.02)
+
+
+def test_moments_int_matches_numpy(spark, planted):
+    x, df = planted
+    got = {r["j"]: r["s"] for r in spectral.moments_int(df, dim=64).collect()}
+    xi = np.floor(x * float(spectral.SCALE)).astype(np.int64)
+    sx = xi.sum(axis=0)
+    assert got[-2] == len(x)
+    for j in range(64):
+        assert got[j] == sx[j]
+
+
+def test_centroid_outliers_match_numpy_ranking(spark, planted):
+    x, df = planted
+    xi = np.floor(x * float(spectral.SCALE)).astype(np.int64)
+    n = len(xi)
+    sx = xi.sum(axis=0)
+    d2 = ((n * xi - sx).astype(object) ** 2).sum(axis=1)  # exact (python int)
+    order = sorted(range(n), key=lambda i: (-d2[i], i))[:10]
+    got = spectral.centroid_outliers(df, k=10).collect()
+    assert [r["vec_id"] for r in got] == order
+    for r in got:
+        want = float(np.sqrt(float(d2[r["vec_id"]]))) / (n * float(spectral.SCALE))
+        assert abs(r["dist"] - want) < 1e-6
+
+
+def test_centroid_outliers_flags_planted_corruption(spark, planted):
+    x, _ = planted
+    bad = x.copy()
+    bad[3] = 0.9  # saturated row, far from the near-zero centroid
+    bad[17] = -0.9
+    got = spectral.centroid_outliers(_df(spark, bad), k=2).collect()
+    assert {r["vec_id"] for r in got} == {3, 17}
