@@ -409,6 +409,13 @@ def bench_queries(spark):
         "zipf_fit",
         "heaps_law",
         "distance_outliers",
+        # round 8 (session 5, batch 2): mergeable histogram quantiles,
+        # Holt-trend forecast, l-diversity audit, exact-cents Pearson,
+        # per-doc tf-idf keywords
+        "histogram_quantiles",
+        "ets_forecast",
+        "lineitem_corr",
+        "doc_keywords",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -935,3 +935,265 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.select(
         F.col("ty").alias("event_type"), F.round("p", 6).alias("stationary_p")
     )
+
+
+@query(
+    "histogram_quantiles",
+    """
+    WITH b AS (
+        SELECT FLOOR(value * 100.0 + 0.5)::BIGINT AS b, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1
+    ),
+    nn AS (SELECT SUM(c)::BIGINT AS n FROM b),
+    cum AS (
+        SELECT b, SUM(c) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        FROM b
+    ),
+    qs AS (SELECT unnest([500, 900, 990, 999])::BIGINT AS q_permille),
+    thr AS (
+        SELECT q_permille,
+               ((SELECT n FROM nn) * q_permille + 999) // 1000 AS threshold
+        FROM qs
+    )
+    SELECT t.q_permille,
+           ROUND(MIN(c.b)::DOUBLE / 100.0, 6) AS est_value
+    FROM thr t JOIN cum c ON c.cum >= t.threshold
+    GROUP BY t.q_permille
+    ORDER BY t.q_permille
+    """,
+)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch over event values: bin =
+    round(value·100) (exact for 2-decimal data), so the sketch is ONE
+    bounded-cardinality integer histogram — partitions aggregate
+    independently and merge by addition, the property exact
+    percentile_disc (a full sort-shuffle of the corpus) does not have.
+    Quantile q = the smallest bin whose cumulative count reaches
+    ceil(q·n), computed in integers ((n·q‰ + 999) div 1000) — estimate
+    error is bounded by the bin width, engine drift is impossible.
+
+    Scale shape: one groupBy(bin) with map-side combine; the cumulative
+    window runs over the GRID (≤ ~50k bins here, fixed by value range ×
+    resolution), never over the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select(F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nn = b.agg(F.sum("c").cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = b.select("b", F.sum("c").over(wb).cast("long").alias("cum"))
+    qs = spark.createDataFrame([(500,), (900,), (990,), (999,)], "q_permille long")
+    thr = qs.crossJoin(F.broadcast(nn)).select(
+        "q_permille",
+        F.expr("(n * q_permille + 999) div 1000").alias("threshold"),
+    )
+    return (
+        cum.join(F.broadcast(thr), cum.cum >= thr.threshold)
+        .groupBy("q_permille")
+        .agg(F.round(F.min("b").cast("double") / 100.0, 6).alias("est_value"))
+        .orderBy("q_permille")
+    )
+
+
+# Holt's linear-trend recursion replayed as an ordered fold whose
+# accumulator is a [level, trend] DOUBLE array on BOTH engines (Spark
+# F.aggregate / DuckDB list_reduce over single-element lists — the
+# accumulator and element types must match in DuckDB, hence the [y]
+# wrapping).  α = β = 0.5: exact binary fractions, and the l' expression
+# is textually duplicated in the trend update on both sides so the IEEE
+# trees are identical.
+_ETS_SQL_STEP = """(a, y) -> CASE WHEN len(a) = 1
+            THEN [y[1], y[1] - a[1]]
+            ELSE [0.5 * y[1] + 0.5 * (a[1] + a[2]),
+                  0.5 * ((0.5 * y[1] + 0.5 * (a[1] + a[2])) - a[1])
+                  + 0.5 * a[2]]
+            END"""
+
+
+@query(
+    "ets_forecast",
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1
+    ),
+    ys AS (SELECT list(CAST(cnt AS DOUBLE) ORDER BY day) AS ys FROM daily),
+    st AS (
+        SELECT list_reduce(list_transform(ys, y -> [y]), {_ETS_SQL_STEP}) AS s
+        FROM ys
+    ),
+    hs AS (SELECT unnest(range(1, 8))::BIGINT AS h)
+    SELECT h, ROUND((SELECT s[1] + h * s[2] FROM st), 6) AS forecast
+    FROM hs ORDER BY h
+    """,
+)
+def ets_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day-ahead forecast of the daily event count by Holt's
+    linear-trend exponential smoothing (α = β = 0.5, init l₂ = y₂,
+    b₂ = y₂ − y₁): the capacity-planning readout over the same daily
+    series trend_daily_events fits linearly — ETS tracks level changes
+    the global OLS line averages away.  The recursion is a
+    left-to-right fold over the day-ordered counts with a [level,
+    trend] accumulator, bit-identical across engines (exact-fraction
+    coefficients, duplicated-subexpression update, ordered list).
+
+    Scale shape: one groupBy(day) with map-side combine; the fold runs
+    over the DAY COUNT (30 rows), not the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    ys = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cnt"))),
+            lambda s: s["cnt"].cast("double"),
+        ).alias("ys")
+    )
+
+    def step(a, y):
+        lnew = 0.5 * y + 0.5 * (F.element_at(a, 1) + F.element_at(a, 2))
+        return F.when(
+            F.size(a) == 1,
+            F.array(y, y - F.element_at(a, 1)),
+        ).otherwise(
+            F.array(
+                lnew,
+                0.5 * (lnew - F.element_at(a, 1)) + 0.5 * F.element_at(a, 2),
+            )
+        )
+
+    st = ys.select(
+        F.aggregate(
+            F.slice(F.col("ys"), 2, F.size("ys") - 1),
+            F.array(F.element_at("ys", 1)),
+            step,
+        ).alias("s")
+    )
+    hs = spark.range(1, 8).select(F.col("id").alias("h"))
+    return (
+        hs.crossJoin(F.broadcast(st))
+        .select(
+            "h",
+            F.round(
+                F.element_at("s", 1) + F.col("h") * F.element_at("s", 2), 6
+            ).alias("forecast"),
+        )
+        .orderBy("h")
+    )
+
+
+@query(
+    "l_diversity",
+    """
+    WITH g AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               COUNT(DISTINCT user_id)::BIGINT AS l,
+               COUNT(*)::BIGINT AS group_size
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type, l, group_size
+    FROM g ORDER BY l ASC, day ASC, event_type ASC LIMIT 10
+    """,
+)
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) — k_anonymity's
+    sensitive-attribute sibling: per quasi-identifier cell (day,
+    event_type), how many DISTINCT users stand behind it; the 10
+    lowest-diversity cells are where a released aggregate is closest to
+    naming someone even when every cell is k-large.  One distinct-agg
+    shuffle on the quasi key; the report is a top-10 TakeOrdered."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("l"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    return (
+        g.orderBy(F.col("l").asc(), F.col("day").asc(), F.col("event_type").asc())
+        .limit(10)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "l",
+            "group_size",
+        )
+    )
+
+
+@query(
+    "lineitem_corr",
+    """
+    WITH q AS (
+        SELECT FLOOR(l_quantity * 100.0 + 0.5)::BIGINT AS x,
+               FLOOR(l_extendedprice * 100.0 + 0.5)::BIGINT AS y,
+               FLOOR(l_discount * 100.0 + 0.5)::BIGINT AS z
+        FROM lineitem
+    ),
+    s AS (
+        SELECT COUNT(*)::HUGEINT AS n,
+               SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+               SUM(z)::HUGEINT AS sz,
+               SUM((x * y)::HUGEINT) AS sxy, SUM((x * z)::HUGEINT) AS sxz,
+               SUM((y * z)::HUGEINT) AS syz,
+               SUM((x * x)::HUGEINT) AS sxx, SUM((y * y)::HUGEINT) AS syy,
+               SUM((z * z)::HUGEINT) AS szz
+        FROM q
+    )
+    SELECT ROUND((n * sxy - sx * sy)::DOUBLE
+                 / SQRT((n * sxx - sx * sx)::DOUBLE)
+                 / SQRT((n * syy - sy * sy)::DOUBLE), 6) AS corr_qty_price,
+           ROUND((n * sxz - sx * sz)::DOUBLE
+                 / SQRT((n * sxx - sx * sx)::DOUBLE)
+                 / SQRT((n * szz - sz * sz)::DOUBLE), 6) AS corr_qty_disc,
+           ROUND((n * syz - sy * sz)::DOUBLE
+                 / SQRT((n * syy - sy * sy)::DOUBLE)
+                 / SQRT((n * szz - sz * sz)::DOUBLE), 6) AS corr_price_disc
+    FROM s
+    """,
+)
+def lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlations between the lineitem measures
+    (quantity/price/discount) — the numeric-profiling companion of
+    table_profile.  The 2-decimal doubles quantize losslessly to cents
+    (round(v·100)), every moment is an exact integer sum
+    (decimal(38)/HUGEINT — ~1e22 at sf100, far inside 38 digits), and
+    doubles appear only in the one closed-form display expression
+    written identically on both engines (the autocorr_weekly /SQRT/SQRT
+    shape).  One pass, map-side-combined; no corpus shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("y"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("z"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = q.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("z"))).cast("decimal(38,0)").alias("sz"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("z"))).cast("decimal(38,0)").alias("sxz"),
+        F.sum(dec(F.col("y") * F.col("z"))).cast("decimal(38,0)").alias("syz"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec(F.col("z") * F.col("z"))).cast("decimal(38,0)").alias("szz"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        return F.round(
+            (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+            / F.sqrt((F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double"))
+            / F.sqrt((F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")),
+            6,
+        )
+
+    return s.select(
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("corr_qty_price"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_disc"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("corr_price_disc"),
+    )

@@ -1124,3 +1124,74 @@ def heaps_law_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts_arr.select(
         sel[0], sel[1].alias("beta"), sel[2].alias("ln_k"), sel[3]
     )
+
+
+@query(
+    "doc_keywords",
+    """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    tf AS MATERIALIZED (
+        SELECT doc_id, w, COUNT(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(ts) AS w FROM toks) GROUP BY doc_id, w
+    ),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM toks),
+    dfreq AS (SELECT w, COUNT(*)::BIGINT AS df FROM tf GROUP BY w),
+    scored AS (
+        SELECT t.doc_id, t.w,
+               ROUND(CAST(t.tf AS DOUBLE)
+                     * ln(CAST((SELECT n FROM nn) AS DOUBLE)
+                          / CAST(d.df AS DOUBLE)), 6) AS score
+        FROM tf t JOIN dfreq d ON d.w = t.w
+    ),
+    ranked AS (
+        SELECT doc_id, w, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, w ASC) AS rk
+        FROM scored
+    )
+    SELECT doc_id, w AS term, score, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def doc_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf·idf
+    (idf = ln(N/df)) — the RAG-metadata / faceted-browse primitive.
+    Counts are exact BIGINTs, one ln per vocab word, ranking on the
+    ROUNDED score with a term tiebreak so the cut is float-order-stable
+    across engines (the embedding_outliers z-membership rule).
+
+    Scale shape: one groupBy(doc, term) shuffle of digests; the vocab
+    document-frequency table is tiny and broadcasts into the scoring
+    join; the top-3 window partitions BY DOCUMENT (no global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokenize("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "score", F.col("rk").cast("long").alias("rk"))
+    )
