@@ -1197,3 +1197,71 @@ def lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_disc"),
         corr("syz", "sy", "sz", "syy", "szz").alias("corr_price_disc"),
     )
+
+
+@query(
+    "benford_digits",
+    """
+    WITH c AS (
+        SELECT substr(CAST(FLOOR(value * 100.0 + 0.5)::BIGINT AS VARCHAR),
+                      1, 1)::BIGINT AS digit
+        FROM events WHERE value > 0
+    ),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM c),
+    obs AS (SELECT digit, COUNT(*)::BIGINT AS observed FROM c GROUP BY digit),
+    d9 AS (SELECT unnest(range(1, 10))::BIGINT AS digit)
+    SELECT d.digit,
+           COALESCE(o.observed, 0)::BIGINT AS observed,
+           ROUND(log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE)), 6) AS benford_p,
+           ROUND(CAST(COALESCE(o.observed, 0) AS DOUBLE)
+                 / CAST((SELECT n FROM nn) AS DOUBLE), 6) AS observed_p,
+           ROUND(CAST(COALESCE(o.observed, 0) AS DOUBLE)
+                 / CAST((SELECT n FROM nn) AS DOUBLE)
+                 - log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE)), 6) AS deviation
+    FROM d9 d LEFT JOIN obs o ON o.digit = d.digit
+    ORDER BY d.digit
+    """,
+)
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law digit test over event values — the fraud / synthetic-
+    data forensics screen: natural multi-scale amounts put digit d first
+    with p = log₁₀(1 + 1/d); a flat or spiked profile means generated or
+    manipulated values.  The first digit is extracted from the INTEGER
+    cents string (no float log bucketing — engine-identical by
+    construction); all 9 digits are kept via the left join so absent
+    digits report observed = 0 rather than vanishing.  One digit groupBy
+    (map-side combine); the readout is 9 rows."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("value") > 0).select(
+        F.substring(
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    nn = c.agg(F.count("*").cast("long").alias("n"))
+    obs = c.groupBy("digit").agg(F.count("*").cast("long").alias("observed"))
+    d9 = spark.range(1, 10).select(F.col("id").alias("digit"))
+    bp = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    op = F.col("observed").cast("double") / F.col("n").cast("double")
+    return (
+        d9.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "digit",
+            F.coalesce("observed", F.lit(0)).cast("long").alias("observed"),
+            F.round(bp, 6).alias("benford_p"),
+            F.round(
+                F.coalesce("observed", F.lit(0)).cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("observed_p"),
+            F.round(
+                F.coalesce("observed", F.lit(0)).cast("double")
+                / F.col("n").cast("double")
+                - bp,
+                6,
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

@@ -417,3 +417,53 @@ def bfs_hops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = e if edges is None else edges.unionAll(e)
     seeds = docs.filter(d < 10)
     return bfs(seeds, edges, hops=4, id_col="doc_id")
+
+
+@query(
+    "degree_distribution",
+    """
+    WITH docs AS (SELECT doc_id FROM documents),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM docs),
+    edges AS (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+        FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM nn) FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 29 + 7) % (SELECT n FROM nn) FROM docs
+    ),
+    indeg AS (
+        SELECT d.doc_id, COUNT(e.src)::BIGINT AS indeg
+        FROM docs d LEFT JOIN edges e ON e.dst = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT indeg AS degree, COUNT(*)::BIGINT AS n_nodes
+    FROM indeg GROUP BY indeg
+    ORDER BY degree ASC
+    """,
+)
+def degree_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram of the pagerank/bfs 3-out link graph — the
+    graph-profiling readout that sizes skew BEFORE running iterative
+    algorithms on it (a heavy-tailed in-degree is the salting trigger
+    for pagerank's contribution groupBy; the histogram is the evidence).
+    Two digest-sized shuffles (degree count, histogram); nodes with zero
+    in-links are kept via the left join — a dropped mode at degree 0
+    would understate skew."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = None
+    for a, b in ((7, 1), (13, 3), (29, 7)):
+        e = docs.select(d.alias("src"), ((d * a + b) % n).alias("dst"))
+        edges = e if edges is None else edges.unionAll(e)
+    indeg = (
+        docs.join(edges, docs.doc_id == edges.dst, "left")
+        .groupBy("doc_id")
+        .agg(F.count("src").cast("long").alias("indeg"))
+    )
+    return (
+        indeg.groupBy(F.col("indeg").alias("degree"))
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("degree")
+    )
