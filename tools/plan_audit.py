@@ -212,3 +212,62 @@ with _ctx.redirect_stdout(buf):
     a.explain("formatted")
 p = buf.getvalue()
 print(f"== kmeans_assign_pass: exchanges={p.count('Exchange')} joins={p.count('Join')} (all must be 0)")
+
+# 13. round-8 session-5 plan claims
+# moments_int: corpus never shuffles — one MapInPandas partial pass, one
+# 65-row groupBy exchange; centroid_outliers cut must be TakeOrdered
+from fusionspark.operators.spectral import centroid_outliers, moments_int
+mi = moments_int(load_table(spark, sf, "embeddings"))
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    mi.explain("formatted")
+p = buf.getvalue()
+print(f"== moments_int: exchange_mentions={p.count('Exchange')} (2 = one node, partials only)",
+      "mapInPandas:", "MapInPandas" in p)
+co = centroid_outliers(load_table(spark, sf, "embeddings"), k=20)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    co.explain("formatted")
+p = buf.getvalue()
+print("== centroid_outliers: take_ordered:", "TakeOrderedAndProject" in p,
+      "cartesian:", "CartesianProduct" in p)
+
+# zipf: word-digest groupBy + TakeOrdered(200) — no global sort of the corpus
+z = REGISTRY["zipf_fit"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    z.explain("formatted")
+p = buf.getvalue()
+print("== zipf_fit: take_ordered:", "TakeOrderedAndProject" in p)
+
+# heaps: NO corpus-length window — the only window-free requirement is that
+# every Exchange keys on word/bucket digests (checkpoint sampling)
+h = REGISTRY["heaps_law"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    h.explain("formatted")
+p = buf.getvalue()
+print(f"== heaps_law: window_nodes={p.count('Window')} (over 64 bucket rows only)")
+
+# doc_keywords: top-3 window must partition BY doc_id (no global sort)
+dk = REGISTRY["doc_keywords"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    dk.explain("formatted")
+p = buf.getvalue()
+import re as _re
+print("== doc_keywords: partitioned_window:",
+      bool(_re.search(r"hashpartitioning\(doc_id#\d+L?, 32\)", p)),
+      "group_limit_pushdown:", "WindowGroupLimit" in p)
+
+# histogram_quantiles: one bin groupBy; cumulative window over grid bins
+hq = REGISTRY["histogram_quantiles"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    hq.explain("formatted")
+p = buf.getvalue()
+# two BNL joins by design, both with tiny broadcast sides: the 1-row n
+# scalar and the 4-row threshold frame vs grid bins (a theta-join over a
+# bounded grid, not the corpus); formatted plans mention each node twice
+print("== histogram_quantiles: cartesian:", "CartesianProduct" in p,
+      f"bnl_nodes={p.count('BroadcastNestedLoopJoin') // 2} (2 = n-scalar + 4-row thresholds, both broadcast)")
