@@ -975,29 +975,12 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one groupBy(bin) with map-side combine; the cumulative
     window runs over the GRID (≤ ~50k bins here, fixed by value range ×
-    resolution), never over the corpus."""
-    e = load_table(spark, sf_dir, "events")
-    b = (
-        e.select(F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").cast("long").alias("c"))
-    )
-    nn = b.agg(F.sum("c").cast("long").alias("n"))
-    from pyspark.sql import Window
+    resolution), never over the corpus.  The same two operators back the
+    streaming form (streaming/pipeline.py::maintain_histogram_stream)."""
+    from fusionspark.operators.sketches import cents_histogram, quantiles_from_bins
 
-    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = b.select("b", F.sum("c").over(wb).cast("long").alias("cum"))
-    qs = spark.createDataFrame([(500,), (900,), (990,), (999,)], "q_permille long")
-    thr = qs.crossJoin(F.broadcast(nn)).select(
-        "q_permille",
-        F.expr("(n * q_permille + 999) div 1000").alias("threshold"),
-    )
-    return (
-        cum.join(F.broadcast(thr), cum.cum >= thr.threshold)
-        .groupBy("q_permille")
-        .agg(F.round(F.min("b").cast("double") / 100.0, 6).alias("est_value"))
-        .orderBy("q_permille")
-    )
+    e = load_table(spark, sf_dir, "events")
+    return quantiles_from_bins(cents_histogram(e), [500, 900, 990, 999])
 
 
 # Holt's linear-trend recursion replayed as an ordered fold whose

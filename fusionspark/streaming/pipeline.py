@@ -299,3 +299,69 @@ def maintain_gram_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_histogram_stream(
+    value_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    value_col: str = "value",
+):
+    """Streaming maintenance of the cents-grid histogram state
+    (operators/sketches.py::cents_histogram): each micro-batch maps to
+    its (bin, count) partial and full-outer-merges into the parquet
+    state by BIGINT addition — counts are algebraic sums, so any batch
+    slicing of the feed converges to the batch histogram bit-for-bit,
+    and quantiles_from_bins reads continuously-fresh percentiles off the
+    state without rescanning the stream history (the latency-SLO
+    dashboard shape).
+
+    Same crash contract as maintain_rollup_stream / maintain_gram_stream:
+    applied-batch marker inside the state dir, rename-swap with both
+    crash windows covered."""
+    import shutil
+
+    from fusionspark.operators.sketches import cents_histogram
+
+    spark = value_stream.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        old = state_path + ".old"
+        if not os.path.exists(state_path) and os.path.exists(old):
+            os.rename(old, state_path)
+        marker = os.path.join(state_path, "_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip() or -1) >= batch_id:
+                    return  # replayed batch: already merged
+        delta = cents_histogram(batch_df, value_col=value_col)
+        if not os.path.exists(state_path):
+            merged = delta
+        else:
+            state = spark.read.parquet(state_path)
+            zero = F.lit(0).cast("long")
+            merged = (
+                state.join(delta.withColumnRenamed("c", "c_d"), "b", "full_outer")
+                .select(
+                    "b",
+                    (
+                        F.coalesce(F.col("c"), zero) + F.coalesce(F.col("c_d"), zero)
+                    ).alias("c"),
+                )
+            )
+        tmp = state_path + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(state_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        value_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -670,3 +670,32 @@ def test_gram_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
     }
     for r in cov.collect():
         assert batch_cov[(r["i"], r["j"])] == r["c_int"]
+
+
+def test_histogram_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """maintain_histogram_stream: any micro-batch slicing of the value
+    feed converges to the batch cents histogram bit-for-bit, and
+    quantiles_from_bins off the state equals the batch
+    histogram_quantiles readout."""
+    from fusionspark.operators.sketches import cents_histogram, quantiles_from_bins
+    from fusionspark.streaming.pipeline import maintain_histogram_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    src = tmp_path / "feed"
+    ev.repartition(3).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "hist_state")
+    q = maintain_histogram_stream(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    got = {r["b"]: r["c"] for r in spark.read.parquet(state).collect()}
+    want = {r["b"]: r["c"] for r in cents_histogram(ev).collect()}
+    assert got == want
+    ps = [500, 900, 990, 999]
+    got_q = quantiles_from_bins(spark.read.parquet(state), ps).collect()
+    want_q = quantiles_from_bins(cents_histogram(ev), ps).collect()
+    assert [tuple(r) for r in got_q] == [tuple(r) for r in want_q]
