@@ -416,6 +416,12 @@ def bench_queries(spark):
         "ets_forecast",
         "lineitem_corr",
         "doc_keywords",
+        # round 8 (session 6): data-mining family — apriori-pruned basket
+        # pair self-join, digest-only substring-span dedup, timeline-fold
+        # Kaplan-Meier (survival_km / association_rules excluded: tiny
+        # shapes dominated by the same scans frequent_pairs times)
+        "frequent_pairs",
+        "substring_dedup",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -82,6 +82,7 @@ def load_all() -> None:
         embedding_queries,
         layout_queries,
         extended_queries,
+        mining_queries,
         multimodal_queries,
         pipeline_queries,
         rag_queries,

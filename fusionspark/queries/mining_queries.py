@@ -1,0 +1,420 @@
+"""Data-mining query family (round 8, session 6): market-basket
+frequent-pattern mining over TPC-H orders, substring-level exact
+deduplication over the documents corpus (the Lee-et-al training-data
+dedup shape), and Kaplan-Meier survival over customer order spans.
+
+Float-parity discipline (COVERAGE.md round-3 classes): every statistic
+reduces to INTEGER counts first; doubles enter only in final closed-form
+expressions written identically on both engines, and the one genuinely
+sequential float recursion (the KM survival product) runs as an ordered
+array fold with bit-identical left-to-right IEEE ops on both engines
+(the ets_forecast discipline, analytics_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fusionspark.io import load_table
+from fusionspark.queries import query
+
+# ---------------------------------------------------------------------------
+# Market basket: frequent pairs + association rules
+# ---------------------------------------------------------------------------
+
+_BASKETS_SQL = """
+    b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s AS (SELECT l_partkey, COUNT(*)::BIGINT AS sup FROM b GROUP BY 1),
+    f AS (SELECT l_partkey FROM s WHERE sup >= 2),
+    bf AS (SELECT b.l_orderkey, b.l_partkey FROM b JOIN f USING (l_partkey)),
+    p AS (
+        SELECT a.l_partkey AS x, c.l_partkey AS y, COUNT(*)::BIGINT AS pair_sup
+        FROM bf a
+        JOIN bf c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _baskets(spark: SparkSession, sf_dir: str):
+    """(basket rows, per-item support) — baskets are orders, items are the
+    DISTINCT parts on each order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    sup = b.groupBy("l_partkey").agg(F.count("*").cast("long").alias("sup"))
+    return b, sup
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurring part pairs with apriori item pruning: an item below
+    the pair support floor cannot appear in a frequent pair, so the
+    self-join runs over the pre-filtered basket rows only.  The part
+    dimension is small (|parts| ~ 0.02% of |lineitem|): the frequent-item
+    set broadcasts, and the within-basket pair expansion is bounded by
+    the max basket size (<= 7 lines in TPC-H), never quadratic in the
+    corpus."""
+    b, sup = _baskets(spark, sf_dir)
+    freq = sup.filter(F.col("sup") >= 2).select("l_partkey")
+    bf = b.join(F.broadcast(freq), "l_partkey")
+    a, c = bf.alias("a"), bf.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("c.l_partkey").alias("y")
+        )
+        .agg(F.count("*").cast("long").alias("pair_sup"))
+    )
+
+
+@query(
+    "frequent_pairs",
+    f"""
+    WITH {_BASKETS_SQL}
+    SELECT x, y, pair_sup FROM p WHERE pair_sup >= 2
+    """,
+)
+def frequent_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent item pairs (support >= 2 baskets) over order baskets —
+    the SON/apriori candidate stage of market-basket analysis.
+
+    Scale shape: one shuffle of (orderkey, partkey) id pairs to co-locate
+    baskets, a broadcast of the frequent-item filter, and a bounded
+    within-basket expansion (max basket size squared, not corpus
+    squared); the pair aggregation map-side combines.  Raising the
+    support floor at 100 TB only strengthens the apriori prefilter."""
+    return _pairs(spark, sf_dir).filter(F.col("pair_sup") >= 2)
+
+
+@query(
+    "association_rules",
+    f"""
+    WITH {_BASKETS_SQL},
+    n AS (SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS n_b FROM b),
+    r AS (
+        SELECT p.x AS antecedent, p.y AS consequent, p.pair_sup,
+               sx.sup AS sup_ante, sy.sup AS sup_cons
+        FROM p JOIN s sx ON p.x = sx.l_partkey
+               JOIN s sy ON p.y = sy.l_partkey
+        WHERE p.pair_sup >= 3
+        UNION ALL
+        SELECT p.y, p.x, p.pair_sup, sy.sup, sx.sup
+        FROM p JOIN s sx ON p.x = sx.l_partkey
+               JOIN s sy ON p.y = sy.l_partkey
+        WHERE p.pair_sup >= 3
+    )
+    SELECT antecedent, consequent, pair_sup, sup_ante,
+           ROUND(pair_sup::DOUBLE / sup_ante, 6) AS confidence,
+           ROUND((SELECT n_b FROM n)::DOUBLE * pair_sup
+                 / (sup_ante::DOUBLE * sup_cons), 6) AS lift
+    FROM r
+    """,
+)
+def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from pairs with support >= 3, both directions:
+    confidence = sup(x,y)/sup(x), lift = N * sup(x,y)/(sup(x) * sup(y)).
+    All inputs are exact BIGINT counts; the two divisions are the only
+    float ops, written identically in the oracle.
+
+    Scale shape: rules derive from the (tiny) frequent-pair set joined
+    against the broadcast item-support table — no further corpus scan."""
+    b, sup = _baskets(spark, sf_dir)
+    n_b = b.select("l_orderkey").distinct().count()
+    p = _pairs(spark, sf_dir).filter(F.col("pair_sup") >= 3)
+    sx = sup.select(F.col("l_partkey").alias("x"), F.col("sup").alias("sup_x"))
+    sy = sup.select(F.col("l_partkey").alias("y"), F.col("sup").alias("sup_y"))
+    j = p.join(F.broadcast(sx), "x").join(F.broadcast(sy), "y")
+    both = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("x").alias("antecedent"),
+                    F.col("y").alias("consequent"),
+                    F.col("pair_sup"),
+                    F.col("sup_x").alias("sup_ante"),
+                    F.col("sup_y").alias("sup_cons"),
+                ),
+                F.struct(
+                    F.col("y").alias("antecedent"),
+                    F.col("x").alias("consequent"),
+                    F.col("pair_sup"),
+                    F.col("sup_y").alias("sup_ante"),
+                    F.col("sup_x").alias("sup_cons"),
+                ),
+            )
+        ).alias("r")
+    )
+    return both.select(
+        F.col("r.antecedent").alias("antecedent"),
+        F.col("r.consequent").alias("consequent"),
+        F.col("r.pair_sup").alias("pair_sup"),
+        F.col("r.sup_ante").alias("sup_ante"),
+        F.round(
+            F.col("r.pair_sup").cast("double") / F.col("r.sup_ante"), 6
+        ).alias("confidence"),
+        F.round(
+            F.lit(n_b).cast("double")
+            * F.col("r.pair_sup")
+            / (F.col("r.sup_ante").cast("double") * F.col("r.sup_cons")),
+            6,
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (duplicated spans across documents)
+# ---------------------------------------------------------------------------
+
+_SSD_W = 32  # window width (chars)
+_SSD_S = 8  # stride
+
+
+@query(
+    "substring_dedup",
+    f"""
+    WITH d AS (
+        SELECT doc_id, text, length(text)::BIGINT AS L
+        FROM documents WHERE length(text) >= {_SSD_W}
+    ),
+    w AS (
+        SELECT doc_id, L, 1 + i * {_SSD_S} AS s,
+               i * {_SSD_S} + {_SSD_W} AS e,
+               md5(substr(text, CAST(1 + i * {_SSD_S} AS BIGINT), {_SSD_W})) AS h
+        FROM d, LATERAL (
+            SELECT unnest(range(0, CAST((L - {_SSD_W}) // {_SSD_S} AS BIGINT) + 1)) AS i
+        ) g
+    ),
+    dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    wd AS (SELECT w.* FROM w JOIN dup USING (h)),
+    isl AS (
+        SELECT doc_id, L, s, e,
+               SUM(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM (
+            SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pe
+            FROM wd
+        ) t
+    ),
+    sp AS (
+        SELECT doc_id, L, island, COUNT(*)::BIGINT AS nw,
+               MAX(e) - MIN(s) + 1 AS span
+        FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, SUM(nw)::BIGINT AS n_dup_windows,
+           COUNT(*)::BIGINT AS n_spans, SUM(span)::BIGINT AS dup_chars,
+           ROUND(SUM(span)::DOUBLE / L, 6) AS dup_frac
+    FROM sp GROUP BY doc_id, L
+    """,
+)
+def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup: hash every 32-char window at stride 8,
+    keep windows whose hash occurs in >= 2 distinct docs, merge
+    overlapping/adjacent duplicated windows into maximal spans
+    (gaps-and-islands), and report per-doc duplicated-char mass — the
+    "remove repeated substrings from the training corpus" primitive
+    (Lee et al. 2022 dedup shape), as opposed to the whole-doc
+    (dedup_exact) and near-doc (dedup_minhash) families.
+
+    Scale shape: the shuffle carries (digest, doc_id, position) only —
+    document text NEVER shuffles; duplicated-hash detection is one
+    groupBy(digest) with map-side combine; the island merge is a per-doc
+    window function over that doc's duplicated windows (dozens of rows).
+    Stride trades span granularity for an 8x cut in window volume: a
+    duplicated region >= W + S - 1 chars with equal alignment is always
+    caught; at 100 TB the same plan runs with a larger stride and a
+    64-bit hash."""
+    W, S = _SSD_W, _SSD_S
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "text", F.length("text").cast("long").alias("L")
+    ).filter(F.col("L") >= W)
+    w = d.select(
+        "doc_id",
+        "L",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), ((F.col("L") - W) / S).cast("long"))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "L",
+        (1 + F.col("i") * S).alias("s"),
+        (F.col("i") * S + W).alias("e"),
+        F.md5(F.expr(f"substring(text, CAST(1 + i * {S} AS INT), {W})")).alias(
+            "h"
+        ),
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    wd = w.join(dup, "h")
+    by_start = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = (
+        F.max("e")
+        .over(by_start.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("pe")
+    )
+    isl = wd.select("doc_id", "L", "s", "e", prev_end).select(
+        "doc_id",
+        "L",
+        "s",
+        "e",
+        F.sum(
+            F.when(
+                F.col("pe").isNull() | (F.col("s") > F.col("pe") + 1), 1
+            ).otherwise(0)
+        )
+        .over(by_start.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    sp = isl.groupBy("doc_id", "L", "island").agg(
+        F.count("*").cast("long").alias("nw"),
+        (F.max("e") - F.min("s") + 1).alias("span"),
+    )
+    return sp.groupBy("doc_id", "L").agg(
+        F.sum("nw").cast("long").alias("n_dup_windows"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("span").cast("long").alias("dup_chars"),
+        F.round(F.sum("span").cast("double") / F.col("L"), 6).alias("dup_frac"),
+    ).drop("L")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival over customer order spans
+# ---------------------------------------------------------------------------
+
+_KM_CHURN_DAYS = 90
+
+_KM_FOLD = (
+    "(a, x) -> [a[1] - x[1] - x[2], a[2] * (1 - x[1] / a[1])]"
+)
+
+
+@query(
+    "survival_km",
+    f"""
+    WITH c AS (
+        SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS t0,
+               MAX(CAST(o_orderdate AS DATE)) AS t1
+        FROM orders GROUP BY 1
+    ),
+    hz AS (SELECT MAX(t1) AS h FROM c),
+    cd AS (
+        SELECT date_diff('day', t0, t1)::BIGINT AS t,
+               CASE WHEN date_diff('day', t1, (SELECT h FROM hz))
+                         > {_KM_CHURN_DAYS}
+                    THEN 1 ELSE 0 END::BIGINT AS ev
+        FROM c
+    ),
+    tl AS (
+        SELECT t, SUM(ev)::BIGINT AS d, SUM(1 - ev)::BIGINT AS cens
+        FROM cd GROUP BY t
+    ),
+    ag AS (
+        SELECT list([t::DOUBLE, d::DOUBLE, cens::DOUBLE] ORDER BY t) AS arr,
+               SUM(d + cens)::BIGINT AS n FROM tl
+    ),
+    ix AS (SELECT arr, n, unnest(range(1, len(arr) + 1)) AS i FROM ag)
+    SELECT CAST(arr[i][1] AS BIGINT) AS t,
+           n - CAST(list_reduce(
+                   list_prepend([0.0], list_transform(
+                       list_slice(arr, 1, i - 1), x -> [x[2] + x[3]])),
+                   (a, x) -> [a[1] + x[1]])[1] AS BIGINT) AS n_risk,
+           CAST(arr[i][2] AS BIGINT) AS d,
+           CAST(arr[i][3] AS BIGINT) AS censored,
+           ROUND(list_reduce(
+                   list_prepend([n::DOUBLE, 1.0], list_transform(
+                       list_slice(arr, 1, i), x -> [x[2], x[3]])),
+                   {_KM_FOLD})[2], 6) AS surv
+    FROM ix
+    """,
+)
+def survival_km_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer engagement spans:
+    duration = days between a customer's first and last order, event
+    (churn) = last order more than 90 days before the corpus horizon,
+    else right-censored.  S(t_i) = prod_(j<=i) (1 - d_j / n_j) over the
+    day-ordered timeline — the retention readout a subscription or
+    engagement pipeline runs on event history.
+
+    Parity: d/c/n_risk are exact BIGINT counts; the survival product is
+    a left-to-right fold over the day-ordered timeline array with a
+    [n_remaining, S] accumulator, the same IEEE ops in the same order on
+    both engines (ets_forecast discipline).
+
+    Scale shape: the corpus collapses to per-customer (min, max) with
+    map-side combine, then to the per-day timeline (thousands of rows at
+    any corpus size — durations are bounded by calendar span); the fold
+    runs over the TIMELINE, never the corpus.  The O(T^2) slice replay
+    here is the oracle-parity form; the streaming form folds once."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("t0"),
+        F.max(F.to_date("o_orderdate")).alias("t1"),
+    )
+    hz = c.agg(F.max("t1").alias("h"))
+    cd = c.crossJoin(F.broadcast(hz)).select(
+        F.datediff("t1", "t0").cast("long").alias("t"),
+        F.when(F.datediff("h", "t1") > _KM_CHURN_DAYS, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ev"),
+    )
+    tl = cd.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("cens"),
+    )
+    ag = tl.agg(
+        F.array_sort(
+            F.collect_list(
+                F.array(
+                    F.col("t").cast("double"),
+                    F.col("d").cast("double"),
+                    F.col("cens").cast("double"),
+                )
+            )
+        ).alias("arr"),
+        F.sum(F.col("d") + F.col("cens")).cast("long").alias("n"),
+    )
+    ix = ag.select("arr", "n", F.posexplode("arr").alias("p", "el"))
+
+    def km_step(a, x):
+        return F.array(
+            F.element_at(a, 1) - F.element_at(x, 1) - F.element_at(x, 2),
+            F.element_at(a, 2)
+            * (1 - F.element_at(x, 1) / F.element_at(a, 1)),
+        )
+
+    # posexplode's p is 0-based; the oracle's i is 1-based: current
+    # element is arr[p + 1], prior elements are the first p
+    dc = F.transform(
+        F.slice(F.col("arr"), 1, F.col("p") + 1),
+        lambda x: F.array(F.element_at(x, 2), F.element_at(x, 3)),
+    )
+    prior = F.aggregate(
+        F.slice(dc, 1, F.col("p")),
+        F.lit(0.0),
+        lambda a, x: a + F.element_at(x, 1) + F.element_at(x, 2),
+    )
+    surv = F.aggregate(
+        dc,
+        F.array(F.col("n").cast("double"), F.lit(1.0)),
+        km_step,
+    )
+    return ix.select(
+        F.element_at("el", 1).cast("long").alias("t"),
+        (F.col("n") - prior.cast("long")).alias("n_risk"),
+        F.element_at("el", 2).cast("long").alias("d"),
+        F.element_at("el", 3).cast("long").alias("censored"),
+        F.round(F.element_at(surv, 2), 6).alias("surv"),
+    )

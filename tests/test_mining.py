@@ -1,0 +1,123 @@
+"""Invariant tests for the data-mining family (queries/mining_queries.py):
+market-basket pairs/rules, substring-span dedup, Kaplan-Meier survival."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fusionspark.queries.mining_queries import (
+    association_rules_q,
+    frequent_pairs_q,
+    substring_dedup_q,
+    survival_km_q,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_apriori_prefilter_lossless(spark):
+    """The frequent-item prefilter drops no qualifying pair: recompute
+    pairs WITHOUT the prune and compare."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    naive = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("x"), F.col("c.l_partkey").alias("y"))
+        .agg(F.count("*").cast("long").alias("pair_sup"))
+        .filter(F.col("pair_sup") >= 2)
+    )
+    pruned = frequent_pairs_q(spark, SF)
+    n_sym_diff = (
+        pruned.select("x", "y", "pair_sup")
+        .exceptAll(naive)
+        .unionAll(naive.exceptAll(pruned.select("x", "y", "pair_sup")))
+        .count()
+    )
+    assert n_sym_diff == 0
+
+
+def test_association_rules_bounds(spark):
+    rows = association_rules_q(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+        assert r.pair_sup <= r.sup_ante
+
+
+def test_substring_dedup_spans_bounded(spark):
+    """Merged spans never exceed the doc, never overlap (sum of spans
+    <= doc length), and every reported doc has >= 1 window."""
+    out = substring_dedup_q(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("L")
+    )
+    j = out.join(docs, "doc_id").collect()
+    assert j
+    for r in j:
+        assert 1 <= r.n_spans <= r.n_dup_windows
+        assert 32 <= r.dup_chars <= r.L
+        assert abs(r.dup_frac - round(r.dup_chars / r.L, 6)) < 1e-9
+
+
+def test_substring_dedup_islands_merge(spark):
+    """Two docs sharing one long run + one isolated window merge into
+    exactly the expected spans."""
+    shared = "x" * 64  # aligned run: windows at i=0..4 all duplicated
+    tail = "q" * 8 + "y" * 32  # second duplicated window, disjoint
+    a = shared + "A" * 24 + tail
+    b = shared + "B" * 24 + tail
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for t in ("documents",):
+            df.write.mode("overwrite").parquet(f"{tmp}/{t}.parquet")
+        out = {r.doc_id: r for r in substring_dedup_q(spark, tmp).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        # the shared 64-char prefix merges into one island; "y"*32 region
+        # (plus any window overlapping it that also matches) forms the rest
+        assert r.n_spans >= 2
+        assert r.dup_chars >= 64 + 32
+
+
+def test_survival_km_monotone(spark):
+    rows = sorted(survival_km_q(spark, SF).collect(), key=lambda r: r.t)
+    assert rows
+    n_total = rows[0].n_risk + sum(
+        r.d + r.censored for r in rows[: rows.index(rows[0])]
+    )
+    # n_risk strictly decreases as d+c leave; surv is non-increasing in t
+    prev_surv, prev_risk = 1.0 + 1e-9, n_total + 1
+    at_risk = None
+    for r in rows:
+        if at_risk is None:
+            at_risk = r.n_risk
+        assert r.n_risk == at_risk
+        at_risk -= r.d + r.censored
+        assert r.n_risk <= prev_risk
+        assert r.surv <= prev_surv + 1e-9
+        prev_surv, prev_risk = r.surv, r.n_risk
+    assert at_risk == 0  # timeline exhausts the cohort
+
+
+def test_survival_km_numpy_replay(spark):
+    """Bit-level replay of the fold on the same timeline."""
+    rows = sorted(survival_km_q(spark, SF).collect(), key=lambda r: r.t)
+    n = sum(r.d + r.censored for r in rows)
+    at_risk, s = float(n), 1.0
+    for r in rows:
+        s = s * (1 - r.d / at_risk)
+        at_risk = at_risk - r.d - r.censored
+        assert r.surv == pytest.approx(round(s, 6), abs=1e-9)
