@@ -16,7 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fusionspark.functions import vector as V
 from fusionspark.io import load_table
+from fusionspark.operators.knn import vector_dim
 from fusionspark.queries import query
 
 # ---------------------------------------------------------------------------
@@ -418,3 +420,173 @@ def survival_km_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("el", 3).cast("long").alias("censored"),
         F.round(F.element_at(surv, 2), 6).alias("surv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph over embeddings (label-blocked, the IVF blocking shape)
+# ---------------------------------------------------------------------------
+
+_KNNG_K = 3
+
+
+@query(
+    "knn_graph",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id, b.vec_id AS nbr_id,
+               list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nbr_id, ROUND(sim, 6) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, nbr_id ASC) AS rnk
+    FROM scored
+    QUALIFY rnk <= {_KNNG_K}
+    """,
+)
+def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction: top-3 cosine neighbors for EVERY vector
+    within its label block — the neighbor-graph primitive under semdedup
+    clustering, graph-based diversity sampling, and kNN-classification of
+    unlabeled corpus slices.  Blocking mirrors neardup_embedding: at
+    100 TB the label is the assigned IVF centroid, so each block is a
+    bounded cell and the per-block pair expansion never goes corpus-
+    quadratic; the top-k window partitions by source vector (ids +
+    distance shuffle only — the knn.py discipline of dropping vector
+    payloads before the rank exchange)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = vector_dim(e, "embedding")
+    a = e.select("label", F.col("vec_id"), F.col("embedding"))
+    b = e.select(
+        "label",
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nbr_embedding"),
+    )
+    scored = (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn(
+            "sim",
+            V.cosine_similarity(
+                F.col("embedding"), F.col("nbr_embedding"), dim
+            ),
+        )
+        .select("vec_id", "nbr_id", "sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNNG_K)
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round("sim", 6).alias("sim"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_SEGMENT_SQL = """
+    CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+         WHEN f_score >= 4 THEN 'loyal'
+         WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+         WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+         WHEN r_score <= 2 THEN 'at_risk'
+         ELSE 'regular' END
+"""
+
+
+@query(
+    "rfm_segments",
+    f"""
+    WITH hz AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                         (SELECT h FROM hz))::BIGINT AS recency_days,
+               COUNT(*)::BIGINT AS frequency,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT *,
+               NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey DESC)
+                   AS r_score,
+               NTILE(5) OVER (ORDER BY frequency ASC, o_custkey ASC)
+                   AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_cents ASC, o_custkey ASC)
+                   AS m_score
+        FROM rfm
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+           m_score::BIGINT AS m_score,
+           {_RFM_SEGMENT_SQL} AS segment
+    FROM scored
+    """,
+)
+def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile scores over recency / frequency /
+    monetary (exact cents) per customer, mapped to named segments — the
+    standard CRM cut of an order history.  NTILE over a TOTAL order
+    (metric, custkey) is deterministic and identical under ANSI
+    semantics on both engines; monetary is exact BIGINT cents.
+
+    Scale shape: one groupBy(custkey) with map-side combine collapses
+    the order corpus; the three NTILE windows run over the CUSTOMER
+    table (orders/10 rows).  A global NTILE is a single-partition sort
+    at extreme scale — there the scores switch to the mergeable
+    histogram-quantile cut (histogram_quantiles) with identical
+    segment semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    hz = o.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(hz))
+        .select(
+            "o_custkey",
+            F.datediff("h", "last_d").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(5)
+        .over(
+            Window.orderBy(
+                F.col("recency_days").desc(), F.col("o_custkey").desc()
+            )
+        )
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").asc(), F.col("o_custkey").asc()))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(
+            Window.orderBy(
+                F.col("monetary_cents").asc(), F.col("o_custkey").asc()
+            )
+        )
+        .cast("long")
+        .alias("m_score"),
+    )
+    return scored.withColumn("segment", F.expr(_RFM_SEGMENT_SQL))

@@ -121,3 +121,42 @@ def test_survival_km_numpy_replay(spark):
         s = s * (1 - r.d / at_risk)
         at_risk = at_risk - r.d - r.censored
         assert r.surv == pytest.approx(round(s, 6), abs=1e-9)
+
+
+def test_knn_graph_every_vector_covered(spark):
+    """Every vector gets exactly k neighbors (blocks are larger than k),
+    none of them itself, ranks 1..k, sims within [-1, 1]."""
+    from fusionspark.queries.mining_queries import _KNNG_K, knn_graph_q
+
+    out = knn_graph_q(spark, SF).collect()
+    n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(out) == n_vec * _KNNG_K
+    by_vec = {}
+    for r in out:
+        assert r.vec_id != r.nbr_id
+        assert -1.000001 <= r.sim <= 1.000001
+        by_vec.setdefault(r.vec_id, []).append(r.rnk)
+    assert all(sorted(v) == [1, 2, 3] for v in by_vec.values())
+
+
+def test_rfm_segments_partition(spark):
+    """Quintile scores in 1..5 with balanced bucket sizes; segment labels
+    partition the customer set per the CASE law."""
+    from fusionspark.queries.mining_queries import rfm_segments_q
+
+    rows = rfm_segments_q(spark, SF).collect()
+    n = len(rows)
+    assert n == spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey"
+    ).distinct().count()
+    for col in ("r_score", "f_score", "m_score"):
+        from collections import Counter
+
+        c = Counter(getattr(r, col) for r in rows)
+        assert set(c) == {1, 2, 3, 4, 5}
+        assert max(c.values()) - min(c.values()) <= 1  # NTILE balance law
+    for r in rows:
+        if r.r_score >= 4 and r.f_score >= 4:
+            assert r.segment == "champions"
+        elif r.f_score >= 4:
+            assert r.segment == "loyal"
