@@ -271,3 +271,43 @@ p = buf.getvalue()
 # bounded grid, not the corpus); formatted plans mention each node twice
 print("== histogram_quantiles: cartesian:", "CartesianProduct" in p,
       f"bnl_nodes={p.count('BroadcastNestedLoopJoin') // 2} (2 = n-scalar + 4-row thresholds, both broadcast)")
+
+# 14. round-8 session-6 plan claims
+# frequent_pairs: apriori prefilter must be a BROADCAST join; the basket
+# self-join must be a shuffled EQUI-join on orderkey (never cartesian)
+fp = REGISTRY["frequent_pairs"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    fp.explain("formatted")
+p = buf.getvalue()
+# at sf0.1 the pruned basket side is small enough that AQE broadcasts the
+# self-join too — any HASH equi-join is the pass condition; the failure
+# modes are CartesianProduct / BroadcastNestedLoopJoin
+print("== frequent_pairs: broadcasts:", p.count("BroadcastExchange") >= 1,
+      "equi_self_join:", any(k in p for k in
+          ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")),
+      "cartesian:", "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p)
+
+# substring_dedup: the shuffle must carry digests, never the text column —
+# no Exchange output schema may mention text#
+sd = REGISTRY["substring_dedup"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    sd.explain("formatted")
+p = buf.getvalue()
+# formatted plans put partition specs in "(n) Exchange / Arguments:" detail
+# sections; assert every shuffle keys on the digest h (never doc text)
+ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+print("== substring_dedup: exchange_keys:", [a[:44] for a in ex_args[:4]],
+      "text_in_exchange_key:", any("text#" in a for a in ex_args))
+
+# knn_graph: vector payloads must be dropped before the rank exchange —
+# the window partitions by vec_id and its exchange carries (ids, sim)
+kg = REGISTRY["knn_graph"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    kg.explain("formatted")
+p = buf.getvalue()
+print("== knn_graph: windowed_rank:", "Window" in p,
+      "group_limit_pushdown:", "WindowGroupLimit" in p,
+      "cartesian:", "CartesianProduct" in p)
