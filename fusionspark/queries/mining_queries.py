@@ -590,3 +590,234 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m_score"),
     )
     return scored.withColumn("segment", F.expr(_RFM_SEGMENT_SQL))
+
+
+# ---------------------------------------------------------------------------
+# Source-pair distribution divergence (Jensen-Shannon over unigrams)
+# ---------------------------------------------------------------------------
+
+_JSD_V = 256  # compared vocabulary: top-V global words
+
+# p/q/m written ONCE as SQL and mirrored column-for-column in the Spark
+# lambda below: parity depends on the identical IEEE expression
+_JSD_TERM_SQL = """
+      CASE WHEN pa[i] > 0 THEN 0.5 * (pa[i]::DOUBLE / ta)
+           * ln((pa[i]::DOUBLE / ta)
+                / (0.5 * ((pa[i]::DOUBLE / ta) + (pb[i]::DOUBLE / tb))))
+           ELSE 0.0 END
+    + CASE WHEN pb[i] > 0 THEN 0.5 * (pb[i]::DOUBLE / tb)
+           * ln((pb[i]::DOUBLE / tb)
+                / (0.5 * ((pa[i]::DOUBLE / ta) + (pb[i]::DOUBLE / tb))))
+           ELSE 0.0 END
+"""
+
+
+@query(
+    "source_divergence",
+    f"""
+    WITH words AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    wc_all AS (SELECT w, COUNT(*)::BIGINT AS c FROM words GROUP BY 1),
+    vocab AS (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS idx
+        FROM wc_all ORDER BY c DESC, w ASC LIMIT {_JSD_V}
+    ),
+    swc AS (
+        SELECT source, idx, COUNT(*)::BIGINT AS c
+        FROM words JOIN vocab USING (w) GROUP BY 1, 2
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    grid AS (SELECT s.source, v.idx FROM srcs s CROSS JOIN vocab v),
+    densed AS (
+        SELECT g.source, g.idx, COALESCE(swc.c, 0)::BIGINT AS c
+        FROM grid g LEFT JOIN swc
+          ON swc.source = g.source AND swc.idx = g.idx
+    ),
+    dense AS (
+        SELECT source, list(c ORDER BY idx) AS arr, SUM(c)::BIGINT AS t
+        FROM densed GROUP BY source
+    ),
+    pr AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.arr AS pa, b.arr AS pb, a.t AS ta, b.t AS tb
+        FROM dense a JOIN dense b ON a.source < b.source
+    )
+    SELECT src_a, src_b,
+           ROUND(list_reduce(list_prepend(0.0,
+               list_transform(range(1, len(pa) + 1), i -> {_JSD_TERM_SQL})),
+               (a, x) -> a + x), 6) AS jsd
+    FROM pr
+    """,
+)
+def source_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between every pair of sources'
+    unigram distributions over the shared top-256 vocabulary — the
+    domain-mix diagnostic that tells a corpus curator which sources are
+    near-duplicates of each other and which add genuinely new text
+    (embedding_drift's lexical sibling).
+
+    Parity: counts are exact BIGINT on a dense sources × vocab grid
+    (absent words kept as 0); the JSD sum is a vocab-ordered
+    left-to-right fold with the p/q/m term written identically on both
+    engines.
+
+    Scale shape: one word-digest groupBy for global counts, a
+    TakeOrdered(256) vocab cut, one (source, idx) groupBy, and the pair
+    join runs over |sources| rows with 256-long int arrays — corpus text
+    never shuffles, and the pairwise stage is quadratic only in the
+    SOURCE COUNT (a catalog, not a corpus)."""
+    V = _JSD_V
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    wc_all = words.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    top = wc_all.orderBy(F.col("c").desc(), F.col("w").asc()).limit(V)
+    vocab = top.select(
+        "w",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+        .cast("long")
+        .alias("idx"),
+    )
+    swc = (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("source", "idx")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    srcs = docs.select("source").distinct()
+    grid = srcs.crossJoin(F.broadcast(vocab.select("idx")))
+    densed = grid.join(swc, ["source", "idx"], "left").select(
+        "source", "idx", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    dense = densed.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "c"))),
+            lambda s: s["c"],
+        ).alias("arr"),
+        F.sum("c").cast("long").alias("t"),
+    )
+    a = dense.select(
+        F.col("source").alias("src_a"),
+        F.col("arr").alias("pa"),
+        F.col("t").alias("ta"),
+    )
+    b = dense.select(
+        F.col("source").alias("src_b"),
+        F.col("arr").alias("pb"),
+        F.col("t").alias("tb"),
+    )
+    pr = a.join(b, F.col("src_a") < F.col("src_b"))
+
+    def term(i):
+        pa_i = F.element_at("pa", i).cast("double")
+        pb_i = F.element_at("pb", i).cast("double")
+        p = pa_i / F.col("ta")
+        q = pb_i / F.col("tb")
+        m = 0.5 * (p + q)
+        return F.when(F.element_at("pa", i) > 0, 0.5 * p * F.log(p / m)).otherwise(
+            F.lit(0.0)
+        ) + F.when(F.element_at("pb", i) > 0, 0.5 * q * F.log(q / m)).otherwise(
+            F.lit(0.0)
+        )
+
+    jsd = F.aggregate(
+        F.sequence(F.lit(1), F.size("pa")),
+        F.lit(0.0),
+        lambda acc, i: acc + term(i.cast("int")),
+    )
+    return pr.select("src_a", "src_b", F.round(jsd, 6).alias("jsd"))
+
+
+# ---------------------------------------------------------------------------
+# Frequent event-type sequences (sequential pattern mining)
+# ---------------------------------------------------------------------------
+
+_SEQ_GAP = "1 DAY"
+_SEQ_MINSUP = 5
+
+
+@query(
+    "frequent_sequences",
+    f"""
+    WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+    m AS (
+        SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL {_SEQ_GAP}
+                       THEN 1 ELSE 0 END AS st
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+        FROM m
+    ),
+    t AS (
+        SELECT user_id, sess, event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3,
+               LEAD(sess, 2) OVER w AS s3
+        FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, COUNT(*)::BIGINT AS n_occurrences,
+           COUNT(DISTINCT user_id::VARCHAR || '#' || sess::VARCHAR)::BIGINT
+               AS n_sessions
+    FROM t WHERE s3 = sess
+    GROUP BY 1, 2, 3
+    HAVING COUNT(DISTINCT user_id::VARCHAR || '#' || sess::VARCHAR)
+           >= {_SEQ_MINSUP}
+    """,
+)
+def frequent_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step event-type sequences within user sessions (1-day
+    inactivity gap) — the sequential-pattern sibling of frequent_pairs
+    (order matters here, not just co-occurrence): support counted in
+    DISTINCT sessions, the GSP/PrefixSpan length-3 candidate readout.
+
+    Scale shape: one shuffle partitions by user_id; sessionization,
+    trigram LEADs, and the session-distinct count all run inside that
+    partitioning; output is bounded by |event_types|³, never corpus
+    rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    m = e.withColumn(
+        "st",
+        F.when(
+            lag_ts.isNull()
+            | (F.col("ts").cast("long") - lag_ts.cast("long") > 86400),
+            1,
+        ).otherwise(0),
+    )
+    s = m.withColumn(
+        "sess", F.sum("st").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    t = s.select(
+        "user_id",
+        "sess",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("sess", 2).over(w).alias("s3"),
+    )
+    sk = F.concat(
+        F.col("user_id").cast("string"), F.lit("#"), F.col("sess").cast("string")
+    )
+    return (
+        t.filter(F.col("s3") == F.col("sess"))
+        .groupBy("e1", "e2", "e3")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct(sk).cast("long").alias("n_sessions"),
+        )
+        .filter(F.col("n_sessions") >= _SEQ_MINSUP)
+    )

@@ -160,3 +160,59 @@ def test_rfm_segments_partition(spark):
             assert r.segment == "champions"
         elif r.f_score >= 4:
             assert r.segment == "loyal"
+
+
+def test_source_divergence_metric_laws(spark):
+    """JSD is symmetric by construction here (we emit a<b once), bounded
+    by ln(2), zero only for identical distributions; identical sources
+    replayed twice give jsd == 0."""
+    import math
+
+    from fusionspark.queries.mining_queries import source_divergence_q
+
+    rows = source_divergence_q(spark, SF).collect()
+    n_src = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert 0.0 <= r.jsd <= math.log(2) + 1e-9
+
+    # clone corpus: two sources with IDENTICAL text -> jsd exactly 0
+    docs = [(i, "alpha beta gamma delta", "en", "sA", 22) for i in range(5)]
+    docs += [(10 + i, "alpha beta gamma delta", "en", "sB", 22) for i in range(5)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        out = source_divergence_q(spark, tmp).collect()
+    assert len(out) == 1 and out[0].jsd == 0.0
+
+
+def test_frequent_sequences_support_law(spark):
+    """Session support never exceeds occurrence count, all types come from
+    the corpus alphabet, and every trigram meets the floor."""
+    from fusionspark.queries.mining_queries import (
+        _SEQ_MINSUP,
+        frequent_sequences_q,
+    )
+
+    rows = frequent_sequences_q(spark, SF).collect()
+    assert rows
+    types = {
+        r.event_type
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert {r.e1, r.e2, r.e3} <= types
+        assert r.n_sessions >= _SEQ_MINSUP
+        assert r.n_occurrences >= r.n_sessions
