@@ -365,3 +365,107 @@ def maintain_histogram_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_neardup_stream(
+    doc_stream: DataFrame,
+    index_path: str,
+    matches_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming continuous-ingestion near-dup: every micro-batch of
+    documents is (1) looked up against the banded-MinHash index of all
+    PREVIOUSLY ingested batches (operators/dedup.py::minhash_lookup —
+    the batch side broadcasts, corpus text never shuffles) and (2) its
+    own signatures are appended to the index — the "dedup the incoming
+    crawl against the corpus as it lands" shape (dedup_incremental's
+    materialized-view form).
+
+    Exactly-once contract: instead of the rename-swap the merge streams
+    use, BOTH outputs land at batch-deterministic locations
+    (ingest=<batch_id>/ subdirs, mode=overwrite), so a replayed batch
+    overwrites its own partial output and never duplicates.  A crashed
+    attempt may leave a partial ingest=<id> index; the replay's lookup
+    could then see the batch's own signatures, so matches are
+    anti-joined against the current batch's ids — which also pins the
+    semantics to "matches against PRIOR ingests only" (intra-batch dups
+    are the batch's own concern; ids must be unique across the stream).
+
+    Scale: per batch, one zero-shuffle Arrow signature pass + one
+    broadcast band-bucket join against the band-partitioned index; the
+    index grows append-only, no compaction of old ingests is ever
+    required for correctness (band pruning still applies within each
+    ingest dir)."""
+    import shutil  # noqa: F401  (parity with sibling maintainers)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from fusionspark.operators.dedup import (
+        minhash_lookup,
+        persist_minhash_index,
+    )
+
+    spark = doc_stream.sparkSession
+    id_type = doc_stream.schema[id_col].dataType
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            prior = (
+                [
+                    d
+                    for d in os.listdir(index_path)
+                    if d.startswith("ingest=")
+                    and int(d.split("=", 1)[1]) < batch_id
+                ]
+                if os.path.isdir(index_path)
+                else []
+            )
+            if prior:
+                hits = minhash_lookup(
+                    spark, batch_df, index_path, threshold,
+                    id_col, text_col, num_hashes, bands,
+                )
+                own = batch_df.select(F.col(id_col).alias("__own_id"))
+                matches = hits.join(
+                    F.broadcast(own),
+                    hits["corpus_id"] == own["__own_id"],
+                    "left_anti",
+                )
+            else:
+                matches = spark.createDataFrame(
+                    [],
+                    StructType(
+                        [
+                            StructField("new_id", id_type),
+                            StructField("corpus_id", id_type),
+                            StructField("est_sim", DoubleType()),
+                        ]
+                    ),
+                )
+            matches.write.mode("overwrite").parquet(
+                f"{matches_path}/ingest={batch_id}"
+            )
+            persist_minhash_index(
+                batch_df,
+                f"{index_path}/ingest={batch_id}",
+                id_col=id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                mode="overwrite",
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

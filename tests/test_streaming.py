@@ -699,3 +699,82 @@ def test_histogram_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
     got_q = quantiles_from_bins(spark.read.parquet(state), ps).collect()
     want_q = quantiles_from_bins(cents_histogram(ev), ps).collect()
     assert [tuple(r) for r in got_q] == [tuple(r) for r in want_q]
+
+
+def test_neardup_stream_matches_batch_replay(spark, sf_dir, tmp_path):
+    """maintain_neardup_stream: each micro-batch's matches equal a direct
+    minhash_lookup of that batch against the index of all PRIOR batches,
+    the first batch matches nothing, and the anti-join guard strips
+    self-contamination (the crash-replay window where the batch's own
+    partial index is visible)."""
+    from fusionspark.operators.dedup import minhash_lookup, persist_minhash_index
+    from fusionspark.streaming.pipeline import maintain_neardup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "feed"
+    docs.repartition(3).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    index = str(tmp_path / "mh_index")
+    matches = str(tmp_path / "mh_matches")
+    q = maintain_neardup_stream(
+        stream, index, matches, str(tmp_path / "ckpt"), threshold=0.4
+    )
+    q.awaitTermination(180)
+
+    idx_df = spark.read.parquet(index)
+    ingests = sorted(
+        r.ingest for r in idx_df.select("ingest").distinct().collect()
+    )
+    assert len(ingests) == 3
+    got_all = spark.read.parquet(matches)
+    # batch 0 saw an empty index
+    assert got_all.filter(F.col("ingest") == ingests[0]).count() == 0
+    # every batch's matches == direct lookup against the prior index
+    for k, ing in enumerate(ingests[1:], start=1):
+        ids_k = [
+            r.doc_id
+            for r in idx_df.filter(F.col("ingest") == ing)
+            .select("doc_id").distinct().collect()
+        ]
+        prior_ids = [
+            r.doc_id
+            for r in idx_df.filter(F.col("ingest").isin(ingests[:k]))
+            .select("doc_id").distinct().collect()
+        ]
+        prior_idx = str(tmp_path / f"prior_{k}")
+        persist_minhash_index(
+            docs.filter(F.col("doc_id").isin(prior_ids)), prior_idx
+        )
+        want = {
+            (r.new_id, r.corpus_id, round(r.est_sim, 6))
+            for r in minhash_lookup(
+                spark, docs.filter(F.col("doc_id").isin(ids_k)),
+                prior_idx, threshold=0.4,
+            ).collect()
+        }
+        got = {
+            (r.new_id, r.corpus_id, round(r.est_sim, 6))
+            for r in got_all.filter(F.col("ingest") == ing).collect()
+        }
+        assert got == want
+
+    # anti-join guard: an index contaminated with the batch's own rows
+    # (crash-replay) must not produce self/own-batch matches
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    cont_idx = str(tmp_path / "contaminated")
+    persist_minhash_index(docs, cont_idx)  # includes the "batch" itself
+    raw = minhash_lookup(spark, half, cont_idx, threshold=0.4)
+    own = half.select(F.col("doc_id").alias("__own_id"))
+    cleaned = raw.join(
+        F.broadcast(own), raw["corpus_id"] == own["__own_id"], "left_anti"
+    )
+    assert raw.filter(F.col("new_id") == F.col("corpus_id")).count() > 0
+    own_ids = {r.doc_id for r in half.collect()}
+    assert not {
+        r.corpus_id for r in cleaned.collect()
+    } & own_ids
