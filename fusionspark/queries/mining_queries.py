@@ -821,3 +821,194 @@ def frequent_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_sessions") >= _SEQ_MINSUP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-span rewrite (remove non-canonical duplicated spans)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_span_rewrite",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS L FROM documents),
+    w AS (
+        SELECT doc_id, 1 + i * {_SSD_S} AS s, i * {_SSD_S} + {_SSD_W} AS e,
+               md5(substr(text, CAST(1 + i * {_SSD_S} AS BIGINT), {_SSD_W})) AS h
+        FROM d, LATERAL (
+            SELECT unnest(range(0, CAST((L - {_SSD_W}) // {_SSD_S} AS BIGINT) + 1)) AS i
+        ) g
+        WHERE L >= {_SSD_W}
+    ),
+    duph AS (
+        SELECT h, MIN(doc_id) AS owner FROM w
+        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rem AS (
+        SELECT w.doc_id, w.s, w.e FROM w JOIN duph USING (h)
+        WHERE w.doc_id <> duph.owner
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM (
+            SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pe
+            FROM rem
+        ) t
+    ),
+    sp AS (
+        SELECT doc_id, island, MIN(s) AS rs, MAX(e) AS re
+        FROM isl GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT doc_id,
+               COALESCE(LAG(re) OVER (PARTITION BY doc_id ORDER BY rs), 0)
+                   + 1 AS gs,
+               rs - 1 AS ge
+        FROM sp
+        UNION ALL
+        SELECT doc_id, MAX(re) + 1, NULL FROM sp GROUP BY doc_id
+    ),
+    segs AS (
+        SELECT s.doc_id, s.gs, COALESCE(s.ge, d.L) AS ge
+        FROM seg s JOIN d USING (doc_id)
+        WHERE COALESCE(s.ge, d.L) >= s.gs
+    ),
+    cleaned AS (
+        SELECT segs.doc_id,
+               string_agg(substr(d.text, CAST(gs AS BIGINT),
+                                 CAST(ge - gs + 1 AS BIGINT)),
+                          '' ORDER BY gs) AS ctext
+        FROM segs JOIN d USING (doc_id) GROUP BY segs.doc_id
+    ),
+    rm AS (
+        SELECT doc_id, SUM(re - rs + 1)::BIGINT AS removed FROM sp GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(rm.removed, 0)::BIGINT AS removed_chars,
+           length(CASE WHEN rm.doc_id IS NULL THEN d.text
+                       ELSE COALESCE(c.ctext, '') END)::BIGINT AS cleaned_len,
+           md5(CASE WHEN rm.doc_id IS NULL THEN d.text
+                    ELSE COALESCE(c.ctext, '') END) AS cleaned_md5
+    FROM d LEFT JOIN rm USING (doc_id) LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def dedup_span_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE form of substring_dedup (the Lee-et-al removal
+    step): every duplicated window hash gets a canonical owner (the
+    smallest doc_id containing it); non-owner docs have their duplicated
+    spans cut out, and the rewrite is attested by md5 of the cleaned
+    text for EVERY document (unchanged docs hash their original text).
+    Span removal merges overlapping windows first (same gaps-and-islands
+    law as substring_dedup), then keeps the complement segments in
+    order.
+
+    Scale shape: identical to substring_dedup until the islands (shuffles
+    carry digests + positions only); the rewrite itself is a per-doc
+    array fold over that doc's segment list — text is touched only in
+    its own scan partition, and the owner election is one min-aggregate
+    on the digest key."""
+    W, S = _SSD_W, _SSD_S
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "text", F.length("text").cast("long").alias("L"))
+    w = (
+        d.filter(F.col("L") >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), ((F.col("L") - W) / S).cast("long")
+                )
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            (1 + F.col("i") * S).alias("s"),
+            (F.col("i") * S + W).alias("e"),
+            F.md5(
+                F.expr(f"substring(text, CAST(1 + i * {S} AS INT), {W})")
+            ).alias("h"),
+        )
+    )
+    duph = (
+        w.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    rem = (
+        w.join(duph, "h")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "s", "e")
+    )
+    by_start = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = (
+        F.max("e")
+        .over(by_start.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("pe")
+    )
+    isl = rem.select("doc_id", "s", "e", prev_end).select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(
+                F.col("pe").isNull() | (F.col("s") > F.col("pe") + 1), 1
+            ).otherwise(0)
+        )
+        .over(by_start.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    sp = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("rs"), F.max("e").alias("re")
+    )
+    # per-doc sorted island array -> complement segments -> cleaned text
+    arrs = sp.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("rs", "re"))).alias("arr"),
+        F.sum(F.col("re") - F.col("rs") + 1).cast("long").alias("removed"),
+    )
+    j = d.join(arrs, "doc_id", "left")
+    gaps = F.transform(
+        F.col("arr"),
+        lambda x, i: F.struct(
+            F.when(i == 0, F.lit(1).cast("long"))
+            .otherwise(F.element_at(F.col("arr"), i)["re"] + 1)
+            .alias("gs"),
+            (x["rs"] - 1).alias("ge"),
+        ),
+    )
+    tail = F.array(
+        F.struct(
+            (F.element_at(F.col("arr"), -1)["re"] + 1).alias("gs"),
+            F.col("L").alias("ge"),
+        )
+    )
+    segs = F.filter(
+        F.concat(gaps, tail), lambda sg: sg["ge"] >= sg["gs"]
+    )
+    ctext = F.concat_ws(
+        "",
+        F.transform(
+            segs,
+            lambda sg: F.substring(
+                F.col("text"),
+                sg["gs"].cast("int"),
+                (sg["ge"] - sg["gs"] + 1).cast("int"),
+            ),
+        ),
+    )
+    cleaned = F.when(F.col("arr").isNull(), F.col("text")).otherwise(ctext)
+    return j.select(
+        "doc_id",
+        F.coalesce(F.col("removed"), F.lit(0)).cast("long").alias("removed_chars"),
+        F.length(cleaned).cast("long").alias("cleaned_len"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )

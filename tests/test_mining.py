@@ -216,3 +216,57 @@ def test_frequent_sequences_support_law(spark):
         assert {r.e1, r.e2, r.e3} <= types
         assert r.n_sessions >= _SEQ_MINSUP
         assert r.n_occurrences >= r.n_sessions
+
+
+def test_dedup_span_rewrite_accounting(spark):
+    """Every doc appears once; removed + cleaned == original length;
+    owner docs keep more than non-owners; unchanged docs hash their
+    original text."""
+    import hashlib
+
+    from fusionspark.queries.mining_queries import dedup_span_rewrite_q
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    rows = dedup_span_rewrite_q(spark, SF).collect()
+    assert len(rows) == len(docs)
+    n_changed = 0
+    for r in rows:
+        assert r.removed_chars + r.cleaned_len == len(docs[r.doc_id])
+        if r.removed_chars == 0:
+            assert r.cleaned_md5 == hashlib.md5(
+                docs[r.doc_id].encode()
+            ).hexdigest()
+        else:
+            n_changed += 1
+    assert n_changed > 0
+
+
+def test_dedup_span_rewrite_owner_election(spark):
+    """Synthetic corpus: the smallest doc_id sharing a span keeps it, all
+    later copies lose exactly that span."""
+    import hashlib
+
+    shared = "z" * 48  # aligned: windows i=0,1,2 duplicated
+    uniq = ["A" * 40, "B" * 40, "C" * 40]
+    rows = [(i + 1, shared + uniq[i]) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "length(text) AS n_chars",
+    )
+    import tempfile
+
+    from fusionspark.queries.mining_queries import dedup_span_rewrite_q
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        out = {r.doc_id: r for r in dedup_span_rewrite_q(spark, tmp).collect()}
+    assert out[1].removed_chars == 0
+    assert out[1].cleaned_md5 == hashlib.md5(rows[0][1].encode()).hexdigest()
+    for k in (2, 3):
+        assert out[k].removed_chars == 48
+        assert out[k].cleaned_md5 == hashlib.md5(
+            uniq[k - 1].encode()
+        ).hexdigest()
