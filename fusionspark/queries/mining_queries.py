@@ -1012,3 +1012,137 @@ def dedup_span_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(cleaned).cast("long").alias("cleaned_len"),
         F.md5(cleaned).alias("cleaned_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (common-neighbor Jaccard + Adamic-Adar)
+# ---------------------------------------------------------------------------
+
+_LP_EDGES_SQL = """
+    docs AS (SELECT doc_id FROM documents),
+    raw AS (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT COUNT(*) FROM docs) AS dst FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 3) % (SELECT COUNT(*) FROM docs) FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 29 + 7) % (SELECT COUNT(*) FROM docs) FROM docs
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst
+    ),
+    adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT u, COUNT(*)::BIGINT AS d FROM adj GROUP BY u)
+"""
+
+
+@query(
+    "link_prediction",
+    f"""
+    WITH {_LP_EDGES_SQL},
+    paths AS (
+        SELECT l.v AS u, r.v AS v, l.u AS w
+        FROM adj l JOIN adj r ON l.u = r.u AND l.v < r.v
+    ),
+    cand AS (
+        SELECT p.u, p.v, COUNT(*)::BIGINT AS cn,
+               list(dw.d ORDER BY dw.d) AS dws
+        FROM paths p JOIN deg dw ON dw.u = p.w
+        GROUP BY p.u, p.v
+    ),
+    nonadj AS (
+        SELECT c.* FROM cand c
+        LEFT JOIN und e ON e.a = c.u AND e.b = c.v
+        WHERE e.a IS NULL
+    )
+    SELECT nonadj.u AS u, nonadj.v AS v, cn,
+           ROUND(cn::DOUBLE / (du.d + dv.d - cn), 6) AS jaccard,
+           ROUND(list_reduce(list_prepend(0.0,
+               list_transform(dws, x -> 1.0 / ln(x::DOUBLE))),
+               (a, x) -> a + x), 6) AS adamic_adar
+    FROM nonadj JOIN deg du ON du.u = nonadj.u
+                JOIN deg dv ON dv.u = nonadj.v
+    WHERE cn >= 2
+    """,
+)
+def link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the shared deterministic 3-out link graph
+    (pagerank_docs / bfs_hops / degree_distribution family):
+    non-adjacent doc pairs with >= 2 common neighbors, scored by
+    neighbor-set Jaccard (cn / (deg_u + deg_v - cn), exact-int inputs)
+    and Adamic-Adar (sum of 1/ln(deg(w)) over common neighbors) — the
+    "which docs SHOULD be linked" readout of citation/link curation.
+
+    Parity: common-neighbor degrees are exact BIGINTs; the Adamic-Adar
+    sum folds the DEGREE-SORTED list left-to-right on both engines (ties
+    are equal values, so tie order cannot change the fold).  Common
+    neighbors of any pair have degree >= 2, so ln never sees 1.
+
+    Scale shape: candidate pairs come from joining the adjacency list on
+    the HUB node — expansion bounded by max-degree² per hub, the
+    triangle-counting discipline (degree-orient the join on skewed
+    graphs); the adjacency anti-join and degree joins are equi-joins on
+    node ids; nothing is corpus-quadratic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    raw = docs.select(
+        d.alias("src"),
+        F.explode(
+            F.array((d * 7 + 1) % n, (d * 13 + 3) % n, (d * 29 + 7) % n)
+        ).alias("dst"),
+    )
+    und = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    l, r = adj.alias("l"), adj.alias("r")
+    paths = l.join(
+        r, (F.col("l.u") == F.col("r.u")) & (F.col("l.v") < F.col("r.v"))
+    ).select(
+        F.col("l.v").alias("u"), F.col("r.v").alias("v"), F.col("l.u").alias("w")
+    )
+    dw = deg.select(F.col("u").alias("w"), F.col("d").alias("dw"))
+    cand = (
+        paths.join(dw, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            F.array_sort(F.collect_list("dw")).alias("dws"),
+        )
+    )
+    nonadj = cand.join(
+        und,
+        (und["a"] == cand["u"]) & (und["b"] == cand["v"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    aa = F.aggregate(
+        F.col("dws"),
+        F.lit(0.0),
+        lambda acc, x: acc + 1.0 / F.log(x.cast("double")),
+    )
+    return (
+        nonadj.join(du, "u")
+        .join(dv, "v")
+        .filter(F.col("cn") >= 2)
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            F.round(aa, 6).alias("adamic_adar"),
+        )
+    )

@@ -270,3 +270,39 @@ def test_dedup_span_rewrite_owner_election(spark):
         assert out[k].cleaned_md5 == hashlib.md5(
             uniq[k - 1].encode()
         ).hexdigest()
+
+
+def test_link_prediction_laws(spark):
+    """Predicted pairs are never existing edges, Jaccard in (0, 1],
+    Adamic-Adar matches a python replay from cn/degree facts."""
+    import math
+
+    from fusionspark.queries.mining_queries import link_prediction_q
+
+    rows = link_prediction_q(spark, SF).collect()
+    assert rows
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    edges = set()
+    for d in range(n):
+        for m in (d * 7 + 1, d * 13 + 3, d * 29 + 7):
+            e = (min(d, m % n), max(d, m % n))
+            if e[0] != e[1]:
+                edges.add(e)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for r in rows:
+        assert (r.u, r.v) not in edges
+        assert 0.0 < r.jaccard <= 1.0
+        common = nbrs[r.u] & nbrs[r.v]
+        assert len(common) == r.cn >= 2
+        aa = sum(1.0 / math.log(deg[w]) for w in sorted(common, key=lambda w: deg[w]))
+        assert r.adamic_adar == pytest.approx(aa, abs=2e-6)
+        assert r.jaccard == pytest.approx(
+            r.cn / (deg[r.u] + deg[r.v] - r.cn), abs=1e-6
+        )
