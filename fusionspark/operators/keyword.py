@@ -324,3 +324,60 @@ def tfidf_pairs(
         .filter(cos >= F.lit(threshold))
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+def build_positional_index(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: (token, doc_id, pos) with pos the 0-based
+    ordinal over the RAW single-space split — no lowering, no stopword or
+    length filter, because phrase adjacency must see every token or
+    positions shift.  One narrow posexplode projection; at 100 TB this is
+    persisted clustered by token (persist_keyword_index's layout) so a
+    phrase query reads only its terms' postings, never the corpus.
+
+    The reference has no phrase operator (HybridRetriever.js treats the
+    query as a bag of independent terms, :365-399); this is the standard
+    search-engine extension of its inverted-index design."""
+    return documents.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    )
+
+
+def phrase_search(
+    documents: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact phrase match over the positional index: anchor on the first
+    term's postings, then for each later term an EQUI-join on
+    (doc_id, pos − offset).  Occurrences may overlap (each anchor position
+    is judged independently), matching the oracle's positional replay.
+
+    Scale shape: postings are pruned to the phrase's terms BEFORE any
+    shuffle (predicate pushdown into the index scan), so the joins move
+    only matching-term postings; every join is a hash equi-join on
+    (doc_id, pos) — no inequality, no cartesian.  Returns one row per
+    matching doc: (id, n_hits, first_pos)."""
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("empty phrase")
+    idx = (
+        index
+        if index is not None
+        else build_positional_index(documents, id_col, text_col)
+    )
+    postings = idx.filter(F.col("token").isin(terms))
+    anchors = postings.filter(F.col("token") == terms[0]).select(id_col, "pos")
+    for k, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("token") == t).select(
+            F.col(id_col), (F.col("pos") - F.lit(k)).alias("pos")
+        )
+        anchors = anchors.join(nxt, [id_col, "pos"])
+    return anchors.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.min("pos").cast("int").alias("first_pos"),
+    )

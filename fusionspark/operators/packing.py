@@ -424,3 +424,66 @@ def temperature_mix(
         .filter(F.col("mix_bucket") < F.col("rate") * 10000.0)
         .select(id_col, group_col, F.round("rate", 6).alias("rate"))
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    gram: int = 8,
+    weights: tuple[int, int, int] = (80, 10, 10),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test SPLIT-LEAKAGE audit: for every TEST document, the number
+    and fraction of its word n-gram shingles that also occur anywhere in
+    the TRAIN split (assign_split's deterministic 80/10/10).  The
+    complement of ngram_contamination: that one protects a benchmark
+    holdout from the training set; this one measures how much of the test
+    split is memorizable from train — the number a data-card reports
+    before anyone trusts a loss curve on this corpus.
+
+    Plan: one Arrow shingle pass over the corpus (distinct per doc), the
+    train-side shingle vocabulary deduped then BROADCAST into an equi-join
+    on the shingle string, per-doc counts roll up map-side.  At 100 TB the
+    train vocabulary outgrows a broadcast — swap to a shuffle hash join on
+    md5(shingle) (digests, not text, in flight); the operator contract is
+    unchanged."""
+    from fusionspark.operators.dedup import _py_shingles
+
+    sp = assign_split(df.select(id_col, text_col), weights, id_col).filter(
+        F.col("split").isin("train", "test")
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [df.schema[id_col], StructField("split", StringType()), StructField("s", StringType())]
+    )
+
+    def emit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, splits, sh_out = [], [], []
+            for did, split, text in zip(pdf[id_col], pdf["split"], pdf[text_col]):
+                for s in set(_py_shingles(text, gram)):
+                    ids.append(did)
+                    splits.append(split)
+                    sh_out.append(s)
+            yield pd.DataFrame({id_col: ids, "split": splits, "s": sh_out})
+
+    sh = sp.select(id_col, "split", text_col).mapInPandas(emit, schema=schema)
+    train_sh = sh.filter(F.col("split") == "train").select("s").distinct()
+    test_sh = sh.filter(F.col("split") == "test").select(id_col, "s")
+    tot = test_sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_shingles"))
+    leaks = (
+        test_sh.join(F.broadcast(train_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_leaked"))
+    )
+    return (
+        tot.join(leaks, id_col, "left")
+        .withColumn("n_leaked", F.coalesce(F.col("n_leaked"), F.lit(0)).cast("long"))
+        .withColumn(
+            "leak_frac",
+            F.round(F.col("n_leaked") / F.col("n_shingles").cast("double"), 6),
+        )
+    )

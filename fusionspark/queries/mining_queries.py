@@ -1146,3 +1146,88 @@ def link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(aa, 6).alias("adamic_adar"),
         )
     )
+
+
+@query(
+    "item_cf",
+    """
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT p, COUNT(*)::BIGINT AS n FROM cp GROUP BY p),
+    pr AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS n_uv
+        FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT pa AS part, pb AS neighbor, n_uv FROM pr
+        UNION ALL
+        SELECT pb AS part, pa AS neighbor, n_uv FROM pr
+    ),
+    scored AS (
+        SELECT s.part, s.neighbor, s.n_uv,
+               s.n_uv / sqrt((da.n * db.n)::DOUBLE) AS cos
+        FROM sym s
+        JOIN deg da ON s.part = da.p
+        JOIN deg db ON s.neighbor = db.p
+    )
+    SELECT part, neighbor, n_uv, ROUND(cos, 6) AS cosine, rk FROM (
+        SELECT part, neighbor, n_uv, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY part ORDER BY cos DESC, neighbor ASC
+               )::BIGINT AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def item_cf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 co-purchase neighbors per
+    part, cosine = n_uv / √(n_u·n_v) over CUSTOMER baskets (cross-order
+    affinity — frequent_pairs mines within-order baskets).  All counts are
+    exact integers; the cosine is one closed-form double on both engines,
+    ranked pre-round with neighbor-asc tiebreak.
+
+    Plan: baskets distinct once, the pair self-join shuffles on the
+    customer key only (a.p < b.p halves the square), per-part degrees are
+    a tiny table broadcast twice, and the top-3 cut is a WindowGroupLimit
+    rank pushdown — no all-pairs across customers.  At 100 TB the known
+    skew risk is mega-baskets: cap distinct items per customer (sample
+    within basket) or salt the customer key before the self-join; the
+    measured max basket here is 105 items (13.1M pairs at sf0.1).
+    Beyond-reference (north-star recommendation family)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = cp.groupBy("p").agg(F.count("*").cast("long").alias("n"))
+    a, b = cp.alias("a"), cp.alias("b")
+    pr = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").cast("long").alias("n_uv"))
+    )
+    sym = pr.select(
+        F.col("pa").alias("part"), F.col("pb").alias("neighbor"), "n_uv"
+    ).unionAll(pr.select(F.col("pb").alias("part"), F.col("pa").alias("neighbor"), "n_uv"))
+    da = deg.select(F.col("p").alias("part"), F.col("n").alias("na"))
+    dbn = deg.select(F.col("p").alias("neighbor"), F.col("n").alias("nb"))
+    scored = (
+        sym.join(F.broadcast(da), "part")
+        .join(F.broadcast(dbn), "neighbor")
+        .withColumn(
+            "cos",
+            F.col("n_uv").cast("double")
+            / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("part", "neighbor", "n_uv", F.round("cos", 6).alias("cosine"), "rk")
+    )

@@ -3552,3 +3552,50 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return weighted_sample(docs, weight_col="n_chars", k=200)
+
+
+_SHINGLES8 = (
+    "list_transform(generate_series(1, greatest(len(words) - 7, 1)),"
+    " i -> array_to_string(words[i:i+7], ' '))"
+)
+
+
+@query(
+    "split_leakage",
+    f"""
+    WITH assigned AS (
+        SELECT doc_id, text,
+               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 100 AS b
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, text,
+               CASE WHEN b < 80 THEN 'train' ELSE 'test' END AS split
+        FROM assigned WHERE b < 80 OR b >= 90
+    ),
+    w AS (SELECT doc_id, split, {_WORDS} AS words FROM sp),
+    sh AS (
+        SELECT doc_id, split, unnest(list_distinct({_SHINGLES8})) AS s FROM w
+    ),
+    train_sh AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+    test_sh AS (SELECT doc_id, s FROM sh WHERE split = 'test'),
+    tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_shingles FROM test_sh GROUP BY doc_id),
+    lk AS (
+        SELECT t.doc_id, COUNT(*)::BIGINT AS n_leaked
+        FROM test_sh t JOIN train_sh USING (s) GROUP BY t.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(l.n_leaked, 0)::BIGINT AS n_leaked,
+           ROUND(COALESCE(l.n_leaked, 0) / t.n_shingles, 6) AS leak_frac
+    FROM tot t LEFT JOIN lk l USING (doc_id)
+    """,
+)
+def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-test-doc train→test shingle leakage (packing.split_leakage,
+    word-8-grams over assign_split's deterministic 80/10/10): the
+    data-card memorization number.  Train vocabulary deduped then
+    broadcast; counts roll up map-side."""
+    from fusionspark.operators.packing import split_leakage
+
+    return split_leakage(load_table(spark, sf_dir, "documents"), gram=8)

@@ -1195,3 +1195,31 @@ def doc_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", F.col("w").alias("term"), "score", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@query(
+    "phrase_search",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    hits AS (
+        SELECT doc_id,
+               list_filter(range(1, len(ts)),
+                           i -> ts[i] = 'query' AND ts[i+1] = 'value') AS ps
+        FROM toks
+    )
+    SELECT doc_id, len(ps)::BIGINT AS n_hits, (ps[1] - 1)::INT AS first_pos
+    FROM hits WHERE len(ps) > 0
+    """,
+)
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query "query value" over the positional inverted index
+    (operators/keyword.py::phrase_search): postings pruned to the phrase's
+    terms at the scan, then one hash EQUI-join per extra term on
+    (doc_id, pos − offset).  The oracle replays adjacency positionally
+    with a DuckDB list lambda, so hit counts AND first positions attest
+    the index path bit-for-bit.  Beyond-reference: the reference's
+    retriever is bag-of-terms only (HybridRetriever.js:365-399)."""
+    from fusionspark.operators.keyword import phrase_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_search(d, "query value")

@@ -1,0 +1,119 @@
+"""Invariant tests for the session-7 additions: positional phrase search
+(operators/keyword.py), train/test split leakage (operators/packing.py),
+and item-item CF (queries/mining_queries.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fusionspark.operators.keyword import build_positional_index, phrase_search
+from fusionspark.operators.packing import assign_split, split_leakage
+from fusionspark.queries.mining_queries import item_cf_q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_phrase_search_positions_and_overlap(spark):
+    """Known positions on a hand corpus; overlapping occurrences each
+    count (every anchor judged independently)."""
+    df = spark.createDataFrame(
+        [
+            (1, "x a b c a b y"),  # "a b" at 1 and 4
+            (2, "a a a"),  # "a a" overlap case (not queried here)
+            (3, "a b"),  # exact doc == phrase
+            (4, "b a"),  # reversed: no hit
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in phrase_search(df, "a b").collect()
+    }
+    assert out == {1: (2, 1), 3: (1, 0)}
+    # overlap: "a a" in "a a a" hits at 0 and 1
+    out2 = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in phrase_search(df, "a a").collect()
+    }
+    assert out2 == {2: (2, 0)}
+
+
+def test_phrase_search_three_terms_matches_bruteforce(spark):
+    """3-term phrase over the real corpus == a per-doc Python replay."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in phrase_search(docs, "table value scan").collect()
+    }
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r["text"].split(" ")
+        pos = [
+            i
+            for i in range(len(toks) - 2)
+            if toks[i : i + 3] == ["table", "value", "scan"]
+        ]
+        if pos:
+            want[r["doc_id"]] = (len(pos), pos[0])
+    assert got == want
+
+
+def test_phrase_search_reuses_prebuilt_index(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = build_positional_index(docs)
+    direct = phrase_search(docs, "query value").collect()
+    via_idx = phrase_search(docs, "query value", index=idx).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_idx))
+
+
+def test_split_leakage_bounds_and_coverage(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = split_leakage(docs, gram=8)
+    rows = out.collect()
+    n_test = (
+        assign_split(docs.select("doc_id"))
+        .filter(F.col("split") == "test")
+        .count()
+    )
+    assert len(rows) == n_test  # every test doc gets a row
+    for r in rows:
+        assert 0 <= r["n_leaked"] <= r["n_shingles"]
+        assert 0.0 <= r["leak_frac"] <= 1.0
+
+
+def test_split_leakage_duplicate_of_train_doc_leaks_fully(spark):
+    """A test doc whose text equals a train doc's text leaks 100%."""
+    base = spark.createDataFrame(
+        [(i, f"tok{i} " * 12) for i in range(40)], "doc_id: long, text: string"
+    )
+    sp = {r["doc_id"]: r["split"] for r in assign_split(base).collect()}
+    train_id = next(i for i in sorted(sp) if sp[i] == "train")
+    test_id = next(i for i in sorted(sp) if sp[i] == "test")
+    txt = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [(train_id, txt), (test_id, txt)]
+        + [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h u{i}i") for i in sorted(sp) if i not in (train_id, test_id)],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in split_leakage(df, gram=8).collect()}
+    assert out[test_id]["leak_frac"] == 1.0
+    others = [r for did, r in out.items() if did != test_id]
+    assert all(r["n_leaked"] == 0 for r in others)
+
+
+def test_item_cf_invariants(spark):
+    out = item_cf_q(spark, SF)
+    rows = out.collect()
+    assert rows, "item_cf returned nothing"
+    per_part = {}
+    for r in rows:
+        assert r["neighbor"] != r["part"]
+        assert 1 <= r["rk"] <= 3
+        assert 0.0 < r["cosine"] <= 1.0
+        per_part.setdefault(r["part"], []).append(r)
+    for part, rs in per_part.items():
+        ranks = sorted(x["rk"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        by_rk = sorted(rs, key=lambda x: x["rk"])
+        cosines = [x["cosine"] for x in by_rk]
+        assert cosines == sorted(cosines, reverse=True)
