@@ -10,7 +10,7 @@ final closed-form expression, written identically on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fusionspark.io import load_table
@@ -1248,3 +1248,238 @@ def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "t_closeness",
+    """
+    WITH gc AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    gn AS (SELECT day, SUM(cnt)::BIGINT AS group_n FROM gc GROUP BY day),
+    gl AS (SELECT event_type, SUM(cnt)::BIGINT AS gcnt FROM gc GROUP BY event_type),
+    tot AS (SELECT SUM(cnt)::BIGINT AS n FROM gc),
+    grid AS (SELECT gn.day, gn.group_n, gl.event_type, gl.gcnt FROM gn CROSS JOIN gl),
+    diffs AS (
+        SELECT g.day, g.group_n,
+               ABS(COALESCE(c.cnt, 0) * t.n - g.gcnt * g.group_n)::BIGINT AS num
+        FROM grid g
+        LEFT JOIN gc c ON g.day = c.day AND g.event_type = c.event_type
+        CROSS JOIN tot t
+    ),
+    scored AS (
+        SELECT day, group_n,
+               SUM(num)::BIGINT AS num_sum
+        FROM diffs GROUP BY day, group_n
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day, s.group_n AS group_size,
+           ROUND(0.5 * s.num_sum / (s.group_n * t.n)::DOUBLE, 6) AS t_dist
+    FROM scored s CROSS JOIN tot t
+    ORDER BY t_dist DESC, day ASC LIMIT 10
+    """,
+)
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — completes the privacy triad
+    with k_anonymity and l_diversity: per quasi-identifier group (day),
+    the total-variation distance between the group's sensitive-attribute
+    (event_type) distribution and the global one; the 10 farthest groups
+    are where a released cell leaks attribute skew even when k-large and
+    l-diverse.  Exact arithmetic: the TV sum is folded over a common
+    denominator — Σ|cnt·N − gcnt·gn| in BIGINT (≤ N² ≈ 10¹⁰ at sf0.1,
+    envelope to 2⁶³ at ~3M events per the spectral overflow discipline) —
+    with ONE closed-form double at the end.
+
+    Plan: one groupBy(day, type) shuffle; days and the 5-type global
+    histogram are tiny and broadcast into a dense grid so absent types
+    count their full global mass; the report is a top-10 TakeOrdered."""
+    e = load_table(spark, sf_dir, "events")
+    gc = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    gn = gc.groupBy("day").agg(F.sum("cnt").cast("long").alias("group_n"))
+    gl = gc.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    tot = gc.agg(F.sum("cnt").cast("long").alias("n"))
+    grid = gn.crossJoin(F.broadcast(gl))
+    diffs = (
+        grid.join(gc, ["day", "event_type"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "group_n",
+            "n",
+            F.abs(
+                F.coalesce(F.col("cnt"), F.lit(0)) * F.col("n")
+                - F.col("gcnt") * F.col("group_n")
+            )
+            .cast("long")
+            .alias("num"),
+        )
+    )
+    scored = diffs.groupBy("day", "group_n", "n").agg(
+        F.sum("num").cast("long").alias("num_sum")
+    )
+    return (
+        scored.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("group_n").alias("group_size"),
+            F.round(
+                F.lit(0.5)
+                * F.col("num_sum")
+                / (F.col("group_n") * F.col("n")).cast("double"),
+                6,
+            ).alias("t_dist"),
+        )
+        .orderBy(F.col("t_dist").desc(), F.col("day").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "skyline_parts",
+    """
+    WITH pts AS (
+        SELECT l_partkey AS part,
+               MIN(FLOOR(l_extendedprice * 100.0 + 0.5)::BIGINT) AS price,
+               SUM(l_quantity)::BIGINT AS qty
+        FROM lineitem GROUP BY 1
+    ),
+    w AS (
+        SELECT part, price, qty,
+               MAX(qty) OVER (ORDER BY price
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+               MAX(qty) OVER (ORDER BY price
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m2
+        FROM pts
+    )
+    SELECT part, price AS min_price_cents, qty AS total_qty
+    FROM w
+    WHERE COALESCE(m1 >= qty, FALSE) = FALSE AND m2 <= qty
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier, Börzsönyi et al. 2001) over per-part
+    (min price cents ↓ better, total quantity ↑ better): parts no other
+    part beats on both axes.  A 2-D skyline needs no pairwise dominance
+    test — sort by price and a point survives iff no cheaper point has
+    ≥ its quantity (window running max with a RANGE frame; the ≤-price
+    frame catches same-price strict dominators).  All integers (cents,
+    summed integral quantities); no floats anywhere.
+
+    Plan: two-phase distributive skyline — phase 1 runs the same window
+    per input partition (skyline(S) = skyline(∪ skyline(Sᵢ)), so
+    dominated points die before any global step), phase 2 re-runs it on
+    the surviving candidates, which are at most one frontier per
+    partition.  At 100 TB the global sort touches only candidates; the
+    oracle replays the single-pass form, attesting the two-phase cut
+    drops exactly the dominated set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.min(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")).alias(
+            "price"
+        ),
+        F.sum("l_quantity").cast("long").alias("qty"),
+    )
+
+    def survivors(df: DataFrame, *parts) -> DataFrame:
+        w1 = (
+            Window.partitionBy(*parts)
+            .orderBy("price")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w2 = (
+            Window.partitionBy(*parts)
+            .orderBy("price")
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            df.withColumn("m1", F.max("qty").over(w1))
+            .withColumn("m2", F.max("qty").over(w2))
+            .filter(
+                ~F.coalesce(F.col("m1") >= F.col("qty"), F.lit(False))
+                & (F.col("m2") <= F.col("qty"))
+            )
+            .drop("m1", "m2")
+        )
+
+    local = survivors(
+        pts.withColumn("_pid", F.spark_partition_id()), "_pid"
+    ).drop("_pid")
+    return survivors(local).select(
+        "part",
+        F.col("price").alias("min_price_cents"),
+        F.col("qty").alias("total_qty"),
+    )
+
+
+@query(
+    "dq_expectations",
+    """
+    WITH n AS (SELECT COUNT(*)::BIGINT AS n FROM lineitem)
+    SELECT 'l_quantity_not_null' AS rule, n.n AS n_rows,
+           (SELECT COUNT(*) FILTER (WHERE l_quantity IS NULL) FROM lineitem)::BIGINT
+           AS n_violations,
+           (SELECT COUNT(*) FILTER (WHERE l_quantity IS NULL) FROM lineitem) = 0
+           AS passed
+    FROM n
+    UNION ALL
+    SELECT 'l_discount_in_range', n.n,
+           (SELECT COUNT(*) FILTER (WHERE NOT (l_discount >= 0.0 AND l_discount <= 0.1))
+            FROM lineitem)::BIGINT,
+           (SELECT COUNT(*) FILTER (WHERE NOT (l_discount >= 0.0 AND l_discount <= 0.1))
+            FROM lineitem) = 0
+    FROM n
+    UNION ALL
+    SELECT 'l_returnflag_accepted', n.n,
+           (SELECT COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R'))
+            FROM lineitem)::BIGINT,
+           (SELECT COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R'))
+            FROM lineitem) = 0
+    FROM n
+    UNION ALL
+    SELECT 'l_quantity_max_50', n.n,
+           (SELECT COUNT(*) FILTER (WHERE l_quantity > 50.0) FROM lineitem)::BIGINT,
+           (SELECT COUNT(*) FILTER (WHERE l_quantity > 50.0) FROM lineitem) = 0
+    FROM n
+    UNION ALL
+    SELECT 'lineitem_pk_unique', n.n,
+           (n.n - (SELECT COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem))::BIGINT,
+           n.n = (SELECT COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
+    FROM n
+    UNION ALL
+    SELECT 'l_orderkey_in_orders', n.n,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+    FROM n
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over lineitem (operators/dq.py):
+    four row-predicate rules folded into ONE scan-side aggregate, a
+    composite-key uniqueness check (one distinct-count shuffle), and
+    orders referential integrity (broadcast anti-join) — the publish
+    gate a pipeline runs on every new partition."""
+    from fusionspark.operators import dq
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rules = dq.dq_check(
+        li,
+        [
+            ("l_quantity_not_null", F.col("l_quantity").isNull()),
+            (
+                "l_discount_in_range",
+                ~((F.col("l_discount") >= 0.0) & (F.col("l_discount") <= 0.1)),
+            ),
+            (
+                "l_returnflag_accepted",
+                ~F.col("l_returnflag").isin("A", "N", "R"),
+            ),
+            ("l_quantity_max_50", F.col("l_quantity") > 50.0),
+        ],
+    )
+    uniq = dq.dq_unique(li, ["l_orderkey", "l_linenumber"], "lineitem_pk_unique")
+    ref = dq.dq_ref_integrity(li, "l_orderkey", o, "o_orderkey", "l_orderkey_in_orders")
+    return dq.dq_suite([rules, uniq, ref])

@@ -1,0 +1,112 @@
+"""Invariant tests for the session-7 analytics additions: t-closeness,
+2-D skyline, and the data-quality expectation engine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fusionspark.operators import dq
+from fusionspark.queries.analytics_queries import (
+    dq_expectations,
+    skyline_parts,
+    t_closeness,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_t_closeness_bounds_and_skew(spark):
+    out = t_closeness(spark, SF).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r["t_dist"] <= 1.0
+    # report is sorted most-skewed first
+    vals = [r["t_dist"] for r in out]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_skyline_matches_bruteforce(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pts = {
+        r["part"]: (r["price"], r["qty"])
+        for r in li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+            ).alias("price"),
+            F.sum("l_quantity").cast("long").alias("qty"),
+        )
+        .collect()
+    }
+
+    def dominated(b):
+        bp, bq = pts[b]
+        return any(
+            (ap <= bp and aq >= bq and (ap < bp or aq > bq))
+            for a, (ap, aq) in pts.items()
+            if a != b
+        )
+
+    want = {p for p in pts if not dominated(p)}
+    got = {r["part"] for r in skyline_parts(spark, SF).collect()}
+    assert got == want
+
+
+def test_dq_check_counts_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 120.0), (4, 7.0)], "id: long, v: double"
+    )
+    out = {
+        r["rule"]: r
+        for r in dq.dq_check(
+            df,
+            [
+                ("v_not_null", F.col("v").isNull()),
+                ("v_below_100", F.col("v") > 100.0),
+            ],
+        ).collect()
+    }
+    assert out["v_not_null"]["n_violations"] == 1
+    assert out["v_not_null"]["passed"] is False
+    assert out["v_below_100"]["n_violations"] == 1
+    assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_dq_unique_and_ref_integrity(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 1), (3, 2)], "k: long, fk: long"
+    )
+    dim = spark.createDataFrame([(1,)], "pk: long")
+    uniq = dq.dq_unique(df, ["k"], "k_unique").collect()[0]
+    assert uniq["n_violations"] == 1 and uniq["passed"] is False
+    ref = dq.dq_ref_integrity(df, "fk", dim, "pk", "fk_in_dim").collect()[0]
+    assert ref["n_violations"] == 1 and ref["n_rows"] == 4
+
+
+def test_dq_expectations_match_direct_recompute(spark):
+    """The suite's counts equal direct recomputation (the synthetic
+    lineitem genuinely has duplicate (l_orderkey, l_linenumber) pairs, so
+    the pk rule SHOULD fail — the suite reports reality, not hope)."""
+    rows = {r["rule"]: r for r in dq_expectations(spark, SF).collect()}
+    assert len(rows) == 6
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n = li.count()
+    dup = n - li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert rows["lineitem_pk_unique"]["n_violations"] == dup
+    assert rows["lineitem_pk_unique"]["passed"] == (dup == 0)
+    for rule in (
+        "l_quantity_not_null",
+        "l_discount_in_range",
+        "l_returnflag_accepted",
+        "l_quantity_max_50",
+        "l_orderkey_in_orders",
+    ):
+        assert rows[rule]["passed"], rows[rule]
+        assert rows[rule]["n_rows"] == n
+
+
+def test_dq_check_rejects_empty_rules(spark):
+    df = spark.createDataFrame([(1,)], "id: long")
+    with pytest.raises(ValueError):
+        dq.dq_check(df, [])
