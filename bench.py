@@ -422,6 +422,15 @@ def bench_queries(spark):
         # shapes dominated by the same scans frequent_pairs times)
         "frequent_pairs",
         "substring_dedup",
+        # round 8 (session 7): positional phrase search (per-term-pruned
+        # posting equi-joins), split-leakage audit (broadcast shingle
+        # vocabulary), item-item CF (customer-basket pair self-join +
+        # rank pushdown), DQ expectation suite (one folded aggregate +
+        # distinct + broadcast anti-join)
+        "phrase_search",
+        "split_leakage",
+        "item_cf",
+        "dq_expectations",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -311,3 +311,79 @@ p = buf.getvalue()
 print("== knn_graph: windowed_rank:", "Window" in p,
       "group_limit_pushdown:", "WindowGroupLimit" in p,
       "cartesian:", "CartesianProduct" in p)
+
+# 15. round-8 session-7 plan claims
+from fusionspark.queries import REGISTRY as _R
+
+# phrase_search: postings pruned per term BEFORE the join; every join an
+# equi hash join on (doc_id, pos); never cartesian
+ps = _R["phrase_search"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    ps.explain("formatted")
+p = buf.getvalue()
+print("== phrase_search: equi_join:", any(k in p for k in
+          ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")),
+      "cartesian:", "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p,
+      "token_filter_before_join:", "isin" in p.lower() or "IN (" in p)
+
+# item_cf: degree table broadcast twice; basket self-join an equi-join on
+# the customer key; top-3 via WindowGroupLimit rank pushdown
+ic = _R["item_cf"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    ic.explain("formatted")
+p = buf.getvalue()
+print("== item_cf: broadcasts>=2:", p.count("BroadcastExchange") >= 2,
+      "equi_self_join:", any(k in p for k in
+          ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")),
+      "group_limit_pushdown:", "WindowGroupLimit" in p,
+      "cartesian:", "CartesianProduct" in p)
+
+# split_leakage: train shingle vocabulary must broadcast into the probe
+# join; no text column in any exchange key (shingles join on the shingle
+# string, which is the payload being compared — assert doc text itself
+# never shuffles)
+sl = _R["split_leakage"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    sl.explain("formatted")
+p = buf.getvalue()
+ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+print("== split_leakage: broadcasts:", p.count("BroadcastExchange") >= 1,
+      "text_in_exchange_key:", any("text#" in a for a in ex_args))
+
+# skyline_parts: phase-1 window partitions by spark_partition_id (local
+# skylines), phase-2 is the tiny global window; the part aggregation is
+# the only wide exchange
+sk = _R["skyline_parts"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    sk.explain("formatted")
+p = buf.getvalue()
+print("== skyline_parts: local_phase:", "SPARK_PARTITION_ID" in p,
+      "windows:", len(_re.findall(r"\(\d+\) Window", p)),
+      "cartesian:", "CartesianProduct" in p)
+
+# dq_expectations: the four row rules fold into ONE aggregate over one
+# lineitem scan (no join, no window); uniqueness adds one distinct agg;
+# ref integrity one broadcast anti-join
+dqx = _R["dq_expectations"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    dqx.explain("formatted")
+p = buf.getvalue()
+print("== dq_expectations: broadcast_anti:", "BroadcastHashJoin" in p and "LeftAnti" in p,
+      "cartesian:", "CartesianProduct" in p,
+      "scans:", p.count("Scan parquet"))
+
+# t_closeness: one groupBy(day,type) exchange; global histogram + scalar
+# broadcast; top-10 TakeOrdered
+tc = _R["t_closeness"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    tc.explain("formatted")
+p = buf.getvalue()
+print("== t_closeness: take_ordered:", "TakeOrderedAndProject" in p,
+      "broadcasts:", p.count("BroadcastExchange") >= 2,
+      "cartesian:", "CartesianProduct" in p)
