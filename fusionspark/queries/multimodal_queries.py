@@ -645,3 +645,39 @@ def audio_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return MM.audio_fingerprint_neardup(m, frame_len=10, band_bits=8, threshold=0.9)
+
+
+@query(
+    "bmp_features",
+    """
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean_intensity,
+           SUM(v * idx)::BIGINT AS pix_checksum
+    FROM (
+        SELECT doc_id, (3 * k.k + c.c)::DOUBLE AS idx,
+               ((doc_id * 13 + 5 * k.k + 7 * c.c) % 256)::DOUBLE AS v
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, 399)) AS k) k
+        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+    )
+    GROUP BY doc_id
+    """,
+)
+def bmp_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP codec path, oracle-attested (operators/bmp.py): Spark
+    encodes deterministic 24-bit BMPs (bottom-up rows, BGR order, 4-byte
+    row padding — the 25-px width forces a real pad byte), parses them
+    back, and aggregates the decoded bytes; the oracle replays the
+    closed-form pixel law v = (doc_id·13 + 5k + 7c) mod 256.  The
+    position-weighted checksum Σ v·(3k+c) pins every byte to its
+    (pixel, channel) slot, so a row-flip, BGR/RGB, or padding slip
+    cannot hash-match."""
+    from fusionspark.operators import bmp
+
+    m = bmp.synth_bmp_media(spark, sf_dir)
+    feats = bmp.bmp_feature_stats(m)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "pix_checksum",
+    )
