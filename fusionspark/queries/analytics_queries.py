@@ -1483,3 +1483,145 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq = dq.dq_unique(li, ["l_orderkey", "l_linenumber"], "lineitem_pk_unique")
     ref = dq.dq_ref_integrity(li, "l_orderkey", o, "o_orderkey", "l_orderkey_in_orders")
     return dq.dq_suite([rules, uniq, ref])
+
+
+@query(
+    "theil_sen_trend",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS y
+        FROM events GROUP BY 1
+    ),
+    mn AS (SELECT MIN(day) AS d0 FROM daily),
+    idx AS (
+        SELECT (day - mn.d0)::BIGINT AS d, y FROM daily CROSS JOIN mn
+    ),
+    pairs AS (
+        SELECT (b.y - a.y)::BIGINT AS num, (b.d - a.d)::BIGINT AS den
+        FROM idx a JOIN idx b ON b.d > a.d
+    ),
+    m AS (SELECT COUNT(*)::BIGINT AS m, (COUNT(*) - 1) // 2 AS t FROM pairs),
+    dist AS (SELECT DISTINCT num, den FROM pairs),
+    ranked AS (
+        SELECT p.num, p.den,
+               SUM(CASE WHEN q.num * p.den < p.num * q.den THEN 1 ELSE 0 END)::BIGINT AS n_less,
+               SUM(CASE WHEN q.num * p.den = p.num * q.den THEN 1 ELSE 0 END)::BIGINT AS n_eq
+        FROM dist p CROSS JOIN pairs q
+        GROUP BY p.num, p.den
+    ),
+    med AS (
+        SELECT r.num, r.den FROM ranked r CROSS JOIN m
+        WHERE r.n_less <= m.t AND r.n_less + r.n_eq > m.t
+        ORDER BY r.den, r.num LIMIT 1
+    ),
+    ic AS (
+        SELECT i.y * med.den - med.num * i.d AS ic_num, i.d
+        FROM idx i CROSS JOIN med
+    ),
+    icr AS (
+        SELECT ic_num,
+               ROW_NUMBER() OVER (ORDER BY ic_num ASC, d ASC) AS rn,
+               COUNT(*) OVER () AS n
+        FROM ic
+    ),
+    icm AS (
+        SELECT AVG(ic_num) AS ic_avg FROM icr
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    )
+    SELECT ROUND(med.num::DOUBLE / med.den, 6) AS slope,
+           ROUND(icm.ic_avg / med.den, 6) AS intercept,
+           (SELECT COUNT(*)::BIGINT FROM idx) AS n_days,
+           m.m AS n_pairs
+    FROM med CROSS JOIN icm CROSS JOIN m
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event counts — the
+    breakdown-resistant sibling of trend_daily_events' OLS: slope =
+    median of all pairwise (Δy/Δd) fractions, intercept = median of
+    (yᵢ − slope·dᵢ).  ZERO float comparisons anywhere: fractions are
+    ranked by BIGINT cross-multiplication (rank = #strictly-smaller over
+    all m pairs, the median is the fraction whose below-count brackets
+    (m−1)//2), and the intercept median orders exact integer numerators
+    over the slope's common denominator; doubles appear only in the two
+    final display divisions (IEEE division is correctly rounded, so any
+    equal-valued fraction representation yields the identical double).
+
+    Plan: the corpus collapses to ≤ |days| rows in one groupBy; pairs
+    (m = days²/2 ≈ 435) and the m×m rank comparison (~190k rows) are
+    bounded-grid broadcasts (the histogram_quantiles discipline), never
+    corpus-sized."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    mn = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff("day", "d0").cast("long").alias("d"), "y"
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        (F.col("b.y") - F.col("a.y")).cast("long").alias("num"),
+        (F.col("b.d") - F.col("a.d")).cast("long").alias("den"),
+    )
+    m = pairs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.expr("(count(*) - 1) div 2").cast("long").alias("t"),
+    )
+    dist = pairs.select("num", "den").distinct()
+    p, q = dist.alias("p"), pairs.alias("q")
+    ranked = (
+        p.crossJoin(F.broadcast(q))
+        .groupBy(F.col("p.num").alias("num"), F.col("p.den").alias("den"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("q.num") * F.col("p.den") < F.col("p.num") * F.col("q.den"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_less"),
+            F.sum(
+                F.when(
+                    F.col("q.num") * F.col("p.den") == F.col("p.num") * F.col("q.den"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_eq"),
+        )
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(
+            (F.col("n_less") <= F.col("t"))
+            & (F.col("n_less") + F.col("n_eq") > F.col("t"))
+        )
+        .orderBy("den", "num")
+        .limit(1)
+        .select("num", "den")
+    )
+    ic = idx.crossJoin(F.broadcast(med)).select(
+        (F.col("y") * F.col("den") - F.col("num") * F.col("d")).alias("ic_num"),
+        "d",
+    )
+    wn = Window.orderBy(F.col("ic_num").asc(), F.col("d").asc())
+    icr = ic.withColumn("rn", F.row_number().over(wn)).crossJoin(
+        F.broadcast(idx.agg(F.count("*").cast("long").alias("n")))
+    )
+    icm = icr.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
+    ).agg(F.avg("ic_num").alias("ic_avg"))
+    nd = idx.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        med.crossJoin(F.broadcast(icm))
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(m.select("m")))
+        .select(
+            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("slope"),
+            F.round(F.col("ic_avg") / F.col("den"), 6).alias("intercept"),
+            "n_days",
+            F.col("m").alias("n_pairs"),
+        )
+    )

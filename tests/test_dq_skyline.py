@@ -110,3 +110,29 @@ def test_dq_check_rejects_empty_rules(spark):
     df = spark.createDataFrame([(1,)], "id: long")
     with pytest.raises(ValueError):
         dq.dq_check(df, [])
+
+
+def test_theil_sen_ignores_outlier_day(spark, tmp_path):
+    """y = 10 + 2d with one wild day: the pairwise-median slope stays
+    exactly 2.0 and the intercept median stays 10.0 (OLS would not)."""
+    import pandas as pd
+
+    from fusionspark.queries.analytics_queries import theil_sen_trend
+
+    rows = []
+    eid = 0
+    for d in range(10):
+        y = 1000 if d == 5 else 10 + 2 * d
+        for _ in range(y):
+            rows.append(
+                (eid, pd.Timestamp("2024-03-01") + pd.Timedelta(days=d), 1, "click", 0.0, "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    out = theil_sen_trend(spark, str(tmp_path)).collect()[0]
+    assert out["n_days"] == 10 and out["n_pairs"] == 45
+    assert out["slope"] == 2.0
+    assert out["intercept"] == 10.0
