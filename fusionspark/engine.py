@@ -1064,6 +1064,38 @@ class FusionSparkEngine:
             )
         return out
 
+    def validate(self, collection: str) -> list[dict]:
+        """Data-quality gate over a collection (operators/dq.py — no
+        reference analogue; the reference dim-checks each insert
+        (Collection.js) but has no corpus-level audit): id/vector
+        presence, the configured dimensionality on every stored vector,
+        non-negative ttl, ts presence, and (tenant_id, id) uniqueness —
+        exactly the invariants insert(replace=True) maintains, so a
+        failing row means out-of-band writes or a bug, not drift.
+        Returns the uniform (rule, n_rows, n_violations, passed) report."""
+        from fusionspark.operators import dq
+
+        cfg = self._catalog[collection]
+        dim = cfg["dimensions"]
+        df = self._load(collection)
+        rules = dq.dq_check(
+            df,
+            [
+                ("id_not_null", F.col("id").isNull()),
+                ("vector_not_null", F.col("vector").isNull()),
+                (
+                    "vector_dim",
+                    F.col("vector").isNotNull() & (F.size("vector") != F.lit(dim)),
+                ),
+                ("ttl_non_negative", F.col("ttl_ms") < 0),
+                ("ts_present", F.col("ts").isNull()),
+            ],
+        )
+        # count_distinct drops NULL keys, so null tenants get a sentinel
+        keyed = df.withColumn("_t", F.coalesce(F.col("tenant_id"), F.lit("")))
+        uniq = dq.dq_unique(keyed, ["_t", "id"], "tenant_id_unique")
+        return [r.asDict() for r in dq.dq_suite([rules, uniq]).collect()]
+
 
 class TenantProxy:
     """Tenant-scoped view of one collection (FusionEngine.js:246-271): the

@@ -88,6 +88,8 @@ class Router:
                 return 200, self.engine.analyze(
                     body["collection"], k=int(body.get("k", 0))
                 )
+            if path == "/api/validate" and method == "POST":
+                return 200, {"report": self.engine.validate(body["collection"])}
             if path == "/api/hybrid-search" and method == "POST":
                 return 200, self.engine.retrieve(
                     body["collection"], body["query"], top_k=int(body.get("topK", 10))
@@ -194,6 +196,12 @@ class Router:
                 "summary (total variance, effective rank) and optional "
                 "exact k-means cluster profile (k > 0).",
                 lambda a: e.analyze(a["collection"], k=int(a.get("k", 0))),
+            ),
+            "fusionspark_validate": (
+                "Data-quality gate for a collection: id/vector presence, "
+                "stored dimensionality, ttl/ts sanity, (tenant, id) "
+                "uniqueness — a (rule, n_rows, n_violations, passed) report.",
+                lambda a: {"report": e.validate(a["collection"])},
             ),
             "fusionspark_load_resident": (
                 "Build the in-memory resident serving index for a "

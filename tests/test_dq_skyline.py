@@ -136,3 +136,67 @@ def test_theil_sen_ignores_outlier_day(spark, tmp_path):
     assert out["n_days"] == 10 and out["n_pairs"] == 45
     assert out["slope"] == 2.0
     assert out["intercept"] == 10.0
+
+
+def test_engine_validate_reports_dim_violation(spark, tmp_path):
+    from fusionspark.engine import FusionSparkEngine
+
+    eng = FusionSparkEngine(spark, str(tmp_path / "store"))
+    eng.create_collection("c", _cfg(4))
+    eng.insert(
+        "c",
+        [
+            {"id": "a", "vector": [1.0, 0.0, 0.0, 0.0]},
+            {"id": "b", "vector": [0.0, 1.0, 0.0, 0.0]},
+        ],
+    )
+    report = {r["rule"]: r for r in eng.validate("c")}
+    assert all(r["passed"] for r in report.values()), report
+    assert set(report) == {
+        "id_not_null",
+        "vector_not_null",
+        "vector_dim",
+        "ttl_non_negative",
+        "ts_present",
+        "tenant_id_unique",
+    }
+    # an out-of-band short vector must trip vector_dim and nothing else
+    bad = spark.createDataFrame(
+        [("z", [1.0], None, None, None, 1, 0)],
+        "id: string, vector: array<float>, content: string, "
+        "metadata: map<string,string>, tenant_id: string, ts: long, ttl_ms: long",
+    )
+    eng._append("c", bad)
+    report2 = {r["rule"]: r for r in eng.validate("c")}
+    assert report2["vector_dim"]["n_violations"] == 1
+    assert report2["vector_dim"]["passed"] is False
+    assert report2["id_not_null"]["passed"] is True
+
+
+def _cfg(dim):
+    from fusionspark.engine import CollectionConfig
+
+    return CollectionConfig(dimensions=dim)
+
+
+def test_server_validate_route_and_mcp_tool(spark, tmp_path):
+    from fusionspark.engine import FusionSparkEngine
+    from fusionspark.server import Router
+
+    eng = FusionSparkEngine(spark, str(tmp_path / "store"))
+    r = Router(eng)
+    status, _ = r.route("POST", "/api/collections", {"name": "v1", "dimensions": 4})
+    assert status == 201
+    status, _ = r.route(
+        "POST", "/api/insert",
+        {"collection": "v1", "id": "a", "vector": [1.0, 0.0, 0.0, 0.0]},
+    )
+    assert status == 201
+    status, out = r.route("POST", "/api/validate", {"collection": "v1"})
+    assert status == 200
+    assert all(row["passed"] for row in out["report"])
+    tools = r.tool_manifest()
+    names = [t["name"] for t in tools["tools"]] if isinstance(tools, dict) else tools
+    assert any("fusionspark_validate" in str(n) for n in names)
+    got = r.call_tool("fusionspark_validate", {"collection": "v1"})
+    assert all(row["passed"] for row in got["result"]["report"])
