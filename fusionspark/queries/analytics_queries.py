@@ -1625,3 +1625,84 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").alias("n_pairs"),
         )
     )
+
+
+@query(
+    "mann_whitney",
+    """
+    WITH s AS (
+        SELECT event_type AS g, FLOOR(value * 100.0 + 0.5)::BIGINT AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    grid AS (
+        SELECT v, COUNT(*)::BIGINT AS cnt,
+               SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cnt1
+        FROM s GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, cnt, cnt1,
+               COALESCE(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM grid
+    ),
+    agg AS (
+        SELECT SUM(cnt1 * (2 * cum_before + cnt + 1))::BIGINT AS r1d,
+               SUM(cnt1)::BIGINT AS n1,
+               SUM(cnt - cnt1)::BIGINT AS n2,
+               SUM(cnt * cnt * cnt - cnt)::BIGINT AS tsum
+        FROM ranked
+    )
+    SELECT n1, n2,
+           ROUND((r1d - n1 * (n1 + 1)) / 2.0, 6) AS u1,
+           ROUND(
+               ((r1d - n1 * (n1 + 1)) / 2.0 - (n1 * n2) / 2.0)
+               / SQRT(((n1 * n2) * ((n1 + n2 + 1) - tsum / ((n1 + n2) * (n1 + n2 - 1)))) / 12.0),
+               6) AS z
+    FROM agg
+    """,
+)
+def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between 'purchase' and 'click'
+    event values — the nonparametric sibling of ab_test_zscore.  EXACT
+    rank arithmetic on the bounded cents grid: per distinct cents value
+    one (count, group-count) row, average tie ranks kept integral by
+    DOUBLING (2·min_rank + t − 1), the rank sum, tie term Σ(t³−t), and
+    group sizes all BIGINT; the tie-corrected normal approximation is one
+    closed-form double written identically on both engines.
+
+    Plan: the corpus does ONE groupBy(cents) shuffle; the running rank
+    walks the distinct-value grid (≤ 10k rows — the histogram_quantiles
+    discipline), never the event rows; the readout is a single row."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v"),
+    )
+    grid = s.groupBy("v").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.when(F.col("g") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("cnt1"),
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grid.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum(F.col("cnt1") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("r1d"),
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("long").alias("n2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tsum"),
+    )
+    n1, n2, r1d, tsum = F.col("n1"), F.col("n2"), F.col("r1d"), F.col("tsum")
+    u1 = (r1d - n1 * (n1 + 1)) / F.lit(2.0)
+    num = u1 - (n1 * n2) / F.lit(2.0)
+    inner = (n1 + n2 + 1) - tsum / ((n1 + n2) * (n1 + n2 - 1))
+    z = num / F.sqrt(((n1 * n2) * inner) / F.lit(12.0))
+    return agg.select(
+        "n1", "n2", F.round(u1, 6).alias("u1"), F.round(z, 6).alias("z")
+    )

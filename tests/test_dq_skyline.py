@@ -200,3 +200,26 @@ def test_server_validate_route_and_mcp_tool(spark, tmp_path):
     assert any("fusionspark_validate" in str(n) for n in names)
     got = r.call_tool("fusionspark_validate", {"collection": "v1"})
     assert all(row["passed"] for row in got["result"]["report"])
+
+
+def test_mann_whitney_separated_groups(spark, tmp_path):
+    """purchase = {4,5,6} > click = {1,2,3}: U1 = n1·n2 = 9 exactly and
+    z = 4.5/√5.25 (no ties → zero tie correction)."""
+    import math
+
+    import pandas as pd
+
+    from fusionspark.queries.analytics_queries import mann_whitney
+
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((i, pd.Timestamp("2024-03-01"), 1, "click", v, "{}"))
+    for i, v in enumerate([4.0, 5.0, 6.0]):
+        rows.append((10 + i, pd.Timestamp("2024-03-01"), 2, "purchase", v, "{}"))
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    out = mann_whitney(spark, str(tmp_path)).collect()[0]
+    assert (out["n1"], out["n2"]) == (3, 3)
+    assert out["u1"] == 9.0
+    assert abs(out["z"] - round(4.5 / math.sqrt(5.25), 6)) < 1e-9
