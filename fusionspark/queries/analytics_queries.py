@@ -1706,3 +1706,89 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n1", "n2", F.round(u1, 6).alias("u1"), F.round(z, 6).alias("z")
     )
+
+
+@query(
+    "chi2_independence",
+    """
+    WITH cells AS (
+        SELECT event_type AS g, (dayofweek(ts) + 1)::BIGINT AS wd,
+               COUNT(*)::BIGINT AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rm AS (SELECT g, SUM(o)::BIGINT AS r FROM cells GROUP BY g),
+    cm AS (SELECT wd, SUM(o)::BIGINT AS c FROM cells GROUP BY wd),
+    nn AS (SELECT SUM(o)::BIGINT AS n FROM cells),
+    grid AS (
+        SELECT rm.g, cm.wd, rm.r, cm.c, COALESCE(cells.o, 0)::BIGINT AS o
+        FROM rm CROSS JOIN cm
+        LEFT JOIN cells ON cells.g = rm.g AND cells.wd = cm.wd
+    ),
+    terms AS (
+        SELECT g, wd,
+               ((o * nn.n - r * c)::DOUBLE * (o * nn.n - r * c)::DOUBLE)
+               / (nn.n * r * c)::DOUBLE AS term
+        FROM grid CROSS JOIN nn
+    ),
+    folded AS (
+        SELECT list_reduce(list_prepend(0.0, list(term ORDER BY g, wd)),
+                           (a, x) -> a + x) AS chi2,
+               COUNT(*)::BIGINT AS n_cells
+        FROM terms
+    )
+    SELECT ROUND(folded.chi2, 6) AS chi2,
+           (((SELECT COUNT(*) FROM rm) - 1)
+            * ((SELECT COUNT(*) FROM cm) - 1))::BIGINT AS dof,
+           folded.n_cells
+    FROM folded
+    """,
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of independence between event_type and weekday — the
+    contingency-table sibling of ab_test_zscore/mann_whitney.  Per cell
+    the statistic is rewritten over the common denominator,
+    (O·N − R·C)²/(N·R·C), so every ingredient is an exact BIGINT (the
+    difference ≤ N² ≈ 10¹⁰ converts to double EXACTLY before squaring);
+    the 35-term sum is a (type, weekday)-ordered IEEE fold on both
+    engines (the source_divergence discipline), so no aggregation-order
+    drift is possible.
+
+    Plan: ONE groupBy(type, weekday) over the corpus; margins, the dense
+    grid, and the fold all run on ≤ |types|·7 rows."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("g"),
+        F.dayofweek("ts").cast("long").alias("wd"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    rm = cells.groupBy("g").agg(F.sum("o").cast("long").alias("r"))
+    cm = cells.groupBy("wd").agg(F.sum("o").cast("long").alias("c"))
+    nn = cells.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rm.crossJoin(F.broadcast(cm))
+        .join(cells, ["g", "wd"], "left")
+        .select(
+            "g", "wd", "r", "c", F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o")
+        )
+    )
+    x = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    terms = grid.crossJoin(F.broadcast(nn)).select(
+        "g",
+        "wd",
+        ((x * x) / (F.col("n") * F.col("r") * F.col("c")).cast("double")).alias("term"),
+    )
+    folded = terms.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("g", "wd", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("chi2"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    dof = (
+        rm.agg(F.count("*").alias("ng"))
+        .crossJoin(F.broadcast(cm.agg(F.count("*").alias("nw"))))
+        .select(((F.col("ng") - 1) * (F.col("nw") - 1)).cast("long").alias("dof"))
+    )
+    return folded.crossJoin(F.broadcast(dof)).select(
+        F.round("chi2", 6).alias("chi2"), "dof", "n_cells"
+    )

@@ -223,3 +223,26 @@ def test_mann_whitney_separated_groups(spark, tmp_path):
     assert (out["n1"], out["n2"]) == (3, 3)
     assert out["u1"] == 9.0
     assert abs(out["z"] - round(4.5 / math.sqrt(5.25), 6)) < 1e-9
+
+
+def test_chi2_known_2x2_table(spark, tmp_path):
+    """2×2 with O = [[10,20],[20,10]]: all E = 15 → χ² = 4·25/15 = 20/3,
+    dof = 1."""
+    import pandas as pd
+
+    from fusionspark.queries.analytics_queries import chi2_independence
+
+    sun, mon = pd.Timestamp("2024-03-03"), pd.Timestamp("2024-03-04")
+    rows = []
+    eid = 0
+    for ts, g, cnt in [(sun, "click", 10), (mon, "click", 20),
+                       (sun, "purchase", 20), (mon, "purchase", 10)]:
+        for _ in range(cnt):
+            rows.append((eid, ts, 1, g, 0.0, "{}"))
+            eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    out = chi2_independence(spark, str(tmp_path)).collect()[0]
+    assert out["dof"] == 1 and out["n_cells"] == 4
+    assert abs(out["chi2"] - round(20.0 / 3.0, 6)) < 1e-9
