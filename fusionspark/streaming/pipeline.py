@@ -469,3 +469,100 @@ def maintain_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_topk_stream(
+    value_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    value_col: str = "event_type",
+    cand_k: int = 64,
+):
+    """Streaming heavy-hitters maintenance: the Count-Min sketch
+    (operators/sketches.py::cms_build) as streaming state plus a bounded
+    candidate table — the unbounded-key-space sibling of
+    maintain_rollup_stream (whose per-key state grows with the key
+    count; this one is 16k cells + cand_k rows FOREVER).
+
+    Per micro-batch: the batch's CMS cells full-outer-merge into the
+    state by BIGINT addition (cellwise sums are algebraic, so any batch
+    slicing converges to the batch sketch bit-for-bit); the candidate
+    pool = prior candidates ∪ the batch's distinct values is re-estimated
+    against the MERGED sketch and pruned back to cand_k.  The classic
+    space-saving caveat applies: a value pruned from the pool re-enters
+    only when it reappears in a batch — with column cardinality below
+    cand_k (event_type here) the readout is exact and equals the batch
+    CMS estimate for every value.
+
+    Same crash contract as maintain_histogram_stream: applied-batch
+    marker inside the state dir, rename-swap with both crash windows
+    covered; the two state tables (cells/, cands/) swap atomically as
+    one directory."""
+    import shutil
+
+    from fusionspark.operators.sketches import cms_build, cms_estimate
+
+    spark = value_stream.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        old = state_path + ".old"
+        if not os.path.exists(state_path) and os.path.exists(old):
+            os.rename(old, state_path)
+        marker = os.path.join(state_path, "_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip() or -1) >= batch_id:
+                    return  # replayed batch: already merged
+        val = F.col(value_col).cast("string")
+        delta = cms_build(batch_df, val)
+        batch_vals = batch_df.select(val.alias("v")).distinct()
+        if not os.path.exists(state_path):
+            merged = delta
+            pool = batch_vals
+        else:
+            cells = spark.read.parquet(os.path.join(state_path, "cells"))
+            zero = F.lit(0).cast("long")
+            merged = (
+                cells.join(
+                    delta.withColumnRenamed("cnt", "cnt_d"), ["row", "col"], "full_outer"
+                ).select(
+                    "row",
+                    "col",
+                    (
+                        F.coalesce(F.col("cnt"), zero) + F.coalesce(F.col("cnt_d"), zero)
+                    ).alias("cnt"),
+                )
+            )
+            prior = spark.read.parquet(os.path.join(state_path, "cands")).select("v")
+            pool = prior.unionByName(batch_vals).distinct()
+        merged = merged.localCheckpoint(eager=True)
+        est = cms_estimate(merged, pool, F.col("v"), "v")
+        cands = (
+            est.orderBy(F.col("est_count").desc(), F.col("v").asc()).limit(cand_k)
+        )
+        tmp = state_path + ".next"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(os.path.join(tmp, "cells"))
+        cands.write.mode("overwrite").parquet(os.path.join(tmp, "cands"))
+        with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(state_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        value_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def topk_from_state(spark, state_path: str, k: int = 10) -> DataFrame:
+    """Read the current top-k heavy hitters off maintain_topk_stream's
+    state — no stream-history rescan, just the cand_k-row candidate
+    table."""
+    cands = spark.read.parquet(os.path.join(state_path, "cands"))
+    return cands.orderBy(F.col("est_count").desc(), F.col("v").asc()).limit(k)

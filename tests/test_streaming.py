@@ -778,3 +778,50 @@ def test_neardup_stream_matches_batch_replay(spark, sf_dir, tmp_path):
     assert not {
         r.corpus_id for r in cleaned.collect()
     } & own_ids
+
+
+def test_topk_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """maintain_topk_stream: cellwise CMS merge makes any micro-batch
+    slicing converge to the batch sketch bit-for-bit, and (cardinality
+    < cand_k here) the candidate readout equals the batch CMS estimate
+    for every event type."""
+    from fusionspark.operators.sketches import cms_build, cms_estimate
+    from fusionspark.streaming.pipeline import maintain_topk_stream, topk_from_state
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    src = tmp_path / "feed"
+    ev.repartition(3).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "topk_state")
+    q = maintain_topk_stream(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got_cells = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in spark.read.parquet(f"{state}/cells").collect()
+    }
+    want_cells = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_build(ev, F.col("event_type").cast("string")).collect()
+    }
+    assert got_cells == want_cells
+
+    vals = ev.select(F.col("event_type").cast("string").alias("v")).distinct()
+    want_est = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(
+            cms_build(ev, F.col("event_type").cast("string")), vals, F.col("v"), "v"
+        ).collect()
+    }
+    got_top = {r["v"]: r["est_count"] for r in topk_from_state(spark, state).collect()}
+    assert got_top == want_est  # all 5 types fit in the candidate table
+    # estimates are CM upper bounds on the true counts
+    true = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(
+        F.count("*").alias("n")).collect()}
+    for v, est in got_top.items():
+        assert est >= true[v]
