@@ -3599,3 +3599,37 @@ def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusionspark.operators.packing import split_leakage
 
     return split_leakage(load_table(spark, sf_dir, "documents"), gram=8)
+
+
+@query(
+    "neardup_prefix",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s FROM w),
+    sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY 1),
+    o AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS o
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(o::DOUBLE / (x.sz + y.sz - o)::DOUBLE, 6) AS sim
+    FROM o
+    JOIN sizes x ON o.id_a = x.doc_id
+    JOIN sizes y ON o.id_b = y.doc_id
+    WHERE o::DOUBLE / (x.sz + y.sz - o)::DOUBLE >= 0.6
+    """,
+)
+def neardup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity join, Jaccard ≥ 0.6 on word-3-gram shingle sets,
+    via LOSSLESS prefix + length filtering (operators/simjoin.py — the
+    PPJoin/AllPairs scale path: rarest-first global order, per-set prefix
+    |x| − ⌈t·|x|⌉ + 1, candidates only where both prefixes share a
+    shingle).  The oracle is the UNPRUNED all-pairs ground truth, so
+    every gate run re-proves the pruning drops no qualifying pair —
+    unlike neardup_ngram_lsh, whose banding is probabilistic."""
+    from fusionspark.operators.simjoin import jaccard_join_prefix
+
+    return jaccard_join_prefix(
+        load_table(spark, sf_dir, "documents"), t_num=3, t_den=5, gram=3
+    )

@@ -1223,3 +1223,41 @@ def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return phrase_search(d, "query value")
+
+
+@query(
+    "concordance",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    hits AS (
+        SELECT doc_id, ts,
+               unnest(list_filter(range(1, len(ts) + 1),
+                                  j -> ts[j] = 'merge')) AS j
+        FROM toks
+    )
+    SELECT doc_id, (j - 1)::INT AS pos,
+           array_to_string(ts[greatest(1, j - 2):least(len(ts), j + 2)], ' ') AS ctx
+    FROM hits
+    """,
+)
+def concordance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance for the term 'merge': every occurrence with its
+    ±2-token context window — the corpus-linguistics readout over the
+    same raw-split positions phrase_search indexes.  Expression-only
+    (one scan, the explode is per-match, never per-token); the context
+    strings themselves are hash-attested."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    js = F.filter(
+        F.sequence(F.lit(1), F.size(ts)), lambda j: F.element_at(ts, j) == "merge"
+    )
+    lo = F.greatest(F.lit(1), F.col("j") - 2)
+    hi = F.least(F.size("ts"), F.col("j") + 2)
+    return (
+        d.select("doc_id", ts.alias("ts"), F.explode(js).alias("j"))
+        .select(
+            "doc_id",
+            (F.col("j") - 1).cast("int").alias("pos"),
+            F.concat_ws(" ", F.slice("ts", lo, hi - lo + 1)).alias("ctx"),
+        )
+    )

@@ -117,3 +117,48 @@ def test_item_cf_invariants(spark):
         by_rk = sorted(rs, key=lambda x: x["rk"])
         cosines = [x["cosine"] for x in by_rk]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_jaccard_prefix_join_matches_bruteforce(spark):
+    """Prefix+length pruning is lossless: output == python all-pairs
+    exact Jaccard ≥ 0.6 on the real corpus."""
+    from fusionspark.operators.dedup import _py_shingles
+    from fusionspark.operators.simjoin import jaccard_join_prefix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in jaccard_join_prefix(docs, t_num=3, t_den=5).collect()
+    }
+    sets = {
+        r["doc_id"]: set(_py_shingles(r["text"], 3))
+        for r in docs.select("doc_id", "text").collect()
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.6:
+                want[(a, b)] = round(j, 6)
+    assert got == want
+
+
+def test_jaccard_prefix_boundary_pairs(spark):
+    """Exact-threshold pair (J = 0.6) is kept; just-below is dropped."""
+    from fusionspark.operators.simjoin import jaccard_join_prefix
+
+    # shingle sets are word-3-grams; craft docs whose shingle sets have
+    # |x| = |y| = 4 with overlap 3 → J = 3/5 = 0.6 exactly
+    d1 = "w1 w2 w3 w4 w5 w6"          # shingles: 123 234 345 456
+    d2 = "w1 w2 w3 w4 w5 z9"          # shingles: 123 234 345 45z → overlap 3
+    d3 = "a1 a2 a3 a4 a5 a6"          # disjoint
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id: long, text: string"
+    )
+    out = {(r["id_a"], r["id_b"]): r["sim"] for r in
+           jaccard_join_prefix(df, t_num=3, t_den=5).collect()}
+    assert out == {(1, 2): 0.6}
