@@ -271,3 +271,59 @@ def bfs(
         dist = dist.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist.withColumnRenamed("id", id_col)
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 2,
+    id_col: str = "id",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999), PageRank's
+    mutual-reinforcement sibling: h = Σ a(out-neighbors),
+    a = Σ h(in-neighbors), each half-step normalized by the MAX score
+    (max is aggregation-order-independent, unlike an L2 norm).  Every
+    neighborhood sum is a NEIGHBOR-ORDERED IEEE fold (sort_array +
+    aggregate — the pca_embeddings discipline), so scores are
+    bit-reproducible under any partitioning; nodes with no in/out edges
+    hold score 0.  Returns (id, hub, authority).
+
+    Plan per half-step: one equi-join edges⋈scores + one groupBy fold on
+    the other endpoint; the max is a scalar broadcast.  Lineage stays
+    bounded because iters is a fixed small constant."""
+    a = nodes.select(F.col(id_col).alias("id"), F.lit(1.0).alias("v"))
+    h = None
+
+    def _half(scores: DataFrame, key: str, other: str) -> DataFrame:
+        """new score(key) = ordered fold of scores(other) over edges."""
+        raw = (
+            edges.join(scores, edges[other] == scores["id"])
+            .groupBy(F.col(key).alias("nid"))
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct(F.col(other), F.col("v")))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["v"],
+                ).alias("v")
+            )
+        )
+        full = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(raw, F.col("id") == raw["nid"], "left")
+            .select("id", F.coalesce(F.col("v"), F.lit(0.0)).alias("v"))
+        )
+        mx = full.agg(F.max("v").alias("mx"))
+        return full.crossJoin(F.broadcast(mx)).select(
+            "id",
+            F.when(F.col("mx") > 0, F.col("v") / F.col("mx"))
+            .otherwise(F.col("v"))
+            .alias("v"),
+        )
+
+    for _ in range(iters):
+        h = _half(a, "src", "dst")
+        a = _half(h, "dst", "src")
+    return (
+        h.withColumnRenamed("v", "hub")
+        .join(a.withColumnRenamed("v", "authority"), "id")
+    )

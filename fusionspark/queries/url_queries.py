@@ -467,3 +467,86 @@ def degree_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+def _hits_oracle(iters: int = 2) -> str:
+    head = """
+    WITH docs AS (SELECT doc_id FROM documents),
+    edges AS MATERIALIZED (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT COUNT(*) FROM docs) AS dst FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 3) % (SELECT COUNT(*) FROM docs) FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 29 + 7) % (SELECT COUNT(*) FROM docs) FROM docs
+    ),
+    a0 AS MATERIALIZED (SELECT doc_id AS id, 1.0 AS v FROM docs)"""
+    body = ""
+    prev_a = "a0"
+    for i in range(1, iters + 1):
+        body += f""",
+    h{i}r AS MATERIALIZED (
+        SELECT e.src AS id,
+               list_reduce(list_prepend(0.0, list(a.v ORDER BY e.dst)),
+                           (x, y) -> x + y) AS v
+        FROM edges e JOIN {prev_a} a ON a.id = e.dst GROUP BY e.src
+    ),
+    h{i}f AS MATERIALIZED (
+        SELECT d.doc_id AS id, COALESCE(h.v, 0.0) AS v
+        FROM docs d LEFT JOIN h{i}r h ON h.id = d.doc_id
+    ),
+    h{i} AS MATERIALIZED (
+        SELECT id, CASE WHEN (SELECT MAX(v) FROM h{i}f) > 0
+                        THEN v / (SELECT MAX(v) FROM h{i}f) ELSE v END AS v
+        FROM h{i}f
+    ),
+    a{i}r AS MATERIALIZED (
+        SELECT e.dst AS id,
+               list_reduce(list_prepend(0.0, list(h.v ORDER BY e.src)),
+                           (x, y) -> x + y) AS v
+        FROM edges e JOIN h{i} h ON h.id = e.src GROUP BY e.dst
+    ),
+    a{i}f AS MATERIALIZED (
+        SELECT d.doc_id AS id, COALESCE(a.v, 0.0) AS v
+        FROM docs d LEFT JOIN a{i}r a ON a.id = d.doc_id
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT id, CASE WHEN (SELECT MAX(v) FROM a{i}f) > 0
+                        THEN v / (SELECT MAX(v) FROM a{i}f) ELSE v END AS v
+        FROM a{i}f
+    )"""
+        prev_a = f"a{i}"
+    return head + body + f"""
+    SELECT h.id AS doc_id, ROUND(h.v, 6) AS hub, ROUND(a.v, 6) AS authority
+    FROM h{iters} h JOIN a{iters} a ON a.id = h.id
+    ORDER BY ROUND(a.v, 6) DESC, doc_id ASC LIMIT 20
+    """
+
+
+@query("hits_docs", _hits_oracle(2))
+def hits_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py::hits) over the same
+    deterministic 3-out link graph as pagerank_docs, 2 mutual-
+    reinforcement iterations with max-normalized half-steps; every
+    neighborhood sum is a neighbor-ordered IEEE fold so both engines
+    iterate bit-identically (stronger than pagerank's plain SUM).
+    Top-20 authorities, rounded BEFORE the sort for a float-order-stable
+    cut."""
+    from fusionspark.operators.graph import hits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = None
+    for aa, bb in ((7, 1), (13, 3), (29, 7)):
+        e = docs.select(d.alias("src"), ((d * aa + bb) % n).alias("dst"))
+        edges = e if edges is None else edges.unionAll(e)
+    out = hits(docs, edges, iters=2, id_col="doc_id")
+    return (
+        out.select(
+            F.col("id").alias("doc_id"),
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+        .orderBy(F.round("authority", 6).desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -246,3 +246,15 @@ def test_chi2_known_2x2_table(spark, tmp_path):
     out = chi2_independence(spark, str(tmp_path)).collect()[0]
     assert out["dof"] == 1 and out["n_cells"] == 4
     assert abs(out["chi2"] - round(20.0 / 3.0, 6)) < 1e-9
+
+
+def test_hits_star_graph(spark):
+    """0 → {1,2,3}: node 0 is the only hub, 1-3 are equal authorities."""
+    from fusionspark.operators.graph import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id: long")
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src: long, dst: long")
+    out = {r["id"]: (r["hub"], r["authority"]) for r in hits(nodes, edges, iters=2).collect()}
+    assert out[0] == (1.0, 0.0)
+    for i in (1, 2, 3):
+        assert out[i] == (0.0, 1.0)
