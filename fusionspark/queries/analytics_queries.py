@@ -1792,3 +1792,123 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.crossJoin(F.broadcast(dof)).select(
         F.round("chi2", 6).alias("chi2"), "dof", "n_cells"
     )
+
+
+# Poisson(1) inverse-CDF cutoffs scaled to the md5_hash32 range [0, 2^32):
+# T_k = ceil(CDF(k) * 2^32).  Weights compare the INTEGER hash against
+# these BIGINT literals, so the resampling plan has zero float ops — any
+# engine that agrees on md5 agrees on every weight.
+_POIS_T = [1580030169, 3160060338, 3950075422, 4213413784, 4279248374,
+           4292415292, 4294609778]
+_B_BOOT = 200
+
+
+def _pois_w_sql(h: str) -> str:
+    out = f"CASE WHEN {h} < {_POIS_T[0]} THEN 0"
+    for k in range(1, len(_POIS_T)):
+        out += f" WHEN {h} < {_POIS_T[k]} THEN {k}"
+    return out + f" ELSE {len(_POIS_T)} END"
+
+
+@query(
+    "bootstrap_ci",
+    f"""
+    WITH v AS (
+        SELECT event_id, FLOOR(value * 100.0 + 0.5)::BIGINT AS cents
+        FROM events
+    ),
+    expl AS (
+        SELECT b.b, v.cents,
+               {_pois_w_sql("('0x' || substr(md5('boot:' || b.b::VARCHAR || ':' || v.event_id::VARCHAR), 1, 8))::BIGINT")} AS w
+        FROM v CROSS JOIN (SELECT unnest(generate_series(0, {_B_BOOT - 1})) AS b) b
+    ),
+    means AS (
+        SELECT b, SUM(w * cents)::BIGINT AS s, SUM(w)::BIGINT AS n
+        FROM expl GROUP BY b
+    ),
+    ranked AS (
+        SELECT b, s, n,
+               ROW_NUMBER() OVER (
+                   ORDER BY s * 1.0 / n ASC, b ASC
+               ) AS rn
+        FROM means WHERE n > 0
+    ),
+    pt AS (
+        SELECT SUM(cents)::BIGINT AS s, COUNT(*)::BIGINT AS n FROM v
+    )
+    SELECT ROUND(pt.s * 1.0 / pt.n / 100.0, 6) AS mean_value,
+           ROUND((SELECT s * 1.0 / n FROM ranked WHERE rn = 5) / 100.0, 6) AS ci_lo,
+           ROUND((SELECT s * 1.0 / n FROM ranked WHERE rn = 196) / 100.0, 6) AS ci_hi,
+           (SELECT COUNT(*)::BIGINT FROM ranked) AS n_resamples
+    FROM pt
+    """,
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean event value via the
+    POISSON bootstrap (the resample-without-coordination trick for
+    distributed data: each (row, replicate) draws an independent
+    Poisson(1) multiplicity, so no replicate needs a global sample):
+    B = 200 replicates, weight = inverse-CDF lookup of the md5 hash
+    against INTEGER cutoffs (zero float ops until each replicate's one
+    mean division), CI bounds = rank 5 / rank 196 of the replicate means
+    (2.5%/97.5%), tie-broken by replicate id.
+
+    Plan: one scan explodes ×B into (replicate, weight) partial sums —
+    map-side combinable, shuffle carries 2B scalars per partition; the
+    rank walks the B-row replicate table.  B is a constant: 100 TB costs
+    the same shuffle width."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_id", F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents")
+    )
+    b = spark.range(_B_BOOT).select(F.col("id").cast("long").alias("b"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.when(h < _POIS_T[0], 0)
+    for k in range(1, len(_POIS_T)):
+        w = w.when(h < _POIS_T[k], k)
+    w = w.otherwise(len(_POIS_T))
+    expl = v.crossJoin(F.broadcast(b)).select("b", "cents", w.alias("w"))
+    means = expl.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
+        F.sum("w").cast("long").alias("n"),
+    )
+    wr = Window.orderBy((F.col("s") * 1.0 / F.col("n")).asc(), F.col("b").asc())
+    ranked = means.filter(F.col("n") > 0).withColumn("rn", F.row_number().over(wr))
+    lo = ranked.filter(F.col("rn") == 5).select(
+        (F.col("s") * 1.0 / F.col("n") / 100.0).alias("lo")
+    )
+    hi = ranked.filter(F.col("rn") == 196).select(
+        (F.col("s") * 1.0 / F.col("n") / 100.0).alias("hi")
+    )
+    nres = ranked.agg(F.count("*").cast("long").alias("n_resamples"))
+    pt = v.agg(
+        (F.sum("cents").cast("long") * 1.0 / F.count("*").cast("long") / 100.0).alias(
+            "mean_value"
+        )
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(nres))
+        .select(
+            F.round("mean_value", 6).alias("mean_value"),
+            F.round("lo", 6).alias("ci_lo"),
+            F.round("hi", 6).alias("ci_hi"),
+            "n_resamples",
+        )
+    )

@@ -258,3 +258,15 @@ def test_hits_star_graph(spark):
     assert out[0] == (1.0, 0.0)
     for i in (1, 2, 3):
         assert out[i] == (0.0, 1.0)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from fusionspark.queries.analytics_queries import bootstrap_ci
+
+    r1 = bootstrap_ci(spark, SF).collect()[0]
+    r2 = bootstrap_ci(spark, SF).collect()[0]
+    assert tuple(r1) == tuple(r2)  # md5-seeded: bit-reproducible
+    assert r1["n_resamples"] == 200
+    assert r1["ci_lo"] <= r1["mean_value"] <= r1["ci_hi"]
+    # 95% CI of a 1000-row mean should be tight but nonzero
+    assert 0.0 < r1["ci_hi"] - r1["ci_lo"] < 10.0
