@@ -431,6 +431,15 @@ def bench_queries(spark):
         "split_leakage",
         "item_cf",
         "dq_expectations",
+        # round 8 (session 7, batch 2): lossless prefix-filtered exact
+        # similarity join, Poisson-bootstrap CI (×200 explode, 2B-scalar
+        # shuffle), HITS ordered-fold iterations, real BMP decode,
+        # Theil-Sen exact rational median
+        "neardup_prefix",
+        "bootstrap_ci",
+        "hits_docs",
+        "bmp_features",
+        "theil_sen_trend",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -1556,13 +1556,22 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("y")
     )
     mn = daily.agg(F.min("day").alias("d0"))
-    idx = daily.crossJoin(F.broadcast(mn)).select(
-        F.datediff("day", "d0").cast("long").alias("d"), "y"
+    # one corpus scan: the ≤|days|-row frame is checkpointed, so the many
+    # bounded-grid reuses below (pairs, ranks, intercepts) never re-read
+    # the events table
+    idx = (
+        daily.crossJoin(F.broadcast(mn))
+        .select(F.datediff("day", "d0").cast("long").alias("d"), "y")
+        .localCheckpoint(eager=True)
     )
     a, b = idx.alias("a"), idx.alias("b")
-    pairs = a.join(b, F.col("b.d") > F.col("a.d")).select(
-        (F.col("b.y") - F.col("a.y")).cast("long").alias("num"),
-        (F.col("b.d") - F.col("a.d")).cast("long").alias("den"),
+    pairs = (
+        a.join(b, F.col("b.d") > F.col("a.d"))
+        .select(
+            (F.col("b.y") - F.col("a.y")).cast("long").alias("num"),
+            (F.col("b.d") - F.col("a.d")).cast("long").alias("den"),
+        )
+        .localCheckpoint(eager=True)
     )
     m = pairs.agg(
         F.count("*").cast("long").alias("m"),
@@ -1756,10 +1765,16 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE groupBy(type, weekday) over the corpus; margins, the dense
     grid, and the fold all run on ≤ |types|·7 rows."""
     e = load_table(spark, sf_dir, "events")
-    cells = e.groupBy(
-        F.col("event_type").alias("g"),
-        F.dayofweek("ts").cast("long").alias("wd"),
-    ).agg(F.count("*").cast("long").alias("o"))
+    # the ≤ |types|·7-row contingency table is checkpointed so margins,
+    # grid, and dof derive from ONE corpus scan
+    cells = (
+        e.groupBy(
+            F.col("event_type").alias("g"),
+            F.dayofweek("ts").cast("long").alias("wd"),
+        )
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=True)
+    )
     rm = cells.groupBy("g").agg(F.sum("o").cast("long").alias("r"))
     cm = cells.groupBy("wd").agg(F.sum("o").cast("long").alias("c"))
     nn = cells.agg(F.sum("o").cast("long").alias("n"))
@@ -1883,9 +1898,15 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = w.when(h < _POIS_T[k], k)
     w = w.otherwise(len(_POIS_T))
     expl = v.crossJoin(F.broadcast(b)).select("b", "cents", w.alias("w"))
-    means = expl.groupBy("b").agg(
-        F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
-        F.sum("w").cast("long").alias("n"),
+    # the B-row replicate table is checkpointed: the rank walk, both CI
+    # bounds, and the count reuse it without re-exploding the corpus
+    means = (
+        expl.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
+            F.sum("w").cast("long").alias("n"),
+        )
+        .localCheckpoint(eager=True)
     )
     wr = Window.orderBy((F.col("s") * 1.0 / F.col("n")).asc(), F.col("b").asc())
     ranked = means.filter(F.col("n") > 0).withColumn("rn", F.row_number().over(wr))

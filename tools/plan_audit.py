@@ -387,3 +387,51 @@ p = buf.getvalue()
 print("== t_closeness: take_ordered:", "TakeOrderedAndProject" in p,
       "broadcasts:", p.count("BroadcastExchange") >= 2,
       "cartesian:", "CartesianProduct" in p)
+
+# 16. round-8 session-7 batch-2 plan claims
+# neardup_prefix: candidate join keys on the shingle idx; all joins equi;
+# the verify join carries candidate ids + shingles only, never text
+np_ = _R["neardup_prefix"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    np_.explain("formatted")
+p = buf.getvalue()
+ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+print("== neardup_prefix: equi_joins:", any(k in p for k in
+          ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")),
+      "cartesian:", "CartesianProduct" in p,
+      "text_in_exchange_key:", any("text#" in a for a in ex_args),
+      "group_limit_or_rank:", "Window" in p)
+
+# mann_whitney / theil_sen / chi2 / bootstrap: the corpus side must be a
+# single groupBy; windows and pair grids run on bounded frames
+for qn in ("mann_whitney", "theil_sen_trend", "chi2_independence", "bootstrap_ci"):
+    qq = _R[qn][0](spark, sf)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        qq.explain("formatted")
+    p = buf.getvalue()
+    print(f"== {qn}: corpus_scans:", p.count("Scan parquet"),
+          "cartesian:", "CartesianProduct" in p,
+          "bnl_nodes:", p.count("BroadcastNestedLoopJoin") // 2)
+
+# hits_docs: every half-step an equi-join + fold; no cartesian
+hd = _R["hits_docs"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    hd.explain("formatted")
+p = buf.getvalue()
+print("== hits_docs: equi_joins:", any(k in p for k in
+          ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")),
+      "cartesian:", "CartesianProduct" in p,
+      "take_ordered:", "TakeOrderedAndProject" in p)
+
+# bmp_features: the feature scan must read only (media_id, payload) into
+# the Arrow kernel — no full-row shuffle
+bf = _R["bmp_features"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    bf.explain("formatted")
+p = buf.getvalue()
+print("== bmp_features: exchanges:", p.count("Exchange"),
+      "mapInPandas:", "MapInPandas" in p or "mapInPandas" in p)
