@@ -327,3 +327,40 @@ def hits(
         h.withColumnRenamed("v", "hub")
         .join(a.withColumnRenamed("v", "authority"), "id")
     )
+
+
+def sssp(
+    seeds: DataFrame,
+    edges: DataFrame,
+    rounds: int,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    w_col: str = "w",
+) -> DataFrame:
+    """Bounded-round single-source-set shortest paths (Bellman-Ford over
+    INTEGER edge weights): after k rounds, dist(v) is exact for every
+    path of ≤ k edges — the weighted sibling of bfs() (whose unit-weight
+    frontier delta can't early-stop here, because a later round may
+    REVISIT a node through a cheaper longer path).  Each round is one
+    equi-join (current dists ⋈ edges) + one min-groupBy, lineage cut per
+    round; distances stay BIGINT throughout, so results are exact on any
+    engine."""
+    dist = seeds.select(
+        F.col(id_col).alias("id"), F.lit(0).cast("long").alias("dist")
+    ).distinct()
+    for _ in range(rounds):
+        relax = (
+            dist.join(edges, dist["id"] == edges[src])
+            .select(
+                F.col(dst).alias("id"),
+                (F.col("dist") + F.col(w_col)).cast("long").alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("id")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.withColumnRenamed("id", id_col)

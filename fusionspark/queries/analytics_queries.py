@@ -1933,3 +1933,180 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_resamples",
         )
     )
+
+
+@query(
+    "cumulative_users",
+    """
+    WITH firstseen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT d0 AS day, COUNT(*)::BIGINT AS new_users FROM firstseen GROUP BY d0
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           COALESCE(p.new_users, 0)::BIGINT AS new_users,
+           SUM(COALESCE(p.new_users, 0)) OVER (
+               ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS cum_users
+    FROM days d LEFT JOIN per_day p ON p.day = d.day
+    """,
+)
+def cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve readout.  A
+    naive per-day COUNT(DISTINCT) over a growing window rescans history
+    per day; the first-seen-day trick makes it exact in ONE user groupBy:
+    cumulative distinct = running sum of first appearances.  The running
+    sum walks the ≤|days| grid."""
+    e = load_table(spark, sf_dir, "events")
+    firstseen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    per_day = firstseen.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    wb = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(per_day, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"))
+        .withColumn("cum_users", F.sum("new_users").over(wb).cast("long"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "new_users", "cum_users"
+        )
+    )
+
+
+@query(
+    "median_by_type",
+    """
+    WITH grid AS (
+        SELECT event_type, FLOOR(value * 100.0 + 0.5)::BIGINT AS v,
+               COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    walked AS (
+        SELECT event_type, v, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS tot
+        FROM grid
+    ),
+    med AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum * 2 >= tot THEN v END) AS lo,
+               MIN(CASE WHEN cum * 2 >= tot + 2 THEN v END) AS hi_even,
+               MAX(tot) AS tot
+        FROM walked GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(CASE WHEN tot % 2 = 1 THEN lo / 100.0
+                      ELSE (lo + COALESCE(hi_even, lo)) / 200.0 END, 6) AS median_value,
+           tot::BIGINT AS n
+    FROM med
+    """,
+)
+def median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median of event values: one groupBy((type, cents))
+    collapses the corpus, a partitioned cumulative walk over the bounded
+    cents grid finds the middle element(s) — odd n takes the rank-⌈n/2⌉
+    value, even n averages ranks n/2 and n/2+1 (both found by cumulative
+    threshold, the halves exact in double).  No global sort, no
+    percentile_approx."""
+    e = load_table(spark, sf_dir, "events")
+    grid = e.groupBy(
+        "event_type", F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    walked = grid.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "tot", F.sum("cnt").over(wall)
+    )
+    med = walked.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot") + 2, F.col("v"))).alias(
+            "hi_even"
+        ),
+        F.max("tot").alias("tot"),
+    )
+    return med.select(
+        "event_type",
+        F.round(
+            F.when(F.col("tot") % 2 == 1, F.col("lo") / 100.0).otherwise(
+                (F.col("lo") + F.coalesce(F.col("hi_even"), F.col("lo"))) / 200.0
+            ),
+            6,
+        ).alias("median_value"),
+        F.col("tot").cast("long").alias("n"),
+    )
+
+
+@query(
+    "forecast_backtest",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, y FROM daily
+    ),
+    joined AS (
+        SELECT c.i, c.y,
+               n.y AS naive_pred, s.y AS seasonal_pred
+        FROM idx c
+        JOIN idx n ON n.i = c.i - 1
+        JOIN idx s ON s.i = c.i - 7
+        WHERE c.i > (SELECT MAX(i) FROM idx) - 14
+    )
+    SELECT COUNT(*)::BIGINT AS n_days,
+           SUM(ABS(y - naive_pred))::BIGINT AS naive_abs_err,
+           SUM(ABS(y - seasonal_pred))::BIGINT AS seasonal_abs_err,
+           ROUND(SUM(ABS(y - naive_pred)) * 1.0 / COUNT(*) , 6) AS naive_mae,
+           ROUND(SUM(ABS(y - seasonal_pred)) * 1.0 / COUNT(*), 6) AS seasonal_mae
+    FROM joined
+    """,
+)
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest over the last 14 days of the daily event-count
+    series: naive (ŷ = yesterday) vs seasonal-naive (ŷ = same weekday
+    last week) absolute error — the baseline pair every forecast (ets,
+    Theil–Sen) must beat before anyone ships it.  Errors are exact
+    BIGINT sums; the MAEs are two final divisions.  The corpus collapses
+    in one groupBy; the lag joins walk the ≤|days| frame."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "y"
+    ).localCheckpoint(eager=True)
+    mx = idx.agg(F.max("i").alias("mx"))
+    c, nv, s = idx.alias("c"), idx.alias("n"), idx.alias("s")
+    joined = (
+        c.join(nv, F.col("n.i") == F.col("c.i") - 1)
+        .join(s, F.col("s.i") == F.col("c.i") - 7)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("c.i") > F.col("mx") - 14)
+        .select(
+            F.col("c.y").alias("y"),
+            F.col("n.y").alias("naive_pred"),
+            F.col("s.y").alias("seasonal_pred"),
+        )
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("y") - F.col("naive_pred"))).cast("long").alias("naive_abs_err"),
+        F.sum(F.abs(F.col("y") - F.col("seasonal_pred")))
+        .cast("long")
+        .alias("seasonal_abs_err"),
+        F.round(
+            F.sum(F.abs(F.col("y") - F.col("naive_pred"))) * 1.0 / F.count("*"), 6
+        ).alias("naive_mae"),
+        F.round(
+            F.sum(F.abs(F.col("y") - F.col("seasonal_pred"))) * 1.0 / F.count("*"), 6
+        ).alias("seasonal_mae"),
+    )

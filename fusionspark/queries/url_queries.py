@@ -550,3 +550,56 @@ def hits_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.round("authority", 6).desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    head = """
+    WITH docs AS (SELECT doc_id FROM documents),
+    edges AS (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT COUNT(*) FROM docs) AS dst FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 3) % (SELECT COUNT(*) FROM docs) FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 29 + 7) % (SELECT COUNT(*) FROM docs) FROM docs
+    ),
+    we AS MATERIALIZED (
+        SELECT src, dst, (1 + (src + dst) % 5)::BIGINT AS w FROM edges
+    ),
+    r0 AS (SELECT doc_id AS id, 0::BIGINT AS dist FROM docs WHERE doc_id < 10)"""
+    body = ""
+    for h in range(1, rounds + 1):
+        body += f""",
+    r{h} AS MATERIALIZED (
+        SELECT id, MIN(dist)::BIGINT AS dist FROM (
+            SELECT id, dist FROM r{h - 1}
+            UNION ALL
+            SELECT e.dst AS id, r.dist + e.w AS dist
+            FROM r{h - 1} r JOIN we e ON e.src = r.id
+        ) GROUP BY id
+    )"""
+    return head + body + f"""
+    SELECT id AS doc_id, dist FROM r{rounds}
+    """
+
+
+@query("sssp_hops", _sssp_oracle(4))
+def sssp_hops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 4-round weighted shortest paths (operators/graph.py::sssp,
+    Bellman-Ford) from the seed set doc_id < 10 over the 3-out link graph
+    with deterministic integer weights w = 1 + (src+dst) mod 5 — bfs_hops'
+    weighted sibling; distances are exact BIGINTs and the oracle unrolls
+    the same min-relaxation rounds."""
+    from fusionspark.operators.graph import sssp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = None
+    for a, b in ((7, 1), (13, 3), (29, 7)):
+        e = docs.select(d.alias("src"), ((d * a + b) % n).alias("dst"))
+        edges = e if edges is None else edges.unionAll(e)
+    we = edges.withColumn(
+        "w", (1 + (F.col("src") + F.col("dst")) % 5).cast("long")
+    )
+    seeds = docs.filter(d < 10)
+    return sssp(seeds, we, rounds=4, id_col="doc_id")

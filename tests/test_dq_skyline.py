@@ -270,3 +270,46 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert r1["ci_lo"] <= r1["mean_value"] <= r1["ci_hi"]
     # 95% CI of a 1000-row mean should be tight but nonzero
     assert 0.0 < r1["ci_hi"] - r1["ci_lo"] < 10.0
+
+
+def test_median_by_type_matches_numpy(spark):
+    import numpy as np
+
+    from fusionspark.queries.analytics_queries import median_by_type
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_type", "value")
+    got = {r["event_type"]: (r["median_value"], r["n"]) for r in
+           median_by_type(spark, SF).collect()}
+    pdf = ev.toPandas()
+    for g, sub in pdf.groupby("event_type"):
+        cents = np.floor(sub["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        want = round(float(np.median(cents)) / 100.0, 6)
+        assert got[g] == (want, len(sub)), g
+
+
+def test_cumulative_users_bruteforce(spark):
+    from fusionspark.queries.analytics_queries import cumulative_users
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pdf = ev.toPandas()
+    pdf["day"] = pdf["ts"].dt.date
+    days = sorted(pdf["day"].unique())
+    got = {r["day"]: r["cum_users"] for r in cumulative_users(spark, SF).collect()}
+    for d in days:
+        want = pdf.loc[pdf["day"] <= d, "user_id"].nunique()
+        assert got[str(d)] == want
+
+
+def test_sssp_relaxes_cheaper_longer_path(spark):
+    """A 2-edge path cheaper than the direct edge must win once rounds
+    allow it — the case unit-weight BFS gets wrong."""
+    from fusionspark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 2)], "src: long, dst: long, w: long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id: long")
+    d1 = {r["id"]: r["dist"] for r in sssp(seeds, edges, rounds=1).collect()}
+    assert d1[1] == 10  # only the direct edge within 1 round
+    d2 = {r["id"]: r["dist"] for r in sssp(seeds, edges, rounds=2).collect()}
+    assert d2[1] == 3 and d2[2] == 1  # revisited via the cheaper 2-edge path
