@@ -689,3 +689,29 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("click_id"),
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
     )
+
+
+@query(
+    "stream_enrich",
+    """
+    SELECT floor(epoch(date_trunc('hour', e.ts)))::BIGINT AS window_start_s,
+           COALESCE(c.c_mktsegment, 'unknown') AS segment,
+           COUNT(*)::BIGINT AS n, ROUND(SUM(e.value), 6) AS sum_value
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment + tumbling window
+    (streaming/windows.py::enriched_tumbling): events join the broadcast
+    customer dimension, then aggregate per (hour, market segment) —
+    state keyed by the low-cardinality segment, never the user."""
+    df = W.enriched_tumbling(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+    return df.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "segment",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+    )

@@ -168,3 +168,28 @@ def user_running_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def enriched_tumbling(
+    events: DataFrame,
+    customer: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST-extension: stream-STATIC dimension enrichment, the canonical
+    "join the clickstream to the customer table, then window" shape.  The
+    static side broadcasts (Structured Streaming re-plans it per
+    micro-batch, so a dimension refresh lands without restarting the
+    query); unmatched users keep flowing as 'unknown' via the left join;
+    the windowed aggregate runs AFTER the enrich so segments, not users,
+    key the state store."""
+    e = _with_watermark(events, watermark)
+    dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    j = e.join(F.broadcast(dim), "user_id", "left").withColumn(
+        "segment", F.coalesce("c_mktsegment", F.lit("unknown"))
+    )
+    return (
+        j.groupBy(F.window("ts", duration).alias("w"), "segment")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "segment", "n", "sum_value")
+    )

@@ -825,3 +825,14 @@ def test_topk_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
         F.count("*").alias("n")).collect()}
     for v, est in got_top.items():
         assert est >= true[v]
+
+
+def test_enriched_tumbling_stream_matches_batch(spark, sf_dir, stream_events):
+    cust = load_table(spark, sf_dir, "customer")
+    batch = W.enriched_tumbling(load_table(spark, sf_dir, "events"), cust)
+    stream = _run_stream(spark, W.enriched_tumbling(stream_events, cust), "t_enrich")
+    b = sorted(map(tuple, batch.select("window_start", "segment", "n").collect()))
+    s = sorted(map(tuple, stream.select("window_start", "segment", "n").collect()))
+    assert b == s
+    segs = {r["segment"] for r in batch.select("segment").distinct().collect()}
+    assert segs  # enrichment produced real segments
