@@ -3633,3 +3633,80 @@ def neardup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_join_prefix(
         load_table(spark, sf_dir, "documents"), t_num=3, t_den=5, gram=3
     )
+
+
+@query(
+    "hashed_features",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS}) AS w
+        FROM (SELECT doc_id, text FROM documents)
+    ),
+    hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('fh:' || w), 1, 8))::BIGINT % 16 AS dim,
+               CASE WHEN ('0x' || substr(md5('fs:' || w), 1, 8))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM toks
+    )
+    SELECT doc_id, dim::INT AS dim, SUM(sgn)::BIGINT AS val
+    FROM hashed GROUP BY doc_id, dim
+    HAVING SUM(sgn) <> 0
+    """,
+)
+def hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the Weinberger et al. hashing trick): every token
+    maps to one of 16 dims by md5, with a second independent hash picking
+    the sign so collisions cancel in expectation — the fixed-width,
+    vocabulary-free featurizer a streaming training pipeline uses when it
+    can't afford a vocab pass.  Long (doc, dim, val) output, exact
+    integer counts; one explode + one map-side-combinable groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    from fusionspark.functions.text import tokenize
+    from fusionspark.operators.dedup import md5_hash32
+
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("w"))
+    dim = F.pmod(md5_hash32(F.concat(F.lit("fh:"), F.col("w"))), F.lit(16))
+    sgn = F.when(
+        F.pmod(md5_hash32(F.concat(F.lit("fs:"), F.col("w"))), F.lit(2)) == 0, 1
+    ).otherwise(-1)
+    return (
+        toks.select("doc_id", dim.cast("int").alias("dim"), sgn.alias("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+@query(
+    "target_encoding",
+    """
+    WITH g AS (
+        SELECT source, SUM(n_chars)::BIGINT AS s, COUNT(*)::BIGINT AS c
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source,
+           CASE WHEN g.c > 1
+                THEN ROUND((g.s - d.n_chars) * 1.0 / (g.c - 1), 6)
+           END AS te
+    FROM documents d JOIN g USING (source)
+    """,
+)
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the source category against the
+    n_chars target — the leakage-safe categorical featurizer (plain mean
+    encoding leaks each row's own target; LOO subtracts it:
+    (Σ_g − xᵢ)/(n_g − 1)).  Group moments are exact BIGINTs broadcast
+    into a map-side projection; the only float is the final division."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    g = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("s"), F.count("*").cast("long").alias("c")
+    )
+    return d.join(F.broadcast(g), "source").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("c") > 1,
+            F.round((F.col("s") - F.col("n_chars")) * 1.0 / (F.col("c") - 1), 6),
+        ).alias("te"),
+    )

@@ -162,3 +162,46 @@ def test_jaccard_prefix_boundary_pairs(spark):
     out = {(r["id_a"], r["id_b"]): r["sim"] for r in
            jaccard_join_prefix(df, t_num=3, t_den=5).collect()}
     assert out == {(1, 2): 0.6}
+
+
+def test_target_encoding_loo_excludes_own_row(spark):
+    from fusionspark.queries.pipeline_queries import target_encoding
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {r["doc_id"]: r for r in target_encoding(spark, SF).collect()}
+    pdf = docs.select("doc_id", "source", "n_chars").toPandas()
+    for src, sub in pdf.groupby("source"):
+        s, c = sub["n_chars"].sum(), len(sub)
+        for _, row in sub.head(3).iterrows():
+            want = round((s - row["n_chars"]) / (c - 1), 6) if c > 1 else None
+            assert got[row["doc_id"]]["te"] == want
+
+
+def test_hashed_features_sum_law(spark):
+    """Σ_dim val per doc == Σ_token sign — the hashing trick preserves the
+    signed token mass."""
+    from fusionspark.operators.dedup import md5_hash32
+    from fusionspark.functions.text import tokenize
+    from fusionspark.queries.pipeline_queries import hashed_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = (
+        hashed_features(spark, SF)
+        .groupBy("doc_id")
+        .agg(F.sum("val").alias("tot"))
+    )
+    sgn = F.when(
+        F.pmod(md5_hash32(F.concat(F.lit("fs:"), F.col("w"))), F.lit(2)) == 0, 1
+    ).otherwise(-1)
+    want = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("w"))
+        .select("doc_id", sgn.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("tot"))
+    )
+    diff = (
+        got.withColumnRenamed("tot", "g")
+        .join(want.withColumnRenamed("tot", "w2"), "doc_id")
+        .filter(F.col("g") != F.col("w2"))
+    )
+    assert diff.count() == 0
