@@ -1832,10 +1832,15 @@ def _pois_w_sql(h: str) -> str:
         SELECT event_id, FLOOR(value * 100.0 + 0.5)::BIGINT AS cents
         FROM events
     ),
+    h AS (
+        SELECT cents,
+               ('0x' || substr(md5('boot:' || event_id::VARCHAR), 1, 8))::BIGINT AS hr
+        FROM v
+    ),
     expl AS (
-        SELECT b.b, v.cents,
-               {_pois_w_sql("('0x' || substr(md5('boot:' || b.b::VARCHAR || ':' || v.event_id::VARCHAR), 1, 8))::BIGINT")} AS w
-        FROM v CROSS JOIN (SELECT unnest(generate_series(0, {_B_BOOT - 1})) AS b) b
+        SELECT b.b, h.cents,
+               {_pois_w_sql("((h.hr * (2 * b.b + 1) + b.b * 2654435761) % 4294967296)")} AS w
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, {_B_BOOT - 1})) AS b) b
     ),
     means AS (
         SELECT b, SUM(w * cents)::BIGINT AS s, SUM(w)::BIGINT AS n
@@ -1877,27 +1882,29 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents")
     )
     b = spark.range(_B_BOOT).select(F.col("id").cast("long").alias("b"))
-    h = F.conv(
+    # ONE md5 per row; each replicate draws its uniform via a
+    # Carter-Wegman integer mix (odd multiplier 2b+1 is a bijection mod
+    # 2^32) — 200× less hashing than md5('boot:'||b||':'||id) per pair,
+    # still engine-exact BIGINT arithmetic
+    hr = F.conv(
         F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("boot:"),
-                    F.col("b").cast("string"),
-                    F.lit(":"),
-                    F.col("event_id").cast("string"),
-                )
-            ),
-            1,
-            8,
+            F.md5(F.concat(F.lit("boot:"), F.col("event_id").cast("string"))), 1, 8
         ),
         16,
         10,
     ).cast("bigint")
+    # checkpoint pins the one-md5-per-row evaluation: Catalyst would
+    # otherwise collapse this projection into the ×B join and recompute
+    # the hash per (row, replicate)
+    hv = v.select("cents", hr.alias("hr")).localCheckpoint(eager=True)
+    h = (F.col("hr") * (2 * F.col("b") + 1) + F.col("b") * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
     w = F.when(h < _POIS_T[0], 0)
     for k in range(1, len(_POIS_T)):
         w = w.when(h < _POIS_T[k], k)
     w = w.otherwise(len(_POIS_T))
-    expl = v.crossJoin(F.broadcast(b)).select("b", "cents", w.alias("w"))
+    expl = hv.crossJoin(F.broadcast(b)).select("b", "cents", w.alias("w"))
     # the B-row replicate table is checkpointed: the rank walk, both CI
     # bounds, and the count reuse it without re-exploding the corpus
     means = (
