@@ -260,3 +260,94 @@ def test_kmeans_partition_invariant_and_total(spark, n, k, seed):
     assert am == bm
     assert len(am) == n
     assert all(0 <= c < k for c, _ in am.values())
+
+
+@given(texts=doc_strategy)
+@settings(**_SETTINGS)
+def test_prefix_join_lossless_on_random_corpora(spark, texts):
+    """Prefix + length filtering == all-pairs exact Jaccard ≥ t for ANY
+    corpus (the PPJoin completeness theorem, empirically)."""
+    from fusionspark.operators.dedup import _py_shingles
+    from fusionspark.operators.simjoin import jaccard_join_prefix
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id: long, text: string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_join_prefix(df, t_num=3, t_den=5).collect()
+    }
+    sets = {i: set(_py_shingles(t, 3)) for i, t in enumerate(texts)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter and inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.6:
+                want.add((a, b))
+    assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_skyline_window_matches_dominance_on_random_points(spark, pts):
+    """The running-max window skyline == the O(n²) dominance definition
+    for ANY point set (minimize x, maximize y), duplicates included."""
+    from pyspark.sql import Window
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id: long, price: long, qty: long")
+    w1 = Window.orderBy("price").rangeBetween(Window.unboundedPreceding, -1)
+    w2 = Window.orderBy("price").rangeBetween(Window.unboundedPreceding, 0)
+    got = {
+        r["id"]
+        for r in df.withColumn("m1", F.max("qty").over(w1))
+        .withColumn("m2", F.max("qty").over(w2))
+        .filter(
+            ~F.coalesce(F.col("m1") >= F.col("qty"), F.lit(False))
+            & (F.col("m2") <= F.col("qty"))
+        )
+        .collect()
+    }
+    want = set()
+    for i, (x, y) in enumerate(pts):
+        dominated = any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for j, (x2, y2) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6), st.integers(1, 9)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_sssp_rounds_match_bellman_ford_on_random_graphs(spark, edges):
+    """k rounds of the distributed relax == k rounds of textbook
+    Bellman-Ford from seed 0 on ANY small weighted digraph."""
+    from fusionspark.operators.graph import sssp
+
+    df = spark.createDataFrame(edges, "src: long, dst: long, w: long")
+    seeds = spark.createDataFrame([(0,)], "id: long")
+    got = {r["id"]: r["dist"] for r in sssp(seeds, df, rounds=3).collect()}
+    INF = float("inf")
+    dist = {0: 0}
+    for _ in range(3):
+        nd = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nd.get(d, INF):
+                nd[d] = dist[s] + w
+        dist = nd
+    assert got == dist
