@@ -475,6 +475,24 @@ class FusionSparkEngine:
             return 0
         return self._table(collection).vacuum(keep_versions)
 
+    def optimize(
+        self,
+        collection: str,
+        target_file_rows: int = 1_000_000,
+        cluster_by: list[str] | None = None,
+    ) -> dict:
+        """Manifest mode: OPTIMIZE — compact the append-accumulated small
+        files into right-sized ones (ManifestTable.compact), optionally
+        range-clustered so parquet min/max stats prune scans
+        (Z-ORDER-lite).  Returns the committed version; {'version': -1}
+        no-op in parquet mode (whose rewrites already consolidate)."""
+        if self.storage != "manifest":
+            return {"collection": collection, "version": -1, "compacted": False}
+        v = self._table(collection).compact(
+            target_file_rows=target_file_rows, cluster_by=cluster_by
+        )
+        return {"collection": collection, "version": v, "compacted": True}
+
     def history(self, collection: str) -> list[dict]:
         """Manifest mode: the collection's commit log (version/op/rows/ts).
         Empty in parquet mode."""

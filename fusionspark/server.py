@@ -90,6 +90,12 @@ class Router:
                 )
             if path == "/api/validate" and method == "POST":
                 return 200, {"report": self.engine.validate(body["collection"])}
+            if path == "/api/optimize" and method == "POST":
+                return 200, self.engine.optimize(
+                    body["collection"],
+                    target_file_rows=int(body.get("targetFileRows", 1_000_000)),
+                    cluster_by=body.get("clusterBy"),
+                )
             if path == "/api/hybrid-search" and method == "POST":
                 return 200, self.engine.retrieve(
                     body["collection"], body["query"], top_k=int(body.get("topK", 10))

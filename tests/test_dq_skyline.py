@@ -313,3 +313,25 @@ def test_sssp_relaxes_cheaper_longer_path(spark):
     assert d1[1] == 10  # only the direct edge within 1 round
     d2 = {r["id"]: r["dist"] for r in sssp(seeds, edges, rounds=2).collect()}
     assert d2[1] == 3 and d2[2] == 1  # revisited via the cheaper 2-edge path
+
+
+def test_engine_optimize_compacts_manifest_collection(spark, tmp_path):
+    """Three appends → 3+ small files; optimize() compacts to one file
+    set in a new version with identical rows; parquet mode no-ops."""
+    from fusionspark.engine import FusionSparkEngine
+
+    eng = FusionSparkEngine(spark, str(tmp_path / "m"), storage="manifest")
+    eng.create_collection("c", _cfg(4))
+    for i in range(3):
+        eng.insert("c", [{"id": f"x{i}", "vector": [float(i), 0.0, 0.0, 0.0]}])
+    before = eng._load("c").collect()
+    out = eng.optimize("c", target_file_rows=10)
+    assert out["compacted"] and out["version"] > 0
+    after = eng._load("c").collect()
+    assert sorted(r["id"] for r in after) == sorted(r["id"] for r in before)
+    hist = eng.history("c")
+    assert hist and any(h["op"] == "compact" for h in hist)
+
+    eng2 = FusionSparkEngine(spark, str(tmp_path / "p"))
+    eng2.create_collection("c", _cfg(4))
+    assert eng2.optimize("c")["compacted"] is False
