@@ -2117,3 +2117,61 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("y") - F.col("seasonal_pred"))) * 1.0 / F.count("*"), 6
         ).alias("seasonal_mae"),
     )
+
+
+@query(
+    "quantiles_by_type",
+    """
+    WITH grid AS (
+        SELECT event_type, FLOOR(value * 100.0 + 0.5)::BIGINT AS v,
+               COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    walked AS (
+        SELECT event_type, v, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS tot
+        FROM grid
+    )
+    SELECT event_type,
+           ROUND(MIN(CASE WHEN cum >= (tot * 500 + 999) // 1000 THEN v END) / 100.0, 6) AS p50,
+           ROUND(MIN(CASE WHEN cum >= (tot * 900 + 999) // 1000 THEN v END) / 100.0, 6) AS p90,
+           ROUND(MIN(CASE WHEN cum >= (tot * 990 + 999) // 1000 THEN v END) / 100.0, 6) AS p99,
+           MAX(tot)::BIGINT AS n
+    FROM walked GROUP BY event_type
+    """,
+)
+def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type p50/p90/p99 of event values (lower-value quantile
+    law: smallest v whose cumulative count reaches ⌈p·n⌉, the rank
+    computed in integer arithmetic) — the per-dimension SLO readout
+    beside the global histogram_quantiles sketch.  One corpus
+    groupBy((type, cents)); the cumulative walk and threshold cuts run on
+    the bounded grid."""
+    e = load_table(spark, sf_dir, "events")
+    grid = e.groupBy(
+        "event_type", F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    walked = grid.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "tot", F.sum("cnt").over(wall)
+    )
+
+    def q(perm: int):
+        rank = F.expr(f"(tot * {perm} + 999) div 1000")
+        return F.round(
+            F.min(F.when(F.col("cum") >= rank, F.col("v"))) / 100.0, 6
+        )
+
+    return walked.groupBy("event_type").agg(
+        q(500).alias("p50"),
+        q(900).alias("p90"),
+        q(990).alias("p99"),
+        F.max("tot").cast("long").alias("n"),
+    )

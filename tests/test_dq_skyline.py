@@ -335,3 +335,20 @@ def test_engine_optimize_compacts_manifest_collection(spark, tmp_path):
     eng2 = FusionSparkEngine(spark, str(tmp_path / "p"))
     eng2.create_collection("c", _cfg(4))
     assert eng2.optimize("c")["compacted"] is False
+
+
+def test_quantiles_by_type_matches_numpy_lower(spark):
+    import math
+
+    import numpy as np
+
+    from fusionspark.queries.analytics_queries import quantiles_by_type
+
+    got = {r["event_type"]: r for r in quantiles_by_type(spark, SF).collect()}
+    pdf = spark.read.parquet(f"{SF}/events.parquet").select("event_type", "value").toPandas()
+    for g, sub in pdf.groupby("event_type"):
+        cents = np.sort(np.floor(sub["value"].to_numpy() * 100.0 + 0.5).astype(np.int64))
+        n = len(cents)
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            want = round(float(cents[math.ceil(p * n) - 1]) / 100.0, 6)
+            assert got[g][col] == want, (g, col)
