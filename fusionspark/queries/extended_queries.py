@@ -494,3 +494,37 @@ def tpch_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "cube_orders",
+    """
+    SELECT COALESCE(o_orderpriority, '__all__') AS o_orderpriority,
+           COALESCE(o_orderstatus, '__all__') AS o_orderstatus,
+           COUNT(*)::BIGINT AS n,
+           SUM(FLOOR(o_totalprice * 100.0 + 0.5)::BIGINT)::BIGINT AS total_cents
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — rollup_orders' full-lattice sibling (adds the
+    status-only marginals ROLLUP omits); revenue kept as exact cents so
+    every one of the 4 grouping levels hash-matches regardless of
+    aggregation order."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return (
+        o.select("o_orderpriority", "o_orderstatus", cents.alias("cents"))
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("__all__")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("__all__")).alias("o_orderstatus"),
+            "n",
+            "total_cents",
+        )
+    )

@@ -681,3 +681,37 @@ def bmp_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "pix_checksum",
     )
+
+
+@query(
+    "gif_features",
+    """
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean_intensity,
+           SUM(v * k)::BIGINT AS pix_checksum
+    FROM (
+        SELECT doc_id, k.k AS k,
+               ((doc_id * 19 + 11 * k.k) % 256)::DOUBLE AS v
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, 383)) AS k) k
+    )
+    GROUP BY doc_id
+    """,
+)
+def gif_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec path, oracle-attested (operators/gif.py, the
+    SEVENTH container format): Spark encodes deterministic GIF89a
+    payloads with REAL greedy LZW (the period-256 pixel law guarantees
+    compound codes), decodes them back through the full spec path
+    (sub-block reassembly, LSB bit unpacking, dictionary rebuild incl.
+    the K-case), and aggregates the pixels; the oracle replays the
+    closed-form law v = (doc_id·19 + 11k) mod 256."""
+    from fusionspark.operators import gif
+
+    m = gif.synth_gif_media(spark, sf_dir)
+    feats = gif.gif_feature_stats(m)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "pix_checksum",
+    )
