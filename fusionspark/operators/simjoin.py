@@ -14,13 +14,20 @@ the exact verify runs on candidates alone.  The registered query's
 oracle is the UNPRUNED all-pairs ground truth, so every gate run
 re-proves the pruning lossless on real data.
 
-Scale shape: one Arrow shingle pass; the global frequency ranking is one
-sort over the VOCABULARY (bounded, ≪ corpus); prefixes are a per-doc
-WindowGroupLimit; the candidate join keys on rare shingles (df ≤ a few),
-so its fan-out follows the prefix df distribution, not |docs|²; the
-verify joins postings for candidate docs only.  Thresholds are exact
-rationals (num/den), so prefix lengths are integer arithmetic on both
-engines.
+Scale shape: one Arrow shingle pass; the rarest-first order is the
+COMPOSITE KEY (df, s) — each doc's postings join the document-frequency
+table on the shingle (a plain shuffle equi-join AQE can size-threshold)
+and rank per-doc with a Window.partitionBy(doc) over (df, s), so no
+global sort and no vocabulary-sized broadcast exists anywhere in the
+plan; the candidate join keys on the shingle string itself, touching
+only rare-shingle postings (df ≤ a few), so its fan-out follows the
+prefix df distribution, not |docs|²; the verify joins postings for
+candidate docs only.  Thresholds are exact rationals (num/den), so
+prefix lengths are integer arithmetic on both engines.  (An earlier
+form densified the order into a global row_number over the whole
+vocabulary and broadcast it — a single-task sort plus an O(vocab)
+broadcast that dies at corpus scale; the (df, s) composite key induces
+the IDENTICAL total order, so the pair set is unchanged.)
 """
 
 from __future__ import annotations
@@ -69,34 +76,36 @@ def jaccard_join_prefix(
     post = shingle_postings(df, gram, id_col, text_col)
     sizes = post.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
     dfreq = post.groupBy("s").agg(F.count("*").cast("long").alias("df"))
-    vocab = dfreq.select(
-        "s",
-        F.row_number()
-        .over(Window.orderBy(F.col("df").asc(), F.col("s").asc()))
-        .cast("long")
-        .alias("idx"),
-    )
+    # Rarest-first order = the composite key (df, s): joining each doc's
+    # postings to the df table (plain shuffle equi-join — AQE broadcasts
+    # it only while it fits) and ranking per-doc over (df, s) induces the
+    # same total order a global dense index would, with no unpartitioned
+    # window and no vocabulary broadcast.
     ranked = (
-        post.join(F.broadcast(vocab), "s")
-        .join(F.broadcast(sizes), id_col)
+        post.join(dfreq, "s")
+        .join(sizes, id_col)
         .withColumn(
             "rn",
-            F.row_number().over(Window.partitionBy(id_col).orderBy("idx")),
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("df").asc(), F.col("s").asc()
+                )
+            ),
         )
     )
     # prefix length p = sz − ⌈t·sz⌉ + 1, exact integer ceil
     ceil_t = F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}")
     prefix = ranked.filter(F.col("rn") <= F.col("sz") - ceil_t + 1).select(
-        F.col(id_col), F.col("idx"), F.col("sz")
+        F.col(id_col), F.col("s"), F.col("sz")
     )
     a = prefix.select(
-        F.col(id_col).alias("id_a"), F.col("idx"), F.col("sz").alias("sz_a")
+        F.col(id_col).alias("id_a"), F.col("s"), F.col("sz").alias("sz_a")
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), F.col("idx"), F.col("sz").alias("sz_b")
+        F.col(id_col).alias("id_b"), F.col("s"), F.col("sz").alias("sz_b")
     )
     cand = (
-        a.join(b, "idx")
+        a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
         # length filter: J ≥ t ⇒ t·max(|x|,|y|) ≤ min(|x|,|y|)
         .filter(

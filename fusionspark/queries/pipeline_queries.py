@@ -3623,7 +3623,8 @@ def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT similarity join, Jaccard ≥ 0.6 on word-3-gram shingle sets,
     via LOSSLESS prefix + length filtering (operators/simjoin.py — the
-    PPJoin/AllPairs scale path: rarest-first global order, per-set prefix
+    PPJoin/AllPairs scale path: rarest-first (df, s) composite-key order
+    with no global window or vocab broadcast, per-set prefix
     |x| − ⌈t·|x|⌉ + 1, candidates only where both prefixes share a
     shingle).  The oracle is the UNPRUNED all-pairs ground truth, so
     every gate run re-proves the pruning drops no qualifying pair —

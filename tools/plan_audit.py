@@ -389,8 +389,10 @@ print("== t_closeness: take_ordered:", "TakeOrderedAndProject" in p,
       "cartesian:", "CartesianProduct" in p)
 
 # 16. round-8 session-7 batch-2 plan claims
-# neardup_prefix: candidate join keys on the shingle idx; all joins equi;
-# the verify join carries candidate ids + shingles only, never text
+# neardup_prefix: candidate join keys on the shingle string; all joins
+# equi; the verify join carries candidate ids + shingles only, never
+# text; r9: the (df, s) composite-key order means NO unpartitioned
+# window — the plan must contain no SinglePartition exchange
 np_ = _R["neardup_prefix"][0](spark, sf)
 buf = _io.StringIO()
 with _ctx.redirect_stdout(buf):
@@ -401,7 +403,8 @@ print("== neardup_prefix: equi_joins:", any(k in p for k in
           ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")),
       "cartesian:", "CartesianProduct" in p,
       "text_in_exchange_key:", any("text#" in a for a in ex_args),
-      "group_limit_or_rank:", "Window" in p)
+      "group_limit_or_rank:", "Window" in p,
+      "single_partition_exchange:", "SinglePartition" in p)
 
 # mann_whitney / theil_sen / chi2 / bootstrap: the corpus side must be a
 # single groupBy; windows and pair grids run on bounded frames
