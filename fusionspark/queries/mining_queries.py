@@ -740,7 +740,11 @@ def source_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Frequent event-type sequences (sequential pattern mining)
 # ---------------------------------------------------------------------------
 
-_SEQ_GAP = "1 DAY"
+# 1-day inactivity gap, compared in MICROSECONDS on both engines so
+# sub-second timestamps sessionize identically (ADVICE r8: a 86400.5 s
+# gap differed between second-truncated Spark longs and DuckDB's
+# full-precision interval compare).
+_SEQ_GAP_US = 86_400_000_000
 _SEQ_MINSUP = 5
 
 
@@ -750,7 +754,8 @@ _SEQ_MINSUP = 5
     WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
     m AS (
         SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w > INTERVAL {_SEQ_GAP}
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > {_SEQ_GAP_US}
                        THEN 1 ELSE 0 END AS st
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
@@ -794,7 +799,7 @@ def frequent_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "st",
         F.when(
             lag_ts.isNull()
-            | (F.col("ts").cast("long") - lag_ts.cast("long") > 86400),
+            | (F.unix_micros("ts") - F.unix_micros(lag_ts) > _SEQ_GAP_US),
             1,
         ).otherwise(0),
     )
@@ -1148,12 +1153,74 @@ def link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def item_cf_frame(
+    o: DataFrame, li: DataFrame, cap: int = 128, k: int = 3
+) -> DataFrame:
+    """Core item-item CF plan over (orders, lineitem) frames — see
+    item_cf_q for semantics.  ``cap`` bounds distinct items per customer
+    basket BEFORE the pair self-join: a b-item mega-basket fans out
+    b(b−1)/2 pairs, so one pathological customer can dominate the whole
+    shuffle.  The cap keeps a deterministic md5-coin within-basket sample
+    (unbiased, replayable in SQL), applied to baskets AND degrees so the
+    cosine stays internally consistent; the oracle replays the identical
+    cap, making the bound part of the operator's semantics at every
+    scale rather than a gate-invisible divergence."""
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    wcap = Window.partitionBy("c").orderBy(
+        F.md5(F.concat_ws(":", F.col("c"), F.col("p"))).asc(), F.col("p").asc()
+    )
+    cp = (
+        cp.withColumn("bi", F.row_number().over(wcap))
+        .filter(F.col("bi") <= cap)
+        .drop("bi")
+    )
+    deg = cp.groupBy("p").agg(F.count("*").cast("long").alias("n"))
+    a, b = cp.alias("a"), cp.alias("b")
+    pr = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").cast("long").alias("n_uv"))
+    )
+    sym = pr.select(
+        F.col("pa").alias("part"), F.col("pb").alias("neighbor"), "n_uv"
+    ).unionAll(pr.select(F.col("pb").alias("part"), F.col("pa").alias("neighbor"), "n_uv"))
+    da = deg.select(F.col("p").alias("part"), F.col("n").alias("na"))
+    dbn = deg.select(F.col("p").alias("neighbor"), F.col("n").alias("nb"))
+    scored = (
+        sym.join(F.broadcast(da), "part")
+        .join(F.broadcast(dbn), "neighbor")
+        .withColumn(
+            "cos",
+            F.col("n_uv").cast("double")
+            / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("part", "neighbor", "n_uv", F.round("cos", 6).alias("cosine"), "rk")
+    )
+
+
 @query(
     "item_cf",
     """
-    WITH cp AS (
+    WITH cp0 AS (
         SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cp AS (
+        SELECT c, p FROM (
+            SELECT c, p, ROW_NUMBER() OVER (
+                PARTITION BY c
+                ORDER BY md5(c::VARCHAR || ':' || p::VARCHAR) ASC, p ASC
+            ) AS bi FROM cp0
+        ) WHERE bi <= 128
     ),
     deg AS (SELECT p, COUNT(*)::BIGINT AS n FROM cp GROUP BY p),
     pr AS (
@@ -1189,45 +1256,15 @@ def item_cf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers; the cosine is one closed-form double on both engines,
     ranked pre-round with neighbor-asc tiebreak.
 
-    Plan: baskets distinct once, the pair self-join shuffles on the
-    customer key only (a.p < b.p halves the square), per-part degrees are
-    a tiny table broadcast twice, and the top-3 cut is a WindowGroupLimit
-    rank pushdown — no all-pairs across customers.  At 100 TB the known
-    skew risk is mega-baskets: cap distinct items per customer (sample
-    within basket) or salt the customer key before the self-join; the
-    measured max basket here is 105 items (13.1M pairs at sf0.1).
-    Beyond-reference (north-star recommendation family)."""
+    Plan: baskets distinct once, capped to 128 items per customer via a
+    deterministic md5-coin within-basket sample BEFORE the pair self-join
+    (the mega-basket skew bound — a b-item basket fans b(b−1)/2 pairs;
+    the measured sf0.1 max basket is 105, under the cap, and the oracle
+    replays the identical cap so the bound holds at any scale).  The pair
+    self-join shuffles on the customer key only (a.p < b.p halves the
+    square), per-part degrees are a tiny table broadcast twice, and the
+    top-3 cut is a WindowGroupLimit rank pushdown — no all-pairs across
+    customers.  Beyond-reference (north-star recommendation family)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    deg = cp.groupBy("p").agg(F.count("*").cast("long").alias("n"))
-    a, b = cp.alias("a"), cp.alias("b")
-    pr = (
-        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count("*").cast("long").alias("n_uv"))
-    )
-    sym = pr.select(
-        F.col("pa").alias("part"), F.col("pb").alias("neighbor"), "n_uv"
-    ).unionAll(pr.select(F.col("pb").alias("part"), F.col("pa").alias("neighbor"), "n_uv"))
-    da = deg.select(F.col("p").alias("part"), F.col("n").alias("na"))
-    dbn = deg.select(F.col("p").alias("neighbor"), F.col("n").alias("nb"))
-    scored = (
-        sym.join(F.broadcast(da), "part")
-        .join(F.broadcast(dbn), "neighbor")
-        .withColumn(
-            "cos",
-            F.col("n_uv").cast("double")
-            / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
-        )
-    )
-    w = Window.partitionBy("part").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 3)
-        .select("part", "neighbor", "n_uv", F.round("cos", 6).alias("cosine"), "rk")
-    )
+    return item_cf_frame(o, li, cap=128, k=3)

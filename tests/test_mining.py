@@ -306,3 +306,43 @@ def test_link_prediction_laws(spark):
         assert r.jaccard == pytest.approx(
             r.cn / (deg[r.u] + deg[r.v] - r.cn), abs=1e-6
         )
+
+
+def test_item_cf_mega_basket_cap(spark):
+    """The per-customer basket cap bounds pair fan-out: a planted
+    1000-item mega-basket contributes at most cap·(cap−1)/2 pairs, the
+    surviving items are exactly the md5-coin sample the oracle replays,
+    and a under-cap run is identical to the uncapped plan."""
+    import hashlib
+
+    from fusionspark.queries.mining_queries import item_cf_frame
+
+    # one mega-basket customer (1000 items) + two small baskets that
+    # share a pair so the output is non-empty at n_uv >= 1
+    rows = [(1, p) for p in range(1000)] + [(2, 5), (2, 7), (3, 5), (3, 7)]
+    o = spark.createDataFrame(
+        [(c, c) for c in {c for c, _ in rows}], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    cap = 16
+    out = item_cf_frame(o, li, cap=cap, k=1000).collect()
+    # the expected within-basket sample for customer 1: md5("1:p") order
+    sample = sorted(
+        range(1000), key=lambda p: (hashlib.md5(f"1:{p}".encode()).hexdigest(), p)
+    )[:cap]
+    kept = set(sample) | {5, 7}
+    seen_parts = {r.part for r in out} | {r.neighbor for r in out}
+    assert seen_parts <= kept
+    # fan-out bound: mega-basket pairs <= C(cap, 2) (+ the planted pair)
+    pairs = {(min(r.part, r.neighbor), max(r.part, r.neighbor)) for r in out}
+    assert len(pairs) <= cap * (cap - 1) // 2 + 1
+    # under-cap parity: cap larger than every basket == uncapped semantics
+    small = [(10, 1), (10, 2), (11, 1), (11, 2), (11, 3)]
+    o2 = spark.createDataFrame(
+        [(c, c) for c in {c for c, _ in small}], "o_orderkey long, o_custkey long"
+    )
+    li2 = spark.createDataFrame(small, "l_orderkey long, l_partkey long")
+    capped = {tuple(r) for r in item_cf_frame(o2, li2, cap=128, k=3).collect()}
+    wide = {tuple(r) for r in item_cf_frame(o2, li2, cap=10**9, k=3).collect()}
+    assert capped == wide and capped
