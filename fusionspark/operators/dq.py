@@ -44,15 +44,24 @@ def dq_check(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
         for i, (_, cond) in enumerate(rules)
     ]
     row = df.agg(F.count("*").cast("long").alias("n"), *aggs)
-    stack = ", ".join(f"'{name}', v{i}" for i, (name, _) in enumerate(rules))
-    long = row.selectExpr(
-        "n", f"stack({len(rules)}, {stack}) as (rule, n_violations)"
+    # unpivot via explode(array(struct(...))) — rule names are DATA here,
+    # never spliced into a SQL string (a quote in a name must not break
+    # or re-shape the expression)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"v{i}").alias("n_violations"),
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
     )
+    long = row.select("n", F.explode(pairs).alias("kv"))
     return long.select(
-        "rule",
+        F.col("kv.rule").alias("rule"),
         F.col("n").alias("n_rows"),
-        "n_violations",
-        (F.col("n_violations") == 0).alias("passed"),
+        F.col("kv.n_violations").alias("n_violations"),
+        (F.col("kv.n_violations") == 0).alias("passed"),
     )
 
 

@@ -367,6 +367,11 @@ class Router:
             },
             "required": ["collection"],
         },
+        "fusionspark_validate": {
+            "type": "object",
+            "properties": {"collection": {"type": "string"}},
+            "required": ["collection"],
+        },
         "fusionspark_memory_learn": {
             "type": "object",
             "properties": {

@@ -352,3 +352,15 @@ def test_quantiles_by_type_matches_numpy_lower(spark):
         for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             want = round(float(cents[math.ceil(p * n) - 1]) / 100.0, 6)
             assert got[g][col] == want, (g, col)
+
+
+def test_dq_check_rule_name_with_quote(spark):
+    """Rule names are data, not SQL: quotes/backslashes in a name must
+    flow through to the report verbatim (the selectExpr-interpolation
+    form broke on a single quote)."""
+    df = spark.createDataFrame([(1,), (2,), (-1,)], "v int")
+    name = "o'brien's \"rule\" \\ check"
+    out = dq.dq_check(df, [(name, F.col("v") < 0)]).collect()
+    assert len(out) == 1
+    assert out[0].rule == name
+    assert out[0].n_violations == 1 and not out[0].passed

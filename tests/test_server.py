@@ -255,3 +255,18 @@ def test_analyze_route_and_tool(srv_engine):
     assert any(
         t["name"] == "fusionspark_analyze" for t in r.tool_manifest()["tools"]
     )
+
+
+def test_every_tool_has_input_schema(srv_engine):
+    """tool_manifest must advertise a non-empty inputSchema for every
+    tool whose handler requires arguments — a client following the
+    manifest must never omit a required key (ADVICE r8:
+    fusionspark_validate had no TOOL_SCHEMAS entry)."""
+    r = Router(srv_engine)
+    manifest = r.tool_manifest()["tools"]
+    assert any(t["name"] == "fusionspark_validate" for t in manifest)
+    for t in manifest:
+        schema = t["inputSchema"]
+        if t["name"] == "fusionspark_list_collections":
+            continue  # genuinely arg-free
+        assert schema.get("properties"), t["name"]
