@@ -666,6 +666,17 @@ def main() -> None:
                 "family's corpus pass is one Arrow GEMM partial, the rest "
                 "are equi-join/TakeOrdered shapes)"
             ),
+            "r8_inflation": (
+                "the DRIVER's BENCH_r08 medians for long-standing entries "
+                "ran ~1.2-1.6x above both r7 and isolated re-times "
+                "(merge_candidates 2.95 vs 2.08 isolated / 1.68 r7; "
+                "rrf_fusion 4.03 vs 3.73 isolated / 2.93 min; "
+                "quality_consensus 2.34 vs 1.83; knn_filtered 2.58 vs "
+                "2.50) — adjudicated by the r8 judge as host noise, not "
+                "plan regressions: the committed clean record's minima sit "
+                "at r7 levels.  When trending across rounds, quote "
+                "queries_min, not medians"
+            ),
             "knn_1m_resident_x10": (
                 "amortized build-once/search-many contract: 10 consecutive "
                 "1000-probe searches on the prebuilt 1M resident index vs "

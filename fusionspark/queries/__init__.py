@@ -27,46 +27,45 @@ def query(name: str, sql: str | None = None):
 
 # The grading driver attests registry entries in insertion order and caps
 # how many it checks per round (the first 50).  Names listed here are moved
-# to the FRONT of the registry.  Round 8 FINISHES the attestation drain
-# (VERDICT r7 #1): the union of CORRECTNESS_r1-r7 covers 190 of the 230
-# registered queries; the 50 below are the final 43 never-driver-attested
-# entries (40 oracle-backed + compression_ratio rows-only (no DuckDB
-# zlib) + image_features/image_resize, upgraded to md5-pixel-law oracles
-# mid-round)
-# plus the 5 entries whose code changed after their last attestation
-# (serving.py pre_filter original-id fix -> ann_resident family;
-# dedup.py width-64 band fix landed r7 after simhash's r5 attestation ->
-# simhash_values/simhash_neardup, VERDICT r7 #6) and 2 warm flagship
-# slots.  All oracle-backed entries are green in the local full gate
-# (tools/check.py) at 3 SFs.  Queries not listed keep their valid r1-r7
-# attestations.  After this round every oracle-backed query in the
-# registry has a driver row.
+# to the FRONT of the registry.  Round 9 rotation (VERDICT r8 #1): the
+# driver union r1-r8 attested 230 of the then-registered 230, but the
+# registry grew to 286 during r8 sessions 3-7 — the 50 below are the
+# oldest 50 of the 56 never-driver-attested entries (spectral/PCA, exact
+# k-means, robust statistics, mining, graph HITS/SSSP, privacy triad,
+# similarity joins, streaming joins, GIF/BMP codec features, CUBE, exact
+# quantiles).  Four of them had code changes THIS round and are attested
+# at the new code state: neardup_prefix ((df,s) composite-key scale fix),
+# item_cf (basket cap), frequent_sequences (microsecond gaps),
+# dq_expectations (explode-unpivot report).  The 6 spilled to r10
+# (benford_digits, degree_distribution, cumulative_users,
+# forecast_backtest, median_by_type, l_diversity) are simple unchanged
+# shapes, all green in the local 3-SF gate.  Queries not listed keep
+# their valid r1-r8 attestations — no attested file family's function
+# bodies were edited this round outside the four names above, which are
+# themselves unattested-until-now.
 PRIORITY: list[str] = [
-    # ── the final 43 never-attested entries ──
-    "curriculum_shards", "lm_perplexity",
-    "shuffle_shards", "quality_consensus", "tpch_local_supplier_volume",
-    "length_quantiles", "events_type_pivot", "chat_lint",
-    "stratified_sample", "events_rolling_avg", "retrieval_ndcg",
-    "window_dedup_rewrite", "accent_fold", "corpus_datacard",
-    "tpch_forecast_revenue", "tpch_market_share", "tpch_priority_lines",
-    "tpch_excess_suppliers", "user_retention", "event_funnel",
-    "readability", "bloom_join_filter",
-    "ann_bq", "ann_matryoshka", "semdedup",
-    "cdc_apply", "scd2_history", "merge_upsert", "zorder_pruning",
-    "fim_transform", "ccnet_buckets", "dedup_keep_best",
-    "kmv_theta", "gap_fill", "events_interarrival", "graph_triangles",
-    "gopher_lines",
-    # oracles added in r7; chunks_recursive upgraded to a CONTENT hash
-    # this round (VERDICT r7 #5)
-    "chunks_recursive", "bpe_merges", "bpe_tokenize",
-    # image_features/image_resize gained md5-pixel-law oracles in r8
-    # ([R]->[Q]); compression_ratio stays rows-only (DuckDB has no zlib)
-    "compression_ratio", "image_features", "image_resize",
-    # ── code changed after last attestation (VERDICT r7 #6) ──
-    "ann_resident", "ann_ivf_resident", "ann_resident_filtered",
-    "simhash_values", "simhash_neardup",
-    # ── warm flagship slots ──
-    "rrf_fusion", "knn_cosine",
+    # ── r8 session-3 analytics (spectral / clustering / sampling /
+    #    streaming / graph) ──
+    "covariance_topk", "embedding_spectrum", "pca_embeddings",
+    "pca_doc_scores", "embedding_drift", "kmeans_assign",
+    "kmeans_clusters", "cluster_balanced_sample", "weighted_sample",
+    "stream_interval_join", "bfs_hops",
+    # ── r8 session-4/5 analytics ──
+    "pmi_bigrams", "zipf_fit", "heaps_law", "distance_outliers",
+    "histogram_quantiles", "ets_forecast", "lineitem_corr",
+    "doc_keywords",
+    # ── r8 session-6 mining family ──
+    "frequent_pairs", "association_rules", "substring_dedup",
+    "survival_km", "knn_graph", "rfm_segments", "source_divergence",
+    "frequent_sequences", "dedup_span_rewrite", "link_prediction",
+    # ── r8 session-7 batch (incl. the four r9-code-changed entries) ──
+    "phrase_search", "split_leakage", "item_cf", "t_closeness",
+    "skyline_parts", "dq_expectations", "bmp_features",
+    "theil_sen_trend", "mann_whitney", "chi2_independence",
+    "concordance", "neardup_prefix", "hits_docs", "bootstrap_ci",
+    "sssp_hops", "stream_enrich", "hashed_features", "target_encoding",
+    # ── r8 late additions ──
+    "gif_features", "cube_orders", "quantiles_by_type",
 ]
 
 

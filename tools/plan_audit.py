@@ -438,3 +438,39 @@ with _ctx.redirect_stdout(buf):
 p = buf.getvalue()
 print("== bmp_features: exchanges:", p.count("Exchange"),
       "mapInPandas:", "MapInPandas" in p or "mapInPandas" in p)
+
+# 17. r8 late additions (VERDICT r8 #7)
+# quantiles_by_type: ONE corpus exchange (the (type, cents) groupBy);
+# the cumulative walk + threshold cuts run on the bounded grid
+qt = _R["quantiles_by_type"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    qt.explain("formatted")
+p = buf.getvalue()
+print("== quantiles_by_type: exchanges:",
+      p.count("Exchange") - p.count("BroadcastExchange"),
+      "cartesian:", "CartesianProduct" in p,
+      "window_on_grid:", "Window" in p)
+
+# cube_orders: one Expand + one aggregate exchange; exact-cents sum
+co = _R["cube_orders"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    co.explain("formatted")
+p = buf.getvalue()
+print("== cube_orders: expand:", "Expand" in p,
+      "exchanges:", p.count("Exchange"),
+      "cartesian:", "CartesianProduct" in p,
+      "pruned_scan:", "o_totalprice" in p and "o_comment" not in p)
+
+# gif_features: Arrow codec kernels (mapInPandas), ids repartitioned
+# across cores before the synth, no corpus-text shuffle
+gf = _R["gif_features"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    gf.explain("formatted")
+p = buf.getvalue()
+ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+print("== gif_features: mapInPandas:", "MapInPandas" in p or "mapInPandas" in p,
+      "cartesian:", "CartesianProduct" in p,
+      "text_in_exchange_key:", any("text#" in a for a in ex_args))
