@@ -7,9 +7,13 @@ and sample counts long before any frame is decoded, and all of that lives
 in the `moov` box tree, which this module walks for real — `ftyp` brand,
 `mvhd` timescale/duration, per-track `tkhd` dimensions, `mdhd`
 timescale/duration, `hdlr` handler kind (vide/soun), and `stsz` sample
-count/bytes.  Frame/pixel decode still needs an AVC/HEVC codec this
-container doesn't ship, so that boundary stays honestly stubbed in
-multimodal.decode_real.
+count/bytes.  Frame/pixel decode for AVC I_PCM streams lives in
+operators/avc.py (r9) — sample extraction via the real stsd/avcC/stco
+tables plus baseline H.264 decode; arbitrary CAVLC/CABAC-coded video
+still wants a production codec and raises a clear NotImplementedError
+there (the documented alternative: the MJPEG-in-AVI path decodes any
+frame for real, and pipeline-generated AVC conformance streams decode
+through avc.py).
 
 The writer exists for the same reason png_encode/wav_encode/jpeg_encode do:
 it's the only way to get real byte streams here, and round-trip tests +

@@ -1,0 +1,151 @@
+"""AVC/H.264 baseline I_PCM codec (operators/avc.py): Annex B and MP4
+round-trips, emulation-prevention worst cases, the honest CAVLC/CABAC/
+inter boundaries, and parser fuzz hardening."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fusionspark.operators import avc
+
+
+def _frame(seed: int, w: int = 32, h: int = 16):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(0, 256, (h, w), dtype=np.uint8),
+        rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+        rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+    )
+
+
+def test_annexb_roundtrip_random():
+    frames = [_frame(s) for s in range(3)]
+    dec = avc.avc_decode(avc.avc_encode(frames))
+    assert len(dec) == 3
+    for (y, cb, cr), (y2, cb2, cr2) in zip(frames, dec):
+        assert (y == y2).all() and (cb == cb2).all() and (cr == cr2).all()
+
+
+def test_annexb_roundtrip_multi_mb_grid():
+    """4×2 macroblocks: raster MB order must reassemble correctly."""
+    frames = [_frame(9, w=64, h=32)]
+    (y2, cb2, cr2), = avc.avc_decode(avc.avc_encode(frames))
+    assert (frames[0][0] == y2).all()
+    assert (frames[0][1] == cb2).all() and (frames[0][2] == cr2).all()
+
+
+def test_emulation_prevention_worst_case():
+    """All-zero planes produce maximal 00 00 runs in the PCM payload;
+    the EBSP escape must keep start codes unique and decode losslessly."""
+    z = (
+        np.zeros((16, 32), dtype=np.uint8),
+        np.zeros((8, 16), dtype=np.uint8),
+        np.zeros((8, 16), dtype=np.uint8),
+    )
+    stream = avc.avc_encode([z])
+    # no start-code emulation inside any NAL payload
+    for nal in avc.split_annexb(stream):
+        assert b"\x00\x00\x01" not in nal
+        assert b"\x00\x00\x00" not in nal
+    (y, cb, cr), = avc.avc_decode(stream)
+    assert (y == 0).all() and (cb == 0).all() and (cr == 0).all()
+
+
+def test_ebsp_rbsp_inverse_exhaustive_patterns():
+    for pat in (
+        b"\x00\x00\x00", b"\x00\x00\x01", b"\x00\x00\x02", b"\x00\x00\x03",
+        b"\x00\x00\x04", b"\x01\x00\x00\x00\x00\x01", b"\x00" * 12,
+    ):
+        assert avc._rbsp(avc._ebsp(pat)) == pat
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=64))
+def test_ebsp_rbsp_inverse_property(data):
+    assert avc._rbsp(avc._ebsp(data)) == data
+
+
+def test_sps_pps_parse_fields():
+    sps = avc.parse_sps(avc.sps_rbsp(64, 32))
+    assert sps["width"] == 64 and sps["height"] == 32
+    assert sps["profile_idc"] == 66 and sps["poc_type"] == 2
+    pps = avc.parse_pps(avc.pps_rbsp())
+    assert pps["entropy_cabac"] is False and pps["init_qp"] == 26
+
+
+def test_honest_boundaries_raise():
+    frames = [_frame(1)]
+    stream = bytearray(avc.avc_encode(frames))
+    # CABAC PPS: set entropy_coding_mode_flag (bit 2 of the PPS RBSP,
+    # after the two ue(0) ids); trailing() flushes the partial byte
+    w = avc._BitWriter()
+    w.ue(0)
+    w.ue(0)
+    w.u(1, 1)
+    with pytest.raises(NotImplementedError, match="CABAC"):
+        avc.parse_pps(w.trailing())
+    # inter slice: a non-IDR NAL (type 1) must raise, not mis-decode
+    nals = avc.split_annexb(bytes(stream))
+    slice_nal = bytearray(nals[2])
+    slice_nal[0] = (3 << 5) | 1  # nal_ref_idc 3, type 1 (non-IDR)
+    sc = b"\x00\x00\x00\x01"
+    hacked = sc + nals[0] + sc + nals[1] + sc + bytes(slice_nal)
+    with pytest.raises(NotImplementedError, match="non-IDR"):
+        avc.avc_decode(hacked)
+    # a CAVLC-coded macroblock type (e.g. I_4x4 = 0) raises clearly
+    bw = avc._BitWriter()
+    bw.ue(0); bw.ue(7); bw.ue(0); bw.u(0, 4); bw.ue(0)
+    bw.u(0, 1); bw.u(0, 1); bw.se(0)
+    bw.ue(0)  # mb_type I_4x4
+    bad_slice = avc._nal(3, 5, bw.trailing())
+    hacked2 = sc + nals[0] + sc + nals[1] + sc + bad_slice
+    with pytest.raises(NotImplementedError, match="I_PCM"):
+        avc.avc_decode(hacked2)
+
+
+def test_fuzz_truncation_raises_cleanly():
+    stream = avc.avc_encode([_frame(2)])
+    for cut in (5, 20, 40, len(stream) // 2, len(stream) - 3):
+        with pytest.raises((ValueError, NotImplementedError, IndexError)):
+            avc.avc_decode(stream[:cut])
+    with pytest.raises(ValueError):
+        avc.avc_decode(b"\x12\x34\x56\x78" * 4)  # no start code
+
+
+def test_mp4_roundtrip_and_box_parser_acceptance():
+    frames = [_frame(s) for s in range(4)]
+    nals = [
+        avc.encode_idr_ipcm(y, cb, cr, idr_pic_id=i)
+        for i, (y, cb, cr) in enumerate(frames)
+    ]
+    payload = avc.mp4_encode_avc(nals, 32, 16)
+    meta, samples = avc.mp4_extract_avc_samples(payload)
+    assert meta == {"width": 32, "height": 16, "n_samples": 4}
+    for s, (y, cb, cr) in zip(samples, frames):
+        (y2, cb2, cr2), = avc.avc_decode(s)
+        assert (y == y2).all() and (cb == cb2).all() and (cr == cr2).all()
+    # the attested ISO-BMFF metadata parser accepts the file as a real
+    # video track (box-tree conformance cross-check)
+    from fusionspark.operators.mp4 import mp4_parse
+
+    info = mp4_parse(payload)
+    (trk,) = info["tracks"]
+    assert trk["kind"] == "vide" and trk["n_samples"] == 4
+    assert trk["width"] == 32 and trk["height"] == 16
+
+
+def test_spark_synth_and_features_match_law(spark):
+    sf = "/root/testdata/sf0.001"
+    m = avc.synth_avc_media(spark, sf)
+    rows = avc.avc_frame_features(m).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == sum(2 + d % 3 for d in range(n_docs))
+    ky = np.arange(32 * 16, dtype=np.int64)
+    for r in rows[:50]:
+        v = (r.media_id * 23 + 31 * r.frame_idx + 7 * ky) % 256
+        assert r.luma_checksum == int(np.dot(v, ky))
+        assert r.mean_luma == pytest.approx(v.sum() / 512, abs=1e-9)
+        assert r.n_frames == 2 + r.media_id % 3

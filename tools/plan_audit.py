@@ -474,3 +474,15 @@ ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)
 print("== gif_features: mapInPandas:", "MapInPandas" in p or "mapInPandas" in p,
       "cartesian:", "CartesianProduct" in p,
       "text_in_exchange_key:", any("text#" in a for a in ex_args))
+
+# 18. round-9: mp4_video_frames — Arrow codec kernels only; features
+# reduce to scalars before any exchange, payload never in a shuffle key
+mv = _R["mp4_video_frames"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    mv.explain("formatted")
+p = buf.getvalue()
+ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+print("== mp4_video_frames: mapInPandas:", "MapInPandas" in p or "mapInPandas" in p,
+      "cartesian:", "CartesianProduct" in p,
+      "payload_in_exchange_key:", any("payload#" in a for a in ex_args))
