@@ -442,8 +442,10 @@ def bench_queries(spark):
         "theil_sen_trend",
         # round 9: real MP4/AVC pixel decode (I_PCM IDR frames through the
         # stsd/avcC/stco container path — the r8 verdict's last codec
-        # boundary closed)
+        # boundary closed) and the trained hashed-NB language classifier
+        # (broadcast weight grid + dim-ordered scoring fold)
         "mp4_video_frames",
+        "lang_id_trained",
     ]
     out = {
         "knn_batch64": knn_batch,

