@@ -74,3 +74,62 @@ def test_zorder_beats_single_column_sort_on_secondary(spark, sf_dir, tmp_path):
     )
     assert z_read < z_tot          # z-order prunes on the secondary column
     assert s_read == s_tot         # primary sort cannot
+
+
+def test_hilbert_key_matches_reference():
+    """The vectorized kernel equals the textbook scalar xy2d walk, and
+    consecutive Hilbert keys are spatially adjacent (|dx|+|dy| == 1 —
+    the locality property Morton lacks)."""
+    import numpy as np
+
+    from fusionspark.operators.layout import hilbert_key_np
+
+    bits = 4
+    n = 1 << bits
+
+    def ref_xy2d(x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    xs, ys = xs.ravel(), ys.ravel()
+    got = hilbert_key_np(xs, ys, bits)
+    assert list(got) == [ref_xy2d(int(x), int(y)) for x, y in zip(xs, ys)]
+    # bijection over the full grid + unit-step adjacency along the curve
+    order = np.argsort(got)
+    assert len(set(got.tolist())) == n * n
+    dx = np.abs(np.diff(xs[order])) + np.abs(np.diff(ys[order]))
+    assert (dx == 1).all()
+
+
+def test_hilbert_pruning_skips_files_and_loses_nothing(spark, sf_dir, tmp_path):
+    from fusionspark.operators import layout
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "value")
+    )
+    path = str(tmp_path / "hl")
+    layout.hilbert_write(e, path, "user_id", "value", bits=8, n_files=16)
+    zones = layout.zonemap(spark, path, ["user_id", "value"])
+    rect = {"user_id": (10, 30), "value": (5.0, 20.0)}
+    df, n_read, n_total = layout.pruned_read(spark, path, zones, rect)
+    assert n_total == 16 and n_read < n_total
+    full = e.filter(
+        (F.col("user_id") >= 10) & (F.col("user_id") <= 30)
+        & (F.col("value") >= 5.0) & (F.col("value") <= 20.0)
+    )
+    got = {tuple(r) for r in df.select("event_id", "user_id", "value").collect()}
+    want = {tuple(r) for r in full.collect()}
+    assert got == want
