@@ -672,6 +672,16 @@ def main() -> None:
                 "family's corpus pass is one Arrow GEMM partial, the rest "
                 "are equi-join/TakeOrdered shapes)"
             ),
+            "r9_step_changes": (
+                "neardup_prefix ~4.9→5.3s min and item_cf ~6.4→7.4s min "
+                "are DELIBERATE r9 plan changes, not noise: neardup_prefix "
+                "swapped the scale-broken global vocab row_number + "
+                "broadcast for (df, s) composite-key shuffle joins (one "
+                "extra exchange at gate SFs, no single-task sort at 100 "
+                "TB), and item_cf now pays the per-customer basket-cap "
+                "window (the mega-basket pair-bomb bound).  Both re-gated "
+                "bit-green ×3 SFs"
+            ),
             "r8_inflation": (
                 "the DRIVER's BENCH_r08 medians for long-standing entries "
                 "ran ~1.2-1.6x above both r7 and isolated re-times "

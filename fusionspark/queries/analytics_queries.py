@@ -2175,3 +2175,116 @@ def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(990).alias("p99"),
         F.max("tot").cast("long").alias("n"),
     )
+
+
+# Holt-Winters ADDITIVE seasonal step (weekly ring): accumulator is
+# [L, T, s1..s7] where s1 is the seasonal due NOW; coefficients are
+# exact binary fractions (alpha 1/4, beta 1/8, gamma 1/4) so literals
+# parse identically everywhere, and L' is textually duplicated in the
+# T'/s' updates so the IEEE trees match Spark's reused expression tree.
+_HW_SQL_STEP = """(a, y) -> [
+            0.25 * (y[1] - a[3]) + 0.75 * (a[1] + a[2]),
+            0.125 * ((0.25 * (y[1] - a[3]) + 0.75 * (a[1] + a[2])) - a[1])
+                + 0.875 * a[2],
+            a[4], a[5], a[6], a[7], a[8], a[9],
+            0.25 * (y[1] - (0.25 * (y[1] - a[3]) + 0.75 * (a[1] + a[2])))
+                + 0.75 * a[3]
+        ]"""
+
+_HW_SQL_L0 = (
+    "((((((ys[1] + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6]) + ys[7]) / 7.0"
+)
+
+
+@query(
+    "hw_forecast",
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1
+    ),
+    ys AS (SELECT list(CAST(cnt AS DOUBLE) ORDER BY day) AS ys FROM daily),
+    init AS (
+        SELECT ys, list_prepend(
+            [{_HW_SQL_L0}, 0.0,
+             ys[1] - ({_HW_SQL_L0}), ys[2] - ({_HW_SQL_L0}),
+             ys[3] - ({_HW_SQL_L0}), ys[4] - ({_HW_SQL_L0}),
+             ys[5] - ({_HW_SQL_L0}), ys[6] - ({_HW_SQL_L0}),
+             ys[7] - ({_HW_SQL_L0})],
+            list_transform(ys[8:], y -> [y])) AS seq
+        FROM ys
+    ),
+    st AS (SELECT list_reduce(seq, {_HW_SQL_STEP}) AS s FROM init),
+    hs AS (SELECT unnest(range(1, 8))::BIGINT AS h)
+    SELECT h, ROUND((SELECT s[1] + h * s[2] + s[h + 2] FROM st), 6)
+               AS forecast
+    FROM hs ORDER BY h
+    """,
+)
+def hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day-ahead Holt-Winters ADDITIVE forecast of the daily event
+    count (weekly seasonality) — completes the forecasting ladder:
+    trend_daily_events (global OLS) → ets_forecast (Holt level+trend) →
+    hw_forecast (level+trend+season), with forecast_backtest carrying
+    the naive baselines they must beat.  Classical init over the first
+    week (L0 = week mean, T0 = 0, s_i = y_i − L0), then the textbook
+    recursion with α=1/4, β=1/8, γ=1/4 — all exact binary fractions —
+    folded left-to-right over the day-ordered counts with a
+    [L, T, s-ring(7)] accumulator, bit-identical across engines (the
+    ets_forecast parity pattern with a 9-element state).
+
+    Scale shape: one groupBy(day) with map-side combine; the fold runs
+    over the DAY COUNT (30 rows), never the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    ys = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cnt"))),
+            lambda s: s["cnt"].cast("double"),
+        ).alias("ys")
+    )
+
+    def y(i: int):
+        return F.element_at("ys", i)
+
+    l0 = ((((((y(1) + y(2)) + y(3)) + y(4)) + y(5)) + y(6)) + y(7)) / 7.0
+    init = F.array(
+        l0, F.lit(0.0),
+        y(1) - l0, y(2) - l0, y(3) - l0, y(4) - l0,
+        y(5) - l0, y(6) - l0, y(7) - l0,
+    )
+    rest = F.transform(
+        F.slice(F.col("ys"), 8, F.size("ys")), lambda v: F.array(v)
+    )
+
+    def step(a, yv):
+        yy = F.element_at(yv, 1)
+        lnew = 0.25 * (yy - F.element_at(a, 3)) + 0.75 * (
+            F.element_at(a, 1) + F.element_at(a, 2)
+        )
+        tnew = 0.125 * (lnew - F.element_at(a, 1)) + 0.875 * F.element_at(a, 2)
+        snew = 0.25 * (yy - lnew) + 0.75 * F.element_at(a, 3)
+        return F.array(
+            lnew, tnew,
+            F.element_at(a, 4), F.element_at(a, 5), F.element_at(a, 6),
+            F.element_at(a, 7), F.element_at(a, 8), F.element_at(a, 9),
+            snew,
+        )
+
+    st = ys.select(F.aggregate(rest, init, step).alias("s"))
+    hs = spark.range(1, 8).select(F.col("id").alias("h"))
+    return (
+        hs.crossJoin(F.broadcast(st))
+        .select(
+            "h",
+            F.round(
+                F.element_at("s", 1)
+                + F.col("h") * F.element_at("s", 2)
+                + F.element_at("s", (F.col("h") + 2).cast("int")),
+                6,
+            ).alias("forecast"),
+        )
+        .orderBy("h")
+    )

@@ -1261,3 +1261,68 @@ def concordance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("ts", lo, hi - lo + 1)).alias("ctx"),
         )
     )
+
+
+@query(
+    "token_fertility",
+    """
+    WITH t AS (
+        SELECT lang,
+               len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   ::BIGINT AS ws_tokens,
+               len(regexp_extract_all(
+                   text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT
+                   AS bpe_tokens,
+               octet_length(text)::BIGINT AS n_bytes,
+               length(text)::BIGINT AS n_chars
+        FROM documents
+    )
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(ws_tokens)::BIGINT AS ws_tokens,
+           SUM(bpe_tokens)::BIGINT AS bpe_tokens,
+           ROUND(SUM(n_bytes)::DOUBLE / SUM(bpe_tokens), 6)
+               AS bytes_per_token,
+           ROUND(SUM(n_chars)::DOUBLE / SUM(bpe_tokens), 6)
+               AS chars_per_token,
+           ROUND(SUM(bpe_tokens)::DOUBLE / SUM(ws_tokens), 6) AS fertility
+    FROM t GROUP BY lang
+    """,
+)
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility and compression readout — the
+    budget table a multilingual training run starts from: bytes/token
+    and chars/token say how much raw corpus a token budget buys per
+    language; fertility (subword tokens per whitespace word) is the
+    classic tokenizer-equity metric (high-fertility languages pay more
+    tokens for the same text).  Uses the same whitespace + BPE-ish
+    regex tokenizers as token_counts; all sums exact BIGINTs, the three
+    ratios are final closed-form doubles.
+
+    Scale shape: pure per-document column expressions into one
+    groupBy(lang) with map-side combine — |langs| output rows, one
+    corpus scan, zero joins."""
+    from fusionspark.operators import textstats
+
+    d = load_table(spark, sf_dir, "documents")
+    ws, bpe = textstats.token_counts("text")
+    t = d.select(
+        "lang",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+        F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("bpe_tokens"), 6
+        ).alias("bytes_per_token"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("bpe_tokens"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("bpe_tokens").cast("double") / F.sum("ws_tokens"), 6
+        ).alias("fertility"),
+    )

@@ -322,3 +322,76 @@ def test_lpa_two_triangles_with_bridge(spark):
     assert out[3] == out[4] == out[5]
     assert out[3] != 0
     assert out[6] == 6  # isolated keeps its own label
+
+
+def _hw_reference(ys):
+    """Textbook additive Holt-Winters (alpha 1/4, beta 1/8, gamma 1/4,
+    weekly ring, classical first-week init) — the pure-Python replay of
+    hw_forecast's fold."""
+    l = sum(ys[:7]) / 7.0
+    t = 0.0
+    s = [y - l for y in ys[:7]]
+    for y in ys[7:]:
+        s0 = s.pop(0)
+        lnew = 0.25 * (y - s0) + 0.75 * (l + t)
+        t = 0.125 * (lnew - l) + 0.875 * t
+        s.append(0.25 * (y - lnew) + 0.75 * s0)
+        l = lnew
+    return l, t, s
+
+
+def test_hw_forecast_matches_reference_replay(spark):
+    """hw_forecast's 9-element array fold equals the scalar textbook
+    recursion on the real daily series, to rounding."""
+    import pytest as _pytest
+
+    from fusionspark.queries.analytics_queries import hw_forecast
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day")).count().orderBy("day").collect()
+    )
+    ys = [float(r["count"]) for r in daily]
+    assert len(ys) >= 8
+    l, t, s = _hw_reference(ys)
+    got = {r.h: r.forecast for r in hw_forecast(spark, sf).collect()}
+    for h in range(1, 8):
+        want = l + h * t + s[h - 1]
+        assert got[h] == _pytest.approx(want, abs=1e-6)
+
+
+def test_hw_invariant_on_perfectly_seasonal_series():
+    """A zero-trend, exactly weekly-periodic series is a fixed point of
+    the recursion: every horizon's forecast equals mu + seasonal."""
+    pat = [10.0, -5.0, 3.0, 0.0, 7.0, -8.0, -7.0]
+    mu = 100.0
+    ys = [mu + pat[i % 7] for i in range(35)]
+    l, t, s = _hw_reference(ys)
+    assert abs(l - mu) < 1e-9 and abs(t) < 1e-9
+    # the ring is aligned so the h-step forecast mu + s[h-1] reproduces
+    # the pattern value due at step len(ys)+h-1
+    for h in range(1, 8):
+        assert abs((l + h * t + s[h - 1]) - (mu + pat[(len(ys) + h - 1) % 7])) < 1e-9
+
+
+def test_token_fertility_laws(spark):
+    """fertility >= 1 (the BPE-ish regex never merges across whitespace),
+    bytes/token >= chars/token (UTF-8), and the sums equal token_counts'."""
+    from fusionspark.queries.text_queries import token_fertility
+
+    sf = "/root/testdata/sf0.001"
+    rows = token_fertility(spark, sf).collect()
+    assert rows
+    total_ws = total_bpe = 0
+    for r in rows:
+        assert r.fertility >= 1.0
+        assert r.bytes_per_token >= r.chars_per_token
+        total_ws += r.ws_tokens
+        total_bpe += r.bpe_tokens
+    from fusionspark.queries.pipeline_queries import token_counts_q
+
+    tc = token_counts_q(spark, sf).agg(
+        F.sum("ws_tokens").alias("ws"), F.sum("bpe_tokens").alias("bpe")
+    ).collect()[0]
+    assert (total_ws, total_bpe) == (tc.ws, tc.bpe)
