@@ -1273,7 +1273,7 @@ def concordance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(regexp_extract_all(
                    text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT
                    AS bpe_tokens,
-               octet_length(text)::BIGINT AS n_bytes,
+               strlen(text)::BIGINT AS n_bytes,
                length(text)::BIGINT AS n_chars
         FROM documents
     )
