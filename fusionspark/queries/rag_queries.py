@@ -348,3 +348,134 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), max_hamming=4
     )
     return df.select("id_a", "id_b", "hamming")
+
+
+def _mmr_oracle_sql(k: int = 5, topn: int = 20) -> str:
+    """Generated greedy-MMR replay: k unrolled MATERIALIZED pick rounds
+    (the kmeans/pca oracle pattern — inlined CTEs would re-evaluate the
+    chain exponentially).  All similarities come from DuckDB's native
+    list_cosine_similarity, bit-compatible with the Spark fold (the
+    knn_cosine parity proven every gate since r2)."""
+    parts = [
+        f"""cands AS MATERIALIZED (
+        SELECT e.vec_id, e.embedding,
+               list_cosine_similarity(e.embedding::DOUBLE[],
+                                      p.embedding::DOUBLE[]) AS rel
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+        ORDER BY rel DESC, e.vec_id ASC LIMIT {topn}
+    )""",
+        """pairs AS MATERIALIZED (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) AS sim
+        FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+    )""",
+        """pick1 AS MATERIALIZED (
+        SELECT vec_id, rel, 0.5 * rel AS mmr, 1 AS rnk FROM cands
+        ORDER BY rel DESC, vec_id ASC LIMIT 1
+    )""",
+    ]
+    for i in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM pick{j}" for j in range(1, i)
+        )
+        parts.append(f"sel{i - 1} AS MATERIALIZED ({sel})")
+        parts.append(
+            f"""pick{i} AS MATERIALIZED (
+        SELECT c.vec_id, c.rel,
+               0.5 * c.rel - 0.5 * MAX(p.sim) AS mmr, {i} AS rnk
+        FROM cands c
+        JOIN pairs p ON p.ia = c.vec_id
+                    AND p.ib IN (SELECT vec_id FROM sel{i - 1})
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        GROUP BY c.vec_id, c.rel
+        ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+    )"""
+        )
+    un = " UNION ALL ".join(f"SELECT * FROM pick{j}" for j in range(1, k + 1))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT rnk::INT AS rnk, vec_id,
+           ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr
+    FROM ({un}) ORDER BY rnk"""
+    )
+
+
+@query("mmr_rerank", _mmr_oracle_sql())
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    the diversity-aware selection every RAG context builder wants after
+    the similarity cut (the reference returns raw top-k;
+    HybridRetriever.js:115-219 fuses but never diversifies — MMR is the
+    standard upgrade): greedily pick 5 of the top-20 cosine candidates,
+    each round maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), λ = 1/2
+    (exact binary fraction), ties vec_id-asc.
+
+    Parity: every similarity (probe-candidate and candidate-candidate)
+    is the same bit-exact cosine both engines already agree on
+    (knn_cosine, r2), λ is exact, MAX is order-independent, and the
+    greedy comparisons run on bit-identical doubles — so the oracle's 5
+    unrolled MATERIALIZED rounds pick the same ids.
+
+    Scale shape: the candidate cut is the knn TakeOrdered plan; the
+    greedy runs on the BOUNDED top-n (20 rows, 380 pair sims computed
+    in one broadcast self-join) — the documented driver-bounded
+    contract (k·topn scalars), like the IVF probe sets.  At scale topn
+    stays the knob; the corpus never touches the MMR stage."""
+    from fusionspark.operators.knn import self_probes, vector_dim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = self_probes(e, 1)
+    dim = vector_dim(e, "embedding")
+    scored = e.crossJoin(F.broadcast(probe)).withColumn(
+        "rel",
+        V.cosine_similarity(
+            F.col("embedding"), F.col("probe_embedding"), dim
+        ),
+    )
+    cands = (
+        scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .select("vec_id", "rel", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    a = cands.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = cands.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib",
+            V.cosine_similarity(F.col("ea"), F.col("eb"), dim).alias("sim"),
+        )
+    )
+    cand_rows = cands.select("vec_id", "rel").collect()  # bounded: topn
+    sim_rows = pairs.collect()                           # bounded: topn^2
+    sims: dict[tuple, float] = {(r.ia, r.ib): r.sim for r in sim_rows}
+    rel = {r.vec_id: r.rel for r in cand_rows}
+    selected: list[tuple] = []
+    chosen: list = []
+    for rnk in range(1, 6):
+        best = None
+        for vid in sorted(rel):
+            if vid in chosen:
+                continue
+            if chosen:
+                penalty = max(sims[(vid, s)] for s in chosen)
+                mmr = 0.5 * rel[vid] - 0.5 * penalty
+            else:
+                mmr = 0.5 * rel[vid]
+            if best is None or mmr > best[1]:
+                best = (vid, mmr)
+        selected.append((rnk, best[0], float(rel[best[0]]), float(best[1])))
+        chosen.append(best[0])
+    out = spark.createDataFrame(
+        selected, "rnk int, vec_id long, rel double, mmr double"
+    )
+    return out.select(
+        "rnk", "vec_id",
+        F.round("rel", 6).alias("rel"), F.round("mmr", 6).alias("mmr"),
+    ).orderBy("rnk")

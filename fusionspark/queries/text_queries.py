@@ -1326,3 +1326,61 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpe_tokens").cast("double") / F.sum("ws_tokens"), 6
         ).alias("fertility"),
     )
+
+
+@query(
+    "ngram_diversity",
+    f"""
+    WITH w AS (SELECT doc_id, source, {{_WORDS_SQL}} AS words FROM documents),
+    grams AS (
+        SELECT source,
+               array_to_string(words[i:i+2], ' ') AS g
+        FROM w, unnest(generate_series(1, greatest(len(words) - 2, 1))) t(i)
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_grams,
+           COUNT(DISTINCT g)::BIGINT AS n_distinct,
+           ROUND(COUNT(DISTINCT g)::DOUBLE / COUNT(*), 6) AS distinct_ratio
+    FROM grams GROUP BY source
+    """.replace("{_WORDS_SQL}", "list_filter(string_split(lower(text), ' '), x -> x <> '')"),
+)
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-3-gram ratio (the distinct-n diversity metric
+    used to audit generated/synthetic corpora for mode collapse —
+    self-BLEU's cheap dual): low ratio = repetitive boilerplate source,
+    exactly the slice a mixing pass should down-weight.  ngram_novelty
+    is the per-doc first-seen complement; this is the per-SOURCE
+    aggregate a datacard reports.
+
+    Scale shape: one Arrow shingle pass (the dedup emitter kernel, here
+    WITHOUT the per-doc distinct — diversity counts every occurrence) →
+    one groupBy(source) with a distinct-count — shuffles carry
+    (source, gram)-sized rows, never whole documents."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from fusionspark.operators.dedup import _py_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    schema = StructType(
+        [d.schema["source"], StructField("s", StringType())]
+    )
+
+    def emit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            srcs, out = [], []
+            for src, text in zip(pdf["source"], pdf["text"]):
+                for s in _py_shingles(text, 3):
+                    srcs.append(src)
+                    out.append(s)
+            yield pd.DataFrame({"source": srcs, "s": out})
+
+    sh = d.select("source", "text").mapInPandas(emit, schema=schema)
+    return sh.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.count_distinct("s").cast("long").alias("n_distinct"),
+        F.round(
+            F.count_distinct("s").cast("double") / F.count("*"), 6
+        ).alias("distinct_ratio"),
+    )
