@@ -2288,3 +2288,86 @@ def hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+@query(
+    "dbscan_users",
+    """
+    WITH RECURSIVE pts AS (SELECT DISTINCT user_id FROM events),
+    p AS (
+        SELECT user_id AS id,
+               ('0x' || substr(md5('gx:' || user_id), 1, 8))::BIGINT % 10000 AS x,
+               ('0x' || substr(md5('gy:' || user_id), 1, 8))::BIGINT % 10000 AS y
+        FROM pts
+    ),
+    nn AS (SELECT COUNT(*)::BIGINT AS c FROM p),
+    pr AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM p a JOIN p b ON a.id < b.id, nn
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= 190000000 // nn.c
+    ),
+    sym AS (
+        SELECT ia AS s, ib AS d FROM pr
+        UNION ALL SELECT ib, ia FROM pr
+    ),
+    deg AS (SELECT s AS id, COUNT(*)::BIGINT AS n FROM sym GROUP BY 1),
+    cores AS (SELECT id FROM deg WHERE n >= 3),
+    csym AS (
+        SELECT s, d FROM sym
+        WHERE s IN (SELECT id FROM cores) AND d IN (SELECT id FROM cores)
+    ),
+    walk(node, lbl) AS (
+        SELECT id, id FROM cores
+        UNION
+        SELECT csym.d, walk.lbl FROM walk JOIN csym ON walk.node = csym.s
+    ),
+    clab AS (SELECT node AS id, MIN(lbl)::BIGINT AS cluster FROM walk GROUP BY 1),
+    border AS (
+        SELECT sym.s AS id, MIN(clab.cluster)::BIGINT AS cluster
+        FROM sym JOIN clab ON sym.d = clab.id
+        WHERE sym.s NOT IN (SELECT id FROM cores)
+        GROUP BY sym.s
+    )
+    SELECT p.id,
+           CASE WHEN c.id IS NOT NULL THEN 'core'
+                WHEN b.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(c.cluster, b.cluster) AS cluster
+    FROM p
+    LEFT JOIN clab c ON p.id = c.id
+    LEFT JOIN border b ON p.id = b.id
+    """,
+)
+def dbscan_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (operators/density.py) over the
+    deterministic user plane geo_neighbors uses — completes the
+    clustering triad (centroid: kmeans, connectivity: dedup_clusters/
+    community_lpa, density: this).  eps is DENSITY-ADAPTIVE so every
+    scale factor exercises real clusters: eps² = 190_000_000 // n_users
+    keeps the expected neighbor count ~6 as the plane fills (an exact
+    integer both engines derive from the same count — sqrt never enters
+    the parity surface; the blocking cell uses isqrt(eps²)+1, which
+    affects candidates only, never the pair set).  min_pts = 3 neighbors
+    (self excluded); clusters = min-label components over CORE-CORE
+    edges; borders attach to the MINIMUM adjacent core cluster
+    (deterministic, where textbook DBSCAN is scan-order-dependent);
+    noise keeps a NULL cluster.
+
+    Scale shape: one blocked proximity self-join + one degree groupBy on
+    the corpus; the CC iteration touches core-incident edges only
+    (diameter-bounded rounds, the dedup_clusters machinery); the n_users
+    scalar is a documented driver-bounded collect."""
+    from fusionspark.operators.dedup import md5_hash32
+    from fusionspark.operators.density import dbscan
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    uid = F.col("user_id").cast("string")
+    pts = users.select(
+        F.col("user_id").alias("id"),
+        (md5_hash32(F.concat(F.lit("gx:"), uid)) % 10000).alias("x"),
+        (md5_hash32(F.concat(F.lit("gy:"), uid)) % 10000).alias("y"),
+    )
+    n = users.count()  # one scalar; eps adapts to density (see docstring)
+    d2_max = 190_000_000 // n
+    return dbscan(pts, d2_max, min_pts=3)

@@ -395,3 +395,27 @@ def test_token_fertility_laws(spark):
         F.sum("ws_tokens").alias("ws"), F.sum("bpe_tokens").alias("bpe")
     ).collect()[0]
     assert (total_ws, total_bpe) == (tc.ws, tc.bpe)
+
+
+def test_dbscan_planted_blobs(spark):
+    """Two tight well-separated blobs + far-flung noise: DBSCAN must
+    recover exactly two clusters (labels = each blob's min id), blob
+    members are cores (tight blob: everyone has >= 3 eps-neighbors),
+    and the isolated points come back as noise with NULL cluster."""
+    from fusionspark.operators.density import dbscan
+
+    rows = []
+    # blob A around (100, 100), ids 0..5; blob B around (5000, 5000),
+    # ids 10..15; noise ids 100..102 far from everything
+    for i in range(6):
+        rows.append((i, 100 + i * 3, 100 + (i % 2) * 4))
+        rows.append((10 + i, 5000 + i * 3, 5000 + (i % 3) * 3))
+    rows += [(100, 9000, 200), (101, 200, 9000), (102, 9500, 9500)]
+    pts = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {r.id: (r.role, r.cluster) for r in dbscan(pts, d2_max=900, min_pts=3).collect()}
+    assert len(out) == len(rows)
+    for i in range(6):
+        assert out[i] == ("core", 0)
+        assert out[10 + i] == ("core", 10)
+    for nid in (100, 101, 102):
+        assert out[nid] == ("noise", None)
