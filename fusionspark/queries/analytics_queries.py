@@ -2371,3 +2371,103 @@ def dbscan_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = users.count()  # one scalar; eps adapts to density (see docstring)
     d2_max = 190_000_000 // n
     return dbscan(pts, d2_max, min_pts=3)
+
+
+def _esd_oracle_sql(k: int = 5) -> str:
+    """Generated k-round generalized-ESD replay (unrolled MATERIALIZED
+    rounds — the mmr/kmeans oracle pattern).  Each round's argmax runs
+    on the exact BIGINT key |v·n − sum| (argmax of |z| needs no σ — σ is
+    constant within a round); z itself is one closed-form double per
+    pick, the identical expression both engines."""
+    parts = [
+        """vals AS MATERIALIZED (
+        SELECT event_id, FLOOR(value * 100.0 + 0.5)::BIGINT AS v FROM events
+    )"""
+    ]
+    excl = ""
+    picks = []
+    for i in range(1, k + 1):
+        parts.append(
+            f"""st{i} AS MATERIALIZED (
+        SELECT COUNT(*)::BIGINT AS n, SUM(v)::BIGINT AS s,
+               SUM(v * v)::BIGINT AS ss
+        FROM vals{excl}
+    )"""
+        )
+        parts.append(
+            f"""pick{i} AS MATERIALIZED (
+        SELECT {i} AS round, event_id, v,
+               abs(v - s::DOUBLE / n)
+               / sqrt((ss - s * (s::DOUBLE / n)) / (n - 1)) AS z
+        FROM vals, st{i}{excl}
+        ORDER BY abs(v * n - s) DESC, v ASC, event_id ASC LIMIT 1
+    )"""
+        )
+        picks.append(f"SELECT * FROM pick{i}")
+        prev = " UNION ALL ".join(
+            f"SELECT event_id FROM pick{j}" for j in range(1, i + 1)
+        )
+        excl = f" WHERE event_id NOT IN ({prev})"
+    un = " UNION ALL ".join(picks)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT round::INT AS round, event_id, v AS cents, ROUND(z, 6) AS z
+    FROM ({un}) ORDER BY round"""
+    )
+
+
+@query("anomaly_esd", _esd_oracle_sql())
+def anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD outlier extraction (Rosner 1983) over event-value
+    cents — the ITERATIVE sibling of ts_anomalies' one-shot MAD screen:
+    each of 5 rounds removes the remaining set's most extreme value
+    before recomputing the moments, so a cluster of outliers cannot mask
+    itself (the failure mode single-pass z-scores have).  The per-round
+    argmax runs on the exact BIGINT key |v·n − sum| (σ is round-constant,
+    so the |z| argmax needs no float comparison); ties break value-asc
+    then event_id-asc; the reported z is one closed-form double.
+
+    Scale shape: per round one moments aggregate + one TakeOrdered(1)
+    over the corpus — 2k bounded jobs with one scalar row collected each
+    (the kmeans per-round contract); nothing corpus-sized shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    vals = e.select(
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v"),
+    ).localCheckpoint(eager=True)
+    picked: list[int] = []
+    out_rows = []
+    for rnd in range(1, 6):
+        rem = vals.filter(~F.col("event_id").isin(picked)) if picked else vals
+        st = rem.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+        ).collect()[0]
+        n, s, ss = st.n, st.s, st.ss
+        pick = (
+            rem.select(
+                "event_id", "v",
+                (
+                    F.abs(F.col("v") - F.lit(s) / F.lit(n))
+                    / F.sqrt(
+                        (F.lit(ss) - F.lit(s) * (F.lit(s) / F.lit(n)))
+                        / F.lit(n - 1)
+                    )
+                ).alias("z"),
+                F.abs(F.col("v") * F.lit(n) - F.lit(s)).alias("key"),
+            )
+            .orderBy(F.col("key").desc(), F.col("v").asc(), F.col("event_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        out_rows.append((rnd, pick.event_id, pick.v, float(pick.z)))
+        picked.append(pick.event_id)
+    out = spark.createDataFrame(
+        out_rows, "round int, event_id long, cents long, z double"
+    )
+    return out.select(
+        "round", "event_id", "cents", F.round("z", 6).alias("z")
+    ).orderBy("round")

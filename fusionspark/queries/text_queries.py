@@ -1384,3 +1384,127 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("s").cast("double") / F.count("*"), 6
         ).alias("distinct_ratio"),
     )
+
+
+@query(
+    "rake_keywords",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS words
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, i.i AS pos, words[i.i] AS w,
+               (len(words[i.i]) <= 2
+                OR list_contains({_STOP_SQL}, words[i.i])) AS is_stop
+        FROM w, unnest(generate_series(1, len(words))) i(i)
+    ),
+    runs AS (
+        -- the stop-count window must see EVERY token so run ids stay
+        -- aligned; content rows are filtered in the next step
+        SELECT doc_id, pos, w, is_stop,
+               SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM toks
+    ),
+    members AS (
+        SELECT doc_id, pos, w, run,
+               COUNT(*) OVER (PARTITION BY doc_id, run)::BIGINT AS plen
+        FROM runs WHERE NOT is_stop
+    ),
+    bounded AS (SELECT * FROM members WHERE plen <= 4),
+    wstats AS (
+        SELECT w, SUM(plen)::BIGINT AS deg, COUNT(*)::BIGINT AS freq
+        FROM bounded GROUP BY w
+    ),
+    scored AS (
+        SELECT b.doc_id, b.run,
+               list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                       list(s.deg::DOUBLE / s.freq ORDER BY b.pos)),
+                   (a, x) -> a + x) AS score,
+               string_agg(b.w, ' ' ORDER BY b.pos) AS phrase
+        FROM bounded b JOIN wstats s ON b.w = s.w
+        GROUP BY b.doc_id, b.run
+    )
+    SELECT phrase, COUNT(*)::BIGINT AS n_occurrences,
+           ROUND(MIN(score), 6) AS score
+    FROM scored GROUP BY phrase
+    ORDER BY MIN(score) DESC, phrase ASC LIMIT 20
+    """,
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the phrase-level
+    sibling of doc_keywords' single-word tf-idf: candidate phrases are
+    maximal runs of content words (split at stopwords / short tokens,
+    capped at 4 words), each word scores deg(w)/freq(w) over phrase
+    co-membership, a phrase scores the sum of its member words, and the
+    corpus reports its top-20 phrases.  Parity: deg/freq are exact
+    BIGINTs, the per-word ratio is one double, and the phrase sum folds
+    in POSITION order on both engines.
+
+    Scale shape: one token explode → one (doc-partitioned) run window →
+    one groupBy(word) for the stats table (vocab-sized, plain join AQE
+    can broadcast) → one (doc, run) fold → a phrase groupBy +
+    TakeOrdered(20).  Shuffles carry tokens and phrase strings, never
+    documents."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos0", "w")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "w",
+        (
+            (F.length("w") <= 2)
+            | F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]), F.col("w"))
+        ).alias("is_stop"),
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = toks.withColumn(
+        "run", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wrun)
+    ).filter(~F.col("is_stop"))
+    members = runs.withColumn(
+        "plen",
+        F.count("*").over(Window.partitionBy("doc_id", "run")).cast("long"),
+    ).filter(F.col("plen") <= 4)
+    wstats = members.groupBy("w").agg(
+        F.sum("plen").cast("long").alias("deg"),
+        F.count("*").cast("long").alias("freq"),
+    )
+    scored = (
+        members.join(wstats, "w")
+        .withColumn("wscore", F.col("deg").cast("double") / F.col("freq"))
+        .groupBy("doc_id", "run")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("pos", "wscore"))),
+                F.lit(0.0),
+                lambda a, x: a + x["wscore"],
+            ).alias("score"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("score").alias("raw"),
+        )
+        .orderBy(F.col("raw").desc(), F.col("phrase").asc())
+        .limit(20)
+        .select("phrase", "n_occurrences", F.round("raw", 6).alias("score"))
+    )
