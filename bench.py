@@ -446,6 +446,11 @@ def bench_queries(spark):
         # (broadcast weight grid + dim-ordered scoring fold)
         "mp4_video_frames",
         "lang_id_trained",
+        # round 9 second wave: density clustering (blocked eps-graph +
+        # star CC), RAKE phrase extraction, Hilbert-clustered pruning
+        "dbscan_users",
+        "rake_keywords",
+        "hilbert_pruning",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -498,3 +498,23 @@ ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)
 print("== lang_id_trained: broadcasts:", p.count("BroadcastExchange") >= 2,
       "cartesian:", "CartesianProduct" in p,
       "text_in_exchange_key:", any("text#" in a for a in ex_args))
+
+# r9 second wave: dbscan (blocked equi-join, no cartesian), rake (token
+# shuffles only), mmr (TakeOrdered + broadcast pair self-join),
+# lang_id_trained covered above
+for qn, checks in (
+    ("dbscan_users", ("cartesian", "equi")),
+    ("rake_keywords", ("cartesian", "text")),
+    ("mmr_rerank", ("cartesian",)),
+    ("hilbert_pruning", ("cartesian",)),
+):
+    qq = _R[qn][0](spark, sf)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        qq.explain("formatted")
+    p = buf.getvalue()
+    ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+    print(f"== {qn}: cartesian:", "CartesianProduct" in p,
+          "equi_joins:", any(k in p for k in
+              ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")),
+          "text_in_exchange_key:", any("text#" in a for a in ex_args))
