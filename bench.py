@@ -658,8 +658,8 @@ def main() -> None:
             "single_run_entries": sorted(SINGLE_RUN),
             "suite_total_r8": (
                 "the r8 suite total grew ~120s over r7 from NEW entries "
-                "(knn_1m_scan_x10 ~89s as the amortization control, "
-                "knn_1m_resident_x10 ~19s, corpus_pipeline_e2e ~13s, 4 "
+                "(knn_1m_scan_x10 ~82-89s as the amortization control, "
+                "knn_1m_resident_x10 ~19s, corpus_pipeline_e2e ~8.5s, "
                 "newly-attested picks) — compare per-entry medians across "
                 "rounds, not totals"
             ),

@@ -199,8 +199,9 @@ def parse_sps(rbsp: bytes) -> dict:
         raise NotImplementedError("High-profile SPS extensions not supported")
     log2_mfn = r.ue() + 4
     poc_type = r.ue()
+    log2_poc_lsb = 0
     if poc_type == 0:
-        r.ue()                   # log2_max_pic_order_cnt_lsb_minus4
+        log2_poc_lsb = r.ue() + 4
     elif poc_type == 1:
         raise NotImplementedError("pic_order_cnt_type 1 not supported")
     r.ue()                       # max_num_ref_frames
@@ -218,6 +219,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "level_idc": level,
         "log2_max_frame_num": log2_mfn,
         "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_poc_lsb,
         "width_mbs": w_mbs,
         "height_mbs": h_mbs,
         "width": w_mbs * 16,
@@ -252,7 +254,7 @@ def parse_pps(rbsp: bytes) -> dict:
     cabac = r.u(1)
     if cabac:
         raise NotImplementedError("CABAC entropy coding not supported")
-    r.u(1)                       # bottom_field_pic_order_in_frame_present
+    bottom_poc = r.u(1)          # bottom_field_pic_order_in_frame_present
     if r.ue() != 0:              # num_slice_groups_minus1
         raise NotImplementedError("slice groups (FMO) not supported")
     r.ue()
@@ -270,6 +272,7 @@ def parse_pps(rbsp: bytes) -> dict:
         "init_qp": init_qp,
         "deblocking_control": bool(dbf_control),
         "redundant_pic_cnt_present": bool(redundant),
+        "bottom_poc_present": bool(bottom_poc),
     }
 
 
@@ -368,7 +371,10 @@ def _decode_slice_ipcm(
     r.u(sps["log2_max_frame_num"])   # frame_num
     r.ue()                           # idr_pic_id (IDR assumed: nal type 5)
     if sps["poc_type"] == 0:
-        r.u(16)                      # pic_order_cnt_lsb (writer never emits)
+        r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb (SPS-sized width;
+        #                               this module's writer uses poc_type 2)
+        if pps["bottom_poc_present"]:
+            r.se()                    # delta_pic_order_cnt_bottom
     if pps["redundant_pic_cnt_present"]:
         r.ue()
     r.u(1)                           # no_output_of_prior_pics_flag
@@ -500,12 +506,20 @@ def mp4_encode_avc(frames_nals: list[bytes], width: int, height: int) -> bytes:
             struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00",
         )
         mdia = _box(b"mdia", mdhd + hdlr + minf)
+        # the 14496-12 unity matrix — a matrix-honoring player (QuickTime)
+        # treats all-zeros as a degenerate transform and renders nothing
+        unity = struct.pack(
+            ">9I",
+            0x00010000, 0, 0,
+            0, 0x00010000, 0,
+            0, 0, 0x40000000,
+        )
         tkhd = _full(
             b"tkhd", 0, 7,
             struct.pack(">III", 0, 0, 1) + b"\x00" * 4
             + struct.pack(">I", duration) + b"\x00" * 8
             + struct.pack(">hhhh", 0, 0, 0, 0)
-            + b"\x00" * 36
+            + unity
             + struct.pack(">II", width << 16, height << 16),
         )
         trak = _box(b"trak", tkhd + mdia)
@@ -513,7 +527,7 @@ def mp4_encode_avc(frames_nals: list[bytes], width: int, height: int) -> bytes:
             b"mvhd", 0, 0,
             struct.pack(">IIII", 0, 0, timescale, duration)
             + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
-            + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24
+            + b"\x00" * 10 + unity + b"\x00" * 24
             + struct.pack(">I", 2),
         )
         ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomavc1")
@@ -529,51 +543,105 @@ def mp4_encode_avc(frames_nals: list[bytes], width: int, height: int) -> bytes:
 
 
 def mp4_extract_avc_samples(payload: bytes) -> tuple[dict, list[bytes]]:
-    """Walk the ISO-BMFF tree for the avc1 video track: returns
-    ({width, height, n_samples, sps, pps}, [Annex B bytes per sample]) —
-    each sample's length-prefixed NALs re-framed with start codes so
-    avc_decode() consumes container-extracted frames unchanged."""
+    """Walk the ISO-BMFF tree for the avc1 VIDEO track (other tracks —
+    audio, hint — are skipped, never mixed in): returns
+    ({width, height, n_samples}, [Annex B bytes per sample]) — each
+    sample's length-prefixed NALs re-framed with start codes so
+    avc_decode() consumes container-extracted frames unchanged.
+    Honors the real sample-table grammar: stsz's fixed sample_size
+    field, multi-entry stco, and the stsc chunk→samples mapping (the
+    layout every camera/ffmpeg MP4 uses), with bounds checks so a
+    malformed table raises instead of reading sibling boxes."""
     import struct
 
     from fusionspark.operators.mp4 import _walk
 
     data = bytes(payload)
-    stsz_sizes: list[int] = []
-    stco_offset: int | None = None
-    avcc: bytes | None = None
-    meta: dict = {}
 
-    def walk_stbl(b0: int, b1: int) -> None:
-        nonlocal stco_offset, avcc
+    def _u32s(c0: int, c1: int, off: int, cnt: int, what: str) -> list[int]:
+        if c0 + off + 4 * cnt > c1:
+            raise ValueError(f"{what} table exceeds its box")
+        return list(
+            struct.unpack(f">{cnt}I", data[c0 + off : c0 + off + 4 * cnt])
+        )
+
+    def parse_stbl(b0: int, b1: int) -> dict | None:
+        """Return this stbl's tables iff its stsd holds an avc1 entry."""
+        t: dict = {"avcc": None}
         for typ, c0, c1 in _walk(data, b0, b1):
             if typ == b"stsd":
                 for styp, s0, s1 in _walk(data, c0 + 8, c1):
                     if styp == b"avc1":
-                        meta["width"], meta["height"] = struct.unpack(
+                        t["width"], t["height"] = struct.unpack(
                             ">HH", data[s0 + 24 : s0 + 28]
                         )
                         for etyp, e0, e1 in _walk(data, s0 + 78, s1):
                             if etyp == b"avcC":
-                                avcc = data[e0:e1]
+                                t["avcc"] = data[e0:e1]
             elif typ == b"stsz":
-                cnt = struct.unpack(">I", data[c0 + 8 : c0 + 12])[0]
-                stsz_sizes.extend(
-                    struct.unpack(">I", data[c0 + 12 + 4 * i : c0 + 16 + 4 * i])[0]
-                    for i in range(cnt)
+                fixed, cnt = struct.unpack(">II", data[c0 + 4 : c0 + 12])
+                t["sizes"] = (
+                    [fixed] * cnt if fixed else _u32s(c0, c1, 12, cnt, "stsz")
                 )
             elif typ == b"stco":
-                stco_offset = struct.unpack(">I", data[c0 + 8 : c0 + 12])[0]
+                # FullBox: version/flags at c0, entry_count at c0+4,
+                # entries from c0+8 (stsz alone has the extra
+                # sample_size field before its count)
+                (cnt,) = struct.unpack(">I", data[c0 + 4 : c0 + 8])
+                t["chunk_offsets"] = _u32s(c0, c1, 8, cnt, "stco")
+            elif typ == b"stsc":
+                (cnt,) = struct.unpack(">I", data[c0 + 4 : c0 + 8])
+                raw = _u32s(c0, c1, 8, 3 * cnt, "stsc")
+                t["stsc"] = [
+                    (raw[3 * i], raw[3 * i + 1]) for i in range(cnt)
+                ]  # (first_chunk, samples_per_chunk); desc_id unused
+        return t if t["avcc"] is not None else None
+
+    track: dict | None = None
 
     def walk(b0: int, b1: int) -> None:
+        nonlocal track
         for typ, c0, c1 in _walk(data, b0, b1):
             if typ in (b"moov", b"trak", b"mdia", b"minf"):
                 walk(c0, c1)
-            elif typ == b"stbl":
-                walk_stbl(c0, c1)
+            elif typ == b"stbl" and track is None:
+                track = parse_stbl(c0, c1)
 
     walk(0, len(data))
-    if avcc is None or stco_offset is None:
-        raise ValueError("no avc1 track with avcC + stco found")
+    if track is None:
+        raise ValueError("no avc1 track with avcC found")
+    avcc = track["avcc"]
+    stsz_sizes = track.get("sizes", [])
+    chunk_offsets = track.get("chunk_offsets", [])
+    stsc = track.get("stsc", [(1, len(stsz_sizes))])
+    if not chunk_offsets:
+        raise ValueError("avc1 track has no stco chunk offsets")
+    meta = {"width": track["width"], "height": track["height"]}
+    # expand stsc runs into per-chunk sample counts, then per-sample
+    # absolute offsets (each chunk's samples are contiguous from its
+    # stco offset — ISO 14496-12 §8.7.4/8.7.5)
+    per_chunk: list[int] = []
+    for i, (first, spc) in enumerate(stsc):
+        last = (
+            stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunk_offsets)
+        )
+        per_chunk.extend([spc] * (last - first + 1))
+    sample_pos: list[int] = []
+    si = 0
+    for ci, off in enumerate(chunk_offsets):
+        n_in_chunk = per_chunk[ci] if ci < len(per_chunk) else 0
+        pos = off
+        for _ in range(n_in_chunk):
+            if si >= len(stsz_sizes):
+                break
+            sample_pos.append(pos)
+            pos += stsz_sizes[si]
+            si += 1
+    if si != len(stsz_sizes):
+        raise ValueError(
+            f"stsc/stco map covers {si} samples, stsz declares "
+            f"{len(stsz_sizes)}"
+        )
     # avcC: ver, profile, compat, level, lengthSizeMinusOne, SPS/PPS sets
     length_size = (avcc[4] & 3) + 1
     n_sps = avcc[5] & 0x1F
@@ -593,10 +661,10 @@ def mp4_extract_avc_samples(payload: bytes) -> tuple[dict, list[bytes]]:
     sc = b"\x00\x00\x00\x01"
     header = b"".join(sc + n for n in param_nals)
     out: list[bytes] = []
-    pos = stco_offset
-    for size in stsz_sizes:
+    for pos, size in zip(sample_pos, stsz_sizes):
+        if pos + size > len(data):
+            raise ValueError("sample extends past end of file")
         sample = data[pos : pos + size]
-        pos += size
         nals = []
         q = 0
         while q < len(sample):

@@ -36,53 +36,21 @@ def eps_neighbor_pairs(
     x_col: str = "x",
     y_col: str = "y",
 ) -> DataFrame:
-    """All pairs with squared Euclidean distance ≤ d2_max via grid
-    blocking.  The cell size is isqrt(d2_max)+1 ≥ eps, so every
-    qualifying pair shares one of the 9 replicated cell keys; the cell
-    size affects only candidate generation — the d² ≤ d2_max filter is
-    exact integer arithmetic, so the PAIR SET is cell-size-independent
-    (and the oracle can replay it with a plain unblocked join)."""
+    """All pairs with squared Euclidean distance ≤ d2_max — the shared
+    grid-blocked plan (joins.grid_proximity_join) with the blocking cell
+    isqrt(d2_max)+1 ≥ eps, so every qualifying pair shares one of the 9
+    replicated cell keys; the cell affects candidates only — the
+    d² ≤ d2_max filter is exact integer arithmetic, so the PAIR SET is
+    cell-size-independent (and the oracle replays a plain unblocked
+    join)."""
     from math import isqrt
 
+    from fusionspark.operators.joins import grid_proximity_join
+
     cell = isqrt(int(d2_max)) + 1
-    cx = F.floor(F.col(x_col) / F.lit(cell))
-    cy = F.floor(F.col(y_col) / F.lit(cell))
-    left = (
-        points.select(
-            F.col(id_col).alias("id_a"),
-            F.col(x_col).alias("xa"),
-            F.col(y_col).alias("ya"),
-            cx.alias("cxa"),
-            cy.alias("cya"),
-        )
-        .select(
-            "*",
-            F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
-        )
-        .select(
-            "*",
-            F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
-        )
-        .select(
-            "id_a", "xa", "ya",
-            (F.col("cxa") + F.col("dx")).alias("cx"),
-            (F.col("cya") + F.col("dy")).alias("cy"),
-        )
-    )
-    right = points.select(
-        F.col(id_col).alias("id_b"),
-        F.col(x_col).alias("xb"),
-        F.col(y_col).alias("yb"),
-        cx.alias("cx"),
-        cy.alias("cy"),
-    )
-    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
-    return (
-        left.join(right, ["cx", "cy"])
-        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= F.lit(int(d2_max))))
-        .select("id_a", "id_b", d2.cast("long").alias("dist_sq"))
+    return grid_proximity_join(
+        points, radius=cell, id_col=id_col, x_col=x_col, y_col=y_col,
+        d2_max=int(d2_max),
     )
 
 

@@ -49,6 +49,7 @@ def grid_proximity_join(
     id_col: str = "id",
     x_col: str = "x",
     y_col: str = "y",
+    d2_max: int | None = None,
 ) -> DataFrame:
     """All pairs of points within `radius` (Euclidean) via GRID BLOCKING —
     the spatial join every geo pipeline needs, expressed without a
@@ -62,7 +63,15 @@ def grid_proximity_join(
     local point density, and a dense hot cell is exactly the skew AQE's
     runtime split (or salted_join above) handles — same remedy as any
     hot key.  Distances stay in INTEGER d² (sqrt would add a float for
-    no pruning power), so the oracle replay is exact."""
+    no pruning power), so the oracle replay is exact.
+
+    `d2_max` (optional) sets the EXACT squared-distance threshold
+    independently of the blocking cell: pass radius ≥ ceil(sqrt(d2_max))
+    and the 3×3 neighborhood stays complete while the filter keeps
+    integer-exact semantics (cell size affects candidates only, never
+    the pair set) — the DBSCAN eps-graph uses this with a
+    density-adaptive integer eps²."""
+    lim = int(d2_max) if d2_max is not None else radius * radius
     cx = F.floor(F.col(x_col) / F.lit(radius))
     cy = F.floor(F.col(y_col) / F.lit(radius))
     left = points.select(
@@ -94,6 +103,6 @@ def grid_proximity_join(
     ) * (F.col("ya") - F.col("yb"))
     return (
         left.join(right, ["cx", "cy"])
-        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= F.lit(radius * radius)))
+        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= F.lit(lim)))
         .select("id_a", "id_b", d2.cast("long").alias("dist_sq"))
     )

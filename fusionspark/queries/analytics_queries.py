@@ -2361,7 +2361,12 @@ def dbscan_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusionspark.operators.dedup import md5_hash32
     from fusionspark.operators.density import dbscan
 
-    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # one distinct scan feeds count + plan
+    )
     uid = F.col("user_id").cast("string")
     pts = users.select(
         F.col("user_id").alias("id"),

@@ -149,3 +149,146 @@ def test_spark_synth_and_features_match_law(spark):
         assert r.luma_checksum == int(np.dot(v, ky))
         assert r.mean_luma == pytest.approx(v.sum() / 512, abs=1e-9)
         assert r.n_frames == 2 + r.media_id % 3
+
+
+def _mb_frame(seed):
+    return _frame(seed, w=16, h=16)
+
+
+def _wrap_container(samples, width, height, stsz_fixed, stsc_entries,
+                    chunk_split):
+    """Hand-assemble an ISO-BMFF file with an arbitrary sample-table
+    layout: `chunk_split` lists how many samples land in each chunk,
+    `stsc_entries` is the raw (first_chunk, samples_per_chunk) runs."""
+    import struct
+
+    from fusionspark.operators.mp4 import _box, _full
+
+    sps = avc._nal(3, 7, avc.sps_rbsp(width, height))
+    pps = avc._nal(3, 8, avc.pps_rbsp())
+    avcc = _box(
+        b"avcC",
+        bytes([1, sps[1], sps[2], sps[3], 0xFC | 3, 0xE0 | 1])
+        + struct.pack(">H", len(sps)) + sps + bytes([1])
+        + struct.pack(">H", len(pps)) + pps,
+    )
+    avc1 = _box(
+        b"avc1",
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000) + b"\x00" * 4
+        + struct.pack(">H", 1) + b"\x00" * 32
+        + struct.pack(">H", 24) + struct.pack(">h", -1) + avcc,
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
+    if stsz_fixed:
+        stsz = _full(b"stsz", 0, 0,
+                     struct.pack(">II", len(samples[0]), len(samples)))
+    else:
+        stsz = _full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, len(samples))
+            + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", f, n, 1) for f, n in stsc_entries),
+    )
+
+    def build(offsets):
+        stco = _full(
+            b"stco", 0, 0,
+            struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">I", o) for o in offsets),
+        )
+        stbl = _box(b"stbl", stsd + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        hdlr = _full(b"hdlr", 0, 0,
+                     struct.pack(">I", 0) + b"vide" + b"\x00" * 13)
+        mdia = _box(b"mdia", hdlr + minf)
+        trak = _box(b"trak", mdia)
+        moov = _box(b"moov", trak)
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+        mdat = _box(b"mdat", b"".join(samples))
+        return ftyp + moov + mdat
+
+    probe = build([0] * len(chunk_split))
+    base = len(probe) - sum(len(s) for s in samples)
+    offsets, pos, si = [], base, 0
+    for n in chunk_split:
+        offsets.append(pos)
+        for _ in range(n):
+            pos += len(samples[si])
+            si += 1
+    return build(offsets)
+
+
+def test_mp4_multichunk_and_fixed_stsz_layouts():
+    """Real-world sample tables: samples spread over multiple chunks via
+    stsc runs, and the fixed-sample_size stsz form, both extract and
+    decode identically to the writer's single-chunk layout."""
+    import struct
+
+    frames = [_mb_frame(s) for s in range(3)]
+    nals = [
+        avc.encode_idr_ipcm(y, cb, cr, idr_pic_id=i)
+        for i, (y, cb, cr) in enumerate(frames)
+    ]
+    samples = [struct.pack(">I", len(n)) + n for n in nals]
+    # multi-chunk: chunks of 2 + 1 samples, stsc runs (1,2),(2,1)
+    payload = _wrap_container(samples, 16, 16, stsz_fixed=False,
+                              stsc_entries=[(1, 2), (2, 1)],
+                              chunk_split=[2, 1])
+    meta, got = avc.mp4_extract_avc_samples(payload)
+    assert meta["n_samples"] == 3
+    for s, (y, cb, cr) in zip(got, frames):
+        (y2, cb2, cr2), = avc.avc_decode(s)
+        assert (y == y2).all() and (cb == cb2).all() and (cr == cr2).all()
+    # fixed-size stsz (all samples equal length — same-shape I_PCM frames
+    # vary only in PCM bytes, so lengths are equal by construction)
+    assert len({len(s) for s in samples}) == 1
+    payload2 = _wrap_container(samples, 16, 16, stsz_fixed=True,
+                               stsc_entries=[(1, 3)], chunk_split=[3])
+    meta2, got2 = avc.mp4_extract_avc_samples(payload2)
+    assert meta2["n_samples"] == 3
+    for s, (y, cb, cr) in zip(got2, frames):
+        (y2, _, _), = avc.avc_decode(s)
+        assert (y == y2).all()
+
+
+def test_poc_type0_slice_header_width():
+    """An external-style stream with pic_order_cnt_type 0 carries an
+    SPS-sized pic_order_cnt_lsb in every slice header; the decoder must
+    read exactly log2_max_pic_order_cnt_lsb bits (a hard-coded width
+    would misalign everything after it)."""
+    y, cb, cr = _mb_frame(4)
+    # SPS with poc_type=0, log2_max_pic_order_cnt_lsb_minus4=1 (5 bits)
+    w = avc._BitWriter()
+    w.u(66, 8); w.u(0xC0, 8); w.u(10, 8)
+    w.ue(0); w.ue(0)
+    w.ue(0)            # pic_order_cnt_type 0
+    w.ue(1)            # log2_max_pic_order_cnt_lsb_minus4 -> 5 bits
+    w.ue(0); w.u(0, 1)
+    w.ue(0); w.ue(0)   # 1x1 macroblocks (16x16)
+    w.u(1, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    sps_nal = avc._nal(3, 7, w.trailing())
+    pps_nal = avc._nal(3, 8, avc.pps_rbsp())
+    # slice with the 5-bit pic_order_cnt_lsb field
+    bw = avc._BitWriter()
+    bw.ue(0); bw.ue(7); bw.ue(0)
+    bw.u(0, 4)         # frame_num
+    bw.ue(0)           # idr_pic_id
+    bw.u(0, 5)         # pic_order_cnt_lsb (poc_type 0)
+    bw.u(0, 1); bw.u(0, 1)  # dec_ref_pic_marking
+    bw.se(0)           # slice_qp_delta
+    bw.ue(avc._I_PCM)
+    bw.align_zero()
+    bw.bytes_aligned(y.tobytes())
+    bw.bytes_aligned(cb.tobytes())
+    bw.bytes_aligned(cr.tobytes())
+    slice_nal = avc._nal(3, 5, bw.trailing())
+    sc = b"\x00\x00\x00\x01"
+    stream = sc + sps_nal + sc + pps_nal + sc + slice_nal
+    (y2, cb2, cr2), = avc.avc_decode(stream)
+    assert (y == y2).all() and (cb == cb2).all() and (cr == cr2).all()
