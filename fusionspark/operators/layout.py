@@ -176,7 +176,13 @@ def hilbert_write(
     """zorder_write's Hilbert sibling: same 1-row quantizer ranges, same
     range-repartitioned clustered write, but the cluster key follows the
     Hilbert curve (adjacent keys are spatially adjacent — no Morton
-    seam jumps), which tightens per-file zone rectangles."""
+    seam jumps), which tightens per-file zone rectangles.
+
+    The ~15 scaffolding lines shared with zorder_write are duplicated
+    DELIBERATELY: factoring them would edit zorder_write's body and
+    re-queue its standing driver attestation for a cosmetic win (the
+    attestation-hygiene tradeoff PROGRESS.md documents); fold them
+    together the next time zorder_write changes for a real reason."""
     ranges = df.agg(
         F.min(F.col(col_a).cast("double")).alias("a_mn"),
         F.max(F.col(col_a).cast("double")).alias("a_mx"),
