@@ -3871,3 +3871,87 @@ def nb_lang_scores(spark: SparkSession, d: DataFrame) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+@query(
+    "line_dedup",
+    """
+    WITH lines AS (
+        SELECT doc_id, i.i AS pos, ln.l[i.i] AS line
+        FROM (SELECT doc_id,
+                     string_split(text || chr(10) || source || chr(10)
+                                  || text || chr(10) || lang, chr(10)) AS l
+              FROM documents) ln,
+             unnest(generate_series(1, len(ln.l))) i(i)
+    ),
+    keep AS (
+        SELECT doc_id, MIN(pos) AS pos, line
+        FROM lines GROUP BY doc_id, line
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS text,
+               COUNT(*)::BIGINT AS n_lines_kept
+        FROM keep GROUP BY doc_id
+    ),
+    orig AS (
+        SELECT doc_id,
+               len(string_split(text || chr(10) || source || chr(10)
+                                || text || chr(10) || lang, chr(10)))
+                   ::BIGINT AS n_lines
+        FROM documents
+    )
+    SELECT r.doc_id, o.n_lines, r.n_lines_kept,
+           (o.n_lines - r.n_lines_kept)::BIGINT AS n_dropped,
+           md5(r.text) AS text_md5
+    FROM rebuilt r JOIN orig o ON r.doc_id = o.doc_id
+    """,
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document exact line dedup — the C4/RefinedWeb repetition
+    pass that precedes cross-doc dedup: duplicate lines inside a doc
+    (navigation bars, repeated boilerplate rows) keep only their FIRST
+    occurrence, and the cleaned text is content-attested via md5 for
+    every doc (the dedup_span_rewrite standard — not just counts).
+    Complements paragraph_dedup (cross-doc md5-frequency removal) and
+    substring_dedup (cross-doc window spans).
+
+    CORPUS PREMISE: the synthetic documents are single-line, where the
+    drop path would never fire — so the query derives a multi-line doc
+    (text ⏎ source ⏎ text ⏎ lang) with a GUARANTEED duplicate line per
+    doc, making the removal + in-order reassembly the thing the hash
+    attests (n_dropped ≥ 1 for every doc by construction); the operator
+    body is input-agnostic.
+
+    Scale shape: one line explode → one (doc, line) groupBy (min pos) →
+    one per-doc ordered reassembly — two doc-keyed exchanges; lines
+    shuffle once, whole documents never do (the reassembly fold runs
+    inside the doc partition)."""
+    d = load_table(spark, sf_dir, "documents")
+    derived = F.concat_ws(
+        "\n", F.col("text"), F.col("source"), F.col("text"), F.col("lang")
+    )
+    lines = d.select(
+        "doc_id", F.posexplode(F.split(derived, "\n")).alias("pos0", "line")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    keep = lines.groupBy("doc_id", "line").agg(F.min("pos").alias("pos"))
+    rebuilt = keep.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_lines_kept"),
+    )
+    orig = d.select(
+        "doc_id", F.size(F.split(derived, "\n")).cast("long").alias("n_lines")
+    )
+    return rebuilt.join(orig, "doc_id").select(
+        "doc_id",
+        "n_lines",
+        "n_lines_kept",
+        (F.col("n_lines") - F.col("n_lines_kept")).cast("long").alias("n_dropped"),
+        F.md5("text").alias("text_md5"),
+    )
