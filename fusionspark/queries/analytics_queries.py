@@ -2476,3 +2476,114 @@ def anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "round", "event_id", "cents", F.round("z", 6).alias("z")
     ).orderBy("round")
+
+
+@query(
+    "diff_in_diff",
+    """
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        FROM events
+    ),
+    cells AS (
+        SELECT ('0x' || substr(md5('did:' || e.user_id), 1, 8))::BIGINT % 2
+                   = 0 AS is_treated,
+               (CAST(e.ts AS DATE) - b.d0) * 2 >= (b.d1 - b.d0) AS is_post,
+               SUM(FLOOR(e.value * 100.0 + 0.5)::BIGINT)::BIGINT AS cents,
+               COUNT(*)::BIGINT AS n
+        FROM events e
+        CROSS JOIN bounds b
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT is_treated, is_post, n,
+               cents::DOUBLE / n / 100 AS mean_value
+        FROM cells
+    )
+    SELECT ROUND(tp.mean_value - tr.mean_value
+                 - (cp.mean_value - cr.mean_value), 6) AS did,
+           ROUND(tp.mean_value, 6) AS treated_post,
+           ROUND(tr.mean_value, 6) AS treated_pre,
+           ROUND(cp.mean_value, 6) AS control_post,
+           ROUND(cr.mean_value, 6) AS control_pre,
+           (tp.n + tr.n)::BIGINT AS n_treated_events,
+           (cp.n + cr.n)::BIGINT AS n_control_events
+    FROM (SELECT * FROM m WHERE is_treated AND is_post) tp,
+         (SELECT * FROM m WHERE is_treated AND NOT is_post) tr,
+         (SELECT * FROM m WHERE NOT is_treated AND is_post) cp,
+         (SELECT * FROM m WHERE NOT is_treated AND NOT is_post) cr
+    """,
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal-inference readout beside
+    ab_test_zscore (cross-sectional) and the robust-test family: split
+    the event window at its midpoint (pre/post), assign users to
+    treatment by a deterministic md5 coin (the train_split pattern —
+    every user here triggers every event type, so no behavioral split
+    exists; randomized assignment is also the clean DiD demo), and
+    estimate the treatment effect on event value as
+    (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the parallel-trends
+    estimator.  Group/period sums are exact BIGINT cents; the four cell
+    means and the DiD are closed-form doubles with the subtraction tree
+    written identically on both engines.
+
+    Scale shape: one corpus scan into a 4-cell groupBy (map-side
+    combine) with the treated set as a broadcast-able semi-join side;
+    the estimator arithmetic runs on 4 rows."""
+    from fusionspark.operators.dedup import md5_hash32
+
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    coin = (
+        F.pmod(
+            md5_hash32(
+                F.concat(F.lit("did:"), F.col("user_id").cast("string"))
+            ),
+            F.lit(2),
+        )
+        == 0
+    )
+    cells = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            coin.alias("is_treated"),
+            (
+                F.datediff(F.to_date("ts"), F.col("d0")) * 2
+                >= F.datediff(F.col("d1"), F.col("d0"))
+            ).alias("is_post"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("is_treated", "is_post")
+        .agg(
+            F.sum("cents").cast("long").alias("cents"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            "is_treated", "is_post", "n",
+            (F.col("cents").cast("double") / F.col("n") / 100).alias("mean_value"),
+        )
+    )
+    rows = {(r.is_treated, r.is_post): r for r in cells.collect()}  # 4 rows
+    tp, tr = rows[(True, True)], rows[(True, False)]
+    cp, cr = rows[(False, True)], rows[(False, False)]
+    did = tp.mean_value - tr.mean_value - (cp.mean_value - cr.mean_value)
+    out = spark.createDataFrame(
+        [(
+            float(did), float(tp.mean_value), float(tr.mean_value),
+            float(cp.mean_value), float(cr.mean_value),
+            tp.n + tr.n, cp.n + cr.n,
+        )],
+        "did double, treated_post double, treated_pre double, "
+        "control_post double, control_pre double, "
+        "n_treated_events long, n_control_events long",
+    )
+    return out.select(
+        F.round("did", 6).alias("did"),
+        F.round("treated_post", 6).alias("treated_post"),
+        F.round("treated_pre", 6).alias("treated_pre"),
+        F.round("control_post", 6).alias("control_post"),
+        F.round("control_pre", 6).alias("control_pre"),
+        "n_treated_events", "n_control_events",
+    )
