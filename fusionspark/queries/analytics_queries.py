@@ -2587,3 +2587,163 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("control_pre", 6).alias("control_pre"),
         "n_treated_events", "n_control_events",
     )
+
+
+@query(
+    "propensity_match",
+    """
+    WITH u AS (
+        SELECT user_id,
+               ('0x' || substr(md5('did:' || user_id), 1, 8))::BIGINT % 2 = 0
+                   AS is_treated,
+               SUM(FLOOR(value * 100.0 + 0.5)::BIGINT)::BIGINT AS score,
+               COUNT(*)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ),
+    w AS (
+        SELECT *,
+               LAST_VALUE(CASE WHEN NOT is_treated THEN user_id END
+                          IGNORE NULLS) OVER ord AS prev_id,
+               LAST_VALUE(CASE WHEN NOT is_treated THEN score END
+                          IGNORE NULLS) OVER ord AS prev_score,
+               LAST_VALUE(CASE WHEN NOT is_treated THEN y END
+                          IGNORE NULLS) OVER ord AS prev_y,
+               FIRST_VALUE(CASE WHEN NOT is_treated THEN user_id END
+                           IGNORE NULLS) OVER fwd AS next_id,
+               FIRST_VALUE(CASE WHEN NOT is_treated THEN score END
+                           IGNORE NULLS) OVER fwd AS next_score,
+               FIRST_VALUE(CASE WHEN NOT is_treated THEN y END
+                           IGNORE NULLS) OVER fwd AS next_y
+        FROM u
+        WINDOW ord AS (ORDER BY score, user_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd AS (ORDER BY score, user_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    matched AS (
+        SELECT user_id, score, y,
+               CASE WHEN prev_id IS NULL THEN next_id
+                    WHEN next_id IS NULL THEN prev_id
+                    WHEN abs(score - prev_score) < abs(score - next_score)
+                         THEN prev_id
+                    WHEN abs(score - next_score) < abs(score - prev_score)
+                         THEN next_id
+                    WHEN prev_id < next_id THEN prev_id ELSE next_id
+               END AS m_id,
+               CASE WHEN prev_id IS NULL THEN next_y
+                    WHEN next_id IS NULL THEN prev_y
+                    WHEN abs(score - prev_score) < abs(score - next_score)
+                         THEN prev_y
+                    WHEN abs(score - next_score) < abs(score - prev_score)
+                         THEN next_y
+                    WHEN prev_id < next_id THEN prev_y ELSE next_y
+               END AS m_y,
+               CASE WHEN prev_id IS NULL THEN next_score
+                    WHEN next_id IS NULL THEN prev_score
+                    WHEN abs(score - prev_score) < abs(score - next_score)
+                         THEN prev_score
+                    WHEN abs(score - next_score) < abs(score - prev_score)
+                         THEN next_score
+                    WHEN prev_id < next_id THEN prev_score ELSE next_score
+               END AS m_score
+        FROM w WHERE is_treated
+    )
+    SELECT COUNT(*)::BIGINT AS n_treated,
+           COUNT(DISTINCT m_id)::BIGINT AS n_distinct_controls,
+           ROUND(SUM(y - m_y)::DOUBLE / COUNT(*), 6) AS att,
+           ROUND(SUM(abs(score - m_score))::DOUBLE / COUNT(*) / 100, 6)
+               AS mean_score_gap
+    FROM matched
+    """,
+)
+def propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor matching with replacement — diff_in_diff's
+    cross-sectional sibling (together the causal pair): per user a
+    deterministic md5-coin treatment flag, an exact-cents LTV matching
+    score, and an event-count outcome; each treated user matches the
+    control with the CLOSEST score (the two candidates are the as-of
+    carries in score order — last control ≤ and first control ≥ —
+    so matching needs no pairwise join), ties to the smaller |Δ| then
+    the lower control id; ATT = mean(y_treated − y_matched).
+
+    Parity: scores/outcomes are exact BIGINTs, candidate selection
+    compares integer |Δ|s, and the two output ratios are closed-form
+    doubles.
+
+    Scale shape: one corpus groupBy(user) collapses to the USER frame;
+    the two carries are windows over that bounded model-sized frame
+    (the theil_sen collapsed-frame contract — at 100 TB the user table
+    is the small side, and the window can partition by score bucket
+    with boundary overlap if it ever isn't)."""
+    from pyspark.sql import Window
+
+    from fusionspark.operators.dedup import md5_hash32
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("score"),
+        F.count("*").cast("long").alias("y"),
+    ).select(
+        "user_id",
+        (
+            F.pmod(
+                md5_hash32(
+                    F.concat(F.lit("did:"), F.col("user_id").cast("string"))
+                ),
+                F.lit(2),
+            )
+            == 0
+        ).alias("is_treated"),
+        "score",
+        "y",
+    )
+    ctl = lambda c: F.when(~F.col("is_treated"), F.col(c))
+    ord_w = Window.orderBy("score", "user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd_w = Window.orderBy("score", "user_id").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    w = u.select(
+        "*",
+        F.last(ctl("user_id"), ignorenulls=True).over(ord_w).alias("prev_id"),
+        F.last(ctl("score"), ignorenulls=True).over(ord_w).alias("prev_score"),
+        F.last(ctl("y"), ignorenulls=True).over(ord_w).alias("prev_y"),
+        F.first(ctl("user_id"), ignorenulls=True).over(fwd_w).alias("next_id"),
+        F.first(ctl("score"), ignorenulls=True).over(fwd_w).alias("next_score"),
+        F.first(ctl("y"), ignorenulls=True).over(fwd_w).alias("next_y"),
+    ).filter(F.col("is_treated"))
+
+    def pick(prev_c: str, next_c: str):
+        dp = F.abs(F.col("score") - F.col("prev_score"))
+        dn = F.abs(F.col("score") - F.col("next_score"))
+        return (
+            F.when(F.col("prev_id").isNull(), F.col(next_c))
+            .when(F.col("next_id").isNull(), F.col(prev_c))
+            .when(dp < dn, F.col(prev_c))
+            .when(dn < dp, F.col(next_c))
+            .when(F.col("prev_id") < F.col("next_id"), F.col(prev_c))
+            .otherwise(F.col(next_c))
+        )
+
+    m = w.select(
+        "user_id", "score", "y",
+        pick("prev_id", "next_id").alias("m_id"),
+        pick("prev_y", "next_y").alias("m_y"),
+        pick("prev_score", "next_score").alias("m_score"),
+    )
+    return m.agg(
+        F.count("*").cast("long").alias("n_treated"),
+        F.count_distinct("m_id").cast("long").alias("n_distinct_controls"),
+        F.round(
+            F.sum(F.col("y") - F.col("m_y")).cast("double") / F.count("*"), 6
+        ).alias("att"),
+        F.round(
+            F.sum(F.abs(F.col("score") - F.col("m_score"))).cast("double")
+            / F.count("*")
+            / 100,
+            6,
+        ).alias("mean_score_gap"),
+    )
