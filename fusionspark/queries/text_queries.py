@@ -1508,3 +1508,70 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("phrase", "n_occurrences", F.round("raw", 6).alias("score"))
     )
+
+
+@query(
+    "vocab_gini",
+    """
+    WITH toks AS (
+        SELECT source, w
+        FROM (SELECT source,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS w
+              FROM documents)
+    ),
+    freqs AS (
+        SELECT source, w, COUNT(*)::BIGINT AS f
+        FROM toks GROUP BY source, w
+    ),
+    ranked AS (
+        SELECT source, f,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY f, w)
+                   ::BIGINT AS i,
+               COUNT(*) OVER (PARTITION BY source)::BIGINT AS n,
+               SUM(f) OVER (PARTITION BY source)::BIGINT AS tot
+        FROM freqs
+    )
+    SELECT source, MAX(n)::BIGINT AS n_types, MAX(tot)::BIGINT AS n_tokens,
+           ROUND(SUM((2 * i - n - 1) * f)::DOUBLE / (MAX(n) * MAX(tot)), 6)
+               AS gini
+    FROM ranked GROUP BY source
+    """,
+)
+def vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary concentration as a Gini coefficient over
+    word frequencies (the datacard's inequality readout beside zipf_fit's
+    law fit and ngram_diversity's distinct ratio: gini → 1 means a few
+    boilerplate tokens dominate the source).  The revenue_gini exact
+    form: rank frequencies ascending with a deterministic (f, w) order,
+    fold Σ(2i − n − 1)·f in BIGINT, and divide once — no float ever
+    enters the aggregation.
+
+    Scale shape: one token explode → one (source, word) groupBy →
+    per-source rank windows over the VOCABULARY frame (bounded by
+    distinct words, not corpus tokens) → one groupBy(source)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokenize("text")).alias("w"))
+    freqs = toks.groupBy("source", "w").agg(F.count("*").cast("long").alias("f"))
+    wsrc = Window.partitionBy("source")
+    ranked = freqs.select(
+        "source",
+        "f",
+        F.row_number()
+        .over(wsrc.orderBy(F.col("f").asc(), F.col("w").asc()))
+        .cast("long")
+        .alias("i"),
+        F.count("*").over(wsrc).cast("long").alias("n"),
+        F.sum("f").over(wsrc).cast("long").alias("tot"),
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_types"),
+        F.max("tot").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("f")).cast("double")
+            / (F.max("n") * F.max("tot")),
+            6,
+        ).alias("gini"),
+    )
