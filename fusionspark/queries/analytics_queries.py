@@ -2747,3 +2747,120 @@ def propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_score_gap"),
     )
+
+
+@query(
+    "pettitt_test",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(FLOOR(value * 100.0 + 0.5)::BIGINT)::BIGINT AS x
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY day)::BIGINT AS i,
+               COUNT(*) OVER ()::BIGINT AS n, day
+        FROM daily
+    ),
+    pairs AS (
+        SELECT a.i AS ia, b.i AS ib,
+               CASE WHEN a.x > b.x THEN 1
+                    WHEN a.x < b.x THEN -1 ELSE 0 END::BIGINT AS sg
+        FROM idx a JOIN idx b ON a.i < b.i
+    ),
+    u AS (
+        SELECT t.i AS t,
+               SUM(CASE WHEN p.ia <= t.i AND p.ib > t.i THEN p.sg
+                        ELSE 0 END)::BIGINT AS u_t
+        FROM (SELECT i FROM idx WHERE i < n) t
+        CROSS JOIN pairs p
+        GROUP BY t.i
+    ),
+    best AS (
+        SELECT t, u_t, abs(u_t) AS k
+        FROM u ORDER BY abs(u_t) DESC, t ASC LIMIT 1
+    )
+    SELECT (SELECT strftime(day, '%Y-%m-%d') FROM idx
+            WHERE i = (SELECT t FROM best)) AS change_day,
+           (SELECT u_t FROM best)::BIGINT AS u_stat,
+           (SELECT k FROM best)::BIGINT AS k_stat,
+           ROUND(2 * exp(-6.0 * (SELECT k FROM best)
+                         * (SELECT k FROM best)
+                         / ((SELECT MAX(n) FROM idx) * (SELECT MAX(n) FROM idx)
+                            * (SELECT MAX(n) FROM idx)
+                            + (SELECT MAX(n) FROM idx)
+                              * (SELECT MAX(n) FROM idx))), 6) AS p_approx
+    """,
+)
+def pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point test (Pettitt 1979) on the daily revenue
+    series — the NONPARAMETRIC sibling of changepoint_cusum (rank-based:
+    robust to outliers, no variance estimate): U_t = Σ_{i≤t<j}
+    sgn(x_i − x_j), change point = argmax |U_t| (ties → earliest day),
+    with the standard p ≈ 2·exp(−6K²/(n³+n²)) approximation as the only
+    float (one closed-form double; everything else exact BIGINT).
+
+    Scale shape: one corpus groupBy(day) collapses to the ≤|days| frame;
+    the sign grid and the t-sweep run on that bounded frame (n² pairs ×
+    n cuts with n = |days| ≈ 30 — the theil_sen collapsed-frame
+    contract), never on events."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    idx = daily.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+    a = idx.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = idx.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia", "ib",
+            F.when(F.col("xa") > F.col("xb"), 1)
+            .when(F.col("xa") < F.col("xb"), -1)
+            .otherwise(0)
+            .cast("long")
+            .alias("sg"),
+        )
+    )
+    ts = idx.filter(F.col("i") < F.col("n")).select(F.col("i").alias("t"))
+    u = (
+        ts.crossJoin(pairs)
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("ia") <= F.col("t")) & (F.col("ib") > F.col("t")),
+                    F.col("sg"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("u_t")
+        )
+    )
+    best = (
+        u.orderBy(F.abs(F.col("u_t")).desc(), F.col("t").asc()).limit(1)
+        .collect()[0]
+    )  # bounded: one row from the <=|days| frame
+    n = idx.collect()[0].n
+    day = idx.filter(F.col("i") == best.t).collect()[0].day
+    import math
+
+    k = abs(best.u_t)
+    p = 2 * math.exp(-6.0 * k * k / (n * n * n + n * n))
+    out = spark.createDataFrame(
+        [(day.strftime("%Y-%m-%d"), int(best.u_t), int(k), float(p))],
+        "change_day string, u_stat long, k_stat long, p_approx double",
+    )
+    return out.select(
+        "change_day", "u_stat", "k_stat",
+        F.round("p_approx", 6).alias("p_approx"),
+    )
