@@ -53,15 +53,22 @@ def weighted_sample(
     Rows with w ≤ 0 are excluded — their A-Res inclusion probability is
     0, and clamping them to a positive weight would silently turn a
     proportional sample uniform (quality weights live in (0, 1]; they
-    must stay proportional, not be rounded up to 1).  Adds ``sample_key``
-    (rounded for display; the cut itself compares the unrounded doubles,
-    with the id as the deterministic tiebreak)."""
+    must stay proportional, not be rounded up to 1).
+
+    Float-parity discipline (the round-9 driver red row): the cut key is
+    ``(round(ln(u)/w, 6) DESC, id ASC)`` — NEVER the raw transcendental
+    double.  At sf0.1 the raw rank-200/201 gap was 3.8e-8, thinner than a
+    cross-libm ``ln`` divergence, so which doc made the cut depended on
+    the host's libm.  Rounding to 6 digits BEFORE the cut (in both
+    engines) collapses that boundary: two keys only compare differently
+    across engines if a raw value sits within an ulp of a 0.5e-6 rounding
+    edge (~1e-10/row, vs the 3.8e-8 order-statistic gap), and the id
+    tiebreak makes equal rounded keys deterministic."""
     w = F.col(weight_col).cast("double")
-    key = F.log(sample_coin(F.col(id_col), salt)) / w
+    key = F.round(F.log(sample_coin(F.col(id_col), salt)) / w, 6)
     return (
         df.filter(w > 0.0)
         .withColumn("sample_key", key)
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(k)
-        .withColumn("sample_key", F.round("sample_key", 6))
     )

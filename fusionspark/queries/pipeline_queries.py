@@ -3533,9 +3533,9 @@ def nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(n_chars AS DOUBLE), 6) AS sample_key
     FROM documents
     WHERE n_chars > 0
-    ORDER BY ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
-                / 4294967296.0)
-             / CAST(n_chars AS DOUBLE) DESC,
+    ORDER BY ROUND(ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                       / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE), 6) DESC,
              doc_id ASC
     LIMIT 200
     """,

@@ -42,3 +42,44 @@ def test_weighted_sample_salt_changes_sample(spark):
     # both still favor the heavy block
     assert sum(1 for x in a if x < 200) > 20
     assert sum(1 for x in b if x < 200) > 20
+
+
+def test_weighted_sample_cut_is_ulp_stable(spark):
+    """The r9 driver red row: the k-boundary must not depend on raw libm
+    doubles.  The cut key is the ROUNDED ln(u)/w (6 digits) with doc_id
+    tiebreak, so perturbing every raw key by ±1 ulp cannot change the
+    selected id set: replaying the selection in pure Python with
+    nextafter-perturbed raw keys yields the same ids as Spark."""
+    import hashlib
+    import math
+
+    rows = _pop(spark, 3000).collect()
+    k = 200
+
+    def raw_key(doc_id, w):
+        u = (int(hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:8], 16) + 1) / 2**32
+        return math.log(u) / w
+
+    for direction in (math.inf, -math.inf):
+        perturbed = sorted(
+            ((round(math.nextafter(raw_key(r.doc_id, r.w), direction), 6), r.doc_id)
+             for r in rows),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        expect = sorted(d for _, d in perturbed)
+        got = sorted(
+            r[0] for r in weighted_sample(_pop(spark, 3000), "w", k)
+            .select("doc_id").collect()
+        )
+        assert got == expect, f"cut moved under {direction:+} ulp perturbation"
+
+
+def test_weighted_sample_key_is_rounded_before_cut(spark):
+    """sample_key in the output equals round(raw, 6) and the output order
+    is (sample_key DESC, doc_id ASC) — i.e. the rounded key IS the sort
+    key, not a display-only rounding after a raw-double cut."""
+    got = weighted_sample(_pop(spark), "w", 50).collect()
+    keys = [(r.sample_key, r.doc_id) for r in got]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
+    for r in got:
+        assert r.sample_key == round(r.sample_key, 6)
