@@ -235,3 +235,62 @@ def delete_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     ids = spark.createDataFrame([(1,), (2,), (3,)], "vec_id: long")
     return e.join(F.broadcast(ids), "vec_id", "left_anti").agg(F.count("*").alias("remaining"))
+
+
+EF_SEARCH = 50  # reference default candidate-list size (HNSWIndex.js:64)
+
+
+@query(
+    "knn_postfilter",
+    f"""
+    WITH {_PROBES_CTE},
+    scored AS (
+        SELECT p.probe_id, e.vec_id, e.label,
+               list_cosine_similarity(e.embedding::DOUBLE[], p.probe_embedding::DOUBLE[]) AS sim
+        FROM embeddings e CROSS JOIN probes p
+    ),
+    cand AS (
+        SELECT * FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC)
+                <= {EF_SEARCH}
+    )
+    SELECT probe_id, vec_id, label, ROUND(sim, 6) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS rnk
+    FROM cand
+    WHERE label IN (0, 2, 4, 6, 8)
+    QUALIFY rnk <= {TOP_K}
+    """,
+)
+def knn_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 post-filter parity: the reference's EXACT filtered-search contract
+    (HNSWIndex.js:273-301) — candidates are the top ef = max(efSearch=50,
+    topK) by similarity, the metadata filter is applied AFTER candidate
+    generation, and the result is the first topK survivors, which may be
+    FEWER than topK when the filter is selective (reference test
+    test/fusionpact.test.js:49-66 exercises this shape).  `knn_filtered`
+    remains the better-recall pre-filter form; this entry closes the last
+    semantic divergence a user porting off the reference would hit.
+    Scale: same per-probe TakeOrdered window as knn_cosine (ef rows per
+    probe cross partitions), filter is a cheap post-projection."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    dim = vector_dim(corpus, "embedding")
+    probes = self_probes(corpus, N_PROBES)
+    scored = corpus.crossJoin(F.broadcast(probes)).withColumn(
+        "sim", V.cosine_similarity(F.col("embedding"), F.col("probe_embedding"), dim)
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    cand = scored.withColumn("rnk_ef", F.row_number().over(w)).filter(
+        F.col("rnk_ef") <= EF_SEARCH
+    )
+    survivors = cand.filter(F.col("label").isin(0, 2, 4, 6, 8))
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round("sim", 6).alias("sim"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -128,3 +128,39 @@ def test_pandas_grouped_agg_udaf_matches_builtin(spark, sf_dir):
         .collect()
     }
     assert via_udaf == via_builtin and len(via_udaf) == 10
+
+
+def test_knn_postfilter_can_return_fewer_than_k(spark, sf_dir):
+    """The reference's post-filter contract (HNSWIndex.js:273-301, test
+    shape test/fusionpact.test.js:49-66): when a selective filter is
+    applied AFTER the ef-candidate cut, the result may hold FEWER than
+    topK rows — unlike knn_filtered's pre-filter form, which always fills
+    k.  Build a corpus where only 3 of the top-50 candidates survive the
+    filter and assert exactly those 3 come back."""
+    from pyspark.sql import Window
+
+    # 100 vectors on a line: vec i = [1, i/100].  Probe = vec 0.  Rare
+    # label 1 on ids {7, 23, 61}; everything else label 0.
+    rare = {7, 23, 61}
+    rows = [(i, [1.0, i / 100.0], 1 if i in rare else 0) for i in range(100)]
+    e = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>, label: int")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_embedding")
+    )
+    scored = e.crossJoin(F.broadcast(probe)).withColumn(
+        "sim", V.cosine_similarity(F.col("embedding"), F.col("probe_embedding"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    ef, top_k = 50, 10
+    cand = scored.withColumn("rnk_ef", F.row_number().over(w)).filter(F.col("rnk_ef") <= ef)
+    got = (
+        cand.filter(F.col("label") == 1)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .collect()
+    )
+    # candidates are the 50 ids nearest vec 0 (ids 0..49); only 7 and 23
+    # carry the rare label inside that pool — 61 is outside ef and is
+    # correctly NOT recalled (the reference's documented recall loss).
+    assert sorted(r["vec_id"] for r in got) == [7, 23]
+    assert len(got) < top_k
