@@ -2438,13 +2438,78 @@ def window_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.window_dup_stats(dirty, w=8, stride=4)
 
 
-@query("compression_ratio")
+@query(
+    "compression_ratio",
+    """
+    WITH derived AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN repeat(substr(text || 'abcdefghij', 1, 64), 32)
+                    ELSE array_to_string(list_transform(generate_series(0, 31),
+                         i -> md5(doc_id::VARCHAR || ':' || i::VARCHAR)), '')
+               END AS dtext
+        FROM documents
+    )
+    SELECT doc_id,
+           strlen(dtext)::BIGINT AS n_bytes,
+           (strlen(dtext) + 11)::BIGINT AS n_stored,
+           CASE WHEN doc_id % 2 = 0 THEN 'repetitive' ELSE 'normal' END AS bucket
+    FROM derived
+    """,
+)
 def compression_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib redundancy signal (textstats.compression_ratio_docs) — rows-only
-    by nature (no SQL zlib); bit-level parity with direct Python zlib is
-    pytest-attested, and the driver checks row count + schema."""
+    """zlib redundancy signal (RefinedWeb/MassiveText drop docs that
+    compress too well or too poorly), converted from the registry's last
+    rows-only entry to oracle-backed via the line_dedup derived-corpus
+    pattern: no SQL engine exposes zlib, so the query derives a corpus
+    whose expected output is determined BY CONSTRUCTION and attests the
+    real zlib output against it —
+
+    - even doc_ids become a ≤64-byte unit repeated ×32 (level-6 ratio
+      ≲ 0.06 — measured 0.044 on the longest unit) and odd doc_ids a
+      32×md5 hex-noise chain (4-bit/char alphabet, ratio ≳ 0.5 — measured
+      0.56), so the 0.25 ``bucket`` threshold sits ≥4× from both sides
+      and classifies every doc correctly for ANY conforming DEFLATE;
+    - ``n_stored`` is the REAL ``len(zlib.compress(raw, 0))`` — stored-
+      mode framing is length-determined (RFC 1950/1951: 2-byte header +
+      5-byte block header + payload + 4-byte adler32 = n + 11 for the
+      n < 65535 this corpus guarantees: max text 577 chars → ≤ 2048-byte
+      derived docs), so the oracle attests exact compressed byte counts,
+      not just the classification.
+
+    The operator (textstats.compression_profile_docs) is input-agnostic;
+    only the corpus is derived.  Level-6 bit-parity with direct Python
+    zlib stays pytest-attested (test_pipeline_ops).  Scale: one zero-
+    shuffle Arrow map."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return textstats.compression_ratio_docs(docs)
+    derived = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.repeat(F.substring(F.concat("text", F.lit("abcdefghij")), 1, 64), 32),
+        )
+        .otherwise(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(31)),
+                    lambda i: F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))
+                    ),
+                ),
+            )
+        )
+        .alias("text"),
+    )
+    prof = textstats.compression_profile_docs(derived)
+    return prof.select(
+        "doc_id",
+        "n_bytes",
+        "n_stored",
+        F.when(F.col("ratio") < 0.25, F.lit("repetitive"))
+        .otherwise(F.lit("normal"))
+        .alias("bucket"),
+    )
 
 
 @query(

@@ -1166,3 +1166,25 @@ def test_lang_id_trained_learns_planted_vocabulary(spark):
     )
     empty = [r for r in nb_lang_scores(spark, d2).collect() if r.doc_id == i]
     assert len(empty) == 1 and empty[0].pred_lang in vocab
+
+
+def test_compression_profile_stored_mode_law(spark):
+    """n_stored is real zlib level-0 output and obeys the RFC 1950/1951
+    stored-mode closed form n + 11 for n < 65535 (header 2 + block
+    header 5 + payload + adler 4) — the law the compression_ratio oracle
+    attests.  Also checks the empty-doc and multi-block edges the oracle
+    corpus never reaches, so the formula's domain bound is explicit."""
+    import zlib
+
+    from fusionspark.operators.textstats import compression_profile_docs
+
+    rows = [(1, ""), (2, "x" * 500), (3, "y" * 70000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_profile_docs(df).collect()}
+    for did, text in rows:
+        raw = text.encode()
+        assert out[did]["n_stored"] == len(zlib.compress(raw, 0))
+        assert out[did]["n_compressed"] == len(zlib.compress(raw, 6))
+    assert out[1]["n_stored"] == 11          # empty: header + empty block + adler
+    assert out[2]["n_stored"] == 500 + 11    # single stored block
+    assert out[3]["n_stored"] == 70000 + 16  # two blocks: the law's n>=65535 edge
