@@ -549,8 +549,9 @@ def mp4_extract_avc_samples(payload: bytes) -> tuple[dict, list[bytes]]:
     sample's length-prefixed NALs re-framed with start codes so
     avc_decode() consumes container-extracted frames unchanged.
     Honors the real sample-table grammar: stsz's fixed sample_size
-    field, multi-entry stco, and the stsc chunk→samples mapping (the
-    layout every camera/ffmpeg MP4 uses), with bounds checks so a
+    field, multi-entry stco AND its 64-bit co64 form (large files — ISO
+    14496-12 §8.7.5 defines both), and the stsc chunk→samples mapping
+    (the layout every camera/ffmpeg MP4 uses), with bounds checks so a
     malformed table raises instead of reading sibling boxes."""
     import struct
 
@@ -589,6 +590,16 @@ def mp4_extract_avc_samples(payload: bytes) -> tuple[dict, list[bytes]]:
                 # sample_size field before its count)
                 (cnt,) = struct.unpack(">I", data[c0 + 4 : c0 + 8])
                 t["chunk_offsets"] = _u32s(c0, c1, 8, cnt, "stco")
+            elif typ == b"co64":
+                # 64-bit chunk offsets — same FullBox/table shape as
+                # stco with 8-byte entries (ffmpeg switches to co64 when
+                # any offset exceeds 2^32, i.e. files over 4 GiB)
+                (cnt,) = struct.unpack(">I", data[c0 + 4 : c0 + 8])
+                if c0 + 8 + 8 * cnt > c1:
+                    raise ValueError("co64 table exceeds its box")
+                t["chunk_offsets"] = list(
+                    struct.unpack(f">{cnt}Q", data[c0 + 8 : c0 + 8 + 8 * cnt])
+                )
             elif typ == b"stsc":
                 (cnt,) = struct.unpack(">I", data[c0 + 4 : c0 + 8])
                 raw = _u32s(c0, c1, 8, 3 * cnt, "stsc")
@@ -615,7 +626,7 @@ def mp4_extract_avc_samples(payload: bytes) -> tuple[dict, list[bytes]]:
     chunk_offsets = track.get("chunk_offsets", [])
     stsc = track.get("stsc", [(1, len(stsz_sizes))])
     if not chunk_offsets:
-        raise ValueError("avc1 track has no stco chunk offsets")
+        raise ValueError("avc1 track has no stco/co64 chunk offsets")
     meta = {"width": track["width"], "height": track["height"]}
     # expand stsc runs into per-chunk sample counts, then per-sample
     # absolute offsets (each chunk's samples are contiguous from its

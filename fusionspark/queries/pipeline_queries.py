@@ -3850,7 +3850,8 @@ def lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     model is a fixed langs×dims grid that BROADCASTS (never a vocab-
     sized table — the hashing trick is what makes the weight table
     O(1) in corpus size); scoring is one broadcast join + one
-    (doc, lang) fold; the final argmax is a 5-rows-per-doc window."""
+    (doc, lang) fold; the final argmax is a |langs|-rows-per-doc window
+    (one scored row per candidate language)."""
     d = load_table(spark, sf_dir, "documents")
     return nb_lang_scores(spark, d)
 
