@@ -147,6 +147,14 @@ def ivf_assign(
     return _assign_from_rows(corpus, _collect_centroids(centroids), vector_col)
 
 
+# Largest probe frame the driver-side router will collect.  Above this,
+# ivf_search_persisted delegates to ivf_search_distributed's Arrow-map
+# routing (probes never reach the driver).  4096 = one GEMM probe block
+# (max_group_probes): past that size the batch is throughput-, not
+# latency-bound, and the distributed plan is the right one anyway.
+ROUTE_COLLECT_MAX = 4096
+
+
 def _route_probes(
     probes: DataFrame,
     crows: list[tuple[int, list[float], float]],
@@ -414,7 +422,23 @@ def ivf_search_persisted(
 
     pre_filter: optional predicate applied to the pruned lists BEFORE
     scoring (V7 pre-filter semantics — candidates that fail the filter
-    never occupy a top-k slot; pushes into the pruned scan)."""
+    never occupy a top-k slot; pushes into the pruned scan).
+
+    Probe routing auto-scales: up to ROUTE_COLLECT_MAX probes route
+    driver-side (_route_probes — pure Python over probes×codebook, the
+    low-latency interactive form); a larger probe frame delegates to
+    ivf_search_distributed, whose Arrow-map routing never collects a
+    probe to the driver (same routing fold and tie rules, so the switch
+    is invisible in results).  The bound is checked with a
+    limit(N+1).count() so the big-frame case never pays a full count."""
+    n_small = probes.limit(ROUTE_COLLECT_MAX + 1).count()
+    if n_small > ROUTE_COLLECT_MAX:
+        return ivf_search_distributed(
+            spark, path, probes, k=k, n_probe=n_probe,
+            id_col=id_col, vector_col=vector_col,
+            probe_id_col=probe_id_col, probe_vector_col=probe_vector_col,
+            pre_filter=pre_filter,
+        )
     crows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
     dim = len(crows[0][1])
     recs = _route_probes(probes, crows, n_probe, probe_id_col, probe_vector_col)
@@ -515,9 +539,12 @@ def ivf_search_distributed(
     probe_vector_col: str = "probe_embedding",
     max_group_probes: int = 4096,
     max_group_rows: int = 65536,
+    pre_filter: F.Column | None = None,
 ) -> DataFrame:
     """`ivf_search_persisted` for LARGE probe sets (millions+): probes stay
-    distributed end to end.
+    distributed end to end.  pre_filter has the same V7 pre-filter
+    semantics as the persisted form — applied to the pruned lists before
+    any scoring.
 
     Plan: Arrow-map routing (route_probes_mapped, zero shuffle) → one tiny
     count-agg fixes the wanted lists (still a literal partition filter on
@@ -550,6 +577,8 @@ def ivf_search_distributed(
     data = spark.read.parquet(f"{path}/data").filter(
         F.col("centroid_id").isin(wanted)
     )
+    if pre_filter is not None:
+        data = data.filter(pre_filter)
     rc = {
         int(r["centroid_id"]): int(r["count"])
         for r in data.groupBy("centroid_id").count().collect()

@@ -528,3 +528,48 @@ def test_sq8_recall_and_code_bounds(spark, sf_dir):
         if r["vec_id"] in ex.get(r["probe_id"], ())
     )
     assert hits / sum(len(s) for s in ex.values()) >= 0.9
+
+
+def test_ivf_persisted_autoswitches_to_distributed_router(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r9 #6: above ROUTE_COLLECT_MAX probes the persisted search
+    must use the Arrow-map router — NO probe collect on the driver.
+    _route_probes is patched to raise, the threshold lowered so the test
+    stays fast; results must equal the numpy driver-routed path computed
+    beforehand, and a small frame must still take the low-latency
+    driver route."""
+    from fusionspark.operators import ann
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = self_probes(e, 12)
+    path = str(tmp_path / "ivf_auto")
+    ann.persist_ivf(e, path, n_centroids=8)
+
+    want = sorted(
+        (r["probe_id"], r["vec_id"], r["rnk"])
+        for r in ann.ivf_search_persisted(
+            spark, path, probes, k=5, n_probe=2, strategy="numpy"
+        ).collect()
+    )
+
+    monkeypatch.setattr(ann, "ROUTE_COLLECT_MAX", 10)
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "driver-side probe collect in the >threshold search path"
+        )
+
+    monkeypatch.setattr(ann, "_route_probes", boom)
+    got = sorted(
+        (r["probe_id"], r["vec_id"], r["rnk"])
+        for r in ann.ivf_search_persisted(
+            spark, path, probes, k=5, n_probe=2
+        ).collect()
+    )
+    assert got == want and len(got) == 60  # 12 probes × k=5
+
+    # below the threshold the driver router is still the default
+    small = self_probes(e, 3)
+    with pytest.raises(AssertionError, match="driver-side probe collect"):
+        ann.ivf_search_persisted(spark, path, small, k=5, n_probe=2).collect()
