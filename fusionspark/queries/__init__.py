@@ -27,45 +27,45 @@ def query(name: str, sql: str | None = None):
 
 # The grading driver attests registry entries in insertion order and caps
 # how many it checks per round (the first 50).  Names listed here are moved
-# to the FRONT of the registry.  Round 9 rotation (VERDICT r8 #1): the
-# driver union r1-r8 attested 230 of the then-registered 230, but the
-# registry grew to 286 during r8 sessions 3-7 — the 50 below are the
-# oldest 50 of the 56 never-driver-attested entries (spectral/PCA, exact
-# k-means, robust statistics, mining, graph HITS/SSSP, privacy triad,
-# similarity joins, streaming joins, GIF/BMP codec features, CUBE, exact
-# quantiles).  Four of them had code changes THIS round and are attested
-# at the new code state: neardup_prefix ((df,s) composite-key scale fix),
-# item_cf (basket cap), frequent_sequences (microsecond gaps),
-# dq_expectations (explode-unpivot report).  The 6 spilled to r10
-# (benford_digits, degree_distribution, cumulative_users,
-# forecast_backtest, median_by_type, l_diversity) are simple unchanged
-# shapes, all green in the local 3-SF gate.  Queries not listed keep
-# their valid r1-r8 attestations — no attested file family's function
-# bodies were edited this round outside the four names above, which are
-# themselves unattested-until-now.
+# to the FRONT of the registry.  Round 10 rotation (VERDICT r9 #1): the
+# r9 board was fully drained (50 first-time rows in CORRECTNESS_r09), so
+# this board fronts, in order:
+#   (a) the 21 entries never driver-attested — the 6 r9 spills plus the
+#       15 added during r9 sessions;
+#   (b) the round's code-changed / new entries: geo_neighbors (re-queued
+#       by r9's grid_proximity_join d2_max param), weighted_sample (r9's
+#       one RED row — the k-boundary now cuts on the ROUNDED key in both
+#       engines), compression_ratio (converted rows-only → oracle-backed
+#       via a derived content-attested corpus), knn_postfilter (NEW:
+#       reference post-filter contract parity), and ann_ivf_filtered /
+#       ann_ivf_distributed (ivf_search_persisted/_distributed bodies
+#       changed for the auto-routing switch — re-attested at the new
+#       code state);
+#   (c) oldest-attested-first refresh: all 7 remaining r1 rows and the
+#       16 oldest r2 rows (8 rounds stale).
+# Queries not listed keep their valid attestations; queries ADDED during
+# r10 sessions go AFTER this board (they are the r11 queue).
 PRIORITY: list[str] = [
-    # ── r8 session-3 analytics (spectral / clustering / sampling /
-    #    streaming / graph) ──
-    "covariance_topk", "embedding_spectrum", "pca_embeddings",
-    "pca_doc_scores", "embedding_drift", "kmeans_assign",
-    "kmeans_clusters", "cluster_balanced_sample", "weighted_sample",
-    "stream_interval_join", "bfs_hops",
-    # ── r8 session-4/5 analytics ──
-    "pmi_bigrams", "zipf_fit", "heaps_law", "distance_outliers",
-    "histogram_quantiles", "ets_forecast", "lineitem_corr",
-    "doc_keywords",
-    # ── r8 session-6 mining family ──
-    "frequent_pairs", "association_rules", "substring_dedup",
-    "survival_km", "knn_graph", "rfm_segments", "source_divergence",
-    "frequent_sequences", "dedup_span_rewrite", "link_prediction",
-    # ── r8 session-7 batch (incl. the four r9-code-changed entries) ──
-    "phrase_search", "split_leakage", "item_cf", "t_closeness",
-    "skyline_parts", "dq_expectations", "bmp_features",
-    "theil_sen_trend", "mann_whitney", "chi2_independence",
-    "concordance", "neardup_prefix", "hits_docs", "bootstrap_ci",
-    "sssp_hops", "stream_enrich", "hashed_features", "target_encoding",
-    # ── r8 late additions ──
-    "gif_features", "cube_orders", "quantiles_by_type",
+    # ── (a) the 6 r9 spills ──
+    "benford_digits", "degree_distribution", "cumulative_users",
+    "forecast_backtest", "median_by_type", "l_diversity",
+    # ── (a) the 15 r9 session additions ──
+    "mp4_video_frames", "lang_id_trained", "hilbert_pruning",
+    "hw_forecast", "token_fertility", "ngram_diversity", "mmr_rerank",
+    "dbscan_users", "rake_keywords", "anomaly_esd", "line_dedup",
+    "diff_in_diff", "propensity_match", "vocab_gini", "pettitt_test",
+    # ── (b) r10 code-changed / new ──
+    "geo_neighbors", "weighted_sample", "compression_ratio",
+    "knn_postfilter", "ann_ivf_filtered", "ann_ivf_distributed",
+    # ── (c) staleness refresh: the 7 r1 rows ──
+    "token_counts", "memory_stats", "memory_ttl_filter", "memory_acl",
+    "tenant_filter", "conversation_threads", "consolidation_decay",
+    # ── (c) staleness refresh: the 16 oldest r2 rows ──
+    "doc_fingerprint", "ann_ivf", "corpus_clean", "memory_prune",
+    "orchestrator_stats", "capability_rank", "broadcast_targets",
+    "query_patterns", "skill_ema", "skill_match", "reflection_context",
+    "triple_edges", "graph_summary", "knn_euclidean", "knn_dot",
+    "vector_normalize",
 ]
 
 
