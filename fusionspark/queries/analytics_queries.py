@@ -2864,3 +2864,556 @@ def pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "change_day", "u_stat", "k_stat",
         F.round("p_approx", 6).alias("p_approx"),
     )
+
+
+# ── round 10: rank / distribution statistics ───────────────────────────────
+# Same float-parity classes as the rest of the module: every statistic
+# reduces to exact integer (or decimal-38/HUGEINT) sums first; doubles
+# enter only in one closed-form display expression written identically
+# on both engines.
+
+
+@query(
+    "spearman_corr",
+    """
+    WITH q AS (
+        SELECT FLOOR(l_quantity * 100.0 + 0.5)::BIGINT AS x,
+               FLOOR(l_extendedprice * 100.0 + 0.5)::BIGINT AS y,
+               FLOOR(l_discount * 100.0 + 0.5)::BIGINT AS z
+        FROM lineitem
+    ),
+    rx AS (SELECT x, (2 * SUM(cnt) OVER (ORDER BY x) - cnt + 1)::BIGINT AS r
+           FROM (SELECT x, COUNT(*)::BIGINT AS cnt FROM q GROUP BY x)),
+    ry AS (SELECT y, (2 * SUM(cnt) OVER (ORDER BY y) - cnt + 1)::BIGINT AS r
+           FROM (SELECT y, COUNT(*)::BIGINT AS cnt FROM q GROUP BY y)),
+    rz AS (SELECT z, (2 * SUM(cnt) OVER (ORDER BY z) - cnt + 1)::BIGINT AS r
+           FROM (SELECT z, COUNT(*)::BIGINT AS cnt FROM q GROUP BY z)),
+    ranked AS (
+        SELECT rx.r AS ax, ry.r AS ay, rz.r AS az
+        FROM q JOIN rx USING (x) JOIN ry USING (y) JOIN rz USING (z)
+    ),
+    s AS (
+        SELECT COUNT(*)::HUGEINT AS n,
+               SUM(ax)::HUGEINT AS sx, SUM(ay)::HUGEINT AS sy,
+               SUM(az)::HUGEINT AS sz,
+               SUM((ax * ay)::HUGEINT) AS sxy, SUM((ax * az)::HUGEINT) AS sxz,
+               SUM((ay * az)::HUGEINT) AS syz,
+               SUM((ax * ax)::HUGEINT) AS sxx, SUM((ay * ay)::HUGEINT) AS syy,
+               SUM((az * az)::HUGEINT) AS szz
+        FROM ranked
+    )
+    SELECT ROUND((n * sxy - sx * sy)::DOUBLE
+                 / SQRT((n * sxx - sx * sx)::DOUBLE)
+                 / SQRT((n * syy - sy * sy)::DOUBLE), 6) AS rho_qty_price,
+           ROUND((n * sxz - sx * sz)::DOUBLE
+                 / SQRT((n * sxx - sx * sx)::DOUBLE)
+                 / SQRT((n * szz - sz * sz)::DOUBLE), 6) AS rho_qty_disc,
+           ROUND((n * syz - sy * sz)::DOUBLE
+                 / SQRT((n * syy - sy * sy)::DOUBLE)
+                 / SQRT((n * szz - sz * sz)::DOUBLE), 6) AS rho_price_disc
+    FROM s
+    """,
+)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlations between the lineitem measures — the
+    rank-based (outlier- and monotone-transform-robust) companion of
+    lineitem_corr's Pearson.  Ties get average ranks, kept EXACT by
+    working with 2·avg_rank = 2·(#smaller) + #equal + 1 (an integer —
+    Pearson is affine-invariant, so doubling every rank leaves rho
+    unchanged); moments are decimal(38)/HUGEINT sums and doubles appear
+    only in the lineitem_corr closed-form shape.
+
+    Scale shape: two tiny per-axis groupBys (bounded by distinct values)
+    + a window cumsum, joined back onto the rows — the rank join is the
+    inherent cost of a rank statistic; the moment pass is one map-side-
+    combined aggregate.  At extreme n the 2·rank products approach the
+    decimal-38 bound around n ≈ 1e11 rows — far past any per-partition
+    frame this runs on."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("y"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("z"),
+    )
+
+    def rank2(col: str) -> DataFrame:
+        g = q.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
+        w = Window.orderBy(col)
+        return g.select(
+            col,
+            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1)
+            .cast("long")
+            .alias(f"r_{col}"),
+        )
+
+    ranked = (
+        q.join(rank2("x"), "x").join(rank2("y"), "y").join(rank2("z"), "z")
+        .select(
+            F.col("r_x").alias("ax"), F.col("r_y").alias("ay"),
+            F.col("r_z").alias("az"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ranked.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("ax"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(F.col("ay"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("az"))).cast("decimal(38,0)").alias("sz"),
+        F.sum(dec(F.col("ax") * F.col("ay"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec(F.col("ax") * F.col("az"))).cast("decimal(38,0)").alias("sxz"),
+        F.sum(dec(F.col("ay") * F.col("az"))).cast("decimal(38,0)").alias("syz"),
+        F.sum(dec(F.col("ax") * F.col("ax"))).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec(F.col("ay") * F.col("ay"))).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec(F.col("az") * F.col("az"))).cast("decimal(38,0)").alias("szz"),
+    )
+
+    def rho(sab, sa, sb, saa, sbb):
+        return F.round(
+            (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+            / F.sqrt((F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double"))
+            / F.sqrt((F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")),
+            6,
+        )
+
+    return s.select(
+        rho("sxy", "sx", "sy", "sxx", "syy").alias("rho_qty_price"),
+        rho("sxz", "sx", "sz", "sxx", "szz").alias("rho_qty_disc"),
+        rho("syz", "sy", "sz", "syy", "szz").alias("rho_price_disc"),
+    )
+
+
+_DAILY_CTE = """
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(FLOOR(value * 100.0 + 0.5)::BIGINT)::BIGINT AS x,
+               COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1
+    )
+"""
+
+
+def _daily_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """day → (revenue cents, event count): the bounded ≤|days| frame the
+    time-series statistics run on (the theil_sen/pettitt contract — the
+    corpus collapses in ONE groupBy, tests never touch raw events)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.count("*").cast("long").alias("c"),
+    )
+
+
+@query(
+    "kendall_tau_daily",
+    f"""
+    WITH {_DAILY_CTE},
+    p AS (
+        SELECT CASE WHEN (a.x - b.x) * (a.c - b.c) > 0 THEN 1 ELSE 0 END::BIGINT AS con,
+               CASE WHEN (a.x - b.x) * (a.c - b.c) < 0 THEN 1 ELSE 0 END::BIGINT AS dis,
+               CASE WHEN a.x = b.x THEN 1 ELSE 0 END::BIGINT AS tx,
+               CASE WHEN a.c = b.c THEN 1 ELSE 0 END::BIGINT AS tc
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    s AS (
+        SELECT SUM(con)::BIGINT AS nc, SUM(dis)::BIGINT AS nd,
+               SUM(tx)::BIGINT AS n1, SUM(tc)::BIGINT AS n2,
+               COUNT(*)::BIGINT AS n0
+        FROM p
+    )
+    SELECT n0, nc, nd, n1, n2,
+           ROUND((nc - nd)::DOUBLE
+                 / SQRT((n0 - n1)::DOUBLE) / SQRT((n0 - n2)::DOUBLE), 6) AS tau_b
+    FROM s
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily revenue and daily event count — the
+    concordance-based trend-association test (is a busier day a
+    higher-revenue day?).  All pair counts (concordant, discordant,
+    per-axis ties) are exact integers over the bounded-frame pair grid
+    (|days|² ≈ 450 pairs); tau-b's tie-corrected denominator
+    √(n0−n1)·√(n0−n2) is the single closed-form double.
+
+    Scale: the corpus collapses in one groupBy(day); the O(|days|²)
+    self-join runs on the ≤|days| frame only (a full-corpus Kendall
+    needs a global merge-sort inversion count — out of scope by
+    design, documented here)."""
+    d = _daily_frame(spark, sf_dir).localCheckpoint(eager=True)
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"), F.col("c").alias("ca"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"), F.col("c").alias("cb"))
+    p = a.join(b, F.col("da") < F.col("db")).select(
+        F.when((F.col("xa") - F.col("xb")) * (F.col("ca") - F.col("cb")) > 0, 1)
+        .otherwise(0).cast("long").alias("con"),
+        F.when((F.col("xa") - F.col("xb")) * (F.col("ca") - F.col("cb")) < 0, 1)
+        .otherwise(0).cast("long").alias("dis"),
+        F.when(F.col("xa") == F.col("xb"), 1).otherwise(0).cast("long").alias("tx"),
+        F.when(F.col("ca") == F.col("cb"), 1).otherwise(0).cast("long").alias("tc"),
+    )
+    s = p.agg(
+        F.sum("con").cast("long").alias("nc"),
+        F.sum("dis").cast("long").alias("nd"),
+        F.sum("tx").cast("long").alias("n1"),
+        F.sum("tc").cast("long").alias("n2"),
+        F.count("*").cast("long").alias("n0"),
+    )
+    return s.select(
+        "n0", "nc", "nd", "n1", "n2",
+        F.round(
+            (F.col("nc") - F.col("nd")).cast("double")
+            / F.sqrt((F.col("n0") - F.col("n1")).cast("double"))
+            / F.sqrt((F.col("n0") - F.col("n2")).cast("double")),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "mann_kendall",
+    f"""
+    WITH {_DAILY_CTE},
+    s AS (
+        SELECT SUM(CASE WHEN b.x > a.x THEN 1
+                        WHEN b.x < a.x THEN -1 ELSE 0 END)::BIGINT AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM daily),
+    ties AS (
+        SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie_term
+        FROM (SELECT COUNT(*)::BIGINT AS t FROM daily GROUP BY x) g
+        WHERE t > 1
+    )
+    SELECT s_stat,
+           (n.n * (n.n - 1) * (2 * n.n + 5) - tie_term)::BIGINT AS var18,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing' ELSE 'no trend' END AS trend,
+           ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE
+                      WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE
+                      ELSE 0.0 END
+                 / SQRT((n.n * (n.n - 1) * (2 * n.n + 5) - tie_term)::DOUBLE
+                        / 18.0), 6) AS z
+    FROM s, n, ties
+    """,
+)
+def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily revenue series — the
+    rank-sign trend detector that needs no linear model (complements
+    theil_sen_trend's slope estimate and pettitt_test's change point):
+    S = Σ_{{i<j}} sgn(x_j − x_i) exact BIGINT over the bounded pair grid,
+    tie-corrected Var·18 kept as an exact integer, and the
+    continuity-corrected z the one closed-form double."""
+    d = _daily_frame(spark, sf_dir).localCheckpoint(eager=True)
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = d.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        d.groupBy("x").agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    out = s.crossJoin(n).crossJoin(ties)
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ).cast("long")
+    num = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        "s_stat",
+        var18.alias("var18"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("no trend")
+        .alias("trend"),
+        F.round(num / F.sqrt(var18.cast("double") / 18.0), 6).alias("z"),
+    )
+
+
+@query(
+    "runs_test",
+    f"""
+    WITH {_DAILY_CTE},
+    ordered AS (
+        SELECT day, x, ROW_NUMBER() OVER (ORDER BY x, day)::BIGINT AS i,
+               COUNT(*) OVER ()::BIGINT AS n
+        FROM daily
+    ),
+    med AS (
+        SELECT (SELECT x FROM ordered WHERE i = (n + 1) // 2 LIMIT 1)
+             + (SELECT x FROM ordered WHERE i = (n + 2) // 2 LIMIT 1) AS med2
+        FROM ordered LIMIT 1
+    ),
+    signs AS (
+        SELECT day, CASE WHEN 2 * x > med2 THEN 1 ELSE 0 END AS s
+        FROM daily, med
+        WHERE 2 * x <> med2
+    ),
+    runs AS (
+        SELECT SUM(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)::BIGINT AS r,
+               SUM(s)::BIGINT AS n1,
+               SUM(1 - s)::BIGINT AS n2
+        FROM (SELECT s, LAG(s) OVER (ORDER BY day) AS prev FROM signs)
+    )
+    SELECT r, n1, n2,
+           ROUND((r::DOUBLE - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2)::DOUBLE * (n1 + n2) * (n1 + n2 - 1))),
+                 6) AS z
+    FROM runs
+    """,
+)
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue
+    series around its median: days above/below the median form runs;
+    too few runs = trending/clustered, too many = oscillating.  The
+    median cut is EXACT (2·x vs the sum of the two middle order
+    statistics — no float median; exact-median days are excluded, the
+    standard treatment), the runs/above/below counts are integers from
+    a lag over the bounded frame, and the normal-approximation z is the
+    one closed-form double."""
+    from pyspark.sql import Window as W
+
+    d = _daily_frame(spark, sf_dir).localCheckpoint(eager=True)
+    o = d.select(
+        "day", "x",
+        F.row_number().over(W.orderBy("x", "day")).cast("long").alias("i"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("n"),
+    )
+    m1 = o.filter(F.col("i") == F.floor((F.col("n") + 1) / 2)).select("x")
+    m2 = o.filter(F.col("i") == F.floor((F.col("n") + 2) / 2)).select("x")
+    med2 = m1.crossJoin(m2.withColumnRenamed("x", "x2")).select(
+        (F.col("x") + F.col("x2")).alias("med2")
+    )
+    signs = (
+        d.crossJoin(F.broadcast(med2))
+        .filter(2 * F.col("x") != F.col("med2"))
+        .select(
+            "day", F.when(2 * F.col("x") > F.col("med2"), 1).otherwise(0).alias("s")
+        )
+    )
+    lagged = signs.select(
+        "s", F.lag("s").over(W.orderBy("day")).alias("prev")
+    )
+    runs = lagged.agg(
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("s") != F.col("prev")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("r"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return runs.select(
+        "r", "n1", "n2",
+        F.round((r.cast("double") - mu) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@query(
+    "ks_two_sample",
+    """
+    WITH cnts AS (
+        SELECT n_chars AS v,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+               SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS cb
+        FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1
+    ),
+    cum AS (
+        SELECT SUM(ca) OVER (ORDER BY v)::BIGINT AS fa,
+               SUM(cb) OVER (ORDER BY v)::BIGINT AS fb,
+               (SELECT SUM(ca)::BIGINT FROM cnts) AS n,
+               (SELECT SUM(cb)::BIGINT FROM cnts) AS m
+        FROM cnts
+    ),
+    d AS (
+        SELECT MAX(ABS(fa * m - fb * n))::BIGINT AS d_num,
+               MAX(n)::BIGINT AS n, MAX(m)::BIGINT AS m
+        FROM cum
+    )
+    SELECT n, m, d_num,
+           ROUND(d_num::DOUBLE / (n::DOUBLE * m), 6) AS d,
+           ROUND(2 * EXP(-2.0 * (d_num::DOUBLE / (n::DOUBLE * m))
+                              * (d_num::DOUBLE / (n::DOUBLE * m))
+                              * n * m / (n + m)), 6) AS p_approx
+    FROM d
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: does English doc length follow
+    the same distribution as Chinese doc length?  The distribution-free
+    screen a curation pipeline runs before pooling sources.  The KS
+    statistic is kept EXACT: D = max|F_a − F_b| is computed as the
+    integer max of |cum_a·m − cum_b·n| over the pooled value grid (no
+    float ECDFs), with D itself and the one-term asymptotic p-value
+    2·exp(−2D²nm/(n+m)) the only closed-form doubles.
+
+    Scale: one groupBy(value) collapse (bounded by distinct lengths), a
+    window cumsum over that bounded grid, one max — the corpus shuffles
+    once as (value, two counts)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "zh")
+    )
+    cnts = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("lang") == "zh", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    w = W.orderBy("v")
+    tot = W.partitionBy()
+    cum = cnts.select(
+        F.sum("ca").over(w).cast("long").alias("fa"),
+        F.sum("cb").over(w).cast("long").alias("fb"),
+        F.sum("ca").over(tot).cast("long").alias("n"),
+        F.sum("cb").over(tot).cast("long").alias("m"),
+    )
+    d = cum.agg(
+        F.max(F.abs(F.col("fa") * F.col("m") - F.col("fb") * F.col("n")))
+        .cast("long")
+        .alias("d_num"),
+        F.max("n").cast("long").alias("n"),
+        F.max("m").cast("long").alias("m"),
+    )
+    dd = F.col("d_num").cast("double") / (F.col("n").cast("double") * F.col("m"))
+    return d.select(
+        "n", "m", "d_num",
+        F.round(dd, 6).alias("d"),
+        F.round(
+            2
+            * F.exp(
+                -2.0 * dd * dd * F.col("n") * F.col("m") / (F.col("n") + F.col("m"))
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+@query(
+    "cramers_v",
+    """
+    WITH cells AS (
+        SELECT lang AS g, source AS s, COUNT(*)::BIGINT AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    rm AS (SELECT g, SUM(o)::BIGINT AS r FROM cells GROUP BY g),
+    cm AS (SELECT s, SUM(o)::BIGINT AS c FROM cells GROUP BY s),
+    nn AS (SELECT SUM(o)::BIGINT AS n FROM cells),
+    grid AS (
+        SELECT rm.g, cm.s, rm.r, cm.c, COALESCE(cells.o, 0)::BIGINT AS o
+        FROM rm CROSS JOIN cm
+        LEFT JOIN cells ON cells.g = rm.g AND cells.s = cm.s
+    ),
+    terms AS (
+        SELECT g, s,
+               ((o * nn.n - r * c)::DOUBLE * (o * nn.n - r * c)::DOUBLE)
+               / (nn.n * r * c)::DOUBLE AS term
+        FROM grid CROSS JOIN nn
+    ),
+    folded AS (
+        SELECT list_reduce(list_prepend(0.0, list(term ORDER BY g, s)),
+                           (a, x) -> a + x) AS chi2
+        FROM terms
+    ),
+    dims AS (
+        SELECT (SELECT COUNT(*) FROM rm)::BIGINT AS nr,
+               (SELECT COUNT(*) FROM cm)::BIGINT AS nc,
+               (SELECT n FROM nn)::BIGINT AS n
+    )
+    SELECT ROUND(folded.chi2, 6) AS chi2,
+           ((dims.nr - 1) * (dims.nc - 1))::BIGINT AS dof,
+           ROUND(SQRT(folded.chi2
+                      / (dims.n * LEAST(dims.nr - 1, dims.nc - 1))::DOUBLE),
+                 6) AS v
+    FROM folded CROSS JOIN dims
+    """,
+)
+def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between document language and source — the EFFECT-SIZE
+    readout the chi2_independence significance test doesn't give (is the
+    lang×source association big enough to stratify sampling by?).  Same
+    exact-integer contingency discipline: (O·N − R·C)²/(N·R·C) per cell
+    from BIGINT counts, a (lang, source)-ordered IEEE fold for the χ²
+    sum, and V = √(χ²/(N·min(r−1, c−1))) the closed-form double.
+
+    Plan: one groupBy(lang, source) corpus collapse; margins, grid, and
+    fold on the ≤|langs|·|sources| frame."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy(F.col("lang").alias("g"), F.col("source").alias("s"))
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    rm = cells.groupBy("g").agg(F.sum("o").cast("long").alias("r"))
+    cm = cells.groupBy("s").agg(F.sum("o").cast("long").alias("c"))
+    nn = cells.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rm.crossJoin(F.broadcast(cm))
+        .join(cells, ["g", "s"], "left")
+        .select(
+            "g", "s", "r", "c",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    x = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    terms = grid.crossJoin(F.broadcast(nn)).select(
+        "g", "s",
+        ((x * x) / (F.col("n") * F.col("r") * F.col("c")).cast("double")).alias("term"),
+    )
+    folded = terms.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("g", "s", "term"))),
+            F.lit(0.0),
+            lambda acc, st: acc + st["term"],
+        ).alias("chi2")
+    )
+    dims = (
+        rm.agg(F.count("*").cast("long").alias("nr"))
+        .crossJoin(F.broadcast(cm.agg(F.count("*").cast("long").alias("nc"))))
+        .crossJoin(F.broadcast(nn))
+    )
+    return folded.crossJoin(F.broadcast(dims)).select(
+        F.round("chi2", 6).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1)
+                ).cast("double")
+            ),
+            6,
+        ).alias("v"),
+    )

@@ -1,0 +1,179 @@
+"""Round-10 rank/distribution statistics: independent pure-Python
+recomputation of each statistic from the raw parquet (a third
+implementation besides the Spark query and its DuckDB oracle)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(sql):
+    return duckdb.connect().execute(sql).fetchall()
+
+
+def _one(spark, name):
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    fn, _ = REGISTRY[name]
+    return fn(spark, SF).collect()[0]
+
+
+def _avg_ranks(vals):
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    r = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+            j += 1
+        avg = (i + j) / 2 + 1
+        for k in range(i, j + 1):
+            r[order[k]] = avg
+        i = j + 1
+    return r
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    return (n * sxy - sx * sy) / math.sqrt(n * sxx - sx * sx) / math.sqrt(
+        n * syy - sy * sy
+    )
+
+
+def test_spearman_matches_pure_python(spark):
+    rows = _rows(
+        f"""SELECT FLOOR(l_quantity*100.0+0.5)::BIGINT,
+                   FLOOR(l_extendedprice*100.0+0.5)::BIGINT,
+                   FLOOR(l_discount*100.0+0.5)::BIGINT
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+    )
+    xs, ys, zs = zip(*rows)
+    rho = lambda a, b: _pearson(_avg_ranks(a), _avg_ranks(b))  # noqa: E731
+    got = _one(spark, "spearman_corr")
+    assert got.rho_qty_price == pytest.approx(rho(xs, ys), abs=2e-6)
+    assert got.rho_qty_disc == pytest.approx(rho(xs, zs), abs=2e-6)
+    assert got.rho_price_disc == pytest.approx(rho(ys, zs), abs=2e-6)
+
+
+def _daily():
+    return _rows(
+        f"""SELECT CAST(ts AS DATE) AS day,
+                   SUM(FLOOR(value*100.0+0.5)::BIGINT)::BIGINT AS x,
+                   COUNT(*)::BIGINT AS c
+            FROM read_parquet('{SF}/events.parquet')
+            GROUP BY 1 ORDER BY 1"""
+    )
+
+
+def test_kendall_tau_matches_pure_python(spark):
+    d = _daily()
+    nc = nd = n1 = n2 = 0
+    for i in range(len(d)):
+        for j in range(i + 1, len(d)):
+            dx, dc = d[i][1] - d[j][1], d[i][2] - d[j][2]
+            nc += dx * dc > 0
+            nd += dx * dc < 0
+            n1 += dx == 0
+            n2 += dc == 0
+    n0 = len(d) * (len(d) - 1) // 2
+    got = _one(spark, "kendall_tau_daily")
+    assert (got.n0, got.nc, got.nd, got.n1, got.n2) == (n0, nc, nd, n1, n2)
+    assert got.tau_b == pytest.approx(
+        (nc - nd) / math.sqrt(n0 - n1) / math.sqrt(n0 - n2), abs=2e-6
+    )
+
+
+def test_mann_kendall_matches_pure_python(spark):
+    d = _daily()
+    xs = [r[1] for r in d]
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    n = len(xs)
+    from collections import Counter
+
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(xs).values() if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    got = _one(spark, "mann_kendall")
+    assert got.s_stat == s and got.var18 == var18
+    num = s - 1 if s > 0 else s + 1 if s < 0 else 0
+    assert got.z == pytest.approx(num / math.sqrt(var18 / 18.0), abs=2e-6)
+
+
+def test_runs_test_matches_pure_python(spark):
+    d = _daily()
+    xs = [r[1] for r in d]
+    srt = sorted(xs)
+    n = len(xs)
+    med2 = srt[(n + 1) // 2 - 1] + srt[(n + 2) // 2 - 1]
+    signs = [1 if 2 * x > med2 else 0 for x in xs if 2 * x != med2]
+    r = 1 + sum(signs[i] != signs[i - 1] for i in range(1, len(signs)))
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    got = _one(spark, "runs_test")
+    assert (got.r, got.n1, got.n2) == (r, n1, n2)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / (
+        (n1 + n2) ** 2 * (n1 + n2 - 1)
+    )
+    assert got.z == pytest.approx((r - mu) / math.sqrt(var), abs=2e-6)
+
+
+def test_ks_two_sample_matches_pure_python(spark):
+    rows = _rows(
+        f"""SELECT lang, n_chars FROM read_parquet('{SF}/documents.parquet')
+            WHERE lang IN ('en','zh')"""
+    )
+    a = sorted(v for lg, v in rows if lg == "en")
+    b = sorted(v for lg, v in rows if lg == "zh")
+    n, m = len(a), len(b)
+    d_num = 0
+    for v in sorted(set(a) | set(b)):
+        fa = sum(1 for x in a if x <= v)
+        fb = sum(1 for x in b if x <= v)
+        d_num = max(d_num, abs(fa * m - fb * n))
+    got = _one(spark, "ks_two_sample")
+    assert (got.n, got.m, got.d_num) == (n, m, d_num)
+    dd = d_num / (n * m)
+    assert got.d == pytest.approx(dd, abs=2e-6)
+    assert got.p_approx == pytest.approx(
+        2 * math.exp(-2 * dd * dd * n * m / (n + m)), abs=2e-6
+    )
+
+
+def test_cramers_v_matches_pure_python(spark):
+    rows = _rows(
+        f"SELECT lang, source, COUNT(*) FROM "
+        f"read_parquet('{SF}/documents.parquet') GROUP BY 1, 2"
+    )
+    from collections import defaultdict
+
+    o = {(g, s): c for g, s, c in rows}
+    rm = defaultdict(int)
+    cm = defaultdict(int)
+    for (g, s), c in o.items():
+        rm[g] += c
+        cm[s] += c
+    n = sum(o.values())
+    chi2 = sum(
+        (o.get((g, s), 0) * n - rm[g] * cm[s]) ** 2 / (n * rm[g] * cm[s])
+        for g in sorted(rm)
+        for s in sorted(cm)
+    )
+    got = _one(spark, "cramers_v")
+    assert got.dof == (len(rm) - 1) * (len(cm) - 1)
+    assert got.chi2 == pytest.approx(chi2, abs=2e-5)
+    assert got.v == pytest.approx(
+        math.sqrt(chi2 / (n * min(len(rm) - 1, len(cm) - 1))), abs=2e-6
+    )
