@@ -3417,3 +3417,258 @@ def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("v"),
     )
+
+
+@query(
+    "ewma_control",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(FLOOR(value * 100.0 + 0.5)::BIGINT)::BIGINT AS x
+        FROM events GROUP BY 1
+    ),
+    ys AS (
+        SELECT list(strftime(day, '%Y-%m-%d') ORDER BY day) AS days,
+               list(CAST(x AS DOUBLE) ORDER BY day) AS ys
+        FROM daily
+    ),
+    folded AS (
+        SELECT days, ys,
+               list_reduce(
+                   list_prepend([ys[1]], list_transform(ys[2:], y -> [y])),
+                   (a, y) -> list_append(a, a[-1] + 0.25 * (y[1] - a[-1]))
+               ) AS es
+        FROM ys
+    ),
+    mom AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(x)::HUGEINT AS s,
+               SUM((x * x)::HUGEINT) AS ss
+        FROM daily
+    ),
+    lim AS (
+        SELECT ROUND(3.0 * SQRT(((n * ss - s * s)::DOUBLE) / n / (n - 1))
+                         * SQRT(1.0 / 7.0), 6) AS limit3,
+               ROUND((s::DOUBLE) / n, 6) AS mu
+        FROM mom
+    )
+    SELECT t.day, t.x,
+           ROUND(t.e, 6) AS ewma,
+           (ROUND(ABS(t.e - (SELECT (s::DOUBLE) / n FROM mom)), 6)
+            > (SELECT limit3 FROM lim)) AS out_of_control,
+           (SELECT mu FROM lim) AS mu,
+           (SELECT limit3 FROM lim) AS limit3
+    FROM (
+        SELECT unnest(days) AS day,
+               unnest(list_transform(ys, v -> v::BIGINT)) AS x,
+               unnest(es) AS e
+        FROM folded
+    ) t
+    """,
+)
+def ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily revenue (λ=1/4, L=3) — the
+    small-shift drift detector that complements ts_anomalies' one-shot
+    MAD screen and changepoint_cusum's cumulative sum: the EWMA line
+    e_t = e_{t−1} + λ(x_t − e_{t−1}) reacts to sustained small shifts a
+    3σ point rule misses.  λ is an exact binary fraction and the fold is
+    day-ordered with the update written textually identically in both
+    engines (the ets/hw ordered-IEEE-fold discipline) so every e_t is
+    bit-identical; σ comes from exact HUGEINT moments, and the
+    out-of-control cut compares ROUNDED |e_t − μ| against the ROUNDED
+    asymptotic limit 3σ√(λ/(2−λ)) — never raw multi-op doubles (the
+    weighted_sample k-boundary lesson).
+
+    Scale: one groupBy(day) corpus collapse; fold and chart on the
+    bounded ≤|days| frame."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("x")
+    ).localCheckpoint(eager=True)
+    ys = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: F.date_format(s["day"], "yyyy-MM-dd"),
+        ).alias("days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"].cast("double"),
+        ).alias("ys"),
+    )
+    init = F.array(F.element_at("ys", 1))
+    rest = F.transform(
+        F.slice(F.col("ys"), 2, F.size("ys")), lambda v: F.array(v)
+    )
+    es = F.aggregate(
+        rest,
+        init,
+        lambda a, y: F.concat(
+            a,
+            F.array(
+                F.element_at(a, -1)
+                + 0.25 * (F.element_at(y, 1) - F.element_at(a, -1))
+            ),
+        ),
+    )
+    folded = ys.select("days", "ys", es.alias("es"))
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    lim = mom.select(
+        F.round(
+            3.0
+            * F.sqrt(
+                (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+                / F.col("n")
+                / (F.col("n") - 1)
+            )
+            * F.sqrt(F.lit(1.0) / 7.0),
+            6,
+        ).alias("limit3"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mu"),
+        (F.col("s").cast("double") / F.col("n")).alias("mu_raw"),
+    )
+    rows = folded.select(
+        F.posexplode(F.arrays_zip("days", "ys", "es")).alias("pos", "z")
+    ).select(
+        F.col("z.days").alias("day"),
+        F.col("z.ys").cast("long").alias("x"),
+        F.col("z.es").alias("e"),
+    )
+    return rows.crossJoin(F.broadcast(lim)).select(
+        "day", "x",
+        F.round("e", 6).alias("ewma"),
+        (F.round(F.abs(F.col("e") - F.col("mu_raw")), 6) > F.col("limit3"))
+        .alias("out_of_control"),
+        "mu", "limit3",
+    )
+
+
+@query(
+    "shuffle_skew_report",
+    """
+    WITH kc AS (
+        SELECT l_partkey AS k, COUNT(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    coc AS (
+        SELECT cnt, COUNT(*)::BIGINT AS freq FROM kc GROUP BY cnt
+    ),
+    walked AS (
+        SELECT cnt, SUM(freq) OVER (ORDER BY cnt)::BIGINT AS cum,
+               (SELECT SUM(freq)::BIGINT FROM coc) AS tot
+        FROM coc
+    ),
+    ginisrc AS (
+        SELECT SUM((2 * i - n - 1) * cnt)::BIGINT AS gnum,
+               MAX(n)::BIGINT AS k_cnt, SUM(cnt)::BIGINT AS n_rows
+        FROM (SELECT cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt, k)::BIGINT AS i,
+                     COUNT(*) OVER ()::BIGINT AS n
+              FROM kc)
+    ),
+    mom AS (
+        SELECT COUNT(*)::BIGINT AS k_cnt, SUM(cnt)::HUGEINT AS s,
+               SUM((cnt * cnt)::HUGEINT) AS ss, MAX(cnt)::BIGINT AS mx
+        FROM kc
+    )
+    SELECT mom.k_cnt AS n_keys, ginisrc.n_rows,
+           mom.mx AS max_cnt,
+           (SELECT MIN(cnt) FROM walked
+            WHERE cum >= (tot * 500 + 999) // 1000)::BIGINT AS p50_cnt,
+           (SELECT MIN(cnt) FROM walked
+            WHERE cum >= (tot * 990 + 999) // 1000)::BIGINT AS p99_cnt,
+           ROUND(mom.mx::DOUBLE / ginisrc.n_rows, 6) AS top1_share,
+           ROUND(ginisrc.gnum::DOUBLE / (ginisrc.k_cnt::DOUBLE * ginisrc.n_rows),
+                 6) AS gini,
+           ROUND(SQRT((mom.k_cnt * mom.ss - mom.s * mom.s)::DOUBLE
+                      / mom.k_cnt / (mom.k_cnt - 1))
+                 / ((mom.s::DOUBLE) / mom.k_cnt), 6) AS cv
+    FROM mom CROSS JOIN ginisrc
+    """,
+)
+def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for l_partkey — the report you run BEFORE
+    shuffling 100 TB on a key: per-key row counts reduced to max / exact
+    p50 / exact p99 / top-1 share / Gini / coefficient of variation.  A
+    Gini near 0 and p99≈p50 say hash partitioning is safe; a fat top-1
+    share says salt THIS key (salted_join_demo is the companion fix).
+    Counts are exact BIGINTs, the percentiles use the histogram_quantiles
+    integer permille walk on the count-of-counts grid, Gini's numerator
+    Σ(2i−K−1)·cnt is an exact integer over the sorted counts (tie order
+    irrelevant — equal values contribute equally under any permutation),
+    and only the three display ratios are doubles.
+
+    Scale: one groupBy(key) with map-side combine; everything else runs
+    on the K-row counts frame (and the permille walk on the even smaller
+    count-of-counts grid)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)
+    coc = kc.groupBy("cnt").agg(F.count("*").cast("long").alias("freq"))
+    walked = coc.select(
+        "cnt",
+        F.sum("freq").over(W.orderBy("cnt")).cast("long").alias("cum"),
+        F.sum("freq").over(W.partitionBy()).cast("long").alias("tot"),
+    )
+
+    def perc(perm: int):
+        rank = F.expr(f"(tot * {perm} + 999) div 1000")
+        return F.min(F.when(F.col("cum") >= rank, F.col("cnt"))).cast("long")
+
+    pcts = walked.agg(perc(500).alias("p50_cnt"), perc(990).alias("p99_cnt"))
+    ranked = kc.select(
+        "cnt",
+        F.row_number().over(W.orderBy("cnt", "k")).cast("long").alias("i"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("n"),
+    )
+    gini = ranked.agg(
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cnt"))
+        .cast("long")
+        .alias("gnum"),
+        F.max("n").cast("long").alias("k_cnt"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
+    mom = kc.agg(
+        F.count("*").cast("long").alias("k_cnt2"),
+        F.sum(F.col("cnt").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.sum((F.col("cnt") * F.col("cnt")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+        F.max("cnt").cast("long").alias("mx"),
+    )
+    return (
+        mom.crossJoin(F.broadcast(gini))
+        .crossJoin(F.broadcast(pcts))
+        .select(
+            F.col("k_cnt2").alias("n_keys"),
+            "n_rows",
+            F.col("mx").alias("max_cnt"),
+            "p50_cnt", "p99_cnt",
+            F.round(F.col("mx").cast("double") / F.col("n_rows"), 6)
+            .alias("top1_share"),
+            F.round(
+                F.col("gnum").cast("double")
+                / (F.col("k_cnt").cast("double") * F.col("n_rows")),
+                6,
+            ).alias("gini"),
+            F.round(
+                F.sqrt(
+                    (F.col("k_cnt2") * F.col("ss") - F.col("s") * F.col("s"))
+                    .cast("double")
+                    / F.col("k_cnt2")
+                    / (F.col("k_cnt2") - 1)
+                )
+                / (F.col("s").cast("double") / F.col("k_cnt2")),
+                6,
+            ).alias("cv"),
+        )
+    )

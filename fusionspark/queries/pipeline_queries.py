@@ -4021,3 +4021,89 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_lines") - F.col("n_lines_kept")).cast("long").alias("n_dropped"),
         F.md5("text").alias("text_md5"),
     )
+
+
+@query(
+    "compaction_plan",
+    """
+    WITH RECURSIVE src AS (
+        SELECT source, SUM(n_chars)::BIGINT AS sz
+        FROM documents GROUP BY 1
+    ),
+    cap AS (SELECT (2 * MAX(sz))::BIGINT AS cap FROM src),
+    ordered AS (
+        SELECT list(sz ORDER BY sz DESC, source ASC) AS szs,
+               list(source ORDER BY sz DESC, source ASC) AS names
+        FROM src
+    ),
+    ffd AS (
+        SELECT 0::BIGINT AS i, []::BIGINT[] AS bins, []::BIGINT[] AS abin
+        UNION ALL
+        SELECT i + 1,
+               CASE WHEN j IS NULL THEN list_append(bins, sz)
+                    ELSE bins[:j-1] || [bins[j] + sz] || bins[j+1:] END,
+               list_append(abin, CASE WHEN j IS NULL THEN len(bins) + 1
+                                      ELSE j END)
+        FROM (
+            SELECT i, bins, abin, sz,
+                   NULLIF(list_position(
+                       list_transform(bins, b -> b + sz <= cap), true), 0) AS j
+            FROM (
+                SELECT i, bins, abin,
+                       (SELECT szs[i + 1] FROM ordered) AS sz,
+                       (SELECT cap FROM cap) AS cap
+                FROM ffd
+            )
+        )
+        WHERE i < (SELECT len(szs) FROM ordered)
+    )
+    SELECT t.name AS source, t.sz AS size_bytes, t.b::BIGINT AS bin_id,
+           (SELECT cap FROM cap) AS capacity
+    FROM (
+        SELECT unnest((SELECT names FROM ordered)) AS name,
+               unnest((SELECT szs FROM ordered)) AS sz,
+               unnest(abin) AS b
+        FROM ffd WHERE i = (SELECT len(szs) FROM ordered)
+    ) t
+    """,
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning — first-fit-decreasing bin packing
+    of per-source byte totals into merge bins of capacity 2·max(size):
+    the planning pass a 100 TB lakehouse runs to turn a small-files mess
+    into target-size parquet (each bin becomes one coalesced write).
+    FFD is the classic 11/9·OPT+1 heuristic; items sort (size DESC,
+    name ASC) so the plan is total-order deterministic, and every load
+    comparison is exact BIGINT arithmetic.
+
+    Scale shape: sizes come from ONE corpus groupBy; the sequential
+    first-fit fold then runs on the bounded per-GROUP metadata frame
+    (|sources| rows here; file-manifest rows in production — planning
+    input is metadata, never data).  The fold is inherently sequential
+    (each placement depends on all prior loads), so the bounded frame
+    collects to the driver — the pettitt/theil_sen bounded-frame
+    contract — and the DuckDB oracle replays it as a recursive CTE.
+    Not in the reference (scale addition): the reference's single-file
+    persistence (FusionEngine.js save/load) never faces file layout."""
+    d = load_table(spark, sf_dir, "documents")
+    src = (
+        d.groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("sz"))
+        .collect()
+    )  # bounded: one row per source
+    items = sorted(src, key=lambda r: (-r["sz"], r["source"]))
+    cap = 2 * max(r["sz"] for r in src)
+    bins: list[int] = []
+    rows = []
+    for r in items:
+        for j, load in enumerate(bins):
+            if load + r["sz"] <= cap:
+                bins[j] += r["sz"]
+                rows.append((r["source"], r["sz"], j + 1, cap))
+                break
+        else:
+            bins.append(r["sz"])
+            rows.append((r["source"], r["sz"], len(bins), cap))
+    return spark.createDataFrame(
+        rows, "source string, size_bytes long, bin_id long, capacity long"
+    )

@@ -177,3 +177,85 @@ def test_cramers_v_matches_pure_python(spark):
     assert got.v == pytest.approx(
         math.sqrt(chi2 / (n * min(len(rm) - 1, len(cm) - 1))), abs=2e-6
     )
+
+
+def test_ewma_control_matches_pure_python(spark):
+    d = _daily()
+    xs = [float(r[1]) for r in d]
+    es = [xs[0]]
+    for x in xs[1:]:
+        es.append(es[-1] + 0.25 * (x - es[-1]))
+    n = len(xs)
+    s, ss = sum(int(x) for x in xs), sum(int(x) * int(x) for x in xs)
+    mu = s / n
+    limit3 = round(3 * math.sqrt((n * ss - s * s) / n / (n - 1))
+                   * math.sqrt(1 / 7), 6)
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    got = sorted(REGISTRY["ewma_control"][0](spark, SF).collect(),
+                 key=lambda r: r.day)
+    assert len(got) == n
+    for row, e, (day, x, _c) in zip(got, es, d):
+        assert row.day == day.strftime("%Y-%m-%d")
+        assert row.x == x
+        assert row.ewma == round(e, 6)  # bit-identical fold, then round
+        assert row.out_of_control == (round(abs(e - mu), 6) > limit3)
+    # the chart must actually flag something on a planted shift: the
+    # law, not the fixture — a +10 sigma constant shift mid-series
+    # pushes the ewma out of the 3-sigma-sqrt(lambda/(2-lambda)) band
+    sigma = math.sqrt((n * ss - s * s) / n / (n - 1))
+    planted = xs[: n // 2] + [x + 10 * sigma for x in xs[n // 2:]]
+    pe = [planted[0]]
+    for x in planted[1:]:
+        pe.append(pe[-1] + 0.25 * (x - pe[-1]))
+    pmu = sum(planted) / n
+    assert any(abs(e - pmu) > limit3 for e in pe)
+
+
+def test_shuffle_skew_report_matches_pure_python(spark):
+    rows = _rows(
+        f"""SELECT l_partkey, COUNT(*)::BIGINT FROM
+            read_parquet('{SF}/lineitem.parquet') GROUP BY 1"""
+    )
+    cnts = sorted(c for _k, c in rows)
+    k, n = len(cnts), sum(cnts)
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    got = REGISTRY["shuffle_skew_report"][0](spark, SF).collect()[0]
+    assert (got.n_keys, got.n_rows, got.max_cnt) == (k, n, cnts[-1])
+    def pct(perm):
+        rank = (k * perm + 999) // 1000
+        return cnts[rank - 1]
+    assert (got.p50_cnt, got.p99_cnt) == (pct(500), pct(990))
+    gnum = sum((2 * (i + 1) - k - 1) * c for i, c in enumerate(cnts))
+    assert got.gini == pytest.approx(gnum / (k * n), abs=2e-6)
+    assert got.top1_share == pytest.approx(cnts[-1] / n, abs=2e-6)
+
+
+def test_compaction_plan_is_ffd_and_feasible(spark):
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    got = REGISTRY["compaction_plan"][0](spark, SF).collect()
+    cap = got[0].capacity
+    loads = {}
+    for r in got:
+        loads[r.bin_id] = loads.get(r.bin_id, 0) + r.size_bytes
+    # feasible: no bin exceeds capacity; bins numbered 1..B densely
+    assert all(v <= cap for v in loads.values())
+    assert sorted(loads) == list(range(1, len(loads) + 1))
+    # FFD law: replay first-fit over (size DESC, source ASC) and compare
+    items = sorted(got, key=lambda r: (-r.size_bytes, r.source))
+    bins, want = [], {}
+    for r in items:
+        for j in range(len(bins)):
+            if bins[j] + r.size_bytes <= cap:
+                bins[j] += r.size_bytes
+                want[r.source] = j + 1
+                break
+        else:
+            bins.append(r.size_bytes)
+            want[r.source] = len(bins)
+    assert {r.source: r.bin_id for r in got} == want
