@@ -780,3 +780,32 @@ def mp4_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_luma", 6).alias("mean_luma"),
         "luma_checksum", "cb_checksum", "cr_checksum",
     )
+
+
+@query(
+    "exif_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+           4::BIGINT AS n_entries,
+           'Cam' || (doc_id % 5)::VARCHAR AS make,
+           'M' || (doc_id % 7)::VARCHAR AS model,
+           (1 + doc_id % 8)::BIGINT AS orientation,
+           '2026:01:' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+                      || ' 03:04:05' AS dt
+    FROM documents
+    """,
+)
+def exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF IFD0 extraction over real JPEG+EXIF payloads — a full TIFF
+    walker (both byte orders, inline vs offset values, SHORT/ASCII
+    types; operators/exif.py) run as a zero-shuffle Arrow map, attested
+    against the synth laws the oracle replays arithmetically (the
+    synth_jpeg_media derived-corpus contract).  Every gate exercises II
+    AND MM files and all four TIFF value layouts.  Scale: metadata-plane
+    only — the parser reads the APP1 segment and never entropy-decodes
+    pixels, the curation-time win EXIF exists for."""
+    from fusionspark.operators.exif import exif_fields, synth_exif_media
+
+    media = synth_exif_media(spark, sf_dir)
+    return exif_fields(media)
