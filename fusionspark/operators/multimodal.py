@@ -1057,3 +1057,95 @@ def audio_fingerprint_neardup(
     return verify.filter(sim >= F.lit(threshold)).select(
         "id_a", "id_b", "n_common", F.round(sim, 6).alias("sim")
     )
+
+
+def synth_mixed_media(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """Mixed-format media table for ingestion-time format routing:
+    doc_id % 8 picks the writer —
+
+        0 PNG   1 JPEG   2 BMP   3 GIF   4 WAV   5 MP4 (ftyp)
+        6 AVI (RIFF)   7 unknown (md5 bytes behind a \\x00\\x00 guard so
+        no magic can match by accident)
+
+    Every payload comes from the repo's REAL writers (the same encoders
+    the codec queries attest), so the sniffer is tested against honest
+    container bytes, and the expected mime is a pure function of doc_id
+    — the synth_jpeg_media derived-corpus contract."""
+    import hashlib
+    import struct as _struct
+
+    from fusionspark.io import load_table
+    from fusionspark.operators.avi import avi_encode
+    from fusionspark.operators.bmp import bmp_encode
+    from fusionspark.operators.gif import gif_encode
+    from fusionspark.operators.jpeg import jpeg_encode
+    from fusionspark.operators.mp4 import _box
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        plane = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+        rgb = np.stack([plane[:2, :2]] * 3, axis=-1).astype(np.uint8)
+        qb = np.zeros((1, 8, 8), dtype=np.int64)
+        qb[0, 0, 0] = 1
+        jpg = jpeg_encode(None, qblocks=qb, size=(8, 8))
+        fixed = {
+            0: png_encode(plane),
+            1: jpg,
+            2: bmp_encode(rgb),
+            3: gif_encode(plane),
+            4: wav_encode(np.arange(16), 8000),
+            5: _box(b"ftyp", b"isom" + _struct.pack(">I", 0) + b"isomavc1"),
+            6: avi_encode([jpg], fps=4, width=8, height=8),
+        }
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = d % 8
+                payload = (
+                    fixed[k]
+                    if k < 7
+                    else b"\x00\x00" + hashlib.md5(f"mime:{d}".encode()).digest()
+                )
+                out["media_id"].append(d)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(make, schema="media_id bigint, payload binary")
+
+
+def mime_sniff_col(payload: F.Column | str) -> F.Column:
+    """Magic-byte MIME detection as a PURE column expression (JVM-side,
+    codegen'd — the whole point: format routing over 100 TB of blobs
+    must not fork a Python worker per row).  Reads at most the first 12
+    bytes via one hex() of a substring:
+
+        89504E470D0A1A0A  PNG      FFD8FF            JPEG
+        424D              BMP      474946383761/3961 GIF87a/89a
+        52494646....57415645  RIFF/WAVE    ....41564920  RIFF/AVI
+        ....66747970 at byte 5    ISO-BMFF ftyp (MP4 family)
+
+    Longer signatures are tested first so a prefix can't shadow a more
+    specific match."""
+    sig = F.hex(F.substring(payload, 1, 12))
+    return (
+        F.when(sig.startswith("89504E470D0A1A0A"), "image/png")
+        .when(sig.startswith("474946383761") | sig.startswith("474946383961"), "image/gif")
+        .when(
+            sig.startswith("52494646") & (F.substring(sig, 17, 8) == "57415645"),
+            "audio/wav",
+        )
+        .when(
+            sig.startswith("52494646") & (F.substring(sig, 17, 8) == "41564920"),
+            "video/avi",
+        )
+        .when(F.substring(sig, 9, 8) == "66747970", "video/mp4")
+        .when(sig.startswith("FFD8FF"), "image/jpeg")
+        .when(sig.startswith("424D"), "image/bmp")
+        .otherwise("application/octet-stream")
+    )

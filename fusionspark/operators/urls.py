@@ -63,3 +63,75 @@ def canonicalize(url: Column | str) -> Column:
     rest = F.regexp_replace(rest, "utm_[^&#]*&", "")    # 6. utm_ not last
     rest = F.regexp_replace(rest, "[?&]utm_[^&#]*$", "")  # 6. utm_ last
     return F.concat(scheme, F.lit("://"), auth, rest)
+
+
+# ── robots.txt (Robots Exclusion Protocol) ────────────────────────────────
+
+
+def parse_robots_rules(
+    robots: DataFrame, text_col: str = "robots_txt", group_col: str = "source"
+) -> DataFrame:
+    """Parse robots.txt TEXT into (group, directive, path) rule rows —
+    expression-only (explode lines → trim/lower → regexp), so a crawl
+    frontier parses millions of robots files without a Python worker.
+    Implements the original REP line grammar: `Directive: value` with
+    optional whitespace, `#` comment lines and blank lines skipped,
+    directives case-insensitive.  Only allow/disallow rows with a
+    non-empty path survive (an empty `Disallow:` means allow-all in REP
+    — dropping it leaves the default-allow decision path, which is the
+    same semantics).  Wildcards (`*`, `$`) are the Google extension, NOT
+    parsed here — prefix matching only, per the 1994 REP."""
+    lines = robots.select(
+        group_col, F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    ).filter(~F.trim("line").startswith("#"))
+    rules = lines.select(
+        group_col,
+        F.lower(F.trim(F.regexp_extract("line", r"^\s*([A-Za-z-]+)\s*:", 1)))
+        .alias("directive"),
+        F.trim(F.regexp_extract("line", r"^[^:]+:\s*(\S*)", 1)).alias("path"),
+    )
+    return rules.filter(
+        F.col("directive").isin("allow", "disallow") & (F.col("path") != "")
+    )
+
+
+def robots_decisions(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    path_col: str = "path",
+    group_col: str = "source",
+) -> DataFrame:
+    """Longest-match REP decision per URL: among the group's rules whose
+    path is a PREFIX of the URL path, the longest wins; equal lengths →
+    Allow wins (the REP tie rule, 'allow' < 'disallow' makes that one
+    ASC sort key); no matching rule → allowed.  One broadcast join (a
+    site's robots rules are KBs) + one per-URL window — URLs never
+    shuffle except on their own id for the window."""
+    from pyspark.sql import Window as W
+
+    j = urls.join(
+        F.broadcast(rules),
+        (urls[group_col] == rules[group_col])
+        & urls[path_col].startswith(rules["path"]),
+        "left",
+    ).select(
+        urls["*"],
+        rules["directive"],
+        rules["path"].alias("rule_path"),
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.length("rule_path").desc(), F.col("directive").asc()
+    )
+    best = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return best.select(
+        *[urls[c] for c in urls.columns],
+        F.coalesce("rule_path", F.lit("")).alias("matched_rule"),
+        F.when(F.col("directive") == "disallow", F.lit("deny"))
+        .otherwise(F.lit("allow"))
+        .alias("decision"),
+    )

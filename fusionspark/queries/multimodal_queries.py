@@ -809,3 +809,33 @@ def exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_exif_media(spark, sf_dir)
     return exif_fields(media)
+
+
+@query(
+    "mime_sniff",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 8
+               WHEN 0 THEN 'image/png'  WHEN 1 THEN 'image/jpeg'
+               WHEN 2 THEN 'image/bmp'  WHEN 3 THEN 'image/gif'
+               WHEN 4 THEN 'audio/wav'  WHEN 5 THEN 'video/mp4'
+               WHEN 6 THEN 'video/avi'
+               ELSE 'application/octet-stream'
+           END AS mime
+    FROM documents
+    """,
+)
+def mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time MIME routing over a mixed-format blob column: the
+    synth table mixes all seven REAL container writers (plus guarded
+    noise), and mime_sniff_col classifies each payload from its first
+    ≤12 magic bytes as a pure codegen'd expression — no Python worker,
+    no full-payload read (Parquet/ORC even serve such a prefix without
+    materializing the blob when the reader supports lazy binary).  The
+    oracle replays the construction law; the sniffer must agree with it
+    on every row, both directions (a miss OR a false positive on the
+    noise bucket flips a row)."""
+    from fusionspark.operators.multimodal import mime_sniff_col, synth_mixed_media
+
+    media = synth_mixed_media(spark, sf_dir)
+    return media.select("media_id", mime_sniff_col("payload").alias("mime"))

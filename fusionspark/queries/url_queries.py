@@ -603,3 +603,92 @@ def sssp_hops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = docs.filter(d < 10)
     return sssp(seeds, we, rounds=4, id_col="doc_id")
+
+
+@query(
+    "robots_rules",
+    """
+    WITH robots AS (
+        SELECT source,
+               '# crawl policy' || chr(10) || 'User-agent: *' || chr(10)
+               || 'Disallow: /p' || (substr(source, 4)::BIGINT % 4)::VARCHAR
+               || chr(10) || 'Allow: /p'
+               || (substr(source, 4)::BIGINT % 4)::VARCHAR || '/pub'
+               || chr(10) || chr(10) || 'Disallow: /admin' AS robots_txt
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    rules AS (
+        SELECT source,
+               lower(trim(regexp_extract(line, '^\\s*([A-Za-z-]+)\\s*:', 1)))
+                   AS directive,
+               trim(regexp_extract(line, '^[^:]+:\\s*(\\S*)', 1)) AS path
+        FROM (
+            SELECT source, unnest(string_split(robots_txt, chr(10))) AS line
+            FROM robots
+        )
+        WHERE NOT starts_with(trim(line), '#')
+    ),
+    good AS (
+        SELECT * FROM rules
+        WHERE directive IN ('allow', 'disallow') AND path <> ''
+    ),
+    urls AS (
+        SELECT doc_id, source,
+               '/p' || (doc_id % 6)::VARCHAR
+               || CASE WHEN doc_id % 3 = 0 THEN '/pub/d' ELSE '/d' END
+               || doc_id::VARCHAR AS path
+        FROM documents
+    ),
+    matched AS (
+        SELECT u.doc_id, u.source, u.path,
+               g.directive, g.path AS rule_path,
+               ROW_NUMBER() OVER (
+                   PARTITION BY u.doc_id
+                   ORDER BY length(g.path) DESC NULLS LAST, g.directive ASC
+               ) AS rn
+        FROM urls u
+        LEFT JOIN good g
+          ON u.source = g.source AND starts_with(u.path, g.path)
+    )
+    SELECT doc_id, source, path,
+           COALESCE(rule_path, '') AS matched_rule,
+           CASE WHEN directive = 'disallow' THEN 'deny' ELSE 'allow' END
+               AS decision
+    FROM matched WHERE rn = 1
+    """,
+)
+def robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Exclusion Protocol over a crawl frontier: parse per-site
+    robots.txt TEXT (comments, blank lines, case-insensitive directives
+    — operators/urls.py parse_robots_rules) and decide every URL by
+    longest-prefix match with the Allow tie rule (robots_decisions).
+    The derived corpus plants a Disallow/Allow pair per site and URLs
+    that exercise match, longer-allow override, and no-match default —
+    and the ORACLE RE-PARSES THE SAME TEXT in SQL (not just the
+    construction law), so both the line grammar and the match semantics
+    are attested end to end.
+
+    Scale: rules explode from KB-sized robots files (broadcast); URLs
+    take one broadcast join + one per-URL window.  WARC ingest
+    (warc_ingest) is the upstream that yields these files at 100 TB."""
+    from fusionspark.operators.urls import parse_robots_rules, robots_decisions
+
+    d = load_table(spark, sf_dir, "documents")
+    k = (F.substring("source", 4, 10).cast("long") % 4).cast("string")
+    robots = d.select("source").distinct().select(
+        "source",
+        F.concat(
+            F.lit("# crawl policy\nUser-agent: *\nDisallow: /p"), k,
+            F.lit("\nAllow: /p"), k, F.lit("/pub\n\nDisallow: /admin"),
+        ).alias("robots_txt"),
+    )
+    urls = d.select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("/p"), (F.col("doc_id") % 6).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, "/pub/d").otherwise("/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    rules = parse_robots_rules(robots)
+    return robots_decisions(urls, rules)
