@@ -3672,3 +3672,112 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv"),
         )
     )
+
+
+@query(
+    "isotonic_calibration",
+    """
+    WITH deciles AS (
+        SELECT decile,
+               SUM(is_pos)::BIGINT AS pos, COUNT(*)::BIGINT AS cnt
+        FROM (
+            SELECT NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile,
+                   CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                        THEN 1 ELSE 0 END AS is_pos
+            FROM documents
+        )
+        GROUP BY decile
+    ),
+    cums AS (
+        SELECT decile, pos, cnt,
+               SUM(pos) OVER (ORDER BY decile)::BIGINT AS cpos,
+               SUM(cnt) OVER (ORDER BY decile)::BIGINT AS ccnt
+        FROM deciles
+    ),
+    spans AS (
+        -- avg of the span j..k = (cpos_k - cpos_{j-1}) / (ccnt_k - ccnt_{j-1})
+        SELECT j.decile AS j, k.decile AS k,
+               (k.cpos - j.cpos + j.pos)::DOUBLE
+               / (k.ccnt - j.ccnt + j.cnt)::DOUBLE AS avg_jk
+        FROM cums j JOIN cums k ON j.decile <= k.decile
+    ),
+    inner_min AS (
+        SELECT j, i.decile AS i, MIN(avg_jk) AS m
+        FROM spans JOIN cums i ON spans.j <= i.decile AND i.decile <= spans.k
+        GROUP BY j, i.decile
+    ),
+    fit AS (SELECT i AS decile, MAX(m) AS iso FROM inner_min GROUP BY i)
+    SELECT d.decile::BIGINT AS decile, d.pos, d.cnt,
+           ROUND(d.pos::DOUBLE / d.cnt, 6) AS raw_rate,
+           ROUND(f.iso, 6) AS isotonic_rate
+    FROM deciles d JOIN fit f ON d.decile = f.decile
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the per-decile
+    curated-source rate over doc length — the regression step after
+    nb_calibration's diagnostic: fit the best monotone curve to the
+    bucket rates (weighted least squares ⇒ pool-adjacent-violators).
+    Instead of replaying the sequential PAV fold, BOTH engines use the
+    exact minimax characterization of the isotonic fit,
+
+        iso_i = max_{j≤i} min_{k≥i} avg(y_j..y_k)
+
+    (Robertson-Wright-Dykstra eq. 1.9) — pure joins over the bounded
+    decile frame: O(B²) span averages, O(B²) min/max, B = 10.  Span
+    averages divide the SAME exact integers in both engines, so every
+    candidate double is bit-identical and the max/min selection cannot
+    diverge.
+
+    Scale: the corpus collapses in the NTILE pass (one sort-shuffle);
+    the fit runs on the B-row frame."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    deciles = (
+        d.select(
+            F.ntile(10).over(W.orderBy("n_chars", "doc_id")).alias("decile"),
+            pos.cast("int").alias("is_pos"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("is_pos").cast("long").alias("pos"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cums = deciles.select(
+        "decile", "pos", "cnt",
+        F.sum("pos").over(W.orderBy("decile")).cast("long").alias("cpos"),
+        F.sum("cnt").over(W.orderBy("decile")).cast("long").alias("ccnt"),
+    )
+    j = cums.select(
+        F.col("decile").alias("j"), F.col("pos").alias("jpos"),
+        F.col("cnt").alias("jcnt"), F.col("cpos").alias("jcpos"),
+        F.col("ccnt").alias("jccnt"),
+    )
+    k = cums.select(
+        F.col("decile").alias("k"), F.col("cpos").alias("kcpos"),
+        F.col("ccnt").alias("kccnt"),
+    )
+    spans = j.join(k, F.col("j") <= F.col("k")).select(
+        "j", "k",
+        (
+            (F.col("kcpos") - F.col("jcpos") + F.col("jpos")).cast("double")
+            / (F.col("kccnt") - F.col("jccnt") + F.col("jcnt")).cast("double")
+        ).alias("avg_jk"),
+    )
+    i = cums.select(F.col("decile").alias("i"))
+    inner = (
+        spans.join(i, (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k")))
+        .groupBy("j", "i")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    fit = inner.groupBy("i").agg(F.max("m").alias("iso"))
+    return deciles.join(fit, deciles["decile"] == fit["i"]).select(
+        F.col("decile").cast("long").alias("decile"),
+        "pos", "cnt",
+        F.round(F.col("pos").cast("double") / F.col("cnt"), 6).alias("raw_rate"),
+        F.round("iso", 6).alias("isotonic_rate"),
+    )

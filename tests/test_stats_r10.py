@@ -259,3 +259,47 @@ def test_compaction_plan_is_ffd_and_feasible(spark):
             bins.append(r.size_bytes)
             want[r.source] = len(bins)
     assert {r.source: r.bin_id for r in got} == want
+
+
+def test_isotonic_calibration_laws(spark):
+    """The fitted curve must (a) be non-decreasing, (b) equal the PAV
+    solution computed by an independent pool-adjacent-violators fold,
+    (c) preserve the weighted mean (a PAV invariant)."""
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    got = sorted(
+        REGISTRY["isotonic_calibration"][0](spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    iso = [r.isotonic_rate for r in got]
+    assert iso == sorted(iso)
+    # independent PAV
+    pools = [[r.pos, r.cnt] for r in got]
+    merged = []
+    for p in pools:
+        merged.append(p)
+        while len(merged) > 1 and (
+            merged[-2][0] * merged[-1][1] >= merged[-1][0] * merged[-2][1]
+        ):
+            b = merged.pop()
+            merged[-1][0] += b[0]
+            merged[-1][1] += b[1]
+    # expand pools back to buckets
+    expanded = []
+    idx = 0
+    for pos, cnt in merged:
+        # pool spans buckets until its cnt is consumed
+        acc = 0
+        while acc < cnt:
+            acc += got[idx].cnt
+            expanded.append(pos / cnt)
+            idx += 1
+    assert len(expanded) == len(iso)
+    for a, b in zip(iso, expanded):
+        assert a == pytest.approx(b, abs=2e-6)
+    # weighted mean preserved
+    n = sum(r.cnt for r in got)
+    assert sum(e * r.cnt for e, r in zip(expanded, got)) / n == pytest.approx(
+        sum(r.pos for r in got) / n, abs=1e-12
+    )
