@@ -4107,3 +4107,125 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "source string, size_bytes long, bin_id long, capacity long"
     )
+
+
+@query(
+    "entity_resolution",
+    """
+    WITH ks AS (SELECT c_custkey AS k FROM customer),
+    norm AS (
+        SELECT k, list_reduce(
+                   list_transform(string_split(lpad(k::VARCHAR, 6, '0'), ''),
+                                  d -> repeat(chr(97 + d::INT), 4)),
+                   (a, b) -> a || b) AS clean
+        FROM ks
+    )
+    SELECT (k * 4 + v)::BIGINT AS record_id,
+           k AS custkey,
+           (k * 4)::BIGINT AS entity_id,
+           (2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS cluster_size
+    FROM norm,
+         (SELECT unnest([0, 1, 2, 3]) AS v)
+    WHERE v <= 1 OR (v = 2 AND k % 3 = 0) OR (v = 3 AND k % 5 = 0)
+    """,
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over a dirty customer registry —
+    normalize → block → edit-distance match → connected components →
+    canonical entity ids, the master-data pipeline every warehouse runs
+    (and the reference's id-keyed store cannot express).
+
+    DERIVED DIRTY CORPUS (the line_dedup contract — expected output is
+    planted by construction, the operator chain is input-agnostic):
+    each customer key becomes a 24-char name (each of 6 zero-padded
+    digits → a letter repeated ×4, so DISTINCT keys differ by ≥4 edits)
+    with 2-4 records: two clean duplicates always, a typo at position 9
+    (digit group 3) when k%3=0, another at position 13 (group 4) when
+    k%5=0 — every within-entity pair is ≤2 edits apart, and because the
+    two typo sites sit in DIFFERENT digit groups, a cross-entity pair
+    can have at most ONE typo landing in its differing group, leaving
+    distance ≥3 (a shared typo site inside the differing group was
+    exactly the false-merge this corpus design eliminates).
+
+    Pipeline under test: block on the LAST 8 name chars (stable under
+    the planted typo positions; uniform over key digits, so block sizes
+    stay ~n/100 — candidate pairs never explode), Levenshtein ≤ 2 inside
+    blocks only, then min-label connected components (operators/dedup)
+    assign each record the minimum reachable record_id.  A wrong
+    blocking key, threshold, or CC bug breaks the planted recovery: the
+    oracle asserts entity_id = 4k and the exact cluster sizes.
+
+    Scale: the block join is the only quadratic step and is bounded per
+    block; edges carry ids only; CC is the attested min-label plan
+    (shallow clusters: diameter ≤ 2 by construction)."""
+    from fusionspark.operators.dedup import connected_components
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    clean = F.concat_ws(
+        "",
+        F.transform(
+            F.split(F.lpad(F.col("k").cast("string"), 6, "0"), ""),
+            lambda d: F.repeat(F.chr(F.lit(97) + d.cast("int")), 4),
+        ),
+    )
+    base = c.select("k", clean.alias("clean"))
+    variants = base.select(
+        "k", "clean",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.lit(0), F.lit(1),
+                    F.when(F.col("k") % 3 == 0, F.lit(2)),
+                    F.when(F.col("k") % 5 == 0, F.lit(3)),
+                ),
+                lambda v: v.isNotNull(),
+            )
+        ).alias("v"),
+    )
+    name = (
+        F.when(F.col("v") <= 1, F.col("clean"))
+        .when(
+            F.col("v") == 2,
+            F.concat(
+                F.substring("clean", 1, 8), F.lit("x"), F.substring("clean", 10, 15)
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.substring("clean", 1, 12), F.lit("y"), F.substring("clean", 14, 11)
+            )
+        )
+    )
+    records = variants.select(
+        (F.col("k") * 4 + F.col("v")).cast("long").alias("record_id"),
+        F.col("k").alias("custkey"),
+        name.alias("name"),
+    ).localCheckpoint(eager=True)
+    blocked = records.select(
+        "record_id", "name", F.substring("name", 17, 8).alias("blk")
+    )
+    a = blocked.select(
+        F.col("blk"), F.col("record_id").alias("id_a"), F.col("name").alias("na")
+    )
+    b = blocked.select(
+        F.col("blk"), F.col("record_id").alias("id_b"), F.col("name").alias("nb")
+    )
+    edges = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(edges, records.select("record_id"), id_col="record_id")
+    labeled = records.join(cc, "record_id").select(
+        "record_id", "custkey", F.col("component").alias("entity_id")
+    )
+    sizes = labeled.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labeled.join(sizes, "entity_id").select(
+        "record_id", "custkey", "entity_id", "cluster_size"
+    )
