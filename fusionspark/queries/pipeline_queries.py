@@ -4229,3 +4229,129 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.join(sizes, "entity_id").select(
         "record_id", "custkey", "entity_id", "cluster_size"
     )
+
+
+@query(
+    "weighted_sample_grouped",
+    """
+    SELECT lang, doc_id, n_chars, sample_key FROM (
+        SELECT lang, doc_id, n_chars,
+               ROUND(ln((('0x' || substr(md5('wsg:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                        / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE), 6) AS sample_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ROUND(ln((('0x' || substr(md5('wsg:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                                     / 4294967296.0)
+                                  / CAST(n_chars AS DOUBLE), 6) DESC,
+                            doc_id ASC) AS rn
+        FROM documents WHERE n_chars > 0
+    ) WHERE rn <= 40
+    """,
+)
+def weighted_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED weighted sampling without replacement: an independent
+    Efraimidis-Spirakis A-Res draw per language, 40 docs each with
+    inclusion probability ∝ n_chars — the per-stratum form of
+    weighted_sample (uniform-per-group is cluster_balanced_sample; this
+    is the weighted completion of the sampling family).  Same md5-coin
+    contract and the same ROUNDED-key cut discipline (the r9
+    weighted_sample lesson applied from day one: the per-group
+    k-boundary compares round(ln(u)/w, 6) with a doc_id tiebreak, never
+    raw transcendental doubles).
+
+    Scale: one scan computing the key, one per-group window —
+    WindowGroupLimit pushes the per-group top-k into partial ranks, so
+    only ~k rows per (group, partition) reach the shuffle."""
+    from pyspark.sql import Window as W
+
+    from fusionspark.operators.sampling import sample_coin
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    key = F.round(
+        F.log(sample_coin(F.col("doc_id"), "wsg:"))
+        / F.col("n_chars").cast("double"),
+        6,
+    )
+    w = W.partitionBy("lang").orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", "n_chars", key.alias("sample_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .drop("rn")
+    )
+
+
+# Discrete-Laplace (two-sided geometric) inverse-CDF thresholds over the
+# md5-coin range [0, 2^32), epsilon = 1: P(X=k) ∝ e^{-|k|}.  Noise is
+# the first k (ascending from -_DL_K) whose threshold exceeds the hash —
+# INTEGER comparisons only (the bootstrap_ci _POIS_T discipline), so any
+# engine that agrees on md5 agrees on every noise draw.
+import math as _math
+
+_DL_K = 25
+_DL_T: list[tuple[int, int]] = []
+_a = _math.exp(-1.0)
+_cum = 0.0
+for _k in range(-_DL_K, _DL_K):
+    _cum += (1 - _a) / (1 + _a) * _a ** abs(_k)
+    _DL_T.append((_k, min(_math.ceil(_cum * 2**32), 2**32)))
+
+
+def _dl_noise_sql(h: str) -> str:
+    out = "CASE"
+    for k, t in _DL_T:
+        out += f" WHEN {h} < {t} THEN {k}"
+    return out + f" ELSE {_DL_K} END"
+
+
+def _dl_noise_col(h):
+    expr = None
+    for k, t in _DL_T:
+        expr = (
+            F.when(h < t, k) if expr is None else expr.when(h < t, k)
+        )
+    return expr.otherwise(F.lit(_DL_K))
+
+
+@query(
+    "dp_counts",
+    f"""
+    WITH g AS (
+        SELECT source, COUNT(*)::BIGINT AS n,
+               ('0x' || substr(md5('dp:' || source), 1, 8))::BIGINT AS h
+        FROM documents GROUP BY source
+    )
+    SELECT source, n,
+           ({_dl_noise_sql('h')})::BIGINT AS noise,
+           (n + ({_dl_noise_sql('h')}))::BIGINT AS n_noisy,
+           1.0 AS epsilon
+    FROM g
+    """,
+)
+def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private per-source counts via the GEOMETRIC
+    MECHANISM (discrete Laplace, Ghosh-Roughgarden-Sundararajan: the
+    utility-optimal mechanism for counting queries) — completing the
+    privacy ladder k_anonymity → l_diversity → t_closeness with the
+    noise-based regime.  The draw is an md5 coin pushed through the
+    exact inverse CDF as ~50 INTEGER threshold comparisons (the
+    bootstrap_ci _POIS_T discipline): deterministic, engine-replayable,
+    zero float ops in the noise path.  The true count is emitted HERE so
+    the oracle attests the mechanism (noise = CDF⁻¹(u) exactly); a
+    production release would project it away — and a per-release salt
+    would replace 'dp:' (a FIXED salt re-releases the same noise, which
+    composes; this query attests one release).
+
+    Scale: one groupBy(source) with map-side combine; noise is a scalar
+    expression on the bounded group frame."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    h = md5_hash32(F.concat(F.lit("dp:"), F.col("source")))
+    noise = _dl_noise_col(h).cast("long")
+    return g.select(
+        "source", "n",
+        noise.alias("noise"),
+        (F.col("n") + noise).cast("long").alias("n_noisy"),
+        F.lit(1.0).alias("epsilon"),
+    )

@@ -303,3 +303,51 @@ def test_isotonic_calibration_laws(spark):
     assert sum(e * r.cnt for e, r in zip(expanded, got)) / n == pytest.approx(
         sum(r.pos for r in got) / n, abs=1e-12
     )
+
+
+def test_dp_noise_is_exact_inverse_cdf(spark):
+    """The geometric-mechanism noise must equal the exact discrete-
+    Laplace inverse CDF of the md5 coin (independent recomputation in
+    floats-free integer space), and its distribution law must hold: the
+    thresholds are the exact CDF scaled to 2^32."""
+    import hashlib
+    import math
+
+    from fusionspark.queries import REGISTRY, load_all
+    from fusionspark.queries.pipeline_queries import _DL_K, _DL_T
+
+    # thresholds ARE the CDF
+    a = math.exp(-1.0)
+    cum = 0.0
+    for (k, t) in _DL_T:
+        cum += (1 - a) / (1 + a) * a ** abs(k)
+        assert t == min(math.ceil(cum * 2**32), 2**32)
+    load_all()
+    rows = REGISTRY["dp_counts"][0](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    for r in rows:
+        h = int(hashlib.md5(f"dp:{r.source}".encode()).hexdigest()[:8], 16)
+        want = next((k for k, t in _DL_T if h < t), _DL_K)
+        assert r.noise == want
+        assert r.n_noisy == r.n + want
+    # sensitivity-1 sanity: noise bounded by the truncation
+    assert all(abs(r.noise) <= _DL_K for r in rows)
+
+
+def test_weighted_sample_grouped_invariants(spark):
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["weighted_sample_grouped"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == {"en", "zh", "es", "de", "fr"}
+    for lang, rs in by_lang.items():
+        assert len(rs) == 40
+        keys = sorted(((r.sample_key, r.doc_id) for r in rs),
+                      key=lambda t: (-t[0], t[1]))
+        assert len({r.doc_id for r in rs}) == 40
+        assert keys[0][0] >= keys[-1][0]
