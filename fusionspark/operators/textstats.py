@@ -756,3 +756,94 @@ def accent_fold_docs(df, id_col: str = "doc_id", text_col: str = "text"):
             yield pd.DataFrame(rows)
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def kn_perplexity_scores(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen
+    & Goodman 1999 eq. 4.25) — the industry-standard LM smoothing the
+    add-k form (lm_perplexity_scores) approximates:
+
+        P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁•)
+                 + (D·N₁₊(w₁•)/c(w₁•)) · N₁₊(•w₂)/N₁₊(••)
+
+    with discount D = 3/4 (an exact binary fraction — the coefficient
+    discipline), c(w₁•) the bigram-context total, N₁₊ the continuation
+    type counts.  The continuation distribution is what distinguishes KN:
+    a word that follows MANY contexts ('francisco' vs 'the') gets backoff
+    mass proportional to its context diversity, not its raw frequency.
+
+    Same scale contract as the add-k form: training = hash aggregations
+    producing O(model) tables that BROADCAST; scoring joins the bigram
+    stream against them.  The per-doc mean is a POSITION-ORDERED IEEE
+    fold (not a bare float SUM), so aggregation order can never drift
+    between engines.  Self-trained here (train corpus == score corpus),
+    so every scored bigram has c₁₂ ≥ 1; the coalesce paths still handle
+    unseen pairs for cross-corpus use."""
+    words = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("ws")
+    ).select(id_col, F.filter("ws", lambda w: w != "").alias("ws"))
+    bigrams = words.select(
+        id_col,
+        F.posexplode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("i", "bg"),
+    ).select(id_col, "i", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    bgc = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("ctx"),
+        F.count("*").cast("long").alias("n1fw"),
+    )
+    n1bw = bgc.groupBy("w2").agg(F.count("*").cast("long").alias("n1bw"))
+    n1tot = bgc.agg(F.count("*").cast("long").alias("n1tot"))
+
+    scored = (
+        bigrams.join(F.broadcast(bgc), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(n1bw), "w2", "left")
+        .crossJoin(F.broadcast(n1tot))
+        .select(
+            id_col,
+            "i",
+            F.log(
+                (
+                    F.greatest(
+                        F.coalesce(F.col("c12"), F.lit(0)).cast("double") - 0.75,
+                        F.lit(0.0),
+                    )
+                    + 0.75
+                    * F.col("n1fw").cast("double")
+                    * F.coalesce(F.col("n1bw"), F.lit(0)).cast("double")
+                    / F.col("n1tot").cast("double")
+                )
+                / F.col("ctx").cast("double")
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "lp"))),
+                lambda s: s["lp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_lp"),
+    )
+    all_ids = words.select(id_col)
+    return all_ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.coalesce(F.col("sum_lp") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("avg_logprob"),
+        F.round(
+            F.exp(-F.coalesce(F.col("sum_lp") / F.col("n_bigrams"), F.lit(0.0))),
+            6,
+        ).alias("kn_perplexity"),
+    )

@@ -4355,3 +4355,60 @@ def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") + noise).cast("long").alias("n_noisy"),
         F.lit(1.0).alias("epsilon"),
     )
+
+
+KN_PERPLEXITY_ORACLE = f"""
+    WITH ws AS (
+        SELECT doc_id, {_WORDS} AS ws FROM documents
+    ),
+    bgl AS (
+        SELECT doc_id, i.i AS i,
+               ws[i.i] AS w1, ws[i.i + 1] AS w2
+        FROM ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) i(i)
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM bgl GROUP BY w1, w2),
+    ctx AS (
+        SELECT w1, SUM(c12)::BIGINT AS ctx, COUNT(*)::BIGINT AS n1fw
+        FROM bgc GROUP BY w1
+    ),
+    n1bw AS (SELECT w2, COUNT(*)::BIGINT AS n1bw FROM bgc GROUP BY w2),
+    n1tot AS (SELECT COUNT(*)::BIGINT AS n1tot FROM bgc),
+    scored AS (
+        SELECT l.doc_id, l.i,
+               ln((greatest(COALESCE(bgc.c12, 0)::DOUBLE - 0.75, 0.0)
+                   + 0.75 * ctx.n1fw::DOUBLE
+                          * COALESCE(n1bw.n1bw, 0)::DOUBLE / n1tot.n1tot::DOUBLE)
+                  / ctx.ctx::DOUBLE) AS lp
+        FROM bgl l
+        LEFT JOIN bgc ON bgc.w1 = l.w1 AND bgc.w2 = l.w2
+        LEFT JOIN ctx ON ctx.w1 = l.w1
+        LEFT JOIN n1bw ON n1bw.w2 = l.w2
+        CROSS JOIN n1tot
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+               list_reduce(list_prepend(0.0, list(lp ORDER BY i)),
+                           (a, x) -> a + x) AS sum_lp
+        FROM scored GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+           ROUND(COALESCE(p.sum_lp / p.n_bigrams, 0.0), 6) AS avg_logprob,
+           ROUND(exp(-COALESCE(p.sum_lp / p.n_bigrams, 0.0)), 6)
+               AS kn_perplexity
+    FROM ws w LEFT JOIN per_doc p ON p.doc_id = w.doc_id
+    """
+
+
+@query("kn_perplexity", KN_PERPLEXITY_ORACLE)
+def kn_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity
+    (textstats.kn_perplexity_scores) — the industry-standard smoothing
+    beside lm_perplexity's add-k form; same broadcast-model scale
+    contract, but the per-doc mean is a position-ORDERED IEEE fold in
+    both engines (the chi2/source_divergence discipline) instead of a
+    bare float SUM."""
+    from fusionspark.operators.textstats import kn_perplexity_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return kn_perplexity_scores(docs)

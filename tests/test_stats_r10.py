@@ -351,3 +351,60 @@ def test_weighted_sample_grouped_invariants(spark):
                       key=lambda t: (-t[0], t[1]))
         assert len({r.doc_id for r in rs}) == 40
         assert keys[0][0] >= keys[-1][0]
+
+
+def test_kn_perplexity_matches_pure_python(spark):
+    """Independent KN recomputation on a tiny planted corpus: the
+    'francisco effect' must hold — a word seen often in ONE context gets
+    less backoff mass than a word seen in many contexts."""
+    from collections import Counter, defaultdict
+
+    from fusionspark.operators.textstats import kn_perplexity_scores
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the cat"),
+        (3, "a cat and a dog and a bird"),
+        (4, "san francisco san francisco san francisco"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in kn_perplexity_scores(df).collect()}
+
+    bg = Counter()
+    for _i, t in docs:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] += 1
+    ctx = defaultdict(int)
+    n1fw = defaultdict(int)
+    n1bw = defaultdict(int)
+    for (a, b), c in bg.items():
+        ctx[a] += c
+        n1fw[a] += 1
+        n1bw[b] += 1
+    n1tot = len(bg)
+    D = 0.75
+
+    def p(a, b):
+        return (max(bg[(a, b)] - D, 0) + D * n1fw[a] * n1bw[b] / n1tot) / ctx[a]
+
+    for did, t in docs:
+        ws = t.split()
+        lps = [math.log(p(a, b)) for a, b in zip(ws, ws[1:])]
+        acc = 0.0
+        for x in lps:
+            acc += x
+        assert got[did].n_bigrams == len(lps)
+        assert got[did].avg_logprob == round(acc / len(lps), 6)
+        assert got[did].kn_perplexity == pytest.approx(
+            math.exp(-acc / len(lps)), abs=2e-6
+        )
+    # francisco effect: P_cont(francisco) < P_cont(cat) despite equal-ish
+    # raw frequency — francisco follows only 'san'
+    assert n1bw["francisco"] == 1 and n1bw["cat"] > 1
+    # distributions per context sum to 1 (KN is a proper distribution
+    # over the seen vocabulary when every follower type is counted)
+    vocab = {w for (a, b) in bg for w in (a, b)}
+    for a in ctx:
+        tot = sum(p(a, b) for b in vocab)
+        assert tot == pytest.approx(1.0, abs=1e-9)
