@@ -518,3 +518,38 @@ for qn, checks in (
           "equi_joins:", any(k in p for k in
               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")),
           "text_in_exchange_key:", any("text#" in a for a in ex_args))
+
+# ── round 10 additions ────────────────────────────────────────────────────
+# spearman: rank tables join back on value keys; no cartesian, no text
+# in any exchange; the moment pass is one partial_agg aggregate
+for qn, label in (
+    ("spearman_corr", "rank joins"),
+    ("entity_resolution", "block equi-join + CC"),
+    ("kn_perplexity", "broadcast LM"),
+    ("robots_rules", "broadcast rules"),
+    ("ks_two_sample", "value-grid walk"),
+    ("shuffle_skew_report", "counts frame"),
+    ("exif_metadata", "metadata-plane map"),
+    ("mime_sniff", "expression sniff"),
+):
+    qq = _R[qn][0](spark, sf)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        qq.explain("formatted")
+    p = buf.getvalue()
+    ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+    print(f"== {qn} ({label}): cartesian:", "CartesianProduct" in p,
+          "text_in_exchange_key:", any("text#" in a for a in ex_args),
+          "payload_in_exchange_key:", any("payload#" in a for a in ex_args),
+          "broadcasts:", p.count("BroadcastExchange"))
+
+# mime_sniff must classify with NO Python eval in the sniff projection:
+# the only Python node is the synth mapInPandas
+q = _R["mime_sniff"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    q.explain("formatted")
+p = buf.getvalue()
+print("== mime_sniff python nodes:",
+      len(_re.findall(r"\(\d+\) MapInPandas", p)),
+      "(must be 1 = the synth; the CASE sniff is codegen'd)")
