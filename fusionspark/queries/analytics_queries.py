@@ -3729,17 +3729,53 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate double is bit-identical and the max/min selection cannot
     diverge.
 
-    Scale: the corpus collapses in the NTILE pass (one sort-shuffle);
-    the fit runs on the B-row frame."""
+    Scale: a global NTILE is a single-partition window, so the Spark
+    side derives the SAME bucket ids scalably — global_rank =
+    cum_lower(value) [broadcast grid] + row_number within the value
+    [window partitioned by value, parallel], then Spark's exact ntile
+    law bucket(rank) with larger-buckets-first; the oracle keeps
+    DuckDB's native NTILE, which doubles as a cross-check that the
+    closed-form law IS ntile.  The fit runs on the B-row frame."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
     pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
-    deciles = (
-        d.select(
-            F.ntile(10).over(W.orderBy("n_chars", "doc_id")).alias("decile"),
-            pos.cast("int").alias("is_pos"),
+    grid = (
+        d.groupBy("n_chars")
+        .agg(F.count("*").cast("long").alias("vcnt"))
+        .select(
+            "n_chars",
+            (F.sum("vcnt").over(W.orderBy("n_chars")) - F.col("vcnt"))
+            .cast("long")
+            .alias("cum_lower"),
+            F.sum("vcnt").over(W.partitionBy()).cast("long").alias("n"),
         )
+    )
+    ranked = (
+        d.select("doc_id", "n_chars", pos.cast("int").alias("is_pos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("n_chars").orderBy("doc_id")),
+        )
+        .join(F.broadcast(grid), "n_chars")
+        .select(
+            "is_pos",
+            (F.col("cum_lower") + F.col("rn")).cast("long").alias("grank"),
+            "n",
+        )
+    )
+    # Spark/DuckDB ntile law, B=10: q=n div B, r=n mod B; the first r
+    # buckets hold q+1 rows, the rest q
+    q = F.expr("n div 10")
+    r = F.col("n") % 10
+    decile = F.when(
+        F.col("grank") <= r * (q + 1),
+        F.expr("(grank + (n div 10)) div ((n div 10) + 1)"),
+    ).otherwise(
+        r + F.expr("(grank - (n % 10) * ((n div 10) + 1) + (n div 10) - 1) div (n div 10)")
+    )
+    deciles = (
+        ranked.select(decile.cast("int").alias("decile"), "is_pos")
         .groupBy("decile")
         .agg(
             F.sum("is_pos").cast("long").alias("pos"),
