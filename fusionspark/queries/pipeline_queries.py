@@ -4412,3 +4412,222 @@ def kn_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return kn_perplexity_scores(docs)
+
+
+@query(
+    "luhn_check",
+    """
+    WITH planted AS (
+        -- 15 base digits from the doc id (deterministic), then the real
+        -- Luhn check digit; odd docs get the check digit off by one
+        SELECT doc_id,
+               lpad((doc_id * 2654435761 % 1000000000)::VARCHAR, 9, '0')
+               || lpad((doc_id % 1000000)::VARCHAR, 6, '0') AS base
+        FROM documents
+    ),
+    summed AS (
+        SELECT doc_id, base,
+               list_reduce(list_prepend(0, list_transform(
+                   generate_series(1, 15),
+                   i -> CASE WHEN (15 - i) % 2 = 0
+                             THEN CASE WHEN base[i]::INT * 2 > 9
+                                       THEN base[i]::INT * 2 - 9
+                                       ELSE base[i]::INT * 2 END
+                             ELSE base[i]::INT END)),
+                   (a, x) -> a + x) AS s
+        FROM planted
+    ),
+    numbered AS (
+        SELECT doc_id,
+               base || (((10 - s % 10) % 10 + (doc_id % 2)) % 10)::VARCHAR AS number
+        FROM summed
+    ),
+    checked AS (
+        SELECT doc_id, number,
+               list_reduce(list_prepend(0, list_transform(
+                   generate_series(1, 16),
+                   i -> CASE WHEN (16 - i) % 2 = 1
+                             THEN CASE WHEN number[i]::INT * 2 > 9
+                                       THEN number[i]::INT * 2 - 9
+                                       ELSE number[i]::INT * 2 END
+                             ELSE number[i]::INT END)),
+                   (a, x) -> a + x) AS total
+        FROM numbered
+    )
+    SELECT doc_id, number, (total % 10 = 0) AS luhn_valid
+    FROM checked
+    """,
+)
+def luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation (ISO/IEC 7812) — the PII screen that
+    separates a random 16-digit string from a REAL card/IMEI-shaped
+    number, cutting the false-positive rate of the regex-only pii_redact
+    pass.  The derived corpus plants a valid number on every even doc
+    (15 deterministic digits + the true Luhn check digit) and an
+    check digit shifted by one (mod 10) on odd docs, so both verdicts
+    are exercised on every gate.  The validator is the exact integer double-every-
+    second-from-the-right fold as a pure column expression (zero
+    shuffle, codegen'd); the oracle replays the same fold AND the
+    check-digit construction."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = F.concat(
+        F.lpad((F.col("doc_id") * 2654435761 % 1000000000).cast("string"), 9, "0"),
+        F.lpad((F.col("doc_id") % 1000000).cast("string"), 6, "0"),
+    )
+
+    def luhn_sum(num, length, double_parity):
+        # digit i (1-based from the left); double when the position from
+        # the RIGHT (length - i) has the given parity
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(length)),
+                lambda i: F.when(
+                    (F.lit(length) - i) % 2 == double_parity,
+                    F.when(
+                        F.substring(num, 1, length).substr(i, F.lit(1)).cast("int") * 2 > 9,
+                        F.substring(num, 1, length).substr(i, F.lit(1)).cast("int") * 2 - 9,
+                    ).otherwise(
+                        F.substring(num, 1, length).substr(i, F.lit(1)).cast("int") * 2
+                    ),
+                ).otherwise(
+                    F.substring(num, 1, length).substr(i, F.lit(1)).cast("int")
+                ),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+
+    planted = d.select("doc_id", base.alias("base"))
+    s = luhn_sum(F.col("base"), 15, 0)
+    number = F.concat(
+        F.col("base"),
+        (((10 - s % 10) % 10 + F.col("doc_id") % 2) % 10).cast("string"),
+    )
+    numbered = planted.select("doc_id", number.alias("number"))
+    total = luhn_sum(F.col("number"), 16, 1)
+    return numbered.select(
+        "doc_id", "number", (total % 10 == 0).alias("luhn_valid")
+    )
+
+
+@query(
+    "feature_mi",
+    f"""
+    WITH labeled AS (
+        SELECT doc_id,
+               CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                    THEN 1 ELSE 0 END AS cls,
+               {_WORDS} AS ws
+        FROM documents
+    ),
+    nn AS (SELECT COUNT(*)::BIGINT AS n, SUM(cls)::BIGINT AS n_pos FROM labeled),
+    presence AS (
+        SELECT w.w AS word, l.cls, COUNT(DISTINCT l.doc_id)::BIGINT AS nd
+        FROM labeled l, unnest(list_distinct(l.ws)) AS w(w)
+        GROUP BY w.w, l.cls
+    ),
+    grid AS (
+        SELECT word,
+               COALESCE(MAX(CASE WHEN cls = 1 THEN nd END), 0)::BIGINT AS n11,
+               COALESCE(MAX(CASE WHEN cls = 0 THEN nd END), 0)::BIGINT AS n10
+        FROM presence GROUP BY word
+    ),
+    cells AS (
+        SELECT word, n11, n10,
+               (nn.n_pos - n11)::BIGINT AS n01,
+               (nn.n - nn.n_pos - n10)::BIGINT AS n00,
+               nn.n AS n, nn.n_pos AS n_pos
+        FROM grid CROSS JOIN nn
+    ),
+    mi AS (
+        SELECT word, n11 + n10 AS df,
+               (CASE WHEN n11 > 0 THEN (n11::DOUBLE / n)
+                     * ln(n11::DOUBLE * n / ((n11 + n10)::DOUBLE * n_pos))
+                     ELSE 0.0 END
+              + CASE WHEN n10 > 0 THEN (n10::DOUBLE / n)
+                     * ln(n10::DOUBLE * n / ((n11 + n10)::DOUBLE * (n - n_pos)))
+                     ELSE 0.0 END
+              + CASE WHEN n01 > 0 THEN (n01::DOUBLE / n)
+                     * ln(n01::DOUBLE * n / ((n01 + n00)::DOUBLE * n_pos))
+                     ELSE 0.0 END
+              + CASE WHEN n00 > 0 THEN (n00::DOUBLE / n)
+                     * ln(n00::DOUBLE * n / ((n01 + n00)::DOUBLE * (n - n_pos)))
+                     ELSE 0.0 END) AS mi
+        FROM cells
+    )
+    SELECT word, df::BIGINT AS df, ROUND(mi, 6) AS mi
+    FROM mi
+    ORDER BY ROUND(mi, 6) DESC, word ASC
+    LIMIT 20
+    """,
+)
+def feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between word PRESENCE and the curated-source
+    label — the feature-selection readout for the NB quality classifier
+    (which words carry label signal at all?).  Doc-level presence keeps
+    the 2×2 grid exact: n11/n10 from one distinct-words explode, n01/n00
+    by complement; each of the four MI terms is a closed form over those
+    integers, summed in the FIXED textual order 11,10,01,00 (identical
+    expression trees, so no fold needed), zero-count cells contributing
+    exactly 0.  The top-k cut orders by the ROUNDED score with the word
+    as tiebreak (the weighted_sample discipline).
+
+    Scale: one distinct-words explode → one (word, cls) groupBy; the MI
+    arithmetic runs on the vocabulary frame."""
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id",
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+        .cast("int")
+        .alias("cls"),
+        F.filter(F.split(F.lower("text"), " "), lambda w: w != "").alias("ws"),
+    )
+    nn = labeled.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cls").cast("long").alias("n_pos"),
+    )
+    presence = (
+        labeled.select("doc_id", "cls", F.explode(F.array_distinct("ws")).alias("word"))
+        .groupBy("word", "cls")
+        .agg(F.countDistinct("doc_id").cast("long").alias("nd"))
+    )
+    grid = presence.groupBy("word").agg(
+        F.coalesce(F.max(F.when(F.col("cls") == 1, F.col("nd"))), F.lit(0))
+        .cast("long")
+        .alias("n11"),
+        F.coalesce(F.max(F.when(F.col("cls") == 0, F.col("nd"))), F.lit(0))
+        .cast("long")
+        .alias("n10"),
+    )
+    cells = grid.crossJoin(F.broadcast(nn)).select(
+        "word", "n11", "n10",
+        (F.col("n_pos") - F.col("n11")).cast("long").alias("n01"),
+        (F.col("n") - F.col("n_pos") - F.col("n10")).cast("long").alias("n00"),
+        "n", "n_pos",
+    )
+
+    def term(nij, marg_w, marg_c):
+        return F.when(
+            nij > 0,
+            (nij.cast("double") / F.col("n"))
+            * F.log(
+                nij.cast("double") * F.col("n")
+                / (marg_w.cast("double") * marg_c)
+            ),
+        ).otherwise(F.lit(0.0))
+
+    n11, n10 = F.col("n11"), F.col("n10")
+    n01, n00 = F.col("n01"), F.col("n00")
+    npos, nneg = F.col("n_pos"), F.col("n") - F.col("n_pos")
+    mi = (
+        term(n11, n11 + n10, npos)
+        + term(n10, n11 + n10, nneg)
+        + term(n01, n01 + n00, npos)
+        + term(n00, n01 + n00, nneg)
+    )
+    out = cells.select(
+        "word",
+        (n11 + n10).cast("long").alias("df"),
+        F.round(mi, 6).alias("mi"),
+    )
+    return out.orderBy(F.col("mi").desc(), F.col("word").asc()).limit(20)

@@ -408,3 +408,69 @@ def test_kn_perplexity_matches_pure_python(spark):
     for a in ctx:
         tot = sum(p(a, b) for b in vocab)
         assert tot == pytest.approx(1.0, abs=1e-9)
+
+
+def test_luhn_check_against_textbook_implementation(spark):
+    """Every planted number must be 16 digits and its validity must match
+    a textbook right-to-left Luhn implementation (independent of the
+    query's left-indexed fold); even docs valid, odd invalid."""
+    from fusionspark.queries import REGISTRY, load_all
+
+    def luhn_ok(num):
+        tot = 0
+        for i, ch in enumerate(reversed(num)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2 - 9 if d * 2 > 9 else d * 2
+            tot += d
+        return tot % 10 == 0
+
+    load_all()
+    rows = REGISTRY["luhn_check"][0](spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert len(r.number) == 16 and r.number.isdigit()
+        assert r.luhn_valid == luhn_ok(r.number)
+        assert r.luhn_valid == (r.doc_id % 2 == 0)
+
+
+def test_feature_mi_matches_pure_python(spark):
+    """Independent MI recomputation from the raw parquet, plus the
+    planted-signal law: a word that appears ONLY in positive docs must
+    out-score a uniformly-spread word of the same frequency."""
+    rows = _rows(
+        f"SELECT doc_id, source, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    pos_sources = {"src0", "src1", "src2", "src3", "src4"}
+    from collections import defaultdict
+
+    n = len(rows)
+    n_pos = sum(1 for _d, s, _t in rows if s in pos_sources)
+    cnt = defaultdict(lambda: [0, 0])
+    for _d, s, t in rows:
+        cls = 1 if s in pos_sources else 0
+        for w in set(x for x in t.lower().split(" ") if x):
+            cnt[w][cls] += 1
+
+    def mi(n11, n10):
+        n01, n00 = n_pos - n11, (n - n_pos) - n10
+        tot = 0.0
+        for nij, mw, mc in (
+            (n11, n11 + n10, n_pos), (n10, n11 + n10, n - n_pos),
+            (n01, n01 + n00, n_pos), (n00, n01 + n00, n - n_pos),
+        ):
+            if nij > 0:
+                tot += (nij / n) * math.log(nij * n / (mw * mc))
+        return tot
+
+    scored = sorted(
+        ((round(mi(c[1], c[0]), 6), w) for w, c in cnt.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    got = REGISTRY["feature_mi"][0](spark, SF).collect()
+    assert [(r.mi, r.word) for r in got] == scored
+    # law: perfectly class-pure presence beats class-uniform presence
+    assert mi(40, 0) > mi(20, 20)
