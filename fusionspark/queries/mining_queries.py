@@ -1268,3 +1268,169 @@ def item_cf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return item_cf_frame(o, li, cap=128, k=3)
+
+
+@query(
+    "burrows_delta",
+    """
+    WITH wc AS (
+        SELECT source, w.w AS word, COUNT(*)::BIGINT AS c
+        FROM (SELECT source,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+              FROM documents) d,
+             unnest(d.ws) AS w(w)
+        GROUP BY source, w.w
+    ),
+    ts AS (SELECT source, SUM(c)::BIGINT AS t FROM wc GROUP BY source),
+    topw AS (
+        SELECT word FROM (
+            SELECT word, SUM(c)::BIGINT AS tot FROM wc GROUP BY word
+        ) ORDER BY tot DESC, word ASC LIMIT 20
+    ),
+    cells AS (
+        SELECT ts.source, topw.word,
+               COALESCE(wc.c, 0)::DOUBLE / ts.t::DOUBLE AS f
+        FROM ts CROSS JOIN topw
+        LEFT JOIN wc ON wc.source = ts.source AND wc.word = topw.word
+    ),
+    stats AS (
+        SELECT word,
+               COUNT(*)::BIGINT AS ns,
+               list(f ORDER BY source) AS fl
+        FROM cells GROUP BY word
+    ),
+    mom AS (
+        SELECT word, ns, fl,
+               list_reduce(list_prepend(0.0, fl), (a, x) -> a + x) / ns AS mean
+        FROM stats
+    ),
+    sd AS (
+        SELECT word, ns, mean,
+               sqrt(list_reduce(list_prepend(0.0,
+                        list_transform(fl, x -> (x - mean) * (x - mean))),
+                    (a, x) -> a + x) / (ns - 1)) AS std
+        FROM mom
+    ),
+    z AS (
+        SELECT c.source, c.word, (c.f - sd.mean) / sd.std AS z
+        FROM cells c JOIN sd ON sd.word = c.word
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               list(abs(a.z - b.z) ORDER BY a.word) AS dl
+        FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b,
+           ROUND(list_reduce(list_prepend(0.0, dl), (a, x) -> a + x)
+                 / len(dl), 6) AS delta
+    FROM pairs
+    """,
+)
+def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows's Delta (Burrows 2002) between every source pair — the
+    classic stylometric distance: z-score each source's relative
+    frequency of the corpus's top-20 words, then Delta = mean |z_a −
+    z_b|.  The attribution/contamination screen that catches one crawl
+    source masquerading as another (same topic words, different function
+    -word profile).  Parity: every f divides the same exact integers;
+    the per-word mean/std and the per-pair Delta are SOURCE- and
+    WORD-ordered IEEE folds written identically in both engines (sample
+    std over ns−1).
+
+    Scale: one token explode → one (source, word) groupBy; everything
+    after runs on the |sources|×20 cell frame."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ts = wc.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    topw = (
+        wc.groupBy("word")
+        .agg(F.sum("c").cast("long").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("word").asc())
+        .limit(20)
+        .select("word")
+    )
+    cells = (
+        ts.crossJoin(F.broadcast(topw))
+        .join(wc, ["source", "word"], "left")
+        .select(
+            "source", "word",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("t").cast("double")
+            ).alias("f"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = cells.groupBy("word").agg(
+        F.count("*").cast("long").alias("ns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("source", "f"))),
+            lambda s: s["f"],
+        ).alias("fl"),
+    )
+    mom = stats.select(
+        "word", "ns", "fl",
+        (
+            F.aggregate(F.col("fl"), F.lit(0.0), lambda a, x: a + x)
+            / F.col("ns")
+        ).alias("mean"),
+    )
+    sd = mom.select(
+        "word", "ns", "mean",
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col("fl"), lambda x: (x - F.col("mean")) * (x - F.col("mean"))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (F.col("ns") - 1)
+        ).alias("std"),
+    )
+    z = cells.join(sd, "word").select(
+        "source", "word",
+        ((F.col("f") - F.col("mean")) / F.col("std")).alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), F.col("word"), F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), F.col("word"), F.col("z").alias("zb")
+    )
+    pairs = (
+        a.join(b, "word")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("word", F.abs(F.col("za") - F.col("zb")).alias("d"))
+                    )
+                ),
+                lambda s: s["d"],
+            ).alias("dl")
+        )
+    )
+    return pairs.select(
+        "src_a", "src_b",
+        F.round(
+            F.aggregate(F.col("dl"), F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("dl"),
+            6,
+        ).alias("delta"),
+    )

@@ -474,3 +474,43 @@ def test_feature_mi_matches_pure_python(spark):
     assert [(r.mi, r.word) for r in got] == scored
     # law: perfectly class-pure presence beats class-uniform presence
     assert mi(40, 0) > mi(20, 20)
+
+
+def test_burrows_delta_separates_planted_styles(spark):
+    """Law check on a planted corpus: two sources sharing a function-word
+    profile must be closer under Delta than either is to a third source
+    with a different profile — and Delta must be symmetric-complete
+    (one row per unordered pair)."""
+    import itertools
+
+    from fusionspark.io import load_table  # noqa: F401 (parity of imports)
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["burrows_delta"][0](spark, SF).collect()
+    srcs = sorted({r.src_a for r in rows} | {r.src_b for r in rows})
+    assert len(rows) == len(list(itertools.combinations(srcs, 2)))
+    pairs = {(r.src_a, r.src_b) for r in rows}
+    assert all(a < b for a, b in pairs)
+    assert all(r.delta >= 0 for r in rows)
+
+    # planted: s1/s2 share a function-word profile, s3 differs
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    docs = []
+    for i in range(30):
+        if i % 3 < 2:
+            text = f"the cat and the dog with the hat word{i}"
+        else:
+            text = f"le chat et le chien avec le chapeau word{i}"
+        docs.append((i, "s1" if i % 3 == 0 else "s2" if i % 3 == 1 else "s3",
+                     text, len(text)))
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    got = {(r.src_a, r.src_b): r.delta
+           for r in REGISTRY["burrows_delta"][0](spark, tmp).collect()}
+    assert got[("s1", "s2")] < got[("s1", "s3")]
+    assert got[("s1", "s2")] < got[("s2", "s3")]
