@@ -3817,3 +3817,219 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pos").cast("double") / F.col("cnt"), 6).alias("raw_rate"),
         F.round("iso", 6).alias("isotonic_rate"),
     )
+
+
+@query(
+    "matrix_profile_daily",
+    f"""
+    WITH {_DAILY_CTE},
+    idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY day)::BIGINT AS i,
+               COUNT(*) OVER ()::BIGINT AS n
+        FROM daily
+    ),
+    win AS (
+        SELECT w.i AS w, SUM(v.x)::BIGINT AS s1,
+               SUM((v.x * v.x)::HUGEINT) AS s2
+        FROM (SELECT i FROM idx WHERE i <= (SELECT MAX(n) FROM idx) - 4) w
+        JOIN idx v ON v.i BETWEEN w.i AND w.i + 4
+        GROUP BY w.i
+    ),
+    cross_sum AS (
+        SELECT a.i AS wa, b.i AS wb, SUM((va.x * vb.x)::HUGEINT) AS sxy
+        FROM (SELECT i FROM idx WHERE i <= (SELECT MAX(n) FROM idx) - 4) a
+        JOIN (SELECT i FROM idx WHERE i <= (SELECT MAX(n) FROM idx) - 4) b
+          ON abs(a.i - b.i) >= 3
+        JOIN idx va ON va.i BETWEEN a.i AND a.i + 4
+        JOIN idx vb ON vb.i = b.i + (va.i - a.i)
+        GROUP BY a.i, b.i
+    ),
+    dists AS (
+        SELECT cs.wa, cs.wb,
+               ROUND(sqrt(greatest(2.0 * 5 * (1.0 -
+                   (5 * cs.sxy - wa.s1 * wb.s1)::DOUBLE
+                   / sqrt((5 * wa.s2 - wa.s1 * wa.s1)::DOUBLE)
+                   / sqrt((5 * wb.s2 - wb.s1 * wb.s1)::DOUBLE)), 0.0)), 6)
+                   AS d
+        FROM cross_sum cs
+        JOIN win wa ON wa.w = cs.wa
+        JOIN win wb ON wb.w = cs.wb
+    )
+    SELECT wa::BIGINT AS pos, d AS mp, wb::BIGINT AS motif_pos
+    FROM (
+        SELECT wa, wb, d,
+               ROW_NUMBER() OVER (PARTITION BY wa ORDER BY d ASC, wb ASC) AS rn
+        FROM dists
+    ) WHERE rn = 1
+    """,
+)
+def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (Yeh et al. 2016) of the daily revenue series,
+    window m=5: for every subsequence, the z-normalized distance to its
+    nearest non-trivial neighbor (exclusion zone |i−j| ≥ 3) — low values
+    are MOTIFS (repeated weekly patterns), high values are DISCORDS
+    (novel weeks), the modern time-series mining primitive beside the
+    classical tests.  Every window/cross sum is an exact BIGINT/HUGEINT
+    moment; the correlation-form distance √(2m(1−ρ)) divides the same
+    integers in both engines, and the nearest-neighbor argmin orders by
+    the ROUNDED distance with the position tiebreak (the
+    weighted_sample cut discipline).  greatest(·, 0) guards the ρ→1
+    negative-zero edge.
+
+    Scale: the corpus collapses in one groupBy(day); the O(w²·m) pair
+    grid runs on the bounded ≤|days| frame (the pettitt contract)."""
+    from pyspark.sql import Window as W
+
+    daily = _daily_frame(spark, sf_dir).select("day", "x")
+    idx = daily.select(
+        "x",
+        F.row_number().over(W.orderBy("day")).cast("long").alias("i"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+    starts = idx.filter(F.col("i") <= F.col("n") - 4).select(
+        F.col("i").alias("w")
+    )
+    vals = idx.select(F.col("i").alias("vi"), F.col("x").alias("vx"))
+    win = (
+        starts.join(
+            vals,
+            (F.col("vi") >= F.col("w")) & (F.col("vi") <= F.col("w") + 4),
+        )
+        .groupBy("w")
+        .agg(
+            F.sum("vx").cast("long").alias("s1"),
+            F.sum((F.col("vx") * F.col("vx")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+    )
+    a = starts.select(F.col("w").alias("wa"))
+    b = starts.select(F.col("w").alias("wb"))
+    va = vals.select(F.col("vi").alias("ai"), F.col("vx").alias("ax"))
+    vb = vals.select(F.col("vi").alias("bi"), F.col("vx").alias("bx"))
+    cross = (
+        a.join(b, F.abs(F.col("wa") - F.col("wb")) >= 3)
+        .join(va, (F.col("ai") >= F.col("wa")) & (F.col("ai") <= F.col("wa") + 4))
+        .join(vb, F.col("bi") == F.col("wb") + (F.col("ai") - F.col("wa")))
+        .groupBy("wa", "wb")
+        .agg(
+            F.sum((F.col("ax") * F.col("bx")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sxy")
+        )
+    )
+    wa = win.select(
+        F.col("w").alias("wa"), F.col("s1").alias("s1a"), F.col("s2").alias("s2a")
+    )
+    wb = win.select(
+        F.col("w").alias("wb"), F.col("s1").alias("s1b"), F.col("s2").alias("s2b")
+    )
+    rho = (
+        (5 * F.col("sxy") - F.col("s1a") * F.col("s1b")).cast("double")
+        / F.sqrt((5 * F.col("s2a") - F.col("s1a") * F.col("s1a")).cast("double"))
+        / F.sqrt((5 * F.col("s2b") - F.col("s1b") * F.col("s1b")).cast("double"))
+    )
+    dists = (
+        cross.join(wa, "wa")
+        .join(wb, "wb")
+        .select(
+            "wa", "wb",
+            F.round(
+                F.sqrt(F.greatest(2.0 * 5 * (1.0 - rho), F.lit(0.0))), 6
+            ).alias("d"),
+        )
+    )
+    wmin = W.partitionBy("wa").orderBy(F.col("d").asc(), F.col("wb").asc())
+    return (
+        dists.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("wa").cast("long").alias("pos"),
+            F.col("d").alias("mp"),
+            F.col("wb").cast("long").alias("motif_pos"),
+        )
+    )
+
+
+@query(
+    "ar2_fit",
+    f"""
+    WITH {_DAILY_CTE},
+    idx AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY day)::BIGINT AS i,
+               COUNT(*) OVER ()::BIGINT AS n,
+               SUM(x) OVER ()::BIGINT AS s
+        FROM daily
+    ),
+    -- n²-scaled autocovariances: ĉ_k ∝ Σ (n·x_t − S)(n·x_{{t+k}} − S),
+    -- exact HUGEINT (the n² factor cancels in every ratio below)
+    c AS (
+        SELECT
+            (SELECT SUM(((a.n * a.x - a.s) * (a.n * a.x - a.s))::HUGEINT)
+             FROM idx a) AS c0,
+            (SELECT SUM(((a.n * a.x - a.s) * (b.n * b.x - b.s))::HUGEINT)
+             FROM idx a JOIN idx b ON b.i = a.i + 1) AS c1,
+            (SELECT SUM(((a.n * a.x - a.s) * (b.n * b.x - b.s))::HUGEINT)
+             FROM idx a JOIN idx b ON b.i = a.i + 2) AS c2
+    )
+    SELECT ROUND(c1::DOUBLE / c0::DOUBLE, 6) AS r1,
+           ROUND(c2::DOUBLE / c0::DOUBLE, 6) AS r2,
+           ROUND((c1::DOUBLE / c0::DOUBLE)
+                 * (1.0 - c2::DOUBLE / c0::DOUBLE)
+                 / (1.0 - (c1::DOUBLE / c0::DOUBLE) * (c1::DOUBLE / c0::DOUBLE)),
+                 6) AS phi1,
+           ROUND((c2::DOUBLE / c0::DOUBLE
+                  - (c1::DOUBLE / c0::DOUBLE) * (c1::DOUBLE / c0::DOUBLE))
+                 / (1.0 - (c1::DOUBLE / c0::DOUBLE) * (c1::DOUBLE / c0::DOUBLE)),
+                 6) AS phi2
+    FROM c
+    """,
+)
+def ar2_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule-Walker AR(2) fit of the daily revenue series — the
+    autoregressive companion of the forecasting ladder (trend OLS → ETS
+    → Holt-Winters) and the lag-2 PACF in closed form (φ₂ IS the
+    partial autocorrelation at lag 2):
+
+        φ₁ = r₁(1−r₂)/(1−r₁²)      φ₂ = (r₂−r₁²)/(1−r₁²)
+
+    The autocovariances are EXACT integer sums of (n·x_t − S)(n·x_{t+k}
+    − S) — the n²-scaling clears the fractional mean and cancels in
+    every ratio — so r₁, r₂ and both coefficients are closed forms over
+    identical integers in both engines.
+
+    Scale: one groupBy(day); the lag joins run on the bounded frame."""
+    from pyspark.sql import Window as W
+
+    daily = _daily_frame(spark, sf_dir).select("day", "x")
+    idx = daily.select(
+        "x",
+        F.row_number().over(W.orderBy("day")).cast("long").alias("i"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("n"),
+        F.sum("x").over(W.partitionBy()).cast("long").alias("s"),
+    ).localCheckpoint(eager=True)
+    dev = idx.select(
+        "i", ((F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)")).alias("d")
+    )
+
+    def ck(k: int):
+        a = dev.select(F.col("i").alias("ia"), F.col("d").alias("da"))
+        b = dev.select(F.col("i").alias("ib"), F.col("d").alias("db"))
+        return (
+            a.join(b, F.col("ib") == F.col("ia") + k)
+            .agg(
+                F.sum((F.col("da") * F.col("db")).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias(f"c{k}")
+            )
+        )
+
+    c = ck(0).crossJoin(ck(1)).crossJoin(ck(2))
+    r1 = F.col("c1").cast("double") / F.col("c0").cast("double")
+    r2 = F.col("c2").cast("double") / F.col("c0").cast("double")
+    return c.select(
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+        F.round(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6).alias("phi1"),
+        F.round((r2 - r1 * r1) / (1.0 - r1 * r1), 6).alias("phi2"),
+    )

@@ -514,3 +514,53 @@ def test_burrows_delta_separates_planted_styles(spark):
            for r in REGISTRY["burrows_delta"][0](spark, tmp).collect()}
     assert got[("s1", "s2")] < got[("s1", "s3")]
     assert got[("s1", "s2")] < got[("s2", "s3")]
+
+
+def test_matrix_profile_matches_pure_python(spark):
+    d = _daily()
+    xs = [r[1] for r in d]
+    m, excl = 5, 3
+    n_w = len(xs) - m + 1
+
+    def dist(i, j):
+        a, b = xs[i:i + m], xs[j:j + m]
+        s1a, s1b = sum(a), sum(b)
+        s2a, s2b = sum(v * v for v in a), sum(v * v for v in b)
+        sxy = sum(p * q for p, q in zip(a, b))
+        rho = (m * sxy - s1a * s1b) / math.sqrt(m * s2a - s1a * s1a) \
+            / math.sqrt(m * s2b - s1b * s1b)
+        return round(math.sqrt(max(2.0 * m * (1.0 - rho), 0.0)), 6)
+
+    want = {}
+    for i in range(n_w):
+        cands = sorted(
+            (dist(i, j), j + 1) for j in range(n_w) if abs(i - j) >= excl
+        )
+        want[i + 1] = cands[0]
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    got = REGISTRY["matrix_profile_daily"][0](spark, SF).collect()
+    assert len(got) == n_w
+    for r in got:
+        assert (r.mp, r.motif_pos) == want[r.pos], r.pos
+    # discord law: the max-mp window is the series' most novel week
+    assert max(r.mp for r in got) >= min(r.mp for r in got)
+
+
+def test_ar2_fit_matches_pure_python(spark):
+    d = _daily()
+    xs = [r[1] for r in d]
+    n, s = len(xs), sum(xs)
+    dev = [n * x - s for x in xs]
+    c0 = sum(v * v for v in dev)
+    c1 = sum(a * b for a, b in zip(dev, dev[1:]))
+    c2 = sum(a * b for a, b in zip(dev, dev[2:]))
+    r1, r2 = c1 / c0, c2 / c0
+    got = _one(spark, "ar2_fit")
+    assert got.r1 == pytest.approx(r1, abs=2e-6)
+    assert got.r2 == pytest.approx(r2, abs=2e-6)
+    assert got.phi1 == pytest.approx(r1 * (1 - r2) / (1 - r1 * r1), abs=2e-6)
+    assert got.phi2 == pytest.approx((r2 - r1 * r1) / (1 - r1 * r1), abs=2e-6)
+    # stationarity sanity for the fitted model on real data
+    assert abs(got.phi2) < 1 and abs(got.phi1) < 2
