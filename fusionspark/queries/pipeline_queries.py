@@ -4631,3 +4631,113 @@ def feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mi, 6).alias("mi"),
     )
     return out.orderBy(F.col("mi").desc(), F.col("word").asc()).limit(20)
+
+
+@query(
+    "csv_parse",
+    """
+    SELECT doc_id,
+           'title, "q' || (doc_id % 7)::VARCHAR || '" end' AS title,
+           lang, n_chars AS n
+    FROM documents
+    """,
+)
+def csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV field parsing as a column expression (from_csv —
+    JVM-side, no Python): the derived corpus renders each doc as a CSV
+    line whose second field contains BOTH an embedded comma and doubled
+    escape quotes ("" → "), the two quoting rules naive string_split
+    ingestion corrupts; the parser must recover the exact original
+    fields, which the oracle states by construction.  At 100 TB this is
+    the landing-zone decode step for text exports — one narrow
+    expression per row, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit(',"title, ""q'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"" end",'),
+        F.col("lang"),
+        F.lit(","),
+        F.col("n_chars").cast("string"),
+    )
+    parsed = d.select(
+        F.from_csv(
+            line,
+            F.lit("id LONG, title STRING, lang STRING, n LONG"),
+            # RFC 4180 doubles the quote char to escape it; Spark's CSV
+            # default escape is backslash, so set escape='"'
+            {"escape": '"'},
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.id").alias("doc_id"),
+        F.col("r.title").alias("title"),
+        F.col("r.lang").alias("lang"),
+        F.col("r.n").alias("n"),
+    )
+
+
+@query(
+    "sitemap_parse",
+    """
+    WITH xml AS (
+        SELECT source,
+               '<?xml version="1.0"?><urlset>'
+               || '<url><loc>https://' || source || '.example.com/p0</loc>'
+               || '<lastmod>2026-01-' || lpad(((substr(source, 4)::BIGINT % 27) + 1)::VARCHAR, 2, '0')
+               || '</lastmod></url>'
+               || '<url><loc>https://' || source || '.example.com/p1</loc>'
+               || '<lastmod>2026-02-' || lpad(((substr(source, 4)::BIGINT % 27) + 2)::VARCHAR, 2, '0')
+               || '</lastmod></url></urlset>' AS body
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    locs AS (
+        SELECT source,
+               regexp_extract_all(body, '<loc>([^<]*)</loc>', 1) AS ls,
+               regexp_extract_all(body, '<lastmod>([^<]*)</lastmod>', 1) AS ms
+        FROM xml
+    )
+    SELECT source, i.i::BIGINT AS pos, ls[i.i] AS loc, ms[i.i] AS lastmod
+    FROM locs, unnest(generate_series(1, len(ls))) i(i)
+    """,
+)
+def sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML extraction — the crawl-frontier feeder beside
+    robots_rules: derive a per-site sitemap and pull (loc, lastmod)
+    pairs positionally with the same regex chain in BOTH engines (the
+    oracle RE-PARSES the same XML, not just the construction law — the
+    robots_rules attestation standard).  Regex extraction is the honest
+    tool here: sitemaps are machine-generated, schema-fixed XML, and at
+    100 TB the extraction must stay a codegen'd expression, not a DOM
+    parse per row."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.substring("source", 4, 10).cast("long")
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc>https://"), F.col("source"),
+        F.lit(".example.com/p0</loc><lastmod>2026-01-"),
+        F.lpad(((k % 27) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></url>"),
+        F.lit("<url><loc>https://"), F.col("source"),
+        F.lit(".example.com/p1</loc><lastmod>2026-02-"),
+        F.lpad(((k % 27) + 2).cast("string"), 2, "0"),
+        F.lit("</lastmod></url></urlset>"),
+    )
+    xml = d.select("source").distinct().select("source", body.alias("body"))
+    locs = xml.select(
+        "source",
+        F.regexp_extract_all("body", F.lit("<loc>([^<]*)</loc>"), 1).alias("ls"),
+        F.regexp_extract_all(
+            "body", F.lit("<lastmod>([^<]*)</lastmod>"), 1
+        ).alias("ms"),
+    )
+    return locs.select(
+        "source",
+        F.posexplode(F.arrays_zip("ls", "ms")).alias("p", "z"),
+    ).select(
+        "source",
+        (F.col("p") + 1).cast("long").alias("pos"),
+        F.col("z.ls").alias("loc"),
+        F.col("z.ms").alias("lastmod"),
+    )
