@@ -4033,3 +4033,154 @@ def ar2_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6).alias("phi1"),
         F.round((r2 - r1 * r1) / (1.0 - r1 * r1), 6).alias("phi2"),
     )
+
+
+def _shesd_oracle_sql(k: int = 3) -> str:
+    """Seasonal-hybrid ESD replay: per-weekday 2×median removal (exact
+    order statistics), then k unrolled MATERIALIZED ESD rounds on the
+    residuals — the _esd_oracle_sql pattern over the daily frame.
+    Spark weekday convention (dayofweek 1=Sunday) = DuckDB dayofweek+1."""
+    parts = [
+        """daily AS MATERIALIZED (
+        SELECT CAST(ts AS DATE) AS day,
+               dayofweek(CAST(ts AS DATE)) + 1 AS wd,
+               SUM(FLOOR(value * 100.0 + 0.5)::BIGINT)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    )""",
+        """wmed AS MATERIALIZED (
+        SELECT wd,
+               (SELECT x FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r,
+                                      COUNT(*) OVER () AS m
+                               FROM daily i WHERE i.wd = o.wd)
+                WHERE r = (m + 1) // 2)
+             + (SELECT x FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r,
+                                      COUNT(*) OVER () AS m
+                               FROM daily i WHERE i.wd = o.wd)
+                WHERE r = (m + 2) // 2) AS med2
+        FROM (SELECT DISTINCT wd FROM daily) o
+    )""",
+        """vals AS MATERIALIZED (
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               (2 * d.x - w.med2)::BIGINT AS v
+        FROM daily d JOIN wmed w ON w.wd = d.wd
+    )""",
+    ]
+    excl = ""
+    picks = []
+    for i in range(1, k + 1):
+        parts.append(
+            f"""st{i} AS MATERIALIZED (
+        SELECT COUNT(*)::BIGINT AS n, SUM(v)::BIGINT AS s,
+               SUM(v * v)::HUGEINT AS ss
+        FROM vals{excl}
+    )"""
+        )
+        parts.append(
+            f"""pick{i} AS MATERIALIZED (
+        SELECT {i} AS round, day, v,
+               abs(v - s::DOUBLE / n)
+               / sqrt((ss - s * (s::DOUBLE / n)) / (n - 1)) AS z
+        FROM vals, st{i}{excl}
+        ORDER BY abs(v * n - s) DESC, v ASC, day ASC LIMIT 1
+    )"""
+        )
+        picks.append(f"SELECT * FROM pick{i}")
+        prev = " UNION ALL ".join(
+            f"SELECT day FROM pick{j}" for j in range(1, i + 1)
+        )
+        excl = f" WHERE day NOT IN ({prev})"
+    un = " UNION ALL ".join(picks)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT round::INT AS round, day, v AS resid2, ROUND(z, 6) AS z
+    FROM ({un}) ORDER BY round"""
+    )
+
+
+@query("anomaly_shesd", _shesd_oracle_sql())
+def anomaly_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-hybrid ESD (the Twitter AnomalyDetection recipe:
+    Hochenbaum et al. 2017) on daily revenue — remove the WEEKDAY
+    seasonal median, then run generalized ESD on the residuals, so a
+    legitimately-busy Monday is not flagged while a quiet Monday IS.
+    The seasonal removal is exact: resid2 = 2·x − med2(weekday), with
+    med2 the sum of the weekday's two middle order statistics (no float
+    median; the x − seasonal − median(series) form telescopes to
+    x − med_weekday, so resid2 stays integer).  Each ESD round argmaxes
+    the exact BIGINT key |v·n − Σ| (σ is round-constant) with
+    value/day tiebreaks; z is the one closed-form double.
+
+    Scale: one groupBy(day, weekday); medians and the 3 ESD rounds run
+    on the bounded ≤|days| frame (the pettitt contract)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"),
+        F.dayofweek(F.to_date("ts")).alias("wd"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    ww = W.partitionBy("wd").orderBy("x")
+    ranked = daily.select(
+        "day", "wd", "x",
+        F.row_number().over(ww).cast("long").alias("r"),
+        F.count("*").over(W.partitionBy("wd")).cast("long").alias("m"),
+    )
+    m1 = ranked.filter(F.col("r") == F.floor((F.col("m") + 1) / 2)).select(
+        "wd", F.col("x").alias("xa")
+    )
+    m2 = ranked.filter(F.col("r") == F.floor((F.col("m") + 2) / 2)).select(
+        "wd", F.col("x").alias("xb")
+    )
+    wmed = m1.join(m2, "wd").select(
+        "wd", (F.col("xa") + F.col("xb")).cast("long").alias("med2")
+    )
+    vals = (
+        daily.join(F.broadcast(wmed), "wd")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (2 * F.col("x") - F.col("med2")).cast("long").alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picked: list[str] = []
+    out_rows = []
+    for rnd in range(1, 4):
+        rem = vals.filter(~F.col("day").isin(picked)) if picked else vals
+        st = rem.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("ss"),
+        ).collect()[0]
+        n, s, ss = st.n, int(st.s), int(st.ss)
+        pick = (
+            rem.select(
+                "day", "v",
+                (
+                    F.abs(F.col("v") - F.lit(s) / F.lit(n))
+                    / F.sqrt(
+                        (F.lit(ss) - F.lit(s) * (F.lit(s) / F.lit(n)))
+                        / F.lit(n - 1)
+                    )
+                ).alias("z"),
+                F.abs(F.col("v") * F.lit(n) - F.lit(s)).alias("key"),
+            )
+            .orderBy(F.col("key").desc(), F.col("v").asc(), F.col("day").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        out_rows.append((rnd, pick.day, pick.v, float(pick.z)))
+        picked.append(pick.day)
+    out = spark.createDataFrame(
+        out_rows, "round int, day string, resid2 long, z double"
+    )
+    return out.select(
+        "round", "day", "resid2", F.round("z", 6).alias("z")
+    ).orderBy("round")

@@ -4741,3 +4741,68 @@ def sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.ls").alias("loc"),
         F.col("z.ms").alias("lastmod"),
     )
+
+
+@query(
+    "hashing_collisions",
+    f"""
+    WITH vocab AS (
+        SELECT DISTINCT w.w AS w
+        FROM (SELECT {_WORDS} AS ws FROM documents) d, unnest(d.ws) AS w(w)
+    ),
+    bucketed AS (
+        SELECT ('0x' || substr(md5('fh:' || w), 1, 8))::BIGINT % 16 AS dim,
+               COUNT(*)::BIGINT AS n_words
+        FROM vocab GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(n_words)::BIGINT AS v,
+               SUM(CASE WHEN n_words > 1 THEN n_words - 1 ELSE 0 END)::BIGINT
+                   AS collided
+        FROM bucketed
+    )
+    SELECT b.dim, b.n_words,
+           ROUND(b.n_words::DOUBLE / t.v, 6) AS load_share,
+           t.v AS vocab_size,
+           ROUND(t.collided::DOUBLE / t.v, 6) AS collision_rate
+    FROM bucketed b CROSS JOIN tot t
+    """,
+)
+def hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision audit of the hashing trick behind hashed_features /
+    lang_id_trained: per hash bucket, how many distinct vocabulary words
+    share it, plus the global collision rate (fraction of words that are
+    NOT alone in their bucket beyond the first).  The diagnosis that
+    tells you whether the 16-dim feature space is aliasing signal away —
+    run it before trusting a hashed model, and re-run when vocabulary
+    grows (at 100 TB the vocab frame is still tiny next to the corpus).
+    Exact distinct-word counts; the two ratios are the only doubles.
+    Same md5 bucket law as hashed_features ('fh:' salt, mod 16)."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+            ).alias("w")
+        )
+        .distinct()
+    )
+    bucketed = vocab.groupBy(
+        (md5_hash32(F.concat(F.lit("fh:"), F.col("w"))) % 16).alias("dim")
+    ).agg(F.count("*").cast("long").alias("n_words"))
+    tot = bucketed.agg(
+        F.sum("n_words").cast("long").alias("v"),
+        F.sum(
+            F.when(F.col("n_words") > 1, F.col("n_words") - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("collided"),
+    )
+    return bucketed.crossJoin(F.broadcast(tot)).select(
+        "dim", "n_words",
+        F.round(F.col("n_words").cast("double") / F.col("v"), 6)
+        .alias("load_share"),
+        F.col("v").alias("vocab_size"),
+        F.round(F.col("collided").cast("double") / F.col("v"), 6)
+        .alias("collision_rate"),
+    )
