@@ -451,6 +451,14 @@ def bench_queries(spark):
         "dbscan_users",
         "rake_keywords",
         "hilbert_pruning",
+        # round 10: entity resolution e2e (block join + Levenshtein + CC),
+        # Kneser-Ney LM (broadcast continuation-count model), Spearman
+        # rank correlations (value-grid rank joins + one moment pass),
+        # Burrows's Delta stylometry (token explode + bounded-cell folds)
+        "entity_resolution",
+        "kn_perplexity",
+        "spearman_corr",
+        "burrows_delta",
     ]
     out = {
         "knn_batch64": knn_batch,
@@ -686,6 +694,14 @@ def main() -> None:
                 "TB), and item_cf now pays the per-customer basket-cap "
                 "window (the mega-basket pair-bomb bound).  Both re-gated "
                 "bit-green ×3 SFs"
+            ),
+            "r10_new_entries": (
+                "entity_resolution / kn_perplexity / spearman_corr / "
+                "burrows_delta first appear in r10 — the suite total grows "
+                "by their cost (compare per-entry medians across rounds, "
+                "not totals).  entity_resolution is the derived-registry "
+                "e2e (normalize→block→Levenshtein→CC); kn_perplexity adds "
+                "two model aggregations over lm_perplexity's plan"
             ),
             "r10_resident_build_retime": (
                 "the driver's BENCH_r09 resident_build_1m median of 11.53s "
