@@ -703,6 +703,16 @@ def main() -> None:
                 "e2e (normalize→block→Levenshtein→CC); kn_perplexity adds "
                 "two model aggregations over lm_perplexity's plan"
             ),
+            "r10_1m_suite_pressure": (
+                "in the committed r10 clean run knn_1m_resident_x10 read "
+                "52.2s (vs 23.6s in r9); isolated re-time at the same "
+                "HEAD: 19.8s — faster than ever.  The 1m block runs LAST "
+                "after 125 entries and the four new r10 entries raise "
+                "suite-accumulated JVM/cache pressure; per the r8/r9 "
+                "adjudications, quote isolated/min numbers when trending "
+                "the 1m serving entries.  knn_1m_resident min 2.18s "
+                "(isolated 2.4s) tells the same story"
+            ),
             "r10_resident_build_retime": (
                 "the driver's BENCH_r09 resident_build_1m median of 11.53s "
                 "was re-timed ISOLATED at r10 HEAD: [11.64 cold, 2.48, "
