@@ -4184,3 +4184,173 @@ def anomaly_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "round", "day", "resid2", F.round("z", 6).alias("z")
     ).orderBy("round")
+
+
+# Logistic approximation of the normal CDF (Bowling et al. 2009):
+# Phi(z) ~= 1/(1+exp(-(0.07056 z^3 + 1.5976 z))), |error| < 1.4e-4 —
+# literal constants, so the two-sided p = 2/(1+exp(0.07056|t|^3+1.5976|t|))
+# is the same IEEE expression in both engines.
+_PHI2_SQL = "2.0 / (1.0 + exp(0.07056 * {t} * {t} * {t} + 1.5976 * {t}))"
+
+
+@query(
+    "welch_bh",
+    f"""
+    WITH g AS (
+        SELECT source, COUNT(*)::BIGINT AS n1, SUM(n_chars)::BIGINT AS s1,
+               SUM((n_chars * n_chars)::HUGEINT) AS ss1
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(n_chars)::BIGINT AS s,
+               SUM((n_chars * n_chars)::HUGEINT) AS ss,
+               COUNT(DISTINCT source)::BIGINT AS m
+        FROM documents
+    ),
+    t AS (
+        SELECT source, n1,
+               ROUND(s1::DOUBLE / n1, 6) AS mean_chars,
+               (s1::DOUBLE / n1 - (tot.s - s1)::DOUBLE / (tot.n - n1))
+               / sqrt(((n1 * ss1 - s1 * s1)::DOUBLE / n1 / (n1 - 1)) / n1
+                      + (((tot.n - n1) * (tot.ss - ss1)
+                          - (tot.s - s1) * (tot.s - s1))::DOUBLE
+                         / (tot.n - n1) / (tot.n - n1 - 1)) / (tot.n - n1))
+                   AS t_stat,
+               tot.m AS m
+        FROM g CROSS JOIN tot
+    ),
+    p AS (
+        SELECT source, n1, mean_chars, ROUND(t_stat, 6) AS t_stat,
+               ROUND({_PHI2_SQL.format(t='abs(ROUND(t_stat, 6))')}, 6)
+                   AS p_approx, m
+        FROM t
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY p_approx ASC, source ASC)
+                      ::BIGINT AS rnk
+        FROM p
+    ),
+    k AS (
+        SELECT COALESCE(MAX(CASE WHEN p_approx * m * 10 <= rnk THEN rnk END), 0)
+                   AS kk
+        FROM ranked
+    )
+    SELECT source, n1 AS n, mean_chars, t_stat, p_approx, rnk,
+           (rnk <= (SELECT kk FROM k)) AS rejected
+    FROM ranked
+    """,
+)
+def welch_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Welch two-sample t (each source's doc length vs the
+    REST of the corpus — complement moments by exact integer
+    subtraction, no second scan) with Benjamini-Hochberg FDR control at
+    q = 0.1 over the 20-test family — the parametric sibling of
+    mann_whitney plus the multiple-testing step every fleet-wide screen
+    needs (20 sources tested at α=0.05 yields ~1 false alarm; BH caps
+    the false-discovery RATE instead).  The normal CDF uses the Bowling
+    2009 logistic approximation (literal constants, same IEEE tree both
+    engines); the BH step-up compares p·m·10 ≤ rank — exact rational
+    threshold, no q/m division — on ROUNDED p with source tiebreaks.
+
+    Scale: one groupBy(source) + one global aggregate; everything else
+    on the |sources| frame."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n1"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss1"),
+    )
+    tot = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+        F.countDistinct("source").cast("long").alias("m"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    n2 = F.col("n") - n1
+    s2 = F.col("s") - s1
+    ss2 = (F.col("ss") - ss1).cast("decimal(38,0)")
+    v1 = (n1 * ss1 - s1 * s1).cast("double") / n1 / (n1 - 1)
+    v2 = (n2 * ss2 - s2 * s2).cast("double") / n2 / (n2 - 1)
+    t_stat = (s1.cast("double") / n1 - s2.cast("double") / n2) / F.sqrt(
+        v1 / n1 + v2 / n2
+    )
+    at = F.abs(F.round(t_stat, 6))
+    p = F.round(2.0 / (1.0 + F.exp(0.07056 * at * at * at + 1.5976 * at)), 6)
+    scored = j.select(
+        "source",
+        F.col("n1").alias("n"),
+        F.round(s1.cast("double") / n1, 6).alias("mean_chars"),
+        F.round(t_stat, 6).alias("t_stat"),
+        p.alias("p_approx"),
+        "m",
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.col("p_approx").asc(), F.col("source").asc()))
+        .cast("long"),
+    )
+    k = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_approx") * F.col("m") * 10 <= F.col("rnk"),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kk")
+    )
+    return ranked.crossJoin(F.broadcast(k)).select(
+        "source", "n", "mean_chars", "t_stat", "p_approx", "rnk",
+        (F.col("rnk") <= F.col("kk")).alias("rejected"),
+    )
+
+
+@query(
+    "poisson_rate_test",
+    f"""
+    WITH c AS (
+        SELECT SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n1,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n2
+        FROM events
+    )
+    SELECT n1, n2,
+           ROUND((n1 - n2) / sqrt((n1 + n2)::DOUBLE), 6) AS z,
+           ROUND({_PHI2_SQL.format(t='abs((n1 - n2) / sqrt((n1 + n2)::DOUBLE))')}, 6)
+               AS p_approx
+    FROM c
+    """,
+)
+def poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test (conditional/binomial form): are
+    purchases and clicks arriving at the same rate over the same
+    exposure window?  Given N = n₁+n₂, n₁ ~ Binomial(N, ½) under H₀, so
+    z = (n₁−n₂)/√(n₁+n₂) — exact integer counts, one closed-form double,
+    and the same logistic Φ approximation as welch_bh for the two-sided
+    p.  One aggregate over the corpus; nothing shuffles but two longs."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    z = (F.col("n1") - F.col("n2")) / F.sqrt((F.col("n1") + F.col("n2")).cast("double"))
+    az = F.abs(z)
+    return c.select(
+        "n1", "n2",
+        F.round(z, 6).alias("z"),
+        F.round(2.0 / (1.0 + F.exp(0.07056 * az * az * az + 1.5976 * az)), 6)
+        .alias("p_approx"),
+    )

@@ -564,3 +564,61 @@ def test_ar2_fit_matches_pure_python(spark):
     assert got.phi2 == pytest.approx((r2 - r1 * r1) / (1 - r1 * r1), abs=2e-6)
     # stationarity sanity for the fitted model on real data
     assert abs(got.phi2) < 1 and abs(got.phi1) < 2
+
+
+def test_welch_bh_matches_pure_python(spark):
+    rows = _rows(
+        f"SELECT source, n_chars FROM read_parquet('{SF}/documents.parquet')"
+    )
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    for s, v in rows:
+        g[s].append(v)
+    N = len(rows)
+    S = sum(v for _s, v in rows)
+    SS = sum(v * v for _s, v in rows)
+    m = len(g)
+
+    def phi2(t):
+        return 2.0 / (1.0 + math.exp(0.07056 * t**3 + 1.5976 * t))
+
+    ps = {}
+    for s, vs in g.items():
+        n1, s1, ss1 = len(vs), sum(vs), sum(v * v for v in vs)
+        n2, s2, ss2 = N - n1, S - s1, SS - ss1
+        v1 = (n1 * ss1 - s1 * s1) / n1 / (n1 - 1)
+        v2 = (n2 * ss2 - s2 * s2) / n2 / (n2 - 1)
+        t = (s1 / n1 - s2 / n2) / math.sqrt(v1 / n1 + v2 / n2)
+        ps[s] = round(phi2(abs(round(t, 6))), 6)
+    order = sorted(ps.items(), key=lambda kv: (kv[1], kv[0]))
+    kk = max((i + 1 for i, (_s, p) in enumerate(order)
+              if p * m * 10 <= i + 1), default=0)
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    got = REGISTRY["welch_bh"][0](spark, SF).collect()
+    assert len(got) == m
+    for r in got:
+        assert r.p_approx == ps[r.source]
+        assert r.rejected == (r.rnk <= kk)
+    # BH is a step-up: the rejected set is a prefix of the p-ordering
+    rej = sorted(r.rnk for r in got if r.rejected)
+    assert rej == list(range(1, len(rej) + 1))
+
+
+def test_poisson_rate_test_matches_pure_python(spark):
+    rows = _rows(
+        f"""SELECT SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+            FROM read_parquet('{SF}/events.parquet')"""
+    )
+    n1, n2 = rows[0]
+    z = (n1 - n2) / math.sqrt(n1 + n2)
+    got = _one(spark, "poisson_rate_test")
+    assert (got.n1, got.n2) == (n1, n2)
+    assert got.z == pytest.approx(z, abs=2e-6)
+    assert got.p_approx == pytest.approx(
+        2.0 / (1.0 + math.exp(0.07056 * abs(z) ** 3 + 1.5976 * abs(z))),
+        abs=2e-6,
+    )
