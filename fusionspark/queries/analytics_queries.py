@@ -4354,3 +4354,234 @@ def poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(2.0 / (1.0 + F.exp(0.07056 * az * az * az + 1.5976 * az)), 6)
         .alias("p_approx"),
     )
+
+
+@query(
+    "cuped_adjustment",
+    """
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               (('0x' || substr(md5('cuped:' || user_id::VARCHAR), 1, 8))::BIGINT
+                % 2 = 0) AS treated,
+               SUM(CASE WHEN CAST(ts AS DATE) - (SELECT d0 FROM bounds)
+                             < ((SELECT d1 FROM bounds) - (SELECT d0 FROM bounds) + 1) // 2
+                        THEN FLOOR(value * 100.0 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS x,
+               SUM(CASE WHEN CAST(ts AS DATE) - (SELECT d0 FROM bounds)
+                             >= ((SELECT d1 FROM bounds) - (SELECT d0 FROM bounds) + 1) // 2
+                        THEN FLOOR(value * 100.0 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ),
+    mom AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+               SUM((x * y)::HUGEINT) AS sxy, SUM((x * x)::HUGEINT) AS sxx
+        FROM u
+    ),
+    th AS (
+        SELECT (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS theta,
+               sx::DOUBLE / n AS mx
+        FROM mom
+    ),
+    adj AS (
+        SELECT treated, COUNT(*)::BIGINT AS n_g,
+               list_reduce(list_prepend(0.0,
+                   list(y - th.theta * (x - th.mx) ORDER BY user_id)),
+                   (a, v) -> a + v) AS s_adj,
+               SUM(y)::BIGINT AS s_raw
+        FROM u, th GROUP BY treated
+    )
+    SELECT t.n_g AS n_treated, c.n_g AS n_control,
+           ROUND((t.s_raw::DOUBLE / t.n_g - c.s_raw::DOUBLE / c.n_g) / 100.0, 6)
+               AS raw_effect,
+           ROUND((t.s_adj / t.n_g - c.s_adj / c.n_g) / 100.0, 6)
+               AS cuped_effect,
+           ROUND((SELECT theta FROM th), 6) AS theta
+    FROM (SELECT * FROM adj WHERE treated) t,
+         (SELECT * FROM adj WHERE NOT treated) c
+    """,
+)
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) for the md5-coin A/B
+    split: per-user PRE-period spend is the covariate, POST-period spend
+    the metric, θ = cov(x,y)/var(x) from exact decimal-38/HUGEINT
+    moments, adjusted metric ỹ = y − θ(x − x̄) — the standard trick that
+    cuts experiment variance by the covariate's R².  The adjusted-sum
+    fold is user_id-ORDERED in both engines (θ·(x−x̄) is float, so the
+    per-group sum must not depend on aggregation order); raw effect uses
+    integer sums only.  Complements diff_in_diff (same midpoint split,
+    observational form) and ab_test_zscore.
+
+    Scale: one groupBy(user_id) corpus collapse, one moment aggregate,
+    one bounded two-group fold."""
+    from fusionspark.operators.dedup import md5_hash32
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).collect()[0]
+    half = (b.d1 - b.d0).days + 1
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    pre = F.datediff(F.to_date("ts"), F.lit(b.d0)) < half // 2
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, cents).otherwise(0)).cast("long").alias("x"),
+            F.sum(F.when(~pre, cents).otherwise(0)).cast("long").alias("y"),
+        )
+        .select(
+            "user_id", "x", "y",
+            (md5_hash32(F.concat(F.lit("cuped:"), F.col("user_id").cast("string")))
+             % 2 == 0).alias("treated"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mom = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    th = mom.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+    )
+    adj = (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("treated")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "user_id",
+                                (
+                                    F.col("y")
+                                    - F.col("theta") * (F.col("x") - F.col("mx"))
+                                ).alias("v"),
+                            )
+                        )
+                    ),
+                    lambda s: s["v"],
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("s_adj"),
+            F.sum("y").cast("long").alias("s_raw"),
+        )
+    )
+    t = adj.filter(F.col("treated")).select(
+        F.col("n_g").alias("n_treated"),
+        F.col("s_adj").alias("sa_t"),
+        F.col("s_raw").alias("sr_t"),
+    )
+    c = adj.filter(~F.col("treated")).select(
+        F.col("n_g").alias("n_control"),
+        F.col("s_adj").alias("sa_c"),
+        F.col("s_raw").alias("sr_c"),
+    )
+    return (
+        t.crossJoin(c)
+        .crossJoin(F.broadcast(th))
+        .select(
+            "n_treated", "n_control",
+            F.round(
+                (
+                    F.col("sr_t").cast("double") / F.col("n_treated")
+                    - F.col("sr_c").cast("double") / F.col("n_control")
+                )
+                / 100.0,
+                6,
+            ).alias("raw_effect"),
+            F.round(
+                (
+                    F.col("sa_t") / F.col("n_treated")
+                    - F.col("sa_c") / F.col("n_control")
+                )
+                / 100.0,
+                6,
+            ).alias("cuped_effect"),
+            F.round("theta", 6).alias("theta"),
+        )
+    )
+
+
+@query(
+    "simpson_diversity",
+    """
+    WITH wc AS (
+        SELECT source, w.w AS word, COUNT(*)::BIGINT AS c
+        FROM (SELECT source,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+              FROM documents) d,
+             unnest(d.ws) AS w(w)
+        GROUP BY source, w.w
+    ),
+    s AS (
+        SELECT source, SUM((c * (c - 1))::HUGEINT) AS lam_num,
+               SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS n_types
+        FROM wc GROUP BY source
+    )
+    SELECT source, n, n_types,
+           ROUND(lam_num::DOUBLE / (n::DOUBLE * (n - 1)), 6) AS simpson_lambda,
+           ROUND(1.0 - lam_num::DOUBLE / (n::DOUBLE * (n - 1)), 6)
+               AS simpson_diversity,
+           ROUND((n::DOUBLE * (n - 1)) / lam_num::DOUBLE, 6) AS inv_simpson
+    FROM s
+    """,
+)
+def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's diversity of each source's word distribution — the
+    UNBIASED small-sample form λ = Σ nᵢ(nᵢ−1)/(N(N−1)) (the probability
+    two tokens drawn without replacement are the same word), with 1−λ
+    (Gini-Simpson) and the inverse-Simpson effective vocabulary size.
+    Completes the lexical-diversity panel: zipf_fit (law), heaps_law
+    (growth), vocab_gini (inequality), ngram_diversity (n-gram types) —
+    Simpson is the one that is EXACTLY rational (integer numerator and
+    denominator; the three displays are the only doubles).
+
+    Scale: one token explode → one (source, word) groupBy with map-side
+    combine; the diversity arithmetic runs on the per-source frame."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    s = wc.groupBy("source").agg(
+        F.sum((F.col("c") * (F.col("c") - 1)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("lam_num"),
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    lam = F.col("lam_num").cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    return s.select(
+        "source", "n", "n_types",
+        F.round(lam, 6).alias("simpson_lambda"),
+        F.round(1.0 - lam, 6).alias("simpson_diversity"),
+        F.round(
+            (F.col("n").cast("double") * (F.col("n") - 1))
+            / F.col("lam_num").cast("double"),
+            6,
+        ).alias("inv_simpson"),
+    )

@@ -622,3 +622,59 @@ def test_poisson_rate_test_matches_pure_python(spark):
         2.0 / (1.0 + math.exp(0.07056 * abs(z) ** 3 + 1.5976 * abs(z))),
         abs=2e-6,
     )
+
+
+def test_cuped_reduces_variance_law(spark):
+    """CUPED's point: on a synthetic experiment where the pre-period
+    covariate explains most outcome variance and the true effect is
+    planted, the adjusted effect must sit closer to truth than the raw
+    difference when randomization is unlucky.  Checked via the exact
+    identity: cuped_effect = raw_effect - theta*(mean_x_t - mean_x_c)."""
+    rows = _rows(
+        f"""SELECT user_id,
+                   SUM(CASE WHEN CAST(ts AS DATE) - (SELECT CAST(MIN(ts) AS DATE)
+                             FROM read_parquet('{SF}/events.parquet'))
+                            < 15 THEN FLOOR(value*100.0+0.5)::BIGINT ELSE 0 END),
+                   SUM(CASE WHEN CAST(ts AS DATE) - (SELECT CAST(MIN(ts) AS DATE)
+                             FROM read_parquet('{SF}/events.parquet'))
+                            >= 15 THEN FLOOR(value*100.0+0.5)::BIGINT ELSE 0 END)
+            FROM read_parquet('{SF}/events.parquet') GROUP BY user_id"""
+    )
+    import hashlib
+
+    xs = {u: x for u, x, _y in rows}
+    treated = {
+        u: int(hashlib.md5(f"cuped:{u}".encode()).hexdigest()[:8], 16) % 2 == 0
+        for u, _x, _y in rows
+    }
+    got = _one(spark, "cuped_adjustment")
+    t_x = [xs[u] for u in xs if treated[u]]
+    c_x = [xs[u] for u in xs if not treated[u]]
+    gap_x = (sum(t_x) / len(t_x) - sum(c_x) / len(c_x)) / 100.0
+    # identity: adjusted = raw - theta * pre-period imbalance
+    assert got.cuped_effect == pytest.approx(
+        got.raw_effect - got.theta * gap_x, abs=5e-5
+    )
+    assert got.n_treated == len(t_x) and got.n_control == len(c_x)
+
+
+def test_simpson_diversity_matches_pure_python(spark):
+    rows = _rows(
+        f"SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    from collections import Counter, defaultdict
+
+    cnt = defaultdict(Counter)
+    for s, t in rows:
+        cnt[s].update(w for w in t.lower().split(" ") if w)
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    got = {r.source: r for r in
+           REGISTRY["simpson_diversity"][0](spark, SF).collect()}
+    for s, c in cnt.items():
+        n = sum(c.values())
+        lam = sum(v * (v - 1) for v in c.values()) / (n * (n - 1))
+        assert got[s].n == n and got[s].n_types == len(c)
+        assert got[s].simpson_lambda == pytest.approx(lam, abs=2e-6)
+        assert got[s].inv_simpson == pytest.approx(1 / lam, abs=2e-4)
