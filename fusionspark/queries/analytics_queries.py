@@ -4585,3 +4585,84 @@ def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("inv_simpson"),
     )
+
+
+@query(
+    "sprt_monitor",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x,
+               SUM(CASE WHEN event_type IN ('purchase', 'click') THEN 1 ELSE 0 END)::BIGINT AS n
+        FROM events GROUP BY 1
+    ),
+    walked AS (
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               SUM(x) OVER (ORDER BY day)::BIGINT AS cx,
+               SUM(n - x) OVER (ORDER BY day)::BIGINT AS cnx
+        FROM daily
+    ),
+    llr AS (
+        SELECT day, cx, cnx,
+               ROUND(cx * ln(1.125) + cnx * ln(0.875), 6) AS llr
+        FROM walked
+    )
+    SELECT day, cx AS conversions, cnx AS non_conversions, llr,
+           CASE WHEN llr >= ROUND(ln(19.0), 6) THEN 'accept_h1'
+                WHEN llr <= ROUND(ln(1.0 / 19.0), 6) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr
+    """,
+)
+def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the daily purchase
+    share of purchase+click traffic — the ALWAYS-VALID monitor that lets
+    an experiment stop the day the evidence crosses a boundary instead
+    of waiting for a fixed horizon (peeking at a z-test inflates α;
+    SPRT's boundaries ln(19), ln(1/19) give α=β=0.05 at H₀ p=1/2 vs H₁
+    p=9/16).  The hypotheses are EXACT BINARY FRACTIONS so the two
+    likelihood ratios are the exact doubles 1.125 and 0.875 in both
+    engines (a 0.55/0.5 formulation would hit the DuckDB decimal-literal
+    ulp trap); llr_t = cx_t·ln(1.125) + cnx_t·ln(0.875) with cx/cnx
+    exact cumulative counts — one multiply-add per day, identical IEEE
+    tree both engines; the boundary compare is ROUNDED-vs-ROUNDED.
+
+    Scale: one groupBy(day) corpus collapse; the cumulative walk runs on
+    the bounded frame.  The streaming twin is the same plan under a
+    tumbling-window readStream."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type").isin("purchase", "click"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    w = W.orderBy("day")
+    walked = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("x").over(w).cast("long").alias("cx"),
+        F.sum(F.col("n") - F.col("x")).over(w).cast("long").alias("cnx"),
+    )
+    llr = F.round(
+        F.col("cx") * F.log(F.lit(1.125)) + F.col("cnx") * F.log(F.lit(0.875)),
+        6,
+    )
+    hi = F.round(F.log(F.lit(19.0)), 6)
+    lo = F.round(F.log(F.lit(1.0) / 19.0), 6)
+    return walked.select(
+        "day",
+        F.col("cx").alias("conversions"),
+        F.col("cnx").alias("non_conversions"),
+        llr.alias("llr"),
+    ).withColumn(
+        "decision",
+        F.when(F.col("llr") >= hi, "accept_h1")
+        .when(F.col("llr") <= lo, "accept_h0")
+        .otherwise("continue"),
+    )

@@ -678,3 +678,35 @@ def test_simpson_diversity_matches_pure_python(spark):
         assert got[s].n == n and got[s].n_types == len(c)
         assert got[s].simpson_lambda == pytest.approx(lam, abs=2e-6)
         assert got[s].inv_simpson == pytest.approx(1 / lam, abs=2e-4)
+
+
+def test_sprt_monitor_matches_pure_python(spark):
+    d = _rows(
+        f"""SELECT CAST(ts AS DATE) AS day,
+                   SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN event_type IN ('purchase','click') THEN 1 ELSE 0 END)
+            FROM read_parquet('{SF}/events.parquet') GROUP BY 1 ORDER BY 1"""
+    )
+    cx = cnx = 0
+    want = {}
+    hi, lo = round(math.log(19.0), 6), round(math.log(1 / 19.0), 6)
+    for day, x, n in d:
+        cx += x
+        cnx += n - x
+        llr = round(cx * math.log(1.125) + cnx * math.log(0.875), 6)
+        dec = ("accept_h1" if llr >= hi else
+               "accept_h0" if llr <= lo else "continue")
+        want[day.strftime("%Y-%m-%d")] = (cx, cnx, llr, dec)
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    got = REGISTRY["sprt_monitor"][0](spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (r.conversions, r.non_conversions, r.llr, r.decision) \
+            == want[r.day]
+    # the monitor is a cumulative walk: llr path, once a boundary is hit,
+    # stays interpretable — and with purchases ~ half of purchase+click
+    # traffic at p0=1/2 vs p1=9/16 the path must trend NEGATIVE (h0-ward)
+    last = sorted(got, key=lambda r: r.day)[-1]
+    assert last.llr < 0
