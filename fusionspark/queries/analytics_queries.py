@@ -4666,3 +4666,173 @@ def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("llr") <= lo, "accept_h0")
         .otherwise("continue"),
     )
+
+
+@query(
+    "hill_tail_index",
+    """
+    WITH topk AS (
+        SELECT n_chars AS x,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS i
+        FROM documents
+        QUALIFY i <= 100
+    ),
+    xk AS (SELECT x AS xk FROM topk WHERE i = 100),
+    folded AS (
+        SELECT list_reduce(list_prepend(0.0,
+                   list(ln(x::DOUBLE / (SELECT xk FROM xk)) ORDER BY i)),
+                   (a, v) -> a + v) AS s
+        FROM topk WHERE i < 100
+    )
+    SELECT 100::BIGINT AS k,
+           (SELECT xk FROM xk)::BIGINT AS x_k,
+           ROUND(folded.s / 99.0, 6) AS alpha_inv,
+           ROUND(99.0 / folded.s, 6) AS alpha
+    FROM folded
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the doc-length tail index (Hill 1975) — the
+    heavy-tail diagnosis beside zipf_fit's rank law: α̂⁻¹ = mean of
+    ln(x_i/x_k) over the k−1 largest order statistics above the k-th.
+    α < 2 means infinite variance (plan reservoir/quantile ops
+    accordingly); the corpus's partition-size planning reads this.  The
+    top-k cut is exact-integer (value DESC, id ASC ranks); each log term
+    divides the same two integers in both engines; the sum is a
+    rank-ORDERED IEEE fold.
+
+    Scale: one TakeOrdered(k) — k rows cross partitions; the fold is on
+    the bounded top-k frame."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    topk = (
+        d.select(
+            F.col("n_chars").alias("x"),
+            F.row_number()
+            .over(W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+            .alias("i"),
+        )
+        .filter(F.col("i") <= 100)
+        .localCheckpoint(eager=True)
+    )
+    xk = topk.filter(F.col("i") == 100).select(F.col("x").alias("xk"))
+    folded = (
+        topk.filter(F.col("i") < 100)
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "i",
+                                F.log(
+                                    F.col("x").cast("double") / F.col("xk")
+                                ).alias("v"),
+                            )
+                        )
+                    ),
+                    lambda s: s["v"],
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("s")
+        )
+    )
+    return folded.crossJoin(F.broadcast(xk)).select(
+        F.lit(100).cast("long").alias("k"),
+        F.col("xk").cast("long").alias("x_k"),
+        F.round(F.col("s") / 99.0, 6).alias("alpha_inv"),
+        F.round(99.0 / F.col("s"), 6).alias("alpha"),
+    )
+
+
+@query(
+    "mad_by_type",
+    """
+    WITH v AS (
+        SELECT event_type, FLOOR(value * 100.0 + 0.5)::BIGINT AS x
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               (SELECT x FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r,
+                                      COUNT(*) OVER () AS m
+                               FROM v i WHERE i.event_type = o.event_type)
+                WHERE r = (m + 1) // 2)
+             + (SELECT x FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r,
+                                      COUNT(*) OVER () AS m
+                               FROM v i WHERE i.event_type = o.event_type)
+                WHERE r = (m + 2) // 2) AS med2
+        FROM (SELECT DISTINCT event_type FROM v) o
+    ),
+    dev AS (
+        SELECT v.event_type, abs(2 * v.x - m.med2)::BIGINT AS d
+        FROM v JOIN med m ON m.event_type = v.event_type
+    ),
+    mad AS (
+        SELECT event_type,
+               (SELECT d FROM (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS r,
+                                      COUNT(*) OVER () AS m
+                               FROM dev i WHERE i.event_type = o.event_type)
+                WHERE r = (m + 1) // 2)
+             + (SELECT d FROM (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS r,
+                                      COUNT(*) OVER () AS m
+                               FROM dev i WHERE i.event_type = o.event_type)
+                WHERE r = (m + 2) // 2) AS mad4
+        FROM (SELECT DISTINCT event_type FROM dev) o
+    )
+    SELECT m.event_type,
+           ROUND(m.med2 / 2.0 / 100.0, 6) AS median_value,
+           ROUND(d.mad4 / 4.0 / 100.0, 6) AS mad_value,
+           ROUND(d.mad4 / 4.0 / 100.0 * 1.4826, 6) AS sigma_robust
+    FROM med m JOIN mad d ON d.event_type = m.event_type
+    """,
+)
+def mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type median and MAD, EXACT: both medians are sums of
+    the two middle order statistics (med2 = 2·median of cents; the
+    deviation median runs on the integer |2x − med2|, so mad4 = 4·MAD·100
+    stays integer until the two display divisions).  σ ≈ 1.4826·MAD is
+    the robust scale every outlier screen consumes (ts_anomalies uses
+    the global form; this is the per-group table).
+
+    Scale: two rank windows PARTITIONED BY type (parallel across groups;
+    the skew bound is the largest group, the same bound any per-group
+    order statistic has)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("x")
+    )
+
+    def med2_of(df, col, out):
+        ww = W.partitionBy("event_type").orderBy(col)
+        ranked = df.select(
+            "event_type", F.col(col),
+            F.row_number().over(ww).cast("long").alias("r"),
+            F.count("*").over(W.partitionBy("event_type")).cast("long").alias("m"),
+        )
+        m1 = ranked.filter(F.col("r") == F.floor((F.col("m") + 1) / 2)).select(
+            "event_type", F.col(col).alias("a")
+        )
+        m2 = ranked.filter(F.col("r") == F.floor((F.col("m") + 2) / 2)).select(
+            "event_type", F.col(col).alias("b")
+        )
+        return m1.join(m2, "event_type").select(
+            "event_type", (F.col("a") + F.col("b")).cast("long").alias(out)
+        )
+
+    med = med2_of(v, "x", "med2")
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("x") - F.col("med2")).cast("long").alias("d")
+    )
+    mad = med2_of(dev, "d", "mad4")
+    return med.join(mad, "event_type").select(
+        "event_type",
+        F.round(F.col("med2") / 2.0 / 100.0, 6).alias("median_value"),
+        F.round(F.col("mad4") / 4.0 / 100.0, 6).alias("mad_value"),
+        F.round(F.col("mad4") / 4.0 / 100.0 * 1.4826, 6).alias("sigma_robust"),
+    )

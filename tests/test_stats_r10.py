@@ -710,3 +710,51 @@ def test_sprt_monitor_matches_pure_python(spark):
     # traffic at p0=1/2 vs p1=9/16 the path must trend NEGATIVE (h0-ward)
     last = sorted(got, key=lambda r: r.day)[-1]
     assert last.llr < 0
+
+
+def test_hill_tail_index_matches_pure_python(spark):
+    vals = sorted(
+        (v for (v,) in _rows(
+            f"SELECT n_chars FROM read_parquet('{SF}/documents.parquet')")),
+        reverse=True,
+    )
+    xk = vals[99]
+    s = 0.0
+    for x in vals[:99]:
+        s += math.log(x / xk)
+    got = _one(spark, "hill_tail_index")
+    assert (got.k, got.x_k) == (100, xk)
+    assert got.alpha_inv == pytest.approx(s / 99, abs=2e-6)
+    assert got.alpha == pytest.approx(99 / s, abs=2e-6)
+
+
+def test_mad_by_type_matches_pure_python(spark):
+    rows = _rows(
+        f"""SELECT event_type, FLOOR(value*100.0+0.5)::BIGINT
+            FROM read_parquet('{SF}/events.parquet')"""
+    )
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    for t, x in rows:
+        g[t].append(x)
+
+    def med2(vs):
+        s = sorted(vs)
+        n = len(s)
+        return s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
+
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    got = {r.event_type: r for r in
+           REGISTRY["mad_by_type"][0](spark, SF).collect()}
+    assert set(got) == set(g)
+    for t, vs in g.items():
+        m2 = med2(vs)
+        mad4 = med2([abs(2 * x - m2) for x in vs])
+        assert got[t].median_value == round(m2 / 2 / 100, 6)
+        assert got[t].mad_value == round(mad4 / 4 / 100, 6)
+        assert got[t].sigma_robust == pytest.approx(
+            mad4 / 4 / 100 * 1.4826, abs=2e-6
+        )
