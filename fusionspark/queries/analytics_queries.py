@@ -4836,3 +4836,80 @@ def mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mad4") / 4.0 / 100.0, 6).alias("mad_value"),
         F.round(F.col("mad4") / 4.0 / 100.0 * 1.4826, 6).alias("sigma_robust"),
     )
+
+
+@query(
+    "theil_index",
+    """
+    WITH rev AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN floor(value * 1e6)::BIGINT ELSE 0 END)::BIGINT AS x
+        FROM events GROUP BY user_id
+    ),
+    pos AS (SELECT user_id, x FROM rev WHERE x > 0),
+    tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s FROM pos),
+    folded AS (
+        SELECT list_reduce(list_prepend(0.0,
+                   list((x::DOUBLE * tot.n / tot.s)
+                        * ln(x::DOUBLE * tot.n / tot.s) ORDER BY user_id)),
+                   (a, v) -> a + v) AS t_sum,
+               MAX(tot.n)::BIGINT AS n
+        FROM pos, tot
+    )
+    SELECT n AS n_users, ROUND(t_sum / n, 6) AS theil_t,
+           ROUND(1.0 - exp(-t_sum / n), 6) AS atkinson1
+    FROM folded
+    """,
+)
+def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-user purchase revenue — the
+    entropy-based member of the inequality panel (revenue_gini measures
+    rank concentration; Theil is DECOMPOSABLE across subgroups, which a
+    per-segment rollup exploits), with Atkinson(ε=1) = 1 − e^{−T} as the
+    welfare reading.  Each term (x/μ)·ln(x/μ) uses x·n/S — a ratio of
+    exact integers, so both engines feed ln the same double — and the
+    sum is a user-ORDERED IEEE fold; zero-revenue users are excluded
+    (the standard treatment: x·ln x → 0 but the index is defined on
+    positive incomes).
+
+    Scale: one groupBy(user) corpus collapse, one bounded fold."""
+    e = load_table(spark, sf_dir, "events")
+    rev = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1e6).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x")
+    )
+    pos = rev.filter(F.col("x") > 0)
+    tot = pos.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    term = (F.col("x").cast("double") * F.col("n") / F.col("s")) * F.log(
+        F.col("x").cast("double") * F.col("n") / F.col("s")
+    )
+    folded = (
+        pos.crossJoin(F.broadcast(tot))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("user_id", term.alias("v")))
+                    ),
+                    lambda st: st["v"],
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("t_sum"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+    return folded.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("t_sum") / F.col("n"), 6).alias("theil_t"),
+        F.round(1.0 - F.exp(-F.col("t_sum") / F.col("n")), 6).alias("atkinson1"),
+    )

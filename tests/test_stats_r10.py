@@ -758,3 +758,23 @@ def test_mad_by_type_matches_pure_python(spark):
         assert got[t].sigma_robust == pytest.approx(
             mad4 / 4 / 100 * 1.4826, abs=2e-6
         )
+
+
+def test_theil_index_matches_pure_python(spark):
+    rows = _rows(
+        f"""SELECT user_id, SUM(CASE WHEN event_type='purchase'
+                   THEN floor(value*1e6)::BIGINT ELSE 0 END)
+            FROM read_parquet('{SF}/events.parquet') GROUP BY user_id"""
+    )
+    xs = sorted((u, x) for u, x in rows if x > 0)
+    n, s = len(xs), sum(x for _u, x in xs)
+    t = 0.0
+    for _u, x in xs:
+        r = x * n / s
+        t += r * math.log(r)
+    got = _one(spark, "theil_index")
+    assert got.n_users == n
+    assert got.theil_t == pytest.approx(t / n, abs=2e-6)
+    assert got.atkinson1 == pytest.approx(1 - math.exp(-t / n), abs=2e-6)
+    # law: Theil of a constant distribution is 0; of any real one, > 0
+    assert got.theil_t > 0
