@@ -38,6 +38,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_PROBES_BENCH = 64
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
+# Per-iteration times of the *_x10 loop entries (filled during the run,
+# published in BENCH_DETAIL) — the spread distinguishes a genuinely slower
+# plan from one contended iteration inflating the SINGLE_RUN total.
+X10_ITER: dict[str, list[float]] = {}
+
 
 def bench_queries(spark):
     """Returns (name → zero-arg callable returning a DataFrame, recall ctx)."""
@@ -208,18 +213,31 @@ def bench_queries(spark):
         # the amortized build-once/search-MANY contract: 10 consecutive
         # 1000-probe searches on the prebuilt index — the workload shape
         # the resident path exists for (a serving loop), vs the same 10
-        # searches each re-shipping the corpus in knn_1m_scan_x10
+        # searches each re-shipping the corpus in knn_1m_scan_x10.
+        # Per-iteration times go to X10_ITER → BENCH_DETAIL so a driver
+        # round where ONE contended iteration inflates the total no longer
+        # needs manual adjudication (VERDICT r10 #5): the other 9 carry
+        # the quiet number.  (The 10th search is collected by the harness;
+        # its time is the harness sample minus the logged 9.)
         if m1["idx"] is None:
             raise RuntimeError(
                 "knn_1m_resident_x10 requires resident_build_1m to run first"
             )
+        iters = X10_ITER.setdefault("knn_1m_resident_x10", [])
+        iters.clear()
         for _ in range(9):
+            t0 = time.time()
             m1["idx"].search(probes1k, k=10, probe_batch=probe_batch).collect()
+            iters.append(round(time.time() - t0, 3))
         return m1["idx"].search(probes1k, k=10, probe_batch=probe_batch)
 
     def knn_1m_scan_x10():
+        iters = X10_ITER.setdefault("knn_1m_scan_x10", [])
+        iters.clear()
         for _ in range(9):
+            t0 = time.time()
             knn(corpus1m(), probes1k, k=10, strategy="numpy").collect()
+            iters.append(round(time.time() - t0, 3))
         return knn(corpus1m(), probes1k, k=10, strategy="numpy")
 
     def cleanup_1m():
@@ -642,6 +660,10 @@ def main() -> None:
         "queries": timings,
         "queries_min": timings_min,
         "recall": recall,
+        # first-9 per-iteration times of each *_x10 loop (the 10th is the
+        # harness-timed search: entry total minus the sum of these) — the
+        # spread separates plan regressions from one contended iteration
+        "x10_iteration_times": {k: list(v) for k, v in X10_ITER.items()},
         "sf": float(sf),
         "notes": {
             "knn_100k": (
@@ -664,6 +686,13 @@ def main() -> None:
                 "and unpersists before the recall curves"
             ),
             "single_run_entries": sorted(SINGLE_RUN),
+            "x10_spread": (
+                "VERDICT r10 #5: the *_x10 SINGLE_RUN entries now log "
+                "per-iteration times (x10_iteration_times) so a driver "
+                "round where one contended iteration inflates the total "
+                "is self-adjudicating — compare the iteration median, "
+                "not the 10-iteration sum"
+            ),
             "suite_total_r8": (
                 "the r8 suite total grew ~120s over r7 from NEW entries "
                 "(knn_1m_scan_x10 ~82-89s as the amortization control, "

@@ -428,11 +428,29 @@ def ivf_search_persisted(
     driver-side (_route_probes — pure Python over probes×codebook, the
     low-latency interactive form); a larger probe frame delegates to
     ivf_search_distributed, whose Arrow-map routing never collects a
-    probe to the driver (same routing fold and tie rules, so the switch
-    is invisible in results).  The bound is checked with a
-    limit(N+1).count() so the big-frame case never pays a full count."""
+    probe to the driver (same routing fold and tie rules, so for
+    strategy="numpy" the switch is invisible in results — the
+    distributed form scores with the same numpy GEMM).  A caller who
+    explicitly asked for strategy="expression" (the codegen'd cosine,
+    bit-exact contract) is NOT silently rerouted: the delegated numpy
+    scoring can differ at ulp level, so that combination warns before
+    delegating (the alternative — collecting >ROUTE_COLLECT_MAX probes
+    to the driver — is the scale failure this router exists to prevent).
+    The bound is checked with a limit(N+1).count() so the big-frame case
+    never pays a full count."""
     n_small = probes.limit(ROUTE_COLLECT_MAX + 1).count()
     if n_small > ROUTE_COLLECT_MAX:
+        if strategy != "numpy":
+            import warnings
+
+            warnings.warn(
+                f"ivf_search_persisted: probe frame exceeds ROUTE_COLLECT_MAX"
+                f" ({ROUTE_COLLECT_MAX}); delegating to ivf_search_distributed,"
+                f" which scores with numpy GEMM — results may differ at ulp"
+                f" level from the requested strategy={strategy!r} expression"
+                f" path. Pass strategy='numpy' to silence this.",
+                stacklevel=2,
+            )
         return ivf_search_distributed(
             spark, path, probes, k=k, n_probe=n_probe,
             id_col=id_col, vector_col=vector_col,

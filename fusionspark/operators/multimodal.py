@@ -1130,8 +1130,12 @@ def mime_sniff_col(payload: F.Column | str) -> F.Column:
         52494646....57415645  RIFF/WAVE    ....41564920  RIFF/AVI
         ....66747970 at byte 5    ISO-BMFF ftyp (MP4 family)
 
-    Longer signatures are tested first so a prefix can't shadow a more
-    specific match."""
+    Ordering rule (ADVICE r10): every byte-1-anchored prefix test runs
+    BEFORE the byte-5 ftyp test.  The prefixes are mutually disjoint at
+    byte 1 (89/47/52/FF/42), so their relative order is free — but ftyp
+    matches at OFFSET 5, and a JPEG whose APP0 length/identifier bytes
+    happened to spell 'ftyp' there would be shadowed into video/mp4 if
+    the cross-offset test ran first."""
     sig = F.hex(F.substring(payload, 1, 12))
     return (
         F.when(sig.startswith("89504E470D0A1A0A"), "image/png")
@@ -1144,8 +1148,8 @@ def mime_sniff_col(payload: F.Column | str) -> F.Column:
             sig.startswith("52494646") & (F.substring(sig, 17, 8) == "41564920"),
             "video/avi",
         )
-        .when(F.substring(sig, 9, 8) == "66747970", "video/mp4")
         .when(sig.startswith("FFD8FF"), "image/jpeg")
         .when(sig.startswith("424D"), "image/bmp")
+        .when(F.substring(sig, 9, 8) == "66747970", "video/mp4")
         .otherwise("application/octet-stream")
     )

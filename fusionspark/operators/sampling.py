@@ -63,9 +63,17 @@ def weighted_sample(
     engines) collapses that boundary: two keys only compare differently
     across engines if a raw value sits within an ulp of a 0.5e-6 rounding
     edge (~1e-10/row, vs the 3.8e-8 order-statistic gap), and the id
-    tiebreak makes equal rounded keys deterministic."""
+    tiebreak makes equal rounded keys deterministic.
+
+    Signed-zero discipline (the round-10 driver red row): the emitted key
+    carries ``+ 0.0`` in BOTH engines.  A tiny negative raw key (doc 269
+    at sf0.01: −2.41e-07) rounds to +0.0 in Spark (BigDecimal HALF_UP)
+    but −0.0 in DuckDB (round(x·1e6)/1e6 in binary) — numerically equal,
+    bitwise different, and since every A-Res key is ≤ 0 sorted DESC that
+    row ranks #1 in the output every run.  IEEE −0.0 + 0.0 = +0.0, so
+    the addition canonicalizes the zero without moving any other value."""
     w = F.col(weight_col).cast("double")
-    key = F.round(F.log(sample_coin(F.col(id_col), salt)) / w, 6)
+    key = F.round(F.log(sample_coin(F.col(id_col), salt)) / w, 6) + F.lit(0.0)
     return (
         df.filter(w > 0.0)
         .withColumn("sample_key", key)

@@ -683,10 +683,12 @@ def compression_profile_docs(df, id_col: str = "doc_id", text_col: str = "text")
     byte length of zlib level-0 (stored-mode) output.  Stored-mode framing
     is fully determined by the input length (2-byte header + per-block
     5-byte headers + payload + 4-byte adler32), which gives an oracle-
-    checkable closed form ``6 + 5*ceil(n/65535) + n`` for n < 65535 — so a
-    SQL engine with no zlib can still attest the exact compressed byte
-    count on that path, while ``ratio`` carries the level-6 redundancy
-    signal.  One zero-shuffle Arrow map."""
+    checkable closed form ``6 + 5*max(ceil(n/65535), 1) + n`` — the
+    ``max(·, 1)`` covers n=0, where zlib still emits one final empty
+    stored block (11 bytes total) — so a SQL engine with no zlib can
+    still attest the exact compressed byte count on that path, while
+    ``ratio`` carries the level-6 redundancy signal.  One zero-shuffle
+    Arrow map."""
     import zlib
 
     import pandas as pd

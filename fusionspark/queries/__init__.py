@@ -27,45 +27,51 @@ def query(name: str, sql: str | None = None):
 
 # The grading driver attests registry entries in insertion order and caps
 # how many it checks per round (the first 50).  Names listed here are moved
-# to the FRONT of the registry.  Round 10 rotation (VERDICT r9 #1): the
-# r9 board was fully drained (50 first-time rows in CORRECTNESS_r09), so
+# to the FRONT of the registry.  Round 11 rotation (VERDICT r10 #2): the
+# r10 board was fully drained (49 green + 1 red in CORRECTNESS_r10), so
 # this board fronts, in order:
-#   (a) the 21 entries never driver-attested — the 6 r9 spills plus the
-#       15 added during r9 sessions;
-#   (b) the round's code-changed / new entries: geo_neighbors (re-queued
-#       by r9's grid_proximity_join d2_max param), weighted_sample (r9's
-#       one RED row — the k-boundary now cuts on the ROUNDED key in both
-#       engines), compression_ratio (converted rows-only → oracle-backed
-#       via a derived content-attested corpus), knn_postfilter (NEW:
-#       reference post-filter contract parity), and ann_ivf_filtered /
-#       ann_ivf_distributed (ivf_search_persisted/_distributed bodies
-#       changed for the auto-routing switch — re-attested at the new
-#       code state);
-#   (c) oldest-attested-first refresh: all 7 remaining r1 rows and the
-#       16 oldest r2 rows (8 rounds stale).
+#   (a) the 34 entries never driver-attested — the r10 session additions
+#       (PROGRESS.md r11 handoff queue; all local-green ×3 SFs AND
+#       bit-identical in the judge's strict Spark↔DuckDB scan);
+#   (b) weighted_sample — r10's one RED row, now fixed: the emitted
+#       sample_key carries `+ 0.0` in BOTH engines so a tiny negative
+#       raw key can no longer round to +0.0 (Spark BigDecimal HALF_UP)
+#       vs -0.0 (DuckDB binary round) — numerically equal, hash
+#       different (doc 269 at sf0.01 was the witness, rank #1 every
+#       run).  weighted_sample_grouped shares the key family and the
+#       fix, and sits in (a);
+#   (c) r11 code-changed re-attests: knn_postfilter (ef now
+#       max(EF_SEARCH, TOP_K) per the reference contract — identical
+#       output at TOP_K=10, ADVICE r10) and ann_ivf_filtered (its
+#       dependency ivf_search_persisted gained a strategy-honoring
+#       warning on the auto-route, ADVICE r10);
+#   (d) oldest-attested-first refresh: the 6 remaining r2 rows and the
+#       7 oldest r4 rows (7 rounds stale), in attestation order.
 # Queries not listed keep their valid attestations; queries ADDED during
-# r10 sessions go AFTER this board (they are the r11 queue).
+# r11 sessions go AFTER this board (they are the r12 queue).
 PRIORITY: list[str] = [
-    # ── (a) the 6 r9 spills ──
-    "benford_digits", "degree_distribution", "cumulative_users",
-    "forecast_backtest", "median_by_type", "l_diversity",
-    # ── (a) the 15 r9 session additions ──
-    "mp4_video_frames", "lang_id_trained", "hilbert_pruning",
-    "hw_forecast", "token_fertility", "ngram_diversity", "mmr_rerank",
-    "dbscan_users", "rake_keywords", "anomaly_esd", "line_dedup",
-    "diff_in_diff", "propensity_match", "vocab_gini", "pettitt_test",
-    # ── (b) r10 code-changed / new ──
-    "geo_neighbors", "weighted_sample", "compression_ratio",
-    "knn_postfilter", "ann_ivf_filtered", "ann_ivf_distributed",
-    # ── (c) staleness refresh: the 7 r1 rows ──
-    "token_counts", "memory_stats", "memory_ttl_filter", "memory_acl",
-    "tenant_filter", "conversation_threads", "consolidation_decay",
-    # ── (c) staleness refresh: the 16 oldest r2 rows ──
-    "doc_fingerprint", "ann_ivf", "corpus_clean", "memory_prune",
-    "orchestrator_stats", "capability_rank", "broadcast_targets",
-    "query_patterns", "skill_ema", "skill_match", "reflection_context",
-    "triple_edges", "graph_summary", "knn_euclidean", "knn_dot",
-    "vector_normalize",
+    # ── (a) the 34 never-attested r10 additions ──
+    "spearman_corr", "kendall_tau_daily", "ks_two_sample",
+    "mann_kendall", "runs_test", "cramers_v", "ewma_control",
+    "shuffle_skew_report", "compaction_plan", "exif_metadata",
+    "mime_sniff", "robots_rules", "isotonic_calibration",
+    "entity_resolution", "weighted_sample_grouped", "dp_counts",
+    "kn_perplexity", "luhn_check", "feature_mi", "burrows_delta",
+    "matrix_profile_daily", "ar2_fit", "csv_parse", "sitemap_parse",
+    "anomaly_shesd", "hashing_collisions", "welch_bh",
+    "poisson_rate_test", "cuped_adjustment", "simpson_diversity",
+    "sprt_monitor", "hill_tail_index", "mad_by_type", "theil_index",
+    # ── (b) the fixed r10 red row ──
+    "weighted_sample",
+    # ── (c) r11 code-changed re-attests ──
+    "knn_postfilter", "ann_ivf_filtered",
+    # ── (d) staleness refresh: the 6 remaining r2 rows ──
+    "point_lookup", "collection_stats", "delete_by_id", "filter_eq",
+    "filter_in", "knn_filtered",
+    # ── (d) staleness refresh: the 7 oldest r4 rows ──
+    "adaptive_weights", "hybrid_adaptive", "triples_extract",
+    "html_sections", "node_summaries", "title_detect",
+    "tpch_region_revenue",
 ]
 
 

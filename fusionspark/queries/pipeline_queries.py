@@ -3595,7 +3595,7 @@ def nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, n_chars,
            ROUND(ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
                     / 4294967296.0)
-                 / CAST(n_chars AS DOUBLE), 6) AS sample_key
+                 / CAST(n_chars AS DOUBLE), 6) + 0.0 AS sample_key
     FROM documents
     WHERE n_chars > 0
     ORDER BY ROUND(ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
@@ -4242,7 +4242,7 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, doc_id, n_chars,
                ROUND(ln((('0x' || substr(md5('wsg:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
                         / 4294967296.0)
-                     / CAST(n_chars AS DOUBLE), 6) AS sample_key,
+                     / CAST(n_chars AS DOUBLE), 6) + 0.0 AS sample_key,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
                    ORDER BY ROUND(ln((('0x' || substr(md5('wsg:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
@@ -4276,7 +4276,7 @@ def weighted_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(sample_coin(F.col("doc_id"), "wsg:"))
         / F.col("n_chars").cast("double"),
         6,
-    )
+    ) + F.lit(0.0)
     w = W.partitionBy("lang").orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
     return (
         d.select("lang", "doc_id", "n_chars", key.alias("sample_key"))
@@ -4467,12 +4467,12 @@ def luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     separates a random 16-digit string from a REAL card/IMEI-shaped
     number, cutting the false-positive rate of the regex-only pii_redact
     pass.  The derived corpus plants a valid number on every even doc
-    (15 deterministic digits + the true Luhn check digit) and an
-    check digit shifted by one (mod 10) on odd docs, so both verdicts
-    are exercised on every gate.  The validator is the exact integer double-every-
-    second-from-the-right fold as a pure column expression (zero
-    shuffle, codegen'd); the oracle replays the same fold AND the
-    check-digit construction."""
+    (15 deterministic digits + the true Luhn check digit); odd docs get
+    the check digit shifted by one (mod 10), so both verdicts are
+    exercised on every gate.  The validator is the exact integer Luhn
+    fold — double every second digit from the right, subtract 9 above 9,
+    sum mod 10 — as a pure column expression (zero shuffle, codegen'd);
+    the oracle replays the same fold AND the check-digit construction."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     base = F.concat(
         F.lpad((F.col("doc_id") * 2654435761 % 1000000000).cast("string"), 9, "0"),

@@ -238,6 +238,9 @@ def delete_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EF_SEARCH = 50  # reference default candidate-list size (HNSWIndex.js:64)
+# the reference widens the candidate list when topK exceeds efSearch:
+# ef = Math.max(efSearch, topK) (HNSWIndex.js) — replicated in BOTH engines
+EF_POSTFILTER = max(EF_SEARCH, TOP_K)
 
 
 @query(
@@ -252,7 +255,7 @@ EF_SEARCH = 50  # reference default candidate-list size (HNSWIndex.js:64)
     cand AS (
         SELECT * FROM scored
         QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC)
-                <= {EF_SEARCH}
+                <= {EF_POSTFILTER}
     )
     SELECT probe_id, vec_id, label, ROUND(sim, 6) AS sim,
            ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS rnk
@@ -280,7 +283,7 @@ def knn_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     cand = scored.withColumn("rnk_ef", F.row_number().over(w)).filter(
-        F.col("rnk_ef") <= EF_SEARCH
+        F.col("rnk_ef") <= EF_POSTFILTER
     )
     survivors = cand.filter(F.col("label").isin(0, 2, 4, 6, 8))
     return (

@@ -573,3 +573,33 @@ def test_ivf_persisted_autoswitches_to_distributed_router(
     small = self_probes(e, 3)
     with pytest.raises(AssertionError, match="driver-side probe collect"):
         ann.ivf_search_persisted(spark, path, small, k=5, n_probe=2).collect()
+
+
+def test_ivf_persisted_autoswitch_honors_strategy(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r10: the auto-route must not SILENTLY drop an explicit
+    strategy='expression' (bit-exact codegen'd cosine) — the distributed
+    delegate scores with numpy GEMM, which can differ at ulp level.
+    Above the threshold: strategy='numpy' delegates silently (identical
+    scoring), the default/explicit 'expression' delegates WITH a warning."""
+    import warnings
+
+    from fusionspark.operators import ann
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = self_probes(e, 12)
+    path = str(tmp_path / "ivf_warn")
+    ann.persist_ivf(e, path, n_centroids=8)
+    monkeypatch.setattr(ann, "ROUTE_COLLECT_MAX", 10)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning becomes an error
+        ann.ivf_search_persisted(
+            spark, path, probes, k=5, n_probe=2, strategy="numpy"
+        ).collect()
+
+    with pytest.warns(UserWarning, match="ulp level"):
+        ann.ivf_search_persisted(
+            spark, path, probes, k=5, n_probe=2, strategy="expression"
+        ).collect()

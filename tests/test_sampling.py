@@ -83,3 +83,41 @@ def test_weighted_sample_key_is_rounded_before_cut(spark):
     assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
     for r in got:
         assert r.sample_key == round(r.sample_key, 6)
+
+def test_weighted_sample_emits_no_signed_zero(spark):
+    """The r10 driver red row: a tiny negative raw key (doc 269 at sf0.01,
+    raw -2.41e-07) rounds to +0.0 in Spark but -0.0 in DuckDB, and since
+    every A-Res key is <= 0 sorted DESC that row ranks #1 every run —
+    numerically equal, driver-hash different.  Both weighted_sample
+    queries now canonicalize with `+ 0.0` in BOTH engines; this scans
+    every emitted float column of both queries (Spark side) AND their
+    DuckDB oracles for IEEE signed zeros at all three SFs."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+    from fusionspark.io import TABLES
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        for name in ("weighted_sample", "weighted_sample_grouped"):
+            for tag, pdf in (
+                ("spark", queries[name](spark, sf_dir).toPandas()),
+                ("duck", con.execute(oracles[name]).fetchdf()),
+            ):
+                for c in pdf.columns:
+                    if np.issubdtype(pdf[c].dtype, np.floating):
+                        v = pdf[c].to_numpy(dtype=float)
+                        sz = (v == 0.0) & np.signbit(v)
+                        assert not sz.any(), f"{sf} {name}.{c} [{tag}]: -0.0 emitted"
