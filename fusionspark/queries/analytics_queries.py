@@ -4913,3 +4913,467 @@ def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("t_sum") / F.col("n"), 6).alias("theil_t"),
         F.round(1.0 - F.exp(-F.col("t_sum") / F.col("n")), 6).alias("atkinson1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: experimentation / survival / causal completions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "logrank_test",
+    """
+    WITH c AS (
+        SELECT o_custkey, o_custkey % 2 AS g,
+               MIN(CAST(o_orderdate AS DATE)) AS t0,
+               MAX(CAST(o_orderdate AS DATE)) AS t1
+        FROM orders GROUP BY 1, 2
+    ),
+    hz AS (SELECT MAX(t1) AS h FROM c),
+    cd AS (
+        SELECT g, date_diff('day', t0, t1)::BIGINT AS t,
+               CASE WHEN date_diff('day', t1, (SELECT h FROM hz)) > 90
+                    THEN 1 ELSE 0 END::BIGINT AS ev
+        FROM c
+    ),
+    tl AS (
+        SELECT t,
+               SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS m0,
+               SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS m1,
+               SUM(CASE WHEN g = 0 THEN ev ELSE 0 END)::BIGINT AS d0,
+               SUM(CASE WHEN g = 1 THEN ev ELSE 0 END)::BIGINT AS d1
+        FROM cd GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d0, d1,
+               (SELECT SUM(m0) FROM tl)::BIGINT
+                 - (SUM(m0) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - m0)::BIGINT AS n0,
+               (SELECT SUM(m1) FROM tl)::BIGINT
+                 - (SUM(m1) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - m1)::BIGINT AS n1
+        FROM tl
+    ),
+    ev AS (
+        SELECT t, d0, d1, n0, n1, d0 + d1 AS d, n0 + n1 AS n
+        FROM risk WHERE d0 + d1 > 0 AND n0 + n1 > 1
+    ),
+    folded AS (
+        SELECT SUM(d1)::BIGINT AS o1,
+               list_reduce(list_prepend([0.0, 0.0],
+                   list([(d * n1)::DOUBLE / n,
+                         (d * n1 * n0 * (n - d))::DOUBLE
+                           / (n * n * (n - 1))] ORDER BY t)),
+                   (a, x) -> [a[1] + x[1], a[2] + x[2]]) AS s
+        FROM ev
+    ),
+    sizes AS (
+        SELECT SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n0_total,
+               SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1_total
+        FROM cd
+    )
+    SELECT sizes.n0_total, sizes.n1_total, folded.o1,
+           ROUND(folded.s[1], 6) AS e1,
+           ROUND(folded.s[2], 6) AS var1,
+           CASE WHEN folded.s[2] > 0.0
+                THEN ROUND((folded.o1 - folded.s[1]) / sqrt(folded.s[2]), 6)
+           END AS z
+    FROM folded, sizes
+    """,
+)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) two-group survival comparison — completes the
+    survival family begun by survival_km: customers split by key parity,
+    duration = first→last order span, churn event = last order > 90 days
+    before the corpus horizon.  At each event time t the test compares
+    observed group-1 events d1_t against the hypergeometric expectation
+    d_t·n1_t/n_t and variance d_t·n1_t·n0_t·(n_t−d_t)/(n_t²·(n_t−1));
+    z = (O1 − E1)/√V is the curve-separation readout A/B survival
+    analyses (retention experiments) run on.
+
+    Parity: every per-time term is ONE correctly-rounded division of two
+    exact BIGINT products (no intermediate float arithmetic — IEEE
+    division of exact integers is deterministic, unlike libm), the
+    at-risk counts come from integer reverse-cumulative windows, and E1/V
+    are t-ASC ordered folds (survival_km discipline).  sqrt is
+    IEEE-correctly-rounded, so z is bit-identical given identical (O1,
+    E1, V).
+
+    Scale: the corpus collapses to per-customer (min, max) with map-side
+    combine, then to the bounded per-day timeline (≤ calendar span rows);
+    the windows and folds run on the timeline only — the single-partition
+    window is over thousands of rows at ANY corpus size."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("t0"),
+        F.max(F.to_date("o_orderdate")).alias("t1"),
+    ).select((F.col("o_custkey") % 2).alias("g"), "t0", "t1")
+    hz = c.agg(F.max("t1").alias("h"))
+    cd = c.crossJoin(F.broadcast(hz)).select(
+        "g",
+        F.datediff("t1", "t0").cast("long").alias("t"),
+        F.when(F.datediff("h", "t1") > 90, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("ev"),
+    )
+    tl = cd.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("m0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("m1"),
+        F.sum(F.when(F.col("g") == 0, F.col("ev")).otherwise(0)).cast("long").alias("d0"),
+        F.sum(F.when(F.col("g") == 1, F.col("ev")).otherwise(0)).cast("long").alias("d1"),
+    )
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    risk = tl.select(
+        "t", "d0", "d1",
+        (F.sum("m0").over(wall) - (F.sum("m0").over(wcum) - F.col("m0")))
+        .cast("long").alias("n0"),
+        (F.sum("m1").over(wall) - (F.sum("m1").over(wcum) - F.col("m1")))
+        .cast("long").alias("n1"),
+    )
+    ev = risk.withColumn("d", F.col("d0") + F.col("d1")).withColumn(
+        "n", F.col("n0") + F.col("n1")
+    ).filter((F.col("d") > 0) & (F.col("n") > 1))
+    e1_t = (F.col("d") * F.col("n1")).cast("double") / F.col("n")
+    v_t = (
+        F.col("d") * F.col("n1") * F.col("n0") * (F.col("n") - F.col("d"))
+    ).cast("double") / (F.col("n") * F.col("n") * (F.col("n") - 1))
+    folded = ev.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("t", e1_t.alias("e"), v_t.alias("v"))
+                    )
+                ),
+                lambda s: F.array(s["e"], s["v"]),
+            ),
+            F.array(F.lit(0.0), F.lit(0.0)),
+            lambda a, x: F.array(
+                F.element_at(a, 1) + F.element_at(x, 1),
+                F.element_at(a, 2) + F.element_at(x, 2),
+            ),
+        ).alias("s"),
+    )
+    sizes = cd.agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n0_total"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1_total"),
+    )
+    return folded.crossJoin(F.broadcast(sizes)).select(
+        "n0_total", "n1_total", "o1",
+        F.round(F.element_at("s", 1), 6).alias("e1"),
+        F.round(F.element_at("s", 2), 6).alias("var1"),
+        F.when(
+            F.element_at("s", 2) > 0.0,
+            F.round(
+                (F.col("o1") - F.element_at("s", 1))
+                / F.sqrt(F.element_at("s", 2)),
+                6,
+            ),
+        ).alias("z"),
+    )
+
+
+# z-quantiles for ab_power_mde as exact integer ratios: both engines parse
+# the integer literals exactly and IEEE division is correctly rounded, so
+# the constants are bit-identical (the DuckDB decimal-literal 1-ulp trap
+# from COVERAGE.md §cross-SF does not apply to INT/INT division).
+# z_{0.975} and z_{0.80} to 16 significant digits.
+_Z_ALPHA_NUM = 1959963984540054  # / 1e15 = 1.959963984540054
+_Z_BETA_NUM = 841621233572914  # / 1e15 = 0.841621233572914
+_Z_DEN = 10**15
+
+
+@query(
+    "ab_power_mde",
+    f"""
+    WITH assign AS (
+        SELECT user_id, user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    wide AS (
+        SELECT
+            SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+            SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)::BIGINT AS c0,
+            SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+            SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)::BIGINT AS c1
+        FROM assign
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND((c0 + c1)::DOUBLE / (n0 + n1), 6) AS p_pool,
+           ROUND(({_Z_ALPHA_NUM}::DOUBLE / {_Z_DEN}
+                  + {_Z_BETA_NUM}::DOUBLE / {_Z_DEN})
+                 * sqrt(((c0 + c1)::DOUBLE / (n0 + n1))
+                        * (1.0::DOUBLE - (c0 + c1)::DOUBLE / (n0 + n1))
+                        * (1.0::DOUBLE / n0 + 1.0::DOUBLE / n1)), 6)
+               AS mde_abs
+    FROM wide
+    """,
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the running experiment — the power
+    companion to ab_test_zscore's readout: at alpha=0.05 (two-sided) and
+    power 0.80, the smallest absolute conversion-rate lift this sample
+    can reliably detect is (z_{{0.975}} + z_{{0.80}}) · sqrt(p̄(1−p̄)(1/n0 +
+    1/n1)).  Pipelines gate launch decisions on MDE-vs-observed-lift, not
+    on the z alone (an insignificant z with MDE >> the business-relevant
+    lift means "underpowered", not "no effect").
+
+    Parity: the z quantiles are INT/INT divisions (bit-identical on both
+    engines — decimal literals are not, COVERAGE.md cross-SF notes); all
+    other inputs are four exact BIGINTs; sqrt is IEEE-correctly-rounded;
+    the expression tree is written in the same operation order in both
+    engines.  Scale: one per-user collapse + one 4-integer aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    wide = assign.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).cast("long").alias("c1"),
+    )
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    zsum = (
+        F.lit(_Z_ALPHA_NUM).cast("double") / F.lit(_Z_DEN)
+        + F.lit(_Z_BETA_NUM).cast("double") / F.lit(_Z_DEN)
+    )
+    mde = zsum * F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.round(pp, 6).alias("p_pool"),
+        F.round(mde, 6).alias("mde_abs"),
+    )
+
+
+@query(
+    "post_strat_ate",
+    """
+    WITH u AS (
+        SELECT c_custkey, seg, w,
+               2000 * (ascii(substr(seg, 1, 1)) % 5) + c_custkey % 1000
+                 + w * (1000 + (c_custkey % 7) * 50) AS y
+        FROM (
+            SELECT c_custkey, c_mktsegment AS seg,
+                   CASE WHEN ('0x' || substr(md5('ate:' || c_custkey::VARCHAR),
+                                             1, 8))::BIGINT % 100
+                             < 30 + 10 * (ascii(substr(c_mktsegment, 1, 1)) % 5)
+                        THEN 1 ELSE 0 END AS w
+            FROM customer
+        )
+    ),
+    strata AS (
+        SELECT seg,
+               SUM(w)::BIGINT AS n1,
+               SUM(1 - w)::BIGINT AS n0,
+               SUM(CASE WHEN w = 1 THEN y ELSE 0 END)::BIGINT AS s1,
+               SUM(CASE WHEN w = 0 THEN y ELSE 0 END)::BIGINT AS s0
+        FROM u GROUP BY seg
+    ),
+    keep AS (SELECT * FROM strata WHERE n1 > 0 AND n0 > 0),
+    tot AS (
+        SELECT SUM(n1 + n0)::BIGINT AS n,
+               SUM(n1)::BIGINT AS nt, SUM(n0)::BIGINT AS nc,
+               SUM(s1)::BIGINT AS st, SUM(s0)::BIGINT AS sc,
+               COUNT(*)::BIGINT AS n_strata
+        FROM keep
+    ),
+    folded AS (
+        SELECT list_reduce(list_prepend(0.0,
+                   list(((n1 + n0)::DOUBLE / (SELECT n FROM tot))
+                        * (s1::DOUBLE / n1 - s0::DOUBLE / n0)
+                        ORDER BY seg)),
+                   (a, x) -> a + x) AS ate
+        FROM keep
+    )
+    SELECT tot.nt AS n_treat, tot.nc AS n_ctrl, tot.n_strata,
+           ROUND(folded.ate / 100.0, 6) AS ate,
+           ROUND((tot.st::DOUBLE / tot.nt - tot.sc::DOUBLE / tot.nc)
+                 / 100.0, 6) AS naive_diff
+    FROM folded, tot
+    """,
+)
+def post_strat_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification average-treatment-effect estimator — completes
+    the causal family (diff_in_diff's panel form, propensity_match's
+    nearest-control form, cuped_adjustment's variance reduction).  The
+    derived corpus plants a REAL confound: treatment probability varies
+    BY STRATUM (30%–70%, md5 coin against a segment-dependent threshold)
+    and the outcome baseline also varies by stratum (2000·segcode cents),
+    so the naive treated-vs-control difference absorbs the baseline
+    imbalance while the stratified estimator Σ_s (n_s/N)(ȳ₁s − ȳ₀s)
+    removes it and recovers the planted lift 1000 + 50·(key mod 7) cents
+    (estimand ≈ $11.50; the pytest asserts recovery AND that the naive
+    diff is biased away from it).
+
+    Parity: all outcomes are exact integer cents (fully derived — no
+    float input anywhere); per-stratum means are single divisions of
+    exact BIGINT sums; the stratum fold is seg-ASC ordered; strata with
+    an empty arm are excluded by an integer gate.  Scale: one
+    groupBy(seg) — the stratum frame is |segments| rows at any corpus
+    size; nothing else shuffles."""
+    from fusionspark.operators.dedup import md5_hash32
+
+    c = load_table(spark, sf_dir, "customer")
+    segcode = F.ascii(F.substring("c_mktsegment", 1, 1)) % 5
+    w = F.when(
+        md5_hash32(F.concat(F.lit("ate:"), F.col("c_custkey").cast("string")))
+        % 100
+        < 30 + 10 * segcode,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    y = (
+        2000 * segcode.cast("long")
+        + F.col("c_custkey") % 1000
+        + w * (F.lit(1000) + (F.col("c_custkey") % 7) * 50)
+    )
+    u = c.select(F.col("c_mktsegment").alias("seg"), w.alias("w"), y.alias("y"))
+    strata = u.groupBy("seg").agg(
+        F.sum("w").cast("long").alias("n1"),
+        F.sum(1 - F.col("w")).cast("long").alias("n0"),
+        F.sum(F.when(F.col("w") == 1, F.col("y")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(F.col("w") == 0, F.col("y")).otherwise(0)).cast("long").alias("s0"),
+    ).filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    tot = strata.agg(
+        F.sum(F.col("n1") + F.col("n0")).cast("long").alias("n"),
+        F.sum("n1").cast("long").alias("nt"),
+        F.sum("n0").cast("long").alias("nc"),
+        F.sum("s1").cast("long").alias("st"),
+        F.sum("s0").cast("long").alias("sc"),
+        F.count("*").cast("long").alias("n_strata"),
+    )
+    term = (
+        (F.col("n1") + F.col("n0")).cast("double") / F.col("n")
+    ) * (
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s0").cast("double") / F.col("n0")
+    )
+    folded = strata.crossJoin(F.broadcast(tot)).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", term.alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("ate"),
+        F.max("nt").cast("long").alias("n_treat"),
+        F.max("nc").cast("long").alias("n_ctrl"),
+        F.max("n_strata").cast("long").alias("n_strata"),
+        F.max("st").cast("long").alias("st"),
+        F.max("sc").cast("long").alias("sc"),
+    )
+    return folded.select(
+        "n_treat", "n_ctrl", "n_strata",
+        F.round(F.col("ate") / 100.0, 6).alias("ate"),
+        F.round(
+            (
+                F.col("st").cast("double") / F.col("n_treat")
+                - F.col("sc").cast("double") / F.col("n_ctrl")
+            )
+            / 100.0,
+            6,
+        ).alias("naive_diff"),
+    )
+
+
+@query(
+    "conformal_interval",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               n_chars AS y,
+               6 * (length(text) - length(replace(text, ' ', ''))) + 20 AS yhat,
+               ('0x' || substr(md5('conf:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 % 2 AS grp
+        FROM documents
+    ),
+    r AS (SELECT doc_id, grp, abs(y - yhat)::BIGINT AS resid FROM d),
+    cal AS (
+        SELECT resid,
+               ROW_NUMBER() OVER (ORDER BY resid, doc_id) AS rk,
+               COUNT(*) OVER () AS n_cal
+        FROM r WHERE grp = 0
+    ),
+    q AS (
+        SELECT n_cal, resid AS qhat FROM cal
+        WHERE rk = LEAST((19 * (n_cal + 1) + 19) // 20, n_cal)
+    ),
+    test AS (
+        SELECT COUNT(*)::BIGINT AS n_test,
+               SUM(CASE WHEN resid <= (SELECT qhat FROM q)
+                        THEN 1 ELSE 0 END)::BIGINT AS covered
+        FROM r WHERE grp = 1
+    )
+    SELECT q.n_cal::BIGINT AS n_cal, test.n_test, q.qhat::BIGINT AS qhat,
+           ROUND(test.covered::DOUBLE / test.n_test, 6) AS coverage
+    FROM q, test
+    """,
+)
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval — the distribution-free
+    calibration layer a model-serving pipeline wraps around ANY point
+    predictor: a fixed linear rule ŷ = 6·spaces + 20 predicts doc length,
+    the md5-coin calibration half supplies the (1−α)(n+1)/n empirical
+    residual quantile q̂ (α = 0.05), and ŷ ± q̂ then covers ≥ 95% of test
+    points by exchangeability — no distributional assumption, which is
+    why the guarantee survives any model.  Output is the finite-sample
+    readout: q̂ and the realized test coverage.
+
+    Parity: residuals are exact integers, the quantile is an exact
+    order-statistic pick at integer rank ceil(0.95(n+1)) computed with
+    integer arithmetic ((19(n+1)+19) div 20), coverage is one division
+    of exact counts.  Scale: one scan + a rank window over the
+    calibration half; the quantile could swap to approx_percentile-then-
+    exact-verify at extreme scale without changing the contract."""
+    from pyspark.sql import Window as W
+
+    from fusionspark.operators.dedup import md5_hash32
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("y"),
+        (
+            6 * (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            + 20
+        ).alias("yhat"),
+        (md5_hash32(F.concat(F.lit("conf:"), F.col("doc_id").cast("string"))) % 2).alias("grp"),
+    )
+    r = d.select(
+        "doc_id", "grp", F.abs(F.col("y") - F.col("yhat")).cast("long").alias("resid")
+    )
+    cal = r.filter(F.col("grp") == 0).select(
+        "resid",
+        F.row_number().over(W.orderBy("resid", "doc_id")).alias("rk"),
+        F.count("*").over(
+            W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n_cal"),
+    )
+    q = cal.filter(
+        F.col("rk")
+        == F.least(
+            ((19 * (F.col("n_cal") + 1) + 19) / 20).cast("long"), F.col("n_cal")
+        )
+    ).select(F.col("n_cal").cast("long").alias("n_cal"), F.col("resid").alias("qhat"))
+    test = r.filter(F.col("grp") == 1).crossJoin(F.broadcast(q)).agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(F.when(F.col("resid") <= F.col("qhat"), 1).otherwise(0))
+        .cast("long")
+        .alias("covered"),
+        F.max("n_cal").alias("n_cal"),
+        F.max("qhat").cast("long").alias("qhat"),
+    )
+    return test.select(
+        "n_cal", "n_test", "qhat",
+        F.round(F.col("covered").cast("double") / F.col("n_test"), 6).alias("coverage"),
+    )

@@ -4810,3 +4810,206 @@ def hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("collided").cast("double") / F.col("v"), 6)
         .alias("collision_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: post-training data ops — GRPO advantages, ROUGE eval
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grpo_advantages",
+    """
+    WITH r AS (
+        SELECT doc_id, doc_id // 8 AS prompt_id,
+               ('0x' || substr(md5('grpo:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 % 101 AS reward
+        FROM documents
+    ),
+    g AS (
+        SELECT prompt_id, COUNT(*)::BIGINT AS k, SUM(reward)::BIGINT AS s,
+               SUM(reward * reward)::BIGINT AS s2
+        FROM r GROUP BY prompt_id
+    )
+    SELECT r.prompt_id::BIGINT AS prompt_id, r.doc_id, r.reward::BIGINT AS reward,
+           CASE WHEN g.k * g.s2 = g.s * g.s THEN 0.0
+                ELSE ROUND((g.k * r.reward - g.s)::DOUBLE
+                           / sqrt((g.k * g.s2 - g.s * g.s)::DOUBLE), 6)
+           END AS advantage
+    FROM r JOIN g USING (prompt_id)
+    """,
+)
+def grpo_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage computation (GRPO, Shao et al. 2024) — the
+    RL-post-training data op that replaces a learned value baseline with
+    the group statistic: documents bucket into prompt groups of 8
+    (standing in for k sampled responses per prompt), rewards are
+    md5-derived integers, and each response's advantage is its reward
+    standardized WITHIN the group, (r − mean)/std with the population
+    std.  Zero-variance groups get advantage 0 (the degenerate-group
+    convention, gated on exact integers).
+
+    Parity: the whole statistic reduces to (k·r − S)/√(k·Σr² − S²) — an
+    exact-BIGINT numerator and an exact-BIGINT radicand, so ONE
+    correctly-rounded IEEE sqrt and ONE division produce bit-identical
+    doubles on both engines (no float accumulation anywhere).
+
+    Scale: one groupBy(prompt_id) on bounded groups + a co-partitioned
+    join back — the same two-exchange shape at any corpus size; group
+    stats broadcast if the prompt table is small."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    r = d.select(
+        "doc_id",
+        F.expr("doc_id div 8").alias("prompt_id"),
+        (
+            md5_hash32(F.concat(F.lit("grpo:"), F.col("doc_id").cast("string")))
+            % 101
+        ).alias("reward"),
+    )
+    g = r.groupBy("prompt_id").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("reward").cast("long").alias("s"),
+        F.sum(F.col("reward") * F.col("reward")).cast("long").alias("s2"),
+    )
+    j = r.join(g, "prompt_id")
+    rad = F.col("k") * F.col("s2") - F.col("s") * F.col("s")
+    return j.select(
+        F.col("prompt_id").cast("long").alias("prompt_id"),
+        "doc_id",
+        F.col("reward").cast("long").alias("reward"),
+        F.when(rad == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("k") * F.col("reward") - F.col("s")).cast("double")
+                / F.sqrt(rad.cast("double")),
+                6,
+            )
+        )
+        .alias("advantage"),
+    )
+
+
+_ROUGE_LEAD = 25
+_ROUGE_MIN_WORDS = 40
+
+
+@query(
+    "rouge_eval",
+    f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS} AS words FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, words[1:{_ROUGE_LEAD}] AS cand,
+               words[{_ROUGE_LEAD + 1}:] AS ref
+        FROM w WHERE len(words) >= {_ROUGE_MIN_WORDS}
+    ),
+    cu AS (
+        SELECT doc_id, u AS gram, COUNT(*)::BIGINT AS c
+        FROM sp, unnest(cand) AS t(u) GROUP BY 1, 2
+    ),
+    ru AS (
+        SELECT doc_id, u AS gram, COUNT(*)::BIGINT AS c
+        FROM sp, unnest(ref) AS t(u) GROUP BY 1, 2
+    ),
+    o1 AS (
+        SELECT cu.doc_id, SUM(LEAST(cu.c, ru.c))::BIGINT AS ov
+        FROM cu JOIN ru ON cu.doc_id = ru.doc_id AND cu.gram = ru.gram
+        GROUP BY cu.doc_id
+    ),
+    cb AS (
+        SELECT doc_id, b AS gram, COUNT(*)::BIGINT AS c
+        FROM sp, unnest(list_transform(generate_series(1, len(cand) - 1),
+                        i -> cand[i] || ' ' || cand[i + 1])) AS t(b)
+        GROUP BY 1, 2
+    ),
+    rb AS (
+        SELECT doc_id, b AS gram, COUNT(*)::BIGINT AS c
+        FROM sp, unnest(list_transform(generate_series(1, len(ref) - 1),
+                        i -> ref[i] || ' ' || ref[i + 1])) AS t(b)
+        GROUP BY 1, 2
+    ),
+    o2 AS (
+        SELECT cb.doc_id, SUM(LEAST(cb.c, rb.c))::BIGINT AS ov
+        FROM cb JOIN rb ON cb.doc_id = rb.doc_id AND cb.gram = rb.gram
+        GROUP BY cb.doc_id
+    )
+    SELECT sp.doc_id,
+           len(sp.ref)::BIGINT AS n_ref_words,
+           COALESCE(o1.ov, 0)::BIGINT AS ov1,
+           COALESCE(o2.ov, 0)::BIGINT AS ov2,
+           ROUND(2.0 * COALESCE(o1.ov, 0)
+                 / ({_ROUGE_LEAD} + len(sp.ref)), 6) AS rouge1_f,
+           ROUND(2.0 * COALESCE(o2.ov, 0)
+                 / ({_ROUGE_LEAD - 1} + len(sp.ref) - 1), 6) AS rouge2_f
+    FROM sp LEFT JOIN o1 ON sp.doc_id = o1.doc_id
+            LEFT JOIN o2 ON sp.doc_id = o2.doc_id
+    """,
+)
+def rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/-2 F1 as a data operator — the generation-eval metric
+    (Lin 2004) run the way an eval pipeline runs it over a results
+    table: per doc, the 25-word lead stands in for the candidate summary
+    and the remaining body for the reference, scoring how much of the
+    body's content the lead already covers (lead-bias / extractiveness
+    diagnosis — the same clipped-count machinery scores real
+    model-output-vs-reference pairs).  Overlap is the CLIPPED gram count
+    Σ_g min(cnt_cand(g), cnt_ref(g)), the detail naive set-intersection
+    gets wrong on repeated grams; F1 reduces to 2·overlap/(|cand|+|ref|)
+    so no separate P/R division is needed.
+
+    Parity: overlaps and gram lengths are exact BIGINTs, one division
+    per score.  Scale: explode → count → equi-join keyed (doc_id, gram)
+    — co-partitioned shuffles with map-side combine; no pairwise doc
+    comparison anywhere (the metric is within-doc)."""
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", ws.alias("words"))
+    sp = d.filter(F.size("words") >= _ROUGE_MIN_WORDS).select(
+        "doc_id",
+        F.slice("words", 1, _ROUGE_LEAD).alias("cand"),
+        F.expr(
+            f"slice(words, {_ROUGE_LEAD + 1}, size(words) - {_ROUGE_LEAD})"
+        ).alias("ref"),
+    ).localCheckpoint(eager=True)
+
+    def gram_counts(col: str, bigram: bool):
+        if bigram:
+            arr = F.expr(
+                f"transform(sequence(1, size({col}) - 1),"
+                f" i -> concat(element_at({col}, i), ' ', element_at({col}, i + 1)))"
+            )
+        else:
+            arr = F.col(col)
+        return (
+            sp.select("doc_id", F.explode(arr).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    def overlap(bigram: bool):
+        cu = gram_counts("cand", bigram)
+        ru = gram_counts("ref", bigram)
+        return (
+            cu.join(ru, ["doc_id", "gram"])
+            .groupBy("doc_id")
+            .agg(F.sum(F.least(cu["c"], ru["c"])).cast("long").alias("ov"))
+        )
+
+    o1, o2 = overlap(False), overlap(True)
+    base = sp.select("doc_id", F.size("ref").cast("long").alias("n_ref_words"))
+    j = (
+        base.join(o1.withColumnRenamed("ov", "ov1"), "doc_id", "left")
+        .join(o2.withColumnRenamed("ov", "ov2"), "doc_id", "left")
+        .na.fill({"ov1": 0, "ov2": 0})
+    )
+    return j.select(
+        "doc_id", "n_ref_words",
+        F.col("ov1").cast("long").alias("ov1"),
+        F.col("ov2").cast("long").alias("ov2"),
+        F.round(
+            2.0 * F.col("ov1") / (_ROUGE_LEAD + F.col("n_ref_words")), 6
+        ).alias("rouge1_f"),
+        F.round(
+            2.0 * F.col("ov2") / (_ROUGE_LEAD - 1 + F.col("n_ref_words") - 1), 6
+        ).alias("rouge2_f"),
+    )
