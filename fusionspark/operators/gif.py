@@ -125,14 +125,30 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def gif_encode(plane: np.ndarray) -> bytes:
+def _interlace_rows(h: int) -> list[int]:
+    """GIF 89a §20 four-pass interlace row order: pass 1 every 8th row
+    from 0, pass 2 every 8th from 4, pass 3 every 4th from 2, pass 4
+    every 2nd from 1 — the stream stores rows in THIS order."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def gif_encode(plane: np.ndarray, interlace: bool = False) -> bytes:
     """Encode an (H, W) uint8 grayscale plane as GIF89a with an identity
-    256-gray global palette and real LZW image data."""
+    256-gray global palette and real LZW image data.  With
+    ``interlace=True`` the image descriptor sets the interlace flag
+    (0x40) and rows are stored in the spec's four-pass order."""
     h, w = plane.shape
     hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
     palette = bytes(v for i in range(256) for v in (i, i, i))
-    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-    lzw = _lzw_encode(plane.tobytes())
+    iflags = 0x40 if interlace else 0
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    data = plane[_interlace_rows(h)] if interlace else plane
+    lzw = _lzw_encode(data.tobytes())
     blocks = bytearray([_MIN_CODE])
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
@@ -168,8 +184,6 @@ def gif_decode(payload: bytes) -> np.ndarray:
                 n = 2 << (iflags & 0x07)
                 palette = payload[pos : pos + 3 * n]
                 pos += 3 * n
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
             min_code = payload[pos]
             if min_code != _MIN_CODE:
                 raise NotImplementedError(f"palette depth {min_code} != 8")
@@ -183,6 +197,10 @@ def gif_decode(payload: bytes) -> np.ndarray:
             idx = np.frombuffer(
                 _lzw_decode(bytes(lzw), w * h), dtype=np.uint8
             ).reshape(h, w)
+            if iflags & 0x40:  # de-interlace: stream row i is image row order[i]
+                out_rows = np.empty_like(idx)
+                out_rows[_interlace_rows(h)] = idx
+                idx = out_rows
             if palette is None:
                 raise ValueError("no palette")
             reds = np.frombuffer(palette, dtype=np.uint8)[::3]
@@ -222,6 +240,34 @@ def synth_gif_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.select("doc_id").mapInPandas(
         make, schema="media_id bigint, payload binary, mime string, width int, height int"
+    )
+
+
+def synth_gif_interlaced_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL INTERLACED GIF payloads (image-descriptor flag 0x40, rows
+    stored in the spec's four-pass order) with the closed-form law
+    v = (doc_id·29 + 13k) mod 256 over natural pixel positions k — the
+    law is row-dependent, so a decoder that skips de-interlacing keeps
+    the mean but breaks the position-weighted checksum."""
+    import pandas as pd
+
+    from fusionspark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    w, h = GIF_W, GIF_H
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ks = np.arange(w * h, dtype=np.int64)
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                plane = ((int(doc_id) * 29 + 13 * ks) % 256).astype(np.uint8).reshape(h, w)
+                out["media_id"].append(int(doc_id))
+                out["payload"].append(gif_encode(plane, interlace=True))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(
+        make, schema="media_id bigint, payload binary"
     )
 
 

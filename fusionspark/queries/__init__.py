@@ -42,11 +42,13 @@ def query(name: str, sql: str | None = None):
 #       fix, and sits in (a);
 #   (c) r11 code-changed re-attests: knn_postfilter (ef now
 #       max(EF_SEARCH, TOP_K) per the reference contract — identical
-#       output at TOP_K=10, ADVICE r10) and ann_ivf_filtered (its
+#       output at TOP_K=10, ADVICE r10), ann_ivf_filtered (its
 #       dependency ivf_search_persisted gained a strategy-honoring
-#       warning on the auto-route, ADVICE r10);
+#       warning on the auto-route, ADVICE r10), and gif_features
+#       (gif_decode gained the interlace de-permutation branch — the
+#       non-interlaced path is untouched; re-gated strict ×3 SFs);
 #   (d) oldest-attested-first refresh: the 6 remaining r2 rows and the
-#       7 oldest r4 rows (7 rounds stale), in attestation order.
+#       6 oldest r4 rows (7 rounds stale), in attestation order.
 # Queries not listed keep their valid attestations; queries ADDED during
 # r11 sessions go AFTER this board (they are the r12 queue).
 PRIORITY: list[str] = [
@@ -64,14 +66,13 @@ PRIORITY: list[str] = [
     # ── (b) the fixed r10 red row ──
     "weighted_sample",
     # ── (c) r11 code-changed re-attests ──
-    "knn_postfilter", "ann_ivf_filtered",
+    "knn_postfilter", "ann_ivf_filtered", "gif_features",
     # ── (d) staleness refresh: the 6 remaining r2 rows ──
     "point_lookup", "collection_stats", "delete_by_id", "filter_eq",
     "filter_in", "knn_filtered",
-    # ── (d) staleness refresh: the 7 oldest r4 rows ──
+    # ── (d) staleness refresh: the 6 oldest r4 rows ──
     "adaptive_weights", "hybrid_adaptive", "triples_extract",
     "html_sections", "node_summaries", "title_detect",
-    "tpch_region_revenue",
 ]
 
 

@@ -839,3 +839,39 @@ def mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_mixed_media(spark, sf_dir)
     return media.select("media_id", mime_sniff_col("payload").alias("mime"))
+
+
+@query(
+    "gif_interlaced",
+    """
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean_intensity,
+           SUM(v * k)::BIGINT AS pix_checksum
+    FROM (
+        SELECT doc_id, k.k AS k,
+               ((doc_id * 29 + 13 * k.k) % 256)::DOUBLE AS v
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, 383)) AS k) k
+    )
+    GROUP BY doc_id
+    """,
+)
+def gif_interlaced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF interlace closure (ADVICE-class codec-boundary move, r11): the
+    gif.py decoder previously raised on the image-descriptor interlace
+    flag; now both directions implement the spec's four-pass row order
+    (GIF89a §20) and this query attests the full interlaced round-trip —
+    encode rows in pass order, decode, DE-interlace, aggregate.  The
+    pixel law lives on NATURAL positions, so the position-weighted
+    checksum fails on any row-permutation mistake (a decoder that skips
+    de-interlacing matches the mean but not the checksum).  Same
+    zero-shuffle Arrow synth/decode shape as gif_features."""
+    from fusionspark.operators import gif
+
+    m = gif.synth_gif_interlaced_media(spark, sf_dir)
+    feats = gif.gif_feature_stats(m)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "pix_checksum",
+    )
