@@ -1306,3 +1306,54 @@ def containment_neardup(
         .filter((inter > 0) & (F.col("containment") >= F.lit(threshold)))
         .select("id_a", "id_b", "containment")
     )
+
+
+def cdc_chunk_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    mask: int = 16,
+) -> DataFrame:
+    """Content-defined chunk hashes (the FastCDC/rsync family at word
+    granularity) as ONE zero-shuffle Arrow map: per doc, a boundary
+    falls after word i wherever the md5 window hash of words [i−w+1, i]
+    is ≡ 0 (mod ``mask``); emits (id, idx, h=md5(chunk text)).
+
+    Why a kernel and not column expressions: the boundary test is an
+    md5 per (word position), and a ``filter(sequence(...), i -> md5)``
+    HOF runs INTERPRETED in Spark (measured 80 s for 5,000 docs at
+    sf0.1 vs 2 s here — the repetition_stats / ngram_contamination
+    lesson).  The hash law is engine-portable, so the DuckDB oracle
+    replays it with list lambdas bit-for-bit."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"_id": [], "idx": [], "h": []}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in str(text).lower().split(" ") if w != ""]
+                if not words:
+                    continue
+                cuts = [0]
+                for i in range(window, len(words) + 1):
+                    win = " ".join(words[i - window : i])
+                    if int(hashlib.md5(win.encode()).hexdigest()[:8], 16) % mask == 0:
+                        cuts.append(i)
+                if cuts[-1] != len(words):
+                    cuts.append(len(words))
+                for j in range(len(cuts) - 1):
+                    chunk = " ".join(words[cuts[j] : cuts[j + 1]])
+                    out["_id"].append(did)
+                    out["idx"].append(j)
+                    out["h"].append(hashlib.md5(chunk.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return (
+        df.select(F.col(id_col).alias(id_col), F.col(text_col))
+        .mapInPandas(run, schema=f"_id bigint, idx bigint, h string")
+        .withColumnRenamed("_id", id_col)
+    )

@@ -256,3 +256,77 @@ def test_rouge_full_overlap_is_one(spark):
     assert len(out) == 1
     assert out[0].rouge1_f == 1.0
     assert out[0].ov1 == 25 and out[0].ov2 == 24
+
+
+# ---------------------------------------------------------------------------
+# CDC chunking
+# ---------------------------------------------------------------------------
+
+
+def _py_cdc_chunks(text: str, window: int = 4, mask: int = 16) -> list[str]:
+    words = [w for w in text.lower().split(" ") if w != ""]
+    cuts = [0]
+    for i in range(window, len(words) + 1):
+        win = " ".join(words[i - window : i])
+        if int(hashlib.md5(win.encode()).hexdigest()[:8], 16) % mask == 0:
+            cuts.append(i)
+    if cuts[-1] != len(words):
+        cuts.append(len(words))
+    return [" ".join(words[cuts[j] : cuts[j + 1]]) for j in range(len(cuts) - 1)]
+
+
+def test_cdc_shift_robustness(spark):
+    """THE content-defined-chunking property: prepending one word to a
+    long doc re-synchronizes the boundaries within a window, so most
+    chunk hashes are shared with the original — while fixed-width
+    chunking of the shifted doc shares (almost) none."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{rng.randrange(5000)}" for _ in range(400)]
+    a = " ".join(words)
+    b = "inserted " + a
+    ca, cb = _py_cdc_chunks(a), _py_cdc_chunks(b)
+    shared = len(set(ca) & set(cb))
+    assert shared / len(ca) > 0.5, (shared, len(ca))
+    # fixed-width (16-word) chunking of the shifted doc shares nothing
+    fa = [" ".join(words[i : i + 16]) for i in range(0, 400, 16)]
+    wb = ["inserted"] + words
+    fb = [" ".join(wb[i : i + 16]) for i in range(0, 401, 16)]
+    assert len(set(fa) & set(fb)) == 0
+
+
+def test_cdc_operator_matches_python_replay(spark):
+    """The Arrow kernel's (idx, h) stream equals the pure-Python chunker
+    on a planted corpus with a known duplicate (the dup doc's chunks all
+    count as duplicated under the first-occurrence rule)."""
+    import hashlib as _h
+
+    from fusionspark.operators.dedup import cdc_chunk_hashes
+    from fusionspark.queries.pipeline_queries import cdc_chunking
+
+    base = " ".join(f"t{i}" for i in range(300))  # unique words: no
+    # within-doc duplicate chunks, so doc 1's dup count is purely cross-doc
+    rows = [(1, base), (2, base), (3, "short doc only"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.idx, r.h)
+        for r in cdc_chunk_hashes(df).collect()
+    )
+    expect = []
+    for did, text in rows:
+        for j, chunk in enumerate(_py_cdc_chunks(text)):
+            expect.append((did, j, _h.md5(chunk.encode()).hexdigest()))
+    assert got == sorted(expect)
+    # empty doc emits nothing
+    assert not any(d == 4 for d, _, _ in got)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/documents.parquet")
+        out = {r.doc_id: r for r in cdc_chunking(spark, tmp).collect()}
+    # doc 2 duplicates doc 1: every chunk is a dup; doc 1 has none
+    assert out[1].n_dup_chunks == 0
+    assert out[2].n_dup_chunks == out[2].n_chunks
+    assert out[2].dup_frac == 1.0
