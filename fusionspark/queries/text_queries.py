@@ -1575,3 +1575,109 @@ def vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: pseudo-relevance-feedback query expansion
+# ---------------------------------------------------------------------------
+
+_PRF_FB = 10     # feedback depth: top-10 BM25 docs
+_PRF_TOP = 10    # expansion terms returned
+_PRF_TERMS_SQL = ", ".join(f"'{t}'" for t in _TERMS)
+
+
+@query(
+    "prf_expansion",
+    f"""
+    WITH fb AS (SELECT doc_id FROM ({_bm25_oracle(_TERMS)})),
+    words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+    dfs AS (
+        SELECT t, COUNT(DISTINCT doc_id)::BIGINT AS df
+        FROM (SELECT doc_id, unnest(list_distinct(w)) AS t FROM words)
+        GROUP BY t
+    ),
+    rt AS (
+        SELECT t, COUNT(DISTINCT f.doc_id)::BIGINT AS r
+        FROM fb f JOIN words w ON f.doc_id = w.doc_id,
+             unnest(list_distinct(w.w)) AS u(t)
+        GROUP BY t
+    ),
+    cand AS (
+        SELECT rt.t, rt.r, dfs.df, n.n_docs
+        FROM rt JOIN dfs USING (t), n
+        WHERE dfs.df >= 2 AND length(rt.t) >= 3
+          AND rt.t NOT IN ({_PRF_TERMS_SQL})
+    )
+    SELECT t AS term, r AS r_docs, df AS df_docs,
+           ROUND(r * ln((n_docs - df + 0.5) / (df + 0.5)), 6) + 0.0 AS rsv
+    FROM cand
+    ORDER BY ROUND(r * ln((n_docs - df + 0.5) / (df + 0.5)), 6) DESC, t
+    LIMIT {_PRF_TOP}
+    """,
+)
+def prf_expansion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RSJ family):
+    run the fixed query through BM25, take the top-10 feedback docs, and
+    rank their vocabulary by the relevance-weighted selection value
+    r_t · ln((N − df_t + ½)/(df_t + ½)) — feedback-frequency times
+    rarity, the Robertson offer-weight shape — returning the 10 terms a
+    second retrieval round would add.  Query terms, sub-3-char tokens,
+    and terms in >10% of the corpus (the tfidf_pairs df cap) are
+    excluded; common terms need no hard df cap — their RSV goes
+    NEGATIVE once df > N/2, so rarity ordering suppresses them by
+    construction (this corpus's synthetic vocabulary is ~31 words with
+    median df at 78% of docs, so a TF-IDF-style df ≤ N/10 cap would
+    return nothing).  The emitted rsv carries `+ 0.0` in both engines:
+    negative scores can round to a signed zero (the weighted_sample r10
+    lesson, applied as standing discipline).
+
+    Parity: r_t/df_t/N are exact integers; the score is ONE ln of an
+    exactly-derived argument times an integer, cut on (round(rsv, 6)
+    DESC, term ASC) — the rounded-key top-k discipline.  Scale: the df
+    aggregate is the corpus-wide word shuffle every keyword query
+    already pays; the feedback side is 10 docs broadcast; candidates
+    join keyed on the term."""
+    from fusionspark.operators.keyword import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    fb = bm25_search(d, QUERY, top_k=_PRF_FB).select("doc_id")
+    words = d.select("doc_id", tokenize(F.col("text")).alias("ws"))
+    n = d.agg(F.count("*").cast("long").alias("n_docs"))
+    docterms = words.select(
+        "doc_id", F.explode(F.array_distinct("ws")).alias("t")
+    )
+    dfs = docterms.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+    rt = (
+        docterms.join(F.broadcast(fb), "doc_id", "left_semi")
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("r"))
+    )
+    cand = (
+        rt.join(dfs, "t")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") >= 2)
+            & (F.length("t") >= 3)
+            & (~F.col("t").isin(list(_TERMS)))
+        )
+    )
+    rsv = F.round(
+        F.col("r")
+        * F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        6,
+    ) + F.lit(0.0)
+    return (
+        cand.select(
+            F.col("t").alias("term"),
+            F.col("r").alias("r_docs"),
+            F.col("df").alias("df_docs"),
+            rsv.alias("rsv"),
+        )
+        .orderBy(F.desc("rsv"), "term")
+        .limit(_PRF_TOP)
+    )

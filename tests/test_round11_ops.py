@@ -330,3 +330,39 @@ def test_cdc_operator_matches_python_replay(spark):
     assert out[1].n_dup_chunks == 0
     assert out[2].n_dup_chunks == out[2].n_chunks
     assert out[2].dup_frac == 1.0
+
+
+# ---------------------------------------------------------------------------
+# PRF expansion
+# ---------------------------------------------------------------------------
+
+
+def test_prf_expansion_finds_planted_term(spark):
+    """Docs matching the fixed query share a distinctive rare co-term;
+    the expansion must rank it first, exclude the query terms themselves,
+    and down-rank a ubiquitous word (negative RSV)."""
+    import tempfile
+
+    from fusionspark.queries.text_queries import prf_expansion_q
+
+    rows = []
+    # 20 relevant docs: query terms + the planted co-term 'zephyr'; their
+    # OTHER words ('common', 'body') also appear in every background doc,
+    # so zephyr is the only rare feedback co-term (no alphabetical ties)
+    for i in range(20):
+        rows.append((i, "fast table scan merge join zephyr common body"))
+    # 180 background docs: no query terms, no zephyr
+    for i in range(20, 200):
+        rows.append((i, f"background text common body b{i % 13} c{i % 7}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/documents.parquet")
+        out = prf_expansion_q(spark, tmp).collect()
+    terms = [r.term for r in out]
+    assert terms[0] == "zephyr"
+    assert not set(terms) & {"fast", "table", "scan", "merge", "join"}
+    byname = {r.term: r for r in out}
+    assert byname["zephyr"].rsv > 0
+    # 'common' appears in every doc: if present at all, its RSV is negative
+    if "common" in byname:
+        assert byname["common"].rsv < 0
