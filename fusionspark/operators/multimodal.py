@@ -98,27 +98,32 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_encode(plane: np.ndarray, row_filters: list[int] | None = None) -> bytes:
-    """Minimal PNG writer (8-bit greyscale / RGB / RGBA, no interlace) —
-    exists so the decoder has REAL byte streams to chew on in this
-    codec-less container.  `row_filters` picks the per-scanline filter type
-    (0-4); encoding with all five exercises every reconstruction branch of
-    png_decode."""
-    import struct as _struct
-    import zlib
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step).
+# The interlaced IDAT is the concatenation of 7 independently-filtered
+# reduced images; passes that are empty at the image size emit nothing.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    arr = np.ascontiguousarray(np.asarray(plane, dtype=np.uint8))
-    if arr.ndim == 2:
-        h, w = arr.shape
-        ct, ch = 0, 1
-    else:
-        h, w, ch = arr.shape
-        ct = {1: 0, 3: 2, 4: 6}[ch]
+
+def _filter_scanlines(
+    rows: list[bytes], ch: int, row_filters: list[int] | None, base: int
+) -> bytearray:
+    """PNG spec §9 scanline filtering over one (sub)image: each output
+    scanline is 1 filter-type byte + filtered bytes; the previous-row
+    state starts at zeros (fresh per reduced image, per spec)."""
     raw = bytearray()
-    prev = bytes(w * ch)
-    for y in range(h):
-        row = arr[y].tobytes()
-        t = (row_filters[y] if row_filters else 0) % 5
+    prev = bytes(len(rows[0])) if rows else b""
+    for y, row in enumerate(rows):
+        # modulo: an Adam7 image emits MORE scanlines than its height
+        # (each pass re-covers rows at reduced width), so the filter list
+        # cycles; for the sequential path (base 0, y < h == len) this is
+        # the identity and output bytes are unchanged
+        t = (
+            (row_filters[(base + y) % len(row_filters)] if row_filters else 0)
+            % 5
+        )
         raw.append(t)
         for i, x in enumerate(row):
             a = row[i - ch] if i >= ch else 0
@@ -136,6 +141,45 @@ def png_encode(plane: np.ndarray, row_filters: list[int] | None = None) -> bytes
                 f = (x - _paeth(a, b, c)) & 0xFF
             raw.append(f)
         prev = row
+    return raw
+
+
+def png_encode(
+    plane: np.ndarray,
+    row_filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal PNG writer (8-bit greyscale / RGB / RGBA) — exists so the
+    decoder has REAL byte streams to chew on in this codec-less container.
+    `row_filters` picks the per-scanline filter type (0-4; for interlaced
+    images it indexes scanlines in EMISSION order across the 7 passes);
+    encoding with all five exercises every reconstruction branch of
+    png_decode.  `interlace=True` writes Adam7 (IHDR interlace byte 1,
+    seven independently-filtered reduced images) — the non-interlaced
+    output is byte-identical to what this writer always produced."""
+    import struct as _struct
+    import zlib
+
+    arr = np.ascontiguousarray(np.asarray(plane, dtype=np.uint8))
+    if arr.ndim == 2:
+        h, w = arr.shape
+        ct, ch = 0, 1
+    else:
+        h, w, ch = arr.shape
+        ct = {1: 0, 3: 2, 4: 6}[ch]
+    if interlace:
+        raw = bytearray()
+        emitted = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            rows = [np.ascontiguousarray(sub[y]).tobytes() for y in range(sub.shape[0])]
+            raw += _filter_scanlines(rows, ch, row_filters, emitted)
+            emitted += len(rows)
+    else:
+        rows = [arr[y].tobytes() for y in range(h)]
+        raw = _filter_scanlines(rows, ch, row_filters, 0)
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
         return (
@@ -145,7 +189,7 @@ def png_encode(plane: np.ndarray, row_filters: list[int] | None = None) -> bytes
             + _struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = _struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 1 if interlace else 0)
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -154,50 +198,22 @@ def png_encode(plane: np.ndarray, row_filters: list[int] | None = None) -> bytes
     )
 
 
-def png_decode(payload: bytes) -> np.ndarray:
-    """Stdlib-only PNG decoder: chunk walk → IDAT concat → zlib inflate →
-    per-scanline filter reconstruction (None/Sub/Up/Average/Paeth, PNG spec
-    §9).  Supports 8-bit depth, color types 0 (grey) / 2 (RGB) / 6 (RGBA),
-    no interlace — the shapes a training pipeline normalizes to anyway.
-    Returns (h, w) uint8 for greyscale, (h, w, ch) otherwise."""
-    import struct as _struct
-    import zlib
-
-    payload = bytes(payload)
-    if payload[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG byte stream")
-    pos, idat, meta = 8, bytearray(), None
-    while pos + 8 <= len(payload):
-        (ln,) = _struct.unpack(">I", payload[pos : pos + 4])
-        typ = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + type + data + crc
-        if typ == b"IHDR":
-            w, h, depth, ct, _comp, _filt, inter = _struct.unpack(">IIBBBBB", data)
-            if depth != 8 or inter != 0 or ct not in (0, 2, 6):
-                raise NotImplementedError(
-                    f"png_decode supports 8-bit non-interlaced grey/RGB/RGBA "
-                    f"(got depth={depth}, color_type={ct}, interlace={inter})"
-                )
-            meta = (w, h, {0: 1, 2: 3, 6: 4}[ct])
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-    if meta is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, ch = meta
-    raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
+def _unfilter_scanlines(
+    raw: bytes, p: int, n_rows: int, stride: int, ch: int
+) -> tuple[bytes, int]:
+    """PNG spec §9 filter reconstruction over one (sub)image starting at
+    offset p; returns (reconstructed bytes, new offset).  Previous-row
+    state starts at zeros — fresh per reduced image, per spec."""
     out = bytearray()
     prev = bytes(stride)
-    p = 0
-    for _y in range(h):
+    for _y in range(n_rows):
+        if p >= len(raw):
+            raise ValueError("PNG IDAT truncated")
         t = raw[p]
         p += 1
         row = bytearray(raw[p : p + stride])
+        if len(row) != stride:
+            raise ValueError("PNG IDAT truncated")
         p += stride
         if t == 1:
             for i in range(ch, stride):
@@ -218,7 +234,65 @@ def png_decode(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {t}")
         out += row
         prev = bytes(row)
-    arr = np.frombuffer(bytes(out), dtype=np.uint8)
+    return bytes(out), p
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Stdlib-only PNG decoder: chunk walk → IDAT concat → zlib inflate →
+    per-scanline filter reconstruction (None/Sub/Up/Average/Paeth, PNG spec
+    §9).  Supports 8-bit depth, color types 0 (grey) / 2 (RGB) / 6 (RGBA),
+    both progressive orders: sequential AND Adam7 interlace (the seven
+    reduced images unfilter independently and scatter back through the
+    §8.2 pass grid).  Returns (h, w) uint8 for greyscale, (h, w, ch)
+    otherwise."""
+    import struct as _struct
+    import zlib
+
+    payload = bytes(payload)
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG byte stream")
+    pos, idat, meta = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        (ln,) = _struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ct, _comp, _filt, inter = _struct.unpack(">IIBBBBB", data)
+            if depth != 8 or inter not in (0, 1) or ct not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"png_decode supports 8-bit grey/RGB/RGBA, interlace 0/1 "
+                    f"(got depth={depth}, color_type={ct}, interlace={inter})"
+                )
+            meta = (w, h, {0: 1, 2: 3, 6: 4}[ct], inter)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch, inter = meta
+    raw = zlib.decompress(bytes(idat))
+    if inter == 1:
+        img = np.zeros((h, w, ch) if ch > 1 else (h, w), dtype=np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = len(range(x0, w, dx))
+            ph = len(range(y0, h, dy))
+            if pw == 0 or ph == 0:
+                continue
+            sub_bytes, p = _unfilter_scanlines(raw, p, ph, pw * ch, ch)
+            sub = np.frombuffer(sub_bytes, dtype=np.uint8)
+            sub = sub.reshape((ph, pw, ch) if ch > 1 else (ph, pw))
+            img[y0::dy, x0::dx] = sub
+        if p != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+        return img
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out, _p = _unfilter_scanlines(raw, 0, h, stride, ch)
+    arr = np.frombuffer(out, dtype=np.uint8)
     return arr.reshape(h, w) if ch == 1 else arr.reshape(h, w, ch)
 
 
@@ -281,6 +355,38 @@ def synth_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.select("doc_id").mapInPandas(
         make, schema="media_id bigint, payload binary, mime string, width int, height int"
+    )
+
+
+def synth_png_interlaced_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7-interlaced PNG payloads (IHDR interlace byte 1, seven
+    independently-filtered reduced images) with the closed-form law
+    plane[k] = (doc_id·11 + 5k) mod 241 over the 24×16 grid — the law is
+    defined on NATURAL positions, so a decoder that mis-scatters any pass
+    breaks the position-weighted checksum even if the totals survive.
+    Filters still cycle 0-4 per emitted scanline, exercising every
+    reconstruction branch within the reduced images too."""
+    from fusionspark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    w, h = PNG_W, PNG_H
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ks = np.arange(w * h, dtype=np.int64)
+        filters = [y % 5 for y in range(h)]
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "payload": [], "mime": []}
+            for doc_id in pdf["doc_id"]:
+                plane = ((int(doc_id) * 11 + 5 * ks) % 241).astype(np.uint8).reshape(h, w)
+                out["media_id"].append(int(doc_id))
+                out["payload"].append(
+                    png_encode(plane, row_filters=filters, interlace=True)
+                )
+                out["mime"].append("image/png")
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(
+        make, schema="media_id bigint, payload binary, mime string"
     )
 
 

@@ -46,9 +46,15 @@ def query(name: str, sql: str | None = None):
 #       dependency ivf_search_persisted gained a strategy-honoring
 #       warning on the auto-route, ADVICE r10), and gif_features
 #       (gif_decode gained the interlace de-permutation branch — the
-#       non-interlaced path is untouched; re-gated strict ×3 SFs);
+#       non-interlaced path is untouched; re-gated strict ×3 SFs), plus
+#       png_features / png_resize / phash_neardup (png_encode/png_decode
+#       gained the Adam7 paths; sequential output byte-identical, all
+#       re-gated strict ×3 SFs — also r6/r7-stale, so this doubles as
+#       refresh);
 #   (d) oldest-attested-first refresh: the 6 remaining r2 rows and the
-#       6 oldest r4 rows (7 rounds stale), in attestation order.
+#       3 oldest r4 rows (7 rounds stale), in attestation order.  The
+#       next-stalest r4 rows (html_sections, node_summaries, title_detect
+#       …) lead the r12 refresh.
 # Queries not listed keep their valid attestations; queries ADDED during
 # r11 sessions go AFTER this board (they are the r12 queue).
 PRIORITY: list[str] = [
@@ -67,12 +73,12 @@ PRIORITY: list[str] = [
     "weighted_sample",
     # ── (c) r11 code-changed re-attests ──
     "knn_postfilter", "ann_ivf_filtered", "gif_features",
+    "png_features", "png_resize", "phash_neardup",
     # ── (d) staleness refresh: the 6 remaining r2 rows ──
     "point_lookup", "collection_stats", "delete_by_id", "filter_eq",
     "filter_in", "knn_filtered",
-    # ── (d) staleness refresh: the 6 oldest r4 rows ──
+    # ── (d) staleness refresh: the 3 oldest r4 rows ──
     "adaptive_weights", "hybrid_adaptive", "triples_extract",
-    "html_sections", "node_summaries", "title_detect",
 ]
 
 

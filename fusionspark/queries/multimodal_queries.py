@@ -875,3 +875,37 @@ def gif_interlaced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "pix_checksum",
     )
+
+
+@query(
+    "png_interlaced",
+    f"""
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean_intensity,
+           SUM(v * k)::BIGINT AS pix_checksum
+    FROM (
+        SELECT doc_id, k.k AS k,
+               ((doc_id * 11 + 5 * k.k) % 241)::DOUBLE AS v
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, {MM.PNG_W * MM.PNG_H - 1})) AS k) k
+    )
+    GROUP BY doc_id
+    """,
+)
+def png_interlaced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG Adam7 interlace closure (r11): png_decode previously raised on
+    IHDR interlace=1; now both directions implement the spec §8.2
+    seven-pass grid — the writer filters each reduced image independently
+    (filters cycling 0-4 per emitted scanline) and the decoder unfilters
+    per pass and scatters rows/columns back.  The pixel law lives on
+    NATURAL positions, so the position-weighted checksum breaks on any
+    pass-grid slip (wrong offsets, wrong per-pass widths, carried-over
+    prev-row state); the oracle replays the law arithmetically.  Same
+    zero-shuffle Arrow synth/decode shape as png_features."""
+    m = MM.synth_png_interlaced_media(spark, sf_dir)
+    feats = MM.png_feature_stats(m)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "pix_checksum",
+    )

@@ -286,3 +286,54 @@ def test_audio_fingerprint_amplitude_invariant(spark):
            for r in audio_fingerprint_neardup(media, threshold=0.9).collect()}
     assert got.get((1, 2)) == 1.0
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_png_adam7_roundtrip_all_shapes_and_channels():
+    """Adam7 interlaced encode/decode round-trips exactly for grey/RGB/
+    RGBA and awkward sizes (1×1 exercises empty passes; 5×3 exercises
+    partial passes; 8×8 exercises every pass), with filters cycling 0-4
+    so each reduced image hits every reconstruction branch."""
+    import numpy as np
+
+    from fusionspark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (3, 5), (5, 3), (8, 8), (16, 24), (7, 9, 3), (6, 10, 4)]:
+        plane = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        n_rows = shape[0]
+        filters = [y % 5 for y in range(max(1, n_rows))]
+        inter = png_encode(plane, row_filters=filters, interlace=True)
+        assert np.array_equal(png_decode(inter), plane), shape
+        # interlace byte set in IHDR (offset 8+8+12 = byte 28 of the file)
+        assert inter[28] == 1
+        # sequential output for the same plane is unchanged and also decodes
+        seq = png_encode(plane, row_filters=filters)
+        assert seq[28] == 0
+        assert np.array_equal(png_decode(seq), plane), shape
+
+
+def test_png_adam7_pass_grid_covers_each_pixel_once():
+    from fusionspark.operators.multimodal import _ADAM7
+
+    for h, w in [(1, 1), (8, 8), (16, 24), (5, 3)]:
+        seen = set()
+        for x0, y0, dx, dy in _ADAM7:
+            for y in range(y0, h, dy):
+                for x in range(x0, w, dx):
+                    assert (y, x) not in seen
+                    seen.add((y, x))
+        assert len(seen) == h * w
+
+
+def test_png_adam7_stream_is_really_permuted():
+    """The interlaced IDAT differs from sequential for any image whose
+    rows differ (proof the writer isn't just setting the header bit)."""
+    import numpy as np
+
+    from fusionspark.operators.multimodal import png_decode, png_encode
+
+    plane = (np.arange(16 * 24) % 256).astype(np.uint8).reshape(16, 24)
+    a = png_encode(plane, interlace=True)
+    b = png_encode(plane)
+    assert a != b
+    assert np.array_equal(png_decode(a), png_decode(b))
