@@ -1434,3 +1434,222 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: ordered-funnel-within-window + Mann-Whitney U
+# ---------------------------------------------------------------------------
+
+_WF_WINDOW_US = 7 * 86_400_000_000  # 7-day conversion window
+_WF_UNSET = -(1 << 62)  # not-yet-reached sentinel for the fold state
+
+
+@query(
+    "window_funnel",
+    f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id,
+               CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                               WHEN 'purchase' THEN 3 END AS step
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    folded AS (
+        SELECT user_id,
+               list_reduce(list_prepend(
+                   [{_WF_UNSET}::BIGINT, {_WF_UNSET}::BIGINT, {_WF_UNSET}::BIGINT],
+                   list([t, step::BIGINT] ORDER BY t, event_id)),
+                   (a, e) -> [
+                       CASE WHEN e[2] = 1 THEN GREATEST(a[1], e[1]) ELSE a[1] END,
+                       CASE WHEN e[2] = 2 AND a[1] > {_WF_UNSET}
+                                 AND e[1] - a[1] <= {_WF_WINDOW_US}
+                            THEN GREATEST(a[2], a[1]) ELSE a[2] END,
+                       CASE WHEN e[2] = 3 AND a[2] > {_WF_UNSET}
+                                 AND e[1] - a[2] <= {_WF_WINDOW_US}
+                            THEN GREATEST(a[3], a[2]) ELSE a[3] END]) AS s
+        FROM ev GROUP BY user_id
+    ),
+    lv AS (
+        SELECT user_id,
+               CASE WHEN s[3] > {_WF_UNSET} THEN 3
+                    WHEN s[2] > {_WF_UNSET} THEN 2
+                    WHEN s[1] > {_WF_UNSET} THEN 1 ELSE 0 END AS level
+        FROM folded
+    )
+    SELECT level::INT AS level, COUNT(*)::BIGINT AS n_users
+    FROM lv GROUP BY level
+    """,
+)
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel within a conversion window (the ClickHouse
+    windowFunnel shape): per user, the deepest prefix of view → click →
+    purchase completed IN ORDER with the whole chain inside 7 days of
+    its first step.  Semantics are a deterministic greedy fold over the
+    user's time-ordered events: s[k] keeps the LATEST chain-start
+    reaching level k; a step-k event extends a chain iff s[k−1] is set
+    and t − s[k−1] ≤ W.  Latest (not earliest) is the greedy-OPTIMAL
+    rule for "deepest level ever reached": a later chain start is always
+    at least as extendable under the t − start ≤ W test, and it is what
+    makes a fresh step-1 event restart an expired chain (the first draft
+    kept the earliest start and provably missed restarts — caught by the
+    hand-built-sequence pytest, user 4).  event_funnel counts unordered
+    per-step reach; this is the stricter ordered-within-window
+    conversion readout.
+
+    Parity: state and timestamps are exact BIGINT micros with a
+    not-yet-reached sentinel (−2⁶²); the fold order is (t, event_id) on both
+    engines — pure integer CASE/LEAST arithmetic, no floats anywhere.
+    Scale: one groupBy(user_id) building a per-user bounded array (the
+    3-type filter prunes the rest at the scan), one small aggregate."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    step = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    ev = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").cast("long").alias("event_id"),
+        step.alias("step"),
+    )
+    unset = F.lit(_WF_UNSET).cast("long")
+
+    def fold(a, x):
+        t, st = F.element_at(x, 3), F.element_at(x, 4)
+        s1, s2, s3 = F.element_at(a, 1), F.element_at(a, 2), F.element_at(a, 3)
+        return F.array(
+            F.when(st == 1, F.greatest(s1, t)).otherwise(s1),
+            F.when(
+                (st == 2) & (s1 > _WF_UNSET) & (t - s1 <= _WF_WINDOW_US),
+                F.greatest(s2, s1),
+            ).otherwise(s2),
+            F.when(
+                (st == 3) & (s2 > _WF_UNSET) & (t - s2 <= _WF_WINDOW_US),
+                F.greatest(s3, s2),
+            ).otherwise(s3),
+        )
+
+    folded = ev.groupBy("user_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.array("t", "event_id", "t", "step"))
+            ),
+            F.array(unset, unset, unset),
+            fold,
+        ).alias("s")
+    )
+    level = (
+        F.when(F.element_at("s", 3) > _WF_UNSET, 3)
+        .when(F.element_at("s", 2) > _WF_UNSET, 2)
+        .when(F.element_at("s", 1) > _WF_UNSET, 1)
+        .otherwise(0)
+    )
+    return (
+        folded.select(level.cast("int").alias("level"))
+        .groupBy("level")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "mann_whitney_u",
+    """
+    WITH spend AS (
+        SELECT user_id, user_id % 2 AS g,
+               SUM(FLOOR(value * 100.0 + 0.5)::BIGINT)::BIGINT AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    vals AS (
+        SELECT x, COUNT(*)::BIGINT AS cnt,
+               SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS cnt1
+        FROM spend GROUP BY x
+    ),
+    ranked AS (
+        SELECT x, cnt, cnt1,
+               COALESCE(SUM(cnt) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT AS less
+        FROM vals
+    ),
+    agg AS (
+        SELECT SUM(cnt)::BIGINT AS n,
+               SUM(cnt1)::BIGINT AS n1,
+               SUM((2 * less + cnt + 1) * cnt1)::BIGINT AS r1_x2,
+               SUM(cnt * cnt * cnt - cnt)::BIGINT AS ties
+        FROM ranked
+    )
+    SELECT n1, (n - n1)::BIGINT AS n2,
+           (r1_x2 - n1 * (n1 + 1))::BIGINT AS u1_x2,
+           CASE WHEN n1 * (n - n1) * ((n + 1) * n * (n - 1) - ties) > 0 THEN
+               ROUND((r1_x2 - n1 * (n1 + 1) - n1 * (n - n1))::DOUBLE
+                     / (2.0 * sqrt(
+                         (n1 * (n - n1) * ((n + 1) * n * (n - 1) - ties))::DOUBLE
+                         / (12 * n * (n - 1))::DOUBLE)), 6)
+           END AS z
+    FROM agg
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    location test beside ks_two_sample's distribution test and
+    ab_test_zscore's parametric readout: per-user purchase spend in exact
+    cents, arms by key parity, tie-corrected normal approximation.  Runs
+    on ranks, so it is outlier-robust where the t/z on means is not —
+    the right default for heavy-tailed revenue metrics (hill_tail_index
+    diagnoses exactly such tails in this corpus family).
+
+    Parity: the entire statistic reduces to exact BIGINTs — doubled
+    average ranks via 2·less + eq + 1 (the spearman_corr trick), doubled
+    rank-sum, U₁·2, and the tie term Σ(t³−t); the variance is ONE
+    division of two exact integers and z is one subtraction and one
+    correctly-rounded sqrt/division chain.  Zero-variance gates on the
+    integer radicand.  Scale: per-user collapse, then a groupBy on
+    DISTINCT spend values and one window over that bounded value grid —
+    the corpus never sorts globally."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    spend = e.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("x")
+    ).select((F.col("user_id") % 2).alias("g"), "x")
+    vals = spend.groupBy("x").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("cnt1"),
+    )
+    wless = W.orderBy("x").rowsBetween(W.unboundedPreceding, -1)
+    ranked = vals.select(
+        "x", "cnt", "cnt1",
+        F.coalesce(F.sum("cnt").over(wless), F.lit(0)).cast("long").alias("less"),
+    )
+    agg = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum((2 * F.col("less") + F.col("cnt") + 1) * F.col("cnt1"))
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("ties"),
+    )
+    n, n1 = F.col("n"), F.col("n1")
+    n2 = n - n1
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    rad = n1 * n2 * ((n + 1) * n * (n - 1) - F.col("ties"))
+    z = (u1_x2 - n1 * n2).cast("double") / (
+        2.0 * F.sqrt(rad.cast("double") / (12 * n * (n - 1)).cast("double"))
+    )
+    return agg.select(
+        n1.alias("n1"),
+        n2.cast("long").alias("n2"),
+        u1_x2.cast("long").alias("u1_x2"),
+        F.when(rad > 0, F.round(z, 6)).alias("z"),
+    )

@@ -366,3 +366,128 @@ def test_prf_expansion_finds_planted_term(spark):
     # 'common' appears in every doc: if present at all, its RSV is negative
     if "common" in byname:
         assert byname["common"].rsv < 0
+
+
+# ---------------------------------------------------------------------------
+# window_funnel
+# ---------------------------------------------------------------------------
+
+
+def test_window_funnel_ordered_within_window_semantics(spark):
+    """Hand-built sequences pin the semantics: ordered steps count,
+    out-of-order don't, a chain whose later step falls outside the
+    7-day window doesn't extend, and a second 'view' restarts a chain
+    that then completes."""
+    import datetime
+    import tempfile
+
+    from fusionspark.queries.mining_queries import window_funnel
+
+    t0 = datetime.datetime(2025, 1, 1)
+
+    def ev(eid, user, minutes, typ, days=0):
+        return (
+            eid,
+            t0 + datetime.timedelta(days=days, minutes=minutes),
+            user,
+            typ,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        # user 1: clean view->click->purchase within a day -> level 3
+        ev(1, 1, 0, "view"), ev(2, 1, 10, "click"), ev(3, 1, 20, "purchase"),
+        # user 2: purchase BEFORE view/click -> ordered prefix stops at 2
+        ev(4, 2, 0, "purchase"), ev(5, 2, 10, "view"), ev(6, 2, 20, "click"),
+        # user 3: click 8 days after the only view -> window expired, level 1
+        ev(7, 3, 0, "view"), ev(8, 3, 0, "click", days=8),
+        # user 4: first chain expires, second view restarts and completes
+        ev(9, 4, 0, "view"), ev(10, 4, 0, "view", days=9),
+        ev(11, 4, 30, "click", days=9), ev(12, 4, 60, "purchase", days=9),
+        # user 5: funnel-step event but nothing orderable past level 1
+        ev(13, 5, 0, "signup"), ev(14, 5, 5, "error"),
+        # (signup/error are filtered out: user 5 has NO funnel events and
+        # therefore no row — windowFunnel is over funnel-active users)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/events.parquet")
+        out = {r.level: r.n_users for r in window_funnel(spark, tmp).collect()}
+    assert out == {3: 2, 2: 1, 1: 1}, out
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_scipy_style_replay(spark, sf_dir):
+    """Textbook replay with average ranks and tie correction must match
+    the operator exactly (U1, and z to 6 digits)."""
+    from collections import Counter
+
+    from fusionspark.io import load_table
+    from fusionspark.queries.mining_queries import mann_whitney_u
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).collect()
+    per_user: dict[int, int] = {}
+    for r in e:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + math.floor(
+            r.value * 100.0 + 0.5
+        )
+    xs = sorted(per_user.items())
+    values = sorted(v for _, v in xs)
+    cnt = Counter(values)
+    # average rank per value (1-based): less + (eq + 1) / 2
+    less = {}
+    run = 0
+    for v in sorted(cnt):
+        less[v] = run
+        run += cnt[v]
+    n = len(values)
+    n1 = sum(1 for u, _ in xs if u % 2 == 1)
+    n2 = n - n1
+    r1 = sum(less[v] + (cnt[v] + 1) / 2 for u, v in xs if u % 2 == 1)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    ties = sum(t**3 - t for t in cnt.values())
+    var = n1 * n2 * ((n + 1) * n * (n - 1) - ties) / (12 * n * (n - 1))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+    row = mann_whitney_u(spark, sf_dir).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.u1_x2 == round(2 * u1)
+    assert row.z == round(z, 6)
+
+
+def test_mann_whitney_detects_planted_shift(spark):
+    """Group 1's spend is uniformly shifted up: z must be large positive
+    (U counts group-1 wins); identical groups give z ~ 0."""
+    import tempfile
+
+    from fusionspark.queries.mining_queries import mann_whitney_u
+
+    rows = []
+    eid = 0
+    for u in range(200):
+        eid += 1
+        base = 10.0 + (u // 2 % 50)  # same base distribution per parity
+        lift = 100.0 if u % 2 == 1 else 0.0  # planted group-1 shift
+        rows.append((eid, u, "purchase", base + lift))
+    df = spark.createDataFrame(
+        [(e, __import__("datetime").datetime(2025, 1, 1), u, t, v, "{}")
+         for e, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/events.parquet")
+        row = mann_whitney_u(spark, tmp).collect()[0]
+    # every group-1 value beats every group-0 value: U1 = n1*n2 (maximal)
+    assert row.u1_x2 == 2 * row.n1 * row.n2
+    assert row.z > 10
