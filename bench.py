@@ -477,6 +477,15 @@ def bench_queries(spark):
         "kn_perplexity",
         "spearman_corr",
         "burrows_delta",
+        # round 11: content-defined chunking (zero-shuffle Arrow kernel +
+        # hash-keyed dedup), ordered funnel fold, log-rank survival
+        # comparison, PRF query expansion (BM25 feedback + offer weights),
+        # Adam7 PNG round-trip
+        "cdc_chunking",
+        "window_funnel",
+        "logrank_test",
+        "prf_expansion",
+        "png_interlaced",
     ]
     out = {
         "knn_batch64": knn_batch,
@@ -699,6 +708,17 @@ def main() -> None:
                 "knn_1m_resident_x10 ~19s, corpus_pipeline_e2e ~8.5s, "
                 "newly-attested picks) — compare per-entry medians across "
                 "rounds, not totals"
+            ),
+            "r11_entries": (
+                "cdc_chunking / window_funnel / logrank_test / "
+                "prf_expansion / png_interlaced first appear in r11 — the "
+                "suite total grows by their cost (compare per-entry "
+                "medians across rounds, not totals).  cdc_chunking is the "
+                "zero-shuffle Arrow CDC kernel + hash dedup; window_funnel "
+                "is one groupBy(user) integer fold; logrank collapses to "
+                "the per-day timeline; prf_expansion pays the BM25 pass + "
+                "the corpus df shuffle; png_interlaced is the Adam7 "
+                "synth/decode Arrow pass"
             ),
             "r8_session5_entries": (
                 "pmi_bigrams / zipf_fit / heaps_law / distance_outliers "
