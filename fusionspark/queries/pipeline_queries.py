@@ -5109,3 +5109,124 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: skip-gram training pairs with frequency subsampling
+# ---------------------------------------------------------------------------
+
+_SG_WIN = 2       # context window ±2 over the subsampled sequence
+_SG_TOP = 50      # emitted top pairs
+_SG_DEN = 1000    # keep probability = min(1, N_tokens / (1000 · f_w))
+
+
+@query(
+    "skipgram_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM (SELECT doc_id, {_WORDS} AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) AS t(i)
+    ),
+    freq AS (SELECT w, COUNT(*)::BIGINT AS f FROM toks GROUP BY w),
+    n AS (SELECT COUNT(*)::BIGINT AS n_tok FROM toks),
+    thr AS (
+        SELECT w, (((SELECT n_tok FROM n) * 4294967296)
+                   // ({_SG_DEN} * f))::BIGINT AS t
+        FROM freq
+    ),
+    kept AS (
+        SELECT toks.doc_id, toks.w,
+               ROW_NUMBER() OVER (PARTITION BY toks.doc_id
+                                  ORDER BY toks.pos) AS cpos
+        FROM toks JOIN thr USING (w)
+        WHERE ('0x' || substr(md5('sg:' || toks.doc_id::VARCHAR || ':'
+                                  || toks.pos::VARCHAR), 1, 8))::BIGINT
+              < thr.t
+    ),
+    pairs AS (
+        SELECT a.w AS center, b.w AS context
+        FROM kept a JOIN kept b
+          ON a.doc_id = b.doc_id
+         AND b.cpos BETWEEN a.cpos - {_SG_WIN} AND a.cpos + {_SG_WIN}
+         AND b.cpos <> a.cpos
+    )
+    SELECT center, context, COUNT(*)::BIGINT AS n_pairs
+    FROM pairs GROUP BY center, context
+    ORDER BY n_pairs DESC, center, context
+    LIMIT {_SG_TOP}
+    """,
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair generation (the word2vec/fastText data
+    op): frequent-word subsampling DELETES occurrences, the surviving
+    sequence COMPACTS (so windows span the gaps, exactly as word2vec's
+    in-memory sentence does), and every (center, context) pair within
+    ±2 compacted positions is emitted; top-50 pair counts returned.
+
+    Documented deviation from Mikolov's sqrt(t/f) keep rule: the keep
+    probability here is min(1, N/(1000·f)) so the PER-OCCURRENCE draw is
+    an exact BIGINT comparison — md5-coin < (N·2³²) div (1000·f) — with
+    no float sqrt anywhere near a cut (the r9 raw-double-cut lesson);
+    the subsampling EFFECT (frequent words thinned, rare kept) is the
+    same.  The div form bounds the product at N·2³² (overflow-safe to
+    ~2e9 tokens; at larger N rescale the threshold arithmetic to
+    DECIMAL(38) — a documented swap, not a semantic change).
+
+    Scale: tokenize/explode is map-side; the keep filter is a broadcast
+    threshold join keyed on the word; compaction is one per-doc window;
+    the pair join is a co-partitioned (doc_id, position-range) self-join
+    over the THINNED sequence — subsampling cuts the quadratic window
+    fan-out exactly where corpora are densest.  Counts are exact ints;
+    the top-k cut is (n_pairs DESC, center, context) — no floats in the
+    whole query."""
+    from pyspark.sql import Window as W
+
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(ws).alias("pos", "w"))
+    )
+    freq = toks.groupBy("w").agg(F.count("*").cast("long").alias("f"))
+    n = toks.agg(F.count("*").cast("long").alias("n_tok"))
+    # `div`, not `/`: Spark's `/` is FLOAT division and a cast-truncate
+    # after it can disagree with DuckDB's integer `//` at representation
+    # boundaries (the raw-double-cut class) — integer div is exact
+    thr = freq.crossJoin(F.broadcast(n)).select(
+        "w",
+        F.expr(f"(n_tok * 4294967296) div ({_SG_DEN} * f)")
+        .cast("long")
+        .alias("t"),
+    )
+    coin = md5_hash32(
+        F.concat(
+            F.lit("sg:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("pos").cast("string"),
+        )
+    )
+    kept = (
+        toks.join(F.broadcast(thr), "w")
+        .filter(coin < F.col("t"))
+        .select(
+            "doc_id",
+            "w",
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("pos"))
+            .alias("cpos"),
+        )
+    )
+    a = kept.select("doc_id", F.col("w").alias("center"), F.col("cpos").alias("ca"))
+    b = kept.select("doc_id", F.col("w").alias("context"), F.col("cpos").alias("cb"))
+    pairs = a.join(b, "doc_id").filter(
+        (F.col("cb") >= F.col("ca") - _SG_WIN)
+        & (F.col("cb") <= F.col("ca") + _SG_WIN)
+        & (F.col("cb") != F.col("ca"))
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "center", "context")
+        .limit(_SG_TOP)
+    )

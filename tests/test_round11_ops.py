@@ -491,3 +491,60 @@ def test_mann_whitney_detects_planted_shift(spark):
     # every group-1 value beats every group-0 value: U1 = n1*n2 (maximal)
     assert row.u1_x2 == 2 * row.n1 * row.n2
     assert row.z > 10
+
+
+# ---------------------------------------------------------------------------
+# skip-gram pairs
+# ---------------------------------------------------------------------------
+
+
+def test_skipgram_compaction_and_subsampling(spark):
+    """Pure-Python replay of the whole pipeline on a planted corpus:
+    the ubiquitous word is thinned (its threshold is the binding one),
+    surviving sequences COMPACT before windowing (pairs span deleted
+    positions), and the operator's top pairs equal the replay's."""
+    import tempfile
+    from collections import Counter
+
+    from fusionspark.queries.pipeline_queries import skipgram_pairs
+
+    rows = [(d, " ".join(
+        "filler" if i % 2 == 0 else f"w{(d * 31 + i) % 11}"
+        for i in range(60)
+    )) for d in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # replay
+    toks = []
+    for d, text in rows:
+        for i, w in enumerate([x for x in text.lower().split(" ") if x]):
+            toks.append((d, i, w))
+    f = Counter(w for _, _, w in toks)
+    n_tok = len(toks)
+    kept: dict[int, list[str]] = {}
+    for d, i, w in toks:
+        thr = (n_tok * 4294967296) // (1000 * f[w])
+        if _coin("sg:", f"{d}:{i}") < thr:
+            kept.setdefault(d, []).append(w)
+    pairs = Counter()
+    for d, ws in kept.items():
+        for i, c in enumerate(ws):
+            for j in range(max(0, i - 2), min(len(ws), i + 3)):
+                if j != i:
+                    pairs[(c, ws[j])] += 1
+    expect = sorted(
+        ((cnt, a, b) for (a, b), cnt in pairs.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:50]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/documents.parquet")
+        got = [
+            (r.n_pairs, r.center, r.context)
+            for r in skipgram_pairs(spark, tmp).collect()
+        ]
+    assert got == expect
+    # the ubiquitous word really was thinned: it makes up half the raw
+    # tokens but its surviving share must be well below that
+    kept_flat = [w for ws in kept.values() for w in ws]
+    assert kept_flat.count("filler") / len(kept_flat) < 0.25
