@@ -553,3 +553,50 @@ p = buf.getvalue()
 print("== mime_sniff python nodes:",
       len(_re.findall(r"\(\d+\) MapInPandas", p)),
       "(must be 1 = the synth; the CASE sniff is codegen'd)")
+
+# ── round 11 additions ────────────────────────────────────────────────────
+# cdc_chunking: the chunker is ONE Arrow kernel; hash is the only
+# exchange key (text never shuffles).  window_funnel: the 3-type filter
+# must PUSH to the scan and the only wide exchange is user_id.
+# skipgram_pairs: the per-word threshold join must BROADCAST.
+# logrank/mann_whitney: bounded-frame windows, no cartesian.
+# rouge_eval: (doc_id, gram) equi-joins, no doc-pair comparison.
+# prf_expansion: feedback side broadcasts; term-keyed candidate join.
+for qn, label in (
+    ("cdc_chunking", "Arrow chunker + hash dedup"),
+    ("window_funnel", "ordered funnel fold"),
+    ("skipgram_pairs", "thinned pair self-join"),
+    ("logrank_test", "timeline hypergeometric"),
+    ("mann_whitney_u", "value-grid rank sum"),
+    ("rouge_eval", "clipped gram join"),
+    ("prf_expansion", "feedback offer weights"),
+    ("grpo_advantages", "group standardization"),
+    ("post_strat_ate", "stratum fold"),
+    ("conformal_interval", "calibration quantile"),
+    ("png_interlaced", "Adam7 round-trip"),
+    ("gif_interlaced", "4-pass round-trip"),
+):
+    qq = _R[qn][0](spark, sf)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        qq.explain("formatted")
+    p = buf.getvalue()
+    ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+    # word-boundary match: a `context#NN` key contains the substring
+    # "text#" and false-flags (hit on skipgram_pairs' final groupBy)
+    print(f"== {qn} ({label}): cartesian:", "CartesianProduct" in p,
+          "text_in_exchange_key:",
+          any(_re.search(r"(?<![A-Za-z])text#", a) for a in ex_args),
+          "payload_in_exchange_key:", any("payload#" in a for a in ex_args),
+          "broadcasts:", p.count("BroadcastExchange"),
+          "python_nodes:", len(_re.findall(r"\(\d+\) MapInPandas", p)))
+
+# window_funnel's type filter must reach the parquet scan
+q = _R["window_funnel"][0](spark, sf)
+buf = _io.StringIO()
+with _ctx.redirect_stdout(buf):
+    q.explain("formatted")
+p = buf.getvalue()
+pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+print("== window_funnel pushed IN filter:",
+      any("In(event_type" in x for x in pushed))
