@@ -566,3 +566,134 @@ def topk_from_state(spark, state_path: str, k: int = 10) -> DataFrame:
     table."""
     cands = spark.read.parquet(os.path.join(state_path, "cands"))
     return cands.orderBy(F.col("est_count").desc(), F.col("v").asc()).limit(k)
+
+
+def maintain_funnel_stream(
+    event_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+):
+    """Streaming maintenance of the per-user ordered-funnel state (the
+    `window_funnel` contract, run continuously): state is each user's
+    greedy fold vector [s1, s2, s3] (latest chain-start reaching each
+    level, −2⁶² when unreached); each micro-batch folds its events — per
+    user, (ts, event_id)-ordered — ON TOP of the stored vector, so the
+    composition over any batch slicing equals the batch fold over the
+    whole history PROVIDED the source delivers each user's events in
+    event-time order across batches (the monotone-source contract; a
+    true out-of-order stream needs watermarked buffering in front — the
+    fold itself cannot retract).  The parity test slices one history
+    three ways and asserts the final levels equal the batch query's.
+
+    Same exactly-once machinery as maintain_rollup_stream: applied-batch
+    marker INSIDE the state dir, rename-swap landing, crash-recovery of
+    a half-swapped .old."""
+    import shutil
+
+    from fusionspark.queries.mining_queries import _WF_UNSET, _WF_WINDOW_US
+
+    spark = event_stream.sparkSession
+    unset = F.lit(_WF_UNSET).cast("long")
+
+    def fold(a, x):
+        t, st = F.element_at(x, 3), F.element_at(x, 4)
+        s1, s2, s3 = F.element_at(a, 1), F.element_at(a, 2), F.element_at(a, 3)
+        return F.array(
+            F.when(st == 1, F.greatest(s1, t)).otherwise(s1),
+            F.when(
+                (st == 2) & (s1 > _WF_UNSET) & (t - s1 <= _WF_WINDOW_US),
+                F.greatest(s2, s1),
+            ).otherwise(s2),
+            F.when(
+                (st == 3) & (s2 > _WF_UNSET) & (t - s2 <= _WF_WINDOW_US),
+                F.greatest(s3, s2),
+            ).otherwise(s3),
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        old = state_path + ".old"
+        if not os.path.exists(state_path) and os.path.exists(old):
+            os.rename(old, state_path)
+        marker = os.path.join(state_path, "_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip() or -1) >= batch_id:
+                    return
+        step = (
+            F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .otherwise(3)
+            .cast("long")
+        )
+        ev = (
+            batch_df.filter(F.col("event_type").isin("view", "click", "purchase"))
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").cast("long").alias("event_id"),
+                step.alias("step"),
+            )
+        )
+        arrs = ev.groupBy("user_id").agg(
+            F.array_sort(
+                F.collect_list(F.array("t", "event_id", "t", "step"))
+            ).alias("evs")
+        )
+        if os.path.exists(state_path):
+            state = spark.read.parquet(state_path).select(
+                "user_id", "s1", "s2", "s3"
+            )
+        else:
+            state = spark.createDataFrame([], "user_id long, s1 long, s2 long, s3 long")
+        j = arrs.join(state, "user_id", "full_outer")
+        init = F.array(
+            F.coalesce(F.col("s1"), unset),
+            F.coalesce(F.col("s2"), unset),
+            F.coalesce(F.col("s3"), unset),
+        )
+        folded = F.aggregate(
+            F.coalesce(F.col("evs"), F.array().cast("array<array<bigint>>")),
+            init,
+            fold,
+        )
+        merged = j.select(
+            "user_id",
+            F.element_at(folded, 1).alias("s1"),
+            F.element_at(folded, 2).alias("s2"),
+            F.element_at(folded, 3).alias("s3"),
+        )
+        tmp = state_path + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(state_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        event_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def funnel_levels_from_state(spark, state_path: str) -> DataFrame:
+    """Read the funnel state table into (level, n_users) — the same
+    output shape as the batch `window_funnel` query."""
+    from fusionspark.queries.mining_queries import _WF_UNSET
+
+    s = spark.read.parquet(state_path)
+    level = (
+        F.when(F.col("s3") > _WF_UNSET, 3)
+        .when(F.col("s2") > _WF_UNSET, 2)
+        .when(F.col("s1") > _WF_UNSET, 1)
+        .otherwise(0)
+    )
+    return (
+        s.select(level.cast("int").alias("level"))
+        .groupBy("level")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

@@ -836,3 +836,74 @@ def test_enriched_tumbling_stream_matches_batch(spark, sf_dir, stream_events):
     assert b == s
     segs = {r["segment"] for r in batch.select("segment").distinct().collect()}
     assert segs  # enrichment produced real segments
+
+
+def test_funnel_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming ordered-funnel state: the corpus history sliced into
+    three TIME-ORDERED micro-batches (the monotone-source contract) and
+    folded incrementally must reproduce the batch window_funnel level
+    distribution exactly, and a replayed batch must be a no-op."""
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from fusionspark.io import load_table
+    from fusionspark.queries.mining_queries import window_funnel
+    from fusionspark.streaming.pipeline import (
+        funnel_levels_from_state,
+        maintain_funnel_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    n = ev.count()
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(W.orderBy("ts", "event_id"))
+    )
+    src = tmp_path / "src"
+    # three time-contiguous slices written in order (mtime-ordered pickup)
+    for lo, hi in ((1, n // 3), (n // 3 + 1, 2 * n // 3), (2 * n // 3 + 1, n)):
+        (
+            ranked.filter((F.col("rn") >= lo) & (F.col("rn") <= hi))
+            .drop("rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "state")
+    q = maintain_funnel_stream(stream, state, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    got = {
+        r.level: r.n_users
+        for r in funnel_levels_from_state(spark, state).collect()
+    }
+    expect = {r.level: r.n_users for r in window_funnel(spark, sf_dir).collect()}
+    assert got == expect
+
+    # replay: running the stream again over the same checkpoint is a no-op
+    before = sorted(
+        (r.user_id, r.s1, r.s2, r.s3)
+        for r in spark.read.parquet(state).collect()
+    )
+    q2 = maintain_funnel_stream(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        state,
+        str(tmp_path / "ck"),
+    )
+    q2.awaitTermination(120)
+    after = sorted(
+        (r.user_id, r.s1, r.s2, r.s3)
+        for r in spark.read.parquet(state).collect()
+    )
+    assert after == before
