@@ -5230,3 +5230,137 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "center", "context")
         .limit(_SG_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: DP median via the exponential mechanism
+# ---------------------------------------------------------------------------
+
+# Integer-quantized exponential-mechanism weights W[s] = floor(1e6 ·
+# exp(−s/4)) for score s = |2·rank − n| (doubled distance from the
+# median rank; ε = 1, sensitivity 2 in the doubled scale).  Computed
+# ONCE in Python and embedded in BOTH engines, so no libm exp runs in
+# either — the quantization truncates to 0 at s = 56, which bounds the
+# total weight and keeps the inverse-CDF product (coin · total) inside
+# BIGINT (≤ 2.4e17).  Quantization is a documented mechanism tweak: it
+# only ever REMOVES far-from-median candidates (weight-0), which
+# preserves the DP guarantee direction that matters for release.
+import math as _math2
+
+_DPQ_SCALE = 10**6
+_DPQ_W: list[tuple[int, int]] = []
+for _s in range(0, 200):
+    _w = int(_math2.floor(_DPQ_SCALE * _math2.exp(-_s / 4.0)))
+    if _w == 0:
+        break
+    _DPQ_W.append((_s, _w))
+_DPQ_W_SQL = ", ".join(f"({s}, {w})" for s, w in _DPQ_W)
+
+
+@query(
+    "dp_quantile",
+    f"""
+    WITH spend AS (
+        SELECT user_id, SUM(FLOOR(value * 100.0 + 0.5)::BIGINT)::BIGINT AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    vals AS (SELECT x, COUNT(*)::BIGINT AS cnt FROM spend GROUP BY x),
+    n AS (SELECT SUM(cnt)::BIGINT AS n FROM vals),
+    ranked AS (
+        SELECT x, SUM(cnt) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        FROM vals
+    ),
+    wt (s, w) AS (VALUES {_DPQ_W_SQL}),
+    scored AS (
+        SELECT x, abs(2 * cum - (SELECT n FROM n))::BIGINT AS s FROM ranked
+    ),
+    weighted AS (
+        SELECT scored.x, COALESCE(wt.w, 0)::BIGINT AS w
+        FROM scored LEFT JOIN wt USING (s)
+    ),
+    cw AS (
+        SELECT x, SUM(w) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumw,
+            SUM(w) OVER ()::BIGINT AS total
+        FROM weighted
+    ),
+    pick AS (
+        SELECT MIN(x)::BIGINT AS dp_median FROM cw
+        WHERE cumw > (total * (('0x' || substr(md5('dpq:v1'), 1, 8))::BIGINT))
+                     // 4294967296
+    ),
+    truth AS (
+        SELECT x AS true_median FROM ranked, n
+        WHERE cum >= (n.n + 1) // 2
+        ORDER BY x LIMIT 1
+    )
+    SELECT n.n AS n_users, truth.true_median, pick.dp_median, 1.0 AS epsilon
+    FROM n, truth, pick
+    """,
+)
+def dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP MEDIAN of per-user purchase spend via the EXPONENTIAL
+    MECHANISM (McSherry-Talwar) — the DP family's answer for
+    non-counting statistics beside dp_counts' geometric mechanism:
+    candidates are the distinct spend values, utility is −|2·rank − n|
+    (doubled distance from the median rank, so it stays integral), and
+    the release samples ∝ exp(−s/4).
+
+    Parity/determinism: the weights are INTEGER-QUANTIZED Python-side
+    (floor(1e6·e^{{−s/4}}), zero past s=55) and embedded in both engines,
+    so NO libm exp runs anywhere near the release; the draw is one md5
+    coin pushed through an exact integer inverse CDF ((total·u) div 2³²
+    vs cumulative weights — products bounded ≤ 2.4e17, inside BIGINT).
+    The true median is emitted so the oracle attests the mechanism; a
+    production release projects it away and uses a per-release salt.
+
+    Scale: per-user collapse, then windows over the bounded
+    DISTINCT-value grid (the mann_whitney_u frame); the weight table is
+    a 56-row broadcast."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    spend = e.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    vals = spend.groupBy("x").agg(F.count("*").cast("long").alias("cnt"))
+    wcum = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = vals.select(
+        "x",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+    )
+    wt = spark.createDataFrame(_DPQ_W, "s long, w long")
+    weighted = (
+        ranked.withColumn("s", F.abs(2 * F.col("cum") - F.col("n")))
+        .join(F.broadcast(wt), "s", "left")
+        .select("x", "n", "cum", F.coalesce("w", F.lit(0)).cast("long").alias("w"))
+    )
+    cw = weighted.select(
+        "x", "n", "cum",
+        F.sum("w").over(wcum).cast("long").alias("cumw"),
+        F.sum("w").over(wall).cast("long").alias("total"),
+    )
+    coin = md5_hash32(F.lit("dpq:v1"))
+    pick = (
+        cw.filter(
+            F.col("cumw") > F.expr(f"(total * {int(__import__('hashlib').md5(b'dpq:v1').hexdigest()[:8], 16)}) div 4294967296")
+        )
+        .agg(F.min("x").cast("long").alias("dp_median"))
+    )
+    truth = (
+        cw.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .agg(
+            F.min("x").cast("long").alias("true_median"),
+            F.max("n").cast("long").alias("n_users"),
+        )
+    )
+    return truth.crossJoin(F.broadcast(pick)).select(
+        "n_users", "true_median", "dp_median", F.lit(1.0).alias("epsilon")
+    )

@@ -548,3 +548,59 @@ def test_skipgram_compaction_and_subsampling(spark):
     # tokens but its surviving share must be well below that
     kept_flat = [w for ws in kept.values() for w in ws]
     assert kept_flat.count("filler") / len(kept_flat) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# DP quantile
+# ---------------------------------------------------------------------------
+
+
+def test_dp_quantile_mechanism_replay(spark, sf_dir):
+    """Pure-Python replay of the full exponential mechanism (quantized
+    weights, integer inverse CDF) must match; the released value is a
+    real data value whose rank score sits inside the weight support
+    (s <= 55 — anything further has quantized weight 0)."""
+    from collections import Counter
+
+    from fusionspark.io import load_table
+    from fusionspark.queries.pipeline_queries import _DPQ_W, dp_quantile
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).collect()
+    per_user: dict[int, int] = {}
+    for r in e:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + math.floor(
+            r.value * 100.0 + 0.5
+        )
+    cnt = Counter(per_user.values())
+    n = sum(cnt.values())
+    wtab = dict(_DPQ_W)
+    cum = 0
+    rows = []
+    for x in sorted(cnt):
+        cum += cnt[x]
+        rows.append((x, cum, wtab.get(abs(2 * cum - n), 0)))
+    total = sum(w for _, _, w in rows)
+    coin = int(hashlib.md5(b"dpq:v1").hexdigest()[:8], 16)
+    t = (total * coin) // 4294967296
+    cw = 0
+    dp_median = None
+    for x, _, w in rows:
+        cw += w
+        if cw > t:
+            dp_median = x
+            break
+    true_median = None
+    for x, c, _ in rows:
+        if c >= (n + 1) // 2:
+            true_median = x
+            break
+    row = dp_quantile(spark, sf_dir).collect()[0]
+    assert (row.n_users, row.true_median, row.dp_median) == (
+        n, true_median, dp_median,
+    )
+    # released value is a real data value with positive quantized weight
+    ranks = {x: c for x, c, _ in rows}
+    assert row.dp_median in ranks
+    assert abs(2 * ranks[row.dp_median] - n) <= 55
