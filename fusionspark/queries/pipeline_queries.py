@@ -5364,3 +5364,129 @@ def dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.crossJoin(F.broadcast(pick)).select(
         "n_users", "true_median", "dp_median", F.lit(1.0).alias("epsilon")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: greedy bigram-LM decoding
+# ---------------------------------------------------------------------------
+
+_LMG_STEPS = 5
+_LMG_SEEDS = 3
+
+
+@query(
+    "lm_greedy_decode",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    toks AS (
+        SELECT doc_id, i AS pos, words[i] AS w
+        FROM w, unnest(generate_series(1, len(words))) AS t(i)
+    ),
+    big AS (
+        SELECT a.w AS w1, b.w AS w2, COUNT(*)::BIGINT AS cnt
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.w, b.w
+    ),
+    uni AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY w),
+    seeds AS (
+        SELECT w AS seed FROM uni
+        ORDER BY cnt DESC, w ASC LIMIT {_LMG_SEEDS}
+    ),
+    s0 AS (SELECT seed, seed AS cur FROM seeds),
+    s1 AS (
+        SELECT seed, w2 AS cur FROM (
+            SELECT s0.seed, big.w2, ROW_NUMBER() OVER (
+                PARTITION BY s0.seed ORDER BY big.cnt DESC, big.w2 ASC) AS rn
+            FROM s0 JOIN big ON big.w1 = s0.cur) WHERE rn = 1
+    ),
+    s2 AS (
+        SELECT seed, w2 AS cur FROM (
+            SELECT s1.seed, big.w2, ROW_NUMBER() OVER (
+                PARTITION BY s1.seed ORDER BY big.cnt DESC, big.w2 ASC) AS rn
+            FROM s1 JOIN big ON big.w1 = s1.cur) WHERE rn = 1
+    ),
+    s3 AS (
+        SELECT seed, w2 AS cur FROM (
+            SELECT s2.seed, big.w2, ROW_NUMBER() OVER (
+                PARTITION BY s2.seed ORDER BY big.cnt DESC, big.w2 ASC) AS rn
+            FROM s2 JOIN big ON big.w1 = s2.cur) WHERE rn = 1
+    ),
+    s4 AS (
+        SELECT seed, w2 AS cur FROM (
+            SELECT s3.seed, big.w2, ROW_NUMBER() OVER (
+                PARTITION BY s3.seed ORDER BY big.cnt DESC, big.w2 ASC) AS rn
+            FROM s3 JOIN big ON big.w1 = s3.cur) WHERE rn = 1
+    ),
+    s5 AS (
+        SELECT seed, w2 AS cur FROM (
+            SELECT s4.seed, big.w2, ROW_NUMBER() OVER (
+                PARTITION BY s4.seed ORDER BY big.cnt DESC, big.w2 ASC) AS rn
+            FROM s4 JOIN big ON big.w1 = s4.cur) WHERE rn = 1
+    )
+    SELECT seed, step, word FROM (
+        SELECT seed, 1 AS step, cur AS word FROM s1
+        UNION ALL SELECT seed, 2, cur FROM s2
+        UNION ALL SELECT seed, 3, cur FROM s3
+        UNION ALL SELECT seed, 4, cur FROM s4
+        UNION ALL SELECT seed, 5, cur FROM s5
+    )
+    """,
+)
+def lm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy decoding from the corpus bigram LM — the generation half of
+    the LM family (lm_perplexity/kn_perplexity score; this DECODES): from
+    each of the 3 most frequent seed words, take 5 greedy argmax steps
+    next = argmax_w cnt(prev, w) with (count DESC, word ASC) ties — the
+    deterministic skeleton of sampling-based decoding, and the
+    degenerate-repetition diagnostic (greedy chains that loop reveal the
+    corpus's dominant templates).  A dead-end chain (no continuation)
+    truncates; each emitted step is one row (seed, step, word).
+
+    Parity: argmax on exact integer counts with a word tiebreak — no
+    floats anywhere; the oracle unrolls the 5 rounds as CTEs (the
+    pagerank/markov pattern).  Scale: the bigram table is the one corpus
+    shuffle (token-pair groupBy with map-side combine — the lm_perplexity
+    frame); each decode round joins a ≤3-row frontier against it
+    (broadcast frontier), so rounds cost |frontier|·fanout, not corpus."""
+    from pyspark.sql import Window as W
+
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(ws).alias("pos", "w"))
+    )
+    nxt = toks.select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("w").alias("w1"))
+    big = (
+        nxt.join(toks.select("doc_id", "pos", F.col("w").alias("w2")), ["doc_id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+    seeds = (
+        uni.orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(_LMG_SEEDS)
+        .select(F.col("w").alias("seed"), F.col("w").alias("cur"))
+    )
+    frontier = seeds
+    outs = []
+    rnk = W.partitionBy("seed").orderBy(F.desc("cnt"), F.asc("w2"))
+    for step in range(1, _LMG_STEPS + 1):
+        stepped = (
+            F.broadcast(frontier)
+            .join(big, frontier["cur"] == big["w1"])
+            .withColumn("rn", F.row_number().over(rnk))
+            .filter(F.col("rn") == 1)
+            .select("seed", F.col("w2").alias("cur"))
+        )
+        frontier = stepped.localCheckpoint(eager=True)
+        outs.append(
+            frontier.select(
+                "seed", F.lit(step).cast("int").alias("step"), F.col("cur").alias("word")
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -604,3 +604,55 @@ def test_dp_quantile_mechanism_replay(spark, sf_dir):
     ranks = {x: c for x, c, _ in rows}
     assert row.dp_median in ranks
     assert abs(2 * ranks[row.dp_median] - n) <= 55
+
+
+# ---------------------------------------------------------------------------
+# greedy LM decoding
+# ---------------------------------------------------------------------------
+
+
+def test_lm_greedy_decode_replay_and_dead_end(spark):
+    """Pure-Python greedy replay on a planted corpus, including a
+    dead-end chain that truncates early and a tie broken by word ASC."""
+    import tempfile
+    from collections import Counter
+
+    from fusionspark.queries.pipeline_queries import lm_greedy_decode
+
+    # corpus engineered so: 'a' is the most frequent seed; 'a b' and
+    # 'a c' tie (broken toward 'b'); 'end' has no continuation
+    rows = [
+        (1, "a b a c end"),
+        (2, "a b x end"),
+        (3, "a c x end"),
+        (4, "a a a a a end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = [( [w for w in t.lower().split(" ") if w] ) for _, t in rows]
+    big = Counter()
+    uni = Counter()
+    for ws in toks:
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    seeds = sorted(uni, key=lambda w: (-uni[w], w))[:3]
+    expect = []
+    for s in seeds:
+        cur = s
+        for step in range(1, 6):
+            cand = [(c, w2) for (w1, w2), c in big.items() if w1 == cur]
+            if not cand:
+                break
+            cur = sorted(cand, key=lambda t: (-t[0], t[1]))[0][1]
+            expect.append((s, step, cur))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/documents.parquet")
+        got = sorted(
+            (r.seed, r.step, r.word)
+            for r in lm_greedy_decode(spark, tmp).collect()
+        )
+    assert got == sorted(expect)
+    # 'end' seed (if among top-3) must have truncated at step 0
+    if "end" in seeds:
+        assert not [g for g in got if g[0] == "end"]
