@@ -5377,3 +5377,160 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cal", "n_test", "qhat",
         F.round(F.col("covered").cast("double") / F.col("n_test"), 6).alias("coverage"),
     )
+
+
+@query(
+    "psi_drift",
+    """
+    WITH ev AS (
+        SELECT epoch_us(ts) AS t, FLOOR(value * 100.0 + 0.5)::BIGINT AS x
+        FROM events
+    ),
+    mid AS (SELECT (MIN(t) + MAX(t)) // 2 AS m FROM ev),
+    ref AS (SELECT x FROM ev WHERE t <= (SELECT m FROM mid)),
+    cur AS (SELECT x FROM ev WHERE t > (SELECT m FROM mid)),
+    rr AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rk,
+               COUNT(*) OVER () AS n
+        FROM ref
+    ),
+    bounds AS (
+        SELECT k.k AS k, MAX(rr.x)::BIGINT AS b
+        FROM rr JOIN (SELECT unnest(generate_series(1, 9)) AS k) k
+          ON rr.rk = (k.k * rr.n) // 10
+        GROUP BY k.k
+    ),
+    rbin AS (
+        SELECT (SELECT COUNT(*) FROM bounds WHERE b < ref.x)::BIGINT AS bin
+        FROM ref
+    ),
+    cbin AS (
+        SELECT (SELECT COUNT(*) FROM bounds WHERE b < cur.x)::BIGINT AS bin
+        FROM cur
+    ),
+    grid AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    cnts AS (
+        SELECT grid.bin::BIGINT AS bin,
+               COALESCE(r.n, 0)::BIGINT AS ref_n,
+               COALESCE(c.n, 0)::BIGINT AS cur_n
+        FROM grid
+        LEFT JOIN (SELECT bin, COUNT(*)::BIGINT AS n FROM rbin GROUP BY bin) r
+               ON r.bin = grid.bin
+        LEFT JOIN (SELECT bin, COUNT(*)::BIGINT AS n FROM cbin GROUP BY bin) c
+               ON c.bin = grid.bin
+    ),
+    tot AS (
+        SELECT SUM(ref_n)::BIGINT AS nr, SUM(cur_n)::BIGINT AS nc FROM cnts
+    ),
+    folded AS (
+        SELECT list_reduce(list_prepend(0.0,
+            list(((ref_n + 1)::DOUBLE / (nr + 10) - (cur_n + 1)::DOUBLE / (nc + 10))
+                 * ln(((ref_n + 1) * (nc + 10))::DOUBLE
+                      / ((cur_n + 1) * (nr + 10)))
+                 ORDER BY bin)),
+            (a, x) -> a + x) AS psi
+        FROM cnts, tot
+        GROUP BY nr, nc
+    ),
+    tots AS (SELECT nr, nc FROM tot)
+    SELECT tots.nr AS n_ref, tots.nc AS n_cur,
+           ROUND(folded.psi, 6) + 0.0 AS psi
+    FROM folded, tots
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — THE production feature-drift monitor
+    (credit-scoring lineage, now the default ML-monitoring metric): the
+    event-value distribution's later time-half scored against its
+    earlier half over the earlier half's decile bins, PSI = Σ (p_i −
+    q_i)·ln(p_i/q_i).  Convention: PSI < 0.1 stable, 0.1-0.25 shifting,
+    > 0.25 action.  Laplace-smoothed proportions ((c+1)/(n+10)) keep
+    empty bins finite — the standard production guard, replayed
+    identically in the oracle.
+
+    Parity: bin boundaries are EXACT rank picks (rk = ⌊k·n/10⌋ over the
+    reference half, integer arithmetic), bin assignment is an integer
+    boundary count, and each bin's term is built from exact integers
+    with ONE ln of an integer ratio; the 10-term sum is a bin-ordered
+    fold.  The emitted psi carries `+ 0.0` (a zero-drift corpus can
+    round to a signed zero).  Scale: one midpoint scalar, one rank
+    window over the reference half (swap approx_percentile + exact
+    verify past ~1e9 rows), integer bin counts with map-side combine;
+    the 10-row bin frame is where all float math lives."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("x"),
+    )
+    mid = ev.agg(
+        F.expr("(min(t) + max(t)) div 2").cast("long").alias("m")
+    )
+    e = ev.crossJoin(F.broadcast(mid))
+    ref = e.filter(F.col("t") <= F.col("m")).select("x")
+    cur = e.filter(F.col("t") > F.col("m")).select("x")
+    rr = ref.select(
+        "x",
+        F.row_number().over(W.orderBy("x")).alias("rk"),
+        F.count("*").over(
+            W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n"),
+    )
+    # boundary ranks: rk == (k*n) div 10 for k = 1..9
+    ks = ev.sparkSession.range(1, 10).select(F.col("id").alias("k"))
+    bounds = (
+        rr.crossJoin(F.broadcast(ks))
+        .filter(F.col("rk") == F.expr("(k * n) div 10"))
+        .groupBy("k")
+        .agg(F.max("x").cast("long").alias("b"))
+        .select("b")
+    )
+    barr = bounds.agg(F.array_sort(F.collect_list("b")).alias("bs"))
+
+    def bin_of(df):
+        return (
+            df.crossJoin(F.broadcast(barr))
+            .select(
+                F.aggregate(
+                    "bs",
+                    F.lit(0).cast("long"),
+                    lambda a, b: a + F.when(b < F.col("x"), 1).otherwise(0),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+    rb, cb = bin_of(ref), bin_of(cur)
+    grid = ev.sparkSession.range(0, 10).select(F.col("id").alias("bin"))
+    cnts = (
+        grid.join(rb.withColumnRenamed("n", "ref_n"), "bin", "left")
+        .join(cb.withColumnRenamed("n", "cur_n"), "bin", "left")
+        .na.fill({"ref_n": 0, "cur_n": 0})
+    )
+    tot = cnts.agg(
+        F.sum("ref_n").cast("long").alias("nr"),
+        F.sum("cur_n").cast("long").alias("nc"),
+    )
+    j = cnts.crossJoin(F.broadcast(tot))
+    term = (
+        (F.col("ref_n") + 1).cast("double") / (F.col("nr") + 10)
+        - (F.col("cur_n") + 1).cast("double") / (F.col("nc") + 10)
+    ) * F.log(
+        ((F.col("ref_n") + 1) * (F.col("nc") + 10)).cast("double")
+        / ((F.col("cur_n") + 1) * (F.col("nr") + 10))
+    )
+    folded = j.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bin", term.alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("psi"),
+        F.max("nr").cast("long").alias("n_ref"),
+        F.max("nc").cast("long").alias("n_cur"),
+    )
+    return folded.select(
+        "n_ref", "n_cur", (F.round("psi", 6) + F.lit(0.0)).alias("psi")
+    )

@@ -5490,3 +5490,85 @@ def lm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 11: unseen-vocabulary estimation (Chao1 / Good-Turing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_chao1",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    toks AS (
+        SELECT array_to_string(ws[i:i + 3], ' ') AS g
+        FROM w, unnest(generate_series(1, len(ws) - 3)) AS t(i)
+    ),
+    freq AS (SELECT g, COUNT(*)::BIGINT AS f FROM toks GROUP BY g),
+    spec AS (
+        SELECT COUNT(*)::BIGINT AS d,
+               SUM(f)::BIGINT AS n,
+               SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+               SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        FROM freq
+    )
+    SELECT n AS n_tokens, d AS n_distinct, f1, f2,
+           ROUND(d + (f1 * (f1 - 1))::DOUBLE / (2 * (f2 + 1)), 6) AS chao1,
+           ROUND(f1::DOUBLE / n, 6) AS p_unseen
+    FROM spec
+    """,
+)
+def vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-vocabulary estimation — the corpus-growth question every
+    data-acquisition plan asks ("how much vocabulary would more crawl
+    uncover?"): Chao1's bias-corrected richness estimate D + f1(f1−1)/
+    (2(f2+1)) from the frequency-of-frequencies spectrum (Chao 1984),
+    plus the Good-Turing unseen-mass estimate P₀ = f1/N — the
+    probability the NEXT draw is a never-seen type.  The TYPE here is
+    the word 4-GRAM: this template-synthesized corpus saturates its
+    31-word unigram (and even bigram) space at sf0.1 (f1 = f2 = 0 —
+    a degenerate estimate), while the 4-gram spectrum stays rich at
+    every SF (f1 = 172k of 211k types at sf0.1), which is also the
+    deduplication-relevant unit (window_dedup / ngram_novelty operate
+    at this granularity).  Complements heaps_law's growth-curve fit
+    with a closed-form nonparametric bound; the bias-corrected form
+    D + f1(f1−1)/(2(f2+1)) is exact at f2 = 0 where classic Chao1
+    divides by zero.
+
+    Parity: D/N/f1/f2 are exact BIGINTs; each output is ONE division of
+    exact integers.  Scale: one shingle explode + one groupBy(gram) —
+    the same shuffle the n-gram dedup family pays — then a 4-integer
+    aggregate; the frequency table never leaves the executors."""
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(ws.alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 3, 0)),"
+                    " i -> concat_ws(' ', slice(ws, i, 4)))"
+                )
+            ).alias("g")
+        )
+    )
+    freq = toks.groupBy("g").agg(F.count("*").cast("long").alias("f"))
+    spec = freq.agg(
+        F.count("*").cast("long").alias("d"),
+        F.sum("f").cast("long").alias("n"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    return spec.select(
+        F.col("n").alias("n_tokens"),
+        F.col("d").alias("n_distinct"),
+        "f1", "f2",
+        F.round(
+            F.col("d")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1)),
+            6,
+        ).alias("chao1"),
+        F.round(F.col("f1").cast("double") / F.col("n"), 6).alias("p_unseen"),
+    )

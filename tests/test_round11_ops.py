@@ -656,3 +656,106 @@ def test_lm_greedy_decode_replay_and_dead_end(spark):
     # 'end' seed (if among top-3) must have truncated at step 0
     if "end" in seeds:
         assert not [g for g in got if g[0] == "end"]
+
+
+# ---------------------------------------------------------------------------
+# Chao1 / Good-Turing
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_chao1_planted_spectrum(spark):
+    """A corpus with a KNOWN 4-gram frequency spectrum: the spectrum
+    counts, Chao1's bias-corrected estimate, and Good-Turing unseen mass
+    must all match the closed forms exactly."""
+    import tempfile
+    from collections import Counter
+
+    from fusionspark.queries.pipeline_queries import vocab_chao1
+
+    rows = [
+        (1, "a b c d e f g h"),        # 5 distinct 4-grams, all singletons
+        (2, "a b c d x y z w"),        # repeats 'a b c d', adds 4 more
+        (3, "p q r s p q r s p q r"),  # 'p q r s' repeated patterns
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = Counter()
+    for _, t in rows:
+        ws = t.split(" ")
+        for i in range(len(ws) - 3):
+            grams[" ".join(ws[i : i + 4])] += 1
+    n = sum(grams.values())
+    d = len(grams)
+    f1 = sum(1 for c in grams.values() if c == 1)
+    f2 = sum(1 for c in grams.values() if c == 2)
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/documents.parquet")
+        row = vocab_chao1(spark, tmp).collect()[0]
+    assert (row.n_tokens, row.n_distinct, row.f1, row.f2) == (n, d, f1, f2)
+    assert row.chao1 == round(d + f1 * (f1 - 1) / (2 * (f2 + 1)), 6)
+    assert row.p_unseen == round(f1 / n, 6)
+    assert f1 > 0 and f2 > 0  # the planted spectrum is non-degenerate
+
+
+# ---------------------------------------------------------------------------
+# PSI drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_detects_planted_drift(spark):
+    """Two time-halves from different value distributions must score
+    PSI > 0.25 (the standard action threshold); identical halves score
+    near 0; and a pure-Python replay of bins + smoothing matches."""
+    import datetime
+    import tempfile
+
+    from fusionspark.queries.analytics_queries import psi_drift
+
+    t0 = datetime.datetime(2025, 1, 1)
+
+    def corpus(shift):
+        rows = []
+        eid = 0
+        for i in range(1000):
+            eid += 1
+            # first half: values 0..99 cents; second half shifted by `shift`
+            half = 0 if i < 500 else 1
+            v = (i * 37 % 100) + shift * half
+            rows.append(
+                (eid, t0 + datetime.timedelta(minutes=i), i % 50, "view",
+                 float(v) / 100.0, "{}")
+            )
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus(500).write.parquet(f"{tmp}/events.parquet")
+        drifted = psi_drift(spark, tmp).collect()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus(0).write.parquet(f"{tmp}/events.parquet")
+        stable = psi_drift(spark, tmp).collect()[0]
+    assert drifted.psi > 0.25, drifted
+    assert stable.psi < 0.1, stable
+
+    # replay the binning + smoothing law on the drifted corpus
+    vals = [((i * 37 % 100) + (500 if i >= 500 else 0), i) for i in range(1000)]
+    ref = sorted(v for v, i in vals if i < 500)
+    cur = [v for v, i in vals if i >= 500]
+    n = len(ref)
+    bounds = sorted({ref[(k * n) // 10 - 1] for k in range(1, 10)})
+    def binof(x):
+        return sum(1 for b in bounds if b < x)
+    rc = [0] * 10
+    cc = [0] * 10
+    for v in ref:
+        rc[binof(v)] += 1
+    for v in cur:
+        cc[binof(v)] += 1
+    psi = sum(
+        ((rc[i] + 1) / (n + 10) - (cc[i] + 1) / (len(cur) + 10))
+        * math.log(((rc[i] + 1) * (len(cur) + 10)) / ((cc[i] + 1) * (n + 10)))
+        for i in range(10)
+    )
+    assert drifted.psi == round(psi, 6) + 0.0
