@@ -5534,3 +5534,236 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "n_ref", "n_cur", (F.round("psi", 6) + F.lit(0.0)).alias("psi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (cont.): classic closed-form inference — one-way ANOVA, IV/Wald
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anova_oneway",
+    """
+    WITH v AS (
+        SELECT o_orderpriority AS g, FLOOR(o_totalprice + 0.5)::BIGINT AS v
+        FROM orders
+    ),
+    grp AS (
+        SELECT g, COUNT(*)::BIGINT AS ng, SUM(v)::BIGINT AS sg,
+               SUM(v * v)::BIGINT AS ssg
+        FROM v GROUP BY g
+    ),
+    tot AS (
+        SELECT COUNT(*)::BIGINT AS k, SUM(ng)::BIGINT AS n,
+               SUM(sg)::BIGINT AS s, SUM(ssg)::BIGINT AS ss
+        FROM grp
+    ),
+    terms AS (
+        SELECT g, sg::DOUBLE * sg::DOUBLE / ng AS t,
+               ssg::DOUBLE - sg::DOUBLE * sg::DOUBLE / ng AS w
+        FROM grp
+    ),
+    folded AS (
+        SELECT list_reduce(list_prepend(0.0, list(t ORDER BY g)),
+                           (a, x) -> a + x) AS st,
+               list_reduce(list_prepend(0.0, list(w ORDER BY g)),
+                           (a, x) -> a + x) AS ssw
+        FROM terms
+    )
+    SELECT tot.k AS k, tot.n AS n,
+           (tot.k - 1)::BIGINT AS dof1, (tot.n - tot.k)::BIGINT AS dof2,
+           ROUND(folded.st - tot.s::DOUBLE * tot.s::DOUBLE / tot.n, 6) + 0.0
+               AS ss_between,
+           ROUND(folded.ssw, 6) + 0.0 AS ss_within,
+           ROUND(((folded.st - tot.s::DOUBLE * tot.s::DOUBLE / tot.n)
+                  / (tot.k - 1)) / (folded.ssw / (tot.n - tot.k)), 6) + 0.0
+               AS f_stat,
+           ROUND((folded.st - tot.s::DOUBLE * tot.s::DOUBLE / tot.n)
+                 / ((folded.st - tot.s::DOUBLE * tot.s::DOUBLE / tot.n)
+                    + folded.ssw), 6) + 0.0 AS eta_sq
+    FROM folded, tot
+    """,
+)
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the 5 order priorities — the
+    k-group generalization of welch_bh's two-sample t (F(k−1, n−k) =
+    MSB/MSW), the first screen any "does this categorical segment matter"
+    question gets before pairwise drilldowns.  Also emits eta² =
+    SSB/SST, the variance-explained effect size the F alone hides.
+
+    Parity: values are whole dollars (FLOOR(price + 0.5), exact BIGINT);
+    per-group n/s/ss are exact BIGINT sums; every per-group term is
+    s::DOUBLE · s::DOUBLE / n where s < 2^53 (the int64→double
+    conversions are correctly rounded single instructions in both
+    engines); the k-term SSB/SSW sums are g-ordered IEEE folds (the
+    chi2_independence discipline).  ROUNDed outputs carry `+ 0.0`.
+    Scale: one groupBy(priority) with map-side combine; folds run on the
+    k-row group frame — the corpus is scanned once."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") + 0.5).cast("long").alias("v"),
+    )
+    grp = o.groupBy("g").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("v").cast("long").alias("sg"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ssg"),
+    )
+    tot = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("ssg").cast("long").alias("ss"),
+    )
+    sgd = F.col("sg").cast("double")
+    terms = grp.select(
+        "g",
+        (sgd * sgd / F.col("ng")).alias("t"),
+        (F.col("ssg").cast("double") - sgd * sgd / F.col("ng")).alias("w"),
+    )
+    folded = terms.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("g", "t"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("st"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("g", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("ssw"),
+    )
+    j = folded.crossJoin(F.broadcast(tot))
+    sd = F.col("s").cast("double")
+    ssb = F.col("st") - sd * sd / F.col("n")
+    return j.select(
+        "k",
+        "n",
+        (F.col("k") - 1).cast("long").alias("dof1"),
+        (F.col("n") - F.col("k")).cast("long").alias("dof2"),
+        (F.round(ssb, 6) + F.lit(0.0)).alias("ss_between"),
+        (F.round(F.col("ssw"), 6) + F.lit(0.0)).alias("ss_within"),
+        (
+            F.round(
+                (ssb / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k"))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("f_stat"),
+        (F.round(ssb / (ssb + F.col("ssw")), 6) + F.lit(0.0)).alias("eta_sq"),
+    )
+
+
+@query(
+    "iv_wald",
+    """
+    WITH d AS (
+        SELECT FLOOR(o_totalprice * 100.0 + 0.5)::BIGINT AS cents,
+               ('0x' || substr(md5('ivz:' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+                   % 2 AS z,
+               ('0x' || substr(md5('ivx:' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+                   % 100 AS h2
+        FROM orders
+    ),
+    t AS (
+        SELECT cents, z,
+               CASE WHEN cents >= 25000000 THEN 1 ELSE 0 END AS e,
+               CASE WHEN h2 < 10 + 60 * z
+                         + 30 * (CASE WHEN cents >= 25000000 THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS x
+        FROM d
+    ),
+    y AS (SELECT z, x, cents % 10000 + 5000 * e + 1000 * x AS y FROM t),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(z)::BIGINT AS n1, SUM(1 - z)::BIGINT AS n0,
+               SUM(z * x)::BIGINT AS sx1, SUM((1 - z) * x)::BIGINT AS sx0,
+               SUM(z * y)::BIGINT AS sy1, SUM((1 - z) * y)::BIGINT AS sy0,
+               SUM(x)::BIGINT AS m1, SUM(1 - x)::BIGINT AS m0,
+               SUM(x * y)::BIGINT AS t1, SUM((1 - x) * y)::BIGINT AS t0
+        FROM y
+    )
+    SELECT n, n1, n0, 1000::BIGINT AS planted_tau_cents,
+           ROUND((sx1 * n0 - sx0 * n1)::DOUBLE / (n1 * n0), 6) AS first_stage,
+           ROUND((sy1 * n0 - sy0 * n1)::DOUBLE / (n1 * n0), 6) AS itt_cents,
+           ROUND((sy1 * n0 - sy0 * n1)::DOUBLE / (sx1 * n0 - sx0 * n1), 6)
+               AS beta_iv_cents,
+           ROUND((t1 * m0 - t0 * m1)::DOUBLE / (m1 * m0), 6) AS beta_naive_cents
+    FROM s
+    """,
+)
+def iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variables Wald estimator on a derived encouragement
+    design — the causal tool for when treatment is self-selected but an
+    exogenous nudge exists (the classic draft-lottery / encouragement-
+    email setting).  Derivation: instrument z = md5 coin (exogenous by
+    construction); confounder e = high-value order (cents ≥ 250k, the
+    median cut — carved from the HIGH bits of the price); outcome
+    baseline = cents mod 10000 (the LOW bits — independent of e by
+    construction, so σ_y stays small enough that the planted effect is
+    measurable); treatment uptake P(x=1) = (10 + 60z + 30e)/100 (md5
+    inverse-CDF draw: monotone in z, confounded by e); outcome y =
+    baseline + 5000·e + 1000·x (planted τ = $10).  β_IV = Δy/Δx across
+    instrument arms recovers τ; the naive treated-vs-untreated diff
+    picks up the 5000·e confound through P(e|x=1) > P(e|x=0) — the gate
+    re-proves the bias story every run (first_stage ≈ 0.6, beta_iv ≈
+    1000, beta_naive ≈ 2500).
+
+    Parity: ONE aggregate of conditional exact-BIGINT sums; each output
+    is a single division of exact integers (Wald ratio cross-multiplied:
+    (sy1·n0 − sy0·n1)/(sx1·n0 − sx0·n1) — products ≤ ~1e17 stay in
+    BIGINT; int64→double casts are correctly rounded in both engines).
+    Scale: map-side-combined scalar aggregate, one corpus scan, no
+    shuffle wider than the 11-field sum vector."""
+    from fusionspark.operators.dedup import md5_hash32
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    z = md5_hash32(F.concat(F.lit("ivz:"), F.col("o_orderkey").cast("string"))) % 2
+    h2 = md5_hash32(F.concat(F.lit("ivx:"), F.col("o_orderkey").cast("string"))) % 100
+    e = F.when(cents >= 25000000, 1).otherwise(0)
+    d = o.select(cents.alias("cents"), z.alias("z"), h2.alias("h2"), e.alias("e"))
+    x = F.when(F.col("h2") < 10 + 60 * F.col("z") + 30 * F.col("e"), 1).otherwise(0)
+    yv = d.select(
+        "z",
+        x.alias("x"),
+        (F.col("cents") % 10000 + 5000 * F.col("e") + 1000 * x).alias("y"),
+    )
+    s = yv.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").cast("long").alias("n1"),
+        F.sum(1 - F.col("z")).cast("long").alias("n0"),
+        F.sum(F.col("z") * F.col("x")).cast("long").alias("sx1"),
+        F.sum((1 - F.col("z")) * F.col("x")).cast("long").alias("sx0"),
+        F.sum(F.col("z") * F.col("y")).cast("long").alias("sy1"),
+        F.sum((1 - F.col("z")) * F.col("y")).cast("long").alias("sy0"),
+        F.sum("x").cast("long").alias("m1"),
+        F.sum(1 - F.col("x")).cast("long").alias("m0"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("t1"),
+        F.sum((1 - F.col("x")) * F.col("y")).cast("long").alias("t0"),
+    )
+    return s.select(
+        "n",
+        "n1",
+        "n0",
+        F.lit(1000).cast("long").alias("planted_tau_cents"),
+        F.round(
+            (F.col("sx1") * F.col("n0") - F.col("sx0") * F.col("n1")).cast("double")
+            / (F.col("n1") * F.col("n0")),
+            6,
+        ).alias("first_stage"),
+        F.round(
+            (F.col("sy1") * F.col("n0") - F.col("sy0") * F.col("n1")).cast("double")
+            / (F.col("n1") * F.col("n0")),
+            6,
+        ).alias("itt_cents"),
+        F.round(
+            (F.col("sy1") * F.col("n0") - F.col("sy0") * F.col("n1")).cast("double")
+            / (F.col("sx1") * F.col("n0") - F.col("sx0") * F.col("n1")),
+            6,
+        ).alias("beta_iv_cents"),
+        F.round(
+            (F.col("t1") * F.col("m0") - F.col("t0") * F.col("m1")).cast("double")
+            / (F.col("m1") * F.col("m0")),
+            6,
+        ).alias("beta_naive_cents"),
+    )

@@ -759,3 +759,114 @@ def test_psi_detects_planted_drift(spark):
         for i in range(10)
     )
     assert drifted.psi == round(psi, 6) + 0.0
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA
+# ---------------------------------------------------------------------------
+
+
+def test_anova_textbook_replay(spark, sf_dir):
+    """Pure-Python one-way ANOVA over the same whole-dollar values must
+    reproduce SSB/SSW/F/eta² to float tolerance."""
+    from fusionspark.io import load_table
+    from fusionspark.queries.analytics_queries import anova_oneway
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", F.floor(F.col("o_totalprice") + 0.5).alias("v"))
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in rows:
+        groups.setdefault(r.o_orderpriority, []).append(int(r.v))
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    s = sum(sum(v) for v in groups.values())
+    grand = s / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = anova_oneway(spark, sf_dir).collect()[0]
+    assert got.k == k and got.n == n
+    assert got.dof1 == k - 1 and got.dof2 == n - k
+    assert got.ss_between == pytest.approx(ssb, rel=1e-9)
+    assert got.ss_within == pytest.approx(ssw, rel=1e-9)
+    # f_stat / eta_sq are emitted ROUND(·, 6)
+    assert got.f_stat == pytest.approx(f, abs=5.1e-7)
+    assert got.eta_sq == pytest.approx(ssb / (ssb + ssw), abs=5.1e-7)
+
+
+def test_anova_planted_separation(spark):
+    """Three planted groups with means 100/100/200 → F must dwarf the
+    equal-means configuration run on the same values."""
+    import tempfile
+
+    from fusionspark.queries.analytics_queries import anova_oneway
+
+    def run(mk):
+        rows = []
+        for i in range(300):
+            g, v = mk(i)
+            rows.append((i, 7, "O", float(v), None, g))
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string,"
+                " o_totalprice double, o_orderdate timestamp,"
+                " o_orderpriority string",
+            ).select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", F.col("o_orderpriority"),
+            ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+            return anova_oneway(spark, d).collect()[0]
+
+    sep = run(lambda i: (f"g{i % 3}", 200 if i % 3 == 2 else 100 + (i % 7)))
+    flat = run(lambda i: (f"g{i % 3}", 100 + (i % 7)))
+    assert sep.f_stat > 100 * max(flat.f_stat, 1e-9)
+    assert 0.0 <= sep.eta_sq <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# IV / Wald
+# ---------------------------------------------------------------------------
+
+
+def test_iv_wald_recovers_planted_tau_and_naive_is_biased(spark, sf_dir):
+    """β_IV must sit within 30% of the planted τ = 1000 while the naive
+    treated-vs-untreated diff is biased above it by the 5000·e confound."""
+    from fusionspark.queries.analytics_queries import iv_wald
+
+    got = iv_wald(spark, sf_dir).collect()[0]
+    assert got.planted_tau_cents == 1000
+    assert 0.4 < got.first_stage < 0.8
+    assert abs(got.beta_iv_cents - 1000) < 300
+    assert got.beta_naive_cents > got.beta_iv_cents + 500
+
+
+def test_iv_wald_pure_python_replay(spark, sf_dir):
+    """Wald ratio recomputed in pure Python from the same md5 draws."""
+    from fusionspark.io import load_table
+    from fusionspark.queries.analytics_queries import iv_wald
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    n1 = n0 = sx1 = sx0 = sy1 = sy0 = 0
+    for r in rows:
+        cents = math.floor(r.o_totalprice * 100.0 + 0.5)
+        z = _coin("ivz:", r.o_orderkey) % 2
+        h2 = _coin("ivx:", r.o_orderkey) % 100
+        e = 1 if cents >= 25000000 else 0
+        x = 1 if h2 < 10 + 60 * z + 30 * e else 0
+        y = cents % 10000 + 5000 * e + 1000 * x
+        if z:
+            n1, sx1, sy1 = n1 + 1, sx1 + x, sy1 + y
+        else:
+            n0, sx0, sy0 = n0 + 1, sx0 + x, sy0 + y
+    beta = (sy1 * n0 - sy0 * n1) / (sx1 * n0 - sx0 * n1)
+    got = iv_wald(spark, sf_dir).collect()[0]
+    assert got.n1 == n1 and got.n0 == n0
+    assert got.beta_iv_cents == pytest.approx(beta, abs=1e-6)
