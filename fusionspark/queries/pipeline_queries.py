@@ -5572,3 +5572,263 @@ def vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chao1"),
         F.round(F.col("f1").cast("double") / F.col("n"), 6).alias("p_unseen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (cont.): supervised feature screening + classifier evaluation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "woe_iv",
+    """
+    WITH lab AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               FLOOR(l_discount * 100.0 + 0.5)::BIGINT AS disc_bin,
+               FLOOR((l_quantity - 1.0) / 10.0)::BIGINT AS qty_bin
+        FROM lineitem
+    ),
+    feat AS (
+        SELECT 'discount' AS feature, disc_bin AS bin, y FROM lab
+        UNION ALL
+        SELECT 'quantity' AS feature, qty_bin AS bin, y FROM lab
+    ),
+    cnt AS (
+        SELECT feature, bin, SUM(y)::BIGINT AS pos_b,
+               (COUNT(*) - SUM(y))::BIGINT AS neg_b
+        FROM feat GROUP BY feature, bin
+    ),
+    tot AS (
+        SELECT feature, SUM(pos_b)::BIGINT AS pos_t, SUM(neg_b)::BIGINT AS neg_t,
+               COUNT(*)::BIGINT AS b
+        FROM cnt GROUP BY feature
+    ),
+    terms AS (
+        SELECT c.feature, c.bin, c.pos_b, c.neg_b,
+               ln(((c.pos_b + 1) * (t.neg_t + t.b))::DOUBLE
+                  / ((c.neg_b + 1) * (t.pos_t + t.b))::DOUBLE) AS woe,
+               ((c.pos_b + 1) * (t.neg_t + t.b)
+                - (c.neg_b + 1) * (t.pos_t + t.b))::DOUBLE
+               / ((t.pos_t + t.b) * (t.neg_t + t.b))::DOUBLE AS dp
+        FROM cnt c JOIN tot t USING (feature)
+    ),
+    iv AS (
+        SELECT feature,
+               list_reduce(list_prepend(0.0, list(dp * woe ORDER BY bin)),
+                           (a, x) -> a + x) AS iv
+        FROM terms GROUP BY feature
+    )
+    SELECT t.feature, t.bin, t.pos_b, t.neg_b,
+           ROUND(t.woe, 6) + 0.0 AS woe,
+           ROUND(iv.iv, 6) + 0.0 AS iv
+    FROM terms t JOIN iv USING (feature)
+    """,
+)
+def woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature screen — the credit-
+    scoring standard (and a sharper cousin of feature_mi) for "which
+    binned feature separates the binary target": per bin WOE = ln(p/q)
+    of the Laplace-smoothed class-conditional shares, per feature IV =
+    Σ(p−q)·WOE.  Rule of thumb: IV < 0.02 useless, 0.1-0.3 medium,
+    > 0.5 suspicious.  Screens discount deciles and quantity buckets
+    against returned lineitems (l_returnflag = 'R').
+
+    Parity: all counts exact BIGINT; WOE is ONE ln of a ratio of exact
+    integer products (≤ ~1e11, exactly representable); (p−q) is rewritten
+    over the common denominator so its numerator is an exact integer;
+    the per-feature IV is a bin-ordered IEEE fold (chi2 discipline);
+    WOE/IV carry `+ 0.0` (both can round to a signed zero).  Scale: one
+    corpus scan → groupBy(feature, bin) with map-side combine; all float
+    math on the |bins| frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("disc_bin"),
+        F.floor((F.col("l_quantity") - 1.0) / 10.0).cast("long").alias("qty_bin"),
+    )
+    feat = li.select(
+        F.lit("discount").alias("feature"), F.col("disc_bin").alias("bin"), "y"
+    ).unionByName(
+        li.select(
+            F.lit("quantity").alias("feature"), F.col("qty_bin").alias("bin"), "y"
+        )
+    )
+    cnt = feat.groupBy("feature", "bin").agg(
+        F.sum("y").cast("long").alias("pos_b"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg_b"),
+    )
+    tot = cnt.groupBy("feature").agg(
+        F.sum("pos_b").cast("long").alias("pos_t"),
+        F.sum("neg_b").cast("long").alias("neg_t"),
+        F.count("*").cast("long").alias("b"),
+    )
+    j = cnt.join(F.broadcast(tot), "feature")
+    pnum = (F.col("pos_b") + 1) * (F.col("neg_t") + F.col("b"))
+    qnum = (F.col("neg_b") + 1) * (F.col("pos_t") + F.col("b"))
+    terms = j.select(
+        "feature",
+        "bin",
+        "pos_b",
+        "neg_b",
+        F.log(pnum.cast("double") / qnum.cast("double")).alias("woe"),
+        (
+            (pnum - qnum).cast("double")
+            / ((F.col("pos_t") + F.col("b")) * (F.col("neg_t") + F.col("b"))).cast(
+                "double"
+            )
+        ).alias("dp"),
+    )
+    iv = terms.groupBy("feature").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("bin", F.col("dp") * F.col("woe")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["col2"],
+        ).alias("iv")
+    )
+    return terms.join(F.broadcast(iv), "feature").select(
+        "feature",
+        "bin",
+        "pos_b",
+        "neg_b",
+        (F.round("woe", 6) + F.lit(0.0)).alias("woe"),
+        (F.round("iv", 6) + F.lit(0.0)).alias("iv"),
+    )
+
+
+@query(
+    "classifier_eval",
+    f"""
+    WITH nbq AS ({NB_QUALITY_ORACLE}),
+    lab AS (
+        SELECT n.doc_id, n.nb_score AS s, n.quality_pred AS pred,
+               CASE WHEN d.source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+                    THEN 1 ELSE 0 END AS y
+        FROM nbq n JOIN documents d USING (doc_id)
+    ),
+    p AS (
+        SELECT doc_id, s, pred, y,
+               FLOOR(1000000.0 / (1.0 + exp(-s)) + 0.5)::BIGINT AS pu
+        FROM lab
+    ),
+    g AS (SELECT s, COUNT(*)::BIGINT AS c, SUM(y)::BIGINT AS cp FROM p GROUP BY s),
+    w AS (
+        SELECT s, c, cp,
+               COALESCE(SUM(c) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS cb
+        FROM g
+    ),
+    agg AS (SELECT SUM(cp * (2 * cb + c + 1))::BIGINT AS r2 FROM w),
+    base AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS np,
+               SUM(CASE WHEN pred = y THEN 1 ELSE 0 END)::BIGINT AS ncorr,
+               SUM((pu - 1000000 * y) * (pu - 1000000 * y))::BIGINT AS bnum
+        FROM p
+    ),
+    bins AS (
+        SELECT LEAST(pu // 100000, 9) AS bin,
+               ABS(SUM(pu) - 1000000 * SUM(y))::BIGINT AS dev
+        FROM p GROUP BY 1
+    ),
+    ec AS (SELECT SUM(dev)::BIGINT AS tdev FROM bins)
+    SELECT base.n AS n, base.np AS n_pos,
+           ROUND((agg.r2 - base.np * (base.np + 1))::DOUBLE
+                 / (2 * base.np * (base.n - base.np)), 6) AS auc,
+           ROUND(base.bnum::DOUBLE / (base.n * 1000000000000), 6) AS brier,
+           ROUND(ec.tdev::DOUBLE / (base.n * 1000000), 6) AS ece,
+           ROUND(base.ncorr::DOUBLE / base.n, 6) AS accuracy
+    FROM base, agg, ec
+    """,
+)
+def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation suite for the NB quality score —
+    the metrics every model-driven filtering gate reports before its
+    threshold goes into a pipeline: tie-corrected ROC AUC (rank form:
+    AUC = (Σ 2·rank_pos − npos(npos+1)) / (2·npos·nneg) on DOUBLED
+    average ranks, the mann_whitney integer discipline), Brier score and
+    10-bin expected calibration error on logistic-squashed probabilities,
+    and sign-cut accuracy.  Labels = the curated sources (src0-4), i.e.
+    the classifier's own training positives — a train-set eval, which is
+    exactly what the production "did the filter learn the strata"
+    smoke-check is.
+
+    Parity: probabilities are integer micro-units pu = ⌊1e6·σ(s)+0.5⌋
+    of the ROUNDED (attested engine-stable) nb_score, so Brier/ECE
+    numerators are exact BIGINT sums and AUC is exact integer rank
+    algebra — each metric is ONE division of exact integers.  Scale:
+    the rank pass runs on the distinct-score frame (grouped first);
+    above ~1e9 distinct scores swap the global window for the
+    isotonic_calibration broadcast-grid rank pass; Brier/ECE are
+    map-side-combined integer aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    neg = F.col("source").isin("src15", "src16", "src17", "src18", "src19")
+    nb = textstats.nb_quality_scores(d, pos, neg)
+    lab = nb.select(
+        "doc_id", F.col("nb_score").alias("s"), F.col("quality_pred").alias("pred")
+    ).join(d.select("doc_id", pos.cast("int").alias("y")), "doc_id")
+    p = lab.select(
+        "doc_id",
+        "s",
+        "pred",
+        "y",
+        F.floor(1000000.0 / (1.0 + F.exp(-F.col("s"))) + 0.5)
+        .cast("long")
+        .alias("pu"),
+    )
+    from pyspark.sql import Window as W
+
+    g = p.groupBy("s").agg(
+        F.count("*").cast("long").alias("c"), F.sum("y").cast("long").alias("cp")
+    )
+    w = g.withColumn(
+        "cb",
+        F.coalesce(
+            F.sum("c").over(W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    agg = w.agg(
+        F.sum(F.col("cp") * (2 * F.col("cb") + F.col("c") + 1))
+        .cast("long")
+        .alias("r2")
+    )
+    base = p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("np"),
+        F.sum(F.when(F.col("pred") == F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("ncorr"),
+        F.sum(
+            (F.col("pu") - 1000000 * F.col("y"))
+            * (F.col("pu") - 1000000 * F.col("y"))
+        )
+        .cast("long")
+        .alias("bnum"),
+    )
+    bins = p.groupBy(
+        F.least(F.floor(F.col("pu") / 100000), F.lit(9)).alias("bin")
+    ).agg(
+        F.abs(F.sum("pu") - 1000000 * F.sum("y")).cast("long").alias("dev")
+    )
+    ec = bins.agg(F.sum("dev").cast("long").alias("tdev"))
+    return (
+        base.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(ec))
+        .select(
+            "n",
+            F.col("np").alias("n_pos"),
+            F.round(
+                (F.col("r2") - F.col("np") * (F.col("np") + 1)).cast("double")
+                / (2 * F.col("np") * (F.col("n") - F.col("np"))),
+                6,
+            ).alias("auc"),
+            F.round(
+                F.col("bnum").cast("double") / (F.col("n") * F.lit(1000000000000)),
+                6,
+            ).alias("brier"),
+            F.round(
+                F.col("tdev").cast("double") / (F.col("n") * 1000000), 6
+            ).alias("ece"),
+            F.round(F.col("ncorr").cast("double") / F.col("n"), 6).alias("accuracy"),
+        )
+    )

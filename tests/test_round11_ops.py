@@ -870,3 +870,132 @@ def test_iv_wald_pure_python_replay(spark, sf_dir):
     got = iv_wald(spark, sf_dir).collect()[0]
     assert got.n1 == n1 and got.n0 == n0
     assert got.beta_iv_cents == pytest.approx(beta, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# WOE / IV
+# ---------------------------------------------------------------------------
+
+
+def test_woe_iv_pure_python_replay(spark, sf_dir):
+    """WOE and IV recomputed in pure Python from the same binned counts."""
+    from fusionspark.io import load_table
+    from fusionspark.queries.pipeline_queries import woe_iv
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_discount", "l_quantity"
+    ).collect()
+    feats: dict[str, dict[int, list[int]]] = {"discount": {}, "quantity": {}}
+    for r in rows:
+        y = 1 if r.l_returnflag == "R" else 0
+        db = math.floor(r.l_discount * 100.0 + 0.5)
+        qb = math.floor((r.l_quantity - 1.0) / 10.0)
+        for f, b in (("discount", db), ("quantity", qb)):
+            pn = feats[f].setdefault(b, [0, 0])
+            pn[y] += 1
+    got = {(r.feature, r.bin): r for r in woe_iv(spark, sf_dir).collect()}
+    for f, bins in feats.items():
+        pos_t = sum(p for _, p in bins.values())
+        neg_t = sum(n for n, _ in bins.values())
+        b = len(bins)
+        iv = 0.0
+        for bn in sorted(bins):
+            neg_b, pos_b = bins[bn]
+            woe = math.log(
+                ((pos_b + 1) * (neg_t + b)) / ((neg_b + 1) * (pos_t + b))
+            )
+            dp = ((pos_b + 1) * (neg_t + b) - (neg_b + 1) * (pos_t + b)) / (
+                (pos_t + b) * (neg_t + b)
+            )
+            iv += dp * woe
+            r = got[(f, bn)]
+            assert (r.pos_b, r.neg_b) == (pos_b, neg_b)
+            assert r.woe == pytest.approx(woe, abs=5.1e-7)
+        for bn in sorted(bins):
+            assert got[(f, bn)].iv == pytest.approx(iv, abs=5.1e-7)
+
+
+def test_woe_planted_separation(spark):
+    """A feature bin holding ALL positives must get a large positive WOE
+    and the feature a large IV; an uninformative feature IV ≈ 0."""
+    import tempfile
+
+    from fusionspark.queries.pipeline_queries import woe_iv
+
+    rows = []
+    for i in range(400):
+        y = 1 if i % 4 == 0 else 0
+        # discount bin 9 ⟺ positive (perfectly separating);
+        # quantity cycles independently of y (uninformative)
+        disc = 0.09 if y else 0.01
+        qty = float(1 + (i % 50))
+        rows.append((i, 1, 1, 1, qty, 100.0, disc, 0.0, "R" if y else "N",
+                     "O", None))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        out = woe_iv(spark, d).collect()
+    disc_ivs = {r.iv for r in out if r.feature == "discount"}
+    qty_ivs = {r.iv for r in out if r.feature == "quantity"}
+    assert min(disc_ivs) > 1.0           # perfect separation → huge IV
+    assert max(qty_ivs) < 0.1            # independent feature → tiny IV
+    woe9 = [r.woe for r in out if r.feature == "discount" and r.bin == 9][0]
+    assert woe9 > 3.0
+
+
+# ---------------------------------------------------------------------------
+# classifier_eval
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_eval_sklearn_style_replay(spark, sf_dir):
+    """AUC (trapezoid over tie-grouped ROC == rank form), Brier and ECE
+    recomputed in pure Python from the engine's own (score, label) pairs."""
+    from fusionspark.io import load_table
+    from fusionspark.operators import textstats
+    from fusionspark.queries.pipeline_queries import classifier_eval
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    neg = F.col("source").isin("src15", "src16", "src17", "src18", "src19")
+    nb = textstats.nb_quality_scores(d, pos, neg)
+    lab = nb.join(d.select("doc_id", pos.cast("int").alias("y")), "doc_id")
+    pairs = [(r.nb_score, r.y, r.quality_pred) for r in lab.collect()]
+
+    # rank-form AUC with average ranks over ties
+    srt = sorted(pairs, key=lambda t: t[0])
+    n = len(srt)
+    npos = sum(y for _, y, _ in srt)
+    i, rsum = 0, 0.0
+    while i < n:
+        j = i
+        while j < n and srt[j][0] == srt[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # ranks i+1..j
+        rsum += avg * sum(y for _, y, _ in srt[i:j])
+        i = j
+    auc = (rsum - npos * (npos + 1) / 2.0) / (npos * (n - npos))
+
+    pu = [math.floor(1e6 / (1.0 + math.exp(-s)) + 0.5) for s, _, _ in srt]
+    brier = sum((u - 1e6 * y) ** 2 for u, (_, y, _) in zip(pu, srt)) / (n * 1e12)
+    bins: dict[int, list[int]] = {}
+    for u, (_, y, _) in zip(pu, srt):
+        b = min(u // 100000, 9)
+        t = bins.setdefault(b, [0, 0])
+        t[0] += u
+        t[1] += y
+    ece = sum(abs(su - 1000000 * sy) for su, sy in bins.values()) / (n * 1e6)
+    acc = sum(1 for _, y, p in srt if p == y) / n
+
+    got = classifier_eval(spark, sf_dir).collect()[0]
+    assert got.n == n and got.n_pos == npos
+    assert got.auc == pytest.approx(auc, abs=5.1e-7)
+    assert got.brier == pytest.approx(brier, abs=5.1e-7)
+    assert got.ece == pytest.approx(ece, abs=5.1e-7)
+    assert got.accuracy == pytest.approx(acc, abs=5.1e-7)
+    assert 0.5 < got.auc < 1.0  # the classifier must beat chance on its own strata
