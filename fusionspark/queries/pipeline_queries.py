@@ -5832,3 +5832,188 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ncorr").cast("double") / F.col("n"), 6).alias("accuracy"),
         )
     )
+
+
+@query(
+    "bleu_eval",
+    f"""
+    WITH w AS (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+    p AS (
+        SELECT doc_id, ws AS cand,
+               LEAD(ws) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+        FROM w
+    ),
+    pp AS (SELECT doc_id, cand, ref FROM p WHERE ref IS NOT NULL),
+    ns AS (SELECT unnest(generate_series(1, 4)) AS n),
+    cg AS (
+        SELECT pp.doc_id, ns.n, g AS gram, COUNT(*)::BIGINT AS c
+        FROM pp, ns,
+             unnest([md5(array_to_string(cand[i:i + ns.n - 1], ' '))
+                     FOR i IN generate_series(
+                         1, GREATEST(len(cand) - ns.n + 1, 0))]) AS t(g)
+        GROUP BY 1, 2, 3
+    ),
+    rg AS (
+        SELECT pp.doc_id, ns.n, g AS gram, COUNT(*)::BIGINT AS c
+        FROM pp, ns,
+             unnest([md5(array_to_string(ref[i:i + ns.n - 1], ' '))
+                     FOR i IN generate_series(
+                         1, GREATEST(len(ref) - ns.n + 1, 0))]) AS t(g)
+        GROUP BY 1, 2, 3
+    ),
+    m AS (
+        SELECT cg.n, SUM(LEAST(cg.c, rg.c))::BIGINT AS m
+        FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n
+                       AND cg.gram = rg.gram
+        GROUP BY cg.n
+    ),
+    t AS (
+        SELECT ns.n, SUM(GREATEST(len(cand) - ns.n + 1, 0))::BIGINT AS t
+        FROM pp, ns GROUP BY ns.n
+    ),
+    lens AS (
+        SELECT COUNT(*)::BIGINT AS n_pairs, SUM(len(cand))::BIGINT AS c,
+               SUM(len(ref))::BIGINT AS r
+        FROM pp
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN t.n = 1 THEN COALESCE(m.m, 0) END)::BIGINT AS m1,
+               MAX(CASE WHEN t.n = 1 THEN t.t END)::BIGINT AS t1,
+               MAX(CASE WHEN t.n = 2 THEN COALESCE(m.m, 0) END)::BIGINT AS m2,
+               MAX(CASE WHEN t.n = 2 THEN t.t END)::BIGINT AS t2,
+               MAX(CASE WHEN t.n = 3 THEN COALESCE(m.m, 0) END)::BIGINT AS m3,
+               MAX(CASE WHEN t.n = 3 THEN t.t END)::BIGINT AS t3,
+               MAX(CASE WHEN t.n = 4 THEN COALESCE(m.m, 0) END)::BIGINT AS m4,
+               MAX(CASE WHEN t.n = 4 THEN t.t END)::BIGINT AS t4
+        FROM t LEFT JOIN m ON m.n = t.n
+    )
+    SELECT lens.n_pairs, lens.c AS cand_tokens, lens.r AS ref_tokens,
+           m1, t1, m2, t2, m3, t3, m4, t4,
+           ROUND(m1::DOUBLE / t1, 6) AS p1,
+           ROUND((m2 + 1)::DOUBLE / (t2 + 1), 6) AS p2,
+           ROUND((m3 + 1)::DOUBLE / (t3 + 1), 6) AS p3,
+           ROUND((m4 + 1)::DOUBLE / (t4 + 1), 6) AS p4,
+           ROUND(CASE WHEN lens.c >= lens.r THEN 1.0
+                      ELSE exp(1.0 - lens.r::DOUBLE / lens.c) END, 6) AS bp,
+           ROUND(CASE WHEN m1 = 0 THEN 0.0 ELSE
+               (CASE WHEN lens.c >= lens.r THEN 1.0
+                     ELSE exp(1.0 - lens.r::DOUBLE / lens.c) END)
+               * exp(0.25 * ln(m1::DOUBLE / t1)
+                     + 0.25 * ln((m2 + 1)::DOUBLE / (t2 + 1))
+                     + 0.25 * ln((m3 + 1)::DOUBLE / (t3 + 1))
+                     + 0.25 * ln((m4 + 1)::DOUBLE / (t4 + 1))) END, 6) AS bleu
+    FROM wide, lens
+    """,
+)
+def bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-4 (Papineni et al. 2002) with BLEU+1 smoothing (Lin &
+    Och 2004: add-one on the n ≥ 2 precisions) — the MT/generation eval
+    ROUGE's recall-orientation doesn't give: clipped n-gram PRECISION
+    stacked over n = 1..4 with a brevity penalty.  Run as an eval
+    pipeline runs it over a results table: candidate = each document,
+    reference = the NEXT document of the same source (same-template
+    pairs share phrasing, so the metric has signal; rouge_eval's
+    lead-vs-body split is the within-doc complement).
+
+    Parity: clipped matches Σ min(c_g, r_g) and totals are exact BIGINT;
+    the four precisions are single divisions of exact ints; BLEU is one
+    fixed left-associated expression of ln/exp on those doubles —
+    identical tree both engines; a corpus-wide m1 = 0 short-circuits to
+    BLEU = 0 before any ln(0).  Scale: grams shuffle as md5 DIGESTS
+    keyed by (pair, n, gram-hash) — text is never an exchange key; the
+    clip join is an equi-join with map-side partial sums; everything
+    after runs on an 8-row frame."""
+    from pyspark.sql import Window as W
+
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "").alias(
+                "ws"
+            ),
+        )
+    )
+    p = w.select(
+        "doc_id",
+        F.col("ws").alias("cand"),
+        F.lead("ws").over(W.partitionBy("source").orderBy("doc_id")).alias("ref"),
+    ).filter(F.col("ref").isNotNull())
+    ns = spark.range(1, 5).select(F.col("id").cast("int").alias("n"))
+    pn = p.crossJoin(F.broadcast(ns))
+
+    def grams(side: str):
+        return (
+            pn.select(
+                "doc_id",
+                "n",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size({side}) - n + 1, 0)),"
+                        f" i -> md5(concat_ws(' ', slice({side}, i, n))))"
+                    )
+                ).alias("gram"),
+            )
+            .groupBy("doc_id", "n", "gram")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    cg, rg = grams("cand"), grams("ref")
+    m = (
+        cg.withColumnRenamed("c", "cc")
+        .join(rg.withColumnRenamed("c", "rc"), ["doc_id", "n", "gram"])
+        .groupBy("n")
+        .agg(F.sum(F.least("cc", "rc")).cast("long").alias("m"))
+    )
+    t = pn.groupBy("n").agg(
+        F.sum(F.greatest(F.size("cand") - F.col("n") + 1, F.lit(0)))
+        .cast("long")
+        .alias("t")
+    )
+    lens = p.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.size("cand")).cast("long").alias("c"),
+        F.sum(F.size("ref")).cast("long").alias("r"),
+    )
+    mt = t.join(m, "n", "left")
+    wide = mt.agg(
+        *[
+            F.max(
+                F.when(F.col("n") == i, F.coalesce(F.col("m"), F.lit(0)))
+            )
+            .cast("long")
+            .alias(f"m{i}")
+            for i in (1, 2, 3, 4)
+        ],
+        *[
+            F.max(F.when(F.col("n") == i, F.col("t"))).cast("long").alias(f"t{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    j = wide.crossJoin(F.broadcast(lens))
+    bp = F.when(F.col("c") >= F.col("r"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("r").cast("double") / F.col("c"))
+    )
+    p1 = F.col("m1").cast("double") / F.col("t1")
+    p2 = (F.col("m2") + 1).cast("double") / (F.col("t2") + 1)
+    p3 = (F.col("m3") + 1).cast("double") / (F.col("t3") + 1)
+    p4 = (F.col("m4") + 1).cast("double") / (F.col("t4") + 1)
+    bleu = F.when(F.col("m1") == 0, F.lit(0.0)).otherwise(
+        bp
+        * F.exp(
+            0.25 * F.log(p1) + 0.25 * F.log(p2) + 0.25 * F.log(p3) + 0.25 * F.log(p4)
+        )
+    )
+    return j.select(
+        "n_pairs",
+        F.col("c").alias("cand_tokens"),
+        F.col("r").alias("ref_tokens"),
+        "m1", "t1", "m2", "t2", "m3", "t3", "m4", "t4",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(p3, 6).alias("p3"),
+        F.round(p4, 6).alias("p4"),
+        F.round(bp, 6).alias("bp"),
+        F.round(bleu, 6).alias("bleu"),
+    )

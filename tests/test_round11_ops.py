@@ -999,3 +999,83 @@ def test_classifier_eval_sklearn_style_replay(spark, sf_dir):
     assert got.ece == pytest.approx(ece, abs=5.1e-7)
     assert got.accuracy == pytest.approx(acc, abs=5.1e-7)
     assert 0.5 < got.auc < 1.0  # the classifier must beat chance on its own strata
+
+
+# ---------------------------------------------------------------------------
+# BLEU
+# ---------------------------------------------------------------------------
+
+
+def _py_bleu(pairs):
+    """Reference corpus BLEU-4 with BLEU+1 smoothing on n≥2."""
+    from collections import Counter
+
+    m = {n: 0 for n in (1, 2, 3, 4)}
+    t = {n: 0 for n in (1, 2, 3, 4)}
+    c = r = 0
+    for cand, ref in pairs:
+        c += len(cand)
+        r += len(ref)
+        for n in (1, 2, 3, 4):
+            cg = Counter(tuple(cand[i:i + n]) for i in range(len(cand) - n + 1))
+            rg = Counter(tuple(ref[i:i + n]) for i in range(len(ref) - n + 1))
+            m[n] += sum(min(v, rg[g]) for g, v in cg.items())
+            t[n] += max(len(cand) - n + 1, 0)
+    if m[1] == 0:
+        return 0.0, m, t, c, r
+    bp = 1.0 if c >= r else math.exp(1.0 - r / c)
+    s = 0.25 * math.log(m[1] / t[1])
+    for n in (2, 3, 4):
+        s += 0.25 * math.log((m[n] + 1) / (t[n] + 1))
+    return bp * math.exp(s), m, t, c, r
+
+
+def test_bleu_pure_python_replay(spark, sf_dir):
+    from fusionspark.io import load_table
+    from fusionspark.queries.pipeline_queries import bleu_eval
+
+    docs = sorted(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect(),
+        key=lambda x: x.doc_id,
+    )
+    by_src: dict[str, list] = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(
+            [w for w in d.text.lower().split(" ") if w]
+        )
+    pairs = []
+    for ws in by_src.values():
+        pairs += list(zip(ws, ws[1:]))
+    bleu, m, t, c, r = _py_bleu(pairs)
+    got = bleu_eval(spark, sf_dir).collect()[0]
+    assert got.n_pairs == len(pairs)
+    assert (got.cand_tokens, got.ref_tokens) == (c, r)
+    assert [got.m1, got.m2, got.m3, got.m4] == [m[1], m[2], m[3], m[4]]
+    assert [got.t1, got.t2, got.t3, got.t4] == [t[1], t[2], t[3], t[4]]
+    assert got.bleu == pytest.approx(bleu, abs=5.1e-7)
+    assert 0.0 < got.bleu < 1.0
+
+
+def test_bleu_identical_pairs_is_one(spark):
+    """Each source holds two identical docs → every clipped precision is
+    1, BP = 1, BLEU = 1 exactly (the metric's fixed point)."""
+    import tempfile
+
+    from fusionspark.queries.pipeline_queries import bleu_eval
+
+    text = "the cat sat on the mat and the dog barked at the cat"
+    rows = [
+        (2 * s + i, text, "en", f"s{s}", len(text))
+        for s in range(4)
+        for i in range(2)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = bleu_eval(spark, d).collect()[0]
+    assert got.n_pairs == 4
+    assert got.bp == 1.0
+    assert (got.p1, got.bleu) == (1.0, 1.0)
