@@ -5767,3 +5767,166 @@ def iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("beta_naive_cents"),
     )
+
+
+@query(
+    "granger_causality",
+    """
+    WITH daily AS (
+        SELECT ts::DATE AS d,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT t.y AS yt, p.y AS yl, p.x AS xl, 'clicks->purchases' AS direction
+        FROM daily t JOIN daily p ON p.d = t.d - INTERVAL 1 DAY
+        UNION ALL
+        SELECT t.x AS yt, p.x AS yl, p.y AS xl, 'purchases->clicks' AS direction
+        FROM daily t JOIN daily p ON p.d = t.d - INTERVAL 1 DAY
+    ),
+    s AS (
+        SELECT direction, COUNT(*)::BIGINT AS n,
+               SUM(yt)::BIGINT AS sy, SUM(yl)::BIGINT AS sl, SUM(xl)::BIGINT AS sx,
+               SUM(yt * yt)::BIGINT AS syy, SUM(yl * yl)::BIGINT AS sll,
+               SUM(xl * xl)::BIGINT AS sxx, SUM(yt * yl)::BIGINT AS syl,
+               SUM(yt * xl)::BIGINT AS syx, SUM(yl * xl)::BIGINT AS slx
+        FROM pairs GROUP BY direction
+    ),
+    c AS (
+        SELECT direction, n,
+               (n * syy - sy * sy)::BIGINT AS cyy,
+               (n * sll - sl * sl)::BIGINT AS cll,
+               (n * sxx - sx * sx)::BIGINT AS cxx,
+               (n * syl - sy * sl)::BIGINT AS cyl,
+               (n * syx - sy * sx)::BIGINT AS cyx,
+               (n * slx - sl * sx)::BIGINT AS clx
+        FROM s
+    ),
+    fit AS (
+        SELECT direction, n,
+               (cyl * cxx - cyx * clx)::DOUBLE
+                   / (cll * cxx - clx * clx)::DOUBLE AS b,
+               (cll * cyx - clx * cyl)::DOUBLE
+                   / (cll * cxx - clx * clx)::DOUBLE AS cc,
+               cyy, cll, cyl, cyx
+        FROM c
+    ),
+    rss AS (
+        SELECT direction, n, b, cc,
+               (cyy::DOUBLE - (cyl::DOUBLE * cyl) / cll) / n AS rss_r,
+               (cyy::DOUBLE - b * cyl - cc * cyx) / n AS rss_u
+        FROM fit
+    )
+    SELECT direction, n,
+           ROUND(b, 6) + 0.0 AS beta_own_lag,
+           ROUND(cc, 6) + 0.0 AS beta_cross_lag,
+           ROUND(rss_r, 6) + 0.0 AS rss_restricted,
+           ROUND(rss_u, 6) + 0.0 AS rss_unrestricted,
+           ROUND((rss_r - rss_u) * (n - 3) / rss_u, 6) + 0.0 AS f_stat
+    FROM rss
+    """,
+)
+def granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality between the daily click and purchase
+    series, BOTH directions — the time-series screen for "does knowing
+    yesterday's X improve today's Y forecast beyond Y's own history":
+    F = ((RSS_r − RSS_u)/1) / (RSS_u/(T−3)) comparing y_t ~ a + b·y_{t−1}
+    against y_t ~ a + b·y_{t−1} + c·x_{t−1} (Granger 1969).
+
+    Parity: daily counts are exact BIGINT; the intercept is eliminated by
+    n-scaled CENTERED moments (C_ab = n·S_ab − S_a·S_b, exact BIGINT —
+    ≤ ~4e8 at sf0.1, int64 headroom to ~sf1); the OLS coefficients are
+    single divisions of exact ≤1e17 integers (int64→double conversion is
+    a correctly-rounded instruction in both engines), and RSS/F are one
+    fixed expression tree on those doubles.  Consecutive-day pairs come
+    from a calendar self-join (a gap day drops its pair — deterministic).
+    ROUNDed outputs carry `+ 0.0` (RSS_r − RSS_u ≥ 0 only in exact
+    arithmetic; the FP difference can round to a signed zero).  Scale:
+    one groupBy(day) over the corpus with map-side combine; the join,
+    centering, fit, and F all run on the |days|-row frame."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    prev = daily.select(
+        F.date_add("d", 1).alias("d"),
+        F.col("y").alias("yl"),
+        F.col("x").alias("xl"),
+    )
+    base = daily.join(prev, "d")
+    pairs = base.select(
+        F.col("y").alias("yt"), "yl", "xl", F.lit("clicks->purchases").alias(
+            "direction"
+        )
+    ).unionByName(
+        base.select(
+            F.col("x").alias("yt"),
+            F.col("xl").alias("yl"),
+            F.col("yl").alias("xl"),
+            F.lit("purchases->clicks").alias("direction"),
+        )
+    )
+    s = pairs.groupBy("direction").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("yt").cast("long").alias("sy"),
+        F.sum("yl").cast("long").alias("sl"),
+        F.sum("xl").cast("long").alias("sx"),
+        F.sum(F.col("yt") * F.col("yt")).cast("long").alias("syy"),
+        F.sum(F.col("yl") * F.col("yl")).cast("long").alias("sll"),
+        F.sum(F.col("xl") * F.col("xl")).cast("long").alias("sxx"),
+        F.sum(F.col("yt") * F.col("yl")).cast("long").alias("syl"),
+        F.sum(F.col("yt") * F.col("xl")).cast("long").alias("syx"),
+        F.sum(F.col("yl") * F.col("xl")).cast("long").alias("slx"),
+    )
+    c = s.select(
+        "direction",
+        "n",
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+        (F.col("n") * F.col("sll") - F.col("sl") * F.col("sl")).alias("cll"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
+        (F.col("n") * F.col("syl") - F.col("sy") * F.col("sl")).alias("cyl"),
+        (F.col("n") * F.col("syx") - F.col("sy") * F.col("sx")).alias("cyx"),
+        (F.col("n") * F.col("slx") - F.col("sl") * F.col("sx")).alias("clx"),
+    )
+    det = (F.col("cll") * F.col("cxx") - F.col("clx") * F.col("clx")).cast("double")
+    b = (F.col("cyl") * F.col("cxx") - F.col("cyx") * F.col("clx")).cast(
+        "double"
+    ) / det
+    cc = (F.col("cll") * F.col("cyx") - F.col("clx") * F.col("cyl")).cast(
+        "double"
+    ) / det
+    fit = c.select("direction", "n", b.alias("b"), cc.alias("cc"), "cyy", "cll",
+                   "cyl", "cyx")
+    rss_r = (
+        F.col("cyy").cast("double")
+        - (F.col("cyl").cast("double") * F.col("cyl")) / F.col("cll")
+    ) / F.col("n")
+    rss_u = (
+        F.col("cyy").cast("double")
+        - F.col("b") * F.col("cyl")
+        - F.col("cc") * F.col("cyx")
+    ) / F.col("n")
+    rss = fit.select("direction", "n", "b", "cc", rss_r.alias("rss_r"),
+                     rss_u.alias("rss_u"))
+    return rss.select(
+        "direction",
+        "n",
+        (F.round("b", 6) + F.lit(0.0)).alias("beta_own_lag"),
+        (F.round("cc", 6) + F.lit(0.0)).alias("beta_cross_lag"),
+        (F.round("rss_r", 6) + F.lit(0.0)).alias("rss_restricted"),
+        (F.round("rss_u", 6) + F.lit(0.0)).alias("rss_unrestricted"),
+        (
+            F.round(
+                (F.col("rss_r") - F.col("rss_u")) * (F.col("n") - 3)
+                / F.col("rss_u"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("f_stat"),
+    )

@@ -6017,3 +6017,164 @@ def bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bp, 6).alias("bp"),
         F.round(bleu, 6).alias("bleu"),
     )
+
+
+def _bucket_count(k: int):
+    """Count of hashed tokens in bucket k — a dedicated closure so the
+    PySpark higher-order filter sees a ONE-argument lambda (a second
+    parameter would be bound to the array index, not the constant)."""
+    return F.size(F.filter("hs", lambda h: h == F.lit(k))).cast("long").alias(
+        f"c{k}"
+    )
+
+
+@query(
+    "perceptron_quality",
+    f"""
+    WITH w AS (
+        SELECT doc_id, source, {_WORDS} AS ws FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, source,
+               list_transform(ws, t ->
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT % 16) AS hs
+        FROM w
+    ),
+    feat AS (
+        SELECT doc_id,
+               CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+                    THEN 1
+                    WHEN source IN ('src15', 'src16', 'src17', 'src18', 'src19')
+                    THEN -1 ELSE 0 END AS y,
+               len(list_filter(hs, h -> h = 0))::BIGINT AS c0,
+               len(list_filter(hs, h -> h = 1))::BIGINT AS c1,
+               len(list_filter(hs, h -> h = 2))::BIGINT AS c2,
+               len(list_filter(hs, h -> h = 3))::BIGINT AS c3,
+               len(list_filter(hs, h -> h = 4))::BIGINT AS c4,
+               len(list_filter(hs, h -> h = 5))::BIGINT AS c5,
+               len(list_filter(hs, h -> h = 6))::BIGINT AS c6,
+               len(list_filter(hs, h -> h = 7))::BIGINT AS c7,
+               len(list_filter(hs, h -> h = 8))::BIGINT AS c8,
+               len(list_filter(hs, h -> h = 9))::BIGINT AS c9,
+               len(list_filter(hs, h -> h = 10))::BIGINT AS c10,
+               len(list_filter(hs, h -> h = 11))::BIGINT AS c11,
+               len(list_filter(hs, h -> h = 12))::BIGINT AS c12,
+               len(list_filter(hs, h -> h = 13))::BIGINT AS c13,
+               len(list_filter(hs, h -> h = 14))::BIGINT AS c14,
+               len(list_filter(hs, h -> h = 15))::BIGINT AS c15
+        FROM hashed
+    ),
+    train AS (
+        SELECT [doc_id, y, 1, c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14, c15]::BIGINT[] AS d
+        FROM feat WHERE y <> 0 ORDER BY doc_id LIMIT 256
+    ),
+    model AS (
+        SELECT list_reduce(
+            list_prepend([0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]::BIGINT[], list(d ORDER BY d[1])),
+            (acc, d) -> CASE
+                WHEN d[2] * (acc[1] * d[3] + acc[2] * d[4] + acc[3] * d[5] + acc[4] * d[6] + acc[5] * d[7] + acc[6] * d[8] + acc[7] * d[9] + acc[8] * d[10] + acc[9] * d[11] + acc[10] * d[12] + acc[11] * d[13] + acc[12] * d[14] + acc[13] * d[15] + acc[14] * d[16] + acc[15] * d[17] + acc[16] * d[18] + acc[17] * d[19]) <= 0
+                THEN [acc[1] + d[2] * d[3], acc[2] + d[2] * d[4], acc[3] + d[2] * d[5], acc[4] + d[2] * d[6], acc[5] + d[2] * d[7], acc[6] + d[2] * d[8], acc[7] + d[2] * d[9], acc[8] + d[2] * d[10], acc[9] + d[2] * d[11], acc[10] + d[2] * d[12], acc[11] + d[2] * d[13], acc[12] + d[2] * d[14], acc[13] + d[2] * d[15], acc[14] + d[2] * d[16], acc[15] + d[2] * d[17], acc[16] + d[2] * d[18], acc[17] + d[2] * d[19]]
+                ELSE acc END) AS wv
+        FROM train
+    )
+    SELECT f.doc_id, f.y::BIGINT AS label,
+           (m.wv[1] * 1 + m.wv[2] * f.c0 + m.wv[3] * f.c1 + m.wv[4] * f.c2 + m.wv[5] * f.c3 + m.wv[6] * f.c4 + m.wv[7] * f.c5 + m.wv[8] * f.c6 + m.wv[9] * f.c7 + m.wv[10] * f.c8 + m.wv[11] * f.c9 + m.wv[12] * f.c10 + m.wv[13] * f.c11 + m.wv[14] * f.c12 + m.wv[15] * f.c13 + m.wv[16] * f.c14 + m.wv[17] * f.c15)::BIGINT AS margin,
+           (CASE WHEN m.wv[1] * 1 + m.wv[2] * f.c0 + m.wv[3] * f.c1 + m.wv[4] * f.c2 + m.wv[5] * f.c3 + m.wv[6] * f.c4 + m.wv[7] * f.c5 + m.wv[8] * f.c6 + m.wv[9] * f.c7 + m.wv[10] * f.c8 + m.wv[11] * f.c9 + m.wv[12] * f.c10 + m.wv[13] * f.c11 + m.wv[14] * f.c12 + m.wv[15] * f.c13 + m.wv[16] * f.c14 + m.wv[17] * f.c15 > 0 THEN 1 ELSE 0 END)::INT AS pred
+    FROM feat f, model m
+    """,
+)
+def perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online perceptron over HASHED bag-of-words features (Rosenblatt
+    1958 + the hashing trick of hashed_features): mistake-driven integer
+    updates w += y·x on a BOUNDED doc_id-ordered prefix (first 256 docs
+    of curated=+1 / crawl=−1), then one broadcast pass scores EVERY
+    document by the exact integer margin.  Features are md5-bucket
+    unigram counts (K = 16) plus bias — training has ZERO float
+    operations, so any engine that agrees on integers replays the
+    weight trajectory bit-for-bit.
+
+    Honest corpus note: this template corpus shares ONE 31-word
+    vocabulary across all sources and languages, so the strata are
+    near-chance for ANY linear text classifier (the NB screen's AUC is
+    only 0.64) — the margins here demonstrate exact sequential-training
+    semantics, not separability; the planted-corpus pytest proves the
+    convergence law where a separator exists.  Online training is
+    inherently sequential: it runs as an ordered list fold over the
+    256-row prefix (the documented bounded contract — production swaps
+    in averaged or hash-parallel perceptrons).  SCORING is the
+    distributed part: the 17-weight model broadcasts and the margin
+    is a column expression — one corpus scan, no shuffle."""
+    w = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "").alias("ws"),
+    )
+    hashed = w.select(
+        "doc_id",
+        "source",
+        F.transform(
+            "ws",
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+            % 16,
+        ).alias("hs"),
+    )
+    y = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
+        .when(
+            F.col("source").isin("src15", "src16", "src17", "src18", "src19"), -1
+        )
+        .otherwise(0)
+    )
+    feat = hashed.select(
+        "doc_id",
+        y.cast("long").alias("y"),
+        *[_bucket_count(k) for k in range(16)],
+    )
+    train = (
+        feat.filter(F.col("y") != 0)
+        .orderBy("doc_id")
+        .limit(256)
+        .select(
+            F.array(
+                "doc_id",
+                "y",
+                F.lit(1).cast("long"),
+                *[f"c{k}" for k in range(16)],
+            ).alias("d")
+        )
+    )
+    dim = 16 + 1
+
+    def step(acc, d):
+        yv = F.element_at(d, 2)
+        margin = sum(
+            F.element_at(acc, i) * F.element_at(d, i + 2)
+            for i in range(1, dim + 1)
+        )
+        upd = F.array(
+            *[
+                F.element_at(acc, i) + yv * F.element_at(d, i + 2)
+                for i in range(1, dim + 1)
+            ]
+        )
+        return F.when(yv * margin <= 0, upd).otherwise(acc)
+
+    model = train.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("d")),
+            F.array(*[F.lit(0).cast("long")] * dim),
+            step,
+        ).alias("wv")
+    )
+    j = feat.crossJoin(F.broadcast(model))
+    margin = sum(
+        F.element_at(F.col("wv"), i + 1)
+        * (F.lit(1) if i == 0 else F.col(f"c{i - 1}"))
+        for i in range(dim)
+    )
+    return j.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        margin.cast("long").alias("margin"),
+        (margin > 0).cast("int").alias("pred"),
+    )

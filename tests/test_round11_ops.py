@@ -1079,3 +1079,173 @@ def test_bleu_identical_pairs_is_one(spark):
     assert got.n_pairs == 4
     assert got.bp == 1.0
     assert (got.p1, got.bleu) == (1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# perceptron
+# ---------------------------------------------------------------------------
+
+
+def _py_perceptron(rows, K=16, prefix=256):
+    """rows: (doc_id, y, words) sorted by doc_id.  Returns (weights,
+    margins-by-doc) replaying the exact integer trajectory."""
+    def h(w):
+        return _coin("", w) % K
+
+    feats = {}
+    train = []
+    for did, y, ws in rows:
+        c = [0] * K
+        for w in ws:
+            c[h(w)] += 1
+        x = [1] + c
+        feats[did] = (y, x)
+        if y != 0 and len(train) < prefix:
+            train.append((did, y, x))
+    wv = [0] * (K + 1)
+    for _, y, x in train:
+        m = sum(a * b for a, b in zip(wv, x))
+        if y * m <= 0:
+            wv = [a + y * b for a, b in zip(wv, x)]
+    return wv, {
+        did: sum(a * b for a, b in zip(wv, x)) for did, (y, x) in feats.items()
+    }
+
+
+def test_perceptron_trajectory_replay(spark, sf_dir):
+    """The engine margins must equal the pure-Python integer replay of the
+    identical mistake-driven trajectory — bit-for-bit, every doc."""
+    from fusionspark.io import load_table
+    from fusionspark.queries.pipeline_queries import perceptron_quality
+
+    POS = {"src0", "src1", "src2", "src3", "src4"}
+    NEG = {"src15", "src16", "src17", "src18", "src19"}
+    docs = sorted(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    rows = [
+        (
+            r.doc_id,
+            1 if r.source in POS else (-1 if r.source in NEG else 0),
+            [w for w in r.text.lower().split(" ") if w],
+        )
+        for r in docs
+    ]
+    _, margins = _py_perceptron(rows)
+    got = perceptron_quality(spark, sf_dir).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert r.margin == margins[r.doc_id], r.doc_id
+        assert r.pred == (1 if margins[r.doc_id] > 0 else 0)
+
+
+def test_perceptron_converges_on_separable_corpus(spark):
+    """Perceptron convergence law: when the positive class carries a
+    marker word the classes are linearly separable in hashed space, and
+    the trained model must classify every labeled doc correctly."""
+    import tempfile
+
+    from fusionspark.queries.pipeline_queries import perceptron_quality
+
+    rows = []
+    for i in range(120):
+        pos = i % 2 == 0
+        base = f"alpha beta gamma delta token{i % 5}"
+        text = base + (" curatedmarker curatedmarker" if pos else " noisy junk")
+        rows.append(
+            (i, text, "en", "src0" if pos else "src15", len(text))
+        )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = perceptron_quality(spark, d).collect()
+    assert all((r.pred == 1) == (r.label == 1) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Granger
+# ---------------------------------------------------------------------------
+
+
+def test_granger_numpy_ols_replay(spark, sf_dir):
+    """F recomputed via numpy least-squares on the same consecutive-day
+    (y_t, y_{t-1}, x_{t-1}) frame, both directions."""
+    import numpy as np
+
+    from fusionspark.io import load_table
+    from fusionspark.queries.analytics_queries import granger_causality
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    ).collect()
+    days: dict = {}
+    for r in e:
+        t = days.setdefault(r.d, [0, 0])
+        if r.event_type == "click":
+            t[0] += 1
+        elif r.event_type == "purchase":
+            t[1] += 1
+    ds = sorted(days)
+    got = {r.direction: r for r in granger_causality(spark, sf_dir).collect()}
+    for direction, (yi, xi) in {
+        "clicks->purchases": (1, 0),
+        "purchases->clicks": (0, 1),
+    }.items():
+        rows = [
+            (days[d][yi], days[p][yi], days[p][xi])
+            for d, p in zip(ds[1:], ds)
+            if (d - p).days == 1
+        ]
+        yt = np.array([r[0] for r in rows], dtype=float)
+        yl = np.array([r[1] for r in rows], dtype=float)
+        xl = np.array([r[2] for r in rows], dtype=float)
+        n = len(rows)
+        Xu = np.column_stack([np.ones(n), yl, xl])
+        Xr = np.column_stack([np.ones(n), yl])
+        bu, *_ = np.linalg.lstsq(Xu, yt, rcond=None)
+        br, *_ = np.linalg.lstsq(Xr, yt, rcond=None)
+        rss_u = float(((yt - Xu @ bu) ** 2).sum())
+        rss_r = float(((yt - Xr @ br) ** 2).sum())
+        f = (rss_r - rss_u) * (n - 3) / rss_u
+        g = got[direction]
+        assert g.n == n
+        assert g.beta_own_lag == pytest.approx(bu[1], abs=1e-5)
+        assert g.beta_cross_lag == pytest.approx(bu[2], abs=1e-5)
+        assert g.rss_restricted == pytest.approx(rss_r, rel=1e-6)
+        assert g.rss_unrestricted == pytest.approx(rss_u, rel=1e-6)
+        assert g.f_stat == pytest.approx(f, rel=1e-4)
+
+
+def test_granger_planted_causality_is_directional(spark):
+    """Planted lag-1 coupling purchases_t = clicks_{t-1} + small noise:
+    the clicks→purchases F must dwarf the reverse direction."""
+    import datetime
+    import tempfile
+
+    from fusionspark.queries.analytics_queries import granger_causality
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    clicks = [10 + _coin("g:", t) % 40 for t in range(40)]
+    for t in range(40):
+        day = base + datetime.timedelta(days=t)
+        for _ in range(clicks[t]):
+            rows.append((eid, day, 1, "click", 1.0, "{}")); eid += 1
+        n_purch = (clicks[t - 1] if t > 0 else 10) + _coin("n:", t) % 3
+        for _ in range(n_purch):
+            rows.append((eid, day, 2, "purchase", 1.0, "{}")); eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {r.direction: r for r in granger_causality(spark, d).collect()}
+    assert got["clicks->purchases"].f_stat > 10 * max(
+        got["purchases->clicks"].f_stat, 1.0
+    )
