@@ -5930,3 +5930,167 @@ def granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("f_stat"),
     )
+
+
+@query(
+    "cohens_kappa",
+    """
+    WITH rated AS (
+        SELECT CASE WHEN len(regexp_extract_all(text, '[.!?]')) >= 3
+                    THEN 1 ELSE 0 END AS ra,
+               CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '')) >= 80
+                    THEN 1 ELSE 0 END AS rb
+        FROM documents
+    ),
+    conf AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)::BIGINT AS n00,
+               SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+               SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+               SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)::BIGINT AS n11
+        FROM rated
+    )
+    SELECT n, n00, n01, n10, n11,
+           ROUND((n00 + n11)::DOUBLE / n, 6) AS po,
+           ROUND(((n00 + n01) * (n00 + n10)
+                  + (n10 + n11) * (n01 + n11))::DOUBLE / (n * n), 6) AS pe,
+           ROUND((n * (n00 + n11)
+                  - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))::DOUBLE
+                 / (n * n
+                    - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))),
+                 6) + 0.0 AS kappa
+    FROM conf
+    """,
+)
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two independent document-quality
+    raters — the inter-annotator reliability readout every labeling
+    pipeline publishes before trusting its labels.  Rater A calls a doc
+    substantive when it has >= 3 sentence enders; rater B when it has
+    >= 80 whitespace tokens — two different heuristics for the same
+    construct, so kappa measures real agreement beyond chance, not
+    self-agreement.
+
+    Parity: the confusion matrix is four exact BIGINT counts; po, pe, and
+    kappa = (n*agree - pe_num) / (n^2 - pe_num) are each ONE correctly-
+    rounded division of exact <= ~1e10 integer products (pe_num =
+    a0*b0 + a1*b1 on marginals) — no float accumulates.  kappa can be a
+    tiny negative that rounds to zero, so it carries `+ 0.0` (the
+    weighted_sample signed-zero rule).
+
+    Scale: one full-scan aggregate with map-side combine; the kappa
+    arithmetic runs on a single 5-integer row regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    rated = d.select(
+        F.when(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0))) >= 3,
+            1,
+        ).otherwise(0).alias("ra"),
+        F.when(
+            F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+            >= 80,
+            1,
+        ).otherwise(0).alias("rb"),
+    )
+    conf = rated.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("long").alias("n00"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("long").alias("n01"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("long").alias("n10"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("long").alias("n11"),
+    )
+    pe_num = (F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10")) + (
+        F.col("n10") + F.col("n11")
+    ) * (F.col("n01") + F.col("n11"))
+    return conf.select(
+        "n", "n00", "n01", "n10", "n11",
+        F.round((F.col("n00") + F.col("n11")).cast("double") / F.col("n"), 6)
+        .alias("po"),
+        F.round(pe_num.cast("double") / (F.col("n") * F.col("n")), 6).alias("pe"),
+        (
+            F.round(
+                (F.col("n") * (F.col("n00") + F.col("n11")) - pe_num).cast("double")
+                / (F.col("n") * F.col("n") - pe_num),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("kappa"),
+    )
+
+
+@query(
+    "dispersion_index",
+    """
+    WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnts AS (
+        SELECT event_type, ts::DATE AS d, COUNT(*)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, dy.d, COALESCE(c.x, 0)::BIGINT AS x
+        FROM types t CROSS JOIN days dy
+        LEFT JOIN cnts c ON c.event_type = t.event_type AND c.d = dy.d
+    ),
+    s AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+               SUM(x * x)::BIGINT AS sxx
+        FROM grid GROUP BY event_type
+    )
+    SELECT event_type, n, sx AS total,
+           ROUND(sx::DOUBLE / n, 6) AS mean_daily,
+           ROUND((n * sxx - sx * sx)::DOUBLE / ((n - 1) * sx), 6)
+               AS dispersion,
+           ROUND((n * sxx - sx * sx)::DOUBLE / sx, 6) AS chi2_stat,
+           (n * sxx - sx * sx > (n - 1) * sx) AS overdispersed
+    FROM s ORDER BY event_type
+    """,
+)
+def dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher dispersion index of the daily event counts per type — the
+    variance/mean ratio that screens "is this arrival process Poisson or
+    bursty": D = s^2 / x_bar, with (n-1)*D ~ chi^2(n-1) under the Poisson
+    null.  D >> 1 flags overdispersion (burst/incident traffic), D << 1
+    underdispersion (rate-limited or scheduled traffic) — the upstream
+    diagnostic for whether poisson_rate_test's model even applies.
+
+    Parity: the day grid is zero-filled (types x distinct days, LEFT
+    JOIN) so silent days count — the observed-days-only index is biased
+    upward; n, S, and Sxx are exact BIGINTs and D = (n*Sxx - S^2) /
+    ((n-1)*S) is ONE correctly-rounded division of exact integer
+    products (<= ~1e13 at sf1).  The overdispersed verdict is an EXACT
+    integer comparison — no float threshold.
+
+    Scale: one groupBy(type, day) with map-side combine collapses the
+    corpus; the grid and moments run on |types| * |days| rows (hundreds),
+    independent of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    types = e.select("event_type").distinct()
+    cnts = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    grid = (
+        types.crossJoin(days)
+        .join(cnts, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type", "n", F.col("sx").alias("total"),
+        F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("mean_daily"),
+        F.round(num.cast("double") / ((F.col("n") - 1) * F.col("sx")), 6)
+        .alias("dispersion"),
+        F.round(num.cast("double") / F.col("sx"), 6).alias("chi2_stat"),
+        (num > (F.col("n") - 1) * F.col("sx")).alias("overdispersed"),
+    ).orderBy("event_type")

@@ -6178,3 +6178,76 @@ def perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.cast("long").alias("margin"),
         (margin > 0).cast("int").alias("pred"),
     )
+
+
+_MSTTR_SEG = 50
+
+
+@query(
+    "msttr",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, (i - 1) // {_MSTTR_SEG} AS seg, ws[i] AS w,
+               len(ws) AS n
+        FROM (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) AS t(i)
+    ),
+    segs AS (
+        SELECT doc_id, source, seg, COUNT(DISTINCT w)::BIGINT AS d
+        FROM toks WHERE seg < n // {_MSTTR_SEG}
+        GROUP BY doc_id, source, seg
+    )
+    SELECT source, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+           COUNT(*)::BIGINT AS n_segments, SUM(d)::BIGINT AS sum_types,
+           ROUND(SUM(d)::DOUBLE / ({_MSTTR_SEG} * COUNT(*)), 6) AS msttr
+    FROM segs GROUP BY source ORDER BY source
+    """,
+)
+def msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean segmental type-token ratio per source — the length-robust
+    lexical-diversity measure (Johnson 1944) that raw TTR cannot give
+    (TTR falls with document length, so cross-source TTR comparisons
+    confound diversity with length).  Each doc is cut into consecutive
+    complete 50-token segments, TTR = distinct/50 per segment, and MSTTR
+    is the mean over a source's segments — comparable across sources of
+    any length mix, and the standard repetitive-template screen next to
+    ngram_diversity/vocab_gini.
+
+    Parity: per-segment distinct counts are exact BIGINTs and every
+    segment has the SAME denominator (only complete segments count), so
+    MSTTR = sum(d) / (50 * n_segments) is ONE correctly-rounded division
+    of exact integers — no per-segment float averaging.
+
+    Scale: tokens explode with doc-local segment keys — the groupBy
+    shuffles (doc_id, seg, word)-sized rows with map-side combine and no
+    global state; the source rollup is |sources| rows.  Text itself is
+    never an exchange key (words hash-partition)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("pos", "w"),
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+        .alias("n"),
+    )
+    segs = (
+        toks.filter(
+            F.floor(F.col("pos") / _MSTTR_SEG)
+            < F.floor(F.col("n") / _MSTTR_SEG)
+        )
+        .groupBy("doc_id", "source", F.floor(F.col("pos") / _MSTTR_SEG).alias("seg"))
+        .agg(F.countDistinct("w").cast("long").alias("d"))
+    )
+    return (
+        segs.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum("d").cast("long").alias("sum_types"),
+            F.round(
+                F.sum("d").cast("double") / (_MSTTR_SEG * F.count("*")), 6
+            ).alias("msttr"),
+        )
+        .orderBy("source")
+    )

