@@ -6094,3 +6094,134 @@ def dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num.cast("double") / F.col("sx"), 6).alias("chi2_stat"),
         (num > (F.col("n") - 1) * F.col("sx")).alias("overdispersed"),
     ).orderBy("event_type")
+
+
+@query(
+    "ljung_box",
+    """
+    WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    cnts AS (
+        SELECT ts::DATE AS d, COUNT(*)::BIGINT AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tl AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY days.d) AS rn,
+               COALESCE(cnts.y, 0)::BIGINT AS y
+        FROM days LEFT JOIN cnts ON cnts.d = days.d
+    ),
+    s AS (SELECT COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS sy FROM tl),
+    z AS (
+        SELECT rn, (s.n * tl.y - s.sy)::BIGINT AS z, s.n AS n FROM tl, s
+    ),
+    den AS (SELECT SUM(z * z)::BIGINT AS den, MAX(n)::BIGINT AS n FROM z),
+    num AS (
+        SELECT k.k, SUM(a.z * b.z)::BIGINT AS num
+        FROM unnest(generate_series(1, 7)) AS k(k)
+        JOIN z a ON TRUE
+        JOIN z b ON b.rn = a.rn - k.k
+        GROUP BY k.k
+    ),
+    wide AS (
+        SELECT den.n, den.den,
+               MAX(CASE WHEN k = 1 THEN num END)::BIGINT AS c1,
+               MAX(CASE WHEN k = 2 THEN num END)::BIGINT AS c2,
+               MAX(CASE WHEN k = 3 THEN num END)::BIGINT AS c3,
+               MAX(CASE WHEN k = 4 THEN num END)::BIGINT AS c4,
+               MAX(CASE WHEN k = 5 THEN num END)::BIGINT AS c5,
+               MAX(CASE WHEN k = 6 THEN num END)::BIGINT AS c6,
+               MAX(CASE WHEN k = 7 THEN num END)::BIGINT AS c7
+        FROM num, den GROUP BY den.n, den.den
+    )
+    SELECT n,
+           ROUND(c1::DOUBLE / den, 6) + 0.0 AS r1,
+           ROUND(c2::DOUBLE / den, 6) + 0.0 AS r2,
+           ROUND(c3::DOUBLE / den, 6) + 0.0 AS r3,
+           ROUND(c4::DOUBLE / den, 6) + 0.0 AS r4,
+           ROUND(c5::DOUBLE / den, 6) + 0.0 AS r5,
+           ROUND(c6::DOUBLE / den, 6) + 0.0 AS r6,
+           ROUND(c7::DOUBLE / den, 6) + 0.0 AS r7,
+           ROUND(n * (n + 2)
+                 * ((c1::DOUBLE / den) * (c1::DOUBLE / den) / (n - 1)
+                    + (c2::DOUBLE / den) * (c2::DOUBLE / den) / (n - 2)
+                    + (c3::DOUBLE / den) * (c3::DOUBLE / den) / (n - 3)
+                    + (c4::DOUBLE / den) * (c4::DOUBLE / den) / (n - 4)
+                    + (c5::DOUBLE / den) * (c5::DOUBLE / den) / (n - 5)
+                    + (c6::DOUBLE / den) * (c6::DOUBLE / den) / (n - 6)
+                    + (c7::DOUBLE / den) * (c7::DOUBLE / den) / (n - 7)),
+                 6) AS q_stat
+    FROM wide
+    """,
+)
+def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily purchase series — "is there
+    ANY autocorrelation in the first 7 lags", the residual-whiteness check
+    run after every forecast fit (the companion diagnostic to ets_forecast
+    / hw_forecast / ar2_fit): Q = n(n+2) * sum_k r_k^2/(n-k) ~ chi^2(7)
+    under the white-noise null (Ljung & Box 1978).
+
+    Parity: the day grid is zero-filled; with S = sum(y) the centered
+    series n*y_t - S is an exact BIGINT, so den = sum(z^2) and each
+    num_k = sum(z_t * z_{t-k}) are exact integer folds — r_k = num_k/den
+    is ONE correctly-rounded division.  Q is a FIXED left-to-right sum of
+    the seven r_k^2/(n-k) terms, written identically in both engines
+    (same expression tree on identical doubles -> identical bits).  Every
+    r_k carries `+ 0.0` (a tiny negative autocorrelation rounds to signed
+    zero).
+
+    Scale: one groupBy(day) collapses the corpus with map-side combine;
+    the lag join and folds run on the |days|-row timeline crossed with 7
+    lags — bounded by the calendar, not the data."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    cnts = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    tl = (
+        days.join(cnts, "d", "left")
+        .select("d", F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+        .select(F.row_number().over(Window.orderBy("d")).alias("rn"), "y")
+    )
+    s = tl.agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("sy")
+    )
+    z = tl.crossJoin(F.broadcast(s)).select(
+        "rn", (F.col("n") * F.col("y") - F.col("sy")).alias("z"), "n"
+    )
+    den = z.agg(
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("den"),
+        F.max("n").cast("long").alias("n"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    a = z.select("rn", F.col("z").alias("za"))
+    b = z.select(F.col("rn").alias("rnb"), F.col("z").alias("zb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("rnb") == F.col("rn") - F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("za") * F.col("zb")).cast("long").alias("num"))
+    )
+    wide = num.crossJoin(F.broadcast(den)).groupBy("n", "den").agg(
+        *[
+            F.max(F.when(F.col("k") == i, F.col("num"))).cast("long").alias(f"c{i}")
+            for i in range(1, 8)
+        ]
+    )
+    r = [
+        (F.col(f"c{i}").cast("double") / F.col("den")) for i in range(1, 8)
+    ]
+    q = F.col("n") * (F.col("n") + 2) * (
+        r[0] * r[0] / (F.col("n") - 1)
+        + r[1] * r[1] / (F.col("n") - 2)
+        + r[2] * r[2] / (F.col("n") - 3)
+        + r[3] * r[3] / (F.col("n") - 4)
+        + r[4] * r[4] / (F.col("n") - 5)
+        + r[5] * r[5] / (F.col("n") - 6)
+        + r[6] * r[6] / (F.col("n") - 7)
+    )
+    return wide.select(
+        "n",
+        *[(F.round(r[i - 1], 6) + F.lit(0.0)).alias(f"r{i}") for i in range(1, 8)],
+        F.round(q, 6).alias("q_stat"),
+    )

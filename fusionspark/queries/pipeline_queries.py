@@ -6251,3 +6251,129 @@ def msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "decision_stump",
+    """
+    WITH lab AS (
+        SELECT n_chars AS x,
+               CASE WHEN len(regexp_extract_all(text, '[.!?]')) >= 3
+                    THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS p FROM lab),
+    grid AS (
+        SELECT x, COUNT(*)::BIGINT AS cnt, SUM(y)::BIGINT AS pos
+        FROM lab GROUP BY x
+    ),
+    cum AS (
+        SELECT x,
+               SUM(cnt) OVER (ORDER BY x)::BIGINT AS l,
+               SUM(pos) OVER (ORDER BY x)::BIGINT AS lp
+        FROM grid
+    ),
+    scored AS (
+        SELECT cum.x AS threshold, tot.n, tot.p, cum.l, cum.lp,
+               (tot.n - cum.l)::BIGINT AS r,
+               (tot.p - cum.lp)::BIGINT AS rp,
+               ((tot.n - cum.l)
+                * (cum.l * cum.l - cum.lp * cum.lp
+                   - (cum.l - cum.lp) * (cum.l - cum.lp))
+                + cum.l
+                * ((tot.n - cum.l) * (tot.n - cum.l)
+                   - (tot.p - cum.lp) * (tot.p - cum.lp)
+                   - (tot.n - cum.l - tot.p + cum.lp)
+                     * (tot.n - cum.l - tot.p + cum.lp)))::BIGINT AS num
+        FROM cum, tot WHERE cum.l < tot.n
+    )
+    SELECT threshold, n, p AS n_pos, l AS left_n, lp AS left_pos,
+           r AS right_n, rp AS right_pos,
+           ROUND(num::DOUBLE / (l * r) / n, 6) AS gini_split,
+           ROUND((n * n - p * p - (n - p) * (n - p))::DOUBLE / (n * n), 6)
+               AS gini_root
+    FROM scored
+    ORDER BY num::DOUBLE / (l * r) ASC, threshold ASC
+    LIMIT 1
+    """,
+)
+def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best decision stump: the single split "n_chars <= t" that
+    minimizes weighted Gini impurity for predicting whether a doc is
+    substantive (>= 3 sentence enders) — the CART/XGBoost inner loop
+    (one split finder over one feature) as a data operator, and the
+    quality-filter threshold a labeling pipeline would actually deploy.
+
+    Parity: candidate thresholds are the DISTINCT feature values; the
+    left/right class counts come from ONE integer cumulative window over
+    that grid.  Weighted Gini = num / (L*R*n) where num = R*(L^2 - Lp^2 -
+    Ln^2) + L*(R^2 - Rp^2 - Rn^2) is an exact BIGINT (<= ~1e17 at 500k
+    docs); the argmin sorts by the correctly-rounded double num/(L*R)
+    with a threshold tiebreak — identical exact inputs give identical
+    doubles, so both engines pick the same split.
+
+    Scale: the corpus collapses to the distinct-value grid (groupBy with
+    map-side combine — the mann_whitney_u discipline); the window and
+    argmin run on |distinct values| rows.  At 100 TB the grid for a
+    bounded-cardinality feature is still thousands of rows."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select(
+        F.col("n_chars").alias("x"),
+        F.when(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0))) >= 3, 1
+        ).otherwise(0).alias("y"),
+    )
+    tot = lab.agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("p")
+    )
+    grid = lab.groupBy("x").agg(
+        F.count("*").cast("long").alias("cnt"), F.sum("y").cast("long").alias("pos")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grid.select(
+        "x",
+        F.sum("cnt").over(w).cast("long").alias("l"),
+        F.sum("pos").over(w).cast("long").alias("lp"),
+    )
+    sc = cum.crossJoin(F.broadcast(tot)).filter(F.col("l") < F.col("n"))
+    r_ = F.col("n") - F.col("l")
+    rp = F.col("p") - F.col("lp")
+    ln = F.col("l") - F.col("lp")
+    rn = r_ - rp
+    num = (
+        r_ * (F.col("l") * F.col("l") - F.col("lp") * F.col("lp") - ln * ln)
+        + F.col("l") * (r_ * r_ - rp * rp - rn * rn)
+    )
+    scored = sc.select(
+        F.col("x").alias("threshold"), "n", F.col("p").alias("n_pos"),
+        F.col("l").alias("left_n"), F.col("lp").alias("left_pos"),
+        r_.cast("long").alias("right_n"), rp.cast("long").alias("right_pos"),
+        num.cast("long").alias("num"),
+    )
+    return (
+        scored.orderBy(
+            (F.col("num").cast("double") / (F.col("left_n") * F.col("right_n"))).asc(),
+            F.col("threshold").asc(),
+        )
+        .limit(1)
+        .select(
+            "threshold", "n", "n_pos", "left_n", "left_pos", "right_n", "right_pos",
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("left_n") * F.col("right_n"))
+                / F.col("n"),
+                6,
+            ).alias("gini_split"),
+            F.round(
+                (
+                    F.col("n") * F.col("n")
+                    - F.col("n_pos") * F.col("n_pos")
+                    - (F.col("n") - F.col("n_pos")) * (F.col("n") - F.col("n_pos"))
+                ).cast("double")
+                / (F.col("n") * F.col("n")),
+                6,
+            ).alias("gini_root"),
+        )
+    )

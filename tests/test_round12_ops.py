@@ -179,3 +179,112 @@ def test_msttr_incomplete_tail_dropped(spark):
     assert m["a"][1] == 2
     assert m["a"][2] == 100  # all-distinct tokens
     assert m["a"][3] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# ljung_box
+# ---------------------------------------------------------------------------
+
+
+def test_ljung_box_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import ljung_box
+
+    rows = _events(sf_dir)
+    days = sorted({r["ts"].date() for r in rows})
+    cnt = collections.Counter(
+        r["ts"].date() for r in rows if r["event_type"] == "purchase"
+    )
+    ys = [cnt.get(d, 0) for d in days]
+    n, S = len(ys), sum(ys)
+    z = [n * y - S for y in ys]
+    den = sum(v * v for v in z)
+    r = {}
+    for k in range(1, 8):
+        num = sum(z[t] * z[t - k] for t in range(k, n))
+        r[k] = num / den
+    q = n * (n + 2) * sum(r[k] * r[k] / (n - k) for k in range(1, 8))
+    got = ljung_box(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    for k in range(1, 8):
+        assert math.isclose(got[f"r{k}"], round(r[k], 6), abs_tol=1e-9)
+    assert math.isclose(got["q_stat"], round(q, 6), abs_tol=1e-6)
+
+
+def test_ljung_box_white_noise_small_q():
+    """Law: an exactly periodic series has huge Q; a constant-plus-single-
+    spike series keeps |r_k| <= 1 — autocorrelations are always in
+    [-1, 1] by Cauchy-Schwarz on the centered series."""
+    ys = [5, 9] * 15  # period-2: r1 strongly negative
+    n, S = len(ys), sum(ys)
+    z = [n * y - S for y in ys]
+    den = sum(v * v for v in z)
+    r1 = sum(z[t] * z[t - 1] for t in range(1, n)) / den
+    assert r1 < -0.9
+    for k in range(1, 8):
+        rk = sum(z[t] * z[t - k] for t in range(k, n)) / den
+        assert -1.0 <= rk <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# decision_stump
+# ---------------------------------------------------------------------------
+
+
+def _stump_python(pairs):
+    """Brute-force best (threshold, weighted gini) over all distinct x."""
+    n = len(pairs)
+    p = sum(y for _, y in pairs)
+    best = None
+    for t in sorted({x for x, _ in pairs}):
+        left = [(x, y) for x, y in pairs if x <= t]
+        l, lp = len(left), sum(y for _, y in left)
+        r, rp = n - l, p - lp
+        if r == 0:
+            continue
+        ln, rn = l - lp, r - rp
+        num = r * (l * l - lp * lp - ln * ln) + l * (r * r - rp * rp - rn * rn)
+        score = num / (l * r)
+        if best is None or score < best[1] - 1e-12 or (
+            abs(score - best[1]) <= 1e-12 and t < best[0]
+        ):
+            best = (t, score, l, lp, r, rp)
+    return best
+
+
+def test_stump_bruteforce_replay(spark, sf_dir):
+    from fusionspark.queries.pipeline_queries import decision_stump
+
+    rows = _docs(sf_dir)
+    pairs = [
+        (r["n_chars"], 1 if sum(r["text"].count(c) for c in ".!?") >= 3 else 0)
+        for r in rows
+    ]
+    t, score, l, lp, r, rp = _stump_python(pairs)
+    got = decision_stump(spark, sf_dir).collect()[0]
+    assert got["threshold"] == t
+    assert (got["left_n"], got["left_pos"], got["right_n"], got["right_pos"]) == (
+        l, lp, r, rp,
+    )
+    n = len(pairs)
+    assert math.isclose(got["gini_split"], round(score / n, 6), abs_tol=1e-9)
+
+
+def test_stump_separable_data_zero_gini():
+    """A perfectly separable feature yields split gini 0 and the split sits
+    at the class boundary."""
+    pairs = [(i, 0) for i in range(10)] + [(i + 100, 1) for i in range(10)]
+    t, score, *_ = _stump_python(pairs)
+    assert t == 9
+    assert score == 0
+
+
+def test_stump_split_never_worse_than_root():
+    """Weighted Gini of the best split <= root Gini (splitting cannot hurt
+    training impurity) on an arbitrary planted set."""
+    pairs = [(i % 17, (i * 7 + 3) % 5 == 0) for i in range(200)]
+    pairs = [(x, int(y)) for x, y in pairs]
+    n = len(pairs)
+    p = sum(y for _, y in pairs)
+    root = (n * n - p * p - (n - p) * (n - p)) / (n * n)
+    t, score, *_ = _stump_python(pairs)
+    assert score / n <= root + 1e-12
