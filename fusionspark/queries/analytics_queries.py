@@ -6225,3 +6225,287 @@ def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[(F.round(r[i - 1], 6) + F.lit(0.0)).alias(f"r{i}") for i in range(1, 8)],
         F.round(q, 6).alias("q_stat"),
     )
+
+
+# Shapley weights for k=3 players: |S|=0 -> 2/6, |S|=1 -> 1/6, |S|=2 -> 2/6.
+# Written as integer/6.0 divisions so both engines build identical doubles.
+
+
+@query(
+    "attribution_shapley",
+    """
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               + 2 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS mask,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT
+            SUM(CASE WHEN (mask & ~0) = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+            SUM(CASE WHEN (mask & ~0) = 0 THEN conv ELSE 0 END)::BIGINT AS c0,
+            SUM(CASE WHEN (mask & ~1) = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+            SUM(CASE WHEN (mask & ~1) = 0 THEN conv ELSE 0 END)::BIGINT AS c1,
+            SUM(CASE WHEN (mask & ~2) = 0 THEN 1 ELSE 0 END)::BIGINT AS n2,
+            SUM(CASE WHEN (mask & ~2) = 0 THEN conv ELSE 0 END)::BIGINT AS c2,
+            SUM(CASE WHEN (mask & ~3) = 0 THEN 1 ELSE 0 END)::BIGINT AS n3,
+            SUM(CASE WHEN (mask & ~3) = 0 THEN conv ELSE 0 END)::BIGINT AS c3,
+            SUM(CASE WHEN (mask & ~4) = 0 THEN 1 ELSE 0 END)::BIGINT AS n4,
+            SUM(CASE WHEN (mask & ~4) = 0 THEN conv ELSE 0 END)::BIGINT AS c4,
+            SUM(CASE WHEN (mask & ~5) = 0 THEN 1 ELSE 0 END)::BIGINT AS n5,
+            SUM(CASE WHEN (mask & ~5) = 0 THEN conv ELSE 0 END)::BIGINT AS c5,
+            SUM(CASE WHEN (mask & ~6) = 0 THEN 1 ELSE 0 END)::BIGINT AS n6,
+            SUM(CASE WHEN (mask & ~6) = 0 THEN conv ELSE 0 END)::BIGINT AS c6,
+            SUM(CASE WHEN (mask & ~7) = 0 THEN 1 ELSE 0 END)::BIGINT AS n7,
+            SUM(CASE WHEN (mask & ~7) = 0 THEN conv ELSE 0 END)::BIGINT AS c7
+        FROM u
+    ),
+    v AS (
+        SELECT
+            CASE WHEN n0 > 0 THEN c0::DOUBLE / n0 ELSE 0.0 END AS v0,
+            CASE WHEN n1 > 0 THEN c1::DOUBLE / n1 ELSE 0.0 END AS v1,
+            CASE WHEN n2 > 0 THEN c2::DOUBLE / n2 ELSE 0.0 END AS v2,
+            CASE WHEN n3 > 0 THEN c3::DOUBLE / n3 ELSE 0.0 END AS v3,
+            CASE WHEN n4 > 0 THEN c4::DOUBLE / n4 ELSE 0.0 END AS v4,
+            CASE WHEN n5 > 0 THEN c5::DOUBLE / n5 ELSE 0.0 END AS v5,
+            CASE WHEN n6 > 0 THEN c6::DOUBLE / n6 ELSE 0.0 END AS v6,
+            CASE WHEN n7 > 0 THEN c7::DOUBLE / n7 ELSE 0.0 END AS v7,
+            n7 AS n_users, c7 AS n_conversions
+        FROM s
+    )
+    SELECT channel,
+           ROUND(phi, 6) + 0.0 AS phi,
+           ROUND(v7 - v0, 6) + 0.0 AS total_lift,
+           n_users, n_conversions
+    FROM (
+        SELECT 'click' AS channel,
+               (2.0 * (v1 - v0) + 1.0 * (v3 - v2) + 1.0 * (v5 - v4)
+                + 2.0 * (v7 - v6)) / 6.0 AS phi,
+               v0, v7, n_users, n_conversions FROM v
+        UNION ALL
+        SELECT 'view',
+               (2.0 * (v2 - v0) + 1.0 * (v3 - v1) + 1.0 * (v6 - v4)
+                + 2.0 * (v7 - v5)) / 6.0,
+               v0, v7, n_users, n_conversions FROM v
+        UNION ALL
+        SELECT 'signup',
+               (2.0 * (v4 - v0) + 1.0 * (v5 - v1) + 1.0 * (v6 - v2)
+                + 2.0 * (v7 - v3)) / 6.0,
+               v0, v7, n_users, n_conversions FROM v
+    )
+    ORDER BY channel
+    """,
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution over the three touch channels
+    (click, view, signup) with purchase as conversion — the game-theoretic
+    alternative to attribution_last_touch that credits each channel its
+    AVERAGE marginal contribution over all join orders (Shapley 1953;
+    the standard data-driven-attribution formulation): the characteristic
+    function v(S) is the conversion rate of users whose touch set is
+    contained in S, enumerated exactly over all 2^3 coalitions.
+
+    Parity: user masks and per-coalition (n_S, conv_S) are exact BIGINT
+    conditional sums in ONE aggregate; each v(S) is one correctly-rounded
+    division; phi is a FIXED unrolled 4-term weighted sum (weights 2/6,
+    1/6, 1/6, 2/6 as integer-literal divisions) — the identical
+    expression tree on identical doubles in both engines.  phi can be a
+    tiny negative rounding to zero, so it carries `+ 0.0`.  Efficiency
+    (sum phi = v(full) - v(empty)) is pytest-checked.
+
+    Scale: one groupBy(user) collapses the corpus with map-side combine;
+    the 16 coalition sums ride ONE aggregate over |users| rows and the
+    Shapley arithmetic runs on a single row.  k channels cost 2^k
+    conditional sums — enumerable for marketing-sized k."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            + 4 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        ).alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("conv"),
+    )
+    aggs = []
+    for sub in range(8):
+        in_s = F.col("mask").bitwiseAND(F.lit(~sub & 7)) == 0
+        aggs.append(
+            F.sum(F.when(in_s, 1).otherwise(0)).cast("long").alias(f"n{sub}")
+        )
+        aggs.append(
+            F.sum(F.when(in_s, F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias(f"c{sub}")
+        )
+    s = u.agg(*aggs)
+    vcols = [
+        F.when(
+            F.col(f"n{i}") > 0, F.col(f"c{i}").cast("double") / F.col(f"n{i}")
+        ).otherwise(F.lit(0.0)).alias(f"v{i}")
+        for i in range(8)
+    ]
+    v = s.select(
+        *vcols, F.col("n7").alias("n_users"), F.col("c7").alias("n_conversions")
+    )
+
+    def phi(pairs):
+        (w0, a0, b0), (w1, a1, b1), (w2, a2, b2), (w3, a3, b3) = pairs
+        return (
+            F.lit(float(w0)) * (F.col(f"v{a0}") - F.col(f"v{b0}"))
+            + F.lit(float(w1)) * (F.col(f"v{a1}") - F.col(f"v{b1}"))
+            + F.lit(float(w2)) * (F.col(f"v{a2}") - F.col(f"v{b2}"))
+            + F.lit(float(w3)) * (F.col(f"v{a3}") - F.col(f"v{b3}"))
+        ) / F.lit(6.0)
+
+    rows = v.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("click").alias("channel"),
+                    phi([(2, 1, 0), (1, 3, 2), (1, 5, 4), (2, 7, 6)]).alias("phi"),
+                ),
+                F.struct(
+                    F.lit("view").alias("channel"),
+                    phi([(2, 2, 0), (1, 3, 1), (1, 6, 4), (2, 7, 5)]).alias("phi"),
+                ),
+                F.struct(
+                    F.lit("signup").alias("channel"),
+                    phi([(2, 4, 0), (1, 5, 1), (1, 6, 2), (2, 7, 3)]).alias("phi"),
+                ),
+            )
+        ).alias("r"),
+        (F.col("v7") - F.col("v0")).alias("lift"),
+        "n_users",
+        "n_conversions",
+    )
+    return rows.select(
+        F.col("r.channel").alias("channel"),
+        (F.round(F.col("r.phi"), 6) + F.lit(0.0)).alias("phi"),
+        (F.round("lift", 6) + F.lit(0.0)).alias("total_lift"),
+        "n_users", "n_conversions",
+    ).orderBy("channel")
+
+
+_FE_PANEL = 4
+
+
+@query(
+    "fixed_effects",
+    f"""
+    WITH ranked AS (
+        SELECT user_id,
+               EXTRACT(hour FROM ts)::BIGINT AS x,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS y,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    panel AS (
+        SELECT user_id, x, y FROM ranked WHERE rn <= {_FE_PANEL}
+    ),
+    full_users AS (
+        SELECT user_id FROM panel GROUP BY user_id
+        HAVING COUNT(*) = {_FE_PANEL}
+    ),
+    g AS (
+        SELECT p.user_id,
+               SUM(p.x)::BIGINT AS sx, SUM(p.y)::BIGINT AS sy,
+               SUM(p.x * p.y)::BIGINT AS sxy, SUM(p.x * p.x)::BIGINT AS sxx
+        FROM panel p JOIN full_users USING (user_id)
+        GROUP BY p.user_id
+    ),
+    w AS (
+        SELECT COUNT(*)::BIGINT AS n_users,
+               SUM({_FE_PANEL} * sxy - sx * sy)::BIGINT AS a,
+               SUM({_FE_PANEL} * sxx - sx * sx)::BIGINT AS b,
+               SUM(sx)::BIGINT AS tx, SUM(sy)::BIGINT AS ty,
+               SUM(sxy)::BIGINT AS txy, SUM(sxx)::BIGINT AS txx
+        FROM g
+    )
+    SELECT n_users, ({_FE_PANEL} * n_users)::BIGINT AS n_obs,
+           ROUND(a::DOUBLE / b / 1000000, 6) + 0.0 AS beta_within,
+           ROUND(({_FE_PANEL} * n_users * txy - tx * ty)::DOUBLE
+                 / ({_FE_PANEL} * n_users * txx - tx * tx) / 1000000, 6) + 0.0
+               AS beta_pooled
+    FROM w
+    """,
+)
+def fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way fixed-effects (within) estimator on a balanced user panel —
+    "does spend-per-event vary with hour of day AFTER absorbing user-level
+    generosity": the workhorse panel regression, next to diff_in_diff and
+    cuped_adjustment in the causal family.  Each user contributes their
+    first 4 events (ts, event_id order); users with fewer are dropped so
+    the panel is BALANCED.
+
+    Parity: on a balanced panel the within slope has the closed form
+    sum_g(T*Sxy_g - Sx_g*Sy_g) / sum_g(T*Sxx_g - Sx_g^2) — the per-group
+    demeaning denominators T cancel, so BOTH folds are exact BIGINT sums
+    (y in value-micros, x = hour <= 23; |terms| <= ~5e11 per group,
+    ~1e17 summed at sf1) and the slope is ONE correctly-rounded division.
+    An unbalanced within estimator would sum per-group RATIONALS with
+    different denominators — order-dependent float accumulation — which
+    is exactly why the panel is balanced by construction.  beta_pooled
+    (no fixed effects) comes from the same moments for contrast; both
+    carry `+ 0.0`.
+
+    Scale: rank-4 selection is a per-user window (hash-partitioned by
+    user, no global sort); group moments ride one groupBy(user) with
+    map-side combine; the final fold is a single aggregate."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    ranked = e.select(
+        "user_id",
+        F.hour("ts").cast("long").alias("x"),
+        F.round(F.col("value") * 1000000).cast("long").alias("y"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    panel = ranked.filter(F.col("rn") <= _FE_PANEL).select("user_id", "x", "y")
+    g = (
+        panel.groupBy("user_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        .filter(F.col("cnt") == _FE_PANEL)
+    )
+    w = g.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(_FE_PANEL * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long").alias("a"),
+        F.sum(_FE_PANEL * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long").alias("b"),
+        F.sum("sx").cast("long").alias("tx"),
+        F.sum("sy").cast("long").alias("ty"),
+        F.sum("sxy").cast("long").alias("txy"),
+        F.sum("sxx").cast("long").alias("txx"),
+    )
+    nobs = F.lit(_FE_PANEL) * F.col("n_users")
+    return w.select(
+        "n_users",
+        nobs.cast("long").alias("n_obs"),
+        (
+            F.round(F.col("a").cast("double") / F.col("b") / 1000000, 6)
+            + F.lit(0.0)
+        ).alias("beta_within"),
+        (
+            F.round(
+                (nobs * F.col("txy") - F.col("tx") * F.col("ty")).cast("double")
+                / (nobs * F.col("txx") - F.col("tx") * F.col("tx"))
+                / 1000000,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("beta_pooled"),
+    )

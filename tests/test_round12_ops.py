@@ -288,3 +288,161 @@ def test_stump_split_never_worse_than_root():
     root = (n * n - p * p - (n - p) * (n - p)) / (n * n)
     t, score, *_ = _stump_python(pairs)
     assert score / n <= root + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# attribution_shapley
+# ---------------------------------------------------------------------------
+
+
+def _shapley_python(rows):
+    users = {}
+    for r in rows:
+        m, c = users.setdefault(r["user_id"], [0, 0])
+        t = r["event_type"]
+        if t == "click":
+            m |= 1
+        elif t == "view":
+            m |= 2
+        elif t == "signup":
+            m |= 4
+        elif t == "purchase":
+            c = 1
+        users[r["user_id"]] = [m, c]
+    n = [0] * 8
+    c = [0] * 8
+    for m, cv in users.values():
+        for s in range(8):
+            if m & ~s & 7 == 0:
+                n[s] += 1
+                c[s] += cv
+    v = [c[s] / n[s] if n[s] else 0.0 for s in range(8)]
+    phi = {
+        "click": (2 * (v[1] - v[0]) + (v[3] - v[2]) + (v[5] - v[4])
+                  + 2 * (v[7] - v[6])) / 6,
+        "view": (2 * (v[2] - v[0]) + (v[3] - v[1]) + (v[6] - v[4])
+                 + 2 * (v[7] - v[5])) / 6,
+        "signup": (2 * (v[4] - v[0]) + (v[5] - v[1]) + (v[6] - v[2])
+                   + 2 * (v[7] - v[3])) / 6,
+    }
+    return phi, v, len(users)
+
+
+def test_shapley_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import attribution_shapley
+
+    phi, v, n_users = _shapley_python(_events(sf_dir))
+    got = {r["channel"]: r for r in attribution_shapley(spark, sf_dir).collect()}
+    assert sorted(got) == ["click", "signup", "view"]
+    for ch in phi:
+        assert math.isclose(got[ch]["phi"], round(phi[ch], 6), abs_tol=1e-9)
+        assert got[ch]["n_users"] == n_users
+        assert math.isclose(got[ch]["total_lift"], round(v[7] - v[0], 6),
+                            abs_tol=1e-9)
+
+
+def test_shapley_efficiency(spark, sf_dir):
+    """Shapley efficiency axiom: sum of phis == v(grand coalition) - v(empty),
+    exactly (in float, to fold tolerance)."""
+    phi, v, _ = _shapley_python(_events(sf_dir))
+    assert math.isclose(sum(phi.values()), v[7] - v[0], abs_tol=1e-12)
+
+
+def test_shapley_symmetry_and_dilution():
+    """Two channels with identical marginal contributions get equal phi
+    (symmetry axiom); under the rate-form v, a channel touching ONLY
+    non-converters earns NEGATIVE credit — every coalition it joins gets
+    its conversion rate diluted — checked on a hand corpus."""
+    rows = []
+    # users touching {click}: convert; {view}: convert; {signup}: never;
+    # untouched: never.  click and view are symmetric, signup is a dummy.
+    uid = 0
+    for mask_events, conv in [
+        (["click"], True), (["view"], True), (["signup"], False), ([], False),
+    ]:
+        for i in range(10):
+            uid += 1
+            for t in mask_events:
+                rows.append({"user_id": uid, "event_type": t})
+            if conv:
+                rows.append({"user_id": uid, "event_type": "purchase"})
+            else:
+                rows.append({"user_id": uid, "event_type": "error"})
+    phi, v, _ = _shapley_python(rows)
+    assert math.isclose(phi["click"], phi["view"], abs_tol=1e-12)
+    assert phi["signup"] < 0  # pure-dilution channel gets negative credit
+    # efficiency still holds on the hand corpus
+    assert math.isclose(sum(phi.values()), v[7] - v[0], abs_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# fixed_effects
+# ---------------------------------------------------------------------------
+
+
+def test_fixed_effects_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import fixed_effects
+
+    rows = sorted(_events(sf_dir), key=lambda r: (r["user_id"], r["ts"],
+                                                  r["event_id"]))
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        if len(by_user[r["user_id"]]) < 4:
+            by_user[r["user_id"]].append(
+                (r["ts"].hour, round(r["value"] * 1000000))
+            )
+    a = b = tx = ty = txy = txx = 0
+    n_users = 0
+    for obs in by_user.values():
+        if len(obs) != 4:
+            continue
+        n_users += 1
+        sx = sum(x for x, _ in obs)
+        sy = sum(y for _, y in obs)
+        sxy = sum(x * y for x, y in obs)
+        sxx = sum(x * x for x, _ in obs)
+        a += 4 * sxy - sx * sy
+        b += 4 * sxx - sx * sx
+        tx += sx
+        ty += sy
+        txy += sxy
+        txx += sxx
+    got = fixed_effects(spark, sf_dir).collect()[0]
+    assert got["n_users"] == n_users
+    assert got["n_obs"] == 4 * n_users
+    assert math.isclose(got["beta_within"], round(a / b / 1e6, 6), abs_tol=1e-9)
+    nobs = 4 * n_users
+    pooled = (nobs * txy - tx * ty) / (nobs * txx - tx * tx) / 1e6
+    assert math.isclose(got["beta_pooled"], round(pooled, 6), abs_tol=1e-9)
+
+
+def test_fixed_effects_absorbs_user_level_confound():
+    """Law: a user-level shift in y (same shape, different intercepts) leaves
+    the within slope unchanged while the pooled slope moves — the whole
+    point of fixed effects."""
+
+    def slopes(panels):
+        a = b = tx = ty = txy = txx = 0
+        for obs in panels:
+            sx = sum(x for x, _ in obs)
+            sy = sum(y for _, y in obs)
+            sxy = sum(x * y for x, y in obs)
+            sxx = sum(x * x for x, _ in obs)
+            a += 4 * sxy - sx * sy
+            b += 4 * sxx - sx * sx
+            tx += sx
+            ty += sy
+            txy += sxy
+            txx += sxx
+        n = 4 * len(panels)
+        return a / b, (n * txy - tx * ty) / (n * txx - tx * tx)
+
+    base = [[(h, 10 * h + 5) for h in (1, 3, 5, 7)],
+            [(h, 10 * h + 9) for h in (2, 4, 6, 8)]]
+    # confounded: second user's intercept +1000 AND their x values are larger
+    conf = [base[0], [(x, y + 1000) for x, y in base[1]]]
+    w0, p0 = slopes(base)
+    w1, p1 = slopes(conf)
+    assert math.isclose(w0, w1, abs_tol=1e-12)  # within slope invariant
+    assert abs(p1 - p0) > 1.0  # pooled slope polluted by the intercept shift
+    assert math.isclose(w0, 10.0, abs_tol=1e-12)
