@@ -6509,3 +6509,291 @@ def fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("beta_pooled"),
     )
+
+
+@query(
+    "ransac_trend",
+    """
+    WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    cnts AS (
+        SELECT ts::DATE AS d, COUNT(*)::BIGINT AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tl AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY days.d)::BIGINT AS t,
+               COALESCE(cnts.y, 0)::BIGINT AS y
+        FROM days LEFT JOIN cnts ON cnts.d = days.d
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS sy,
+               (SUM(y) // (5 * COUNT(*)) + 1)::BIGINT AS eps
+        FROM tl
+    ),
+    pairs AS (
+        SELECT a.t AS i, a.y AS yi, b.t AS j, b.y AS yj,
+               (b.y - a.y)::BIGINT AS snum, (b.t - a.t)::BIGINT AS den
+        FROM tl a JOIN tl b ON b.t > a.t
+    ),
+    votes AS (
+        SELECT p.i, p.j, p.snum, p.den, COUNT(*)::BIGINT AS n_inliers
+        FROM pairs p JOIN tl q
+          ON abs((q.y - p.yi) * p.den - p.snum * (q.t - p.i))
+             <= (SELECT eps FROM s) * p.den
+        GROUP BY p.i, p.j, p.snum, p.den
+    ),
+    best AS (
+        SELECT * FROM votes
+        ORDER BY n_inliers DESC, i ASC, j ASC LIMIT 1
+    ),
+    inl AS (
+        SELECT q.t, q.y FROM tl q, best b, s
+        WHERE abs((q.y - (SELECT yi FROM pairs p
+                          WHERE p.i = b.i AND p.j = b.j)) * b.den
+                  - b.snum * (q.t - b.i)) <= s.eps * b.den
+    ),
+    fit AS (
+        SELECT COUNT(*)::BIGINT AS m, SUM(t)::BIGINT AS st,
+               SUM(y)::BIGINT AS syy, SUM(t * y)::BIGINT AS sty,
+               SUM(t * t)::BIGINT AS stt
+        FROM inl
+    )
+    SELECT s.n AS n_days, best.i, best.j, best.n_inliers, s.eps,
+           ROUND((fit.m * fit.sty - fit.st * fit.syy)::DOUBLE
+                 / (fit.m * fit.stt - fit.st * fit.st), 6) + 0.0 AS slope,
+           ROUND((fit.syy * fit.stt - fit.st * fit.sty)::DOUBLE
+                 / (fit.m * fit.stt - fit.st * fit.st), 6) + 0.0 AS intercept
+    FROM best, s, fit
+    """,
+)
+def ransac_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC line fit of the daily purchase series — the outlier-robust
+    trend that OLS (trend_daily_events) cannot give when incident days
+    contaminate the series (Fischler & Bolles 1981).  Exhaustive
+    deterministic variant: EVERY day pair proposes the line through its
+    two points, each line counts its inliers, the max-inlier line wins
+    (ties -> smallest (i, j)), and the consensus set is refit by OLS.
+
+    Parity: the inlier predicate is cross-multiplied into EXACT integers —
+    |(y - yi)*den - snum*(t - i)| <= eps*den avoids the rational slope
+    entirely (the weighted_sample lesson: never cut on a float) — and the
+    inlier band eps = S // (5n) + 1 is an exact integer floor division.
+    The refit slope/intercept are single correctly-rounded divisions of
+    exact BIGINT moments, carrying `+ 0.0`.
+
+    Scale: the corpus collapses to the |days|-row timeline (one groupBy
+    with map-side combine); candidates are day PAIRS (|days|^2/2 — a few
+    hundred at a month, ~66k at a year) and the vote join is pairs x
+    days — calendar-bounded, independent of corpus size.  Sampled RANSAC
+    (md5-chosen pairs) only becomes necessary if the series outgrows the
+    calendar, which a daily rollup cannot."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    cnts = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    tl = (
+        days.join(cnts, "d", "left")
+        .select("d", F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+        .select(
+            F.row_number().over(Window.orderBy("d")).cast("long").alias("t"), "y"
+        )
+    )
+    s = tl.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        (F.floor(F.sum("y") / (5 * F.count("*"))) + 1).cast("long").alias("eps"),
+    )
+    a = tl.select(F.col("t").alias("i"), F.col("y").alias("yi"))
+    b = tl.select(F.col("t").alias("j"), F.col("y").alias("yj"))
+    pairs = (
+        a.join(b, F.col("j") > F.col("i"))
+        .select(
+            "i", "yi", "j", "yj",
+            (F.col("yj") - F.col("yi")).alias("snum"),
+            (F.col("j") - F.col("i")).alias("den"),
+        )
+    )
+    q = tl.select(F.col("t").alias("qt"), F.col("y").alias("qy"))
+    withe = pairs.crossJoin(F.broadcast(s.select("eps")))
+    votes = (
+        withe.join(
+            q,
+            F.abs(
+                (F.col("qy") - F.col("yi")) * F.col("den")
+                - F.col("snum") * (F.col("qt") - F.col("i"))
+            )
+            <= F.col("eps") * F.col("den"),
+        )
+        .groupBy("i", "yi", "j", "snum", "den", "eps")
+        .agg(F.count("*").cast("long").alias("n_inliers"))
+    )
+    best = votes.orderBy(
+        F.col("n_inliers").desc(), F.col("i").asc(), F.col("j").asc()
+    ).limit(1)
+    inl = q.crossJoin(F.broadcast(best)).filter(
+        F.abs(
+            (F.col("qy") - F.col("yi")) * F.col("den")
+            - F.col("snum") * (F.col("qt") - F.col("i"))
+        )
+        <= F.col("eps") * F.col("den")
+    )
+    fit = inl.groupBy("i", "j", "n_inliers", "eps").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("qt").cast("long").alias("st"),
+        F.sum("qy").cast("long").alias("syy"),
+        F.sum(F.col("qt") * F.col("qy")).cast("long").alias("sty"),
+        F.sum(F.col("qt") * F.col("qt")).cast("long").alias("stt"),
+    )
+    det = F.col("m") * F.col("stt") - F.col("st") * F.col("st")
+    return fit.crossJoin(F.broadcast(s.select("n"))).select(
+        F.col("n").alias("n_days"), "i", "j", "n_inliers", "eps",
+        (
+            F.round(
+                (F.col("m") * F.col("sty") - F.col("st") * F.col("syy"))
+                .cast("double") / det,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("slope"),
+        (
+            F.round(
+                (F.col("syy") * F.col("stt") - F.col("st") * F.col("sty"))
+                .cast("double") / det,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("intercept"),
+    )
+
+
+# Viterbi model constants: log-probabilities scaled by 1000 and truncated to
+# integers, so the whole DP is EXACT BIGINT max-plus algebra.  State 0 =
+# browsing, state 1 = buying-intent.  A fixed, trained-elsewhere model (the
+# perceptron_quality convention).
+_VIT_START = (-693, -693)  # ln(0.5) * 1000
+_VIT_T = (-105, -2303, -693, -693)  # t00, t01, t10, t11
+_VIT_EMIT = {
+    # event_type: (log-emission in state 0, in state 1), * 1000
+    "view": (-916, -2303),
+    "click": (-916, -1609),
+    "error": (-1609, -2996),
+    "signup": (-2303, -1204),
+    "purchase": (-3912, -693),
+}
+
+
+def _vit_emit_sql(idx: int) -> str:
+    cases = " ".join(
+        f"WHEN event_type = '{t}' THEN {e[idx]}" for t, e in _VIT_EMIT.items()
+    )
+    return f"CASE {cases} END"
+
+
+@query(
+    "viterbi_decode",
+    f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               ({_vit_emit_sql(0)})::BIGINT AS e0,
+               ({_vit_emit_sql(1)})::BIGINT AS e1
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id,
+               list(struct_pack(e0 := e0, e1 := e1)
+                    ORDER BY ts, event_id) AS l
+        FROM ev GROUP BY user_id
+    ),
+    dp AS (
+        SELECT user_id, len(l)::BIGINT AS n_events,
+               list_reduce(
+                   list_prepend(
+                       [{_VIT_START[0]} + l[1].e0, {_VIT_START[1]} + l[1].e1],
+                       list_transform(l[2:], x -> [x.e0, x.e1])),
+                   (a, x) -> [greatest(a[1] + {_VIT_T[0]}, a[2] + {_VIT_T[2]})
+                              + x[1],
+                              greatest(a[1] + {_VIT_T[1]}, a[2] + {_VIT_T[3]})
+                              + x[2]]) AS v
+        FROM seq
+    )
+    SELECT user_id, n_events,
+           greatest(v[1], v[2])::BIGINT AS viterbi_score,
+           (CASE WHEN v[2] > v[1] THEN 1 ELSE 0 END)::INT AS final_state
+    FROM dp
+    ORDER BY viterbi_score DESC, user_id ASC
+    LIMIT 200
+    """,
+)
+def viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of a 2-state HMM (browsing vs buying-intent) over
+    each user's time-ordered event sequence — the classic sequence-
+    labeling DP (Viterbi 1967; the same max-plus recursion behind CRF/HMM
+    taggers in NLP pipelines), here scoring which users most likely ended
+    a session in the buying state.  Model: fixed integer log-prob tables
+    (x1000), the trained-elsewhere convention perceptron_quality uses.
+
+    Parity: the DP is EXACT max-plus BIGINT algebra — v'_s = max_r(v_r +
+    T_rs) + E_s(x) with every quantity an integer, so there is no float
+    anywhere: the fold is bit-exact by construction, and the final
+    (score DESC, user_id) cut is an exact integer sort.  The fold runs
+    over the (ts, event_id)-ordered event list per user (the ets_forecast
+    accumulator pattern; the start vector is prepended as the fold init
+    so the first event pays start + emission, not a transition).
+
+    Scale: one groupBy(user) with map-side combine builds per-user
+    sequences (bounded by a user's event count — the conversation_tail
+    contract); the DP is a linear per-row fold, embarrassingly parallel
+    across users; the top-200 cut is a TakeOrdered, no global sort."""
+    e = load_table(spark, sf_dir, "events")
+    e0 = F.lit(None).cast("long")
+    e1 = F.lit(None).cast("long")
+    for t, (a, b) in _VIT_EMIT.items():
+        e0 = F.when(F.col("event_type") == t, F.lit(a)).otherwise(e0)
+        e1 = F.when(F.col("event_type") == t, F.lit(b)).otherwise(e1)
+    ev = e.select(
+        "user_id", "ts", "event_id", e0.alias("e0"), e1.alias("e1")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "e0", "e1"))),
+            lambda s: F.array(s["e0"].cast("long"), s["e1"].cast("long")),
+        ).alias("l")
+    )
+    t00, t01, t10, t11 = _VIT_T
+    init = F.array(
+        F.lit(_VIT_START[0]) + F.element_at(F.element_at("l", 1), 1),
+        F.lit(_VIT_START[1]) + F.element_at(F.element_at("l", 1), 2),
+    )
+    dp = seq.select(
+        "user_id",
+        F.size("l").cast("long").alias("n_events"),
+        F.aggregate(
+            F.slice("l", 2, F.greatest(F.size("l") - 1, F.lit(0))),
+            init,
+            lambda a, x: F.array(
+                F.greatest(
+                    F.element_at(a, 1) + F.lit(t00),
+                    F.element_at(a, 2) + F.lit(t10),
+                )
+                + F.element_at(x, 1),
+                F.greatest(
+                    F.element_at(a, 1) + F.lit(t01),
+                    F.element_at(a, 2) + F.lit(t11),
+                )
+                + F.element_at(x, 2),
+            ),
+        ).alias("v"),
+    )
+    return (
+        dp.select(
+            "user_id", "n_events",
+            F.greatest(F.element_at("v", 1), F.element_at("v", 2))
+            .cast("long").alias("viterbi_score"),
+            F.when(F.element_at("v", 2) > F.element_at("v", 1), 1)
+            .otherwise(0).cast("int").alias("final_state"),
+        )
+        .orderBy(F.col("viterbi_score").desc(), F.col("user_id").asc())
+        .limit(200)
+    )

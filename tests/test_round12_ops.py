@@ -446,3 +446,159 @@ def test_fixed_effects_absorbs_user_level_confound():
     assert math.isclose(w0, w1, abs_tol=1e-12)  # within slope invariant
     assert abs(p1 - p0) > 1.0  # pooled slope polluted by the intercept shift
     assert math.isclose(w0, 10.0, abs_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# ransac_trend
+# ---------------------------------------------------------------------------
+
+
+def _ransac_python(ys, eps=None):
+    n = len(ys)
+    S = sum(ys)
+    if eps is None:
+        eps = S // (5 * n) + 1
+    pts = list(enumerate(ys, start=1))
+    best = None
+    for ii in range(n):
+        for jj in range(ii + 1, n):
+            i, yi = pts[ii]
+            j, yj = pts[jj]
+            snum, den = yj - yi, j - i
+            cnt = sum(
+                1 for t, y in pts
+                if abs((y - yi) * den - snum * (t - i)) <= eps * den
+            )
+            key = (-cnt, i, j)
+            if best is None or key < best[0]:
+                best = (key, (i, yi, j, snum, den, cnt))
+    (i, yi, j, snum, den, cnt) = best[1]
+    inl = [(t, y) for t, y in pts
+           if abs((y - yi) * den - snum * (t - i)) <= eps * den]
+    m = len(inl)
+    st = sum(t for t, _ in inl)
+    sy = sum(y for _, y in inl)
+    sty = sum(t * y for t, y in inl)
+    stt = sum(t * t for t, _ in inl)
+    det = m * stt - st * st
+    return i, j, cnt, eps, (m * sty - st * sy) / det, (sy * stt - st * sty) / det
+
+
+def test_ransac_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import ransac_trend
+
+    rows = _events(sf_dir)
+    days = sorted({r["ts"].date() for r in rows})
+    cnt = collections.Counter(
+        r["ts"].date() for r in rows if r["event_type"] == "purchase"
+    )
+    ys = [cnt.get(d, 0) for d in days]
+    i, j, n_inl, eps, slope, intercept = _ransac_python(ys)
+    got = ransac_trend(spark, sf_dir).collect()[0]
+    assert (got["i"], got["j"], got["n_inliers"], got["eps"]) == (i, j, n_inl, eps)
+    assert math.isclose(got["slope"], round(slope, 6), abs_tol=1e-9)
+    assert math.isclose(got["intercept"], round(intercept, 6), abs_tol=1e-9)
+
+
+def test_ransac_ignores_planted_outliers():
+    """A clean line plus 3 wild outlier days: RANSAC recovers the line
+    exactly while OLS is dragged off it."""
+    ys = [100 + 2 * t for t in range(1, 31)]
+    ys[4] += 500
+    ys[14] += 700
+    ys[24] += 900
+    i, j, n_inl, eps, slope, intercept = _ransac_python(ys, eps=5)
+    assert n_inl == 27
+    assert math.isclose(slope, 2.0, abs_tol=1e-12)
+    assert math.isclose(intercept, 100.0, abs_tol=1e-12)
+    # OLS on all 30 points is pulled away from slope 2
+    n = 30
+    pts = list(enumerate(ys, start=1))
+    st = sum(t for t, _ in pts); sy = sum(y for _, y in pts)
+    sty = sum(t * y for t, y in pts); stt = sum(t * t for t, _ in pts)
+    ols = (n * sty - st * sy) / (n * stt - st * st)
+    assert abs(ols - 2.0) > 0.5
+
+
+# ---------------------------------------------------------------------------
+# viterbi_decode
+# ---------------------------------------------------------------------------
+
+
+def _viterbi_python(events):
+    from fusionspark.queries.analytics_queries import (
+        _VIT_EMIT, _VIT_START, _VIT_T,
+    )
+
+    t00, t01, t10, t11 = _VIT_T
+    by_user = collections.defaultdict(list)
+    for r in sorted(events, key=lambda r: (r["ts"], r["event_id"])):
+        by_user[r["user_id"]].append(_VIT_EMIT[r["event_type"]])
+    out = {}
+    for u, seq in by_user.items():
+        v0 = _VIT_START[0] + seq[0][0]
+        v1 = _VIT_START[1] + seq[0][1]
+        for e0, e1 in seq[1:]:
+            v0, v1 = (
+                max(v0 + t00, v1 + t10) + e0,
+                max(v0 + t01, v1 + t11) + e1,
+            )
+        out[u] = (len(seq), max(v0, v1), 1 if v1 > v0 else 0)
+    return out
+
+
+def test_viterbi_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import viterbi_decode
+
+    exp = _viterbi_python(_events(sf_dir))
+    got = viterbi_decode(spark, sf_dir).collect()
+    assert len(got) == min(200, len(exp))
+    order = sorted(exp.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    for row, (u, (n, score, st)) in zip(got, order):
+        assert row["user_id"] == u
+        assert (row["n_events"], row["viterbi_score"], row["final_state"]) == (
+            n, score, st,
+        )
+
+
+def test_viterbi_bruteforce_small():
+    """DP score == brute-force max over all 2^n state paths on a short
+    hand sequence."""
+    import itertools
+
+    from fusionspark.queries.analytics_queries import (
+        _VIT_EMIT, _VIT_START, _VIT_T,
+    )
+
+    t00, t01, t10, t11 = _VIT_T
+    T = {(0, 0): t00, (0, 1): t01, (1, 0): t10, (1, 1): t11}
+    seq = ["view", "click", "purchase", "purchase", "error", "signup"]
+    best = -10**18
+    for path in itertools.product((0, 1), repeat=len(seq)):
+        sc = _VIT_START[path[0]] + _VIT_EMIT[seq[0]][path[0]]
+        for prev, cur, ev in zip(path, path[1:], seq[1:]):
+            sc += T[(prev, cur)] + _VIT_EMIT[ev][cur]
+        best = max(best, sc)
+    rows = [
+        {"user_id": 1, "event_id": i, "ts": __import__("datetime").datetime(
+            2024, 1, 1, 0, i), "event_type": t}
+        for i, t in enumerate(seq)
+    ]
+    got = _viterbi_python(rows)[1]
+    assert got[1] == best
+
+
+def test_viterbi_purchase_run_ends_in_buying_state():
+    """A long purchase run must decode to final_state 1; a long view run to
+    state 0 — the model's sanity law."""
+    import datetime
+
+    def mk(types):
+        return [
+            {"user_id": 1, "event_id": i,
+             "ts": datetime.datetime(2024, 1, 1, 0, i), "event_type": t}
+            for i, t in enumerate(types)
+        ]
+
+    assert _viterbi_python(mk(["purchase"] * 6))[1][2] == 1
+    assert _viterbi_python(mk(["view"] * 6))[1][2] == 0
