@@ -1681,3 +1681,146 @@ def prf_expansion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rsv"), "term")
         .limit(_PRF_TOP)
     )
+
+
+# TextRank fixed-point arithmetic: ranks live in integer mass units
+# (total mass ~1e12) and every update is floor division, so the whole
+# iteration is EXACT BIGINT arithmetic — no float ever enters, the
+# strict-bitwise gate holds by construction (unlike a double PageRank,
+# whose per-group summation order differs between engines).
+_TR_SCALE = 10**12
+_TR_ITERS = 5
+
+
+def _textrank_oracle() -> str:
+    head = f"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, lower(ws[i]) AS w
+        FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '')
+                         AS ws
+              FROM documents),
+             unnest(generate_series(1, len(ws))) AS t(i)
+    ),
+    content AS (
+        SELECT doc_id, w,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS cpos
+        FROM toks
+        WHERE len(w) > 2 AND NOT list_contains({{stop}}, w)
+    ),
+    raw AS (
+        SELECT a.w AS u, b.w AS v
+        FROM content a JOIN content b
+          ON b.doc_id = a.doc_id AND b.cpos = a.cpos + 1
+        WHERE a.w <> b.w
+    ),
+    edges AS (
+        SELECT u, v, COUNT(*)::BIGINT AS wt FROM (
+            SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw
+        ) GROUP BY u, v
+    ),
+    deg AS (SELECT u, SUM(wt)::BIGINT AS wu FROM edges GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS w FROM edges),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+    r0 AS (SELECT w, ({_TR_SCALE} // (SELECT n FROM nn))::BIGINT AS r
+           FROM nodes)"""
+    body = ""
+    for i in range(1, _TR_ITERS + 1):
+        body += f""",
+    r{i} AS (
+        SELECT nodes.w AS w,
+               ((150 * ({_TR_SCALE} // (SELECT n FROM nn))) // 1000
+                + (850 * COALESCE(SUM((e.wt * p.r) // deg.wu), 0)) // 1000
+               )::BIGINT AS r
+        FROM nodes
+        LEFT JOIN edges e ON e.v = nodes.w
+        LEFT JOIN r{i - 1} p ON p.w = e.u
+        LEFT JOIN deg ON deg.u = e.u
+        GROUP BY nodes.w
+    )"""
+    tail = f"""
+    SELECT w AS word, r AS rank_fp
+    FROM r{_TR_ITERS}
+    ORDER BY r DESC, w ASC LIMIT 25
+    """
+    return (head + body + tail).replace("{stop}", _STOP_SQL)
+
+
+@query("textrank_keywords", _textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — weighted
+    PageRank over the word co-occurrence graph: content words (len > 2,
+    non-stopword — the K1 token contract, HybridRetriever.js:366-368) are
+    nodes, consecutive content words in a document are undirected edges
+    weighted by corpus co-occurrence count, and 5 damped iterations
+    (d = 0.85) rank the corpus-level keywords.  Completes the keyword
+    family: doc_keywords is tf-idf (frequency), rake_keywords is
+    phrase-level degree/freq, TextRank is global graph centrality.
+
+    Parity: the entire iteration is FIXED-POINT INTEGER arithmetic —
+    ranks are mass units summing to ~1e12, each contribution is
+    floor((wt * r) / W_u) and the damping mix is floor-scaled by
+    850/1000 — so every iterate is an exact BIGINT on both engines
+    (truncating `div` == floor for positives) and the top-25 cut sorts
+    exact integers with a word tiebreak.  A double-typed PageRank would
+    hash-flake on per-group summation order; the fixed-point form cannot.
+
+    Scale: one token explode + per-doc window builds edges (shuffle keys
+    are words, never text); each iteration is edges JOIN ranks — a
+    vocab-sized hash join with map-side combine on the contribution sum;
+    5 iterations = 5 bounded shuffles.  At 100 TB the graph is
+    vocab-bounded (millions of nodes), not corpus-bounded."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = d.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "w")
+    ).filter((F.length("w") > 2) & ~F.array_contains(stop, F.col("w")))
+    content = toks.select(
+        "doc_id", "w",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("cpos"),
+    )
+    a = content.select("doc_id", F.col("w").alias("u"), "cpos")
+    b = content.select(
+        F.col("doc_id").alias("doc_b"), F.col("w").alias("v"),
+        (F.col("cpos") - 1).alias("cpos_b"),
+    )
+    raw = a.join(
+        b, (F.col("doc_id") == F.col("doc_b")) & (F.col("cpos") == F.col("cpos_b"))
+    ).filter(F.col("u") != F.col("v")).select("u", "v")
+    edges = (
+        raw.unionAll(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("wt"))
+    )
+    deg = edges.groupBy("u").agg(F.sum("wt").cast("long").alias("wu"))
+    nodes = edges.select(F.col("u").alias("w")).distinct()
+    n = nodes.count()
+    r0_val = _TR_SCALE // n
+    base = (150 * r0_val) // 1000
+    ranks = nodes.select("w", F.lit(r0_val).cast("long").alias("r"))
+    ej = edges.join(deg, "u")
+    for _ in range(_TR_ITERS):
+        contrib = (
+            ej.join(ranks.select(F.col("w").alias("u"), "r"), "u")
+            .select("v", F.expr("(wt * r) div wu").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.w == contrib.v, "left")
+            .select(
+                "w",
+                (
+                    F.lit(base)
+                    + F.expr("850 * coalesce(s, 0) div 1000")
+                ).cast("long").alias("r"),
+            )
+        )
+    return (
+        ranks.select(F.col("w").alias("word"), F.col("r").alias("rank_fp"))
+        .orderBy(F.col("rank_fp").desc(), F.col("word").asc())
+        .limit(25)
+    )

@@ -602,3 +602,72 @@ def test_viterbi_purchase_run_ends_in_buying_state():
 
     assert _viterbi_python(mk(["purchase"] * 6))[1][2] == 1
     assert _viterbi_python(mk(["view"] * 6))[1][2] == 0
+
+
+# ---------------------------------------------------------------------------
+# textrank_keywords
+# ---------------------------------------------------------------------------
+
+
+def _textrank_python(rows, iters=5, scale=10**12):
+    from fusionspark.functions.text import STOPWORDS
+
+    stop = set(STOPWORDS)
+    raw = []
+    for r in rows:
+        ws = [w for w in r["text"].lower().split(" ") if w]
+        content = [w for w in ws if len(w) > 2 and w not in stop]
+        for a, b in zip(content, content[1:]):
+            if a != b:
+                raw.append((a, b))
+    edges = collections.Counter()
+    for a, b in raw:
+        edges[(a, b)] += 1
+        edges[(b, a)] += 1
+    deg = collections.Counter()
+    for (u, _), wt in edges.items():
+        deg[u] += wt
+    nodes = sorted(deg)
+    n = len(nodes)
+    r0 = scale // n
+    base = (150 * r0) // 1000
+    r = {w: r0 for w in nodes}
+    inbound = collections.defaultdict(list)
+    for (u, v), wt in edges.items():
+        inbound[v].append((u, wt))
+    for _ in range(iters):
+        nr = {}
+        for v in nodes:
+            s = sum((wt * r[u]) // deg[u] for u, wt in inbound[v])
+            nr[v] = base + (850 * s) // 1000
+        r = nr
+    return sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+
+
+def test_textrank_python_replay(spark, sf_dir):
+    from fusionspark.queries.text_queries import textrank_keywords
+
+    exp = _textrank_python(_docs(sf_dir))
+    got = [(r["word"], r["rank_fp"]) for r in
+           textrank_keywords(spark, sf_dir).collect()]
+    assert got == exp
+
+
+def test_textrank_hub_word_wins():
+    """A word co-occurring with everything outranks peripheral words."""
+    rows = [
+        {"doc_id": i, "text": f"central unique{i} central other{i} filler"}
+        for i in range(20)
+    ]
+    top = _textrank_python(rows)
+    assert top[0][0] == "central"
+
+
+def test_textrank_all_integer_ranks():
+    """Fixed-point law: every rank is a nonnegative int and total mass stays
+    within damping bounds (<= scale)."""
+    rows = [{"doc_id": i, "text": "alpha beta gamma alpha delta beta"}
+            for i in range(5)]
+    top = _textrank_python(rows)
+    assert all(isinstance(v, int) and v >= 0 for _, v in top)
+    assert sum(v for _, v in top) <= 10**12
