@@ -6797,3 +6797,128 @@ def viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("viterbi_score").desc(), F.col("user_id").asc())
         .limit(200)
     )
+
+_RDD_CUTOFF = 5_000  # balance cutoff in whole dollars
+_RDD_H = 2_000  # +/- bandwidth, dollars
+_RDD_BONUS = 5  # planted program effect: +5 orders above the cutoff
+
+
+@query(
+    "reg_discontinuity",
+    f"""
+    WITH cnt AS (
+        SELECT o_custkey, COUNT(*)::BIGINT AS c FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT CAST(ROUND(c_acctbal) AS BIGINT) - {_RDD_CUTOFF} AS xc,
+               COALESCE(c, 0)::BIGINT
+               + CASE WHEN CAST(ROUND(c_acctbal) AS BIGINT) >= {_RDD_CUTOFF}
+                      THEN {_RDD_BONUS} ELSE 0 END AS y
+        FROM customer LEFT JOIN cnt ON o_custkey = c_custkey
+        WHERE abs(CAST(ROUND(c_acctbal) AS BIGINT) - {_RDD_CUTOFF})
+              <= {_RDD_H}
+    ),
+    m AS (
+        SELECT
+            SUM(CASE WHEN xc < 0 THEN 1 ELSE 0 END)::BIGINT AS nl,
+            SUM(CASE WHEN xc < 0 THEN xc ELSE 0 END)::BIGINT AS lx,
+            SUM(CASE WHEN xc < 0 THEN y ELSE 0 END)::BIGINT AS ly,
+            SUM(CASE WHEN xc < 0 THEN xc * y ELSE 0 END)::BIGINT AS lxy,
+            SUM(CASE WHEN xc < 0 THEN xc * xc ELSE 0 END)::BIGINT AS lxx,
+            SUM(CASE WHEN xc >= 0 THEN 1 ELSE 0 END)::BIGINT AS nr,
+            SUM(CASE WHEN xc >= 0 THEN xc ELSE 0 END)::BIGINT AS rx,
+            SUM(CASE WHEN xc >= 0 THEN y ELSE 0 END)::BIGINT AS ry,
+            SUM(CASE WHEN xc >= 0 THEN xc * y ELSE 0 END)::BIGINT AS rxy,
+            SUM(CASE WHEN xc >= 0 THEN xc * xc ELSE 0 END)::BIGINT AS rxx
+        FROM base
+    ),
+    fit AS (
+        SELECT nl, nr,
+               (nl * lxy - lx * ly)::DOUBLE / (nl * lxx - lx * lx) AS bl,
+               (nr * rxy - rx * ry)::DOUBLE / (nr * rxx - rx * rx) AS br,
+               lx, ly, rx, ry
+        FROM m
+    )
+    SELECT nl AS n_left, nr AS n_right,
+           ROUND((ly - bl * lx) / nl, 6) + 0.0 AS intercept_left,
+           ROUND((ry - br * rx) / nr, 6) + 0.0 AS intercept_right,
+           ROUND(1000 * bl, 6) + 0.0 AS slope_left_per_k,
+           ROUND(1000 * br, 6) + 0.0 AS slope_right_per_k,
+           ROUND((ry - br * rx) / nr - (ly - bl * lx) / nl, 6) + 0.0 AS tau
+    FROM fit
+    """,
+)
+def reg_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate of a program that kicks in
+    at account balance 5000: local linear fits of ORDER COUNT on balance
+    on both sides of the cutoff within a +/-2000 bandwidth, tau = the
+    jump between the side intercepts AT the cutoff (Thistlethwaite &
+    Campbell 1960; the Imbens-Lemieux local-linear workhorse).  The
+    outcome carries a PLANTED +5-orders program effect above the cutoff;
+    the estimator recovers ~5 (pytest-pinned) where a naive above/below
+    means comparison would confound the jump with balance's own trend.
+    Order count (not spend) is the outcome because its variance is small
+    enough for the plant to dominate finite-sample intercept noise.
+
+    Parity: balances become exact whole-dollar BIGINTs via CAST(ROUND(x))
+    (half-away rounding agrees across engines; exact .5 doubles included);
+    both sides' five moments are exact BIGINT conditional sums in ONE
+    aggregate; each slope is ONE correctly-rounded division of exact
+    integer products and intercepts use the (Sy - b*Sx)/n form (the
+    Sy*Sxx product form overflows int64) with a textually identical tree
+    in both engines.  All outputs carry `+ 0.0`.
+
+    Scale: one groupBy(custkey) with map-side combine, a band filter
+    pushed to the customer scan, a single-row closed form — no window,
+    no sort, corpus-size-free."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(F.count("*").cast("long").alias("c"))
+    bal = F.round(F.col("c_acctbal")).cast("long")
+    base = (
+        c.join(cnt, c.c_custkey == cnt.o_custkey, "left")
+        .select(
+            (bal - _RDD_CUTOFF).alias("xc"),
+            (
+                F.coalesce("c", F.lit(0)).cast("long")
+                + F.when(bal >= _RDD_CUTOFF, _RDD_BONUS).otherwise(0)
+            ).alias("y"),
+        )
+        .filter(F.abs(F.col("xc")) <= _RDD_H)
+    )
+    left = F.col("xc") < 0
+    right = F.col("xc") >= 0
+    m = base.agg(
+        F.sum(F.when(left, 1).otherwise(0)).cast("long").alias("nl"),
+        F.sum(F.when(left, F.col("xc")).otherwise(0)).cast("long").alias("lx"),
+        F.sum(F.when(left, F.col("y")).otherwise(0)).cast("long").alias("ly"),
+        F.sum(F.when(left, F.col("xc") * F.col("y")).otherwise(0))
+        .cast("long").alias("lxy"),
+        F.sum(F.when(left, F.col("xc") * F.col("xc")).otherwise(0))
+        .cast("long").alias("lxx"),
+        F.sum(F.when(right, 1).otherwise(0)).cast("long").alias("nr"),
+        F.sum(F.when(right, F.col("xc")).otherwise(0)).cast("long").alias("rx"),
+        F.sum(F.when(right, F.col("y")).otherwise(0)).cast("long").alias("ry"),
+        F.sum(F.when(right, F.col("xc") * F.col("y")).otherwise(0))
+        .cast("long").alias("rxy"),
+        F.sum(F.when(right, F.col("xc") * F.col("xc")).otherwise(0))
+        .cast("long").alias("rxx"),
+    )
+    bl = (F.col("nl") * F.col("lxy") - F.col("lx") * F.col("ly")).cast(
+        "double"
+    ) / (F.col("nl") * F.col("lxx") - F.col("lx") * F.col("lx"))
+    br = (F.col("nr") * F.col("rxy") - F.col("rx") * F.col("ry")).cast(
+        "double"
+    ) / (F.col("nr") * F.col("rxx") - F.col("rx") * F.col("rx"))
+    fit = m.select("nl", "nr", bl.alias("bl"), br.alias("br"),
+                   "lx", "ly", "rx", "ry")
+    il = (F.col("ly") - F.col("bl") * F.col("lx")) / F.col("nl")
+    ir = (F.col("ry") - F.col("br") * F.col("rx")) / F.col("nr")
+    return fit.select(
+        F.col("nl").alias("n_left"), F.col("nr").alias("n_right"),
+        (F.round(il, 6) + F.lit(0.0)).alias("intercept_left"),
+        (F.round(ir, 6) + F.lit(0.0)).alias("intercept_right"),
+        (F.round(1000 * F.col("bl"), 6) + F.lit(0.0)).alias("slope_left_per_k"),
+        (F.round(1000 * F.col("br"), 6) + F.lit(0.0)).alias("slope_right_per_k"),
+        (F.round(ir - il, 6) + F.lit(0.0)).alias("tau"),
+    )

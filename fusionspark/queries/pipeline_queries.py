@@ -6377,3 +6377,68 @@ def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini_root"),
         )
     )
+
+
+@query(
+    "quantile_normalize",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id)::BIGINT AS rk
+        FROM documents
+    ),
+    ref AS (
+        SELECT rk, COUNT(*)::BIGINT AS k, SUM(n_chars)::BIGINT AS s
+        FROM ranked GROUP BY rk
+    )
+    SELECT r.doc_id, r.source, r.n_chars, r.rk AS rank,
+           ROUND(ref.s::DOUBLE / ref.k, 6) AS normalized
+    FROM ranked r JOIN ref ON ref.rk = r.rk
+    ORDER BY r.doc_id
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of doc length across sources (Bolstad et al.
+    2003 — the microarray/batch-effect standard, here the cross-source
+    length-distribution aligner a mixing pipeline runs before comparing
+    per-source quality stats): rank within source, replace each value
+    with the MEAN of the values at that rank across all sources — after
+    which every source has the IDENTICAL length distribution
+    (pytest-checked), preserving only each doc's within-source order.
+
+    Parity: ranks are exact integer windows with (n_chars, doc_id)
+    tiebreaks; the reference at each rank is SUM/COUNT of exact BIGINTs —
+    ONE correctly-rounded division (sources contribute equal doc counts
+    by corpus construction, so every rank has the same k; ragged sources
+    would make tail ranks thinner, which the COUNT(*) denominator handles
+    by the same arithmetic).
+
+    Scale: one per-source window (hash-partitioned by source, no global
+    sort), one groupBy(rank) with map-side combine — rank cardinality is
+    |docs|/|sources| — and a rank-keyed join AQE can broadcast when the
+    rank table is small.  Text never shuffles; only (id, rank, length)
+    triples do."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id", "source", "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rk"),
+    )
+    ref = ranked.groupBy("rk").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_chars").cast("long").alias("s"),
+    )
+    return (
+        ranked.join(ref, "rk")
+        .select(
+            "doc_id", "source", "n_chars",
+            F.col("rk").cast("long").alias("rank"),
+            F.round(F.col("s").cast("double") / F.col("k"), 6)
+            .alias("normalized"),
+        )
+        .orderBy("doc_id")
+    )

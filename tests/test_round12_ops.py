@@ -671,3 +671,137 @@ def test_textrank_all_integer_ranks():
     top = _textrank_python(rows)
     assert all(isinstance(v, int) and v >= 0 for _, v in top)
     assert sum(v for _, v in top) <= 10**12
+
+
+# ---------------------------------------------------------------------------
+# reg_discontinuity
+# ---------------------------------------------------------------------------
+
+
+def _round_away(x):
+    """Half-away-from-zero rounding (Spark F.round / DuckDB ROUND on
+    doubles) — python's round() is half-even and diverges at .5."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+
+
+def test_rdd_python_replay_and_planted_effect(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import (
+        _RDD_BONUS, _RDD_CUTOFF, _RDD_H, reg_discontinuity,
+    )
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet").to_pylist()
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+    cnt = collections.Counter(o["o_custkey"] for o in orders)
+    sides = {"l": [0] * 5, "r": [0] * 5}
+    for c in cust:
+        bal = _round_away(c["c_acctbal"])
+        xc = bal - _RDD_CUTOFF
+        if abs(xc) > _RDD_H:
+            continue
+        y = cnt.get(c["c_custkey"], 0) + (_RDD_BONUS if bal >= _RDD_CUTOFF else 0)
+        m = sides["l" if xc < 0 else "r"]
+        m[0] += 1
+        m[1] += xc
+        m[2] += y
+        m[3] += xc * y
+        m[4] += xc * xc
+
+    def fit(m):
+        n, sx, sy, sxy, sxx = m
+        b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return b, (sy - b * sx) / n
+
+    bl, il = fit(sides["l"])
+    br, ir = fit(sides["r"])
+    got = reg_discontinuity(spark, sf_dir).collect()[0]
+    assert (got["n_left"], got["n_right"]) == (sides["l"][0], sides["r"][0])
+    assert math.isclose(got["slope_left_per_k"], round(1000 * bl, 6),
+                        abs_tol=1e-9)
+    assert math.isclose(got["slope_right_per_k"], round(1000 * br, 6),
+                        abs_tol=1e-9)
+    assert math.isclose(got["tau"], round(ir - il, 6), abs_tol=1e-9)
+    # the estimator recovers the planted +5-orders effect
+    assert abs(got["tau"] - _RDD_BONUS) < 2.0
+
+
+def test_rdd_plant_is_additive(spark, sf_dir):
+    """Removing the planted bonus from the python replay moves tau by
+    exactly the bonus — the estimator is additive in the plant."""
+    from fusionspark.queries.analytics_queries import (
+        _RDD_BONUS, _RDD_CUTOFF, _RDD_H,
+    )
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet").to_pylist()
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+    cnt = collections.Counter(o["o_custkey"] for o in orders)
+
+    def tau(bonus):
+        sides = {"l": [0] * 5, "r": [0] * 5}
+        for c in cust:
+            bal = _round_away(c["c_acctbal"])
+            xc = bal - _RDD_CUTOFF
+            if abs(xc) > _RDD_H:
+                continue
+            y = cnt.get(c["c_custkey"], 0) + (bonus if bal >= _RDD_CUTOFF else 0)
+            m = sides["l" if xc < 0 else "r"]
+            m[0] += 1; m[1] += xc; m[2] += y; m[3] += xc * y; m[4] += xc * xc
+
+        def fit(m):
+            n, sx, sy, sxy, sxx = m
+            b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            return (sy - b * sx) / n
+
+        return fit(sides["r"]) - fit(sides["l"])
+
+    assert math.isclose(tau(_RDD_BONUS) - tau(0), _RDD_BONUS, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_qnorm_python_replay(spark, sf_dir):
+    from fusionspark.queries.pipeline_queries import quantile_normalize
+
+    docs = _docs(sf_dir)
+    by_src = collections.defaultdict(list)
+    for d in docs:
+        by_src[d["source"]].append((d["n_chars"], d["doc_id"]))
+    ranked = {}
+    ref = collections.defaultdict(lambda: [0, 0])
+    for src, vals in by_src.items():
+        for rk, (nc, did) in enumerate(sorted(vals), start=1):
+            ranked[did] = (src, nc, rk)
+            ref[rk][0] += 1
+            ref[rk][1] += nc
+    got = quantile_normalize(spark, sf_dir).collect()
+    assert len(got) == len(docs)
+    for row in got:
+        src, nc, rk = ranked[row["doc_id"]]
+        assert (row["source"], row["n_chars"], row["rank"]) == (src, nc, rk)
+        k, s = ref[rk]
+        assert math.isclose(row["normalized"], round(s / k, 6), abs_tol=1e-9)
+
+
+def test_qnorm_identical_distributions(spark, sf_dir):
+    """After normalization every source carries the SAME multiset of
+    normalized values — the defining property of quantile normalization."""
+    from fusionspark.queries.pipeline_queries import quantile_normalize
+
+    rows = quantile_normalize(spark, sf_dir).collect()
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r["normalized"])
+    dists = {s: sorted(v) for s, v in by_src.items()}
+    base = next(iter(dists.values()))
+    assert all(v == base for v in dists.values())
+    # and the within-source order is preserved: rank increases with value
+    one = sorted(
+        ((r["rank"], r["n_chars"]) for r in rows
+         if r["source"] == rows[0]["source"])
+    )
+    ncs = [nc for _, nc in one]
+    assert ncs == sorted(ncs)
