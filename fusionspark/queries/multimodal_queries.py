@@ -909,3 +909,56 @@ def png_interlaced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 6).alias("mean_intensity"),
         "pix_checksum",
     )
+
+
+@query(
+    "qoi_features",
+    """
+    SELECT doc_id,
+           ROUND(AVG(v), 6) AS mean_intensity,
+           SUM(v * (3 * kk + cc))::BIGINT AS pix_checksum
+    FROM (
+        SELECT doc_id, k.k AS kk, c.c AS cc,
+               ((doc_id * (CASE c.c WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 3 END)
+                 + CASE
+                     WHEN k.k >= 352 THEN 100 + (k.k - 352)
+                     WHEN k.k >= 320 THEN
+                          (CASE c.c WHEN 0 THEN 270 WHEN 1 THEN 450
+                                    ELSE 1080 END) + 5 * (k.k % 2)
+                     ELSE (CASE c.c WHEN 0 THEN 3 WHEN 1 THEN 5 ELSE 12 END)
+                          * ((k.k // 2) % 96)
+                   END) % 256)::DOUBLE AS v
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, 383)) AS k) k
+        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+    )
+    GROUP BY doc_id
+    """,
+)
+def qoi_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI codec path, oracle-attested (operators/qoi.py, the NINTH
+    container format — qoiformat.org spec 1.0): Spark encodes
+    deterministic 24x16 RGB images whose piecewise pixel law makes EVERY
+    QOI op fire (RUN from pixel doubling, LUMA from (3,5,12) channel
+    steps, RGB at the period-96 wrap, INDEX from an alternating-pixel
+    stretch, DIFF from a (1,1,1)-step tail), decodes them back through
+    the full chunk grammar (running 64-entry index, hash
+    (3r+5g+7b+11a) % 64, end-marker check), and aggregates the decoded
+    bytes; the oracle replays the closed-form per-(pixel, channel) law.
+    The position-weighted checksum sum(v * (3k + c)) pins every byte to
+    its (pixel, channel) slot, so a channel swap, run off-by-one, or
+    index-slot slip cannot hash-match.
+
+    Scale: payload synthesis and decode are Arrow-batched mapInPandas
+    kernels over the doc partition — zero shuffle until the per-image
+    1-row stats; binary payloads never become exchange keys (the
+    binaryFile-source contract of the other codecs)."""
+    from fusionspark.operators import qoi
+
+    m = qoi.synth_qoi_media(spark, sf_dir)
+    feats = qoi.qoi_feature_stats(m)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "pix_checksum",
+    )
