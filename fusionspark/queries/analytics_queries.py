@@ -6922,3 +6922,281 @@ def reg_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(1000 * F.col("br"), 6) + F.lit(0.0)).alias("slope_right_per_k"),
         (F.round(ir - il, 6) + F.lit(0.0)).alias("tau"),
     )
+
+
+@query(
+    "capture_recapture",
+    """
+    WITH horizon AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+    s1 AS (
+        SELECT DISTINCT user_id FROM events, horizon
+        WHERE ts::DATE = d0 + INTERVAL 4 DAY
+    ),
+    s2 AS (
+        SELECT DISTINCT user_id FROM events, horizon
+        WHERE ts::DATE = d0 + INTERVAL 19 DAY
+    ),
+    m AS (
+        SELECT (SELECT COUNT(*) FROM s1)::BIGINT AS n1,
+               (SELECT COUNT(*) FROM s2)::BIGINT AS n2,
+               (SELECT COUNT(*) FROM s1 JOIN s2 USING (user_id))::BIGINT AS m,
+               (SELECT COUNT(DISTINCT user_id) FROM events)::BIGINT AS n_true
+    )
+    SELECT n1, n2, m, n_true,
+           ROUND(CASE WHEN m > 0 THEN (n1 * n2)::DOUBLE / m END, 6)
+               AS lincoln_petersen,
+           ROUND(((n1 + 1) * (n2 + 1))::DOUBLE / (m + 1) - 1, 6)
+               AS chapman
+    FROM m
+    """,
+)
+def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen / Chapman capture-recapture estimate of the total
+    user population from two one-day "capture occasions" (days 5 and 20
+    of the horizon): N-hat = n1*n2/m from the marked-recapture overlap —
+    the ecology estimator data teams reuse to size a population no single
+    snapshot sees (how many distinct users exist, from two daily logs).
+    Chapman's (n1+1)(n2+1)/(m+1) - 1 is the small-sample bias correction;
+    n_true is emitted for the accuracy readout (pytest checks Chapman
+    lands within a factor of 2 under the uniform-activity corpus).
+
+    Parity: all four inputs are exact BIGINT distinct counts; each
+    estimator is ONE correctly-rounded division (m = 0 yields NULL in
+    both engines rather than an infinity).
+
+    Scale: two partition-prunable day filters + distinct aggregates with
+    map-side partials; the overlap is a join of two one-day user sets —
+    bounded by daily actives, not the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    ed = e.select("user_id", F.to_date("ts").alias("d")).crossJoin(
+        F.broadcast(d0)
+    )
+    s1 = ed.filter(F.col("d") == F.date_add("d0", 4)).select("user_id").distinct()
+    s2 = ed.filter(F.col("d") == F.date_add("d0", 19)).select("user_id").distinct()
+    c1 = s1.agg(F.count("*").cast("long").alias("n1"))
+    c2 = s2.agg(F.count("*").cast("long").alias("n2"))
+    cm = s1.join(s2, "user_id").agg(F.count("*").cast("long").alias("m"))
+    ct = e.agg(F.countDistinct("user_id").cast("long").alias("n_true"))
+    row = c1.crossJoin(c2).crossJoin(cm).crossJoin(ct)
+    return row.select(
+        "n1", "n2", "m", "n_true",
+        F.round(
+            F.when(F.col("m") > 0,
+                   (F.col("n1") * F.col("n2")).cast("double") / F.col("m")),
+            6,
+        ).alias("lincoln_petersen"),
+        F.round(
+            ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+            / (F.col("m") + 1)
+            - 1,
+            6,
+        ).alias("chapman"),
+    )
+
+
+# Gumbel method-of-moments constants as exact integer ratios (the
+# ab_power_mde convention): Euler-Mascheroni gamma and pi to 16 digits,
+# plus ln(-ln(1 - 1/100)) for the 100-block return level.
+_EVT_GAMMA_NUM = 5772156649015329  # / 1e16
+_EVT_PI_NUM = 3141592653589793  # / 1e15
+_EVT_LN_RL100_NUM = -4600149226776579  # / 1e15 = ln(-ln(0.99))
+
+
+@query(
+    "extreme_value_fit",
+    f"""
+    WITH daily AS (
+        SELECT ts::DATE AS d,
+               MAX(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS mx
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(mx)::BIGINT AS sx,
+               SUM(mx * mx)::BIGINT AS sxx
+        FROM daily
+    ),
+    fit AS (
+        SELECT n, sx, sxx,
+               sx::DOUBLE / n / 100 AS mean_max,
+               sqrt(6.0 * ((n * sxx - sx * sx)::DOUBLE / (n * (n - 1))))
+                   / ({_EVT_PI_NUM}::DOUBLE / 1000000000000000) / 100 AS beta
+        FROM s
+    )
+    SELECT n AS n_blocks,
+           ROUND(mean_max, 6) AS mean_block_max,
+           ROUND(beta, 6) AS scale_beta,
+           ROUND(mean_max
+                 - ({_EVT_GAMMA_NUM}::DOUBLE / 10000000000000000) * beta, 6)
+               AS location_mu,
+           ROUND(mean_max
+                 - ({_EVT_GAMMA_NUM}::DOUBLE / 10000000000000000) * beta
+                 - beta * ({_EVT_LN_RL100_NUM}::DOUBLE / 1000000000000000), 6)
+               AS return_level_100
+    FROM fit
+    """,
+)
+def extreme_value_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit of the daily maximum event value (block
+    maxima, method of moments): scale beta = s*sqrt(6)/pi, location mu =
+    mean - gamma*beta, and the 100-day return level mu - beta*ln(-ln(1 -
+    1/100)) — the capacity-planning question "what's the biggest value we
+    should expect over the next 100 days" (Gumbel 1958; the EVT
+    counterpart to hill_tail_index's power-law tail exponent).
+
+    Parity: block maxima are exact cents; n/S/Sxx are exact BIGINTs and
+    the variance is one division of integer products; gamma, pi, and the
+    ln(-ln(0.99)) constant enter as INTEGER-literal ratios (the
+    ab_power_mde decimal-literal-ulp-proof convention), sqrt is IEEE
+    correctly rounded, and every output is a fixed expression tree on
+    those doubles.
+
+    Scale: one groupBy(day) MAX with map-side combine collapses the
+    corpus; the fit runs on a single 3-integer row."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.max(F.round(F.col("value") * 100).cast("long")).cast("long").alias("mx")
+    )
+    s = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("sx"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("sxx"),
+    )
+    gamma = F.lit(_EVT_GAMMA_NUM).cast("double") / F.lit(10**16).cast("double")
+    pi = F.lit(_EVT_PI_NUM).cast("double") / F.lit(10**15).cast("double")
+    lnrl = F.lit(_EVT_LN_RL100_NUM).cast("double") / F.lit(10**15).cast("double")
+    mean_max = F.col("sx").cast("double") / F.col("n") / 100
+    beta = (
+        F.sqrt(
+            6.0
+            * (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                / (F.col("n") * (F.col("n") - 1))
+            )
+        )
+        / pi
+        / 100
+    )
+    fit = s.select(
+        "n", mean_max.alias("mean_max"), beta.alias("beta")
+    )
+    mu = F.col("mean_max") - gamma * F.col("beta")
+    return fit.select(
+        F.col("n").alias("n_blocks"),
+        F.round("mean_max", 6).alias("mean_block_max"),
+        F.round("beta", 6).alias("scale_beta"),
+        F.round(mu, 6).alias("location_mu"),
+        F.round(mu - F.col("beta") * lnrl, 6).alias("return_level_100"),
+    )
+
+
+@query(
+    "durbin_watson",
+    """
+    WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    cnts AS (
+        SELECT ts::DATE AS d, COUNT(*)::BIGINT AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tl AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY days.d)::BIGINT AS t,
+               COALESCE(cnts.y, 0)::BIGINT AS y
+        FROM days LEFT JOIN cnts ON cnts.d = days.d
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(t)::BIGINT AS st,
+               SUM(y)::BIGINT AS sy, SUM(t * y)::BIGINT AS sty,
+               SUM(t * t)::BIGINT AS stt
+        FROM tl
+    ),
+    coef AS (
+        SELECT n, (n * stt - st * st)::BIGINT AS det,
+               (n * sty - st * sy)::BIGINT AS bnum,
+               (sy * stt - st * sty)::BIGINT AS anum
+        FROM s
+    ),
+    res AS (
+        SELECT tl.t, (coef.det * tl.y - coef.anum - coef.bnum * tl.t)::BIGINT
+                   AS e
+        FROM tl, coef
+    ),
+    dd AS (
+        SELECT SUM(e * e)::BIGINT AS see,
+               SUM(CASE WHEN pe IS NULL THEN 0
+                        ELSE (e - pe) * (e - pe) END)::BIGINT AS sdd
+        FROM (SELECT e, LAG(e) OVER (ORDER BY t) AS pe FROM res)
+    )
+    SELECT (SELECT n FROM coef) AS n,
+           ROUND(sdd::DOUBLE / see, 6) AS dw,
+           ROUND(1.0 - (sdd::DOUBLE / see) / 2, 6) + 0.0 AS rho_approx
+    FROM dd
+    """,
+)
+def durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the OLS-trend residuals of the daily
+    purchase series — the lag-1 serial-correlation diagnostic a forecast
+    fit reports next to ljung_box's portmanteau: DW = sum((e_t -
+    e_{t-1})^2) / sum(e_t^2), ~2 under independence, <2 positive
+    autocorrelation (Durbin & Watson 1950).
+
+    Parity: with det = n*Stt - St^2, the D-SCALED residuals e~_t = det*y_t
+    - anum - bnum*t are EXACT BIGINTs (the rational OLS intercept/slope
+    never materialize as floats; the common factor det cancels in the DW
+    ratio), so both folds are exact integer sums and DW is ONE
+    correctly-rounded division.  |e~| ~ det * residual ~ 7e10 at sf1's
+    count scale — squares stay inside int64 because residuals are
+    O(series noise), orders below the raw terms.  rho_approx can round
+    to a signed zero, hence `+ 0.0`.
+
+    Scale: one groupBy(day) collapses the corpus; the OLS closed form,
+    scaled residuals, and lag window all run on the |days|-row timeline."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    cnts = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    tl = (
+        days.join(cnts, "d", "left")
+        .select("d", F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+        .select(
+            F.row_number().over(Window.orderBy("d")).cast("long").alias("t"), "y"
+        )
+    )
+    s = tl.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    )
+    coef = s.select(
+        "n",
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias("det"),
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).alias("bnum"),
+        (F.col("sy") * F.col("stt") - F.col("st") * F.col("sty")).alias("anum"),
+    )
+    res = tl.crossJoin(F.broadcast(coef)).select(
+        "t", "n",
+        (F.col("det") * F.col("y") - F.col("anum") - F.col("bnum") * F.col("t"))
+        .alias("e"),
+    )
+    lagged = res.select(
+        "n", "e", F.lag("e").over(Window.orderBy("t")).alias("pe")
+    )
+    dd = lagged.groupBy("n").agg(
+        F.sum(F.col("e") * F.col("e")).cast("long").alias("see"),
+        F.sum(
+            F.when(F.col("pe").isNull(), 0).otherwise(
+                (F.col("e") - F.col("pe")) * (F.col("e") - F.col("pe"))
+            )
+        ).cast("long").alias("sdd"),
+    )
+    dw = F.col("sdd").cast("double") / F.col("see")
+    return dd.select(
+        "n",
+        F.round(dw, 6).alias("dw"),
+        (F.round(1.0 - dw / 2, 6) + F.lit(0.0)).alias("rho_approx"),
+    )

@@ -805,3 +805,133 @@ def test_qnorm_identical_distributions(spark, sf_dir):
     )
     ncs = [nc for _, nc in one]
     assert ncs == sorted(ncs)
+
+
+# ---------------------------------------------------------------------------
+# capture_recapture
+# ---------------------------------------------------------------------------
+
+
+def test_capture_recapture_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import capture_recapture
+
+    rows = _events(sf_dir)
+    d0 = min(r["ts"].date() for r in rows)
+    import datetime
+
+    s1 = {r["user_id"] for r in rows
+          if r["ts"].date() == d0 + datetime.timedelta(days=4)}
+    s2 = {r["user_id"] for r in rows
+          if r["ts"].date() == d0 + datetime.timedelta(days=19)}
+    m = len(s1 & s2)
+    n_true = len({r["user_id"] for r in rows})
+    got = capture_recapture(spark, sf_dir).collect()[0]
+    assert (got["n1"], got["n2"], got["m"], got["n_true"]) == (
+        len(s1), len(s2), m, n_true,
+    )
+    if m:
+        assert math.isclose(got["lincoln_petersen"],
+                            round(len(s1) * len(s2) / m, 6), abs_tol=1e-9)
+    chapman = (len(s1) + 1) * (len(s2) + 1) / (m + 1) - 1
+    assert math.isclose(got["chapman"], round(chapman, 6), abs_tol=1e-9)
+    # under uniform activity the estimator should land near the truth
+    assert n_true / 2 <= chapman <= n_true * 2
+
+
+def test_capture_recapture_exact_on_uniform_population():
+    """Law: if both occasions sample the SAME full population, LP == N
+    exactly (m == n1 == n2 == N)."""
+    n = 500
+    lp = (n * n) / n
+    assert lp == n
+
+
+# ---------------------------------------------------------------------------
+# extreme_value_fit
+# ---------------------------------------------------------------------------
+
+
+def test_evt_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import extreme_value_fit
+
+    rows = _events(sf_dir)
+    mx = {}
+    for r in rows:
+        d = r["ts"].date()
+        c = _round_away(r["value"] * 100)
+        mx[d] = max(mx.get(d, 0), c)
+    xs = list(mx.values())
+    n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+    mean = sx / n / 100
+    var = (n * sxx - sx * sx) / (n * (n - 1))
+    gamma = 5772156649015329 / 10**16
+    pi = 3141592653589793 / 10**15
+    lnrl = -4600149226776579 / 10**15
+    beta = math.sqrt(6.0 * var) / pi / 100
+    mu = mean - gamma * beta
+    got = extreme_value_fit(spark, sf_dir).collect()[0]
+    assert got["n_blocks"] == n
+    assert math.isclose(got["mean_block_max"], round(mean, 6), abs_tol=1e-9)
+    assert math.isclose(got["scale_beta"], round(beta, 6), abs_tol=1e-9)
+    assert math.isclose(got["location_mu"], round(mu, 6), abs_tol=1e-9)
+    assert math.isclose(got["return_level_100"], round(mu - beta * lnrl, 6),
+                        abs_tol=1e-9)
+    # EVT sanity: the 100-block return level exceeds the mean block max
+    assert got["return_level_100"] > got["mean_block_max"]
+
+
+def test_evt_return_level_exceeds_observed_quantile():
+    """Law: for Gumbel MoM on any non-degenerate sample, RL(100) > mu
+    (since -ln(-ln(0.99)) > 0) and mu < mean."""
+    lnrl = -4600149226776579 / 10**15
+    assert lnrl < 0  # so mu - beta*lnrl > mu for beta > 0
+    gamma = 5772156649015329 / 10**16
+    assert gamma > 0  # so mu < mean
+
+
+# ---------------------------------------------------------------------------
+# durbin_watson
+# ---------------------------------------------------------------------------
+
+
+def _dw_python(ys):
+    n = len(ys)
+    st = n * (n + 1) // 2
+    stt = sum((t + 1) ** 2 for t in range(n))
+    sy = sum(ys)
+    sty = sum((t + 1) * y for t, y in enumerate(ys))
+    det = n * stt - st * st
+    bnum = n * sty - st * sy
+    anum = sy * stt - st * sty
+    e = [det * y - anum - bnum * (t + 1) for t, y in enumerate(ys)]
+    see = sum(v * v for v in e)
+    sdd = sum((a - b) ** 2 for a, b in zip(e[1:], e))
+    return n, sdd / see
+
+
+def test_dw_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import durbin_watson
+
+    rows = _events(sf_dir)
+    days = sorted({r["ts"].date() for r in rows})
+    cnt = collections.Counter(
+        r["ts"].date() for r in rows if r["event_type"] == "purchase"
+    )
+    ys = [cnt.get(d, 0) for d in days]
+    n, dw = _dw_python(ys)
+    got = durbin_watson(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert math.isclose(got["dw"], round(dw, 6), abs_tol=1e-9)
+    assert math.isclose(got["rho_approx"], round(1 - dw / 2, 6), abs_tol=1e-9)
+
+
+def test_dw_detects_planted_autocorrelation():
+    """Laws: an alternating residual pattern drives DW toward 4 (negative
+    autocorrelation); a slow sine-like drift drives DW toward 0; pure
+    trend lines have zero residuals (DW undefined — excluded)."""
+    alt = [100 + (10 if t % 2 == 0 else -10) for t in range(40)]
+    _, dw_alt = _dw_python(alt)
+    assert dw_alt > 3.0
+    drift = [100 + (t % 20 < 10) * 30 for t in range(40)]
+    _, dw_drift = _dw_python(drift)
+    assert dw_drift < 1.0
