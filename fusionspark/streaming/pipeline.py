@@ -697,3 +697,136 @@ def funnel_levels_from_state(spark, state_path: str) -> DataFrame:
         .groupBy("level")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def maintain_viterbi_stream(
+    event_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+):
+    """Streaming maintenance of the per-user Viterbi DP state (the
+    `viterbi_decode` contract, run continuously): state is each user's
+    exact max-plus vector [v0, v1] plus the event count; each micro-batch
+    folds its events — per user, (ts, event_id)-ordered — ON TOP of the
+    stored vector.  Because the DP is a left fold in exact BIGINT
+    max-plus algebra, composition over ANY batch slicing equals the batch
+    fold over the whole history (the monotone-source contract of
+    maintain_funnel_stream: per-user event-time order across batches).
+    A user's FIRST event ever pays start + emission, not a transition —
+    the accumulator carries the count so the fold can tell (n == 0) apart
+    from (state restored from disk).
+
+    Same exactly-once machinery as maintain_rollup_stream: applied-batch
+    marker INSIDE the state dir, rename-swap landing, crash-recovery of
+    a half-swapped .old."""
+    import shutil
+
+    from fusionspark.queries.analytics_queries import (
+        _VIT_EMIT,
+        _VIT_START,
+        _VIT_T,
+    )
+
+    spark = event_stream.sparkSession
+    t00, t01, t10, t11 = _VIT_T
+
+    def fold(a, x):
+        v0, v1, n = F.element_at(a, 1), F.element_at(a, 2), F.element_at(a, 3)
+        e0, e1 = F.element_at(x, 3), F.element_at(x, 4)
+        return F.when(
+            n == 0,
+            F.array(
+                F.lit(_VIT_START[0]) + e0, F.lit(_VIT_START[1]) + e1, F.lit(1)
+            ),
+        ).otherwise(
+            F.array(
+                F.greatest(v0 + t00, v1 + t10) + e0,
+                F.greatest(v0 + t01, v1 + t11) + e1,
+                n + 1,
+            )
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        old = state_path + ".old"
+        if not os.path.exists(state_path) and os.path.exists(old):
+            os.rename(old, state_path)
+        marker = os.path.join(state_path, "_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip() or -1) >= batch_id:
+                    return
+        e0 = F.lit(None).cast("long")
+        e1 = F.lit(None).cast("long")
+        for t, (a, b) in _VIT_EMIT.items():
+            e0 = F.when(F.col("event_type") == t, F.lit(a)).otherwise(e0)
+            e1 = F.when(F.col("event_type") == t, F.lit(b)).otherwise(e1)
+        ev = batch_df.select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.col("event_id").cast("long").alias("event_id"),
+            e0.alias("e0"),
+            e1.alias("e1"),
+        )
+        arrs = ev.groupBy("user_id").agg(
+            F.array_sort(
+                F.collect_list(F.array("t", "event_id", "e0", "e1"))
+            ).alias("evs")
+        )
+        if os.path.exists(state_path):
+            state = spark.read.parquet(state_path).select(
+                "user_id", "v0", "v1", "n_events"
+            )
+        else:
+            state = spark.createDataFrame(
+                [], "user_id long, v0 long, v1 long, n_events long"
+            )
+        j = arrs.join(state, "user_id", "full_outer")
+        init = F.array(
+            F.coalesce(F.col("v0"), F.lit(0)),
+            F.coalesce(F.col("v1"), F.lit(0)),
+            F.coalesce(F.col("n_events"), F.lit(0)),
+        )
+        folded = F.aggregate(
+            F.coalesce(F.col("evs"), F.array().cast("array<array<bigint>>")),
+            init,
+            fold,
+        )
+        merged = j.select(
+            "user_id",
+            F.element_at(folded, 1).alias("v0"),
+            F.element_at(folded, 2).alias("v1"),
+            F.element_at(folded, 3).alias("n_events"),
+        )
+        tmp = state_path + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(state_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        event_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def viterbi_from_state(spark, state_path: str) -> DataFrame:
+    """Read the Viterbi state table into the batch `viterbi_decode` output
+    shape: top-200 users by exact integer score."""
+    s = spark.read.parquet(state_path)
+    return (
+        s.select(
+            "user_id",
+            "n_events",
+            F.greatest("v0", "v1").cast("long").alias("viterbi_score"),
+            F.when(F.col("v1") > F.col("v0"), 1).otherwise(0).cast("int")
+            .alias("final_state"),
+        )
+        .orderBy(F.col("viterbi_score").desc(), F.col("user_id").asc())
+        .limit(200)
+    )

@@ -907,3 +907,76 @@ def test_funnel_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(state).collect()
     )
     assert after == before
+
+
+def test_viterbi_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming Viterbi DP state: the corpus history sliced into three
+    TIME-ORDERED micro-batches and folded incrementally must reproduce
+    the batch viterbi_decode output exactly (exact max-plus BIGINT
+    algebra composes over any slicing), and a replayed batch must be a
+    no-op."""
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from fusionspark.io import load_table
+    from fusionspark.queries.analytics_queries import viterbi_decode
+    from fusionspark.streaming.pipeline import (
+        maintain_viterbi_stream,
+        viterbi_from_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    n = ev.count()
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(W.orderBy("ts", "event_id"))
+    )
+    src = tmp_path / "src"
+    for lo, hi in ((1, n // 3), (n // 3 + 1, 2 * n // 3), (2 * n // 3 + 1, n)):
+        (
+            ranked.filter((F.col("rn") >= lo) & (F.col("rn") <= hi))
+            .drop("rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "state")
+    q = maintain_viterbi_stream(stream, state, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    got = [
+        (r.user_id, r.n_events, r.viterbi_score, r.final_state)
+        for r in viterbi_from_state(spark, state).collect()
+    ]
+    expect = [
+        (r.user_id, r.n_events, r.viterbi_score, r.final_state)
+        for r in viterbi_decode(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+    before = sorted(
+        (r.user_id, r.v0, r.v1, r.n_events)
+        for r in spark.read.parquet(state).collect()
+    )
+    q2 = maintain_viterbi_stream(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        state,
+        str(tmp_path / "ck"),
+    )
+    q2.awaitTermination(120)
+    after = sorted(
+        (r.user_id, r.v0, r.v1, r.n_events)
+        for r in spark.read.parquet(state).collect()
+    )
+    assert after == before
