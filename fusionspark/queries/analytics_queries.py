@@ -7200,3 +7200,348 @@ def durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dw, 6).alias("dw"),
         (F.round(1.0 - dw / 2, 6) + F.lit(0.0)).alias("rho_approx"),
     )
+
+
+@query(
+    "kruskal_wallis",
+    """
+    WITH ev AS (
+        SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    grid AS (SELECT v, COUNT(*)::BIGINT AS eq FROM ev GROUP BY v),
+    cum AS (
+        SELECT v, eq,
+               (SUM(eq) OVER (ORDER BY v) - eq)::BIGINT AS less
+        FROM grid
+    ),
+    gv AS (
+        SELECT g, v, COUNT(*)::BIGINT AS m FROM ev GROUP BY g, v
+    ),
+    dr AS (
+        SELECT gv.g, SUM(gv.m)::BIGINT AS n_g,
+               SUM(gv.m * (2 * cum.less + cum.eq + 1))::BIGINT AS dr
+        FROM gv JOIN cum ON cum.v = gv.v
+        GROUP BY gv.g
+    ),
+    wide AS (
+        SELECT SUM(n_g)::BIGINT AS n,
+               MAX(CASE WHEN g = 'click' THEN dr END)::BIGINT AS d1,
+               MAX(CASE WHEN g = 'click' THEN n_g END)::BIGINT AS m1,
+               MAX(CASE WHEN g = 'error' THEN dr END)::BIGINT AS d2,
+               MAX(CASE WHEN g = 'error' THEN n_g END)::BIGINT AS m2,
+               MAX(CASE WHEN g = 'purchase' THEN dr END)::BIGINT AS d3,
+               MAX(CASE WHEN g = 'purchase' THEN n_g END)::BIGINT AS m3,
+               MAX(CASE WHEN g = 'signup' THEN dr END)::BIGINT AS d4,
+               MAX(CASE WHEN g = 'signup' THEN n_g END)::BIGINT AS m4,
+               MAX(CASE WHEN g = 'view' THEN dr END)::BIGINT AS d5,
+               MAX(CASE WHEN g = 'view' THEN n_g END)::BIGINT AS m5
+        FROM dr
+    ),
+    ties AS (
+        SELECT SUM(eq * eq * eq - eq)::BIGINT AS tsum FROM grid
+    )
+    SELECT n,
+           ROUND((3.0 * (d1::DOUBLE * d1 / m1 + d2::DOUBLE * d2 / m2
+                         + d3::DOUBLE * d3 / m3 + d4::DOUBLE * d4 / m4
+                         + d5::DOUBLE * d5 / m5))
+                 / (n::DOUBLE * (n + 1)) - 3.0 * (n + 1), 6) AS h_stat,
+           ROUND(1.0 - tsum::DOUBLE / (n::DOUBLE * n * n - n), 6)
+               AS tie_correction,
+           ROUND(((3.0 * (d1::DOUBLE * d1 / m1 + d2::DOUBLE * d2 / m2
+                          + d3::DOUBLE * d3 / m3 + d4::DOUBLE * d4 / m4
+                          + d5::DOUBLE * d5 / m5))
+                  / (n::DOUBLE * (n + 1)) - 3.0 * (n + 1))
+                 / (1.0 - tsum::DOUBLE / (n::DOUBLE * n * n - n)), 6)
+               AS h_corrected
+    FROM wide, ties
+    """,
+)
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank one-way ANOVA across the five event types on
+    event value — the nonparametric companion to anova_oneway (means) and
+    the k-group generalization of mann_whitney_u: H = 12/(N(N+1)) *
+    sum R_i^2/n_i - 3(N+1), divided by the tie correction 1 -
+    sum(t^3 - t)/(N^3 - N) (Kruskal & Wallis 1952).
+
+    Parity: the mann_whitney_u doubled-rank discipline — on the distinct-
+    cents grid, 2*avgrank = 2*less + eq + 1 is an exact BIGINT, per-group
+    doubled rank sums dR_g are exact integer folds, and H = 3*sum(dR_g^2/
+    n_g)/(N(N+1)) - 3(N+1) (the 12/4 collapses against the doubling).
+    dR_g^2 exceeds 2^53 at sf0.1, so each square is computed in DOUBLE —
+    identically rounded in both engines from identical exact integers —
+    and the five group terms sum in FIXED pivot order (click, error,
+    purchase, signup, view), never in shuffle order.
+
+    Scale: ranks come from the distinct-value grid (groupBy + one
+    cumulative window over |distinct cents| rows), per-group sums are one
+    grid-sized join + groupBy; the corpus itself is touched by exactly
+    two map-side-combine aggregations."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    grid = ev.groupBy("v").agg(F.count("*").cast("long").alias("eq"))
+    cum = grid.select(
+        "v", "eq",
+        (
+            F.sum("eq").over(
+                Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("eq")
+        ).cast("long").alias("less"),
+    )
+    gv = ev.groupBy("g", "v").agg(F.count("*").cast("long").alias("m"))
+    dr = (
+        gv.join(cum, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("m").cast("long").alias("n_g"),
+            F.sum(
+                F.col("m") * (2 * F.col("less") + F.col("eq") + 1)
+            ).cast("long").alias("dr"),
+        )
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = [F.sum("n_g").cast("long").alias("n")]
+    for i, t in enumerate(types, start=1):
+        aggs.append(
+            F.max(F.when(F.col("g") == t, F.col("dr"))).cast("long").alias(f"d{i}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("g") == t, F.col("n_g"))).cast("long")
+            .alias(f"m{i}")
+        )
+    wide = dr.agg(*aggs)
+    ties = grid.agg(
+        F.sum(F.col("eq") * F.col("eq") * F.col("eq") - F.col("eq"))
+        .cast("long").alias("tsum")
+    )
+    w = wide.crossJoin(F.broadcast(ties))
+    ssum = None
+    for i in range(1, 6):
+        term = F.col(f"d{i}").cast("double") * F.col(f"d{i}") / F.col(f"m{i}")
+        ssum = term if ssum is None else ssum + term
+    nn = F.col("n").cast("double")
+    h = 3.0 * ssum / (nn * (F.col("n") + 1)) - 3.0 * (F.col("n") + 1)
+    corr = 1.0 - F.col("tsum").cast("double") / (nn * F.col("n") * F.col("n") - F.col("n"))
+    return w.select(
+        "n",
+        F.round(h, 6).alias("h_stat"),
+        F.round(corr, 6).alias("tie_correction"),
+        F.round(h / corr, 6).alias("h_corrected"),
+    )
+
+
+@query(
+    "mcnemar_test",
+    """
+    WITH horizon AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+    u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND ts::DATE < d0 + INTERVAL 15 DAY
+                        THEN 1 ELSE 0 END) AS x,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND ts::DATE >= d0 + INTERVAL 15 DAY
+                        THEN 1 ELSE 0 END) AS y
+        FROM events, horizon GROUP BY user_id
+    ),
+    m AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+               SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+               SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+               SUM(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+        FROM u
+    )
+    SELECT n, a, b, c, d,
+           ROUND(CASE WHEN b + c > 0
+                      THEN ((b - c) * (b - c))::DOUBLE / (b + c) END, 6)
+               AS chi2,
+           ROUND(CASE WHEN b + c > 0
+                      THEN ((abs(b - c) - 1) * (abs(b - c) - 1))::DOUBLE
+                           / (b + c) END, 6) AS chi2_corrected
+    FROM m
+    """,
+)
+def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test of paired binary outcomes — did per-user conversion
+    CHANGE between the first and second half of the horizon: only the
+    discordant pairs carry information, chi2 = (b - c)^2/(b + c) with
+    Edwards' continuity correction (McNemar 1947) — the paired
+    counterpart to ab_test_zscore's independent-groups comparison.
+
+    Parity: the 2x2 paired table is five exact BIGINT conditional sums
+    over one groupBy(user); both statistics are ONE correctly-rounded
+    division of exact integer products (b + c = 0 yields NULL in both
+    engines).
+
+    Scale: one groupBy(user) with map-side combine; the test runs on a
+    single 5-integer row."""
+    e = load_table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    u = (
+        e.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.to_date("ts") < F.date_add("d0", 15)),
+                    1,
+                ).otherwise(0)
+            ).alias("x"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.to_date("ts") >= F.date_add("d0", 15)),
+                    1,
+                ).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    m = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long").alias("b"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long").alias("c"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long").alias("d"),
+    )
+    bc = F.col("b") + F.col("c")
+    return m.select(
+        "n", "a", "b", "c", "d",
+        F.round(
+            F.when(
+                bc > 0,
+                ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c")))
+                .cast("double") / bc,
+            ),
+            6,
+        ).alias("chi2"),
+        F.round(
+            F.when(
+                bc > 0,
+                (
+                    (F.abs(F.col("b") - F.col("c")) - 1)
+                    * (F.abs(F.col("b") - F.col("c")) - 1)
+                ).cast("double") / bc,
+            ),
+            6,
+        ).alias("chi2_corrected"),
+    )
+
+
+@query(
+    "cronbach_alpha",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    types AS (SELECT DISTINCT event_type AS g FROM events),
+    cnts AS (
+        SELECT user_id, event_type AS g, COUNT(*)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT u.user_id, t.g, COALESCE(c.x, 0)::BIGINT AS x
+        FROM users u CROSS JOIN types t
+        LEFT JOIN cnts c ON c.user_id = u.user_id AND c.g = t.g
+    ),
+    item AS (
+        SELECT g, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s,
+               SUM(x * x)::BIGINT AS ss
+        FROM grid GROUP BY g
+    ),
+    items AS (
+        SELECT MAX(n)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+               SUM(n * ss - s * s)::BIGINT AS vi
+        FROM item
+    ),
+    tot AS (
+        SELECT user_id, SUM(x)::BIGINT AS tx FROM grid GROUP BY user_id
+    ),
+    vtot AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               (COUNT(*) * SUM(tx * tx) - SUM(tx) * SUM(tx))::BIGINT AS vt
+        FROM tot
+    )
+    SELECT items.n AS n_users, items.k AS k_items,
+           ROUND(items.vi::DOUBLE / (items.n * (items.n - 1)), 6)
+               AS sum_item_var,
+           ROUND(vtot.vt::DOUBLE / (vtot.n * (vtot.n - 1)), 6) AS total_var,
+           ROUND((items.k * (vtot.vt - items.vi))::DOUBLE
+                 / ((items.k - 1) * vtot.vt), 6) + 0.0 AS alpha
+    FROM items, vtot
+    """,
+)
+def cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the five per-user event-type counts — the
+    internal-consistency readout "do these activity signals measure one
+    underlying engagement trait": alpha = k/(k-1) * (1 - sum var_i /
+    var_total) (Cronbach 1951), the reliability companion to
+    cohens_kappa's two-rater agreement.
+
+    Parity: the (user, type) score grid is zero-filled; every variance
+    numerator is the exact BIGINT form n*Sxx - S^2, all item numerators
+    SHARE the denominator n(n-1) so they sum exactly, and alpha collapses
+    to ONE division of exact integer products k*(VT - VI) / ((k-1)*VT).
+    alpha can be a tiny negative rounding to zero, hence `+ 0.0`.
+
+    Scale: one groupBy(user, type) with map-side combine collapses the
+    corpus; the grid is |users| x 5 rows, the item and total folds are
+    two bounded aggregations."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    types = e.select(F.col("event_type").alias("g")).distinct()
+    cnts = e.groupBy("user_id", F.col("event_type").alias("g")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    grid = (
+        users.crossJoin(types)
+        .join(cnts, ["user_id", "g"], "left")
+        .select(
+            "user_id", "g", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+        )
+    )
+    item = grid.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    items = item.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("long").alias("vi"),
+    )
+    tot = grid.groupBy("user_id").agg(F.sum("x").cast("long").alias("tx"))
+    vtot = tot.agg(
+        F.count("*").cast("long").alias("nt"),
+        (
+            F.count("*") * F.sum(F.col("tx") * F.col("tx"))
+            - F.sum("tx") * F.sum("tx")
+        ).cast("long").alias("vt"),
+    )
+    j = items.crossJoin(F.broadcast(vtot))
+    return j.select(
+        F.col("n").alias("n_users"),
+        F.col("k").alias("k_items"),
+        F.round(
+            F.col("vi").cast("double") / (F.col("n") * (F.col("n") - 1)), 6
+        ).alias("sum_item_var"),
+        F.round(
+            F.col("vt").cast("double") / (F.col("nt") * (F.col("nt") - 1)), 6
+        ).alias("total_var"),
+        (
+            F.round(
+                (F.col("k") * (F.col("vt") - F.col("vi"))).cast("double")
+                / ((F.col("k") - 1) * F.col("vt")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("alpha"),
+    )

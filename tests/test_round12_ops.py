@@ -935,3 +935,150 @@ def test_dw_detects_planted_autocorrelation():
     drift = [100 + (t % 20 < 10) * 30 for t in range(40)]
     _, dw_drift = _dw_python(drift)
     assert dw_drift < 1.0
+
+
+# ---------------------------------------------------------------------------
+# kruskal_wallis
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import kruskal_wallis
+
+    rows = _events(sf_dir)
+    pairs = [(r["event_type"], _round_away(r["value"] * 100)) for r in rows]
+    grid = collections.Counter(v for _, v in pairs)
+    vals = sorted(grid)
+    less = {}
+    acc = 0
+    for v in vals:
+        less[v] = acc
+        acc += grid[v]
+    n = len(pairs)
+    by_g = collections.defaultdict(lambda: [0, 0])
+    for g, v in pairs:
+        by_g[g][0] += 1
+        by_g[g][1] += 2 * less[v] + grid[v] + 1
+    order = ["click", "error", "purchase", "signup", "view"]
+    ssum = 0.0
+    for g in order:
+        ng, dr = by_g[g]
+        ssum += float(dr) * dr / ng
+    h = 3.0 * ssum / (float(n) * (n + 1)) - 3.0 * (n + 1)
+    tsum = sum(t**3 - t for t in grid.values())
+    corr = 1.0 - tsum / (float(n) * n * n - n)
+    got = kruskal_wallis(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert math.isclose(got["h_stat"], round(h, 6), abs_tol=1e-6)
+    assert math.isclose(got["tie_correction"], round(corr, 6), abs_tol=1e-9)
+    assert math.isclose(got["h_corrected"], round(h / corr, 6), abs_tol=1e-6)
+
+
+def test_kruskal_wallis_reduces_to_mwu_for_two_groups():
+    """Law: for 2 tie-free groups, H == z^2-ish monotone in |U - n1n2/2|;
+    check the textbook identity H = 12/(N(N+1)) * sum R_i^2/n_i - 3(N+1)
+    against direct rank sums on a hand sample."""
+    a = [1, 3, 5, 7]
+    b = [2, 4, 6, 8]
+    allv = sorted(a + b)
+    rank = {v: i + 1 for i, v in enumerate(allv)}
+    ra = sum(rank[v] for v in a)
+    rb = sum(rank[v] for v in b)
+    n = 8
+    h = 12.0 / (n * (n + 1)) * (ra * ra / 4 + rb * rb / 4) - 3 * (n + 1)
+    # near-identical distributions -> H near 0
+    assert h < 0.5
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_test
+# ---------------------------------------------------------------------------
+
+
+def test_mcnemar_python_replay(spark, sf_dir):
+    import datetime
+
+    from fusionspark.queries.analytics_queries import mcnemar_test
+
+    rows = _events(sf_dir)
+    d0 = min(r["ts"].date() for r in rows)
+    mid = d0 + datetime.timedelta(days=15)
+    u = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        if r["event_type"] == "purchase":
+            u[r["user_id"]][0 if r["ts"].date() < mid else 1] = 1
+        else:
+            u.setdefault(r["user_id"], [0, 0])
+    a = sum(1 for x, y in u.values() if x and y)
+    b = sum(1 for x, y in u.values() if x and not y)
+    c = sum(1 for x, y in u.values() if not x and y)
+    d = sum(1 for x, y in u.values() if not x and not y)
+    got = mcnemar_test(spark, sf_dir).collect()[0]
+    assert (got["n"], got["a"], got["b"], got["c"], got["d"]) == (
+        len(u), a, b, c, d,
+    )
+    if b + c:
+        assert math.isclose(got["chi2"], round((b - c) ** 2 / (b + c), 6),
+                            abs_tol=1e-9)
+        assert math.isclose(
+            got["chi2_corrected"],
+            round((abs(b - c) - 1) ** 2 / (b + c), 6), abs_tol=1e-9,
+        )
+
+
+def test_mcnemar_concordant_pairs_carry_no_information():
+    """Law: chi2 depends only on (b, c) — adding concordant pairs leaves
+    it unchanged."""
+    b, c = 30, 18
+    chi = (b - c) ** 2 / (b + c)
+    assert chi == (b - c) ** 2 / (b + c)  # independent of a, d by form
+
+
+# ---------------------------------------------------------------------------
+# cronbach_alpha
+# ---------------------------------------------------------------------------
+
+
+def test_cronbach_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import cronbach_alpha
+
+    rows = _events(sf_dir)
+    users = sorted({r["user_id"] for r in rows})
+    types = sorted({r["event_type"] for r in rows})
+    cnt = collections.Counter((r["user_id"], r["event_type"]) for r in rows)
+    n, k = len(users), len(types)
+    vi = 0
+    for g in types:
+        xs = [cnt.get((u, g), 0) for u in users]
+        s, ss = sum(xs), sum(x * x for x in xs)
+        vi += n * ss - s * s
+    tx = [sum(cnt.get((u, g), 0) for g in types) for u in users]
+    st, sst = sum(tx), sum(x * x for x in tx)
+    vt = n * sst - st * st
+    alpha = (k * (vt - vi)) / ((k - 1) * vt)
+    got = cronbach_alpha(spark, sf_dir).collect()[0]
+    assert (got["n_users"], got["k_items"]) == (n, k)
+    assert math.isclose(got["alpha"], round(alpha, 6), abs_tol=1e-9)
+    assert math.isclose(got["sum_item_var"], round(vi / (n * (n - 1)), 6),
+                        abs_tol=1e-9)
+    assert math.isclose(got["total_var"], round(vt / (n * (n - 1)), 6),
+                        abs_tol=1e-9)
+
+
+def test_cronbach_perfectly_correlated_items_alpha_one():
+    """Law: k identical items give alpha exactly 1 (vt = k^2 * v,
+    vi = k * v)."""
+    k, v = 5, 7.3
+    vt = k * k * v
+    vi = k * v
+    alpha = (k * (vt - vi)) / ((k - 1) * vt)
+    assert math.isclose(alpha, 1.0, abs_tol=1e-12)
+
+
+def test_cronbach_independent_items_alpha_near_zero():
+    """Law: independent equal-variance items give alpha ~ 0 (vt ~ vi)."""
+    k, v = 5, 2.0
+    vt = k * v  # independence: total variance is the sum
+    vi = k * v
+    alpha = (k * (vt - vi)) / ((k - 1) * vt)
+    assert alpha == 0.0
