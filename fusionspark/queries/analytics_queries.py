@@ -7545,3 +7545,217 @@ def cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("alpha"),
     )
+
+
+@query(
+    "friedman_test",
+    """
+    WITH grid AS (
+        SELECT ts::DATE AS d, event_type AS g, COUNT(*)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    ),
+    full_grid AS (
+        SELECT dy.d, t.g, COALESCE(grid.x, 0)::BIGINT AS x
+        FROM (SELECT DISTINCT ts::DATE AS d FROM events) dy
+        CROSS JOIN (SELECT DISTINCT event_type AS g FROM events) t
+        LEFT JOIN grid ON grid.d = dy.d AND grid.g = t.g
+    ),
+    ranked AS (
+        SELECT a.d, a.g,
+               SUM(CASE WHEN b.x < a.x THEN 2
+                        WHEN b.x = a.x THEN 1 ELSE 0 END)::BIGINT + 1 AS dr
+        FROM full_grid a JOIN full_grid b ON b.d = a.d
+        GROUP BY a.d, a.g
+    ),
+    rsum AS (
+        SELECT g, SUM(dr)::BIGINT AS r FROM ranked GROUP BY g
+    ),
+    wide AS (
+        SELECT (SELECT COUNT(DISTINCT d) FROM full_grid)::BIGINT AS n,
+               (SELECT COUNT(DISTINCT g) FROM full_grid)::BIGINT AS k,
+               MAX(CASE WHEN g = 'click' THEN r END)::BIGINT AS r1,
+               MAX(CASE WHEN g = 'error' THEN r END)::BIGINT AS r2,
+               MAX(CASE WHEN g = 'purchase' THEN r END)::BIGINT AS r3,
+               MAX(CASE WHEN g = 'signup' THEN r END)::BIGINT AS r4,
+               MAX(CASE WHEN g = 'view' THEN r END)::BIGINT AS r5
+        FROM rsum
+    )
+    SELECT n AS n_blocks, k AS k_treatments,
+           ROUND(3.0 * (r1 * r1 + r2 * r2 + r3 * r3 + r4 * r4 + r5 * r5)
+                 / (n::DOUBLE * k * (k + 1)) - 3.0 * n * (k + 1), 6)
+               AS chi2_f
+    FROM wide
+    """,
+)
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test — do the five event types keep the same relative
+    intensity ordering across days: each day is a BLOCK, the five daily
+    counts are ranked within the day, and chi2_F = 12/(nk(k+1)) *
+    sum R_j^2 - 3n(k+1) ~ chi^2(k-1) under the null of exchangeable
+    columns (Friedman 1937) — the repeated-measures counterpart to
+    kruskal_wallis's independent groups.
+
+    Parity: within-block ranks use the doubled-average-rank form 2*less +
+    eq + 1 from a 5x5 per-day self-join — exact BIGINTs (average ranks
+    from ties never materialize as floats); rank sums pivot in FIXED type
+    order and the statistic absorbs the doubling (12/4 = 3): ONE fixed
+    expression on exact integers.
+
+    Scale: one groupBy(day, type) with map-side combine collapses the
+    corpus; everything after runs on the |days| x 5 grid."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    types = e.select(F.col("event_type").alias("g")).distinct()
+    grid = e.groupBy(
+        F.to_date("ts").alias("d"), F.col("event_type").alias("g")
+    ).agg(F.count("*").cast("long").alias("x"))
+    fg = (
+        days.crossJoin(types)
+        .join(grid, ["d", "g"], "left")
+        .select("d", "g", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    b = fg.select(
+        F.col("d").alias("db"), F.col("x").alias("xb")
+    )
+    ranked = (
+        fg.join(b, F.col("db") == F.col("d"))
+        .groupBy("d", "g")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("xb") < F.col("x"), 2)
+                    .when(F.col("xb") == F.col("x"), 1)
+                    .otherwise(0)
+                )
+                + 1
+            ).cast("long").alias("dr")
+        )
+    )
+    rsum = ranked.groupBy("g").agg(F.sum("dr").cast("long").alias("r"))
+    types_l = ["click", "error", "purchase", "signup", "view"]
+    aggs = []
+    for i, t in enumerate(types_l, start=1):
+        aggs.append(
+            F.max(F.when(F.col("g") == t, F.col("r"))).cast("long").alias(f"r{i}")
+        )
+    wide = rsum.agg(*aggs)
+    nk = days.agg(F.count("*").cast("long").alias("n")).crossJoin(
+        types.agg(F.count("*").cast("long").alias("k"))
+    )
+    w = wide.crossJoin(F.broadcast(nk))
+    ss = sum(F.col(f"r{i}") * F.col(f"r{i}") for i in range(1, 6))
+    return w.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.round(
+            3.0 * ss / (F.col("n").cast("double") * F.col("k") * (F.col("k") + 1))
+            - 3.0 * F.col("n") * (F.col("k") + 1),
+            6,
+        ).alias("chi2_f"),
+    )
+
+
+# z_{0.95} for the two one-sided tests, as an exact integer ratio.
+_TOST_Z95_NUM = 1644853626951473  # / 1e15
+
+
+@query(
+    "tost_equivalence",
+    f"""
+    WITH p AS (
+        SELECT user_id % 2 AS grp, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT
+            SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+            SUM(CASE WHEN grp = 0 THEN v ELSE 0 END)::BIGINT AS s0,
+            SUM(CASE WHEN grp = 0 THEN v * v ELSE 0 END)::BIGINT AS ss0,
+            SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+            SUM(CASE WHEN grp = 1 THEN v ELSE 0 END)::BIGINT AS s1,
+            SUM(CASE WHEN grp = 1 THEN v * v ELSE 0 END)::BIGINT AS ss1
+        FROM p
+    ),
+    f AS (
+        SELECT n0, n1,
+               (s1::DOUBLE / n1 - s0::DOUBLE / n0) AS diff,
+               sqrt(((n0 * ss0 - s0 * s0)::DOUBLE / (n0 * (n0 - 1))) / n0
+                    + ((n1 * ss1 - s1 * s1)::DOUBLE / (n1 * (n1 - 1))) / n1)
+                   AS se,
+               0.05 * ((s0 + s1)::DOUBLE / (n0 + n1)) AS delta
+        FROM m
+    )
+    SELECT n0, n1,
+           ROUND(diff, 6) + 0.0 AS mean_diff_cents,
+           ROUND(se, 6) AS se_cents,
+           ROUND(delta, 6) AS margin_cents,
+           ROUND((diff + delta) / se, 6) + 0.0 AS z_lower,
+           ROUND((diff - delta) / se, 6) + 0.0 AS z_upper,
+           ((diff + delta) / se > {_TOST_Z95_NUM}::DOUBLE / 1000000000000000
+            AND (diff - delta) / se
+                < -({_TOST_Z95_NUM}::DOUBLE / 1000000000000000))
+               AS equivalent
+    FROM f
+    """,
+)
+def tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987) of purchase value between
+    the two user-parity arms — the question ab_test_zscore CANNOT answer:
+    not "is there a difference" but "are the arms equivalent within a
+    +/-5%-of-mean margin".  Both one-sided z tests must reject at alpha =
+    .05: z_lower = (diff + delta)/se > z95 AND z_upper = (diff -
+    delta)/se < -z95.
+
+    Parity: cents moments are exact BIGINT conditional sums in ONE
+    aggregate; diff/se/delta are fixed expression trees on single
+    divisions of exact integers (Welch se; margin = 5% of the pooled
+    mean, itself one exact division); z95 enters as an INTEGER-literal
+    ratio and the equivalence verdict compares identical doubles — the
+    same boolean in both engines.  diff and both z's can round to signed
+    zero, hence `+ 0.0`.
+
+    Scale: one filtered full-scan aggregate with map-side combine; the
+    test runs on one 6-integer row."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    m = p.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("v")).otherwise(0))
+        .cast("long").alias("s0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("v") * F.col("v")).otherwise(0))
+        .cast("long").alias("ss0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("v")).otherwise(0))
+        .cast("long").alias("s1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("v") * F.col("v")).otherwise(0))
+        .cast("long").alias("ss1"),
+    )
+    diff = F.col("s1").cast("double") / F.col("n1") - F.col("s0").cast(
+        "double"
+    ) / F.col("n0")
+    se = F.sqrt(
+        ((F.col("n0") * F.col("ss0") - F.col("s0") * F.col("s0")).cast("double")
+         / (F.col("n0") * (F.col("n0") - 1))) / F.col("n0")
+        + ((F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast("double")
+           / (F.col("n1") * (F.col("n1") - 1))) / F.col("n1")
+    )
+    delta = 0.05 * ((F.col("s0") + F.col("s1")).cast("double")
+                    / (F.col("n0") + F.col("n1")))
+    f = m.select(
+        "n0", "n1", diff.alias("diff"), se.alias("se"), delta.alias("delta")
+    )
+    z95 = F.lit(_TOST_Z95_NUM).cast("double") / F.lit(10**15).cast("double")
+    zl = (F.col("diff") + F.col("delta")) / F.col("se")
+    zu = (F.col("diff") - F.col("delta")) / F.col("se")
+    return f.select(
+        "n0", "n1",
+        (F.round("diff", 6) + F.lit(0.0)).alias("mean_diff_cents"),
+        F.round("se", 6).alias("se_cents"),
+        F.round("delta", 6).alias("margin_cents"),
+        (F.round(zl, 6) + F.lit(0.0)).alias("z_lower"),
+        (F.round(zu, 6) + F.lit(0.0)).alias("z_upper"),
+        ((zl > z95) & (zu < -z95)).alias("equivalent"),
+    )

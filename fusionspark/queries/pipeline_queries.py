@@ -6442,3 +6442,118 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_LOM_PRIOR = 1000  # total Dirichlet prior mass alpha0 spread by corpus freq
+
+
+@query(
+    "log_odds_monroe",
+    f"""
+    WITH toks AS (
+        SELECT source, unnest({_WORDS}) AS w FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*)::BIGINT AS f FROM toks GROUP BY w),
+    tot AS (SELECT COUNT(*)::BIGINT AS nn FROM toks),
+    g AS (
+        SELECT w,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS yi,
+               COUNT(*)::BIGINT AS yall
+        FROM toks GROUP BY w
+    ),
+    sizes AS (
+        SELECT SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ni,
+               SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)::BIGINT AS nj
+        FROM toks
+    ),
+    scored AS (
+        SELECT g.w, g.yi, (g.yall - g.yi)::BIGINT AS yj,
+               ln((g.yi + {_LOM_PRIOR}.0 * freq.f / tot.nn)
+                  / (sizes.ni + {_LOM_PRIOR}
+                     - g.yi - {_LOM_PRIOR}.0 * freq.f / tot.nn))
+               - ln(((g.yall - g.yi) + {_LOM_PRIOR}.0 * freq.f / tot.nn)
+                    / (sizes.nj + {_LOM_PRIOR}
+                       - (g.yall - g.yi)
+                       - {_LOM_PRIOR}.0 * freq.f / tot.nn)) AS delta,
+               1.0 / (g.yi + {_LOM_PRIOR}.0 * freq.f / tot.nn)
+               + 1.0 / ((g.yall - g.yi) + {_LOM_PRIOR}.0 * freq.f / tot.nn)
+                   AS var
+        FROM g, freq, tot, sizes
+        WHERE freq.w = g.w
+    )
+    SELECT w AS word, yi AS y_src, yj AS y_rest,
+           ROUND(delta, 6) + 0.0 AS log_odds,
+           ROUND(delta / sqrt(var), 6) + 0.0 AS z
+    FROM scored
+    ORDER BY ROUND(delta / sqrt(var), 6) DESC, w ASC
+    LIMIT 20
+    """,
+)
+def log_odds_monroe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Fightin' Words" log-odds with informative Dirichlet prior (Monroe,
+    Colaresi & Quinn 2008) — which words does src0 use DISTINCTIVELY
+    versus the rest of the corpus: delta_w = logit of w in src0 minus
+    logit in the rest, both smoothed by a prior alpha_w proportional to
+    the word's corpus frequency (total mass 1000), z = delta /
+    sqrt(1/(y_i + a_w) + 1/(y_j + a_w)).  The prior is what separates
+    this from raw log-odds: rare words get shrunk instead of dominating —
+    the source-attribution sibling of burrows_delta.
+
+    Parity: counts are exact BIGINTs; alpha_w = 1000*f/N is ONE division;
+    delta/var/z are fixed expression trees on those doubles (ln on
+    bit-identical inputs — the weighted_sample/lm_perplexity precedent),
+    and the top-20 cut sorts the ROUNDED z (rounded BEFORE the sort, the
+    pagerank_docs discipline) with a word tiebreak.  Both rounded outputs
+    carry `+ 0.0`.
+
+    Scale: one token explode + two word-keyed groupBys with map-side
+    combine; scoring joins are vocab-sized (broadcastable); text never
+    shuffles as a key wider than single words."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    freq = toks.groupBy("w").agg(F.count("*").cast("long").alias("f"))
+    tot = toks.agg(F.count("*").cast("long").alias("nn"))
+    g = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long").alias("yi"),
+        F.count("*").cast("long").alias("yall"),
+    )
+    sizes = toks.agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long").alias("ni"),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0))
+        .cast("long").alias("nj"),
+    )
+    j = (
+        g.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sizes))
+    )
+    aw = F.lit(float(_LOM_PRIOR)) * F.col("f") / F.col("nn")
+    yi = F.col("yi")
+    yj = F.col("yall") - F.col("yi")
+    delta = F.log(
+        (yi + aw) / (F.col("ni") + _LOM_PRIOR - yi - aw)
+    ) - F.log((yj + aw) / (F.col("nj") + _LOM_PRIOR - yj - aw))
+    var = 1.0 / (yi + aw) + 1.0 / (yj + aw)
+    scored = j.select(
+        "w", "yi", yj.cast("long").alias("yj"),
+        delta.alias("delta"), var.alias("var"),
+    )
+    z = F.col("delta") / F.sqrt(F.col("var"))
+    return (
+        scored.select(
+            F.col("w").alias("word"),
+            F.col("yi").alias("y_src"),
+            F.col("yj").alias("y_rest"),
+            (F.round("delta", 6) + F.lit(0.0)).alias("log_odds"),
+            (F.round(z, 6) + F.lit(0.0)).alias("z"),
+        )
+        .orderBy(F.col("z").desc(), F.col("word").asc())  # z is the ROUNDED col
+        .limit(20)
+    )
