@@ -7759,3 +7759,297 @@ def tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(zu, 6) + F.lit(0.0)).alias("z_upper"),
         ((zl > z95) & (zu < -z95)).alias("equivalent"),
     )
+
+
+@query(
+    "negative_binomial_fit",
+    """
+    WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnts AS (
+        SELECT event_type, ts::DATE AS d, COUNT(*)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, dy.d, COALESCE(c.x, 0)::BIGINT AS x
+        FROM types t CROSS JOIN days dy
+        LEFT JOIN cnts c ON c.event_type = t.event_type AND c.d = dy.d
+    ),
+    s AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+               SUM(x * x)::BIGINT AS sxx
+        FROM grid GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(sx::DOUBLE / n, 6) AS mean_daily,
+           ROUND((n * sxx - sx * sx)::DOUBLE / (n * (n - 1)), 6) AS var_daily,
+           CASE WHEN (n * sxx - sx * sx) * n > sx * sx * (n - 1)
+                THEN ROUND((sx::DOUBLE / n) * (sx::DOUBLE / n)
+                           / ((n * sxx - sx * sx)::DOUBLE / (n * (n - 1))
+                              - sx::DOUBLE / n), 6)
+           END AS r_size,
+           CASE WHEN (n * sxx - sx * sx) * n > sx * sx * (n - 1)
+                THEN ROUND((sx::DOUBLE / n)
+                           / ((n * sxx - sx * sx)::DOUBLE / (n * (n - 1))), 6)
+           END AS p_success
+    FROM s ORDER BY event_type
+    """,
+)
+def negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit of the daily count
+    distribution per event type — the model dispersion_index says you
+    need when D > 1: r = m^2/(v - m), p = m/v (NB2 parameterization).
+    Types whose sample variance does not exceed the mean get NULL (the
+    NB fit does not exist there — Poisson or binomial territory), via an
+    EXACT integer cross-multiplied condition, never a float compare.
+
+    Parity: the zero-filled grid and moments are shared with
+    dispersion_index (exact BIGINTs); m and v are single divisions and
+    r/p are fixed trees on them.  The existence condition (n*Sxx -
+    Sx^2)*n > Sx^2*(n-1) is v > m cross-multiplied into int64-safe
+    products (~1e17 at sf1).
+
+    Scale: one groupBy(type, day) with map-side combine; the fit runs on
+    |types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    types = e.select("event_type").distinct()
+    cnts = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    grid = (
+        types.crossJoin(days)
+        .join(cnts, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+        )
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    m = F.col("sx").cast("double") / F.col("n")
+    v = num.cast("double") / (F.col("n") * (F.col("n") - 1))
+    exists = num * F.col("n") > F.col("sx") * F.col("sx") * (F.col("n") - 1)
+    return s.select(
+        "event_type", "n",
+        F.round(m, 6).alias("mean_daily"),
+        F.round(v, 6).alias("var_daily"),
+        F.when(exists, F.round(m * m / (v - m), 6)).alias("r_size"),
+        F.when(exists, F.round(m / v, 6)).alias("p_success"),
+    ).orderBy("event_type")
+
+
+@query(
+    "uplift_stump",
+    """
+    WITH u AS (
+        SELECT user_id,
+               ('0x' || substr(md5('up:' || user_id::VARCHAR), 1, 8))::BIGINT
+                   % 2 AS t,
+               COUNT(*)::BIGINT AS x,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS y
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS nt,
+               SUM(CASE WHEN t = 1 THEN y ELSE 0 END)::BIGINT AS ct,
+               SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
+               SUM(CASE WHEN t = 0 THEN y ELSE 0 END)::BIGINT AS cc
+        FROM u
+    ),
+    grid AS (
+        SELECT x,
+               SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS nt,
+               SUM(CASE WHEN t = 1 THEN y ELSE 0 END)::BIGINT AS ct,
+               SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
+               SUM(CASE WHEN t = 0 THEN y ELSE 0 END)::BIGINT AS cc
+        FROM u GROUP BY x
+    ),
+    cum AS (
+        SELECT x,
+               SUM(nt) OVER (ORDER BY x)::BIGINT AS lnt,
+               SUM(ct) OVER (ORDER BY x)::BIGINT AS lct,
+               SUM(nc) OVER (ORDER BY x)::BIGINT AS lnc,
+               SUM(cc) OVER (ORDER BY x)::BIGINT AS lcc
+        FROM grid
+    ),
+    scored AS (
+        SELECT cum.x AS threshold,
+               lnt, lct, lnc, lcc,
+               (tot.nt - lnt)::BIGINT AS rnt, (tot.ct - lct)::BIGINT AS rct,
+               (tot.nc - lnc)::BIGINT AS rnc, (tot.cc - lcc)::BIGINT AS rcc,
+               (lct::DOUBLE / lnt - lcc::DOUBLE / lnc)
+               - ((tot.ct - lct)::DOUBLE / (tot.nt - lnt)
+                  - (tot.cc - lcc)::DOUBLE / (tot.nc - lnc)) AS gap
+        FROM cum, tot
+        WHERE lnt > 0 AND lnc > 0 AND tot.nt - lnt > 0 AND tot.nc - lnc > 0
+    )
+    SELECT threshold,
+           lnt AS left_nt, lct AS left_ct, lnc AS left_nc, lcc AS left_cc,
+           rnt AS right_nt, rct AS right_ct, rnc AS right_nc, rcc AS right_cc,
+           ROUND(lct::DOUBLE / lnt - lcc::DOUBLE / lnc, 6) + 0.0
+               AS uplift_left,
+           ROUND(rct::DOUBLE / rnt - rcc::DOUBLE / rnc, 6) + 0.0
+               AS uplift_right,
+           ROUND(abs(gap), 6) AS uplift_gap
+    FROM scored
+    ORDER BY ROUND(abs(gap), 6) DESC, threshold ASC LIMIT 1
+    """,
+)
+def uplift_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-tree split finder (one stump): the activity threshold that
+    maximizes the DIFFERENCE in treatment effect between its two sides —
+    the inner loop of uplift modeling (Radcliffe & Surry; Rzepakowski &
+    Jaroszewicz), which targets "whom does the treatment help MOST", not
+    "who converts": treatment is the repo-wide md5 coin on user_id,
+    outcome is conversion, the covariate is the user's event count, and
+    each side's uplift is conv_T - conv_C.
+
+    Parity: per-threshold counts come from ONE cumulative window over the
+    distinct-activity grid (the decision_stump machinery doubled across
+    the four treatment/outcome cells — all exact BIGINTs); each uplift is
+    a fixed tree of single divisions; the argmax sorts the ROUNDED |gap|
+    (rounded before the sort, the pagerank_docs discipline) with a
+    threshold tiebreak.  Degenerate sides (an arm empty on either side)
+    are excluded by exact integer conditions.  Uplifts can round to
+    signed zero, hence `+ 0.0`.
+
+    Scale: one groupBy(user), one groupBy(distinct activity) with a
+    single cumulative window — grid-sized, corpus-free."""
+    from fusionspark.operators.dedup import md5_hash32
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("x"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("y"),
+    ).select(
+        "x", "y",
+        (md5_hash32(F.concat(F.lit("up:"), F.col("user_id").cast("string")))
+         % 2).alias("t"),
+    )
+    tot = u.agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("long").alias("tnt"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long").alias("tct"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast("long").alias("tnc"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long").alias("tcc"),
+    )
+    grid = u.groupBy("x").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long").alias("ct"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long").alias("cc"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "x",
+        F.sum("nt").over(w).cast("long").alias("lnt"),
+        F.sum("ct").over(w).cast("long").alias("lct"),
+        F.sum("nc").over(w).cast("long").alias("lnc"),
+        F.sum("cc").over(w).cast("long").alias("lcc"),
+    )
+    sc = cum.crossJoin(F.broadcast(tot)).filter(
+        (F.col("lnt") > 0)
+        & (F.col("lnc") > 0)
+        & (F.col("tnt") - F.col("lnt") > 0)
+        & (F.col("tnc") - F.col("lnc") > 0)
+    )
+    rnt = F.col("tnt") - F.col("lnt")
+    rct = F.col("tct") - F.col("lct")
+    rnc = F.col("tnc") - F.col("lnc")
+    rcc = F.col("tcc") - F.col("lcc")
+    ul = F.col("lct").cast("double") / F.col("lnt") - F.col("lcc").cast(
+        "double"
+    ) / F.col("lnc")
+    ur = rct.cast("double") / rnt - rcc.cast("double") / rnc
+    scored = sc.select(
+        F.col("x").alias("threshold"),
+        F.col("lnt").alias("left_nt"), F.col("lct").alias("left_ct"),
+        F.col("lnc").alias("left_nc"), F.col("lcc").alias("left_cc"),
+        rnt.cast("long").alias("right_nt"), rct.cast("long").alias("right_ct"),
+        rnc.cast("long").alias("right_nc"), rcc.cast("long").alias("right_cc"),
+        (F.round(ul, 6) + F.lit(0.0)).alias("uplift_left"),
+        (F.round(ur, 6) + F.lit(0.0)).alias("uplift_right"),
+        F.round(F.abs(ul - ur), 6).alias("uplift_gap"),
+    )
+    return scored.orderBy(
+        F.col("uplift_gap").desc(), F.col("threshold").asc()
+    ).limit(1)
+
+
+@query(
+    "salt_plan",
+    """
+    WITH keyed AS (
+        SELECT CAST(FLOOR(SQRT(user_id)) AS BIGINT) AS k FROM events
+    ),
+    cnt AS (SELECT k, COUNT(*)::BIGINT AS n_rows FROM keyed GROUP BY k),
+    tot AS (
+        SELECT SUM(n_rows)::BIGINT AS total, COUNT(*)::BIGINT AS n_keys
+        FROM cnt
+    ),
+    plan AS (
+        SELECT cnt.k, cnt.n_rows, tot.total,
+               (tot.total // (tot.n_keys * 2) + 1)::BIGINT AS target,
+               ((cnt.n_rows + tot.total // (tot.n_keys * 2))
+                // (tot.total // (tot.n_keys * 2) + 1))::BIGINT AS salt_factor
+        FROM cnt, tot
+        WHERE cnt.n_rows > tot.total // (tot.n_keys * 2) + 1
+    )
+    SELECT k, n_rows, target,
+           ROUND(100.0 * n_rows / total, 6) AS share_pct,
+           CASE WHEN salt_factor < 1 THEN 1 ELSE salt_factor END AS salt_factor
+    FROM plan
+    ORDER BY n_rows DESC, k ASC
+    """,
+)
+def salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salting plan — the pre-join diagnosis-to-action step after
+    shuffle_skew_report's measurement: for a skewed join key (here the
+    derived key floor(sqrt(user_id)), whose population grows linearly —
+    a planted heavy-hitter distribution), emit the per-key salt factor
+    ceil(n_k / target) for every key exceeding the 2x-mean target.  A
+    downstream join explodes each heavy key k into salt_factor
+    sub-keys (k, 0..s-1) and duplicates the small side per sub-key —
+    bounding every shuffle partition near the target regardless of skew
+    (the salted_join_demo mechanics, planned from data instead of
+    hardcoded).
+
+    Parity: counts and the target are exact BIGINTs; the salt factor is
+    an exact integer CEILING via (n + t - 1) // t written as floor
+    division (both engines' // on positive BIGINTs); only share_pct is a
+    rounded division.  floor(sqrt(bigint)) is IEEE-exact (sqrt is
+    correctly rounded; doubles hold these integers exactly).
+
+    Scale: one groupBy(key) with map-side combine; the plan is
+    |heavy keys| rows — the whole point is that this table stays tiny
+    (and broadcastable to the salting stage) even at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        F.floor(F.sqrt(F.col("user_id"))).cast("long").alias("k")
+    )
+    cnt = keyed.groupBy("k").agg(F.count("*").cast("long").alias("n_rows"))
+    tot = cnt.agg(
+        F.sum("n_rows").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    target = (F.floor(F.col("total") / (F.col("n_keys") * 2)) + 1).cast("long")
+    half_mean = F.floor(F.col("total") / (F.col("n_keys") * 2)).cast("long")
+    salt = F.floor((F.col("n_rows") + half_mean) / (half_mean + 1)).cast("long")
+    plan = j.filter(F.col("n_rows") > target).select(
+        "k", "n_rows",
+        target.alias("target"),
+        F.round(100.0 * F.col("n_rows") / F.col("total"), 6).alias("share_pct"),
+        F.when(salt < 1, F.lit(1)).otherwise(salt).cast("long")
+        .alias("salt_factor"),
+    )
+    return plan.orderBy(F.col("n_rows").desc(), F.col("k").asc())

@@ -1236,3 +1236,148 @@ def test_log_odds_prior_shrinks_rare_words():
         return delta / math.sqrt(1 / (a + aw) + 1 / (b + aw))
 
     assert abs(z(1, 0, 1)) < abs(z(50, 10, 60))
+
+
+# ---------------------------------------------------------------------------
+# negative_binomial_fit
+# ---------------------------------------------------------------------------
+
+
+def test_nb_fit_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import negative_binomial_fit
+
+    rows = _events(sf_dir)
+    days = sorted({r["ts"].date() for r in rows})
+    types = sorted({r["event_type"] for r in rows})
+    cnt = collections.Counter((r["event_type"], r["ts"].date()) for r in rows)
+    got = {r["event_type"]: r for r in
+           negative_binomial_fit(spark, sf_dir).collect()}
+    for t in types:
+        xs = [cnt.get((t, d), 0) for d in days]
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        m = sx / n
+        v = (n * sxx - sx * sx) / (n * (n - 1))
+        r = got[t]
+        assert r["mean_daily"] == round(m, 6)
+        if (n * sxx - sx * sx) * n > sx * sx * (n - 1):
+            assert math.isclose(r["r_size"], round(m * m / (v - m), 6),
+                                abs_tol=1e-9)
+            assert math.isclose(r["p_success"], round(m / v, 6), abs_tol=1e-9)
+        else:
+            assert r["r_size"] is None and r["p_success"] is None
+
+
+def test_nb_moments_roundtrip():
+    """Law: MoM inverts — an NB(r, p) has mean r(1-p)/p and var mean/p;
+    plugging those back recovers (r, p) exactly."""
+    r, p = 7.0, 0.35
+    m = r * (1 - p) / p
+    v = m / p
+    assert math.isclose(m * m / (v - m), r, rel_tol=1e-12)
+    assert math.isclose(m / v, p, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# uplift_stump
+# ---------------------------------------------------------------------------
+
+
+def _md5_coin(salt, key):
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16)
+
+
+def test_uplift_stump_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import uplift_stump
+
+    rows = _events(sf_dir)
+    users = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        users[r["user_id"]][0] += 1
+        if r["event_type"] == "purchase":
+            users[r["user_id"]][1] = 1
+    recs = [
+        (x, y, _md5_coin("up:", u) % 2) for u, (x, y) in users.items()
+    ]
+    tot = [0, 0, 0, 0]  # nt, ct, nc, cc
+    for x, y, t in recs:
+        if t == 1:
+            tot[0] += 1
+            tot[1] += y
+        else:
+            tot[2] += 1
+            tot[3] += y
+    best = None
+    for thr in sorted({x for x, _, _ in recs}):
+        l = [0, 0, 0, 0]
+        for x, y, t in recs:
+            if x <= thr:
+                if t == 1:
+                    l[0] += 1
+                    l[1] += y
+                else:
+                    l[2] += 1
+                    l[3] += y
+        rn = [tot[i] - l[i] for i in range(4)]
+        if 0 in (l[0], l[2], rn[0], rn[2]):
+            continue
+        ul = l[1] / l[0] - l[3] / l[2]
+        ur = rn[1] / rn[0] - rn[3] / rn[2]
+        gap = round(abs(ul - ur), 6)
+        key = (-gap, thr)
+        if best is None or key < best[0]:
+            best = (key, thr, ul, ur)
+    _, thr, ul, ur = best
+    got = uplift_stump(spark, sf_dir).collect()[0]
+    assert got["threshold"] == thr
+    assert math.isclose(got["uplift_left"], round(ul, 6), abs_tol=1e-9)
+    assert math.isclose(got["uplift_right"], round(ur, 6), abs_tol=1e-9)
+
+
+def test_uplift_differs_from_conversion_split():
+    """Law: uplift targets the treatment-effect DIFFERENCE — a segment can
+    have the highest conversion yet zero uplift (conversion equal in both
+    arms)."""
+    # left: 90% conversion both arms (uplift 0); right: T 40% vs C 10%
+    ul = 0.9 - 0.9
+    ur = 0.4 - 0.1
+    assert abs(ul) < abs(ur)  # the uplift split prefers the right segment
+
+
+# ---------------------------------------------------------------------------
+# salt_plan
+# ---------------------------------------------------------------------------
+
+
+def test_salt_plan_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import salt_plan
+
+    rows = _events(sf_dir)
+    cnt = collections.Counter(math.isqrt(r["user_id"]) for r in rows)
+    total = sum(cnt.values())
+    n_keys = len(cnt)
+    half_mean = total // (n_keys * 2)
+    target = half_mean + 1
+    exp = {}
+    for k, n in cnt.items():
+        if n > target:
+            exp[k] = (n, max(1, (n + half_mean) // target))
+    got = {r["k"]: r for r in salt_plan(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(exp)
+    for k, (n, s) in exp.items():
+        assert (got[k]["n_rows"], got[k]["salt_factor"]) == (n, s)
+        assert got[k]["target"] == target
+        assert math.isclose(got[k]["share_pct"], round(100.0 * n / total, 6),
+                            abs_tol=1e-9)
+
+
+def test_salt_plan_bounds_partition_size():
+    """Law: after salting, every sub-key's expected rows ceil(n/s) is at
+    most the target (the plan's purpose)."""
+    total, n_keys = 100000, 100
+    half_mean = total // (n_keys * 2)
+    target = half_mean + 1
+    for n in (target + 1, 3 * target, 10 * target + 7):
+        s = max(1, (n + half_mean) // target)
+        assert -(-n // s) <= target + half_mean  # within one mean of target
