@@ -8053,3 +8053,281 @@ def salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("salt_factor"),
     )
     return plan.orderBy(F.col("n_rows").desc(), F.col("k").asc())
+
+
+_DTW_INF = 10**12
+
+
+@query(
+    "dtw_distance",
+    f"""
+    WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    cnts AS (
+        SELECT ts::DATE AS d,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                   AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                   AS y
+        FROM events GROUP BY 1
+    ),
+    tl AS (
+        SELECT days.d, COALESCE(cnts.x, 0)::BIGINT AS x,
+               COALESCE(cnts.y, 0)::BIGINT AS y
+        FROM days LEFT JOIN cnts ON cnts.d = days.d
+    ),
+    arrs AS (
+        SELECT list(x ORDER BY d) AS xs, list(y ORDER BY d) AS ys,
+               COUNT(*)::BIGINT AS n
+        FROM tl
+    ),
+    dp AS (
+        SELECT n, xs, ys,
+               list_reduce(
+                   list_prepend(
+                       [0::BIGINT]
+                       || list_transform(ys, y -> {_DTW_INF}::BIGINT),
+                       list_transform(xs, x -> [x])),
+                   (prev, xi) -> list_reduce(
+                       list_prepend([{_DTW_INF}::BIGINT],
+                                    list_transform(ys, y -> [y])),
+                       (acc, yj) -> acc
+                           || [abs(xi[1] - yj[1])
+                               + least(prev[len(acc) + 1], prev[len(acc)],
+                                       acc[len(acc)])])) AS row
+        FROM arrs
+    ),
+    lock AS (
+        SELECT SUM(abs(x - y))::BIGINT AS lockstep FROM tl
+    )
+    SELECT dp.n AS n_days,
+           dp.row[len(dp.row)]::BIGINT AS dtw,
+           lock.lockstep,
+           ROUND(dp.row[len(dp.row)]::DOUBLE / (2 * dp.n), 6)
+               AS dtw_per_step
+    FROM dp, lock
+    """,
+)
+def dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between the daily click and purchase
+    series (Sakoe & Chiba 1978) — "do purchases follow the click shape,
+    allowing the lag to drift", which the lockstep L1 distance (also
+    emitted, always >= informative vs DTW) cannot answer because it pins
+    day i to day i.  The full O(n^2) DP runs as a NESTED ordered fold —
+    outer over the x series, inner building each DP row with new[j] =
+    |x_i - y_j| + min(prev[j], prev[j-1], new[j-1]) — in EXACT BIGINT
+    arithmetic (costs are integer counts, min/+ exact, the INF boundary
+    is a 1e12 literal), so both engines are bit-identical by
+    construction; both engines' higher-order lambdas close over the
+    outer accumulator (prototype-verified against a pure-python DP).
+
+    Scale: the corpus collapses to the calendar-bounded day grid (one
+    groupBy(day)); the DP is |days|^2 cells inside ONE row's fold —
+    thousands of integer ops, independent of corpus size.  Series that
+    outgrow a single row's fold budget (years of minutes) would move to
+    the banded Sakoe-Chiba variant over mapInPandas — unnecessary at
+    daily grain."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    cnts = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    tl = days.join(cnts, "d", "left").select(
+        "d",
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+    )
+    arrs = tl.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "x"))), lambda s: s["x"]
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.abs(F.col("x") - F.col("y"))).cast("long").alias("lockstep"),
+    )
+    inf = F.lit(_DTW_INF).cast("long")
+
+    def dp_col(xs, ys):
+        init = F.concat(F.array(F.lit(0).cast("long")),
+                        F.transform(ys, lambda y: inf))
+
+        def outer(prev, xi):
+            def inner(acc, yj):
+                j = F.size(acc)
+                cost = F.abs(xi - F.element_at(yj, 1)) + F.least(
+                    F.element_at(prev, j + 1),
+                    F.element_at(prev, j),
+                    F.element_at(acc, j),
+                )
+                return F.concat(acc, F.array(cost))
+
+            return F.aggregate(
+                F.transform(ys, lambda y: F.array(y)), F.array(inf), inner
+            )
+
+        return F.aggregate(xs, init, outer)
+
+    dp = arrs.select(
+        "n", "lockstep", dp_col(F.col("xs"), F.col("ys")).alias("row")
+    )
+    last = F.element_at("row", F.size("row"))
+    return dp.select(
+        F.col("n").alias("n_days"),
+        last.cast("long").alias("dtw"),
+        "lockstep",
+        F.round(last.cast("double") / (2 * F.col("n")), 6).alias("dtw_per_step"),
+    )
+
+
+# SAX breakpoints for alphabet size 4 (Gaussian quartiles) as exact
+# integer ratios: +/- 0.6744897501960817, 0.
+_SAX_BP_NUM = 6744897501960817  # / 1e16
+_SAX_SEG = 5  # days per PAA segment
+
+
+@query(
+    "sax_words",
+    f"""
+    WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    cnts AS (
+        SELECT event_type AS g, ts::DATE AS d, COUNT(*)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    ),
+    tl AS (
+        SELECT t.g, ROW_NUMBER() OVER (PARTITION BY t.g ORDER BY dy.d)
+                   - 1 AS i,
+               COALESCE(c.x, 0)::BIGINT AS x
+        FROM (SELECT DISTINCT event_type AS g FROM events) t
+        CROSS JOIN days dy
+        LEFT JOIN cnts c ON c.g = t.g AND c.d = dy.d
+    ),
+    stats AS (
+        SELECT g, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+               SUM(x * x)::BIGINT AS sxx
+        FROM tl GROUP BY g
+    ),
+    segs AS (
+        SELECT tl.g, (tl.i // {_SAX_SEG})::BIGINT AS seg,
+               COUNT(*)::BIGINT AS w, SUM(tl.x)::BIGINT AS s
+        FROM tl JOIN stats ON stats.g = tl.g
+        WHERE tl.i < (stats.n // {_SAX_SEG}) * {_SAX_SEG}
+        GROUP BY tl.g, tl.i // {_SAX_SEG}
+    ),
+    scored AS (
+        SELECT segs.g, segs.seg,
+               (segs.s::DOUBLE / segs.w - stats.sx::DOUBLE / stats.n)
+                   AS dev,
+               sqrt((stats.n * stats.sxx - stats.sx * stats.sx)::DOUBLE
+                    / (stats.n * (stats.n - 1))) AS sd
+        FROM segs JOIN stats ON stats.g = segs.g
+    ),
+    sym AS (
+        SELECT g, seg,
+               CASE
+                 WHEN dev < -({_SAX_BP_NUM}::DOUBLE / 10000000000000000) * sd
+                     THEN 'a'
+                 WHEN dev < 0.0 THEN 'b'
+                 WHEN dev < ({_SAX_BP_NUM}::DOUBLE / 10000000000000000) * sd
+                     THEN 'c'
+                 ELSE 'd'
+               END AS c,
+               dev
+        FROM scored
+    )
+    SELECT g AS event_type,
+           string_agg(c, '' ORDER BY seg) AS sax_word,
+           COUNT(*)::BIGINT AS n_segments
+    FROM sym GROUP BY g ORDER BY g
+    """,
+)
+def sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic representation (Lin, Keogh et al. 2003) of each event
+    type's daily series: PAA over 5-day segments, then quantization of
+    the z-deviation into a 4-letter alphabet at the Gaussian quartile
+    breakpoints — the discretization under which time-series become
+    strings (so substring_dedup/edit-distance machinery can index shapes;
+    the classic "hot week / cold week" motif alphabet).
+
+    Parity: the day grid zero-fills per type; segment sums, n, S, Sxx are
+    exact BIGINTs; the quantization compares dev = S_j/w - S/n (exact
+    single divisions) against bp*sd, with the breakpoint as an
+    INTEGER-literal ratio and sd one IEEE sqrt — the same comparison tree
+    in both engines picks the same letter (a tie ON the breakpoint would
+    need dev == bp*sd exactly — measure-zero for these rationals).  The
+    word assembles with an explicit ORDER BY seg.
+
+    Scale: one groupBy(type, day), then calendar-bounded segment math —
+    corpus-size-free after the first aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    types = e.select(F.col("event_type").alias("g")).distinct()
+    cnts = e.groupBy(
+        F.col("event_type").alias("g"), F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("x"))
+    tl = (
+        types.crossJoin(days)
+        .join(cnts, ["g", "d"], "left")
+        .select(
+            "g", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+        )
+        .select(
+            "g", "x",
+            (
+                F.row_number().over(Window.partitionBy("g").orderBy("d")) - 1
+            ).cast("long").alias("i"),
+        )
+    )
+    stats = tl.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    j = tl.join(stats, "g")
+    segs = (
+        j.filter(
+            F.col("i") < F.floor(F.col("n") / _SAX_SEG) * _SAX_SEG
+        )
+        .groupBy("g", F.floor(F.col("i") / _SAX_SEG).alias("seg"))
+        .agg(
+            F.count("*").cast("long").alias("w"),
+            F.sum("x").cast("long").alias("s"),
+        )
+    )
+    scored = segs.join(stats, "g").select(
+        "g", "seg",
+        (
+            F.col("s").cast("double") / F.col("w")
+            - F.col("sx").cast("double") / F.col("n")
+        ).alias("dev"),
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double") / (F.col("n") * (F.col("n") - 1))
+        ).alias("sd"),
+    )
+    bp = F.lit(_SAX_BP_NUM).cast("double") / F.lit(10**16).cast("double")
+    sym = scored.select(
+        "g", "seg",
+        F.when(F.col("dev") < -bp * F.col("sd"), "a")
+        .when(F.col("dev") < 0.0, "b")
+        .when(F.col("dev") < bp * F.col("sd"), "c")
+        .otherwise("d").alias("c"),
+    )
+    return (
+        sym.groupBy("g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "c"))),
+                    lambda s: s["c"],
+                ),
+                "",
+            ).alias("sax_word"),
+            F.count("*").cast("long").alias("n_segments"),
+        )
+        .select(F.col("g").alias("event_type"), "sax_word", "n_segments")
+        .orderBy("event_type")
+    )

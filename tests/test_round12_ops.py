@@ -1381,3 +1381,108 @@ def test_salt_plan_bounds_partition_size():
     for n in (target + 1, 3 * target, 10 * target + 7):
         s = max(1, (n + half_mean) // target)
         assert -(-n // s) <= target + half_mean  # within one mean of target
+
+
+# ---------------------------------------------------------------------------
+# dtw_distance
+# ---------------------------------------------------------------------------
+
+
+def _dtw_python(xs, ys, inf=10**12):
+    prev = [0] + [inf] * len(ys)
+    for x in xs:
+        new = [inf]
+        for j, y in enumerate(ys, start=1):
+            new.append(abs(x - y) + min(prev[j], prev[j - 1], new[j - 1]))
+        prev = new
+    return prev[-1]
+
+
+def test_dtw_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import dtw_distance
+
+    rows = _events(sf_dir)
+    days = sorted({r["ts"].date() for r in rows})
+    cx = collections.Counter(
+        r["ts"].date() for r in rows if r["event_type"] == "click"
+    )
+    cy = collections.Counter(
+        r["ts"].date() for r in rows if r["event_type"] == "purchase"
+    )
+    xs = [cx.get(d, 0) for d in days]
+    ys = [cy.get(d, 0) for d in days]
+    got = dtw_distance(spark, sf_dir).collect()[0]
+    assert got["n_days"] == len(days)
+    assert got["dtw"] == _dtw_python(xs, ys)
+    assert got["lockstep"] == sum(abs(a - b) for a, b in zip(xs, ys))
+    assert math.isclose(got["dtw_per_step"],
+                        round(got["dtw"] / (2 * len(days)), 6), abs_tol=1e-9)
+
+
+def test_dtw_laws():
+    """DTW laws: identity gives 0; DTW <= lockstep L1 always; a shifted
+    copy has small DTW but large lockstep (the reason DTW exists)."""
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    assert _dtw_python(xs, xs) == 0
+    ys = [9, 2, 7, 1, 8, 2, 8, 1]
+    assert _dtw_python(xs, ys) <= sum(abs(a - b) for a, b in zip(xs, ys))
+    base = [0, 0, 10, 0, 0, 0, 0, 0]
+    shift = [0, 0, 0, 10, 0, 0, 0, 0]
+    assert _dtw_python(base, shift) < sum(
+        abs(a - b) for a, b in zip(base, shift)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sax_words
+# ---------------------------------------------------------------------------
+
+
+def test_sax_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import sax_words
+
+    rows = _events(sf_dir)
+    days = sorted({r["ts"].date() for r in rows})
+    types = sorted({r["event_type"] for r in rows})
+    cnt = collections.Counter((r["event_type"], r["ts"].date()) for r in rows)
+    bp = 6744897501960817 / 10**16
+    got = {r["event_type"]: r for r in sax_words(spark, sf_dir).collect()}
+    for g in types:
+        xs = [cnt.get((g, d), 0) for d in days]
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        mu = sx / n
+        sd = math.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+        word = ""
+        for s in range(n // 5):
+            seg = xs[s * 5:(s + 1) * 5]
+            dev = sum(seg) / len(seg) - mu
+            if dev < -bp * sd:
+                word += "a"
+            elif dev < 0.0:
+                word += "b"
+            elif dev < bp * sd:
+                word += "c"
+            else:
+                word += "d"
+        assert got[g]["sax_word"] == word
+        assert got[g]["n_segments"] == n // 5
+
+
+def test_sax_symbol_monotone_in_level():
+    """Law: raising a segment's level never decreases its letter."""
+    bp, sd, order = 0.6744897501960817, 2.0, "abcd"
+
+    def letter(dev):
+        if dev < -bp * sd:
+            return "a"
+        if dev < 0.0:
+            return "b"
+        if dev < bp * sd:
+            return "c"
+        return "d"
+
+    prev = "a"
+    for dev in (-5.0, -1.0, -0.1, 0.0, 0.5, 1.5, 9.0):
+        cur = letter(dev)
+        assert order.index(cur) >= order.index(prev)
+        prev = cur
