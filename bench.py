@@ -486,6 +486,18 @@ def bench_queries(spark):
         "logrank_test",
         "prf_expansion",
         "png_interlaced",
+        # round 11 continuation: fixed-point integer TextRank (5 vocab-
+        # sized join iterations), exhaustive deterministic RANSAC (day-
+        # pair candidates x day votes, all-integer inlier bands), exact
+        # max-plus Viterbi (per-user ordered folds), the QOI codec round
+        # trip (Arrow mapInPandas kernels), nested-fold DTW, and the
+        # doubled-rank Kruskal-Wallis over the distinct-cents grid
+        "textrank_keywords",
+        "ransac_trend",
+        "viterbi_decode",
+        "qoi_features",
+        "dtw_distance",
+        "kruskal_wallis",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -8331,3 +8331,306 @@ def sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("g").alias("event_type"), "sax_word", "n_segments")
         .orderBy("event_type")
     )
+
+
+@query(
+    "odds_ratio_ci",
+    """
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS e,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT
+            SUM(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+            SUM(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+            SUM(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+            SUM(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+        FROM u
+    )
+    SELECT a, b, c, d,
+           ROUND(CASE WHEN b * c > 0 THEN (a * d)::DOUBLE / (b * c) END, 6)
+               AS odds_ratio,
+           ROUND(CASE WHEN a * b * c * d > 0
+                      THEN ln((a * d)::DOUBLE / (b * c)) END, 6) + 0.0
+               AS log_or,
+           ROUND(CASE WHEN a * b * c * d > 0
+                      THEN ln((a * d)::DOUBLE / (b * c))
+                           - (1959963984540054::DOUBLE / 1000000000000000)
+                             * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+                 END, 6) + 0.0 AS log_or_lo95,
+           ROUND(CASE WHEN a * b * c * d > 0
+                      THEN ln((a * d)::DOUBLE / (b * c))
+                           + (1959963984540054::DOUBLE / 1000000000000000)
+                             * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+                 END, 6) + 0.0 AS log_or_hi95,
+           (a * d > b * c) AS positive_association
+    FROM m
+    """,
+)
+def odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of purchase given signup with the Woolf 95% CI — the
+    epidemiologist's 2x2 association readout next to chi2_independence's
+    test statistic: OR = ad/bc, SE(ln OR) = sqrt(1/a + 1/b + 1/c + 1/d)
+    (Woolf 1955).  The CI is emitted in LOG space — exponentiating would
+    pull libm exp into the parity surface (the dp_quantile no-exp rule);
+    ln on identical doubles is the attested precedent, and the point OR
+    is ONE exact-integer division anyway.
+
+    Parity: the 2x2 table is exact BIGINT conditional sums over one
+    groupBy(user); OR = (a*d)/(b*c) one division of exact products; the
+    CI bounds are fixed trees with z_{.975} as an INTEGER-literal ratio;
+    the association direction a*d > b*c is an EXACT integer comparison.
+    Degenerate cells yield NULL identically.  Log outputs carry `+ 0.0`.
+
+    Scale: one groupBy(user) with map-side combine; closed form on a
+    4-integer row."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("e"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("y"),
+    )
+    m = u.agg(
+        F.sum(F.when((F.col("e") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when((F.col("e") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long").alias("b"),
+        F.sum(F.when((F.col("e") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long").alias("c"),
+        F.sum(F.when((F.col("e") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long").alias("d"),
+    )
+    ad = F.col("a") * F.col("d")
+    bc = F.col("b") * F.col("c")
+    allpos = F.col("a") * F.col("b") * F.col("c") * F.col("d") > 0
+    lor = F.log(ad.cast("double") / bc)
+    z = F.lit(1959963984540054).cast("double") / F.lit(10**15).cast("double")
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    return m.select(
+        "a", "b", "c", "d",
+        F.round(F.when(bc > 0, ad.cast("double") / bc), 6).alias("odds_ratio"),
+        (F.round(F.when(allpos, lor), 6) + F.lit(0.0)).alias("log_or"),
+        (F.round(F.when(allpos, lor - z * se), 6) + F.lit(0.0))
+        .alias("log_or_lo95"),
+        (F.round(F.when(allpos, lor + z * se), 6) + F.lit(0.0))
+        .alias("log_or_hi95"),
+        (ad > bc).alias("positive_association"),
+    )
+
+
+# R/S window sizes and their ln() as canonical integer-literal ratios —
+# the regression abscissae must be the SAME constant in both engines,
+# not each engine's libm ln of a small int.
+_HURST_SIZES = [
+    (5, 1609437912434100),
+    (6, 1791759469228055),
+    (10, 2302585092994046),
+    (15, 2708050201102210),
+    (30, 3401197381662156),
+]
+_HURST_INF = 10**15
+
+
+def _hurst_oracle() -> str:
+    per_size = []
+    for m, _ in _HURST_SIZES:
+        per_size.append(f"""
+    blk{m} AS (
+        SELECT i // {m} AS b, SUM(x)::BIGINT AS s, SUM(x * x)::BIGINT AS ss,
+               list([x] ORDER BY i) AS xs
+        FROM tl, n WHERE i < (n.n // {m}) * {m}
+        GROUP BY i // {m}, n.n
+    ),
+    rs{m} AS (
+        SELECT b,
+               (list_reduce(
+                    list_prepend([0::BIGINT, 0::BIGINT,
+                                  -{_HURST_INF}::BIGINT,
+                                  {_HURST_INF}::BIGINT],
+                                 xs),
+                    (a, e) -> [a[1] + e[1], a[2] + 1,
+                               greatest(a[3], {m} * (a[1] + e[1])
+                                              - (a[2] + 1) * s),
+                               least(a[4], {m} * (a[1] + e[1])
+                                           - (a[2] + 1) * s)]))
+                   AS f,
+               s, ss
+        FROM blk{m}
+    ),
+    a{m} AS (
+        SELECT list_reduce(
+                   list_prepend([0.0],
+                       list(
+                           [(f[3] - f[4])::DOUBLE
+                            / sqrt(({m} * ss - s * s)::DOUBLE)]
+                           ORDER BY b)),
+                   (acc, e) -> [acc[1] + e[1]])[1]
+               / COUNT(*) AS rs
+        FROM rs{m} WHERE {m} * ss - s * s > 0
+    )""")
+    return (
+        """
+    WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    cnts AS (
+        SELECT ts::DATE AS d, COUNT(*)::BIGINT AS x FROM events GROUP BY 1
+    ),
+    tl AS (
+        SELECT (ROW_NUMBER() OVER (ORDER BY days.d) - 1)::BIGINT AS i,
+               COALESCE(cnts.x, 0)::BIGINT AS x
+        FROM days LEFT JOIN cnts ON cnts.d = days.d
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM tl),"""
+        + ",".join(per_size)
+        + f"""
+    SELECT (SELECT n FROM n) AS n_days,
+           {", ".join(f"ROUND((SELECT rs FROM a{m}), 6) AS rs{m}"
+                      for m, _ in _HURST_SIZES)},
+           ROUND(
+             (5.0 * ({" + ".join(
+                 f"({u}::DOUBLE / 1000000000000000) * ln((SELECT rs FROM a{m}))"
+                 for m, u in _HURST_SIZES)})
+              - ({" + ".join(f"({u}::DOUBLE / 1000000000000000)"
+                             for _, u in _HURST_SIZES)})
+                * ({" + ".join(f"ln((SELECT rs FROM a{m}))"
+                               for m, _ in _HURST_SIZES)}))
+             / (5.0 * ({" + ".join(
+                 f"({u}::DOUBLE / 1000000000000000)"
+                 f" * ({u}::DOUBLE / 1000000000000000)"
+                 for _, u in _HURST_SIZES)})
+                - ({" + ".join(f"({u}::DOUBLE / 1000000000000000)"
+                               for _, u in _HURST_SIZES)})
+                  * ({" + ".join(f"({u}::DOUBLE / 1000000000000000)"
+                                 for _, u in _HURST_SIZES)})), 6)
+               AS hurst_h
+    """
+    )
+
+
+@query("hurst_exponent", _hurst_oracle())
+def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-count series by classical
+    rescaled-range analysis (Hurst 1951; Mandelbrot & Wallis): for window
+    sizes m in {{5, 6, 10, 15, 30}}, each complete block's R/S =
+    (max - min of cumulative mean deviations) / block std; H is the OLS
+    slope of ln(avg R/S) on ln(m).  H ~ 0.5 is a memoryless series, H >
+    0.5 long-range persistence, H < 0.5 anti-persistence — the
+    long-memory screen next to ljung_box's short-lag portmanteau.
+
+    Parity: cumulative deviations are m-SCALED exact BIGINTs (z_i =
+    m*cumsum_i - i*S — the durbin_watson trick), so each block's R and
+    the std radicand m*SS - S^2 are exact integers; R/S is ONE division
+    + one IEEE sqrt; block averages fold in b-order, the regression
+    abscissae ln(m) are INTEGER-LITERAL ratios (never each engine's libm
+    on small ints), and the slope is a fixed unrolled 5-term tree.
+    Degenerate (constant) blocks are excluded by an exact integer
+    condition.
+
+    Scale: one groupBy(day) collapses the corpus; every fold and the
+    regression run on the calendar-bounded grid (30 rows x 5 sizes)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    cnts = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    tl = (
+        days.join(cnts, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+        .select(
+            (F.row_number().over(Window.orderBy("d")) - 1).cast("long")
+            .alias("i"),
+            "x",
+        )
+    )
+    n_row = tl.agg(F.count("*").cast("long").alias("n"))
+    tn = tl.crossJoin(F.broadcast(n_row))
+    inf = F.lit(_HURST_INF).cast("long")
+    rs_cols = {}
+    base = None
+    for m, _u in _HURST_SIZES:
+        blk = (
+            tn.filter(F.col("i") < F.floor(F.col("n") / m) * m)
+            .groupBy(F.floor(F.col("i") / m).alias("b"))
+            .agg(
+                F.sum("x").cast("long").alias("s"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "x"))),
+                    lambda st: F.array(st["x"]),
+                ).alias("xs"),
+            )
+        )
+
+        def fold(a, ecol, m_=m):
+            s1 = F.element_at(a, 1) + F.element_at(ecol, 1)
+            i1 = F.element_at(a, 2) + 1
+            z = m_ * s1 - i1 * F.col("s")
+            return F.array(
+                s1, i1,
+                F.greatest(F.element_at(a, 3), z),
+                F.least(F.element_at(a, 4), z),
+            )
+
+        folded = blk.select(
+            "b", "s", "ss",
+            F.aggregate(
+                "xs",
+                F.array(
+                    F.lit(0).cast("long"), F.lit(0).cast("long"), -inf, inf
+                ),
+                lambda a, ecol: fold(a, ecol),
+            ).alias("f"),
+        ).filter(m * F.col("ss") - F.col("s") * F.col("s") > 0)
+        rs = folded.select(
+            "b",
+            (
+                (F.element_at("f", 3) - F.element_at("f", 4)).cast("double")
+                / F.sqrt((m * F.col("ss") - F.col("s") * F.col("s"))
+                         .cast("double"))
+            ).alias("rs"),
+        )
+        avg = rs.agg(
+            (
+                F.element_at(
+                    F.aggregate(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("b", "rs"))),
+                            lambda st: F.array(st["rs"]),
+                        ),
+                        F.array(F.lit(0.0)),
+                        lambda a, ecol: F.array(
+                            F.element_at(a, 1) + F.element_at(ecol, 1)
+                        ),
+                    ),
+                    1,
+                )
+                / F.count("*")
+            ).alias(f"rs{m}")
+        )
+        rs_cols[m] = avg
+        base = avg if base is None else base.crossJoin(F.broadcast(avg))
+    w = base.crossJoin(F.broadcast(n_row))
+    us = [
+        F.lit(u).cast("double") / F.lit(10**15).cast("double")
+        for _, u in _HURST_SIZES
+    ]
+    vs = [F.log(F.col(f"rs{m}")) for m, _ in _HURST_SIZES]
+    suv = None
+    su = None
+    sv = None
+    suu = None
+    for u, v in zip(us, vs):
+        suv = u * v if suv is None else suv + u * v
+        su = u if su is None else su + u
+        sv = v if sv is None else sv + v
+        suu = u * u if suu is None else suu + u * u
+    h = (5.0 * suv - su * sv) / (5.0 * suu - su * su)
+    return w.select(
+        F.col("n").alias("n_days"),
+        *[F.round(F.col(f"rs{m}"), 6).alias(f"rs{m}") for m, _ in _HURST_SIZES],
+        F.round(h, 6).alias("hurst_h"),
+    )

@@ -1486,3 +1486,119 @@ def test_sax_symbol_monotone_in_level():
         cur = letter(dev)
         assert order.index(cur) >= order.index(prev)
         prev = cur
+
+
+# ---------------------------------------------------------------------------
+# odds_ratio_ci
+# ---------------------------------------------------------------------------
+
+
+def test_odds_ratio_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import odds_ratio_ci
+
+    rows = _events(sf_dir)
+    u = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        if r["event_type"] == "signup":
+            u[r["user_id"]][0] = 1
+        elif r["event_type"] == "purchase":
+            u[r["user_id"]][1] = 1
+        else:
+            u.setdefault(r["user_id"], [0, 0])
+    a = sum(1 for e, y in u.values() if e and y)
+    b = sum(1 for e, y in u.values() if e and not y)
+    c = sum(1 for e, y in u.values() if not e and y)
+    d = sum(1 for e, y in u.values() if not e and not y)
+    got = odds_ratio_ci(spark, sf_dir).collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (a, b, c, d)
+    if b * c:
+        assert math.isclose(got["odds_ratio"], round(a * d / (b * c), 6),
+                            abs_tol=1e-9)
+    if a * b * c * d:
+        lor = math.log(a * d / (b * c))
+        se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+        z = 1959963984540054 / 10**15
+        assert math.isclose(got["log_or"], round(lor, 6), abs_tol=1e-9)
+        assert math.isclose(got["log_or_lo95"], round(lor - z * se, 6),
+                            abs_tol=1e-9)
+        assert math.isclose(got["log_or_hi95"], round(lor + z * se, 6),
+                            abs_tol=1e-9)
+    assert got["positive_association"] == (a * d > b * c)
+
+
+def test_odds_ratio_laws():
+    """OR laws: independence gives OR == 1; the CI is symmetric in log
+    space; swapping exposure labels inverts the OR."""
+    a, b, c, d = 30, 60, 10, 20  # a/b == c/d -> OR 1
+    assert a * d == b * c
+    a, b, c, d = 40, 10, 20, 30
+    orr = a * d / (b * c)
+    inv = c * b / (d * a)
+    assert math.isclose(orr, 1 / inv, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# hurst_exponent
+# ---------------------------------------------------------------------------
+
+
+def _hurst_python(xs):
+    sizes = [(5, 1609437912434100), (6, 1791759469228055),
+             (10, 2302585092994046), (15, 2708050201102210),
+             (30, 3401197381662156)]
+    n = len(xs)
+    pts = []
+    rss = {}
+    for m, unum in sizes:
+        vals = []
+        for b in range(n // m):
+            blk = xs[b * m:(b + 1) * m]
+            S = sum(blk)
+            SS = sum(v * v for v in blk)
+            if m * SS - S * S <= 0:
+                continue
+            cum = 0
+            mx, mn = -10**15, 10**15
+            for i, v in enumerate(blk, start=1):
+                cum += v
+                z = m * cum - i * S
+                mx, mn = max(mx, z), min(mn, z)
+            vals.append((mx - mn) / math.sqrt(m * SS - S * S))
+        avg = sum(vals) / len(vals)
+        rss[m] = avg
+        pts.append((unum / 10**15, math.log(avg)))
+    k = len(pts)
+    su = sum(u for u, _ in pts)
+    sv = sum(v for _, v in pts)
+    suv = sum(u * v for u, v in pts)
+    suu = sum(u * u for u, _ in pts)
+    return rss, (k * suv - su * sv) / (k * suu - su * su)
+
+
+def test_hurst_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import hurst_exponent
+
+    rows = _events(sf_dir)
+    days = sorted({r["ts"].date() for r in rows})
+    cnt = collections.Counter(r["ts"].date() for r in rows)
+    xs = [cnt.get(d, 0) for d in days]
+    rss, h = _hurst_python(xs)
+    got = hurst_exponent(spark, sf_dir).collect()[0]
+    assert got["n_days"] == len(days)
+    for m in (5, 6, 10, 15, 30):
+        assert math.isclose(got[f"rs{m}"], round(rss[m], 6), abs_tol=1e-6)
+    assert math.isclose(got["hurst_h"], round(h, 6), abs_tol=1e-6)
+    # a near-uniform arrival series should not show strong persistence
+    assert 0.0 < got["hurst_h"] < 1.1
+
+
+def test_hurst_detects_persistence():
+    """Law: a trending (persistent) series scores higher H than an
+    alternating (anti-persistent) one."""
+    trend = [100 + 3 * t for t in range(30)]
+    alt = [100 + (7 if t % 2 == 0 else -7) for t in range(30)]
+    _, h_trend = _hurst_python(trend)
+    _, h_alt = _hurst_python(alt)
+    assert h_trend > h_alt
+    assert h_trend > 0.8  # strong persistence
+    assert h_alt < 0.4  # anti-persistent
