@@ -6557,3 +6557,93 @@ def log_odds_monroe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("z").desc(), F.col("word").asc())  # z is the ROUNDED col
         .limit(20)
     )
+
+
+_TREND_K = 20
+_TREND_ALPHA = 5  # Laplace smoothing pseudo-count
+
+
+@query(
+    "trending_terms",
+    f"""
+    WITH docs2 AS (
+        SELECT doc_id, {_WORDS} AS ws,
+               (doc_id % 2) AS half
+        FROM documents
+    ),
+    toks AS (SELECT half, unnest(ws) AS w FROM docs2),
+    tot AS (
+        SELECT SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+        FROM toks
+    ),
+    g AS (
+        SELECT w,
+               SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+        FROM toks GROUP BY w
+    )
+    SELECT w AS term, c0 AS count_before, c1 AS count_after,
+           ROUND(((c1 + {_TREND_ALPHA}) * (tot.n0 + 2 * {_TREND_ALPHA}))::DOUBLE
+                 / ((c0 + {_TREND_ALPHA})
+                    * (tot.n1 + 2 * {_TREND_ALPHA})), 6) AS growth
+    FROM g, tot
+    ORDER BY ROUND(((c1 + {_TREND_ALPHA}) * (tot.n0 + 2 * {_TREND_ALPHA}))::DOUBLE
+                   / ((c0 + {_TREND_ALPHA})
+                      * (tot.n1 + 2 * {_TREND_ALPHA})), 6) DESC, w ASC
+    LIMIT {_TREND_K}
+    """,
+)
+def trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-term detection between two corpus cohorts (even vs odd
+    doc ids — the deterministic stand-in for crawl snapshots): smoothed
+    rate ratio growth = ((c_after + a)/(N_after + 2a)) / ((c_before +
+    a)/(N_before + 2a)) with Laplace pseudo-count a = 5, top-20 movers —
+    the temporal counterpart to log_odds_monroe's source axis, and the
+    vocabulary-drift monitor a crawl pipeline runs between snapshots
+    (psi_drift's per-term refinement).
+
+    Parity: counts and totals are exact BIGINTs; the smoothed ratio is
+    arranged as ONE division of two exact integer PRODUCTS — (c1+a)(N0+
+    2a) / ((c0+a)(N1+2a)) — so the only float is the final correctly-
+    rounded division (products <= ~1e13 at sf1); the cut sorts the
+    ROUNDED growth with a term tiebreak.
+
+    Scale: one token explode + one word-keyed groupBy with map-side
+    combine; the totals row broadcasts; TakeOrdered(20)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    tot = toks.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long")
+        .alias("n1"),
+    )
+    g = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long")
+        .alias("c1"),
+    )
+    a = _TREND_ALPHA
+    j = g.crossJoin(F.broadcast(tot))
+    growth = F.round(
+        ((F.col("c1") + a) * (F.col("n0") + 2 * a)).cast("double")
+        / ((F.col("c0") + a) * (F.col("n1") + 2 * a)),
+        6,
+    )
+    return (
+        j.select(
+            F.col("w").alias("term"),
+            F.col("c0").alias("count_before"),
+            F.col("c1").alias("count_after"),
+            growth.alias("growth"),
+        )
+        .orderBy(F.col("growth").desc(), F.col("term").asc())
+        .limit(_TREND_K)
+    )

@@ -1824,3 +1824,130 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_fp").desc(), F.col("word").asc())
         .limit(25)
     )
+
+
+_RBO_K = 25
+# (1-p)·p^(d-1) weights for p=0.9 as python-repr literals — the SAME
+# decimal text parses to the SAME double in both engines (never libm pow).
+_RBO_WEIGHTS = [(1, 0.09999999999999998), (2, 0.08999999999999998), (3, 0.08099999999999999), (4, 0.07289999999999999), (5, 0.06560999999999999), (6, 0.059049), (7, 0.05314409999999999), (8, 0.047829689999999994), (9, 0.043046721), (10, 0.0387420489), (11, 0.03486784401), (12, 0.031381059609), (13, 0.028242953648100005), (14, 0.025418658283290003), (15, 0.022876792454961003), (16, 0.020589113209464903), (17, 0.01853020188851841), (18, 0.016677181699666574), (19, 0.015009463529699915), (20, 0.013508517176729925), (21, 0.012157665459056933), (22, 0.010941898913151239), (23, 0.009847709021836116), (24, 0.008862938119652504), (25, 0.007976644307687254)]
+
+
+@query(
+    "rbo_rankings",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w FROM documents
+    ),
+    content AS (
+        SELECT doc_id, w FROM toks
+        WHERE len(w) > 2 AND NOT list_contains({_STOP_SQL}, w)
+    ),
+    tf AS (SELECT w, COUNT(*)::BIGINT AS c FROM content GROUP BY w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id)::BIGINT AS c FROM content GROUP BY w),
+    ra AS (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC)::BIGINT AS r
+        FROM tf QUALIFY r <= 25
+    ),
+    rb AS (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC)::BIGINT AS r
+        FROM df QUALIFY r <= 25
+    ),
+    joined AS (
+        SELECT ra.w, greatest(ra.r, rb.r)::BIGINT AS m
+        FROM ra JOIN rb ON rb.w = ra.w
+    ),
+    wt(d, wgt) AS (VALUES (1, 0.09999999999999998), (2, 0.08999999999999998), (3, 0.08099999999999999), (4, 0.07289999999999999), (5, 0.06560999999999999), (6, 0.059049), (7, 0.05314409999999999), (8, 0.047829689999999994), (9, 0.043046721), (10, 0.0387420489), (11, 0.03486784401), (12, 0.031381059609), (13, 0.028242953648100005), (14, 0.025418658283290003), (15, 0.022876792454961003), (16, 0.020589113209464903), (17, 0.01853020188851841), (18, 0.016677181699666574), (19, 0.015009463529699915), (20, 0.013508517176729925), (21, 0.012157665459056933), (22, 0.010941898913151239), (23, 0.009847709021836116), (24, 0.008862938119652504), (25, 0.007976644307687254)),
+    xs AS (
+        SELECT wt.d, wt.wgt,
+               (SELECT COUNT(*) FROM joined WHERE joined.m <= wt.d)::BIGINT
+                   AS x
+        FROM wt
+    )
+    SELECT 25::BIGINT AS k,
+           (SELECT x FROM xs WHERE d = 25) AS overlap_at_k,
+           ROUND((SELECT x FROM xs WHERE d = 25)::DOUBLE / 25, 6)
+               AS agreement_at_k,
+           ROUND(list_reduce(
+               list_prepend([0.0],
+                   (SELECT list([wgt * x / d] ORDER BY d) FROM xs)),
+               (a, e) -> [a[1] + e[1]])[1], 6) AS rbo
+    """,
+)
+def rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    keyword rankings of the corpus — collection frequency vs document
+    frequency (bursty terms rank high on tf, broad terms on df): RBO_p =
+    (1-p) * sum_d p^(d-1) * X_d / d at p = 0.9 over the top-25, the
+    top-weighted list-comparison metric retrieval teams use where
+    Kendall/Spearman (which weight all depths equally) mislead.
+
+    Parity: both rankings are exact integer windows with word tiebreaks;
+    X_d (the depth-d intersection size) counts words whose max(rank_a,
+    rank_b) <= d — exact BIGINTs; the geometric weights are PYTHON-REPR
+    LITERALS (the same decimal text parses to the same double in both
+    engines — libm pow never runs), and the 25 weighted terms fold in
+    d-order.
+
+    Scale: two word-keyed groupBys with map-side combine, two top-25
+    windows over vocab-sized frames, and a 25-row fold — corpus-free
+    after the first aggregate."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    content = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    ).filter((F.length("w") > 2) & ~F.array_contains(stop, F.col("w")))
+    tf = content.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    df_ = content.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("long").alias("c")
+    )
+    ra = tf.select(
+        "w",
+        F.row_number().over(W.orderBy(F.col("c").desc(), F.col("w").asc()))
+        .cast("long").alias("r"),
+    ).filter(F.col("r") <= _RBO_K)
+    rb = df_.select(
+        "w",
+        F.row_number().over(W.orderBy(F.col("c").desc(), F.col("w").asc()))
+        .cast("long").alias("r"),
+    ).filter(F.col("r") <= _RBO_K)
+    joined = ra.alias("a").join(
+        rb.alias("b"), F.col("a.w") == F.col("b.w")
+    ).select(F.greatest("a.r", "b.r").alias("m"))
+    wt = spark.createDataFrame(_RBO_WEIGHTS, "d long, wgt double")
+    xs = (
+        wt.crossJoin(joined)
+        .groupBy("d", "wgt")
+        .agg(
+            F.sum(F.when(F.col("m") <= F.col("d"), 1).otherwise(0))
+            .cast("long").alias("x")
+        )
+    )
+    folded = xs.agg(
+        F.element_at(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "wgt", "x"))),
+                    lambda s: F.array(
+                        s["wgt"] * s["x"] / s["d"].cast("double")
+                    ),
+                ),
+                F.array(F.lit(0.0)),
+                lambda a, e: F.array(F.element_at(a, 1) + F.element_at(e, 1)),
+            ),
+            1,
+        ).alias("rbo"),
+        F.max(F.when(F.col("d") == _RBO_K, F.col("x"))).cast("long")
+        .alias("overlap_at_k"),
+    )
+    return folded.select(
+        F.lit(_RBO_K).cast("long").alias("k"),
+        "overlap_at_k",
+        F.round(F.col("overlap_at_k").cast("double") / _RBO_K, 6)
+        .alias("agreement_at_k"),
+        F.round("rbo", 6).alias("rbo"),
+    )

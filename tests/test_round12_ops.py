@@ -1602,3 +1602,99 @@ def test_hurst_detects_persistence():
     assert h_trend > h_alt
     assert h_trend > 0.8  # strong persistence
     assert h_alt < 0.4  # anti-persistent
+
+
+# ---------------------------------------------------------------------------
+# trending_terms
+# ---------------------------------------------------------------------------
+
+
+def test_trending_python_replay(spark, sf_dir):
+    from fusionspark.queries.pipeline_queries import trending_terms
+
+    docs = _docs(sf_dir)
+    c0, c1 = collections.Counter(), collections.Counter()
+    n0 = n1 = 0
+    for d in docs:
+        ws = [w for w in d["text"].lower().split(" ") if w]
+        if d["doc_id"] % 2 == 0:
+            c0.update(ws)
+            n0 += len(ws)
+        else:
+            c1.update(ws)
+            n1 += len(ws)
+    a = 5
+    scored = []
+    for w in set(c0) | set(c1):
+        g = round(
+            (c1.get(w, 0) + a) * (n0 + 2 * a)
+            / ((c0.get(w, 0) + a) * (n1 + 2 * a)),
+            6,
+        )
+        scored.append((-g, w, c0.get(w, 0), c1.get(w, 0), g))
+    top = sorted(scored)[:20]
+    got = trending_terms(spark, sf_dir).collect()
+    assert len(got) == 20
+    for row, (_, w, b, af, g) in zip(got, top):
+        assert row["term"] == w
+        assert (row["count_before"], row["count_after"]) == (b, af)
+        assert math.isclose(row["growth"], g, abs_tol=1e-9)
+
+
+def test_trending_smoothing_shrinks_singletons():
+    """Law: a term going 0 -> 1 grows less than one going 10 -> 30 under
+    Laplace smoothing (raw ratio would rank the singleton infinite)."""
+    a, n0, n1 = 5, 10000, 10000
+
+    def growth(c0, c1):
+        return (c1 + a) * (n0 + 2 * a) / ((c0 + a) * (n1 + 2 * a))
+
+    assert growth(0, 1) < growth(10, 30)
+
+
+# ---------------------------------------------------------------------------
+# rbo_rankings
+# ---------------------------------------------------------------------------
+
+
+def test_rbo_python_replay(spark, sf_dir):
+    from fusionspark.functions.text import STOPWORDS
+    from fusionspark.queries.text_queries import _RBO_WEIGHTS, rbo_rankings
+
+    docs = _docs(sf_dir)
+    stop = set(STOPWORDS)
+    tf, df = collections.Counter(), collections.Counter()
+    for d in docs:
+        ws = [w for w in d["text"].lower().split(" ")
+              if w and len(w) > 2 and w not in stop]
+        tf.update(ws)
+        df.update(set(ws))
+    k = 25
+    ra = {w: i + 1 for i, (w, _) in enumerate(
+        sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:k])}
+    rb = {w: i + 1 for i, (w, _) in enumerate(
+        sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:k])}
+    ms = [max(ra[w], rb[w]) for w in set(ra) & set(rb)]
+    rbo = 0.0
+    for d_, wgt in _RBO_WEIGHTS:
+        x = sum(1 for m in ms if m <= d_)
+        rbo += wgt * x / d_
+    overlap = sum(1 for m in ms if m <= k)
+    got = rbo_rankings(spark, sf_dir).collect()[0]
+    assert got["k"] == k
+    assert got["overlap_at_k"] == overlap
+    assert math.isclose(got["rbo"], round(rbo, 6), abs_tol=1e-9)
+
+
+def test_rbo_laws():
+    """RBO laws: identical rankings give the truncated maximum (sum of
+    weights); disjoint rankings give 0; weights sum below 1 (truncation)."""
+    from fusionspark.queries.text_queries import _RBO_WEIGHTS
+
+    wsum = sum(w for _, w in _RBO_WEIGHTS)
+    assert 0.9 < wsum < 1.0  # truncated geometric mass
+    # identical lists: X_d = d at every depth -> rbo == wsum
+    rbo_same = sum(w * d / d for d, w in _RBO_WEIGHTS)
+    assert math.isclose(rbo_same, wsum, abs_tol=1e-12)
+    # disjoint lists: X_d = 0 -> rbo == 0
+    assert sum(w * 0 / d for d, w in _RBO_WEIGHTS) == 0.0
