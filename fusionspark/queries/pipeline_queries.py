@@ -6647,3 +6647,146 @@ def trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("growth").desc(), F.col("term").asc())
         .limit(_TREND_K)
     )
+
+
+_NW_PAIRS = 20
+_NW_LEN = 40
+_NW_MATCH = 2
+_NW_MISS = -1
+_NW_GAP = -1
+
+
+@query(
+    "needleman_wunsch",
+    f"""
+    WITH nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+    seqs AS (
+        SELECT doc_id,
+               list_transform(
+                   {_WORDS}[1:{_NW_LEN}],
+                   w -> [('0x' || substr(md5('nw:' || w), 1, 8))::BIGINT])
+                   AS hs
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.hs AS xs, b.hs AS ys
+        FROM seqs a JOIN seqs b ON b.doc_id = a.doc_id + (SELECT n // 2 FROM nn)
+        WHERE a.doc_id < {_NW_PAIRS}
+    ),
+    dp AS (
+        SELECT a_id, b_id, len(xs)::BIGINT AS la, len(ys)::BIGINT AS lb,
+               list_reduce(
+                   list_prepend(
+                       list_transform(generate_series(0, len(ys)),
+                                      j -> {_NW_GAP} * j)::BIGINT[],
+                       xs),
+                   (prev, xi) -> list_reduce(
+                       list_prepend([prev[1] + {_NW_GAP}], ys),
+                       (acc, yj) -> acc
+                           || [greatest(
+                                 prev[len(acc)]
+                                 + CASE WHEN xi[1] = yj[1]
+                                        THEN {_NW_MATCH} ELSE {_NW_MISS} END,
+                                 prev[len(acc) + 1] + {_NW_GAP},
+                                 acc[len(acc)] + {_NW_GAP})]) ) AS row
+        FROM pairs
+    )
+    SELECT a_id, b_id, la AS len_a, lb AS len_b,
+           row[len(row)]::BIGINT AS nw_score,
+           ROUND(row[len(row)]::DOUBLE
+                 / ({_NW_MATCH} * greatest(la, lb)), 6) + 0.0
+               AS similarity
+    FROM dp ORDER BY a_id
+    """,
+)
+def needleman_wunsch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needleman-Wunsch global alignment (1970) between token sequences —
+    the edit-script scorer that tells a dedup pipeline not just THAT two
+    docs are near-duplicates (levenshtein/MinHash already do) but HOW
+    they align (match +2, mismatch -1, gap -1; normalized by the
+    perfect-match score): each doc's 40-token prefix aligns against its
+    cross-half partner (doc_id + n/2) for the first 20 ids — a bounded
+    deterministic pairing standing in for the LSH candidate stream the
+    neardup family produces.
+
+    Parity: tokens hash to 32-bit md5 BIGINTs on both engines (string
+    equality becomes exact integer equality, and the accumulator/element
+    type constraint of DuckDB's list_reduce is satisfied); the DP is the
+    dtw_distance NESTED fold with gap-penalty boundaries (row start
+    new[0] = prev[0] + gap — the running -i), all EXACT BIGINT max/+.
+    similarity can round to signed zero, hence `+ 0.0`.
+
+    Scale: the pairing is id-keyed (one shuffle-free range join at these
+    sizes); each alignment is (len+1)^2 integer cells inside one row —
+    embarrassingly parallel across pairs; production pairings come from
+    the banded LSH candidate join, never all-pairs."""
+    from fusionspark.operators.dedup import md5_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    seqs = d.select(
+        "doc_id",
+        F.transform(
+            F.slice(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != ""),
+                1, _NW_LEN,
+            ),
+            lambda w: F.array(md5_hash32(F.concat(F.lit("nw:"), w))),
+        ).alias("hs"),
+    ).crossJoin(F.broadcast(nn))
+    a = seqs.filter(F.col("doc_id") < _NW_PAIRS).select(
+        F.col("doc_id").alias("a_id"), F.col("hs").alias("xs"),
+        (F.col("doc_id") + F.floor(F.col("n") / 2)).alias("b_key"),
+    )
+    b = seqs.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("ys"))
+    pairs = a.join(b, F.col("b_key") == F.col("b_id"))
+    gap = F.lit(_NW_GAP).cast("long")
+
+    def dp_col(xs, ys):
+        init = F.transform(
+            F.sequence(F.lit(0), F.size(ys)), lambda j: (gap * j).cast("long")
+        )
+
+        def outer(prev, xi):
+            def inner(acc, yj):
+                j = F.size(acc)
+                s = F.when(
+                    F.element_at(xi, 1) == F.element_at(yj, 1),
+                    F.lit(_NW_MATCH),
+                ).otherwise(F.lit(_NW_MISS)).cast("long")
+                return F.concat(
+                    acc,
+                    F.array(
+                        F.greatest(
+                            F.element_at(prev, j) + s,
+                            F.element_at(prev, j + 1) + gap,
+                            F.element_at(acc, j) + gap,
+                        )
+                    ),
+                )
+
+            return F.aggregate(
+                ys, F.array(F.element_at(prev, 1) + gap), inner
+            )
+
+        return F.aggregate(xs, init, outer)
+
+    dp = pairs.select(
+        "a_id", "b_id",
+        F.size("xs").cast("long").alias("len_a"),
+        F.size("ys").cast("long").alias("len_b"),
+        dp_col(F.col("xs"), F.col("ys")).alias("row"),
+    )
+    last = F.element_at("row", F.size("row"))
+    return dp.select(
+        "a_id", "b_id", "len_a", "len_b",
+        last.cast("long").alias("nw_score"),
+        (
+            F.round(
+                last.cast("double")
+                / (_NW_MATCH * F.greatest("len_a", "len_b")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("similarity"),
+    ).orderBy("a_id")

@@ -1698,3 +1698,51 @@ def test_rbo_laws():
     assert math.isclose(rbo_same, wsum, abs_tol=1e-12)
     # disjoint lists: X_d = 0 -> rbo == 0
     assert sum(w * 0 / d for d, w in _RBO_WEIGHTS) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# needleman_wunsch
+# ---------------------------------------------------------------------------
+
+
+def _nw_python(xs, ys, match=2, miss=-1, gap=-1):
+    prev = [gap * j for j in range(len(ys) + 1)]
+    for x in xs:
+        new = [prev[0] + gap]
+        for j, y in enumerate(ys, start=1):
+            s = match if x == y else miss
+            new.append(max(prev[j - 1] + s, prev[j] + gap, new[j - 1] + gap))
+        prev = new
+    return prev[-1]
+
+
+def test_nw_python_replay(spark, sf_dir):
+    from fusionspark.queries.pipeline_queries import needleman_wunsch
+
+    docs = {d["doc_id"]: d for d in _docs(sf_dir)}
+    n = len(docs)
+    got = needleman_wunsch(spark, sf_dir).collect()
+    assert len(got) == min(20, n - n // 2)
+    for row in got:
+        a = [w for w in docs[row["a_id"]]["text"].lower().split(" ") if w][:40]
+        b = [w for w in docs[row["b_id"]]["text"].lower().split(" ") if w][:40]
+        assert row["b_id"] == row["a_id"] + n // 2
+        assert (row["len_a"], row["len_b"]) == (len(a), len(b))
+        score = _nw_python(a, b)
+        assert row["nw_score"] == score
+        assert math.isclose(
+            row["similarity"],
+            round(score / (2 * max(len(a), len(b))), 6), abs_tol=1e-9,
+        )
+
+
+def test_nw_textbook_laws():
+    """NW laws: identical sequences score 2n (similarity 1); fully
+    disjoint sequences of equal length score -n (all mismatches beat
+    double gaps); one insertion costs exactly one gap."""
+    a = ["the", "cat", "sat", "on", "the", "mat"]
+    assert _nw_python(a, a) == 2 * len(a)
+    b = ["x1", "x2", "x3", "x4", "x5", "x6"]
+    assert _nw_python(a, b) == -len(a)
+    ins = a[:3] + ["INSERTED"] + a[3:]
+    assert _nw_python(a, ins) == 2 * len(a) - 1
