@@ -8634,3 +8634,269 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.col(f"rs{m}"), 6).alias(f"rs{m}") for m, _ in _HURST_SIZES],
         F.round(h, 6).alias("hurst_h"),
     )
+
+
+_RB_PARTS = 32
+
+
+@query(
+    "range_bounds_plan",
+    f"""
+    WITH o AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+        FROM orders
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_orderkey)::BIGINT AS rn
+        FROM o
+    ),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM o),
+    marks AS (
+        SELECT i.i::BIGINT AS part,
+               ((i.i * nn.n) // {_RB_PARTS})::BIGINT AS rn
+        FROM unnest(generate_series(1, {_RB_PARTS} - 1)) AS i(i), nn
+    )
+    SELECT marks.part, ranked.cents AS bound_cents, marks.rn AS rows_below,
+           (SELECT n // {_RB_PARTS} FROM nn) AS target_rows
+    FROM marks JOIN ranked ON ranked.rn = marks.rn
+    ORDER BY marks.part
+    """,
+)
+def range_bounds_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced range-partition boundaries for orders by price — what
+    Spark's RangePartitioner estimates by SAMPLING, computed exactly:
+    the 31 split values that put n/32 rows in each of 32 partitions
+    (exact order statistics at rank i*n//32 with an orderkey tiebreak).
+    The companion to salt_plan: salt fixes hash-skew, range bounds fix
+    sort/range-scan layout (a write.sortBy or a bucketed range join
+    consumes exactly this table).
+
+    Parity: prices become exact cents; ranks and marks are exact integer
+    windows and floor divisions — there is NO float anywhere in this
+    query.
+
+    Scale: one global sort-rank window is the honest cost (the same sort
+    a range-write pays anyway); at 100 TB the production form samples
+    per-partition histograms first — this exact form is the ground truth
+    those samples approximate, and the emitted plan is 31 rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = o.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_orderkey"))
+        .cast("long").alias("rn"),
+    )
+    nn = o.agg(F.count("*").cast("long").alias("n"))
+    marks = (
+        spark.range(1, _RB_PARTS)
+        .select(F.col("id").cast("long").alias("part"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "part",
+            F.floor(F.col("part") * F.col("n") / _RB_PARTS).cast("long")
+            .alias("rn"),
+            F.floor(F.col("n") / _RB_PARTS).cast("long").alias("target_rows"),
+        )
+    )
+    return (
+        marks.join(ranked, "rn")
+        .select(
+            "part", F.col("cents").alias("bound_cents"),
+            F.col("rn").alias("rows_below"), "target_rows",
+        )
+        .orderBy("part")
+    )
+
+
+@query(
+    "krippendorff_alpha",
+    """
+    WITH rated AS (
+        SELECT CASE WHEN len(regexp_extract_all(text, '[.!?]')) >= 3
+                    THEN 1 ELSE 0 END
+             + CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '')) >= 80
+                    THEN 1 ELSE 0 END
+             + CASE WHEN n_chars >= 450 THEN 1 ELSE 0 END AS ones
+        FROM documents
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n_units,
+               SUM(ones)::BIGINT AS p1,
+               SUM(3 - ones)::BIGINT AS p0,
+               SUM(ones * (3 - ones))::BIGINT AS do_sum
+        FROM rated
+    )
+    SELECT n_units, (3 * n_units)::BIGINT AS n_values, p1, p0, do_sum,
+           ROUND(1.0 - ((3 * n_units - 1) * do_sum)::DOUBLE / (2 * p1 * p0),
+                 6) + 0.0 AS alpha
+    FROM s
+    """,
+)
+def krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha for THREE binary raters (sentence-count,
+    token-count, and char-length substantiveness heuristics) — the
+    multi-rater generalization of cohens_kappa and the reliability
+    statistic annotation guidelines actually quote (Krippendorff 2004):
+    alpha = 1 - D_o/D_e with per-unit observed disagreement 2*n1*n0/(m-1)
+    and expected disagreement 2*P1*P0/(N(N-1)).
+
+    Parity: with m = 3 the per-unit term 2*n1*n0/(m-1) = n1*n0 is an
+    EXACT integer, so alpha = 1 - (N-1)*sum(n1*n0) / (2*P1*P0) is ONE
+    correctly-rounded division of exact BIGINT products (~1e17 at sf1).
+    alpha can round to signed zero, hence `+ 0.0`.  Perfect agreement
+    (do_sum = 0) gives exactly 1.
+
+    Scale: one full-scan aggregate with map-side combine; closed form on
+    a 4-integer row."""
+    d = load_table(spark, sf_dir, "documents")
+    ones = (
+        F.when(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0))) >= 3,
+            1,
+        ).otherwise(0)
+        + F.when(
+            F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+            >= 80,
+            1,
+        ).otherwise(0)
+        + F.when(F.col("n_chars") >= 450, 1).otherwise(0)
+    )
+    rated = d.select(ones.alias("ones"))
+    s = rated.agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("ones").cast("long").alias("p1"),
+        F.sum(3 - F.col("ones")).cast("long").alias("p0"),
+        F.sum(F.col("ones") * (3 - F.col("ones"))).cast("long").alias("do_sum"),
+    )
+    return s.select(
+        "n_units",
+        (3 * F.col("n_units")).cast("long").alias("n_values"),
+        "p1", "p0", "do_sum",
+        (
+            F.round(
+                1.0
+                - ((3 * F.col("n_units") - 1) * F.col("do_sum")).cast("double")
+                / (2 * F.col("p1") * F.col("p0")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("alpha"),
+    )
+
+
+_TRUSS_K = 4  # edges must sit in >= k-2 = 2 triangles
+_TRUSS_ROUNDS = 5
+
+
+def _ktruss_oracle() -> str:
+    head = """
+    WITH docs AS (SELECT doc_id FROM documents),
+    nn AS (SELECT COUNT(*) AS n FROM docs),
+    raw AS (
+        SELECT doc_id AS s, (doc_id + 1) % (SELECT n FROM nn) AS d FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 3 + 1) % (SELECT n FROM nn) FROM docs
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM raw WHERE s <> d
+    )"""
+    body = ""
+    for r in range(_TRUSS_ROUNDS):
+        body += f""",
+    adj{r} AS MATERIALIZED (
+        SELECT a AS x, b AS y FROM e{r} UNION ALL SELECT b, a FROM e{r}
+    ),
+    sup{r} AS (
+        SELECT e.a, e.b, COUNT(n2.y)::BIGINT AS sup
+        FROM e{r} e
+        LEFT JOIN adj{r} n1 ON n1.x = e.a
+        LEFT JOIN adj{r} n2 ON n2.x = e.b AND n2.y = n1.y
+        GROUP BY e.a, e.b
+    ),
+    e{r + 1} AS MATERIALIZED (
+        SELECT a, b FROM sup{r} WHERE sup >= {_TRUSS_K - 2}
+    )"""
+    rows = "\n        UNION ALL\n".join(
+        f"        SELECT {r}::BIGINT AS round,"
+        f" (SELECT COUNT(*) FROM e{r})::BIGINT AS n_edges"
+        for r in range(_TRUSS_ROUNDS + 1)
+    )
+    return head + body + f"""
+    SELECT round, n_edges,
+           COALESCE(LAG(n_edges) OVER (ORDER BY round) - n_edges, 0)::BIGINT
+               AS n_removed
+    FROM (
+{rows}
+    ) ORDER BY round
+    """
+
+
+@query("k_truss", _ktruss_oracle())
+def k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peeling on the deterministic doc link graph (Cohen 2008):
+    every edge of a k-truss sits in >= k-2 triangles of the truss, so
+    peeling repeatedly deletes support-deficient edges — the
+    community-core extractor that is stricter than k-core (graph family:
+    kcore_docs, graph_triangles, community_lpa) and the dense-cluster
+    certificate dedup graphs use.  Emits the peeling TRAJECTORY (edges
+    remaining after each of 5 rounds) — the convergence readout.
+
+    Parity: supports are exact BIGINT common-neighbor counts (LEFT JOIN
+    keeps 0-support edges); the peel condition is an exact integer
+    comparison; both engines unroll the SAME 5 rounds (a fixpoint needs
+    at most |E| rounds; 5 is the documented bounded-round contract and
+    the trajectory itself shows whether it has converged).
+
+    Scale: each round is two joins keyed on node ids with map-side
+    combine on the support count — the standard distributed truss
+    decomposition shape (edges shuffle by endpoint, never materializing
+    triangles); rounds are bounded, and each round's frame only shrinks."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    raw = None
+    for expr in (((d + 1) % n), ((d + 2) % n), ((d * 3 + 1) % n)):
+        part = docs.select(d.alias("s"), expr.alias("dd"))
+        raw = part if raw is None else raw.unionAll(part)
+    e = (
+        raw.filter(F.col("s") != F.col("dd"))
+        .select(
+            F.least("s", "dd").alias("a"), F.greatest("s", "dd").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    counts = [e.count()]
+    for _ in range(_TRUSS_ROUNDS):
+        adj = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+            e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+        )
+        n1 = adj.select(F.col("x").alias("x1"), F.col("y").alias("c"))
+        n2 = adj.select(F.col("x").alias("x2"), F.col("y").alias("c2"))
+        sup = (
+            e.join(n1, F.col("x1") == F.col("a"), "left")
+            .join(
+                n2,
+                (F.col("x2") == F.col("b")) & (F.col("c2") == F.col("c")),
+                "left",
+            )
+            .groupBy("a", "b")
+            .agg(F.count("c2").cast("long").alias("sup"))
+        )
+        e = sup.filter(F.col("sup") >= _TRUSS_K - 2).select("a", "b")
+        e = e.localCheckpoint(eager=True)
+        counts.append(e.count())
+    rows = [
+        (r, c, (counts[r - 1] - c) if r else 0)
+        for r, c in enumerate(counts)
+    ]
+    return spark.createDataFrame(
+        rows, "round long, n_edges long, n_removed long"
+    ).orderBy("round")

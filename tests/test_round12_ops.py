@@ -1746,3 +1746,125 @@ def test_nw_textbook_laws():
     assert _nw_python(a, b) == -len(a)
     ins = a[:3] + ["INSERTED"] + a[3:]
     assert _nw_python(a, ins) == 2 * len(a) - 1
+
+
+# ---------------------------------------------------------------------------
+# range_bounds_plan
+# ---------------------------------------------------------------------------
+
+
+def test_range_bounds_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import range_bounds_plan
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+    rows = sorted(
+        (_round_away(o["o_totalprice"] * 100), o["o_orderkey"]) for o in orders
+    )
+    n = len(rows)
+    got = range_bounds_plan(spark, sf_dir).collect()
+    assert len(got) == 31
+    for r in got:
+        rank = (r["part"] * n) // 32
+        assert r["rows_below"] == rank
+        assert r["bound_cents"] == rows[rank - 1][0]
+        assert r["target_rows"] == n // 32
+
+
+def test_range_bounds_balance_law():
+    """Law: consecutive marks differ by n//32 or n//32 + 1 rows — every
+    partition lands within one row of the target."""
+    n = 100003
+    marks = [(i * n) // 32 for i in range(33)]
+    gaps = {b - a for a, b in zip(marks, marks[1:])}
+    assert gaps <= {n // 32, n // 32 + 1}
+
+
+# ---------------------------------------------------------------------------
+# krippendorff_alpha
+# ---------------------------------------------------------------------------
+
+
+def test_krippendorff_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import krippendorff_alpha
+
+    docs = _docs(sf_dir)
+    p1 = p0 = do_sum = 0
+    for d in docs:
+        ones = (
+            (1 if sum(d["text"].count(c) for c in ".!?") >= 3 else 0)
+            + (1 if len([w for w in d["text"].lower().split(" ") if w]) >= 80
+               else 0)
+            + (1 if d["n_chars"] >= 450 else 0)
+        )
+        p1 += ones
+        p0 += 3 - ones
+        do_sum += ones * (3 - ones)
+    n_units = len(docs)
+    alpha = 1 - (3 * n_units - 1) * do_sum / (2 * p1 * p0)
+    got = krippendorff_alpha(spark, sf_dir).collect()[0]
+    assert (got["n_units"], got["p1"], got["p0"], got["do_sum"]) == (
+        n_units, p1, p0, do_sum,
+    )
+    assert math.isclose(got["alpha"], round(alpha, 6), abs_tol=1e-9)
+
+
+def test_krippendorff_perfect_and_chance():
+    """Laws: unanimous units (do_sum 0) give alpha 1; the binary 2-rater
+    special case collapses toward Scott's pi behavior (sanity: alpha
+    decreases as disagreement increases, all else fixed)."""
+    def alpha(n_units, p1, p0, do_sum, m=3):
+        return 1 - (m * n_units - 1) * do_sum / (2 * p1 * p0)
+
+    assert alpha(100, 150, 150, 0) == 1.0
+    assert alpha(100, 150, 150, 50) > alpha(100, 150, 150, 100)
+
+
+# ---------------------------------------------------------------------------
+# k_truss
+# ---------------------------------------------------------------------------
+
+
+def _truss_python(n, k=4, rounds=5):
+    edges = set()
+    for d in range(n):
+        for t in ((d + 1) % n, (d + 2) % n, (d * 3 + 1) % n):
+            if t != d:
+                edges.add((min(d, t), max(d, t)))
+    counts = [len(edges)]
+    for _ in range(rounds):
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        edges = {
+            (a, b) for a, b in edges if len(adj[a] & adj[b]) >= k - 2
+        }
+        counts.append(len(edges))
+    return counts
+
+
+def test_ktruss_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import k_truss
+
+    n = len(_docs(sf_dir))
+    counts = _truss_python(n)
+    got = k_truss(spark, sf_dir).collect()
+    assert [r["n_edges"] for r in got] == counts
+    for i, r in enumerate(got):
+        assert r["round"] == i
+        assert r["n_removed"] == (0 if i == 0 else counts[i - 1] - counts[i])
+
+
+def test_ktruss_peels_pendant_edges():
+    """Law: a triangle with a pendant edge peels to the triangle (every
+    triangle edge has support 1 >= k-2 only for k=3; for k=4 a LONE
+    triangle dies too, but two triangles sharing an edge survive)."""
+    # two triangles sharing edge (0,1): 0-1-2 and 0-1-3 plus the shared edge
+    edges = {(0, 1), (0, 2), (1, 2), (0, 3), (1, 3), (4, 0)}
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    support = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+    assert support[(4, 0)] == 0  # pendant dies first
+    assert support[(0, 1)] == 2  # shared edge meets the 4-truss bar
