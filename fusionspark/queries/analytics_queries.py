@@ -8900,3 +8900,113 @@ def k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round long, n_edges long, n_removed long"
     ).orderBy("round")
+
+
+@query(
+    "join_order_plan",
+    """
+    WITH co AS (
+        SELECT (SELECT SUM(cc * oc)::BIGINT FROM
+            (SELECT c_custkey AS k, COUNT(*)::BIGINT AS cc
+             FROM customer GROUP BY 1) c
+            JOIN
+            (SELECT o_custkey AS k, COUNT(*)::BIGINT AS oc
+             FROM orders GROUP BY 1) o
+            USING (k)) AS rows
+    ),
+    ol AS (
+        SELECT (SELECT SUM(oc * lc)::BIGINT FROM
+            (SELECT o_orderkey AS k, COUNT(*)::BIGINT AS oc
+             FROM orders GROUP BY 1) o
+            JOIN
+            (SELECT l_orderkey AS k, COUNT(*)::BIGINT AS lc
+             FROM lineitem GROUP BY 1) l
+            USING (k)) AS rows
+    ),
+    col AS (
+        SELECT (SELECT SUM(lc)::BIGINT FROM
+            (SELECT l_orderkey AS k, COUNT(*)::BIGINT AS lc
+             FROM lineitem GROUP BY 1) l
+            JOIN orders o ON o.o_orderkey = l.k
+            JOIN customer c ON c.c_custkey = o.o_custkey) AS rows
+    ),
+    plans AS (
+        SELECT 'customer JOIN orders, then lineitem' AS plan,
+               (SELECT rows FROM co) AS intermediate_rows,
+               (SELECT rows FROM col) AS final_rows
+        UNION ALL
+        SELECT 'orders JOIN lineitem, then customer',
+               (SELECT rows FROM ol), (SELECT rows FROM col)
+    )
+    SELECT plan, intermediate_rows, final_rows,
+           intermediate_rows = (SELECT MIN(intermediate_rows) FROM plans)
+               AS chosen
+    FROM plans ORDER BY plan
+    """,
+)
+def join_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join ordering for the 3-table chain customer - orders -
+    lineitem, with EXACT cardinalities instead of the optimizer's
+    estimates: |A join B| on key k is sum_k cnt_A(k) * cnt_B(k) — an
+    exact BIGINT computed WITHOUT materializing the join (two groupBys
+    and a key join on count pairs).  The left-deep plan with the smaller
+    intermediate is flagged chosen — the decision Catalyst's CBO makes
+    from sampled statistics, derived here from ground truth (the
+    companion diagnostic to shuffle_skew_report and salt_plan: size the
+    shuffles BEFORE running them).
+
+    Parity: every cardinality is an exact BIGINT sum of count products
+    (<= |B| * max-fanout, ~1e9 at sf1); the chosen flag is an exact
+    integer comparison.  No floats anywhere.
+
+    Scale: count-sketch joins are key-distinct-sized, orders of magnitude
+    below the joins they cost out; at 100 TB this is exactly the stats
+    pass a warehouse runs at ingest (and the final_rows column doubles
+    as the sanity check that both plans produce the same result size)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cc = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("cc")
+    )
+    oc = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("long").alias("oc")
+    )
+    co = cc.join(oc, "k").agg(
+        F.sum(F.col("cc") * F.col("oc")).cast("long").alias("rows")
+    )
+    ok = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").cast("long").alias("oc")
+    )
+    lk = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").cast("long").alias("lc")
+    )
+    ol = ok.join(lk, "k").agg(
+        F.sum(F.col("oc") * F.col("lc")).cast("long").alias("rows")
+    )
+    col = (
+        lk.join(o, F.col("k") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .agg(F.sum("lc").cast("long").alias("rows"))
+    )
+    plans = (
+        co.select(
+            F.lit("customer JOIN orders, then lineitem").alias("plan"),
+            F.col("rows").alias("intermediate_rows"),
+        )
+        .unionByName(
+            ol.select(
+                F.lit("orders JOIN lineitem, then customer").alias("plan"),
+                F.col("rows").alias("intermediate_rows"),
+            )
+        )
+        .crossJoin(F.broadcast(col.select(F.col("rows").alias("final_rows"))))
+    )
+    w = Window.partitionBy(F.lit(1))
+    return plans.select(
+        "plan", "intermediate_rows", "final_rows",
+        (
+            F.col("intermediate_rows")
+            == F.min("intermediate_rows").over(w)
+        ).alias("chosen"),
+    ).orderBy("plan")

@@ -297,3 +297,101 @@ def knn_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+_CH_BINS = 20
+
+
+@query(
+    "cosine_histogram",
+    f"""
+    WITH nn AS (SELECT COUNT(*)::BIGINT AS n FROM embeddings),
+    pairs AS (
+        SELECT a.embedding::DOUBLE[] AS va, b.embedding::DOUBLE[] AS vb
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id = a.vec_id + (SELECT n // 2 FROM nn)
+        WHERE a.vec_id < (SELECT n // 2 FROM nn)
+    ),
+    sims AS (
+        SELECT list_reduce(list_prepend([0.0],
+                   list_transform(generate_series(1, len(va)),
+                                  i -> [va[i] * vb[i]])),
+                   (acc, e) -> [acc[1] + e[1]])[1]
+               / (sqrt(list_reduce(list_prepend([0.0],
+                      list_transform(generate_series(1, len(va)),
+                                     i -> [va[i] * va[i]])),
+                      (acc, e) -> [acc[1] + e[1]])[1])
+                  * sqrt(list_reduce(list_prepend([0.0],
+                        list_transform(generate_series(1, len(vb)),
+                                       i -> [vb[i] * vb[i]])),
+                        (acc, e) -> [acc[1] + e[1]])[1])) AS sim
+        FROM pairs
+    )
+    SELECT least({_CH_BINS - 1},
+                 (CAST(ROUND(sim * 1000000) AS BIGINT) + 1000000)
+                 // 100000)::BIGINT AS bin,
+           ROUND((least({_CH_BINS - 1},
+                        (CAST(ROUND(sim * 1000000) AS BIGINT) + 1000000)
+                        // 100000) - 10)::DOUBLE / 10, 6) AS bin_lo,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM sims GROUP BY 1, 2 ORDER BY bin
+    """,
+)
+def cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of pairwise cosine similarity over n/2 deterministic
+    embedding pairs (vec i vs vec i + n/2) — the hubness/anisotropy
+    screen an ANN deployment runs before trusting recall numbers: a
+    distribution piled near 1 means the space is anisotropic (every
+    vector looks like every other — contrastive-embedding collapse) and
+    banded LSH thresholds need re-tuning; a healthy spread validates the
+    cosine contract knn/IVF assume.
+
+    Parity: dot products and norms fold in INDEX ORDER on both engines
+    (zip-multiply then ordered fold — never a shuffle-order float sum),
+    so each sim is bit-identical; binning is exact integer arithmetic on
+    ROUND(sim*1e6) (micro-units — the weighted_sample discipline: never
+    cut on a raw double), 20 bins over [-1, 1].
+
+    Scale: an id-keyed pair join (no all-pairs), one fold per pair, one
+    groupBy(bin) with map-side combine — linear in the sample size, and
+    the sample is id-derived so any corpus slice reproduces it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nn = e.agg(F.count("*").cast("long").alias("n"))
+    ecast = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).crossJoin(F.broadcast(nn))
+    a = ecast.filter(F.col("vec_id") < F.floor(F.col("n") / 2)).select(
+        F.col("v").alias("va"),
+        (F.col("vec_id") + F.floor(F.col("n") / 2)).alias("bk"),
+    )
+    b = ecast.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("bk") == F.col("b_id"))
+
+    def fold_dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    sim = fold_dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(fold_dot(F.col("va"), F.col("va")))
+        * F.sqrt(fold_dot(F.col("vb"), F.col("vb")))
+    )
+    sims = pairs.select(sim.alias("sim"))
+    bin_ = F.least(
+        F.lit(_CH_BINS - 1),
+        F.floor(
+            (F.round(F.col("sim") * 1000000).cast("long") + 1000000) / 100000
+        ),
+    ).cast("long")
+    return (
+        sims.select(
+            bin_.alias("bin"),
+            F.round((bin_ - 10).cast("double") / 10, 6).alias("bin_lo"),
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("bin")
+    )

@@ -1868,3 +1868,91 @@ def test_ktruss_peels_pendant_edges():
     support = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
     assert support[(4, 0)] == 0  # pendant dies first
     assert support[(0, 1)] == 2  # shared edge meets the 4-truss bar
+
+
+# ---------------------------------------------------------------------------
+# cosine_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_histogram_python_replay(spark, sf_dir):
+    from fusionspark.queries.vector_queries import cosine_histogram
+
+    embs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()}
+    n = len(embs)
+    bins = collections.Counter()
+    for i in range(n // 2):
+        va, vb = embs[i], embs[i + n // 2]
+        dot = na = nb = 0.0
+        for x, y in zip(va, vb):
+            dot += x * y
+        for x in va:
+            na += x * x
+        for y in vb:
+            nb += y * y
+        sim = dot / (math.sqrt(na) * math.sqrt(nb))
+        b = min(19, (_round_away(sim * 1000000) + 1000000) // 100000)
+        bins[b] += 1
+    got = {r["bin"]: r for r in cosine_histogram(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(bins)
+    for b, cnt in bins.items():
+        assert got[b]["n_pairs"] == cnt
+        assert math.isclose(got[b]["bin_lo"], round((b - 10) / 10, 6),
+                            abs_tol=1e-9)
+    assert sum(bins.values()) == n // 2
+
+
+def test_cosine_histogram_bins_cover_unit_interval():
+    """Law: sim -1 maps to bin 0, sim 0 to bin 10, sim 1 clamps to 19."""
+    def bin_of(sim):
+        return min(19, (_round_away(sim * 1000000) + 1000000) // 100000)
+
+    assert bin_of(-1.0) == 0
+    assert bin_of(0.0) == 10
+    assert bin_of(1.0) == 19
+    assert bin_of(0.999999) == 19
+
+
+# ---------------------------------------------------------------------------
+# join_order_plan
+# ---------------------------------------------------------------------------
+
+
+def test_join_order_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import join_order_plan
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet").to_pylist()
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+    items = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    cc = collections.Counter(c["c_custkey"] for c in cust)
+    oc = collections.Counter(o["o_custkey"] for o in orders)
+    ok = collections.Counter(o["o_orderkey"] for o in orders)
+    lk = collections.Counter(li["l_orderkey"] for li in items)
+    co = sum(cc[k] * oc[k] for k in cc.keys() & oc.keys())
+    ol = sum(ok[k] * lk[k] for k in ok.keys() & lk.keys())
+    ord_cust = {o["o_orderkey"]: o["o_custkey"] for o in orders}
+    col = sum(
+        lk[k] for k in lk
+        if k in ord_cust and cc.get(ord_cust[k], 0)
+    )
+    got = {r["plan"]: r for r in join_order_plan(spark, sf_dir).collect()}
+    a = got["customer JOIN orders, then lineitem"]
+    b = got["orders JOIN lineitem, then customer"]
+    assert a["intermediate_rows"] == co
+    assert b["intermediate_rows"] == ol
+    assert a["final_rows"] == col and b["final_rows"] == col
+    assert a["chosen"] == (co <= ol)
+    assert b["chosen"] == (ol <= co)
+    # on TPC-H shapes customer-orders is always the smaller intermediate
+    assert a["chosen"] and not b["chosen"]
+
+
+def test_join_cardinality_identity():
+    """Law: |A join B| on k == sum_k cnt_A * cnt_B — checked against a
+    brute-force join on a hand example with duplicate keys."""
+    A = [1, 1, 2, 3]
+    B = [1, 2, 2, 2, 4]
+    brute = sum(1 for a in A for b in B if a == b)
+    ca, cb = collections.Counter(A), collections.Counter(B)
+    assert brute == sum(ca[k] * cb[k] for k in ca.keys() & cb.keys())
