@@ -9010,3 +9010,221 @@ def join_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.min("intermediate_rows").over(w)
         ).alias("chosen"),
     ).orderBy("plan")
+
+
+# chi^2(1) critical value at alpha = .05 as an exact integer ratio.
+_SRM_CHI2_95_NUM = 3841458820694124  # / 1e15 = 3.841458820694124
+
+
+@query(
+    "ab_srm_check",
+    f"""
+    WITH assign AS (
+        SELECT user_id,
+               ('0x' || substr(md5('up:' || user_id::VARCHAR), 1, 8))::BIGINT
+                   % 2 AS t
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+               SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+        FROM assign
+    )
+    SELECT n0, n1,
+           ROUND((n0 - n1) * (n0 - n1)::DOUBLE / (n0 + n1), 6) AS chi2,
+           ((n0 - n1) * (n0 - n1) * 1000000000000000
+            <= {_SRM_CHI2_95_NUM} * (n0 + n1)) AS ratio_ok
+    FROM m
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the md5-coin experiment split (the
+    same `up:` coin uplift_stump randomizes with) — the FIRST gate every
+    A/B readout must pass: under a 50/50 design, chi2 = (n0 - n1)^2 /
+    (n0 + n1) ~ chi^2(1); a failing SRM invalidates the experiment
+    before any effect is read (Kohavi et al., the most common
+    trustworthiness bug in online experiments).
+
+    Parity: arm counts are exact BIGINTs; chi2 is ONE correctly-rounded
+    division; the verdict is an EXACT integer cross-multiplication
+    against the chi^2_{{.95}}(1) critical value scaled to an integer
+    ratio — no float threshold anywhere.
+
+    Scale: one groupBy(user) + one 2-integer aggregate."""
+    from fusionspark.operators.dedup import md5_hash32
+
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(F.count("*").alias("_c")).select(
+        (md5_hash32(F.concat(F.lit("up:"), F.col("user_id").cast("string")))
+         % 2).alias("t")
+    )
+    m = assign.agg(
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    d = F.col("n0") - F.col("n1")
+    return m.select(
+        "n0", "n1",
+        F.round(
+            (d * d).cast("double") / (F.col("n0") + F.col("n1")), 6
+        ).alias("chi2"),
+        (
+            d * d * F.lit(10**15)
+            <= F.lit(_SRM_CHI2_95_NUM) * (F.col("n0") + F.col("n1"))
+        ).alias("ratio_ok"),
+    )
+
+
+@query(
+    "gamma_fit",
+    """
+    WITH p AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(v)::BIGINT AS sx,
+               SUM(v * v)::BIGINT AS sxx
+        FROM p
+    )
+    SELECT n,
+           ROUND(sx::DOUBLE / n / 100, 6) AS mean_value,
+           ROUND((n * sxx - sx * sx)::DOUBLE / (n * (n - 1)) / 10000, 6)
+               AS var_value,
+           ROUND((sx::DOUBLE / n) * (sx::DOUBLE / n)
+                 / ((n * sxx - sx * sx)::DOUBLE / (n * (n - 1))), 6)
+               AS shape_k,
+           ROUND((n * sxx - sx * sx)::DOUBLE / (n * (n - 1))
+                 / (sx::DOUBLE / n) / 100, 6) AS scale_theta
+    FROM s
+    """,
+)
+def gamma_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma method-of-moments fit of purchase value — the continuous
+    counterpart to negative_binomial_fit's count model and the standard
+    revenue-distribution assumption (shape k = m^2/v, scale theta = v/m):
+    k < 1 flags a hyper-skewed spend distribution where mean-based
+    readouts mislead (route to winsorize_values / revenue_deciles), k >>
+    1 approaches normal and t-tests are safe.
+
+    Parity: cents moments are exact BIGINTs; m and v are single
+    divisions; k and theta are fixed trees on them (theta converted back
+    to currency units by a literal /100).
+
+    Scale: one filtered full-scan aggregate with map-side combine; the
+    fit runs on one 3-integer row."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    s = p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sxx"),
+    )
+    m = F.col("sx").cast("double") / F.col("n")
+    v = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    ) / (F.col("n") * (F.col("n") - 1))
+    return s.select(
+        "n",
+        F.round(m / 100, 6).alias("mean_value"),
+        F.round(v / 10000, 6).alias("var_value"),
+        F.round(m * m / v, 6).alias("shape_k"),
+        F.round(v / m / 100, 6).alias("scale_theta"),
+    )
+
+
+# studentized-range critical value q_{.05}(k=5, df=inf) / sqrt(2) folded in:
+# we compare |mi - mj| / sqrt(MSW * (1/ni + 1/nj) / 2) against q = 3.858.
+_TUKEY_Q_NUM = 3858
+
+_TUKEY_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "tukey_hsd",
+    f"""
+    WITH ev AS (
+        SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    st AS (
+        SELECT g, COUNT(*)::BIGINT AS n, SUM(v)::BIGINT AS s,
+               SUM(v * v)::BIGINT AS ss
+        FROM ev GROUP BY g
+    ),
+    msw AS (
+        SELECT SUM(ss - s * s / n)::DOUBLE / (SUM(n) - COUNT(*)) AS msw
+        FROM (SELECT g, n, s::DOUBLE AS s, ss::DOUBLE AS ss FROM st)
+    ),
+    pairs AS (
+        SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+               a.s::DOUBLE / a.n AS m1, b.s::DOUBLE / b.n AS m2
+        FROM st a JOIN st b ON a.g < b.g
+    )
+    SELECT g1, g2, n1, n2,
+           ROUND((m2 - m1) / 100, 6) + 0.0 AS mean_diff,
+           ROUND(abs(m2 - m1)
+                 / sqrt((SELECT msw FROM msw)
+                        * (1.0 / n1 + 1.0 / n2) / 2), 6) AS q_stat,
+           (abs(m2 - m1)
+            > ({_TUKEY_Q_NUM}::DOUBLE / 1000)
+              * sqrt((SELECT msw FROM msw) * (1.0 / n1 + 1.0 / n2) / 2))
+               AS significant
+    FROM pairs ORDER BY g1, g2
+    """,
+)
+def tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparisons after anova_oneway: all 10
+    event-type pairs scored q = |m_i - m_j| / sqrt(MSW*(1/n_i + 1/n_j)/2)
+    against the studentized-range critical value q_{{.05}}(5, inf) =
+    3.858 (Tukey 1949) — the familywise-safe answer to "WHICH groups
+    differ", which running 10 Welch tests would alpha-inflate.
+
+    Parity: group moments are exact BIGINTs; the within-group mean square
+    folds per-group s^2/n terms in ONE aggregate over the 5-row stats
+    frame (cast to DOUBLE first — the per-group term is a single
+    division); each pair's q is a fixed tree and the significance verdict
+    compares identical doubles against an INTEGER-literal critical
+    ratio.  mean_diff can round to signed zero, hence `+ 0.0`.
+
+    Scale: one groupBy(type) with map-side combine; pairs are a 5x5
+    self-join of the stats frame."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    st = ev.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+    )
+    msw = st.select(
+        "n",
+        (F.col("ss").cast("double")
+         - F.col("s").cast("double") * F.col("s") / F.col("n")).alias("w"),
+    ).agg(
+        (F.sum("w") / (F.sum("n") - F.count("*"))).alias("msw")
+    )
+    a = st.select(
+        F.col("g").alias("g1"), F.col("n").alias("n1"),
+        (F.col("s").cast("double") / F.col("n")).alias("m1"),
+    )
+    b = st.select(
+        F.col("g").alias("g2"), F.col("n").alias("n2"),
+        (F.col("s").cast("double") / F.col("n")).alias("m2"),
+    )
+    pairs = a.join(b, F.col("g1") < F.col("g2")).crossJoin(F.broadcast(msw))
+    se = F.sqrt(
+        F.col("msw") * (1.0 / F.col("n1") + 1.0 / F.col("n2")) / 2
+    )
+    qcrit = F.lit(_TUKEY_Q_NUM).cast("double") / F.lit(1000).cast("double")
+    return pairs.select(
+        "g1", "g2", "n1", "n2",
+        (F.round((F.col("m2") - F.col("m1")) / 100, 6) + F.lit(0.0))
+        .alias("mean_diff"),
+        F.round(F.abs(F.col("m2") - F.col("m1")) / se, 6).alias("q_stat"),
+        (F.abs(F.col("m2") - F.col("m1")) > qcrit * se).alias("significant"),
+    ).orderBy("g1", "g2")

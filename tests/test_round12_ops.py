@@ -1956,3 +1956,105 @@ def test_join_cardinality_identity():
     brute = sum(1 for a in A for b in B if a == b)
     ca, cb = collections.Counter(A), collections.Counter(B)
     assert brute == sum(ca[k] * cb[k] for k in ca.keys() & cb.keys())
+
+
+# ---------------------------------------------------------------------------
+# ab_srm_check
+# ---------------------------------------------------------------------------
+
+
+def test_srm_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import ab_srm_check
+
+    users = {r["user_id"] for r in _events(sf_dir)}
+    n0 = sum(1 for u in users if _md5_coin("up:", u) % 2 == 0)
+    n1 = len(users) - n0
+    got = ab_srm_check(spark, sf_dir).collect()[0]
+    assert (got["n0"], got["n1"]) == (n0, n1)
+    chi2 = (n0 - n1) ** 2 / (n0 + n1)
+    assert math.isclose(got["chi2"], round(chi2, 6), abs_tol=1e-9)
+    crit = 3841458820694124
+    assert got["ratio_ok"] == (
+        (n0 - n1) ** 2 * 10**15 <= crit * (n0 + n1)
+    )
+    # a fair md5 coin on this corpus must pass SRM
+    assert got["ratio_ok"] is True
+
+
+def test_srm_detects_broken_split():
+    """Law: a 55/45 split at n=20000 fails SRM decisively."""
+    n0, n1 = 11000, 9000
+    chi2 = (n0 - n1) ** 2 / (n0 + n1)
+    assert chi2 > 3.841458820694124
+
+
+# ---------------------------------------------------------------------------
+# gamma_fit
+# ---------------------------------------------------------------------------
+
+
+def test_gamma_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import gamma_fit
+
+    vs = [_round_away(r["value"] * 100) for r in _events(sf_dir)
+          if r["event_type"] == "purchase"]
+    n, sx, sxx = len(vs), sum(vs), sum(v * v for v in vs)
+    m = sx / n
+    v = (n * sxx - sx * sx) / (n * (n - 1))
+    got = gamma_fit(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert math.isclose(got["mean_value"], round(m / 100, 6), abs_tol=1e-9)
+    assert math.isclose(got["shape_k"], round(m * m / v, 6), abs_tol=1e-9)
+    assert math.isclose(got["scale_theta"], round(v / m / 100, 6),
+                        abs_tol=1e-9)
+
+
+def test_gamma_moments_roundtrip():
+    """Law: Gamma(k, theta) has mean k*theta and var k*theta^2 — MoM
+    inverts exactly."""
+    k, theta = 2.5, 40.0
+    m, v = k * theta, k * theta * theta
+    assert math.isclose(m * m / v, k, rel_tol=1e-12)
+    assert math.isclose(v / m, theta, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# tukey_hsd
+# ---------------------------------------------------------------------------
+
+
+def test_tukey_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import tukey_hsd
+
+    rows = _events(sf_dir)
+    by_g = collections.defaultdict(list)
+    for r in rows:
+        by_g[r["event_type"]].append(_round_away(r["value"] * 100))
+    stats = {
+        g: (len(v), sum(v), sum(x * x for x in v)) for g, v in by_g.items()
+    }
+    msw = sum(ss - s * s / n for n, s, ss in stats.values()) / (
+        sum(n for n, _, _ in stats.values()) - len(stats)
+    )
+    got = {(r["g1"], r["g2"]): r for r in tukey_hsd(spark, sf_dir).collect()}
+    assert len(got) == 10
+    gs = sorted(stats)
+    for i, g1 in enumerate(gs):
+        for g2 in gs[i + 1:]:
+            n1, s1, _ = stats[g1]
+            n2, s2, _ = stats[g2]
+            m1, m2 = s1 / n1, s2 / n2
+            se = math.sqrt(msw * (1 / n1 + 1 / n2) / 2)
+            r = got[(g1, g2)]
+            assert (r["n1"], r["n2"]) == (n1, n2)
+            assert math.isclose(r["mean_diff"], round((m2 - m1) / 100, 6),
+                                abs_tol=1e-9)
+            assert math.isclose(r["q_stat"], round(abs(m2 - m1) / se, 6),
+                                abs_tol=1e-6)
+            assert r["significant"] == (abs(m2 - m1) > 3.858 * se)
+
+
+def test_tukey_familywise_stricter_than_pairwise():
+    """Law: the Tukey critical value q/sqrt(2) = 2.728 exceeds the
+    pairwise z critical 1.96 — HSD is stricter than naive t tests."""
+    assert 3.858 / math.sqrt(2) > 1.959963984540054
