@@ -9228,3 +9228,140 @@ def tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("m2") - F.col("m1")) / se, 6).alias("q_stat"),
         (F.abs(F.col("m2") - F.col("m1")) > qcrit * se).alias("significant"),
     ).orderBy("g1", "g2")
+
+
+# cos/sin phase literals for periods 7 and 15 as python-repr doubles —
+# identical text parses to identical doubles in both engines (libm
+# cos/sin never runs inside a query).
+@query(
+    "seasonality_power",
+    """
+    WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    cnts AS (
+        SELECT ts::DATE AS d, COUNT(*)::BIGINT AS x FROM events GROUP BY 1
+    ),
+    tl AS (
+        SELECT (ROW_NUMBER() OVER (ORDER BY days.d) - 1)::BIGINT AS i,
+               COALESCE(cnts.x, 0)::BIGINT AS x
+        FROM days LEFT JOIN cnts ON cnts.d = days.d
+    ),
+    s AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx FROM tl),
+    z AS (
+        SELECT tl.i, (s.n * tl.x - s.sx)::BIGINT AS z, s.n FROM tl, s
+    ),
+    ph AS (
+        SELECT MAX(n)::BIGINT AS n,
+               SUM(z * z)::BIGINT AS total_energy,
+               SUM(CASE WHEN i % 7 = 0 THEN z ELSE 0 END)::BIGINT AS z7_0,
+               SUM(CASE WHEN i % 7 = 1 THEN z ELSE 0 END)::BIGINT AS z7_1,
+               SUM(CASE WHEN i % 7 = 2 THEN z ELSE 0 END)::BIGINT AS z7_2,
+               SUM(CASE WHEN i % 7 = 3 THEN z ELSE 0 END)::BIGINT AS z7_3,
+               SUM(CASE WHEN i % 7 = 4 THEN z ELSE 0 END)::BIGINT AS z7_4,
+               SUM(CASE WHEN i % 7 = 5 THEN z ELSE 0 END)::BIGINT AS z7_5,
+               SUM(CASE WHEN i % 7 = 6 THEN z ELSE 0 END)::BIGINT AS z7_6,
+               SUM(CASE WHEN i % 15 = 0 THEN z ELSE 0 END)::BIGINT AS z15_0,
+               SUM(CASE WHEN i % 15 = 1 THEN z ELSE 0 END)::BIGINT AS z15_1,
+               SUM(CASE WHEN i % 15 = 2 THEN z ELSE 0 END)::BIGINT AS z15_2,
+               SUM(CASE WHEN i % 15 = 3 THEN z ELSE 0 END)::BIGINT AS z15_3,
+               SUM(CASE WHEN i % 15 = 4 THEN z ELSE 0 END)::BIGINT AS z15_4,
+               SUM(CASE WHEN i % 15 = 5 THEN z ELSE 0 END)::BIGINT AS z15_5,
+               SUM(CASE WHEN i % 15 = 6 THEN z ELSE 0 END)::BIGINT AS z15_6,
+               SUM(CASE WHEN i % 15 = 7 THEN z ELSE 0 END)::BIGINT AS z15_7,
+               SUM(CASE WHEN i % 15 = 8 THEN z ELSE 0 END)::BIGINT AS z15_8,
+               SUM(CASE WHEN i % 15 = 9 THEN z ELSE 0 END)::BIGINT AS z15_9,
+               SUM(CASE WHEN i % 15 = 10 THEN z ELSE 0 END)::BIGINT AS z15_10,
+               SUM(CASE WHEN i % 15 = 11 THEN z ELSE 0 END)::BIGINT AS z15_11,
+               SUM(CASE WHEN i % 15 = 12 THEN z ELSE 0 END)::BIGINT AS z15_12,
+               SUM(CASE WHEN i % 15 = 13 THEN z ELSE 0 END)::BIGINT AS z15_13,
+               SUM(CASE WHEN i % 15 = 14 THEN z ELSE 0 END)::BIGINT AS z15_14
+        FROM z
+    )
+    SELECT n AS n_days,
+           ROUND((((z7_0) * ((1.0)::DOUBLE) + (z7_1) * ((0.6234898018587336)::DOUBLE) + (z7_2) * ((-0.22252093395631434)::DOUBLE) + (z7_3) * ((-0.900968867902419)::DOUBLE) + (z7_4) * ((-0.9009688679024191)::DOUBLE) + (z7_5) * ((-0.2225209339563146)::DOUBLE) + (z7_6) * ((0.6234898018587334)::DOUBLE)) * ((z7_0) * ((1.0)::DOUBLE) + (z7_1) * ((0.6234898018587336)::DOUBLE) + (z7_2) * ((-0.22252093395631434)::DOUBLE) + (z7_3) * ((-0.900968867902419)::DOUBLE) + (z7_4) * ((-0.9009688679024191)::DOUBLE) + (z7_5) * ((-0.2225209339563146)::DOUBLE) + (z7_6) * ((0.6234898018587334)::DOUBLE)) + ((z7_0) * ((0.0)::DOUBLE) + (z7_1) * ((0.7818314824680298)::DOUBLE) + (z7_2) * ((0.9749279121818236)::DOUBLE) + (z7_3) * ((0.43388373911755823)::DOUBLE) + (z7_4) * ((-0.433883739117558)::DOUBLE) + (z7_5) * ((-0.9749279121818236)::DOUBLE) + (z7_6) * ((-0.7818314824680299)::DOUBLE)) * ((z7_0) * ((0.0)::DOUBLE) + (z7_1) * ((0.7818314824680298)::DOUBLE) + (z7_2) * ((0.9749279121818236)::DOUBLE) + (z7_3) * ((0.43388373911755823)::DOUBLE) + (z7_4) * ((-0.433883739117558)::DOUBLE) + (z7_5) * ((-0.9749279121818236)::DOUBLE) + (z7_6) * ((-0.7818314824680299)::DOUBLE)))
+                 / (n::DOUBLE * n), 6) AS power_p7,
+           ROUND((((z15_0) * ((1.0)::DOUBLE) + (z15_1) * ((0.9135454576426009)::DOUBLE) + (z15_2) * ((0.6691306063588582)::DOUBLE) + (z15_3) * ((0.30901699437494745)::DOUBLE) + (z15_4) * ((-0.10452846326765333)::DOUBLE) + (z15_5) * ((-0.4999999999999998)::DOUBLE) + (z15_6) * ((-0.8090169943749473)::DOUBLE) + (z15_7) * ((-0.9781476007338057)::DOUBLE) + (z15_8) * ((-0.9781476007338057)::DOUBLE) + (z15_9) * ((-0.8090169943749476)::DOUBLE) + (z15_10) * ((-0.5000000000000004)::DOUBLE) + (z15_11) * ((-0.10452846326765423)::DOUBLE) + (z15_12) * ((0.30901699437494723)::DOUBLE) + (z15_13) * ((0.6691306063588585)::DOUBLE) + (z15_14) * ((0.913545457642601)::DOUBLE)) * ((z15_0) * ((1.0)::DOUBLE) + (z15_1) * ((0.9135454576426009)::DOUBLE) + (z15_2) * ((0.6691306063588582)::DOUBLE) + (z15_3) * ((0.30901699437494745)::DOUBLE) + (z15_4) * ((-0.10452846326765333)::DOUBLE) + (z15_5) * ((-0.4999999999999998)::DOUBLE) + (z15_6) * ((-0.8090169943749473)::DOUBLE) + (z15_7) * ((-0.9781476007338057)::DOUBLE) + (z15_8) * ((-0.9781476007338057)::DOUBLE) + (z15_9) * ((-0.8090169943749476)::DOUBLE) + (z15_10) * ((-0.5000000000000004)::DOUBLE) + (z15_11) * ((-0.10452846326765423)::DOUBLE) + (z15_12) * ((0.30901699437494723)::DOUBLE) + (z15_13) * ((0.6691306063588585)::DOUBLE) + (z15_14) * ((0.913545457642601)::DOUBLE)) + ((z15_0) * ((0.0)::DOUBLE) + (z15_1) * ((0.40673664307580015)::DOUBLE) + (z15_2) * ((0.7431448254773941)::DOUBLE) + (z15_3) * ((0.9510565162951535)::DOUBLE) + (z15_4) * ((0.9945218953682734)::DOUBLE) + (z15_5) * ((0.8660254037844387)::DOUBLE) + (z15_6) * ((0.5877852522924732)::DOUBLE) + (z15_7) * ((0.20791169081775931)::DOUBLE) + (z15_8) * ((-0.20791169081775907)::DOUBLE) + (z15_9) * ((-0.587785252292473)::DOUBLE) + (z15_10) * ((-0.8660254037844384)::DOUBLE) + (z15_11) * ((-0.9945218953682733)::DOUBLE) + (z15_12) * ((-0.9510565162951536)::DOUBLE) + (z15_13) * ((-0.743144825477394)::DOUBLE) + (z15_14) * ((-0.40673664307580015)::DOUBLE)) * ((z15_0) * ((0.0)::DOUBLE) + (z15_1) * ((0.40673664307580015)::DOUBLE) + (z15_2) * ((0.7431448254773941)::DOUBLE) + (z15_3) * ((0.9510565162951535)::DOUBLE) + (z15_4) * ((0.9945218953682734)::DOUBLE) + (z15_5) * ((0.8660254037844387)::DOUBLE) + (z15_6) * ((0.5877852522924732)::DOUBLE) + (z15_7) * ((0.20791169081775931)::DOUBLE) + (z15_8) * ((-0.20791169081775907)::DOUBLE) + (z15_9) * ((-0.587785252292473)::DOUBLE) + (z15_10) * ((-0.8660254037844384)::DOUBLE) + (z15_11) * ((-0.9945218953682733)::DOUBLE) + (z15_12) * ((-0.9510565162951536)::DOUBLE) + (z15_13) * ((-0.743144825477394)::DOUBLE) + (z15_14) * ((-0.40673664307580015)::DOUBLE)))
+                 / (n::DOUBLE * n), 6) AS power_p15,
+           ROUND(total_energy::DOUBLE / (n::DOUBLE * n), 6) AS total_energy,
+           (((z7_0) * ((1.0)::DOUBLE) + (z7_1) * ((0.6234898018587336)::DOUBLE) + (z7_2) * ((-0.22252093395631434)::DOUBLE) + (z7_3) * ((-0.900968867902419)::DOUBLE) + (z7_4) * ((-0.9009688679024191)::DOUBLE) + (z7_5) * ((-0.2225209339563146)::DOUBLE) + (z7_6) * ((0.6234898018587334)::DOUBLE)) * ((z7_0) * ((1.0)::DOUBLE) + (z7_1) * ((0.6234898018587336)::DOUBLE) + (z7_2) * ((-0.22252093395631434)::DOUBLE) + (z7_3) * ((-0.900968867902419)::DOUBLE) + (z7_4) * ((-0.9009688679024191)::DOUBLE) + (z7_5) * ((-0.2225209339563146)::DOUBLE) + (z7_6) * ((0.6234898018587334)::DOUBLE)) + ((z7_0) * ((0.0)::DOUBLE) + (z7_1) * ((0.7818314824680298)::DOUBLE) + (z7_2) * ((0.9749279121818236)::DOUBLE) + (z7_3) * ((0.43388373911755823)::DOUBLE) + (z7_4) * ((-0.433883739117558)::DOUBLE) + (z7_5) * ((-0.9749279121818236)::DOUBLE) + (z7_6) * ((-0.7818314824680299)::DOUBLE)) * ((z7_0) * ((0.0)::DOUBLE) + (z7_1) * ((0.7818314824680298)::DOUBLE) + (z7_2) * ((0.9749279121818236)::DOUBLE) + (z7_3) * ((0.43388373911755823)::DOUBLE) + (z7_4) * ((-0.433883739117558)::DOUBLE) + (z7_5) * ((-0.9749279121818236)::DOUBLE) + (z7_6) * ((-0.7818314824680299)::DOUBLE))
+            > ((z15_0) * ((1.0)::DOUBLE) + (z15_1) * ((0.9135454576426009)::DOUBLE) + (z15_2) * ((0.6691306063588582)::DOUBLE) + (z15_3) * ((0.30901699437494745)::DOUBLE) + (z15_4) * ((-0.10452846326765333)::DOUBLE) + (z15_5) * ((-0.4999999999999998)::DOUBLE) + (z15_6) * ((-0.8090169943749473)::DOUBLE) + (z15_7) * ((-0.9781476007338057)::DOUBLE) + (z15_8) * ((-0.9781476007338057)::DOUBLE) + (z15_9) * ((-0.8090169943749476)::DOUBLE) + (z15_10) * ((-0.5000000000000004)::DOUBLE) + (z15_11) * ((-0.10452846326765423)::DOUBLE) + (z15_12) * ((0.30901699437494723)::DOUBLE) + (z15_13) * ((0.6691306063588585)::DOUBLE) + (z15_14) * ((0.913545457642601)::DOUBLE)) * ((z15_0) * ((1.0)::DOUBLE) + (z15_1) * ((0.9135454576426009)::DOUBLE) + (z15_2) * ((0.6691306063588582)::DOUBLE) + (z15_3) * ((0.30901699437494745)::DOUBLE) + (z15_4) * ((-0.10452846326765333)::DOUBLE) + (z15_5) * ((-0.4999999999999998)::DOUBLE) + (z15_6) * ((-0.8090169943749473)::DOUBLE) + (z15_7) * ((-0.9781476007338057)::DOUBLE) + (z15_8) * ((-0.9781476007338057)::DOUBLE) + (z15_9) * ((-0.8090169943749476)::DOUBLE) + (z15_10) * ((-0.5000000000000004)::DOUBLE) + (z15_11) * ((-0.10452846326765423)::DOUBLE) + (z15_12) * ((0.30901699437494723)::DOUBLE) + (z15_13) * ((0.6691306063588585)::DOUBLE) + (z15_14) * ((0.913545457642601)::DOUBLE)) + ((z15_0) * ((0.0)::DOUBLE) + (z15_1) * ((0.40673664307580015)::DOUBLE) + (z15_2) * ((0.7431448254773941)::DOUBLE) + (z15_3) * ((0.9510565162951535)::DOUBLE) + (z15_4) * ((0.9945218953682734)::DOUBLE) + (z15_5) * ((0.8660254037844387)::DOUBLE) + (z15_6) * ((0.5877852522924732)::DOUBLE) + (z15_7) * ((0.20791169081775931)::DOUBLE) + (z15_8) * ((-0.20791169081775907)::DOUBLE) + (z15_9) * ((-0.587785252292473)::DOUBLE) + (z15_10) * ((-0.8660254037844384)::DOUBLE) + (z15_11) * ((-0.9945218953682733)::DOUBLE) + (z15_12) * ((-0.9510565162951536)::DOUBLE) + (z15_13) * ((-0.743144825477394)::DOUBLE) + (z15_14) * ((-0.40673664307580015)::DOUBLE)) * ((z15_0) * ((0.0)::DOUBLE) + (z15_1) * ((0.40673664307580015)::DOUBLE) + (z15_2) * ((0.7431448254773941)::DOUBLE) + (z15_3) * ((0.9510565162951535)::DOUBLE) + (z15_4) * ((0.9945218953682734)::DOUBLE) + (z15_5) * ((0.8660254037844387)::DOUBLE) + (z15_6) * ((0.5877852522924732)::DOUBLE) + (z15_7) * ((0.20791169081775931)::DOUBLE) + (z15_8) * ((-0.20791169081775907)::DOUBLE) + (z15_9) * ((-0.587785252292473)::DOUBLE) + (z15_10) * ((-0.8660254037844384)::DOUBLE) + (z15_11) * ((-0.9945218953682733)::DOUBLE) + (z15_12) * ((-0.9510565162951536)::DOUBLE) + (z15_13) * ((-0.743144825477394)::DOUBLE) + (z15_14) * ((-0.40673664307580015)::DOUBLE))) AS weekly_dominant
+    FROM ph
+    """,
+)
+def seasonality_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal spectral energy of the daily event series at the weekly
+    (period 7) and half-month (period 15) cycles — the Goertzel-style
+    single-bin DFT a capacity planner checks before fitting hw_forecast's
+    seasonal component: power_p = |sum_t z_t e^(-2 pi i (t mod p)/p)|^2
+    over the CENTERED series, normalized by n^2.  weekly_dominant is the
+    exact verdict the seasonal period picker needs.
+
+    Parity: the centered series n*x_t - S is exact BIGINT (the ljung_box
+    trick); phase-bucket sums (t mod p) are exact conditional BIGINTs in
+    ONE aggregate; the cos/sin coefficients are PYTHON-REPR LITERALS and
+    each power is a FIXED unrolled phase-ordered sum — libm trig never
+    executes in either engine.  The dominance verdict compares identical
+    doubles.
+
+    Scale: one groupBy(day) collapses the corpus; the phase algebra runs
+    on one row of 22 integers + literals, calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    cnts = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    tl = (
+        days.join(cnts, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+        .select(
+            (F.row_number().over(Window.orderBy("d")) - 1).cast("long")
+            .alias("i"),
+            "x",
+        )
+    )
+    s = tl.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("sx")
+    )
+    z = tl.crossJoin(F.broadcast(s)).select(
+        "i", (F.col("n") * F.col("x") - F.col("sx")).alias("z"), "n"
+    )
+    ph = z.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("total_energy"),
+        F.sum(F.when(F.col("i") % 7 == 0, F.col("z")).otherwise(0)).cast("long").alias("z7_0"),
+        F.sum(F.when(F.col("i") % 7 == 1, F.col("z")).otherwise(0)).cast("long").alias("z7_1"),
+        F.sum(F.when(F.col("i") % 7 == 2, F.col("z")).otherwise(0)).cast("long").alias("z7_2"),
+        F.sum(F.when(F.col("i") % 7 == 3, F.col("z")).otherwise(0)).cast("long").alias("z7_3"),
+        F.sum(F.when(F.col("i") % 7 == 4, F.col("z")).otherwise(0)).cast("long").alias("z7_4"),
+        F.sum(F.when(F.col("i") % 7 == 5, F.col("z")).otherwise(0)).cast("long").alias("z7_5"),
+        F.sum(F.when(F.col("i") % 7 == 6, F.col("z")).otherwise(0)).cast("long").alias("z7_6"),
+        F.sum(F.when(F.col("i") % 15 == 0, F.col("z")).otherwise(0)).cast("long").alias("z15_0"),
+        F.sum(F.when(F.col("i") % 15 == 1, F.col("z")).otherwise(0)).cast("long").alias("z15_1"),
+        F.sum(F.when(F.col("i") % 15 == 2, F.col("z")).otherwise(0)).cast("long").alias("z15_2"),
+        F.sum(F.when(F.col("i") % 15 == 3, F.col("z")).otherwise(0)).cast("long").alias("z15_3"),
+        F.sum(F.when(F.col("i") % 15 == 4, F.col("z")).otherwise(0)).cast("long").alias("z15_4"),
+        F.sum(F.when(F.col("i") % 15 == 5, F.col("z")).otherwise(0)).cast("long").alias("z15_5"),
+        F.sum(F.when(F.col("i") % 15 == 6, F.col("z")).otherwise(0)).cast("long").alias("z15_6"),
+        F.sum(F.when(F.col("i") % 15 == 7, F.col("z")).otherwise(0)).cast("long").alias("z15_7"),
+        F.sum(F.when(F.col("i") % 15 == 8, F.col("z")).otherwise(0)).cast("long").alias("z15_8"),
+        F.sum(F.when(F.col("i") % 15 == 9, F.col("z")).otherwise(0)).cast("long").alias("z15_9"),
+        F.sum(F.when(F.col("i") % 15 == 10, F.col("z")).otherwise(0)).cast("long").alias("z15_10"),
+        F.sum(F.when(F.col("i") % 15 == 11, F.col("z")).otherwise(0)).cast("long").alias("z15_11"),
+        F.sum(F.when(F.col("i") % 15 == 12, F.col("z")).otherwise(0)).cast("long").alias("z15_12"),
+        F.sum(F.when(F.col("i") % 15 == 13, F.col("z")).otherwise(0)).cast("long").alias("z15_13"),
+        F.sum(F.when(F.col("i") % 15 == 14, F.col("z")).otherwise(0)).cast("long").alias("z15_14"),
+    )
+    c7 = F.col("z7_0").cast("double") * F.lit(1.0) + F.col("z7_1").cast("double") * F.lit(0.6234898018587336) + F.col("z7_2").cast("double") * F.lit(-0.22252093395631434) + F.col("z7_3").cast("double") * F.lit(-0.900968867902419) + F.col("z7_4").cast("double") * F.lit(-0.9009688679024191) + F.col("z7_5").cast("double") * F.lit(-0.2225209339563146) + F.col("z7_6").cast("double") * F.lit(0.6234898018587334)
+    s7 = F.col("z7_0").cast("double") * F.lit(0.0) + F.col("z7_1").cast("double") * F.lit(0.7818314824680298) + F.col("z7_2").cast("double") * F.lit(0.9749279121818236) + F.col("z7_3").cast("double") * F.lit(0.43388373911755823) + F.col("z7_4").cast("double") * F.lit(-0.433883739117558) + F.col("z7_5").cast("double") * F.lit(-0.9749279121818236) + F.col("z7_6").cast("double") * F.lit(-0.7818314824680299)
+    c15 = F.col("z15_0").cast("double") * F.lit(1.0) + F.col("z15_1").cast("double") * F.lit(0.9135454576426009) + F.col("z15_2").cast("double") * F.lit(0.6691306063588582) + F.col("z15_3").cast("double") * F.lit(0.30901699437494745) + F.col("z15_4").cast("double") * F.lit(-0.10452846326765333) + F.col("z15_5").cast("double") * F.lit(-0.4999999999999998) + F.col("z15_6").cast("double") * F.lit(-0.8090169943749473) + F.col("z15_7").cast("double") * F.lit(-0.9781476007338057) + F.col("z15_8").cast("double") * F.lit(-0.9781476007338057) + F.col("z15_9").cast("double") * F.lit(-0.8090169943749476) + F.col("z15_10").cast("double") * F.lit(-0.5000000000000004) + F.col("z15_11").cast("double") * F.lit(-0.10452846326765423) + F.col("z15_12").cast("double") * F.lit(0.30901699437494723) + F.col("z15_13").cast("double") * F.lit(0.6691306063588585) + F.col("z15_14").cast("double") * F.lit(0.913545457642601)
+    s15 = F.col("z15_0").cast("double") * F.lit(0.0) + F.col("z15_1").cast("double") * F.lit(0.40673664307580015) + F.col("z15_2").cast("double") * F.lit(0.7431448254773941) + F.col("z15_3").cast("double") * F.lit(0.9510565162951535) + F.col("z15_4").cast("double") * F.lit(0.9945218953682734) + F.col("z15_5").cast("double") * F.lit(0.8660254037844387) + F.col("z15_6").cast("double") * F.lit(0.5877852522924732) + F.col("z15_7").cast("double") * F.lit(0.20791169081775931) + F.col("z15_8").cast("double") * F.lit(-0.20791169081775907) + F.col("z15_9").cast("double") * F.lit(-0.587785252292473) + F.col("z15_10").cast("double") * F.lit(-0.8660254037844384) + F.col("z15_11").cast("double") * F.lit(-0.9945218953682733) + F.col("z15_12").cast("double") * F.lit(-0.9510565162951536) + F.col("z15_13").cast("double") * F.lit(-0.743144825477394) + F.col("z15_14").cast("double") * F.lit(-0.40673664307580015)
+    nn = F.col("n").cast("double") * F.col("n")
+    p7 = (c7 * c7 + s7 * s7)
+    p15 = (c15 * c15 + s15 * s15)
+    return ph.select(
+        F.col("n").alias("n_days"),
+        F.round(p7 / nn, 6).alias("power_p7"),
+        F.round(p15 / nn, 6).alias("power_p15"),
+        F.round(F.col("total_energy").cast("double") / nn, 6)
+        .alias("total_energy"),
+        (p7 > p15).alias("weekly_dominant"),
+    )

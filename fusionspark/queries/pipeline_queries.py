@@ -6790,3 +6790,157 @@ def needleman_wunsch(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("similarity"),
     ).orderBy("a_id")
+
+_SW_PAIRS = 20
+_SW_LEN = 40
+_SW_MATCH = 3
+_SW_MISS = -2
+_SW_GAP = -2
+
+
+@query(
+    "smith_waterman",
+    f"""
+    WITH nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+    seqs AS (
+        SELECT doc_id,
+               list_transform(
+                   {_WORDS}[1:{_SW_LEN}],
+                   w -> [('0x' || substr(md5('nw:' || w), 1, 8))::BIGINT])
+                   AS hs
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.hs AS xs, b.hs AS ys
+        FROM seqs a JOIN seqs b ON b.doc_id = a.doc_id + (SELECT n // 2 FROM nn)
+        WHERE a.doc_id < {_SW_PAIRS}
+    ),
+    dp AS (
+        SELECT a_id, b_id, len(xs)::BIGINT AS la, len(ys)::BIGINT AS lb,
+               list_reduce(
+                   list_prepend(
+                       [0::BIGINT]
+                       || list_transform(generate_series(0, len(ys)),
+                                         j -> 0::BIGINT),
+                       xs),
+                   (st, xi) -> [greatest(st[1], list_max(
+                       list_reduce(
+                           list_prepend([0::BIGINT], ys),
+                           (acc, yj) -> acc
+                               || [greatest(0,
+                                     st[len(acc) + 1]
+                                     + CASE WHEN xi[1] = yj[1]
+                                            THEN {_SW_MATCH}
+                                            ELSE {_SW_MISS} END,
+                                     st[len(acc) + 2] + {_SW_GAP},
+                                     acc[len(acc)] + {_SW_GAP})])))]
+                       || list_reduce(
+                           list_prepend([0::BIGINT], ys),
+                           (acc, yj) -> acc
+                               || [greatest(0,
+                                     st[len(acc) + 1]
+                                     + CASE WHEN xi[1] = yj[1]
+                                            THEN {_SW_MATCH}
+                                            ELSE {_SW_MISS} END,
+                                     st[len(acc) + 2] + {_SW_GAP},
+                                     acc[len(acc)] + {_SW_GAP})])) AS st
+        FROM pairs
+    )
+    SELECT a_id, b_id, la AS len_a, lb AS len_b,
+           st[1]::BIGINT AS sw_score,
+           ROUND(st[1]::DOUBLE / ({_SW_MATCH} * least(la, lb)), 6)
+               AS similarity
+    FROM dp ORDER BY a_id
+    """,
+)
+def smith_waterman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smith-Waterman LOCAL alignment (1981) over the needleman_wunsch
+    pairing — the quote/excerpt detector: where NW scores the WHOLE
+    sequences (penalizing unrelated flanks), SW finds the best-scoring
+    matching SUBSEQUENCE (cells floor at 0, the answer is the max over
+    ALL cells), so a 10-token verbatim quote inside otherwise-different
+    docs scores ~30 here while NW stays negative.
+
+    Parity: the DP is the NW nested fold with two changes — every cell
+    maxes with 0, and the outer accumulator carries [best, row...] (the
+    global max folds alongside the row; list slicing indexes shift by
+    one), all EXACT BIGINT.  The row-build expression is textually
+    duplicated into the best-update (both engines evaluate the same
+    tree twice — determinism over elegance).  Tokens are md5-hashed
+    BIGINTs (the NW contract).
+
+    Scale: identical to needleman_wunsch — bounded id-keyed pairs, one
+    (len+1)^2 integer fold per pair, embarrassingly parallel."""
+    from fusionspark.operators.dedup import md5_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    seqs = d.select(
+        "doc_id",
+        F.transform(
+            F.slice(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != ""),
+                1, _SW_LEN,
+            ),
+            lambda w: F.array(md5_hash32(F.concat(F.lit("nw:"), w))),
+        ).alias("hs"),
+    ).crossJoin(F.broadcast(nn))
+    a = seqs.filter(F.col("doc_id") < _SW_PAIRS).select(
+        F.col("doc_id").alias("a_id"), F.col("hs").alias("xs"),
+        (F.col("doc_id") + F.floor(F.col("n") / 2)).alias("b_key"),
+    )
+    b = seqs.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("ys"))
+    pairs = a.join(b, F.col("b_key") == F.col("b_id"))
+    zero = F.lit(0).cast("long")
+    gap = F.lit(_SW_GAP).cast("long")
+
+    def dp_col(xs, ys):
+        init = F.concat(
+            F.array(zero),
+            F.transform(F.sequence(F.lit(0), F.size(ys)), lambda j: zero),
+        )
+
+        def new_row(st, xi):
+            def inner(acc, yj):
+                j = F.size(acc)
+                sc = F.when(
+                    F.element_at(xi, 1) == F.element_at(yj, 1),
+                    F.lit(_SW_MATCH),
+                ).otherwise(F.lit(_SW_MISS)).cast("long")
+                return F.concat(
+                    acc,
+                    F.array(
+                        F.greatest(
+                            zero,
+                            F.element_at(st, j + 1) + sc,
+                            F.element_at(st, j + 2) + gap,
+                            F.element_at(acc, j) + gap,
+                        )
+                    ),
+                )
+
+            return F.aggregate(ys, F.array(zero), inner)
+
+        def outer(st, xi):
+            row = new_row(st, xi)
+            return F.concat(
+                F.array(F.greatest(F.element_at(st, 1), F.array_max(row))),
+                row,
+            )
+
+        return F.aggregate(xs, init, outer)
+
+    dp = pairs.select(
+        "a_id", "b_id",
+        F.size("xs").cast("long").alias("len_a"),
+        F.size("ys").cast("long").alias("len_b"),
+        dp_col(F.col("xs"), F.col("ys")).alias("st"),
+    )
+    best = F.element_at("st", 1)
+    return dp.select(
+        "a_id", "b_id", "len_a", "len_b",
+        best.cast("long").alias("sw_score"),
+        F.round(
+            best.cast("double") / (_SW_MATCH * F.least("len_a", "len_b")), 6
+        ).alias("similarity"),
+    ).orderBy("a_id")

@@ -2058,3 +2058,107 @@ def test_tukey_familywise_stricter_than_pairwise():
     """Law: the Tukey critical value q/sqrt(2) = 2.728 exceeds the
     pairwise z critical 1.96 — HSD is stricter than naive t tests."""
     assert 3.858 / math.sqrt(2) > 1.959963984540054
+
+
+# ---------------------------------------------------------------------------
+# smith_waterman
+# ---------------------------------------------------------------------------
+
+
+def _sw_python(xs, ys, match=3, miss=-2, gap=-2):
+    best = 0
+    prev = [0] * (len(ys) + 1)
+    for x in xs:
+        new = [0]
+        for j, y in enumerate(ys, start=1):
+            s = match if x == y else miss
+            new.append(max(0, prev[j - 1] + s, prev[j] + gap, new[j - 1] + gap))
+        best = max(best, max(new))
+        prev = new
+    return best
+
+
+def test_sw_python_replay(spark, sf_dir):
+    from fusionspark.queries.pipeline_queries import smith_waterman
+
+    docs = {d["doc_id"]: d for d in _docs(sf_dir)}
+    n = len(docs)
+    got = smith_waterman(spark, sf_dir).collect()
+    for row in got:
+        a = [w for w in docs[row["a_id"]]["text"].lower().split(" ") if w][:40]
+        b = [w for w in docs[row["b_id"]]["text"].lower().split(" ") if w][:40]
+        assert row["sw_score"] == _sw_python(a, b)
+
+
+def test_sw_finds_embedded_quote_where_nw_fails():
+    """Law: a verbatim 8-token quote inside otherwise-disjoint docs scores
+    8*match locally while the NW global score stays negative."""
+    quote = [f"q{i}" for i in range(8)]
+    a = [f"a{i}" for i in range(16)] + quote + [f"A{i}" for i in range(16)]
+    b = [f"b{i}" for i in range(16)] + quote + [f"B{i}" for i in range(16)]
+    assert _sw_python(a, b) == 8 * 3
+    assert _nw_python(a, b) < 0
+
+
+def test_sw_nonnegative_and_bounded():
+    """Laws: SW >= 0 always; SW <= match * min(len)."""
+    import random
+
+    rng = random.Random(3)
+    for _ in range(20):
+        xs = [rng.randint(0, 5) for _ in range(rng.randint(1, 15))]
+        ys = [rng.randint(0, 5) for _ in range(rng.randint(1, 15))]
+        sw = _sw_python(xs, ys)
+        assert 0 <= sw <= 3 * min(len(xs), len(ys))
+
+
+# ---------------------------------------------------------------------------
+# seasonality_power
+# ---------------------------------------------------------------------------
+
+
+def test_seasonality_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import seasonality_power
+
+    rows = _events(sf_dir)
+    days = sorted({r["ts"].date() for r in rows})
+    cnt = collections.Counter(r["ts"].date() for r in rows)
+    xs = [cnt.get(d, 0) for d in days]
+    n, S = len(xs), sum(xs)
+    z = [n * x - S for x in xs]
+
+    def power(p):
+        zc = [0] * p
+        for i, v in enumerate(z):
+            zc[i % p] += v
+        c = sum(zc[d] * math.cos(2 * math.pi * d / p) for d in range(p))
+        s_ = sum(zc[d] * math.sin(2 * math.pi * d / p) for d in range(p))
+        return (c * c + s_ * s_) / (n * n)
+
+    got = seasonality_power(spark, sf_dir).collect()[0]
+    assert got["n_days"] == n
+    assert math.isclose(got["power_p7"], round(power(7), 6), abs_tol=1e-5)
+    assert math.isclose(got["power_p15"], round(power(15), 6), abs_tol=1e-5)
+    assert math.isclose(
+        got["total_energy"], round(sum(v * v for v in z) / (n * n), 6),
+        abs_tol=1e-6,
+    )
+
+
+def test_seasonality_detects_planted_weekly_cycle():
+    """Law: a pure period-7 cosine series puts (almost) all its energy in
+    the period-7 bin and none in period-15."""
+    n = 28  # multiple of 7 so the bin is exact
+    xs = [1000 + round(100 * math.cos(2 * math.pi * t / 7)) for t in range(n)]
+    S = sum(xs)
+    z = [n * x - S for x in xs]
+
+    def power(p):
+        zc = [0] * p
+        for i, v in enumerate(z):
+            zc[i % p] += v
+        c = sum(zc[d] * math.cos(2 * math.pi * d / p) for d in range(p))
+        s_ = sum(zc[d] * math.sin(2 * math.pi * d / p) for d in range(p))
+        return (c * c + s_ * s_) / (n * n)
+
+    assert power(7) > 100 * power(15)
