@@ -9365,3 +9365,277 @@ def seasonality_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_energy"),
         (p7 > p15).alias("weekly_dominant"),
     )
+
+
+# Shared RSS closed form on exact integer moments:
+# RSS = (n*Syy - Sy^2 - (n*Sty - St*Sy)^2 / (n*Stt - St^2)) / n
+_CHOW_RSS = (
+    "(({n} * {syy} - {sy} * {sy})::DOUBLE"
+    " - (({n} * {sty} - {st} * {sy})::DOUBLE"
+    "    * ({n} * {sty} - {st} * {sy}))"
+    "   / ({n} * {stt} - {st} * {st})) / {n}"
+)
+
+
+def _chow_moments_sql(alias: str, cond: str) -> str:
+    return f"""
+    {alias} AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(t)::BIGINT AS st,
+               SUM(y)::BIGINT AS sy, SUM(t * y)::BIGINT AS sty,
+               SUM(t * t)::BIGINT AS stt, SUM(y * y)::BIGINT AS syy
+        FROM tl WHERE {cond}
+    )"""
+
+
+@query(
+    "chow_test",
+    f"""
+    WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    cnts AS (
+        SELECT ts::DATE AS d, COUNT(*)::BIGINT AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tl AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY days.d)::BIGINT AS t,
+               COALESCE(cnts.y, 0)::BIGINT AS y,
+               (SELECT COUNT(*) FROM days)::BIGINT AS n_all
+        FROM days LEFT JOIN cnts ON cnts.d = days.d
+    ),
+    {_chow_moments_sql("mf", "TRUE").strip()},
+    {_chow_moments_sql("m1", "t <= n_all // 2").strip()},
+    {_chow_moments_sql("m2", "t > n_all // 2").strip()},
+    r AS (
+        SELECT mf.n AS n,
+               {_CHOW_RSS.format(n="mf.n", st="mf.st", sy="mf.sy",
+                                 sty="mf.sty", stt="mf.stt", syy="mf.syy")}
+                   AS rss_full,
+               {_CHOW_RSS.format(n="m1.n", st="m1.st", sy="m1.sy",
+                                 sty="m1.sty", stt="m1.stt", syy="m1.syy")}
+                   AS rss_1,
+               {_CHOW_RSS.format(n="m2.n", st="m2.st", sy="m2.sy",
+                                 sty="m2.sty", stt="m2.stt", syy="m2.syy")}
+                   AS rss_2
+        FROM mf, m1, m2
+    )
+    SELECT n,
+           ROUND(rss_full, 6) AS rss_full,
+           ROUND(rss_1, 6) AS rss_first,
+           ROUND(rss_2, 6) AS rss_second,
+           ROUND(((rss_full - rss_1 - rss_2) / 2)
+                 / ((rss_1 + rss_2) / (n - 4)), 6) + 0.0 AS f_stat
+    FROM r
+    """,
+)
+def chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test (1960) at the series midpoint: did the
+    purchase trend's (intercept, slope) CHANGE between the two halves —
+    F = ((RSS_full - RSS_1 - RSS_2)/k) / ((RSS_1 + RSS_2)/(n - 2k)) with
+    k = 2 — the parametric companion to pettitt_test / changepoint_cusum
+    (which locate a break; Chow tests a hypothesized one).
+
+    Parity: all three RSS values use the SAME closed form on exact
+    BIGINT moments — (n*Syy - Sy^2 - (n*Sty - St*Sy)^2/(n*Stt - St^2))/n
+    — a fixed expression tree shared TEXTUALLY between the three
+    aliases and both engines; F is a fixed tree on those three doubles
+    and carries `+ 0.0` (the numerator is >= 0 only in exact
+    arithmetic).
+
+    Scale: one groupBy(day); three conditional-moment aggregates over
+    the calendar-bounded timeline."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    cnts = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    tl = (
+        days.join(cnts, "d", "left")
+        .select("d", F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+        .select(
+            F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+            "y",
+        )
+    )
+    n_all = tl.agg(F.count("*").cast("long").alias("n_all"))
+    tn = tl.crossJoin(F.broadcast(n_all))
+
+    def moments(cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long"),
+            F.sum(F.when(cond, F.col("t")).otherwise(0)).cast("long"),
+            F.sum(F.when(cond, F.col("y")).otherwise(0)).cast("long"),
+            F.sum(F.when(cond, F.col("t") * F.col("y")).otherwise(0))
+            .cast("long"),
+            F.sum(F.when(cond, F.col("t") * F.col("t")).otherwise(0))
+            .cast("long"),
+            F.sum(F.when(cond, F.col("y") * F.col("y")).otherwise(0))
+            .cast("long"),
+        ]
+
+    half = F.floor(F.col("n_all") / 2)
+    conds = {
+        "f": F.lit(True),
+        "1": F.col("t") <= half,
+        "2": F.col("t") > half,
+    }
+    aggs = []
+    for tag, cond in conds.items():
+        for name, expr in zip(("n", "st", "sy", "sty", "stt", "syy"),
+                              moments(cond)):
+            aggs.append(expr.alias(f"{name}{tag}"))
+    m = tn.agg(*aggs)
+
+    def rss(tag):
+        n = F.col(f"n{tag}")
+        st = F.col(f"st{tag}")
+        sy = F.col(f"sy{tag}")
+        sty = F.col(f"sty{tag}")
+        stt = F.col(f"stt{tag}")
+        syy = F.col(f"syy{tag}")
+        num = (n * sty - st * sy).cast("double")
+        return (
+            (n * syy - sy * sy).cast("double")
+            - num * num / (n * stt - st * st)
+        ) / n
+
+    r = m.select(
+        F.col("nf").alias("n"),
+        rss("f").alias("rss_full"),
+        rss("1").alias("rss_1"),
+        rss("2").alias("rss_2"),
+    )
+    fstat = ((F.col("rss_full") - F.col("rss_1") - F.col("rss_2")) / 2) / (
+        (F.col("rss_1") + F.col("rss_2")) / (F.col("n") - 4)
+    )
+    return r.select(
+        "n",
+        F.round("rss_full", 6).alias("rss_full"),
+        F.round("rss_1", 6).alias("rss_first"),
+        F.round("rss_2", 6).alias("rss_second"),
+        (F.round(fstat, 6) + F.lit(0.0)).alias("f_stat"),
+    )
+
+
+@query(
+    "cooks_distance",
+    """
+    WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    cnts AS (
+        SELECT ts::DATE AS d, COUNT(*)::BIGINT AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tl AS (
+        SELECT days.d, ROW_NUMBER() OVER (ORDER BY days.d)::BIGINT AS t,
+               COALESCE(cnts.y, 0)::BIGINT AS y
+        FROM days LEFT JOIN cnts ON cnts.d = days.d
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(t)::BIGINT AS st,
+               SUM(y)::BIGINT AS sy, SUM(t * y)::BIGINT AS sty,
+               SUM(t * t)::BIGINT AS stt
+        FROM tl
+    ),
+    coef AS (
+        SELECT n, st, stt,
+               (n * stt - st * st)::BIGINT AS det,
+               (n * sty - st * sy)::BIGINT AS bnum,
+               (sy * stt - st * sty)::BIGINT AS anum
+        FROM s
+    ),
+    res AS (
+        SELECT tl.d, tl.t,
+               (coef.det * tl.y - coef.anum - coef.bnum * tl.t)::BIGINT AS e,
+               coef.n, coef.st, coef.det
+        FROM tl, coef
+    ),
+    rss AS (
+        SELECT SUM(e * e)::BIGINT AS see FROM res
+    ),
+    scored AS (
+        SELECT res.d, res.t,
+               (1.0 / res.n
+                + ((res.n * res.t - res.st)::DOUBLE
+                   * (res.n * res.t - res.st))
+                  / (res.n::DOUBLE * res.det)) AS h,
+               (res.e::DOUBLE * res.e) / rss.see * (res.n - 2) / 2 AS base
+        FROM res, rss
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, t,
+           ROUND(h, 6) AS leverage,
+           ROUND(base * h / ((1.0 - h) * (1.0 - h)) / (
+                 (SELECT (n - 2)::DOUBLE FROM s)) * 1.0, 6) AS cooks_d
+    FROM scored
+    ORDER BY ROUND(base * h / ((1.0 - h) * (1.0 - h)) / (
+             (SELECT (n - 2)::DOUBLE FROM s)) * 1.0, 6) DESC, t ASC
+    LIMIT 5
+    """,
+)
+def cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance influence diagnostics (1977) for the daily purchase
+    trend OLS: D_t = e_t^2 / (k*s^2) * h_t/(1-h_t)^2 with leverage h_t =
+    1/n + (t - t_bar)^2/Sxx — WHICH days drive the fitted trend (the
+    per-point companion to chow_test's break test and durbin_watson's
+    residual diagnostics); top-5 most influential days emitted.
+
+    Parity: residuals are the det-scaled exact BIGINTs of durbin_watson
+    (e~ = det*y - anum - bnum*t), so e^2/RSS is a ratio of exact
+    integers whose det^2 factors cancel; leverage uses the n-scaled
+    exact form (n*t - St)^2/(n*det).  D collapses to base*h/(1-h)^2 with
+    base = e~^2/SEE * (n-2)/2 / (n-2) — every term a fixed tree on exact
+    integers; the top-5 cut sorts the ROUNDED D with a t tiebreak.
+
+    Scale: one groupBy(day); all scoring on the calendar-bounded
+    timeline against two broadcast scalars."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    cnts = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    tl = (
+        days.join(cnts, "d", "left")
+        .select("d", F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+        .select(
+            "d",
+            F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+            "y",
+        )
+    )
+    s = tl.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    )
+    coef = s.select(
+        "n", "st",
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias("det"),
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).alias("bnum"),
+        (F.col("sy") * F.col("stt") - F.col("st") * F.col("sty")).alias("anum"),
+    )
+    res = tl.crossJoin(F.broadcast(coef)).select(
+        "d", "t", "n", "st", "det",
+        (F.col("det") * F.col("y") - F.col("anum") - F.col("bnum") * F.col("t"))
+        .alias("e"),
+    )
+    rss = res.agg(F.sum(F.col("e") * F.col("e")).cast("long").alias("see"))
+    scored = res.crossJoin(F.broadcast(rss))
+    h = (
+        1.0 / F.col("n")
+        + ((F.col("n") * F.col("t") - F.col("st")).cast("double")
+           * (F.col("n") * F.col("t") - F.col("st")))
+        / (F.col("n").cast("double") * F.col("det"))
+    )
+    base = (F.col("e").cast("double") * F.col("e")) / F.col("see") * (
+        F.col("n") - 2
+    ) / 2
+    d_ = base * h / ((1.0 - h) * (1.0 - h)) / (F.col("n") - 2).cast("double")
+    out = scored.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "t",
+        F.round(h, 6).alias("leverage"),
+        F.round(d_, 6).alias("cooks_d"),
+    )
+    return out.orderBy(F.col("cooks_d").desc(), F.col("t").asc()).limit(5)

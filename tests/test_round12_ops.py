@@ -2162,3 +2162,104 @@ def test_seasonality_detects_planted_weekly_cycle():
         return (c * c + s_ * s_) / (n * n)
 
     assert power(7) > 100 * power(15)
+
+
+# ---------------------------------------------------------------------------
+# chow_test
+# ---------------------------------------------------------------------------
+
+
+def _rss_python(pts):
+    n = len(pts)
+    st = sum(t for t, _ in pts)
+    sy = sum(y for _, y in pts)
+    sty = sum(t * y for t, y in pts)
+    stt = sum(t * t for t, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    num = n * sty - st * sy
+    return ((n * syy - sy * sy) - num * num / (n * stt - st * st)) / n
+
+
+def test_chow_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import chow_test
+
+    rows = _events(sf_dir)
+    days = sorted({r["ts"].date() for r in rows})
+    cnt = collections.Counter(
+        r["ts"].date() for r in rows if r["event_type"] == "purchase"
+    )
+    pts = [(t + 1, cnt.get(d, 0)) for t, d in enumerate(days)]
+    n = len(pts)
+    half = n // 2
+    rf = _rss_python(pts)
+    r1 = _rss_python(pts[:half])
+    r2 = _rss_python(pts[half:])
+    f = ((rf - r1 - r2) / 2) / ((r1 + r2) / (n - 4))
+    got = chow_test(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert math.isclose(got["rss_full"], round(rf, 6), abs_tol=1e-6)
+    assert math.isclose(got["f_stat"], round(f, 6), abs_tol=1e-6)
+
+
+def test_chow_detects_planted_break():
+    """Law: a slope flip at the midpoint produces a huge F; an unbroken
+    line produces F ~ 0."""
+    clean = [(t, 100 + 2 * t) for t in range(1, 31)]
+    assert abs(_rss_python(clean)) < 1e-6
+    broken = [(t, 100 + 2 * t if t <= 15 else 160 - 2 * (t - 15))
+              for t in range(1, 31)]
+    rf = _rss_python(broken)
+    r1 = _rss_python(broken[:15])
+    r2 = _rss_python(broken[15:])
+    assert r1 < 1e-6 and r2 < 1e-6 and rf > 100  # break absorbed by halves
+
+
+# ---------------------------------------------------------------------------
+# cooks_distance
+# ---------------------------------------------------------------------------
+
+
+def test_cooks_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import cooks_distance
+
+    rows = _events(sf_dir)
+    days = sorted({r["ts"].date() for r in rows})
+    cnt = collections.Counter(
+        r["ts"].date() for r in rows if r["event_type"] == "purchase"
+    )
+    ys = [cnt.get(d, 0) for d in days]
+    n = len(ys)
+    st = n * (n + 1) // 2
+    stt = sum((t + 1) ** 2 for t in range(n))
+    sy = sum(ys)
+    sty = sum((t + 1) * y for t, y in enumerate(ys))
+    det = n * stt - st * st
+    bnum = n * sty - st * sy
+    anum = sy * stt - st * sty
+    e = [det * y - anum - bnum * (t + 1) for t, y in enumerate(ys)]
+    see = sum(v * v for v in e)
+    scored = []
+    for t in range(1, n + 1):
+        h = 1 / n + ((n * t - st) ** 2) / (n * det)
+        base = (e[t - 1] ** 2) / see * (n - 2) / 2
+        d_ = base * h / ((1 - h) ** 2) / (n - 2)
+        scored.append((round(d_, 6), t, h))
+    top = sorted(scored, key=lambda x: (-x[0], x[1]))[:5]
+    got = cooks_distance(spark, sf_dir).collect()
+    for row, (d_, t, h) in zip(got, top):
+        assert row["t"] == t
+        assert math.isclose(row["cooks_d"], d_, abs_tol=1e-9)
+        assert math.isclose(row["leverage"], round(h, 6), abs_tol=1e-9)
+        assert row["day"] == days[t - 1].isoformat()
+
+
+def test_cooks_laws():
+    """Laws: leverage is maximal at the series endpoints and minimal at
+    the center; Cook's D of a point ON the fitted line is 0."""
+    n = 30
+    st = n * (n + 1) // 2
+    stt = sum(t * t for t in range(1, n + 1))
+    det = n * stt - st * st
+    hs = [1 / n + ((n * t - st) ** 2) / (n * det) for t in range(1, n + 1)]
+    assert hs[0] == max(hs) or hs[-1] == max(hs)
+    assert min(hs) == min(hs[n // 2 - 1], hs[n // 2])
