@@ -9639,3 +9639,129 @@ def cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d_, 6).alias("cooks_d"),
     )
     return out.orderBy(F.col("cooks_d").desc(), F.col("t").asc()).limit(5)
+
+
+@query(
+    "qini_curve",
+    """
+    WITH u AS (
+        SELECT user_id,
+               ('0x' || substr(md5('up:' || user_id::VARCHAR), 1, 8))::BIGINT
+                   % 2 AS t,
+               COUNT(*)::BIGINT AS x,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT t, y,
+               ROW_NUMBER() OVER (ORDER BY x DESC, user_id ASC)::BIGINT AS rk,
+               (SELECT COUNT(*) FROM u)::BIGINT AS n
+        FROM u
+    ),
+    dec AS (
+        SELECT ((rk - 1) * 10 // n + 1)::BIGINT AS decile, t, y FROM ranked
+    ),
+    per AS (
+        SELECT decile,
+               SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS nt,
+               SUM(CASE WHEN t = 1 THEN y ELSE 0 END)::BIGINT AS yt,
+               SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
+               SUM(CASE WHEN t = 0 THEN y ELSE 0 END)::BIGINT AS yc
+        FROM dec GROUP BY decile
+    ),
+    cum AS (
+        SELECT decile,
+               SUM(nt) OVER (ORDER BY decile)::BIGINT AS nt,
+               SUM(yt) OVER (ORDER BY decile)::BIGINT AS yt,
+               SUM(nc) OVER (ORDER BY decile)::BIGINT AS nc,
+               SUM(yc) OVER (ORDER BY decile)::BIGINT AS yc
+        FROM per
+    ),
+    tot AS (
+        SELECT yt AS yt10, yc AS yc10, nt AS nt10, nc AS nc10
+        FROM cum WHERE decile = 10
+    )
+    SELECT cum.decile, cum.nt AS n_treat_cum, cum.yt AS y_treat_cum,
+           cum.nc AS n_ctrl_cum, cum.yc AS y_ctrl_cum,
+           ROUND(cum.yt - cum.yc::DOUBLE * cum.nt / cum.nc, 6) + 0.0
+               AS qini_value,
+           ROUND((cum.yt - cum.yc::DOUBLE * cum.nt / cum.nc)
+                 - (tot.yt10 - tot.yc10::DOUBLE * tot.nt10 / tot.nc10)
+                   * cum.decile / 10, 6) + 0.0 AS qini_minus_random
+    FROM cum, tot ORDER BY cum.decile
+    """,
+)
+def qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for the activity-ranked uplift model (Radcliffe 2007) —
+    the evaluation companion to uplift_stump: users sort by the uplift
+    score (event count, the stump's covariate), and at each cumulative
+    decile the Qini value y_T - y_C * N_T/N_C measures incremental
+    conversions captured so far; qini_minus_random subtracts the
+    straight-line random-targeting baseline (its sum over deciles is the
+    Qini coefficient — positive means the ranking targets persuadables
+    better than chance).
+
+    Parity: deciles come from exact integer rank arithmetic ((rk-1)*10 //
+    n — the scalable ntile replacement isotonic_calibration established);
+    cumulative cells are exact BIGINT windows over the 10-row decile
+    frame; each Qini value is a fixed tree with ONE division, and both
+    rounded outputs carry `+ 0.0`.
+
+    Scale: one groupBy(user), one rank window (the honest sort any
+    ranked-targeting evaluation pays), then 10-row arithmetic."""
+    from fusionspark.operators.dedup import md5_hash32
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("x"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("y"),
+    ).select(
+        "user_id", "x", "y",
+        (md5_hash32(F.concat(F.lit("up:"), F.col("user_id").cast("string")))
+         % 2).alias("t"),
+    )
+    nn = u.agg(F.count("*").cast("long").alias("n"))
+    ranked = u.select(
+        "t", "y",
+        F.row_number().over(Window.orderBy(F.col("x").desc(), F.col("user_id")))
+        .cast("long").alias("rk"),
+    ).crossJoin(F.broadcast(nn))
+    dec = ranked.select(
+        (F.floor((F.col("rk") - 1) * 10 / F.col("n")) + 1).cast("long")
+        .alias("decile"),
+        "t", "y",
+    )
+    per = dec.groupBy("decile").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long").alias("yt"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long").alias("yc"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        F.sum("nt").over(w).cast("long").alias("nt"),
+        F.sum("yt").over(w).cast("long").alias("yt"),
+        F.sum("nc").over(w).cast("long").alias("nc"),
+        F.sum("yc").over(w).cast("long").alias("yc"),
+    )
+    tot = cum.filter(F.col("decile") == 10).select(
+        F.col("yt").alias("yt10"), F.col("yc").alias("yc10"),
+        F.col("nt").alias("nt10"), F.col("nc").alias("nc10"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    qv = F.col("yt") - F.col("yc").cast("double") * F.col("nt") / F.col("nc")
+    qtot = F.col("yt10") - F.col("yc10").cast("double") * F.col("nt10") / F.col(
+        "nc10"
+    )
+    return j.select(
+        "decile",
+        F.col("nt").alias("n_treat_cum"), F.col("yt").alias("y_treat_cum"),
+        F.col("nc").alias("n_ctrl_cum"), F.col("yc").alias("y_ctrl_cum"),
+        (F.round(qv, 6) + F.lit(0.0)).alias("qini_value"),
+        (F.round(qv - qtot * F.col("decile") / 10, 6) + F.lit(0.0))
+        .alias("qini_minus_random"),
+    ).orderBy("decile")

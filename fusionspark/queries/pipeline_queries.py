@@ -6944,3 +6944,232 @@ def smith_waterman(spark: SparkSession, sf_dir: str) -> DataFrame:
             best.cast("double") / (_SW_MATCH * F.least("len_a", "len_b")), 6
         ).alias("similarity"),
     ).orderBy("a_id")
+
+
+_SHAP_W = [3, -2, 5, 1, -4, 2, -1, 6, -3, 2, 4, -5, 1, -2, 3, -6]
+
+
+@query(
+    "linear_shap",
+    """
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '') AS ws
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(ws, t ->
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT % 16) AS hs
+        FROM w
+    ),
+    feat AS MATERIALIZED (
+        SELECT doc_id,
+               len(list_filter(hs, h -> h = 0))::BIGINT AS c0,
+               len(list_filter(hs, h -> h = 1))::BIGINT AS c1,
+               len(list_filter(hs, h -> h = 2))::BIGINT AS c2,
+               len(list_filter(hs, h -> h = 3))::BIGINT AS c3,
+               len(list_filter(hs, h -> h = 4))::BIGINT AS c4,
+               len(list_filter(hs, h -> h = 5))::BIGINT AS c5,
+               len(list_filter(hs, h -> h = 6))::BIGINT AS c6,
+               len(list_filter(hs, h -> h = 7))::BIGINT AS c7,
+               len(list_filter(hs, h -> h = 8))::BIGINT AS c8,
+               len(list_filter(hs, h -> h = 9))::BIGINT AS c9,
+               len(list_filter(hs, h -> h = 10))::BIGINT AS c10,
+               len(list_filter(hs, h -> h = 11))::BIGINT AS c11,
+               len(list_filter(hs, h -> h = 12))::BIGINT AS c12,
+               len(list_filter(hs, h -> h = 13))::BIGINT AS c13,
+               len(list_filter(hs, h -> h = 14))::BIGINT AS c14,
+               len(list_filter(hs, h -> h = 15))::BIGINT AS c15
+        FROM hashed
+    ),
+    s AS MATERIALIZED (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(c0)::BIGINT AS s0,
+               SUM(c1)::BIGINT AS s1,
+               SUM(c2)::BIGINT AS s2,
+               SUM(c3)::BIGINT AS s3,
+               SUM(c4)::BIGINT AS s4,
+               SUM(c5)::BIGINT AS s5,
+               SUM(c6)::BIGINT AS s6,
+               SUM(c7)::BIGINT AS s7,
+               SUM(c8)::BIGINT AS s8,
+               SUM(c9)::BIGINT AS s9,
+               SUM(c10)::BIGINT AS s10,
+               SUM(c11)::BIGINT AS s11,
+               SUM(c12)::BIGINT AS s12,
+               SUM(c13)::BIGINT AS s13,
+               SUM(c14)::BIGINT AS s14,
+               SUM(c15)::BIGINT AS s15
+        FROM feat
+    ),
+    att AS MATERIALIZED (
+        SELECT SUM(abs(3 * (s.n * feat.c0 - s.s0)))::BIGINT AS a0,
+               SUM(abs(-2 * (s.n * feat.c1 - s.s1)))::BIGINT AS a1,
+               SUM(abs(5 * (s.n * feat.c2 - s.s2)))::BIGINT AS a2,
+               SUM(abs(1 * (s.n * feat.c3 - s.s3)))::BIGINT AS a3,
+               SUM(abs(-4 * (s.n * feat.c4 - s.s4)))::BIGINT AS a4,
+               SUM(abs(2 * (s.n * feat.c5 - s.s5)))::BIGINT AS a5,
+               SUM(abs(-1 * (s.n * feat.c6 - s.s6)))::BIGINT AS a6,
+               SUM(abs(6 * (s.n * feat.c7 - s.s7)))::BIGINT AS a7,
+               SUM(abs(-3 * (s.n * feat.c8 - s.s8)))::BIGINT AS a8,
+               SUM(abs(2 * (s.n * feat.c9 - s.s9)))::BIGINT AS a9,
+               SUM(abs(4 * (s.n * feat.c10 - s.s10)))::BIGINT AS a10,
+               SUM(abs(-5 * (s.n * feat.c11 - s.s11)))::BIGINT AS a11,
+               SUM(abs(1 * (s.n * feat.c12 - s.s12)))::BIGINT AS a12,
+               SUM(abs(-2 * (s.n * feat.c13 - s.s13)))::BIGINT AS a13,
+               SUM(abs(3 * (s.n * feat.c14 - s.s14)))::BIGINT AS a14,
+               SUM(abs(-6 * (s.n * feat.c15 - s.s15)))::BIGINT AS a15
+        FROM feat, s
+    ),
+    per AS (
+        SELECT 0::BIGINT AS feature, 3::BIGINT AS weight, s0 AS total_count, a0 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 1::BIGINT AS feature, -2::BIGINT AS weight, s1 AS total_count, a1 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 2::BIGINT AS feature, 5::BIGINT AS weight, s2 AS total_count, a2 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 3::BIGINT AS feature, 1::BIGINT AS weight, s3 AS total_count, a3 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 4::BIGINT AS feature, -4::BIGINT AS weight, s4 AS total_count, a4 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 5::BIGINT AS feature, 2::BIGINT AS weight, s5 AS total_count, a5 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 6::BIGINT AS feature, -1::BIGINT AS weight, s6 AS total_count, a6 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 7::BIGINT AS feature, 6::BIGINT AS weight, s7 AS total_count, a7 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 8::BIGINT AS feature, -3::BIGINT AS weight, s8 AS total_count, a8 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 9::BIGINT AS feature, 2::BIGINT AS weight, s9 AS total_count, a9 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 10::BIGINT AS feature, 4::BIGINT AS weight, s10 AS total_count, a10 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 11::BIGINT AS feature, -5::BIGINT AS weight, s11 AS total_count, a11 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 12::BIGINT AS feature, 1::BIGINT AS weight, s12 AS total_count, a12 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 13::BIGINT AS feature, -2::BIGINT AS weight, s13 AS total_count, a13 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 14::BIGINT AS feature, 3::BIGINT AS weight, s14 AS total_count, a14 AS abs_attr_scaled FROM s, att
+        UNION ALL
+        SELECT 15::BIGINT AS feature, -6::BIGINT AS weight, s15 AS total_count, a15 AS abs_attr_scaled FROM s, att
+    )
+    SELECT per.feature, per.weight, per.total_count,
+           ROUND(per.total_count::DOUBLE / s.n, 6) AS mean_count,
+           ROUND(per.abs_attr_scaled::DOUBLE / (s.n::DOUBLE * s.n), 6)
+               AS mean_abs_attribution
+    FROM per, s
+    ORDER BY per.abs_attr_scaled DESC, per.feature ASC
+    """,
+)
+def linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SHAP attributions for a linear model over hashed bag-of-words
+    features: for a linear scorer, the Shapley value of feature j on a
+    doc is EXACTLY w_j * (x_j - E[x_j]) (Lundberg & Lee 2017, linear
+    SHAP) — no sampling, no approximation.  The model is a fixed
+    published 16-weight vector (the viterbi_decode trained-elsewhere
+    convention); the query reports each feature's global importance
+    mean(|phi_j|) — the ranking an XAI dashboard shows next to
+    perceptron_quality's margins.
+
+    Parity: hashed counts and feature sums are exact BIGINTs; the
+    n-scaled attribution n*phi = w_j * (n*x_j - S_j) is exact, so
+    mean|phi| = sum|n*phi| / n^2 is ONE correctly-rounded division, and
+    the importance ranking sorts EXACT integers (abs_attr_scaled) with a
+    feature tiebreak.
+
+    Scale: one token explode collapses to 16 counts per doc (map-side);
+    the 16 per-feature folds ride ONE aggregate; output is 16 rows."""
+    from fusionspark.operators.dedup import md5_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        F.transform(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != ""),
+            lambda t: md5_hash32(t) % 16,
+        ).alias("hs"),
+    )
+    feat = hashed.select(
+        "doc_id",
+        F.size(F.filter(F.col("hs"), lambda h: h == 0)).cast("long").alias("c0"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 1)).cast("long").alias("c1"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 2)).cast("long").alias("c2"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 3)).cast("long").alias("c3"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 4)).cast("long").alias("c4"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 5)).cast("long").alias("c5"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 6)).cast("long").alias("c6"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 7)).cast("long").alias("c7"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 8)).cast("long").alias("c8"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 9)).cast("long").alias("c9"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 10)).cast("long").alias("c10"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 11)).cast("long").alias("c11"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 12)).cast("long").alias("c12"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 13)).cast("long").alias("c13"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 14)).cast("long").alias("c14"),
+        F.size(F.filter(F.col("hs"), lambda h: h == 15)).cast("long").alias("c15"),
+    )
+    s = feat.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("c0")).cast("long").alias("s0"),
+        F.sum(F.col("c1")).cast("long").alias("s1"),
+        F.sum(F.col("c2")).cast("long").alias("s2"),
+        F.sum(F.col("c3")).cast("long").alias("s3"),
+        F.sum(F.col("c4")).cast("long").alias("s4"),
+        F.sum(F.col("c5")).cast("long").alias("s5"),
+        F.sum(F.col("c6")).cast("long").alias("s6"),
+        F.sum(F.col("c7")).cast("long").alias("s7"),
+        F.sum(F.col("c8")).cast("long").alias("s8"),
+        F.sum(F.col("c9")).cast("long").alias("s9"),
+        F.sum(F.col("c10")).cast("long").alias("s10"),
+        F.sum(F.col("c11")).cast("long").alias("s11"),
+        F.sum(F.col("c12")).cast("long").alias("s12"),
+        F.sum(F.col("c13")).cast("long").alias("s13"),
+        F.sum(F.col("c14")).cast("long").alias("s14"),
+        F.sum(F.col("c15")).cast("long").alias("s15"),
+    )
+    j = feat.crossJoin(F.broadcast(s))
+    attrs = j.agg(
+        F.max("n").cast("long").alias("n"),
+        *[F.max(F.col(f"s{k}")).cast("long").alias(f"s{k}") for k in range(16)],
+        F.sum(F.abs(F.lit(3) * (F.col("n") * F.col("c0") - F.col("s0")))).cast("long").alias("a0"),
+        F.sum(F.abs(F.lit(-2) * (F.col("n") * F.col("c1") - F.col("s1")))).cast("long").alias("a1"),
+        F.sum(F.abs(F.lit(5) * (F.col("n") * F.col("c2") - F.col("s2")))).cast("long").alias("a2"),
+        F.sum(F.abs(F.lit(1) * (F.col("n") * F.col("c3") - F.col("s3")))).cast("long").alias("a3"),
+        F.sum(F.abs(F.lit(-4) * (F.col("n") * F.col("c4") - F.col("s4")))).cast("long").alias("a4"),
+        F.sum(F.abs(F.lit(2) * (F.col("n") * F.col("c5") - F.col("s5")))).cast("long").alias("a5"),
+        F.sum(F.abs(F.lit(-1) * (F.col("n") * F.col("c6") - F.col("s6")))).cast("long").alias("a6"),
+        F.sum(F.abs(F.lit(6) * (F.col("n") * F.col("c7") - F.col("s7")))).cast("long").alias("a7"),
+        F.sum(F.abs(F.lit(-3) * (F.col("n") * F.col("c8") - F.col("s8")))).cast("long").alias("a8"),
+        F.sum(F.abs(F.lit(2) * (F.col("n") * F.col("c9") - F.col("s9")))).cast("long").alias("a9"),
+        F.sum(F.abs(F.lit(4) * (F.col("n") * F.col("c10") - F.col("s10")))).cast("long").alias("a10"),
+        F.sum(F.abs(F.lit(-5) * (F.col("n") * F.col("c11") - F.col("s11")))).cast("long").alias("a11"),
+        F.sum(F.abs(F.lit(1) * (F.col("n") * F.col("c12") - F.col("s12")))).cast("long").alias("a12"),
+        F.sum(F.abs(F.lit(-2) * (F.col("n") * F.col("c13") - F.col("s13")))).cast("long").alias("a13"),
+        F.sum(F.abs(F.lit(3) * (F.col("n") * F.col("c14") - F.col("s14")))).cast("long").alias("a14"),
+        F.sum(F.abs(F.lit(-6) * (F.col("n") * F.col("c15") - F.col("s15")))).cast("long").alias("a15"),
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("feature"),
+                F.lit(_SHAP_W[k]).cast("long").alias("weight"),
+                F.col(f"s{k}").alias("total_count"),
+                F.round(F.col(f"s{k}").cast("double") / F.col("n"), 6)
+                .alias("mean_count"),
+                F.round(
+                    F.col(f"a{k}").cast("double")
+                    / (F.col("n").cast("double") * F.col("n")),
+                    6,
+                ).alias("mean_abs_attribution"),
+                F.col(f"a{k}").alias("_ord"),
+            )
+            for k in range(16)
+        ]
+    )
+    out = attrs.select(F.explode(entries).alias("r")).select("r.*")
+    return (
+        out.orderBy(F.col("_ord").desc(), F.col("feature").asc())
+        .drop("_ord")
+    )

