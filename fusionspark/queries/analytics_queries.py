@@ -9765,3 +9765,193 @@ def qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(qv - qtot * F.col("decile") / 10, 6) + F.lit(0.0))
         .alias("qini_minus_random"),
     ).orderBy("decile")
+
+
+# Bloom sizing constants as exact integer ratios: ln 2 and -ln(fpp).
+_BLOOM_LN2_NUM = 6931471805599453  # / 1e16
+_BLOOM_LNP = {"0.01": 4605170185988091, "0.001": 6907755278982137}  # /1e15
+
+
+@query(
+    "bloom_sizing_plan",
+    f"""
+    WITH counts AS (
+        SELECT 'orders.o_custkey' AS key_set,
+               COUNT(DISTINCT o_custkey)::BIGINT AS n FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_partkey', COUNT(DISTINCT l_partkey)::BIGINT
+        FROM lineitem
+        UNION ALL
+        SELECT 'events.user_id', COUNT(DISTINCT user_id)::BIGINT FROM events
+    ),
+    fpps AS (
+        SELECT '0.01' AS fpp, {_BLOOM_LNP['0.01']}::DOUBLE
+               / 1000000000000000 AS lnp
+        UNION ALL
+        SELECT '0.001', {_BLOOM_LNP['0.001']}::DOUBLE / 1000000000000000
+    ),
+    plan AS (
+        SELECT c.key_set, c.n, f.fpp,
+               CAST(CEIL(c.n * f.lnp
+                         / (({_BLOOM_LN2_NUM}::DOUBLE / 10000000000000000)
+                            * ({_BLOOM_LN2_NUM}::DOUBLE / 10000000000000000)))
+                    AS BIGINT) AS bits
+        FROM counts c CROSS JOIN fpps f
+    )
+    SELECT key_set, n AS n_distinct, fpp, bits,
+           CAST(CEIL(bits::DOUBLE / n
+                     * ({_BLOOM_LN2_NUM}::DOUBLE / 10000000000000000))
+                AS BIGINT) AS n_hashes,
+           ROUND(bits::DOUBLE / 8 / 1048576, 6) AS mbytes
+    FROM plan ORDER BY key_set, fpp
+    """,
+)
+def bloom_sizing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing plan for the three join-key sets a broadcast
+    bloom prefilter (bloom_join_filter / bloom_prefilter) would build:
+    optimal bits m = ceil(n * -ln(fpp) / ln(2)^2) and hash count k =
+    ceil(m/n * ln 2) at target false-positive rates 1% and 0.1% — the
+    capacity arithmetic that decides whether the filter fits in a
+    broadcast (the mbytes column IS the broadcast budget line).
+
+    Parity: distinct counts are exact BIGINTs; ln 2 and -ln(fpp) are
+    INTEGER-literal ratios (libm never runs); bits/hashes go through
+    CEIL on identical doubles — exact integer outputs; mbytes is one
+    rounded division.
+
+    Scale: three distinct-count aggregates with partial aggregation;
+    the plan itself is 6 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        o.agg(F.countDistinct("o_custkey").cast("long").alias("n"))
+        .select(F.lit("orders.o_custkey").alias("key_set"), "n")
+        .unionByName(
+            li.agg(F.countDistinct("l_partkey").cast("long").alias("n"))
+            .select(F.lit("lineitem.l_partkey").alias("key_set"), "n")
+        )
+        .unionByName(
+            e.agg(F.countDistinct("user_id").cast("long").alias("n"))
+            .select(F.lit("events.user_id").alias("key_set"), "n")
+        )
+    )
+    ln2 = F.lit(_BLOOM_LN2_NUM).cast("double") / F.lit(10**16).cast("double")
+    fpps = None
+    for fpp, num in _BLOOM_LNP.items():
+        row = spark.range(1).select(
+            F.lit(fpp).alias("fpp"),
+            (F.lit(num).cast("double") / F.lit(10**15).cast("double"))
+            .alias("lnp"),
+        )
+        fpps = row if fpps is None else fpps.unionByName(row)
+    plan = counts.crossJoin(F.broadcast(fpps)).select(
+        "key_set", "n", "fpp",
+        F.ceil(F.col("n") * F.col("lnp") / (ln2 * ln2)).cast("long")
+        .alias("bits"),
+    )
+    return plan.select(
+        "key_set", F.col("n").alias("n_distinct"), "fpp", "bits",
+        F.ceil(F.col("bits").cast("double") / F.col("n") * ln2).cast("long")
+        .alias("n_hashes"),
+        F.round(F.col("bits").cast("double") / 8 / 1048576, 6).alias("mbytes"),
+    ).orderBy("key_set", "fpp")
+
+
+@query(
+    "label_model_3lf",
+    """
+    WITH lf AS (
+        SELECT CASE WHEN len(regexp_extract_all(text, '[.!?]')) >= 3
+                    THEN 1 ELSE 0 END AS l1,
+               CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '')) >= 80
+                    THEN 1 ELSE 0 END AS l2,
+               CASE WHEN n_chars >= 450 THEN 1 ELSE 0 END AS l3
+        FROM documents
+    ),
+    agr AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN l1 = l2 THEN 1 ELSE 0 END)::BIGINT AS a12,
+               SUM(CASE WHEN l1 = l3 THEN 1 ELSE 0 END)::BIGINT AS a13,
+               SUM(CASE WHEN l2 = l3 THEN 1 ELSE 0 END)::BIGINT AS a23,
+               SUM(CASE WHEN l1 + l2 + l3 >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_majority_pos
+        FROM lf
+    ),
+    c AS (
+        SELECT n, a12, a13, a23, n_majority_pos,
+               (2.0 * a12 - n) / n AS c12,
+               (2.0 * a13 - n) / n AS c13,
+               (2.0 * a23 - n) / n AS c23
+        FROM agr
+    )
+    SELECT n, a12, a13, a23, n_majority_pos,
+           ROUND(CASE WHEN c12 * c13 * c23 > 0
+                      THEN (1.0 + sqrt(c12 * c13 / c23)) / 2 END, 6)
+               AS acc_lf1,
+           ROUND(CASE WHEN c12 * c13 * c23 > 0
+                      THEN (1.0 + sqrt(c12 * c23 / c13)) / 2 END, 6)
+               AS acc_lf2,
+           ROUND(CASE WHEN c12 * c13 * c23 > 0
+                      THEN (1.0 + sqrt(c13 * c23 / c12)) / 2 END, 6)
+               AS acc_lf3
+    FROM c
+    """,
+)
+def label_model_3lf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style label model for THREE labeling functions WITHOUT any
+    ground truth (Ratner et al. 2017; the classic three-viewpoint
+    triangulation): under conditional independence, pairwise agreement
+    rates identify each LF's accuracy in closed form — with correlation
+    c_ij = 2*a_ij/n - 1 and balanced classes, (2p_i - 1)^2 = c_ij *
+    c_ik / c_jk, so acc_i = (1 + sqrt(c_ij*c_ik/c_jk))/2.  The LFs are
+    the krippendorff_alpha heuristics; n_majority_pos is the
+    majority-vote positive count the downstream training set would use.
+
+    Parity: agreements are exact BIGINT conditional sums in ONE
+    aggregate; each c is one division; the accuracies are fixed trees
+    (one sqrt each) guarded by an identifiability condition (all three
+    products positive) that yields NULL identically when triangulation
+    fails.
+
+    Scale: one full-scan aggregate with map-side combine; closed form on
+    a 5-integer row."""
+    d = load_table(spark, sf_dir, "documents")
+    l1 = F.when(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0))) >= 3, 1
+    ).otherwise(0)
+    l2 = F.when(
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")) >= 80,
+        1,
+    ).otherwise(0)
+    l3 = F.when(F.col("n_chars") >= 450, 1).otherwise(0)
+    lf = d.select(l1.alias("l1"), l2.alias("l2"), l3.alias("l3"))
+    agr = lf.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("l1") == F.col("l2"), 1).otherwise(0))
+        .cast("long").alias("a12"),
+        F.sum(F.when(F.col("l1") == F.col("l3"), 1).otherwise(0))
+        .cast("long").alias("a13"),
+        F.sum(F.when(F.col("l2") == F.col("l3"), 1).otherwise(0))
+        .cast("long").alias("a23"),
+        F.sum(
+            F.when(F.col("l1") + F.col("l2") + F.col("l3") >= 2, 1).otherwise(0)
+        ).cast("long").alias("n_majority_pos"),
+    )
+    c12 = (2.0 * F.col("a12") - F.col("n")) / F.col("n")
+    c13 = (2.0 * F.col("a13") - F.col("n")) / F.col("n")
+    c23 = (2.0 * F.col("a23") - F.col("n")) / F.col("n")
+    ident = c12 * c13 * c23 > 0
+    return agr.select(
+        "n", "a12", "a13", "a23", "n_majority_pos",
+        F.round(
+            F.when(ident, (1.0 + F.sqrt(c12 * c13 / c23)) / 2), 6
+        ).alias("acc_lf1"),
+        F.round(
+            F.when(ident, (1.0 + F.sqrt(c12 * c23 / c13)) / 2), 6
+        ).alias("acc_lf2"),
+        F.round(
+            F.when(ident, (1.0 + F.sqrt(c13 * c23 / c12)) / 2), 6
+        ).alias("acc_lf3"),
+    )

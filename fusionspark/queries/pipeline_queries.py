@@ -7173,3 +7173,118 @@ def linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.orderBy(F.col("_ord").desc(), F.col("feature").asc())
         .drop("_ord")
     )
+
+
+@query(
+    "hll_daily_union",
+    f"""
+    WITH vals AS (
+        SELECT DISTINCT user_id::VARCHAR AS v FROM events
+    ),
+    rb AS (
+        SELECT (h // 16777216)::INT AS bucket,
+               (length(regexp_extract(lpad(bin(h % 16777216), 24, '0'),
+                                      '^0*', 0)) + 1)::INT AS rho
+        FROM (SELECT ('0x' || substr(md5(v), 1, 8))::BIGINT AS h FROM vals)
+    ),
+    regs AS (SELECT bucket, MAX(rho) AS register FROM rb GROUP BY bucket),
+    allb AS (SELECT unnest(generate_series(0, 255))::INT AS bucket),
+    filled AS (
+        SELECT a.bucket, COALESCE(r.register, 0) AS register
+        FROM allb a LEFT JOIN regs r ON r.bucket = a.bucket
+    ),
+    agg AS (
+        SELECT SUM(power(2.0, -register)) AS z,
+               SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END)::BIGINT AS v,
+               SUM((bucket + 1) * register)::BIGINT AS checksum
+        FROM filled
+    ),
+    est AS (
+        SELECT CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / z
+                         <= 2.5 * 256.0 AND v > 0
+                    THEN 256.0 * ln(256.0 / v)
+                    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / z
+               END AS estimate,
+               checksum
+        FROM agg
+    )
+    SELECT (SELECT COUNT(DISTINCT ts::DATE) FROM events)::BIGINT AS n_days,
+           (SELECT COUNT(*) FROM vals)::BIGINT AS exact_distinct,
+           ROUND(est.estimate, 6) AS merged_estimate,
+           est.checksum AS register_checksum
+    FROM est
+    """,
+)
+def hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog MERGEABILITY demonstrated on distinct users across
+    days: Spark builds one 256-register sketch PER DAY and unions them
+    by register-wise max — the property that makes HLL the distributed
+    distinct-counter (per-partition sketches merge associatively; a
+    day's sketch is 256 bytes regardless of traffic) — while the oracle
+    computes the sketch of the whole corpus directly: max is
+    associative, so the merged registers are BIT-IDENTICAL to the global
+    ones, which the position-weighted register_checksum pins exactly.
+
+    Parity: registers are exact integers; the estimator's z =
+    sum(2^-register) sums 256 exact binary fractions (every partial sum
+    is exactly representable — order-free by arithmetic, not by
+    convention); alpha constants are shared decimal literals with the
+    attested hll_distinct.
+
+    Scale: per-day register build is one groupBy(day, bucket) with
+    map-side MAX; the merge is a 256*|days| -> 256 groupBy — the
+    sketch-sized shuffle that replaces a corpus-sized COUNT DISTINCT."""
+    from fusionspark.operators.sketches import hll_registers
+
+    e = load_table(spark, sf_dir, "events")
+    n_days = e.agg(
+        F.countDistinct(F.to_date("ts")).cast("long").alias("n_days")
+    )
+    exact = e.agg(F.countDistinct("user_id").cast("long").alias("exact"))
+    daily_vals = e.select(
+        F.to_date("ts").alias("d"), F.col("user_id").cast("string").alias("v")
+    )
+    # per-day registers: bucket/rho per value, max per (day, bucket)
+    from fusionspark.operators.sketches import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(F.col("v"), p=8)
+    per_day = (
+        daily_vals.select("d", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("d", "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    merged = per_day.groupBy("bucket").agg(
+        F.max("register").alias("register")
+    )
+    allb = load_table(spark, sf_dir, "events").sparkSession.range(256).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    filled = allb.join(merged, "bucket", "left").select(
+        "bucket", F.coalesce("register", F.lit(0)).alias("register")
+    )
+    agg = filled.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("z"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0))
+        .cast("long").alias("v"),
+        F.sum((F.col("bucket") + 1) * F.col("register")).cast("long")
+        .alias("checksum"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = F.lit(alpha) * 256.0 * 256.0 / F.col("z")
+    est = agg.select(
+        F.when(
+            (raw <= 2.5 * 256.0) & (F.col("v") > 0),
+            256.0 * F.log(256.0 / F.col("v")),
+        ).otherwise(raw).alias("estimate"),
+        "checksum",
+    )
+    return (
+        n_days.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_days",
+            F.col("exact").alias("exact_distinct"),
+            F.round("estimate", 6).alias("merged_estimate"),
+            F.col("checksum").alias("register_checksum"),
+        )
+    )

@@ -2366,3 +2366,160 @@ def test_qini_endpoints():
     # at d=10 the subtraction is qv - qtot * 1 == 0 by construction
     qtot = 42.0
     assert qtot - qtot * 10 / 10 == 0.0
+
+
+# ---------------------------------------------------------------------------
+# bloom_sizing_plan
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_sizing_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import bloom_sizing_plan
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+    items = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    evs = _events(sf_dir)
+    ns = {
+        "orders.o_custkey": len({o["o_custkey"] for o in orders}),
+        "lineitem.l_partkey": len({li["l_partkey"] for li in items}),
+        "events.user_id": len({r["user_id"] for r in evs}),
+    }
+    ln2 = 6931471805599453 / 10**16
+    lnp = {"0.01": 4605170185988091 / 10**15, "0.001": 6907755278982137 / 10**15}
+    got = {(r["key_set"], r["fpp"]): r
+           for r in bloom_sizing_plan(spark, sf_dir).collect()}
+    assert len(got) == 6
+    for ks, n in ns.items():
+        for fpp, lp in lnp.items():
+            r = got[(ks, fpp)]
+            bits = math.ceil(n * lp / (ln2 * ln2))
+            assert r["n_distinct"] == n
+            assert r["bits"] == bits
+            assert r["n_hashes"] == math.ceil(bits / n * ln2)
+            assert math.isclose(r["mbytes"], round(bits / 8 / 1048576, 6),
+                                abs_tol=1e-9)
+
+
+def test_bloom_sizing_textbook_ratio():
+    """Law: at fpp=1% the optimal filter needs ~9.59 bits/key and ~7
+    hashes — the textbook numbers."""
+    ln2 = math.log(2)
+    bits_per_key = -math.log(0.01) / (ln2 * ln2)
+    assert 9.5 < bits_per_key < 9.7
+    assert round(bits_per_key * ln2) == 7
+
+
+# ---------------------------------------------------------------------------
+# label_model_3lf
+# ---------------------------------------------------------------------------
+
+
+def test_label_model_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import label_model_3lf
+
+    docs = _docs(sf_dir)
+    n = len(docs)
+    a12 = a13 = a23 = maj = 0
+    for d in docs:
+        l1 = 1 if sum(d["text"].count(c) for c in ".!?") >= 3 else 0
+        l2 = 1 if len([w for w in d["text"].lower().split(" ") if w]) >= 80 else 0
+        l3 = 1 if d["n_chars"] >= 450 else 0
+        a12 += l1 == l2
+        a13 += l1 == l3
+        a23 += l2 == l3
+        maj += l1 + l2 + l3 >= 2
+    got = label_model_3lf(spark, sf_dir).collect()[0]
+    assert (got["n"], got["a12"], got["a13"], got["a23"],
+            got["n_majority_pos"]) == (n, a12, a13, a23, maj)
+    c12, c13, c23 = (2 * a12 - n) / n, (2 * a13 - n) / n, (2 * a23 - n) / n
+    if c12 * c13 * c23 > 0:
+        assert math.isclose(
+            got["acc_lf1"], round((1 + math.sqrt(c12 * c13 / c23)) / 2, 6),
+            abs_tol=1e-9,
+        )
+
+
+def test_label_model_triangulation_recovers_planted_accuracies():
+    """Law: simulate 3 conditionally-independent LFs with known
+    accuracies on balanced labels — the closed form recovers them."""
+    import random
+
+    rng = random.Random(11)
+    accs = (0.9, 0.75, 0.65)
+    n = 200000
+    a = [[0] * 3 for _ in range(3)]
+    for _ in range(n):
+        y = rng.random() < 0.5
+        ls = [
+            (y if rng.random() < p else (not y)) for p in accs
+        ]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                a[i][j] += ls[i] == ls[j]
+    c = {}
+    for i in range(3):
+        for j in range(i + 1, 3):
+            c[(i, j)] = 2 * a[i][j] / n - 1
+    est1 = (1 + math.sqrt(c[(0, 1)] * c[(0, 2)] / c[(1, 2)])) / 2
+    est2 = (1 + math.sqrt(c[(0, 1)] * c[(1, 2)] / c[(0, 2)])) / 2
+    est3 = (1 + math.sqrt(c[(0, 2)] * c[(1, 2)] / c[(0, 1)])) / 2
+    assert abs(est1 - 0.9) < 0.02
+    assert abs(est2 - 0.75) < 0.02
+    assert abs(est3 - 0.65) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# hll_daily_union
+# ---------------------------------------------------------------------------
+
+
+def test_hll_union_python_replay(spark, sf_dir):
+    import hashlib
+
+    from fusionspark.queries.pipeline_queries import hll_daily_union
+
+    evs = _events(sf_dir)
+    users = {str(r["user_id"]) for r in evs}
+    regs = [0] * 256
+    for v in users:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+        bucket = h // 16777216
+        tail = h % 16777216
+        rho = 24 - tail.bit_length() + 1 if tail else 25
+        regs[bucket] = max(regs[bucket], rho)
+    z = sum(2.0 ** -r for r in regs)
+    vz = sum(1 for r in regs if r == 0)
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = alpha * 256.0 * 256.0 / z
+    est = 256.0 * math.log(256.0 / vz) if (raw <= 2.5 * 256 and vz > 0) else raw
+    checksum = sum((b + 1) * r for b, r in enumerate(regs))
+    got = hll_daily_union(spark, sf_dir).collect()[0]
+    assert got["exact_distinct"] == len(users)
+    assert got["register_checksum"] == checksum
+    assert math.isclose(got["merged_estimate"], round(est, 6), abs_tol=1e-6)
+    # estimate within ~10% of truth at 256 registers
+    assert abs(got["merged_estimate"] - len(users)) < 0.15 * len(users) + 20
+
+
+def test_hll_merge_associativity():
+    """Law: register-wise max of per-slice sketches == whole-set sketch,
+    for ANY slicing — max is associative/commutative/idempotent."""
+    import hashlib
+
+    vals = [f"u{i}" for i in range(500)]
+
+    def regs_of(vs):
+        regs = [0] * 256
+        for v in vs:
+            h = int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+            b, tail = h // 16777216, h % 16777216
+            rho = 24 - tail.bit_length() + 1 if tail else 25
+            regs[b] = max(regs[b], rho)
+        return regs
+
+    whole = regs_of(vals)
+    merged = [0] * 256
+    for lo in range(0, 500, 77):
+        part = regs_of(vals[lo:lo + 77])
+        merged = [max(a, b) for a, b in zip(merged, part)]
+    assert merged == whole
