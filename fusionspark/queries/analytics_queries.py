@@ -9955,3 +9955,111 @@ def label_model_3lf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ident, (1.0 + F.sqrt(c13 * c23 / c12)) / 2), 6
         ).alias("acc_lf3"),
     )
+
+
+_ER_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _entropy_rate_oracle() -> str:
+    pair_terms = []
+    for a in _ER_TYPES:
+        for b in _ER_TYPES:
+            pair_terms.append(
+                f"CASE WHEN c_{a}_{b} > 0 AND r_{a} > 0 THEN"
+                f" (r_{a}::DOUBLE / tn) * (c_{a}_{b}::DOUBLE / r_{a})"
+                f" * ln(r_{a}::DOUBLE / c_{a}_{b}) ELSE 0.0 END"
+            )
+    pair_cols = ",\n               ".join(
+        f"SUM(CASE WHEN g = '{a}' AND ng = '{b}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS c_{a}_{b}"
+        for a in _ER_TYPES for b in _ER_TYPES
+    )
+    row_cols = ",\n               ".join(
+        f"SUM(CASE WHEN g = '{a}' THEN 1 ELSE 0 END)::BIGINT AS r_{a}"
+        for a in _ER_TYPES
+    )
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type AS g,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS ng
+        FROM events
+    ),
+    pairs AS (SELECT g, ng FROM seq WHERE ng IS NOT NULL),
+    m AS (
+        SELECT COUNT(*)::BIGINT AS tn,
+               {pair_cols},
+               {row_cols}
+        FROM pairs
+    )
+    SELECT tn AS n_transitions,
+           ROUND({" + ".join(pair_terms)}, 6) AS entropy_rate_nats,
+           ROUND(({" + ".join(pair_terms)})
+                 / ({int(round(__import__("math").log(5) * 10**15))}::DOUBLE
+                    / 1000000000000000), 6) AS normalized
+    FROM m
+    """
+
+
+@query("entropy_rate", _entropy_rate_oracle())
+def entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain — how
+    predictable is the NEXT action given the current one: H = -sum_i
+    pi_i sum_j P_ij ln P_ij in nats, normalized by ln(5) (the maximum
+    for 5 states) — the single-number predictability readout on top of
+    event_transitions' matrix and markov_stationary's pi (0 = fully
+    deterministic behavior, 1 = uniform randomness; the
+    session-modeling prior a sequence model's achievable loss is
+    bounded by).
+
+    Parity: transition and row counts are exact BIGINT conditional sums
+    in ONE aggregate over the LEAD pairs; the 25 plug-in terms
+    (pi_i * P_ij * ln(1/P_ij), each TWO exact-integer divisions and one
+    ln on identical doubles) sum in FIXED (i, j) literal order; ln(5)
+    enters as an integer-literal ratio.
+
+    Scale: one per-user window builds transitions (hash-partitioned by
+    user); one aggregate; 25-term closed form on a single row."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id", F.col("event_type").alias("g"),
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("ng"),
+    ).filter(F.col("ng").isNotNull())
+    aggs = [F.count("*").cast("long").alias("tn")]
+    for a in _ER_TYPES:
+        for b in _ER_TYPES:
+            aggs.append(
+                F.sum(
+                    F.when((F.col("g") == a) & (F.col("ng") == b), 1).otherwise(0)
+                ).cast("long").alias(f"c_{a}_{b}")
+            )
+    for a in _ER_TYPES:
+        aggs.append(
+            F.sum(F.when(F.col("g") == a, 1).otherwise(0)).cast("long")
+            .alias(f"r_{a}")
+        )
+    m = seq.agg(*aggs)
+    terms = None
+    for a in _ER_TYPES:
+        for b in _ER_TYPES:
+            c = F.col(f"c_{a}_{b}")
+            r = F.col(f"r_{a}")
+            t = F.when(
+                (c > 0) & (r > 0),
+                (r.cast("double") / F.col("tn"))
+                * (c.cast("double") / r)
+                * F.log(r.cast("double") / c),
+            ).otherwise(F.lit(0.0))
+            terms = t if terms is None else terms + t
+    import math as _math
+
+    ln5 = F.lit(int(round(_math.log(5) * 10**15))).cast("double") / F.lit(
+        10**15
+    ).cast("double")
+    return m.select(
+        F.col("tn").alias("n_transitions"),
+        F.round(terms, 6).alias("entropy_rate_nats"),
+        F.round(terms / ln5, 6).alias("normalized"),
+    )

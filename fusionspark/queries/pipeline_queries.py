@@ -7288,3 +7288,73 @@ def hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("checksum").alias("register_checksum"),
         )
     )
+
+
+_SYS_TARGET = 100
+
+
+@query(
+    "systematic_sample",
+    f"""
+    WITH w AS (
+        SELECT doc_id, n_chars::BIGINT AS wt FROM documents
+    ),
+    tot AS (SELECT SUM(wt)::BIGINT AS tw FROM w),
+    k AS (SELECT greatest(tw // {_SYS_TARGET}, 1)::BIGINT AS k FROM tot),
+    cum AS (
+        SELECT doc_id, wt,
+               SUM(wt) OVER (ORDER BY doc_id)::BIGINT AS c
+        FROM w
+    )
+    SELECT cum.doc_id, cum.wt AS weight, cum.c AS cum_weight,
+           (cum.c // k.k - (cum.c - cum.wt) // k.k)::BIGINT AS n_hits
+    FROM cum, k
+    WHERE cum.c // k.k > (cum.c - cum.wt) // k.k
+    ORDER BY cum.doc_id
+    """,
+)
+def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (Madow 1949):
+    lay the docs along a line scaled by weight (n_chars), drop a grid of
+    spacing k = total_weight // 100, and select every doc whose weight
+    interval contains a grid point — the third sampling design beside
+    weighted_sample's A-Res (with-replacement-free random order) and
+    stratified_sample (per-stratum quotas): zero randomness, strict PPS
+    inclusion (P(select) proportional to weight, exactly 1 for weights
+    >= k, with n_hits counting multi-hit large units).
+
+    Parity: the selection predicate floor(c/k) > floor((c-w)/k) is EXACT
+    integer arithmetic on an exact cumulative window — no float
+    anywhere; the doc_id-ordered cumsum is the deterministic line order.
+
+    Scale: one global cumulative window is the honest cost (same as any
+    ordered systematic design); at 100 TB the production form computes
+    per-partition offsets from partition totals first — two passes, same
+    arithmetic, no global sort."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.col("n_chars").cast("long").alias("wt"))
+    tot = w.agg(F.sum("wt").cast("long").alias("tw"))
+    k = tot.select(
+        F.greatest(F.floor(F.col("tw") / _SYS_TARGET), F.lit(1)).cast("long")
+        .alias("k")
+    )
+    cum = w.select(
+        "doc_id", "wt",
+        F.sum("wt").over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("c"),
+    )
+    j = cum.crossJoin(F.broadcast(k))
+    hi = F.floor(F.col("c") / F.col("k"))
+    lo = F.floor((F.col("c") - F.col("wt")) / F.col("k"))
+    return (
+        j.filter(hi > lo)
+        .select(
+            "doc_id", F.col("wt").alias("weight"),
+            F.col("c").alias("cum_weight"),
+            (hi - lo).cast("long").alias("n_hits"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2523,3 +2523,92 @@ def test_hll_merge_associativity():
         part = regs_of(vals[lo:lo + 77])
         merged = [max(a, b) for a, b in zip(merged, part)]
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# systematic_sample
+# ---------------------------------------------------------------------------
+
+
+def test_systematic_python_replay(spark, sf_dir):
+    from fusionspark.queries.pipeline_queries import systematic_sample
+
+    docs = sorted(_docs(sf_dir), key=lambda d: d["doc_id"])
+    tw = sum(d["n_chars"] for d in docs)
+    k = max(tw // 100, 1)
+    exp = []
+    c = 0
+    for d in docs:
+        lo = c
+        c += d["n_chars"]
+        hits = c // k - lo // k
+        if hits > 0:
+            exp.append((d["doc_id"], d["n_chars"], c, hits))
+    got = [(r["doc_id"], r["weight"], r["cum_weight"], r["n_hits"])
+           for r in systematic_sample(spark, sf_dir).collect()]
+    assert got == exp
+
+
+def test_systematic_pps_laws():
+    """Laws: total hits == floor(total/k) (grid points covered exactly
+    once); a unit with weight >= k is ALWAYS selected."""
+    ws = [30, 500, 12, 80, 250, 45, 90, 700, 5, 110]
+    tw = sum(ws)
+    k = max(tw // 5, 1)
+    c = 0
+    hits = []
+    for w in ws:
+        lo = c
+        c += w
+        hits.append(c // k - lo // k)
+    assert sum(hits) == tw // k
+    for w, h in zip(ws, hits):
+        if w >= k:
+            assert h >= 1
+
+
+# ---------------------------------------------------------------------------
+# entropy_rate
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_rate_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import entropy_rate
+
+    rows = sorted(_events(sf_dir), key=lambda r: (r["user_id"], r["ts"],
+                                                  r["event_id"]))
+    pairs = []
+    for (u1, r1), (u2, r2) in zip(
+        [(r["user_id"], r) for r in rows], [(r["user_id"], r) for r in rows[1:]]
+    ):
+        if u1 == u2:
+            pairs.append((r1["event_type"], r2["event_type"]))
+    types = ["click", "error", "purchase", "signup", "view"]
+    c = collections.Counter(pairs)
+    rr = collections.Counter(a for a, _ in pairs)
+    tn = len(pairs)
+    h = 0.0
+    for a in types:
+        for b in types:
+            if c[(a, b)] > 0 and rr[a] > 0:
+                h += (rr[a] / tn) * (c[(a, b)] / rr[a]) * math.log(
+                    rr[a] / c[(a, b)]
+                )
+    got = entropy_rate(spark, sf_dir).collect()[0]
+    assert got["n_transitions"] == tn
+    assert math.isclose(got["entropy_rate_nats"], round(h, 6), abs_tol=1e-6)
+    assert math.isclose(got["normalized"], round(h / math.log(5), 6),
+                        abs_tol=1e-6)
+    # uniform-ish synthetic traffic: normalized entropy near 1
+    assert got["normalized"] > 0.9
+
+
+def test_entropy_rate_deterministic_chain_zero():
+    """Law: a deterministic cycle (A->B->C->A...) has entropy rate 0; a
+    uniform chain over 5 states has ln(5)."""
+    # deterministic: every row has one outgoing type, P=1, ln(1)=0
+    assert math.log(1) == 0.0
+    # uniform: H = ln(5)
+    k = 5
+    h = sum((1 / k) * (1 / k) * math.log(k) for _ in range(k) for _ in range(k))
+    assert math.isclose(h, math.log(k), rel_tol=1e-12)
