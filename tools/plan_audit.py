@@ -600,3 +600,45 @@ p = buf.getvalue()
 pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", p)
 print("== window_funnel pushed IN filter:",
       any("In(event_type" in x for x in pushed))
+
+# ── round-11-continuation operators: same contracts ──────────────────────
+# textrank_keywords: 5 vocab-keyed join iterations; word keys are single
+#   tokens by design (exempt from the doc-text key rule).
+# viterbi_decode: one groupBy(user) fold; exact integers end to end.
+# dtw_distance / needleman_wunsch / smith_waterman: nested folds inside
+#   ONE row — no pairwise exchange, no cartesian.
+# qoi_features: Arrow mapInPandas codec kernels; payload never an
+#   exchange key.
+# uplift_stump / decision_stump / kruskal_wallis: distinct-value grids +
+#   cumulative windows; corpus touched by map-side-combined aggregates.
+# systematic_sample / range_bounds_plan / qini_curve: one honest ordered
+#   window each (the documented global-sort cost of ranked designs).
+for qn, label in (
+    ("textrank_keywords", "fixed-point iterations"),
+    ("viterbi_decode", "max-plus user folds"),
+    ("dtw_distance", "nested in-row DP"),
+    ("needleman_wunsch", "global alignment"),
+    ("smith_waterman", "local alignment"),
+    ("qoi_features", "QOI codec kernels"),
+    ("uplift_stump", "uplift grid split"),
+    ("kruskal_wallis", "doubled-rank grid"),
+    ("attribution_shapley", "coalition sums"),
+    ("k_truss", "edge peeling"),
+    ("hll_daily_union", "register merge"),
+    ("linear_shap", "hashed attributions"),
+    ("qini_curve", "decile qini"),
+    ("systematic_sample", "PPS grid crossing"),
+    ("entropy_rate", "markov plug-in"),
+):
+    qq = _R[qn][0](spark, sf)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        qq.explain("formatted")
+    p = buf.getvalue()
+    ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+    print(f"== {qn} ({label}): cartesian:", "CartesianProduct" in p,
+          "text_in_exchange_key:",
+          any(_re.search(r"(?<![A-Za-z])text#", a) for a in ex_args),
+          "payload_in_exchange_key:", any("payload#" in a for a in ex_args),
+          "broadcasts:", p.count("BroadcastExchange"),
+          "python_nodes:", len(_re.findall(r"\(\d+\) MapInPandas", p)))
