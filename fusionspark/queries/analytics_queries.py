@@ -10063,3 +10063,96 @@ def entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(terms, 6).alias("entropy_rate_nats"),
         F.round(terms / ln5, 6).alias("normalized"),
     )
+
+
+# KS one-sample critical value at alpha=.05: 1.358 (asymptotic), as an
+# integer-literal ratio.
+_KSU_CRIT_NUM = 1358
+
+
+@query(
+    "coin_uniformity",
+    """
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events
+    ),
+    coins AS (
+        SELECT ('0x' || substr(md5('up:' || user_id::VARCHAR), 1, 8))::BIGINT
+                   AS c
+        FROM u
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c, c)::BIGINT AS i,
+               (SELECT COUNT(*) FROM coins)::BIGINT AS n
+        FROM coins
+    ),
+    d AS (
+        SELECT MAX(i * 4294967296 - n * c)::BIGINT AS dplus,
+               MAX(n * c - (i - 1) * 4294967296)::BIGINT AS dminus,
+               MAX(n)::BIGINT AS n
+        FROM ranked
+    )
+    SELECT n,
+           ROUND(dplus::DOUBLE / (n::DOUBLE * 4294967296), 6) AS d_plus,
+           ROUND(dminus::DOUBLE / (n::DOUBLE * 4294967296), 6) AS d_minus,
+           ROUND(greatest(dplus, dminus)::DOUBLE
+                 / (n::DOUBLE * 4294967296), 6) AS ks_stat,
+           ROUND(greatest(dplus, dminus)::DOUBLE
+                 / (n::DOUBLE * 4294967296) * sqrt(n::DOUBLE), 6)
+               AS ks_scaled,
+           (greatest(dplus, dminus)::DOUBLE / (n::DOUBLE * 4294967296)
+            * sqrt(n::DOUBLE) < 1358::DOUBLE / 1000) AS uniform_ok
+    FROM d
+    """,
+)
+def coin_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov uniformity audit of the repo's OWN
+    md5 randomization coin (the `up:` coin that uplift_stump /
+    ab_srm_check / qini_curve randomize with): D = max(D+, D-) between
+    the empirical CDF of the 32-bit coin values and Uniform[0, 2^32),
+    with sqrt(n)*D against the asymptotic 5% critical value 1.358 —
+    the infrastructure self-QA that certifies every md5-coin experiment
+    upstream (SRM checks the SPLIT ratio; this checks the coin's whole
+    DISTRIBUTION).
+
+    Parity: coins are exact BIGINTs; D+ and D- are exact integer
+    maxima of i*2^32 - n*c_i over the rank window (<= ~6e15 at sf1 —
+    int64 headroom); the statistics are single divisions and the
+    verdict compares identical doubles against an INTEGER-literal
+    critical ratio.
+
+    Scale: one distinct + one rank window over |users| (the honest sort
+    of any ECDF statistic); everything after is a 3-integer row."""
+    e = load_table(spark, sf_dir, "events")
+    from fusionspark.operators.dedup import md5_hash32
+
+    u = e.select("user_id").distinct()
+    coins = u.select(
+        md5_hash32(
+            F.concat(F.lit("up:"), F.col("user_id").cast("string"))
+        ).alias("c")
+    )
+    nn = coins.agg(F.count("*").cast("long").alias("n"))
+    ranked = coins.select(
+        "c",
+        F.row_number().over(Window.orderBy("c")).cast("long").alias("i"),
+    ).crossJoin(F.broadcast(nn))
+    two32 = F.lit(4294967296).cast("long")
+    d = ranked.agg(
+        F.max(F.col("i") * two32 - F.col("n") * F.col("c")).cast("long")
+        .alias("dplus"),
+        F.max(F.col("n") * F.col("c") - (F.col("i") - 1) * two32).cast("long")
+        .alias("dminus"),
+        F.max("n").cast("long").alias("n"),
+    )
+    denom = F.col("n").cast("double") * 4294967296.0
+    ks = F.greatest("dplus", "dminus").cast("double") / denom
+    crit = F.lit(_KSU_CRIT_NUM).cast("double") / F.lit(1000).cast("double")
+    return d.select(
+        "n",
+        F.round(F.col("dplus").cast("double") / denom, 6).alias("d_plus"),
+        F.round(F.col("dminus").cast("double") / denom, 6).alias("d_minus"),
+        F.round(ks, 6).alias("ks_stat"),
+        F.round(ks * F.sqrt(F.col("n").cast("double")), 6).alias("ks_scaled"),
+        (ks * F.sqrt(F.col("n").cast("double")) < crit).alias("uniform_ok"),
+    )

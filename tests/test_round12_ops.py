@@ -2612,3 +2612,40 @@ def test_entropy_rate_deterministic_chain_zero():
     k = 5
     h = sum((1 / k) * (1 / k) * math.log(k) for _ in range(k) for _ in range(k))
     assert math.isclose(h, math.log(k), rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# coin_uniformity
+# ---------------------------------------------------------------------------
+
+
+def test_coin_uniformity_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import coin_uniformity
+
+    users = sorted({r["user_id"] for r in _events(sf_dir)})
+    coins = sorted(_md5_coin("up:", u) for u in users)
+    n = len(coins)
+    dplus = max((i + 1) * 4294967296 - n * c for i, c in enumerate(coins))
+    dminus = max(n * c - i * 4294967296 for i, c in enumerate(coins))
+    denom = n * 4294967296
+    ks = max(dplus, dminus) / denom
+    got = coin_uniformity(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert math.isclose(got["d_plus"], round(dplus / denom, 6), abs_tol=1e-9)
+    assert math.isclose(got["d_minus"], round(dminus / denom, 6), abs_tol=1e-9)
+    assert math.isclose(got["ks_stat"], round(ks, 6), abs_tol=1e-9)
+    assert got["uniform_ok"] == (ks * math.sqrt(n) < 1.358)
+    # the md5 coin must actually pass its own audit
+    assert got["uniform_ok"] is True
+
+
+def test_coin_uniformity_rejects_skewed_coin():
+    """Law: a coin squeezed into the lower half of the range fails KS
+    decisively at n=1000."""
+    n = 1000
+    coins = sorted((i * 2147483648) // n for i in range(n))  # only [0, 2^31)
+    dplus = max((i + 1) * 4294967296 - n * c for i, c in enumerate(coins))
+    dminus = max(n * c - i * 4294967296 for i, c in enumerate(coins))
+    ks = max(dplus, dminus) / (n * 4294967296)
+    assert ks * math.sqrt(n) > 1.358
+    assert abs(ks - 0.5) < 0.01  # half the mass is missing
