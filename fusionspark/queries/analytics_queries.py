@@ -10156,3 +10156,151 @@ def coin_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ks * F.sqrt(F.col("n").cast("double")), 6).alias("ks_scaled"),
         (ks * F.sqrt(F.col("n").cast("double")) < crit).alias("uniform_ok"),
     )
+
+_LEV_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _levene_oracle() -> str:
+    piv = ",\n               ".join(
+        f"MAX(CASE WHEN g = '{t}' THEN n END)::BIGINT AS n{i},\n"
+        f"               MAX(CASE WHEN g = '{t}' THEN s END)::BIGINT AS s{i},\n"
+        f"               MAX(CASE WHEN g = '{t}' THEN ss END)::BIGINT AS ss{i}"
+        for i, t in enumerate(_LEV_TYPES)
+    )
+    sb = " + ".join(f"(s{i}::DOUBLE * s{i} / n{i})" for i in range(5))
+    nn = " + ".join(f"n{i}" for i in range(5))
+    stot = " + ".join(f"s{i}" for i in range(5))
+    sstot = " + ".join(f"ss{i}" for i in range(5))
+    return f"""
+    WITH ev AS (
+        SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    grid AS (
+        SELECT g, v, COUNT(*)::BIGINT AS cnt FROM ev GROUP BY g, v
+    ),
+    cum AS (
+        SELECT g, v, cnt,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY v)::BIGINT AS c,
+               SUM(cnt) OVER (PARTITION BY g)::BIGINT AS n
+        FROM grid
+    ),
+    med AS (
+        SELECT g,
+               MIN(CASE WHEN c >= (n + 1) // 2 THEN v END)::BIGINT AS lo,
+               MIN(CASE WHEN c >= n // 2 + 1 THEN v END)::BIGINT AS hi
+        FROM cum GROUP BY g
+    ),
+    z AS (
+        SELECT ev.g, abs(2 * ev.v - (med.lo + med.hi))::BIGINT AS d
+        FROM ev JOIN med ON med.g = ev.g
+    ),
+    st AS (
+        SELECT g, COUNT(*)::BIGINT AS n, SUM(d)::BIGINT AS s,
+               SUM(d * d)::BIGINT AS ss
+        FROM z GROUP BY g
+    ),
+    wide AS (
+        SELECT {piv}
+        FROM st
+    ),
+    f AS (
+        SELECT ({nn})::BIGINT AS nn, ({stot})::BIGINT AS stot,
+               ({sstot})::BIGINT AS sstot, ({sb}) AS sb
+        FROM wide
+    )
+    SELECT nn AS n_obs, 5::BIGINT AS k_groups,
+           ROUND((sb - stot::DOUBLE * stot / nn) / 4
+                 / ((sstot - sb) / (nn - 5)), 6) + 0.0 AS f_stat,
+           ((sb - stot::DOUBLE * stot / nn) / 4
+            / ((sstot - sb) / (nn - 5)) > 2.372) AS variances_differ
+    FROM f
+    """
+
+
+@query("levene_test", _levene_oracle())
+def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of variance
+    homogeneity across the five event types — the PRECONDITION check for
+    anova_oneway and tukey_hsd (both assume equal variances): one-way
+    ANOVA on absolute deviations from each group's MEDIAN (Brown &
+    Forsythe 1974; the robust form), F against 2.372 = F_{.05}(4, inf)
+    as a shared decimal literal.
+
+    Parity: group medians use the DOUBLED-median trick on the
+    distinct-value grid (2*med = v_(ceil(n/2)) + v_(floor(n/2)+1) — an
+    exact BIGINT, never a float average); deviations d = |2v - 2med| are
+    exact integers, so every group moment is an exact BIGINT.  The five
+    S_g^2/n_g terms sum in FIXED pivot order (click, error, purchase,
+    signup, view — the kruskal_wallis discipline), never shuffle order;
+    f_stat is one fixed tree and carries `+ 0.0`.
+
+    Scale: one groupBy(type, value-grid) + per-group cumulative windows
+    on the grid; one corpus re-scan for deviations with the 5-row median
+    table broadcast — the mad_by_type shape."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    grid = ev.groupBy("g", "v").agg(F.count("*").cast("long").alias("cnt"))
+    wg = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("g")
+    cum = grid.select(
+        "g", "v", "cnt",
+        F.sum("cnt").over(wg).cast("long").alias("c"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+    )
+    med = cum.groupBy("g").agg(
+        F.min(
+            F.when(F.col("c") >= F.floor((F.col("n") + 1) / 2), F.col("v"))
+        ).cast("long").alias("lo"),
+        F.min(
+            F.when(F.col("c") >= F.floor(F.col("n") / 2) + 1, F.col("v"))
+        ).cast("long").alias("hi"),
+    )
+    z = ev.join(F.broadcast(med), "g").select(
+        "g",
+        F.abs(2 * F.col("v") - (F.col("lo") + F.col("hi"))).cast("long")
+        .alias("d"),
+    )
+    st = z.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss"),
+    )
+    aggs = []
+    for i, t in enumerate(_LEV_TYPES):
+        aggs.append(F.max(F.when(F.col("g") == t, F.col("n"))).cast("long")
+                    .alias(f"n{i}"))
+        aggs.append(F.max(F.when(F.col("g") == t, F.col("s"))).cast("long")
+                    .alias(f"s{i}"))
+        aggs.append(F.max(F.when(F.col("g") == t, F.col("ss"))).cast("long")
+                    .alias(f"ss{i}"))
+    wide = st.agg(*aggs)
+    sb = None
+    nn = None
+    stot = None
+    sstot = None
+    for i in range(5):
+        term = F.col(f"s{i}").cast("double") * F.col(f"s{i}") / F.col(f"n{i}")
+        sb = term if sb is None else sb + term
+        nn = F.col(f"n{i}") if nn is None else nn + F.col(f"n{i}")
+        stot = F.col(f"s{i}") if stot is None else stot + F.col(f"s{i}")
+        sstot = F.col(f"ss{i}") if sstot is None else sstot + F.col(f"ss{i}")
+    f_ = wide.select(
+        nn.cast("long").alias("nn"), stot.cast("long").alias("stot"),
+        sstot.cast("long").alias("sstot"), sb.alias("sb"),
+    )
+    fstat = (
+        (F.col("sb") - F.col("stot").cast("double") * F.col("stot") / F.col("nn"))
+        / 4
+    ) / ((F.col("sstot") - F.col("sb")) / (F.col("nn") - 5))
+    return f_.select(
+        F.col("nn").alias("n_obs"),
+        F.lit(5).cast("long").alias("k_groups"),
+        (F.round(fstat, 6) + F.lit(0.0)).alias("f_stat"),
+        (fstat > 2.372).alias("variances_differ"),
+    )

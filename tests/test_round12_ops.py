@@ -2649,3 +2649,61 @@ def test_coin_uniformity_rejects_skewed_coin():
     ks = max(dplus, dminus) / (n * 4294967296)
     assert ks * math.sqrt(n) > 1.358
     assert abs(ks - 0.5) < 0.01  # half the mass is missing
+
+
+# ---------------------------------------------------------------------------
+# levene_test
+# ---------------------------------------------------------------------------
+
+
+def test_levene_python_replay(spark, sf_dir):
+    from fusionspark.queries.analytics_queries import levene_test
+
+    rows = _events(sf_dir)
+    by_g = collections.defaultdict(list)
+    for r in rows:
+        by_g[r["event_type"]].append(_round_away(r["value"] * 100))
+    types = ["click", "error", "purchase", "signup", "view"]
+    stats = []
+    for g in types:
+        vs = sorted(by_g[g])
+        n = len(vs)
+        med2 = vs[(n + 1) // 2 - 1] + vs[n // 2]
+        ds = [abs(2 * v - med2) for v in vs]
+        stats.append((n, sum(ds), sum(d * d for d in ds)))
+    sb = sum(s * s / n for n, s, _ in stats)
+    nn = sum(n for n, _, _ in stats)
+    stot = sum(s for _, s, _ in stats)
+    sstot = sum(ss for _, _, ss in stats)
+    f = ((sb - stot * stot / nn) / 4) / ((sstot - sb) / (nn - 5))
+    got = levene_test(spark, sf_dir).collect()[0]
+    assert (got["n_obs"], got["k_groups"]) == (nn, 5)
+    assert math.isclose(got["f_stat"], round(f, 6), abs_tol=1e-6)
+    assert got["variances_differ"] == (f > 2.372)
+
+
+def test_levene_detects_planted_heteroskedasticity():
+    """Law: two groups with equal medians but 10x different spreads
+    produce a huge Brown-Forsythe F; identical groups produce F == 0."""
+
+    def bf(groups):
+        stats = []
+        for vs in groups:
+            vs = sorted(vs)
+            n = len(vs)
+            med2 = vs[(n + 1) // 2 - 1] + vs[n // 2]
+            ds = [abs(2 * v - med2) for v in vs]
+            stats.append((n, sum(ds), sum(d * d for d in ds)))
+        k = len(groups)
+        sb = sum(s * s / n for n, s, _ in stats)
+        nn = sum(n for n, _, _ in stats)
+        stot = sum(s for _, s, _ in stats)
+        sstot = sum(ss for _, _, ss in stats)
+        return ((sb - stot * stot / nn) / (k - 1)) / (
+            (sstot - sb) / (nn - k)
+        )
+
+    tight = [100 + (i % 3) for i in range(60)]
+    wide = [100 + 30 * (i % 3) - 30 for i in range(60)]
+    assert bf([tight, wide]) > 10
+    assert abs(bf([tight, list(tight)])) < 1e-9
