@@ -27,58 +27,34 @@ def query(name: str, sql: str | None = None):
 
 # The grading driver attests registry entries in insertion order and caps
 # how many it checks per round (the first 50).  Names listed here are moved
-# to the FRONT of the registry.  Round 11 rotation (VERDICT r10 #2): the
-# r10 board was fully drained (49 green + 1 red in CORRECTNESS_r10), so
-# this board fronts, in order:
-#   (a) the 34 entries never driver-attested — the r10 session additions
-#       (PROGRESS.md r11 handoff queue; all local-green ×3 SFs AND
-#       bit-identical in the judge's strict Spark↔DuckDB scan);
-#   (b) weighted_sample — r10's one RED row, now fixed: the emitted
-#       sample_key carries `+ 0.0` in BOTH engines so a tiny negative
-#       raw key can no longer round to +0.0 (Spark BigDecimal HALF_UP)
-#       vs -0.0 (DuckDB binary round) — numerically equal, hash
-#       different (doc 269 at sf0.01 was the witness, rank #1 every
-#       run).  weighted_sample_grouped shares the key family and the
-#       fix, and sits in (a);
-#   (c) r11 code-changed re-attests: knn_postfilter (ef now
-#       max(EF_SEARCH, TOP_K) per the reference contract — identical
-#       output at TOP_K=10, ADVICE r10), ann_ivf_filtered (its
-#       dependency ivf_search_persisted gained a strategy-honoring
-#       warning on the auto-route, ADVICE r10), and gif_features
-#       (gif_decode gained the interlace de-permutation branch — the
-#       non-interlaced path is untouched; re-gated strict ×3 SFs), plus
-#       png_features / png_resize / phash_neardup (png_encode/png_decode
-#       gained the Adam7 paths; sequential output byte-identical, all
-#       re-gated strict ×3 SFs — also r6/r7-stale, so this doubles as
-#       refresh);
-#   (d) oldest-attested-first refresh: the 6 remaining r2 rows and the
-#       3 oldest r4 rows (7 rounds stale), in attestation order.  The
-#       next-stalest r4 rows (html_sections, node_summaries, title_detect
-#       …) lead the r12 refresh.
-# Queries not listed keep their valid attestations; queries ADDED during
-# r11 sessions go AFTER this board (they are the r12 queue).
+# to the FRONT of the registry.  Round 12 rotation (VERDICT r11 #1): the
+# r11 board landed 50/50 green (CORRECTNESS_r11, zero red), and the r11
+# sessions left a 77-entry never-attested queue (PROGRESS.md r12 handoff;
+# judge-verified equal to REGISTRY ∖ attested).  This board is simply the
+# OLDEST 50 of that queue in addition order — no refresh slots fit this
+# round (VERDICT r11 #2: growth paused until the queue fits under ~25).
+# The 27 overflow entries (sax_words … levene_test) plus the 16 r4-stale
+# refresh rows are the named r13 board (PROGRESS.md r13 handoff).
+# Every name below is strict-bitwise local-green at sf0.01 AND sf0.1
+# (tools/check.py --strict; r11 certification + this round's closing gate).
+# Queries not listed keep their valid attestations.
 PRIORITY: list[str] = [
-    # ── (a) the 34 never-attested r10 additions ──
-    "spearman_corr", "kendall_tau_daily", "ks_two_sample",
-    "mann_kendall", "runs_test", "cramers_v", "ewma_control",
-    "shuffle_skew_report", "compaction_plan", "exif_metadata",
-    "mime_sniff", "robots_rules", "isotonic_calibration",
-    "entity_resolution", "weighted_sample_grouped", "dp_counts",
-    "kn_perplexity", "luhn_check", "feature_mi", "burrows_delta",
-    "matrix_profile_daily", "ar2_fit", "csv_parse", "sitemap_parse",
-    "anomaly_shesd", "hashing_collisions", "welch_bh",
-    "poisson_rate_test", "cuped_adjustment", "simpson_diversity",
-    "sprt_monitor", "hill_tail_index", "mad_by_type", "theil_index",
-    # ── (b) the fixed r10 red row ──
-    "weighted_sample",
-    # ── (c) r11 code-changed re-attests ──
-    "knn_postfilter", "ann_ivf_filtered", "gif_features",
-    "png_features", "png_resize", "phash_neardup",
-    # ── (d) staleness refresh: the 6 remaining r2 rows ──
-    "point_lookup", "collection_stats", "delete_by_id", "filter_eq",
-    "filter_in", "knn_filtered",
-    # ── (d) staleness refresh: the 3 oldest r4 rows ──
-    "adaptive_weights", "hybrid_adaptive", "triples_extract",
+    "logrank_test", "ab_power_mde", "post_strat_ate",
+    "conformal_interval", "grpo_advantages", "rouge_eval",
+    "gif_interlaced", "cdc_chunking", "prf_expansion",
+    "png_interlaced", "window_funnel", "mann_whitney_u",
+    "skipgram_pairs", "dp_quantile", "lm_greedy_decode",
+    "vocab_chao1", "psi_drift", "anova_oneway", "iv_wald", "woe_iv",
+    "classifier_eval", "bleu_eval", "perceptron_quality",
+    "granger_causality", "cohens_kappa", "dispersion_index", "msttr",
+    "ljung_box", "decision_stump", "attribution_shapley",
+    "fixed_effects", "ransac_trend", "viterbi_decode",
+    "textrank_keywords", "reg_discontinuity", "quantile_normalize",
+    "qoi_features", "capture_recapture", "extreme_value_fit",
+    "durbin_watson", "kruskal_wallis", "mcnemar_test",
+    "cronbach_alpha", "friedman_test", "tost_equivalence",
+    "log_odds_monroe", "negative_binomial_fit", "uplift_stump",
+    "salt_plan", "dtw_distance",
 ]
 
 
