@@ -10304,3 +10304,622 @@ def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(fstat, 6) + F.lit(0.0)).alias("f_stat"),
         (fstat > 2.372).alias("variances_differ"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: Cochran's Q — k-period paired binary outcomes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cochran_q",
+    """
+    WITH horizon AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+    u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND ts::DATE < d0 + INTERVAL 10 DAY
+                        THEN 1 ELSE 0 END)::BIGINT AS x1,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND ts::DATE >= d0 + INTERVAL 10 DAY
+                         AND ts::DATE < d0 + INTERVAL 20 DAY
+                        THEN 1 ELSE 0 END)::BIGINT AS x2,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND ts::DATE >= d0 + INTERVAL 20 DAY
+                        THEN 1 ELSE 0 END)::BIGINT AS x3
+        FROM events, horizon GROUP BY user_id
+    ),
+    m AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(x1)::BIGINT AS t1, SUM(x2)::BIGINT AS t2,
+               SUM(x3)::BIGINT AS t3,
+               SUM(3 * (x1 + x2 + x3)
+                   - (x1 + x2 + x3) * (x1 + x2 + x3))::BIGINT AS denom
+        FROM u
+    )
+    SELECT n AS n_users, t1, t2, t3,
+           ROUND(CASE WHEN denom > 0 THEN
+                 (2 * (3 * (t1 * t1 + t2 * t2 + t3 * t3)
+                       - (t1 + t2 + t3) * (t1 + t2 + t3)))::DOUBLE
+                 / denom END, 6) AS q_stat
+    FROM m
+    """,
+)
+def cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (1950) — did per-user conversion change across
+    THREE 10-day thirds of the horizon: the k-treatment extension of
+    mcnemar_test's paired halves.  Q = (k-1)[k SUM T_j^2 - (SUM T_j)^2]
+    / SUM(k R_i - R_i^2) ~ chi^2(k-1) under marginal homogeneity, with
+    T_j the period totals and R_i the per-user success counts; constant
+    rows (all-0 / all-1 users) provably cancel from BOTH numerator and
+    denominator, so no row filtering is needed (replay-pytested).
+
+    Parity: the binary panel is three conditional MAXes over one
+    groupBy(user); numerator and denominator are exact BIGINTs and Q is
+    ONE correctly-rounded non-negative division (denominator 0 — every
+    user constant — yields NULL in both engines).
+
+    Scale: one groupBy(user) with map-side combine collapses the event
+    stream; the statistic evaluates on a single 5-integer row."""
+    e = load_table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    is_p = F.col("event_type") == "purchase"
+    dt = F.to_date("ts")
+    u = (
+        e.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(is_p & (dt < F.date_add("d0", 10)), 1).otherwise(0)
+            ).cast("long").alias("x1"),
+            F.max(
+                F.when(
+                    is_p
+                    & (dt >= F.date_add("d0", 10))
+                    & (dt < F.date_add("d0", 20)),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("x2"),
+            F.max(
+                F.when(is_p & (dt >= F.date_add("d0", 20)), 1).otherwise(0)
+            ).cast("long").alias("x3"),
+        )
+    )
+    r = F.col("x1") + F.col("x2") + F.col("x3")
+    m = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("t1"),
+        F.sum("x2").cast("long").alias("t2"),
+        F.sum("x3").cast("long").alias("t3"),
+        F.sum(3 * r - r * r).cast("long").alias("denom"),
+    )
+    num = 2 * (
+        3
+        * (
+            F.col("t1") * F.col("t1")
+            + F.col("t2") * F.col("t2")
+            + F.col("t3") * F.col("t3")
+        )
+        - (F.col("t1") + F.col("t2") + F.col("t3"))
+        * (F.col("t1") + F.col("t2") + F.col("t3"))
+    )
+    return m.select(
+        F.col("n").alias("n_users"), "t1", "t2", "t3",
+        F.round(
+            F.when(F.col("denom") > 0, num.cast("double") / F.col("denom")),
+            6,
+        ).alias("q_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: Kendall's W — concordance of daily type rankings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kendall_w",
+    """
+    WITH grid AS (
+        SELECT ts::DATE AS d, event_type AS g, COUNT(*)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    ),
+    full_grid AS (
+        SELECT dy.d, t.g, COALESCE(grid.x, 0)::BIGINT AS x
+        FROM (SELECT DISTINCT ts::DATE AS d FROM events) dy
+        CROSS JOIN (SELECT DISTINCT event_type AS g FROM events) t
+        LEFT JOIN grid ON grid.d = dy.d AND grid.g = t.g
+    ),
+    ranked AS (
+        SELECT a.d, a.g,
+               SUM(CASE WHEN b.x < a.x THEN 2
+                        WHEN b.x = a.x THEN 1 ELSE 0 END)::BIGINT + 1 AS dr
+        FROM full_grid a JOIN full_grid b ON b.d = a.d
+        GROUP BY a.d, a.g
+    ),
+    rsum AS (SELECT g, SUM(dr)::BIGINT AS r FROM ranked GROUP BY g),
+    ties AS (
+        SELECT COALESCE(SUM(t * t * t - t), 0)::BIGINT AS tt
+        FROM (SELECT d, x, COUNT(*)::BIGINT AS t
+              FROM full_grid GROUP BY d, x) c
+    ),
+    wide AS (
+        SELECT (SELECT COUNT(DISTINCT d) FROM full_grid)::BIGINT AS n,
+               (SELECT COUNT(DISTINCT g) FROM full_grid)::BIGINT AS k,
+               SUM(r * r)::BIGINT AS sr2
+        FROM rsum
+    )
+    SELECT n AS n_blocks, k AS k_objects, sr2 AS sum_dr2, tt AS ties_term,
+           ROUND((3 * sr2 - 3 * k * n * n * (k + 1) * (k + 1))::DOUBLE
+                 / (n * n * k * (k * k - 1) - n * tt), 6) AS w
+    FROM wide, ties
+    """,
+)
+def kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W (1939) — HOW MUCH the days
+    agree on the relative intensity ordering of the five event types
+    (friedman_test answers WHETHER they differ; W = chi2_F/(n(k-1)) is
+    its effect size, 0 = random rankings, 1 = perfect agreement), with
+    the tie correction W = (12 SUM R_j^2 - 3 n^2 k(k+1)^2)
+    / (n^2 k(k^2-1) - n SUM(t^3 - t)).
+
+    Parity: within-day ranks use friedman_test's doubled-average-rank
+    form (2*less + eq + 1 from the per-day self-join) so tied average
+    ranks never materialize as floats; with doubled rank sums R' = 2R
+    the numerator becomes 3 SUM R'^2 - 3 k n^2 (k+1)^2 — exact BIGINTs
+    (numerator = 48*S >= 0, so the single correctly-rounded division is
+    never a signed zero); the tie term t^3 - t folds over the per-(day,
+    value) group sizes as exact BIGINTs.
+
+    Scale: one groupBy(day, type) with map-side combine collapses the
+    corpus; ranks and ties evaluate on the |days| x 5 grid."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    types = e.select(F.col("event_type").alias("g")).distinct()
+    grid = e.groupBy(
+        F.to_date("ts").alias("d"), F.col("event_type").alias("g")
+    ).agg(F.count("*").cast("long").alias("x"))
+    fg = (
+        days.crossJoin(types)
+        .join(grid, ["d", "g"], "left")
+        .select("d", "g", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    b = fg.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    ranked = (
+        fg.join(b, F.col("db") == F.col("d"))
+        .groupBy("d", "g")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("xb") < F.col("x"), 2)
+                    .when(F.col("xb") == F.col("x"), 1)
+                    .otherwise(0)
+                )
+                + 1
+            ).cast("long").alias("dr")
+        )
+    )
+    rsum = ranked.groupBy("g").agg(F.sum("dr").cast("long").alias("r"))
+    wide = rsum.agg(F.sum(F.col("r") * F.col("r")).cast("long").alias("sr2"))
+    ties = (
+        fg.groupBy("d", "x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0),
+            ).cast("long").alias("tt")
+        )
+    )
+    nk = days.agg(F.count("*").cast("long").alias("n")).crossJoin(
+        types.agg(F.count("*").cast("long").alias("k"))
+    )
+    w = wide.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(nk))
+    n, k, sr2, tt = F.col("n"), F.col("k"), F.col("sr2"), F.col("tt")
+    return w.select(
+        n.alias("n_blocks"),
+        k.alias("k_objects"),
+        sr2.alias("sum_dr2"),
+        tt.alias("ties_term"),
+        F.round(
+            (3 * sr2 - 3 * k * n * n * (k + 1) * (k + 1)).cast("double")
+            / (n * n * k * (k * k - 1) - n * tt),
+            6,
+        ).alias("w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: Page's trend test — ordered alternative across type ranks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "page_trend",
+    """
+    WITH grid AS (
+        SELECT ts::DATE AS d, event_type AS g, COUNT(*)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    ),
+    full_grid AS (
+        SELECT dy.d, t.g, COALESCE(grid.x, 0)::BIGINT AS x
+        FROM (SELECT DISTINCT ts::DATE AS d FROM events) dy
+        CROSS JOIN (SELECT DISTINCT event_type AS g FROM events) t
+        LEFT JOIN grid ON grid.d = dy.d AND grid.g = t.g
+    ),
+    ranked AS (
+        SELECT a.d, a.g,
+               SUM(CASE WHEN b.x < a.x THEN 2
+                        WHEN b.x = a.x THEN 1 ELSE 0 END)::BIGINT + 1 AS dr
+        FROM full_grid a JOIN full_grid b ON b.d = a.d
+        GROUP BY a.d, a.g
+    ),
+    rsum AS (SELECT g, SUM(dr)::BIGINT AS r FROM ranked GROUP BY g),
+    ordered AS (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY g ASC)::BIGINT AS j FROM rsum
+    ),
+    wide AS (
+        SELECT (SELECT COUNT(DISTINCT d) FROM full_grid)::BIGINT AS n,
+               (SELECT COUNT(DISTINCT g) FROM full_grid)::BIGINT AS k,
+               SUM(j * r)::BIGINT AS l2
+        FROM ordered
+    )
+    SELECT n AS n_blocks, k AS k_treatments,
+           l2 AS l_doubled,
+           l2 / 2.0 AS l_stat,
+           CASE WHEN 6 * l2 > 3 * n * k * (k + 1) * (k + 1) THEN 1
+                WHEN 6 * l2 = 3 * n * k * (k + 1) * (k + 1) THEN 0
+                ELSE -1 END AS trend_direction,
+           ROUND(((6 * l2 - 3 * n * k * (k + 1) * (k + 1))
+                  * (6 * l2 - 3 * n * k * (k + 1) * (k + 1)))::DOUBLE
+                 / (n * k * k * (k * k - 1) * (k + 1)), 6) AS chi2_l
+    FROM wide
+    """,
+)
+def page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test (1963) for an ORDERED alternative — are the
+    five event types' daily intensity ranks monotone in the
+    pre-specified (alphabetical) treatment order, where friedman_test
+    only asks whether they differ at all: L = SUM_j j*R_j, and
+    chi2_L = [12L - 3nk(k+1)^2]^2 / [n k^2 (k^2-1)(k+1)] ~ chi^2(1)
+    under the null (the tie-affected approximation is documented; ranks
+    reuse friedman's doubled-average-rank form).
+
+    Parity: with doubled rank sums R' = 2R the statistic folds as
+    L' = SUM j*R' = 2L — exact BIGINT (l_stat = L'/2 is exact in a
+    double: one halving of an integer); the chi2 numerator is an exact
+    integer SQUARED (never negative, so the single correctly-rounded
+    division cannot emit a signed zero) and trend_direction is an exact
+    integer sign from cross-multiplication, never a float compare.
+    The treatment order is ROW_NUMBER over g ASC — a total order on the
+    five distinct type names, deterministic in both engines.
+
+    Scale: identical to friedman_test — one groupBy(day, type) with
+    map-side combine, then the |days| x 5 grid."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    types = e.select(F.col("event_type").alias("g")).distinct()
+    grid = e.groupBy(
+        F.to_date("ts").alias("d"), F.col("event_type").alias("g")
+    ).agg(F.count("*").cast("long").alias("x"))
+    fg = (
+        days.crossJoin(types)
+        .join(grid, ["d", "g"], "left")
+        .select("d", "g", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    b = fg.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    ranked = (
+        fg.join(b, F.col("db") == F.col("d"))
+        .groupBy("d", "g")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("xb") < F.col("x"), 2)
+                    .when(F.col("xb") == F.col("x"), 1)
+                    .otherwise(0)
+                )
+                + 1
+            ).cast("long").alias("dr")
+        )
+    )
+    rsum = ranked.groupBy("g").agg(F.sum("dr").cast("long").alias("r"))
+    ordered = rsum.select(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("g").asc())).cast("long").alias("j"),
+    )
+    wide = ordered.agg(F.sum(F.col("j") * F.col("r")).cast("long").alias("l2"))
+    nk = days.agg(F.count("*").cast("long").alias("n")).crossJoin(
+        types.agg(F.count("*").cast("long").alias("k"))
+    )
+    w = wide.crossJoin(F.broadcast(nk))
+    n, k, l2 = F.col("n"), F.col("k"), F.col("l2")
+    dev = 6 * l2 - 3 * n * k * (k + 1) * (k + 1)
+    return w.select(
+        n.alias("n_blocks"),
+        k.alias("k_treatments"),
+        l2.alias("l_doubled"),
+        (l2 / F.lit(2.0)).alias("l_stat"),
+        F.when(dev > 0, 1).when(dev == 0, 0).otherwise(-1).alias(
+            "trend_direction"
+        ),
+        F.round(
+            (dev * dev).cast("double")
+            / (n * k * k * (k * k - 1) * (k + 1)),
+            6,
+        ).alias("chi2_l"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: Simpson's paradox audit — stratified direction check
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "simpsons_paradox",
+    """
+    WITH s AS (
+        SELECT date_part('dow', ts)::BIGINT AS dow,
+               user_id % 2 AS grp,
+               COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS a
+        FROM events GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT dow,
+               SUM(CASE WHEN grp = 0 THEN n ELSE 0 END)::BIGINT AS n0,
+               SUM(CASE WHEN grp = 0 THEN a ELSE 0 END)::BIGINT AS a0,
+               SUM(CASE WHEN grp = 1 THEN n ELSE 0 END)::BIGINT AS n1,
+               SUM(CASE WHEN grp = 1 THEN a ELSE 0 END)::BIGINT AS a1
+        FROM s GROUP BY dow
+    ),
+    agg AS (
+        SELECT SUM(n0)::BIGINT AS tn0, SUM(a0)::BIGINT AS ta0,
+               SUM(n1)::BIGINT AS tn1, SUM(a1)::BIGINT AS ta1
+        FROM wide
+    )
+    SELECT w.dow, w.n0, w.a0, w.n1, w.a1,
+           ROUND(w.a0::DOUBLE / w.n0, 6) AS rate0,
+           ROUND(w.a1::DOUBLE / w.n1, 6) AS rate1,
+           CASE WHEN w.a1 * w.n0 > w.a0 * w.n1 THEN 1
+                WHEN w.a1 * w.n0 = w.a0 * w.n1 THEN 0
+                ELSE -1 END AS dir_stratum,
+           CASE WHEN g.ta1 * g.tn0 > g.ta0 * g.tn1 THEN 1
+                WHEN g.ta1 * g.tn0 = g.ta0 * g.tn1 THEN 0
+                ELSE -1 END AS dir_aggregate,
+           (CASE WHEN w.a1 * w.n0 > w.a0 * w.n1 THEN 1
+                 WHEN w.a1 * w.n0 = w.a0 * w.n1 THEN 0
+                 ELSE -1 END)
+           * (CASE WHEN g.ta1 * g.tn0 > g.ta0 * g.tn1 THEN 1
+                   WHEN g.ta1 * g.tn0 = g.ta0 * g.tn1 THEN 0
+                   ELSE -1 END) < 0 AS reversed
+    FROM wide w, agg g
+    ORDER BY w.dow
+    """,
+)
+def simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's paradox audit (Simpson 1951; the Yule association
+    reversal) — does the aggregate group-1-vs-group-0 conversion
+    direction REVERSE inside any day-of-week stratum: the standard
+    sanity gate before reading an unstratified experiment readout, run
+    as a data operator (one row per stratum, the aggregate direction
+    alongside, reversed = the paradox flag).
+
+    Parity: every cell is an exact BIGINT conditional sum; BOTH
+    direction columns are exact integer signs from cross-multiplication
+    (a1*n0 vs a0*n1) — no rate float ever enters a comparison; the two
+    displayed rates are correctly-rounded non-negative divisions.
+    Day-of-week is DuckDB date_part('dow') = Sunday 0, matched by
+    Spark's dayofweek() - 1 (Sunday 1).
+
+    Scale: one groupBy(dow, grp) with map-side combine collapses the
+    stream to 14 cells; everything after is driver-scale arithmetic on
+    a 7-row frame with the 1-row aggregate broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        (F.col("user_id") % 2).alias("grp"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("a"),
+    )
+    wide = s.groupBy("dow").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("n")).otherwise(0))
+        .cast("long").alias("n0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("a")).otherwise(0))
+        .cast("long").alias("a0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n")).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("a")).otherwise(0))
+        .cast("long").alias("a1"),
+    )
+    agg = wide.agg(
+        F.sum("n0").cast("long").alias("tn0"),
+        F.sum("a0").cast("long").alias("ta0"),
+        F.sum("n1").cast("long").alias("tn1"),
+        F.sum("a1").cast("long").alias("ta1"),
+    )
+    j = wide.crossJoin(F.broadcast(agg))
+
+    def sign(lhs, rhs):
+        return (
+            F.when(lhs > rhs, 1).when(lhs == rhs, 0).otherwise(-1)
+        )
+
+    ds = sign(F.col("a1") * F.col("n0"), F.col("a0") * F.col("n1"))
+    da = sign(F.col("ta1") * F.col("tn0"), F.col("ta0") * F.col("tn1"))
+    return (
+        j.select(
+            "dow", "n0", "a0", "n1", "a1",
+            F.round(F.col("a0").cast("double") / F.col("n0"), 6).alias("rate0"),
+            F.round(F.col("a1").cast("double") / F.col("n1"), 6).alias("rate1"),
+            ds.alias("dir_stratum"),
+            da.alias("dir_aggregate"),
+            ((ds * da) < 0).alias("reversed"),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: KMV sketch intersection — set-overlap estimation
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+@query(
+    "kmv_intersect",
+    f"""
+    WITH ut AS (
+        SELECT DISTINCT event_type AS g, user_id FROM events
+    ),
+    sh AS (
+        SELECT DISTINCT g,
+               ('0x' || substr(md5('kmv:' || user_id), 1, 8))::BIGINT AS h
+        FROM ut
+    ),
+    sk AS (
+        SELECT g, h FROM (
+            SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM sh) WHERE rn <= {_KMV_K}
+    ),
+    tp AS (SELECT DISTINCT event_type AS g FROM events),
+    pairs AS (
+        SELECT a.g AS g1, b.g AS g2 FROM tp a JOIN tp b ON a.g < b.g
+    ),
+    pu AS (
+        SELECT p.g1, p.g2, s.h,
+               MAX(CASE WHEN s.g = p.g1 THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.g = p.g2 THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN sk s ON s.g = p.g1 OR s.g = p.g2
+        GROUP BY 1, 2, 3
+    ),
+    uk AS (
+        SELECT g1, g2, in_a, in_b FROM (
+            SELECT g1, g2, in_a, in_b,
+                   ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+            FROM pu) WHERE rn <= {_KMV_K}
+    ),
+    est AS (
+        SELECT g1, g2, COUNT(*)::BIGINT AS union_k,
+               SUM(in_a * in_b)::BIGINT AS kmv_inter
+        FROM uk GROUP BY 1, 2
+    ),
+    ti AS (
+        SELECT a.g AS g1, b.g AS g2, COUNT(*)::BIGINT AS true_inter
+        FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.g < b.g
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT g, COUNT(*)::BIGINT AS cnt FROM ut GROUP BY g)
+    SELECT e.g1 AS type_a, e.g2 AS type_b, e.union_k, e.kmv_inter,
+           ROUND(e.kmv_inter::DOUBLE / e.union_k, 6) AS est_jaccard,
+           COALESCE(ti.true_inter, 0)::BIGINT AS true_inter,
+           (za.cnt + zb.cnt - COALESCE(ti.true_inter, 0))::BIGINT AS true_union,
+           ROUND(COALESCE(ti.true_inter, 0)::DOUBLE
+                 / (za.cnt + zb.cnt - COALESCE(ti.true_inter, 0)), 6)
+               AS true_jaccard
+    FROM est e
+    LEFT JOIN ti ON ti.g1 = e.g1 AND ti.g2 = e.g2
+    JOIN sz za ON za.g = e.g1
+    JOIN sz zb ON zb.g = e.g2
+    ORDER BY e.g1, e.g2
+    """,
+)
+def kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch intersection (Beyer et al., SIGMOD 2007)
+    — estimate the Jaccard overlap of per-type user populations from
+    {_KMV_K}-value sketches instead of the full sets, the
+    set-OPERATION sketch the family still lacked (hll_distinct counts
+    one set, cms/bloom answer frequency/membership): the union sketch
+    of two KMV sketches is the {_KMV_K} smallest of their merged
+    values, and rho = |union_k ^ A ^ B| / |union_k| is an unbiased
+    Jaccard estimator.  The exact intersection/union run alongside, so
+    every gate run re-attests the estimator's error envelope.
+
+    Parity: sketch values are distinct 32-bit md5 BIGINTs (ROW_NUMBER
+    over a distinct integer key — no order tie exists in either
+    engine); memberships and counts are exact BIGINTs; the two
+    reported ratios are correctly-rounded non-negative divisions.
+
+    Scale: the corpus collapses through distinct(type, user) with
+    partial aggregation; sketches are <= {_KMV_K} rows per type (the
+    whole point — fixed-size state per set at ANY cardinality, exactly
+    how a 100 TB overlap matrix stays driver-scale); the exact
+    ti/sz CTEs are the attestation baseline, not the scale path, and
+    themselves only shuffle (type, user) pairs."""
+    from fusionspark.operators.dedup import md5_hash32
+
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select(F.col("event_type").alias("g"), "user_id").distinct()
+    sh = ut.select(
+        "g",
+        md5_hash32(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("g").orderBy("h"))
+    sk = sh.withColumn("rn", rn).filter(F.col("rn") <= _KMV_K).drop("rn")
+    tp = e.select(F.col("event_type").alias("g")).distinct()
+    pairs = (
+        tp.select(F.col("g").alias("g1"))
+        .crossJoin(tp.select(F.col("g").alias("g2")))
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    pu = (
+        pairs.join(
+            sk, (F.col("g") == F.col("g1")) | (F.col("g") == F.col("g2"))
+        )
+        .groupBy("g1", "g2", "h")
+        .agg(
+            F.max(F.when(F.col("g") == F.col("g1"), 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("g") == F.col("g2"), 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    urn = F.row_number().over(Window.partitionBy("g1", "g2").orderBy("h"))
+    uk = pu.withColumn("rn", urn).filter(F.col("rn") <= _KMV_K)
+    est = uk.groupBy("g1", "g2").agg(
+        F.count("*").cast("long").alias("union_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("kmv_inter"),
+    )
+    ua = ut.select(F.col("g").alias("g1"), "user_id")
+    ub = ut.select(F.col("g").alias("g2"), "user_id")
+    ti = (
+        ua.join(ub, "user_id")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count("*").cast("long").alias("true_inter"))
+    )
+    sz = ut.groupBy("g").agg(F.count("*").cast("long").alias("cnt"))
+    za = sz.select(F.col("g").alias("g1"), F.col("cnt").alias("cnt_a"))
+    zb = sz.select(F.col("g").alias("g2"), F.col("cnt").alias("cnt_b"))
+    j = (
+        est.join(ti, ["g1", "g2"], "left")
+        .na.fill({"true_inter": 0})
+        .join(za, "g1")
+        .join(zb, "g2")
+    )
+    tu = F.col("cnt_a") + F.col("cnt_b") - F.col("true_inter")
+    return (
+        j.select(
+            F.col("g1").alias("type_a"),
+            F.col("g2").alias("type_b"),
+            "union_k",
+            "kmv_inter",
+            F.round(
+                F.col("kmv_inter").cast("double") / F.col("union_k"), 6
+            ).alias("est_jaccard"),
+            F.col("true_inter").cast("long").alias("true_inter"),
+            tu.cast("long").alias("true_union"),
+            F.round(
+                F.col("true_inter").cast("double") / tu, 6
+            ).alias("true_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

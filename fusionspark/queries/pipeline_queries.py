@@ -7358,3 +7358,262 @@ def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: ROUGE-L (LCS) — completes the rouge_eval family
+# ---------------------------------------------------------------------------
+
+_RL_LEAD = 25
+_RL_REF = 60
+_RL_MIN_WORDS = 40
+
+
+@query(
+    "rouge_l_eval",
+    f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS} AS words FROM documents
+    ),
+    sp AS (
+        SELECT doc_id,
+               list_transform(
+                   words[1:{_RL_LEAD}],
+                   t -> [('0x' || substr(md5('rl:' || t), 1, 8))::BIGINT])
+                   AS xs,
+               list_transform(
+                   words[{_RL_LEAD + 1}:{_RL_LEAD + _RL_REF}],
+                   t -> [('0x' || substr(md5('rl:' || t), 1, 8))::BIGINT])
+                   AS ys
+        FROM w WHERE len(words) >= {_RL_MIN_WORDS}
+    ),
+    dp AS (
+        SELECT doc_id, len(xs)::BIGINT AS la, len(ys)::BIGINT AS lb,
+               list_reduce(
+                   list_prepend(
+                       list_transform(generate_series(0, len(ys)),
+                                      j -> 0)::BIGINT[],
+                       xs),
+                   (prev, xi) -> list_reduce(
+                       list_prepend([0::BIGINT], ys),
+                       (acc, yj) -> acc
+                           || [greatest(
+                                 prev[len(acc)]
+                                 + CASE WHEN xi[1] = yj[1]
+                                        THEN 1 ELSE 0 END,
+                                 prev[len(acc) + 1],
+                                 acc[len(acc)])]) ) AS row
+        FROM sp
+    )
+    SELECT doc_id, la AS n_cand, lb AS n_ref,
+           row[len(row)]::BIGINT AS lcs_len,
+           ROUND(2.0 * row[len(row)] / (la + lb), 6) AS rouge_l_f
+    FROM dp
+    """,
+)
+def rouge_l_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L F1 — the longest-common-SUBSEQUENCE generation-eval metric
+    (Lin 2004 §3), completing rouge_eval's n-gram forms: per doc the
+    25-word lead (candidate summary stand-in) aligns against the next 60
+    body words (reference stand-in), and F_lcs = 2*LCS/(|cand|+|ref|)
+    rewards in-ORDER coverage that clipped unigram counts cannot see
+    (a shuffled lead keeps rouge1_f but loses rouge_l_f).
+
+    Parity: tokens hash to 32-bit md5 BIGINTs wrapped in 1-element lists
+    (the needleman_wunsch trick — DuckDB's list_reduce needs accumulator
+    and element types to unify); the DP is the NW nested fold with the
+    LCS recurrence max(prev[j-1]+eq, prev[j], new[j-1]) — adjacent LCS
+    cells differ by <=1 so the 3-way max equals the textbook
+    branch-on-eq form (replay-pytested); every cell is an exact BIGINT
+    and the single F1 division is correctly rounded, never negative.
+
+    Scale: the metric is within-doc — zero joins, zero shuffles besides
+    the parquet scan; each doc evaluates <=25*60 integer cells inside
+    one row, embarrassingly parallel across partitions."""
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ws.alias("words")
+    )
+    hashed = lambda col: F.transform(  # noqa: E731
+        col, lambda t: F.array(md5_hash32(F.concat(F.lit("rl:"), t)))
+    )
+    sp = d.filter(F.size("words") >= _RL_MIN_WORDS).select(
+        "doc_id",
+        hashed(F.slice("words", 1, _RL_LEAD)).alias("xs"),
+        hashed(F.slice("words", _RL_LEAD + 1, _RL_REF)).alias("ys"),
+    )
+    zero = F.lit(0).cast("long")
+
+    def lcs_col(xs, ys):
+        init = F.transform(F.sequence(F.lit(0), F.size(ys)), lambda j: zero)
+
+        def outer(prev, xi):
+            def inner(acc, yj):
+                j = F.size(acc)
+                eq = (
+                    F.when(F.element_at(xi, 1) == F.element_at(yj, 1), 1)
+                    .otherwise(0)
+                    .cast("long")
+                )
+                return F.concat(
+                    acc,
+                    F.array(
+                        F.greatest(
+                            F.element_at(prev, j) + eq,
+                            F.element_at(prev, j + 1),
+                            F.element_at(acc, j),
+                        )
+                    ),
+                )
+
+            return F.aggregate(ys, F.array(zero), inner)
+
+        return F.aggregate(xs, init, outer)
+
+    dp = sp.select(
+        "doc_id",
+        F.size("xs").cast("long").alias("n_cand"),
+        F.size("ys").cast("long").alias("n_ref"),
+        lcs_col(F.col("xs"), F.col("ys")).alias("row"),
+    )
+    last = F.element_at("row", F.size("row"))
+    return dp.select(
+        "doc_id", "n_cand", "n_ref",
+        last.cast("long").alias("lcs_len"),
+        F.round(
+            2.0 * last / (F.col("n_cand") + F.col("n_ref")), 6
+        ).alias("rouge_l_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: MOSS winnowing fingerprints — dedup candidate generation
+# ---------------------------------------------------------------------------
+
+_WF_K = 3          # words per k-gram
+_WF_W = 4          # hashes per winnowing window
+_WF_MIN_WORDS = _WF_K + _WF_W  # need >= _WF_W k-gram hashes
+_WF_DF_CAP = 50    # drop fingerprints shared by more docs (boilerplate)
+_WF_TOP = 20
+
+
+@query(
+    "winnowing_fingerprints",
+    f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS} AS words FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(words) - {_WF_K - 1}),
+                   i -> ('0x' || substr(md5('wf:' ||
+                            array_to_string(words[i:i + {_WF_K - 1}], ' ')),
+                            1, 8))::BIGINT) AS hs
+        FROM w WHERE len(words) >= {_WF_MIN_WORDS}
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, f
+        FROM h, unnest(list_transform(
+                 generate_series(1, len(hs) - {_WF_W - 1}),
+                 i -> list_min(hs[i:i + {_WF_W - 1}]))) AS t(f)
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS nfp FROM fp GROUP BY doc_id
+    ),
+    rare AS (
+        SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= {_WF_DF_CAP}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS shared
+        FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+        JOIN rare r ON r.f = a.f
+        GROUP BY 1, 2
+    )
+    SELECT p.a_id, p.b_id, p.shared,
+           sa.nfp AS nfp_a, sb.nfp AS nfp_b,
+           ROUND(p.shared::DOUBLE / LEAST(sa.nfp, sb.nfp), 6) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.a_id
+    JOIN sizes sb ON sb.doc_id = p.b_id
+    ORDER BY p.shared DESC, p.a_id ASC, p.b_id ASC
+    LIMIT {_WF_TOP}
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing document fingerprinting (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003): hash every {_WF_K}-word k-gram, slide a
+    {_WF_W}-hash window, keep the window MINIMUM — the classic guarantee
+    that any shared run of >= k+w-1 words leaves at least one common
+    fingerprint, at ~2/(w+1) of the k-gram density.  Distinct
+    fingerprints join doc-to-doc (the plagiarism/near-dup candidate
+    generator); the top-{_WF_TOP} pairs by shared-fingerprint count are
+    reported with the containment ratio shared/min(|fp_a|,|fp_b|).
+
+    Parity: fingerprints are 32-bit md5 BIGINTs (ties in a window
+    collapse to the same VALUE, so min-by-value is engine-identical
+    without a tie rule); counts are exact BIGINTs; containment is one
+    correctly-rounded non-negative division; the top-{_WF_TOP} cut is
+    fully keyed (shared DESC, a_id, b_id).
+
+    Scale: fingerprint emission is per-doc (zero shuffle); the pair join
+    is keyed on the fingerprint VALUE with a df <= {_WF_DF_CAP} cap
+    (winnowing's standard ubiquitous-fingerprint drop), so bucket
+    fan-out is bounded and no all-pairs join exists — the same
+    candidates-only shape as the MinHash LSH family."""
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ws.alias("words")
+    )
+    h = d.filter(F.size("words") >= _WF_MIN_WORDS).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - (_WF_K - 1)),
+            lambda i: md5_hash32(
+                F.concat(
+                    F.lit("wf:"),
+                    F.concat_ws(" ", F.slice("words", i, _WF_K)),
+                )
+            ),
+        ).alias("hs"),
+    )
+    fp = (
+        h.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hs") - (_WF_W - 1)),
+                    lambda i: F.array_min(F.slice("hs", i, _WF_W)),
+                )
+            ).alias("f"),
+        )
+        .distinct()
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count("*").cast("long").alias("nfp"))
+    rare = fp.groupBy("f").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _WF_DF_CAP
+    ).select("f")
+    a = fp.select(F.col("doc_id").alias("a_id"), "f")
+    b = fp.select(F.col("doc_id").alias("b_id"), "f")
+    pairs = (
+        a.join(rare, "f")
+        .join(b, "f")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("nfp").alias("nfp_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("nfp").alias("nfp_b"))
+    return (
+        pairs.join(sa, "a_id").join(sb, "b_id")
+        .select(
+            "a_id", "b_id", "shared", "nfp_a", "nfp_b",
+            F.round(
+                F.col("shared").cast("double")
+                / F.least("nfp_a", "nfp_b"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy(F.col("shared").desc(), F.col("a_id").asc(), F.col("b_id").asc())
+        .limit(_WF_TOP)
+    )

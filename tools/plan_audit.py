@@ -613,7 +613,27 @@ print("== window_funnel pushed IN filter:",
 #   cumulative windows; corpus touched by map-side-combined aggregates.
 # systematic_sample / range_bounds_plan / qini_curve: one honest ordered
 #   window each (the documented global-sort cost of ranked designs).
+# Round 12 additions:
+# rouge_l_eval: LCS DP inside ONE row — zero joins, zero exchanges past
+#   the scan (the nested-fold family).
+# winnowing_fingerprints: fingerprint-VALUE-keyed candidate join with a
+#   df cap — the banded-LSH shape, never all-pairs; text never an
+#   exchange key (fingerprints are BIGINTs).
+# cochran_q / kendall_w / page_trend / simpsons_paradox: one map-side-
+#   combined groupBy collapses the stream; statistics evaluate on
+#   day-grid / 1-row frames (page_trend's ROW_NUMBER window runs over 5
+#   rows).
+# kmv_intersect: corpus collapses through distinct(type,user); sketches
+#   are fixed 64-row state per set — the per-type rank window partitions
+#   by type, never a single global sort of the corpus.
 for qn, label in (
+    ("rouge_l_eval", "in-row LCS DP"),
+    ("winnowing_fingerprints", "winnowing candidates"),
+    ("cochran_q", "paired binary thirds"),
+    ("kendall_w", "concordance grid"),
+    ("page_trend", "ordered-trend grid"),
+    ("simpsons_paradox", "stratified directions"),
+    ("kmv_intersect", "KMV sketch pairs"),
     ("textrank_keywords", "fixed-point iterations"),
     ("viterbi_decode", "max-plus user folds"),
     ("dtw_distance", "nested in-row DP"),
