@@ -498,6 +498,12 @@ def bench_queries(spark):
         "qoi_features",
         "dtw_distance",
         "kruskal_wallis",
+        # round 12: in-row LCS DP (ROUGE-L), winnowing fingerprint
+        # candidate generation (value-keyed pair join under a df cap),
+        # KMV sketch intersection (fixed 64-row state per set)
+        "rouge_l_eval",
+        "winnowing_fingerprints",
+        "kmv_intersect",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -7419,69 +7419,29 @@ def rouge_l_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewards in-ORDER coverage that clipped unigram counts cannot see
     (a shuffled lead keeps rouge1_f but loses rouge_l_f).
 
-    Parity: tokens hash to 32-bit md5 BIGINTs wrapped in 1-element lists
-    (the needleman_wunsch trick — DuckDB's list_reduce needs accumulator
-    and element types to unify); the DP is the NW nested fold with the
-    LCS recurrence max(prev[j-1]+eq, prev[j], new[j-1]) — adjacent LCS
-    cells differ by <=1 so the 3-way max equals the textbook
-    branch-on-eq form (replay-pytested); every cell is an exact BIGINT
-    and the single F1 division is correctly rounded, never negative.
+    Parity: tokens compare as 32-bit 'rl:'-salted md5 BIGINTs in BOTH
+    engines (hash-equality, not string-equality, so even an md5
+    collision agrees across engines); the DP uses the LCS recurrence
+    max(prev[j-1]+eq, prev[j], new[j-1]) — adjacent LCS cells differ by
+    <=1 so the 3-way max equals the textbook branch-on-eq form
+    (replay-pytested); every cell is an exact int64 and the single F1
+    division is correctly rounded in the Spark plan, never negative.
 
     Scale: the metric is within-doc — zero joins, zero shuffles besides
-    the parquet scan; each doc evaluates <=25*60 integer cells inside
-    one row, embarrassingly parallel across partitions."""
-    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", ws.alias("words")
+    the parquet scan; the DP runs as ONE Arrow mapInPandas kernel with a
+    fully vectorized inner row (a nested F.aggregate fold ran
+    interpreted: 7.8 s vs ~1 s at sf0.1 — the cdc_chunk_hashes lesson),
+    embarrassingly parallel across partitions."""
+    from fusionspark.operators.textstats import rouge_l_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    dp = rouge_l_stats(
+        d, lead=_RL_LEAD, ref_len=_RL_REF, min_words=_RL_MIN_WORDS
     )
-    hashed = lambda col: F.transform(  # noqa: E731
-        col, lambda t: F.array(md5_hash32(F.concat(F.lit("rl:"), t)))
-    )
-    sp = d.filter(F.size("words") >= _RL_MIN_WORDS).select(
-        "doc_id",
-        hashed(F.slice("words", 1, _RL_LEAD)).alias("xs"),
-        hashed(F.slice("words", _RL_LEAD + 1, _RL_REF)).alias("ys"),
-    )
-    zero = F.lit(0).cast("long")
-
-    def lcs_col(xs, ys):
-        init = F.transform(F.sequence(F.lit(0), F.size(ys)), lambda j: zero)
-
-        def outer(prev, xi):
-            def inner(acc, yj):
-                j = F.size(acc)
-                eq = (
-                    F.when(F.element_at(xi, 1) == F.element_at(yj, 1), 1)
-                    .otherwise(0)
-                    .cast("long")
-                )
-                return F.concat(
-                    acc,
-                    F.array(
-                        F.greatest(
-                            F.element_at(prev, j) + eq,
-                            F.element_at(prev, j + 1),
-                            F.element_at(acc, j),
-                        )
-                    ),
-                )
-
-            return F.aggregate(ys, F.array(zero), inner)
-
-        return F.aggregate(xs, init, outer)
-
-    dp = sp.select(
-        "doc_id",
-        F.size("xs").cast("long").alias("n_cand"),
-        F.size("ys").cast("long").alias("n_ref"),
-        lcs_col(F.col("xs"), F.col("ys")).alias("row"),
-    )
-    last = F.element_at("row", F.size("row"))
     return dp.select(
-        "doc_id", "n_cand", "n_ref",
-        last.cast("long").alias("lcs_len"),
+        "doc_id", "n_cand", "n_ref", "lcs_len",
         F.round(
-            2.0 * last / (F.col("n_cand") + F.col("n_ref")), 6
+            2.0 * F.col("lcs_len") / (F.col("n_cand") + F.col("n_ref")), 6
         ).alias("rouge_l_f"),
     )
 

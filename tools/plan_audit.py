@@ -614,8 +614,9 @@ print("== window_funnel pushed IN filter:",
 # systematic_sample / range_bounds_plan / qini_curve: one honest ordered
 #   window each (the documented global-sort cost of ranked designs).
 # Round 12 additions:
-# rouge_l_eval: LCS DP inside ONE row — zero joins, zero exchanges past
-#   the scan (the nested-fold family).
+# rouge_l_eval: LCS DP as ONE zero-shuffle Arrow kernel (python_nodes=1
+#   — vectorized DP, the cdc_chunk_hashes class); zero joins, zero
+#   exchanges past the scan.
 # winnowing_fingerprints: fingerprint-VALUE-keyed candidate join with a
 #   df cap — the banded-LSH shape, never all-pairs; text never an
 #   exchange key (fingerprints are BIGINTs).
@@ -627,7 +628,7 @@ print("== window_funnel pushed IN filter:",
 #   are fixed 64-row state per set — the per-type rank window partitions
 #   by type, never a single global sort of the corpus.
 for qn, label in (
-    ("rouge_l_eval", "in-row LCS DP"),
+    ("rouge_l_eval", "Arrow LCS DP kernel"),
     ("winnowing_fingerprints", "winnowing candidates"),
     ("cochran_q", "paired binary thirds"),
     ("kendall_w", "concordance grid"),
