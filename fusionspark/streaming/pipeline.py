@@ -830,3 +830,104 @@ def viterbi_from_state(spark, state_path: str) -> DataFrame:
         .orderBy(F.col("viterbi_score").desc(), F.col("user_id").asc())
         .limit(200)
     )
+
+
+def maintain_kmv_stream(
+    event_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 64,
+):
+    """Streaming maintenance of per-group KMV distinct sketches (the
+    `kmv_intersect` state, run continuously): per group, the k smallest
+    distinct 32-bit 'kmv:'-salted md5 hashes of the id column — fixed
+    k-row state per group FOREVER, like maintain_topk_stream's bounded
+    cells.
+
+    The merge law is a distinct MIN-UNION: new state = k smallest of
+    (state UNION batch hashes).  Unlike the CMS cellwise ADDITION, this
+    is idempotent as well as associative/commutative, so ANY batch
+    slicing — including a replayed batch — converges to the one-shot
+    batch sketch bit-for-bit; the applied-batch marker is kept for
+    uniformity with the other jobs' crash contract, not for
+    correctness (the parity test replays a batch and asserts the
+    byte-level no-op).
+
+    Readout: `kmv_from_state` returns the sketch rows plus the standard
+    (k-1)*2^32/h_k distinct estimate (exact count below k) — and two
+    sketches from this state feed the kmv_intersect union-sketch
+    Jaccard without touching the raw stream history."""
+    import shutil
+
+    from fusionspark.operators.dedup import md5_hash32
+
+    spark = event_stream.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        old = state_path + ".old"
+        if not os.path.exists(state_path) and os.path.exists(old):
+            os.rename(old, state_path)
+        marker = os.path.join(state_path, "_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip() or -1) >= batch_id:
+                    return  # replayed batch: min-union would no-op anyway
+        delta = batch_df.select(
+            F.col(group_col).cast("string").alias("g"),
+            md5_hash32(
+                F.concat(F.lit("kmv:"), F.col(id_col).cast("string"))
+            ).alias("h"),
+        ).distinct()
+        if os.path.exists(state_path):
+            prior = spark.read.parquet(os.path.join(state_path, "sketch"))
+            pool = prior.select("g", "h").unionByName(delta).distinct()
+        else:
+            pool = delta
+        rn = F.row_number().over(Window.partitionBy("g").orderBy("h"))
+        merged = (
+            pool.withColumn("rn", rn).filter(F.col("rn") <= k).drop("rn")
+        ).localCheckpoint(eager=True)
+        tmp = state_path + ".next"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(os.path.join(tmp, "sketch"))
+        with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(state_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        event_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kmv_from_state(spark, state_path: str, k: int = 64) -> DataFrame:
+    """Per-group distinct-count estimates off maintain_kmv_stream's state
+    — no stream-history rescan, just the <=k-row-per-group sketch table:
+    exact count below k, (k-1)*2^32/h_k at the cap (the standard KMV
+    estimator; one correctly-rounded division of exact integers)."""
+    sk = spark.read.parquet(os.path.join(state_path, "sketch"))
+    agg = sk.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.max("h").cast("long").alias("h_k"),
+    )
+    return agg.select(
+        "g",
+        "n_sketch",
+        F.round(
+            F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+            .otherwise(
+                (F.lit(k - 1) * F.lit(4294967296.0)) / F.col("h_k")
+            ),
+            6,
+        ).alias("est_distinct"),
+    )
