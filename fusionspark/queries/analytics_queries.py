@@ -10412,15 +10412,11 @@ def cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Round 12: Kendall's W — concordance of daily type rankings
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "kendall_w",
-    """
-    WITH grid AS (
+# Shared by kendall_w / page_trend (friedman_test's machinery, kept
+# verbatim there since that query is on the current attestation board):
+# the zero-filled day x type count grid and its within-day DOUBLED
+# average ranks (2*less + eq + 1 — exact BIGINTs under ties).
+_RANK_GRID_SQL = """grid AS (
         SELECT ts::DATE AS d, event_type AS g, COUNT(*)::BIGINT AS x
         FROM events GROUP BY 1, 2
     ),
@@ -10437,42 +10433,11 @@ def cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM full_grid a JOIN full_grid b ON b.d = a.d
         GROUP BY a.d, a.g
     ),
-    rsum AS (SELECT g, SUM(dr)::BIGINT AS r FROM ranked GROUP BY g),
-    ties AS (
-        SELECT COALESCE(SUM(t * t * t - t), 0)::BIGINT AS tt
-        FROM (SELECT d, x, COUNT(*)::BIGINT AS t
-              FROM full_grid GROUP BY d, x) c
-    ),
-    wide AS (
-        SELECT (SELECT COUNT(DISTINCT d) FROM full_grid)::BIGINT AS n,
-               (SELECT COUNT(DISTINCT g) FROM full_grid)::BIGINT AS k,
-               SUM(r * r)::BIGINT AS sr2
-        FROM rsum
-    )
-    SELECT n AS n_blocks, k AS k_objects, sr2 AS sum_dr2, tt AS ties_term,
-           ROUND((3 * sr2 - 3 * k * n * n * (k + 1) * (k + 1))::DOUBLE
-                 / (n * n * k * (k * k - 1) - n * tt), 6) AS w
-    FROM wide, ties
-    """,
-)
-def kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kendall's coefficient of concordance W (1939) — HOW MUCH the days
-    agree on the relative intensity ordering of the five event types
-    (friedman_test answers WHETHER they differ; W = chi2_F/(n(k-1)) is
-    its effect size, 0 = random rankings, 1 = perfect agreement), with
-    the tie correction W = (12 SUM R_j^2 - 3 n^2 k(k+1)^2)
-    / (n^2 k(k^2-1) - n SUM(t^3 - t)).
+    rsum AS (SELECT g, SUM(dr)::BIGINT AS r FROM ranked GROUP BY g)"""
 
-    Parity: within-day ranks use friedman_test's doubled-average-rank
-    form (2*less + eq + 1 from the per-day self-join) so tied average
-    ranks never materialize as floats; with doubled rank sums R' = 2R
-    the numerator becomes 3 SUM R'^2 - 3 k n^2 (k+1)^2 — exact BIGINTs
-    (numerator = 48*S >= 0, so the single correctly-rounded division is
-    never a signed zero); the tie term t^3 - t folds over the per-(day,
-    value) group sizes as exact BIGINTs.
 
-    Scale: one groupBy(day, type) with map-side combine collapses the
-    corpus; ranks and ties evaluate on the |days| x 5 grid."""
+def _rank_grid(spark, sf_dir: str):
+    """Spark twin of _RANK_GRID_SQL: returns (days, types, fg, rsum)."""
     e = load_table(spark, sf_dir, "events")
     days = e.select(F.to_date("ts").alias("d")).distinct()
     types = e.select(F.col("event_type").alias("g")).distinct()
@@ -10500,6 +10465,58 @@ def kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rsum = ranked.groupBy("g").agg(F.sum("dr").cast("long").alias("r"))
+    return days, types, fg, rsum
+
+
+# ---------------------------------------------------------------------------
+# Round 12: Kendall's W — concordance of daily type rankings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kendall_w",
+    f"""
+    WITH {_RANK_GRID_SQL},
+    ties AS (
+        SELECT COALESCE(SUM(t * t * t - t), 0)::BIGINT AS tt
+        FROM (SELECT d, x, COUNT(*)::BIGINT AS t
+              FROM full_grid GROUP BY d, x) c
+    ),
+    wide AS (
+        SELECT (SELECT COUNT(DISTINCT d) FROM full_grid)::BIGINT AS n,
+               (SELECT COUNT(DISTINCT g) FROM full_grid)::BIGINT AS k,
+               SUM(r * r)::BIGINT AS sr2
+        FROM rsum
+    )
+    SELECT n AS n_blocks, k AS k_objects, sr2 AS sum_dr2, tt AS ties_term,
+           ROUND(CASE WHEN n * n * k * (k * k - 1) - n * tt > 0 THEN
+                 (3 * sr2 - 3 * k * n * n * (k + 1) * (k + 1))::DOUBLE
+                 / (n * n * k * (k * k - 1) - n * tt) END, 6) AS w
+    FROM wide, ties
+    """,
+)
+def kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W (1939) — HOW MUCH the days
+    agree on the relative intensity ordering of the five event types
+    (friedman_test answers WHETHER they differ; W = chi2_F/(n(k-1)) is
+    its effect size, 0 = random rankings, 1 = perfect agreement), with
+    the tie correction W = (12 SUM R_j^2 - 3 n^2 k(k+1)^2)
+    / (n^2 k(k^2-1) - n SUM(t^3 - t)).
+
+    Parity: within-day ranks use friedman_test's doubled-average-rank
+    form (2*less + eq + 1 from the per-day self-join) so tied average
+    ranks never materialize as floats; with doubled rank sums R' = 2R
+    the numerator becomes 3 SUM R'^2 - 3 k n^2 (k+1)^2 — exact BIGINTs
+    (numerator = 48*S >= 0, so the single correctly-rounded division is
+    never a signed zero); the tie term t^3 - t folds over the per-(day,
+    value) group sizes as exact BIGINTs.
+
+    Scale: one groupBy(day, type) with map-side combine collapses the
+    corpus; ranks and ties evaluate on the |days| x 5 grid.  A fully
+    tied degenerate corpus (every day's five counts equal) zeroes the
+    denominator: the guard yields NULL in both engines (DuckDB would
+    otherwise emit NaN where Spark emits NULL)."""
+    days, types, fg, rsum = _rank_grid(spark, sf_dir)
     wide = rsum.agg(F.sum(F.col("r") * F.col("r")).cast("long").alias("sr2"))
     ties = (
         fg.groupBy("d", "x")
@@ -10516,14 +10533,18 @@ def kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = wide.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(nk))
     n, k, sr2, tt = F.col("n"), F.col("k"), F.col("sr2"), F.col("tt")
+    den = n * n * k * (k * k - 1) - n * tt
     return w.select(
         n.alias("n_blocks"),
         k.alias("k_objects"),
         sr2.alias("sum_dr2"),
         tt.alias("ties_term"),
         F.round(
-            (3 * sr2 - 3 * k * n * n * (k + 1) * (k + 1)).cast("double")
-            / (n * n * k * (k * k - 1) - n * tt),
+            F.when(
+                den > 0,
+                (3 * sr2 - 3 * k * n * n * (k + 1) * (k + 1)).cast("double")
+                / den,
+            ),
             6,
         ).alias("w"),
     )
@@ -10536,25 +10557,8 @@ def kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "page_trend",
-    """
-    WITH grid AS (
-        SELECT ts::DATE AS d, event_type AS g, COUNT(*)::BIGINT AS x
-        FROM events GROUP BY 1, 2
-    ),
-    full_grid AS (
-        SELECT dy.d, t.g, COALESCE(grid.x, 0)::BIGINT AS x
-        FROM (SELECT DISTINCT ts::DATE AS d FROM events) dy
-        CROSS JOIN (SELECT DISTINCT event_type AS g FROM events) t
-        LEFT JOIN grid ON grid.d = dy.d AND grid.g = t.g
-    ),
-    ranked AS (
-        SELECT a.d, a.g,
-               SUM(CASE WHEN b.x < a.x THEN 2
-                        WHEN b.x = a.x THEN 1 ELSE 0 END)::BIGINT + 1 AS dr
-        FROM full_grid a JOIN full_grid b ON b.d = a.d
-        GROUP BY a.d, a.g
-    ),
-    rsum AS (SELECT g, SUM(dr)::BIGINT AS r FROM ranked GROUP BY g),
+    f"""
+    WITH {_RANK_GRID_SQL},
     ordered AS (
         SELECT r, ROW_NUMBER() OVER (ORDER BY g ASC)::BIGINT AS j FROM rsum
     ),
@@ -10596,33 +10600,7 @@ def page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical to friedman_test — one groupBy(day, type) with
     map-side combine, then the |days| x 5 grid."""
-    e = load_table(spark, sf_dir, "events")
-    days = e.select(F.to_date("ts").alias("d")).distinct()
-    types = e.select(F.col("event_type").alias("g")).distinct()
-    grid = e.groupBy(
-        F.to_date("ts").alias("d"), F.col("event_type").alias("g")
-    ).agg(F.count("*").cast("long").alias("x"))
-    fg = (
-        days.crossJoin(types)
-        .join(grid, ["d", "g"], "left")
-        .select("d", "g", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
-    )
-    b = fg.select(F.col("d").alias("db"), F.col("x").alias("xb"))
-    ranked = (
-        fg.join(b, F.col("db") == F.col("d"))
-        .groupBy("d", "g")
-        .agg(
-            (
-                F.sum(
-                    F.when(F.col("xb") < F.col("x"), 2)
-                    .when(F.col("xb") == F.col("x"), 1)
-                    .otherwise(0)
-                )
-                + 1
-            ).cast("long").alias("dr")
-        )
-    )
-    rsum = ranked.groupBy("g").agg(F.sum("dr").cast("long").alias("r"))
+    days, types, fg, rsum = _rank_grid(spark, sf_dir)
     ordered = rsum.select(
         "r",
         F.row_number().over(Window.orderBy(F.col("g").asc())).cast("long").alias("j"),
@@ -10680,8 +10658,10 @@ def page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM wide
     )
     SELECT w.dow, w.n0, w.a0, w.n1, w.a1,
-           ROUND(w.a0::DOUBLE / w.n0, 6) AS rate0,
-           ROUND(w.a1::DOUBLE / w.n1, 6) AS rate1,
+           ROUND(CASE WHEN w.n0 > 0 THEN w.a0::DOUBLE / w.n0 END, 6)
+               AS rate0,
+           ROUND(CASE WHEN w.n1 > 0 THEN w.a1::DOUBLE / w.n1 END, 6)
+               AS rate1,
            CASE WHEN w.a1 * w.n0 > w.a0 * w.n1 THEN 1
                 WHEN w.a1 * w.n0 = w.a0 * w.n1 THEN 0
                 ELSE -1 END AS dir_stratum,
@@ -10708,8 +10688,11 @@ def simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: every cell is an exact BIGINT conditional sum; BOTH
     direction columns are exact integer signs from cross-multiplication
-    (a1*n0 vs a0*n1) — no rate float ever enters a comparison; the two
-    displayed rates are correctly-rounded non-negative divisions.
+    (a1*n0 vs a0*n1) — no rate float ever enters a comparison, and they
+    are total even for an empty group; the two displayed rates are
+    correctly-rounded non-negative divisions, NULL in both engines when
+    a stratum lacks the group entirely (DuckDB would otherwise emit NaN
+    where Spark emits NULL).
     Day-of-week is DuckDB date_part('dow') = Sunday 0, matched by
     Spark's dayofweek() - 1 (Sunday 1).
 
@@ -10753,8 +10736,18 @@ def simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.select(
             "dow", "n0", "a0", "n1", "a1",
-            F.round(F.col("a0").cast("double") / F.col("n0"), 6).alias("rate0"),
-            F.round(F.col("a1").cast("double") / F.col("n1"), 6).alias("rate1"),
+            F.round(
+                F.when(
+                    F.col("n0") > 0, F.col("a0").cast("double") / F.col("n0")
+                ),
+                6,
+            ).alias("rate0"),
+            F.round(
+                F.when(
+                    F.col("n1") > 0, F.col("a1").cast("double") / F.col("n1")
+                ),
+                6,
+            ).alias("rate1"),
             ds.alias("dir_stratum"),
             da.alias("dir_aggregate"),
             ((ds * da) < 0).alias("reversed"),

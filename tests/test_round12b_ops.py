@@ -41,6 +41,15 @@ def _md5_32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
+def _r6(x: float) -> float:
+    """6-decimal HALF-AWAY rounding — python's round() is half-even and
+    diverges from Spark F.round / DuckDB ROUND at exactly-representable
+    halfway ratios (e.g. 1/128 = 0.0078125 -> 0.007813 in both engines,
+    0.007812 from round()); the test_round12_ops._round_away discipline."""
+    s = x * 1e6
+    return (math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)) / 1e6
+
+
 def _words(text: str) -> list[str]:
     return [w for w in text.lower().split(" ") if w]
 
@@ -74,7 +83,7 @@ def test_rouge_l_python_replay(spark, sf_dir):
             len(cand), len(ref), lcs,
         )
         assert math.isclose(
-            g["rouge_l_f"], round(2.0 * lcs / (len(cand) + len(ref)), 6),
+            g["rouge_l_f"], _r6(2.0 * lcs / (len(cand) + len(ref))),
             abs_tol=1e-9,
         )
 
@@ -154,8 +163,10 @@ def test_winnowing_python_replay(spark, sf_dir):
     for r in got:
         assert r["nfp_a"] == len(fps[r["a_id"]])
         assert r["nfp_b"] == len(fps[r["b_id"]])
-        assert r["containment"] == round(
-            r["shared"] / min(r["nfp_a"], r["nfp_b"]), 6
+        assert math.isclose(
+            r["containment"],
+            _r6(r["shared"] / min(r["nfp_a"], r["nfp_b"])),
+            abs_tol=1e-9,
         )
 
 
@@ -218,7 +229,7 @@ def test_cochran_python_replay(spark, sf_dir):
     if q is None:
         assert got["q_stat"] is None
     else:
-        assert math.isclose(got["q_stat"], round(q, 6), abs_tol=1e-9)
+        assert math.isclose(got["q_stat"], _r6(q), abs_tol=1e-9)
 
 
 def test_cochran_constant_rows_cancel():
@@ -269,13 +280,12 @@ def test_kendall_w_python_replay(spark, sf_dir):
     got = kendall_w(spark, sf_dir).collect()[0]
     assert (got["n_blocks"], got["k_objects"]) == (n, k)
     assert (got["sum_dr2"], got["ties_term"]) == (sr2, tt)
-    assert math.isclose(got["w"], round(w, 6), abs_tol=1e-9)
+    assert math.isclose(got["w"], _r6(w), abs_tol=1e-9)
 
 
 def test_kendall_w_perfect_agreement_is_one():
     """Identical untied rankings on every block give W == 1 exactly."""
     n, k = 10, 5
-    rsum = [n * (2 * j + 1 + 1) for j in range(k)]  # doubled rank 2r
     # doubled ranks of untied ranking 1..k are 2,4,..,2k
     rsum = [n * 2 * (j + 1) for j in range(k)]
     sr2 = sum(v * v for v in rsum)
@@ -321,7 +331,7 @@ def test_page_python_replay(spark, sf_dir):
     )
     assert got["l_stat"] == l2 / 2.0
     assert got["trend_direction"] == (dev > 0) - (dev < 0)
-    assert math.isclose(got["chi2_l"], round(chi2, 6), abs_tol=1e-9)
+    assert math.isclose(got["chi2_l"], _r6(chi2), abs_tol=1e-9)
 
 
 def test_page_l_maximal_on_monotone_table():
@@ -423,9 +433,11 @@ def test_kmv_python_replay(spark, sf_dir):
             tu = len(sets[g1] | sets[g2])
             r = got[(g1, g2)]
             assert (r["union_k"], r["kmv_inter"]) == (len(union_k), inter)
-            assert r["est_jaccard"] == round(inter / len(union_k), 6)
+            assert math.isclose(
+                r["est_jaccard"], _r6(inter / len(union_k)), abs_tol=1e-9
+            )
             assert (r["true_inter"], r["true_union"]) == (ti, tu)
-            assert r["true_jaccard"] == round(ti / tu, 6)
+            assert math.isclose(r["true_jaccard"], _r6(ti / tu), abs_tol=1e-9)
 
 
 def test_kmv_exact_below_k():
