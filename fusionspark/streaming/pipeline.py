@@ -931,3 +931,52 @@ def kmv_from_state(spark, state_path: str, k: int = 64) -> DataFrame:
             6,
         ).alias("est_distinct"),
     )
+
+
+def kmv_pairs_from_state(spark, state_path: str, k: int = 64) -> DataFrame:
+    """Pairwise Jaccard estimates between ALL group sketches off
+    maintain_kmv_stream's state — the kmv_intersect union-sketch law
+    (rho = |U_k ^ A ^ B| / |U_k|) evaluated without touching the raw
+    stream history: inputs are the <=k-row-per-group sketch table, so a
+    G-group overlap matrix costs O(G^2 * k) rows regardless of stream
+    length."""
+    from pyspark.sql import Window
+
+    sk = spark.read.parquet(os.path.join(state_path, "sketch"))
+    gs = sk.select("g").distinct()
+    pairs = (
+        gs.select(F.col("g").alias("g1"))
+        .crossJoin(gs.select(F.col("g").alias("g2")))
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    pu = (
+        pairs.join(
+            sk, (F.col("g") == F.col("g1")) | (F.col("g") == F.col("g2"))
+        )
+        .groupBy("g1", "g2", "h")
+        .agg(
+            F.max(F.when(F.col("g") == F.col("g1"), 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("g") == F.col("g2"), 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    urn = F.row_number().over(Window.partitionBy("g1", "g2").orderBy("h"))
+    uk = pu.withColumn("rn", urn).filter(F.col("rn") <= k)
+    return (
+        uk.groupBy("g1", "g2")
+        .agg(
+            F.count("*").cast("long").alias("union_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias(
+                "kmv_inter"
+            ),
+        )
+        .select(
+            "g1", "g2", "union_k", "kmv_inter",
+            F.round(
+                F.col("kmv_inter").cast("double") / F.col("union_k"), 6
+            ).alias("est_jaccard"),
+        )
+    )

@@ -1059,3 +1059,37 @@ def test_kmv_stream_maintenance_matches_batch(spark, sf_dir, tmp_path):
             assert r["est_distinct"] == float(t)
         else:
             assert abs(r["est_distinct"] - t) / t < 0.3
+
+
+def test_kmv_pairs_from_state_matches_batch_query(spark, sf_dir, tmp_path):
+    """kmv_pairs_from_state off the maintained sketch state equals the
+    batch kmv_intersect estimates (same union-sketch law, no history
+    rescan) — the sketches ARE sufficient state for the overlap matrix."""
+    from fusionspark.queries.analytics_queries import kmv_intersect
+    from fusionspark.streaming.pipeline import (
+        kmv_pairs_from_state,
+        maintain_kmv_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    src = tmp_path / "feed"
+    ev.repartition(4).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "kmv_state")
+    q = maintain_kmv_stream(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    want = {
+        (r["type_a"], r["type_b"]): (r["union_k"], r["kmv_inter"], r["est_jaccard"])
+        for r in kmv_intersect(spark, sf_dir).collect()
+    }
+    got = {
+        (r["g1"], r["g2"]): (r["union_k"], r["kmv_inter"], r["est_jaccard"])
+        for r in kmv_pairs_from_state(spark, state).collect()
+    }
+    assert got == want
