@@ -27,34 +27,37 @@ def query(name: str, sql: str | None = None):
 
 # The grading driver attests registry entries in insertion order and caps
 # how many it checks per round (the first 50).  Names listed here are moved
-# to the FRONT of the registry.  Round 12 rotation (VERDICT r11 #1): the
-# r11 board landed 50/50 green (CORRECTNESS_r11, zero red), and the r11
-# sessions left a 77-entry never-attested queue (PROGRESS.md r12 handoff;
-# judge-verified equal to REGISTRY ∖ attested).  This board is simply the
-# OLDEST 50 of that queue in addition order — no refresh slots fit this
-# round (VERDICT r11 #2: growth paused until the queue fits under ~25).
-# The 27 overflow entries (sax_words … levene_test) plus the 16 r4-stale
-# refresh rows are the named r13 board (PROGRESS.md r13 handoff).
-# Every name below is strict-bitwise local-green at sf0.01 AND sf0.1
-# (tools/check.py --strict; r11 certification + this round's closing gate).
+# to the FRONT of the registry.  Round 13 rotation (VERDICT r12 #1): the
+# r12 board landed 50/50 green (CORRECTNESS_r12, zero red — second
+# consecutive zero-red round).  This board is the PROGRESS.md r13 handoff
+# verbatim: the 34-entry never-attested queue (27 r11 overflow in queue
+# order + the 7 r12 additions) + the 16 rows last attested r4 (9 rounds
+# stale).  After a green r13 the never-attested queue is 0 for the first
+# time.  All 34 never-attested entries were pre-certified 34/0/0 strict
+# at BOTH sf0.01 and sf0.1 at the r12 final HEAD, and the 16 refresh rows
+# 16/0/0 at sf0.01 (PROGRESS.md r12 certification); the r13 closing gate
+# re-runs the full board at this round's final HEAD.
 # Queries not listed keep their valid attestations.
 PRIORITY: list[str] = [
-    "logrank_test", "ab_power_mde", "post_strat_ate",
-    "conformal_interval", "grpo_advantages", "rouge_eval",
-    "gif_interlaced", "cdc_chunking", "prf_expansion",
-    "png_interlaced", "window_funnel", "mann_whitney_u",
-    "skipgram_pairs", "dp_quantile", "lm_greedy_decode",
-    "vocab_chao1", "psi_drift", "anova_oneway", "iv_wald", "woe_iv",
-    "classifier_eval", "bleu_eval", "perceptron_quality",
-    "granger_causality", "cohens_kappa", "dispersion_index", "msttr",
-    "ljung_box", "decision_stump", "attribution_shapley",
-    "fixed_effects", "ransac_trend", "viterbi_decode",
-    "textrank_keywords", "reg_discontinuity", "quantile_normalize",
-    "qoi_features", "capture_recapture", "extreme_value_fit",
-    "durbin_watson", "kruskal_wallis", "mcnemar_test",
-    "cronbach_alpha", "friedman_test", "tost_equivalence",
-    "log_odds_monroe", "negative_binomial_fit", "uplift_stump",
-    "salt_plan", "dtw_distance",
+    # 27 never-attested overflow from the r11 growth burst (queue order)
+    "sax_words", "odds_ratio_ci", "hurst_exponent", "trending_terms",
+    "rbo_rankings", "needleman_wunsch", "range_bounds_plan",
+    "krippendorff_alpha", "k_truss", "cosine_histogram",
+    "join_order_plan", "ab_srm_check", "gamma_fit", "tukey_hsd",
+    "smith_waterman", "seasonality_power", "chow_test",
+    "cooks_distance", "linear_shap", "qini_curve", "bloom_sizing_plan",
+    "label_model_3lf", "hll_daily_union", "systematic_sample",
+    "entropy_rate", "coin_uniformity", "levene_test",
+    # the 7 r12 additions (never attested)
+    "rouge_l_eval", "winnowing_fingerprints", "cochran_q", "kendall_w",
+    "page_trend", "simpsons_paradox", "kmv_intersect",
+    # 16 refresh rows last attested r4
+    "html_sections", "node_summaries", "title_detect",
+    "tpch_region_revenue", "tpch_pricing_summary", "tpch_top_customers",
+    "rollup_orders", "searchall_quota", "plaintext_sections",
+    "tpch_shipping_priority", "tpch_late_ship_priority",
+    "media_metadata_stats", "media_frame_counts", "dedup_exact",
+    "lang_id", "text_quality",
 ]
 
 

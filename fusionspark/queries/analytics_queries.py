@@ -10574,9 +10574,11 @@ def kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN 6 * l2 > 3 * n * k * (k + 1) * (k + 1) THEN 1
                 WHEN 6 * l2 = 3 * n * k * (k + 1) * (k + 1) THEN 0
                 ELSE -1 END AS trend_direction,
-           ROUND(((6 * l2 - 3 * n * k * (k + 1) * (k + 1))
-                  * (6 * l2 - 3 * n * k * (k + 1) * (k + 1)))::DOUBLE
-                 / (n * k * k * (k * k - 1) * (k + 1)), 6) AS chi2_l
+           CASE WHEN n * k * k * (k * k - 1) * (k + 1) > 0 THEN
+               ROUND(((6 * l2 - 3 * n * k * (k + 1) * (k + 1))
+                      * (6 * l2 - 3 * n * k * (k + 1) * (k + 1)))::DOUBLE
+                     / (n * k * k * (k * k - 1) * (k + 1)), 6)
+           END AS chi2_l
     FROM wide
     """,
 )
@@ -10620,10 +10622,16 @@ def page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(dev > 0, 1).when(dev == 0, 0).otherwise(-1).alias(
             "trend_direction"
         ),
-        F.round(
-            (dev * dev).cast("double")
-            / (n * k * k * (k * k - 1) * (k + 1)),
-            6,
+        # k = 1 (single event type) zeroes k^2-1: guard the division so a
+        # degenerate corpus gives NULL in BOTH engines (DuckDB would emit
+        # inf/NaN where Spark emits NULL) — kendall_w's denominator rule.
+        F.when(
+            n * k * k * (k * k - 1) * (k + 1) > 0,
+            F.round(
+                (dev * dev).cast("double")
+                / (n * k * k * (k * k - 1) * (k + 1)),
+                6,
+            ),
         ).alias("chi2_l"),
     )
 

@@ -383,25 +383,53 @@ def test_simpson_python_replay(spark, sf_dir):
         assert r["reversed"] == (ds * da < 0)
 
 
-def test_simpson_planted_reversal_detected():
+def test_simpson_planted_reversal_detected(spark, tmp_path):
     """The classic UC-Berkeley shape: grp1 wins in EVERY stratum yet loses
-    in aggregate, because grp1 concentrates in the hard stratum — the
-    cross-multiplication audit must flag every stratum as reversed."""
-    # stratum A (easy): grp0 80/100, grp1 90/100  -> grp1 ahead
-    # stratum B (hard): grp0 10/100, grp1 200/1000 (=0.2) -> grp1 ahead
-    strata = {"A": ((100, 80), (100, 90)), "B": ((100, 10), (1000, 200))}
+    in aggregate, because grp1 concentrates in the hard stratum — run the
+    actual query on a planted events table and assert it flags every
+    stratum reversed (ADVICE r12: the arithmetic-only form could not
+    catch a regression in the query itself)."""
+    import datetime
+
+    import pyarrow as pa
+
+    # stratum Sunday/dow=0 (easy): grp0 80/100, grp1 90/100 -> grp1 ahead
+    # stratum Monday/dow=1 (hard): grp0 10/100, grp1 200/1000 -> grp1 ahead
+    # aggregate: grp0 90/200 vs grp1 290/1100 -> grp1 BEHIND: the paradox
+    strata = {
+        datetime.datetime(2026, 1, 4, 12): ((100, 80), (100, 90)),  # Sun
+        datetime.datetime(2026, 1, 5, 12): ((100, 10), (1000, 200)),  # Mon
+    }
     tn0 = ta0 = tn1 = ta1 = 0
-    for (n0, a0), (n1, a1) in strata.values():
+    ts, uid, etype = [], [], []
+    for day, ((n0, a0), (n1, a1)) in strata.items():
         assert a1 * n0 > a0 * n1  # grp1 ahead within the stratum
-        tn0 += n0
-        ta0 += a0
-        tn1 += n1
-        ta1 += a1
-    assert ta1 * tn0 < ta0 * tn1  # grp1 behind in aggregate: the paradox
-    da = -1
-    for (n0, a0), (n1, a1) in strata.values():
-        ds = 1
-        assert ds * da < 0  # every stratum flags reversed
+        tn0, ta0, tn1, ta1 = tn0 + n0, ta0 + a0, tn1 + n1, ta1 + a1
+        for g, n, a in ((0, n0, a0), (1, n1, a1)):
+            for i in range(n):
+                ts.append(day + datetime.timedelta(seconds=i))
+                uid.append(2 * i + g)  # user_id % 2 == g
+                etype.append("purchase" if i < a else "view")
+    assert ta1 * tn0 < ta0 * tn1  # grp1 behind in aggregate
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(ts)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(etype, pa.string()),
+            "value": pa.array([0.0] * len(ts), pa.float64()),
+            "props": pa.array(["{}"] * len(ts), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = {r["dow"]: r for r in simpsons_paradox(spark, str(tmp_path)).collect()}
+    assert sorted(rows) == [0, 1]
+    for dow, ((n0, a0), (n1, a1)) in zip((0, 1), strata.values()):
+        r = rows[dow]
+        assert (r["n0"], r["a0"], r["n1"], r["a1"]) == (n0, a0, n1, a1)
+        assert r["dir_stratum"] == 1
+        assert r["dir_aggregate"] == -1
+        assert r["reversed"] is True
 
 
 # ---------------------------------------------------------------------------

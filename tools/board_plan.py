@@ -67,13 +67,17 @@ def main() -> int:
     import fusionspark.queries as Q
 
     Q.load_all()
-    # undo the PRIORITY fronting to recover raw insertion order
+    # Undo the PRIORITY fronting to recover addition order.  PRIORITY
+    # members lose their original relative position (the fronting is
+    # destructive), but every PRIORITY member is by construction a
+    # current-board entry, so the never-attested ranking only depends on
+    # the non-PRIORITY tail, where module-load order IS addition order.
     raw = [n for n in Q.REGISTRY if n not in Q.PRIORITY]
     ordered = [n for n in Q.PRIORITY if n in Q.REGISTRY] + raw
     insertion = list(Q.REGISTRY)  # post-fronting (driver's view)
     latest, red = attestation_state()
 
-    never = [n for n in insertion if n not in latest and n not in red]
+    never = [n for n in ordered if n not in latest and n not in red]
     stale = sorted(
         ((latest[n], n) for n in insertion if n in latest),
         key=lambda t: (t[0], insertion.index(t[1])),
