@@ -4,10 +4,14 @@ and prints ONE JSON line:
     {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each entry is timed $SPARK_GRAFT_BENCH_RUNS times (default 3) and `queries`
-reports the per-entry MEDIAN (this host shows phases of heavy steal that can
-inflate any single sample 2-10×; VERDICT r2 re-measured two 'regressions'
-back to noise).  `queries_min` carries the per-entry minimum — the best
-proxy for the true cost under steal — and `value` is the sum of medians.
+reports the per-entry MIN-of-N (r13, VERDICT r12 #3: this host shows phases
+of heavy steal that can inflate any single sample 2-10×, and the r12 medians
+recorded phantom regressions on a loaded host — the minimum is the best
+proxy for the true cost under steal, so it is now the headline; medians are
+preserved in BENCH_DETAIL `queries_median`).  `value` is the sum of minima.
+The *_x10 loop entries report the PER-ITERATION MEDIAN of their 10 searches
+(VERDICT r12 #4 — multiply by 10 to compare against r12-and-earlier sums,
+which one contended iteration could swing by ~15%).
 
 `recall` reports recall@10 vs the exact GEMM top-k for the approximate
 search paths (IVF at nProbe ∈ {4,8,16}, SRP-LSH 24-bit at bands ∈ {3,4})
@@ -642,6 +646,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    timings_median: dict[str, float] = {}
     total = 0.0
     for name, make in qs.items():
         samples: list[float] = []
@@ -658,12 +663,27 @@ def main() -> None:
             continue
         samples.sort()
         med = samples[len(samples) // 2]
-        timings[name] = round(med, 3)
+        timings_median[name] = round(med, 3)
         timings_min[name] = round(samples[0], 3)
-        total += med
+        if name in X10_ITER and X10_ITER[name]:
+            # *_x10 entries: the headline value is the PER-ITERATION median
+            # of all 10 searches (9 logged + the harness-timed 10th), so one
+            # contended iteration cannot swing the suite total (VERDICT r12
+            # #4).  ×10 recovers the r12-and-earlier sum semantics.
+            iters = sorted(
+                X10_ITER[name] + [max(0.0, samples[0] - sum(X10_ITER[name]))]
+            )
+            val = iters[len(iters) // 2]
+        else:
+            # headline = min-of-N: the best proxy for true cost under host
+            # steal (VERDICT r12 #3 — medians on a loaded host recorded
+            # phantom regressions; medians stay in BENCH_DETAIL)
+            val = samples[0]
+        timings[name] = round(val, 3)
+        total += val
         print(
-            f"# {name}: median {med:.3f}s / min {samples[0]:.3f}s"
-            f" of {len(samples)} runs ({n} rows)",
+            f"# {name}: value {val:.3f}s (median {med:.3f}s / min "
+            f"{samples[0]:.3f}s of {len(samples)} runs, {n} rows)",
             file=sys.stderr,
         )
 
@@ -686,6 +706,7 @@ def main() -> None:
         "runs_per_query": N_RUNS,
         "queries": timings,
         "queries_min": timings_min,
+        "queries_median": timings_median,
         "recall": recall,
         # first-9 per-iteration times of each *_x10 loop (the 10th is the
         # harness-timed search: entry total minus the sum of these) — the
@@ -719,6 +740,15 @@ def main() -> None:
                 "round where one contended iteration inflates the total "
                 "is self-adjudicating — compare the iteration median, "
                 "not the 10-iteration sum"
+            ),
+            "r13_value_semantics": (
+                "VERDICT r12 #3/#4: from r13 the headline `queries` value "
+                "is the per-entry MIN of N runs (was median; medians kept "
+                "in queries_median) and the *_x10 entries report the "
+                "PER-ITERATION median of their 10 searches (was the "
+                "10-iteration sum; ×10 to compare against r12 and "
+                "earlier).  Round-over-round totals step DOWN ~100s at "
+                "this boundary for bookkeeping reasons, not plan changes."
             ),
             "suite_total_r8": (
                 "the r8 suite total grew ~120s over r7 from NEW entries "

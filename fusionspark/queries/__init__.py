@@ -71,6 +71,7 @@ def load_all() -> None:
         clustering_queries,
         composition_queries,
         embedding_queries,
+        inference_queries,
         layout_queries,
         extended_queries,
         mining_queries,

@@ -5,6 +5,132 @@ from pyspark.sql import functions as F
 spark = get_spark(); spark.sparkContext.setLogLevel("ERROR")
 sf = "/root/testdata/sf0.1"
 
+
+# ── registry-wide window-partition audit (VERDICT r12 #5) ────────────────
+# `python tools/plan_audit.py --windows` sweeps EVERY registry query's
+# optimized logical plan and, for each Window node, reports whether it is
+# partitioned and whether its input is bounded (an Aggregate or a
+# GlobalLimit sits between the window and every base relation).  The one
+# anti-pattern class previously guarded only by docstring discipline — an
+# UNPARTITIONED window whose input is a raw table — is a hard FLAG unless
+# the query is in WINDOW_WHITELIST with a justification.  At 100 TB an
+# unpartitioned window over raw rows is a single-reducer global sort; over
+# a post-aggregation frame it touches only the (bounded) group grid.
+
+#: query -> why its unpartitioned raw-input window is acceptable.  Keep
+#: EMPTY of raw-table windows: an entry here must describe a frame that is
+#: structurally bounded even though the plan shows no Aggregate/Limit
+#: between window and relation.
+WINDOW_WHITELIST: dict[str, str] = {}
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str]]:
+    """(depth, node_name) per line of a catalyst toString tree."""
+    out = []
+    for line in plan.splitlines():
+        if not line.strip():
+            continue
+        stripped = line
+        depth = 0
+        while stripped[:3] in ("   ", ":  ", "+- ", ":- "):
+            last = stripped[:3]
+            stripped = stripped[3:]
+            depth += 1
+            if last in ("+- ", ":- "):
+                break
+        name = stripped.split(" ", 1)[0].split("(", 1)[0]
+        out.append((depth, name, stripped))
+    return out
+
+
+#: nodes that bound the row count flowing upward (grid/group/limit frames)
+_BOUNDING = {"Aggregate", "GlobalLimit", "Deduplicate", "OneRowRelation",
+             "LocalRelation", "Range"}
+
+
+def _window_report(plan: str) -> list[dict]:
+    """For each Window node: partitioned? every-path-bounded?"""
+    nodes = _parse_tree(plan)
+    reports = []
+    for i, (d, name, text) in enumerate(nodes):
+        if name != "Window":
+            continue
+        # top-level bracket groups of the node text: [exprs], then either
+        # [partitionSpec], [orderSpec] (3 groups), or a single second group
+        # that is the ORDER spec when the window is unpartitioned (sort
+        # expressions carry ASC/DESC) and the PARTITION spec when the
+        # window is partitioned but unordered (count-over-partition).
+        groups: list[str] = []
+        lvl = 0
+        start = -1
+        for pos, ch in enumerate(text):
+            if ch == "[":
+                if lvl == 0:
+                    start = pos + 1
+                lvl += 1
+            elif ch == "]":
+                lvl -= 1
+                if lvl == 0:
+                    groups.append(text[start:pos])
+        if len(groups) >= 3:
+            partitioned = True
+        elif len(groups) == 2:
+            partitioned = not re.search(r"\b(ASC|DESC)\b", groups[1])
+        else:
+            partitioned = False
+        # subtree = following lines with depth > d, until depth <= d
+        unbounded_rel = []
+        stack: list[tuple[int, str]] = []  # (depth, name) ancestry below window
+        for d2, n2, _t2 in nodes[i + 1:]:
+            if d2 <= d:
+                break
+            while stack and stack[-1][0] >= d2:
+                stack.pop()
+            if n2.startswith("Relation"):
+                if not any(s in _BOUNDING for _, s in stack):
+                    unbounded_rel.append(_t2.split("parquet")[0][:60])
+            stack.append((d2, n2))
+        reports.append(
+            {"partitioned": partitioned, "raw_inputs": unbounded_rel}
+        )
+    return reports
+
+
+if "--windows" in sys.argv:
+    from fusionspark.queries import REGISTRY, load_all
+
+    load_all()
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    flagged = []
+    for qname, (fn, _sql) in REGISTRY.items():
+        if only and qname not in only:
+            continue
+        try:
+            df = fn(spark, sf)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception as e:  # noqa: BLE001 — audit must cover the rest
+            print(f"?? {qname}: PLAN ERROR {e}")
+            continue
+        reps = _window_report(plan)
+        bad = [r for r in reps if not r["partitioned"] and r["raw_inputs"]]
+        if not reps:
+            continue
+        status = "FLAG" if bad and qname not in WINDOW_WHITELIST else "ok"
+        if bad and qname in WINDOW_WHITELIST:
+            status = f"whitelisted ({WINDOW_WHITELIST[qname]})"
+        summary = [
+            ("unpart" if not r["partitioned"] else "part")
+            + ("/raw" if r["raw_inputs"] else "/bounded")
+            for r in reps
+        ]
+        print(f"== {qname}: windows={summary} {status}")
+        for r in bad:
+            print(f"   raw inputs: {r['raw_inputs']}")
+        if status == "FLAG":
+            flagged.append(qname)
+    print(f"\nwindow audit: {len(flagged)} flagged", flagged)
+    sys.exit(0 if not flagged else 1)
+
 def audit(name, df):
     import io, contextlib
     buf = io.StringIO()
