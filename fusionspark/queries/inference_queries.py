@@ -743,3 +743,269 @@ def mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-1)
         .alias("direction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bartlett_test — variance homogeneity across the five event types
+# ---------------------------------------------------------------------------
+
+
+def _bartlett_oracle() -> str:
+    piv = ",\n               ".join(
+        f"SUM(CASE WHEN g = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n{i},\n"
+        f"               SUM(CASE WHEN g = '{t}' THEN v ELSE 0 END)::BIGINT AS s{i},\n"
+        f"               SUM(CASE WHEN g = '{t}' THEN v * v ELSE 0 END)::BIGINT AS ss{i}"
+        for i, t in enumerate(_TYPES)
+    )
+    s2 = lambda i: (  # noqa: E731
+        f"((ss{i} - s{i}::DOUBLE * s{i} / n{i}) / (n{i} - 1))"
+    )
+    sstot = " + ".join(f"ss{i}" for i in range(5))
+    sb = " + ".join(f"(s{i}::DOUBLE * s{i} / n{i})" for i in range(5))
+    nn = " + ".join(f"n{i}" for i in range(5))
+    sum_ln = " + ".join(f"(n{i} - 1) * ln({s2(i)})" for i in range(5))
+    sum_inv = " + ".join(f"1.0 / (n{i} - 1)" for i in range(5))
+    ok = " AND ".join(
+        f"n{i} > 1 AND ss{i} - s{i}::DOUBLE * s{i} / n{i} > 0" for i in range(5)
+    )
+    return f"""
+    WITH ev AS (
+        SELECT event_type AS g, FLOOR(value * 100.0 + 0.5)::BIGINT AS v
+        FROM events
+    ),
+    wide AS (
+        SELECT {piv}
+        FROM ev
+    ),
+    f AS (
+        SELECT ({nn})::BIGINT AS n, ({sstot})::BIGINT AS sstot, ({sb}) AS sb,
+               CASE WHEN {ok} THEN ({sum_ln}) ELSE NULL END AS sln,
+               ({sum_inv}) AS sinv,
+               CASE WHEN {ok} THEN 1 ELSE 0 END AS ok
+        FROM wide
+    )
+    SELECT n AS n_obs, 5::BIGINT AS k_groups,
+           CASE WHEN ok = 1 AND sstot - sb > 0 THEN
+               ROUND(((n - 5) * ln((sstot - sb) / (n - 5)) - sln)
+                     / (1 + (sinv - 1.0 / (n - 5)) / 12), 6) + 0.0
+           END AS chi2,
+           CASE WHEN ok = 1 AND sstot - sb > 0 THEN
+               ((n - 5) * ln((sstot - sb) / (n - 5)) - sln)
+               / (1 + (sinv - 1.0 / (n - 5)) / 12) > 9488::DOUBLE / 1000
+           END AS variances_differ
+    FROM f
+    """
+
+
+@query("bartlett_test", _bartlett_oracle())
+def bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the five event
+    types — the PARAMETRIC companion to levene_test (more powerful
+    under normality, fragile otherwise; running both is the standard
+    pre-ANOVA protocol): chi2 = [(N-k) ln(sp^2) - sum (n_i-1) ln(s_i^2)]
+    / C with the usual correction C, df = k-1 = 4, rejected against
+    9.488 = chi2_.05(4) as an integer-literal ratio.
+
+    Parity: per-group (n, sum v, sum v^2) are exact BIGINTs in ONE
+    pivoted aggregate (fixed 5-type literal order for every cross-group
+    sum); each variance is the levene-precedent S::DOUBLE*S/n form;
+    ln runs on identical computed doubles in both engines (the
+    weighted_sample/lm_perplexity precedent); degenerate groups
+    (n_i <= 1 or zero variance) yield NULL in both engines; `+ 0.0`
+    since chi2 can round to zero from above.
+
+    Scale: one map-side-combined aggregate collapses the corpus to a
+    single 15-column row; the statistic is a closed form on it."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v"),
+    )
+    aggs = []
+    for i, t in enumerate(_TYPES):
+        at = F.col("g") == t
+        aggs += [
+            F.sum(F.when(at, 1).otherwise(0)).cast("long").alias(f"n{i}"),
+            F.sum(F.when(at, F.col("v")).otherwise(0)).cast("long").alias(f"s{i}"),
+            F.sum(F.when(at, F.col("v") * F.col("v")).otherwise(0))
+            .cast("long")
+            .alias(f"ss{i}"),
+        ]
+    wide = ev.agg(*aggs)
+
+    def s2(i: int):
+        n_i, s_i, ss_i = F.col(f"n{i}"), F.col(f"s{i}"), F.col(f"ss{i}")
+        return (ss_i - s_i.cast("double") * s_i / n_i) / (n_i - 1)
+
+    n = sum((F.col(f"n{i}") for i in range(1, 5)), F.col("n0"))
+    sstot = sum((F.col(f"ss{i}") for i in range(1, 5)), F.col("ss0"))
+    sb = None
+    sln = None
+    sinv = None
+    ok = None
+    for i in range(5):
+        n_i, s_i, ss_i = F.col(f"n{i}"), F.col(f"s{i}"), F.col(f"ss{i}")
+        t_sb = s_i.cast("double") * s_i / n_i
+        t_ln = (n_i - 1) * F.log(s2(i))
+        t_inv = F.lit(1.0) / (n_i - 1)
+        cond = (n_i > 1) & (ss_i - s_i.cast("double") * s_i / n_i > 0)
+        sb = t_sb if sb is None else sb + t_sb
+        sln = t_ln if sln is None else sln + t_ln
+        sinv = t_inv if sinv is None else sinv + t_inv
+        ok = cond if ok is None else ok & cond
+    f = wide.select(
+        n.cast("long").alias("n"),
+        sstot.cast("long").alias("sstot"),
+        sb.alias("sb"),
+        F.when(ok, sln).alias("sln"),
+        sinv.alias("sinv"),
+        F.when(ok, 1).otherwise(0).alias("ok"),
+    )
+    nn = F.col("n")
+    chi2 = (
+        (nn - 5) * F.log((F.col("sstot") - F.col("sb")) / (nn - 5))
+        - F.col("sln")
+    ) / (1 + (F.col("sinv") - F.lit(1.0) / (nn - 5)) / 12)
+    good = (F.col("ok") == 1) & (F.col("sstot") - F.col("sb") > 0)
+    crit = F.lit(9488).cast("double") / F.lit(1000).cast("double")
+    return f.select(
+        nn.alias("n_obs"),
+        F.lit(5).cast("long").alias("k_groups"),
+        F.when(good, F.round(chi2, 6) + 0.0).alias("chi2"),
+        F.when(good, chi2 > crit).alias("variances_differ"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# theil_u — uncertainty coefficient U(event_type | day-of-week)
+# ---------------------------------------------------------------------------
+
+
+def _theil_u_oracle() -> str:
+    cells = ",\n               ".join(
+        f"SUM(CASE WHEN w = {i} AND g = '{t}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS c{i}_{j}"
+        for i in _DOWS
+        for j, t in enumerate(_TYPES)
+    )
+    rows = " + ".join  # noqa: E731 — helper alias
+    r = {i: " + ".join(f"c{i}_{j}" for j in range(5)) for i in _DOWS}
+    k = {j: " + ".join(f"c{i}_{j}" for i in _DOWS) for j in range(5)}
+    n = " + ".join(f"c{i}_{j}" for i in _DOWS for j in range(5))
+    sum_k = " + ".join(
+        f"CASE WHEN ({k[j]}) > 0 THEN ({k[j]}) * ln(({k[j]})::DOUBLE)"
+        f" ELSE 0.0 END"
+        for j in range(5)
+    )
+    sum_r = " + ".join(
+        f"CASE WHEN ({r[i]}) > 0 THEN ({r[i]}) * ln(({r[i]})::DOUBLE)"
+        f" ELSE 0.0 END"
+        for i in _DOWS
+    )
+    sum_c = " + ".join(
+        f"CASE WHEN c{i}_{j} > 0 THEN c{i}_{j} * ln(c{i}_{j}::DOUBLE)"
+        f" ELSE 0.0 END"
+        for i in _DOWS
+        for j in range(5)
+    )
+    return f"""
+    WITH ev AS (
+        SELECT date_part('dow', ts)::BIGINT AS w, event_type AS g
+        FROM events
+    ),
+    wide AS (
+        SELECT {cells}
+        FROM ev
+    ),
+    f AS (
+        SELECT ({n})::BIGINT AS n, ({sum_k}) AS sk, ({sum_r}) AS sr,
+               ({sum_c}) AS sc
+        FROM wide
+    )
+    SELECT n AS n_obs,
+           ROUND(ln(n::DOUBLE) - sk / n, 6) AS h_type,
+           ROUND((sr - sc) / n, 6) AS h_type_given_dow,
+           CASE WHEN ln(n::DOUBLE) - sk / n > 0 THEN
+               ROUND((ln(n::DOUBLE) - sk / n - (sr - sc) / n)
+                     / (ln(n::DOUBLE) - sk / n), 6) + 0.0
+           END AS theil_u
+    FROM f
+    """
+
+
+@query("theil_u", _theil_u_oracle())
+def theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(event_type | day-of-week) —
+    the ASYMMETRIC, chance-normalized categorical association (how much
+    of the event-type entropy does knowing the weekday remove), the
+    information-theoretic companion to cramers_v (symmetric, chi2-
+    based): U = (H(Y) - H(Y|X)) / H(Y) in [0, 1].
+
+    Parity: the 35 contingency cells pivot to fixed columns in ONE
+    aggregate; every entropy sum (5 column totals, 7 row totals, 35
+    cells) folds in FIXED literal order with c*ln(c) terms guarded at
+    zero; ln runs on identical exact-integer-cast doubles in both
+    engines (entropy_rate precedent); H(Y) = ln N - sum k ln k / N is
+    written with the identical tree on both sides; `+ 0.0` kills the
+    signed zero of an independence-exact corpus.
+
+    Scale: one groupBy-free pivoted aggregate (map-side combine over
+    35 conditions) collapses the corpus to a single row."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        (F.dayofweek("ts") - 1).cast("long").alias("w"),
+        F.col("event_type").alias("g"),
+    )
+    aggs = [
+        F.sum(F.when((F.col("w") == i) & (F.col("g") == t), 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{i}_{j}")
+        for i in _DOWS
+        for j, t in enumerate(_TYPES)
+    ]
+    wide = ev.agg(*aggs)
+
+    def lnterm(col):
+        return F.when(col > 0, col * F.log(col.cast("double"))).otherwise(
+            F.lit(0.0)
+        )
+
+    rsum = {
+        i: sum((F.col(f"c{i}_{j}") for j in range(1, 5)), F.col(f"c{i}_0"))
+        for i in _DOWS
+    }
+    ksum = {
+        j: sum(
+            (F.col(f"c{i}_{j}") for i in _DOWS[1:]), F.col(f"c0_{j}")
+        )
+        for j in range(5)
+    }
+    n = sum(
+        (F.col(f"c{i}_{j}") for i in _DOWS for j in range(5) if (i, j) != (0, 0)),
+        F.col("c0_0"),
+    )
+    sk = None
+    for j in range(5):
+        t = lnterm(ksum[j])
+        sk = t if sk is None else sk + t
+    sr = None
+    for i in _DOWS:
+        t = lnterm(rsum[i])
+        sr = t if sr is None else sr + t
+    sc = None
+    for i in _DOWS:
+        for j in range(5):
+            t = lnterm(F.col(f"c{i}_{j}"))
+            sc = t if sc is None else sc + t
+    f = wide.select(
+        n.cast("long").alias("n"), sk.alias("sk"), sr.alias("sr"), sc.alias("sc")
+    )
+    nn = F.col("n")
+    hy = F.log(nn.cast("double")) - F.col("sk") / nn
+    hyx = (F.col("sr") - F.col("sc")) / nn
+    return f.select(
+        nn.alias("n_obs"),
+        F.round(hy, 6).alias("h_type"),
+        F.round(hyx, 6).alias("h_type_given_dow"),
+        F.when(hy > 0, F.round((hy - hyx) / hy, 6) + 0.0).alias("theil_u"),
+    )
