@@ -1009,3 +1009,415 @@ def theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hyx, 6).alias("h_type_given_dow"),
         F.when(hy > 0, F.round((hy - hyx) / hy, 6) + 0.0).alias("theil_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cvm_two_sample — Cramér–von Mises distance purchase vs view
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cvm_two_sample",
+    """
+    WITH ev AS (
+        SELECT event_type AS g, FLOOR(value * 100.0 + 0.5)::BIGINT AS v,
+               COUNT(*)::BIGINT AS cnt
+        FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT v,
+               SUM(CASE WHEN g = 'purchase' THEN cnt ELSE 0 END)::BIGINT AS cp,
+               SUM(CASE WHEN g = 'view' THEN cnt ELSE 0 END)::BIGINT AS cv
+        FROM ev GROUP BY v
+    ),
+    cum AS (
+        SELECT cp, cv,
+               SUM(cp) OVER (ORDER BY v)::BIGINT AS fp,
+               SUM(cv) OVER (ORDER BY v)::BIGINT AS fv
+        FROM grid
+    ),
+    tot AS (
+        SELECT SUM(cp)::BIGINT AS n, SUM(cv)::BIGINT AS m FROM grid
+    ),
+    s AS (
+        SELECT SUM((cp + cv)::HUGEINT
+                   * ((t.m * c.fp - t.n * c.fv)::HUGEINT
+                      * (t.m * c.fp - t.n * c.fv)::HUGEINT))::HUGEINT AS s2,
+               MAX(t.n)::BIGINT AS n, MAX(t.m)::BIGINT AS m
+        FROM cum c, tot t
+    )
+    SELECT n AS n_purchase, m AS n_view,
+           ROUND(s2::DOUBLE
+                 / ((n::DOUBLE * m) * ((n + m)::DOUBLE * (n + m))), 6)
+               AS cvm_t
+    FROM s
+    """,
+)
+def cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic between purchase and view
+    event values — the INTEGRATED-distance companion to ks_two_sample
+    (KS reads only the single worst ECDF gap; CvM accumulates every
+    gap, so it sees broad shape drift KS misses): the tied-data ECDF
+    plug-in form T = nm/N^2 * sum over all observations of
+    (F_n - G_m)^2.
+
+    Parity: per-value inclusive cumulative counts fp, fv are exact
+    BIGINTs off the shared cents grid; each term (cp+cv)*(m*fp - n*fv)^2
+    is exact 128-bit integer arithmetic (DuckDB HUGEINT / Spark
+    DECIMAL(38,0) — int64 headroom runs out at (m*fp)^2), and the one
+    division casts the SAME exact integer to double in both engines.
+
+    Scale: one groupBy(type, cents) + one grid cumulative window over
+    distinct cents; the N^2-free grid form never touches raw pairs."""
+    e = load_table(spark, sf_dir, "events")
+    ev = (
+        e.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy(
+            F.col("event_type").alias("g"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    grid = ev.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "purchase", F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+        F.sum(F.when(F.col("g") == "view", F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("cv"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "cp",
+        "cv",
+        F.sum("cp").over(w).cast("long").alias("fp"),
+        F.sum("cv").over(w).cast("long").alias("fv"),
+    )
+    tot = grid.agg(
+        F.sum("cp").cast("long").alias("n"), F.sum("cv").cast("long").alias("m")
+    )
+    c = cum.crossJoin(F.broadcast(tot))
+    d = (F.col("m") * F.col("fp") - F.col("n") * F.col("fv")).cast(
+        "decimal(19,0)"
+    )
+    term = (F.col("cp") + F.col("cv")).cast("decimal(19,0)") * (d * d)
+    s = c.agg(
+        F.sum(term.cast("decimal(38,0)")).alias("s2"),
+        F.max("n").cast("long").alias("n"),
+        F.max("m").cast("long").alias("m"),
+    )
+    n, m = F.col("n"), F.col("m")
+    return s.select(
+        n.alias("n_purchase"),
+        m.alias("n_view"),
+        F.round(
+            F.col("s2").cast("double")
+            / ((n.cast("double") * m) * ((n + m).cast("double") * (n + m))),
+            6,
+        ).alias("cvm_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kpss_test — level stationarity of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kpss_test",
+    f"""
+    WITH {_DAILY_CTE},
+    tot AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s FROM daily
+    ),
+    dev AS (
+        SELECT (t.n * d.x - t.s)::BIGINT AS dd, d.day
+        FROM daily d, tot t
+    ),
+    part AS (
+        SELECT dd, SUM(dd) OVER (ORDER BY day)::BIGINT AS p
+        FROM dev
+    ),
+    s AS (
+        SELECT SUM(p::HUGEINT * p::HUGEINT)::HUGEINT AS sp2,
+               SUM(dd::HUGEINT * dd::HUGEINT)::HUGEINT AS sd2,
+               COUNT(*)::BIGINT AS n
+        FROM part
+    )
+    SELECT n AS n_days,
+           CASE WHEN sd2 > 0 THEN
+               ROUND(sp2::DOUBLE / (n::DOUBLE * sd2::DOUBLE), 6)
+           END AS kpss_eta,
+           CASE WHEN sd2 > 0 THEN
+               sp2::DOUBLE / (n::DOUBLE * sd2::DOUBLE) > 463::DOUBLE / 1000
+           END AS nonstationary
+    FROM s
+    """,
+)
+def kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test (lag-0) on the daily revenue series
+    — the NULL-reversed companion to the trend family (mann_kendall /
+    theil_sen test FOR a trend; KPSS tests AGAINST stationarity, so
+    running both separates trend from random walk): eta = sum_t S_t^2
+    / (n^2 * sigma^2), rejected against 0.463 = 5% level critical
+    value as an integer-literal ratio.
+
+    Parity: residuals scale by n (d_t = n*x_t - S, exact BIGINT) so
+    partial sums P_t = n^2 * S_t are exact; eta folds to
+    sum P^2 / (n * sum d^2) with both squares in 128-bit exact
+    arithmetic (HUGEINT / DECIMAL(38,0)); ONE division of identical
+    doubles; the all-constant series yields NULL in both engines.
+
+    Scale: the corpus collapses in one groupBy(day); the cumulative
+    window runs over the bounded daily frame."""
+    d = _daily_frame(spark, sf_dir).localCheckpoint(eager=True)
+    tot = d.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    dev = d.crossJoin(F.broadcast(tot)).select(
+        (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("dd"),
+        "day",
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    part = dev.select("dd", F.sum("dd").over(w).cast("long").alias("p"))
+    pd_ = F.col("p").cast("decimal(19,0)")
+    dd_ = F.col("dd").cast("decimal(19,0)")
+    s = part.agg(
+        F.sum((pd_ * pd_).cast("decimal(38,0)")).alias("sp2"),
+        F.sum((dd_ * dd_).cast("decimal(38,0)")).alias("sd2"),
+        F.count("*").cast("long").alias("n"),
+    )
+    n = F.col("n")
+    eta = F.col("sp2").cast("double") / (
+        n.cast("double") * F.col("sd2").cast("double")
+    )
+    good = F.col("sd2") > 0
+    crit = F.lit(463).cast("double") / F.lit(1000).cast("double")
+    return s.select(
+        n.alias("n_days"),
+        F.when(good, F.round(eta, 6)).alias("kpss_eta"),
+        F.when(good, eta > crit).alias("nonstationary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# permutation_entropy — ordinal-pattern complexity of the daily series
+# ---------------------------------------------------------------------------
+
+#: ln 6 as an integer-literal ratio (max entropy of order-3 patterns)
+_LN6_NUM = 1791759469228055
+
+
+def _perm_entropy_oracle() -> str:
+    cells = ",\n               ".join(
+        f"SUM(CASE WHEN pid = {p} THEN 1 ELSE 0 END)::BIGINT AS c{p}"
+        for p in range(27)
+    )
+    sum_c = " + ".join(
+        f"CASE WHEN c{p} > 0 THEN c{p} * ln(c{p}::DOUBLE) ELSE 0.0 END"
+        for p in range(27)
+    )
+    n_pat = " + ".join(f"CASE WHEN c{p} > 0 THEN 1 ELSE 0 END" for p in range(27))
+    nw = " + ".join(f"c{p}" for p in range(27))
+    return f"""
+    WITH {_DAILY_CTE},
+    tri AS (
+        SELECT x AS x1,
+               LEAD(x, 1) OVER (ORDER BY day) AS x2,
+               LEAD(x, 2) OVER (ORDER BY day) AS x3
+        FROM daily
+    ),
+    pat AS (
+        SELECT ((CASE WHEN x2 > x1 THEN 2 WHEN x2 = x1 THEN 1 ELSE 0 END) * 9
+                + (CASE WHEN x3 > x1 THEN 2 WHEN x3 = x1 THEN 1 ELSE 0 END) * 3
+                + (CASE WHEN x3 > x2 THEN 2 WHEN x3 = x2 THEN 1 ELSE 0 END)
+               )::BIGINT AS pid
+        FROM tri WHERE x3 IS NOT NULL
+    ),
+    wide AS (
+        SELECT {cells}
+        FROM pat
+    ),
+    f AS (
+        SELECT ({nw})::BIGINT AS nw, ({sum_c}) AS sc, ({n_pat})::BIGINT AS np
+        FROM wide
+    )
+    SELECT nw AS n_windows, np AS n_patterns,
+           CASE WHEN nw > 0 THEN
+               ROUND(ln(nw::DOUBLE) - sc / nw, 6) + 0.0 END AS perm_entropy,
+           CASE WHEN nw > 0 THEN
+               ROUND((ln(nw::DOUBLE) - sc / nw)
+                     / ({_LN6_NUM}::DOUBLE / 1000000000000000), 6) + 0.0
+           END AS normalized
+    FROM f
+    """
+
+
+@query("permutation_entropy", _perm_entropy_oracle())
+def permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002, order 3) of the daily
+    revenue series — ordinal-pattern complexity: how unpredictable are
+    the SHAPES of consecutive 3-day windows (the model-free complement
+    to hurst_exponent's long-memory and entropy_rate's Markov
+    predictability; ties get their own pattern class, so the id space
+    is the 27 sign-triples).
+
+    Parity: pattern ids are exact integer encodings of three sign
+    comparisons on exact cents; the 27 pattern counts pivot to fixed
+    columns so the entropy folds in literal order (theil_u precedent);
+    ln on identical exact-int doubles; ln(6) enters as an integer-
+    literal ratio; `+ 0.0` for the perfectly regular series.
+
+    Scale: the corpus collapses in one groupBy(day); LEAD windows run
+    over the bounded daily frame only."""
+    d = _daily_frame(spark, sf_dir)
+    w = Window.orderBy("day")
+    tri = d.select(
+        F.col("x").alias("x1"),
+        F.lead("x", 1).over(w).alias("x2"),
+        F.lead("x", 2).over(w).alias("x3"),
+    ).filter(F.col("x3").isNotNull())
+
+    def trit(hi, lo):
+        return (
+            F.when(hi > lo, 2).when(hi == lo, 1).otherwise(0)
+        )
+
+    pat = tri.select(
+        (
+            trit(F.col("x2"), F.col("x1")) * 9
+            + trit(F.col("x3"), F.col("x1")) * 3
+            + trit(F.col("x3"), F.col("x2"))
+        )
+        .cast("long")
+        .alias("pid")
+    )
+    aggs = [
+        F.sum(F.when(F.col("pid") == p, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{p}")
+        for p in range(27)
+    ]
+    wide = pat.agg(*aggs)
+    nw = sum((F.col(f"c{p}") for p in range(1, 27)), F.col("c0"))
+    sc = None
+    np_ = None
+    for p in range(27):
+        c = F.col(f"c{p}")
+        t = F.when(c > 0, c * F.log(c.cast("double"))).otherwise(F.lit(0.0))
+        sc = t if sc is None else sc + t
+        one = F.when(c > 0, 1).otherwise(0)
+        np_ = one if np_ is None else np_ + one
+    f = wide.select(
+        nw.cast("long").alias("nw"), sc.alias("sc"), np_.cast("long").alias("np")
+    )
+    nn = F.col("nw")
+    h = F.log(nn.cast("double")) - F.col("sc") / nn
+    ln6 = F.lit(_LN6_NUM).cast("double") / F.lit(10**15).cast("double")
+    return f.select(
+        nn.alias("n_windows"),
+        F.col("np").alias("n_patterns"),
+        F.when(nn > 0, F.round(h, 6) + 0.0).alias("perm_entropy"),
+        F.when(nn > 0, F.round(h / ln6, 6) + 0.0).alias("normalized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bowker_symmetry — symmetry test of the event-type transition matrix
+# ---------------------------------------------------------------------------
+
+
+def _bowker_oracle() -> str:
+    cells = ",\n               ".join(
+        f"SUM(CASE WHEN g = '{a}' AND ng = '{b}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS c_{i}_{j}"
+        for i, a in enumerate(_TYPES)
+        for j, b in enumerate(_TYPES)
+    )
+    pairs = [(i, j) for i in range(5) for j in range(5) if i < j]
+    chi2 = " + ".join(
+        f"CASE WHEN c_{i}_{j} + c_{j}_{i} > 0 THEN"
+        f" ((c_{i}_{j} - c_{j}_{i}) * (c_{i}_{j} - c_{j}_{i}))::DOUBLE"
+        f" / (c_{i}_{j} + c_{j}_{i}) ELSE 0.0 END"
+        for i, j in pairs
+    )
+    df = " + ".join(
+        f"CASE WHEN c_{i}_{j} + c_{j}_{i} > 0 THEN 1 ELSE 0 END"
+        for i, j in pairs
+    )
+    n = " + ".join(f"c_{i}_{j}" for i in range(5) for j in range(5))
+    return f"""
+    WITH seq AS (
+        SELECT event_type AS g,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS ng
+        FROM events
+    ),
+    pairs AS (SELECT g, ng FROM seq WHERE ng IS NOT NULL),
+    wide AS (
+        SELECT {cells}
+        FROM pairs
+    )
+    SELECT ({n})::BIGINT AS n_transitions,
+           ({df})::BIGINT AS df,
+           ROUND({chi2}, 6) + 0.0 AS chi2
+    FROM wide
+    """
+
+
+@query("bowker_symmetry", _bowker_oracle())
+def bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker's symmetry test on the per-user event-type transition
+    matrix — is the session flow DIRECTIONAL (view->purchase more
+    common than purchase->view) or symmetric: the k-category McNemar
+    generalization, chi2 = sum over unordered type pairs of
+    (c_ij - c_ji)^2 / (c_ij + c_ji), df = #pairs observed — the
+    inferential layer on top of event_transitions' raw counts and
+    entropy_rate's predictability.
+
+    Parity: the 25 transition cells are exact conditional BIGINTs in
+    ONE pivoted aggregate over the same LEAD pairs as entropy_rate;
+    the 10 chi2 terms (exact-integer numerator, one division each)
+    sum in FIXED (i, j) literal order; empty pairs contribute exact
+    0.0 and drop from df in both engines; `+ 0.0` for the perfectly
+    symmetric corpus.
+
+    Scale: one per-user window builds transitions (hash-partitioned by
+    user), one aggregate collapses to a single row."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        F.col("event_type").alias("g"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("ng"),
+    ).filter(F.col("ng").isNotNull())
+    aggs = [
+        F.sum(F.when((F.col("g") == a) & (F.col("ng") == b), 1).otherwise(0))
+        .cast("long")
+        .alias(f"c_{i}_{j}")
+        for i, a in enumerate(_TYPES)
+        for j, b in enumerate(_TYPES)
+    ]
+    wide = seq.agg(*aggs)
+    pairs = [(i, j) for i in range(5) for j in range(5) if i < j]
+    chi2 = None
+    df = None
+    for i, j in pairs:
+        cij, cji = F.col(f"c_{i}_{j}"), F.col(f"c_{j}_{i}")
+        t = F.when(
+            cij + cji > 0,
+            ((cij - cji) * (cij - cji)).cast("double") / (cij + cji),
+        ).otherwise(F.lit(0.0))
+        chi2 = t if chi2 is None else chi2 + t
+        one = F.when(cij + cji > 0, 1).otherwise(0)
+        df = one if df is None else df + one
+    n = None
+    for i in range(5):
+        for j in range(5):
+            c = F.col(f"c_{i}_{j}")
+            n = c if n is None else n + c
+    return wide.select(
+        n.cast("long").alias("n_transitions"),
+        df.cast("long").alias("df"),
+        (F.round(chi2, 6) + 0.0).alias("chi2"),
+    )
