@@ -1421,3 +1421,498 @@ def bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.cast("long").alias("df"),
         (F.round(chi2, 6) + 0.0).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_assortativity — degree mixing on the deterministic link graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_assortativity",
+    """
+    WITH docs AS (SELECT doc_id FROM documents),
+    nn AS (SELECT COUNT(*) AS n FROM docs),
+    raw AS (
+        SELECT doc_id AS s, (doc_id + 1) % (SELECT n FROM nn) AS d FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM docs
+        UNION ALL
+        SELECT doc_id, (doc_id * 3 + 1) % (SELECT n FROM nn) FROM docs
+    ),
+    e AS (
+        SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM raw WHERE s <> d
+    ),
+    deg AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS dg FROM (
+            SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY doc_id
+    ),
+    ed AS (
+        SELECT da.dg AS j, db.dg AS k
+        FROM e JOIN deg da ON da.doc_id = e.a
+               JOIN deg db ON db.doc_id = e.b
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS m,
+               SUM(j * k)::BIGINT AS sjk,
+               SUM(j + k)::BIGINT AS sjpk,
+               SUM(j * j + k * k)::BIGINT AS sj2k2
+        FROM ed
+    )
+    SELECT m AS n_edges,
+           (4 * m * sjk - sjpk * sjpk)::BIGINT AS num4,
+           (2 * m * sj2k2 - sjpk * sjpk)::BIGINT AS den4,
+           CASE WHEN 2 * m * sj2k2 - sjpk * sjpk > 0 THEN
+               ROUND((4 * m * sjk - sjpk * sjpk)::DOUBLE
+                     / (2 * m * sj2k2 - sjpk * sjpk), 6) + 0.0
+           END AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the
+    deterministic 3-out link graph d -> {d+1, d+2, 3d+1} mod N — do
+    high-degree nodes link to high-degree nodes: the graph-level mixing
+    readout on top of graph_triangles' local clustering and
+    degree_distribution's marginals (assortative crawl/link graphs
+    shard differently from disassortative hub-and-spoke ones).
+
+    Parity: r is the Pearson correlation over edge endpoint degree
+    pairs, folded to exact BIGINTs by multiplying through by 4M^2
+    (num4 = 4M*sum(jk) - (sum(j+k))^2, den4 likewise with the mean of
+    squares); degrees are bounded (<= 6) so every sum is int64-safe at
+    any SF; ONE guarded division, `+ 0.0` for the exactly-neutral
+    graph.
+
+    Scale: the same two id-keyed equi-joins as graph_triangles (edges
+    to the degree table); no window, no cartesian."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    edges = None
+    for a, b in ((1, 1), (1, 2), (3, 1)):
+        e = docs.select(d.alias("s"), ((d * a + b) % n).alias("dd"))
+        edges = e if edges is None else edges.unionAll(e)
+    e = (
+        edges.filter(F.col("s") != F.col("dd"))
+        .select(
+            F.least("s", "dd").alias("a"), F.greatest("s", "dd").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("doc_id"))
+        .unionAll(e.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("dg"))
+    )
+    da = deg.select(F.col("doc_id").alias("a"), F.col("dg").alias("j"))
+    db = deg.select(F.col("doc_id").alias("b"), F.col("dg").alias("k"))
+    ed = e.join(da, "a").join(db, "b")
+    s = ed.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("j") * F.col("k")).cast("long").alias("sjk"),
+        F.sum(F.col("j") + F.col("k")).cast("long").alias("sjpk"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("long")
+        .alias("sj2k2"),
+    )
+    m, sjk = F.col("m"), F.col("sjk")
+    sjpk, sj2k2 = F.col("sjpk"), F.col("sj2k2")
+    num4 = 4 * m * sjk - sjpk * sjpk
+    den4 = 2 * m * sj2k2 - sjpk * sjpk
+    return s.select(
+        m.alias("n_edges"),
+        num4.cast("long").alias("num4"),
+        den4.cast("long").alias("den4"),
+        F.when(den4 > 0, F.round(num4.cast("double") / den4, 6) + 0.0).alias(
+            "assortativity"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats — per-dimension exact moments (embedding health)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_dim_stats",
+    """
+    WITH ex AS (
+        -- the ::DOUBLE cast is load-bearing: FLOAT * 1000000.0 (a DECIMAL
+        -- literal) does not promote to DOUBLE in DuckDB, and the float
+        -- product rounds differently from Spark's float-widened double
+        SELECT i - 1 AS dim,
+               FLOOR(embedding[i]::DOUBLE * 1000000.0 + 0.5)::BIGINT AS q
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT dim::BIGINT AS dim, COUNT(*)::BIGINT AS n,
+           MIN(q)::BIGINT AS min_micro, MAX(q)::BIGINT AS max_micro,
+           SUM(q)::BIGINT AS sum_micro,
+           ROUND((SUM(q)::DOUBLE / COUNT(*)) / 1000000.0, 6) + 0.0 AS mean,
+           ROUND((SUM(q * q)::BIGINT - SUM(q)::DOUBLE * SUM(q) / COUNT(*))
+                 / (COUNT(*) - 1) / 1000000000000.0, 6) + 0.0 AS variance
+    FROM ex GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment profile of the embedding corpus — the
+    vector-column health check a 100 TB embedding pipeline runs before
+    trusting ANN recall (a dead dimension, a scale outlier, or a
+    mean-shifted batch shows up here long before recall drops; the
+    per-dimension complement to embedding_spectrum's global PCA view).
+
+    Parity: components quantize to exact micro-units (FLOOR(v*1e6+.5)
+    on the float widened to double — identical in both engines), so
+    n/min/max/sum are exact BIGINTs and mean/variance are the
+    levene-precedent S::DOUBLE*S/n closed forms; `+ 0.0` on both
+    rounded outputs (a zero-mean dimension rounds to a signed zero).
+
+    Scale: posexplode is a zero-shuffle per-row fan-out; ONE
+    groupBy(dim) with map-side combine onto 64 rows — vectors never
+    shuffle whole."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("val") * 1000000.0 + 0.5).cast("long").alias("q"),
+    )
+    g = ex.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("q").cast("long").alias("min_micro"),
+        F.max("q").cast("long").alias("max_micro"),
+        F.sum("q").cast("long").alias("sum_micro"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("ssq"),
+    )
+    n, sq, ssq = F.col("n"), F.col("sum_micro"), F.col("ssq")
+    return g.select(
+        "dim",
+        "n",
+        "min_micro",
+        "max_micro",
+        "sum_micro",
+        (F.round((sq.cast("double") / n) / 1000000.0, 6) + 0.0).alias("mean"),
+        (
+            F.round(
+                (ssq - sq.cast("double") * sq / n) / (n - 1) / 1e12, 6
+            )
+            + 0.0
+        ).alias("variance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# morans_i — spatial autocorrelation of user activity on the geo grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "morans_i",
+    """
+    WITH counts AS (
+        SELECT user_id, COUNT(*)::BIGINT AS x FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id AS id, x,
+               ('0x' || substr(md5('gx:' || user_id), 1, 8))::BIGINT % 10000 AS px,
+               ('0x' || substr(md5('gy:' || user_id), 1, 8))::BIGINT % 10000 AS py
+        FROM counts
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s FROM p),
+    z AS (
+        SELECT p.id, (t.n * p.x - t.s)::BIGINT AS d, p.px, p.py
+        FROM p, tot t
+    ),
+    pairs AS (
+        SELECT a.d AS da, b.d AS db
+        FROM z a
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dy
+        JOIN z b ON (a.px // 100) + dx.dx = (b.px // 100)
+                AND (a.py // 100) + dy.dy = (b.py // 100)
+                AND a.id < b.id
+        WHERE (a.px - b.px) * (a.px - b.px)
+              + (a.py - b.py) * (a.py - b.py) <= 10000
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS np,
+               SUM(da::HUGEINT * db::HUGEINT)::HUGEINT AS se
+        FROM pairs
+    ),
+    v AS (
+        SELECT SUM(d::HUGEINT * d::HUGEINT)::HUGEINT AS sd2,
+               MAX((SELECT n FROM tot))::BIGINT AS n
+        FROM z
+    )
+    SELECT v.n AS n_users, s.np AS n_pairs,
+           CASE WHEN s.np > 0 AND v.sd2 > 0 THEN
+               ROUND((v.n::DOUBLE * se::DOUBLE)
+                     / (s.np::DOUBLE * v.sd2::DOUBLE), 6) + 0.0
+           END AS morans_i,
+           ROUND(-1.0 / (v.n - 1), 6) AS expected_i
+    FROM s, v
+    """,
+)
+def morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of per-user activity on the
+    deterministic geo plane (the geo_neighbors grid: md5 coordinates,
+    binary weights = pairs within Euclidean radius 100) — do active
+    users cluster spatially: the readout that tells a pipeline whether
+    geo-partitioned serving will see hot cells (the spatial
+    companion to shuffle_skew_report's key-space view).
+
+    Parity: activity deviations scale by n (d_i = n*x_i - S, exact
+    BIGINT); I folds to n * sum_pairs(d_a*d_b) / (P * sum(d^2)) with
+    both sums in 128-bit exact arithmetic (HUGEINT / DECIMAL(38,0) —
+    d products clear int64 at sf1) and ONE division of identical
+    doubles; E[I] = -1/(n-1) is a single exact division; `+ 0.0` for
+    the zero-autocorrelation plane.
+
+    Scale: the pair set comes from the radius-sized grid blocking
+    equi-join (operators/joins.py::grid_proximity_join — bounded 9x
+    fan-out, never a cross join); values join the pair list on id
+    keys."""
+    from fusionspark.operators.dedup import md5_hash32
+    from fusionspark.operators.joins import grid_proximity_join
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").cast("long").alias("x"))
+    uid = F.col("user_id").cast("string")
+    p = counts.select(
+        F.col("user_id").alias("id"),
+        "x",
+        (md5_hash32(F.concat(F.lit("gx:"), uid)) % 10000).alias("x_coord"),
+        (md5_hash32(F.concat(F.lit("gy:"), uid)) % 10000).alias("y_coord"),
+    )
+    tot = p.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    z = p.crossJoin(F.broadcast(tot)).select(
+        "id",
+        (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("d"),
+        F.col("x_coord").alias("x"),
+        F.col("y_coord").alias("y"),
+    )
+    pairs = grid_proximity_join(z.select("id", "x", "y"), 100)
+    dz = z.select("id", "d")
+    pa = dz.select(F.col("id").alias("id_a"), F.col("d").alias("da"))
+    pb = dz.select(F.col("id").alias("id_b"), F.col("d").alias("db"))
+    pe = pairs.join(pa, "id_a").join(pb, "id_b")
+    s = pe.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum(
+            (
+                F.col("da").cast("decimal(19,0)")
+                * F.col("db").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("se"),
+    )
+    v = z.agg(
+        F.sum(
+            (
+                F.col("d").cast("decimal(19,0)")
+                * F.col("d").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("sd2"),
+        F.count("*").cast("long").alias("n"),
+    )
+    f = s.crossJoin(F.broadcast(v))
+    n, np_ = F.col("n"), F.col("np")
+    return f.select(
+        n.alias("n_users"),
+        np_.alias("n_pairs"),
+        F.when(
+            (np_ > 0) & (F.col("sd2") > 0),
+            F.round(
+                (n.cast("double") * F.col("se").cast("double"))
+                / (np_.cast("double") * F.col("sd2").cast("double")),
+                6,
+            )
+            + 0.0,
+        ).alias("morans_i"),
+        F.round(F.lit(-1.0) / (n - 1), 6).alias("expected_i"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pass_at_k — unbiased pass@5 estimator per user
+# ---------------------------------------------------------------------------
+
+
+def _pass5_sql(n: str, c: str) -> str:
+    fac = " * ".join(
+        f"(CASE WHEN {n} - {c} - {i} <= 0 THEN 0.0"
+        f" ELSE ({n} - {c} - {i})::DOUBLE / ({n} - {i}) END)"
+        for i in range(5)
+    )
+    return f"1.0 - {fac}"
+
+
+@query(
+    "pass_at_k",
+    f"""
+    WITH u AS (
+        SELECT user_id, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS c
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n AS n_attempts, c AS n_correct,
+           ROUND({_pass5_sql("n", "c")}, 6) AS pass_at_5
+    FROM u WHERE n >= 5
+    """,
+)
+def pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k estimator (k=5; Chen et al. 2021, the HumanEval
+    combinatorial form) per user, reading events as attempts and
+    purchases as successes — the eval-suite aggregation a code/agent
+    training pipeline runs per task over sampled generations:
+    pass@k = 1 - C(n-c, k)/C(n, k), computed as the telescoped product
+    prod_{{i<k}} (n-c-i)/(n-i) so no binomial coefficient ever
+    overflows.
+
+    Parity: n and c are exact counts; the 5 product factors are
+    guarded exact-integer divisions multiplied in FIXED literal order
+    (identical trees both engines — a factor hitting zero short-
+    circuits the product to pass@k = 1 exactly in both).
+
+    Scale: ONE groupBy(user) with map-side combine; per-row closed
+    form after."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    n, c = F.col("n"), F.col("c")
+    prod = None
+    for i in range(5):
+        f_i = F.when(n - c - i <= 0, F.lit(0.0)).otherwise(
+            (n - c - i).cast("double") / (n - i)
+        )
+        prod = f_i if prod is None else prod * f_i
+    return u.filter(n >= 5).select(
+        "user_id",
+        n.alias("n_attempts"),
+        c.alias("n_correct"),
+        F.round(F.lit(1.0) - prod, 6).alias("pass_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ece_calibration — calibration of the even-user dow rate model
+# ---------------------------------------------------------------------------
+
+
+def _ece_oracle() -> str:
+    piv = ",\n               ".join(
+        f"SUM(CASE WHEN w = {i} AND grp = 0 THEN n ELSE 0 END)::BIGINT AS ne{i},\n"
+        f"               SUM(CASE WHEN w = {i} AND grp = 0 THEN a ELSE 0 END)::BIGINT AS ae{i},\n"
+        f"               SUM(CASE WHEN w = {i} AND grp = 1 THEN n ELSE 0 END)::BIGINT AS no{i},\n"
+        f"               SUM(CASE WHEN w = {i} AND grp = 1 THEN a ELSE 0 END)::BIGINT AS ao{i}"
+        for i in _DOWS
+    )
+    nn = " + ".join(f"no{i}" for i in _DOWS)
+    gap = lambda i: (  # noqa: E731
+        f"abs(ao{i}::DOUBLE / no{i} - ae{i}::DOUBLE / ne{i})"
+    )
+    ece = " + ".join(
+        f"CASE WHEN ne{i} > 0 AND no{i} > 0 THEN"
+        f" (no{i}::DOUBLE / ({nn})) * {gap(i)} ELSE 0.0 END"
+        for i in _DOWS
+    )
+    mce = ", ".join(
+        f"CASE WHEN ne{i} > 0 AND no{i} > 0 THEN {gap(i)} ELSE 0.0 END"
+        for i in _DOWS
+    )
+    used = " + ".join(
+        f"CASE WHEN ne{i} > 0 AND no{i} > 0 THEN 1 ELSE 0 END" for i in _DOWS
+    )
+    return f"""
+    WITH s AS (
+        SELECT date_part('dow', ts)::BIGINT AS w,
+               user_id % 2 AS grp,
+               COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS a
+        FROM events GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT {piv}
+        FROM s
+    )
+    SELECT ({nn})::BIGINT AS n_eval, ({used})::BIGINT AS n_bins_used,
+           ROUND({ece}, 6) AS ece,
+           ROUND(GREATEST({mce}), 6) AS mce
+    FROM wide
+    """
+
+
+@query("ece_calibration", _ece_oracle())
+def ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error of the frequency model
+    'per-day-of-week purchase rate fit on EVEN users', evaluated on ODD
+    users — the train/test calibration audit an LLM-data pipeline runs
+    on every learned filter before trusting its scores as probabilities
+    (the scalar summary nb_calibration's per-decile table feeds):
+    ECE = sum_b (n_b/N) |acc_b - conf_b|, MCE = max_b |acc_b - conf_b|
+    over the 7 dow bins.
+
+    Parity: all bin cells are exact conditional BIGINTs in ONE pivoted
+    aggregate; conf and acc are single exact-integer divisions; the 7
+    weighted gaps sum in FIXED literal dow order and MCE is a GREATEST
+    over the same guarded terms (empty bins contribute exact 0.0 and
+    drop from n_bins_used in both engines).
+
+    Scale: one groupBy(dow, parity) collapses the corpus to 14 cells;
+    the statistic is a 1-row closed form."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("w"),
+        (F.col("user_id") % 2).alias("grp"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+    )
+    aggs = []
+    for i in _DOWS:
+        at_i = F.col("w") == i
+        for nm, grp, col in (
+            (f"ne{i}", 0, "n"),
+            (f"ae{i}", 0, "a"),
+            (f"no{i}", 1, "n"),
+            (f"ao{i}", 1, "a"),
+        ):
+            aggs.append(
+                F.sum(F.when(at_i & (F.col("grp") == grp), F.col(col)).otherwise(0))
+                .cast("long")
+                .alias(nm)
+            )
+    wide = s.agg(*aggs)
+    nn = sum((F.col(f"no{i}") for i in _DOWS[1:]), F.col("no0"))
+    ece = None
+    mces = []
+    used = None
+    for i in _DOWS:
+        ne, ae = F.col(f"ne{i}"), F.col(f"ae{i}")
+        no, ao = F.col(f"no{i}"), F.col(f"ao{i}")
+        ok = (ne > 0) & (no > 0)
+        gap = F.abs(ao.cast("double") / no - ae.cast("double") / ne)
+        t = F.when(ok, (no.cast("double") / nn) * gap).otherwise(F.lit(0.0))
+        ece = t if ece is None else ece + t
+        mces.append(F.when(ok, gap).otherwise(F.lit(0.0)))
+        one = F.when(ok, 1).otherwise(0)
+        used = one if used is None else used + one
+    return wide.select(
+        nn.cast("long").alias("n_eval"),
+        used.cast("long").alias("n_bins_used"),
+        F.round(ece, 6).alias("ece"),
+        F.round(F.greatest(*mces), 6).alias("mce"),
+    )
