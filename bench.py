@@ -508,6 +508,13 @@ def bench_queries(spark):
         "rouge_l_eval",
         "winnowing_fingerprints",
         "kmv_intersect",
+        # round 13: the heaviest three of the 17 inference additions —
+        # Jonckheere-Terpstra (5 cumulative windows over the distinct-
+        # cents grid), CvM two-sample (128-bit exact grid fold), Moran's
+        # I (grid-blocked spatial pair join + id-keyed value joins)
+        "jonckheere_terpstra",
+        "cvm_two_sample",
+        "morans_i",
     ]
     out = {
         "knn_batch64": knn_batch,
