@@ -810,3 +810,41 @@ for qn, label in (
           "payload_in_exchange_key:", any("payload#" in a for a in ex_args),
           "broadcasts:", p.count("BroadcastExchange"),
           "python_nodes:", len(_re.findall(r"\(\d+\) MapInPandas", p)))
+
+# ── round 13 additions: inference_queries ────────────────────────────────
+# All collapse the corpus through ONE map-side-combined groupBy/aggregate
+# onto a bounded grid (distinct cents, days, dow strata, 27 patterns, 64
+# dims) before any window/join; the only BroadcastNestedLoop sites are
+# 1-row scalar broadcasts (tot frames — the histogram_quantiles class).
+# morans_i's pair join is the grid_proximity_join bounded 9x fan-out.
+for qn, label in (
+    ("ordinal_association", "day pair grid"),
+    ("jonckheere_terpstra", "5 cumulative grid windows"),
+    ("wilcoxon_signed_rank", "doubled midrank grid"),
+    ("cliffs_delta", "dominance grid"),
+    ("cochran_armitage", "dose fold"),
+    ("mantel_haenszel", "7-strata pivot"),
+    ("bartlett_test", "pivoted moments"),
+    ("theil_u", "35-cell pivot"),
+    ("cvm_two_sample", "128-bit grid fold"),
+    ("kpss_test", "partial-sum walk"),
+    ("permutation_entropy", "27-pattern pivot"),
+    ("bowker_symmetry", "transition pivot"),
+    ("graph_assortativity", "edge-degree joins"),
+    ("embedding_dim_stats", "posexplode moments"),
+    ("morans_i", "grid-blocked spatial pairs"),
+    ("pass_at_k", "per-user fold"),
+    ("ece_calibration", "14-cell pivot"),
+):
+    qq = _R[qn][0](spark, sf)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        qq.explain("formatted")
+    p = buf.getvalue()
+    ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+    print(f"== {qn} ({label}): cartesian:", "CartesianProduct" in p,
+          "text_in_exchange_key:",
+          any(_re.search(r"(?<![A-Za-z])text#", a) for a in ex_args),
+          "payload_in_exchange_key:", any("payload#" in a for a in ex_args),
+          "broadcasts:", p.count("BroadcastExchange"),
+          "python_nodes:", len(_re.findall(r"\(\d+\) MapInPandas", p)))
