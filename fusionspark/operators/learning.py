@@ -41,18 +41,38 @@ def adaptive_weights(feedback: DataFrame, quality_scale: int | None = None) -> D
         F.col("ts").desc(), F.col("fb_id").desc()
     )
     norm = Window.partitionBy("pattern")
-    if quality_scale:
-        qk = F.round(F.col("quality") * quality_scale).cast("long")
-        avg = (F.sum(qk).cast("double") / F.count(F.lit(1))) / float(quality_scale)
-    else:
-        avg = F.avg("quality")
-    return (
+    base = (
         feedback.withColumn("pattern", query_pattern("query"))
         .withColumn("rn", F.row_number().over(ring))
         .filter(F.col("rn") <= FEEDBACK_RING)
         .groupBy("pattern", "strategy")
-        .agg(avg.alias("avg_quality"))
-        .withColumn("weight", F.col("avg_quality") / F.sum("avg_quality").over(norm))
+    )
+    if quality_scale:
+        # r13 hardening: the weight denominator SUM(avg_quality) OVER the
+        # pattern is a sum of DOUBLES whose fold order is engine- and
+        # partitioning-dependent — one ulp of drift lands weight = 25/128
+        # on the round boundary (observed strict-fail at sf0.1).  Quantize
+        # the exact mean to micro-units FIRST (a6 = half-up of
+        # sum(int)*10^6/scale/count — pure IEEE ops on <= 2^53 ints), so
+        # the normalizing window sums exact BIGINTs in ANY order and the
+        # weight is ONE division of identical doubles.
+        qk = F.round(F.col("quality") * quality_scale).cast("long")
+        mult = 1_000_000 // int(quality_scale)
+        a6 = F.floor(
+            (F.sum(qk) * mult).cast("double") / F.count(F.lit(1)) + 0.5
+        ).cast("long")
+        g = base.agg(a6.alias("a6"))
+        return g.select(
+            "pattern",
+            "strategy",
+            (F.col("a6").cast("double") / 1000000.0).alias("avg_quality"),
+            (F.col("a6").cast("double") / F.sum("a6").over(norm)).alias(
+                "weight"
+            ),
+        )
+    g = base.agg(F.avg("quality").alias("avg_quality"))
+    return g.withColumn(
+        "weight", F.col("avg_quality") / F.sum("avg_quality").over(norm)
     )
 
 

@@ -59,6 +59,22 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
+def round6_stable(col: Column) -> Column:
+    """6-decimal half-up rounding as PURE IEEE double ops:
+    FLOOR(x*1e6 + 0.5)/1e6 — bit-identical in Spark and DuckDB by
+    construction (write the same expression in the oracle SQL).
+
+    Why not ROUND(x, 6): Spark's round converts the double through its
+    SHORTEST decimal string (BigDecimal.valueOf) and HALF_UP-rounds
+    that, while DuckDB rounds the BINARY value — on a double whose
+    shortest repr is an exact 7-decimal halfway (e.g. 0.5040625), Spark
+    says ...63 and DuckDB says ...62 for the IDENTICAL bits (the r13
+    strict-gate find on text_quality at sf0.1).  The floor form reads
+    only the binary value, so identical inputs give identical outputs.
+    Nonnegative inputs only (floor(x+1/2) is half-UP, not half-away)."""
+    return F.floor(col * 1000000.0 + 0.5) / 1000000.0
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite quality heuristic in [0,1]:
     0.5·min(1, n_tokens/50) + 0.3·stopword-ratio·2 (capped 1) + 0.2·alpha-ratio."""

@@ -138,7 +138,9 @@ def hybrid_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_region_revenue",
     """
     SELECT r.r_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           ROUND(SUM(FLOOR(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+                     * (100 - FLOOR(l.l_discount * 100.0 + 0.5)::BIGINT)
+                    )::DOUBLE / 10000.0, 6) AS revenue,
            COUNT(DISTINCT c.c_custkey)::BIGINT AS n_customers
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -150,7 +152,15 @@ def hybrid_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-table snowflake join (Q5 shape): revenue per region/nation with
-    distinct-customer counts — broadcast everything but lineitem."""
+    distinct-customer counts — broadcast everything but lineitem.
+
+    Revenue folds in EXACT 10^-4-dollar integer units (prices and
+    discounts are cents-exact in the data): a raw-double SUM of
+    price*(1-disc) accumulates in shuffle order and diverged from the
+    oracle in the 6th decimal at sf0.1 (sums ~1e9, where 1e-6 is below
+    the ulp) — the r13 strict-gate find.  The exact-int sum is
+    order-free, so the result is bitwise stable under ANY partitioning
+    — the property that matters at 1000 executors."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -162,8 +172,11 @@ def tpch_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
+    rev_e4 = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long") * (
+        100 - F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+    )
     return joined.groupBy("r_name", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+        F.round(F.sum(rev_e4).cast("double") / 10000.0, 6).alias("revenue"),
         F.countDistinct("c_custkey").alias("n_customers"),
     )
 
@@ -213,7 +226,8 @@ def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, 0.2 * AVG(l_quantity) AS lim
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 6) AS avg_yearly,
+    SELECT ROUND(SUM(FLOOR(l.l_extendedprice * 100.0 + 0.5)::BIGINT)::DOUBLE
+                 / 700.0, 6) AS avg_yearly,
            COUNT(*)::BIGINT AS n_lines
     FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
     WHERE l.l_quantity < pa.lim
@@ -224,7 +238,9 @@ def tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity) rewritten as an aggregate + equi-join, Spark's native form:
     the per-part limit table is corpus-small and broadcasts.  Quantities
     are integral doubles, so the AVG is exact and the boundary compare is
-    engine-stable."""
+    engine-stable.  Revenue folds in exact cents (order-free — the r13
+    strict-gate find; see tpch_region_revenue) and divides once by 700
+    (cents x 7 years)."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = li.groupBy("l_partkey").agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("lim")
@@ -233,7 +249,13 @@ def tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(pa), "l_partkey")
         .filter(F.col("l_quantity") < F.col("lim"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+                ).cast("double")
+                / 700.0,
+                6,
+            ).alias("avg_yearly"),
             F.count("*").cast("long").alias("n_lines"),
         )
     )

@@ -26,8 +26,11 @@ from fusionspark.queries.tree_queries import MD_CORPUS_SQL, md_corpus_df
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 6) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           ROUND(SUM(FLOOR(l_extendedprice * 100.0 + 0.5)::BIGINT)::DOUBLE
+                 / 100.0, 6) AS sum_base_price,
+           ROUND(SUM(FLOOR(l_extendedprice * 100.0 + 0.5)::BIGINT
+                     * (100 - FLOOR(l_discount * 100.0 + 0.5)::BIGINT)
+                    )::DOUBLE / 10000.0, 6) AS sum_disc_price,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            COUNT(*)::BIGINT AS count_order
     FROM lineitem
@@ -38,15 +41,24 @@ from fusionspark.queries.tree_queries import MD_CORPUS_SQL, md_corpus_df
 def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary: the grouped-aggregate shape every
     stats operator (A2-A5) compiles to, on the big table.  Fully partial
-    (map-side) aggregation; the shuffle carries 4 groups."""
+    (map-side) aggregation; the shuffle carries 4 groups.
+
+    Money sums fold in exact cents / 10^-4-dollar integer units (the r13
+    strict-gate find — raw-double sums at ~1e9 diverge from the oracle
+    in the 6th decimal, which is below the ulp there); quantity sums are
+    integral doubles (exact in any order) and stay as-is."""
     li = load_table(spark, sf_dir, "lineitem")
+    pc = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    dc = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("sum_disc_price"),
+            F.round(F.sum(pc).cast("double") / 100.0, 6).alias("sum_base_price"),
+            F.round(F.sum(pc * (100 - dc)).cast("double") / 10000.0, 6).alias(
+                "sum_disc_price"
+            ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -93,18 +105,27 @@ def tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderpriority, '__all__') AS o_orderpriority,
            COALESCE(o_orderstatus, '__all__') AS o_orderstatus,
            COUNT(*)::BIGINT AS n,
-           ROUND(SUM(o_totalprice), 6) AS total
+           ROUND(SUM(FLOOR(o_totalprice * 10000.0 + 0.5)::BIGINT)::DOUBLE
+                 / 10000.0, 6) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
 )
 def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (free via Spark SQL; the reference has no
-    grouping machinery at all — SURVEY §2.6 note)."""
+    grouping machinery at all — SURVEY §2.6 note).  o_totalprice is
+    exact at 4 decimals in the data (NOT cents — it was generated as a
+    float sum), so the total folds in exact 10^-4-dollar integer units:
+    order-free, bitwise stable under any partitioning (the r13
+    strict-gate find; see tpch_region_revenue)."""
     o = load_table(spark, sf_dir, "orders")
+    te4 = F.floor(F.col("o_totalprice") * 10000.0 + 0.5).cast("long")
     return (
         o.rollup("o_orderpriority", "o_orderstatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 6).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(te4).cast("double") / 10000.0, 6).alias("total"),
+        )
         .select(
             F.coalesce("o_orderpriority", F.lit("__all__")).alias("o_orderpriority"),
             F.coalesce("o_orderstatus", F.lit("__all__")).alias("o_orderstatus"),

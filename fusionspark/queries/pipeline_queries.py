@@ -324,12 +324,13 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     f"""
     SELECT doc_id,
-           ROUND(least(1.0, n_tokens / 50.0) * 0.5
-                 + least(1.0, CASE WHEN n_tokens > 0
-                              THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 2) * 0.3
-                 + CASE WHEN length(text) > 0
-                        THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-                             / length(text) ELSE 0 END * 0.2, 6) AS quality
+           FLOOR((least(1.0, n_tokens / 50.0) * 0.5
+                  + least(1.0, CASE WHEN n_tokens > 0
+                               THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 2) * 0.3
+                  + CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                              / length(text) ELSE 0 END * 0.2)
+                 * 1000000.0 + 0.5) / 1000000.0 AS quality
     FROM (
         SELECT doc_id, text, len(words) AS n_tokens,
                len(list_filter(words, t -> list_contains({_STOP_SQL}, t))) AS n_stop
@@ -341,7 +342,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic: length + stopword ratio + alpha ratio."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", F.round(textstats.quality_score("text"), 6).alias("quality")
+        "doc_id",
+        textstats.round6_stable(textstats.quality_score("text")).alias("quality"),
     )
 
 
@@ -533,7 +535,7 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents)
     )
     SELECT s.doc_id, {_lang_case_sql()} AS lang_pred,
-           ROUND(quality, 6) AS quality, ws_tokens
+           FLOOR(quality * 1000000.0 + 0.5) / 1000000.0 AS quality, ws_tokens
     FROM stats s SEMI JOIN keepers k ON s.doc_id = k.doc_id
     WHERE quality >= 0.5
     """,
@@ -559,7 +561,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             textstats.lang_id("text").alias("lang_pred"),
-            F.round("quality", 6).alias("quality"),
+            textstats.round6_stable(F.col("quality")).alias("quality"),
             ws.cast("long").alias("ws_tokens"),
         )
     )
@@ -3368,12 +3370,13 @@ def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH q AS (
         SELECT doc_id, source,
-               ROUND(least(1.0, n_tokens / 50.0) * 0.5
-                     + least(1.0, CASE WHEN n_tokens > 0
-                                  THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 2) * 0.3
-                     + CASE WHEN length(text) > 0
-                            THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-                                 / length(text) ELSE 0 END * 0.2, 6) AS quality
+               FLOOR((least(1.0, n_tokens / 50.0) * 0.5
+                      + least(1.0, CASE WHEN n_tokens > 0
+                                   THEN n_stop::DOUBLE / n_tokens ELSE 0 END * 2) * 0.3
+                      + CASE WHEN length(text) > 0
+                             THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                                  / length(text) ELSE 0 END * 0.2)
+                     * 1000000.0 + 0.5) / 1000000.0 AS quality
         FROM (
             SELECT doc_id, source, text, len(words) AS n_tokens,
                    len(list_filter(words, t -> list_contains({_STOP_SQL}, t))) AS n_stop
@@ -3381,8 +3384,9 @@ def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     SELECT doc_id, source, quality,
-           ROUND(percent_rank() OVER (
-               PARTITION BY source ORDER BY quality, doc_id), 6) AS pct
+           FLOOR(percent_rank() OVER (
+               PARTITION BY source ORDER BY quality, doc_id)
+                 * 1000000.0 + 0.5) / 1000000.0 AS pct
     FROM q
     """,
 )
@@ -3402,12 +3406,12 @@ def quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = d.select(
         "doc_id",
         "source",
-        F.round(textstats.quality_score("text"), 6).alias("quality"),
+        textstats.round6_stable(textstats.quality_score("text")).alias("quality"),
     )
     w = Window.partitionBy("source").orderBy("quality", "doc_id")
     return q.select(
         "doc_id", "source", "quality",
-        F.round(F.percent_rank().over(w), 6).alias("pct"),
+        textstats.round6_stable(F.percent_rank().over(w)).alias("pct"),
     )
 
 

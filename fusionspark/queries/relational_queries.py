@@ -269,29 +269,37 @@ def broadcast_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY rn <= {learning.FEEDBACK_RING}
     ),
     avgs AS (
-        -- exact centi-quality average: quality is k/100 by construction,
-        -- so sum the integers and divide ONCE — a float AVG's fold order
-        -- differs between engines and a mean like 9/128 lands exactly on
-        -- the ROUND(…,6) half-way boundary (observed flip at sf0.1)
+        -- exact centi-quality average quantized to micro-units (r13
+        -- hardening): quality is k/100 by construction, so the exact mean
+        -- is sum(int)*10000/count — half-up rounded to an exact BIGINT a6
+        -- BEFORE the pattern-normalizing window, so that window sums
+        -- exact integers in ANY fold order (a raw-double SUM drifted one
+        -- ulp and landed weight = 25/128 on the round boundary at sf0.1)
         SELECT pattern, strategy,
-               (SUM((quality * 100)::BIGINT)::DOUBLE / COUNT(*)) / 100.0::DOUBLE
-                   AS avg_quality
+               FLOOR((SUM((quality * 100)::BIGINT) * 10000)::DOUBLE
+                     / COUNT(*) + 0.5)::BIGINT AS a6
         FROM pat GROUP BY pattern, strategy
     )
-    SELECT pattern, strategy, ROUND(avg_quality, 6) AS avg_quality,
-           ROUND(avg_quality / SUM(avg_quality) OVER (PARTITION BY pattern), 6) AS weight
+    SELECT pattern, strategy,
+           a6::DOUBLE / 1000000.0 AS avg_quality,
+           FLOOR((a6::DOUBLE / SUM(a6) OVER (PARTITION BY pattern))
+                 * 1000000.0 + 0.5) / 1000000.0 AS weight
     FROM avgs
     """,
 )
 def adaptive_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/W2/X12: adaptive strategy weights from the feedback ring
-    (HybridRetriever.js:263-303)."""
+    (HybridRetriever.js:263-303).  Weight rounding uses the floor-form
+    (textstats.round6_stable) — Spark ROUND's shortest-string HALF_UP
+    disagrees with DuckDB's binary round on exact-halfway reprs."""
+    from fusionspark.operators.textstats import round6_stable
+
     df = learning.adaptive_weights(FX.feedback_df(spark, sf_dir), quality_scale=100)
     return df.select(
         "pattern",
         "strategy",
-        F.round("avg_quality", 6).alias("avg_quality"),
-        F.round("weight", 6).alias("weight"),
+        "avg_quality",
+        round6_stable(F.col("weight")).alias("weight"),
     )
 
 
