@@ -13,6 +13,17 @@ from fusionspark.queries import query
 from fusionspark.queries.text_queries import _OVERLAP_SQL, _TF_SQL, QUERY
 from fusionspark.queries.tree_queries import TREE_SQL, md_corpus_df
 
+def _rev_e4():
+    """Lineitem revenue term in EXACT 10^-4-dollar integer units:
+    cents(price) * (100 - cents(discount)) — prices and discounts are
+    cents-exact in the data, so the revenue SUM folds as exact BIGINTs
+    in any shuffle order (raw-double sums diverge from the oracle in
+    the 6th decimal at ~1e9 magnitude; the r13 strict-gate find)."""
+    return F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long") * (
+        100 - F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+    )
+
+
 
 @query(
     "node_summaries",
@@ -185,7 +196,8 @@ def tpch_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_returned_items",
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+           ROUND(SUM(FLOOR(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+                     * (100 - FLOOR(l.l_discount * 100.0 + 0.5)::BIGINT))::DOUBLE / 10000.0, 6) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -210,9 +222,7 @@ def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 6).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -307,7 +317,8 @@ def tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_local_supplier_volume",
     """
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+           ROUND(SUM(FLOOR(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+                     * (100 - FLOOR(l.l_discount * 100.0 + 0.5)::BIGINT))::DOUBLE / 10000.0, 6) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -350,9 +361,7 @@ def tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 6).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -393,9 +402,11 @@ def tpch_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_promo_revenue",
     """
     SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0.0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+                                  THEN FLOOR(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+                                       * (100 - FLOOR(l.l_discount * 100.0 + 0.5)::BIGINT)
+                                  ELSE 0 END)::DOUBLE
+                 / SUM(FLOOR(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+                       * (100 - FLOOR(l.l_discount * 100.0 + 0.5)::BIGINT)), 6) AS promo_pct,
            COUNT(*)::BIGINT AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     """,
@@ -406,12 +417,15 @@ def tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _rev_e4()
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0)
+                ).cast("double")
                 / F.sum(rev), 6,
             ).alias("promo_pct"),
             F.count("*").cast("long").alias("n_lines"),
@@ -462,7 +476,8 @@ def tpch_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_disjunctive_revenue",
     """
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+    SELECT ROUND(SUM(FLOOR(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+                     * (100 - FLOOR(l.l_discount * 100.0 + 0.5)::BIGINT))::DOUBLE / 10000.0, 6) AS revenue,
            COUNT(*)::BIGINT AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -488,7 +503,7 @@ def tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
     )
     return j.filter(pred).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+        F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 6).alias("revenue"),
         F.count("*").cast("long").alias("n_lines"),
     )
 
@@ -540,7 +555,8 @@ def tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l.l_shipdate)::INT AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS volume
+           ROUND(SUM(FLOOR(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+                     * (100 - FLOOR(l.l_discount * 100.0 + 0.5)::BIGINT))::DOUBLE / 10000.0, 6) AS volume
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -578,7 +594,7 @@ def tpch_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("volume")
+        F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 6).alias("volume")
     )
 
 
@@ -586,8 +602,11 @@ def tpch_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_product_profit",
     """
     SELECT n.n_name AS nation, year(l.l_shipdate)::INT AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.5 * p.p_retailprice * l.l_quantity), 6) AS profit
+           ROUND(SUM(FLOOR(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+                     * (100 - FLOOR(l.l_discount * 100.0 + 0.5)::BIGINT)
+                     - FLOOR(p.p_retailprice * 100.0 + 0.5)::BIGINT
+                       * CAST(l.l_quantity AS BIGINT) * 50
+                    )::DOUBLE / 10000.0, 6) AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -610,19 +629,24 @@ def tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
     )
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # exact 1e-4-dollar units: rev_e4 minus cost cents * qty * 50
+    # (0.5 * retail * qty = retail_cents * qty * 50 in 1e-4 units)
+    profit = _rev_e4() - F.floor(
+        F.col("p_retailprice") * 100.0 + 0.5
+    ).cast("long") * F.col("l_quantity").cast("long") * 50
     return j.groupBy(
         F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")
-    ).agg(F.round(F.sum(profit), 6).alias("profit"))
+    ).agg(
+        F.round(F.sum(profit).cast("double") / 10000.0, 6).alias("profit")
+    )
 
 
 @query(
     "tpch_top_supplier",
     """
     WITH rev AS (
-        SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS total_rev
+        SELECT l_suppkey, ROUND(SUM(FLOOR(l_extendedprice * 100.0 + 0.5)::BIGINT
+                     * (100 - FLOOR(l_discount * 100.0 + 0.5)::BIGINT))::DOUBLE / 10000.0, 6) AS total_rev
         FROM lineitem
         WHERE year(l_shipdate) = 1997
         GROUP BY l_suppkey
@@ -640,7 +664,7 @@ def tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
     s = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("total_rev")
+        F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 6).alias("total_rev")
     )
     mx = rev.agg(F.max("total_rev").alias("mx"))
     return (
@@ -703,7 +727,9 @@ def tpch_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_forecast_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue,
+    SELECT ROUND(SUM(FLOOR(l_extendedprice * 100.0 + 0.5)::BIGINT
+                     * FLOOR(l_discount * 100.0 + 0.5)::BIGINT
+                    )::DOUBLE / 10000.0, 6) AS revenue,
            COUNT(*)::BIGINT AS n_lines
     FROM lineitem
     WHERE year(l_shipdate) = 1998
@@ -723,7 +749,14 @@ def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+                    * F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+                ).cast("double")
+                / 10000.0,
+                6,
+            ).alias("revenue"),
             F.count("*").cast("long").alias("n_lines"),
         )
     )
@@ -735,7 +768,8 @@ def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH vol AS (
         SELECT year(l.l_shipdate)::INT AS o_year,
                n.n_name AS supp_nation,
-               l.l_extendedprice * (1 - l.l_discount) AS v
+               FLOOR(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+               * (100 - FLOOR(l.l_discount * 100.0 + 0.5)::BIGINT) AS v
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
@@ -744,7 +778,7 @@ def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_nationkey < 13
     )
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0.0 END)
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END)::DOUBLE
                  / SUM(v), 6) AS mkt_share
     FROM vol GROUP BY o_year
     """,
@@ -758,7 +792,7 @@ def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 13)
-    v = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    v = _rev_e4()
     j = (
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
@@ -767,7 +801,10 @@ def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy(F.year("l_shipdate").alias("o_year")).agg(
         F.round(
-            F.sum(F.when(F.col("n_name") == "NATION_3", v).otherwise(0.0)) / F.sum(v), 6
+            F.sum(F.when(F.col("n_name") == "NATION_3", v).otherwise(0))
+            .cast("double")
+            / F.sum(v),
+            6,
         ).alias("mkt_share")
     )
 

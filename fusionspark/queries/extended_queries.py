@@ -18,6 +18,17 @@ from fusionspark.queries import query
 from fusionspark.queries.text_queries import QUERY, _TERMS
 from fusionspark.queries.tree_queries import MD_CORPUS_SQL, md_corpus_df
 
+def _rev_e4():
+    """Lineitem revenue term in EXACT 10^-4-dollar integer units:
+    cents(price) * (100 - cents(discount)) — prices and discounts are
+    cents-exact in the data, so the revenue SUM folds as exact BIGINTs
+    in any shuffle order (raw-double sums diverge from the oracle in
+    the 6th decimal at ~1e9 magnitude; the r13 strict-gate find)."""
+    return F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long") * (
+        100 - F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+    )
+
+
 
 # ── classic relational (lineitem = 600k rows at sf0.1) ────────────────────
 
@@ -69,7 +80,8 @@ def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_top_customers",
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+           ROUND(SUM(FLOOR(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+                     * (100 - FLOOR(l.l_discount * 100.0 + 0.5)::BIGINT))::DOUBLE / 10000.0, 6) AS revenue
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -93,7 +105,7 @@ def tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"))
+        .agg(F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 6).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(10)
     )
@@ -452,7 +464,8 @@ def weight_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_shipping_priority",
     """
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           ROUND(SUM(FLOOR(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+                     * (100 - FLOOR(l.l_discount * 100.0 + 0.5)::BIGINT))::DOUBLE / 10000.0, 6) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, o.o_orderpriority
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
@@ -478,9 +491,7 @@ def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 6).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
