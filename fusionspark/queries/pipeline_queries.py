@@ -1953,14 +1953,15 @@ def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is the oracle-exact form; at 100 TB swap the global sort for
     approx_percentile boundaries + a broadcast range join — same shard
     semantics within quantile-sketch error, no total order."""
-    from pyspark.sql import Window
+    from fusionspark.operators.ranking import ntile_exact
 
     d = load_table(spark, sf_dir, "documents")
     q = d.select(
         "doc_id", textstats.quality_score("text").alias("quality")
     )
-    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
-    sh = q.withColumn("shard", F.ntile(8).over(w))
+    # r13: grid-form NTILE (operators/ranking.py) — same output as the
+    # oracle's NTILE(8) global sort, no unpartitioned raw-row window
+    sh = ntile_exact(q, 8, "quality", "doc_id", "shard")
     return sh.groupBy("shard").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
@@ -3573,17 +3574,18 @@ def nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     curriculum/threshold choices beyond the sign cut.  The rounded score
     keys the ntile so bucket boundaries are engine-stable; counts are
     exact integers, one division per bucket."""
-    from pyspark.sql import Window
+    from fusionspark.operators.ranking import ntile_exact
 
     d = load_table(spark, sf_dir, "documents")
     pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     nb = textstats.nb_quality_scores(d, pos,
         F.col("source").isin("src15", "src16", "src17", "src18", "src19"))
     lab = nb.join(d.select("doc_id", pos.cast("int").alias("is_pos")), "doc_id")
-    b = lab.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy("nb_score", "doc_id")),
-    )
+    # r13: grid-form NTILE (operators/ranking.py) — bit-identical to the
+    # oracle's NTILE(10) spec but with NO unpartitioned window over raw
+    # rows: the only corpus-wide work is the score-grid groupBy and the
+    # score-keyed join/partitioned rank (window-whitelist burn-down)
+    b = ntile_exact(lab, 10, "nb_score", "doc_id", "decile")
     return b.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.count("*").cast("long").alias("n"),
         F.sum("is_pos").cast("long").alias("n_pos"),

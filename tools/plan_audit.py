@@ -36,13 +36,13 @@ WINDOW_WHITELIST: dict[str, str] = {
         "global rank order; budget caps rows long before the sort hurts",
     "quality_estimate": "corpus percentile rank readout; swap = value-grid "
         "cumulative distribution",
-    "curriculum_shards": "curriculum = difficulty-ordered shard walk by "
-        "spec; swap = range-bucket by sampled difficulty bounds",
     "ccnet_buckets": "CCNet head/middle/tail terciles are global "
-        "perplexity quantiles; swap = value-grid cumulative edges",
-    "nb_calibration": "NTILE(10) calibration deciles; swap = value-grid "
-        "cumulative decile edges on the rounded score",
+        "perplexity quantiles; swap = operators/ranking.ntile_exact "
+        "(the nb_calibration/curriculum_shards r13 exemplar)",
 }
+# r13 burn-down: nb_calibration and curriculum_shards moved OFF this list
+# via operators/ranking.ntile_exact — grid-form NTILE, output-identical,
+# no unpartitioned raw-row window (strict ×3 SFs re-gated).
 
 
 def _parse_tree(plan: str) -> list[tuple[int, str]]:
