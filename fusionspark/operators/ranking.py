@@ -70,3 +70,48 @@ def ntile_exact(
     return j.withColumn(out_col, tile.cast("int")).drop(
         "_cnt", "_below", "_rk", "_n"
     )
+
+
+def prefix_sum_exact(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "cum",
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Inclusive prefix sum of `val_col` in `order_col` order WITHOUT an
+    unpartitioned window over raw rows — the classic two-pass parallel
+    scan: bucket rows by floor(order/width) (floor division is monotone,
+    so bucket order == row order), cumulative the per-bucket totals over
+    the bounded bucket grid, then add each row's bucket offset to its
+    LOCAL cumulative (a bucket-PARTITIONED window).  Exact integers end
+    to end; identical to SUM() OVER (ORDER BY order_col ROWS UNBOUNDED
+    PRECEDING) for a numeric, unique order column.
+
+    This is the documented 100 TB substitution for the ordered
+    systematic designs (systematic_sample's docstring: 'per-partition
+    offsets from partition totals first — two passes, same arithmetic,
+    no global sort')."""
+    b = F.floor(F.col(order_col) / bucket_width).cast("long")
+    with_b = df.withColumn("_bkt", b)
+    bt = with_b.groupBy("_bkt").agg(
+        F.sum(val_col).cast("long").alias("_btot")
+    )
+    gw = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)
+    offs = bt.select(
+        "_bkt",
+        (F.sum("_btot").over(gw) - F.col("_btot")).cast("long").alias("_off"),
+    )
+    lw = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        with_b.join(offs, "_bkt")
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.sum(val_col).over(lw)).cast("long"),
+        )
+        .drop("_bkt", "_off")
+    )

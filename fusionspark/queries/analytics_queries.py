@@ -5352,19 +5352,26 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = d.select(
         "doc_id", "grp", F.abs(F.col("y") - F.col("yhat")).cast("long").alias("resid")
     )
-    cal = r.filter(F.col("grp") == 0).select(
-        "resid",
-        F.row_number().over(W.orderBy("resid", "doc_id")).alias("rk"),
-        F.count("*").over(
-            W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-        ).alias("n_cal"),
+    # r13 whitelist burn-down: the order-statistic pick at rank K of the
+    # (resid, doc_id) order is the smallest resid whose value-grid
+    # inclusive cumulative reaches K — identical output, and the only
+    # window left runs over the bounded distinct-residual grid
+    cal = r.filter(F.col("grp") == 0)
+    vg = cal.groupBy("resid").agg(F.count("*").cast("long").alias("c"))
+    gw = W.orderBy("resid").rowsBetween(W.unboundedPreceding, 0)
+    gr = vg.select("resid", F.sum("c").over(gw).cast("long").alias("cum"))
+    nn = cal.agg(F.count("*").cast("long").alias("n_cal"))
+    kk = F.least(
+        ((19 * (F.col("n_cal") + 1) + 19) / 20).cast("long"), F.col("n_cal")
     )
-    q = cal.filter(
-        F.col("rk")
-        == F.least(
-            ((19 * (F.col("n_cal") + 1) + 19) / 20).cast("long"), F.col("n_cal")
+    q = (
+        gr.crossJoin(F.broadcast(nn))
+        .filter(F.col("cum") >= kk)
+        .agg(
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.min("resid").alias("qhat"),
         )
-    ).select(F.col("n_cal").cast("long").alias("n_cal"), F.col("resid").alias("qhat"))
+    )
     test = r.filter(F.col("grp") == 1).crossJoin(F.broadcast(q)).agg(
         F.count("*").cast("long").alias("n_test"),
         F.sum(F.when(F.col("resid") <= F.col("qhat"), 1).otherwise(0))
@@ -5469,20 +5476,23 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.crossJoin(F.broadcast(mid))
     ref = e.filter(F.col("t") <= F.col("m")).select("x")
     cur = e.filter(F.col("t") > F.col("m")).select("x")
-    rr = ref.select(
-        "x",
-        F.row_number().over(W.orderBy("x")).alias("rk"),
-        F.count("*").over(
-            W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-        ).alias("n"),
-    )
-    # boundary ranks: rk == (k*n) div 10 for k = 1..9
+    # r13 whitelist burn-down: boundary ranks come from the VALUE-GRID
+    # cumulative, not a row_number over raw rows — the x at rank
+    # (k*n) div 10 is exactly the smallest grid value whose inclusive
+    # cumulative count reaches that rank (identical output; the only
+    # windows left are over the bounded distinct-cents grid)
+    vg = ref.groupBy("x").agg(F.count("*").cast("long").alias("c"))
+    gw = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    gr = vg.select("x", F.sum("c").over(gw).cast("long").alias("cum"))
+    nn = ref.agg(F.count("*").cast("long").alias("n"))
     ks = ev.sparkSession.range(1, 10).select(F.col("id").alias("k"))
+    pos = F.expr("(k * n) div 10")
     bounds = (
-        rr.crossJoin(F.broadcast(ks))
-        .filter(F.col("rk") == F.expr("(k * n) div 10"))
+        gr.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(nn))
+        .filter((pos >= 1) & (F.col("cum") >= pos))
         .groupBy("k")
-        .agg(F.max("x").cast("long").alias("b"))
+        .agg(F.min("x").cast("long").alias("b"))
         .select("b")
     )
     barr = bounds.agg(F.array_sort(F.collect_list("b")).alias("bs"))
@@ -8684,11 +8694,13 @@ def range_bounds_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         "o_orderkey",
     )
-    ranked = o.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "o_orderkey"))
-        .cast("long").alias("rn"),
-    )
+    # r13 whitelist burn-down: the order statistic at rank part*n//32 of
+    # the (cents, orderkey) order is the smallest cents value whose grid
+    # inclusive cumulative reaches the rank — identical bounds, and the
+    # only window left runs over the bounded distinct-cents grid
+    vg = o.groupBy("cents").agg(F.count("*").cast("long").alias("c"))
+    gw = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    gr = vg.select("cents", F.sum("c").over(gw).cast("long").alias("cum"))
     nn = o.agg(F.count("*").cast("long").alias("n"))
     marks = (
         spark.range(1, _RB_PARTS)
@@ -8702,9 +8714,12 @@ def range_bounds_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        marks.join(ranked, "rn")
+        gr.crossJoin(F.broadcast(marks))
+        .filter(F.col("cum") >= F.col("rn"))
+        .groupBy("part", "rn", "target_rows")
+        .agg(F.min("cents").cast("long").alias("bound_cents"))
         .select(
-            "part", F.col("cents").alias("bound_cents"),
+            "part", "bound_cents",
             F.col("rn").alias("rows_below"), "target_rows",
         )
         .orderBy("part")

@@ -3150,19 +3150,21 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): tertile
     buckets of bigram-LM perplexity — 'head' is the cleanest third.  The
-    exact NTILE (global ordered window) is the oracle-checkable form; at
-    100 TB swap the cutoffs to approx_percentile thresholds broadcast into
-    a zero-shuffle CASE (same pattern as curriculum_assign_approx)."""
-    from pyspark.sql import Window as Wnd
+    oracle keeps the readable NTILE spec; the Spark plan uses the
+    grid-form NTILE (operators/ranking.py::ntile_exact, r13 whitelist
+    burn-down): identical output, no unpartitioned raw-row window —
+    the perplexity-grid groupBy and the value-keyed rank parallelize
+    over the score domain."""
+    from fusionspark.operators.ranking import ntile_exact
 
     d = load_table(spark, sf_dir, "documents")
     scored = textstats.lm_perplexity_scores(d)
-    w = Wnd.orderBy(F.col("perplexity").asc(), F.col("doc_id").asc())
-    bucket = F.ntile(3).over(w)
+    b = ntile_exact(scored, 3, "perplexity", "doc_id", "bucket_n")
+    bucket = F.col("bucket_n")
     label = (
         F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail")
     )
-    return scored.select("doc_id", "perplexity", label.alias("bucket"))
+    return b.select("doc_id", "perplexity", label.alias("bucket"))
 
 
 @query(
@@ -7333,11 +7335,12 @@ def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic on an exact cumulative window — no float
     anywhere; the doc_id-ordered cumsum is the deterministic line order.
 
-    Scale: one global cumulative window is the honest cost (same as any
-    ordered systematic design); at 100 TB the production form computes
-    per-partition offsets from partition totals first — two passes, same
-    arithmetic, no global sort."""
-    from pyspark.sql import Window
+    Scale: r13 — the cumsum now runs as the two-pass parallel scan
+    (operators/ranking.py::prefix_sum_exact: bucket totals → bounded
+    grid cumulative → bucket-partitioned local cumsum), so no
+    unpartitioned window ever touches raw rows; identical exact
+    integers, no global sort."""
+    from fusionspark.operators.ranking import prefix_sum_exact
 
     d = load_table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.col("n_chars").cast("long").alias("wt"))
@@ -7346,11 +7349,8 @@ def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.floor(F.col("tw") / _SYS_TARGET), F.lit(1)).cast("long")
         .alias("k")
     )
-    cum = w.select(
-        "doc_id", "wt",
-        F.sum("wt").over(
-            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-        ).cast("long").alias("c"),
+    cum = prefix_sum_exact(w, "doc_id", "wt", out_col="c").select(
+        "doc_id", "wt", "c"
     )
     j = cum.crossJoin(F.broadcast(k))
     hi = F.floor(F.col("c") / F.col("k"))

@@ -17,32 +17,23 @@ sf = "/root/testdata/sf0.1"
 # unpartitioned window over raw rows is a single-reducer global sort; over
 # a post-aggregation frame it touches only the (bounded) group grid.
 
-#: query -> why its unpartitioned raw-input window is acceptable.  Every
-#: entry is a RANKED/QUANTILE design whose SPEC is a global order (the
-#: docstring of each names the 100 TB substitution — value-grid cumulative
-#: quantiles like levene's median, or sampled range bounds like Spark's
-#: RangePartitioner).  Target end state: empty, via those grid rewrites
-#: (each needs a board slot to re-attest; scheduled in PROGRESS handoffs).
+#: query -> why its unpartitioned raw-input window is acceptable.  The
+#: r13 burn-down rewrote SEVEN of the original nine entries onto grid
+#: forms (operators/ranking.py::ntile_exact for NTILE designs —
+#: nb_calibration, curriculum_shards, ccnet_buckets; value-grid
+#: cumulative order-statistic picks for rank-pick designs — psi_drift,
+#: conformal_interval, range_bounds_plan; prefix_sum_exact's two-pass
+#: parallel scan for systematic_sample), all output-identical and
+#: strict ×3-SF re-gated.  The two entries left are BOUNDED-frame
+#: designs the detector cannot see through, not raw global sorts.
 WINDOW_WHITELIST: dict[str, str] = {
-    "range_bounds_plan": "range-partition planner: split bounds ARE global "
-        "order statistics; 100 TB swap = sampled bounds (RangePartitioner)",
-    "systematic_sample": "PPS systematic sampling walks the global "
-        "cumulative-weight order by spec; swap = per-partition strata",
-    "conformal_interval": "split-conformal calibration quantile over the "
-        "calibration half; swap = value-grid cumulative quantile",
-    "psi_drift": "reference-window decile edges via ntile; swap = "
-        "value-grid cumulative histogram edges",
-    "context_pack": "token-budget greedy pack consumes candidates in "
-        "global rank order; budget caps rows long before the sort hurts",
-    "quality_estimate": "corpus percentile rank readout; swap = value-grid "
-        "cumulative distribution",
-    "ccnet_buckets": "CCNet head/middle/tail terciles are global "
-        "perplexity quantiles; swap = operators/ranking.ntile_exact "
-        "(the nb_calibration/curriculum_shards r13 exemplar)",
+    "context_pack": "token-budget greedy pack consumes a rank-FILTERED "
+        "candidate frame (top-k by construction); the budget caps rows "
+        "long before any sort hurts — bounded frame, not a raw sort",
+    "quality_estimate": "rank window runs over the keyword top-10 frame "
+        "(a rank-filter the tree walker cannot classify as bounded); "
+        "<= 10 rows by construction",
 }
-# r13 burn-down: nb_calibration and curriculum_shards moved OFF this list
-# via operators/ranking.ntile_exact — grid-form NTILE, output-identical,
-# no unpartitioned raw-row window (strict ×3 SFs re-gated).
 
 
 def _parse_tree(plan: str) -> list[tuple[int, str]]:
