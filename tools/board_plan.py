@@ -111,6 +111,18 @@ def main() -> int:
         r0, n0 = stale[0]
         print(f"\nstalest attested row: {n0} (r{r0}); "
               f"{sum(1 for r, _ in stale if r == r0)} rows at r{r0}")
+    board = front + refresh
+    committed = [n for n in Q.PRIORITY if n in Q.REGISTRY]
+    if committed and set(committed) != set(board):
+        added_after = [n for n in never if n not in committed]
+        print(
+            f"\nNOTE: committed PRIORITY differs from this recommendation "
+            f"by {len(set(committed) ^ set(board))} entries — expected when "
+            f"queries were REGISTERED AFTER the round's rotation "
+            f"({len(added_after)} such never-attested entries queue for the "
+            f"NEXT board per the mid-round-additions rule), or when "
+            f"code-changed re-attests were added by hand."
+        )
     print("\nNOTE: add code-changed re-attests by hand (git knows, "
           "this tool does not).")
     return 0
