@@ -677,6 +677,13 @@ def main() -> None:
             # of all 10 searches (9 logged + the harness-timed 10th), so one
             # contended iteration cannot swing the suite total (VERDICT r12
             # #4).  ×10 recovers the r12-and-earlier sum semantics.
+            # ADVICE r13: X10_ITER holds only the LAST run's iteration log,
+            # so deriving the 10th iteration from samples[0] is only valid
+            # when that IS the last (sole) run — enforce it.
+            assert name in SINGLE_RUN, (
+                f"{name}: *_x10 per-iteration median requires SINGLE_RUN "
+                "(iteration log pairs with the one recorded sample)"
+            )
             iters = sorted(
                 X10_ITER[name] + [max(0.0, samples[0] - sum(X10_ITER[name]))]
             )

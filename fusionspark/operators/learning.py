@@ -57,6 +57,14 @@ def adaptive_weights(feedback: DataFrame, quality_scale: int | None = None) -> D
         # the normalizing window sums exact BIGINTs in ANY order and the
         # weight is ONE division of identical doubles.
         qk = F.round(F.col("quality") * quality_scale).cast("long")
+        if 1_000_000 % int(quality_scale) != 0:
+            # ADVICE r13: a non-divisor scale would silently truncate mult
+            # and quantize the mean wrong (scale=3 -> 333333).  Every
+            # current caller uses a power-of-10 scale; fail loudly if not.
+            raise ValueError(
+                f"quality_scale={quality_scale} must divide 1_000_000 for "
+                "the exact micro-unit quantization"
+            )
         mult = 1_000_000 // int(quality_scale)
         a6 = F.floor(
             (F.sum(qk) * mult).cast("double") / F.count(F.lit(1)) + 0.5

@@ -57,18 +57,28 @@ def ntile_exact(
         df.join(grid, value_col)
         .withColumn("_rk", F.row_number().over(ww).cast("long"))
         .crossJoin(F.broadcast(nn))
+        # ADVICE r13: keep the tile arithmetic in exact LONG integer
+        # division (SQL `div`), not FLOOR over a double quotient — double
+        # division is only exact below 2^53 rows, inconsistent with this
+        # module's exact-at-any-scale contract.  All operands are
+        # nonnegative, so `div` (truncate) == floor here.
+        .withColumn("_i", (F.col("_below") + F.col("_rk")))  # 1-based pos
+        .withColumn("_small", F.expr(f"_n div {n}"))
+        .withColumn("_big", F.col("_small") + F.lit(1).cast("long"))
+        .withColumn("_r", (F.col("_n") % n).cast("long"))
     )
-    i = F.col("_below") + F.col("_rk")  # 1-based global position
-    total = F.col("_n")
-    r = total % n  # tiles that get the big size
-    big = F.floor(total / n).cast("long") + 1
-    small = F.floor(total / n).cast("long")
     tile = F.when(
-        i <= r * big, F.floor((i - 1) / big).cast("long") + 1
-    ).otherwise(r + F.floor((i - r * big - 1) / small).cast("long") + 1)
+        F.col("_i") <= F.col("_r") * F.col("_big"),
+        F.expr("(_i - 1) div _big") + 1,
+    ).otherwise(
+        # _small = 0 only when _n < n, where the when-branch covers every
+        # row (i <= r*big = total); SQL div-by-zero yields NULL, never
+        # evaluated.
+        F.col("_r") + F.expr("(_i - _r * _big - 1) div _small") + 1
+    )
     _ = v  # documented: the grid/join key is value_col
     return j.withColumn(out_col, tile.cast("int")).drop(
-        "_cnt", "_below", "_rk", "_n"
+        "_cnt", "_below", "_rk", "_n", "_i", "_small", "_big", "_r"
     )
 
 
@@ -92,8 +102,16 @@ def prefix_sum_exact(
     systematic designs (systematic_sample's docstring: 'per-partition
     offsets from partition totals first — two passes, same arithmetic,
     no global sort')."""
-    b = F.floor(F.col(order_col) / bucket_width).cast("long")
-    with_b = df.withColumn("_bkt", b)
+    # ADVICE r13: exact floor division in LONG arithmetic at any scale —
+    # double division inside FLOOR is only exact below 2^53.  SQL `div`
+    # truncates toward zero, so subtract the nonnegative residue (pmod)
+    # first to keep floor semantics for negative order values too.
+    with_b = df.withColumn(
+        "_bkt", F.expr(
+            f"(cast({order_col} as bigint) - pmod(cast({order_col} as "
+            f"bigint), {bucket_width})) div {bucket_width}"
+        )
+    )
     bt = with_b.groupBy("_bkt").agg(
         F.sum(val_col).cast("long").alias("_btot")
     )

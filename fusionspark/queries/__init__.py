@@ -27,37 +27,41 @@ def query(name: str, sql: str | None = None):
 
 # The grading driver attests registry entries in insertion order and caps
 # how many it checks per round (the first 50).  Names listed here are moved
-# to the FRONT of the registry.  Round 13 rotation (VERDICT r12 #1): the
-# r12 board landed 50/50 green (CORRECTNESS_r12, zero red — second
-# consecutive zero-red round).  This board is the PROGRESS.md r13 handoff
-# verbatim: the 34-entry never-attested queue (27 r11 overflow in queue
-# order + the 7 r12 additions) + the 16 rows last attested r4 (9 rounds
-# stale).  After a green r13 the never-attested queue is 0 for the first
-# time.  All 34 never-attested entries were pre-certified 34/0/0 strict
-# at BOTH sf0.01 and sf0.1 at the r12 final HEAD, and the 16 refresh rows
-# 16/0/0 at sf0.01 (PROGRESS.md r12 certification); the r13 closing gate
-# re-runs the full board at this round's final HEAD.
+# to the FRONT of the registry.  Round 14 rotation (VERDICT r13 #1): the
+# r13 board landed 50/50 green (CORRECTNESS_r13, zero red — third
+# consecutive zero-red round).  This board is the PROGRESS.md r14 handoff
+# verbatim, priority order never-attested > code-changed re-attests >
+# staleness refresh: the 17 r13 inference additions (the whole
+# never-attested queue), the 16 rows whose code changed in the r13
+# float-parity sweep / window burn-down that are not refreshed elsewhere,
+# and the 17 oldest r5-stale rows.  The whole board is pre-certified at
+# the r13 final HEAD: every row is inside the definitive 437/0/0 strict
+# runs at BOTH sf0.01 and sf0.1 (PROGRESS.md r13 certification); the r14
+# closing gate re-runs the full board at this round's final HEAD.
 # Queries not listed keep their valid attestations.
 PRIORITY: list[str] = [
-    # 27 never-attested overflow from the r11 growth burst (queue order)
-    "sax_words", "odds_ratio_ci", "hurst_exponent", "trending_terms",
-    "rbo_rankings", "needleman_wunsch", "range_bounds_plan",
-    "krippendorff_alpha", "k_truss", "cosine_histogram",
-    "join_order_plan", "ab_srm_check", "gamma_fit", "tukey_hsd",
-    "smith_waterman", "seasonality_power", "chow_test",
-    "cooks_distance", "linear_shap", "qini_curve", "bloom_sizing_plan",
-    "label_model_3lf", "hll_daily_union", "systematic_sample",
-    "entropy_rate", "coin_uniformity", "levene_test",
-    # the 7 r12 additions (never attested)
-    "rouge_l_eval", "winnowing_fingerprints", "cochran_q", "kendall_w",
-    "page_trend", "simpsons_paradox", "kmv_intersect",
-    # 16 refresh rows last attested r4
-    "html_sections", "node_summaries", "title_detect",
-    "tpch_region_revenue", "tpch_pricing_summary", "tpch_top_customers",
-    "rollup_orders", "searchall_quota", "plaintext_sections",
-    "tpch_shipping_priority", "tpch_late_ship_priority",
-    "media_metadata_stats", "media_frame_counts", "dedup_exact",
-    "lang_id", "text_quality",
+    # the 17 r13 additions (never attested; queue order = registration)
+    "ordinal_association", "jonckheere_terpstra", "wilcoxon_signed_rank",
+    "cliffs_delta", "cochran_armitage", "mantel_haenszel",
+    "bartlett_test", "theil_u", "cvm_two_sample", "kpss_test",
+    "permutation_entropy", "bowker_symmetry", "graph_assortativity",
+    "embedding_dim_stats", "morans_i", "pass_at_k", "ece_calibration",
+    # 16 code-changed re-attests (r13 float-parity sweep + window
+    # burn-down) not already refreshed by the r13 board or the r5 slice
+    "corpus_clean", "quality_percentile", "adaptive_weights",
+    "tpch_local_supplier_volume", "tpch_promo_revenue",
+    "tpch_disjunctive_revenue", "tpch_nation_volume",
+    "tpch_product_profit", "tpch_top_supplier", "tpch_forecast_revenue",
+    "tpch_market_share", "nb_calibration", "curriculum_shards",
+    "ccnet_buckets", "psi_drift", "conformal_interval",
+    # 17 oldest r5-stale rows (registry order; includes the two
+    # code-changed r5 rows tpch_returned_items / tpch_small_qty_revenue)
+    "tokenize_stats", "keyword_search", "keyword_index_search",
+    "keyword_overlap", "context_pack", "quality_estimate",
+    "md_sections", "tree_parents", "tree_leaves", "citation_paths",
+    "html_strip", "tree_reasoning_search", "tpch_returned_items",
+    "tpch_small_qty_revenue", "tpch_large_orders", "dedup_minhash",
+    "neardup_ngram",
 ]
 
 

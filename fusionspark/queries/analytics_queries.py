@@ -8708,14 +8708,18 @@ def range_bounds_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nn))
         .select(
             "part",
-            F.floor(F.col("part") * F.col("n") / _RB_PARTS).cast("long")
-            .alias("rn"),
-            F.floor(F.col("n") / _RB_PARTS).cast("long").alias("target_rows"),
+            # ADVICE r13 (ranking.py finding, same class): exact LONG
+            # integer division, not FLOOR over a double quotient
+            F.expr(f"(part * n) div {_RB_PARTS}").alias("rn"),
+            F.expr(f"n div {_RB_PARTS}").alias("target_rows"),
         )
     )
     return (
         gr.crossJoin(F.broadcast(marks))
-        .filter(F.col("cum") >= F.col("rn"))
+        # ADVICE r13: guard rn >= 1 — for n < _RB_PARTS some marks have
+        # rn = 0 and cum >= 0 would emit a spurious global-min bound row
+        # where the row_number-join form (and the oracle) emits none
+        .filter((F.col("rn") >= 1) & (F.col("cum") >= F.col("rn")))
         .groupBy("part", "rn", "target_rows")
         .agg(F.min("cents").cast("long").alias("bound_cents"))
         .select(
