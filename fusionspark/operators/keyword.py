@@ -68,18 +68,27 @@ def keyword_search(
     top_k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """K2/F5: TF-saturation ranked scan, score > 0, top-k
-    (HybridRetriever.js:365-399).  Ties broken by id ASC."""
+    (HybridRetriever.js:365-399).  Ties broken by id ASC.
+
+    `keep_cols` carries extra columns through the TakeOrdered heap so
+    consumers that need them (context_pack, quality_estimate) avoid a
+    second corpus scan + join-back — and the GlobalLimit then sits on
+    EVERY base-relation path of any downstream window, so the window
+    audit can classify those frames as bounded."""
     terms = extract_terms(query)
     if not terms:
-        return documents.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+        return documents.select(
+            F.col(id_col), F.lit(0.0).alias("score"), *keep_cols
+        ).limit(0)
     scored = documents.withColumn("score", tf_score(F.col(text_col), terms))
     return (
         scored.filter(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_k)
-        .select(id_col, "score")
+        .select(id_col, "score", *keep_cols)
     )
 
 

@@ -229,9 +229,10 @@ def context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: greedy token-budget packing over the keyword ranking
     (RAGPipeline.js:219-233)."""
     d = load_table(spark, sf_dir, "documents")
-    ranked = keyword_search(d, QUERY, top_k=10).join(
-        d.select("doc_id", "text"), "doc_id"
-    )
+    # r14 whitelist burn-down: carry text through the top-k heap instead
+    # of a second corpus scan + join-back — one scan, and the GlobalLimit
+    # now bounds every path under pack_context's running-sum window
+    ranked = keyword_search(d, QUERY, top_k=10, keep_cols=("text",))
     packed = pack_context(ranked, max_tokens=300)
     return packed.select("doc_id", "tokens", F.col("running_tokens").cast("long").alias("running_tokens"))
 
@@ -260,7 +261,9 @@ def quality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: result-quality heuristic 0.4·topScore + 0.4·overlapScore +
     0.2·min(n/5,1), clamped (RecursiveLearningEngine.js:779-790)."""
     d = load_table(spark, sf_dir, "documents")
-    ranked = keyword_search(d, QUERY, top_k=10).join(d.select("doc_id", "text"), "doc_id")
+    # r14 whitelist burn-down: keep text in the top-k heap (one corpus
+    # scan, no join-back; bounds the rank window detector-visibly)
+    ranked = keyword_search(d, QUERY, top_k=10, keep_cols=("text",))
     lowered = F.lower(F.col("text"))
     ov_expr = sum(
         (F.when(lowered.contains(t), 1).otherwise(0) for t in _TERMS), F.lit(0)

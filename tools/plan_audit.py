@@ -24,16 +24,14 @@ sf = "/root/testdata/sf0.1"
 #: cumulative order-statistic picks for rank-pick designs — psi_drift,
 #: conformal_interval, range_bounds_plan; prefix_sum_exact's two-pass
 #: parallel scan for systematic_sample), all output-identical and
-#: strict ×3-SF re-gated.  The two entries left are BOUNDED-frame
-#: designs the detector cannot see through, not raw global sorts.
-WINDOW_WHITELIST: dict[str, str] = {
-    "context_pack": "token-budget greedy pack consumes a rank-FILTERED "
-        "candidate frame (top-k by construction); the budget caps rows "
-        "long before any sort hurts — bounded frame, not a raw sort",
-    "quality_estimate": "rank window runs over the keyword top-10 frame "
-        "(a rank-filter the tree walker cannot classify as bounded); "
-        "<= 10 rows by construction",
-}
+#: strict ×3-SF re-gated.  r14 closed the last two (context_pack,
+#: quality_estimate): their windows were always bounded by the keyword
+#: top-10 GlobalLimit, but a join-back to re-fetch `text` put a raw
+#: relation path under the window — keyword_search now carries
+#: keep_cols through the TakeOrdered heap, so the limit bounds every
+#: path and the detector classifies the frames itself.  EMPTY by
+#: construction from r14 on.
+WINDOW_WHITELIST: dict[str, str] = {}
 
 
 def _parse_tree(plan: str) -> list[tuple[int, str]]:
