@@ -139,3 +139,74 @@ def cluster_profile(assigned: DataFrame) -> DataFrame:
             ).alias("avg_dist2"),
         )
     )
+
+
+def lloyd_state(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> tuple[DataFrame, list[list[int]]]:
+    """`lloyd`'s loop, returning the quantized rows AND the final
+    centroid grid — the round-14 clustering-validation family (silhouette
+    / Davies-Bouldin / Calinski-Harabasz / Dunn) needs distances to EVERY
+    centroid and the centroid vectors themselves, not just the argmin.
+
+    Deliberately a sibling of `lloyd`, not a refactor of it: `lloyd`
+    backs long-attested queries (kmeans_assign …) and stays byte-frozen;
+    this function replays the identical arithmetic (same seed, grid,
+    offset floor-division, empty-cluster rule), asserted equal by
+    tests/test_eval_ops.py."""
+    rows = df.select(
+        F.col(id_col).alias("id"), quantize(vec_col).alias("xi")
+    ).localCheckpoint(eager=True)
+    seed = rows.orderBy("id").limit(k).collect()
+    if not seed:
+        raise ValueError("lloyd_state: empty input")
+    cents = [[int(v) * R for v in r["xi"]] for r in seed]
+    k = len(cents)
+    for _ in range(iters):
+        a = _assign(rows, cents)
+        sums = (
+            a.select("cluster", F.posexplode("xi").alias("j", "x"))
+            .groupBy("cluster", "j")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_c.setdefault(r["cluster"], {})[r["j"]] = (r["s"], r["n"])
+        cents = [
+            [
+                ((by_c[c][j][0] + OFF * by_c[c][j][1]) * R) // by_c[c][j][1] - OFF * R
+                for j in range(dim)
+            ]
+            if c in by_c
+            else cents[c]
+            for c in range(k)
+        ]
+    return rows, cents
+
+
+def assign_all(rows: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """rows(id, xi) → one row per (id, candidate cluster) with the exact
+    BIGINT squared distance — the dense row×centroid distance frame the
+    validation indices consume (the oracle's d{iters+1} CTE).  k·n rows:
+    the fan-out is the bounded centroid count, never a self-join."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(ci).cast("int").alias("c"),
+                F.array(*[F.lit(int(v)) for v in cv]).alias("ca"),
+            )
+            for ci, cv in enumerate(cents)
+        ]
+    )
+    dists = F.transform(
+        carr, lambda s: F.struct(s["c"].alias("c"), _dist2(s["ca"]).alias("d2"))
+    )
+    return rows.select("id", F.explode(dists).alias("dc")).select(
+        "id", F.col("dc.c").alias("c"), F.col("dc.d2").alias("d2")
+    )

@@ -479,11 +479,14 @@ def split_leakage(
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_leaked"))
     )
+    from fusionspark.operators.textstats import round6_stable
+
+    # r14: leaked/total is an integer ratio — round6_stable, not ROUND
     return (
         tot.join(leaks, id_col, "left")
         .withColumn("n_leaked", F.coalesce(F.col("n_leaked"), F.lit(0)).cast("long"))
         .withColumn(
             "leak_frac",
-            F.round(F.col("n_leaked") / F.col("n_shingles").cast("double"), 6),
+            round6_stable(F.col("n_leaked") / F.col("n_shingles").cast("double")),
         )
     )

@@ -126,7 +126,11 @@ def jaccard_join_prefix(
     sim = F.col("o").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("o")
     ).cast("double")
+    from fusionspark.operators.textstats import round6_stable
+
+    # r14: integer-ratio Jaccard — round6_stable, not ROUND (the
+    # shortest-string halfway class; oracle uses the same FLOOR form)
     return (
         overlap.filter(sim >= F.lit(t_num) / F.lit(float(t_den)))
-        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .select("id_a", "id_b", round6_stable(sim).alias("sim"))
     )

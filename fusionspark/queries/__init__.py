@@ -75,6 +75,7 @@ def load_all() -> None:
         clustering_queries,
         composition_queries,
         embedding_queries,
+        eval_queries,
         inference_queries,
         layout_queries,
         extended_queries,

@@ -444,9 +444,12 @@ def session_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE v IS NOT NULL AND p IS NOT NULL AND p > v
     )
     SELECT COUNT(*)::BIGINT AS n,
-           ROUND((SUM(us)::DOUBLE / COUNT(*)) / 1e6, 6) AS avg_sec,
-           ROUND(quantile_cont(us, 0.5) / 1e6, 6) AS p50_sec,
-           ROUND(quantile_cont(us, 0.9) / 1e6, 6) AS p90_sec
+           FLOOR(((SUM(us)::DOUBLE / COUNT(*)) / 1e6)
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_sec,
+           FLOOR((quantile_cont(us, 0.5) / 1e6)
+                 * 1000000.0 + 0.5) / 1000000.0 AS p50_sec,
+           FLOOR((quantile_cont(us, 0.9) / 1e6)
+                 * 1000000.0 + 0.5) / 1000000.0 AS p90_sec
     FROM lat
     """,
 )
@@ -466,13 +469,23 @@ def conversion_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = firsts.filter(
         F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") > F.col("v"))
     ).select((F.col("p") - F.col("v")).cast("long").alias("us"))
+    # r14: interpolated percentiles of integer microseconds land on exact
+    # .5 midpoints, and /1e6 puts that halfway at the 7th decimal — the
+    # shortest-string ROUND divergence class (audit-flagged at sf0.1);
+    # round6_stable reads only the binary value
+    from fusionspark.operators.textstats import round6_stable
+
     return lat.agg(
         F.count("*").cast("long").alias("n"),
-        F.round((F.sum("us").cast("double") / F.count("*")) / F.lit(1e6), 6).alias(
-            "avg_sec"
+        round6_stable(
+            (F.sum("us").cast("double") / F.count("*")) / F.lit(1e6)
+        ).alias("avg_sec"),
+        round6_stable(F.expr("percentile(us, 0.5)") / F.lit(1e6)).alias(
+            "p50_sec"
         ),
-        F.round(F.expr("percentile(us, 0.5)") / F.lit(1e6), 6).alias("p50_sec"),
-        F.round(F.expr("percentile(us, 0.9)") / F.lit(1e6), 6).alias("p90_sec"),
+        round6_stable(F.expr("percentile(us, 0.9)") / F.lit(1e6)).alias(
+            "p90_sec"
+        ),
     )
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fusionspark.operators import multimodal as MM
+from fusionspark.operators.textstats import round6_stable
 from fusionspark.queries import query
 
 # doc_id-derived metadata, mirrored from multimodal.synth_media
@@ -68,7 +69,7 @@ def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "png_features",
     f"""
     SELECT doc_id,
-           ROUND(AVG(v), 6) AS mean_intensity,
+           FLOOR(AVG(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_intensity,
            SUM(v * k)::BIGINT AS pix_checksum
     FROM (
         SELECT doc_id, k.k AS k,
@@ -91,7 +92,7 @@ def png_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = MM.png_feature_stats(m)
     return feats.select(
         F.col("media_id").alias("doc_id"),
-        F.round("mean_intensity", 6).alias("mean_intensity"),
+        round6_stable(F.col("mean_intensity")).alias("mean_intensity"),
         "pix_checksum",
     )
 
@@ -211,7 +212,8 @@ _IMAGE_FEATURES_ORACLE = """
         FROM pix GROUP BY media_id, grp
     )
     SELECT s.media_id,
-           ROUND(s.s1::DOUBLE / s.n, 6) AS mean_intensity,
+           FLOOR((s.s1::DOUBLE / s.n) * 1000000.0 + 0.5) / 1000000.0
+               AS mean_intensity,
            ROUND(sqrt(greatest(0.0,
                s.s2::DOUBLE / s.n
                - (s.s1::DOUBLE / s.n) * (s.s1::DOUBLE / s.n))), 6)
@@ -232,7 +234,7 @@ def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = MM.image_features(m)
     return feats.select(
         "media_id",
-        F.round("mean_intensity", 6).alias("mean_intensity"),
+        round6_stable(F.col("mean_intensity")).alias("mean_intensity"),
         F.round("std_intensity", 6).alias("std_intensity"),
         "ahash",
     )
@@ -307,7 +309,7 @@ def image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jpeg_features",
     f"""
     SELECT doc_id,
-           ROUND(AVG(v), 6) AS mean_intensity,
+           FLOOR(AVG(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_intensity,
            SUM(v * k)::BIGINT AS pix_checksum
     FROM (
         SELECT doc_id, k.k AS k,
@@ -333,7 +335,7 @@ def jpeg_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = MM.png_feature_stats(m)  # decode_real dispatches on JPEG magic
     return feats.select(
         F.col("media_id").alias("doc_id"),
-        F.round("mean_intensity", 6).alias("mean_intensity"),
+        round6_stable(F.col("mean_intensity")).alias("mean_intensity"),
         "pix_checksum",
     )
 
@@ -465,7 +467,7 @@ def wav_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "video_frames",
     f"""
     SELECT media_id, frame_idx, ts_ms, n_frames,
-           ROUND(AVG(v), 6) AS mean_pixel,
+           FLOOR(AVG(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_pixel,
            SUM(v * k)::BIGINT AS pix_checksum
     FROM (
         SELECT d.doc_id AS media_id, f.f::INT AS frame_idx,
@@ -495,7 +497,7 @@ def video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = MM.video_frame_features(m, stride=2)
     return feats.select(
         "media_id", "frame_idx", "ts_ms", "n_frames",
-        F.round("mean_pixel", 6).alias("mean_pixel"), "pix_checksum",
+        round6_stable(F.col("mean_pixel")).alias("mean_pixel"), "pix_checksum",
     )
 
 
@@ -651,7 +653,7 @@ def audio_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bmp_features",
     """
     SELECT doc_id,
-           ROUND(AVG(v), 6) AS mean_intensity,
+           FLOOR(AVG(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_intensity,
            SUM(v * idx)::BIGINT AS pix_checksum
     FROM (
         SELECT doc_id, (3 * k.k + c.c)::DOUBLE AS idx,
@@ -678,7 +680,7 @@ def bmp_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = bmp.bmp_feature_stats(m)
     return feats.select(
         F.col("media_id").alias("doc_id"),
-        F.round("mean_intensity", 6).alias("mean_intensity"),
+        round6_stable(F.col("mean_intensity")).alias("mean_intensity"),
         "pix_checksum",
     )
 
@@ -687,7 +689,7 @@ def bmp_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gif_features",
     """
     SELECT doc_id,
-           ROUND(AVG(v), 6) AS mean_intensity,
+           FLOOR(AVG(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_intensity,
            SUM(v * k)::BIGINT AS pix_checksum
     FROM (
         SELECT doc_id, k.k AS k,
@@ -712,7 +714,7 @@ def gif_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = gif.gif_feature_stats(m)
     return feats.select(
         F.col("media_id").alias("doc_id"),
-        F.round("mean_intensity", 6).alias("mean_intensity"),
+        round6_stable(F.col("mean_intensity")).alias("mean_intensity"),
         "pix_checksum",
     )
 
@@ -845,7 +847,7 @@ def mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gif_interlaced",
     """
     SELECT doc_id,
-           ROUND(AVG(v), 6) AS mean_intensity,
+           FLOOR(AVG(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_intensity,
            SUM(v * k)::BIGINT AS pix_checksum
     FROM (
         SELECT doc_id, k.k AS k,
@@ -872,7 +874,7 @@ def gif_interlaced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = gif.gif_feature_stats(m)
     return feats.select(
         F.col("media_id").alias("doc_id"),
-        F.round("mean_intensity", 6).alias("mean_intensity"),
+        round6_stable(F.col("mean_intensity")).alias("mean_intensity"),
         "pix_checksum",
     )
 
@@ -881,7 +883,7 @@ def gif_interlaced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "png_interlaced",
     f"""
     SELECT doc_id,
-           ROUND(AVG(v), 6) AS mean_intensity,
+           FLOOR(AVG(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_intensity,
            SUM(v * k)::BIGINT AS pix_checksum
     FROM (
         SELECT doc_id, k.k AS k,
@@ -906,7 +908,7 @@ def png_interlaced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = MM.png_feature_stats(m)
     return feats.select(
         F.col("media_id").alias("doc_id"),
-        F.round("mean_intensity", 6).alias("mean_intensity"),
+        round6_stable(F.col("mean_intensity")).alias("mean_intensity"),
         "pix_checksum",
     )
 
@@ -915,7 +917,7 @@ def png_interlaced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qoi_features",
     """
     SELECT doc_id,
-           ROUND(AVG(v), 6) AS mean_intensity,
+           FLOOR(AVG(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_intensity,
            SUM(v * (3 * kk + cc))::BIGINT AS pix_checksum
     FROM (
         SELECT doc_id, k.k AS kk, c.c AS cc,
@@ -959,6 +961,6 @@ def qoi_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = qoi.qoi_feature_stats(m)
     return feats.select(
         F.col("media_id").alias("doc_id"),
-        F.round("mean_intensity", 6).alias("mean_intensity"),
+        round6_stable(F.col("mean_intensity")).alias("mean_intensity"),
         "pix_checksum",
     )

@@ -98,10 +98,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ws AS (SELECT doc_id, list_distinct(words) AS w FROM words_t)
     SELECT id_a, id_b,
-           ROUND(CASE WHEN len(list_distinct(list_concat(wa.w, wb.w))) > 0
-                 THEN len(list_intersect(wa.w, wb.w))::DOUBLE
-                      / len(list_distinct(list_concat(wa.w, wb.w)))
-                 ELSE 0.0 END, 6) AS sim
+           FLOOR((CASE WHEN len(list_distinct(list_concat(wa.w, wb.w))) > 0
+                  THEN len(list_intersect(wa.w, wb.w))::DOUBLE
+                       / len(list_distinct(list_concat(wa.w, wb.w)))
+                  ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS sim
     FROM cands
     JOIN ws wa ON wa.doc_id = id_a
     JOIN ws wb ON wb.doc_id = id_b
@@ -118,7 +118,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=0.7,
         num_hashes=NUM_HASHES, bands=BANDS,
     )
-    return df.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    # r14: Jaccard is a ratio of small integers — exactly the class where
+    # ROUND's shortest-string halfway diverges across engines (dyadic
+    # unions); round6_stable reads only the binary value
+    return df.select(
+        "id_a", "id_b", textstats.round6_stable(F.col("sim")).alias("sim")
+    )
 
 
 @query(
@@ -154,8 +159,9 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id, lang, source, {_WORDS} AS words FROM documents)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS sim
+           FLOOR((len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS sim
     FROM sh_t a JOIN sh_t b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh)) > 0
@@ -166,8 +172,9 @@ def neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = dedup.ngram_jaccard_neardup(
         load_table(spark, sf_dir, "documents"), threshold=0.0
     )
+    # r14: integer-ratio Jaccard — round6_stable (audit-flagged 1/128)
     return df.filter(F.col("sim") > 0).select(
-        "id_a", "id_b", F.round("sim", 6).alias("sim")
+        "id_a", "id_b", textstats.round6_stable(F.col("sim")).alias("sim")
     )
 
 
@@ -226,8 +233,9 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM words_t)
     SELECT id_a, id_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS sim
+           FLOOR((len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS sim
     FROM cands
     JOIN sh a ON a.doc_id = id_a
     JOIN sh b ON b.doc_id = id_b
@@ -245,8 +253,9 @@ def neardup_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=0.0,
         num_hashes=NUM_HASHES, bands=BANDS,
     )
+    # r14: integer-ratio Jaccard — round6_stable (shortest-string class)
     return df.filter(F.col("sim") > 0).select(
-        "id_a", "id_b", F.round("sim", 6).alias("sim")
+        "id_a", "id_b", textstats.round6_stable(F.col("sim")).alias("sim")
     )
 
 
@@ -1191,7 +1200,8 @@ _AGREE16 = " + ".join(
         FROM keyed k JOIN banded b ON b.doc_id = k.doc_id
     )
     SELECT p.doc_id AS new_id, c.doc_id AS corpus_id,
-           ROUND(MAX(({_AGREE16})::DOUBLE / {NUM_HASHES}), 6) AS est_sim
+           FLOOR(MAX(({_AGREE16})::DOUBLE / {NUM_HASHES})
+                 * 1000000.0 + 0.5) / 1000000.0 AS est_sim
     FROM bandmix p JOIN bandmix c
       ON p.band = c.band AND p.band_key = c.band_key
      AND p.bkt >= 95 AND c.bkt < 95
@@ -1221,8 +1231,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, new, idx, threshold=0.5,
             num_hashes=NUM_HASHES, bands=BANDS,
         )
+        # r14: agreement/NUM_HASHES is k/16 — pure dyadic, the worst case
+        # of the shortest-string ROUND class; round6_stable
         return out.select(
-            "new_id", "corpus_id", F.round("est_sim", 6).alias("est_sim")
+            "new_id",
+            "corpus_id",
+            textstats.round6_stable(F.col("est_sim")).alias("est_sim"),
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
@@ -3350,8 +3364,9 @@ def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM words_t)
     SELECT id_a, id_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / least(len(a.sh), len(b.sh)), 6) AS containment
+           FLOOR((len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / least(len(a.sh), len(b.sh))) * 1000000.0 + 0.5)
+               / 1000000.0 AS containment
     FROM cands
     JOIN sh a ON a.doc_id = id_a
     JOIN sh b ON b.doc_id = id_b
@@ -3365,7 +3380,12 @@ def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scores ~1 where Jaccard stays low.  The oracle replays bands,
     bucket join, and the min-denominator verify bit-for-bit."""
     out = dedup.containment_neardup(load_table(spark, sf_dir, "documents"))
-    return out.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    # r14: overlap/min is an integer ratio — round6_stable
+    return out.select(
+        "id_a",
+        "id_b",
+        textstats.round6_stable(F.col("containment")).alias("containment"),
+    )
 
 
 @query(
@@ -3660,7 +3680,8 @@ _SHINGLES8 = (
     )
     SELECT t.doc_id, t.n_shingles,
            COALESCE(l.n_leaked, 0)::BIGINT AS n_leaked,
-           ROUND(COALESCE(l.n_leaked, 0) / t.n_shingles, 6) AS leak_frac
+           FLOOR((COALESCE(l.n_leaked, 0) / t.n_shingles)
+                 * 1000000.0 + 0.5) / 1000000.0 AS leak_frac
     FROM tot t LEFT JOIN lk l USING (doc_id)
     """,
 )
@@ -3686,7 +3707,8 @@ def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           ROUND(o::DOUBLE / (x.sz + y.sz - o)::DOUBLE, 6) AS sim
+           FLOOR((o::DOUBLE / (x.sz + y.sz - o)::DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS sim
     FROM o
     JOIN sizes x ON o.id_a = x.doc_id
     JOIN sizes y ON o.id_b = y.doc_id

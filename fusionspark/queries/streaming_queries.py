@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fusionspark.io import load_table
+from fusionspark.operators.textstats import round6_stable
 from fusionspark.queries import query
 from fusionspark.streaming import windows as W
 
@@ -302,7 +303,8 @@ def events_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.day_s
     )
     SELECT day_s, active_users, retained_next_day,
-           ROUND(retained_next_day::DOUBLE / active_users, 6) AS retention
+           FLOOR((retained_next_day::DOUBLE / active_users)
+                 * 1000000.0 + 0.5) / 1000000.0 AS retention
     FROM pairs
     """,
 )
@@ -334,8 +336,11 @@ def user_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "day_s", "active_users", "retained_next_day",
-            F.round(
-                F.col("retained_next_day").cast("double") / F.col("active_users"), 6
+            # r14: retained/active is an integer ratio (audit-flagged
+            # 0.8984375) — round6_stable, not ROUND
+            round6_stable(
+                F.col("retained_next_day").cast("double")
+                / F.col("active_users")
             ).alias("retention"),
         )
     )

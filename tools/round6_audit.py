@@ -56,16 +56,21 @@ DEFAULT_ULPS = 8
 
 
 def boundary_risk(x: float, ulps: int = DEFAULT_ULPS) -> bool:
-    """True when x*1e6 lies within `ulps` ulps of a half-integer."""
+    """True when ROUND(x, 6) can diverge across engines: x's SHORTEST
+    round-trip repr has exactly 7 fractional digits ending in 5.  Spark
+    HALF_UP-rounds that string (…5 → up); DuckDB rounds the binary value,
+    which sits on whichever side of the true halfway the double landed —
+    the two agree only by luck.  (An earlier ulp-distance heuristic
+    false-positived on large-magnitude money sums where ulp(x·1e6) > 1;
+    the repr form is exact: it is literally the condition of the r13
+    text_quality strict-fail.)  `ulps` retained for CLI compat, unused."""
     if not math.isfinite(x):
         return False
-    y = abs(x) * 1e6
-    if y > 2**52:  # grid finer than ulp — rounding is meaningless anyway
-        return False
-    frac = y - math.floor(y)
-    dist = abs(frac - 0.5)
-    tol = ulps * math.ulp(y) if y > 0 else ulps * 5e-324
-    return dist <= tol
+    r = repr(abs(float(x)))
+    if "e" in r or "E" in r or "." not in r:
+        return False  # very large/small magnitudes — no 7-digit fraction
+    frac = r.split(".")[1]
+    return len(frac) == 7 and frac.endswith("5")
 
 
 def audit_frame(df: pd.DataFrame, ulps: int) -> list[tuple[str, float]]:
