@@ -1,0 +1,940 @@
+"""Round-14 evaluation additions: clustering-validation indices over the
+exact-integer k-means (ARI / purity / NMI / V-measure / Fowlkes-Mallows /
+silhouette / Davies-Bouldin / Calinski-Harabasz / Dunn / the contingency
+table itself), threshold-free classifier metrics over the NB quality
+scores (PR-AUC, score-KS, MCC confusion suite, decile lift/gains, Brier
+decomposition), and multi-query retrieval metrics (MRR, MAP@10) — the
+"did the model/clustering/index actually work" report every curation
+pipeline runs after nb_quality / kmeans_* / bm25_search produce their
+artifacts.
+
+Parity discipline (the repo-wide rules): every metric reduces to exact
+BIGINT contingency/rank/confusion sums first; doubles enter in ONE
+closed-form expression written with the identical tree in both engines;
+sums of per-cell doubles (entropies, AP terms, bin terms) fold in FIXED
+grid order via sorted-list reduction (the chi2_independence discipline),
+never shuffle order; square roots are IEEE-correctly-rounded and appear
+once per expression.
+
+Scale shape: the corpus collapses in one map-side-combined pass onto a
+bounded grid — the k×|labels| contingency, the distinct-score grid, the
+10-bin calibration grid, the k-row centroid table — and every statistic
+evaluates on that grid.  The only k·n frame (all-centroid distances for
+silhouette) fans out by the centroid count k, never a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fusionspark.io import load_table
+from fusionspark.operators import clustering
+from fusionspark.operators.spectral import SCALE
+from fusionspark.queries import query
+from fusionspark.queries.clustering_queries import _CHAIN, _FINAL, _ITERS
+from fusionspark.queries.pipeline_queries import NB_QUALITY_ORACLE, _NB_POS
+
+
+# ---------------------------------------------------------------------------
+# shared frames
+# ---------------------------------------------------------------------------
+
+#: ×(SCALE·R) grid → original embedding units
+_DENOM = float(SCALE) * float(clustering.R)
+
+#: final-round CTE names inside _CHAIN ( clustering_queries._round_ctes )
+_DALL = f"d{_ITERS + 1}"  # dense row×centroid exact distances
+_CENT = f"cent{_ITERS}"  # final centroid grid
+
+#: assignment+label frame and the k×|labels| contingency, shared by every
+#: partition-comparison index below
+_LAB_CTE = f"""{_CHAIN},
+    lab AS (
+        SELECT a.vec_id, a.c, a.d2, e.label
+        FROM {_FINAL} a JOIN embeddings e USING (vec_id)
+    ),
+    ct AS (SELECT c, label, COUNT(*)::BIGINT AS nij FROM lab GROUP BY c, label),
+    am AS (SELECT c, SUM(nij)::BIGINT AS ai FROM ct GROUP BY c),
+    bm AS (SELECT label, SUM(nij)::BIGINT AS bj FROM ct GROUP BY label),
+    nn AS (SELECT SUM(nij)::BIGINT AS n FROM ct)"""
+
+
+def _kmeans_lab(spark: SparkSession, sf_dir: str):
+    """(assignment ⋈ label) frame + the (rows, cents) state behind it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows, cents = clustering.lloyd_state(emb)
+    own = clustering._assign(rows, cents).select(
+        F.col("id").alias("vec_id"), "cluster", "dist2"
+    )
+    lab = own.join(emb.select("vec_id", "label"), "vec_id")
+    return lab, rows, cents
+
+
+def _contingency(lab: DataFrame) -> DataFrame:
+    return lab.groupBy("cluster", "label").agg(
+        F.count("*").cast("long").alias("nij")
+    )
+
+
+def _ordered_fold(terms: DataFrame, order_cols: list[str], term_col: str,
+                  out_name: str) -> DataFrame:
+    """Σ term in FIXED (order_cols) order — sorted-struct left fold, the
+    chi2_independence discipline (bit-stable under any partitioning)."""
+    return terms.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(*order_cols, term_col))),
+            F.lit(0.0),
+            lambda acc, s: acc + s[term_col],
+        ).alias(out_name)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cluster_contingency — the k×|labels| table itself
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cluster_contingency",
+    f"""
+    WITH {_LAB_CTE}
+    SELECT ct.c::INT AS cluster, ct.label, ct.nij AS n,
+           am.ai AS cluster_size, bm.bj AS label_size
+    FROM ct JOIN am USING (c) JOIN bm USING (label)
+    ORDER BY cluster, label
+    """,
+)
+def cluster_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster×label contingency table with both margins — the raw
+    material every external validation index consumes, and the first
+    thing anyone inspects when a clustering disagrees with its labels.
+
+    Scale: one groupBy of the n-row assignment onto the k×|labels| grid
+    (map-side combined); margins are grid-sized re-aggregations."""
+    lab, _, _ = _kmeans_lab(spark, sf_dir)
+    ct = _contingency(lab)
+    am = ct.groupBy("cluster").agg(F.sum("nij").cast("long").alias("cluster_size"))
+    bm = ct.groupBy("label").agg(F.sum("nij").cast("long").alias("label_size"))
+    return (
+        ct.join(am, "cluster")
+        .join(bm, "label")
+        .select(
+            F.col("cluster").cast("int"),
+            "label",
+            F.col("nij").alias("n"),
+            "cluster_size",
+            "label_size",
+        )
+        .orderBy("cluster", "label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cluster_ari — Rand / adjusted Rand
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cluster_ari",
+    f"""
+    WITH {_LAB_CTE},
+    s AS (
+        SELECT (SELECT SUM(nij * (nij - 1) / 2)::BIGINT FROM ct) AS sij,
+               (SELECT SUM(ai * (ai - 1) / 2)::BIGINT FROM am) AS sa,
+               (SELECT SUM(bj * (bj - 1) / 2)::BIGINT FROM bm) AS sb,
+               (SELECT (n * (n - 1) / 2)::BIGINT FROM nn) AS t,
+               (SELECT n FROM nn) AS n
+    )
+    SELECT n, t AS n_pairs, sij AS agree_pairs,
+           ROUND((t + 2 * sij - sa - sb)::DOUBLE / t, 6) AS rand_index,
+           CASE WHEN t * (sa + sb) <> 2 * sa * sb
+                THEN ROUND((2.0 * (t * sij - sa * sb))
+                           / (t * (sa + sb) - 2.0 * sa * sb), 6) + 0.0
+           END AS ari
+    FROM s
+    """,
+)
+def cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rand index and adjusted Rand index (Hubert & Arabie 1985) between
+    the exact-k-means partition and the generator labels — the standard
+    chance-corrected partition agreement.  ARI is rewritten over the
+    common denominator T so every ingredient is an exact BIGINT pair
+    count (Σ C(nij,2), margin sums, T = C(n,2)): ari =
+    2(T·Σij − Sa·Sb) / (T(Sa+Sb) − 2·Sa·Sb), ONE division of exactly
+    representable doubles (products ≤ T² ≈ 4e12 here; above ~3e9 pairs
+    swap the BIGINT products for DECIMAL(38,0) ≡ HUGEINT — the r13
+    headroom pattern).
+
+    Scale: everything after the one corpus groupBy runs on the
+    k×|labels| grid."""
+    lab, _, _ = _kmeans_lab(spark, sf_dir)
+    ct = _contingency(lab).localCheckpoint(eager=True)
+    sij = ct.agg(
+        (F.sum(F.col("nij") * (F.col("nij") - 1)) / 2).cast("long").alias("sij")
+    )
+    sa = (
+        ct.groupBy("cluster")
+        .agg(F.sum("nij").alias("ai"))
+        .agg((F.sum(F.col("ai") * (F.col("ai") - 1)) / 2).cast("long").alias("sa"))
+    )
+    sb = (
+        ct.groupBy("label")
+        .agg(F.sum("nij").alias("bj"))
+        .agg((F.sum(F.col("bj") * (F.col("bj") - 1)) / 2).cast("long").alias("sb"))
+    )
+    nn = ct.agg(F.sum("nij").cast("long").alias("n"))
+    s = (
+        sij.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "sij", "sa", "sb", "n",
+            (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("t"),
+        )
+    )
+    t, sa_, sb_, sij_ = F.col("t"), F.col("sa"), F.col("sb"), F.col("sij")
+    return s.select(
+        "n",
+        t.alias("n_pairs"),
+        sij_.alias("agree_pairs"),
+        F.round((t + 2 * sij_ - sa_ - sb_).cast("double") / t, 6).alias(
+            "rand_index"
+        ),
+        F.when(
+            t * (sa_ + sb_) != 2 * sa_ * sb_,
+            F.round(
+                (2.0 * (t * sij_ - sa_ * sb_))
+                / (t * (sa_ + sb_) - 2.0 * sa_ * sb_),
+                6,
+            )
+            + 0.0,
+        ).alias("ari"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cluster_purity — purity and inverse purity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cluster_purity",
+    f"""
+    WITH {_LAB_CTE},
+    pc AS (SELECT c, MAX(nij)::BIGINT AS mx FROM ct GROUP BY c),
+    pl AS (SELECT label, MAX(nij)::BIGINT AS mx FROM ct GROUP BY label)
+    SELECT nn.n,
+           (SELECT SUM(mx)::BIGINT FROM pc) AS majority_sum,
+           ROUND((SELECT SUM(mx) FROM pc)::DOUBLE / nn.n, 6) AS purity,
+           ROUND((SELECT SUM(mx) FROM pl)::DOUBLE / nn.n, 6)
+               AS inverse_purity
+    FROM nn
+    """,
+)
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purity (each cluster votes its majority label) and inverse purity
+    (each label votes its majority cluster) — the zeroth-order external
+    index, exact integer majority sums with one division each.
+
+    Scale: grid-only after the contingency groupBy."""
+    lab, _, _ = _kmeans_lab(spark, sf_dir)
+    ct = _contingency(lab).localCheckpoint(eager=True)
+    pc = ct.groupBy("cluster").agg(F.max("nij").alias("mx")).agg(
+        F.sum("mx").cast("long").alias("mc")
+    )
+    pl = ct.groupBy("label").agg(F.max("nij").alias("mx")).agg(
+        F.sum("mx").cast("long").alias("ml")
+    )
+    nn = ct.agg(F.sum("nij").cast("long").alias("n"))
+    return (
+        nn.crossJoin(F.broadcast(pc))
+        .crossJoin(F.broadcast(pl))
+        .select(
+            "n",
+            F.col("mc").alias("majority_sum"),
+            F.round(F.col("mc").cast("double") / F.col("n"), 6).alias("purity"),
+            F.round(F.col("ml").cast("double") / F.col("n"), 6).alias(
+                "inverse_purity"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fowlkes_mallows — pair-counting precision/recall geometric mean
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fowlkes_mallows",
+    f"""
+    WITH {_LAB_CTE},
+    s AS (
+        SELECT (SELECT SUM(nij * (nij - 1) / 2)::BIGINT FROM ct) AS tp,
+               (SELECT SUM(ai * (ai - 1) / 2)::BIGINT FROM am) AS sa,
+               (SELECT SUM(bj * (bj - 1) / 2)::BIGINT FROM bm) AS sb
+    )
+    SELECT tp AS tp_pairs, (sa - tp)::BIGINT AS fp_pairs,
+           (sb - tp)::BIGINT AS fn_pairs,
+           CASE WHEN sa > 0 AND sb > 0
+                THEN ROUND(tp / sqrt(sa::DOUBLE * sb::DOUBLE), 6) + 0.0
+           END AS fowlkes_mallows
+    FROM s
+    """,
+)
+def fowlkes_mallows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fowlkes-Mallows index: TP/√((TP+FP)(TP+FN)) over co-membership
+    pairs — the geometric mean of pair-precision and pair-recall, from
+    the SAME exact integer pair counts as cluster_ari (different
+    normalization: FM has no chance correction, so the two indices
+    disagree exactly when cluster sizes are skewed).  √ of an exact
+    int64→double product is IEEE-correctly-rounded — deterministic.
+
+    Scale: grid-only after the contingency groupBy."""
+    lab, _, _ = _kmeans_lab(spark, sf_dir)
+    ct = _contingency(lab).localCheckpoint(eager=True)
+    sij = ct.agg(
+        (F.sum(F.col("nij") * (F.col("nij") - 1)) / 2).cast("long").alias("tp")
+    )
+    sa = (
+        ct.groupBy("cluster")
+        .agg(F.sum("nij").alias("ai"))
+        .agg((F.sum(F.col("ai") * (F.col("ai") - 1)) / 2).cast("long").alias("sa"))
+    )
+    sb = (
+        ct.groupBy("label")
+        .agg(F.sum("nij").alias("bj"))
+        .agg((F.sum(F.col("bj") * (F.col("bj") - 1)) / 2).cast("long").alias("sb"))
+    )
+    s = sij.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    tp, sa_, sb_ = F.col("tp"), F.col("sa"), F.col("sb")
+    return s.select(
+        tp.alias("tp_pairs"),
+        (sa_ - tp).cast("long").alias("fp_pairs"),
+        (sb_ - tp).cast("long").alias("fn_pairs"),
+        F.when(
+            (sa_ > 0) & (sb_ > 0),
+            F.round(tp / F.sqrt(sa_.cast("double") * sb_.cast("double")), 6)
+            + 0.0,
+        ).alias("fowlkes_mallows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cluster_nmi — mutual information / normalized MI
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cluster_nmi",
+    f"""
+    WITH {_LAB_CTE},
+    mt AS (
+        SELECT ct.c, ct.label,
+               (ct.nij::DOUBLE / nn.n)
+               * ln((ct.nij * nn.n)::DOUBLE / (am.ai * bm.bj)::DOUBLE) AS term
+        FROM ct JOIN am USING (c) JOIN bm USING (label) CROSS JOIN nn
+    ),
+    mi AS (
+        SELECT list_reduce(list_prepend(0.0, list(term ORDER BY c, label)),
+                           (a, x) -> a + x) AS mi
+        FROM mt
+    ),
+    hc AS (
+        SELECT list_reduce(list_prepend(0.0, list(
+                   -(ai::DOUBLE / nn.n) * ln(ai::DOUBLE / nn.n) ORDER BY c)),
+                           (a, x) -> a + x) AS hc
+        FROM am CROSS JOIN nn
+    ),
+    hl AS (
+        SELECT list_reduce(list_prepend(0.0, list(
+                   -(bj::DOUBLE / nn.n) * ln(bj::DOUBLE / nn.n) ORDER BY label)),
+                           (a, x) -> a + x) AS hl
+        FROM bm CROSS JOIN nn
+    )
+    SELECT ROUND(mi.mi, 6) + 0.0 AS mutual_information,
+           ROUND(hc.hc, 6) + 0.0 AS h_cluster,
+           ROUND(hl.hl, 6) + 0.0 AS h_label,
+           CASE WHEN hc.hc + hl.hl > 0
+                THEN ROUND(2.0 * mi.mi / (hc.hc + hl.hl), 6) + 0.0
+           END AS nmi
+    FROM mi, hc, hl
+    """,
+)
+def cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the k-means partition and the labels,
+    normalized by the arithmetic mean of the two entropies (sklearn's
+    default NMI) — the information-theoretic partition agreement that,
+    unlike purity, punishes shattering a label across clusters.
+
+    Parity: each MI term is ln of ONE division of exactly representable
+    integer products ((nij·n) ≤ 4e6 here), folded in fixed (c, label)
+    grid order; entropies fold in margin order — bit-stable under any
+    partitioning.  Scale: grid-only after the contingency groupBy."""
+    lab, _, _ = _kmeans_lab(spark, sf_dir)
+    ct = _contingency(lab).localCheckpoint(eager=True)
+    am = ct.groupBy("cluster").agg(F.sum("nij").cast("long").alias("ai"))
+    bm = ct.groupBy("label").agg(F.sum("nij").cast("long").alias("bj"))
+    nn = ct.agg(F.sum("nij").cast("long").alias("n"))
+    mt = (
+        ct.join(am, "cluster")
+        .join(bm, "label")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("cluster").alias("c"),
+            "label",
+            (
+                (F.col("nij").cast("double") / F.col("n"))
+                * F.log(
+                    (F.col("nij") * F.col("n")).cast("double")
+                    / (F.col("ai") * F.col("bj")).cast("double")
+                )
+            ).alias("term"),
+        )
+    )
+    mi = _ordered_fold(mt, ["c", "label"], "term", "mi")
+    hc = _ordered_fold(
+        am.crossJoin(F.broadcast(nn)).select(
+            "cluster",
+            (
+                -(F.col("ai").cast("double") / F.col("n"))
+                * F.log(F.col("ai").cast("double") / F.col("n"))
+            ).alias("term"),
+        ),
+        ["cluster"],
+        "term",
+        "hc",
+    )
+    hl = _ordered_fold(
+        bm.crossJoin(F.broadcast(nn)).select(
+            "label",
+            (
+                -(F.col("bj").cast("double") / F.col("n"))
+                * F.log(F.col("bj").cast("double") / F.col("n"))
+            ).alias("term"),
+        ),
+        ["label"],
+        "term",
+        "hl",
+    )
+    s = mi.crossJoin(F.broadcast(hc)).crossJoin(F.broadcast(hl))
+    return s.select(
+        (F.round("mi", 6) + 0.0).alias("mutual_information"),
+        (F.round("hc", 6) + 0.0).alias("h_cluster"),
+        (F.round("hl", 6) + 0.0).alias("h_label"),
+        F.when(
+            F.col("hc") + F.col("hl") > 0,
+            F.round(2.0 * F.col("mi") / (F.col("hc") + F.col("hl")), 6) + 0.0,
+        ).alias("nmi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cluster_vmeasure — homogeneity / completeness / V
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cluster_vmeasure",
+    f"""
+    WITH {_LAB_CTE},
+    hlc AS (
+        SELECT list_reduce(list_prepend(0.0, list(
+                   -(ct.nij::DOUBLE / nn.n)
+                   * ln(ct.nij::DOUBLE / am.ai) ORDER BY ct.c, ct.label)),
+                           (a, x) -> a + x) AS v
+        FROM ct JOIN am USING (c) CROSS JOIN nn
+    ),
+    hcl AS (
+        SELECT list_reduce(list_prepend(0.0, list(
+                   -(ct.nij::DOUBLE / nn.n)
+                   * ln(ct.nij::DOUBLE / bm.bj) ORDER BY ct.c, ct.label)),
+                           (a, x) -> a + x) AS v
+        FROM ct JOIN bm USING (label) CROSS JOIN nn
+    ),
+    hc AS (
+        SELECT list_reduce(list_prepend(0.0, list(
+                   -(ai::DOUBLE / nn.n) * ln(ai::DOUBLE / nn.n) ORDER BY c)),
+                           (a, x) -> a + x) AS v
+        FROM am CROSS JOIN nn
+    ),
+    hl AS (
+        SELECT list_reduce(list_prepend(0.0, list(
+                   -(bj::DOUBLE / nn.n) * ln(bj::DOUBLE / nn.n) ORDER BY label)),
+                           (a, x) -> a + x) AS v
+        FROM bm CROSS JOIN nn
+    ),
+    s AS (
+        SELECT CASE WHEN hl.v > 0 THEN 1.0 - hlc.v / hl.v ELSE 1.0 END AS h,
+               CASE WHEN hc.v > 0 THEN 1.0 - hcl.v / hc.v ELSE 1.0 END AS c
+        FROM hlc, hcl, hc, hl
+    )
+    SELECT ROUND(h, 6) + 0.0 AS homogeneity, ROUND(c, 6) + 0.0 AS completeness,
+           CASE WHEN h + c > 0 THEN ROUND(2.0 * h * c / (h + c), 6) + 0.0
+                ELSE 0.0 END AS v_measure
+    FROM s
+    """,
+)
+def cluster_vmeasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homogeneity (each cluster holds one label), completeness (each
+    label lives in one cluster), and their harmonic mean V
+    (Rosenberg & Hirschberg 2007) — the conditional-entropy view of the
+    same contingency grid as cluster_nmi, with the asymmetry NMI hides.
+
+    Parity: conditional entropies fold in fixed (c, label) order; each
+    term is ln of one exact-integer division.  Scale: grid-only."""
+    lab, _, _ = _kmeans_lab(spark, sf_dir)
+    ct = _contingency(lab).localCheckpoint(eager=True)
+    am = ct.groupBy("cluster").agg(F.sum("nij").cast("long").alias("ai"))
+    bm = ct.groupBy("label").agg(F.sum("nij").cast("long").alias("bj"))
+    nn = ct.agg(F.sum("nij").cast("long").alias("n"))
+    hlc = _ordered_fold(
+        ct.join(am, "cluster").crossJoin(F.broadcast(nn)).select(
+            F.col("cluster").alias("c"),
+            "label",
+            (
+                -(F.col("nij").cast("double") / F.col("n"))
+                * F.log(F.col("nij").cast("double") / F.col("ai"))
+            ).alias("term"),
+        ),
+        ["c", "label"],
+        "term",
+        "hlc",
+    )
+    hcl = _ordered_fold(
+        ct.join(bm, "label").crossJoin(F.broadcast(nn)).select(
+            F.col("cluster").alias("c"),
+            "label",
+            (
+                -(F.col("nij").cast("double") / F.col("n"))
+                * F.log(F.col("nij").cast("double") / F.col("bj"))
+            ).alias("term"),
+        ),
+        ["c", "label"],
+        "term",
+        "hcl",
+    )
+    hc = _ordered_fold(
+        am.crossJoin(F.broadcast(nn)).select(
+            "cluster",
+            (
+                -(F.col("ai").cast("double") / F.col("n"))
+                * F.log(F.col("ai").cast("double") / F.col("n"))
+            ).alias("term"),
+        ),
+        ["cluster"],
+        "term",
+        "hc",
+    )
+    hl = _ordered_fold(
+        bm.crossJoin(F.broadcast(nn)).select(
+            "label",
+            (
+                -(F.col("bj").cast("double") / F.col("n"))
+                * F.log(F.col("bj").cast("double") / F.col("n"))
+            ).alias("term"),
+        ),
+        ["label"],
+        "term",
+        "hl",
+    )
+    s = (
+        hlc.crossJoin(F.broadcast(hcl))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            F.when(F.col("hl") > 0, 1.0 - F.col("hlc") / F.col("hl"))
+            .otherwise(1.0)
+            .alias("h"),
+            F.when(F.col("hc") > 0, 1.0 - F.col("hcl") / F.col("hc"))
+            .otherwise(1.0)
+            .alias("c"),
+        )
+    )
+    return s.select(
+        (F.round("h", 6) + 0.0).alias("homogeneity"),
+        (F.round("c", 6) + 0.0).alias("completeness"),
+        F.when(
+            F.col("h") + F.col("c") > 0,
+            F.round(2.0 * F.col("h") * F.col("c") / (F.col("h") + F.col("c")), 6)
+            + 0.0,
+        )
+        .otherwise(0.0)
+        .alias("v_measure"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# internal (label-free) geometry indices over the same k-means state
+# ---------------------------------------------------------------------------
+
+#: literal constants shared with clustering_queries' oracle: the ×R
+#: centroid grid in original units and its square (kmeans_clusters)
+_DENR = "102400000.0"  # SCALE * R = 1e5 * 1024
+_DENR2 = "1.048576e16"
+
+
+def _cent_df(spark: SparkSession, cents: list[list[int]]) -> DataFrame:
+    """The k-row final-centroid table from the driver-side literal (the
+    bounded k·d collect contract, same as the in-plan centroid array)."""
+    return spark.createDataFrame(
+        [(c, [int(v) for v in cents[c]]) for c in range(len(cents))],
+        schema="c int, ca array<long>",
+    )
+
+
+@query(
+    "calinski_harabasz",
+    f"""
+    WITH {_CHAIN},
+    sz AS (SELECT c, COUNT(*)::BIGINT AS nc FROM {_FINAL} GROUP BY c),
+    nn2 AS (SELECT COUNT(*)::BIGINT AS n FROM x),
+    gs AS (
+        SELECT list(s ORDER BY j) AS sarr FROM (
+            SELECT dd.d AS j, SUM(x.xi[dd.d + 1])::BIGINT AS s
+            FROM x, dims dd GROUP BY dd.d
+        )
+    ),
+    bt AS (
+        SELECT sz.c,
+               sz.nc * list_reduce(list_prepend(0.0, list_transform(range(64),
+                   i -> (ct.ca[i + 1]::DOUBLE / {_DENR}
+                         - gs.sarr[i + 1]::DOUBLE / (nn2.n * 100000.0))
+                        * (ct.ca[i + 1]::DOUBLE / {_DENR}
+                           - gs.sarr[i + 1]::DOUBLE / (nn2.n * 100000.0)))),
+                   (a, xx) -> a + xx) AS term
+        FROM sz JOIN {_CENT} ct USING (c), gs, nn2
+    ),
+    bf AS (
+        SELECT list_reduce(list_prepend(0.0, list(term ORDER BY c)),
+                           (a, x) -> a + x) AS b,
+               COUNT(*)::BIGINT AS keff
+        FROM bt
+    ),
+    wt AS (SELECT SUM(d2)::HUGEINT AS w FROM {_FINAL})
+    SELECT nn2.n, bf.keff, bf.b AS between_ss,
+           wt.w::DOUBLE / {_DENR2} AS within_ss,
+           CASE WHEN bf.keff > 1 AND nn2.n > bf.keff AND wt.w > 0
+                THEN (bf.b / (bf.keff - 1))
+                     / ((wt.w::DOUBLE / {_DENR2}) / (nn2.n - bf.keff))
+           END AS calinski_harabasz
+    FROM bf, wt, nn2
+    """,
+)
+def calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz variance-ratio criterion over the exact k-means
+    state: between-group SS from the integer centroid grid vs the global
+    integer mean, within-group SS = the exact Σ dist² the assignment
+    already carries (HUGEINT ≡ DECIMAL(38,0) — a BIGINT sum could
+    overflow).  Doubles appear only in the final closed forms (per-dim
+    deviations fold in-row over the FIXED dim order; cluster terms fold
+    in cluster order), so the index is bit-stable under any partitioning.
+    Raw doubles out — identical expression trees, no rounding needed.
+
+    Scale: one corpus pass for the 64 global sums + the grid-sized
+    centroid table; k_eff counts non-empty clusters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows, cents = clustering.lloyd_state(emb)
+    own = clustering._assign(rows, cents)
+    sz = own.groupBy("cluster").agg(F.count("*").cast("long").alias("nc"))
+    nn2 = rows.agg(F.count("*").cast("long").alias("n"))
+    gs = rows.agg(
+        F.array(
+            *[F.sum(F.col("xi")[i]).cast("long") for i in range(64)]
+        ).alias("sarr")
+    )
+    cdf = _cent_df(spark, cents)
+    denr = float(_DENR)
+    bt = (
+        sz.withColumnRenamed("cluster", "c")
+        .join(cdf, "c")
+        .crossJoin(F.broadcast(gs))
+        .crossJoin(F.broadcast(nn2))
+        .select(
+            "c",
+            (
+                F.col("nc")
+                * F.aggregate(
+                    F.zip_with(
+                        "ca",
+                        "sarr",
+                        lambda cv, sv: (
+                            cv.cast("double") / denr
+                            - sv.cast("double") / (F.col("n") * 100000.0)
+                        )
+                        * (
+                            cv.cast("double") / denr
+                            - sv.cast("double") / (F.col("n") * 100000.0)
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda a, xx: a + xx,
+                )
+            ).alias("term"),
+        )
+    )
+    bf = bt.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("c", "term"))),
+            F.lit(0.0),
+            lambda a, s: a + s["term"],
+        ).alias("b"),
+        F.count("*").cast("long").alias("keff"),
+    )
+    wt = own.agg(F.sum(F.col("dist2").cast("decimal(38,0)")).alias("w"))
+    denr2 = float(_DENR2)
+    out = bf.crossJoin(F.broadcast(wt)).crossJoin(F.broadcast(nn2))
+    return out.select(
+        "n",
+        "keff",
+        F.col("b").alias("between_ss"),
+        (F.col("w").cast("double") / denr2).alias("within_ss"),
+        F.when(
+            (F.col("keff") > 1) & (F.col("n") > F.col("keff")) & (F.col("w") > 0),
+            (F.col("b") / (F.col("keff") - 1))
+            / ((F.col("w").cast("double") / denr2) / (F.col("n") - F.col("keff"))),
+        ).alias("calinski_harabasz"),
+    )
+
+
+@query(
+    "davies_bouldin",
+    f"""
+    WITH {_CHAIN},
+    du AS (
+        SELECT vec_id, c,
+               FLOOR(sqrt(d2::DOUBLE) * 1000000.0 / {_DENR} + 0.5)::BIGINT AS du
+        FROM {_FINAL}
+    ),
+    si AS (SELECT c, SUM(du)::BIGINT AS su, COUNT(*)::BIGINT AS nc
+           FROM du GROUP BY c),
+    pm AS (
+        SELECT a.c AS i, b.c AS j,
+               list_reduce(list_transform(range(64),
+                   k -> ((a.ca[k + 1] - b.ca[k + 1])
+                         * (a.ca[k + 1] - b.ca[k + 1]))::HUGEINT),
+                   (x, y) -> x + y) AS m2
+        FROM {_CENT} a JOIN {_CENT} b ON a.c <> b.c
+    ),
+    r AS (
+        SELECT pm.i,
+               MAX((s1.su::DOUBLE / s1.nc + s2.su::DOUBLE / s2.nc)
+                   / (sqrt(pm.m2::DOUBLE) * 1000000.0 / {_DENR})) AS rmax
+        FROM pm JOIN si s1 ON s1.c = pm.i JOIN si s2 ON s2.c = pm.j
+    GROUP BY pm.i
+    ),
+    f AS (
+        SELECT list_reduce(list_prepend(0.0, list(rmax ORDER BY i)),
+                           (a, x) -> a + x) AS s,
+               COUNT(*)::BIGINT AS keff
+        FROM r
+    )
+    SELECT keff, s / keff AS davies_bouldin FROM f
+    """,
+)
+def davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin index over the exact k-means state: per-cluster
+    scatter S_i as the micro-unit-quantized mean member distance (exact
+    BIGINT sums — fold-order free), centroid separations M_ij folded
+    from the integer grid in HUGEINT ≡ DECIMAL(38,0) (the per-element
+    square fits int64, the 64-term sum does not), similarity R_ij =
+    (S_i+S_j)/M_ij, DB = mean over clusters of max_j R_ij (max is
+    order-free; the k-term mean folds in cluster order).  Raw double
+    out — identical expression trees in both engines.
+
+    Scale: one corpus pass for the scatter sums; everything else is the
+    k-row centroid grid (pairs restricted to non-empty clusters by the
+    scatter join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows, cents = clustering.lloyd_state(emb)
+    own = clustering._assign(rows, cents)
+    denr = float(_DENR)
+    du = own.select(
+        "cluster",
+        F.floor(F.sqrt(F.col("dist2").cast("double")) * 1000000.0 / denr + 0.5)
+        .cast("long")
+        .alias("du"),
+    )
+    si = du.groupBy("cluster").agg(
+        F.sum("du").cast("long").alias("su"), F.count("*").cast("long").alias("nc")
+    )
+    cdf = _cent_df(spark, cents)
+    a, b = cdf.alias("a"), cdf.alias("b")
+    pm = (
+        a.join(b, F.col("a.c") != F.col("b.c"))
+        .select(
+            F.col("a.c").alias("i"),
+            F.col("b.c").alias("j"),
+            F.aggregate(
+                F.zip_with(
+                    "a.ca", "b.ca", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, t: acc + t.cast("decimal(38,0)"),
+            ).alias("m2"),
+        )
+    )
+    s1 = si.withColumnRenamed("cluster", "i").withColumnRenamed(
+        "su", "su1"
+    ).withColumnRenamed("nc", "nc1")
+    s2 = si.withColumnRenamed("cluster", "j").withColumnRenamed(
+        "su", "su2"
+    ).withColumnRenamed("nc", "nc2")
+    r = (
+        pm.join(s1, "i")
+        .join(s2, "j")
+        .groupBy("i")
+        .agg(
+            F.max(
+                (
+                    F.col("su1").cast("double") / F.col("nc1")
+                    + F.col("su2").cast("double") / F.col("nc2")
+                )
+                / (F.sqrt(F.col("m2").cast("double")) * 1000000.0 / denr)
+            ).alias("rmax")
+        )
+    )
+    f = r.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("i", "rmax"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["rmax"],
+        ).alias("s"),
+        F.count("*").cast("long").alias("keff"),
+    )
+    return f.select("keff", (F.col("s") / F.col("keff")).alias("davies_bouldin"))
+
+
+@query(
+    "dunn_centroid",
+    f"""
+    WITH {_CHAIN},
+    live AS (SELECT DISTINCT c FROM {_FINAL}),
+    pm AS (
+        SELECT list_reduce(list_transform(range(64),
+                   k -> ((a.ca[k + 1] - b.ca[k + 1])
+                         * (a.ca[k + 1] - b.ca[k + 1]))::HUGEINT),
+                   (x, y) -> x + y) AS m2
+        FROM {_CENT} a JOIN live la ON la.c = a.c
+             JOIN {_CENT} b ON a.c < b.c JOIN live lb ON lb.c = b.c
+    ),
+    mn AS (SELECT MIN(m2) AS minm2 FROM pm),
+    mr AS (SELECT MAX(d2)::BIGINT AS maxd2 FROM {_FINAL})
+    SELECT sqrt(minm2::DOUBLE) / {_DENR} AS min_centroid_dist,
+           sqrt(maxd2::DOUBLE) / {_DENR} AS max_radius,
+           CASE WHEN maxd2 > 0
+                THEN sqrt(minm2::DOUBLE) / (2.0 * sqrt(maxd2::DOUBLE))
+           END AS dunn_index
+    FROM mn, mr
+    """,
+)
+def dunn_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-linkage Dunn index: minimum inter-centroid separation
+    over the maximum cluster diameter proxy (2× the largest member
+    distance) — the cheap-at-scale variant of Dunn's pairwise-diameter
+    index (which is a blocked quadratic; this form is grid-only).  min
+    and max are order-free on exact integers; √ appears once per
+    operand.  Raw doubles out.
+
+    Scale: one pass for max d2; the pair table is k²/2 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows, cents = clustering.lloyd_state(emb)
+    own = clustering._assign(rows, cents)
+    live = own.select("cluster").distinct().withColumnRenamed("cluster", "c")
+    cdf = _cent_df(spark, cents).join(live, "c")
+    a, b = cdf.alias("a"), cdf.alias("b")
+    pm = a.join(b, F.col("a.c") < F.col("b.c")).select(
+        F.aggregate(
+            F.zip_with("a.ca", "b.ca", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, t: acc + t.cast("decimal(38,0)"),
+        ).alias("m2")
+    )
+    mn = pm.agg(F.min("m2").alias("minm2"))
+    mr = own.agg(F.max("dist2").cast("long").alias("maxd2"))
+    denr = float(_DENR)
+    return mn.crossJoin(F.broadcast(mr)).select(
+        (F.sqrt(F.col("minm2").cast("double")) / denr).alias("min_centroid_dist"),
+        (F.sqrt(F.col("maxd2").cast("double")) / denr).alias("max_radius"),
+        F.when(
+            F.col("maxd2") > 0,
+            F.sqrt(F.col("minm2").cast("double"))
+            / (2.0 * F.sqrt(F.col("maxd2").cast("double"))),
+        ).alias("dunn_index"),
+    )
+
+
+@query(
+    "silhouette_simplified",
+    f"""
+    WITH {_CHAIN},
+    b2 AS (
+        SELECT d.vec_id, MIN(d.d2)::BIGINT AS bo
+        FROM {_DALL} d JOIN {_FINAL} o
+          ON o.vec_id = d.vec_id AND d.c <> o.c
+        GROUP BY d.vec_id
+    ),
+    s AS (
+        SELECT o.c,
+               CASE WHEN GREATEST(sqrt(o.d2::DOUBLE), sqrt(b2.bo::DOUBLE)) > 0
+                    THEN (sqrt(b2.bo::DOUBLE) - sqrt(o.d2::DOUBLE))
+                         / GREATEST(sqrt(o.d2::DOUBLE), sqrt(b2.bo::DOUBLE))
+                    ELSE 0.0 END AS sil
+        FROM {_FINAL} o JOIN b2 USING (vec_id)
+    ),
+    q AS (
+        SELECT c, SUM(FLOOR(sil * 1000000.0 + 0.5)::BIGINT)::BIGINT AS su,
+               COUNT(*)::BIGINT AS nc
+        FROM s GROUP BY c
+    )
+    SELECT c::INT AS cluster, nc AS n,
+           su::DOUBLE / (nc * 1000000.0) AS silhouette
+    FROM q ORDER BY cluster
+    """,
+)
+def silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette (distance-to-centroid form,
+    the O(n·k) variant that scales where exact silhouette's O(n²) pair
+    walk cannot): a = own-centroid distance, b = nearest-other-centroid
+    distance, s = (b−a)/max(a,b); per-row values quantize to exact
+    micro-units before the mean so the per-cluster aggregate is an
+    order-free BIGINT sum with ONE division.  Raw doubles out.
+
+    Scale: the only n·k frame in the module — the all-centroid distance
+    fan-out (assign_all); bounded by k, never a self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows, cents = clustering.lloyd_state(emb)
+    own = clustering._assign(rows, cents).select(
+        F.col("id"), F.col("cluster"), F.col("dist2")
+    )
+    allc = clustering.assign_all(rows, cents)
+    b2 = (
+        allc.join(own, "id")
+        .filter(F.col("c") != F.col("cluster"))
+        .groupBy("id")
+        .agg(F.min("d2").cast("long").alias("bo"))
+    )
+    av = F.sqrt(F.col("dist2").cast("double"))
+    bv = F.sqrt(F.col("bo").cast("double"))
+    s = own.join(b2, "id").select(
+        "cluster",
+        F.when(
+            F.greatest(av, bv) > 0, (bv - av) / F.greatest(av, bv)
+        )
+        .otherwise(0.0)
+        .alias("sil"),
+    )
+    q = s.groupBy("cluster").agg(
+        F.sum(F.floor(F.col("sil") * 1000000.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("su"),
+        F.count("*").cast("long").alias("nc"),
+    )
+    return q.select(
+        F.col("cluster").cast("int"),
+        F.col("nc").alias("n"),
+        (F.col("su").cast("double") / (F.col("nc") * 1000000.0)).alias(
+            "silhouette"
+        ),
+    ).orderBy("cluster")
