@@ -782,8 +782,8 @@ def davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "su", "su2"
     ).withColumnRenamed("nc", "nc2")
     r = (
-        pm.join(s1, "i")
-        .join(s2, "j")
+        pm.join(F.broadcast(s1), "i")
+        .join(F.broadcast(s2), "j")
         .groupBy("i")
         .agg(
             F.max(
@@ -842,7 +842,7 @@ def dunn_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, cents = clustering.lloyd_state(emb)
     own = clustering._assign(rows, cents)
     live = own.select("cluster").distinct().withColumnRenamed("cluster", "c")
-    cdf = _cent_df(spark, cents).join(live, "c")
+    cdf = _cent_df(spark, cents).join(F.broadcast(live), "c")
     a, b = cdf.alias("a"), cdf.alias("b")
     pm = a.join(b, F.col("a.c") < F.col("b.c")).select(
         F.aggregate(
@@ -938,3 +938,659 @@ def silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "silhouette"
         ),
     ).orderBy("cluster")
+
+
+# ---------------------------------------------------------------------------
+# classifier metrics over the NB quality scores
+# ---------------------------------------------------------------------------
+
+from fusionspark.operators import textstats  # noqa: E402  (NB scorer)
+
+#: the (score, label, micro-probability) frame behind every classifier
+#: metric below — classifier_eval's p CTE, shared verbatim
+_NBP_CTE = f"""nbq AS ({NB_QUALITY_ORACLE}),
+    p AS (
+        SELECT n.doc_id, n.nb_score AS s, n.quality_pred AS pred,
+               CASE WHEN d.source IN {_NB_POS} THEN 1 ELSE 0 END AS y,
+               FLOOR(1000000.0 / (1.0 + exp(-n.nb_score)) + 0.5)::BIGINT AS pu
+        FROM nbq n JOIN documents d USING (doc_id)
+    )"""
+
+
+def _nb_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s, pred, y, pu) — the classifier_eval scoring frame."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    neg = F.col("source").isin("src15", "src16", "src17", "src18", "src19")
+    nb = textstats.nb_quality_scores(d, pos, neg)
+    lab = nb.select(
+        "doc_id", F.col("nb_score").alias("s"), F.col("quality_pred").alias("pred")
+    ).join(d.select("doc_id", pos.cast("int").alias("y")), "doc_id")
+    return lab.select(
+        "doc_id",
+        "s",
+        "pred",
+        "y",
+        F.floor(1000000.0 / (1.0 + F.exp(-F.col("s"))) + 0.5)
+        .cast("long")
+        .alias("pu"),
+    )
+
+
+@query(
+    "pr_auc",
+    f"""
+    WITH {_NBP_CTE},
+    g AS (SELECT s, COUNT(*)::BIGINT AS c, SUM(y)::BIGINT AS cp
+          FROM p GROUP BY s),
+    w AS (
+        SELECT s, c, cp,
+               SUM(c) OVER (ORDER BY s DESC
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cn,
+               SUM(cp) OVER (ORDER BY s DESC
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS ctp
+        FROM g
+    ),
+    tot AS (SELECT SUM(cp)::BIGINT AS np, SUM(c)::BIGINT AS n FROM g),
+    t AS (
+        SELECT w.s, (w.cp * w.ctp)::DOUBLE / (tot.np * w.cn) AS term
+        FROM w, tot WHERE w.cp > 0
+    ),
+    f AS (
+        SELECT list_reduce(list_prepend(0.0, list(term ORDER BY s DESC)),
+                           (a, x) -> a + x) AS ap
+        FROM t
+    )
+    SELECT tot.n, tot.np AS n_pos,
+           FLOOR(f.ap * 1000000.0 + 0.5) / 1000000.0 AS pr_auc
+    FROM f, tot
+    """,
+)
+def pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the step-curve PR-AUC, sklearn's tie-stable
+    definition AP = Σ_b ΔR_b·P_b over the DISTINCT-SCORE grid) for the
+    NB quality classifier — the rank metric that, unlike classifier_eval's
+    ROC AUC, does not credit true negatives, so it is the one to watch
+    when positives are the rare curated class.
+
+    Parity: precision/recall ingredients are exact BIGINT cumulative
+    counts on the score grid (the grid window is Aggregate-bounded, not
+    a corpus sort); each block term is ONE division of exact products
+    (cp·ctp ≤ 1.8e9), folded in score-DESC grid order; the final AP gets
+    stable floor-rounding.  Scale: one corpus groupBy onto the distinct
+    scores; above ~1e9 distinct scores the grid cumulative swaps to
+    prefix_sum_exact."""
+    p = _nb_frame(spark, sf_dir)
+    g = p.groupBy("s").agg(
+        F.count("*").cast("long").alias("c"), F.sum("y").cast("long").alias("cp")
+    )
+    w = (
+        g.withColumn(
+            "cn",
+            F.sum("c")
+            .over(
+                Window.orderBy(F.desc("s")).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "ctp",
+            F.sum("cp")
+            .over(
+                Window.orderBy(F.desc("s")).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .cast("long"),
+        )
+    )
+    tot = g.agg(
+        F.sum("cp").cast("long").alias("np"), F.sum("c").cast("long").alias("n")
+    )
+    t = (
+        w.crossJoin(F.broadcast(tot))
+        .filter(F.col("cp") > 0)
+        .select(
+            "s",
+            ((F.col("cp") * F.col("ctp")).cast("double")
+             / (F.col("np") * F.col("cn"))).alias("term"),
+        )
+    )
+    f = t.agg(
+        F.aggregate(
+            F.reverse(F.array_sort(F.collect_list(F.struct("s", "term")))),
+            F.lit(0.0),
+            lambda a, st: a + st["term"],
+        ).alias("ap")
+    )
+    return f.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("np").alias("n_pos"),
+        (F.floor(F.col("ap") * 1000000.0 + 0.5) / 1000000.0).alias("pr_auc"),
+    )
+
+
+@query(
+    "score_ks",
+    f"""
+    WITH {_NBP_CTE},
+    g AS (SELECT s, COUNT(*)::BIGINT AS c, SUM(y)::BIGINT AS cp
+          FROM p GROUP BY s),
+    tot AS (SELECT SUM(cp)::BIGINT AS np, (SUM(c) - SUM(cp))::BIGINT AS nn
+            FROM g),
+    w AS (
+        SELECT s,
+               SUM(cp) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS ctp,
+               SUM(c - cp) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cfp
+        FROM g
+    ),
+    d AS (
+        SELECT w.s, ABS(w.ctp * tot.nn - w.cfp * tot.np)::BIGINT AS dn
+        FROM w, tot
+    ),
+    best AS (SELECT s, dn FROM d ORDER BY dn DESC, s ASC LIMIT 1)
+    SELECT tot.np AS n_pos, tot.nn AS n_neg, best.s AS threshold_score,
+           best.dn::DOUBLE / (tot.np * tot.nn) AS ks
+    FROM best, tot
+    """,
+)
+def score_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov separation of the NB score distributions of the
+    two classes — max over thresholds of |F_pos − F_neg|, the credit-
+    scoring industry's standard single-number separability (and the
+    threshold where it peaks is the natural operating point).  The max
+    runs over exact integers |ctp·Nn − cfp·Np| (≤ 1.8e9 — no float
+    compare anywhere), tie-broken to the smallest score; ONE division at
+    the end.  Scale: distinct-score grid only after one corpus groupBy."""
+    p = _nb_frame(spark, sf_dir)
+    g = p.groupBy("s").agg(
+        F.count("*").cast("long").alias("c"), F.sum("y").cast("long").alias("cp")
+    )
+    tot = g.agg(
+        F.sum("cp").cast("long").alias("np"),
+        (F.sum("c") - F.sum("cp")).cast("long").alias("nn"),
+    )
+    gw = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    w = g.select(
+        "s",
+        F.sum("cp").over(gw).cast("long").alias("ctp"),
+        F.sum(F.col("c") - F.col("cp")).over(gw).cast("long").alias("cfp"),
+    )
+    d = w.crossJoin(F.broadcast(tot)).select(
+        "s",
+        F.abs(F.col("ctp") * F.col("nn") - F.col("cfp") * F.col("np"))
+        .cast("long")
+        .alias("dn"),
+    )
+    best = d.orderBy(F.desc("dn"), F.asc("s")).limit(1)
+    return best.crossJoin(F.broadcast(tot)).select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.col("s").alias("threshold_score"),
+        (F.col("dn").cast("double") / (F.col("np") * F.col("nn"))).alias("ks"),
+    )
+
+
+@query(
+    "mcc_binary",
+    f"""
+    WITH {_NBP_CTE},
+    cm AS (
+        SELECT SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+               SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+               SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+               SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn
+        FROM p
+    )
+    SELECT tp, fp, tn, fn,
+           CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END AS precision,
+           CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN (2 * tp)::DOUBLE / (2 * tp + fp + fn) END AS f1,
+           CASE WHEN (tp + fn) > 0 AND (tn + fp) > 0
+                THEN (tp * (tn + fp) + tn * (tp + fn))::DOUBLE
+                     / (2 * (tp + fn) * (tn + fp)) END AS balanced_accuracy,
+           CASE WHEN (tp + fn) > 0 AND (tn + fp) > 0
+                THEN (tp * (tn + fp) + tn * (tp + fn)
+                      - (tp + fn) * (tn + fp))::DOUBLE
+                     / ((tp + fn) * (tn + fp)) END AS youden_j,
+           CASE WHEN (tp + fp) * (tp + fn) > 0 AND (tn + fp) * (tn + fn) > 0
+                THEN (tp * tn - fp * fn)::DOUBLE
+                     / sqrt(((tp + fp) * (tp + fn))::DOUBLE
+                            * ((tn + fp) * (tn + fn))::DOUBLE) + 0.0
+           END AS mcc
+    FROM cm
+    """,
+)
+def mcc_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The confusion-matrix metric suite at the NB sign cut: precision,
+    recall, F1, balanced accuracy, Youden's J, and Matthews correlation —
+    the numbers a filtering-gate design review actually reads (accuracy
+    alone is in classifier_eval).  Every metric is ONE division of exact
+    BIGINT products (balanced accuracy and J rewritten over the common
+    denominator (tp+fn)(tn+fp) ≤ 3.6e9 — exactly representable); MCC's
+    denominator pairs the four margins into two exact int64 products
+    before the single double multiply + IEEE sqrt.
+
+    Scale: one corpus aggregate to four integers; grid-free."""
+    p = _nb_frame(spark, sf_dir)
+    cm = p.agg(
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("int"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 0)).cast("int"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(((F.col("pred") == 0) & (F.col("y") == 0)).cast("int"))
+        .cast("long")
+        .alias("tn"),
+        F.sum(((F.col("pred") == 0) & (F.col("y") == 1)).cast("int"))
+        .cast("long")
+        .alias("fn"),
+    )
+    tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
+    return cm.select(
+        "tp", "fp", "tn", "fn",
+        F.when(tp + fp > 0, tp.cast("double") / (tp + fp)).alias("precision"),
+        F.when(tp + fn > 0, tp.cast("double") / (tp + fn)).alias("recall"),
+        F.when(
+            2 * tp + fp + fn > 0, (2 * tp).cast("double") / (2 * tp + fp + fn)
+        ).alias("f1"),
+        F.when(
+            ((tp + fn) > 0) & ((tn + fp) > 0),
+            (tp * (tn + fp) + tn * (tp + fn)).cast("double")
+            / (2 * (tp + fn) * (tn + fp)),
+        ).alias("balanced_accuracy"),
+        F.when(
+            ((tp + fn) > 0) & ((tn + fp) > 0),
+            (tp * (tn + fp) + tn * (tp + fn) - (tp + fn) * (tn + fp)).cast(
+                "double"
+            )
+            / ((tp + fn) * (tn + fp)),
+        ).alias("youden_j"),
+        (
+            F.when(
+                ((tp + fp) * (tp + fn) > 0) & ((tn + fp) * (tn + fn) > 0),
+                (tp * tn - fp * fn).cast("double")
+                / F.sqrt(
+                    ((tp + fp) * (tp + fn)).cast("double")
+                    * ((tn + fp) * (tn + fn)).cast("double")
+                )
+                + 0.0,
+            )
+        ).alias("mcc"),
+    )
+
+
+@query(
+    "lift_gains",
+    f"""
+    WITH {_NBP_CTE},
+    r AS (
+        SELECT doc_id, y,
+               NTILE(10) OVER (ORDER BY -FLOOR(s * 1000000.0 + 0.5)::BIGINT,
+                               doc_id) AS decile
+        FROM p
+    ),
+    g AS (SELECT decile, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS n_pos
+          FROM r GROUP BY decile),
+    w AS (
+        SELECT decile, n, n_pos,
+               SUM(n_pos) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_pos
+        FROM g
+    ),
+    tot AS (SELECT SUM(n)::BIGINT AS nt, SUM(n_pos)::BIGINT AS pt FROM g)
+    SELECT w.decile::INT AS decile, w.n, w.n_pos, w.cum_pos,
+           (w.n_pos * tot.nt)::DOUBLE / (w.n * tot.pt) AS lift,
+           w.cum_pos::DOUBLE / tot.pt AS cum_gain
+    FROM w, tot ORDER BY decile
+    """,
+)
+def lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift and cumulative-gains table for the NB score — the
+    campaign-targeting view of ranking power ("the top decile holds
+    2.1× its share of positives").  Deciles come from
+    operators/ranking.py::ntile_exact on the micro-quantized score
+    (bit-identical to NTILE(10), NO unpartitioned raw-row window — the
+    r13 grid primitive); lift and gain are single divisions of exact
+    BIGINT products.
+
+    Scale: value-grid shuffles only; the decile table is 10 rows."""
+    from fusionspark.operators.ranking import ntile_exact
+
+    p = _nb_frame(spark, sf_dir).select(
+        "doc_id",
+        "y",
+        (-F.floor(F.col("s") * 1000000.0 + 0.5).cast("long")).alias("ns"),
+    )
+    r = ntile_exact(p, 10, "ns", "doc_id", "decile")
+    g = r.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    w = g.withColumn(
+        "cum_pos",
+        F.sum("n_pos")
+        .over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("n_pos").cast("long").alias("pt")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int"),
+            "n",
+            "n_pos",
+            "cum_pos",
+            ((F.col("n_pos") * F.col("nt")).cast("double")
+             / (F.col("n") * F.col("pt"))).alias("lift"),
+            (F.col("cum_pos").cast("double") / F.col("pt")).alias("cum_gain"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "brier_decomposition",
+    f"""
+    WITH {_NBP_CTE},
+    b AS (
+        SELECT LEAST(pu // 100000, 9)::BIGINT AS bin, COUNT(*)::BIGINT AS nb,
+               SUM(y)::BIGINT AS sy, SUM(pu)::BIGINT AS sp
+        FROM p GROUP BY 1
+    ),
+    tot AS (SELECT SUM(nb)::BIGINT AS n, SUM(sy)::BIGINT AS sy FROM b),
+    rt AS (
+        SELECT bin,
+               nb * (sy::DOUBLE / nb - sp::DOUBLE / (nb * 1000000.0))
+                  * (sy::DOUBLE / nb - sp::DOUBLE / (nb * 1000000.0)) AS term
+        FROM b
+    ),
+    st AS (
+        SELECT b.bin,
+               b.nb * (b.sy::DOUBLE / b.nb - tot.sy::DOUBLE / tot.n)
+                    * (b.sy::DOUBLE / b.nb - tot.sy::DOUBLE / tot.n) AS term
+        FROM b, tot
+    ),
+    rf AS (SELECT list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
+                              (a, x) -> a + x) AS v FROM rt),
+    sf AS (SELECT list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
+                              (a, x) -> a + x) AS v FROM st),
+    bs AS (SELECT SUM((pu - 1000000 * y) * (pu - 1000000 * y))::BIGINT AS bnum
+           FROM p)
+    SELECT tot.n, (SELECT COUNT(*) FROM b)::BIGINT AS n_bins,
+           rf.v / tot.n AS reliability,
+           sf.v / tot.n AS resolution,
+           (tot.sy * (tot.n - tot.sy))::DOUBLE / (tot.n * tot.n)
+               AS uncertainty,
+           bs.bnum::DOUBLE / (tot.n * 1000000000000) AS brier
+    FROM rf, sf, bs, tot
+    """,
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score over 10 probability bins:
+    reliability (calibration gap), resolution (how much the bins
+    separate the base rate), and uncertainty ȳ(1−ȳ) — the WHY behind
+    classifier_eval's single Brier number and ece_calibration's gap.
+    Bin ingredients are exact BIGINT micro-unit sums; each bin term is
+    one closed-form double expression folded in bin order (≤ 10 terms);
+    uncertainty and Brier are single divisions of exact integers.
+
+    Scale: one corpus aggregate onto the 10-bin grid."""
+    p = _nb_frame(spark, sf_dir)
+    b = p.groupBy(
+        F.least(F.expr("pu div 100000"), F.lit(9)).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("pu").cast("long").alias("sp"),
+    )
+    b = b.localCheckpoint(eager=True)
+    tot = b.agg(
+        F.sum("nb").cast("long").alias("n"), F.sum("sy").cast("long").alias("sy_t")
+    )
+    rel_dev = (
+        F.col("sy").cast("double") / F.col("nb")
+        - F.col("sp").cast("double") / (F.col("nb") * 1000000.0)
+    )
+    rt = b.select("bin", (F.col("nb") * rel_dev * rel_dev).alias("term"))
+    res_dev = (
+        F.col("sy").cast("double") / F.col("nb")
+        - F.col("sy_t").cast("double") / F.col("n")
+    )
+    st = b.crossJoin(F.broadcast(tot)).select(
+        "bin", (F.col("nb") * res_dev * res_dev).alias("term")
+    )
+    rf = _ordered_fold(rt, ["bin"], "term", "rel_sum")
+    sf_ = _ordered_fold(st, ["bin"], "term", "res_sum")
+    bs = p.agg(
+        F.sum(
+            (F.col("pu") - 1000000 * F.col("y"))
+            * (F.col("pu") - 1000000 * F.col("y"))
+        )
+        .cast("long")
+        .alias("bnum")
+    )
+    nb_cnt = b.agg(F.count("*").cast("long").alias("n_bins"))
+    out = (
+        rf.crossJoin(F.broadcast(sf_))
+        .crossJoin(F.broadcast(bs))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb_cnt))
+    )
+    return out.select(
+        "n",
+        "n_bins",
+        (F.col("rel_sum") / F.col("n")).alias("reliability"),
+        (F.col("res_sum") / F.col("n")).alias("resolution"),
+        ((F.col("sy_t") * (F.col("n") - F.col("sy_t"))).cast("double")
+         / (F.col("n") * F.col("n"))).alias("uncertainty"),
+        (F.col("bnum").cast("double") / (F.col("n") * F.lit(1000000000000)))
+        .alias("brier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-query retrieval metrics (MRR / MAP@10 over a fixed query set)
+# ---------------------------------------------------------------------------
+
+from fusionspark.functions.text import tokenize  # noqa: E402
+from fusionspark.operators.keyword import bm25_search, extract_terms  # noqa: E402
+from fusionspark.queries.text_queries import _bm25_oracle  # noqa: E402
+
+#: the fixed 5-query eval set (every term survives extract_terms);
+#: relevance per query = ≥2 of ITS terms in the head-20 tokens, the
+#: retrieval_eval rule generalized across queries
+_EVAL_QUERIES = [
+    "fast table scan",
+    "merge join order",
+    "hash batch row",
+    "vector stream window",
+    "column filter sort",
+]
+
+
+def _mq_ctes() -> str:
+    """Per-query CTE block: top-10 BM25 ranking + relevant pool + hits."""
+    parts = []
+    for i, q in enumerate(_EVAL_QUERIES):
+        terms = extract_terms(q)
+        tl = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+        parts.append(
+            f"""bm{i} AS ({_bm25_oracle(terms)}),
+    rk{i} AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bm{i}
+    ),
+    rel{i} AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   len(list_filter({tl}, t -> list_contains(w[1:20], t))) AS rel
+            FROM (SELECT doc_id,
+                         list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '') AS w
+                  FROM documents)
+        ) WHERE rel >= 2
+    ),
+    h{i} AS (
+        SELECT rank FROM rk{i} JOIN rel{i} USING (doc_id)
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _mq_frames(spark: SparkSession, sf_dir: str):
+    """Per-query (ranked top-10, relevant pool, hits-with-j) frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = []
+    for q in _EVAL_QUERIES:
+        terms = extract_terms(q)
+        tarr = F.array(*[F.lit(t) for t in terms])
+        head = F.slice(tokenize("text"), 1, 20)
+        rel = (
+            docs.select(
+                "doc_id",
+                F.size(
+                    F.filter(tarr, lambda t: F.array_contains(head, t))
+                ).alias("rel"),
+            )
+            .filter(F.col("rel") >= 2)
+            .select("doc_id")
+        )
+        ranked = bm25_search(docs, q, top_k=10).select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .alias("rank"),
+        )
+        hits = ranked.join(rel, "doc_id").select("rank")
+        out.append((ranked, rel, hits))
+    return out
+
+
+@query(
+    "mrr_multi",
+    f"""
+    WITH {_mq_ctes()},
+    {", ".join(
+        f"rr{i} AS (SELECT COALESCE(1.0 / MIN(rank), 0.0) AS rr FROM h{i})"
+        for i in range(5)
+    )}
+    SELECT {", ".join(f"rr{i}.rr AS rr_{i + 1}" for i in range(5))},
+           ({" + ".join(f"rr{i}.rr" for i in range(5))}) / 5.0 AS mrr
+    FROM {", ".join(f"rr{i}" for i in range(5))}
+    """,
+)
+def mrr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the BM25 ranker over the fixed 5-query
+    eval set — the multi-query generalization of retrieval_eval's single
+    reciprocal rank (one query can hide a ranker regression that a set
+    average exposes).  Each RR is 1/min(rank) over exact integer ranks;
+    the mean sums the five values in FIXED literal order (pivoted
+    columns, the inference-module discipline).
+
+    Scale: per query one corpus scoring pass + a top-10 TakeOrdered; at
+    100 TB the five scorings fuse into one multi-query pass (per-term
+    tf columns), same plan family."""
+    frames = _mq_frames(spark, sf_dir)
+    rrs = []
+    for ranked, rel, hits in frames:
+        rrs.append(
+            hits.agg(
+                F.coalesce(1.0 / F.min("rank"), F.lit(0.0)).alias("rr")
+            )
+        )
+    out = rrs[0].select(F.col("rr").alias("rr_1"))
+    for i in range(1, 5):
+        out = out.crossJoin(
+            F.broadcast(rrs[i].select(F.col("rr").alias(f"rr_{i + 1}")))
+        )
+    mrr = None
+    for i in range(5):
+        c = F.col(f"rr_{i + 1}")
+        mrr = c if mrr is None else mrr + c
+    return out.select(
+        *[f"rr_{i + 1}" for i in range(5)], (mrr / 5.0).alias("mrr")
+    )
+
+
+@query(
+    "map_at10",
+    f"""
+    WITH {_mq_ctes()},
+    {", ".join(
+        f'''ap{i} AS (
+        SELECT CASE WHEN LEAST((SELECT COUNT(*) FROM rel{i}), 10) > 0
+               THEN COALESCE((SELECT list_reduce(list_prepend(0.0,
+                        list_transform(range(len(l)),
+                                       i2 -> (i2 + 1)::DOUBLE / l[i2 + 1])),
+                        (a, x) -> a + x)
+                    FROM (SELECT list(rank ORDER BY rank) AS l FROM h{i})
+                    WHERE len(l) > 0), 0.0)
+                    / LEAST((SELECT COUNT(*) FROM rel{i}), 10)
+               ELSE 0.0 END AS ap
+    )'''
+        for i in range(5)
+    )}
+    SELECT {", ".join(f"ap{i}.ap AS ap_{i + 1}" for i in range(5))},
+           ({" + ".join(f"ap{i}.ap" for i in range(5))}) / 5.0 AS map
+    FROM {", ".join(f"ap{i}" for i in range(5))}
+    """,
+)
+def map_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean average precision at 10 over the same 5-query eval set —
+    the order-sensitive companion to mrr_multi (MRR sees only the first
+    hit; AP rewards packing ALL relevant docs high).  Per query AP@10 =
+    Σ_hits (j / rank_j) / min(|relevant|, 10): each term is one division
+    of exact integer ranks, folded in rank order (≤ 10 terms); the mean
+    sums five APs in fixed literal order.
+
+    Scale: same per-query passes as mrr_multi; grid-free."""
+    frames = _mq_frames(spark, sf_dir)
+    aps = []
+    for i, (ranked, rel, hits) in enumerate(frames):
+        nr = rel.agg(F.count("*").cast("long").alias("nr"))
+        # hit index j computed INSIDE the in-row fold (indexed transform
+        # over the rank-sorted array) — no window over the joined frame,
+        # so the audit sees a windowless plan
+        arr = F.sort_array(F.collect_list("rank"))
+        fold = hits.agg(
+            F.when(
+                F.size(arr) > 0,
+                F.aggregate(
+                    F.transform(
+                        arr,
+                        lambda r, i2: (i2 + 1).cast("double") / r,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            ).alias("fsum")
+        )
+        ap = fold.crossJoin(F.broadcast(nr)).select(
+            F.when(
+                F.least(F.col("nr"), F.lit(10)) > 0,
+                F.coalesce(F.col("fsum"), F.lit(0.0))
+                / F.least(F.col("nr"), F.lit(10)),
+            )
+            .otherwise(0.0)
+            .alias(f"ap_{i + 1}")
+        )
+        aps.append(ap)
+    out = aps[0]
+    for i in range(1, 5):
+        out = out.crossJoin(F.broadcast(aps[i]))
+    m = None
+    for i in range(5):
+        c = F.col(f"ap_{i + 1}")
+        m = c if m is None else m + c
+    return out.select(
+        *[f"ap_{i + 1}" for i in range(5)], (m / 5.0).alias("map")
+    )
