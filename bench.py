@@ -515,6 +515,14 @@ def bench_queries(spark):
         "jonckheere_terpstra",
         "cvm_two_sample",
         "morans_i",
+        # round 14: the heaviest of the 17 eval additions — silhouette
+        # (the k-fan-out all-centroid distance frame), NMI (kmeans pass
+        # + entropy grid folds), PR-AUC (NB scoring pass + score-grid
+        # cumulative), MAP@10 (five BM25 scoring passes)
+        "silhouette_simplified",
+        "cluster_nmi",
+        "pr_auc",
+        "map_at10",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -762,7 +762,7 @@ def davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdf = _cent_df(spark, cents)
     a, b = cdf.alias("a"), cdf.alias("b")
     pm = (
-        a.join(b, F.col("a.c") != F.col("b.c"))
+        a.join(F.broadcast(b), F.col("a.c") != F.col("b.c"))
         .select(
             F.col("a.c").alias("i"),
             F.col("b.c").alias("j"),
@@ -844,7 +844,7 @@ def dunn_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = own.select("cluster").distinct().withColumnRenamed("cluster", "c")
     cdf = _cent_df(spark, cents).join(F.broadcast(live), "c")
     a, b = cdf.alias("a"), cdf.alias("b")
-    pm = a.join(b, F.col("a.c") < F.col("b.c")).select(
+    pm = a.join(F.broadcast(b), F.col("a.c") < F.col("b.c")).select(
         F.aggregate(
             F.zip_with("a.ca", "b.ca", lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("decimal(38,0)"),

@@ -837,3 +837,41 @@ for qn, label in (
           "payload_in_exchange_key:", any("payload#" in a for a in ex_args),
           "broadcasts:", p.count("BroadcastExchange"),
           "python_nodes:", len(_re.findall(r"\(\d+\) MapInPandas", p)))
+
+# ── round 14 additions: eval_queries ─────────────────────────────────────
+# Clustering-validation indices run on the k×|labels| contingency / k-row
+# centroid grid after ONE corpus pass (the kmeans assign); classifier
+# metrics collapse onto the distinct-score or 10-bin grid; retrieval
+# metrics are five top-10 TakeOrdered passes.  silhouette's all-centroid
+# frame is the bounded k-fan-out (assign_all), never a self-join.
+for qn, label in (
+    ("cluster_contingency", "k x labels grid"),
+    ("cluster_ari", "pair-count grid"),
+    ("cluster_purity", "majority grid"),
+    ("fowlkes_mallows", "pair-count grid"),
+    ("cluster_nmi", "entropy grid folds"),
+    ("cluster_vmeasure", "conditional-entropy folds"),
+    ("calinski_harabasz", "centroid grid + 64 global sums"),
+    ("davies_bouldin", "k^2 centroid pairs"),
+    ("dunn_centroid", "k^2 centroid pairs"),
+    ("silhouette_simplified", "k-fan-out distances"),
+    ("pr_auc", "score-grid cumulative"),
+    ("score_ks", "score-grid integer argmax"),
+    ("mcc_binary", "4-integer confusion"),
+    ("lift_gains", "ntile_exact decile grid"),
+    ("brier_decomposition", "10-bin pivot"),
+    ("mrr_multi", "5 x top-10 TakeOrdered"),
+    ("map_at10", "5 x in-row rank folds"),
+):
+    qq = _R[qn][0](spark, sf)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        qq.explain("formatted")
+    p = buf.getvalue()
+    ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+    print(f"== {qn} ({label}): cartesian:", "CartesianProduct" in p,
+          "text_in_exchange_key:",
+          any(_re.search(r"(?<![A-Za-z])text#", a) for a in ex_args),
+          "payload_in_exchange_key:", any("payload#" in a for a in ex_args),
+          "broadcasts:", p.count("BroadcastExchange"),
+          "python_nodes:", len(_re.findall(r"\(\d+\) MapInPandas", p)))
