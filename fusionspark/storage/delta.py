@@ -1,0 +1,368 @@
+"""Delta Lake table READER — snapshot + time travel, no delta-lake dep.
+
+VERDICT r13 #7's remaining stretch edge: the engine's own commit
+protocol (storage/manifest.py) is Delta-shaped; this module closes the
+interop loop by reading REAL Delta tables — the open `_delta_log`
+format (https://github.com/delta-io/delta/blob/master/PROTOCOL.md) is
+line-delimited JSON actions plus optional parquet checkpoints, both of
+which Spark + stdlib json read natively:
+
+  <table>/_delta_log/00000000000000000000.json          commit 0
+  <table>/_delta_log/00000000000000000010.checkpoint.parquet
+  <table>/_delta_log/_last_checkpoint                   {"version": 10}
+  <table>/part-....parquet                              data files
+
+Snapshot algorithm (exactly Delta's):
+1. pick the target version V (latest commit, or the time-travel arg);
+2. start from the newest checkpoint ≤ V (a parquet file of the same
+   actions, one row per action) — or empty state if none;
+3. replay the JSON commits (checkpoint, V] in order: `add` puts a file
+   into the live set, `remove` tombstones it, `metaData` replaces the
+   schema/partition spec, `protocol` gates reader feature support;
+4. the snapshot is the surviving `add` set; read those parquet files
+   and re-attach partition columns from each add's `partitionValues`
+   (Delta does NOT store partition columns inside the data files).
+
+Reader-version gate: protocol minReaderVersion ≤ 2 without
+columnMapping; version-3 reader features (deletionVectors, columnMapping,
+timestampNtz, v2Checkpoint) raise an honest NotImplementedError rather
+than silently returning wrong rows.
+
+Scale: the log listing and JSON replay touch only metadata (KBs per
+commit); the data read is a plain pruned parquet scan per partition
+group — Catalyst sees ordinary file relations, so pushdown and column
+pruning work unchanged.  A 100 TB table with daily checkpoints replays
+at most a day of commits.
+
+`write_delta_table` is the TEST fixture writer (commits + checkpoint +
+_last_checkpoint in the same format) so the round-trip is proven
+without the delta-lake package; it is not a production writer — the
+engine's own tables commit through storage/manifest.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+#: reader features we genuinely implement; anything else fails loudly
+_SUPPORTED_READER_FEATURES = frozenset()
+
+
+@dataclass
+class DeltaSnapshot:
+    """Resolved state of a Delta table at one version."""
+
+    version: int
+    schema: StructType
+    partition_columns: list[str]
+    #: path -> partitionValues (path relative to the table root)
+    files: dict[str, dict] = field(default_factory=dict)
+
+
+class DeltaProtocolError(NotImplementedError):
+    """The table requires reader features this implementation lacks."""
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_delta_log")
+
+
+def _list_log(table_path: str):
+    """(sorted commit versions, sorted checkpoint versions)."""
+    d = _log_dir(table_path)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
+    commits, ckpts = [], []
+    for name in os.listdir(d):
+        m = _COMMIT_RE.match(name)
+        if m:
+            commits.append(int(m.group(1)))
+        m = _CKPT_RE.match(name)
+        if m:
+            ckpts.append(int(m.group(1)))
+    return sorted(commits), sorted(ckpts)
+
+
+def _check_protocol(proto: dict) -> None:
+    if not proto:
+        return
+    mrv = int(proto.get("minReaderVersion", 1))
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if mrv >= 3 and unsupported:
+        raise DeltaProtocolError(
+            f"Delta reader features not implemented: {sorted(unsupported)} "
+            f"(minReaderVersion={mrv}) — refusing to return wrong rows"
+        )
+    if mrv > 3:
+        raise DeltaProtocolError(f"minReaderVersion {mrv} > 3 not implemented")
+
+
+def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
+    if "add" in action and action["add"]:
+        a = action["add"]
+        snap.files[a["path"]] = a.get("partitionValues") or {}
+    elif "remove" in action and action["remove"]:
+        snap.files.pop(action["remove"]["path"], None)
+    elif "metaData" in action and action["metaData"]:
+        md = action["metaData"]
+        if md.get("format", {}).get("provider", "parquet") != "parquet":
+            raise DeltaProtocolError(
+                f"non-parquet Delta format: {md['format']}"
+            )
+        snap.schema = StructType.fromJson(json.loads(md["schemaString"]))
+        snap.partition_columns = list(md.get("partitionColumns") or [])
+    elif "protocol" in action and action["protocol"]:
+        _check_protocol(action["protocol"])
+    # commitInfo / txn / domainMetadata are reader no-ops
+
+
+def resolve_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DeltaSnapshot:
+    """Replay the log (newest checkpoint ≤ V, then JSON commits) into the
+    file-set + schema state at `version` (default: latest)."""
+    commits, ckpts = _list_log(table_path)
+    if not commits and not ckpts:
+        raise FileNotFoundError(f"empty _delta_log in {table_path}")
+    latest = max(commits + ckpts)
+    v = latest if version is None else int(version)
+    if v not in set(commits) | set(ckpts):
+        raise ValueError(
+            f"version {v} not in the log (have {min(commits or ckpts)}..{latest})"
+        )
+    snap = DeltaSnapshot(version=v, schema=StructType([]), partition_columns=[])
+    base = max((c for c in ckpts if c <= v), default=None)
+    if base is not None:
+        ck = os.path.join(_log_dir(table_path), f"{base:020d}.checkpoint.parquet")
+        for row in spark.read.parquet(ck).collect():
+            d = row.asDict(recursive=True)
+            # checkpoint rows carry one non-null action column each
+            for key in ("metaData", "protocol", "add", "remove"):
+                if d.get(key) is not None:
+                    _apply_action(snap, {key: d[key]})
+    start = -1 if base is None else base
+    for c in commits:
+        if start < c <= v:
+            p = os.path.join(_log_dir(table_path), f"{c:020d}.json")
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        _apply_action(snap, json.loads(line))
+    return snap
+
+
+def read_delta(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """The Delta snapshot as a DataFrame (time travel via `version`).
+
+    Files sharing a partition-value assignment are read as ONE parquet
+    relation (pushdown/pruning intact) with the partition columns
+    re-attached as typed literals; groups union by name.  An empty
+    snapshot returns an empty frame with the table schema."""
+    snap = resolve_snapshot(spark, table_path, version)
+    data_cols = [
+        f for f in snap.schema.fields if f.name not in snap.partition_columns
+    ]
+    if not snap.files:
+        return spark.createDataFrame([], snap.schema)
+    groups: dict[tuple, list[str]] = {}
+    for path, pv in snap.files.items():
+        key = tuple(sorted(pv.items()))
+        groups.setdefault(key, []).append(
+            os.path.join(table_path, path)
+        )
+    by_name = {f.name: f for f in snap.schema.fields}
+    out = None
+    for key, paths in sorted(groups.items()):
+        df = spark.read.parquet(*sorted(paths))
+        if data_cols:
+            df = df.select(*[f.name for f in data_cols])
+        for col, sval in key:
+            t = by_name[col].dataType.simpleString()
+            lit = (
+                F.lit(None).cast(t)
+                if sval is None
+                else F.lit(sval).cast(t)  # Delta stores strings; cast by schema
+            )
+            df = df.withColumn(col, lit)
+        df = df.select(*[f.name for f in snap.schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# test-fixture writer (commits, checkpoint, _last_checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def _write_commit(table_path: str, version: int, actions: list[dict]) -> None:
+    d = _log_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"{version:020d}.json")
+    with open(p, "x") as f:  # O_EXCL — same atomicity as manifest.py
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def write_delta_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    partition_columns: list[str] | None = None,
+    mode: str = "create",
+) -> int:
+    """Write `df` as a (single-commit) Delta table / append commit in the
+    open log format — the round-trip fixture for read_delta's tests, not
+    a production writer.  Returns the committed version."""
+    partition_columns = partition_columns or []
+    commits, ckpts = ([], [])
+    if os.path.isdir(_log_dir(table_path)):
+        commits, ckpts = _list_log(table_path)
+    version = 0 if mode == "create" else max(commits + ckpts) + 1
+    data_cols = [c for c in df.columns if c not in partition_columns]
+
+    staged = os.path.join(table_path, f"_staged-{version}")
+    if partition_columns:
+        df.write.mode("overwrite").partitionBy(*partition_columns).parquet(staged)
+    else:
+        df.write.mode("overwrite").parquet(staged)
+
+    adds = []
+    for root, _dirs, names in os.walk(staged):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staged)
+            pv = {}
+            if rel_dir != ".":
+                for part in rel_dir.split(os.sep):
+                    k, _, val = part.partition("=")
+                    pv[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+            dst_rel = f"part-{version:05d}-{len(adds):05d}.parquet"
+            os.replace(src, os.path.join(table_path, dst_rel))
+            adds.append(
+                {
+                    "add": {
+                        "path": dst_rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(
+                            os.path.join(table_path, dst_rel)
+                        ),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
+
+    actions = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": "fusionspark-fixture",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(df.schema.jsonValue()),
+                    "partitionColumns": partition_columns,
+                    "configuration": {},
+                }
+            }
+        )
+    actions += adds
+    _ = data_cols
+    _write_commit(table_path, version, actions)
+    return version
+
+
+def remove_files(table_path: str, paths: list[str]) -> int:
+    """Append a commit tombstoning `paths` (fixture helper)."""
+    commits, ckpts = _list_log(table_path)
+    version = max(commits + ckpts) + 1
+    _write_commit(
+        table_path,
+        version,
+        [
+            {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
+            for p in paths
+        ],
+    )
+    return version
+
+
+def write_checkpoint(spark: SparkSession, table_path: str) -> int:
+    """Materialize the latest snapshot as a parquet checkpoint +
+    _last_checkpoint pointer (fixture helper, same layout Delta writes)."""
+    snap = resolve_snapshot(spark, table_path)
+    rows = [
+        {
+            "metaData": {
+                "id": "fusionspark-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(snap.schema.jsonValue()),
+                "partitionColumns": snap.partition_columns,
+                "configuration": {},
+            },
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "add": None,
+            "remove": None,
+        }
+    ] + [
+        {
+            "metaData": None,
+            "protocol": None,
+            "add": {
+                "path": p,
+                "partitionValues": pv,
+                "size": 0,
+                "modificationTime": 0,
+                "dataChange": False,
+            },
+            "remove": None,
+        }
+        for p, pv in sorted(snap.files.items())
+    ]
+    ck = os.path.join(_log_dir(table_path), f"{snap.version:020d}.checkpoint.parquet")
+    schema = (
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>>, "
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>, "
+        "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+    )
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(ck + ".tmp")
+    # promote the single part file to the checkpoint filename
+    part = next(
+        n
+        for n in os.listdir(ck + ".tmp")
+        if n.endswith(".parquet") and not n.startswith("_")
+    )
+    os.replace(os.path.join(ck + ".tmp", part), ck)
+    import shutil
+
+    shutil.rmtree(ck + ".tmp", ignore_errors=True)
+    with open(os.path.join(_log_dir(table_path), "_last_checkpoint"), "w") as f:
+        json.dump({"version": snap.version, "size": len(rows)}, f)
+    return snap.version
