@@ -210,3 +210,117 @@ def incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("mn"), F.col("mn_d")).alias("min_ts_us"),
         F.greatest(F.col("mx"), F.col("mx_d")).alias("max_ts_us"),
     )
+
+
+@query(
+    "delta_time_travel",
+    """
+    WITH base AS (
+        SELECT o_orderstatus AS st, o_orderkey % 2 AS odd,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    v0 AS (
+        SELECT 0::BIGINT AS version, st AS o_orderstatus,
+               COUNT(*)::BIGINT AS n_orders, SUM(cents)::BIGINT AS revenue_cents
+        FROM base WHERE odd = 0 GROUP BY st
+    ),
+    v1 AS (
+        SELECT 1::BIGINT, st, COUNT(*)::BIGINT, SUM(cents)::BIGINT
+        FROM base GROUP BY st
+    ),
+    v2 AS (
+        SELECT 2::BIGINT, st, COUNT(*)::BIGINT, SUM(cents)::BIGINT
+        FROM base WHERE st <> 'F' GROUP BY st
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    ORDER BY version, o_orderstatus
+    """,
+)
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-format snapshot/time-travel read, oracle-attested end to end
+    (storage/delta.py — the r14 interop stretch): commit the even-key
+    orders as version 0 of a REAL _delta_log table partitioned by
+    o_orderstatus, append the odd keys as version 1, tombstone every
+    status-'F' file as version 2, checkpoint the final state, then read
+    ALL THREE versions back through the snapshot resolver and aggregate
+    exact cent revenue per (version, status).  The oracle predicts each
+    snapshot arithmetically from `orders` alone, so a hash match
+    certifies commit replay, time travel, file tombstones, partition-
+    value re-attachment (the status column is NOT in the data files),
+    and checkpoint-state reads (version 2 resolves from the parquet
+    checkpoint, versions 0-1 from JSON replay).
+
+    Determinism: one data file per status per commit (hash-repartition
+    on the partition column before the partitioned write), so the
+    tombstoned CONTENT is exactly the 'F' rows regardless of task
+    scheduling; revenue folds exact BIGINT cents.
+
+    Scale: the log replay touches metadata only; each snapshot read is
+    an ordinary pruned parquet scan (one relation per partition group).
+    The temp-table write is the test fixture, not the measured path —
+    same contract as dedup_incremental's persisted index."""
+    import shutil
+    import tempfile
+
+    from fusionspark.storage.delta import (
+        read_delta,
+        remove_files,
+        resolve_snapshot,
+        write_checkpoint,
+        write_delta_table,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="fusionspark-delta-")
+    t = f"{root}/orders_delta"
+    try:
+        write_delta_table(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 0).repartition("o_orderstatus"),
+            t,
+            partition_columns=["o_orderstatus"],
+        )
+        write_delta_table(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1).repartition("o_orderstatus"),
+            t,
+            partition_columns=["o_orderstatus"],
+            mode="append",
+        )
+        snap = resolve_snapshot(spark, t)
+        remove_files(
+            t,
+            sorted(
+                p
+                for p, pv in snap.files.items()
+                if pv.get("o_orderstatus") == "F"
+            ),
+        )
+        write_checkpoint(spark, t)  # version 2 then resolves from parquet
+        frames = []
+        for v in (0, 1, 2):
+            frames.append(
+                read_delta(spark, t, version=v)
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.count("*").cast("long").alias("n_orders"),
+                    F.sum("cents").cast("long").alias("revenue_cents"),
+                )
+                .select(
+                    F.lit(v).cast("long").alias("version"),
+                    "o_orderstatus",
+                    "n_orders",
+                    "revenue_cents",
+                )
+            )
+        out = frames[0].unionByName(frames[1]).unionByName(frames[2])
+        return out.orderBy("version", "o_orderstatus").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
