@@ -125,10 +125,56 @@ class FusionSparkEngine:
         return out
 
     def drop_collection(self, name: str) -> bool:
-        self._catalog.pop(name, None)
+        cfg = self._catalog.pop(name, None)
         self._save_catalog()
+        if cfg and cfg.get("external_delta"):
+            # detach only — NEVER delete a user's external table files
+            return True
         shutil.rmtree(self._path(name), ignore_errors=True)
         return True
+
+    # ── external sources ──────────────────────────────────────────────────
+
+    def attach_delta(
+        self,
+        name: str,
+        path: str,
+        version: int | None = None,
+        dimensions: int = 64,
+        metric: str = "cosine",
+    ) -> dict:
+        """Attach an existing Delta Lake table (storage/delta.py reader)
+        as a READ-ONLY collection: search/retrieve/get work over it;
+        insert/delete/vacuum/optimize refuse (mutations belong to the
+        table's own writer).  `version` pins time travel; None follows
+        the latest snapshot at each read.  drop_collection detaches
+        without touching the table's files."""
+        from fusionspark.storage.delta import resolve_snapshot
+
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise ValueError(f"invalid collection name {name!r}")
+        if name in self._catalog:
+            raise ValueError(f"collection {name!r} exists")
+        snap = resolve_snapshot(self.spark, path, version)  # validates log
+        self._catalog[name] = {
+            "external_delta": path,
+            "pinned_version": version,
+            "attached_version": snap.version,
+            "dimensions": dimensions,
+            "metric": metric,
+            "created_at": int(time.time() * 1000),
+            "metadata": {"source": "delta"},
+        }
+        self._save_catalog()
+        return {"name": name, "config": self._catalog[name]}
+
+    def _guard_writable(self, collection: str) -> None:
+        cfg = self._catalog.get(collection) or {}
+        if cfg.get("external_delta"):
+            raise ValueError(
+                f"collection {collection!r} is an attached external Delta "
+                "table (read-only) — mutate it through its own writer"
+            )
 
     def _table(self, collection: str):
         from fusionspark.storage import ManifestTable
@@ -136,6 +182,13 @@ class FusionSparkEngine:
         return ManifestTable(self.spark, self._path(collection))
 
     def _load(self, collection: str) -> DataFrame:
+        cfg = self._catalog.get(collection) or {}
+        if cfg.get("external_delta"):
+            from fusionspark.storage.delta import read_delta
+
+            return read_delta(
+                self.spark, cfg["external_delta"], cfg.get("pinned_version")
+            )
         if self.storage == "manifest":
             return self._table(collection).read()
         return self.spark.read.parquet(self._path(collection))
@@ -182,6 +235,7 @@ class FusionSparkEngine:
         ADVICE r5).  Single-writer semantics in plain-parquet mode, as
         documented.  replace=False is the raw append (bulk loads where ids
         are known fresh)."""
+        self._guard_writable(collection)
         cfg = self._catalog[collection]
         dim = cfg["dimensions"]
         now = int(time.time() * 1000)
@@ -286,6 +340,7 @@ class FusionSparkEngine:
         rows are deletable — another tenant's row with a listed id
         survives (the ownership check TenantProxy promises; the reference
         proxy lacks it, FusionEngine.js:246-271)."""
+        self._guard_writable(collection)
         hit = F.col("id").isin([str(i) for i in ids])
         if tenant_id is not None:
             hit = hit & F.col("tenant_id").eqNullSafe(tenant_id)
@@ -471,6 +526,7 @@ class FusionSparkEngine:
         """Manifest mode: drop old snapshots and unreferenced data files;
         returns files removed.  No-op (0) in parquet mode, whose rewrite
         already reclaims space."""
+        self._guard_writable(collection)
         if self.storage != "manifest":
             return 0
         return self._table(collection).vacuum(keep_versions)
@@ -486,6 +542,7 @@ class FusionSparkEngine:
         range-clustered so parquet min/max stats prune scans
         (Z-ORDER-lite).  Returns the committed version; {'version': -1}
         no-op in parquet mode (whose rewrites already consolidate)."""
+        self._guard_writable(collection)
         if self.storage != "manifest":
             return {"collection": collection, "version": -1, "compacted": False}
         v = self._table(collection).compact(

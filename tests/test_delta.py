@@ -127,3 +127,55 @@ def test_pruning_pushdown_reaches_scan(spark, tmp_path):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "PushedFilters: [IsNotNull(v), GreaterThan(v,100)]" in plan
+
+
+def test_engine_attach_delta_read_only(spark, tmp_path):
+    """attach_delta: search works over an external Delta table in the
+    engine row shape; mutations refuse; drop detaches without deleting
+    the table's files; a pinned version time-travels."""
+    import pytest as _pytest
+
+    from fusionspark.engine import FusionSparkEngine
+    from fusionspark.operators.embedder import mock_embed
+
+    t = str(tmp_path / "ext_table")
+    rows = [
+        (str(i), [float(x) for x in mock_embed(f"doc {i}", 64)],
+         f"doc {i}", {}, None, 0, 0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id: string, vector: array<float>, content: string, "
+        "metadata: map<string,string>, tenant_id: string, ts: long, "
+        "ttl_ms: long",
+    )
+    write_delta_table(spark, df.limit(10), t)
+    write_delta_table(
+        spark,
+        df.filter(F.col("id").cast("int") >= 10),
+        t,
+        mode="append",
+    )
+
+    eng = FusionSparkEngine(spark, str(tmp_path / "root"))
+    eng.attach_delta("ext", t)
+    hits = eng.search("ext", query_text="doc 7", top_k=3)
+    assert hits and hits[0]["id"] == "7"
+    sizes = {c["name"]: c["size"] for c in eng.list_collections()}
+    assert sizes["ext"] == 20
+
+    with _pytest.raises(ValueError, match="read-only"):
+        eng.insert("ext", [{"id": "x", "content": "nope"}])
+    with _pytest.raises(ValueError, match="read-only"):
+        eng.delete("ext", ["7"])
+
+    # pinned time travel sees only version 0
+    eng.attach_delta("ext_v0", t, version=0)
+    sizes = {c["name"]: c["size"] for c in eng.list_collections()}
+    assert sizes["ext_v0"] == 10
+
+    # detach never touches the external files
+    eng.drop_collection("ext")
+    assert os.path.isdir(os.path.join(t, "_delta_log"))
+    assert len(read_delta(spark, t).collect()) == 20
