@@ -214,6 +214,18 @@ class Router:
                 "collection (search with resident=true afterwards).",
                 lambda a: e.load_resident(a["collection"]),
             ),
+            "fusionspark_attach_delta": (
+                "Attach an existing Delta Lake table as a READ-ONLY "
+                "collection (optionally pinned to a version for time "
+                "travel); search/retrieve work over it, mutations refuse.",
+                lambda a: e.attach_delta(
+                    a["name"], a["path"],
+                    version=(
+                        int(a["version"]) if a.get("version") is not None
+                        else None
+                    ),
+                ),
+            ),
             "fusionspark_build_index": (
                 "Build/refresh the IVF index for approximate search.",
                 lambda a: e.build_index(
@@ -371,6 +383,15 @@ class Router:
             "type": "object",
             "properties": {"collection": {"type": "string"}},
             "required": ["collection"],
+        },
+        "fusionspark_attach_delta": {
+            "type": "object",
+            "properties": {
+                "name": {"type": "string"},
+                "path": {"type": "string"},
+                "version": {"type": "number"},
+            },
+            "required": ["name", "path"],
         },
         "fusionspark_memory_learn": {
             "type": "object",

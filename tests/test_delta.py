@@ -179,3 +179,36 @@ def test_engine_attach_delta_read_only(spark, tmp_path):
     eng.drop_collection("ext")
     assert os.path.isdir(os.path.join(t, "_delta_log"))
     assert len(read_delta(spark, t).collect()) == 20
+
+
+def test_mcp_tool_attach_delta(spark, tmp_path):
+    """The MCP/tool surface exposes attach_delta and searches the
+    attached table through the same dispatch as the other tools."""
+    from fusionspark.engine import FusionSparkEngine
+    from fusionspark.operators.embedder import mock_embed
+    from fusionspark.server import Router
+
+    t = str(tmp_path / "ext2")
+    rows = [
+        (str(i), [float(x) for x in mock_embed(f"item {i}", 64)],
+         f"item {i}", {}, None, 0, 0)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id: string, vector: array<float>, content: string, "
+        "metadata: map<string,string>, tenant_id: string, ts: long, "
+        "ttl_ms: long",
+    )
+    write_delta_table(spark, df, t)
+    eng = FusionSparkEngine(spark, str(tmp_path / "root2"))
+    srv = Router(eng)
+    manifest = srv.tool_manifest()
+    names = {tl["name"] for tl in manifest["tools"]}
+    assert "fusionspark_attach_delta" in names
+    out = srv.call_tool("fusionspark_attach_delta", {"name": "ext2", "path": t})
+    assert out["result"]["name"] == "ext2"
+    hits = srv.call_tool(
+        "fusionspark_search", {"collection": "ext2", "query": "item 3", "topK": 2}
+    )["result"]
+    assert hits and hits[0]["id"] == "3"
