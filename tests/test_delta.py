@@ -212,3 +212,15 @@ def test_mcp_tool_attach_delta(spark, tmp_path):
         "fusionspark_search", {"collection": "ext2", "query": "item 3", "topK": 2}
     )["result"]
     assert hits and hits[0]["id"] == "3"
+
+
+def test_empty_snapshot_keeps_schema(spark, tmp_path):
+    """Tombstoning every file yields an EMPTY frame with the table
+    schema, not an error."""
+    t = str(tmp_path / "t7")
+    write_delta_table(spark, _df(spark, 0, 5), t)
+    snap = resolve_snapshot(spark, t)
+    remove_files(t, sorted(snap.files))
+    out = read_delta(spark, t)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "v"]
