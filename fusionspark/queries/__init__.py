@@ -66,6 +66,24 @@ PRIORITY: list[str] = [
 
 
 
+# Queries whose BACKING CODE changed since their latest attestation and
+# that are NOT already on the current PRIORITY board — the middle tier of
+# the board-priority order (never-attested > code-changed > stalest).
+# Maintained BY HAND at each round's close (git knows what changed; no
+# tool can); consumed by tools/board_plan.py so its recommendation equals
+# the committed handoff instead of drifting by this tier.  r14 close-out:
+# the round6_stable sweep (similarity/pixel-mean/retention/percentile
+# sites), the ranked-primitive div + materialization changes, and the
+# range_bounds_plan guard.  All strict-green ×3 SFs at the r14 final HEAD.
+CODE_CHANGED_NEXT: list[str] = [
+    "systematic_sample", "range_bounds_plan", "neardup_containment",
+    "neardup_prefix", "split_leakage", "conversion_latency",
+    "user_retention", "png_features", "image_features", "jpeg_features",
+    "video_frames", "bmp_features", "gif_features", "gif_interlaced",
+    "png_interlaced", "qoi_features",
+]
+
+
 def load_all() -> None:
     """Import every query module (side effect: fills REGISTRY), then move
     PRIORITY names to the front of the registry (see PRIORITY docstring)."""

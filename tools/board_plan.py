@@ -78,8 +78,13 @@ def main() -> int:
     latest, red = attestation_state()
 
     never = [n for n in ordered if n not in latest and n not in red]
+    changed = [
+        n
+        for n in getattr(Q, "CODE_CHANGED_NEXT", [])
+        if n in Q.REGISTRY and n in latest and n not in never
+    ]
     stale = sorted(
-        ((latest[n], n) for n in insertion if n in latest),
+        ((latest[n], n) for n in insertion if n in latest and n not in changed),
         key=lambda t: (t[0], insertion.index(t[1])),
     )
     still_red = {n: r for n, r in red.items() if latest.get(n, -1) < r}
@@ -92,15 +97,20 @@ def main() -> int:
     front = never[: args.size]
     overflow = never[args.size:]
     slots_left = args.size - len(front)
+    reattest = changed[:slots_left]
+    slots_left -= len(reattest)
     refresh_n = slots_left if args.refresh is None else min(
         args.refresh, slots_left
     )
     refresh = [n for _, n in stale[:refresh_n]]
     print(f"recommended board ({len(front)} never-attested"
+          + (f" + {len(reattest)} code-changed" if reattest else "")
           + (f" + {len(refresh)} refresh" if refresh else "")
           + "):")
     for n in front:
         print(f"  {n}")
+    for n in reattest:
+        print(f"  {n}  (code-changed, last green r{latest[n]})")
     for n in refresh:
         print(f"  {n}  (refresh, last green r{latest[n]})")
     if overflow:
@@ -111,7 +121,7 @@ def main() -> int:
         r0, n0 = stale[0]
         print(f"\nstalest attested row: {n0} (r{r0}); "
               f"{sum(1 for r, _ in stale if r == r0)} rows at r{r0}")
-    board = front + refresh
+    board = front + reattest + refresh
     committed = [n for n in Q.PRIORITY if n in Q.REGISTRY]
     if committed and set(committed) != set(board):
         added_after = [n for n in never if n not in committed]
@@ -123,8 +133,9 @@ def main() -> int:
             f"NEXT board per the mid-round-additions rule), or when "
             f"code-changed re-attests were added by hand."
         )
-    print("\nNOTE: add code-changed re-attests by hand (git knows, "
-          "this tool does not).")
+    print("\nNOTE: the code-changed tier comes from "
+          "queries.CODE_CHANGED_NEXT — update that list by hand at each "
+          "round's close (git knows what changed; this tool does not).")
     return 0
 
 
