@@ -408,7 +408,7 @@ class FusionSparkEngine:
         cfg["index"] = {
             "n_centroids": k,
             "rows": n,
-            "at_mutation": cfg.get("mutations", 0),
+            "at_mutation": self._mutation_token(cfg),
             "built_at": int(time.time() * 1000),
         }
         if pq:
@@ -431,9 +431,29 @@ class FusionSparkEngine:
         self._save_catalog()
         return cfg["index"]
 
+    def _mutation_token(self, cfg: dict):
+        """Freshness key for index/resident caches: cfg['mutations'] for
+        engine-owned collections.  For attach_delta collections the
+        engine never mutates (external commits can't bump the counter),
+        so the key is the RESOLVED Delta version — a pinned attach is
+        constant, an unpinned (follow-latest) attach re-lists the
+        `_delta_log` (an os.listdir, metadata-only) so an external commit
+        marks every cache stale and search falls back to exact / raises
+        per the no-silent-stale contract (ADVICE r14)."""
+        if cfg.get("external_delta"):
+            # a LIST, not a tuple: cfg['index'] round-trips through the
+            # catalog JSON and must compare equal after reload
+            if cfg.get("pinned_version") is not None:
+                return ["delta", int(cfg["pinned_version"])]
+            from fusionspark.storage.delta import _list_log
+
+            commits, ckpts, _files, v2 = _list_log(cfg["external_delta"])
+            return ["delta", max(commits + ckpts + v2)]
+        return cfg.get("mutations", 0)
+
     def _index_fresh(self, cfg: dict) -> bool:
         idx = cfg.get("index")
-        return bool(idx) and idx["at_mutation"] == cfg.get("mutations", 0)
+        return bool(idx) and idx["at_mutation"] == self._mutation_token(cfg)
 
     # ── resident serving (build once, search many) ────────────────────────
 
@@ -461,14 +481,15 @@ class FusionSparkEngine:
         old = self._resident.pop(collection, None)
         if old is not None:
             old["idx"].unpersist()
+        tok = self._mutation_token(cfg)
         self._resident[collection] = {
             "idx": idx,
-            "at_mutation": cfg.get("mutations", 0),
+            "at_mutation": tok,
         }
         return {
             "collection": collection,
             "blocks": sum(p.getNumPartitions() for p in idx._parts),
-            "at_mutation": cfg.get("mutations", 0),
+            "at_mutation": tok,
         }
 
     def unload_resident(self, collection: str) -> None:
@@ -503,20 +524,21 @@ class FusionSparkEngine:
         old = self._resident_ivf.pop(collection, None)
         if old is not None:
             old["idx"].unpersist()
+        tok = self._mutation_token(cfg)
         self._resident_ivf[collection] = {
             "idx": idx,
             "n_centroids": k,
-            "at_mutation": cfg.get("mutations", 0),
+            "at_mutation": tok,
         }
         return {
             "collection": collection,
             "n_centroids": k,
-            "at_mutation": cfg.get("mutations", 0),
+            "at_mutation": tok,
         }
 
     def _resident_fresh(self, collection: str, cfg: dict):
         ent = self._resident.get(collection)
-        if ent is not None and ent["at_mutation"] == cfg.get("mutations", 0):
+        if ent is not None and ent["at_mutation"] == self._mutation_token(cfg):
             return ent["idx"]
         return None
 
@@ -728,7 +750,7 @@ class FusionSparkEngine:
             )
         if method == "resident_ivf":
             ent = self._resident_ivf.get(collection)
-            if ent is None or ent["at_mutation"] != cfg.get("mutations", 0):
+            if ent is None or ent["at_mutation"] != self._mutation_token(cfg):
                 raise ValueError(
                     f"resident IVF index for {collection!r} is stale or "
                     "missing; call load_resident_ivf() first (batch search "

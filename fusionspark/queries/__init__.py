@@ -27,41 +27,42 @@ def query(name: str, sql: str | None = None):
 
 # The grading driver attests registry entries in insertion order and caps
 # how many it checks per round (the first 50).  Names listed here are moved
-# to the FRONT of the registry.  Round 14 rotation (VERDICT r13 #1): the
-# r13 board landed 50/50 green (CORRECTNESS_r13, zero red — third
-# consecutive zero-red round).  This board is the PROGRESS.md r14 handoff
+# to the FRONT of the registry.  Round 15 rotation (VERDICT r14 #1): the
+# r14 board landed 50/50 green (CORRECTNESS_r14, zero red — fourth
+# consecutive zero-red round).  This board is the PROGRESS.md r15 handoff
 # verbatim, priority order never-attested > code-changed re-attests >
-# staleness refresh: the 17 r13 inference additions (the whole
-# never-attested queue), the 16 rows whose code changed in the r13
-# float-parity sweep / window burn-down that are not refreshed elsewhere,
-# and the 17 oldest r5-stale rows.  The whole board is pre-certified at
-# the r13 final HEAD: every row is inside the definitive 437/0/0 strict
-# runs at BOTH sf0.01 and sf0.1 (PROGRESS.md r13 certification); the r14
-# closing gate re-runs the full board at this round's final HEAD.
-# Queries not listed keep their valid attestations.
+# staleness refresh: the 18 r14 additions (17 eval queries +
+# delta_time_travel — the whole never-attested queue), the 16 rows whose
+# code changed in the r14 round6/ranking sweeps that are not refreshed
+# elsewhere, and the 16 remaining r5-stale rows.  The whole board is
+# pre-certified at the r14 final HEAD: every row except delta_time_travel
+# is inside the definitive 455-era full strict runs at BOTH sf0.01 and
+# sf0.1, and delta_time_travel was gated strict ×3 SFs on landing
+# (PROGRESS.md r14 certification); the r15 closing gate re-runs the full
+# board at this round's final HEAD.  Queries not listed keep their valid
+# attestations.
 PRIORITY: list[str] = [
-    # the 17 r13 additions (never attested; queue order = registration)
-    "ordinal_association", "jonckheere_terpstra", "wilcoxon_signed_rank",
-    "cliffs_delta", "cochran_armitage", "mantel_haenszel",
-    "bartlett_test", "theil_u", "cvm_two_sample", "kpss_test",
-    "permutation_entropy", "bowker_symmetry", "graph_assortativity",
-    "embedding_dim_stats", "morans_i", "pass_at_k", "ece_calibration",
-    # 16 code-changed re-attests (r13 float-parity sweep + window
-    # burn-down) not already refreshed by the r13 board or the r5 slice
-    "corpus_clean", "quality_percentile", "adaptive_weights",
-    "tpch_local_supplier_volume", "tpch_promo_revenue",
-    "tpch_disjunctive_revenue", "tpch_nation_volume",
-    "tpch_product_profit", "tpch_top_supplier", "tpch_forecast_revenue",
-    "tpch_market_share", "nb_calibration", "curriculum_shards",
-    "ccnet_buckets", "psi_drift", "conformal_interval",
-    # 17 oldest r5-stale rows (registry order; includes the two
-    # code-changed r5 rows tpch_returned_items / tpch_small_qty_revenue)
-    "tokenize_stats", "keyword_search", "keyword_index_search",
-    "keyword_overlap", "context_pack", "quality_estimate",
-    "md_sections", "tree_parents", "tree_leaves", "citation_paths",
-    "html_strip", "tree_reasoning_search", "tpch_returned_items",
-    "tpch_small_qty_revenue", "tpch_large_orders", "dedup_minhash",
-    "neardup_ngram",
+    # the 18 r14 additions (never attested; queue order = registration)
+    "cluster_contingency", "cluster_ari", "cluster_purity",
+    "fowlkes_mallows", "cluster_nmi", "cluster_vmeasure",
+    "calinski_harabasz", "davies_bouldin", "dunn_centroid",
+    "silhouette_simplified", "pr_auc", "score_ks", "mcc_binary",
+    "lift_gains", "brier_decomposition", "mrr_multi", "map_at10",
+    "delta_time_travel",
+    # 16 code-changed re-attests (r14 round6_stable sweep + ranking
+    # div/materialization) not refreshed by the r14 board or the r5 slice
+    "systematic_sample", "range_bounds_plan", "neardup_containment",
+    "neardup_prefix", "split_leakage", "conversion_latency",
+    "user_retention", "png_features", "image_features", "jpeg_features",
+    "video_frames", "bmp_features", "gif_features", "gif_interlaced",
+    "png_interlaced", "qoi_features",
+    # 16 remaining r5-stale rows (registry order; includes the two
+    # r14-code-changed rows neardup_ngram_lsh / dedup_incremental)
+    "neardup_embedding", "neardup_ngram_lsh", "neardup_embedding_ivf",
+    "dedup_clusters", "c4_filter", "hash_sample", "pack_sequences",
+    "pii_redact", "repetition_stats", "vocab_coverage", "domain_mix",
+    "contamination_check", "dedup_incremental", "messages_significant",
+    "message_deliveries", "merge_candidates",
 ]
 
 
@@ -71,10 +72,11 @@ PRIORITY: list[str] = [
 # the board-priority order (never-attested > code-changed > stalest).
 # Maintained BY HAND at each round's close (git knows what changed; no
 # tool can); consumed by tools/board_plan.py so its recommendation equals
-# the committed handoff instead of drifting by this tier.  r14 close-out:
-# the round6_stable sweep (similarity/pixel-mean/retention/percentile
-# sites), the ranked-primitive div + materialization changes, and the
-# range_bounds_plan guard.  All strict-green ×3 SFs at the r14 final HEAD.
+# the committed handoff instead of drifting by this tier.  r15 rotation:
+# this is the r14 close-out tier (round6_stable sweep + ranked-primitive
+# div/materialization + range_bounds_plan guard), now ON the r15 board
+# above — kept here so board_plan's recommendation equals the committed
+# handoff; replaced at r15 close with rows whose code changes this round.
 CODE_CHANGED_NEXT: list[str] = [
     "systematic_sample", "range_bounds_plan", "neardup_containment",
     "neardup_prefix", "split_leakage", "conversion_latency",

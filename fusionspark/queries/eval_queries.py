@@ -1418,7 +1418,12 @@ _EVAL_QUERIES = [
 
 
 def _mq_ctes() -> str:
-    """Per-query CTE block: top-10 BM25 ranking + relevant pool + hits."""
+    """Per-query CTE block: top-10 BM25 ranking + relevant pool + hits.
+
+    rk{i} keeps rank <= 10 ONLY — the implementation evaluates over
+    bm25_search(top_k=10), so the oracle must apply the same @10 cutoff
+    (ADVICE r14: without it a relevant doc whose first rank is > 10
+    yields RR=1/rank on the oracle where the implementation yields 0)."""
     parts = []
     for i, q in enumerate(_EVAL_QUERIES):
         terms = extract_terms(q)
@@ -1426,8 +1431,11 @@ def _mq_ctes() -> str:
         parts.append(
             f"""bm{i} AS ({_bm25_oracle(terms)}),
     rk{i} AS (
-        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
-        FROM bm{i}
+        SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+            FROM bm{i}
+        ) WHERE rank <= 10
     ),
     rel{i} AS (
         SELECT doc_id FROM (

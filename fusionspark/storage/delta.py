@@ -46,6 +46,7 @@ import json
 import os
 import re
 from dataclasses import dataclass, field
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,6 +54,11 @@ from pyspark.sql.types import StructType
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# classic multi-part checkpoint: <v>.checkpoint.<part>.<numParts>.parquet
+_CKPT_MULTI_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+# v2 (uuid-named) checkpoint: <v>.checkpoint.<uuid>.{parquet,json} — needs
+# the v2Checkpoint reader feature (sidecar files) we do not implement
+_CKPT_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(parquet|json)$")
 
 #: reader features we genuinely implement; anything else fails loudly
 _SUPPORTED_READER_FEATURES = frozenset()
@@ -78,19 +84,47 @@ def _log_dir(table_path: str) -> str:
 
 
 def _list_log(table_path: str):
-    """(sorted commit versions, sorted checkpoint versions)."""
+    """(sorted commit versions, sorted READABLE checkpoint versions,
+    {ckpt version: [part paths]}, sorted v2/unreadable ckpt versions).
+
+    Readable = single-part classic checkpoints plus classic multi-part
+    checkpoints with ALL parts present.  v2 (uuid-named) checkpoints and
+    incomplete multi-part sets are listed separately: they prove a
+    version exists but cannot anchor a replay here — resolve_snapshot
+    refuses (loudly) rather than replaying an unanchored tail
+    (ADVICE r14: a log-cleaned table whose only anchor we can't read
+    must not silently yield a partial file set)."""
     d = _log_dir(table_path)
     if not os.path.isdir(d):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
-    commits, ckpts = [], []
+    commits: list[int] = []
+    parts: dict[tuple[int, int], dict[int, str]] = {}
+    ckpt_files: dict[int, list[str]] = {}
+    unreadable: set[int] = set()
     for name in os.listdir(d):
         m = _COMMIT_RE.match(name)
         if m:
             commits.append(int(m.group(1)))
+            continue
         m = _CKPT_RE.match(name)
         if m:
-            ckpts.append(int(m.group(1)))
-    return sorted(commits), sorted(ckpts)
+            ckpt_files[int(m.group(1))] = [os.path.join(d, name)]
+            continue
+        m = _CKPT_MULTI_RE.match(name)
+        if m:
+            v, i, n = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            parts.setdefault((v, n), {})[i] = os.path.join(d, name)
+            continue
+        m = _CKPT_V2_RE.match(name)
+        if m:
+            unreadable.add(int(m.group(1)))
+    for (v, n), got in parts.items():
+        if len(got) == n and v not in ckpt_files:
+            ckpt_files[v] = [got[i] for i in sorted(got)]
+        elif len(got) != n:
+            unreadable.add(v)  # incomplete multi-part set
+    unreadable -= set(ckpt_files)
+    return sorted(commits), sorted(ckpt_files), ckpt_files, sorted(unreadable)
 
 
 def _check_protocol(proto: dict) -> None:
@@ -120,6 +154,15 @@ def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
             raise DeltaProtocolError(
                 f"non-parquet Delta format: {md['format']}"
             )
+        cmap = (md.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if cmap != "none":
+            raise DeltaProtocolError(
+                f"delta.columnMapping.mode={cmap!r} not implemented — "
+                f"physical column names would not match the schema; "
+                f"refusing to return wrong/missing columns"
+            )
         snap.schema = StructType.fromJson(json.loads(md["schemaString"]))
         snap.partition_columns = list(md.get("partitionColumns") or [])
     elif "protocol" in action and action["protocol"]:
@@ -130,28 +173,53 @@ def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
 def resolve_snapshot(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DeltaSnapshot:
-    """Replay the log (newest checkpoint ≤ V, then JSON commits) into the
-    file-set + schema state at `version` (default: latest)."""
-    commits, ckpts = _list_log(table_path)
-    if not commits and not ckpts:
+    """Replay the log (newest readable checkpoint ≤ V, then JSON commits)
+    into the file-set + schema state at `version` (default: latest).
+
+    The replay must be ANCHORED: every version in (base, V] needs its
+    JSON commit on disk (base = the readable checkpoint, or -1 when the
+    log starts at commit 0).  A gap — e.g. a log-cleaned table whose only
+    anchor is a v2/uuid or incomplete multi-part checkpoint — raises
+    instead of silently yielding a partial file set (the protocol action
+    for such tables lives only in the unreadable checkpoint, so the
+    feature gate could never fire on the tail alone)."""
+    commits, ckpts, ckpt_files, unreadable = _list_log(table_path)
+    if not commits and not ckpts and not unreadable:
         raise FileNotFoundError(f"empty _delta_log in {table_path}")
-    latest = max(commits + ckpts)
+    known = set(commits) | set(ckpts) | set(unreadable)
+    latest = max(known)
     v = latest if version is None else int(version)
-    if v not in set(commits) | set(ckpts):
+    if v not in known:
         raise ValueError(
-            f"version {v} not in the log (have {min(commits or ckpts)}..{latest})"
+            f"version {v} not in the log (have {min(known)}..{latest})"
         )
     snap = DeltaSnapshot(version=v, schema=StructType([]), partition_columns=[])
     base = max((c for c in ckpts if c <= v), default=None)
+    start = -1 if base is None else base
+    commit_set = set(commits)
+    missing = [x for x in range(start + 1, v + 1) if x not in commit_set]
+    if missing:
+        better = [w for w in unreadable if start < w <= v]
+        if better:
+            raise DeltaProtocolError(
+                f"cannot anchor replay at version {v}: commits "
+                f"{missing[:3]}{'...' if len(missing) > 3 else ''} are "
+                f"log-cleaned and the covering checkpoint(s) {better} are "
+                f"v2/uuid or incomplete multi-part — not readable here; "
+                f"refusing to replay an unanchored tail"
+            )
+        raise ValueError(
+            f"Delta log incomplete: versions "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''} have neither "
+            f"a JSON commit nor a readable checkpoint ≤ {v}"
+        )
     if base is not None:
-        ck = os.path.join(_log_dir(table_path), f"{base:020d}.checkpoint.parquet")
-        for row in spark.read.parquet(ck).collect():
+        for row in spark.read.parquet(*ckpt_files[base]).collect():
             d = row.asDict(recursive=True)
             # checkpoint rows carry one non-null action column each
             for key in ("metaData", "protocol", "add", "remove"):
                 if d.get(key) is not None:
                     _apply_action(snap, {key: d[key]})
-    start = -1 if base is None else base
     for c in commits:
         if start < c <= v:
             p = os.path.join(_log_dir(table_path), f"{c:020d}.json")
@@ -186,7 +254,12 @@ def read_delta(
         )
     by_name = {f.name: f for f in snap.schema.fields}
     out = None
-    for key, paths in sorted(groups.items()):
+    # None-safe group order: a null partition value must sort against
+    # strings without a TypeError (nulls first per column)
+    for key, paths in sorted(
+        groups.items(),
+        key=lambda kv: [(c, v is not None, v or "") for c, v in kv[0]],
+    ):
         df = spark.read.parquet(*sorted(paths))
         if data_cols:
             df = df.select(*[f.name for f in data_cols])
@@ -230,7 +303,7 @@ def write_delta_table(
     partition_columns = partition_columns or []
     commits, ckpts = ([], [])
     if os.path.isdir(_log_dir(table_path)):
-        commits, ckpts = _list_log(table_path)
+        commits, ckpts, _files, _v2 = _list_log(table_path)
     version = 0 if mode == "create" else max(commits + ckpts) + 1
     data_cols = [c for c in df.columns if c not in partition_columns]
 
@@ -251,7 +324,14 @@ def write_delta_table(
             if rel_dir != ".":
                 for part in rel_dir.split(os.sep):
                     k, _, val = part.partition("=")
-                    pv[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                    # Spark Hive-escapes special chars in partition dirs
+                    # (':' → '%3A' in timestamps); the Delta log stores
+                    # the UNESCAPED value
+                    pv[k] = (
+                        None
+                        if val == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(val)
+                    )
             dst_rel = f"part-{version:05d}-{len(adds):05d}.parquet"
             os.replace(src, os.path.join(table_path, dst_rel))
             adds.append(
@@ -295,7 +375,7 @@ def write_delta_table(
 
 def remove_files(table_path: str, paths: list[str]) -> int:
     """Append a commit tombstoning `paths` (fixture helper)."""
-    commits, ckpts = _list_log(table_path)
+    commits, ckpts, _files, _v2 = _list_log(table_path)
     version = max(commits + ckpts) + 1
     _write_commit(
         table_path,
