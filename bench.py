@@ -523,6 +523,11 @@ def bench_queries(spark):
         "cluster_nmi",
         "pr_auc",
         "map_at10",
+        # round 15: ROC AUC (NB pass + checkpointed score grid) and
+        # NDCG@10 (five BM25 passes + log2 rank folds) — the heaviest
+        # two of the 6 r15 eval additions
+        "roc_auc",
+        "ndcg_multi",
     ]
     out = {
         "knn_batch64": knn_batch,

@@ -8,6 +8,11 @@ decomposition), and multi-query retrieval metrics (MRR, MAP@10) — the
 pipeline runs after nb_quality / kmeans_* / bm25_search produce their
 artifacts.
 
+Round-15 additions (VERDICT r14 #3, the remaining eval edge): exact
+tie-aware ROC AUC + the 10-point decile ROC curve, the cost-sensitive
+threshold sweep, per-stratum (per-source) calibration, grid log loss,
+and mean NDCG@10 over the fixed retrieval eval set.
+
 Parity discipline (the repo-wide rules): every metric reduces to exact
 BIGINT contingency/rank/confusion sums first; doubles enter in ONE
 closed-form expression written with the identical tree in both engines;
@@ -1601,4 +1606,505 @@ def map_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = c if m is None else m + c
     return out.select(
         *[f"ap_{i + 1}" for i in range(5)], (m / 5.0).alias("map")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-15 additions: the ROC/threshold/calibration edge (VERDICT r14 #3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "roc_auc",
+    f"""
+    WITH {_NBP_CTE},
+    g AS (SELECT s, COUNT(*)::BIGINT AS c, SUM(y)::BIGINT AS cp
+          FROM p GROUP BY s),
+    w AS (
+        SELECT s, cp, (c - cp)::BIGINT AS cn,
+               (SUM(c - cp) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                - (c - cp))::BIGINT AS nb
+        FROM g
+    ),
+    tot AS (SELECT SUM(cp)::BIGINT AS np, (SUM(c) - SUM(cp))::BIGINT AS nn
+            FROM g),
+    u AS (SELECT SUM(cp * (2 * nb + cn))::BIGINT AS u2 FROM w)
+    SELECT tot.np AS n_pos, tot.nn AS n_neg,
+           u.u2::DOUBLE / (2 * tot.np * tot.nn) AS roc_auc
+    FROM u, tot
+    """,
+)
+def roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware ROC AUC of the NB quality scores via the Mann-Whitney
+    identity AUC = U/(P·N) — the trapezoid on the distinct-score grid,
+    the threshold-free companion to pr_auc (classifier_eval reports a
+    per-decile approximation; this is the exact statistic).
+
+    Parity: 2U = Σ_grid cp·(2·neg_strictly_below + neg_tied) is ONE
+    order-free BIGINT sum of exact products (≤ ~1e12 per term at sf0.1);
+    AUC is a single division — no float enters before it, so no rounding
+    is needed (the score_ks discipline).  Scale: one corpus groupBy onto
+    the distinct-score grid; the cumulative is Aggregate-bounded; above
+    ~2^63/n² rows swap the sum to DECIMAL(38,0)."""
+    p = _nb_frame(spark, sf_dir)
+    # the grid materializes once (the _contingency/ntile_exact pattern):
+    # its three consumers (w, tot, u) read the checkpointed rows instead
+    # of re-running the corpus NB pass per branch
+    g = p.groupBy("s").agg(
+        F.count("*").cast("long").alias("c"), F.sum("y").cast("long").alias("cp")
+    ).localCheckpoint(eager=True)
+    gw = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    w = g.select(
+        "s",
+        "cp",
+        (F.col("c") - F.col("cp")).cast("long").alias("cn"),
+        (
+            F.sum(F.col("c") - F.col("cp")).over(gw)
+            - (F.col("c") - F.col("cp"))
+        )
+        .cast("long")
+        .alias("nb"),
+    )
+    tot = g.agg(
+        F.sum("cp").cast("long").alias("np"),
+        (F.sum("c") - F.sum("cp")).cast("long").alias("nn"),
+    )
+    u = w.agg(
+        F.sum(F.col("cp") * (2 * F.col("nb") + F.col("cn")))
+        .cast("long")
+        .alias("u2")
+    )
+    return u.crossJoin(F.broadcast(tot)).select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        (F.col("u2").cast("double") / (2 * F.col("np") * F.col("nn")))
+        .alias("roc_auc"),
+    )
+
+
+@query(
+    "cost_curve",
+    f"""
+    WITH {_NBP_CTE},
+    g AS (SELECT s, COUNT(*)::BIGINT AS c, SUM(y)::BIGINT AS cp
+          FROM p GROUP BY s),
+    tot AS (SELECT SUM(cp)::BIGINT AS np, (SUM(c) - SUM(cp))::BIGINT AS nn,
+                   SUM(c)::BIGINT AS n FROM g),
+    w AS (
+        SELECT s,
+               (SUM(cp) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                - cp)::BIGINT AS fn_t,
+               (SUM(c - cp) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                - (c - cp))::BIGINT AS nb_t
+        FROM g
+    ),
+    c2 AS (
+        SELECT w.s, w.fn_t AS fn, (tot.nn - w.nb_t)::BIGINT AS fp,
+               (1 * (tot.nn - w.nb_t) + 5 * w.fn_t)::BIGINT AS cost
+        FROM w, tot
+    ),
+    best AS (SELECT s, fp, fn, cost FROM c2 ORDER BY cost ASC, s ASC LIMIT 1)
+    SELECT best.s AS threshold_score, best.fp, best.fn, best.cost,
+           best.cost::DOUBLE / tot.n AS cost_rate
+    FROM best, tot
+    """,
+)
+def cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive threshold sweep over the NB score grid with the
+    asymmetric curation cost matrix c_fp=1, c_fn=5 (letting a bad doc
+    into the corpus is cheap to catch later; dropping a good doc loses
+    data forever) — reports the operating point score_ks's symmetric KS
+    statistic does NOT pick when costs differ.  Rule at threshold t:
+    keep iff score ≥ t; FP(t)/FN(t) come from the exclusive grid
+    cumulatives; cost is an exact BIGINT per grid row; the argmin is an
+    integer ORDER BY (cost, s) LIMIT 1 — tie to the smallest score —
+    and cost_rate is the one terminal division.
+
+    Thresholds are the observed score grid (the standard sweep; the
+    degenerate keep-nothing cut is not on the curve).  Scale: one
+    corpus groupBy onto the distinct-score grid, then grid-only."""
+    p = _nb_frame(spark, sf_dir)
+    # grid materializes once; consumers (tot, w) are grid-only
+    g = p.groupBy("s").agg(
+        F.count("*").cast("long").alias("c"), F.sum("y").cast("long").alias("cp")
+    ).localCheckpoint(eager=True)
+    tot = g.agg(
+        F.sum("cp").cast("long").alias("np"),
+        (F.sum("c") - F.sum("cp")).cast("long").alias("nn"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    gw = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    w = g.select(
+        "s",
+        (F.sum("cp").over(gw) - F.col("cp")).cast("long").alias("fn_t"),
+        (
+            F.sum(F.col("c") - F.col("cp")).over(gw)
+            - (F.col("c") - F.col("cp"))
+        )
+        .cast("long")
+        .alias("nb_t"),
+    )
+    c2 = w.crossJoin(F.broadcast(tot)).select(
+        "s",
+        F.col("fn_t").alias("fn"),
+        (F.col("nn") - F.col("nb_t")).cast("long").alias("fp"),
+        (1 * (F.col("nn") - F.col("nb_t")) + 5 * F.col("fn_t"))
+        .cast("long")
+        .alias("cost"),
+    )
+    best = c2.orderBy(F.asc("cost"), F.asc("s")).limit(1)
+    return best.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("threshold_score"),
+        "fp",
+        "fn",
+        "cost",
+        (F.col("cost").cast("double") / F.col("n")).alias("cost_rate"),
+    )
+
+
+@query(
+    "roc_points",
+    f"""
+    WITH {_NBP_CTE},
+    r AS (
+        SELECT doc_id, y,
+               NTILE(10) OVER (ORDER BY -FLOOR(s * 1000000.0 + 0.5)::BIGINT,
+                               doc_id) AS decile
+        FROM p
+    ),
+    g AS (SELECT decile, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS n_pos
+          FROM r GROUP BY decile),
+    w AS (
+        SELECT decile, n, n_pos,
+               SUM(n_pos) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_pos,
+               SUM(n - n_pos) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_neg
+        FROM g
+    ),
+    tot AS (SELECT SUM(n_pos)::BIGINT AS np, (SUM(n) - SUM(n_pos))::BIGINT AS nn
+            FROM g)
+    SELECT w.decile::INT AS decile, w.n, w.n_pos, w.cum_pos, w.cum_neg,
+           w.cum_pos::DOUBLE / tot.np AS tpr,
+           w.cum_neg::DOUBLE / tot.nn AS fpr
+    FROM w, tot ORDER BY decile
+    """,
+)
+def roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10-point sampled ROC curve at score-rank deciles — the
+    plottable companion to the roc_auc scalar (a reviewer wants to SEE
+    where the curve sags, exactly as lift_gains plots the gains chart
+    for the same ranking).  Deciles from operators/ranking.py::
+    ntile_exact on the micro-quantized score (bit-identical to
+    NTILE(10), no unpartitioned raw-row window); TPR/FPR are single
+    divisions of exact BIGINT decile cumulatives.
+
+    Scale: value-grid shuffles only; the curve table is 10 rows."""
+    from fusionspark.operators.ranking import ntile_exact
+
+    p = _nb_frame(spark, sf_dir).select(
+        "doc_id",
+        "y",
+        (-F.floor(F.col("s") * 1000000.0 + 0.5).cast("long")).alias("ns"),
+    )
+    r = ntile_exact(p, 10, "ns", "doc_id", "decile")
+    g = r.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    dw = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w = g.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(dw).cast("long").alias("cum_pos"),
+        F.sum(F.col("n") - F.col("n_pos")).over(dw).cast("long").alias("cum_neg"),
+    )
+    tot = g.agg(
+        F.sum("n_pos").cast("long").alias("np"),
+        (F.sum("n") - F.sum("n_pos")).cast("long").alias("nn"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n",
+            "n_pos",
+            "cum_pos",
+            "cum_neg",
+            (F.col("cum_pos").cast("double") / F.col("np")).alias("tpr"),
+            (F.col("cum_neg").cast("double") / F.col("nn")).alias("fpr"),
+        )
+        .orderBy("decile")
+    )
+
+
+#: the classifier frame WITH the source stratum carried through (the
+#: _NBP_CTE shape + d.source; _NBP_CTE itself stays byte-frozen — it
+#: backs attested rows)
+_NBPS_CTE = f"""nbq AS ({NB_QUALITY_ORACLE}),
+    p AS (
+        SELECT n.doc_id, n.nb_score AS s, d.source,
+               CASE WHEN d.source IN {_NB_POS} THEN 1 ELSE 0 END AS y,
+               FLOOR(1000000.0 / (1.0 + exp(-n.nb_score)) + 0.5)::BIGINT AS pu
+        FROM nbq n JOIN documents d USING (doc_id)
+    )"""
+
+
+def _nb_frame_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, y, pu) — _nb_frame with the stratum carried."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    neg = F.col("source").isin("src15", "src16", "src17", "src18", "src19")
+    nb = textstats.nb_quality_scores(d, pos, neg)
+    lab = nb.select("doc_id", F.col("nb_score").alias("s")).join(
+        d.select("doc_id", "source", pos.cast("int").alias("y")), "doc_id"
+    )
+    return lab.select(
+        "doc_id",
+        "source",
+        "y",
+        F.floor(1000000.0 / (1.0 + F.exp(-F.col("s"))) + 0.5)
+        .cast("long")
+        .alias("pu"),
+    )
+
+
+@query(
+    "calibration_strata",
+    f"""
+    WITH {_NBPS_CTE},
+    b AS (
+        SELECT source, y, pu, LEAST(pu // 100000, 9)::BIGINT AS bin
+        FROM p
+    ),
+    g AS (
+        SELECT source, bin, COUNT(*)::BIGINT AS nb, SUM(y)::BIGINT AS sy,
+               SUM(pu)::BIGINT AS spu
+        FROM b GROUP BY source, bin
+    ),
+    d AS (
+        SELECT source, bin, nb,
+               ABS(1000000 * sy - spu)::BIGINT AS dev
+        FROM g
+    ),
+    s AS (
+        SELECT source, SUM(nb)::BIGINT AS n, COUNT(*)::BIGINT AS n_bins_used,
+               SUM(dev)::BIGINT AS devsum,
+               MAX(dev::DOUBLE / nb) AS mxq
+        FROM d GROUP BY source
+    )
+    SELECT source, n, n_bins_used,
+           FLOOR(devsum::DOUBLE / n + 0.5) / 1000000.0 AS ece,
+           FLOOR(mxq + 0.5) / 1000000.0 AS mce
+    FROM s ORDER BY source
+    """,
+)
+def calibration_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum (per-source) calibration of the NB sigmoid
+    probabilities on the standard 10-bin grid — ece_calibration audits
+    one global model; this is the VERDICT-r14 per-stratum edge: a
+    classifier can be calibrated on average while badly mis-calibrated
+    on exactly the source you are about to filter with it.
+
+    Parity: confidences are the micro-unit integers pu; per (source,
+    bin) the deviation |1e6·Σy − Σpu| is an exact BIGINT, so
+    ECE_s = Σ_bins dev / (1e6·n_s) has an ORDER-FREE integer numerator
+    (no double fold anywhere); MCE_s is a max over exactly-determined
+    per-bin quotients.  Both are integer-ratio outputs, so they carry
+    the engine-stable FLOOR(µ+0.5)/1e6 6-dp form IN MICRO-UNITS (the
+    quotient is already ×1e6 — one exact-int division inside the FLOOR;
+    the r14 round6_stable sweep convention: this output class lands on
+    7-digit halfway reprs that plain ROUND splits across engines).
+    Scale: one corpus groupBy onto the ≤ sources×10 grid; everything
+    after is grid-only."""
+    p = _nb_frame_src(spark, sf_dir)
+    b = p.select(
+        "source",
+        "y",
+        "pu",
+        F.least(F.expr("pu div 100000"), F.lit(9)).cast("long").alias("bin"),
+    )
+    # the <= sources*10 grid materializes once
+    g = b.groupBy("source", "bin").agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("pu").cast("long").alias("spu"),
+    ).localCheckpoint(eager=True)
+    d = g.select(
+        "source",
+        "bin",
+        "nb",
+        F.abs(1000000 * F.col("sy") - F.col("spu")).cast("long").alias("dev"),
+    )
+    s = d.groupBy("source").agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bins_used"),
+        F.sum("dev").cast("long").alias("devsum"),
+        F.max(F.col("dev").cast("double") / F.col("nb")).alias("mxq"),
+    )
+    return s.select(
+        "source",
+        "n",
+        "n_bins_used",
+        (
+            F.floor(F.col("devsum").cast("double") / F.col("n") + 0.5)
+            / 1000000.0
+        ).alias("ece"),
+        (F.floor(F.col("mxq") + 0.5) / 1000000.0).alias("mce"),
+    ).orderBy("source")
+
+
+@query(
+    "log_loss_grid",
+    f"""
+    WITH {_NBP_CTE},
+    pc AS (
+        SELECT y, LEAST(GREATEST(pu, 1), 999999)::BIGINT AS puc FROM p
+    ),
+    g AS (SELECT puc, COUNT(*)::BIGINT AS nb, SUM(y)::BIGINT AS sy
+          FROM pc GROUP BY puc),
+    t AS (
+        SELECT puc,
+               sy * (-ln(puc::DOUBLE / 1000000.0))
+               + (nb - sy) * (-ln(1.0 - puc::DOUBLE / 1000000.0)) AS term
+        FROM g
+    ),
+    f AS (
+        SELECT list_reduce(list_prepend(0.0, list(term ORDER BY puc)),
+                           (a, x) -> a + x) AS ls
+        FROM t
+    ),
+    tot AS (SELECT SUM(nb)::BIGINT AS n FROM g)
+    SELECT tot.n, ROUND(f.ls / tot.n, 6) + 0.0 AS log_loss
+    FROM f, tot
+    """,
+)
+def log_loss_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean cross-entropy (log loss) of the NB sigmoid probabilities —
+    the PROPER scoring rule that punishes confident mistakes brier's
+    quadratic rule caps (one 99.9999%-confident wrong keep costs ~13.8
+    nats here vs Brier's ≤ 1), clamped to the [1, 999999] micro-unit
+    range so the boundary cells stay finite.
+
+    Parity: probabilities are the micro-unit integer grid (≤ 1e6
+    cells), each cell term is counts × ln of ONE exact division, folded
+    in fixed puc order (the cluster_nmi ln discipline); the mean is one
+    division with stable 6-dp rounding (transcendental output class).
+    Scale: one corpus groupBy onto the micro-unit grid, then grid-only."""
+    p = _nb_frame(spark, sf_dir)
+    pc = p.select(
+        "y",
+        F.least(F.greatest(F.col("pu"), F.lit(1)), F.lit(999999))
+        .cast("long")
+        .alias("puc"),
+    )
+    # the micro-unit grid materializes once (term fold + total read it)
+    g = pc.groupBy("puc").agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("sy"),
+    ).localCheckpoint(eager=True)
+    t = g.select(
+        "puc",
+        (
+            F.col("sy") * (-F.log(F.col("puc").cast("double") / 1000000.0))
+            + (F.col("nb") - F.col("sy"))
+            * (-F.log(F.lit(1.0) - F.col("puc").cast("double") / 1000000.0))
+        ).alias("term"),
+    )
+    f = _ordered_fold(t, ["puc"], "term", "ls")
+    tot = g.agg(F.sum("nb").cast("long").alias("n"))
+    return f.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (F.round(F.col("ls") / F.col("n"), 6) + 0.0).alias("log_loss"),
+    )
+
+
+@query(
+    "ndcg_multi",
+    f"""
+    WITH {_mq_ctes()},
+    {", ".join(
+        f'''nd{i} AS (
+        SELECT CASE WHEN LEAST((SELECT COUNT(*) FROM rel{i}), 10) > 0
+               THEN COALESCE((SELECT list_reduce(list_prepend(0.0,
+                        list_transform(l, r -> 1.0 / log2((r + 1)::DOUBLE))),
+                        (a, x) -> a + x)
+                    FROM (SELECT list(rank ORDER BY rank) AS l FROM h{i})
+                    WHERE len(l) > 0), 0.0)
+                    / (SELECT list_reduce(list_prepend(0.0,
+                        list_transform(range(LEAST((SELECT COUNT(*) FROM rel{i}),
+                                                   10)),
+                                       j -> 1.0 / log2((j + 2)::DOUBLE))),
+                        (a, x) -> a + x))
+               ELSE 0.0 END AS nd
+    )'''
+        for i in range(5)
+    )}
+    SELECT {", ".join(
+        f"ROUND(nd{i}.nd, 6) + 0.0 AS ndcg_{i + 1}" for i in range(5)
+    )},
+           ROUND(({" + ".join(f"nd{i}.nd" for i in range(5))}) / 5.0, 6) + 0.0
+               AS ndcg
+    FROM {", ".join(f"nd{i}" for i in range(5))}
+    """,
+)
+def ndcg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean NDCG@10 (binary relevance) of the BM25 ranker over the same
+    fixed 5-query eval set as mrr_multi/map_at10 — the graded-position
+    metric that rewards packing hits at the very top where MAP treats
+    all top-10 slots closer to evenly (retrieval_ndcg scores ONE query;
+    this is the set mean a ranker regression gate needs).
+
+    Parity: DCG folds 1/log2(rank+1) in rank order over the ≤ 10 hits;
+    IDCG folds the same series over 1..min(|relevant|, 10) — both
+    fixed-order list folds of ln-class terms (the cluster_nmi
+    discipline), one division per query, 6-dp stable rounding on the
+    pivoted outputs.  Scale: same per-query passes as mrr_multi."""
+    frames = _mq_frames(spark, sf_dir)
+    nds = []
+    for i, (ranked, rel, hits) in enumerate(frames):
+        nr = rel.agg(F.count("*").cast("long").alias("nr"))
+        arr = F.sort_array(F.collect_list("rank"))
+        dcg = hits.agg(
+            F.when(
+                F.size(arr) > 0,
+                F.aggregate(
+                    F.transform(
+                        arr, lambda r: 1.0 / F.log2((r + 1).cast("double"))
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            ).alias("dcg")
+        )
+        nd = dcg.crossJoin(F.broadcast(nr)).select(
+            F.when(
+                F.least(F.col("nr"), F.lit(10)) > 0,
+                F.coalesce(F.col("dcg"), F.lit(0.0))
+                / F.aggregate(
+                    F.sequence(
+                        F.lit(1), F.least(F.col("nr"), F.lit(10)).cast("int")
+                    ),
+                    F.lit(0.0),
+                    lambda a, j: a + 1.0 / F.log2((j + 1).cast("double")),
+                ),
+            )
+            .otherwise(0.0)
+            .alias(f"nd_{i + 1}")
+        )
+        nds.append(nd)
+    out = nds[0]
+    for i in range(1, 5):
+        out = out.crossJoin(F.broadcast(nds[i]))
+    m = None
+    for i in range(5):
+        c = F.col(f"nd_{i + 1}")
+        m = c if m is None else m + c
+    return out.select(
+        *[
+            (F.round(F.col(f"nd_{i + 1}"), 6) + 0.0).alias(f"ndcg_{i + 1}")
+            for i in range(5)
+        ],
+        (F.round(m / 5.0, 6) + 0.0).alias("ndcg"),
     )

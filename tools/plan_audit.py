@@ -875,3 +875,30 @@ for qn, label in (
           "payload_in_exchange_key:", any("payload#" in a for a in ex_args),
           "broadcasts:", p.count("BroadcastExchange"),
           "python_nodes:", len(_re.findall(r"\(\d+\) MapInPandas", p)))
+
+# ── round 15 additions: the ROC/threshold/calibration eval edge ──────────
+# roc_auc / cost_curve / log_loss_grid / calibration_strata checkpoint
+# their grid after ONE corpus NB pass (scans in the final plan = 0; the
+# pass runs at checkpoint time), roc_points rides ntile_exact's
+# materialized grid, ndcg_multi is five top-10 TakeOrdered passes with
+# in-row log2 folds.  No cartesians, no python nodes anywhere.
+for qn, label in (
+    ("roc_auc", "checkpointed score grid, 2U integer sum"),
+    ("cost_curve", "checkpointed grid, integer argmin"),
+    ("roc_points", "ntile_exact decile cumulatives"),
+    ("calibration_strata", "sources x 10 bins grid"),
+    ("log_loss_grid", "checkpointed micro-unit grid fold"),
+    ("ndcg_multi", "5 x top-10 TakeOrdered + log2 folds"),
+):
+    qq = _R[qn][0](spark, sf)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        qq.explain("formatted")
+    p = buf.getvalue()
+    ex_args = _re.findall(r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", p)
+    print(f"== {qn} ({label}): cartesian:", "CartesianProduct" in p,
+          "text_in_exchange_key:",
+          any(_re.search(r"(?<![A-Za-z])text#", a) for a in ex_args),
+          "scans:", p.count("Scan parquet"),
+          "broadcasts:", p.count("BroadcastExchange"),
+          "python_nodes:", len(_re.findall(r"\(\d+\) MapInPandas", p)))
