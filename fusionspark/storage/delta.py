@@ -24,9 +24,12 @@ Snapshot algorithm (exactly Delta's):
    (Delta does NOT store partition columns inside the data files).
 
 Reader-version gate: protocol minReaderVersion ≤ 2 without
-columnMapping; version-3 reader features (deletionVectors, columnMapping,
-timestampNtz, v2Checkpoint) raise an honest NotImplementedError rather
-than silently returning wrong rows.
+columnMapping, plus the version-3 `deletionVectors` reader feature
+(storage/dv.py decodes the Z85/roaring bitmaps; read_delta anti-joins
+the deleted (file, row_index) pairs out on Spark's native parquet row
+index).  Unimplemented v3 features (columnMapping, timestampNtz,
+v2Checkpoint) raise an honest NotImplementedError rather than silently
+returning wrong rows.
 
 Scale: the log listing and JSON replay touch only metadata (KBs per
 commit); the data read is a plain pruned parquet scan per partition
@@ -60,8 +63,10 @@ _CKPT_MULTI_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet
 # the v2Checkpoint reader feature (sidecar files) we do not implement
 _CKPT_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(parquet|json)$")
 
-#: reader features we genuinely implement; anything else fails loudly
-_SUPPORTED_READER_FEATURES = frozenset()
+#: reader features we genuinely implement; anything else fails loudly.
+#: deletionVectors: storage/dv.py decodes the roaring bitmaps and
+#: read_delta anti-joins deleted (file, row_index) pairs out of the scan
+_SUPPORTED_READER_FEATURES = frozenset({"deletionVectors"})
 
 
 @dataclass
@@ -73,6 +78,9 @@ class DeltaSnapshot:
     partition_columns: list[str]
     #: path -> partitionValues (path relative to the table root)
     files: dict[str, dict] = field(default_factory=dict)
+    #: path -> deletionVector descriptor, for files whose live rows are
+    #: the parquet rows MINUS the DV's row indexes (storage/dv.py)
+    dvs: dict[str, dict] = field(default_factory=dict)
 
 
 class DeltaProtocolError(NotImplementedError):
@@ -146,8 +154,14 @@ def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
     if "add" in action and action["add"]:
         a = action["add"]
         snap.files[a["path"]] = a.get("partitionValues") or {}
+        dv = a.get("deletionVector")
+        if dv:  # a re-add without a DV clears any earlier one
+            snap.dvs[a["path"]] = dv
+        else:
+            snap.dvs.pop(a["path"], None)
     elif "remove" in action and action["remove"]:
         snap.files.pop(action["remove"]["path"], None)
+        snap.dvs.pop(action["remove"]["path"], None)
     elif "metaData" in action and action["metaData"]:
         md = action["metaData"]
         if md.get("format", {}).get("provider", "parquet") != "parquet":
@@ -231,6 +245,55 @@ def resolve_snapshot(
     return snap
 
 
+def _read_with_dvs(
+    spark: SparkSession,
+    table_path: str,
+    rel_paths: list[str],
+    dvs: dict[str, dict],
+    data_col_names: list[str],
+) -> DataFrame:
+    """Read `rel_paths` (all carrying deletion vectors) as ONE parquet
+    relation minus each file's deleted rows.
+
+    The DV bitmaps decode driver-side (a DV is a bitmap over one file's
+    rows — metadata-sized, exactly what Delta readers hold in memory)
+    into a (file name, row_index) frame that leaves the scan via a
+    broadcast LEFT ANTI join on Spark's native `_metadata.row_index`.
+    File identity joins on the path basename — Delta data-file names
+    are unique within a table (UUID-based; the fixture writer's
+    part-<version>-<n> names likewise), and we verify that here rather
+    than assume it.  At 100 TB the same plan holds: the anti-join key
+    set is |deleted rows| and broadcasts; for pathological DV
+    cardinalities swap createDataFrame for a parallelized DV decode —
+    the join shape is unchanged."""
+    from fusionspark.storage.dv import read_dv
+
+    base = {os.path.basename(p): p for p in rel_paths}
+    if len(base) != len(rel_paths):
+        raise ValueError(
+            "duplicate data-file basenames across deletion-vector reads: "
+            f"{sorted(rel_paths)}"
+        )
+    deleted = [
+        (bn, int(ri))
+        for bn, rel in sorted(base.items())
+        for ri in read_dv(table_path, dvs[rel])
+    ]
+    df = spark.read.parquet(
+        *[os.path.join(table_path, p) for p in sorted(rel_paths)]
+    ).select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "__dv_file"
+        ),
+        F.col("_metadata.row_index").alias("__dv_ri"),
+        *data_col_names,
+    )
+    if deleted:
+        ddf = spark.createDataFrame(deleted, "__dv_file string, __dv_ri long")
+        df = df.join(F.broadcast(ddf), ["__dv_file", "__dv_ri"], "left_anti")
+    return df.drop("__dv_file", "__dv_ri")
+
+
 def read_delta(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
@@ -238,7 +301,11 @@ def read_delta(
 
     Files sharing a partition-value assignment are read as ONE parquet
     relation (pushdown/pruning intact) with the partition columns
-    re-attached as typed literals; groups union by name.  An empty
+    re-attached as typed literals; groups union by name.  Files carrying
+    a deletion vector read through _read_with_dvs: the DV bitmaps decode
+    once (metadata-sized) and the deleted (file, row_index) pairs leave
+    the scan via a broadcast anti-join on Spark's native parquet row
+    index — still one relation per group, pushdown intact.  An empty
     snapshot returns an empty frame with the table schema."""
     snap = resolve_snapshot(spark, table_path, version)
     data_cols = [
@@ -249,20 +316,28 @@ def read_delta(
     groups: dict[tuple, list[str]] = {}
     for path, pv in snap.files.items():
         key = tuple(sorted(pv.items()))
-        groups.setdefault(key, []).append(
-            os.path.join(table_path, path)
-        )
+        groups.setdefault(key, []).append(path)
     by_name = {f.name: f for f in snap.schema.fields}
     out = None
     # None-safe group order: a null partition value must sort against
     # strings without a TypeError (nulls first per column)
-    for key, paths in sorted(
+    for key, rels in sorted(
         groups.items(),
         key=lambda kv: [(c, v is not None, v or "") for c, v in kv[0]],
     ):
-        df = spark.read.parquet(*sorted(paths))
-        if data_cols:
-            df = df.select(*[f.name for f in data_cols])
+        names = [f.name for f in data_cols]
+        plain = sorted(
+            os.path.join(table_path, p) for p in rels if p not in snap.dvs
+        )
+        dvd = sorted(p for p in rels if p in snap.dvs)
+        df = None
+        if plain:
+            df = spark.read.parquet(*plain)
+            if names:
+                df = df.select(*names)
+        if dvd:
+            live = _read_with_dvs(spark, table_path, dvd, snap.dvs, names)
+            df = live if df is None else df.unionByName(live)
         for col, sval in key:
             t = by_name[col].dataType.simpleString()
             lit = (
@@ -373,6 +448,63 @@ def write_delta_table(
     return version
 
 
+def apply_deletion_vector(
+    spark: SparkSession,
+    table_path: str,
+    rel_path: str,
+    row_indexes: list[int],
+    inline: bool = False,
+) -> int:
+    """Fixture helper: commit the remove+add pair real Delta DML writes
+    when it soft-deletes rows of `rel_path` behind a deletion vector
+    (on-disk 'u' storage by default, inline 'i' with `inline=True`),
+    upgrading the table protocol to the deletionVectors reader feature."""
+    from fusionspark.storage.dv import inline_dv_descriptor, write_dv_file
+
+    snap = resolve_snapshot(spark, table_path)
+    if rel_path not in snap.files:
+        raise ValueError(f"{rel_path!r} not in the current snapshot")
+    desc = (
+        inline_dv_descriptor(row_indexes)
+        if inline
+        else write_dv_file(table_path, row_indexes)
+    )
+    commits, ckpts, _files, _v2 = _list_log(table_path)
+    version = max(commits + ckpts) + 1
+    _write_commit(
+        table_path,
+        version,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {
+                "remove": {
+                    "path": rel_path,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            },
+            {
+                "add": {
+                    "path": rel_path,
+                    "partitionValues": snap.files[rel_path],
+                    "size": os.path.getsize(os.path.join(table_path, rel_path)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": desc,
+                }
+            },
+        ],
+    )
+    return version
+
+
 def remove_files(table_path: str, paths: list[str]) -> int:
     """Append a commit tombstoning `paths` (fixture helper)."""
     commits, ckpts, _files, _v2 = _list_log(table_path)
@@ -392,6 +524,34 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
     """Materialize the latest snapshot as a parquet checkpoint +
     _last_checkpoint pointer (fixture helper, same layout Delta writes)."""
     snap = resolve_snapshot(spark, table_path)
+    proto = (
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+        if snap.dvs
+        else {
+            "minReaderVersion": 1,
+            "minWriterVersion": 2,
+            "readerFeatures": None,
+            "writerFeatures": None,
+        }
+    )
+
+    def _dv_row(p: str):
+        d = snap.dvs.get(p)
+        if not d:
+            return None
+        return {
+            "storageType": d["storageType"],
+            "pathOrInlineDv": d["pathOrInlineDv"],
+            "offset": d.get("offset"),
+            "sizeInBytes": int(d["sizeInBytes"]),
+            "cardinality": int(d["cardinality"]),
+        }
+
     rows = [
         {
             "metaData": {
@@ -401,7 +561,7 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
                 "partitionColumns": snap.partition_columns,
                 "configuration": {},
             },
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "protocol": proto,
             "add": None,
             "remove": None,
         }
@@ -415,6 +575,7 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
                 "size": 0,
                 "modificationTime": 0,
                 "dataChange": False,
+                "deletionVector": _dv_row(p),
             },
             "remove": None,
         }
@@ -425,9 +586,12 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
         "metaData struct<id:string,format:struct<provider:string,"
         "options:map<string,string>>,schemaString:string,"
         "partitionColumns:array<string>,configuration:map<string,string>>, "
-        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>, "
         "add struct<path:string,partitionValues:map<string,string>,"
-        "size:bigint,modificationTime:bigint,dataChange:boolean>, "
+        "size:bigint,modificationTime:bigint,dataChange:boolean,"
+        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+        "offset:int,sizeInBytes:int,cardinality:bigint>>, "
         "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
     )
     spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(

@@ -99,7 +99,9 @@ def test_protocol_gate_fails_loudly(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors"],
+                        # deletionVectors is implemented now (r15);
+                        # v2Checkpoint is not and must still refuse
+                        "readerFeatures": ["v2Checkpoint"],
                     }
                 }
             )
