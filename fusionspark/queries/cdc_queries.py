@@ -324,3 +324,142 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "delta_deletion_vectors",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    v1 AS (
+        SELECT 1::BIGINT AS version, (k % 3)::BIGINT AS grp,
+               COUNT(*)::BIGINT AS n_orders, SUM(cents)::BIGINT AS revenue_cents
+        FROM base GROUP BY k % 3
+    ),
+    v3 AS (
+        SELECT 3::BIGINT, (k % 3)::BIGINT, COUNT(*)::BIGINT, SUM(cents)::BIGINT
+        FROM base WHERE k % 7 <> 0 GROUP BY k % 3
+    ),
+    v4 AS (
+        SELECT 4::BIGINT, (k % 3)::BIGINT, COUNT(*)::BIGINT, SUM(cents)::BIGINT
+        FROM base
+        WHERE NOT ((k % 2 = 0 AND (k % 7 = 0 OR k % 11 = 0))
+                   OR (k % 2 = 1 AND k % 7 = 0))
+        GROUP BY k % 3
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4
+    ORDER BY version, grp
+    """,
+)
+def delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta deletion-vector reads, oracle-attested end to end
+    (storage/dv.py + delta.py — the r15 protocol stretch): commit the
+    even-key orders as one data file (version 0) and the odd keys as a
+    second (version 1), then soft-delete BY PREDICATE exactly the way
+    real DML does — scan the file's native parquet row index for the
+    matching rows, write their indexes as a roaring-bitmap deletion
+    vector, and commit the remove+add pair (on-disk 'u' DV for the even
+    file at version 2, inline 'i' DV for the odd file at version 3,
+    then a WIDER replacement DV on the even file at version 4), finally
+    checkpointing so version 4 resolves from checkpoint state.  Reading
+    versions 1 / 3 / 4 and aggregating exact cent revenue per
+    (version, k % 3) matches an oracle that predicts every snapshot
+    arithmetically from `orders` alone — certifying the bitmap codec,
+    the Z85 path and inline storage forms, descriptor replacement
+    semantics, time travel across DV commits, checkpointed DV survival,
+    and the broadcast row-index anti-join, none of which the oracle
+    shares any code with.
+
+    Determinism: each commit is ONE file sorted by o_orderkey
+    (repartition(1) + sortWithinPartitions), but no step depends on the
+    order — deletion targets come from a predicate via the row-index
+    scan, so the masked CONTENT is exactly the predicate rows under any
+    layout.  Scale: DV decode is metadata-sized; the snapshot read
+    stays one pruned relation per file group with a broadcast anti-join
+    (storage/delta.py::_read_with_dvs).  The temp-table write is the
+    fixture, not the measured path — the delta_time_travel contract."""
+    import shutil
+    import tempfile
+
+    from fusionspark.storage.delta import (
+        apply_deletion_vector,
+        read_delta,
+        resolve_snapshot,
+        write_checkpoint,
+        write_delta_table,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="fusionspark-delta-dv-")
+    t = f"{root}/orders_dv"
+
+    def _mask(rel: str, pred):
+        """Real DML shape: row indexes of the predicate rows in `rel`."""
+        import os as _os
+
+        rows = (
+            spark.read.parquet(_os.path.join(t, rel))
+            .select("k", F.col("_metadata.row_index").alias("ri"))
+            .filter(pred)
+            .collect()
+        )
+        return sorted(r["ri"] for r in rows)
+
+    try:
+        write_delta_table(
+            spark,
+            o.filter(F.col("k") % 2 == 0)
+            .repartition(1)
+            .sortWithinPartitions("k"),
+            t,
+        )
+        write_delta_table(
+            spark,
+            o.filter(F.col("k") % 2 == 1)
+            .repartition(1)
+            .sortWithinPartitions("k"),
+            t,
+            mode="append",
+        )
+        snap = resolve_snapshot(spark, t)
+        even_f = next(p for p in sorted(snap.files) if p.startswith("part-00000-"))
+        odd_f = next(p for p in sorted(snap.files) if p.startswith("part-00001-"))
+        apply_deletion_vector(
+            spark, t, even_f, _mask(even_f, F.col("k") % 7 == 0)
+        )  # v2
+        apply_deletion_vector(
+            spark, t, odd_f, _mask(odd_f, F.col("k") % 7 == 0), inline=True
+        )  # v3
+        apply_deletion_vector(
+            spark,
+            t,
+            even_f,
+            _mask(even_f, (F.col("k") % 7 == 0) | (F.col("k") % 11 == 0)),
+        )  # v4: REPLACES v2's narrower DV
+        write_checkpoint(spark, t)  # v4 then resolves from checkpoint
+        frames = []
+        for v in (1, 3, 4):
+            frames.append(
+                read_delta(spark, t, version=v)
+                .groupBy((F.col("k") % 3).cast("long").alias("grp"))
+                .agg(
+                    F.count("*").cast("long").alias("n_orders"),
+                    F.sum("cents").cast("long").alias("revenue_cents"),
+                )
+                .select(
+                    F.lit(v).cast("long").alias("version"),
+                    "grp",
+                    "n_orders",
+                    "revenue_cents",
+                )
+            )
+        out = frames[0].unionByName(frames[1]).unionByName(frames[2])
+        return out.orderBy("version", "grp").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
