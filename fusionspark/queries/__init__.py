@@ -72,18 +72,14 @@ PRIORITY: list[str] = [
 # the board-priority order (never-attested > code-changed > stalest).
 # Maintained BY HAND at each round's close (git knows what changed; no
 # tool can); consumed by tools/board_plan.py so its recommendation equals
-# the committed handoff instead of drifting by this tier.  r15 rotation:
-# this is the r14 close-out tier (round6_stable sweep + ranked-primitive
-# div/materialization + range_bounds_plan guard), now ON the r15 board
-# above — kept here so board_plan's recommendation equals the committed
-# handoff; replaced at r15 close with rows whose code changes this round.
-CODE_CHANGED_NEXT: list[str] = [
-    "systematic_sample", "range_bounds_plan", "neardup_containment",
-    "neardup_prefix", "split_leakage", "conversion_latency",
-    "user_retention", "png_features", "image_features", "jpeg_features",
-    "video_frames", "bmp_features", "gif_features", "gif_interlaced",
-    "png_interlaced", "qoi_features",
-]
+# the committed handoff instead of drifting by this tier.  r15 close-out:
+# EMPTY — every r15 code change backs either a row ON the r15 board
+# (delta.py/dv.py → delta_time_travel; the mrr_multi/map_at10 oracle @10
+# cutoff) or a query registered this round (the 7 mid-round additions,
+# which queue as the r16 never-attested tier), so no off-board attested
+# row's code changed.  engine.py's attach-freshness change touches no
+# registry query (pytest-covered).
+CODE_CHANGED_NEXT: list[str] = []
 
 
 def load_all() -> None:
