@@ -389,6 +389,10 @@ class FusionSparkEngine:
         cfg = self._catalog[collection]
         if cfg["metric"] != "cosine":
             raise ValueError("build_index supports the cosine metric only")
+        # token BEFORE the read: if an external Delta commit lands during
+        # the build, the stamp is older than the data and the index reads
+        # as stale (the safe direction) — never stale-data-marked-fresh
+        tok = self._mutation_token(cfg)
         df = self._load(collection)
         n = df.count()
         k = n_centroids or max(2, int(math.sqrt(max(n, 4))))
@@ -408,7 +412,7 @@ class FusionSparkEngine:
         cfg["index"] = {
             "n_centroids": k,
             "rows": n,
-            "at_mutation": self._mutation_token(cfg),
+            "at_mutation": tok,
             "built_at": int(time.time() * 1000),
         }
         if pq:
@@ -473,6 +477,9 @@ class FusionSparkEngine:
         from fusionspark.operators.serving import ResidentIndex
 
         cfg = self._catalog[collection]
+        # token BEFORE the read (see build_index): a mid-build external
+        # commit must leave the cache stale, not stamp it fresh
+        tok = self._mutation_token(cfg)
         idx = ResidentIndex.build(
             self._load(collection), id_col="id", vector_col="vector",
             metric=cfg["metric"],
@@ -481,7 +488,6 @@ class FusionSparkEngine:
         old = self._resident.pop(collection, None)
         if old is not None:
             old["idx"].unpersist()
-        tok = self._mutation_token(cfg)
         self._resident[collection] = {
             "idx": idx,
             "at_mutation": tok,
@@ -516,6 +522,7 @@ class FusionSparkEngine:
         cfg = self._catalog[collection]
         if cfg["metric"] != "cosine":
             raise ValueError("resident IVF supports the cosine metric only")
+        tok = self._mutation_token(cfg)  # before the read, see build_index
         df = self._load(collection)
         k = n_centroids or max(2, int(math.sqrt(max(df.count(), 4))))
         idx = ResidentIVF.build(
@@ -524,7 +531,6 @@ class FusionSparkEngine:
         old = self._resident_ivf.pop(collection, None)
         if old is not None:
             old["idx"].unpersist()
-        tok = self._mutation_token(cfg)
         self._resident_ivf[collection] = {
             "idx": idx,
             "n_centroids": k,

@@ -1852,22 +1852,12 @@ _NBPS_CTE = f"""nbq AS ({NB_QUALITY_ORACLE}),
 
 
 def _nb_frame_src(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, y, pu) — _nb_frame with the stratum carried."""
+    """(doc_id, source, y, pu) — _nb_frame with the stratum joined on,
+    so the label lists and pu quantization live in ONE place."""
     d = load_table(spark, sf_dir, "documents")
-    pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
-    neg = F.col("source").isin("src15", "src16", "src17", "src18", "src19")
-    nb = textstats.nb_quality_scores(d, pos, neg)
-    lab = nb.select("doc_id", F.col("nb_score").alias("s")).join(
-        d.select("doc_id", "source", pos.cast("int").alias("y")), "doc_id"
-    )
-    return lab.select(
-        "doc_id",
-        "source",
-        "y",
-        F.floor(1000000.0 / (1.0 + F.exp(-F.col("s"))) + 0.5)
-        .cast("long")
-        .alias("pu"),
-    )
+    return _nb_frame(spark, sf_dir).join(
+        d.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "y", "pu")
 
 
 @query(
@@ -2020,6 +2010,15 @@ def log_loss_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: positional NDCG weights 1/log2(rank+1), rank 1..10, precomputed in
+#: Python and emitted as shortest-repr DOUBLE literals in BOTH engines —
+#: Spark's StrictMath-based log2 and DuckDB's libm log2 differ by 1 ulp
+#: for several small ints, so neither engine's log runs at query time.
+#: _NDCG_P[m-1] = ideal DCG for m relevant docs (prefix sums, same rule).
+_NDCG_W = [1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163, 0.3562071871080222, 0.3333333333333333, 0.31546487678572877, 0.3010299956639812, 0.2890648263178879]
+_NDCG_P = [1.0, 1.6309297535714575, 2.1309297535714578, 2.5616063116448506, 2.9484591188793923, 3.3046663059874146, 3.637999639320748, 3.953464516106477, 4.254494511770458, 4.543559338088346]
+
+
 @query(
     "ndcg_multi",
     f"""
@@ -2028,24 +2027,21 @@ def log_loss_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         f'''nd{i} AS (
         SELECT CASE WHEN LEAST((SELECT COUNT(*) FROM rel{i}), 10) > 0
                THEN COALESCE((SELECT list_reduce(list_prepend(0.0,
-                        list_transform(l, r -> 1.0 / log2((r + 1)::DOUBLE))),
+                        list_transform(l, r -> ([1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163, 0.3562071871080222, 0.3333333333333333, 0.31546487678572877, 0.3010299956639812, 0.2890648263178879])[r])),
                         (a, x) -> a + x)
                     FROM (SELECT list(rank ORDER BY rank) AS l FROM h{i})
                     WHERE len(l) > 0), 0.0)
-                    / (SELECT list_reduce(list_prepend(0.0,
-                        list_transform(range(LEAST((SELECT COUNT(*) FROM rel{i}),
-                                                   10)),
-                                       j -> 1.0 / log2((j + 2)::DOUBLE))),
-                        (a, x) -> a + x))
+                    / ([1.0, 1.6309297535714575, 2.1309297535714578, 2.5616063116448506, 2.9484591188793923, 3.3046663059874146, 3.637999639320748, 3.953464516106477, 4.254494511770458, 4.543559338088346])[LEAST((SELECT COUNT(*) FROM rel{i}), 10)]
                ELSE 0.0 END AS nd
     )'''
         for i in range(5)
     )}
     SELECT {", ".join(
-        f"ROUND(nd{i}.nd, 6) + 0.0 AS ndcg_{i + 1}" for i in range(5)
+        f"FLOOR(nd{i}.nd * 1000000.0 + 0.5) / 1000000.0 AS ndcg_{i + 1}"
+        for i in range(5)
     )},
-           ROUND(({" + ".join(f"nd{i}.nd" for i in range(5))}) / 5.0, 6) + 0.0
-               AS ndcg
+           FLOOR(({" + ".join(f"nd{i}.nd" for i in range(5))}) / 5.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS ndcg
     FROM {", ".join(f"nd{i}" for i in range(5))}
     """,
 )
@@ -2056,12 +2052,17 @@ def ndcg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     all top-10 slots closer to evenly (retrieval_ndcg scores ONE query;
     this is the set mean a ranker regression gate needs).
 
-    Parity: DCG folds 1/log2(rank+1) in rank order over the ≤ 10 hits;
-    IDCG folds the same series over 1..min(|relevant|, 10) — both
-    fixed-order list folds of ln-class terms (the cluster_nmi
-    discipline), one division per query, 6-dp stable rounding on the
-    pivoted outputs.  Scale: same per-query passes as mrr_multi."""
+    Parity: the ten 1/log2(rank+1) weights and their ideal-DCG prefix
+    sums are PRECOMPUTED Python doubles emitted as shortest-repr
+    literals in both engines (no engine log runs — Spark StrictMath
+    log2 and DuckDB libm log2 are 1 ulp apart on small ints); DCG folds
+    literal lookups in rank order over the ≤ 10 hits, one division per
+    query, engine-stable FLOOR 6-dp form on the pivoted outputs (the
+    deterministic-value convention — no ROUND halfway class).
+    Scale: same per-query passes as mrr_multi."""
     frames = _mq_frames(spark, sf_dir)
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    parr = F.array(*[F.lit(x) for x in _NDCG_P])
     nds = []
     for i, (ranked, rel, hits) in enumerate(frames):
         nr = rel.agg(F.count("*").cast("long").alias("nr"))
@@ -2070,9 +2071,7 @@ def ndcg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.size(arr) > 0,
                 F.aggregate(
-                    F.transform(
-                        arr, lambda r: 1.0 / F.log2((r + 1).cast("double"))
-                    ),
+                    F.transform(arr, lambda r: F.element_at(warr, r)),
                     F.lit(0.0),
                     lambda a, x: a + x,
                 ),
@@ -2082,12 +2081,8 @@ def ndcg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.least(F.col("nr"), F.lit(10)) > 0,
                 F.coalesce(F.col("dcg"), F.lit(0.0))
-                / F.aggregate(
-                    F.sequence(
-                        F.lit(1), F.least(F.col("nr"), F.lit(10)).cast("int")
-                    ),
-                    F.lit(0.0),
-                    lambda a, j: a + 1.0 / F.log2((j + 1).cast("double")),
+                / F.element_at(
+                    parr, F.least(F.col("nr"), F.lit(10)).cast("int")
                 ),
             )
             .otherwise(0.0)
@@ -2103,8 +2098,9 @@ def ndcg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = c if m is None else m + c
     return out.select(
         *[
-            (F.round(F.col(f"nd_{i + 1}"), 6) + 0.0).alias(f"ndcg_{i + 1}")
+            (F.floor(F.col(f"nd_{i + 1}") * 1000000.0 + 0.5) / 1000000.0)
+            .alias(f"ndcg_{i + 1}")
             for i in range(5)
         ],
-        (F.round(m / 5.0, 6) + 0.0).alias("ndcg"),
+        (F.floor(m / 5.0 * 1000000.0 + 0.5) / 1000000.0).alias("ndcg"),
     )

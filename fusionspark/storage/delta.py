@@ -376,10 +376,12 @@ def write_delta_table(
     open log format — the round-trip fixture for read_delta's tests, not
     a production writer.  Returns the committed version."""
     partition_columns = partition_columns or []
-    commits, ckpts = ([], [])
+    commits, ckpts, v2 = ([], [], [])
     if os.path.isdir(_log_dir(table_path)):
-        commits, ckpts, _files, _v2 = _list_log(table_path)
-    version = 0 if mode == "create" else max(commits + ckpts) + 1
+        commits, ckpts, _files, v2 = _list_log(table_path)
+    # unreadable (v2/uuid, incomplete multi-part) checkpoint versions
+    # still OCCUPY their version numbers — never reuse one
+    version = 0 if mode == "create" else max(commits + ckpts + v2) + 1
     data_cols = [c for c in df.columns if c not in partition_columns]
 
     staged = os.path.join(table_path, f"_staged-{version}")
@@ -469,8 +471,8 @@ def apply_deletion_vector(
         if inline
         else write_dv_file(table_path, row_indexes)
     )
-    commits, ckpts, _files, _v2 = _list_log(table_path)
-    version = max(commits + ckpts) + 1
+    commits, ckpts, _files, v2 = _list_log(table_path)
+    version = max(commits + ckpts + v2) + 1
     _write_commit(
         table_path,
         version,
@@ -507,8 +509,8 @@ def apply_deletion_vector(
 
 def remove_files(table_path: str, paths: list[str]) -> int:
     """Append a commit tombstoning `paths` (fixture helper)."""
-    commits, ckpts, _files, _v2 = _list_log(table_path)
-    version = max(commits + ckpts) + 1
+    commits, ckpts, _files, v2 = _list_log(table_path)
+    version = max(commits + ckpts + v2) + 1
     _write_commit(
         table_path,
         version,

@@ -221,7 +221,16 @@ def read_dv(table_path: str, desc: dict) -> list[int]:
     if st == "i":
         # Z85 works in 4-byte blocks; sizeInBytes carries the true length
         data = z85_decode(desc["pathOrInlineDv"])[: int(desc["sizeInBytes"])]
-        return roaring_array_deserialize(data)
+        idx = roaring_array_deserialize(data)
+        card = int(desc.get("cardinality", len(idx)))
+        if card != len(idx):
+            # a truncated/corrupt inline payload must fail loudly, not
+            # silently resurrect deleted rows
+            raise ValueError(
+                f"deletion-vector cardinality mismatch: descriptor {card}, "
+                f"bitmap {len(idx)}"
+            )
+        return idx
     if st == "u":
         path = dv_file_path(table_path, desc["pathOrInlineDv"])
     elif st == "p":
