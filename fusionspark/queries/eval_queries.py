@@ -1407,7 +1407,7 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from fusionspark.functions.text import tokenize  # noqa: E402
-from fusionspark.operators.keyword import bm25_search, extract_terms  # noqa: E402
+from fusionspark.operators.keyword import extract_terms  # noqa: E402
 from fusionspark.queries.text_queries import _bm25_oracle  # noqa: E402
 
 #: the fixed 5-query eval set (every term survives extract_terms);
@@ -1459,33 +1459,123 @@ def _mq_ctes() -> str:
     return ",\n    ".join(parts)
 
 
-def _mq_frames(spark: SparkSession, sf_dir: str):
-    """Per-query (ranked top-10, relevant pool, hits-with-j) frames."""
+def _mq_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE fused corpus pass for the whole 5-query eval set (r15, guide
+    §2.3/§2.4: fewer passes beats everything else).
+
+    The r14 shape ran bm25_search + a relevance projection + a pool-size
+    aggregate PER QUERY — 15 scans of `documents` per metric, and three
+    metrics each repaid all of them.  This helper computes, in one plan:
+
+    * per-doc TF columns for all 5 queries' terms + the head-20
+      relevance flags (one projection),
+    * the corpus stats (N, avgdl, per-term df) AND the per-query
+      relevant-pool sizes nr_i folded into ONE 1-row aggregate that
+      broadcasts back (the same broadcast feeds the final row, so the
+      exchange is reused, not recomputed),
+    * per-query BM25 scores via a 5-struct explode → row_number over
+      Window.partitionBy(qi) → rank ≤ 10 filter, which the optimizer
+      collapses to a WindowGroupLimit (map-side top-10 per query —
+      the per-partition heap ships ~50 rows to the exchange however
+      large the corpus grows).
+
+    Result: one row with ranks_1..ranks_5 (each the ASCENDING array of
+    ranks at which relevant docs appear in that query's BM25 top-10)
+    and nr_1..nr_5 (relevant-pool sizes) — exactly the inputs every
+    rank-fold metric consumes.  Every scalar expression (TF filter,
+    score term order, round(·,6), tie-break) is copied verbatim from
+    the r14 per-query plans, so the metric outputs are bit-identical.
+
+    Scale: two corpus scans total (stats fold + scoring pass); the
+    shuffle after the explode carries ≤ 10 rows per query per map
+    partition.  The docstring promise of r14 ("at 100 TB the five
+    scorings fuse into one multi-query pass") is now the shipped plan."""
     docs = load_table(spark, sf_dir, "documents")
-    out = []
-    for q in _EVAL_QUERIES:
-        terms = extract_terms(q)
+    k1, b = 1.2, 0.75
+    qterms = [extract_terms(q) for q in _EVAL_QUERIES]
+    toks = tokenize(F.col("text"))
+    head = F.slice(tokenize("text"), 1, 20)
+
+    cols = [F.col("doc_id"), F.size(toks).alias("dl")]
+    for i, terms in enumerate(qterms):
+        for j, t in enumerate(terms):
+            # closure, not a default-arg lambda (bm25_search's own rule)
+            def _tf(t: str) -> Column:
+                return F.size(F.filter(toks, lambda w: w == F.lit(t)))
+
+            cols.append(_tf(t).alias(f"tf_{i}_{j}"))
         tarr = F.array(*[F.lit(t) for t in terms])
-        head = F.slice(tokenize("text"), 1, 20)
-        rel = (
-            docs.select(
-                "doc_id",
-                F.size(
-                    F.filter(tarr, lambda t: F.array_contains(head, t))
-                ).alias("rel"),
+        cols.append(
+            F.size(
+                F.filter(tarr, lambda t: F.array_contains(head, t))
+            ).alias(f"rel_{i}")
+        )
+    per_doc = docs.select(*cols)
+
+    aggs = [
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ]
+    for i, terms in enumerate(qterms):
+        for j in range(len(terms)):
+            aggs.append(
+                F.sum((F.col(f"tf_{i}_{j}") > 0).cast("long"))
+                .cast("double")
+                .alias(f"df_{i}_{j}")
             )
-            .filter(F.col("rel") >= 2)
-            .select("doc_id")
+        aggs.append(
+            F.sum((F.col(f"rel_{i}") >= 2).cast("long"))
+            .cast("long")
+            .alias(f"nr_{i + 1}")
         )
-        ranked = bm25_search(docs, q, top_k=10).select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
-            .alias("rank"),
+    stats = per_doc.agg(*aggs)
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    structs = []
+    for i, terms in enumerate(qterms):
+        score: Column = F.lit(0.0)
+        matched: Column = F.lit(0)
+        for j in range(len(terms)):
+            tf = F.col(f"tf_{i}_{j}").cast("double")
+            idf = F.log(
+                1.0
+                + (F.col("n_docs") - F.col(f"df_{i}_{j}") + 0.5)
+                / (F.col(f"df_{i}_{j}") + 0.5)
+            )
+            norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            score = score + idf * (tf * (k1 + 1.0)) / norm
+            matched = matched + (F.col(f"tf_{i}_{j}") > 0).cast("int")
+        structs.append(
+            F.struct(
+                F.lit(i).alias("qi"),
+                F.round(score, 6).alias("bm25"),
+                matched.alias("n_terms"),
+                (F.col(f"rel_{i}") >= 2).alias("rel"),
+            )
         )
-        hits = ranked.join(rel, "doc_id").select("rank")
-        out.append((ranked, rel, hits))
-    return out
+    exploded = scored.select(
+        "doc_id", F.explode(F.array(*structs)).alias("s")
+    ).select("doc_id", "s.qi", "s.bm25", "s.n_terms", "s.rel")
+
+    w = Window.partitionBy("qi").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    hits = (
+        exploded.filter(F.col("n_terms") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .filter(F.col("rel"))
+    )
+    ranks = hits.agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("qi") == i, F.col("rank")))
+            ).alias(f"ranks_{i + 1}")
+            for i in range(5)
+        ]
+    )
+    return ranks.crossJoin(F.broadcast(stats)).select(
+        *[f"ranks_{i + 1}" for i in range(5)],
+        *[f"nr_{i + 1}" for i in range(5)],
+    )
 
 
 @query(
@@ -1509,22 +1599,22 @@ def mrr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean sums the five values in FIXED literal order (pivoted
     columns, the inference-module discipline).
 
-    Scale: per query one corpus scoring pass + a top-10 TakeOrdered; at
-    100 TB the five scorings fuse into one multi-query pass (per-term
-    tf columns), same plan family."""
-    frames = _mq_frames(spark, sf_dir)
-    rrs = []
-    for ranked, rel, hits in frames:
-        rrs.append(
-            hits.agg(
-                F.coalesce(1.0 / F.min("rank"), F.lit(0.0)).alias("rr")
-            )
-        )
-    out = rrs[0].select(F.col("rr").alias("rr_1"))
-    for i in range(1, 5):
-        out = out.crossJoin(
-            F.broadcast(rrs[i].select(F.col("rr").alias(f"rr_{i + 1}")))
-        )
+    Scale: r15 — ALL five scorings run in the one fused _mq_hits pass
+    (two corpus scans total, was 15); each RR is then a scalar
+    expression over that row's rank array.  1.0/min(rank) is written as
+    1.0/ranks[1] (the array is rank-ascending), the same int→double
+    division as the r14 F.min fold, NULL on an empty array exactly as
+    the empty-frame MIN was (F.get, not element_at — get is index-safe
+    on the empty array under ANSI where element_at raises)."""
+    hits = _mq_hits(spark, sf_dir)
+    rrs = [
+        F.coalesce(
+            F.lit(1.0) / F.get(F.col(f"ranks_{i + 1}"), 0),
+            F.lit(0.0),
+        ).alias(f"rr_{i + 1}")
+        for i in range(5)
+    ]
+    out = hits.select(*rrs)
     mrr = None
     for i in range(5):
         c = F.col(f"rr_{i + 1}")
@@ -1565,41 +1655,36 @@ def map_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact integer ranks, folded in rank order (≤ 10 terms); the mean
     sums five APs in fixed literal order.
 
-    Scale: same per-query passes as mrr_multi; grid-free."""
-    frames = _mq_frames(spark, sf_dir)
+    Scale: r15 — the five per-query passes collapsed into the one
+    fused _mq_hits pass (two corpus scans, was 15); the hit-index fold
+    (indexed transform over the rank-ascending array, same lambda, same
+    fold order) and the min(|rel|,10) division are unchanged scalar
+    expressions, so the AP values are bit-identical."""
+    hits = _mq_hits(spark, sf_dir)
     aps = []
-    for i, (ranked, rel, hits) in enumerate(frames):
-        nr = rel.agg(F.count("*").cast("long").alias("nr"))
-        # hit index j computed INSIDE the in-row fold (indexed transform
-        # over the rank-sorted array) — no window over the joined frame,
-        # so the audit sees a windowless plan
-        arr = F.sort_array(F.collect_list("rank"))
-        fold = hits.agg(
-            F.when(
-                F.size(arr) > 0,
-                F.aggregate(
-                    F.transform(
-                        arr,
-                        lambda r, i2: (i2 + 1).cast("double") / r,
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
+    for i in range(5):
+        arr = F.col(f"ranks_{i + 1}")
+        nr = F.col(f"nr_{i + 1}")
+        fsum = F.when(
+            F.size(arr) > 0,
+            F.aggregate(
+                F.transform(
+                    arr,
+                    lambda r, i2: (i2 + 1).cast("double") / r,
                 ),
-            ).alias("fsum")
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
         )
-        ap = fold.crossJoin(F.broadcast(nr)).select(
+        aps.append(
             F.when(
-                F.least(F.col("nr"), F.lit(10)) > 0,
-                F.coalesce(F.col("fsum"), F.lit(0.0))
-                / F.least(F.col("nr"), F.lit(10)),
+                F.least(nr, F.lit(10)) > 0,
+                F.coalesce(fsum, F.lit(0.0)) / F.least(nr, F.lit(10)),
             )
             .otherwise(0.0)
             .alias(f"ap_{i + 1}")
         )
-        aps.append(ap)
-    out = aps[0]
-    for i in range(1, 5):
-        out = out.crossJoin(F.broadcast(aps[i]))
+    out = hits.select(*aps)
     m = None
     for i in range(5):
         c = F.col(f"ap_{i + 1}")
@@ -2059,39 +2144,37 @@ def ndcg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal lookups in rank order over the ≤ 10 hits, one division per
     query, engine-stable FLOOR 6-dp form on the pivoted outputs (the
     deterministic-value convention — no ROUND halfway class).
-    Scale: same per-query passes as mrr_multi."""
-    frames = _mq_frames(spark, sf_dir)
+    Scale: r15 — the five per-query passes collapsed into the one
+    fused _mq_hits pass (two corpus scans, was 15); the literal-weight
+    DCG fold and ideal-DCG division are unchanged scalar expressions
+    over the same rank arrays, so the NDCG values are bit-identical."""
+    hits = _mq_hits(spark, sf_dir)
     warr = F.array(*[F.lit(w) for w in _NDCG_W])
     parr = F.array(*[F.lit(x) for x in _NDCG_P])
     nds = []
-    for i, (ranked, rel, hits) in enumerate(frames):
-        nr = rel.agg(F.count("*").cast("long").alias("nr"))
-        arr = F.sort_array(F.collect_list("rank"))
-        dcg = hits.agg(
-            F.when(
-                F.size(arr) > 0,
-                F.aggregate(
-                    F.transform(arr, lambda r: F.element_at(warr, r)),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ),
-            ).alias("dcg")
+    for i in range(5):
+        arr = F.col(f"ranks_{i + 1}")
+        nr = F.col(f"nr_{i + 1}")
+        dcg = F.when(
+            F.size(arr) > 0,
+            F.aggregate(
+                F.transform(arr, lambda r: F.element_at(warr, r)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
         )
-        nd = dcg.crossJoin(F.broadcast(nr)).select(
+        nds.append(
             F.when(
-                F.least(F.col("nr"), F.lit(10)) > 0,
-                F.coalesce(F.col("dcg"), F.lit(0.0))
+                F.least(nr, F.lit(10)) > 0,
+                F.coalesce(dcg, F.lit(0.0))
                 / F.element_at(
-                    parr, F.least(F.col("nr"), F.lit(10)).cast("int")
+                    parr, F.least(nr, F.lit(10)).cast("int")
                 ),
             )
             .otherwise(0.0)
             .alias(f"nd_{i + 1}")
         )
-        nds.append(nd)
-    out = nds[0]
-    for i in range(1, 5):
-        out = out.crossJoin(F.broadcast(nds[i]))
+    out = hits.select(*nds)
     m = None
     for i in range(5):
         c = F.col(f"nd_{i + 1}")
