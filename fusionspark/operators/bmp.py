@@ -104,7 +104,10 @@ def synth_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["height"].append(h)
             yield pd.DataFrame(out)
 
-    return d.select("doc_id").mapInPandas(
+    # ids-only spread before the kernel — see synth_png_media
+    return d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
         make, schema="media_id bigint, payload binary, mime string, width int, height int"
     )
 

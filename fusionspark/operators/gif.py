@@ -238,7 +238,11 @@ def synth_gif_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["height"].append(h)
             yield pd.DataFrame(out)
 
-    return d.select("doc_id").mapInPandas(
+    # ids-only spread before the kernel — the LZW encode loop is pure
+    # Python; one scan split would otherwise serialize it in one task
+    return d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
         make, schema="media_id bigint, payload binary, mime string, width int, height int"
     )
 
@@ -266,7 +270,10 @@ def synth_gif_interlaced_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["payload"].append(gif_encode(plane, interlace=True))
             yield pd.DataFrame(out)
 
-    return d.select("doc_id").mapInPandas(
+    # ids-only spread before the kernel — see synth_gif_media
+    return d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
         make, schema="media_id bigint, payload binary"
     )
 

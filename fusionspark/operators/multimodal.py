@@ -353,7 +353,13 @@ def synth_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["height"].append(h)
             yield pd.DataFrame(out)
 
-    return d.select("doc_id").mapInPandas(
+    # ids-only round-robin spread BEFORE the kernel (guide §4/§8): the
+    # documents scan is one split at bench SFs, so without this the whole
+    # per-image encode loop runs in ONE task; the shuffle moves 8-byte ids,
+    # never payloads, and scales with the core count, not a constant.
+    return d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
         make, schema="media_id bigint, payload binary, mime string, width int, height int"
     )
 
@@ -385,7 +391,10 @@ def synth_png_interlaced_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mime"].append("image/png")
             yield pd.DataFrame(out)
 
-    return d.select("doc_id").mapInPandas(
+    # ids-only spread before the kernel — see synth_png_media
+    return d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
         make, schema="media_id bigint, payload binary, mime string"
     )
 
@@ -853,7 +862,12 @@ def synth_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode-and-aggregate query certifies the whole codec path."""
     from fusionspark.io import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # ids-only spread before the kernel -- see synth_png_media
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     out_schema = "media_id long, payload binary, mime string, sample_rate int"
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1046,7 +1060,12 @@ def synth_wav_media_grouped(spark: "SparkSession", sf_dir: str) -> DataFrame:
     match.  Closed-form, so a SQL oracle replays every sample."""
     from fusionspark.io import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # ids-only spread before the kernel -- see synth_png_media
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     out_schema = "media_id long, payload binary, mime string, sample_rate int"
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

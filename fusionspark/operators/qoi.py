@@ -195,7 +195,13 @@ def synth_qoi_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["height"].append(h)
             yield pd.DataFrame(out)
 
-    return d.select("doc_id").mapInPandas(
+    # ids-only round-robin spread BEFORE the kernel (guide §4/§8): the
+    # documents scan is one split at bench SFs, so without this the whole
+    # per-pixel Python encode loop ran in ONE task; the shuffle moves
+    # 8-byte ids, never payloads, and scales with the core count.
+    return d.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
         make,
         schema="media_id bigint, payload binary, mime string, width int, height int",
     )

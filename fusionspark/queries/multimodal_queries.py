@@ -417,13 +417,10 @@ def png_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     law through the same floor(sum/6) arithmetic.  Upgrades the resize
     kernel from the fake-decode [R] demo to a certified real-decode
     pipeline (the shape-contract `image_resize` demo remains)."""
-    # spread the single local split across cores before the decode kernel
-    # (repartition here, NOT in the shared synth — png_features keeps its
-    # attested plan); moves only the ~1 KB synthetic payloads, and at
-    # scale real input arrives multi-split so this node disappears
-    m = MM.synth_png_media(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # r15: the shared synth now spreads the ids BEFORE its encode kernel
+    # (one ids-only shuffle), so the old post-synth payload repartition
+    # here became a second, redundant exchange and was dropped
+    m = MM.synth_png_media(spark, sf_dir)
     res = MM.resize_media_real(m, target=(8, 8))
     return res.select(
         F.col("media_id").alias("doc_id"),
@@ -533,9 +530,8 @@ def wav_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-sample frames with per-frame peak/RMS/zero-crossings; the oracle
     replays the closed-form sample law arithmetically, so a hash match
     certifies decode + framing + the three kernels."""
-    m = MM.synth_wav_media(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # r15: synth spreads ids before its kernel; payload repartition dropped
+    m = MM.synth_wav_media(spark, sf_dir)
     return MM.wav_frame_features(m, frame_len=100)
 
 
@@ -643,9 +639,8 @@ def audio_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (audio).  The oracle replays synth → energies → bits → bands →
     verify arithmetically, so a hash match certifies the codec AND the
     fingerprint pipeline."""
-    m = MM.synth_wav_media_grouped(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # r15: synth spreads ids before its kernel; payload repartition dropped
+    m = MM.synth_wav_media_grouped(spark, sf_dir)
     return MM.audio_fingerprint_neardup(m, frame_len=10, band_bits=8, threshold=0.9)
 
 
