@@ -1493,15 +1493,23 @@ def _mq_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     k1, b = 1.2, 0.75
     qterms = [extract_terms(q) for q in _EVAL_QUERIES]
-    toks = tokenize(F.col("text"))
-    head = F.slice(tokenize("text"), 1, 20)
 
-    cols = [F.col("doc_id"), F.size(toks).alias("dl")]
+    # tokenize ONCE per row into a real column, then derive dl/tf/rel
+    # from it: 15 independent tf expressions each re-running
+    # split+lower+filter measured 1.95s over this corpus vs 0.73s with
+    # the array materialized (codegen does not share the subexpression
+    # across projection columns; a separate Project survives
+    # CollapseProject because the array feeds many non-cheap uses).
+    # Same token array, same downstream expressions → identical values.
+    tokd = docs.select("doc_id", tokenize(F.col("text")).alias("w"))
+    head = F.slice(F.col("w"), 1, 20)
+
+    cols = [F.col("doc_id"), F.size(F.col("w")).alias("dl")]
     for i, terms in enumerate(qterms):
         for j, t in enumerate(terms):
             # closure, not a default-arg lambda (bm25_search's own rule)
             def _tf(t: str) -> Column:
-                return F.size(F.filter(toks, lambda w: w == F.lit(t)))
+                return F.size(F.filter(F.col("w"), lambda w: w == F.lit(t)))
 
             cols.append(_tf(t).alias(f"tf_{i}_{j}"))
         tarr = F.array(*[F.lit(t) for t in terms])
@@ -1510,7 +1518,7 @@ def _mq_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.filter(tarr, lambda t: F.array_contains(head, t))
             ).alias(f"rel_{i}")
         )
-    per_doc = docs.select(*cols)
+    per_doc = tokd.select(*cols)
 
     aggs = [
         F.count("*").cast("double").alias("n_docs"),
