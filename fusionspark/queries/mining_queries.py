@@ -1185,9 +1185,26 @@ def item_cf_frame(
         .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
         .agg(F.count("*").cast("long").alias("n_uv"))
     )
+    # r15: both orientations via ONE explode above the pair aggregate —
+    # the old unionAll of two projections duplicated the pr subtree, so
+    # the 12.7M-row final HashAggregate ran twice (AQE reuses the
+    # exchange, not the aggregation above it).  Same rows, one pass.
     sym = pr.select(
-        F.col("pa").alias("part"), F.col("pb").alias("neighbor"), "n_uv"
-    ).unionAll(pr.select(F.col("pb").alias("part"), F.col("pa").alias("neighbor"), "n_uv"))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("part"),
+                    F.col("pb").alias("neighbor"),
+                    F.col("n_uv"),
+                ),
+                F.struct(
+                    F.col("pb").alias("part"),
+                    F.col("pa").alias("neighbor"),
+                    F.col("n_uv"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.part", "s.neighbor", "s.n_uv")
     da = deg.select(F.col("p").alias("part"), F.col("n").alias("na"))
     dbn = deg.select(F.col("p").alias("neighbor"), F.col("n").alias("nb"))
     scored = (
