@@ -79,6 +79,19 @@ def normalize_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin a frame across the default parallelism BEFORE a heavy
+    map stage — the guide §2.5 "unsplittable input" fix.  Every local
+    testdata table ships as ONE parquet row group, so a scan is a single
+    task no matter what maxPartitionBytes/minPartitionNum say, and any
+    tokenize/shingle/codec map above it serializes on one core until the
+    first exchange.  The exchange this adds moves the narrow projection
+    only (ids + text), is derived from the core count (never a constant),
+    and at 100 TB — where input arrives multi-split — AQE coalescing makes
+    it a near-no-op relative to the map it parallelizes."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

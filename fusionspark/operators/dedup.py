@@ -248,7 +248,12 @@ def minhash_candidates(
     buckets pay nothing (salt 0, no replication)."""
     from pyspark.sql import Window
 
-    be = minhash_bands(df, id_col, text_col, num_hashes, bands)
+    from fusionspark.io import spread
+
+    # r15: corpus-scale caller — spread BEFORE the zero-shuffle signature
+    # map (one-row-group local input, io.spread); the probe-sized
+    # minhash_lookup path deliberately stays unspread.
+    be = minhash_bands(spread(df), id_col, text_col, num_hashes, bands)
     # bucket size via one window pass (same shuffle key the join needs
     # anyway), then materialize ONCE via eager localCheckpoint: the table
     # feeds BOTH join sides — without it the whole signature map would be
@@ -437,7 +442,9 @@ def ngram_jaccard_neardup(
 ) -> DataFrame:
     """Word-n-gram-shingle Jaccard within blocks.  Blocking keys bound the
     pair space; at scale replace with MinHash bucketing (same verify)."""
-    sh = df.select(
+    from fusionspark.io import spread
+
+    sh = spread(df).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
@@ -877,7 +884,9 @@ def ngram_contamination(
 
     # Arrow-batched shingle emitter (the HOF transform expression is
     # CodegenFallback-interpreted; the Python replay is bit-identical)
-    sh = df.select(id_col, text_col).mapInPandas(emit, schema=schema)
+    from fusionspark.io import spread
+
+    sh = spread(df.select(id_col, text_col)).mapInPandas(emit, schema=schema)
     is_holdout = F.pmod(md5_hash32(F.col(id_col).cast("string")), F.lit(100))
     sh = sh.withColumn("_b", is_holdout)
     holdout_sh = sh.filter(F.col("_b") < holdout_pct).select("s").distinct()
@@ -909,8 +918,10 @@ def persist_minhash_index(
     built once with mode='overwrite', then extended per accepted ingest
     batch with mode='append' (only the batch is signed; the existing
     index is never recomputed)."""
+    from fusionspark.io import spread
+
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    sig = minhash_signatures(spread(df), id_col, text_col, num_hashes)
     hcols = [f"h{i}" for i in range(num_hashes)]
     band_structs = F.array(
         *[
@@ -1063,6 +1074,9 @@ def window_dup_stats(
     the verdict is a broadcast-friendly join of the (tiny) duplicated-hash
     set back onto the digest stream.  stride trades recall for row count —
     w/stride windows per token position bound the blowup at 100 TB."""
+    from fusionspark.io import spread
+
+    df = spread(df)  # r15: the window pass runs twice over this map
     words = tokenize(F.col(text_col))
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(words) - (w - 1), F.lit(1)), F.lit(stride)
@@ -1242,7 +1256,9 @@ def ngram_novelty(
                     sh_out.append(s)
             yield pd.DataFrame({id_col: ids, "s": sh_out})
 
-    sh = df.select(id_col, text_col).mapInPandas(emit, schema=schema)
+    from fusionspark.io import spread
+
+    sh = spread(df.select(id_col, text_col)).mapInPandas(emit, schema=schema)
     firsts = sh.groupBy("s").agg(F.min(id_col).alias("first_doc"))
     per_doc = (
         sh.join(firsts, "s")

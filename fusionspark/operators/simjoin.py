@@ -59,7 +59,10 @@ def shingle_postings(
                     out.append(s)
             yield pd.DataFrame({id_col: ids, "s": out})
 
-    return df.select(id_col, text_col).mapInPandas(emit, schema=schema)
+    from fusionspark.io import spread
+
+    # r15: one-row-group local input — see io.spread
+    return spread(df.select(id_col, text_col)).mapInPandas(emit, schema=schema)
 
 
 def jaccard_join_prefix(
