@@ -311,7 +311,10 @@ def tfidf_pairs(
     n_docs = documents.count()
     if max_df is None:
         max_df = max(3, n_docs // 10)
-    toks = documents.select(
+    from fusionspark.io import spread
+
+    # r15: one-row-group local input - see io.spread
+    toks = spread(documents.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"), F.explode(search_terms(text_col)).alias("term")
     )
     tf = toks.groupBy("doc", "term").agg(F.count("*").cast("long").alias("tf"))

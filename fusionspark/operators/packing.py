@@ -470,7 +470,12 @@ def split_leakage(
                     sh_out.append(s)
             yield pd.DataFrame({id_col: ids, "split": splits, "s": sh_out})
 
-    sh = sp.select(id_col, "split", text_col).mapInPandas(emit, schema=schema)
+    from fusionspark.io import spread
+
+    # r15: one-row-group local input - see io.spread
+    sh = spread(sp.select(id_col, "split", text_col)).mapInPandas(
+        emit, schema=schema
+    )
     train_sh = sh.filter(F.col("split") == "train").select("s").distinct()
     test_sh = sh.filter(F.col("split") == "test").select(id_col, "s")
     tot = test_sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_shingles"))

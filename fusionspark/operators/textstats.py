@@ -348,10 +348,23 @@ def nb_quality_scores(
     Returns (id, n_tokens, nb_score, quality_pred)."""
     from pyspark.sql import DataFrame
 
-    words = df.select(
-        F.col(id_col),
-        pos.cast("int").alias("is_pos"),
-        neg.cast("int").alias("is_neg"),
+    from fusionspark.io import spread
+
+    # r15: the explode feeds the count aggregation AND the scoring join -
+    # two full passes over a one-row-group local scan (io.spread).  A doc's
+    # tokens stay inside one partition, so every per-doc float fold keeps
+    # its order and outputs are bit-identical.
+    words = spread(
+        df.select(
+            F.col(id_col),
+            pos.cast("int").alias("is_pos"),
+            neg.cast("int").alias("is_neg"),
+            F.col(text_col),
+        )
+    ).select(
+        id_col,
+        "is_pos",
+        "is_neg",
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
     ).filter(F.col("w") != "")
 

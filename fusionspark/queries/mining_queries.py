@@ -232,11 +232,15 @@ def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated region >= W + S - 1 chars with equal alignment is always
     caught; at 100 TB the same plan runs with a larger stride and a
     64-bit hash."""
+    from fusionspark.io import spread
+
     W, S = _SSD_W, _SSD_S
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
+    # r15: the window-hash explode below is evaluated on BOTH sides of the
+    # dup join - spread the one-row-group scan first (io.spread)
+    d = spread(docs.select(
         "doc_id", "text", F.length("text").cast("long").alias("L")
-    ).filter(F.col("L") >= W)
+    ).filter(F.col("L") >= W))
     w = d.select(
         "doc_id",
         "L",

@@ -1775,7 +1775,9 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-bounded (millions of nodes), not corpus-bounded."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    from fusionspark.io import spread
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     toks = d.select(
         "doc_id", F.posexplode(tokenize("text")).alias("pos", "w")
@@ -1785,18 +1787,35 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
         .alias("cpos"),
     )
-    a = content.select("doc_id", F.col("w").alias("u"), "cpos")
-    b = content.select(
-        F.col("doc_id").alias("doc_b"), F.col("w").alias("v"),
-        (F.col("cpos") - 1).alias("cpos_b"),
+    # r15 plan cleanup, values identical:
+    # * consecutive pairs via lead() over the SAME (doc_id, pos) window
+    #   the cpos numbering already established — the old (doc_id, cpos)
+    #   equi-self-join re-shuffled both sides on a composite key;
+    # * both edge orientations via one struct explode (the unionAll
+    #   duplicated the whole pair subtree);
+    # * edges eagerly checkpointed: deg, nodes and all 5 rank iterations
+    #   re-derived it per reference — the table is vocab-bounded (the
+    #   module's 100 TB contract), so one materialization is scale-safe.
+    raw = (
+        content.withColumn(
+            "v",
+            F.lead("w").over(Window.partitionBy("doc_id").orderBy("cpos")),
+        )
+        .filter(F.col("v").isNotNull() & (F.col("w") != F.col("v")))
+        .select(F.col("w").alias("u"), "v")
     )
-    raw = a.join(
-        b, (F.col("doc_id") == F.col("doc_b")) & (F.col("cpos") == F.col("cpos_b"))
-    ).filter(F.col("u") != F.col("v")).select("u", "v")
+    both = raw.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     edges = (
-        raw.unionAll(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .groupBy("u", "v")
+        both.groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("wt"))
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("u").agg(F.sum("wt").cast("long").alias("wu"))
     nodes = edges.select(F.col("u").alias("w")).distinct()
