@@ -1354,6 +1354,10 @@ def cdc_chunk_hashes(
     import hashlib
     from collections.abc import Iterator
 
+    from fusionspark.io import spread
+
+    df = spread(df)  # r15: one-row-group local input - see io.spread
+
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

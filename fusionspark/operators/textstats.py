@@ -143,7 +143,10 @@ def fingerprint_docs(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "fp": fps})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+    from fusionspark.io import spread
+
+    # r15: per-char md5 rolling min is the heavy map - io.spread
+    return spread(df.select(id_col, text_col)).mapInPandas(run, schema=out_schema)
 
 
 # ── Gopher / C4 corpus-quality filters ────────────────────────────────────
@@ -512,7 +515,11 @@ def lm_perplexity_scores(
     never reshuffles, the same scale contract as nb_quality_scores.
     Returns (id, n_bigrams, avg_logprob, perplexity); single-token docs
     score NULL-free with n_bigrams = 0 and perplexity 1 (vacuous mean 0)."""
-    words = df.select(
+    from fusionspark.io import spread
+
+    # r15: the bigram explode feeds training counts AND scoring - spread
+    # the one-row-group scan (io.spread); per-doc folds keep their order
+    words = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.split(F.lower(F.col(text_col)), " ").alias("ws"),
     ).select(
@@ -810,7 +817,9 @@ def kn_perplexity_scores(df, id_col: str = "doc_id", text_col: str = "text"):
     between engines.  Self-trained here (train corpus == score corpus),
     so every scored bigram has c₁₂ ≥ 1; the coalesce paths still handle
     unseen pairs for cross-corpus use."""
-    words = df.select(
+    from fusionspark.io import spread
+
+    words = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("ws")
     ).select(id_col, F.filter("ws", lambda w: w != "").alias("ws"))
     bigrams = words.select(
