@@ -76,6 +76,10 @@ def jaccard_join_prefix(
     """All pairs with shingle-set Jaccard ≥ t_num/t_den, found via
     prefix + length filtering and verified exactly.  Returns
     (id_a, id_b, sim) with id_a < id_b."""
+    # r15 note: a postings localCheckpoint was tried here (the frame feeds
+    # five consumers) and REVERTED — same-window A/B showed no win (AQE
+    # already reuses the post-emitter exchanges) and materializing a
+    # corpus-token-sized table is the wrong trade at 100 TB.
     post = shingle_postings(df, gram, id_col, text_col)
     sizes = post.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
     dfreq = post.groupBy("s").agg(F.count("*").cast("long").alias("df"))

@@ -1360,7 +1360,10 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"ch": pdf["ch"], "g": pdf["g"], "lr": lr, "q": pdf["q"]}
             )
 
-    flags = flags_in.mapInPandas(add_repetition_flag, schema=out_schema)
+    from fusionspark.io import spread
+
+    # r15: rules + the repetition kernel are the heavy map - io.spread
+    flags = spread(flags_in).mapInPandas(add_repetition_flag, schema=out_schema)
     per_content = flags.groupBy("ch").agg(
         F.count("*").alias("copies"),
         F.max("g").alias("g"),
