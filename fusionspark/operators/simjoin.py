@@ -59,10 +59,7 @@ def shingle_postings(
                     out.append(s)
             yield pd.DataFrame({id_col: ids, "s": out})
 
-    from fusionspark.io import spread
-
-    # r15: one-row-group local input — see io.spread
-    return spread(df.select(id_col, text_col)).mapInPandas(emit, schema=schema)
+    return df.select(id_col, text_col).mapInPandas(emit, schema=schema)
 
 
 def jaccard_join_prefix(

@@ -351,23 +351,15 @@ def nb_quality_scores(
     Returns (id, n_tokens, nb_score, quality_pred)."""
     from pyspark.sql import DataFrame
 
-    from fusionspark.io import spread
-
-    # r15: the explode feeds the count aggregation AND the scoring join -
-    # two full passes over a one-row-group local scan (io.spread).  A doc's
-    # tokens stay inside one partition, so every per-doc float fold keeps
-    # its order and outputs are bit-identical.
-    words = spread(
-        df.select(
-            F.col(id_col),
-            pos.cast("int").alias("is_pos"),
-            neg.cast("int").alias("is_neg"),
-            F.col(text_col),
-        )
-    ).select(
-        id_col,
-        "is_pos",
-        "is_neg",
+    # r15 note: an io.spread was tried on this explode and REVERTED -
+    # in-suite (warm JVM) the exchange cost exceeded the codegen'd map it
+    # parallelized (nb_quality 0.76->1.27s, pr_auc/roc_auc +~70% while
+    # their suite neighbors held 1.0x); spread pays only for heavy Python
+    # kernels, not cheap JVM token explodes.
+    words = df.select(
+        F.col(id_col),
+        pos.cast("int").alias("is_pos"),
+        neg.cast("int").alias("is_neg"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
     ).filter(F.col("w") != "")
 
@@ -515,11 +507,9 @@ def lm_perplexity_scores(
     never reshuffles, the same scale contract as nb_quality_scores.
     Returns (id, n_bigrams, avg_logprob, perplexity); single-token docs
     score NULL-free with n_bigrams = 0 and perplexity 1 (vacuous mean 0)."""
-    from fusionspark.io import spread
-
-    # r15: the bigram explode feeds training counts AND scoring - spread
-    # the one-row-group scan (io.spread); per-doc folds keep their order
-    words = spread(df.select(F.col(id_col), F.col(text_col))).select(
+    # r15 note: io.spread tried and REVERTED (in-suite regression; see
+    # nb_quality_scores)
+    words = df.select(
         F.col(id_col),
         F.split(F.lower(F.col(text_col)), " ").alias("ws"),
     ).select(
@@ -817,9 +807,7 @@ def kn_perplexity_scores(df, id_col: str = "doc_id", text_col: str = "text"):
     between engines.  Self-trained here (train corpus == score corpus),
     so every scored bigram has c₁₂ ≥ 1; the coalesce paths still handle
     unseen pairs for cross-corpus use."""
-    from fusionspark.io import spread
-
-    words = spread(df.select(F.col(id_col), F.col(text_col))).select(
+    words = df.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("ws")
     ).select(id_col, F.filter("ws", lambda w: w != "").alias("ws"))
     bigrams = words.select(

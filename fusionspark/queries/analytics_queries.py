@@ -2945,13 +2945,13 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     from fusionspark.io import spread
 
-    # r15: this projection is scanned four times (three rank groupBys +
-    # the triple rank join base) over a one-row-group file - io.spread
-    q = spread(li.select(
+    # r15 note: io.spread tried and REVERTED (in-suite regression; the
+    # rank joins dominate, not the projection map)
+    q = li.select(
         F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("x"),
         F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("y"),
         F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("z"),
-    ))
+    )
 
     def rank2(col: str) -> DataFrame:
         g = q.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))

@@ -3899,13 +3899,10 @@ def nb_lang_scores(spark: SparkSession, d: DataFrame) -> DataFrame:
     from fusionspark.functions.text import tokenize
     from fusionspark.operators.dedup import md5_hash32
 
-    from fusionspark.io import spread
-
-    # r15: three groupBys consume this explode - spread the one-row-group
-    # scan first (io.spread); counts are order-free integers
+    # r15 note: io.spread tried and REVERTED (in-suite regression; see
+    # textstats.nb_quality_scores)
     toks = (
-        spread(d.select("doc_id", "lang", "text"))
-        .select("doc_id", "lang", F.explode(tokenize("text")).alias("w"))
+        d.select("doc_id", "lang", F.explode(tokenize("text")).alias("w"))
         .select(
             "doc_id",
             "lang",
@@ -7568,12 +7565,8 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (winnowing's standard ubiquitous-fingerprint drop), so bucket
     fan-out is bounded and no all-pairs join exists — the same
     candidates-only shape as the MinHash LSH family."""
-    from fusionspark.io import spread
-
     ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
-    # r15: per-doc k-gram hashing + window minima are the heavy map -
-    # spread the one-row-group scan first (io.spread)
-    d = spread(load_table(spark, sf_dir, "documents")).select(
+    d = load_table(spark, sf_dir, "documents").select(
         "doc_id", ws.alias("words")
     )
     h = d.filter(F.size("words") >= _WF_MIN_WORDS).select(

@@ -178,11 +178,9 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = vec_id 0, ids aligned doc_id=vec_id) + tree-fallback (K3)
     branches, each over-fetched 2×k (F2), weighted RRF w/(60+rank) (F4)
     (HybridRetriever.js:115-219,308-362)."""
-    from fusionspark.io import spread
-
-    # r15: the keyword and tree branches each run a regex-per-term scorer
-    # map over the one-row-group scan — spread once, both branches reuse
-    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # r15 note: io.spread tried on the scorer branches and REVERTED
+    # (in-suite regression: codegen'd regex scorers beat the exchange)
+    d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
     probe = self_probes(e, 1)
 
