@@ -49,12 +49,15 @@ def export_training_corpus(
     "manifest": [shard rows], "out_dir": out_dir}."""
     from fusionspark.operators.packing import write_webdataset
 
-    # r15: spread the input ONCE before the funnel — a single-split local
-    # scan otherwise serializes every pre-shuffle map stage (the paragraph
-    # explode runs 3× over it) in one task.  One round-robin exchange of
-    # (id, text, source); at 100 TB input arrives multi-split and AQE
-    # coalescing makes this a near-no-op.
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # r15: spread the input ONCE before the funnel (guide §2.6 — a
+    # single-split local scan otherwise serializes every pre-shuffle map
+    # stage, and the paragraph explode runs 3× over it, in one task).  One
+    # round-robin exchange of (id, text, source); r16: io.spread gates on
+    # the input's actual split count, so multi-split 100 TB input passes
+    # through Exchange-free.
+    from fusionspark.io import spread
+
+    docs = spread(docs)
     n_raw = docs.count()
     thr = para_max_df if para_max_df is not None else n_raw // 20 + 1
 

@@ -81,15 +81,31 @@ def normalize_ts(df: DataFrame) -> DataFrame:
 
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin a frame across the default parallelism BEFORE a heavy
-    map stage — the guide §2.5 "unsplittable input" fix.  Every local
-    testdata table ships as ONE parquet row group, so a scan is a single
-    task no matter what maxPartitionBytes/minPartitionNum say, and any
-    tokenize/shingle/codec map above it serializes on one core until the
-    first exchange.  The exchange this adds moves the narrow projection
-    only (ids + text), is derived from the core count (never a constant),
-    and at 100 TB — where input arrives multi-split — AQE coalescing makes
-    it a near-no-op relative to the map it parallelizes."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    map stage — the guide §2.5 "input skew / unsplittable input" fix with
+    the §2.6 idle-capacity motivation.  Every local testdata table ships
+    as ONE parquet row group, so a scan is a single task no matter what
+    maxPartitionBytes/minPartitionNum say, and any tokenize/shingle/codec
+    map above it serializes on one core until the first exchange.  The
+    exchange this adds moves the narrow projection only (ids + text) and
+    is derived from the core count (never a constant).
+
+    Scale gate (VERDICT r15 #2): when the input already arrives with at
+    least defaultParallelism splits — the 100 TB case — the frame passes
+    through UNTOUCHED, no Exchange.  The check is the planned partition
+    count of the frame; spread()'s contract is that callers hand it a
+    SCAN-ROOTED frame (scan + narrow projection/filter, no upstream
+    Exchange), which is the only place the single-task problem exists —
+    for such frames `.rdd.getNumPartitions()` only enumerates file splits
+    (planning work, no job; under AQE a post-shuffle frame would instead
+    materialize its upstream stages here, so keep the contract)."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= par:
+            return df
+    except Exception:  # noqa: BLE001 — non-file/odd sources: fall through
+        pass
+    return df.repartition(par)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

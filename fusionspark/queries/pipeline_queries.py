@@ -4234,22 +4234,23 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # r15: spread the records BEFORE checkpointing — the customer scan is
-    # one split at bench SFs and the block join broadcasts its right side,
-    # so without this the whole ~7M-pair Levenshtein grid ran in ONE task
-    # (measured 7.0s of the entry's 9.2s).  Round-robin over the default
-    # parallelism keeps every block's pair work spread across cores; at
-    # scale the scan arrives multi-split and this exchange is ids+names
-    # only, never pairs.
-    records = (
+    # r15: spread the records BEFORE checkpointing (guide §2.6) — the
+    # customer scan is one split at bench SFs and the block join
+    # broadcasts its right side, so without this the whole ~7M-pair
+    # Levenshtein grid ran in ONE task (measured 7.0s of the entry's
+    # 9.2s).  Round-robin over the default parallelism keeps every
+    # block's pair work spread across cores; the exchange is ids+names
+    # only, never pairs, and r16's io.spread gate skips it when the scan
+    # already arrives multi-split (the 100 TB case).
+    from fusionspark.io import spread
+
+    records = spread(
         variants.select(
             (F.col("k") * 4 + F.col("v")).cast("long").alias("record_id"),
             F.col("k").alias("custkey"),
             name.alias("name"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
     blocked = records.select(
         "record_id", "name", F.substring("name", 17, 8).alias("blk")
     )
