@@ -57,8 +57,11 @@ def export_training_corpus(
     # through Exchange-free.
     from fusionspark.io import spread
 
-    docs = spread(docs)
+    # r16: count the RAW frame, then spread — the count is column-pruned
+    # at the scan; counting after the spread paid a full text exchange
+    # just to count rows (same value either way).
     n_raw = docs.count()
+    docs = spread(docs)
     thr = para_max_df if para_max_df is not None else n_raw // 20 + 1
 
     # 1. sub-document boilerplate removal (keeps every doc_id; empty docs
@@ -100,7 +103,15 @@ def export_training_corpus(
             ).alias("consensus"),
         )
     )
-    kept_q = voted.filter(F.col("consensus") >= min_consensus).select("doc_id")
+    # r16: checkpoint the survivor-id set (ids only, guide §2.4) — it is
+    # consumed by the funnel count AND the exact-dedup semi-join, so the
+    # whole quality vote (3 passes over `cleaned` + the NB/LM model
+    # aggregations) ran TWICE, once per consumer.
+    kept_q = (
+        voted.filter(F.col("consensus") >= min_consensus)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     n_quality = kept_q.count()
 
     # 3. exact dedup on the cleaned text (16-byte digest keyed; keeper=min id)
@@ -124,8 +135,14 @@ def export_training_corpus(
     if neardup_threshold is not None:
         from fusionspark.operators.dedup import connected_components, minhash_neardup
 
-        pairs = minhash_neardup(deduped, threshold=neardup_threshold).select(
-            "id_a", "id_b"
+        # r16: checkpoint the candidate pairs (ids only, guide §2.4) —
+        # connected_components consumes them twice (the symmetric edge
+        # set AND the edge-incident node set), so the banded-LSH
+        # signature pass over the deduped corpus ran twice.
+        pairs = (
+            minhash_neardup(deduped, threshold=neardup_threshold)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
         )
         touched = (
             pairs.select(F.col("id_a").alias("doc_id"))

@@ -827,27 +827,40 @@ def paragraph_dedup(
         .withColumn("ph", F.md5("para"))
     )
     freq = parts.groupBy("ph").agg(F.count_distinct(id_col).alias("para_df"))
-    kept = parts.join(freq.filter(F.col("para_df") <= max_df), "ph", "left_semi")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: s["para"],
-            ),
-        ).alias(text_col),
-        F.count("*").alias("n_kept"),
-    )
-    totals = parts.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    # r16 (§1.2 fewer passes): the verdict rides an inner join (freq was
+    # built FROM parts, so every part row matches) and ONE groupBy(id)
+    # folds totals + keeps + reassembly together — the old shape ran the
+    # split/explode/md5 map three times (freq input, semi-join left,
+    # totals) and paid two id-keyed exchanges plus an outer join.  The
+    # kept flag rides the sort struct BEHIND (pos, para), and pos is
+    # unique per doc, so the surviving-paragraph order is unchanged.
+    keep = F.col("para_df") <= max_df
     return (
-        totals.join(rebuilt, id_col, "left")
+        parts.join(freq, "ph")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("pos", "para", keep.alias("k"))
+                            )
+                        ),
+                        lambda s: s["k"],
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias(text_col),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.count("*").alias("n_paras"),
+        )
         .select(
             id_col,
-            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_dropped"),
+            text_col,
+            "n_kept",
+            (F.col("n_paras") - F.col("n_kept")).cast("long").alias("n_dropped"),
         )
     )
 
@@ -1192,11 +1205,16 @@ def semdedup(
 
     cents = deterministic_centroids(df, n_centroids, id_col, vector_col)
     assigned = ivf_assign(df, cents, id_col, vector_col)
+    # r16: checkpoint the vector-free prototypicality table (guide §2.4) —
+    # proto feeds the pair join twice AND the final anti-join, so the
+    # codebook-assignment GEMM over the corpus ran 3× (plus once more
+    # inside the pair generator).  (id, c_sim_r, centroid_id) is ids-only,
+    # so the materialization is narrow at any scale.
     proto = assigned.select(
         F.col(id_col),
         F.round("c_sim", 6).alias("c_sim_r"),
         "centroid_id",
-    )
+    ).localCheckpoint(eager=True)
     pairs = embedding_neardup(
         assigned.drop("c_sim"),
         threshold,

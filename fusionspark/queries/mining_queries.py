@@ -1181,6 +1181,14 @@ def item_cf_frame(
         cp.withColumn("bi", F.row_number().over(wcap))
         .filter(F.col("bi") <= cap)
         .drop("bi")
+        # r16: materialize the capped basket table ONCE (guide §2.4/§3.3) —
+        # it feeds the pair self-join (both sides) and the degree table
+        # (joined twice), and AQE reuses exchanges, not the distinct+cap
+        # window above them: the lineitem⋈orders join, the (c,p) distinct
+        # and the cap window were each evaluated FOUR times in the r15
+        # plan.  The table is two int-like columns capped at 128 rows per
+        # customer, so the checkpoint is small at any scale.
+        .localCheckpoint(eager=True)
     )
     deg = cp.groupBy("p").agg(F.count("*").cast("long").alias("n"))
     a, b = cp.alias("a"), cp.alias("b")
